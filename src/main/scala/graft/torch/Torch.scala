@@ -1,0 +1,117 @@
+package graft.torch
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/**
+ * The engine's answer to the reference's `FunctionFactory` + `TorchUdf`
+ * (reference src/lib.rs:23-100, src/udf.rs:20-287): turn a TorchScript
+ * model URL into a registered Spark scalar function.
+ *
+ * Scale design: model weights are parsed ONCE on the driver and shipped
+ * to executors via `sparkContext.broadcast` — never closure-captured per
+ * task — so a multi-MB model crosses the wire once per executor, not
+ * once per task.
+ */
+object Torch {
+
+  /**
+   * Programmatic equivalent of
+   * `CREATE FUNCTION name(IN[]) RETURNS OUT[] LANGUAGE TORCH AS 'url'`
+   * (reference src/lib.rs:23-100). Supported (input, return) item-type
+   * combinations mirror the reference's dispatch (udf.rs:28-57):
+   * (F32,F32), (F64,F32), (F64,F64) — anything else errors like
+   * udf.rs:59-64. Divergence (documented): the reference's (F64,F64) arm
+   * actually constructs an F32-returning UDF (udf.rs:49-57, a bug); we
+   * implement the declared semantics and really return `array<double>`.
+   *
+   * The device/batch_size configuration is snapshotted NOW, mirroring
+   * "function binds its device at creation time" (lib.rs:51-56, 81-84).
+   */
+  def createFunction(
+      spark: SparkSession,
+      name: String,
+      url: String,
+      inputType: DataType = FloatType,
+      returnType: DataType = FloatType): TorchScriptModel = {
+    val conf = TorchConf.get(spark) // validates; binds at creation time
+    require(conf.device == "cpu", s"device ${conf.device} not available")
+    val model = TorchScriptModel.load(url)
+    val bc = spark.sparkContext.broadcast(model)
+    // The closures declare Seq[Double] input: Spark's analyzer will only
+    // UP-cast UDF arguments (array<float> -> array<double> is implicit;
+    // the reverse is refused under ANSI), so accepting double and
+    // narrowing to f32 here reproduces the reference's implicit
+    // list<f64> -> list<f32> coercion at the UDF boundary
+    // (reference src/udf.rs:108-115) for both float and double columns.
+    def toF32(xs: scala.collection.Seq[Double]): Array[Float] = {
+      val in = new Array[Float](xs.length)
+      var i = 0; while (i < in.length) { in(i) = xs(i).toFloat; i += 1 }
+      in
+    }
+    (inputType, returnType) match {
+      case (FloatType | DoubleType, FloatType) =>
+        spark.udf.register(name, (xs: scala.collection.Seq[Double]) =>
+          bc.value.forward(toF32(xs)).toSeq)
+      case (FloatType | DoubleType, DoubleType) =>
+        spark.udf.register(name, (xs: scala.collection.Seq[Double]) =>
+          bc.value.forward(toF32(xs)).map(_.toDouble).toSeq)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"data type combination not supported: $other (supported: " +
+            "(float,float), (double,float), (double,double))")
+    }
+    model
+  }
+
+  /**
+   * Batched inference: appends `outputCol: array<float>` computed by one
+   * GEMM per `batchSize` input rows — the scale path that amortizes
+   * per-call overhead exactly like the reference's batch loop
+   * (reference src/udf.rs:191-222, 250-286; partial final batch
+   * semantics per udf.rs:202-204). `batchSize <= 0` reads
+   * `torchfusion.batch_size` from the session.
+   *
+   * Uses `mapPartitions` over the row iterator: streaming, no
+   * per-partition materialization beyond one batch.
+   */
+  def inferBatched(
+      df: DataFrame,
+      inputCol: String,
+      outputCol: String,
+      model: Broadcast[TorchScriptModel],
+      batchSize: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val bs =
+      if (batchSize > 0) batchSize
+      else TorchConf.get(spark).batchSize
+    val withFloats = df.withColumn(inputCol, col(inputCol).cast(ArrayType(FloatType)))
+    val schema = StructType(withFloats.schema.fields :+
+      StructField(outputCol, ArrayType(FloatType), nullable = false))
+    val inIdx = withFloats.schema.fieldIndex(inputCol)
+    val rdd = withFloats.rdd.mapPartitions { it =>
+      val m = model.value
+      val inDim = m.inDim
+      val outDim = m.outDim
+      it.grouped(bs).flatMap { rows =>
+        val n = rows.size
+        val flat = new Array[Float](n * inDim)
+        var i = 0
+        while (i < n) {
+          val xs = rows(i).getSeq[Float](inIdx)
+          require(xs.length == inDim, s"expected $inDim features, got ${xs.length}")
+          var j = 0
+          while (j < inDim) { flat(i * inDim + j) = xs(j); j += 1 }
+          i += 1
+        }
+        val out = m.forwardBatch(flat, n)
+        rows.iterator.zipWithIndex.map { case (r, k) =>
+          Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
