@@ -1,13 +1,508 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArgMax, RollingHash64, SimHash64}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.torch.{Torch, TorchConf}
+
+/**
+ * Driver contract: every operator the engine implements is a key in
+ * [[queries]]; DuckDB-expressible ones also appear in [[oracleSql]]
+ * (same column names, deterministic ORDER BY on both sides).
+ *
+ * Coverage map (SURVEY.md §2): q01-q04 exercise the reference's parity
+ * surface Q1-Q10/Q14 (scan, select-*, projection, aliasing, LIKE
+ * filter, array literal, float cast, LIMIT); q27/q28 the torch UDF
+ * pipeline I4/I5/Q5-Q7 (golden e2e in GoldenIrisSpec); q29/q30 config +
+ * introspection I7/I8/Q11/Q12; q05-q15 the relational breadth
+ * (agg/join/window/rollup/set-ops/sessionize) any real workload needs;
+ * q16-q26 the LLM-data-pipeline extension set (dedup, MinHash-LSH,
+ * SimHash, text analysis, lang-ID, fingerprint, kNN/ANN, multimodal).
+ */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively: read it as raw nanos (legacy conf) and convert to a
+    * proper TimestampType column (microsecond floor — identical epoch
+    * seconds to DuckDB's nanosecond view for positive timestamps). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q06_join_agg_revenue")(spark, "/root/testdata/sf0.001")
+
+  // -- torch fixtures (reference-owned, read-only) --------------------
+  private val irisParquet = "/root/reference/data/iris.snappy.parquet"
+  private val irisModel = "/root/reference/model/iris.spt"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ---------------- reference parity surface ----------------------
+    "q01_scan_star" -> ((s, dir) =>
+      t(s, dir, "region").orderBy("r_regionkey")),
+
+    "q02_project_alias_limit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber", "net_price")
+        .limit(500)),
+
+    "q03_filter_like" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")),
+
+    "q04_array_cast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          element_at(array(col("l_quantity"), col("l_discount")), 1)
+            .cast("float").as("qty_f"),
+          col("l_extendedprice").cast("float").as("price_f"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_f", "price_f")
+        .limit(300)),
+
+    // ---------------- relational breadth ----------------------------
+    "q05_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q06_join_agg_revenue" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")),
+
+    "q07_topk_customers" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("c_custkey"))
+        .limit(10)),
+
+    "q08_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+
+    "q09_anti_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "q10_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    "q11_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_orderkey").as("n_orders"),
+          countDistinct("l_partkey").as("n_parts"))
+        .orderBy("l_returnflag")),
+
+    "q12_setops" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("key"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("key"))
+      c.intersect(sup).orderBy("key")
+    },
+
+    // ---------------- events: json + time ---------------------------
+    "q13_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"))
+        .orderBy("event_type")),
+
+    "q14_hourly_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("HOUR", col("ts"))).as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("hr", "event_type")),
+
+    "q15_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("prev", lag("sec", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_sess").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    "q31_sliding_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(
+          unix_timestamp(col("window.start")).as("wstart"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("wstart", "event_type")),
+
+    // ---------------- documents: text pipeline ----------------------
+    "q16_dedup_exact" -> ((s, dir) =>
+      Dedup.firstPerKey(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q17_text_stats" -> { (s, dir) =>
+      val txt = col("text")
+      val nTok = TextOps.tokenCount(txt)
+      val alnum = length(regexp_replace(txt, "[^A-Za-z0-9]", "")).cast("double")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(txt).as("n_bytes"),
+          nTok.as("n_tokens"),
+          TextOps.wordCount(txt).as("n_words"),
+          (alnum / nTok.cast("double")).as("mean_wlen"),
+          TextOps.qualityScore(txt).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "q18_lang_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          avg(TextOps.tokenCount(col("text"))).as("avg_tokens"),
+          avg(when(col("text").contains("the"), 1.0).otherwise(0.0)).as("share_the"))
+        .orderBy("lang")),
+
+    "q19_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q20_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+        .orderBy("doc_id")),
+
+    "q21_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("a", "b")),
+
+    "q22_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, bands = 16, rowsPerBand = 8)
+        .orderBy("a", "b")),
+
+    "q23_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, maxHamming = 3)
+        .orderBy("a", "b")),
+
+    // ---------------- embeddings: similarity search -----------------
+    "q24_knn_brute" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("q_id", "rank")
+    },
+
+    "q25_ann_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, dim = 64, numPlanes = 16, bands = 4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("q_id", "rank")
+    },
+
+    // ---------------- multimodal plumbing ---------------------------
+    "q26_multimodal_meta" -> { (s, dir) =>
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.withDecodedMeta(withBin, "payload", "meta")
+        .select(
+          col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.channels").as("channels"), col("meta.format").as("format"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------- torch inference (non-SQL oracle: rows-only) ---
+    "q27_torch_iris" -> { (s, _) =>
+      ArgMax.register(s)
+      Torch.createFunction(s, "graft_iris", irisModel)
+      s.read.parquet(irisParquet).coalesce(1).createOrReplaceTempView("graft_iris_t")
+      s.sql(
+        """SELECT argmax(graft_iris(features)) AS f_inferred,
+          |       argmax(graft_iris(array(sl, sw, pl, pw))) AS inferred
+          |FROM graft_iris_t LIMIT 15""".stripMargin)
+    },
+
+    "q28_torch_batched" -> { (s, _) =>
+      ArgMax.register(s)
+      val model = Torch.createFunction(s, "graft_iris_b", irisModel)
+      val bc = s.sparkContext.broadcast(model)
+      Torch.inferBatched(s.read.parquet(irisParquet), "features", "logits", bc, batchSize = 64)
+        .select(col("sl"), col("sw"), col("pl"), col("pw"),
+          call_function("argmax", col("logits")).as("pred"))
+        .orderBy("sl", "sw", "pl", "pw")
+    },
+
+    // ---------------- config + introspection ------------------------
+    "q29_settings" -> { (s, _) =>
+      s.conf.unset(TorchConf.DeviceKey)
+      s.conf.unset(TorchConf.CudaDeviceKey)
+      s.conf.unset(TorchConf.BatchSizeKey)
+      TorchConf.settings(s).orderBy("name")
+    },
+
+    "q30_set_statement" -> { (s, _) =>
+      s.sql(s"SET ${TorchConf.BatchSizeKey}=8")
+      TorchConf.settings(s)
+        .filter(col("name") === TorchConf.BatchSizeKey)
+        .select("name", "value")
+    }
+  )
+
+  /** DuckDB oracle SQL per query (same column names + ORDER BY).
+    * Torch/LSH/SimHash/lang-ID queries are intentionally absent:
+    * torch inference and custom hashes are not DuckDB-expressible
+    * (driver records rows-only checks); their correctness gates live in
+    * the test suite (golden e2e, recall vs brute force). */
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_scan_star" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q02_project_alias_limit" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price LIMIT 500""".stripMargin,
+
+    "q03_filter_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%widget%' ORDER BY p_partkey""".stripMargin,
+
+    "q04_array_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(([l_quantity, l_discount])[1] AS FLOAT) AS qty_f,
+        | CAST(l_extendedprice AS FLOAT) AS price_f
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_f, price_f LIMIT 300""".stripMargin,
+
+    "q05_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        | avg(l_quantity) AS avg_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q06_join_agg_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q07_topk_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q08_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q11_distinct_agg" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q12_setops" ->
+      """SELECT c_nationkey AS key FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY key""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q14_hourly_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr, event_type,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    "q15_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |   CASE WHEN lag(sec) OVER w IS NULL
+        |          OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q31_sliding_windows" ->
+      """WITH w AS (
+        |  SELECT unnest([
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |      + CASE WHEN epoch(ts) - epoch(date_trunc('hour', ts)) >= 1800 THEN 1800 ELSE 0 END,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |      + CASE WHEN epoch(ts) - epoch(date_trunc('hour', ts)) >= 1800 THEN 1800 ELSE 0 END
+        |      - 1800]) AS wstart,
+        |   event_type, value
+        |  FROM events)
+        |SELECT wstart, event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM w GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+
+    "q16_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS fp FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q17_text_stats" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_words,
+        | CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
+        |   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_wlen,
+        | (least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0) * 0.4
+        |  + CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
+        |      / CAST(octet_length(encode(text)) AS DOUBLE) * 0.4
+        |  + CASE WHEN CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |              BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END * 0.2) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q18_lang_profile" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | avg(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) AS avg_tokens,
+        | avg(CASE WHEN text LIKE '%the%' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+        |   AS share_the
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q20_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q21_jaccard_pairs" -> jaccardOracle,
+    // MinHash-LSH with exact verification reproduces the brute-force
+    // result whenever band recall holds (16x8 => miss prob ~1e-9 at
+    // jaccard 0.9) -> same oracle as the exact query.
+    "q22_minhash_lsh" -> jaccardOracle,
+
+    "q24_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q_id, vec_id,
+        |       list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+        |      FROM q JOIN embeddings ON vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |      FROM p)
+        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q26_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(32 + octet_length(encode(text)) % 600 AS INT) AS width,
+        | CAST(32 + (octet_length(encode(text)) * 7) % 600 AS INT) AS height,
+        | CAST(3 AS INT) AS channels,
+        | CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END
+        |   AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_settings" ->
+      """SELECT * FROM (VALUES
+        | ('torchfusion.batch_size', '1', 'Batch size to be used when processing rows'),
+        | ('torchfusion.cuda_device', '0', 'CUDA device to use'),
+        | ('torchfusion.device', 'cpu', 'Device to run model on (cpu, cuda, mps, vulkan)'))
+        | AS t(name, value, description) ORDER BY name""".stripMargin,
+
+    "q30_set_statement" ->
+      "SELECT 'torchfusion.batch_size' AS name, '8' AS value"
+  )
+
+  /** Brute-force 3-gram-shingle jaccard >= 0.8, DuckDB dialect. */
+  private val jaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS s
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      | CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON a = sa.doc_id
+      |JOIN sz sb ON b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+      |ORDER BY a, b""".stripMargin
 }

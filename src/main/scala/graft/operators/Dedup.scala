@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed
+ * around one shuffle discipline:
+ *
+ *  - exact dedup: one hash-aggregate on the key (no sort);
+ *  - n-gram Jaccard: inverted-index self-join on shingles — pairs are
+ *    only generated for docs sharing >=1 shingle, never a cross join;
+ *  - MinHash-LSH: banded signatures bucket the join, candidates are
+ *    exact-verified, so output == brute force whenever band recall
+ *    holds (tunable bands/rows), at a fraction of the pairs;
+ *  - SimHash: 64-bit fingerprints, near-pairs via pigeonhole banding
+ *    on 16-bit chunks + popcount verify.
+ *
+ * All-pairs work never materializes O(N^2): every join is keyed
+ * (shingle, band, or chunk), which is what survives a 100x scale-up.
+ */
+object Dedup {
+
+  /** Exact dedup: keep, per key, the row with the smallest `orderCol`.
+    * One shuffle on the key columns (window, no pre-sort needed at the
+    * API level; AQE handles skew). */
+  def firstPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exploded distinct (id, shingle) pairs — the inverted-index input. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+
+  /**
+   * Exact n-gram-set Jaccard similarity pairs with jaccard >= threshold.
+   * Output columns: (a, b, jaccard), a < b.
+   *
+   * Plan shape: explode shingles -> self-join keyed on the shingle
+   * (shuffle hash join on a high-cardinality key) -> count intersections
+   * per pair -> join the per-doc set sizes. `maxDocFreq`, when set,
+   * drops shingles appearing in more than that many docs (stop-shingle
+   * pruning — the standard scale lever; changes semantics, so default off).
+   */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val idx0 = shingleIndex(df, idCol, textCol, n)
+    val idx = maxDocFreq match {
+      case Some(m) =>
+        val keep = idx0.groupBy("shingle").agg(count("*").as("__df")).filter(col("__df") <= m)
+        idx0.join(keep.select("shingle"), Seq("shingle"))
+      case None => idx0
+    }
+    val sizes = idx0.groupBy(idCol).agg(count("*").as("n"))
+    val a = idx.toDF("ida", "shingle")
+    val b = idx.toDF("idb", "shingle")
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count("*").as("i"))
+    inter
+      .join(sizes.toDF("ida", "na"), Seq("ida"))
+      .join(sizes.toDF("idb", "nb"), Seq("idb"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida").as("a"), col("idb").as("b"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the doc's shingles. Pure built-ins ->
+    * codegen'd, computed in the scan projection. */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+
+  /**
+   * MinHash + LSH banded near-dup pairs, exact-verified.
+   *
+   * signatures (bands*rowsPerBand hashes) -> per-band bucket key ->
+   * explode -> self-join on (band, bucket) -> distinct candidate pairs
+   * -> exact Jaccard on the shingle sets -> filter >= threshold.
+   * Output: (a, b, jaccard), identical to [[jaccardPairs]] whenever
+   * every >=threshold pair collides in >=1 band (for the default
+   * 16 bands x 8 rows, a 0.9-Jaccard pair is missed with prob ~1e-9).
+   */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 8): DataFrame = {
+    val withSets = df.select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withSig = withSets.withColumn("sig", minHashSignature(col("sh"), bands * rowsPerBand))
+    val banded = withSig.select(
+      col(idCol), col("sh"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
+      .toDF(idCol, "sh", "band", "bucket")
+    val l = banded.toDF("ida", "sha", "band", "bucket")
+    val r = banded.toDF("idb", "shb", "band", "bucket")
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "sha", "idb", "shb")
+      .dropDuplicates("ida", "idb")
+    cand
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        col("i") / (size(col("sha")) + size(col("shb")) - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida").as("a"), col("idb").as("b"), col("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit fingerprint per doc
+   * ([[graft.functions.SimHash64]]), candidates via the pigeonhole
+   * principle — hamming distance <= 3 over 64 bits implies at least one
+   * of 4 16-bit chunks is identical — then popcount-verified.
+   * Output: (a, b, hamming), a < b, hamming <= maxHamming (<= 15).
+   */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 15, "chunked banding assumes maxHamming <= 15")
+    graft.functions.SimHash64.register(df.sparkSession)
+    val chunks = maxHamming + 1 // hamming<=k => some chunk of k+1 equal chunks matches
+    val width = 64 / chunks
+    val fp = df.select(col(idCol),
+      graft.functions.SimHash64.simhash64(TextOps.shingles(col(textCol), n)).as("fp"))
+    val banded = fp.select(col(idCol), col("fp"),
+      posexplode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftrightunsigned", col("fp"), c * lit(width))
+          .bitwiseAND(lit((1L << width) - 1)))))
+      .toDF(idCol, "fp", "chunk", "key")
+    val l = banded.toDF("ida", "fpa", "chunk", "key")
+    val r = banded.toDF("idb", "fpb", "chunk", "key")
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "fpa", "idb", "fpb")
+      .dropDuplicates("ida", "idb")
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ida").as("a"), col("idb").as("b"), col("hamming"))
+  }
+}

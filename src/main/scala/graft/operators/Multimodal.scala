@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: media (image/audio/video) travels as an
+ * opaque `binary` column with typed metadata extracted beside it.
+ *
+ * The Spark-side machinery — schema, per-partition batched iteration,
+ * column append — is real and tested. The actual byte decoding is a
+ * **STUB**: no image/audio codec libraries exist in this environment,
+ * so [[FakeDecoder]] derives deterministic metadata from the byte
+ * content alone. Swapping in a real decoder is a one-function change
+ * (replace `FakeDecoder.decode`) that does not touch the plumbing.
+ */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** STUB decoder: deterministic metadata from byte length/content —
+    * stands in for an image header parse (magic bytes -> format,
+    * dimensions). Replace with a real codec for production. */
+  object FakeDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
+      val len = bytes.length.toLong
+      val width = (32 + len % 600).toInt
+      val height = (32 + (len * 7) % 600).toInt
+      val format = (len % 3) match {
+        case 0 => "jpeg"
+        case 1 => "png"
+        case _ => "webp"
+      }
+      (width, height, 3, format)
+    }
+  }
+
+  /**
+   * Append a `metaCol: struct<width,height,channels,format>` decoded
+   * from `binCol`. Runs as `mapPartitions` over the row iterator —
+   * streaming, no partition materialization — the same batch shape a
+   * real decoder (which wants batched I/O) needs.
+   */
+  def withDecodedMeta(df: DataFrame, binCol: String, metaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+ StructField(metaCol, metaSchema, nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val (w, h, c, f) = FakeDecoder.decode(bytes)
+        Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Frame-sampling stub for "video" payloads: emits one row per sampled
+   * frame offset (every `stride` bytes stands in for every Nth frame),
+   * carrying (doc id, frame_no, frame_bytes). Exercises the explode /
+   * one-to-many shape a real frame sampler produces.
+   */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, stride: Int): DataFrame =
+    df.select(
+      col(idCol),
+      posexplode(
+        transform(
+          sequence(
+            lit(0),
+            greatest(floor((length(col(binCol)) - 1).cast("double") / stride).cast("int"), lit(0))),
+          i => call_function("substring", col(binCol), i * lit(stride) + lit(1), lit(stride)))))
+      .toDF(idCol, "frame_no", "frame_bytes")
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, per the usual accuracy/scale trade:
+ *  - [[bruteForceTopK]]: exact cosine top-k. The query set is
+ *    broadcast (it is small by construction), so the corpus is scanned
+ *    once with no shuffle of the big side except the final per-query
+ *    top-k aggregation. O(N*Q) — the correctness baseline.
+ *  - [[lshTopK]]: random-hyperplane LSH. Corpus and queries are
+ *    bucketed by signature band; candidates come from bucket
+ *    collisions only, then exact cosine ranks them. Sub-linear
+ *    candidate generation — the 100 TB path.
+ */
+object Similarity {
+
+  /** Cosine similarity between two double-array columns (elementwise
+    * zip_with dot / norms), computed in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /**
+   * Exact top-k neighbors for each query row.
+   * @param corpus  (idCol, embCol) big table
+   * @param queries (idCol, embCol) small table — broadcast
+   * @return (q_id, rank, vec_id, cos) — rank 1..k by cosine desc,
+   *         ties broken by neighbor id; self-pairs excluded.
+   */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (seeded), shipped
+    * as a literal array — tiny (numPlanes x dim doubles). */
+  private def planes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of an embedding against `numPlanes` hyperplanes,
+    * packed into a long. Pure built-ins (one aggregate per plane). */
+  def signBits(emb: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
+    val ps = planes(dim, numPlanes, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(emb, array(p.map(lit).toIndexedSeq: _*), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: signatures are split into
+   * `bands` chunks; query and corpus rows sharing any chunk value are
+   * candidates, ranked by exact cosine. Recall < 1 by construction —
+   * measured against [[bruteForceTopK]] in the test suite.
+   */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val width = numPlanes / bands
+    val mask = (1L << width) - 1
+    def banded(df: DataFrame, id: String, emb: String): DataFrame = {
+      val sig = signBits(asDouble(col(embCol)), dim, numPlanes)
+      df.select(col(idCol).as(id), asDouble(col(embCol)).as(emb), sig.as("sig"))
+        .select(col(id), col(emb),
+          posexplode(transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => call_function("shiftrightunsigned", col("sig"), b * lit(width))
+              .bitwiseAND(lit(mask)))))
+        .toDF(id, emb, "band", "key")
+    }
+    val c = banded(corpus, "vec_id", "ce")
+    val q = banded(queries, "q_id", "qe")
+    val cand = c.join(broadcast(q), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "qe", "vec_id", "ce")
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+}

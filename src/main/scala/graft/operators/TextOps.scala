@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for large-scale document pipelines:
+ * tokenization, token counting, shingling, quality signals, and a
+ * heuristic language identifier. Everything here composes Spark
+ * built-in functions (whole-stage-codegen'd) — no UDFs — so the
+ * expressions inline into the scan projection and scale linearly with
+ * no shuffle of their own.
+ */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alphanumeric runs and each punctuation mark
+    * count as separate tokens (a cheap stand-in for subword tokenizers
+    * when budgeting LLM training data). */
+  def wordCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit("[A-Za-z0-9]+"), lit(0)))
+
+  /** Distinct word set (for set-semantics similarity). */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles (distinct), the unit of near-dup detection:
+    * shingle i = tokens[i..i+n-1] joined by a single space. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    // guard: sequence(1, 0) would generate a DESCENDING [1,0], not empty
+    when(size(ws) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "pas", "vous", "je", "ne", "ce"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
+
+  /** Per-language stopword hit count (distinct stopwords present). */
+  def langScore(text: Column, lang: String): Column = {
+    val ws = stopwords.toMap.apply(lang)
+    size(array_intersect(wordSet(text), array(ws.map(lit): _*)))
+  }
+
+  /**
+   * Heuristic language ID: the language whose stopword list has the
+   * most distinct hits in the document, ties broken by the fixed order
+   * en, de, es, fr, zh; no hits at all -> "und" (undetermined).
+   * An n-gram-frequency heuristic in the same spirit as public fastText
+   * / CLD-style identifiers, reduced to codegen-able set intersections.
+   */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    } // foldRight => earlier languages win ties
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /**
+   * Composite quality score in [0,1]: blends token count (longer is
+   * better up to 64 tokens), alphanumeric density, and mean word
+   * length in a plausible range — the shape of public quality filters
+   * (C4/Gopher rules) with deterministic arithmetic.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val alnum = length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
+    val density = when(length(text) > 0, alnum / length(text).cast("double")).otherwise(lit(0.0))
+    val meanWl = when(nTok > 0, alnum / nTok).otherwise(lit(0.0))
+    val wlScore = when(meanWl >= 3 && meanWl <= 10, lit(1.0)).otherwise(lit(0.5))
+    (lenScore * lit(0.4) + density * lit(0.4) + wlScore * lit(0.2))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("minhash-LSH pairs == exact jaccard pairs on the test corpus") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs")
+    assert(lsh == exact)
+  }
+
+  test("jaccard/minhash/LSH plans contain no cartesian product") {
+    for (df <- Seq(
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8),
+        Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.8),
+        Dedup.simHashPairs(docs, "doc_id", "text", 3, 3),
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          5, 64))) {
+      val plan = physicalPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"NLJ in plan:\n$plan")
+    }
+  }
+
+  test("simhash pairs are near-dups (hamming<=3 implies high jaccard here)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert(sim.subsetOf(exact), s"simhash false positives: ${sim.diff(exact)}")
+  }
+
+  test("LSH ANN recall@5 vs brute force is substantial") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    info(s"LSH ANN recall@5 = $recall (candidates from 4 bands x 4 bits, 16 planes)")
+  }
+
+  test("exact dedup keeps exactly one row per key, the first by order col") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "k")
+    val got = Dedup.firstPerKey(df, Seq("k"), "id")
+      .select("id", "k").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (3L, "b"), (5L, "c")))
+  }
+
+  test("langId picks the language with most stopword hits, und when none") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat sat on the mat and it was good", "en"),
+      ("der hund ist nicht mit der katze und das", "de"),
+      ("el perro es un animal que no se ve en la casa", "es"),
+      ("xyzzy qwerty plugh", "und")).toDF("text", "expected")
+    val got = df.select(TextOps.langId(col("text")).as("got"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("rolling_hash64 expression matches the scala FNV-1a implementation") {
+    graft.functions.RollingHash64.register(spark)
+    import spark.implicits._
+    val s = "hello graft"
+    val got = Seq(Tuple1(s)).toDF("t").selectExpr("rolling_hash64(t)").collect()(0).getLong(0)
+    assert(got == graft.functions.Fnv64.hash(s.getBytes("UTF-8")))
+  }
+
+  test("multimodal decode stub: plumbing appends correct deterministic metadata") {
+    val withBin = docs.limit(50).select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+    val out = Multimodal.withDecodedMeta(withBin, "b", "meta")
+      .select("doc_id", "meta.width", "meta.format")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val texts = docs.limit(50).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.nonEmpty)
+    texts.foreach { case (id, txt) =>
+      val len = txt.getBytes("UTF-8").length.toLong
+      val (w, f) = out(id)
+      assert(w == (32 + len % 600).toInt)
+      assert(f == Seq("jpeg", "png", "webp")((len % 3).toInt))
+    }
+  }
+
+  test("frame sampling stub emits ceil(len/stride) frames per doc") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill[Byte](1000)(7)), (2L, Array.fill[Byte](5)(1)))
+      .toDF("id", "b")
+    val counts = Multimodal.sampleFrames(df, "id", "b", 256)
+      .groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(1L -> 4L, 2L -> 1L))
+  }
+}
