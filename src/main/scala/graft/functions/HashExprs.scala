@@ -74,6 +74,147 @@ object SimHash64 {
 }
 
 /**
+ * `shingles(string, n) -> array<string>`: distinct word n-gram shingles
+ * of whitespace-tokenized text, in one pass. A native expression
+ * because the equivalent `transform(sequence(...), i ->
+ * concat_ws(slice(split(...))))` pipeline evaluates interpreted per
+ * shingle (Catalyst higher-order functions don't participate in
+ * whole-stage codegen) and was ~30x slower at corpus scale.
+ */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"shingles requires string, got ${other.sql}")
+  }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString.trim)
+    if (toks.length < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[UTF8String])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[UTF8String](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+object Shingles {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles",
+      (exprs: Seq[Expression]) =>
+        Shingles(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+
+  def shingles(spark: SparkSession, c: Column, n: Int): Column = {
+    register(spark)
+    call_function("shingles", c, org.apache.spark.sql.functions.lit(n))
+  }
+}
+
+/**
+ * `minhash_sig(array<string>, numHashes) -> array<bigint>`: MinHash
+ * signature computed in ONE pass over the feature set — for each of
+ * `numHashes` seeded hash functions h_j, the minimum h_j(x) over all
+ * elements. h_j(x) = splitmix64(fnv64(x) ^ seed_j), a universal-enough
+ * family for banding. A native expression instead of nested
+ * `transform(...array_min...)` lambdas because Catalyst higher-order
+ * functions evaluate interpreted per element — at 64 hashes x ~80
+ * shingles x millions of docs that interpretation dominates the whole
+ * dedup job; this loop is plain JVM code.
+ */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got ${other.sql}")
+  }
+
+  private lazy val seeds: Array[Long] = {
+    var x = 0x9e3779b97f4a7c15L
+    Array.fill(numHashes) { x = MinHashSig.splitmix64(x); x }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv64.hash(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < numHashes) {
+          val v = MinHashSig.splitmix64(h ^ seeds(j))
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** splitmix64 finalizer — public-domain mixing constants. */
+  def splitmix64(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+
+  def minhash_sig(spark: SparkSession, c: Column, numHashes: Int): Column = {
+    register(spark)
+    call_function("minhash_sig", c, org.apache.spark.sql.functions.lit(numHashes))
+  }
+}
+
+/**
  * `rolling_hash64(string) -> bigint`: polynomial rolling hash (FNV-1a)
  * of the string's UTF-8 bytes — a cheap whole-document fingerprint for
  * exact dedup at scale where storing the text key itself is too wide.

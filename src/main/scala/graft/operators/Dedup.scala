@@ -32,7 +32,8 @@ object Dedup {
 
   /** Exploded distinct (id, shingle) pairs — the inverted-index input. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    df.select(col(idCol),
+      explode(graft.functions.Shingles.shingles(df.sparkSession, col(textCol), n)).as("shingle"))
 
   /**
    * Exact n-gram-set Jaccard similarity pairs with jaccard >= threshold.
@@ -73,14 +74,6 @@ object Dedup {
       .select(col("ida").as("a"), col("idb").as("b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the doc's shingles. Pure built-ins ->
-    * codegen'd, computed in the scan projection. */
-  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
-
   /**
    * MinHash + LSH banded near-dup pairs, exact-verified.
    *
@@ -89,7 +82,7 @@ object Dedup {
    * -> exact Jaccard on the shingle sets -> filter >= threshold.
    * Output: (a, b, jaccard), identical to [[jaccardPairs]] whenever
    * every >=threshold pair collides in >=1 band (for the default
-   * 16 bands x 8 rows, a 0.9-Jaccard pair is missed with prob ~1e-9).
+   * 16 bands x 4 rows, a 0.9-Jaccard pair is missed with prob ~4e-8).
    */
   def minHashLshPairs(
       df: DataFrame,
@@ -98,24 +91,30 @@ object Dedup {
       n: Int,
       threshold: Double,
       bands: Int = 16,
-      rowsPerBand: Int = 8): DataFrame = {
-    val withSets = df.select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
+      rowsPerBand: Int = 4): DataFrame = {
+    val withSets = df.select(col(idCol),
+      graft.functions.Shingles.shingles(df.sparkSession, col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val withSig = withSets.withColumn("sig", minHashSignature(col("sh"), bands * rowsPerBand))
-    val banded = withSig.select(
-      col(idCol), col("sh"),
+    val sig = graft.functions.MinHashSig
+      .minhash_sig(df.sparkSession, col("sh"), bands * rowsPerBand)
+    // Band rows carry ONLY (id, band, bucket): the wide shingle arrays
+    // stay out of the candidate-generating shuffle and are joined back
+    // for the (few) surviving candidate pairs.
+    val banded = withSets.select(
+      col(idCol),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
-      .toDF(idCol, "sh", "band", "bucket")
-    val l = banded.toDF("ida", "sha", "band", "bucket")
-    val r = banded.toDF("idb", "shb", "band", "bucket")
-    val cand = l.join(r, Seq("band", "bucket"))
+          b => xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
+      .toDF(idCol, "band", "bucket")
+    val cand = banded.toDF("ida", "band", "bucket")
+      .join(banded.toDF("idb", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
-      .select("ida", "sha", "idb", "shb")
+      .select("ida", "idb")
       .dropDuplicates("ida", "idb")
     cand
+      .join(withSets.toDF("ida", "sha"), Seq("ida"))
+      .join(withSets.toDF("idb", "shb"), Seq("idb"))
       .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("jaccard",
         col("i") / (size(col("sha")) + size(col("shb")) - col("i")).cast("double"))
@@ -141,7 +140,8 @@ object Dedup {
     val chunks = maxHamming + 1 // hamming<=k => some chunk of k+1 equal chunks matches
     val width = 64 / chunks
     val fp = df.select(col(idCol),
-      graft.functions.SimHash64.simhash64(TextOps.shingles(col(textCol), n)).as("fp"))
+      graft.functions.SimHash64.simhash64(
+        graft.functions.Shingles.shingles(df.sparkSession, col(textCol), n)).as("fp"))
     val banded = fp.select(col(idCol), col("fp"),
       posexplode(transform(
         sequence(lit(0), lit(chunks - 1)),
