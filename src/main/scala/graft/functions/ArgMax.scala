@@ -87,4 +87,13 @@ object ArgMax {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "argmax", (exprs: Seq[Expression]) => ArgMax(exprs.head), "built-in")
+
+  /** Injection descriptor for `SparkSessionExtensions.injectFunction`. */
+  def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("argmax"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ArgMax].getCanonicalName, "argmax"),
+      (exprs: Seq[Expression]) => ArgMax(exprs.head))
 }
