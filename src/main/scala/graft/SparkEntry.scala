@@ -119,9 +119,10 @@ object SparkEntry {
     },
 
     "q09_anti_join" -> { (s, dir) =>
-      val o = t(s, dir, "orders")
+      val earlyOrders = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-07-01")))
       t(s, dir, "customer")
-        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(earlyOrders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
@@ -365,7 +366,9 @@ object SparkEntry {
 
     "q09_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate < TIMESTAMP '1995-07-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q10_rollup" ->

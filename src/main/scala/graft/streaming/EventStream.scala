@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event, as carried on the stream (epoch-second timestamps keep
+  * the schema engine-agnostic; `tsCol` converts for window ops). */
+final case class Event(
+    event_id: Long,
+    sec: Long,
+    user_id: Long,
+    event_type: String,
+    value: Double) extends Serializable
+
+/** Per-user session state for [[EventStream.sessionize]]. */
+final case class SessionState(sessionId: Long, lastSec: Long, eventsInSession: Long)
+    extends Serializable
+
+/** A closed (or timed-out) session emitted downstream. */
+final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, last_sec: Long)
+    extends Serializable
+
+/**
+ * Structured Streaming operators over the `events` shape
+ * (TESTDATA.md): windowed aggregation with watermarking, and custom
+ * sessionization state via `flatMapGroupsWithState` — the streaming
+ * mirror of the batch q14/q15 queries, so batch and stream results can
+ * be cross-checked on the same input.
+ *
+ * Scale notes: the aggregation state is bounded by the watermark
+ * (late data beyond 10 minutes is dropped, state for closed windows is
+ * evicted); sessionization state is per-user and evicted via processing
+ * -time timeout; both shuffle once on their grouping key.
+ */
+object EventStream {
+
+  /** Tumbling 1-hour windowed counts/sums with a 10-minute watermark.
+    * Works on any DataFrame with (ts timestamp, event_type, value) —
+    * streaming or batch, same plan. */
+  def hourlyWindowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(
+        unix_timestamp(col("window.start")).as("hr"),
+        col("event_type"), col("n"), col("total"))
+
+  /**
+   * Custom stateful sessionization (30-minute inactivity gap) via
+   * `flatMapGroupsWithState`: emits a [[SessionOut]] row every time a
+   * session closes (a new event for the user arrives past the gap).
+   * Event-time ordering within a micro-batch is restored by sorting the
+   * group iterator (streams deliver per-key batches unordered).
+   * NoTimeout keeps micro-batching data-driven (a processing-time
+   * timeout would add wall-clock-driven empty batches; an open session
+   * with no further events stays in state until the stream ends).
+   */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.sec, e.event_id))
+          var cur = state.getOption
+          val closed = IndexedSeq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.sec - s.lastSec <= gapSeconds =>
+                cur = Some(s.copy(lastSec = e.sec, eventsInSession = s.eventsInSession + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.sessionId, s.eventsInSession, s.lastSec)
+                cur = Some(SessionState(s.sessionId + 1, e.sec, 1))
+              case None =>
+                cur = Some(SessionState(1, e.sec, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Read a directory of events parquet part-files as a stream — the
+    * standard file-source layout (new files appearing in the directory
+    * become micro-batches; one file per trigger for determinism).
+    * Spark's file source requires a directory, not a single file. */
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def eventsBatch = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming hourly windowed agg over MemoryStream == batch groupBy on same rows") {
+    import spark.implicits._
+    val rows = eventsBatch
+      .select($"event_id", unix_timestamp($"ts").as("sec"), $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val streamDf = mem.toDF().withColumn("ts", timestamp_seconds(col("sec")))
+    val q = EventStream.hourlyWindowedAgg(streamDf)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly_out").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select("hr", "event_type", "n", "total")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventStream.hourlyWindowedAgg(eventsBatch)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions with correct event counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two sessions (gap 7200s > 1800s); user 2: one session
+      mem.addData(Seq(
+        Event(1, 1000, 1, "click", 1.0),
+        Event(2, 1500, 1, "click", 1.0),
+        Event(3, 1600, 2, "view", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        Event(4, 9000, 1, "click", 1.0), // closes user 1's first session
+        Event(5, 9100, 1, "buy", 5.0)))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .as[SessionOut].collect().toSet
+      assert(out == Set(SessionOut(1, 1, 2, 1500)))
+    } finally q.stop()
+  }
+
+  test("watermark bounds state: agg plan carries the 10-minute watermark") {
+    val plan = EventStream.hourlyWindowedAgg(eventsBatch).queryExecution.analyzed.toString
+    assert(plan.contains("10 minutes") || plan.contains("600000"))
+  }
+}
