@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two double-array columns (elementwise
-    * zip_with dot / norms), computed in double precision. */
+    * zip_with dot / norms), computed in double precision. Composable
+    * built-ins form — [[graft.functions.CosineSim]] is the single-pass
+    * native equivalent used on the hot paths (bit-identical results). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
@@ -45,7 +47,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("cos",
+        graft.functions.CosineSim.cosine_sim(corpus.sparkSession, col("qe"), col("ce")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -61,13 +64,14 @@ object Similarity {
   }
 
   /** Sign-bit signature of an embedding against `numPlanes` hyperplanes,
-    * packed into a long. Pure built-ins (one aggregate per plane). */
-  def signBits(emb: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
+    * packed into a long (one native dot product per plane). */
+  def signBits(
+      spark: org.apache.spark.sql.SparkSession,
+      emb: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
     val ps = planes(dim, numPlanes, seed)
     ps.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(emb, array(p.map(lit).toIndexedSeq: _*), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.DotProduct.dot_product(
+        spark, emb, array(p.map(lit).toIndexedSeq: _*))
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -91,7 +95,7 @@ object Similarity {
     val width = numPlanes / bands
     val mask = (1L << width) - 1
     def banded(df: DataFrame, id: String, emb: String): DataFrame = {
-      val sig = signBits(asDouble(col(embCol)), dim, numPlanes)
+      val sig = signBits(corpus.sparkSession, asDouble(col(embCol)), dim, numPlanes)
       df.select(col(idCol).as(id), asDouble(col(embCol)).as(emb), sig.as("sig"))
         .select(col(id), col(emb),
           posexplode(transform(
@@ -108,7 +112,8 @@ object Similarity {
       .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     cand
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("cos",
+        graft.functions.CosineSim.cosine_sim(corpus.sparkSession, col("qe"), col("ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
