@@ -258,6 +258,19 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     },
 
+    "q32_fact_join_monthly" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(
+          unix_timestamp(date_trunc("MONTH", col("o_orderdate"))).as("month"),
+          col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("month", "n_name")),
+
     // ---------------- multimodal plumbing ---------------------------
     "q26_multimodal_meta" -> { (s, dir) =>
       val withBin = t(s, dir, "documents")
@@ -457,6 +470,37 @@ object SparkEntry {
     // result whenever band recall holds (16x8 => miss prob ~1e-9 at
     // jaccard 0.9) -> same oracle as the exact query.
     "q22_minhash_lsh" -> jaccardOracle,
+
+    "q19_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |   len(list_intersect(ws, ['the','of','and','to','in','is','that','it','was','for','a'])) AS s_en,
+        |   len(list_intersect(ws, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,
+        |   len(list_intersect(ws, ['el','la','de','que','y','en','un','es','se','no'])) AS s_es,
+        |   len(list_intersect(ws, ['le','les','et','une','est','pas','vous','je','ne','ce'])) AS s_fr,
+        |   len(list_intersect(ws, ['的','是','在','了','我','有','和','就','不','人'])) AS s_zh
+        |  FROM t)
+        |SELECT doc_id,
+        | CASE WHEN s_en >= greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_en > 0 THEN 'en'
+        |      WHEN s_de >= greatest(s_de,s_es,s_fr,s_zh) AND s_de > 0 THEN 'de'
+        |      WHEN s_es >= greatest(s_es,s_fr,s_zh) AND s_es > 0 THEN 'es'
+        |      WHEN s_fr >= greatest(s_fr,s_zh) AND s_fr > 0 THEN 'fr'
+        |      WHEN s_zh > 0 THEN 'zh'
+        |      ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q32_fact_join_monthly" ->
+      """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY month, n_name""".stripMargin,
 
     "q24_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
