@@ -107,4 +107,17 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(counts == Map(1L -> 4L, 2L -> 1L))
   }
+
+  test("salted join equals plain join and splits keys across salts") {
+    import spark.implicits._
+    // heavily skewed big side: 10k rows on key "hot", a few on others
+    val big = (Seq.fill(10000)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val small = Seq(("hot", 1), ("a", 2), ("b", 3), ("c", 4), ("unused", 5)).toDF("k", "v")
+    val plain = big.join(small, Seq("k")).groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(big, small, "k", 8)
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
 }
