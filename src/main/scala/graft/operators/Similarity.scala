@@ -77,6 +77,47 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs: (a, b, cos) with
+   * cos >= threshold, a < b. Candidates come from sign-bit band
+   * collisions (high-cosine pairs have near-identical sign signatures,
+   * so recall approaches 1 as threshold -> 1); each candidate is
+   * verified with the exact cosine. Never materializes O(N^2).
+   */
+  def nearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      dim: Int,
+      numPlanes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val spark = corpus.sparkSession
+    val width = numPlanes / bands
+    val mask = (1L << width) - 1
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
+    val banded = base
+      .withColumn("sig", signBits(spark, col("e"), dim, numPlanes))
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftrightunsigned", col("sig"), b * lit(width))
+            .bitwiseAND(lit(mask)))))
+      .toDF("id", "band", "key")
+    val cand = banded.toDF("ida", "band", "key")
+      .join(banded.toDF("idb", "band", "key"), Seq("band", "key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb")
+      .dropDuplicates("ida", "idb")
+    cand
+      .join(base.toDF("ida", "ea"), Seq("ida"))
+      .join(base.toDF("idb", "eb"), Seq("idb"))
+      .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("ida").as("a"), col("idb").as("b"), col("cos"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: signatures are split into
    * `bands` chunks; query and corpus rows sharing any chunk value are
    * candidates, ranked by exact cosine. Recall < 1 by construction —

@@ -120,4 +120,25 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == plain)
   }
+
+  test("embedding near-dup pairs: finds planted near-duplicates, no false accepts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 200 random unit-ish vectors + 10 planted near-dups (tiny perturbation)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 10).map { i =>
+      val (id, v) = base(i)
+      (1000L + id, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.98, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    assert(got == expected, s"got $got")
+  }
+
+  test("model loads from a file: URL (Hadoop-FS URL source path, Q15)") {
+    val m = graft.torch.TorchScriptModel.load("file:///root/reference/model/iris.spt")
+    assert(m.inDim == 4 && m.outDim == 3)
+  }
 }
