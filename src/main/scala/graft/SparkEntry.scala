@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ArgMax, RollingHash64, SimHash64}
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
 import graft.torch.{Torch, TorchConf}
 
 /**
@@ -271,6 +271,84 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("month", "n_name")),
 
+    // ---------------- round-3 additions -----------------------------
+    // Embedding-cosine near-dup over the corpus unioned with a
+    // deterministically perturbed copy (first component scaled 1.5x)
+    // so the operator has real >=0.98 pairs to find; candidates come
+    // from sign-bit LSH bands, each exact-verified.
+    "q33_embed_neardup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val shifted = emb.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) * 1.5), slice(col("e"), 2, 63)).as("e"))
+      Similarity.nearDupPairs(emb.unionByName(shifted), "vec_id", "e",
+        threshold = 0.98, dim = 64)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("a", "b")
+    },
+
+    "q34_asof_join" -> { (s, dir) =>
+      val ev = events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsu")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "tsu", "event_id", "value")
+      AsOfJoin.asofJoin(clicks, purchases, "user_id", "tsu", "event_id")
+        .select(col("event_id"), col("user_id"), col("tsu"),
+          col("asof_event_id").as("p_event"),
+          round(col("asof_value"), 2).as("p_value"))
+        .orderBy("event_id")
+    },
+
+    // Deterministic hash-bucketed train/val/test split (16/2/2 of 20
+    // md5 buckets) — reproducible across runs/engines, no RNG state.
+    "q35_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 20)
+        .withColumn("split",
+          when(col("bucket") < 16, "train")
+            .when(col("bucket") < 18, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("split")),
+
+    "q36_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("revenue"), col("n"))
+        .orderBy("rf", "ls")),
+
+    "q37_stats_profile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price_corr"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("price_sd"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_med"),
+          round(min("l_extendedprice"), 2).as("price_min"),
+          round(max("l_extendedprice"), 2).as("price_max"))
+        .orderBy("l_returnflag")),
+
+    "q38_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
     // ---------------- multimodal plumbing ---------------------------
     "q26_multimodal_meta" -> { (s, dir) =>
       val withBin = t(s, dir, "documents")
@@ -501,6 +579,71 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY month, n_name""".stripMargin,
+
+    "q33_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |shifted AS (
+        |  SELECT vec_id + 100000 AS vec_id, list_concat([e[1] * 1.5], e[2:]) AS e
+        |  FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM shifted)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_cosine_similarity(a.e, b.e), 6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.98
+        |ORDER BY a, b""".stripMargin,
+
+    "q34_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value, 0 AS side
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, NULL, 1 AS side
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT user_id, tsu, event_id, side,
+        |   last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER win AS p_event,
+        |   last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER win AS p_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tsu, side, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, tsu, p_event, round(p_value, 2) AS p_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q35_hash_split" ->
+      """WITH b AS (
+        |  SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        |           % 20 AS bucket,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS ntok
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 16 THEN 'train'
+        |            WHEN bucket < 18 THEN 'val' ELSE 'test' END AS split,
+        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q36_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q37_stats_profile" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(stddev_samp(l_extendedprice), 4) AS price_sd,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_med,
+        | round(min(l_extendedprice), 2) AS price_min,
+        | round(max(l_extendedprice), 2) AS price_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q38_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+        |WHERE len(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "q24_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
