@@ -258,6 +258,16 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     },
 
+    // IVF ANN (rows-only check; recall vs brute force gated in tests —
+    // approximate by design, so no exact SQL oracle).
+    "q39_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("q_id", "rank")
+    },
+
     "q32_fact_join_monthly" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))

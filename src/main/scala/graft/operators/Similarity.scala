@@ -118,6 +118,65 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k — the other classic ANN
+   * scale path next to LSH: a coarse k-means quantizer partitions the
+   * corpus into `nlist` cells; each query probes only its `nprobe`
+   * nearest cells, and the (corpus_size * nprobe / nlist) candidates
+   * are exactly cosine-ranked. Cell assignment is a tiny broadcast
+   * (nlist x dim doubles) joined on the cell id — no cross join, and
+   * the corpus is scanned once for training and once for assignment.
+   * Recall < 1 by construction; measured against [[bruteForceTopK]]
+   * in the test suite. Deterministic for a fixed seed + input layout.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
+    val train = c.withColumn("feat", array_to_vector(col("ce")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("feat").setPredictionCol("cell")
+      .fit(train)
+    val assigned = model.transform(train).select("vec_id", "ce", "cell")
+
+    // Query-side probe list: rank cells by ||q - c||^2, which orders the
+    // same as -2*q.c + ||c||^2 (||q||^2 is constant per row). One native
+    // dot product per centroid; struct sort_array picks the nprobe best.
+    val cents = model.clusterCenters.map(_.toArray)
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
+    val scoredCells = cents.zipWithIndex.map { case (ct, i) =>
+      val d = lit(ct.map(x => x * x).sum) -
+        lit(2.0) * graft.functions.DotProduct.dot_product(
+          spark, col("qe"), array(ct.map(lit).toIndexedSeq: _*))
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    val probes = q
+      .withColumn("probe",
+        explode(slice(sort_array(array(scoredCells.toIndexedSeq: _*)), 1, nprobe)))
+      .select(col("q_id"), col("qe"), col("probe.cell").as("cell"))
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.functions.CosineSim.cosine_sim(spark, col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: signatures are split into
    * `bands` chunks; query and corpus rows sharing any chunk value are
    * candidates, ranked by exact cosine. Recall < 1 by construction —

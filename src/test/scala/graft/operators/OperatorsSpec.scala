@@ -137,6 +137,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("IVF top-k: recall vs brute force, and no cartesian in the plan") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4)
+    val got = ivf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("model loads from a file: URL (Hadoop-FS URL source path, Q15)") {
     val m = graft.torch.TorchScriptModel.load("file:///root/reference/model/iris.spt")
     assert(m.inDim == 4 && m.outDim == 3)
