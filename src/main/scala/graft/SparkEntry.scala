@@ -235,7 +235,7 @@ object SparkEntry {
 
     "q22_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8, bands = 16, rowsPerBand = 8)
+        n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
         .orderBy("a", "b")),
 
     "q23_simhash_pairs" -> ((s, dir) =>
@@ -555,8 +555,9 @@ object SparkEntry {
 
     "q21_jaccard_pairs" -> jaccardOracle,
     // MinHash-LSH with exact verification reproduces the brute-force
-    // result whenever band recall holds (16x8 => miss prob ~1e-9 at
-    // jaccard 0.9) -> same oracle as the exact query.
+    // result whenever band recall holds (32 bands x 4 rows => a
+    // threshold-boundary 0.8-jaccard pair is missed with prob
+    // (1 - 0.8^4)^32 ~= 5e-8) -> same oracle as the exact query.
     "q22_minhash_lsh" -> jaccardOracle,
 
     "q19_langid" ->

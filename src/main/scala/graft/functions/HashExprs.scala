@@ -20,6 +20,89 @@ private[graft] object Fnv64 {
     while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * Prime; i += 1 }
     h
   }
+
+  /** FNV-1a of `n` tokens joined by a single space, WITHOUT building the
+    * joined string — byte-identical to `hash("t0 t1 ...".getBytes)`. */
+  def hashJoined(tokenBytes: Array[Array[Byte]], start: Int, n: Int): Long = {
+    var h = Offset
+    var j = 0
+    while (j < n) {
+      if (j > 0) h = (h ^ 0x20L) * Prime // ' '
+      val bs = tokenBytes(start + j)
+      var i = 0
+      while (i < bs.length) { h = (h ^ (bs(i) & 0xffL)) * Prime; i += 1 }
+      j += 1
+    }
+    h
+  }
+}
+
+/**
+ * `shingle_hashes(string, n) -> array<long>`: 64-bit FNV-1a hashes of
+ * the distinct word n-gram shingles of whitespace-tokenized text, in
+ * one pass and without materializing the shingle strings. The hash of
+ * each shingle equals `rolling_hash64` of the space-joined shingle
+ * string, so [[MinHashSig]]/[[SimHash64]] fed with these longs produce
+ * BIT-IDENTICAL signatures to the string pipeline — while the
+ * inverted-index shuffle key shrinks from a multi-word string to
+ * 8 bytes. Collisions (~2^-64 per shingle pair) are the usual hashed-
+ * shingling trade accepted by public web-dedup pipelines.
+ */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"shingle_hashes requires string, got ${other.sql}")
+  }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString.trim)
+    if (toks.length < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[Long])
+    val bytes = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      bytes(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= toks.length - n) {
+      seen.add(Fnv64.hashJoined(bytes, i, n))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      (exprs: Seq[Expression]) =>
+        ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+
+  def shingle_hashes(spark: SparkSession, c: Column, n: Int): Column = {
+    register(spark)
+    call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
+  }
 }
 
 /**
@@ -35,9 +118,17 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override def prettyName: String = "simhash64"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other =>
-      TypeCheckResult.TypeCheckFailure(s"simhash64 requires array<string>, got ${other.sql}")
+      TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<string> or array<long> (pre-hashed), got ${other.sql}")
+  }
+
+  // pre-hashed array<long> features skip the FNV step, producing the
+  // SAME fingerprint as the string path fed through shingle_hashes
+  private lazy val preHashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -47,7 +138,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Fnv64.hash(arr.getUTF8String(i).getBytes)
+        val h = if (preHashed) arr.getLong(i) else Fnv64.hash(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -158,14 +249,21 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other =>
-      TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got ${other.sql}")
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string> or array<long> (pre-hashed), got ${other.sql}")
   }
 
   private lazy val seeds: Array[Long] = {
     var x = 0x9e3779b97f4a7c15L
     Array.fill(numHashes) { x = MinHashSig.splitmix64(x); x }
+  }
+
+  // see SimHash64: array<long> inputs are pre-hashed features
+  private lazy val preHashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -175,7 +273,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Fnv64.hash(arr.getUTF8String(i).getBytes)
+        val h = if (preHashed) arr.getLong(i) else Fnv64.hash(arr.getUTF8String(i).getBytes)
         var j = 0
         while (j < numHashes) {
           val v = MinHashSig.splitmix64(h ^ seeds(j))
@@ -190,6 +288,99 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/**
+ * `minhash_buckets(features, bands, rowsPerBand) -> array<long>`: LSH
+ * band bucket keys in ONE pass — the `bands * rowsPerBand` MinHash
+ * minima of [[MinHashSig]], combined per band into a single 64-bit
+ * bucket key (splitmix64 chain over the band's rows). A native
+ * expression because the composed `transform(sequence(...),
+ * b -> xxhash64(slice(sig, ...)))` form re-evaluates the entire
+ * signature expression for every band when interpreted — 32x the
+ * dominant cost of the whole near-dup job. Accepts `array<string>` or
+ * pre-hashed `array<long>` features like [[MinHashSig]].
+ */
+case class MinHashBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands >= 1 && rowsPerBand >= 1, "bands and rowsPerBand must be >= 1")
+  private val numHashes = bands * rowsPerBand
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_buckets requires array<string> or array<long>, got ${other.sql}")
+  }
+
+  private lazy val seeds: Array[Long] = {
+    var x = 0x9e3779b97f4a7c15L
+    Array.fill(numHashes) { x = MinHashSig.splitmix64(x); x }
+  }
+
+  private lazy val preHashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = if (preHashed) arr.getLong(i) else Fnv64.hash(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < numHashes) {
+          val v = MinHashSig.splitmix64(h ^ seeds(j))
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        k = MinHashSig.splitmix64(k ^ mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = k
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBuckets =
+    copy(child = newChild)
+}
+
+object MinHashBuckets {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_buckets",
+      (exprs: Seq[Expression]) =>
+        MinHashBuckets(
+          exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+
+  def minhash_buckets(
+      spark: SparkSession, c: Column, bands: Int, rowsPerBand: Int): Column = {
+    register(spark)
+    call_function("minhash_buckets", c,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(rowsPerBand))
+  }
 }
 
 object MinHashSig {

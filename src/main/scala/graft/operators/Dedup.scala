@@ -35,6 +35,14 @@ object Dedup {
     df.select(col(idCol),
       explode(graft.functions.Shingles.shingles(df.sparkSession, col(textCol), n)).as("shingle"))
 
+  /** [[shingleIndex]] with 8-byte hashed shingles — same distinct-set
+    * cardinalities modulo ~2^-64 collisions, and the inverted-index
+    * shuffle moves longs instead of multi-word strings. */
+  def shingleHashIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.ShingleHashes.shingle_hashes(df.sparkSession, col(textCol), n))
+        .as("shingle"))
+
   /**
    * Exact n-gram-set Jaccard similarity pairs with jaccard >= threshold.
    * Output columns: (a, b, jaccard), a < b.
@@ -52,7 +60,7 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val idx0 = shingleIndex(df, idCol, textCol, n)
+    val idx0 = shingleHashIndex(df, idCol, textCol, n)
     val idx = maxDocFreq match {
       case Some(m) =>
         val keep = idx0.groupBy("shingle").agg(count("*").as("__df")).filter(col("__df") <= m)
@@ -60,8 +68,14 @@ object Dedup {
       case None => idx0
     }
     val sizes = idx0.groupBy(idCol).agg(count("*").as("n"))
-    val a = idx.toDF("ida", "shingle")
-    val b = idx.toDF("idb", "shingle")
+    // Explicitly-numbered repartition on the join key: the index is
+    // small in BYTES but the self-join EXPANDS rows ~df^2-fold, and
+    // AQE's byte-based coalescing would otherwise shrink this shuffle
+    // to ~1 partition and run the whole expansion single-threaded.
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = idx.repartition(p, col("shingle"))
+    val a = keyed.toDF("ida", "shingle")
+    val b = keyed.toDF("idb", "shingle")
     val inter = a.join(b, Seq("shingle"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count("*").as("i"))
@@ -93,20 +107,21 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val withSets = df.select(col(idCol),
-      graft.functions.Shingles.shingles(df.sparkSession, col(textCol), n).as("sh"))
+      graft.functions.ShingleHashes.shingle_hashes(df.sparkSession, col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = graft.functions.MinHashSig
-      .minhash_sig(df.sparkSession, col("sh"), bands * rowsPerBand)
     // Band rows carry ONLY (id, band, bucket): the wide shingle arrays
     // stay out of the candidate-generating shuffle and are joined back
-    // for the (few) surviving candidate pairs.
+    // for the (few) surviving candidate pairs. Bucket keys come from
+    // the one-pass native expression — the composed transform/slice
+    // form re-evaluated the whole signature per band.
     val banded = withSets.select(
       col(idCol),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
+      posexplode(graft.functions.MinHashBuckets
+        .minhash_buckets(df.sparkSession, col("sh"), bands, rowsPerBand)))
       .toDF(idCol, "band", "bucket")
+      // pin the bucket-join shuffle width — see jaccardPairs
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("bucket"))
     val cand = banded.toDF("ida", "band", "bucket")
       .join(banded.toDF("idb", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
@@ -141,13 +156,17 @@ object Dedup {
     val width = 64 / chunks
     val fp = df.select(col(idCol),
       graft.functions.SimHash64.simhash64(
-        graft.functions.Shingles.shingles(df.sparkSession, col(textCol), n)).as("fp"))
+        graft.functions.ShingleHashes.shingle_hashes(df.sparkSession, col(textCol), n))
+        .as("fp"))
     val banded = fp.select(col(idCol), col("fp"),
       posexplode(transform(
         sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftrightunsigned", col("fp"), c * lit(width))
           .bitwiseAND(lit((1L << width) - 1)))))
       .toDF(idCol, "fp", "chunk", "key")
+      // pin the chunk-join shuffle width — see jaccardPairs
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("chunk"), col("key"))
     val l = banded.toDF("ida", "fpa", "chunk", "key")
     val r = banded.toDF("idb", "fpb", "chunk", "key")
     l.join(r, Seq("chunk", "key"))

@@ -81,7 +81,10 @@ object Similarity {
    * cos >= threshold, a < b. Candidates come from sign-bit band
    * collisions (high-cosine pairs have near-identical sign signatures,
    * so recall approaches 1 as threshold -> 1); each candidate is
-   * verified with the exact cosine. Never materializes O(N^2).
+   * verified with the exact cosine. Never materializes O(N^2): with
+   * width-8 bands a random pair collides with prob ~16/256, and the
+   * default 128 planes / 16 bands miss a 0.98-cosine pair with prob
+   * ~(1 - 0.936^8)^16 ~= 6e-7.
    */
   def nearDupPairs(
       corpus: DataFrame,
@@ -89,24 +92,51 @@ object Similarity {
       embCol: String,
       threshold: Double,
       dim: Int,
-      numPlanes: Int = 16,
-      bands: Int = 8): DataFrame = {
+      numPlanes: Int = 128,
+      bands: Int = 16): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val spark = corpus.sparkSession
-    val width = numPlanes / bands
-    val mask = (1L << width) - 1
     val base = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
-    val banded = base
-      .withColumn("sig", signBits(spark, col("e"), dim, numPlanes))
+
+    // Band-key rows carry the FULL packed signature (numPlanes/64 longs,
+    // appended to the lsh_band_keys output) so band-collision candidates
+    // can be hamming-prefiltered before the expensive join back to the
+    // wide embedding arrays: for a true pair at cosine >= t the expected
+    // differing-bit fraction is acos(t)/pi, while a random pair sits at
+    // ~numPlanes/2 — six sigmas apart, so the filter kills ~all random
+    // band collisions at no recall cost. `sig` is materialized in its
+    // own projection so the one-pass native expression is evaluated once
+    // (CollapseProject keeps multi-use non-cheap aliases un-inlined).
+    val nWords = (numPlanes + 63) / 64
+    val sigged = base
       .select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => call_function("shiftrightunsigned", col("sig"), b * lit(width))
-            .bitwiseAND(lit(mask)))))
-      .toDF("id", "band", "key")
-    val cand = banded.toDF("ida", "band", "key")
-      .join(banded.toDF("idb", "band", "key"), Seq("band", "key"))
+        graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), numPlanes, bands)
+          .as("sig"))
+    val wNames = (0 until nWords).map(w => s"w$w")
+    val wordCols = (0 until nWords).map(w =>
+      element_at(col("sig"), bands + w + 1).as(s"w$w"))
+    val banded = sigged
+      .select(col("id") +: wordCols :+ posexplode(slice(col("sig"), 1, bands)): _*)
+      .toDF(("id" +: wNames :+ "band" :+ "key"): _*)
+      // pin the band-join shuffle width: the banded rows are few BYTES
+      // but the self-join expands candidates, and AQE byte-based
+      // coalescing would run that expansion on ~1 partition
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("key"))
+
+    val diffFrac = math.acos(threshold) / math.Pi
+    val maxHamming = math.ceil(
+      numPlanes * diffFrac
+        + 6.0 * math.sqrt(numPlanes * diffFrac * (1 - diffFrac)) + 2).toInt
+
+    val l = banded.toDF(("ida" +: wNames.map(_ + "a") :+ "band" :+ "key"): _*)
+    val r = banded.toDF(("idb" +: wNames.map(_ + "b") :+ "band" :+ "key"): _*)
+    val hamming = (0 until nWords)
+      .map(w => bit_count(col(s"w${w}a").bitwiseXOR(col(s"w${w}b"))))
+      .reduce(_ + _)
+    val cand = l.join(r, Seq("band", "key"))
       .filter(col("ida") < col("idb"))
+      .filter(hamming <= maxHamming)
       .select("ida", "idb")
       .dropDuplicates("ida", "idb")
     cand
