@@ -359,6 +359,34 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // Salted join (hot-key splitting) — result identical to the plain
+    // join, verified by the oracle; the salt only changes partitioning.
+    "q40_salted_join" -> { (s, dir) =>
+      val small = t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_type"))
+      graft.operators.Skew.saltedJoin(t(s, dir, "lineitem"), small, "l_partkey", 8)
+        .groupBy("p_type")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_type")
+    },
+
+    // Approximate distinct (HLL++) wrapped with its own accuracy check
+    // so the oracle stays exact: at rsd=0.01 the estimate sits within
+    // 5% (5 sigma) of the true distinct count.
+    "q41_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_orderkey").as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("n_approx"))
+        .select(
+          col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double")
+            / col("n_exact").cast("double") <= 0.05).as("approx_ok"))
+        .orderBy("l_returnflag")),
+
     // ---------------- multimodal plumbing ---------------------------
     "q26_multimodal_meta" -> { (s, dir) =>
       val withBin = t(s, dir, "documents")
@@ -655,6 +683,19 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
         |WHERE len(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q40_salted_join" ->
+      """SELECT p_type,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+
+    "q41_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+        | TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q24_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
