@@ -399,6 +399,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Frame-sampling plumbing over a "video" payload (the doc text
+    // stands in for frame bytes; stride 32 chars per frame).
+    "q42_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(t(s, dir, "documents"), "doc_id", "text", 32)
+        .select(col("doc_id"), col("frame_no"),
+          md5(col("frame_bytes")).as("fp"))
+        .orderBy("doc_id", "frame_no")),
+
+    // Training-batch packing: assign docs to ~2048-token bins with a
+    // deterministic running-sum rule (bin = floor(cumsum_before /
+    // capacity) over the doc_id order). Pack.packBins computes the
+    // prefix sum in two parallel levels — no global ordered window.
+    "q43_pack_bins" -> ((s, dir) =>
+      graft.operators.Pack.packBins(
+        t(s, dir, "documents"), "doc_id", TextOps.tokenCount(col("text")),
+        capacity = 2048L)
+        .orderBy("doc_id")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -716,6 +734,26 @@ object SparkEntry {
         | CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END
         |   AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q42_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |   unnest(range(0, CAST(greatest(floor((length(text) - 1) / 32.0), 0) AS INT) + 1))
+        |     AS frame_no
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+        | md5(substring(text, CAST(frame_no * 32 + 1 AS INT), 32)) AS fp
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    "q43_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

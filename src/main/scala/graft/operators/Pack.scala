@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-batch packing: assign documents to ~`capacity`-token bins
+ * with the deterministic running-sum rule
+ * `bin = floor(prefix_sum_before(tokens) / capacity)` over a fixed
+ * global document order.
+ *
+ * The naive formulation is a single `Window.orderBy(id)` — a GLOBAL
+ * ordered window, i.e. one task scanning the whole corpus: the classic
+ * 100 TB serial bottleneck. This implementation computes the same
+ * prefix sum in two levels:
+ *
+ *  1. per-group token totals (`group = id / groupSize`) — an ordinary
+ *     hash aggregate, fully parallel;
+ *  2. a global running offset over the per-group totals — a window
+ *     over #groups rows (corpus/groupSize, tiny), broadcast back;
+ *  3. a per-group prefix window (`partitionBy(group)`) — parallel
+ *     across groups.
+ *
+ * Output is bit-identical to the naive global window because the
+ * group id is monotone in the document order.
+ */
+object Pack {
+
+  def packBins(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      capacity: Long,
+      groupSize: Long = 4096L): DataFrame = {
+    require(capacity >= 1 && groupSize >= 1, "capacity and groupSize must be >= 1")
+    val base = df.select(col(idCol), tokensCol.as("n_tokens"))
+      .withColumn("__g", floor(col(idCol) / groupSize))
+
+    val wg = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__g").agg(sum("n_tokens").as("__gsum"))
+      .withColumn("__goff", coalesce(sum("__gsum").over(wg), lit(0)))
+      .select("__g", "__goff")
+
+    val win = Window.partitionBy("__g").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("__g"))
+      .withColumn("__before", col("__goff") + coalesce(sum("n_tokens").over(win), lit(0)))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("__before") / capacity).cast("long").as("bin"))
+  }
+}

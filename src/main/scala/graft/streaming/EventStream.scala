@@ -85,6 +85,21 @@ object EventStream {
       }
   }
 
+  /**
+   * Streaming dedup: drops events whose `idCols` were already seen
+   * within the watermark delay. The watermark bounds the dedup state
+   * (exactly-once by key forever would need unbounded state at 100 TB/
+   * day; within-watermark is the standard at-scale contract — state is
+   * evicted once the key's event time passes out of the delay window).
+   */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCols: Seq[String],
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Read a directory of events parquet part-files as a stream — the
     * standard file-source layout (new files appearing in the directory
     * become micro-batches; one file per trigger for determinism).

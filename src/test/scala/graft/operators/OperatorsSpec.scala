@@ -150,6 +150,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("two-level packBins == naive global-window prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.operators.TextOps.tokenCount(col("text"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs.select(col("doc_id"), toks.as("n_tokens"))
+      .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0)))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("before") / 2048).cast("long").as("bin"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // small groupSize so the test actually exercises multiple groups
+    val fast = Pack.packBins(docs, "doc_id", toks, 2048L, groupSize = 32L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fast == naive)
+  }
+
   test("model loads from a file: URL (Hadoop-FS URL source path, Q15)") {
     val m = graft.torch.TorchScriptModel.load("file:///root/reference/model/iris.spt")
     assert(m.inDim == 4 && m.outDim == 3)

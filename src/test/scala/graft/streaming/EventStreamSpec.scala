@@ -61,6 +61,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops replayed events, keeps distinct ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val streamDf = mem.toDF().withColumn("ts", timestamp_seconds(col("sec")))
+    val q = EventStream.dedupWithinWatermark(streamDf, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(Seq(
+        Event(1, 1000, 1, "click", 1.0),
+        Event(1, 1000, 1, "click", 1.0), // exact replay in same batch
+        Event(2, 1010, 1, "view", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        Event(2, 1010, 1, "view", 2.0), // replay in a later batch, within delay
+        Event(3, 1020, 2, "click", 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("watermark bounds state: agg plan carries the 10-minute watermark") {
     val plan = EventStream.hourlyWindowedAgg(eventsBatch).queryExecution.analyzed.toString
     assert(plan.contains("10 minutes") || plan.contains("600000"))
