@@ -350,6 +350,37 @@ object SparkEntry {
           round(max("l_extendedprice"), 2).as("price_max"))
         .orderBy("l_returnflag")),
 
+    "q44_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("-")).as("rf"),
+          coalesce(col("l_linestatus"), lit("-")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    "q45_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 2))
+        .orderBy("user_id")),
+
+    "q46_moving_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .withColumn("mavg", round(avg("value").over(w), 4))
+        .select("event_id", "user_id", "mavg")
+        .orderBy("event_id")
+    },
+
     "q38_vocab_topk" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("token"))
@@ -693,6 +724,27 @@ object SparkEntry {
         | round(min(l_extendedprice), 2) AS price_min,
         | round(max(l_extendedprice), 2) AS price_max
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '-') AS rf, coalesce(l_linestatus, '-') AS ls,
+        | sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q45_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q46_moving_avg" ->
+      """SELECT event_id, user_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q38_vocab_topk" ->
       """WITH toks AS (
