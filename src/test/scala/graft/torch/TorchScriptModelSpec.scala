@@ -16,6 +16,16 @@ class TorchScriptModelSpec extends AnyFunSuite {
     assert(m.layers.forall(l => l.weight.forall(f => !f.isNaN && !f.isInfinite)))
   }
 
+  test("non-TorchScript input fails loudly, not with garbage weights") {
+    val tmp = java.nio.file.Files.createTempFile("not_a_model", ".spt")
+    java.nio.file.Files.write(tmp, "definitely not a zip archive".getBytes)
+    intercept[Exception] { TorchScriptModel.load(tmp.toString) }
+    // a parquet file is a well-formed non-TorchScript binary
+    intercept[Exception] {
+      TorchScriptModel.load("/root/reference/data/iris.snappy.parquet")
+    }
+  }
+
   test("forward produces 3 logits and batched == row-at-a-time") {
     val m = TorchScriptModel.load(modelPath)
     val rows = Array(
