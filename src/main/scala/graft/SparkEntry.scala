@@ -224,6 +224,20 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Repetition ratio (Gopher-style quality signal): fraction of
+    // duplicate word 2-grams — high values flag boilerplate/spam.
+    "q47_repetition" -> { (s, dir) =>
+      val total2 = TextOps.tokenCount(col("text")) - 1
+      val d2 = size(graft.functions.Shingles.shingles(s, col("text"), 2))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(
+            when(total2 > 0,
+              lit(1.0) - d2.cast("double") / total2.cast("double"))
+              .otherwise(lit(0.0)), 6).as("rep2"))
+        .orderBy("doc_id")
+    },
+
     "q20_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
@@ -629,6 +643,19 @@ object SparkEntry {
     "q20_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q47_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(ws) - 1 AS total2,
+        |   len(list_distinct(list_transform(range(1, len(ws)),
+        |     i -> ws[i] || ' ' || ws[i + 1]))) AS d2
+        |  FROM t)
+        |SELECT doc_id,
+        | round(CASE WHEN total2 > 0 THEN 1.0 - CAST(d2 AS DOUBLE) / total2
+        |            ELSE 0.0 END, 6) AS rep2
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q21_jaccard_pairs" -> jaccardOracle,
     // MinHash-LSH with exact verification reproduces the brute-force
