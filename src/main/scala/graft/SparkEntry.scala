@@ -227,7 +227,7 @@ object SparkEntry {
     // Repetition ratio (Gopher-style quality signal): fraction of
     // duplicate word 2-grams — high values flag boilerplate/spam.
     "q47_repetition" -> { (s, dir) =>
-      val total2 = TextOps.tokenCount(col("text")) - 1
+      val total2 = TextOps.strictTokenCount(col("text")) - 1
       val d2 = size(graft.functions.Shingles.shingles(s, col("text"), 2))
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -627,7 +627,7 @@ object SparkEntry {
         |   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_wlen,
         | (least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0) * 0.4
         |  + CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
-        |      / CAST(octet_length(encode(text)) AS DOUBLE) * 0.4
+        |      / CAST(length(text) AS DOUBLE) * 0.4
         |  + CASE WHEN CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
         |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
         |              BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END * 0.2) AS quality
@@ -646,7 +646,7 @@ object SparkEntry {
 
     "q47_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
         |g AS (
         |  SELECT doc_id, len(ws) - 1 AS total2,
         |   len(list_distinct(list_transform(range(1, len(ws)),
@@ -845,10 +845,12 @@ object SparkEntry {
       "SELECT 'torchfusion.batch_size' AS name, '8' AS value"
   )
 
-  /** Brute-force 3-gram-shingle jaccard >= 0.8, DuckDB dialect. */
+  /** Brute-force 3-gram-shingle jaccard >= 0.8, DuckDB dialect.
+    * Tokens are `\S+` matches — the same tokenization as the native
+    * Shingles/ShingleHashes expressions (robust to trailing `\n`). */
   private val jaccardOracle: String =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS s
       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)),

@@ -255,10 +255,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
         s"minhash_sig requires array<string> or array<long> (pre-hashed), got ${other.sql}")
   }
 
-  private lazy val seeds: Array[Long] = {
-    var x = 0x9e3779b97f4a7c15L
-    Array.fill(numHashes) { x = MinHashSig.splitmix64(x); x }
-  }
+  private lazy val seeds: Array[Long] = MinHashSig.seedsFor(numHashes)
 
   // see SimHash64: array<long> inputs are pre-hashed features
   private lazy val preHashed = child.dataType match {
@@ -266,25 +263,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = if (preHashed) arr.getLong(i) else Fnv64.hash(arr.getUTF8String(i).getBytes)
-        var j = 0
-        while (j < numHashes) {
-          val v = MinHashSig.splitmix64(h ^ seeds(j))
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(
+      MinHashSig.minima(input.asInstanceOf[ArrayData], numHashes, seeds, preHashed))
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -317,10 +298,7 @@ case class MinHashBuckets(child: Expression, bands: Int, rowsPerBand: Int)
         s"minhash_buckets requires array<string> or array<long>, got ${other.sql}")
   }
 
-  private lazy val seeds: Array[Long] = {
-    var x = 0x9e3779b97f4a7c15L
-    Array.fill(numHashes) { x = MinHashSig.splitmix64(x); x }
-  }
+  private lazy val seeds: Array[Long] = MinHashSig.seedsFor(numHashes)
 
   private lazy val preHashed = child.dataType match {
     case ArrayType(LongType, _) => true
@@ -328,22 +306,8 @@ case class MinHashBuckets(child: Expression, bands: Int, rowsPerBand: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = if (preHashed) arr.getLong(i) else Fnv64.hash(arr.getUTF8String(i).getBytes)
-        var j = 0
-        while (j < numHashes) {
-          val v = MinHashSig.splitmix64(h ^ seeds(j))
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
+    val mins = MinHashSig.minima(
+      input.asInstanceOf[ArrayData], numHashes, seeds, preHashed)
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -390,6 +354,35 @@ object MinHashSig {
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
+  }
+
+  /** The shared seed chain — MinHashSig and MinHashBuckets MUST use the
+    * same one so their signatures stay bit-compatible. */
+  private[functions] def seedsFor(numHashes: Int): Array[Long] = {
+    var x = 0x9e3779b97f4a7c15L
+    Array.fill(numHashes) { x = splitmix64(x); x }
+  }
+
+  /** Per-hash minima over the feature set — the core MinHash loop shared
+    * by [[MinHashSig]] (raw signature) and [[MinHashBuckets]] (banded). */
+  private[functions] def minima(
+      arr: ArrayData, numHashes: Int, seeds: Array[Long], preHashed: Boolean): Array[Long] = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = if (preHashed) arr.getLong(i) else Fnv64.hash(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < numHashes) {
+          val v = splitmix64(h ^ seeds(j))
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
   }
 
   def register(spark: SparkSession): Unit =

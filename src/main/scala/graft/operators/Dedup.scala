@@ -64,10 +64,16 @@ object Dedup {
     val idx = maxDocFreq match {
       case Some(m) =>
         val keep = idx0.groupBy("shingle").agg(count("*").as("__df")).filter(col("__df") <= m)
-        idx0.join(keep.select("shingle"), Seq("shingle"))
+        // using-column joins move the key to column 0 — re-select so the
+        // downstream positional toDF stays (id, shingle)
+        idx0.join(keep.select("shingle"), Seq("shingle")).select(idCol, "shingle")
       case None => idx0
     }
-    val sizes = idx0.groupBy(idCol).agg(count("*").as("n"))
+    // sizes come from the SAME (possibly pruned) index as the
+    // intersection counts, so the jaccard ratio is internally
+    // consistent: with pruning it is exact jaccard over the pruned
+    // shingle space, not a mixed-denominator underestimate
+    val sizes = idx.groupBy(idCol).agg(count("*").as("n"))
     // Explicitly-numbered repartition on the join key: the index is
     // small in BYTES but the self-join EXPANDS rows ~df^2-fold, and
     // AQE's byte-based coalescing would otherwise shrink this shuffle

@@ -48,13 +48,16 @@ object Multimodal {
    */
   def withDecodedMeta(df: DataFrame, binCol: String, metaCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+ StructField(metaCol, metaSchema, nullable = false))
+    val outSchema = StructType(df.schema.fields :+ StructField(metaCol, metaSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val (w, h, c, f) = FakeDecoder.decode(bytes)
-        Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
+        if (bytes == null) Row.fromSeq(r.toSeq :+ null) // null payload -> null meta
+        else {
+          val (w, h, c, f) = FakeDecoder.decode(bytes)
+          Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -68,6 +68,9 @@ object Similarity {
   def signBits(
       spark: org.apache.spark.sql.SparkSession,
       emb: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
+    // single-long packing: JVM shifts are mod 64, so plane 64+ would
+    // silently alias onto bit 0+ — use LshBandKeys for wider signatures
+    require(numPlanes <= 64, "signBits packs into one long; use lsh_band_keys beyond 64 planes")
     val ps = planes(dim, numPlanes, seed)
     ps.zipWithIndex.map { case (p, i) =>
       val dot = graft.functions.DotProduct.dot_product(

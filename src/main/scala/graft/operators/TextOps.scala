@@ -19,6 +19,14 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Strict token count: maximal non-whitespace runs (`\S+` matches).
+    * Unlike [[tokenCount]] this ignores leading/trailing whitespace of
+    * ANY kind — the same tokenization the native [[graft.functions.Shingles]] /
+    * [[graft.functions.ShingleHashes]] expressions use (Java `trim`),
+    * so ratios built from both stay consistent on e.g. trailing `\n`. */
+  def strictTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit("\\S+"), lit(0)))
+
   /** BPE-ish token count: alphanumeric runs and each punctuation mark
     * count as separate tokens (a cheap stand-in for subword tokenizers
     * when budgeting LLM training data). */

@@ -51,13 +51,15 @@ object Torch {
       var i = 0; while (i < in.length) { in(i) = xs(i).toFloat; i += 1 }
       in
     }
+    // null-in/null-out, the standard Spark scalar-function contract
+    // (the reference never sees nulls — its lists are declared non-null)
     (inputType, returnType) match {
       case (FloatType | DoubleType, FloatType) =>
         spark.udf.register(name, (xs: scala.collection.Seq[Double]) =>
-          bc.value.forward(toF32(xs)).toSeq)
-      case (FloatType | DoubleType, DoubleType) =>
+          if (xs == null) null else bc.value.forward(toF32(xs)).toSeq)
+      case (DoubleType, DoubleType) =>
         spark.udf.register(name, (xs: scala.collection.Seq[Double]) =>
-          bc.value.forward(toF32(xs)).map(_.toDouble).toSeq)
+          if (xs == null) null else bc.value.forward(toF32(xs)).map(_.toDouble).toSeq)
       case other =>
         throw new UnsupportedOperationException(
           s"data type combination not supported: $other (supported: " +
@@ -89,26 +91,33 @@ object Torch {
       else TorchConf.get(spark).batchSize
     val withFloats = df.withColumn(inputCol, col(inputCol).cast(ArrayType(FloatType)))
     val schema = StructType(withFloats.schema.fields :+
-      StructField(outputCol, ArrayType(FloatType), nullable = false))
+      StructField(outputCol, ArrayType(FloatType), nullable = true))
     val inIdx = withFloats.schema.fieldIndex(inputCol)
     val rdd = withFloats.rdd.mapPartitions { it =>
       val m = model.value
       val inDim = m.inDim
       val outDim = m.outDim
       it.grouped(bs).flatMap { rows =>
-        val n = rows.size
+        // null inputs stay out of the GEMM batch and yield null output
+        val live = rows.filter(r => !r.isNullAt(inIdx))
+        val n = live.size
         val flat = new Array[Float](n * inDim)
         var i = 0
         while (i < n) {
-          val xs = rows(i).getSeq[Float](inIdx)
+          val xs = live(i).getSeq[Float](inIdx)
           require(xs.length == inDim, s"expected $inDim features, got ${xs.length}")
           var j = 0
           while (j < inDim) { flat(i * inDim + j) = xs(j); j += 1 }
           i += 1
         }
-        val out = m.forwardBatch(flat, n)
-        rows.iterator.zipWithIndex.map { case (r, k) =>
-          Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
+        val out = if (n > 0) m.forwardBatch(flat, n) else Array.empty[Float]
+        var k = -1
+        rows.iterator.map { r =>
+          if (r.isNullAt(inIdx)) Row.fromSeq(r.toSeq :+ null)
+          else {
+            k += 1
+            Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
+          }
         }
       }
     }

@@ -165,6 +165,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("jaccardPairs maxDocFreq: loose cap == unpruned; tight cap stays well-formed") {
+    val unpruned = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDocFreq = Some(1000000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == unpruned, "a cap above every df must not change the result")
+    val tight = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDocFreq = Some(3))
+      .collect()
+    tight.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("null inputs: torch UDF and batched path yield null, not NPE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    graft.functions.ArgMax.register(spark)
+    val m = graft.torch.Torch.createFunction(spark, "graft_iris_nulls",
+      "/root/reference/model/iris.spt")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("features", ArrayType(DoubleType))))
+    val rows = java.util.Arrays.asList(
+      Row(1, Seq(5.1, 3.5, 1.4, 0.2)), Row(2, null))
+    val df = spark.createDataFrame(rows, schema)
+    val viaUdf = df.selectExpr("id", "graft_iris_nulls(features) AS logits")
+      .collect().sortBy(_.getInt(0))
+    assert(viaUdf(0).getSeq[Float](1).length == 3 && viaUdf(1).isNullAt(1))
+    val bc = spark.sparkContext.broadcast(m)
+    val batched = graft.torch.Torch.inferBatched(df, "features", "logits", bc, 8)
+      .collect().sortBy(_.getInt(0))
+    assert(batched(0).getSeq[Float](2).length == 3 && batched(1).isNullAt(2))
+  }
+
+  test("createFunction rejects the (float, double) combination like the reference") {
+    import org.apache.spark.sql.types._
+    intercept[UnsupportedOperationException] {
+      graft.torch.Torch.createFunction(spark, "graft_bad_combo",
+        "/root/reference/model/iris.spt", FloatType, DoubleType)
+    }
+  }
+
+  test("multimodal decode: null payload yields null meta, not NPE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("payload", BinaryType)))
+    val rows = java.util.Arrays.asList(
+      Row(1, "abc".getBytes), Row(2, null))
+    val df = spark.createDataFrame(rows, schema)
+    val out = Multimodal.withDecodedMeta(df, "payload", "meta")
+      .collect().sortBy(_.getInt(0))
+    assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+  }
+
   test("model loads from a file: URL (Hadoop-FS URL source path, Q15)") {
     val m = graft.torch.TorchScriptModel.load("file:///root/reference/model/iris.spt")
     assert(m.inDim == 4 && m.outDim == 3)
