@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
  * handling undefined (argmax.rs:110-117 reads raw buffers); we return
  * NULL for null/empty/all-NaN inputs and skip null items.
  */
-case class ArgMax(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ArgMax(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "argmax"
@@ -72,6 +72,47 @@ case class ArgMax(child: Expression) extends UnaryExpression with CodegenFallbac
     }
     if (best == -1) null else best
   }
+
+  /** Same loop as [[nullSafeEval]], generated into the surrounding
+    * whole-stage-codegen pipeline (a CodegenFallback here would punch a
+    * hole in the q27-style scan→project span for every row). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bestV = ctx.freshName("bestV")
+      val v = ctx.freshName("v")
+      val getV = CodeGenerator.getValue(arr, et, i)
+      val loop = et match {
+        case FloatType | DoubleType =>
+          s"""
+             |double $bestV = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if (!$arr.isNullAt($i)) {
+             |    double $v = (double) $getV;
+             |    if ($best == -1 && !Double.isNaN($v)) { $best = $i; $bestV = $v; }
+             |    else if ($v > $bestV) { $best = $i; $bestV = $v; }
+             |  }
+             |}""".stripMargin
+        case _ =>
+          s"""
+             |long $bestV = 0L;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if (!$arr.isNullAt($i)) {
+             |    long $v = (long) $getV;
+             |    if ($best == -1 || $v > $bestV) { $best = $i; $bestV = $v; }
+             |  }
+             |}""".stripMargin
+      }
+      s"""
+         |int $n = $arr.numElements();
+         |int $best = -1;
+         |$loop
+         |if ($best == -1) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): ArgMax = copy(child = newChild)
 }

@@ -178,10 +178,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
     val train = c.withColumn("feat", array_to_vector(col("ce")))
     // a coarse quantizer only needs rough cells, not converged ones:
-    // 5 iterations is the usual IVF training budget, and the centroid
-    // model is reused across the whole query volume
+    // random init + 5 Lloyd iterations is the usual IVF training
+    // budget (k-means|| init alone costs several extra passes), and
+    // the centroid model is reused across the whole query volume
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(5)
+      .setK(nlist).setSeed(seed).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("feat").setPredictionCol("cell")
       .fit(train)
     val assigned = model.transform(train).select("vec_id", "ce", "cell")
