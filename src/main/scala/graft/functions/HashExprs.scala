@@ -61,10 +61,8 @@ case class ShingleHashes(child: Expression, n: Int)
       TypeCheckResult.TypeCheckFailure(s"shingle_hashes requires string, got ${other.sql}")
   }
 
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
-
   override def nullSafeEval(input: Any): Any = {
-    val toks = ws.split(input.asInstanceOf[UTF8String].toString.trim)
+    val toks = HashExprs.tokenize(input.asInstanceOf[UTF8String].toString)
     if (toks.length < n)
       return org.apache.spark.sql.catalyst.util.ArrayData
         .toArrayData(Array.empty[Long])
@@ -102,6 +100,21 @@ object ShingleHashes {
   def shingle_hashes(spark: SparkSession, c: Column, n: Int): Column = {
     register(spark)
     call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
+  }
+}
+
+private[graft] object HashExprs {
+  @transient private lazy val nonWs = java.util.regex.Pattern.compile("\\S+")
+
+  /** Tokens = maximal non-whitespace runs (`\S+` matches) — the ONE
+    * tokenization shared by Shingles, ShingleHashes, and the oracles'
+    * `regexp_extract_all(text, '\S+')`. (Java `trim` + split diverges on
+    * control chars <= U+0020 that are not regex whitespace.) */
+  def tokenize(s: String): Array[String] = {
+    val m = nonWs.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
   }
 }
 
@@ -185,10 +198,8 @@ case class Shingles(child: Expression, n: Int)
       TypeCheckResult.TypeCheckFailure(s"shingles requires string, got ${other.sql}")
   }
 
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
-
   override def nullSafeEval(input: Any): Any = {
-    val toks = ws.split(input.asInstanceOf[UTF8String].toString.trim)
+    val toks = HashExprs.tokenize(input.asInstanceOf[UTF8String].toString)
     if (toks.length < n)
       return org.apache.spark.sql.catalyst.util.ArrayData
         .toArrayData(Array.empty[UTF8String])

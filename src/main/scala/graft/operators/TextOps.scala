@@ -21,9 +21,9 @@ object TextOps {
 
   /** Strict token count: maximal non-whitespace runs (`\S+` matches).
     * Unlike [[tokenCount]] this ignores leading/trailing whitespace of
-    * ANY kind — the same tokenization the native [[graft.functions.Shingles]] /
-    * [[graft.functions.ShingleHashes]] expressions use (Java `trim`),
-    * so ratios built from both stay consistent on e.g. trailing `\n`. */
+    * ANY kind — the exact tokenization the native
+    * [[graft.functions.Shingles]] / [[graft.functions.ShingleHashes]]
+    * expressions use, so ratios built from both stay consistent. */
   def strictTokenCount(text: Column): Column =
     size(call_function("regexp_extract_all", text, lit("\\S+"), lit(0)))
 

@@ -36,35 +36,51 @@ object Torch {
       url: String,
       inputType: DataType = FloatType,
       returnType: DataType = FloatType): TorchScriptModel = {
-    val conf = TorchConf.get(spark) // validates; binds at creation time
-    require(conf.device == "cpu", s"device ${conf.device} not available")
-    val model = TorchScriptModel.load(url)
-    val bc = spark.sparkContext.broadcast(model)
-    // The closures declare Seq[Double] input: Spark's analyzer will only
-    // UP-cast UDF arguments (array<float> -> array<double> is implicit;
-    // the reverse is refused under ANSI), so accepting double and
-    // narrowing to f32 here reproduces the reference's implicit
-    // list<f64> -> list<f32> coercion at the UDF boundary
-    // (reference src/udf.rs:108-115) for both float and double columns.
-    def toF32(xs: scala.collection.Seq[Double]): Array[Float] = {
-      val in = new Array[Float](xs.length)
-      var i = 0; while (i < in.length) { in(i) = xs(i).toFloat; i += 1 }
-      in
-    }
-    // null-in/null-out, the standard Spark scalar-function contract
-    // (the reference never sees nulls — its lists are declared non-null)
-    (inputType, returnType) match {
-      case (FloatType | DoubleType, FloatType) =>
-        spark.udf.register(name, (xs: scala.collection.Seq[Double]) =>
-          if (xs == null) null else bc.value.forward(toF32(xs)).toSeq)
-      case (DoubleType, DoubleType) =>
-        spark.udf.register(name, (xs: scala.collection.Seq[Double]) =>
-          if (xs == null) null else bc.value.forward(toF32(xs)).map(_.toDouble).toSeq)
+    // reject unsupported type combinations BEFORE the expensive model
+    // load/broadcast (multi-MB parse + executor ship on the error path)
+    val f64Return = (inputType, returnType) match {
+      case (FloatType | DoubleType, FloatType) => false
+      case (DoubleType, DoubleType) => true
       case other =>
         throw new UnsupportedOperationException(
           s"data type combination not supported: $other (supported: " +
             "(float,float), (double,float), (double,double))")
     }
+    val conf = TorchConf.get(spark) // validates; binds at creation time
+    require(conf.device == "cpu", s"device ${conf.device} not available")
+    val model = TorchScriptModel.load(url)
+    val bc = spark.sparkContext.broadcast(model)
+    // The closures declare Seq[java.lang.Double] input: boxed, because
+    // Spark's deserializer asserts NOT_NULL on primitive Seq[Double]
+    // elements before the lambda even runs. Spark's analyzer will only
+    // UP-cast UDF arguments (array<float> -> array<double> is implicit;
+    // the reverse is refused under ANSI), so accepting double and
+    // narrowing to f32 here reproduces the reference's implicit
+    // list<f64> -> list<f32> coercion at the UDF boundary
+    // (reference src/udf.rs:108-115) for both float and double columns.
+    // Null contract: null array OR any null element -> null output.
+    def toF32(xs: scala.collection.Seq[java.lang.Double]): Array[Float] = {
+      if (xs == null) return null
+      val in = new Array[Float](xs.length)
+      var i = 0
+      while (i < in.length) {
+        val d = xs(i)
+        if (d == null) return null
+        in(i) = d.floatValue()
+        i += 1
+      }
+      in
+    }
+    if (f64Return)
+      spark.udf.register(name, (xs: scala.collection.Seq[java.lang.Double]) => {
+        val in = toF32(xs)
+        if (in == null) null else bc.value.forward(in).map(_.toDouble).toSeq
+      })
+    else
+      spark.udf.register(name, (xs: scala.collection.Seq[java.lang.Double]) => {
+        val in = toF32(xs)
+        if (in == null) null else bc.value.forward(in).toSeq
+      })
     model
   }
 
@@ -98,22 +114,36 @@ object Torch {
       val inDim = m.inDim
       val outDim = m.outDim
       it.grouped(bs).flatMap { rows =>
-        // null inputs stay out of the GEMM batch and yield null output
-        val live = rows.filter(r => !r.isNullAt(inIdx))
+        // null inputs (null array or any null element) stay out of the
+        // GEMM batch and yield null output
+        def floats(r: Row): Array[Float] = {
+          if (r.isNullAt(inIdx)) return null
+          val xs = r.getSeq[Any](inIdx)
+          require(xs.length == inDim, s"expected $inDim features, got ${xs.length}")
+          val a = new Array[Float](inDim)
+          var j = 0
+          while (j < inDim) {
+            xs(j) match {
+              case null => return null
+              case f: java.lang.Number => a(j) = f.floatValue()
+            }
+            j += 1
+          }
+          a
+        }
+        val inputs = rows.map(floats)
+        val live = inputs.filter(_ != null)
         val n = live.size
         val flat = new Array[Float](n * inDim)
         var i = 0
         while (i < n) {
-          val xs = live(i).getSeq[Float](inIdx)
-          require(xs.length == inDim, s"expected $inDim features, got ${xs.length}")
-          var j = 0
-          while (j < inDim) { flat(i * inDim + j) = xs(j); j += 1 }
+          System.arraycopy(live(i), 0, flat, i * inDim, inDim)
           i += 1
         }
         val out = if (n > 0) m.forwardBatch(flat, n) else Array.empty[Float]
         var k = -1
-        rows.iterator.map { r =>
-          if (r.isNullAt(inIdx)) Row.fromSeq(r.toSeq :+ null)
+        rows.iterator.zip(inputs.iterator).map { case (r, in) =>
+          if (in == null) Row.fromSeq(r.toSeq :+ null)
           else {
             k += 1
             Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)

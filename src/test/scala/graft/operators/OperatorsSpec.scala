@@ -188,15 +188,18 @@ class OperatorsSpec extends AnyFunSuite {
     val schema = StructType(Seq(
       StructField("id", IntegerType), StructField("features", ArrayType(DoubleType))))
     val rows = java.util.Arrays.asList(
-      Row(1, Seq(5.1, 3.5, 1.4, 0.2)), Row(2, null))
+      Row(1, Seq(5.1, 3.5, 1.4, 0.2)), Row(2, null),
+      Row(3, Seq(5.1, null, 1.4, 0.2))) // null ELEMENT, not null array
     val df = spark.createDataFrame(rows, schema)
     val viaUdf = df.selectExpr("id", "graft_iris_nulls(features) AS logits")
       .collect().sortBy(_.getInt(0))
-    assert(viaUdf(0).getSeq[Float](1).length == 3 && viaUdf(1).isNullAt(1))
+    assert(viaUdf(0).getSeq[Float](1).length == 3 && viaUdf(1).isNullAt(1)
+      && viaUdf(2).isNullAt(1))
     val bc = spark.sparkContext.broadcast(m)
     val batched = graft.torch.Torch.inferBatched(df, "features", "logits", bc, 8)
       .collect().sortBy(_.getInt(0))
-    assert(batched(0).getSeq[Float](2).length == 3 && batched(1).isNullAt(2))
+    assert(batched(0).getSeq[Float](2).length == 3 && batched(1).isNullAt(2)
+      && batched(2).isNullAt(2))
   }
 
   test("createFunction rejects the (float, double) combination like the reference") {
