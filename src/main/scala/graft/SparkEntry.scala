@@ -151,6 +151,24 @@ object SparkEntry {
       c.intersect(sup).orderBy("key")
     },
 
+    "q48_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // customers who placed medium (>100k) orders but never large
+    // (>300k) ones — EXCEPT with its distinct set semantics
+    "q49_except" -> { (s, dir) =>
+      val medium = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("key"))
+      val large = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("key"))
+      medium.except(large).orderBy("key")
+    },
+
     // ---------------- events: json + time ---------------------------
     "q13_json_extract" -> ((s, dir) =>
       events(s, dir)
@@ -578,6 +596,18 @@ object SparkEntry {
     "q12_setops" ->
       """SELECT c_nationkey AS key FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY key""".stripMargin,
+
+    "q48_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q49_except" ->
+      """SELECT o_custkey AS key FROM orders WHERE o_totalprice > 100000
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY key""".stripMargin,
 
     "q13_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
