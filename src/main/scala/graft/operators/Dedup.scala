@@ -69,17 +69,20 @@ object Dedup {
         idx0.join(keep.select("shingle"), Seq("shingle")).select(idCol, "shingle")
       case None => idx0
     }
-    // sizes come from the SAME (possibly pruned) index as the
-    // intersection counts, so the jaccard ratio is internally
-    // consistent: with pruning it is exact jaccard over the pruned
-    // shingle space, not a mixed-denominator underestimate
-    val sizes = idx.groupBy(idCol).agg(count("*").as("n"))
     // Explicitly-numbered repartition on the join key: the index is
     // small in BYTES but the self-join EXPANDS rows ~df^2-fold, and
     // AQE's byte-based coalescing would otherwise shrink this shuffle
     // to ~1 partition and run the whole expansion single-threaded.
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted: both self-join sides AND the sizes aggregate read it
+    // (self-join aliases defeat exchange reuse)
     val keyed = idx.repartition(p, col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sizes come from the SAME (possibly pruned) index as the
+    // intersection counts, so the jaccard ratio is internally
+    // consistent: with pruning it is exact jaccard over the pruned
+    // shingle space, not a mixed-denominator underestimate
+    val sizes = keyed.groupBy(idCol).agg(count("*").as("n"))
     val a = keyed.toDF("ida", "shingle")
     val b = keyed.toDF("idb", "shingle")
     val inter = a.join(b, Seq("shingle"))
@@ -112,9 +115,13 @@ object Dedup {
       threshold: Double,
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
+    // Persisted: consumed by the banding stage AND twice by the
+    // exact-verify joins — unpersisted, each consumer re-tokenizes and
+    // re-hashes the whole corpus (self-join aliases defeat reuse).
     val withSets = df.select(col(idCol),
       graft.functions.ShingleHashes.shingle_hashes(df.sparkSession, col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band rows carry ONLY (id, band, bucket): the wide shingle arrays
     // stay out of the candidate-generating shuffle and are joined back
     // for the (few) surviving candidate pairs. Bucket keys come from
@@ -128,6 +135,9 @@ object Dedup {
       // pin the bucket-join shuffle width — see jaccardPairs
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket"))
+      // persisted: both self-join sides read it, and the banding pass
+      // (128 hashes per doc) is the dominant linear stage
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.toDF("ida", "band", "bucket")
       .join(banded.toDF("idb", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
@@ -173,6 +183,8 @@ object Dedup {
       // pin the chunk-join shuffle width — see jaccardPairs
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("chunk"), col("key"))
+      // persisted: both self-join sides read it (aliases defeat reuse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.toDF("ida", "fpa", "chunk", "key")
     val r = banded.toDF("idb", "fpb", "chunk", "key")
     l.join(r, Seq("chunk", "key"))

@@ -111,10 +111,17 @@ object Similarity {
     // own projection so the one-pass native expression is evaluated once
     // (CollapseProject keeps multi-use non-cheap aliases un-inlined).
     val nWords = (numPlanes + 63) / 64
+    // Persist the signature table: both sides of the candidate self-join
+    // (and nothing else) consume it, and without persistence Spark
+    // recomputes the full scan -> signature lineage once PER SIDE
+    // (self-join aliases defeat exchange reuse). The table is narrow —
+    // id + (bands + words) longs per row — so MEMORY_AND_DISK is cheap
+    // relative to re-running numPlanes dot products over the corpus.
     val sigged = base
       .select(col("id"),
         graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), numPlanes, bands)
           .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wNames = (0 until nWords).map(w => s"w$w")
     val wordCols = (0 until nWords).map(w =>
       element_at(col("sig"), bands + w + 1).as(s"w$w"))
