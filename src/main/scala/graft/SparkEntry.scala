@@ -313,6 +313,38 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("month", "n_name")),
 
+    // Array-function breadth over the embeddings table: sort, slice,
+    // element access, aggregate — the array-manipulation surface a
+    // feature-engineering pipeline leans on.
+    "q50_array_ops" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(element_at(col("embedding").cast("array<double>"), 1), 6).as("first"),
+          round(array_max(col("embedding").cast("array<double>")), 6).as("vmax"),
+          round(array_min(col("embedding").cast("array<double>")), 6).as("vmin"),
+          size(col("embedding")).as("dim"),
+          round(aggregate(col("embedding").cast("array<double>"),
+            lit(0.0), (acc, v) => acc + v), 6).as("vsum"))
+        .orderBy("vec_id")),
+
+    // Value-based quartile bucketing: exact percentile boundaries are a
+    // tiny broadcast, the bucketing itself is an embarrassingly
+    // parallel comparison (a global ntile window would be a
+    // single-task sort — the classic scale bottleneck).
+    "q51_quartile_buckets" -> { (s, dir) =>
+      val b = t(s, dir, "orders")
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"))
+      t(s, dir, "orders").crossJoin(broadcast(b))
+        .withColumn("quartile",
+          when(col("o_totalprice") <= element_at(col("qs"), 1), 1)
+            .when(col("o_totalprice") <= element_at(col("qs"), 2), 2)
+            .when(col("o_totalprice") <= element_at(col("qs"), 3), 3)
+            .otherwise(4))
+        .groupBy("quartile")
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy("quartile")
+    },
+
     // ---------------- round-3 additions -----------------------------
     // Embedding-cosine near-dup over the corpus unioned with a
     // deterministically perturbed copy (first component scaled 1.5x)
@@ -724,6 +756,27 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY month, n_name""".stripMargin,
+
+    "q50_array_ops" ->
+      """SELECT vec_id,
+        | round((CAST(embedding AS DOUBLE[]))[1], 6) AS first,
+        | round(list_max(CAST(embedding AS DOUBLE[])), 6) AS vmax,
+        | round(list_min(CAST(embedding AS DOUBLE[])), 6) AS vmin,
+        | CAST(len(embedding) AS INT) AS dim,
+        | round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vsum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q51_quartile_buckets" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |         quantile_cont(o_totalprice, 0.5) AS q2,
+        |         quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders)
+        |SELECT CASE WHEN o_totalprice <= q1 THEN 1
+        |            WHEN o_totalprice <= q2 THEN 2
+        |            WHEN o_totalprice <= q3 THEN 3 ELSE 4 END AS quartile,
+        | round(sum(o_totalprice), 2) AS total, CAST(count(*) AS BIGINT) AS n
+        |FROM orders, b GROUP BY 1 ORDER BY quartile""".stripMargin,
 
     "q33_embed_neardup" ->
       """WITH base AS (
