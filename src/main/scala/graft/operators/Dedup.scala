@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
  *
  * All-pairs work never materializes O(N^2): every join is keyed
  * (shingle, band, or chunk), which is what survives a 100x scale-up.
+ *
+ * Cache lifecycle: the pair operators lazily `localCheckpoint` their
+ * narrow signature/index intermediates, because self-join aliases
+ * defeat Spark's exchange reuse — otherwise the corpus scan +
+ * signature pass runs once per join side. Unlike `persist` (whose
+ * CacheManager entry lives until an explicit unpersist), checkpoint
+ * blocks are freed by the ContextCleaner once the returned DataFrame
+ * is no longer referenced, so repeated calls do not accumulate
+ * session-lifetime cache. Standard localCheckpoint caveat: blocks
+ * live on executors, so losing an executor (dynamic allocation)
+ * fails the job — use a stable pool for long dedup runs.
  */
 object Dedup {
 
@@ -63,10 +74,14 @@ object Dedup {
     val idx0 = shingleHashIndex(df, idCol, textCol, n)
     val idx = maxDocFreq match {
       case Some(m) =>
-        val keep = idx0.groupBy("shingle").agg(count("*").as("__df")).filter(col("__df") <= m)
+        // checkpointed: the doc-frequency aggregate AND the join back
+        // both consume it — unpersisted, the tokenize/hash/explode
+        // stage would run twice before pruning even starts
+        val idxC = idx0.localCheckpoint(false)
+        val keep = idxC.groupBy("shingle").agg(count("*").as("__df")).filter(col("__df") <= m)
         // using-column joins move the key to column 0 — re-select so the
         // downstream positional toDF stays (id, shingle)
-        idx0.join(keep.select("shingle"), Seq("shingle")).select(idCol, "shingle")
+        idxC.join(keep.select("shingle"), Seq("shingle")).select(idCol, "shingle")
       case None => idx0
     }
     // Explicitly-numbered repartition on the join key: the index is
@@ -74,10 +89,9 @@ object Dedup {
     // AQE's byte-based coalescing would otherwise shrink this shuffle
     // to ~1 partition and run the whole expansion single-threaded.
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    // persisted: both self-join sides AND the sizes aggregate read it
-    // (self-join aliases defeat exchange reuse)
-    val keyed = idx.repartition(p, col("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // checkpointed: both self-join sides AND the sizes aggregate read
+    // it (self-join aliases defeat exchange reuse)
+    val keyed = idx.repartition(p, col("shingle")).localCheckpoint(false)
     // sizes come from the SAME (possibly pruned) index as the
     // intersection counts, so the jaccard ratio is internally
     // consistent: with pruning it is exact jaccard over the pruned
@@ -115,13 +129,13 @@ object Dedup {
       threshold: Double,
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    // Persisted: consumed by the banding stage AND twice by the
-    // exact-verify joins — unpersisted, each consumer re-tokenizes and
+    // Checkpointed: consumed by the banding stage AND twice by the
+    // exact-verify joins — otherwise each consumer re-tokenizes and
     // re-hashes the whole corpus (self-join aliases defeat reuse).
     val withSets = df.select(col(idCol),
       graft.functions.ShingleHashes.shingle_hashes(df.sparkSession, col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // Band rows carry ONLY (id, band, bucket): the wide shingle arrays
     // stay out of the candidate-generating shuffle and are joined back
     // for the (few) surviving candidate pairs. Bucket keys come from
@@ -135,9 +149,9 @@ object Dedup {
       // pin the bucket-join shuffle width — see jaccardPairs
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket"))
-      // persisted: both self-join sides read it, and the banding pass
-      // (128 hashes per doc) is the dominant linear stage
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // checkpointed: both self-join sides read it, and the banding
+      // pass (128 hashes per doc) is the dominant linear stage
+      .localCheckpoint(false)
     val cand = banded.toDF("ida", "band", "bucket")
       .join(banded.toDF("idb", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
@@ -183,8 +197,8 @@ object Dedup {
       // pin the chunk-join shuffle width — see jaccardPairs
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("chunk"), col("key"))
-      // persisted: both self-join sides read it (aliases defeat reuse)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // checkpointed: both self-join sides read it (aliases defeat reuse)
+      .localCheckpoint(false)
     val l = banded.toDF("ida", "fpa", "chunk", "key")
     val r = banded.toDF("idb", "fpb", "chunk", "key")
     l.join(r, Seq("chunk", "key"))

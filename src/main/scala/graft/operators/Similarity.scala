@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
  *    bucketed by signature band; candidates come from bucket
  *    collisions only, then exact cosine ranks them. Sub-linear
  *    candidate generation — the 100 TB path.
+ *
+ * Cache lifecycle: [[nearDupPairs]] lazily checkpoints its banded
+ * signature table (see the note on [[Dedup]]) — blocks are freed once
+ * the returned DataFrame is dropped.
  */
 object Similarity {
 
@@ -111,17 +115,10 @@ object Similarity {
     // own projection so the one-pass native expression is evaluated once
     // (CollapseProject keeps multi-use non-cheap aliases un-inlined).
     val nWords = (numPlanes + 63) / 64
-    // Persist the signature table: both sides of the candidate self-join
-    // (and nothing else) consume it, and without persistence Spark
-    // recomputes the full scan -> signature lineage once PER SIDE
-    // (self-join aliases defeat exchange reuse). The table is narrow —
-    // id + (bands + words) longs per row — so MEMORY_AND_DISK is cheap
-    // relative to re-running numPlanes dot products over the corpus.
     val sigged = base
       .select(col("id"),
         graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), numPlanes, bands)
           .as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wNames = (0 until nWords).map(w => s"w$w")
     val wordCols = (0 until nWords).map(w =>
       element_at(col("sig"), bands + w + 1).as(s"w$w"))
@@ -133,6 +130,12 @@ object Similarity {
       // coalescing would run that expansion on ~1 partition
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("key"))
+      // Checkpointed AFTER the pinned repartition: both self-join
+      // sides read it (aliases defeat exchange reuse), so without this
+      // the full scan -> 128-plane signature -> explode -> shuffle
+      // lineage runs once per side. Blocks are freed when the returned
+      // DataFrame is dropped (see the cache-lifecycle note above).
+      .localCheckpoint(false)
 
     val diffFrac = math.acos(threshold) / math.Pi
     val maxHamming = math.ceil(
