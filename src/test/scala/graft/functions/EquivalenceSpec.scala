@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the cross-expression invariants the operator docs rely on:
+ * refactors that break bit-compatibility fail here, not in a silent
+ * oracle divergence three stages downstream.
+ */
+class EquivalenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("shingle_hashes == rolling_hash64 applied to shingles (bit-identical)") {
+    val viaStrings = docs.select(col("doc_id"),
+      transform(
+        graft.functions.Shingles.shingles(spark, col("text"), 3),
+        s => { RollingHash64.register(spark); RollingHash64.rolling_hash64(s) })
+        .as("h"))
+    val native = docs.select(col("doc_id"),
+      ShingleHashes.shingle_hashes(spark, col("text"), 3).as("h"))
+    val a = viaStrings.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
+  test("minhash_sig and minhash_buckets share the same minima chain") {
+    // fold minhash_sig's raw minima into band keys in scala and compare
+    // with the native banded expression
+    val bands = 8
+    val rows = 4
+    val withSets = docs.select(col("doc_id"),
+      ShingleHashes.shingle_hashes(spark, col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = withSets.select(col("doc_id"),
+      MinHashSig.minhash_sig(spark, col("sh"), bands * rows).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val buckets = withSets.select(col("doc_id"),
+      MinHashBuckets.minhash_buckets(spark, col("sh"), bands, rows).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, sig) <- sigs) {
+      val expected = (0 until bands).map { b =>
+        (0 until rows).foldLeft(0L)((k, r) =>
+          MinHashSig.splitmix64(k ^ sig(b * rows + r)))
+      }
+      assert(buckets(id) == expected, s"bucket mismatch for doc $id")
+    }
+  }
+
+  test("lsh_band_keys matches signBits-derived band keys for <=64 planes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val numPlanes = 16
+    val bands = 8
+    val width = numPlanes / bands
+    val mask = (1L << width) - 1
+    val viaSignBits = emb.select(col("vec_id"),
+      graft.operators.Similarity.signBits(spark, col("e"), 64, numPlanes).as("sig"))
+      .collect().map { r =>
+        val sig = r.getLong(1)
+        r.getLong(0) -> (0 until bands).map(b => (sig >>> (b * width)) & mask)
+      }.toMap
+    val viaNative = emb.select(col("vec_id"),
+      slice(LshBandKeys.lsh_band_keys(spark, col("e"), numPlanes, bands), 1, bands).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(viaSignBits.keySet == viaNative.keySet)
+    for ((id, keys) <- viaSignBits) assert(viaNative(id) == keys, s"vec $id")
+  }
+}

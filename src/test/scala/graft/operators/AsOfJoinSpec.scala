@@ -44,6 +44,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.getLong(0) == 22L && r.getDouble(1) == 2.0)
   }
 
+  test("asof join == brute-force latest-predecessor on real events") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("tsu", col("ts").cast("long"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "tsu")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "tsu", "event_id", "value")
+
+    val got = AsOfJoin.asofJoin(clicks, purchases, "user_id", "tsu", "event_id")
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    val ps = purchases.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = clicks.collect().map { c =>
+      val (cid, uid, t) = (c.getLong(0), c.getLong(1), c.getLong(2))
+      val preds = ps.filter(p => p._1 == uid && p._2 <= t)
+      cid -> (if (preds.isEmpty) None
+              else Some(preds.maxBy(p => (p._2, p._3))._3))
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.exists(_.isDefined))
+  }
+
   test("asof join plan: single shuffle on the key, no range join blow-up") {
     val left = Seq((1L, 30L, 9L)).toDF("event_id", "tsu", "user_id")
     val right = Seq((21L, 30L, 9L, 1.0)).toDF("event_id", "tsu", "user_id", "value")
