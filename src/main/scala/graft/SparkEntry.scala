@@ -512,6 +512,13 @@ object SparkEntry {
         capacity = 2048L)
         .orderBy("doc_id")),
 
+    // The composed training-data pipeline end-to-end (exact dedup ->
+    // near-dup removal -> quality/repetition gates -> hash split ->
+    // token packing), oracle-verified stage-for-stage in one SQL.
+    "q52_training_pipeline" -> ((s, dir) =>
+      graft.operators.Pipeline.prepareTrainingData(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -916,6 +923,54 @@ object SparkEntry {
         | CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q52_training_pipeline" ->
+      """WITH exact AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+        |base AS (SELECT d.doc_id, d.text FROM documents d JOIN exact USING (doc_id)),
+        |toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM base),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS s
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT b AS doc_id FROM pairs
+        |  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |dd AS (SELECT * FROM base
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+        |q AS (
+        |  SELECT doc_id, text,
+        |   (least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0) * 0.4
+        |    + CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.4
+        |    + CASE WHEN CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
+        |                / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |                BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END * 0.2) AS quality,
+        |   CASE WHEN len(regexp_extract_all(text, '\S+')) - 1 > 0
+        |        THEN 1.0 - CAST(len(list_distinct(list_transform(
+        |               range(1, len(regexp_extract_all(text, '\S+'))),
+        |               i -> regexp_extract_all(text, '\S+')[i] || ' '
+        |                    || regexp_extract_all(text, '\S+')[i + 1]))) AS DOUBLE)
+        |             / (len(regexp_extract_all(text, '\S+')) - 1)
+        |        ELSE 0.0 END AS rep2
+        |  FROM dd),
+        |f AS (SELECT doc_id, text FROM q WHERE quality >= 0.3 AND rep2 <= 0.5),
+        |s AS (
+        |  SELECT doc_id, text,
+        |   CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        |             % 20 < 16 THEN 'train'
+        |        WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        |             % 20 < 18 THEN 'val' ELSE 'test' END AS split,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+        |  FROM f)
+        |SELECT doc_id, text, split, n_tokens,
+        | CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES
