@@ -239,18 +239,15 @@ object Similarity {
       numPlanes: Int = 16,
       bands: Int = 4): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
-    val width = numPlanes / bands
-    val mask = (1L << width) - 1
-    def banded(df: DataFrame, id: String, emb: String): DataFrame = {
-      val sig = signBits(corpus.sparkSession, asDouble(col(embCol)), dim, numPlanes)
-      df.select(col(idCol).as(id), asDouble(col(embCol)).as(emb), sig.as("sig"))
-        .select(col(id), col(emb),
-          posexplode(transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => call_function("shiftrightunsigned", col("sig"), b * lit(width))
-              .bitwiseAND(lit(mask)))))
+    // lsh_band_keys emits the same band keys as the signBits
+    // composition bit-for-bit (EquivalenceSpec) in ONE pass per row
+    def banded(df: DataFrame, id: String, emb: String): DataFrame =
+      df.select(col(idCol).as(id), asDouble(col(embCol)).as(emb),
+        slice(graft.functions.LshBandKeys
+          .lsh_band_keys(corpus.sparkSession, asDouble(col(embCol)), numPlanes, bands),
+          1, bands).as("keys"))
+        .select(col(id), col(emb), posexplode(col("keys")))
         .toDF(id, emb, "band", "key")
-    }
     val c = banded(corpus, "vec_id", "ce")
     val q = banded(queries, "q_id", "qe")
     val cand = c.join(broadcast(q), Seq("band", "key"))
