@@ -18,8 +18,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-footer costs land here, not
     // in the first measured query (q01 absorbed ~3s of them before).
+    // Touch every table the queries read so OS page-cache state is
+    // uniform across runs — a cold documents/embeddings scan otherwise
+    // lands in whichever heavy query runs first.
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>

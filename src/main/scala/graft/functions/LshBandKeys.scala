@@ -23,11 +23,13 @@ import org.apache.spark.sql.types._
  * call per plane, shift/OR per band) rebuilds the whole signature per
  * consuming expression when the projection is interpreted — at 128
  * planes x 64 dims that recomputation dominated the near-dup stage.
- * Planes are generated lazily per input dimension from the fixed seed
- * (deterministic across executors; ~64 KB at 128x64, far below
- * broadcast-worthy size).
+ * Planes are generated lazily from the fixed seed at the first-seen
+ * input dimension (deterministic across executors; ~64 KB at 128x64,
+ * far below broadcast-worthy size); a row with any OTHER dimension
+ * raises rather than silently hashing against a different plane set.
  */
-case class LshBandKeys(child: Expression, numPlanes: Int, bands: Int, seed: Long)
+case class LshBandKeys(
+    child: Expression, numPlanes: Int, bands: Int, seed: Long, dim: Int = -1)
     extends UnaryExpression with CodegenFallback {
   require(numPlanes % bands == 0, "bands must divide numPlanes")
   private val width = numPlanes / bands
@@ -44,16 +46,36 @@ case class LshBandKeys(child: Expression, numPlanes: Int, bands: Int, seed: Long
       TypeCheckResult.TypeCheckFailure(s"lsh_band_keys requires array<double>, got ${other.sql}")
   }
 
-  // plane matrix per input dim, flattened plane-major (same generation
-  // order as a per-plane Array.fill, so results are stable across
-  // refactors of the composed form)
-  @transient private lazy val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
-  private def planesFor(dim: Int): Array[Double] =
-    planeCache.computeIfAbsent(dim, { d =>
-      val rnd = new scala.util.Random(seed)
-      Array.fill(numPlanes * d)(rnd.nextGaussian())
-    })
+  // plane matrix for the single observed input dim, flattened
+  // plane-major (same generation order as a per-plane Array.fill, so
+  // results are stable across refactors of the composed form). The dim
+  // is pinned on first use: rows with a DIFFERENT dimension would get
+  // signatures from an unrelated plane set and never collide with
+  // anything, so mixed-dimension input is an error, not a silent miss.
+  // When `dim` is declared (>0) the check is global and exact; with
+  // dim <= 0 the pin is per expression instance, i.e. per task — a
+  // mixed-dim corpus split across partitions can then still produce
+  // disjoint plane sets, which is why operators that know their dim
+  // (nearDupPairs, lshTopK) always declare it.
+  @transient private lazy val planeRef =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Array[Double])](
+      if (dim > 0) (dim, genPlanes(dim)) else null)
+  private def genPlanes(d: Int): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes * d)(rnd.nextGaussian())
+  }
+  private def planesFor(d: Int): Array[Double] = {
+    val cached = planeRef.get()
+    if (cached != null) {
+      require(cached._1 == d,
+        s"lsh_band_keys: embedding dimension $d differs from declared/first-seen " +
+          s"${cached._1}; mixed-dimension input cannot share one hyperplane set")
+      cached._2
+    } else {
+      val ps = genPlanes(d)
+      if (planeRef.compareAndSet(null, (d, ps))) ps else planesFor(d)
+    }
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -104,12 +126,14 @@ object LshBandKeys {
           exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue(),
-          exprs(3).eval().asInstanceOf[Number].longValue()),
+          exprs(3).eval().asInstanceOf[Number].longValue(),
+          if (exprs.length > 4) exprs(4).eval().asInstanceOf[Number].intValue() else -1),
       "built-in")
 
   def lsh_band_keys(
-      spark: SparkSession, c: Column, numPlanes: Int, bands: Int, seed: Long = 42L): Column = {
+      spark: SparkSession, c: Column, numPlanes: Int, bands: Int,
+      seed: Long = 42L, dim: Int = -1): Column = {
     register(spark)
-    call_function("lsh_band_keys", c, lit(numPlanes), lit(bands), lit(seed))
+    call_function("lsh_band_keys", c, lit(numPlanes), lit(bands), lit(seed), lit(dim))
   }
 }

@@ -42,6 +42,20 @@ object AsOfJoin {
       keyCol: String,
       timeCol: String,
       tieCol: String): DataFrame = {
+    // The union/window plumbing uses fixed internal names and the output
+    // prefixes right payload columns with `asof_`; collide-able inputs
+    // would otherwise fail with ambiguous-column errors or silently
+    // shadow — reject them up front with a clear message.
+    val reserved = Set("__k", "__t", "__tb", "__side", "__r", "__l", "__last_r")
+    val clashing = (left.columns ++ right.columns).filter(reserved)
+    require(clashing.isEmpty,
+      s"asofJoin reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename input columns: ${clashing.distinct.mkString(", ")}")
+    val prefixClash = right.columns.filterNot(_ == keyCol).map("asof_" + _)
+      .toSet.intersect(left.columns.toSet)
+    require(prefixClash.isEmpty,
+      s"asofJoin outputs right payload columns as asof_<name>; left already has: " +
+        prefixClash.mkString(", "))
     val rPayloadCols = right.columns.filterNot(_ == keyCol).toSeq
     val lCols = left.columns.toSeq
     val rStruct = struct(rPayloadCols.map(col): _*)

@@ -60,9 +60,16 @@ object Dedup {
    *
    * Plan shape: explode shingles -> self-join keyed on the shingle
    * (shuffle hash join on a high-cardinality key) -> count intersections
-   * per pair -> join the per-doc set sizes. `maxDocFreq`, when set,
-   * drops shingles appearing in more than that many docs (stop-shingle
-   * pruning — the standard scale lever; changes semantics, so default off).
+   * per pair -> join the per-doc set sizes.
+   *
+   * `maxDocFreq`, when set, drops shingles appearing in more than that
+   * many docs (stop-shingle pruning — the standard scale lever; default
+   * off). SEMANTICS: both the intersection counts AND the per-doc set
+   * sizes then come from the pruned index, so the reported value is the
+   * exact Jaccard over the PRUNED shingle space — internally consistent,
+   * but it can be above or below the unpruned-space Jaccard (pruned
+   * shingles are by construction ones shared across many docs, so
+   * typically it is lower). Pinned by the tight-cap case in DedupSpec.
    */
   def jaccardPairs(
       df: DataFrame,

@@ -34,6 +34,9 @@ object Pack {
       capacity: Long,
       groupSize: Long = 4096L): DataFrame = {
     require(capacity >= 1 && groupSize >= 1, "capacity and groupSize must be >= 1")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packBins requires a numeric idCol; '$idCol' is ${df.schema(idCol).dataType.sql} " +
+        "(a non-numeric id would cast to null and silently drop every row)")
     val base = df.select(col(idCol), tokensCol.as("n_tokens"))
       .withColumn("__g", floor(col(idCol) / groupSize))
 

@@ -117,7 +117,8 @@ object Similarity {
     val nWords = (numPlanes + 63) / 64
     val sigged = base
       .select(col("id"),
-        graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), numPlanes, bands)
+        graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), numPlanes, bands,
+            dim = dim)
           .as("sig"))
     val wNames = (0 until nWords).map(w => s"w$w")
     val wordCols = (0 until nWords).map(w =>
@@ -198,20 +199,25 @@ object Similarity {
     val assigned = model.transform(train).select("vec_id", "ce", "cell")
 
     // Query-side probe list: rank cells by ||q - c||^2, which orders the
-    // same as -2*q.c + ||c||^2 (||q||^2 is constant per row). One native
-    // dot product per centroid; struct sort_array picks the nprobe best.
+    // same as -2*q.c + ||c||^2 (||q||^2 is constant per row). Centroids
+    // travel as a broadcast DataFrame (cell, centroid, ||c||^2), NOT as
+    // nlist x dim literal expressions — at realistic IVF sizes
+    // (nlist ~1k+, dim ~768) the literal form blows up driver-side plan
+    // compilation, while a broadcast join costs one small exchange and
+    // keeps the plan O(1) in nlist.
     val cents = model.clusterCenters.map(_.toArray)
+    val centDf = spark.createDataFrame(
+      cents.zipWithIndex.toIndexedSeq
+        .map { case (ct, i) => (i, ct, ct.map(x => x * x).sum) })
+      .toDF("cell", "centroid", "cn2")
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
-    val scoredCells = cents.zipWithIndex.map { case (ct, i) =>
-      val d = lit(ct.map(x => x * x).sum) -
-        lit(2.0) * graft.functions.DotProduct.dot_product(
-          spark, col("qe"), array(ct.map(lit).toIndexedSeq: _*))
-      struct(d.as("d"), lit(i).as("cell"))
-    }
-    val probes = q
-      .withColumn("probe",
-        explode(slice(sort_array(array(scoredCells.toIndexedSeq: _*)), 1, nprobe)))
-      .select(col("q_id"), col("qe"), col("probe.cell").as("cell"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d"), col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("d", col("cn2") - lit(2.0) *
+        graft.functions.DotProduct.dot_product(spark, col("qe"), col("centroid")))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cell"))
 
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cell"))
@@ -244,7 +250,8 @@ object Similarity {
     def banded(df: DataFrame, id: String, emb: String): DataFrame =
       df.select(col(idCol).as(id), asDouble(col(embCol)).as(emb),
         slice(graft.functions.LshBandKeys
-          .lsh_band_keys(corpus.sparkSession, asDouble(col(embCol)), numPlanes, bands),
+          .lsh_band_keys(corpus.sparkSession, asDouble(col(embCol)), numPlanes, bands,
+            dim = dim),
           1, bands).as("keys"))
         .select(col(id), col(emb), posexplode(col("keys")))
         .toDF(id, emb, "band", "key")

@@ -179,6 +179,68 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardPairs tight maxDocFreq == hand-computed pruned-space jaccard") {
+    import spark.implicits._
+    // 2-gram shingles: d1 {a·b, b·c, c·x}, d2 {a·b, b·c, c·y},
+    // d3 {a·b, b·z, z·w}, d4 {a·b, b·q, q·r}; df(a·b)=4, df(b·c)=2.
+    val df = Seq(
+      (1L, "a b c x"), (2L, "a b c y"), (3L, "a b z w"), (4L, "a b q r"))
+      .toDF("doc_id", "text")
+    // cap=3 prunes exactly a·b; pruned sets: d1 {b·c, c·x}, d2 {b·c, c·y},
+    // d3 {b·z, z·w}, d4 {b·q, q·r} -> only (1,2) share anything:
+    // jaccard over the PRUNED space = 1/(2+2-1) = 1/3, vs 2/4 unpruned.
+    val pruned = Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.3, maxDocFreq = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pruned.toSeq == Seq((1L, 2L, 1.0 / 3.0)))
+    val unpruned = Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(unpruned.toSeq == Seq((1L, 2L, 0.5)))
+  }
+
+  test("packBins rejects a non-numeric id column up front") {
+    import spark.implicits._
+    val df = Seq(("a", 10), ("b", 20)).toDF("doc_id", "n")
+    val e = intercept[IllegalArgumentException] {
+      Pack.packBins(df, "doc_id", col("n"), 100L)
+    }
+    assert(e.getMessage.contains("numeric idCol"))
+  }
+
+  test("asofJoin rejects reserved internal names and asof_ output collisions") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 1L)).toDF("k", "t", "tie")
+    val r = Seq((1L, 9L, 1L, 5.0)).toDF("k", "t", "tie", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l.withColumn("__side", lit(1)), r, "k", "t", "tie")
+    }
+    assert(e1.getMessage.contains("reserves internal column names"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l.withColumn("asof_v", lit(0)), r, "k", "t", "tie")
+    }
+    assert(e2.getMessage.contains("asof_"))
+  }
+
+  test("lsh_band_keys with declared dim raises on any other dimension") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.fill(8)(0.5)), (2L, Seq.fill(4)(0.5))).toDF("id", "e")
+    val e = intercept[Exception] {
+      df.select(
+        graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), 16, 4, dim = 8))
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("dimension"),
+      s"unexpected: ${e}")
+    // declared dim matching every row: fine, and keys are the same as
+    // the first-seen-pin path
+    val declared = df.filter(col("id") === 1L)
+      .select(graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), 16, 4, dim = 8))
+      .collect()(0).getSeq[Long](0)
+    val pinned = df.filter(col("id") === 1L)
+      .select(graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), 16, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(declared == pinned)
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
