@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS); Spark 4 needs the legacy conf to
+      // read it (SparkEntry.events sets it lazily, but the warmup scan
+      // below touches the table before any query runs)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-footer costs land here, not

@@ -519,6 +519,138 @@ object SparkEntry {
       graft.operators.Pipeline.prepareTrainingData(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // ---------------- round-4 additions -----------------------------
+    // IN-subquery surface (Catalyst rewrites to a semi join — no
+    // correlated re-execution per row).
+    "q53_in_subquery" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g53_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g53_customer")
+      s.sql(
+        """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+          |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM g53_orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM g53_customer WHERE c_nationkey < 5)
+          |GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin)
+    },
+
+    // Correlated scalar subquery (orders at >= 1.5x their customer's
+    // average) — Catalyst decorrelates to an aggregate + join, so the
+    // subquery runs once, not per row.
+    "q54_scalar_subquery" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g54_orders")
+      // the customer average sums exact DECIMAL cents then divides
+      // (plain avg(double) is partial-aggregation-order dependent), and
+      // truncates with floor(x*100)/100 instead of round(x,2): the
+      // quotient often lands on exact half cents, where the two
+      // engines' round() implementations disagree — floor over the
+      // same IEEE ops is bit-identical
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice,
+          |  (SELECT floor(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |     / count(*) * 100) / 100
+          |   FROM g54_orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+          |FROM g54_orders o
+          |WHERE o_totalprice >= 1.5 *
+          |  (SELECT CAST(sum(CAST(o3.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |   FROM g54_orders o3 WHERE o3.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // lead/lag: per-customer order cadence (days since previous order,
+    // next order's price) — one shuffle on the window key.
+    "q55_lead_lag" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)).cast("long"))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .select("o_custkey", "o_orderkey", "gap_days", "next_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ntile deciles of per-customer spend. The decile window is global
+    // by construction (single partition) — acceptable only because it
+    // runs over the pre-aggregated CUSTOMER dimension (one row per
+    // customer), never the fact table; value-based bucketing (q51) is
+    // the fact-scale path.
+    "q56_ntile" -> { (s, dir) =>
+      val spend = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("total"))
+      val w = Window.orderBy(col("total").desc, col("o_custkey"))
+      spend.withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), round(sum("total"), 2).as("spend"))
+        .orderBy("decile")
+    },
+
+    // Interval join via bucketing (RangeJoin): views by the same user
+    // in the hour before each click — equi-join on (user, time bucket),
+    // never a per-key cross join.
+    "q57_range_join" -> { (s, dir) =>
+      val ev = events(s, dir).withColumn("sec", unix_timestamp(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "sec")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("sec").as("vsec"))
+      val counts = graft.operators.RangeJoin
+        .intervalJoin(clicks, views, "user_id", "sec", "vsec", 3600L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_views"))
+      clicks.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"))
+        .orderBy("event_id")
+    },
+
+    // Regex-extraction surface over documents (first long word, vowel
+    // bigram count) — pure scan-side projection.
+    "q58_regex_extract" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([A-Za-z]{6,})", 1).as("first_long"),
+          size(call_function("regexp_extract_all", col("text"), lit("[aeiou]{2}"), lit(0)))
+            .as("n_vowel_pairs"))
+        .orderBy("doc_id")),
+
+    // Deterministic stratified sampling: per-language keep rates via an
+    // md5 hash bucket — reproducible across engines/runs, no RNG state,
+    // embarrassingly parallel (the standard down-sampling shape for
+    // rebalancing a training corpus).
+    "q59_stratified_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 100)
+        .filter(col("bucket") <
+          when(col("lang") === "en", 50).otherwise(25))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // BPE-ish token budgeting vs whitespace tokens, per doc + per-lang
+    // totals in one pass.
+    "q60_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextOps.bpeTokenCount(col("text")).as("nb"),
+          TextOps.tokenCount(col("text")).as("nw"))
+        .groupBy("lang")
+        .agg(sum(col("nb").cast("long")).as("bpe_tokens"),
+          sum(col("nw").cast("long")).as("ws_tokens"),
+          round(avg(col("nb").cast("double") / col("nw").cast("double")), 4)
+            .as("bpe_per_word"))
+        .orderBy("lang")),
+
+    // Fuzzy-dedup cluster resolution: near-dup pairs (MinHash-LSH) ->
+    // connected components (iterative min-label propagation) ->
+    // canonical survivor per cluster.
+    "q61_dedup_clusters" -> { (s, dir) =>
+      val docsDf = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docsDf, "doc_id", "text",
+        n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
+      graft.operators.Components.dedupClusters(docsDf, "doc_id", pairs)
+        .orderBy("doc_id")
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -972,6 +1104,99 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q53_in_subquery" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        |GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin,
+
+    "q54_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | (SELECT floor(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) * 100) / 100
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+        |FROM orders o
+        |WHERE o_totalprice >= 1.5 *
+        |  (SELECT CAST(sum(CAST(o3.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |   FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q55_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days,
+        | lead(o_totalprice) OVER w AS next_price
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q56_ntile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (
+        |  SELECT total, ntile(10) OVER (ORDER BY total DESC, o_custkey) AS decile
+        |  FROM spend)
+        |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_cust,
+        | round(sum(total), 2) AS spend
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q57_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |c AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, sec AS vsec FROM e WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, CAST(count(v.user_id) AS BIGINT) AS n_views
+        |FROM c LEFT JOIN v
+        |  ON c.user_id = v.user_id AND v.vsec BETWEEN c.sec - 3600 AND c.sec
+        |GROUP BY c.event_id, c.user_id ORDER BY event_id""".stripMargin,
+
+    "q58_regex_extract" ->
+      """SELECT doc_id,
+        | coalesce(regexp_extract(text, '([A-Za-z]{6,})', 1), '') AS first_long,
+        | CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INT) AS n_vowel_pairs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q59_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        |     % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q60_bpe_tokens" ->
+      """SELECT lang,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')))
+        |   AS BIGINT) AS bpe_tokens,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        | round(avg(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))
+        |     AS DOUBLE)
+        |   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 4)
+        |   AS bpe_per_word
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Connected components as a recursive transitive closure — feasible
+    // for the oracle because the sf0.01 near-dup graph is tiny; the
+    // Spark side uses iterative min-label propagation instead (bounded
+    // shuffles, no closure materialization).
+    "q61_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |p AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         |reach AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |comp AS (SELECT x AS doc_id, least(x, min(y)) AS cluster
+         |         FROM reach GROUP BY x)
+         |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q29_settings" ->
       """SELECT * FROM (VALUES
         | ('torchfusion.batch_size', '1', 'Batch size to be used when processing rows'),
@@ -983,11 +1208,12 @@ object SparkEntry {
       "SELECT 'torchfusion.batch_size' AS name, '8' AS value"
   )
 
-  /** Brute-force 3-gram-shingle jaccard >= 0.8, DuckDB dialect.
-    * Tokens are `\S+` matches — the same tokenization as the native
+  /** Shared CTE block computing brute-force 3-gram-shingle jaccard per
+    * candidate pair (`jac(a, b, jaccard)`), DuckDB dialect. Tokens are
+    * `\S+` matches — the same tokenization as the native
     * Shingles/ShingleHashes expressions (robust to trailing `\n`). */
-  private val jaccardOracle: String =
-    """WITH toks AS (
+  private val jaccardCtes: String =
+    """toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS s
@@ -996,12 +1222,18 @@ object SparkEntry {
       |inter AS (
       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT a, b,
-      | CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-      |FROM inter
-      |JOIN sz sa ON a = sa.doc_id
-      |JOIN sz sb ON b = sb.doc_id
-      |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
-      |ORDER BY a, b""".stripMargin
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT a, b,
+      |   CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sz sa ON a = sa.doc_id
+      |  JOIN sz sb ON b = sb.doc_id)""".stripMargin
+
+  /** Brute-force jaccard >= 0.8 pairs (oracle for q21 and, via exact
+    * verification + band recall, q22). */
+  private val jaccardOracle: String =
+    s"""WITH $jaccardCtes
+       |SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8
+       |ORDER BY a, b""".stripMargin
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over an undirected edge list — the cluster
+ * resolution step of fuzzy dedup: near-dup PAIRS (from
+ * [[Dedup.minHashLshPairs]] / [[Similarity.nearDupPairs]]) become
+ * duplicate CLUSTERS, from which one canonical survivor per cluster is
+ * kept.
+ *
+ * Algorithm: iterative min-label propagation ("hash-min") — every node
+ * repeatedly adopts the smallest label among itself and its neighbors
+ * until a fixpoint. Each iteration is one shuffle-join + aggregate,
+ * fully distributed; convergence takes O(graph diameter) iterations,
+ * and near-dup graphs are overwhelmingly small-diameter cliques, so
+ * 2-4 iterations are typical. The label state is localCheckpoint-ed
+ * each round: an iterative DataFrame loop otherwise accretes an
+ * exponentially growing lineage that stalls the planner long before
+ * data size matters. (This is the plain-DataFrame version of the
+ * classic Pregel-style CC; the alternating large/small-star variant
+ * has better worst-case rounds on high-diameter graphs but the same
+ * per-round shape.)
+ */
+object Components {
+
+  /**
+   * @return (id, comp) for every node appearing in `edges`; `comp` is
+   *         the minimum node id reachable from `id` (so each cluster
+   *         is labeled by its smallest member).
+   */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // symmetric adjacency — one narrow (src, dst) table, reused every
+    // iteration (checkpointed: the loop reads it maxIter times)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(false)
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // smallest neighbor label per node, one shuffle join + agg
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"))
+        .localCheckpoint(false)
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count() // any-change probe, not a full count
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
+  /**
+   * Fuzzy-dedup survivor table: every node of `df` keyed by its
+   * near-dup cluster (nodes absent from `pairs` form singleton
+   * clusters), plus `is_survivor` marking the minimum id per cluster —
+   * the row a dedup pass keeps.
+   */
+  def dedupClusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("cluster"))
+      .withColumn("is_survivor", col(idCol) === col("cluster"))
+  }
+}

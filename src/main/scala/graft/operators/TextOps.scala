@@ -33,6 +33,16 @@ object TextOps {
   def wordCount(text: Column): Column =
     size(call_function("regexp_extract_all", text, lit("[A-Za-z0-9]+"), lit(0)))
 
+  /** BPE-ish subword-budget token count, one regex pass: every
+    * alphanumeric run of up to 4 chars counts as one token (longer runs
+    * count ceil(len/4) — mirroring how subword vocabularies split long
+    * words), and every non-space/non-alnum character counts as its own
+    * token. A deterministic, codegen-able stand-in for a real BPE
+    * tokenizer when budgeting training tokens. */
+  def bpeTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
+
   /** Distinct word set (for set-semantics similarity). */
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 

@@ -241,6 +241,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(declared == pinned)
   }
 
+  test("intervalJoin == naive range join, and plan has no cartesian") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val probes = (0 until 300)
+      .map(i => (i.toLong, s"u${rnd.nextInt(10)}", rnd.nextInt(100000).toLong))
+      .toDF("pid", "k", "t")
+    val build = (0 until 500)
+      .map(i => (s"u${rnd.nextInt(10)}", rnd.nextInt(100000).toLong, i.toLong))
+      .toDF("k", "bt", "bid")
+    val got = RangeJoin.intervalJoin(probes, build, "k", "t", "bt", 5000L)
+      .select("pid", "ij_bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = probes.join(build,
+        probes("k") === build("k") && build("bt") >= probes("t") - 5000L
+          && build("bt") <= probes("t"))
+      .select("pid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+    val plan = RangeJoin.intervalJoin(probes, build, "k", "t", "bt", 5000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a product plan:\n$plan")
+  }
+
+  test("connectedComponents labels chains, cliques, and singletons correctly") {
+    import spark.implicits._
+    // two chains (1-2-3-4, 10-11), one clique (20,21,22), isolated via df
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val comp = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val all = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 22L, 99L).toDF("id")
+    val clusters = Components.dedupClusters(all, "id", edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = clusters.map(c => c._1 -> c).toMap
+    assert(byId(99L) == ((99L, 99L, true)), "singleton is its own survivor")
+    assert(byId(4L) == ((4L, 1L, false)) && byId(1L)._3)
+    assert(clusters.count(_._3) == 4, "one survivor per cluster (3 clusters + singleton)")
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
