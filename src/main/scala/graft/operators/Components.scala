@@ -52,15 +52,15 @@ object Components {
       // smallest neighbor label per node, one shuffle join + agg
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("comp").as("nbr_comp"))
+      // the new label rides next to the old one, so the convergence
+      // probe is a filter over the checkpointed frame — not another join
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
+        .select(labels("id"), labels("comp").as("__old"),
           least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"))
         .localCheckpoint(false)
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
+      val changed = next.filter(col("comp") =!= col("__old"))
         .limit(1).count() // any-change probe, not a full count
-      labels = next
+      labels = next.drop("__old")
       converged = changed == 0
       i += 1
     }

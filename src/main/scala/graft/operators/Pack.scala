@@ -27,29 +27,38 @@ import org.apache.spark.sql.functions._
  */
 object Pack {
 
+  /** @param partitionCols when non-empty, packing restarts per
+    *        partition (e.g. one bin sequence per train/val/test split)
+    *        — all partitions are packed by ONE plan, not one plan per
+    *        partition value. Output columns: partitionCols ++
+    *        (idCol, n_tokens, bin). */
   def packBins(
       df: DataFrame,
       idCol: String,
       tokensCol: Column,
       capacity: Long,
-      groupSize: Long = 4096L): DataFrame = {
+      groupSize: Long = 4096L,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     require(capacity >= 1 && groupSize >= 1, "capacity and groupSize must be >= 1")
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"packBins requires a numeric idCol; '$idCol' is ${df.schema(idCol).dataType.sql} " +
         "(a non-numeric id would cast to null and silently drop every row)")
-    val base = df.select(col(idCol), tokensCol.as("n_tokens"))
+    val pcols = partitionCols.map(col)
+    val base = df.select(pcols :+ col(idCol) :+ tokensCol.as("n_tokens"): _*)
       .withColumn("__g", floor(col(idCol) / groupSize))
 
-    val wg = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("__g").agg(sum("n_tokens").as("__gsum"))
+    val wg0 = if (partitionCols.isEmpty) Window.orderBy("__g")
+      else Window.partitionBy(pcols: _*).orderBy("__g")
+    val wg = wg0.rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(pcols :+ col("__g"): _*).agg(sum("n_tokens").as("__gsum"))
       .withColumn("__goff", coalesce(sum("__gsum").over(wg), lit(0)))
-      .select("__g", "__goff")
+      .select(pcols :+ col("__g") :+ col("__goff"): _*)
 
-    val win = Window.partitionBy("__g").orderBy(idCol)
+    val win = Window.partitionBy(pcols :+ col("__g"): _*).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(offsets), Seq("__g"))
+    base.join(broadcast(offsets), partitionCols :+ "__g")
       .withColumn("__before", col("__goff") + coalesce(sum("n_tokens").over(win), lit(0)))
-      .select(col(idCol), col("n_tokens"),
-        floor(col("__before") / capacity).cast("long").as("bin"))
+      .select(pcols :+ col(idCol) :+ col("n_tokens") :+
+        floor(col("__before") / capacity).cast("long").as("bin"): _*)
   }
 }

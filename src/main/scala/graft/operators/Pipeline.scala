@@ -62,17 +62,18 @@ object Pipeline {
     val bucket =
       conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("int") % 20
     val split = when(bucket < 16, "train").when(bucket < 18, "val").otherwise("test")
-    val withSplit = filtered.withColumn("split", split)
+    // Checkpointed: FOUR consumers read this frame (three per-split
+    // packBins passes + the final join), and without it each one
+    // re-runs the whole dedup chain above — scan, exact dedup window,
+    // LSH banding, candidate verification, anti join. Same lifecycle
+    // note as [[Dedup]]: blocks are freed when the result is dropped.
+    val withSplit = filtered.withColumn("split", split).localCheckpoint(false)
 
-    // 5. pack each split into ~capacity-token bins (two-level prefix
-    //    sum per split — packBins itself is split-agnostic, so bins are
-    //    computed per split via the same deterministic rule)
-    val packed = Seq("train", "val", "test").map { s =>
-      Pack.packBins(
-        withSplit.filter(col("split") === s),
-        idCol, TextOps.tokenCount(col(textCol)), packCapacity)
-        .withColumn("split", lit(s))
-    }.reduce(_ unionByName _)
+    // 5. pack each split into ~capacity-token bins — ONE partitioned
+    //    two-level prefix sum over all splits (a per-split loop would
+    //    triple the plan: 3x the windows, joins, and broadcasts)
+    val packed = Pack.packBins(withSplit, idCol, TextOps.tokenCount(col(textCol)),
+      packCapacity, partitionCols = Seq("split"))
 
     withSplit.select(col(idCol), col(textCol), col("split"))
       .join(packed.select(col(idCol), col("n_tokens"), col("bin")), Seq(idCol))
