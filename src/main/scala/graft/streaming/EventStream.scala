@@ -100,6 +100,37 @@ object EventStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /**
+   * Stream-stream interval join — the streaming mirror of the batch
+   * [[graft.operators.RangeJoin]] (q57): each click is joined to the
+   * same user's views in the preceding `windowSec` seconds. Both sides
+   * carry watermarks so the join STATE IS BOUNDED: a buffered view can
+   * be evicted once it is older than the click watermark minus the
+   * join window (Spark derives the eviction bound from the interval
+   * condition + both watermarks — without the time bound the state
+   * would grow forever, the cardinal sin of stream joins at scale).
+   * Inputs need (user_id, event_id, ts) columns.
+   */
+  def clickViewIntervalJoin(
+      clicks: DataFrame,
+      views: DataFrame,
+      windowSec: Long = 3600L,
+      delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val v = views.withWatermark("ts", delay)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("click_id"), col("c_user").as("user_id"), col("view_id"),
+        unix_timestamp(col("c_ts")).as("click_sec"),
+        unix_timestamp(col("v_ts")).as("view_sec"))
+  }
+
   /** Read a directory of events parquet part-files as a stream — the
     * standard file-source layout (new files appearing in the directory
     * become micro-batches; one file per trigger for determinism).

@@ -84,6 +84,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch RangeJoin on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Event(100, 5000, 1, "click", 0.0), Event(101, 9000, 1, "click", 0.0),
+      Event(102, 5000, 2, "click", 0.0))
+    val views = Seq(
+      Event(200, 2000, 1, "view", 0.0), // within 1h of click 100 and 101
+      Event(201, 8990, 1, "view", 0.0), // within 1h of 101 only
+      Event(202, 90000, 1, "view", 0.0), // after everything
+      Event(203, 4000, 2, "view", 0.0)) // user 2
+    val memC = MemoryStream[Event]
+    val memV = MemoryStream[Event]
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_seconds(col("sec")))
+    val q = EventStream.clickViewIntervalJoin(withTs(memC.toDF()), withTs(memV.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      memC.addData(clicks); memV.addData(views)
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch mirror: RangeJoin over the same rows
+      val cDf = clicks.toDF().select($"event_id".as("click_id"), $"user_id", $"sec")
+      val vDf = views.toDF().select($"user_id", $"sec".as("vsec"), $"event_id".as("view_id"))
+      val batch = graft.operators.RangeJoin
+        .intervalJoin(cDf, vDf, "user_id", "sec", "vsec", 3600L)
+        .select("click_id", "ij_view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch)
+      assert(got == Set((100L, 200L), (101L, 201L), (102L, 203L)))
+    } finally q.stop()
+  }
+
   test("watermark bounds state: agg plan carries the 10-minute watermark") {
     val plan = EventStream.hourlyWindowedAgg(eventsBatch).queryExecution.analyzed.toString
     assert(plan.contains("10 minutes") || plan.contains("600000"))
