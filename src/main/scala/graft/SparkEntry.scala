@@ -651,6 +651,38 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Overlapping token-window chunking (context-window preprocessing):
+    // 64-token chunks, 16-token overlap, scan-side explode only.
+    "q62_chunk" -> ((s, dir) =>
+      graft.operators.Chunk.chunkByTokens(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_no"),
+          md5(col("chunk_text")).as("fp"), col("chunk_tokens"))
+        .orderBy("doc_id", "chunk_no")),
+
+    // Data-mix rebalancing to a target language distribution
+    // (40% en, 15% each of de/es/fr/zh) via deterministic hash
+    // thresholds; output = per-language kept counts.
+    "q63_mix_rebalance" -> ((s, dir) =>
+      graft.operators.Mix.rebalance(
+        t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+
+    // Benchmark decontamination: docs sharing >= 3 distinct 8-gram
+    // shingles with the held-out "benchmark" slice (doc_id % 97 == 3)
+    // are flagged; benchmark docs themselves are excluded from the
+    // scored corpus.
+    "q64_decontam" -> { (s, dir) =>
+      val docsDf = t(s, dir, "documents")
+      val bench = docsDf.filter(col("doc_id") % 97 === 3)
+      val corpus = docsDf.filter(col("doc_id") % 97 =!= 3)
+      graft.operators.Decontaminate.flagContaminated(
+        corpus, "doc_id", "text", bench, "text", n = 8, minHits = 3)
+        .orderBy("doc_id")
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1196,6 +1228,54 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q62_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |   unnest(range(0, greatest(CAST(ceil(len(ws) / 48.0) AS INT), 1))) AS chunk_no
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        | md5(list_aggregate(ws[chunk_no * 48 + 1 : chunk_no * 48 + 64],
+        |   'string_agg', ' ')) AS fp,
+        | CAST(len(ws[chunk_no * 48 + 1 : chunk_no * 48 + 64]) AS INT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "q63_mix_rebalance" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(CASE lang WHEN 'en' THEN 0.40 ELSE 0.15 END AS DOUBLE) AS p
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT min(n / p) AS T FROM counts),
+        |rates AS (
+        |  SELECT lang, CAST(floor(p * T / n * 10000) AS INT) AS rate_bp
+        |  FROM counts, t),
+        |b AS (
+        |  SELECT d.doc_id, d.lang, r.rate_bp,
+        |   CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |     % 10000 AS bucket
+        |  FROM documents d JOIN rates r USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM b
+        |WHERE bucket < rate_bp GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q64_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 3),
+        |corpus AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 3),
+        |hits AS (
+        |  SELECT sh.doc_id, count(*) AS n_hits
+        |  FROM sh JOIN bench USING (s)
+        |  WHERE sh.doc_id % 97 <> 3
+        |  GROUP BY sh.doc_id)
+        |SELECT c.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        | (coalesce(h.n_hits, 0) >= 3) AS contaminated
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

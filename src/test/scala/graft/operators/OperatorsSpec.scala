@@ -281,6 +281,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters.count(_._3) == 4, "one survivor per cluster (3 clusters + singleton)")
   }
 
+  test("chunkByTokens: stride/overlap cover every token, texts reconstruct") {
+    import spark.implicits._
+    val txt = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, txt)).toDF("doc_id", "text")
+    val got = Chunk.chunkByTokens(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("chunk_no")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (0, "t1 t2 t3 t4", 4), (1, "t4 t5 t6 t7", 4),
+      (2, "t7 t8 t9 t10", 4), (3, "t10", 1)))
+  }
+
+  test("Mix.rebalance: binding stratum keeps all rows, others are hash-thresholded") {
+    import spark.implicits._
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (100 until 200).map(i => (i.toLong, "b"))).toDF("id", "s")
+    val kept = Mix.rebalance(df, "s", "id", Map("a" -> 0.5, "b" -> 0.5))
+      .groupBy("s").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // T = min(10/0.5, 100/0.5) = 20 -> a keeps 100% (10), b keeps 10%
+    assert(kept("a") == 10L)
+    val expectedB = df.filter(col("s") === "b")
+      .filter(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000 < 1000)
+      .count()
+    assert(kept.getOrElse("b", 0L) == expectedB && expectedB > 0)
+  }
+
+  test("flagContaminated: shared 8-gram span flags the doc, clean doc passes") {
+    import spark.implicits._
+    val benchTxt = (1 to 20).map(i => s"b$i").mkString(" ")
+    val bench = Seq(Tuple1(benchTxt)).toDF("text")
+    // doc 1 embeds a 10-token span of the benchmark -> 3 shared 8-grams
+    val span = (5 to 14).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"x y $span z w"),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val byId = Decontaminate
+      .flagContaminated(corpus, "doc_id", "text", bench, "text", n = 8, minHits = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(byId(1L) == ((3L, true)))
+    assert(byId(2L) == ((0L, false)))
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
