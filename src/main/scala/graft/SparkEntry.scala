@@ -683,6 +683,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Corpus-relative rarity scoring (perplexity proxy): fraction of a
+    // doc's bigram occurrences whose corpus-wide frequency <= 2.
+    "q65_rarity_score" -> ((s, dir) =>
+      graft.operators.LmScore.rarityScore(
+        t(s, dir, "documents"), "doc_id", "text", rareThreshold = 2L)
+        .orderBy("doc_id")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1275,6 +1282,26 @@ object SparkEntry {
         |SELECT c.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         | (coalesce(h.n_hits, 0) >= 3) AS contaminated
         |FROM corpus c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q65_rarity_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |occ AS (
+        |  SELECT doc_id, list_aggregate(ws[i:i+1], 'string_agg', ' ') AS bg
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+        |freq AS (SELECT bg, count(*) AS c FROM occ GROUP BY bg),
+        |pd AS (
+        |  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |   CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM occ JOIN freq USING (bg) GROUP BY occ.doc_id)
+        |SELECT d.doc_id,
+        | coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        | coalesce(pd.n_rare, 0) AS n_rare,
+        | CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+        |      THEN floor(CAST(pd.n_rare AS DOUBLE) / pd.n_bigrams * 1000000) / 1000000
+        |      ELSE 0.0 END AS rare_ratio
+        |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q29_settings" ->

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-relative rarity scoring — a deterministic perplexity proxy
+ * for quality filtering (the role KenLM-style LM scoring plays in
+ * CCNet-like pipelines, reduced to exact integer statistics): a
+ * document full of bigrams that occur nowhere else in the corpus is
+ * either novel or noise, and in scraped data overwhelmingly noise.
+ *
+ * For each document: `n_bigrams` (token bigram occurrences, NOT
+ * distinct — frequency matters for a rate), `n_rare` (occurrences
+ * whose corpus-wide bigram frequency is <= rareThreshold), and
+ * `rare_ratio = n_rare / n_bigrams` (floor-truncated to 6 decimals;
+ * integer inputs keep it engine-exact).
+ *
+ * Plan shape: one pass extracts bigram occurrences (scan-side
+ * explode), one groupBy counts corpus frequencies, one keyed join
+ * scores occurrences, one groupBy folds back to documents. Every
+ * shuffle is keyed on the bigram or the doc id — at 100 TB the
+ * frequency table is large but partitioned, never collected or
+ * broadcast.
+ */
+object LmScore {
+
+  def rarityScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rareThreshold: Long): DataFrame = {
+    require(rareThreshold >= 1, "rareThreshold must be >= 1")
+    val ws = split(trim(col(textCol)), "\\s+")
+    // NON-distinct bigram occurrences (TextOps.shingles dedups — a
+    // rarity RATE needs every occurrence)
+    val bgArr = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val occ = df.select(col(idCol), explode(bgArr).as("bg"))
+
+    val freq = occ.groupBy("bg").agg(count(lit(1)).as("__c"))
+    val perDoc = occ.join(freq, Seq("bg"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c") <= rareThreshold, 1L).otherwise(0L)).as("n_rare"))
+
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        when(col("n_bigrams") > 0,
+          floor(col("n_rare").cast("double") / col("n_bigrams") * 1000000) / 1000000)
+          .otherwise(lit(0.0)))
+  }
+}

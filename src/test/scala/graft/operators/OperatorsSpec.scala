@@ -324,6 +324,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byId(2L) == ((0L, false)))
   }
 
+  test("rarityScore: hand-computed corpus frequencies and per-doc rates") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x3 (docs 1,2,3), "b c" x2 (docs 1,2),
+    // "c d" x1 (doc 1 only), "x y" x1 (doc 4)
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "a b"), (4L, "x y"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val got = LmScore.rarityScore(df, "doc_id", "text", rareThreshold = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 1L, math.floor(1.0 / 3 * 1000000) / 1000000))) // only "c d" rare
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(got(4L) == ((1L, 1L, 1.0))) // "x y" unique in corpus
+    assert(got(5L) == ((0L, 0L, 0.0))) // no bigrams at all
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
