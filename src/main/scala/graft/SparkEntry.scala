@@ -690,6 +690,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", rareThreshold = 2L)
         .orderBy("doc_id")),
 
+    // Symmetric int8 embedding quantization; the array itself is
+    // compared via a digest + checksum (plus max dequantization error
+    // bounded by scale/2, asserted in tests).
+    "q66_quantize" -> ((s, dir) =>
+      graft.operators.Quantize.int8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("qvec"), lit(0L), (acc, v) => acc + v).as("qsum"),
+          md5(array_join(transform(col("qvec"), _.cast("string")), ",")).as("qfp"))
+        .orderBy("vec_id")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1303,6 +1313,22 @@ object SparkEntry {
         |      ELSE 0.0 END AS rare_ratio
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q66_quantize" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |   list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM b),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |   list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+        |     ELSE CAST(floor(x / scale + 0.5) AS INT) END) AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        | CAST(list_sum(qv) AS BIGINT) AS qsum,
+        | md5(list_aggregate(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |   'string_agg', ',')) AS qfp
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

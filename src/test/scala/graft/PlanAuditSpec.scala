@@ -51,4 +51,36 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q02_project_alias_limit")
     assert(p.contains("*("), s"no codegen spans:\n$p")
   }
+
+  test("q53 IN subquery executes as a join, not a per-row subquery") {
+    val p = plan("q53_in_subquery")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
+      s"IN subquery not joined:\n$p")
+    assert(!p.contains("InSubquery"), s"unrewritten IN subquery:\n$p")
+  }
+
+  test("q54 correlated scalar subqueries are decorrelated into aggregates + joins") {
+    val p = plan("q54_scalar_subquery")
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      s"subquery survived decorrelation (per-row execution):\n$p")
+    assert(p.contains("HashAggregate"), s"expected decorrelated aggregate:\n$p")
+  }
+
+  test("q57 interval join stays an equi-join (no cartesian/NLJ)") {
+    val p = plan("q57_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a product plan:\n$p")
+  }
+
+  test("q63 mix-rebalance ships rates via broadcast, not a shuffle of the corpus") {
+    val p = plan("q63_mix_rebalance")
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the rate join:\n$p")
+  }
+
+  test("q64 decontamination joins are keyed (no product plans)") {
+    val p = plan("q64_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination produced a product plan:\n$p")
+  }
 }

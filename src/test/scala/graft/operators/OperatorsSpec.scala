@@ -341,6 +341,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == ((0L, 0L, 0.0))) // no bigrams at all
   }
 
+  test("int8 quantization: values in range, dequant error <= scale/2, zeros safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = ((0 until 50).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian()))) :+
+      (99L, Seq.fill(16)(0.0))).toDF("vec_id", "embedding")
+    val rows = Quantize.int8(df, "embedding")
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        col("qvec"), Quantize.dequant(col("qvec"), col("scale")).as("dq"))
+      .collect()
+    rows.foreach { r =>
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      assert(q.forall(v => v >= -127 && v <= 127), s"out of range: $q")
+      if (r.getLong(0) == 99L) { assert(scale == 0.0 && q.forall(_ == 0)) }
+      else {
+        val orig = r.getSeq[Double](1)
+        val dq = r.getSeq[Double](4)
+        orig.zip(dq).foreach { case (o, d) =>
+          assert(math.abs(o - d) <= scale / 2 + 1e-12, s"error > scale/2: $o vs $d") }
+      }
+    }
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = touched.map(id => id -> {
+        // min node id in the component among touched nodes
+        val root = find(id.toInt)
+        touched.filter(t => find(t.toInt) == root).min
+      }).toMap
+      val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected)
+    }
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
