@@ -700,6 +700,25 @@ object SparkEntry {
           md5(array_join(transform(col("qvec"), _.cast("string")), ",")).as("qfp"))
         .orderBy("vec_id")),
 
+    // TF-IDF keyword extraction: top-3 terms per document.
+    "q67_tfidf_topterms" -> ((s, dir) =>
+      graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // Approximate quantile sketch wrapped with its own accuracy gate
+    // (same pattern as q41): percentile_approx at accuracy 10000 must
+    // land within 1% of the exact per-group median.
+    "q68_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_med"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"))
+        .select(col("l_linestatus"), col("exact_med"),
+          (abs(col("approx_med") - col("exact_med"))
+            / col("exact_med") <= 0.01).as("approx_ok"))
+        .orderBy("l_linestatus")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1329,6 +1348,34 @@ object SparkEntry {
         | md5(list_aggregate(list_transform(qv, x -> CAST(x AS VARCHAR)),
         |   'string_agg', ',')) AS qfp
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q67_tfidf_topterms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS N FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |   CAST(tf AS DOUBLE)
+        |     * (ln(CAST(N + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0) AS score
+        |  FROM tf JOIN dfreq USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, tf, score,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
+        | floor(score * 1000000) / 1000000 AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q68_approx_quantile" ->
+      """SELECT l_linestatus,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med,
+        | TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

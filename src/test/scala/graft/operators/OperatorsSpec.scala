@@ -390,6 +390,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfIdf topTerms: hand-computed scores and ranking") {
+    import spark.implicits._
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry"), (3L, "apple"))
+      .toDF("doc_id", "text")
+    val got = TfIdf.topTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // N=3; df(apple)=2, df(banana)=2, df(cherry)=1
+    // idf(apple/banana)=ln(4/3)+1, idf(cherry)=ln(2)+1
+    assert(got.toSeq == Seq(
+      (1L, 1, "apple", 2L), (1L, 2, "banana", 1L),
+      (2L, 1, "cherry", 1L), (2L, 2, "banana", 1L),
+      (3L, 1, "apple", 1L)))
+    val s = TfIdf.topTerms(df, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1 && col("rank") === 1)
+      .collect()(0).getDouble(4)
+    assert(s == math.floor(2.0 * (math.log(4.0 / 3.0) + 1.0) * 1e6) / 1e6)
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
