@@ -719,6 +719,13 @@ object SparkEntry {
             / col("exact_med") <= 0.01).as("approx_ok"))
         .orderBy("l_linestatus")),
 
+    // Winnowing (MOSS) substring-overlap pairs: shared token runs of
+    // >= k+w-1 = 8 tokens guarantee a shared fingerprint.
+    "q69_winnow_pairs" -> ((s, dir) =>
+      graft.operators.Winnow.overlapPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4, minShared = 2L)
+        .orderBy("a", "b")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1376,6 +1383,30 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med,
         | TRUE AS approx_ok
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q69_winnow_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |   CASE WHEN len(ws) >= 5 THEN
+        |    list_transform(range(1, len(ws) - 3),
+        |      i -> CAST('0x' || substring(md5(list_aggregate(ws[i:i+4],
+        |             'string_agg', ' ')), 1, 15) AS BIGINT))
+        |   ELSE [] END AS hs
+        |  FROM t),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |     unnest(CASE WHEN len(hs) >= 4 THEN
+        |       list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))
+        |      ELSE hs END) AS fp
+        |    FROM grams)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, shared FROM pairs WHERE shared >= 2 ORDER BY a, b""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

@@ -408,6 +408,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s == math.floor(2.0 * (math.log(4.0 / 3.0) + 1.0) * 1e6) / 1e6)
   }
 
+  test("winnowing: shared >= k+w-1 token run guarantees a shared fingerprint") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12-token shared run
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = Winnow.overlapPairs(df, "doc_id", "text", k = 5, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // the shared run is 12 >= k+w-1 = 8 tokens -> guaranteed detection;
+    // whole-doc jaccard at 0.8 would never flag these
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
