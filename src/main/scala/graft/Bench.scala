@@ -4,11 +4,18 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, printing one JSON line. Failed queries are
   * reported in "errors" and excluded from timings (they used to be
-  * recorded as fast -1s timings, poisoning the numbers). */
+  * recorded as fast -1s timings, poisoning the numbers).
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and
+  * the MINIMUM is reported — the host shows measured multi-x
+  * run-to-run noise from outside the VM (BASELINE.md "round-4 note"),
+  * and min-of-N is the standard least-noise estimator for a
+  * deterministic workload. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,10 +39,13 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val ts = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings(name) = ts.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -19,10 +19,15 @@ import graft.torch.{Torch, TorchConf}
  * surface Q1-Q10/Q14 (scan, select-*, projection, aliasing, LIKE
  * filter, array literal, float cast, LIMIT); q27/q28 the torch UDF
  * pipeline I4/I5/Q5-Q7 (golden e2e in GoldenIrisSpec); q29/q30 config +
- * introspection I7/I8/Q11/Q12; q05-q15 the relational breadth
- * (agg/join/window/rollup/set-ops/sessionize) any real workload needs;
- * q16-q26 the LLM-data-pipeline extension set (dedup, MinHash-LSH,
- * SimHash, text analysis, lang-ID, fingerprint, kNN/ANN, multimodal).
+ * introspection I7/I8/Q11/Q12; q05-q15, q31/q32, q36/q37, q44-q51,
+ * q53-q56 the relational breadth (agg/join/window/rollup/cube/set-ops/
+ * pivot/subqueries/sessionize) any real workload needs; q16-q26,
+ * q33-q35, q38-q43, q57-q69 the LLM-data-pipeline extension set
+ * (dedup exact/MinHash-LSH/SimHash/jaccard/embedding, kNN/LSH/IVF ANN,
+ * text analysis and quality signals, lang-ID, fingerprinting,
+ * winnowing overlap, chunking, mix rebalancing, decontamination,
+ * rarity scoring, TF-IDF, quantization, as-of/range joins, hash split,
+ * packing, multimodal plumbing); q52 the composed pipeline capstone.
  */
 object SparkEntry {
 
