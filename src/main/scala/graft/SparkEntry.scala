@@ -1391,7 +1391,7 @@ object SparkEntry {
 
     "q69_winnow_pairs" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
         |grams AS (
         |  SELECT doc_id,
         |   CASE WHEN len(ws) >= 5 THEN
