@@ -40,6 +40,11 @@ object RangeJoin {
     val clashing = (left.columns ++ right.columns).filter(reserved)
     require(clashing.isEmpty,
       s"intervalJoin reserves ${reserved.mkString(", ")}; rename: ${clashing.mkString(", ")}")
+    val prefixClash = right.columns.filterNot(_ == keyCol).map("ij_" + _)
+      .toSet.intersect(left.columns.toSet)
+    require(prefixClash.isEmpty,
+      "intervalJoin outputs right payload columns as ij_<name>; left already has: " +
+        prefixClash.mkString(", "))
 
     val rPayload = right.columns.filterNot(_ == keyCol).toSeq
     val l = left.withColumn("__lb",

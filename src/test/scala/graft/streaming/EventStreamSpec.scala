@@ -118,6 +118,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream -> windowed agg -> parquet sink round-trips vs batch") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // stage the RAW events parquet (nanos ts) as a stream-source
+    // directory — readEventsStream owns the nanos->timestamp conversion
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(srcDir, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckDir = Files.createTempDirectory("graft_stream_ck").toString
+    val q = EventStream.hourlyWindowedAgg(
+        EventStream.readEventsStream(spark, srcDir))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("parquet").option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    // append mode only emits windows the watermark has closed; every
+    // emitted row must match the batch computation exactly
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStream.hourlyWindowedAgg(eventsBatch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty, "no closed windows reached the sink")
+    assert(streamed.subsetOf(batch),
+      s"stream emitted rows absent from batch: ${streamed.diff(batch)}")
+  }
+
   test("watermark bounds state: agg plan carries the 10-minute watermark") {
     val plan = EventStream.hourlyWindowedAgg(eventsBatch).queryExecution.analyzed.toString
     assert(plan.contains("10 minutes") || plan.contains("600000"))
