@@ -731,6 +731,29 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4, minShared = 2L)
         .orderBy("a", "b")),
 
+    // Typed-API funnel analysis (Dataset[Event] + mapGroups): per user,
+    // earliest view -> earliest click at-or-after -> earliest purchase
+    // at-or-after.
+    "q70_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("sec"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Event]
+      graft.operators.Funnel.funnelStages(ev).orderBy("user_id")
+    },
+
+    // Incremental dedup: the "new batch" (doc_id >= 250) near-dup
+    // checked against the standing corpus (doc_id < 250) — no
+    // corpus-x-corpus re-pairing.
+    "q71_incremental_dedup" -> { (s, dir) =>
+      val docsDf = t(s, dir, "documents")
+      Dedup.crossCorpusPairs(
+        docsDf.filter(col("doc_id") < 250), docsDf.filter(col("doc_id") >= 250),
+        "doc_id", "text", n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
+        .orderBy("corpus_id", "new_id")
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1412,6 +1435,34 @@ object SparkEntry {
         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, shared FROM pairs WHERE shared >= 2 ORDER BY a, b""".stripMargin,
+
+    "q70_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |v AS (SELECT user_id, min(sec) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(sec) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND sec >= t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(sec) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND sec >= t_click GROUP BY e.user_id)
+        |SELECT u.user_id,
+        | CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |           WHEN c.t_click IS NOT NULL THEN 2
+        |           WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+        | v.t_view, c.t_click, p.t_purchase
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q71_incremental_dedup" ->
+      s"""WITH $jaccardCtes
+         |SELECT CASE WHEN a < 250 THEN a ELSE b END AS corpus_id,
+         |       CASE WHEN a < 250 THEN b ELSE a END AS new_id, jaccard
+         |FROM jac
+         |WHERE jaccard >= 0.8 AND ((a < 250) <> (b < 250))
+         |ORDER BY corpus_id, new_id""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

@@ -175,6 +175,50 @@ object Dedup {
   }
 
   /**
+   * Incremental (cross-corpus) near-dup detection: MinHash-LSH pairs
+   * between an EXISTING corpus and a NEW batch — the daily-ingest
+   * shape, where the new slice is deduped against everything already
+   * accepted without ever re-pairing the old corpus with itself.
+   * Same banding/verification as [[minHashLshPairs]]; candidates come
+   * only from (corpus, new) bucket collisions. Ids must be disjoint.
+   * Output: (corpus_id, new_id, jaccard).
+   */
+  def crossCorpusPairs(
+      corpus: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    def withSets(df: DataFrame) = df.select(col(idCol),
+      graft.functions.ShingleHashes.shingle_hashes(spark, col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(false) // read by the banding stage AND the verify join
+    def banded(sets: DataFrame) = sets.select(
+      col(idCol),
+      posexplode(graft.functions.MinHashBuckets
+        .minhash_buckets(spark, col("sh"), bands, rowsPerBand)))
+      .toDF(idCol, "band", "bucket")
+    val cSets = withSets(corpus)
+    val fSets = withSets(fresh)
+    val cand = banded(cSets).toDF("corpus_id", "band", "bucket")
+      .join(banded(fSets).toDF("new_id", "band", "bucket"), Seq("band", "bucket"))
+      .select("corpus_id", "new_id")
+      .dropDuplicates("corpus_id", "new_id")
+    cand
+      .join(cSets.toDF("corpus_id", "sha"), Seq("corpus_id"))
+      .join(fSets.toDF("new_id", "shb"), Seq("new_id"))
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        col("i") / (size(col("sha")) + size(col("shb")) - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("jaccard"))
+  }
+
+  /**
    * SimHash near-dup pairs: 64-bit fingerprint per doc
    * ([[graft.functions.SimHash64]]), candidates via the pigeonhole
    * principle — hamming distance <= 3 over 64 bits implies at least one

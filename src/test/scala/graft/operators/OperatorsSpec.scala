@@ -426,6 +426,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("funnel stages: staged minimums, >= semantics, partial funnels") {
+    import spark.implicits._
+    import graft.streaming.Event
+    val ev = Seq(
+      // user 1 completes: view@10, click@10 (same sec ok), purchase@30
+      Event(1, 10, 1, "view", 0), Event(2, 10, 1, "click", 0),
+      Event(3, 30, 1, "purchase", 0),
+      // user 2: click BEFORE any view never counts
+      Event(4, 5, 2, "click", 0), Event(5, 10, 2, "view", 0),
+      // user 3: purchase before click -> stage stops at view
+      Event(6, 10, 3, "view", 0), Event(7, 5, 3, "purchase", 0)).toDS()
+    val got = graft.operators.Funnel.funnelStages(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(1L) == ((3, Some(10L), Some(10L), Some(30L))))
+    assert(got(2L) == ((1, Some(10L), None, None)))
+    assert(got(3L) == ((1, Some(10L), None, None)))
+  }
+
+  test("crossCorpusPairs == exact cross-half jaccard pairs on the test corpus") {
+    val left = docs.filter(col("doc_id") < 250)
+    val right = docs.filter(col("doc_id") >= 250)
+    val got = Dedup.crossCorpusPairs(left, right, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.filter { case (a, b) => (a < 250) != (b < 250) }
+      .map { case (a, b) => if (a < 250) (a, b) else (b, a) }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
