@@ -754,6 +754,21 @@ object SparkEntry {
         .orderBy("corpus_id", "new_id")
     },
 
+    // LATERAL correlated subquery join (per-customer top-2 orders) —
+    // Catalyst plans the lateral as a decorrelated join, not a per-row
+    // re-execution.
+    "q72_lateral" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g72_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g72_customer")
+      s.sql(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM g72_customer,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM g72_orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1463,6 +1478,14 @@ object SparkEntry {
          |FROM jac
          |WHERE jaccard >= 0.8 AND ((a < 250) <> (b < 250))
          |ORDER BY corpus_id, new_id""".stripMargin,
+
+    "q72_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

@@ -204,7 +204,11 @@ object Dedup {
       .toDF(idCol, "band", "bucket")
     val cSets = withSets(corpus)
     val fSets = withSets(fresh)
+    // pin the bucket-join shuffle width — see jaccardPairs (AQE's
+    // byte-based coalescing vs the candidate expansion)
+    val p = spark.sessionState.conf.numShufflePartitions
     val cand = banded(cSets).toDF("corpus_id", "band", "bucket")
+      .repartition(p, col("band"), col("bucket"))
       .join(banded(fSets).toDF("new_id", "band", "bucket"), Seq("band", "bucket"))
       .select("corpus_id", "new_id")
       .dropDuplicates("corpus_id", "new_id")
