@@ -769,6 +769,19 @@ object SparkEntry {
           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
     },
 
+    // Exact decimal money aggregation: totals as DECIMAL(18,2) cents —
+    // no float summation order anywhere; rendered as strings so the
+    // comparison is textual-exact.
+    "q73_decimal_exact" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("t"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          col("t").cast("decimal(18,2)").cast("string").as("total_exact"),
+          col("n"))
+        .orderBy("o_orderpriority")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1486,6 +1499,13 @@ object SparkEntry {
         |         WHERE o_custkey = c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q73_decimal_exact" ->
+      """SELECT o_orderpriority,
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |   AS VARCHAR) AS total_exact,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

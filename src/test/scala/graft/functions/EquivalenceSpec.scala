@@ -49,6 +49,23 @@ class EquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_fps gram hash == SQL conv(substring(md5, 1, 15), 16, 10)") {
+    // k=1, w=1: fingerprints are exactly the distinct per-token hashes,
+    // so the native digest math ((first 8 md5 bytes) >>> 4) must equal
+    // the composed md5/conv column expression token by token
+    val native = docs.select(col("doc_id"),
+      WinnowFps.winnow_fps(spark, col("text"), 1, 1).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = docs.select(col("doc_id"),
+      array_distinct(transform(
+        call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == composed.keySet)
+    // native emits nothing for empty docs; composed emits an empty array
+    native.foreach { case (id, fps) => assert(fps == composed(id), s"doc $id") }
+  }
+
   test("lsh_band_keys matches signBits-derived band keys for <=64 planes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
