@@ -66,6 +66,22 @@ class EquivalenceSpec extends AnyFunSuite {
     native.foreach { case (id, fps) => assert(fps == composed(id), s"doc $id") }
   }
 
+  test("MinHashAgg over exploded shingle hashes == minhash_sig on the array") {
+    val numHashes = 32
+    val withSets = docs.select(col("doc_id"),
+      ShingleHashes.shingle_hashes(spark, col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val viaExpr = withSets.select(col("doc_id"),
+      MinHashSig.minhash_sig(spark, col("sh"), numHashes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = withSets
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(MinHashAgg.minhash_agg(spark, col("h"), numHashes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaExpr)
+  }
+
   test("lsh_band_keys matches signBits-derived band keys for <=64 planes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
