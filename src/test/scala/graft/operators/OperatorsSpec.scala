@@ -457,6 +457,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("chunk reconstruction property: overlap-stripped concat == original tokens") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val docsRnd = (0 until 30).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (chunkSize, overlap) = (7, 3)
+    val chunks = Chunk.chunkByTokens(docsRnd, "doc_id", "text", chunkSize, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    docsRnd.collect().foreach { r =>
+      val (id, txt) = (r.getLong(0), r.getString(1))
+      val toks = txt.split("\\s+").toSeq
+      val rebuilt = chunks(id).zipWithIndex.flatMap { case (c, i) =>
+        val ct = c.split("\\s+").toSeq
+        if (i == 0) ct else ct.drop(overlap)
+      }
+      assert(rebuilt == toks, s"doc $id: $rebuilt != $toks")
+    }
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -499,6 +521,27 @@ class OperatorsSpec extends AnyFunSuite {
     val out = Multimodal.withDecodedMeta(df, "payload", "meta")
       .collect().sortBy(_.getInt(0))
     assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+  }
+
+  test("drop-and-recreate rebinds function config (reference lib.rs:81-84 flow)") {
+    // the reference documents that a function binds its config at
+    // CREATE time; changing settings requires drop + re-create. Mirror:
+    // register, DROP TEMPORARY FUNCTION via SQL, re-create under a new
+    // batch_size — the registry reflects the recreation, not an error.
+    graft.torch.Torch.createFunction(spark, "graft_iris_rebind",
+      "/root/reference/model/iris.spt")
+    assert(spark.catalog.functionExists("graft_iris_rebind"))
+    spark.sql("DROP TEMPORARY FUNCTION graft_iris_rebind")
+    assert(!spark.catalog.functionExists("graft_iris_rebind"))
+    spark.conf.set(graft.torch.TorchConf.BatchSizeKey, "8")
+    try {
+      graft.torch.Torch.createFunction(spark, "graft_iris_rebind",
+        "/root/reference/model/iris.spt")
+      assert(spark.catalog.functionExists("graft_iris_rebind"))
+      val n = spark.read.parquet("/root/reference/data/iris.snappy.parquet")
+        .selectExpr("graft_iris_rebind(features) AS p").count()
+      assert(n == 314)
+    } finally spark.conf.unset(graft.torch.TorchConf.BatchSizeKey)
   }
 
   test("model loads from a file: URL (Hadoop-FS URL source path, Q15)") {
