@@ -21,6 +21,10 @@ final case class SessionState(sessionId: Long, lastSec: Long, eventsInSession: L
 final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, last_sec: Long)
     extends Serializable
 
+/** Per-user funnel progression state for [[EventStream.funnelStream]]. */
+final case class FunnelState(tv: Option[Long], tc: Option[Long], tp: Option[Long])
+    extends Serializable
+
 /**
  * Structured Streaming operators over the `events` shape
  * (TESTDATA.md): windowed aggregation with watermarking, and custom
@@ -129,6 +133,50 @@ object EventStream {
       .select(col("click_id"), col("c_user").as("user_id"), col("view_id"),
         unix_timestamp(col("c_ts")).as("click_sec"),
         unix_timestamp(col("v_ts")).as("view_sec"))
+  }
+
+  /**
+   * Streaming funnel tracking — the stateful-stream mirror of the
+   * batch [[graft.operators.Funnel]]: per user, the earliest view,
+   * earliest click at-or-after it, earliest purchase at-or-after that,
+   * maintained incrementally across micro-batches with
+   * `mapGroupsWithState` (per-user state is three optional longs —
+   * constant size, unlike buffering the events). Emits the user's
+   * current [[graft.operators.FunnelOut]] after every batch that
+   * touches the user (Update mode); the final state equals the batch
+   * operator's output on the same rows.
+   *
+   * Caveat shared with any incremental funnel: a stage minimum only
+   * moves FORWARD in event-time as data arrives, so out-of-order
+   * delivery ACROSS micro-batches can yield a different (later-stage)
+   * result than batch — deliver in event-time order (or batch-replay)
+   * when exact parity matters; within one micro-batch ordering is
+   * handled here.
+   */
+  def funnelStream(events: Dataset[Event]): Dataset[graft.operators.FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, graft.operators.FunnelOut](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val s0 = state.getOption.getOrElse(FunnelState(None, None, None))
+          var (tv, tc, tp) = (s0.tv, s0.tc, s0.tp)
+          // event-time order within the batch; state carries order
+          // across batches
+          val evs = it.toIndexedSeq.sortBy(e => (e.sec, e.event_id))
+          evs.foreach { e =>
+            e.event_type match {
+              case "view" if tv.isEmpty => tv = Some(e.sec)
+              case "click" if tc.isEmpty && tv.exists(_ <= e.sec) => tc = Some(e.sec)
+              case "purchase" if tp.isEmpty && tc.exists(_ <= e.sec) => tp = Some(e.sec)
+              case _ =>
+            }
+          }
+          state.update(FunnelState(tv, tc, tp))
+          val stage = Seq(tv, tc, tp).takeWhile(_.isDefined).length
+          graft.operators.FunnelOut(uid, stage, tv, tc, tp)
+      }
   }
 
   /** Read a directory of events parquet part-files as a stream — the

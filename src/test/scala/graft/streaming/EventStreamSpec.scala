@@ -146,6 +146,33 @@ class EventStreamSpec extends AnyFunSuite {
       s"stream emitted rows absent from batch: ${streamed.diff(batch)}")
   }
 
+  test("streaming funnel state == batch funnel on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select($"event_id", unix_timestamp($"ts").as("sec"), $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnelStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("funnel_out").start()
+    try {
+      // split across two micro-batches by event time (sorted), so state
+      // genuinely carries across batches
+      val sorted = rows.sortBy(e => (e.sec, e.event_id))
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("funnel_out")
+        .groupBy("user_id").agg(max(struct("stage", "t_view", "t_click", "t_purchase")).as("s"))
+        .select("user_id", "s.stage", "s.t_view", "s.t_click", "s.t_purchase")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.get(2), r.get(3), r.get(4)))).toMap
+      val batch = graft.operators.Funnel.funnelStages(rows.toDS())
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.get(2), r.get(3), r.get(4)))).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark bounds state: agg plan carries the 10-minute watermark") {
     val plan = EventStream.hourlyWindowedAgg(eventsBatch).queryExecution.analyzed.toString
     assert(plan.contains("10 minutes") || plan.contains("600000"))
