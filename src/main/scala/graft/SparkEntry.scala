@@ -782,6 +782,27 @@ object SparkEntry {
           col("n"))
         .orderBy("o_orderpriority")),
 
+    // Per-source corpus triage: document counts, token budget, quality
+    // profile, and the share passing the q52 pipeline's quality gates —
+    // the "which sources are worth crawling" dashboard.
+    "q74_source_profile" -> { (s, dir) =>
+      val qual = TextOps.qualityScore(col("text"))
+      val total2 = TextOps.strictTokenCount(col("text")) - 1
+      val d2 = size(graft.functions.Shingles.shingles(s, col("text"), 2))
+      val rep2 = when(total2 > 0,
+        lit(1.0) - d2.cast("double") / total2.cast("double")).otherwise(lit(0.0))
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          (floor(avg(qual) * 1000000) / 1000000).as("avg_quality"),
+          (floor(sum(when(qual >= 0.3 && rep2 <= 0.5, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)) * 1000000) / 1000000).as("keep_share"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1506,6 +1527,34 @@ object SparkEntry {
         |   AS VARCHAR) AS total_exact,
         | CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q74_source_profile" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok,
+        |   (least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 64.0,
+        |      1.0) * 0.4
+        |    + CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
+        |        AS DOUBLE) / CAST(length(text) AS DOUBLE) * 0.4
+        |    + CASE WHEN CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '',
+        |                 'g'))) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |              BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END * 0.2) AS quality,
+        |   CASE WHEN len(regexp_extract_all(text, '\S+')) - 1 > 0
+        |        THEN 1.0 - CAST(len(list_distinct(list_transform(
+        |               range(1, len(regexp_extract_all(text, '\S+'))),
+        |               i -> regexp_extract_all(text, '\S+')[i] || ' '
+        |                    || regexp_extract_all(text, '\S+')[i + 1]))) AS DOUBLE)
+        |             / (len(regexp_extract_all(text, '\S+')) - 1)
+        |        ELSE 0.0 END AS rep2
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        | floor(avg(quality) * 1000000) / 1000000 AS avg_quality,
+        | floor(CAST(sum(CASE WHEN quality >= 0.3 AND rep2 <= 0.5 THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / count(*) * 1000000) / 1000000 AS keep_share,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES
