@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
  * scores occurrences, one groupBy folds back to documents. Every
  * shuffle is keyed on the bigram or the doc id — at 100 TB the
  * frequency table is large but partitioned, never collected or
- * broadcast.
+ * broadcast. The occurrence stream is deliberately NOT checkpointed
+ * although two consumers read it (frequency agg + scoring join):
+ * re-running a pruned scan + regex is cheaper than materializing a
+ * row per token — the opposite trade from the pair operators, whose
+ * checkpointed intermediates are narrow signature tables.
  */
 object LmScore {
 
