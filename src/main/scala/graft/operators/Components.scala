@@ -35,10 +35,13 @@ object Components {
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // the edge list is read twice (both union sides) — checkpoint it so
+    // an expensive upstream (e.g. a minhash pair pipeline) runs once
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(false)
     // symmetric adjacency — one narrow (src, dst) table, reused every
     // iteration (checkpointed: the loop reads it maxIter times)
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(false)
 

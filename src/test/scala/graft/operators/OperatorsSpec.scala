@@ -479,6 +479,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Mix.rebalance property: kept shares track targets within hash noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 6000).map { i =>
+      val s = rnd.nextInt(10) match {
+        case x if x < 6 => "web" // 60%
+        case x if x < 9 => "books" // 30%
+        case _ => "code" // 10%
+      }
+      (i.toLong, s)
+    }.toDF("id", "s")
+    val targets = Map("web" -> 0.3, "books" -> 0.3, "code" -> 0.4)
+    val before = df.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Mix.rebalance(df, "s", "id", targets)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(n_s / p_s) -> binding stratum (code: ~600/0.4) keeps ~100%
+    val t = targets.keys.map(s => before(s) / targets(s)).min
+    targets.foreach { case (s, p) =>
+      val expect = p * t
+      val tol = 4 * math.sqrt(expect) + 1 // binomial 4-sigma
+      assert(math.abs(kept(s) - expect) <= tol,
+        s"$s kept ${kept(s)} vs target $expect (tol $tol)")
+    }
+  }
+
+  test("winnowing guarantee property: exactly k+w-1 shared tokens always detected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val k = 4; val w = 3
+    val cases = (0 until 10).map { t =>
+      val runLen = k + w - 1 // the minimal guaranteed-detection length
+      val shared = (0 until runLen).map(_ => s"s${t}_${rnd.nextInt(5)}").mkString(" ")
+      val pad1 = (0 until 10).map(_ => s"a${t}_${rnd.nextInt(50)}").mkString(" ")
+      val pad2 = (0 until 10).map(_ => s"b${t}_${rnd.nextInt(50)}").mkString(" ")
+      Seq((t * 2L, s"$pad1 $shared"), (t * 2 + 1L, s"$shared $pad2"))
+    }
+    val df = cases.flatten.toDF("doc_id", "text")
+    val pairs = Winnow.overlapPairs(df, "doc_id", "text", k, w, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { t =>
+      assert(pairs.contains((t * 2L, t * 2 + 1L)),
+        s"case $t: planted ${k + w - 1}-token run not detected")
+    }
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
