@@ -35,6 +35,28 @@ class SinkSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(a == b)
 
+    ()
+  }
+
+  test("compact merges sliver files, preserves rows, survives re-read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // write deliberately fragmented: 64 sliver files
+    (0 until 10000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    val (nBefore, nAfter) = Sink.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(nBefore == 64 && nAfter == 1, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("training shards: pruning details") {
+    val out = Files.createTempDirectory("graft_shards2").toString
+    val packed = graft.operators.Pipeline
+      .prepareTrainingData(spark.read.parquet(s"$sfDir/documents.parquet"))
+    Sink.writeTrainingShards(packed, out, binsPerShard = 2L)
+    val back = spark.read.parquet(out)
     // split filter prunes partitions at the scan (directory filter)
     val pruned = back.filter(col("split") === "train")
     val plan = pruned.queryExecution.executedPlan.toString
