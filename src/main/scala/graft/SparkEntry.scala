@@ -803,6 +803,28 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // Second composed capstone — retrieval/embedding prep from the
+    // round-4 operators: benchmark decontamination -> language-mix
+    // rebalancing -> overlapping chunking, verified end-to-end by one
+    // SQL specification.
+    "q75_retrieval_prep" -> { (s, dir) =>
+      val docsDf = t(s, dir, "documents")
+      val bench = docsDf.filter(col("doc_id") % 97 === 3)
+      val corpus = docsDf.filter(col("doc_id") % 97 =!= 3)
+      val clean = graft.operators.Decontaminate
+        .flagContaminated(corpus, "doc_id", "text", bench, "text", n = 8, minHits = 3)
+        .filter(!col("contaminated"))
+        .select("doc_id")
+        .join(corpus, Seq("doc_id"))
+      val balanced = graft.operators.Mix.rebalance(clean, "lang", "doc_id",
+        Map("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2))
+      graft.operators.Chunk
+        .chunkByTokens(balanced, "doc_id", "text", chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_no"),
+          md5(col("chunk_text")).as("fp"), col("chunk_tokens"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1555,6 +1577,43 @@ object SparkEntry {
         |     AS DOUBLE) / count(*) * 1000000) / 1000000 AS keep_share,
         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q75_retrieval_prep" ->
+      """WITH toksd AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh8 AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toksd)),
+        |bench AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 97 = 3),
+        |hits AS (
+        |  SELECT sh8.doc_id, count(*) AS n_hits FROM sh8 JOIN bench USING (s)
+        |  WHERE sh8.doc_id % 97 <> 3 GROUP BY sh8.doc_id),
+        |clean AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  LEFT JOIN hits h USING (doc_id)
+        |  WHERE d.doc_id % 97 <> 3 AND coalesce(h.n_hits, 0) < 3),
+        |counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(0.2 AS DOUBLE) AS p
+        |  FROM clean GROUP BY lang),
+        |tt AS (SELECT min(n / p) AS T FROM counts),
+        |rates AS (
+        |  SELECT lang, CAST(floor(p * T / n * 10000) AS INT) AS rate_bp
+        |  FROM counts, tt),
+        |kept AS (
+        |  SELECT c.doc_id, c.text FROM clean c JOIN rates r USING (lang)
+        |  WHERE CAST('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        % 10000 < r.rate_bp),
+        |tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM kept),
+        |ch AS (
+        |  SELECT doc_id, ws,
+        |   unnest(range(0, greatest(CAST(ceil(len(ws) / 48.0) AS INT), 1))) AS chunk_no
+        |  FROM tk)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        | md5(list_aggregate(ws[chunk_no * 48 + 1 : chunk_no * 48 + 64],
+        |   'string_agg', ' ')) AS fp,
+        | CAST(len(ws[chunk_no * 48 + 1 : chunk_no * 48 + 64]) AS INT) AS chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES
