@@ -825,6 +825,36 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_no")
     },
 
+    // RANGE-framed window (event-time trailing hour, not row-count):
+    // sums exact DECIMAL cents — engines disagree on float summation
+    // order inside window frames (segment trees vs accumulation).
+    "q76_range_frame" -> { (s, dir) =>
+      events(s, dir).createOrReplaceTempView("g76_events")
+      s.sql(
+        """SELECT event_id, user_id,
+          |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY user_id ORDER BY unix_timestamp(ts)
+          |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+          |    AS STRING) AS trailing_hour
+          |FROM g76_events ORDER BY event_id""".stripMargin)
+    },
+
+    // Join-strategy hint surface: SHUFFLE_HASH forces the dimension
+    // join off the broadcast path (asserted in PlanAuditSpec); results
+    // are identical to the unhinted q06.
+    "q77_join_hint" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g77_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g77_customer")
+      t(s, dir, "nation").createOrReplaceTempView("g77_nation")
+      s.sql(
+        """SELECT /*+ SHUFFLE_HASH(c) */ n_name,
+          |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+          |FROM g77_orders o
+          |JOIN g77_customer c ON o_custkey = c_custkey
+          |JOIN g77_nation n ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1614,6 +1644,22 @@ object SparkEntry {
         |   'string_agg', ' ')) AS fp,
         | CAST(len(ws[chunk_no * 48 + 1 : chunk_no * 48 + 64]) AS INT) AS chunk_tokens
         |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "q76_range_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+        |   AS VARCHAR) AS trailing_hour
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q77_join_hint" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o_custkey = c_custkey
+        |JOIN nation n ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

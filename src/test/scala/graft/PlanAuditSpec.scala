@@ -78,6 +78,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the rate join:\n$p")
   }
 
+  test("q77 SHUFFLE_HASH hint forces the customer join off the broadcast path") {
+    val p = plan("q77_join_hint")
+    assert(p.contains("ShuffledHashJoin"), s"hint ignored:\n$p")
+  }
+
   test("q64 decontamination joins are keyed (no product plans)") {
     val p = plan("q64_decontam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
