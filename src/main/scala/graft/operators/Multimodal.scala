@@ -64,6 +64,63 @@ object Multimodal {
   }
 
   /**
+   * REAL feature extraction (no codec needed): 256-bin byte histogram,
+   * L1-normalized, as `array<float>` — a legitimate content signature
+   * for opaque binaries (format detection, corruption triage, and
+   * near-dup candidate generation via the embedding operators:
+   * histogram vectors feed [[Similarity]] unchanged). mapPartitions
+   * over the row iterator, one pass per payload.
+   */
+  def byteHistogramFeatures(df: DataFrame, binCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.isEmpty) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val counts = new Array[Int](256)
+          var i = 0
+          while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+          val n = bytes.length.toFloat
+          Row.fromSeq(r.toSeq :+ counts.map(_ / n).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Resize STUB: deterministic byte subsampling to `targetBytes`
+   * (every ceil(len/target)-th byte) standing in for an image resize —
+   * the plumbing (binary in, smaller binary out, metadata updated) is
+   * real; swap the sampler for a real scaler alongside
+   * [[FakeDecoder]].
+   */
+  def resizeStub(df: DataFrame, binCol: String, outCol: String, targetBytes: Int): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq :+ null)
+        else if (bytes.length <= targetBytes) Row.fromSeq(r.toSeq :+ bytes)
+        else {
+          val stride = math.ceil(bytes.length.toDouble / targetBytes).toInt
+          val out = Array.range(0, bytes.length, stride).map(bytes(_))
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
    * Frame-sampling stub for "video" payloads: emits one row per sampled
    * frame offset (every `stride` bytes stands in for every Nth frame),
    * carrying (doc id, frame_no, frame_bytes). Exercises the explode /

@@ -524,6 +524,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte histogram features: exact bins, normalization, near-dup composition") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[Byte](0, 0, 1, 1)),
+      (2L, Array[Byte](0, 0, 1, 2)),
+      (3L, Array.fill[Byte](100)(7))).toDF("id", "b")
+    val feats = Multimodal.byteHistogramFeatures(df, "b", "f")
+    val byId = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(byId(1L)(0) == 0.5f && byId(1L)(1) == 0.5f && byId(1L).sum == 1.0f)
+    assert(byId(3L)(7) == 1.0f)
+    // histogram vectors feed the similarity operators unchanged
+    val top = Similarity.bruteForceTopK(
+      feats.select(col("id").as("vec_id"), col("f").as("embedding")),
+      feats.filter(col("id") === 1L).select(col("id").as("vec_id"), col("f").as("embedding")),
+      "vec_id", "embedding", k = 1)
+      .collect()(0)
+    assert(top.getLong(2) == 2L, s"nearest to doc1 should be doc2: $top")
+  }
+
+  test("resize stub: target size respected, short payloads pass through, null safe") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("b", BinaryType)))
+    val rows = java.util.Arrays.asList(
+      Row(1, Array.range(0, 100).map(_.toByte)), Row(2, Array[Byte](1, 2)), Row(3, null))
+    val df = spark.createDataFrame(rows, schema)
+    val out = Multimodal.resizeStub(df, "b", "small", 10)
+      .collect().map(r => r.getInt(0) -> Option(r.getAs[Array[Byte]](2))).toMap
+    assert(out(1).get.length == 10 && out(1).get(0) == 0 && out(1).get(1) == 10)
+    assert(out(2).get.toSeq == Seq[Byte](1, 2))
+    assert(out(3).isEmpty)
+  }
+
+  test("punctCount counts punctuation characters only") {
+    import spark.implicits._
+    val got = Seq(Tuple1("a, b. c! d")).toDF("t")
+      .select(TextOps.punctCount(col("t"))).collect()(0).getInt(0)
+    assert(got == 3)
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
