@@ -855,6 +855,21 @@ object SparkEntry {
           |GROUP BY n_name ORDER BY n_name""".stripMargin)
     },
 
+    // Incremental embedding near-dup: perturbed copies (ids +100000,
+    // first component scaled 1.5x like q33) arrive as the "new batch"
+    // and are checked against the standing corpus only.
+    "q78_embed_incremental" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val fresh = emb.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) * 1.5), slice(col("e"), 2, 63)).as("e"))
+      Similarity.crossCorpusNearDup(emb, fresh, "vec_id", "e",
+        threshold = 0.98, dim = 64)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("corpus_id", "new_id")
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1660,6 +1675,17 @@ object SparkEntry {
         |JOIN customer c ON o_custkey = c_custkey
         |JOIN nation n ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q78_embed_incremental" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |fresh AS (
+        |  SELECT vec_id + 100000 AS vec_id, list_concat([e[1] * 1.5], e[2:]) AS e
+        |  FROM base)
+        |SELECT c.vec_id AS corpus_id, f.vec_id AS new_id,
+        | round(list_cosine_similarity(c.e, f.e), 6) AS cos
+        |FROM base c JOIN fresh f ON list_cosine_similarity(c.e, f.e) >= 0.98
+        |ORDER BY corpus_id, new_id""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

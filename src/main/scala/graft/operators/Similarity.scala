@@ -93,6 +93,46 @@ object Similarity {
    * default 128 planes / 16 bands miss a 0.98-cosine pair with prob
    * ~(1 - 0.936^8)^16 ~= 6e-7.
    */
+  // Band-key rows carry the FULL packed signature (numPlanes/64 longs,
+  // appended to the lsh_band_keys output) so band-collision candidates
+  // can be hamming-prefiltered before the expensive join back to the
+  // wide embedding arrays: for a true pair at cosine >= t the expected
+  // differing-bit fraction is acos(t)/pi, while a random pair sits at
+  // ~numPlanes/2 — six sigmas apart, so the filter kills ~all random
+  // band collisions at no recall cost. `sig` is materialized in its
+  // own projection so the one-pass native expression is evaluated once
+  // (CollapseProject keeps multi-use non-cheap aliases un-inlined).
+  // Checkpointed AFTER the pinned repartition: multiple consumers read
+  // it (join aliases defeat exchange reuse); the repartition itself
+  // pins the expansion shuffle width against AQE byte-based coalescing.
+  private def bandedSigs(
+      base: DataFrame, dim: Int, numPlanes: Int, bands: Int): DataFrame = {
+    val spark = base.sparkSession
+    val nWords = (numPlanes + 63) / 64
+    val sigged = base
+      .select(col("id"),
+        graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), numPlanes, bands,
+            dim = dim)
+          .as("sig"))
+    val wNames = (0 until nWords).map(w => s"w$w")
+    val wordCols = (0 until nWords).map(w =>
+      element_at(col("sig"), bands + w + 1).as(s"w$w"))
+    sigged
+      .select(col("id") +: wordCols :+ posexplode(slice(col("sig"), 1, bands)): _*)
+      .toDF(("id" +: wNames :+ "band" :+ "key"): _*)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("key"))
+      .localCheckpoint(false)
+  }
+
+  /** Hamming cutoff that loses ~no recall at `threshold` (6 sigma over
+    * the expected differing-bit count of a true pair). */
+  private def hammingCutoff(numPlanes: Int, threshold: Double): Int = {
+    val diffFrac = math.acos(threshold) / math.Pi
+    math.ceil(numPlanes * diffFrac
+      + 6.0 * math.sqrt(numPlanes * diffFrac * (1 - diffFrac)) + 2).toInt
+  }
+
   def nearDupPairs(
       corpus: DataFrame,
       idCol: String,
@@ -103,46 +143,11 @@ object Similarity {
       bands: Int = 16): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val spark = corpus.sparkSession
-    val base = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
-
-    // Band-key rows carry the FULL packed signature (numPlanes/64 longs,
-    // appended to the lsh_band_keys output) so band-collision candidates
-    // can be hamming-prefiltered before the expensive join back to the
-    // wide embedding arrays: for a true pair at cosine >= t the expected
-    // differing-bit fraction is acos(t)/pi, while a random pair sits at
-    // ~numPlanes/2 — six sigmas apart, so the filter kills ~all random
-    // band collisions at no recall cost. `sig` is materialized in its
-    // own projection so the one-pass native expression is evaluated once
-    // (CollapseProject keeps multi-use non-cheap aliases un-inlined).
     val nWords = (numPlanes + 63) / 64
-    val sigged = base
-      .select(col("id"),
-        graft.functions.LshBandKeys.lsh_band_keys(spark, col("e"), numPlanes, bands,
-            dim = dim)
-          .as("sig"))
     val wNames = (0 until nWords).map(w => s"w$w")
-    val wordCols = (0 until nWords).map(w =>
-      element_at(col("sig"), bands + w + 1).as(s"w$w"))
-    val banded = sigged
-      .select(col("id") +: wordCols :+ posexplode(slice(col("sig"), 1, bands)): _*)
-      .toDF(("id" +: wNames :+ "band" :+ "key"): _*)
-      // pin the band-join shuffle width: the banded rows are few BYTES
-      // but the self-join expands candidates, and AQE byte-based
-      // coalescing would run that expansion on ~1 partition
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("band"), col("key"))
-      // Checkpointed AFTER the pinned repartition: both self-join
-      // sides read it (aliases defeat exchange reuse), so without this
-      // the full scan -> 128-plane signature -> explode -> shuffle
-      // lineage runs once per side. Blocks are freed when the returned
-      // DataFrame is dropped (see the cache-lifecycle note above).
-      .localCheckpoint(false)
-
-    val diffFrac = math.acos(threshold) / math.Pi
-    val maxHamming = math.ceil(
-      numPlanes * diffFrac
-        + 6.0 * math.sqrt(numPlanes * diffFrac * (1 - diffFrac)) + 2).toInt
-
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
+    val banded = bandedSigs(base, dim, numPlanes, bands)
+    val maxHamming = hammingCutoff(numPlanes, threshold)
     val l = banded.toDF(("ida" +: wNames.map(_ + "a") :+ "band" :+ "key"): _*)
     val r = banded.toDF(("idb" +: wNames.map(_ + "b") :+ "band" :+ "key"): _*)
     val hamming = (0 until nWords)
@@ -159,6 +164,50 @@ object Similarity {
       .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"), col("cos"))
+  }
+
+  /**
+   * Incremental embedding near-dup: pairs between a standing corpus
+   * and a NEW batch — the embedding-side sibling of
+   * [[Dedup.crossCorpusPairs]]. Candidates come only from
+   * (corpus, new) band collisions, hamming-prefiltered, exact-verified.
+   * Ids must be disjoint. Output: (corpus_id, new_id, cos).
+   */
+  def crossCorpusNearDup(
+      corpus: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      dim: Int,
+      numPlanes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val spark = corpus.sparkSession
+    val nWords = (numPlanes + 63) / 64
+    val wNames = (0 until nWords).map(w => s"w$w")
+    val cBase = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
+      .localCheckpoint(false) // read by banding AND the verify join
+    val fBase = fresh.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
+      .localCheckpoint(false)
+    val maxHamming = hammingCutoff(numPlanes, threshold)
+    val l = bandedSigs(cBase, dim, numPlanes, bands)
+      .toDF(("corpus_id" +: wNames.map(_ + "a") :+ "band" :+ "key"): _*)
+    val r = bandedSigs(fBase, dim, numPlanes, bands)
+      .toDF(("new_id" +: wNames.map(_ + "b") :+ "band" :+ "key"): _*)
+    val hamming = (0 until nWords)
+      .map(w => bit_count(col(s"w${w}a").bitwiseXOR(col(s"w${w}b"))))
+      .reduce(_ + _)
+    val cand = l.join(r, Seq("band", "key"))
+      .filter(hamming <= maxHamming)
+      .select("corpus_id", "new_id")
+      .dropDuplicates("corpus_id", "new_id")
+    cand
+      .join(cBase.toDF("corpus_id", "ea"), Seq("corpus_id"))
+      .join(fBase.toDF("new_id", "eb"), Seq("new_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("cos"))
   }
 
   /**
