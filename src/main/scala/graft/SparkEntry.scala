@@ -870,6 +870,21 @@ object SparkEntry {
         .orderBy("corpus_id", "new_id")
     },
 
+    // Multiset set-ops (ALL variants keep duplicates — bag semantics,
+    // unlike q12/q49's distinct INTERSECT/EXCEPT).
+    "q79_setops_all" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("key"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("key"))
+      c.intersectAll(sup).groupBy("key").agg(count(lit(1)).as("n_inter"))
+        .join(
+          c.exceptAll(sup).groupBy("key").agg(count(lit(1)).as("n_except")),
+          Seq("key"), "full")
+        .select(col("key"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("key")
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1686,6 +1701,21 @@ object SparkEntry {
         | round(list_cosine_similarity(c.e, f.e), 6) AS cos
         |FROM base c JOIN fresh f ON list_cosine_similarity(c.e, f.e) >= 0.98
         |ORDER BY corpus_id, new_id""".stripMargin,
+
+    "q79_setops_all" ->
+      """WITH i AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_inter FROM (
+        |    SELECT c_nationkey AS key FROM customer
+        |    INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |  GROUP BY key),
+        |e AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_except FROM (
+        |    SELECT c_nationkey AS key FROM customer
+        |    EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |  GROUP BY key)
+        |SELECT coalesce(i.key, e.key) AS key,
+        | coalesce(n_inter, 0) AS n_inter, coalesce(n_except, 0) AS n_except
+        |FROM i FULL JOIN e ON i.key = e.key ORDER BY key""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES
