@@ -885,6 +885,25 @@ object SparkEntry {
         .orderBy("key")
     },
 
+    // Heavy hitters via a mergeable Misra-Gries sketch, gated against
+    // the exact counts (q41's sketch-accuracy pattern): every token
+    // with frequency > n/64 must appear in the MG candidate set.
+    "q80_heavy_hitters" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val mg = toks.agg(
+        graft.functions.HeavyHittersAgg.heavy_hitters(s, col("token"), 64).as("mg"),
+        count(lit(1)).as("total"))
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(10)
+        .crossJoin(broadcast(mg))
+        .select(col("token"), col("n"),
+          (!(col("n") > col("total") / 64) ||
+            map_contains_key(col("mg"), col("token"))).as("mg_ok"))
+        .orderBy(col("n").desc, col("token"))
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1716,6 +1735,14 @@ object SparkEntry {
         |SELECT coalesce(i.key, e.key) AS key,
         | coalesce(n_inter, 0) AS n_inter, coalesce(n_except, 0) AS n_except
         |FROM i FULL JOIN e ON i.key = e.key ORDER BY key""".stripMargin,
+
+    "q80_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n, TRUE AS mg_ok
+        |FROM toks WHERE len(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES

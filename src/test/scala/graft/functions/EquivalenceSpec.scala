@@ -82,6 +82,32 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(viaAgg == viaExpr)
   }
 
+  test("HeavyHittersAgg: MG guarantee — freq > n/k items always survive the merge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // skewed stream: 3 heavy tokens (~20% each) + uniform noise tail
+    val n = 20000
+    val stream = (0 until n).map { _ =>
+      rnd.nextInt(10) match {
+        case 0 | 1 => "heavy_a"
+        case 2 | 3 => "heavy_b"
+        case 4 | 5 => "heavy_c"
+        case _ => s"noise_${rnd.nextInt(2000)}"
+      }
+    }
+    val k = 16
+    val df = stream.toDF("token").repartition(13) // force real merges
+    val mg = df.agg(HeavyHittersAgg.heavy_hitters(spark, col("token"), k))
+      .collect()(0).getMap[String, Long](0)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.filter(_._2 > n / k).keys.foreach { t =>
+      assert(mg.contains(t), s"guaranteed heavy hitter $t missing from $mg")
+      // MG counts are underestimates, never overestimates
+      assert(mg(t) <= exact(t), s"$t overestimated: ${mg(t)} > ${exact(t)}")
+    }
+    assert(mg.size <= k - 1, s"MG summary exceeded k-1 counters: ${mg.size}")
+  }
+
   test("lsh_band_keys matches signBits-derived band keys for <=64 planes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
