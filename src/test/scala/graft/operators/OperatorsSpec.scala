@@ -108,6 +108,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts == Map(1L -> 4L, 2L -> 1L))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // one hot key carrying ~all rows, wide payload to trip the byte threshold
+      val big = (0 until 40000).map(i =>
+        (if (i % 100 == 0) s"k${i % 7}" else "hot", "x" * 64)).toDF("k", "pad")
+      val small = (0 until 200).map(i => (if (i < 8) "hot" else s"k$i", i)).toDF("k", "v")
+      // min(pad) keeps the wide payload flowing through the shuffle
+      // (pruned away, partitions never cross the skew byte threshold);
+      // GLOBAL agg, because a groupBy(k) right after the join would
+      // require hash(k) output partitioning and AQE then declines to
+      // split the join rather than add a recovery shuffle
+      val joined = big.join(small, Seq("k"))
+        .agg(count(lit(1)).as("n"), min("pad").as("p"))
+      val rows = joined.collect() // AQE decides at runtime — execute first
+      assert(rows.nonEmpty)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join and splits keys across salts") {
     import spark.implicits._
     // heavily skewed big side: 10k rows on key "hot", a few on others
