@@ -904,6 +904,30 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
     },
 
+    // Aggregate FILTER clause surface (per-branch conditional
+    // aggregation without CASE scaffolding).
+    "q81_agg_filter" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g81_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+          |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+          |  round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_base
+          |FROM g81_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // Nested-type aggregation with deterministic ordering:
+    // collect_list is order-unstable by contract, so the collected
+    // array is sorted before fingerprinting.
+    "q82_array_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
+        .select(col("o_custkey"),
+          size(col("ks")).as("n"),
+          md5(array_join(transform(col("ks"), _.cast("string")), ",")).as("ks_fp"))
+        .orderBy("o_custkey")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1743,6 +1767,22 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS n, TRUE AS mg_ok
         |FROM toks WHERE len(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
+
+    "q81_agg_filter" ->
+      """SELECT l_returnflag,
+        | CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+        | CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+        | round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_base
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q82_array_agg" ->
+      """WITH g AS (
+        |  SELECT o_custkey, list_sort(list(o_orderkey)) AS ks
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(len(ks) AS INT) AS n,
+        | md5(list_aggregate(list_transform(ks, x -> CAST(x AS VARCHAR)),
+        |   'string_agg', ',')) AS ks_fp
+        |FROM g ORDER BY o_custkey""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES
