@@ -928,6 +928,34 @@ object SparkEntry {
           md5(array_join(transform(col("ks"), _.cast("string")), ",")).as("ks_fp"))
         .orderBy("o_custkey")),
 
+    // Map-type surface: per-user event-type counts built as a MAP
+    // (sorted entries for determinism), consumed via element_at —
+    // map built and used inside the query, scalar columns out.
+    "q83_map_type" -> { (s, dir) =>
+      val perType = events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      perType
+        .groupBy("user_id")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+          coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
+          size(col("m")).as("n_types"))
+        .orderBy("user_id")
+    },
+
+    // Explicit null ordering (engines disagree on the DEFAULT: Spark
+    // sorts nulls first ascending, DuckDB last — portable queries
+    // must say NULLS FIRST/LAST explicitly).
+    "q84_null_ordering" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g84_orders")
+      s.sql(
+        """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio
+          |FROM g84_orders
+          |ORDER BY prio ASC NULLS FIRST, o_orderkey LIMIT 200""".stripMargin)
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1783,6 +1811,21 @@ object SparkEntry {
         | md5(list_aggregate(list_transform(ks, x -> CAST(x AS VARCHAR)),
         |   'string_agg', ',')) AS ks_fp
         |FROM g ORDER BY o_custkey""".stripMargin,
+
+    "q83_map_type" ->
+      """WITH pt AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        | CAST(coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS clicks,
+        | CAST(coalesce(sum(n) FILTER (WHERE event_type = 'view'), 0) AS BIGINT) AS views,
+        | CAST(count(*) AS INT) AS n_types
+        |FROM pt GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q84_null_ordering" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio
+        |FROM orders
+        |ORDER BY prio ASC NULLS FIRST, o_orderkey LIMIT 200""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES
