@@ -956,6 +956,33 @@ object SparkEntry {
           |ORDER BY prio ASC NULLS FIRST, o_orderkey LIMIT 200""".stripMargin)
     },
 
+    // Behavioral-sequence dataset assembly: sessionize (30-min gap),
+    // collect each session's ordered event-type sequence, label by
+    // purchase presence — the classic session-model training example.
+    "q85_session_sequences" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("prev", lag("sec", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+        .withColumn("sess_no",
+          sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_no")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("sec").as("start_sec"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(struct(col("sec"), col("event_id"),
+                col("event_type")))),
+              e => e.getField("event_type")), " ")).as("seq_fp"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+        .withColumn("sess_no", col("sess_no").cast("long"))
+        .orderBy("user_id", "sess_no")
+    },
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1826,6 +1853,30 @@ object SparkEntry {
       """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio
         |FROM orders
         |ORDER BY prio ASC NULLS FIRST, o_orderkey LIMIT 200""".stripMargin,
+
+    "q85_session_sequences" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |   CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |        THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |   sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM g)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | min(sec) AS start_sec,
+        | md5(list_aggregate(list(event_type ORDER BY sec, event_id),
+        |   'string_agg', ' ')) AS seq_fp,
+        | CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS label
+        |FROM sessions GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES
