@@ -601,6 +601,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == 3)
   }
 
+  test("operator argument guards fail fast with clear messages") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunk.chunkByTokens(df, "doc_id", "text", chunkSize = 4, overlap = 4)
+    } // overlap must be < chunkSize
+    intercept[IllegalArgumentException] {
+      Chunk.chunkByTokens(df, "doc_id", "text", chunkSize = 0, overlap = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Mix.rebalance(df.withColumnRenamed("text", "s"), "s", "doc_id", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Mix.rebalance(df.withColumnRenamed("text", "s"), "s", "doc_id", Map("x" -> 0.0))
+    } // shares must be positive
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(df, df.toDF("doc_id", "text"), "doc_id", "a", "b", 0L)
+    } // window must be positive
+    intercept[IllegalArgumentException] {
+      Winnow.fingerprints(df, "doc_id", "text", k = 0, w = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.flagContaminated(df, "doc_id", "text", df, "text", n = 8, minHits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      LmScore.rarityScore(df, "doc_id", "text", rareThreshold = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TfIdf.topTerms(df, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Sink.compact(spark, "/tmp/nonexistent", targetFileBytes = 0L)
+    }
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
