@@ -83,6 +83,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), s"hint ignored:\n$p")
   }
 
+  test("capstone pipelines (q52, q75) contain no product joins anywhere") {
+    for (q <- Seq("q52_training_pipeline", "q75_retrieval_prep")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a product join:\n$p")
+    }
+  }
+
   test("q64 decontamination joins are keyed (no product plans)") {
     val p = plan("q64_decontam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
