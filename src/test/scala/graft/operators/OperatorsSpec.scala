@@ -636,6 +636,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization preserves cosine geometry (ANN-over-quantized story)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 200).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val dq = Quantize.int8(df, "embedding")
+      .select(col("vec_id"),
+        Quantize.dequant(col("qvec"), col("scale")).as("embedding"))
+    val queries = df.filter(col("vec_id") < 10)
+    val origTop = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val qTop = Similarity.bruteForceTopK(dq,
+        Quantize.int8(queries, "embedding")
+          .select(col("vec_id"),
+            Quantize.dequant(col("qvec"), col("scale")).as("embedding")),
+        "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (origTop & qTop).size.toDouble / origTop.size
+    assert(overlap >= 0.8,
+      s"quantization degraded top-3 overlap to $overlap (int8 on gaussian vectors)")
+  }
+
   test("null inputs: torch UDF and batched path yield null, not NPE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
