@@ -983,6 +983,22 @@ object SparkEntry {
         .orderBy("user_id", "sess_no")
     },
 
+    // Date arithmetic breadth: ship-delay-day buckets per order
+    // quarter (datediff/date_trunc parity).
+    "q86_date_arithmetic" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          unix_timestamp(date_trunc("QUARTER", col("o_orderdate"))).as("qtr"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("delay"))
+        .withColumn("bucket",
+          when(col("delay") <= 30, "0-30")
+            .when(col("delay") <= 60, "31-60")
+            .when(col("delay") <= 90, "61-90").otherwise("90+"))
+        .groupBy("qtr", "bucket")
+        .agg(count(lit(1)).as("n"), max("delay").as("max_delay"))
+        .orderBy("qtr", "bucket")),
+
     // ---------------- torch inference (non-SQL oracle: rows-only) ---
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
@@ -1877,6 +1893,17 @@ object SparkEntry {
         |   AS label
         |FROM sessions GROUP BY user_id, sess_no
         |ORDER BY user_id, sess_no""".stripMargin,
+
+    "q86_date_arithmetic" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch(date_trunc('quarter', o_orderdate)) AS BIGINT) AS qtr,
+        |   CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT qtr,
+        | CASE WHEN delay <= 30 THEN '0-30' WHEN delay <= 60 THEN '31-60'
+        |      WHEN delay <= 90 THEN '61-90' ELSE '90+' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n, CAST(max(delay) AS INT) AS max_delay
+        |FROM d GROUP BY 1, 2 ORDER BY qtr, bucket""".stripMargin,
 
     "q29_settings" ->
       """SELECT * FROM (VALUES
