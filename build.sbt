@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of captured output as JSON (Bench's
+// contract): forked output must pass through raw (no "[info] " prefix,
+// which broke the parse in rounds 1-4), and sbt's "[success] Total
+// time" trailer must not land after the JSON line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
