@@ -17,6 +17,7 @@ run / fork := true
 // time" trailer must not land after the JSON line.
 run / outputStrategy := Some(StdoutOutput)
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

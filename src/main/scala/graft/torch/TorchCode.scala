@@ -1,0 +1,402 @@
+package graft.torch
+
+import scala.collection.mutable
+
+/**
+ * Interpreter for the serialized `forward()` code inside a TorchScript
+ * archive (`code/__torch__.py` and the per-class files under `code/`).
+ *
+ * Why this exists: module REGISTRATION order does not determine
+ * EXECUTION order. The reference's own model registers one shared ReLU
+ * after all three Linears (`/root/reference/model/iris.spt` →
+ * `code/__torch__.py`: attrs `input_layer, hidden_layer1, output_layer,
+ * relu`, while `forward` applies `relu` twice, between the linears), so
+ * any heuristic over the state-dict order is a guess. TorchScript,
+ * however, ships the true execution order as generated straight-line code:
+ *
+ * {{{
+ * def forward(self: __torch__.IRISClassificationModel, x: Tensor) -> Tensor:
+ *   relu = self.relu
+ *   input_layer = self.input_layer
+ *   out = (relu).forward((input_layer).forward(x, ), )
+ *   ...
+ *   return (output_layer).forward(out0, )
+ * }}}
+ *
+ * We parse that restricted language (assignments, `self.attr`,
+ * `getattr(self, "0")`, `(expr).forward(arg, )` calls, and the
+ * functional forms `torch.relu(x)` / `__torch__.torch.nn.functional
+ * .relu(x, False, )`) and TRACE the root module's forward with a
+ * symbolic tensor, emitting a flat [[TorchOp]] list. `torch.nn` module
+ * classes (Linear, ReLU, Sigmoid, Tanh, GELU, Softmax, LogSoftmax,
+ * Identity, Dropout, Flatten, Sequential) are builtins — their
+ * generated code bottoms out in ATen calls we implement directly.
+ * Anything outside this surface fails loudly at LOAD time with the
+ * offending class/line, in the spirit of the reference's narrow type
+ * dispatch (reference src/udf.rs:59-64).
+ */
+object TorchCode {
+
+  // ---------------------------------------------------------------- AST
+  sealed trait Expr
+  final case class EName(name: String) extends Expr
+  final case class ESelfAttr(attr: String) extends Expr // self.x / getattr(self, "x")
+  final case class EForward(target: Expr, arg: Expr) extends Expr
+  /** torch.relu(x, ...) / __torch__.torch.nn.functional.relu(x, ...) */
+  final case class EFnCall(qualName: String, args: Vector[Expr]) extends Expr
+  final case class ELit(value: Any) extends Expr // Long | Double | Boolean | String | null
+
+  final case class Stmt(lhs: Option[String], expr: Expr, line: String)
+  final case class ClassDef(fqName: String, paramName: String, body: Vector[Stmt])
+
+  // ------------------------------------------------------ code parsing
+
+  /** Parse every `.py` entry under `code/` into fq-class-name → ClassDef.
+   * fq name = path between `code/` and `.py` with '/'→'.', plus the
+   * class name (matches the pickle's GLOBAL module.name exactly). */
+  def parseClasses(entries: Map[String, Array[Byte]], root: String): Map[String, ClassDef] = {
+    val out = Map.newBuilder[String, ClassDef]
+    for ((name, bytes) <- entries) {
+      val rel = name.stripPrefix(root)
+      if (rel.startsWith("code/") && rel.endsWith(".py")) {
+        val prefix = rel.stripPrefix("code/").stripSuffix(".py").replace('/', '.')
+        val text = new String(bytes, "UTF-8")
+        for (cd <- parseFile(prefix, text)) out += cd.fqName -> cd
+      }
+    }
+    out.result()
+  }
+
+  /** Split a generated .py file into class blocks and parse each
+   * `forward`. Classes without a parseable single-tensor forward are
+   * skipped here (error surfaces only if something calls them). */
+  private def parseFile(prefix: String, text: String): Vector[ClassDef] = {
+    val lines = text.split("\n", -1).toVector
+    val classStarts = lines.zipWithIndex.collect {
+      case (l, i) if l.startsWith("class ") => i
+    }
+    classStarts.zipWithIndex.flatMap { case (start, ci) =>
+      val end = if (ci + 1 < classStarts.length) classStarts(ci + 1) else lines.length
+      val header = lines(start)
+      val clsName = header.stripPrefix("class ").takeWhile(c => c != '(' && c != ':').trim
+      parseForward(lines.slice(start + 1, end)).map { case (param, body) =>
+        ClassDef(s"$prefix.$clsName", param, body)
+      }
+    }
+  }
+
+  /** Find `def forward(` in a class body; return (tensor param name,
+   * parsed statements). The signature may span lines; the body is the
+   * indented block after it. */
+  private def parseForward(classBody: Vector[String]): Option[(String, Vector[Stmt])] = {
+    val defIdx = classBody.indexWhere(_.trim.startsWith("def forward("))
+    if (defIdx < 0) return None
+    val defIndent = classBody(defIdx).takeWhile(_ == ' ').length
+    // collect signature lines until the one ending with ':'
+    var sigEnd = defIdx
+    while (!classBody(sigEnd).trim.endsWith(":")) sigEnd += 1
+    val sig = classBody.slice(defIdx, sigEnd + 1).mkString(" ")
+    val params = sig.substring(sig.indexOf('(') + 1, sig.lastIndexOf(')'))
+    // split top-level commas (types like Optional[int] carry no commas here)
+    val names = params.split(',').toVector
+      .map(_.trim.takeWhile(c => c != ':' && c != '=').trim)
+      .filter(_.nonEmpty)
+    if (names.length != 2) return None // self + single tensor only
+    val body = Vector.newBuilder[Stmt]
+    var i = sigEnd + 1
+    var done = false
+    while (i < classBody.length && !done) {
+      val line = classBody(i)
+      val trimmed = line.trim
+      if (trimmed.isEmpty) { /* skip */ }
+      else if (line.takeWhile(_ == ' ').length <= defIndent) done = true
+      else body += parseStmt(trimmed)
+      i += 1
+    }
+    Some((names(1), body.result()))
+  }
+
+  private def parseStmt(line: String): Stmt = {
+    if (line.startsWith("return "))
+      Stmt(None, parseExpr(line.stripPrefix("return ").trim, line), line)
+    else {
+      // `name = expr` or `name : Type = expr`; '=' at depth 0 only
+      var depth = 0
+      var eq = -1
+      var j = 0
+      while (j < line.length && eq < 0) {
+        line(j) match {
+          case '(' | '[' => depth += 1
+          case ')' | ']' => depth -= 1
+          case '=' if depth == 0 && (j + 1 >= line.length || line(j + 1) != '=') => eq = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (eq < 0) sys.error(s"TorchScript code: unsupported statement: $line")
+      val lhs = line.substring(0, eq).trim
+      val name = lhs.takeWhile(c => c != ':' && c != ' ')
+      if (name.isEmpty || name.contains(","))
+        sys.error(s"TorchScript code: unsupported assignment target: $line")
+      Stmt(Some(name), parseExpr(line.substring(eq + 1).trim, line), line)
+    }
+  }
+
+  // Minimal recursive-descent expression parser over one statement.
+  private def parseExpr(s: String, line: String): Expr = {
+    val p = new ExprParser(s, line)
+    val e = p.expr()
+    p.skipWs()
+    if (!p.atEnd) sys.error(s"TorchScript code: trailing input in: $line")
+    e
+  }
+
+  private final class ExprParser(s: String, line: String) {
+    private var pos = 0
+    def atEnd: Boolean = pos >= s.length
+    def skipWs(): Unit = while (pos < s.length && s(pos) == ' ') pos += 1
+    private def fail(msg: String): Nothing =
+      sys.error(s"TorchScript code: $msg at col $pos in: $line")
+    private def expect(tok: String): Unit = {
+      skipWs()
+      if (!s.startsWith(tok, pos)) fail(s"expected '$tok'")
+      pos += tok.length
+    }
+    private def ident(): String = {
+      skipWs()
+      val start = pos
+      while (pos < s.length && (s(pos).isLetterOrDigit || s(pos) == '_')) pos += 1
+      if (pos == start) fail("expected identifier")
+      s.substring(start, pos)
+    }
+
+    def expr(): Expr = {
+      skipWs()
+      if (atEnd) fail("expected expression")
+      s(pos) match {
+        case '(' =>
+          pos += 1
+          val inner = expr()
+          expect(")")
+          expect(".")
+          val m = ident()
+          if (m != "forward") fail(s"unsupported method .$m (only .forward)")
+          expect("(")
+          val args = argList()
+          if (args.length != 1) fail(s".forward with ${args.length} args (single tensor only)")
+          EForward(inner, args.head)
+        case '"' =>
+          val end = s.indexOf('"', pos + 1)
+          if (end < 0) fail("unterminated string")
+          val v = s.substring(pos + 1, end); pos = end + 1
+          ELit(v)
+        case c if c.isDigit || c == '-' =>
+          val start = pos
+          pos += 1
+          while (pos < s.length && (s(pos).isDigit || s(pos) == '.' || s(pos) == 'e' ||
+            s(pos) == 'E' || s(pos) == '-' || s(pos) == '+')) pos += 1
+          val tok = s.substring(start, pos)
+          if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) ELit(tok.toDouble)
+          else ELit(tok.toLong)
+        case _ =>
+          val first = ident()
+          first match {
+            case "None" => ELit(null)
+            case "True" => ELit(true)
+            case "False" => ELit(false)
+            case "self" =>
+              expect(".")
+              ESelfAttr(ident())
+            case "getattr" =>
+              expect("("); expect("self"); expect(",")
+              skipWs()
+              val attr = expr() match {
+                case ELit(v: String) => v
+                case other => fail(s"getattr with non-string attr $other")
+              }
+              expect(")")
+              ESelfAttr(attr)
+            case _ =>
+              // qualified fn call (torch.relu / __torch__...functional.relu)
+              // or a plain local name
+              val parts = mutable.ArrayBuffer(first)
+              skipWs()
+              while (pos < s.length && s(pos) == '.') {
+                pos += 1
+                parts += ident()
+                skipWs()
+              }
+              if (pos < s.length && s(pos) == '(') {
+                pos += 1
+                EFnCall(parts.mkString("."), argList())
+              } else if (parts.length == 1) EName(first)
+              else fail(s"unsupported attribute chain ${parts.mkString(".")}")
+          }
+      }
+    }
+
+    /** Args up to the closing ')', tolerating the trailing comma the
+     * generator emits (`(x, )`). Consumes the ')'. */
+    private def argList(): Vector[Expr] = {
+      val args = Vector.newBuilder[Expr]
+      skipWs()
+      var done = false
+      while (!done) {
+        skipWs()
+        if (atEnd) fail("unterminated call")
+        if (s(pos) == ')') { pos += 1; done = true }
+        else {
+          args += expr()
+          skipWs()
+          if (pos < s.length && s(pos) == ',') pos += 1
+        }
+      }
+      args.result()
+    }
+  }
+
+  // ---------------------------------------------------- symbolic trace
+
+  /** A module instance decoded from data.pkl: fq class name + attrs in
+   * registration order (submodules, tensors, prims). */
+  final case class ModuleNode(fqName: String,
+      attrs: mutable.LinkedHashMap[String, Any]) {
+    def simpleName: String = fqName.substring(fqName.lastIndexOf('.') + 1)
+    def isTorchNn: Boolean = fqName.contains(".torch.nn.modules.")
+  }
+
+  /** Trace context: resolves Linear weights against the archive and
+   * collects the flat op list. */
+  final class Tracer(
+      classes: Map[String, ClassDef],
+      materialize: Pickle.PTensor => Array[Float]) {
+    val ops = IndexedSeq.newBuilder[TorchOp]
+
+    def trace(root: ModuleNode, inDim: Int): Int = applyModule(root, inDim)
+
+    /** Apply a module to a symbolic tensor of `dim` features; returns
+     * the output feature dim. */
+    def applyModule(m: ModuleNode, dim: Int): Int =
+      if (m.isTorchNn) builtin(m, dim)
+      else classes.get(m.fqName) match {
+        case Some(cd) => interpret(cd, m, dim)
+        case None => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
+          "(no builtin and no serialized forward code)")
+      }
+
+    private def intAttr(m: ModuleNode, key: String, dflt: Long): Long =
+      m.attrs.get(key) match {
+        case Some(n: Long) => n
+        case Some(Pickle.PInt(n)) => n
+        case None => dflt
+        case Some(other) => sys.error(s"${m.fqName}: non-int attr $key = $other")
+      }
+
+    private def builtin(m: ModuleNode, dim: Int): Int = m.simpleName match {
+      case "Linear" =>
+        val w = m.attrs.get("weight") match {
+          case Some(t: Pickle.PTensor) => t
+          case other => sys.error(s"linear module missing tensor 'weight' (got $other)")
+        }
+        require(w.shape.length == 2, s"linear weight must be 2-D, got ${w.shape}")
+        val (out, in) = (w.shape(0), w.shape(1))
+        // dim == -1: the symbolic input whose dim the first executed
+        // Linear binds (activations before it don't change the count)
+        require(dim == -1 || dim == in, s"Linear(${in}→$out) applied to $dim features")
+        val bias = m.attrs.get("bias") match {
+          case Some(t: Pickle.PTensor) =>
+            require(t.shape.length == 1 && t.shape(0) == out,
+              s"bias shape ${t.shape} incompatible with weight ${w.shape}")
+            materialize(t)
+          case Some(null) | Some(Pickle.PNone) | None => new Array[Float](out)
+          case other => sys.error(s"linear module missing tensor 'bias' (got $other)")
+        }
+        ops += LinearLayer(materialize(w), bias, outDim = out, inDim = in)
+        out
+      case "ReLU" => ops += ActOp("relu"); dim
+      case "Sigmoid" => ops += ActOp("sigmoid"); dim
+      case "Tanh" => ops += ActOp("tanh"); dim
+      case "GELU" => ops += ActOp("gelu"); dim
+      case "Softmax" | "LogSoftmax" =>
+        val d = intAttr(m, "dim", -1L)
+        require(d == -1L || d == 1L,
+          s"${m.simpleName} over dim $d unsupported (feature dim only: -1 or 1)")
+        ops += SoftmaxOp(log = m.simpleName == "LogSoftmax")
+        dim
+      case "Identity" | "Dropout" | "Flatten" => dim // eval-mode no-ops on (n, d)
+      case "Sequential" | "ModuleList" =>
+        // code-backed container if its (mangled) class was serialized;
+        // else registration order IS execution order for Sequential
+        classes.get(m.fqName) match {
+          case Some(cd) => interpret(cd, m, dim)
+          case None =>
+            var cur = dim
+            for ((_, v) <- m.attrs) v match {
+              case sub: ModuleNode => cur = applyModule(sub, cur)
+              case _ => // training flag etc.
+            }
+            cur
+        }
+      case other => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
+        "(builtin torch.nn surface: Linear, ReLU, Sigmoid, Tanh, GELU, " +
+        "Softmax, LogSoftmax, Identity, Dropout, Flatten, Sequential)")
+    }
+
+    /** Execute a parsed forward body with `self = m`, input dim `dim`. */
+    private def interpret(cd: ClassDef, m: ModuleNode, dim: Int): Int = {
+      val env = mutable.Map[String, Any](cd.paramName -> dim)
+      def eval(e: Expr, line: String): Any = e match {
+        case EName(n) => env.getOrElse(n,
+          sys.error(s"TorchScript code: unbound name $n in: $line"))
+        case ESelfAttr(a) => m.attrs.getOrElse(a,
+          sys.error(s"TorchScript code: ${m.fqName} has no attr $a in: $line"))
+        case ELit(v) => v
+        case EForward(t, a) =>
+          val mod = eval(t, line) match {
+            case mn: ModuleNode => mn
+            case other => sys.error(s"TorchScript code: .forward on non-module $other in: $line")
+          }
+          val d = eval(a, line) match {
+            case d: Int => d
+            case other => sys.error(s"TorchScript code: .forward on non-tensor $other in: $line")
+          }
+          applyModule(mod, d)
+        case EFnCall(qual, args) =>
+          val fn = qual.substring(qual.lastIndexOf('.') + 1)
+          def tensorArg: Int = eval(args.head, line) match {
+            case d: Int => d
+            case other => sys.error(s"TorchScript code: $fn on non-tensor $other in: $line")
+          }
+          fn match {
+            // evaluate the tensor arg FIRST: its sub-calls (e.g. the
+            // nested Linear forward) must emit their ops before this one
+            case "relu" | "sigmoid" | "tanh" | "gelu" =>
+              val d = tensorArg; ops += ActOp(fn); d
+            case "softmax" | "log_softmax" =>
+              val d = tensorArg
+              args.lift(1).map(a => eval(a, line)) match {
+                case None | Some(-1L) | Some(1L) | Some(null) =>
+                case other => sys.error(s"TorchScript code: $fn over dim $other unsupported in: $line")
+              }
+              ops += SoftmaxOp(log = fn == "log_softmax")
+              d
+            case "flatten" | "dropout" => tensorArg // eval-mode no-ops on (n, d)
+            case other => sys.error(s"TorchScript code: unsupported function $qual in: $line")
+          }
+      }
+      var result: Option[Int] = None
+      for (st <- cd.body if result.isEmpty) {
+        val v = eval(st.expr, st.line)
+        st.lhs match {
+          case Some(n) => env(n) = v
+          case None => // return
+            result = Some(v match {
+              case d: Int => d
+              case other => sys.error(s"TorchScript code: non-tensor return $other in: ${st.line}")
+            })
+        }
+      }
+      result.getOrElse(sys.error(s"TorchScript code: ${cd.fqName}.forward has no return"))
+    }
+  }
+}

@@ -7,27 +7,37 @@ import scala.collection.mutable
 
 import Pickle._
 
+/** One flattened forward-pass step (execution order, not registration
+  * order — see [[TorchCode]]). */
+sealed trait TorchOp extends Serializable
+
 /** One dense layer: `y = x · Wᵀ + b`, weight row-major `(outDim, inDim)`. */
 final case class LinearLayer(weight: Array[Float], bias: Array[Float], outDim: Int, inDim: Int)
-    extends Serializable
+    extends TorchOp
+
+/** Elementwise activation: relu | sigmoid | tanh | gelu. */
+final case class ActOp(kind: String) extends TorchOp
+
+/** Per-row (log-)softmax over the feature dim. */
+final case class SoftmaxOp(log: Boolean) extends TorchOp
 
 /**
  * A TorchScript MLP loaded from a `torch.jit.save` archive, executed on
  * the JVM with a plain float GEMM (no libtorch).
  *
- * Scope: `nn.Linear` + `nn.ReLU` sequential models — exactly the op set
- * the reference model uses (reference model/iris.spt:
- * `code/__torch__.py` shows Linear(4,128) → ReLU → Linear(128,64) →
- * ReLU → Linear(64,3)); anything else fails loudly at load time, in the
- * same spirit as the reference's narrow type dispatch
+ * `ops` is the flat EXECUTION-order op list traced from the archive's
+ * own serialized `forward()` code (see [[TorchCode]] — registration
+ * order is not execution order; the reference model registers one
+ * shared ReLU after all three Linears). Supported surface: Linear,
+ * ReLU, Sigmoid, Tanh, GELU, Softmax, LogSoftmax, Identity/Dropout/
+ * Flatten (eval no-ops), Sequential/ModuleList nesting, shared/reused
+ * submodules. Anything else fails loudly at load time, in the same
+ * spirit as the reference's narrow type dispatch
  * (reference src/udf.rs:59-64).
- *
- * Layers apply in the order the submodules appear in `data.pkl`'s module
- * state dict (= registration order = forward order for these sequential
- * classifiers), with ReLU between consecutive Linears and a linear last
- * layer (logits out).
  */
-final class TorchScriptModel(val layers: IndexedSeq[LinearLayer]) extends Serializable {
+final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable {
+  /** Linear layers in execution order (first occurrence for shared). */
+  val layers: IndexedSeq[LinearLayer] = ops.collect { case l: LinearLayer => l }
   require(layers.nonEmpty, "model has no linear layers")
   val inDim: Int = layers.head.inDim
   val outDim: Int = layers.last.outDim
@@ -44,35 +54,83 @@ final class TorchScriptModel(val layers: IndexedSeq[LinearLayer]) extends Serial
     require(x.length == n * inDim, s"expected $n x $inDim = ${n * inDim} values, got ${x.length}")
     var cur = x
     var curDim = inDim
-    var li = 0
-    while (li < layers.length) {
-      val l = layers(li)
-      require(curDim == l.inDim, s"layer $li expects ${l.inDim} features, got $curDim")
-      val out = new Array[Float](n * l.outDim)
-      val w = l.weight
-      val b = l.bias
-      val lastLayer = li == layers.length - 1
-      var i = 0
-      while (i < n) {
-        val xOff = i * curDim
-        val oOff = i * l.outDim
-        var o = 0
-        while (o < l.outDim) {
-          val wOff = o * curDim
-          var acc = b(o)
-          var k = 0
-          while (k < curDim) { acc += cur(xOff + k) * w(wOff + k); k += 1 }
-          // fused ReLU between layers (logits pass through on the last)
-          out(oOff + o) = if (!lastLayer && acc < 0f) 0f else acc
-          o += 1
+    for (op <- ops) op match {
+      case l: LinearLayer =>
+        require(curDim == l.inDim, s"linear expects ${l.inDim} features, got $curDim")
+        val out = new Array[Float](n * l.outDim)
+        val w = l.weight
+        val b = l.bias
+        var i = 0
+        while (i < n) {
+          val xOff = i * curDim
+          val oOff = i * l.outDim
+          var o = 0
+          while (o < l.outDim) {
+            val wOff = o * curDim
+            var acc = b(o)
+            var k = 0
+            while (k < curDim) { acc += cur(xOff + k) * w(wOff + k); k += 1 }
+            out(oOff + o) = acc
+            o += 1
+          }
+          i += 1
         }
-        i += 1
-      }
-      cur = out
-      curDim = l.outDim
-      li += 1
+        cur = out
+        curDim = l.outDim
+      case ActOp(kind) =>
+        // activations run on a buffer we own (a Linear always precedes
+        // them in any real MLP; if not, copy so the caller's input
+        // array is never mutated)
+        if (cur eq x) cur = x.clone()
+        var i = 0
+        kind match {
+          case "relu" =>
+            while (i < cur.length) { if (cur(i) < 0f) cur(i) = 0f; i += 1 }
+          case "sigmoid" =>
+            while (i < cur.length) { cur(i) = (1.0 / (1.0 + math.exp(-cur(i).toDouble))).toFloat; i += 1 }
+          case "tanh" =>
+            while (i < cur.length) { cur(i) = math.tanh(cur(i).toDouble).toFloat; i += 1 }
+          case "gelu" =>
+            // exact (erf) form: 0.5·x·(1 + erf(x/√2)); erf via the
+            // Abramowitz-Stegun 7.1.26 rational approx (|err| < 1.5e-7,
+            // below float32 resolution)
+            while (i < cur.length) {
+              cur(i) = (0.5 * cur(i) * (1.0 + erf(cur(i) / math.sqrt(2.0)))).toFloat
+              i += 1
+            }
+          case other => sys.error(s"unknown activation $other")
+        }
+      case SoftmaxOp(log) =>
+        if (cur eq x) cur = x.clone()
+        var r = 0
+        while (r < n) {
+          val off = r * curDim
+          var mx = Float.NegativeInfinity
+          var j = 0
+          while (j < curDim) { if (cur(off + j) > mx) mx = cur(off + j); j += 1 }
+          var sum = 0.0
+          j = 0
+          while (j < curDim) { sum += math.exp((cur(off + j) - mx).toDouble); j += 1 }
+          j = 0
+          if (log) {
+            val lse = math.log(sum)
+            while (j < curDim) { cur(off + j) = ((cur(off + j) - mx) - lse).toFloat; j += 1 }
+          } else {
+            while (j < curDim) {
+              cur(off + j) = (math.exp((cur(off + j) - mx).toDouble) / sum).toFloat; j += 1
+            }
+          }
+          r += 1
+        }
     }
     cur
+  }
+
+  private def erf(z: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(z))
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t -
+      0.284496736) * t + 0.254829592) * t * math.exp(-z * z)
+    if (z >= 0) y else -y
   }
 }
 
@@ -118,47 +176,70 @@ object TorchScriptModel {
     }
     val tree = Pickle.load(entries(pklName))
 
-    val layers = IndexedSeq.newBuilder[LinearLayer]
-    def classify(cls: PGlobal): String = {
-      val n = cls.name
-      if (n == "Linear" || cls.module.contains("modules.linear")) "linear"
-      else if (n == "ReLU" || cls.module.contains("modules.activation")) "relu"
-      else if (cls.module.startsWith("__torch__") && !cls.module.contains("torch.nn")) "module"
-      else sys.error(s"unsupported TorchScript op: ${cls.module}.${cls.name} " +
-        "(this loader supports sequential Linear/ReLU models only)")
-    }
-    def tensorOf(state: PDict, key: String): PTensor =
-      state.items.get(PStr(key)) match {
-        case Some(t: PTensor) => t
-        case other => sys.error(s"linear module missing tensor '$key' (got $other)")
-      }
-    def walk(obj: PObj): Unit = classify(obj.cls) match {
-      case "linear" =>
-        val st = obj.state.asInstanceOf[PDict]
-        val w = tensorOf(st, "weight")
-        val b = tensorOf(st, "bias")
-        require(w.shape.length == 2, s"linear weight must be 2-D, got ${w.shape}")
-        require(b.shape.length == 1 && b.shape(0) == w.shape(0),
-          s"bias shape ${b.shape} incompatible with weight ${w.shape}")
-        layers += LinearLayer(
-          materializeF32(w, entries, root), materializeF32(b, entries, root),
-          outDim = w.shape(0), inDim = w.shape(1))
-      case "relu" => // non-parametric; position implied by layer order
-      case "module" =>
-        obj.state match {
-          case d: PDict =>
-            d.items.valuesIterator.foreach {
-              case sub: PObj => walk(sub)
-              case _ => // training flag, hook slots, ...
+    // ---- decode the module tree (registration order preserved) ----
+    def toNode(obj: PObj): TorchCode.ModuleNode = {
+      val attrs = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      obj.state match {
+        case d: PDict =>
+          d.items.foreach {
+            case (PStr(k), v) => attrs(k) = v match {
+              case sub: PObj => toNode(sub)
+              case t: PTensor => t
+              case PInt(n) => n
+              case PBool(b) => b
+              case PStr(s) => s
+              case PFloat(f) => f
+              case PNone => null
+              case other => other // hook dicts etc. — inert unless read
             }
-          case other => sys.error(s"module ${obj.cls.name} has non-dict state: $other")
-        }
+            case _ => // non-string key: ignore
+          }
+        case PNone => // parameterless module with empty state
+        case other => sys.error(s"module ${obj.cls.name} has non-dict state: $other")
+      }
+      TorchCode.ModuleNode(s"${obj.cls.module}.${obj.cls.name}", attrs)
     }
-    tree match {
-      case o: PObj => walk(o)
+    val rootNode = tree match {
+      case o: PObj => toNode(o)
       case other => sys.error(s"data.pkl root is not a module object: $other")
     }
-    new TorchScriptModel(layers.result())
+
+    // ---- trace the serialized forward() code into a flat op list ----
+    // (registration order ≠ execution order: the reference model
+    // registers one shared ReLU after all three Linears and applies it
+    // between them — see TorchCode's scaladoc)
+    val classes = TorchCode.parseClasses(entries, root)
+    val tracer = new TorchCode.Tracer(classes, materializeF32(_, entries, root))
+    if (classes.contains(rootNode.fqName) || rootNode.isTorchNn) {
+      // input dim starts unknown (-1); the first executed Linear binds it
+      tracer.trace(rootNode, -1)
+    } else {
+      // no serialized code (minimal archive): fall back to the legacy
+      // heuristic — Linears in registration order with ReLU between
+      // consecutive layers, logits out; only Linear/ReLU allowed since
+      // nothing else's position can be inferred without code
+      val linears = IndexedSeq.newBuilder[TorchCode.ModuleNode]
+      def walk(m: TorchCode.ModuleNode): Unit = m.simpleName match {
+        case "Linear" => linears += m
+        case "ReLU" => // position implied by layer order
+        case _ if !m.isTorchNn && m.fqName.startsWith("__torch__") =>
+          m.attrs.valuesIterator.foreach {
+            case sub: TorchCode.ModuleNode => walk(sub)
+            case _ =>
+          }
+        case _ => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
+          "(codeless archive: sequential Linear/ReLU models only)")
+      }
+      walk(rootNode)
+      val ls = linears.result()
+      require(ls.nonEmpty, "model has no linear layers")
+      var dim = -1
+      for ((l, i) <- ls.zipWithIndex) {
+        if (i > 0) tracer.ops += ActOp("relu")
+        dim = tracer.applyModule(l, dim)
+      }
+    }
+    new TorchScriptModel(tracer.ops.result())
   }
 
   /** Gather a tensor's values into a row-major Array[Float], honoring

@@ -1,0 +1,125 @@
+package graft.torch
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/**
+ * Test-side emitter of `torch.jit.save`-compatible archives (zip with
+ * `data.pkl` + `data/<key>` storages + `byteorder` + `.py` code files),
+ * byte-layout modeled on the reference archive
+ * (/root/reference/model/iris.spt): protocol-2 pickle with GLOBAL,
+ * NEWOBJ, BUILD, SETITEMS, BINPERSID and `_rebuild_tensor_v2` REDUCE —
+ * no torch needed. Lets specs construct models with activations the
+ * reference model doesn't use (Sigmoid/Tanh/Softmax/GELU), nested
+ * Sequential, shared modules, and controlled weight constants.
+ */
+object SptFixture {
+
+  sealed trait V
+  final case class Tensor(shape: Seq[Int], data: Array[Float]) extends V
+  final case class Module(fqcn: String, attrs: Seq[(String, V)]) extends V
+  final case class I(n: Long) extends V
+  final case class B(b: Boolean) extends V
+  case object NoneV extends V
+
+  /** Write the archive; `code` maps archive-relative paths (e.g.
+   * "code/__torch__.py") to generated-python text. */
+  def write(root: String, model: Module, code: Map[String, String]): Array[Byte] = {
+    val storages = Seq.newBuilder[(String, Array[Float])]
+    var nextKey = 0
+
+    val pkl = new ByteArrayOutputStream()
+    def byte(b: Int): Unit = pkl.write(b)
+    def str(s: String): Unit = { // SHORT_BINUNICODE
+      val b = s.getBytes("UTF-8"); require(b.length < 256)
+      byte(0x8c); byte(b.length); pkl.write(b)
+    }
+    def global(module: String, name: String): Unit = {
+      byte('c'); pkl.write(s"$module\n$name\n".getBytes("UTF-8"))
+    }
+    def int(n: Long): Unit = { // BININT (fits our shapes/flags)
+      byte('J')
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n.toInt)
+      pkl.write(bb.array())
+    }
+    def emit(v: V): Unit = v match {
+      case I(n) => int(n)
+      case B(b) => byte(if (b) 0x88 else 0x89)
+      case NoneV => byte('N')
+      case Tensor(shape, data) =>
+        require(shape.product == data.length, s"shape $shape vs ${data.length} values")
+        val key = nextKey.toString; nextKey += 1
+        storages += key -> data
+        global("torch._utils", "_rebuild_tensor_v2")
+        byte('(') // args tuple
+        byte('(') // persistent id tuple
+        str("storage"); global("torch", "FloatStorage"); str(key); str("cpu")
+        int(data.length)
+        byte('t')
+        byte('Q') // BINPERSID
+        int(0) // offset
+        byte('('); shape.foreach(s => int(s)); byte('t')
+        // contiguous row-major strides
+        val strides = shape.scanRight(1)((s, acc) => s * acc).tail
+        byte('('); strides.foreach(s => int(s)); byte('t')
+        byte(0x89) // requires_grad = False
+        global("collections", "OrderedDict"); byte(')'); byte('R') // backward hooks
+        byte('t')
+        byte('R')
+      case Module(fqcn, attrs) =>
+        val dot = fqcn.lastIndexOf('.')
+        global(fqcn.substring(0, dot), fqcn.substring(dot + 1))
+        byte(')'); byte(0x81) // NEWOBJ, no args
+        byte('}') // state dict
+        byte('(')
+        attrs.foreach { case (k, v) => str(k); emit(v) }
+        byte('u') // SETITEMS
+        byte('b') // BUILD
+    }
+    byte(0x80); byte(2) // PROTO 2
+    emit(model)
+    byte('.')
+
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    def entry(name: String, bytes: Array[Byte]): Unit = {
+      zip.putNextEntry(new ZipEntry(s"$root/$name")); zip.write(bytes); zip.closeEntry()
+    }
+    entry("data.pkl", pkl.toByteArray)
+    entry("byteorder", "little".getBytes("UTF-8"))
+    entry("version", "6\n".getBytes("UTF-8"))
+    for ((key, data) <- storages.result()) {
+      val bb = ByteBuffer.allocate(data.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      data.foreach(bb.putFloat)
+      entry(s"data/$key", bb.array())
+    }
+    for ((path, text) <- code) entry(path, text.getBytes("UTF-8"))
+    zip.close()
+    bos.toByteArray
+  }
+
+  def writeTemp(prefix: String, root: String, model: Module,
+      code: Map[String, String]): String = {
+    val tmp = java.nio.file.Files.createTempFile(prefix, ".spt")
+    java.nio.file.Files.write(tmp, write(root, model, code))
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
+  // frequently-used torch.nn fq class names
+  val LinearCls = "__torch__.torch.nn.modules.linear.Linear"
+  val SigmoidCls = "__torch__.torch.nn.modules.activation.Sigmoid"
+  val TanhCls = "__torch__.torch.nn.modules.activation.Tanh"
+  val GeluCls = "__torch__.torch.nn.modules.activation.GELU"
+  val SoftmaxCls = "__torch__.torch.nn.modules.activation.Softmax"
+  val LogSoftmaxCls = "__torch__.torch.nn.modules.activation.LogSoftmax"
+  val ReluCls = "__torch__.torch.nn.modules.activation.ReLU"
+  val SequentialCls = "__torch__.torch.nn.modules.container.Sequential"
+
+  def linear(weight: Array[Float], out: Int, in: Int, bias: Array[Float]): Module =
+    Module(LinearCls, Seq(
+      "weight" -> Tensor(Seq(out, in), weight),
+      "bias" -> Tensor(Seq(out), bias),
+      "training" -> B(false)))
+}

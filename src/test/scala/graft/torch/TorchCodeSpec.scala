@@ -1,0 +1,203 @@
+package graft.torch
+
+import org.scalatest.funsuite.AnyFunSuite
+import SptFixture._
+
+/**
+ * The widened TorchScript surface: activations beyond ReLU, nested
+ * Sequential, shared modules, getattr-style container code, and the
+ * codeless-archive fallback. Golden values are computed in-test with
+ * independent double-precision math (erf via numerical integration,
+ * not the production approximation).
+ */
+class TorchCodeSpec extends AnyFunSuite {
+
+  // ---- independent reference math (double precision) ----
+  private def mm(x: Array[Double], w: Array[Float], b: Array[Float],
+      out: Int, in: Int): Array[Double] = {
+    require(x.length == in)
+    Array.tabulate(out) { o =>
+      var acc = b(o).toDouble
+      var k = 0
+      while (k < in) { acc += x(k) * w(o * in + k); k += 1 }
+      acc
+    }
+  }
+  private def sigmoid(x: Array[Double]) = x.map(v => 1.0 / (1.0 + math.exp(-v)))
+  private def tanhV(x: Array[Double]) = x.map(math.tanh)
+  private def softmax(x: Array[Double]) = {
+    val m = x.max; val e = x.map(v => math.exp(v - m)); val s = e.sum; e.map(_ / s)
+  }
+  private def logSoftmax(x: Array[Double]) = {
+    val m = x.max; val lse = math.log(x.map(v => math.exp(v - m)).sum)
+    x.map(v => v - m - lse)
+  }
+  /** erf by Simpson integration — independent of the production
+   * Abramowitz-Stegun approximation. */
+  private def erfRef(z: Double): Double = {
+    val n = 2000
+    val (a, b) = (0.0, math.abs(z))
+    val h = (b - a) / n
+    var s = 0.0
+    for (i <- 0 to n) {
+      val x = a + i * h
+      val f = math.exp(-x * x)
+      s += (if (i == 0 || i == n) f else if (i % 2 == 1) 4 * f else 2 * f)
+    }
+    val v = 2.0 / math.sqrt(math.Pi) * s * h / 3.0
+    if (z >= 0) v else -v
+  }
+  private def gelu(x: Array[Double]) = x.map(v => 0.5 * v * (1.0 + erfRef(v / math.sqrt(2.0))))
+
+  // deterministic "weights" with varied signs/magnitudes
+  private def vals(n: Int, seed: Int): Array[Float] =
+    Array.tabulate(n)(i => (math.sin(seed * 97 + i * 13.7) * 1.5).toFloat)
+
+  test("sigmoid/tanh/softmax net with nested Sequential and a shared activation") {
+    // Net: seq[Linear(3→4), Sigmoid] → tanh → Linear(4→4) → tanh(shared) →
+    //      Linear(4→2) → Softmax(dim=-1)
+    val (w0, b0) = (vals(12, 1), vals(4, 2))
+    val (w1, b1) = (vals(16, 3), vals(4, 4))
+    val (w2, b2) = (vals(8, 5), vals(2, 6))
+    val model = Module("__torch__.Net", Seq(
+      "training" -> B(false),
+      "seq" -> Module(SequentialCls, Seq(
+        "0" -> linear(w0, 4, 3, b0),
+        "1" -> Module(SigmoidCls, Seq("training" -> B(false))),
+        "training" -> B(false))),
+      "mid" -> linear(w1, 4, 4, b1),
+      "act" -> Module(TanhCls, Seq("training" -> B(false))),
+      "out" -> linear(w2, 2, 4, b2),
+      "soft" -> Module(SoftmaxCls, Seq("dim" -> I(-1), "training" -> B(false)))))
+    val code = Map("code/__torch__.py" ->
+      """class Net(Module):
+        |  __parameters__ = []
+        |  training : bool
+        |  def forward(self: __torch__.Net,
+        |    x: Tensor) -> Tensor:
+        |    seq = self.seq
+        |    x0 = (seq).forward(x, )
+        |    act = self.act
+        |    x1 = (act).forward(x0, )
+        |    mid = self.mid
+        |    x2 = (act).forward((mid).forward(x1, ), )
+        |    out = self.out
+        |    x3 = (out).forward(x2, )
+        |    soft = self.soft
+        |    return (soft).forward(x3, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("signet", "signet", model, code))
+
+    assert(m.ops.collect { case ActOp(k) => k } == Seq("sigmoid", "tanh", "tanh"))
+    assert(m.ops.last == SoftmaxOp(log = false))
+    assert(m.layers.map(l => (l.outDim, l.inDim)) == Seq((4, 3), (4, 4), (2, 4)))
+
+    val x = Array(0.3, -1.2, 2.1)
+    val expected = softmax(
+      mm(tanhV(mm(tanhV(sigmoid(mm(x, w0, b0, 4, 3))), w1, b1, 4, 4)), w2, b2, 2, 4))
+    val got = m.forward(x.map(_.toFloat))
+    assert(got.length == 2)
+    for (j <- 0 until 2)
+      assert(math.abs(got(j) - expected(j)) < 1e-5, s"out[$j]: ${got(j)} vs ${expected(j)}")
+    assert(math.abs(got.map(_.toDouble).sum - 1.0) < 1e-6) // softmax normalizes
+  }
+
+  test("gelu + log-softmax with getattr-style serialized Sequential code") {
+    val (w0, b0) = (vals(6, 7), vals(3, 8))
+    val model = Module("__torch__.GNet", Seq(
+      "training" -> B(false),
+      "blk" -> Module(SequentialCls, Seq(
+        "0" -> linear(w0, 3, 2, b0),
+        "1" -> Module(GeluCls, Seq("training" -> B(false))),
+        "training" -> B(false))),
+      "ls" -> Module(LogSoftmaxCls, Seq("dim" -> I(-1), "training" -> B(false)))))
+    val code = Map(
+      "code/__torch__.py" ->
+        """class GNet(Module):
+          |  training : bool
+          |  def forward(self: __torch__.GNet,
+          |    x: Tensor) -> Tensor:
+          |    blk = self.blk
+          |    x0 = (blk).forward(x, )
+          |    ls = self.ls
+          |    return (ls).forward(x0, )
+          |""".stripMargin,
+      "code/__torch__/torch/nn/modules/container.py" ->
+        """class Sequential(Module):
+          |  training : bool
+          |  def forward(self: __torch__.torch.nn.modules.container.Sequential,
+          |    input: Tensor) -> Tensor:
+          |    _0 = getattr(self, "0")
+          |    _1 = getattr(self, "1")
+          |    input0 = (_0).forward(input, )
+          |    input1 = (_1).forward(input0, )
+          |    return input1
+          |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("gnet", "gnet", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      Seq("LinearLayer", "ActOp", "SoftmaxOp"))
+
+    val x = Array(-0.7, 1.9)
+    val expected = logSoftmax(gelu(mm(x, w0, b0, 3, 2)))
+    val got = m.forward(x.map(_.toFloat))
+    for (j <- 0 until 3)
+      assert(math.abs(got(j) - expected(j)) < 1e-5, s"out[$j]: ${got(j)} vs ${expected(j)}")
+  }
+
+  test("functional-form activations (torch.relu / torch.softmax) in user code") {
+    val (w0, b0) = (vals(6, 9), vals(3, 10))
+    val model = Module("__torch__.FNet", Seq(
+      "training" -> B(false),
+      "fc" -> linear(w0, 3, 2, b0)))
+    val code = Map("code/__torch__.py" ->
+      """class FNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.FNet,
+        |    x: Tensor) -> Tensor:
+        |    fc = self.fc
+        |    x0 = torch.relu((fc).forward(x, ), )
+        |    _0 = torch.softmax(x0, -1, )
+        |    return _0
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("fnet", "fnet", model, code))
+    val x = Array(1.1, -0.4)
+    val expected = softmax(mm(x, w0, b0, 3, 2).map(v => math.max(0.0, v)))
+    val got = m.forward(x.map(_.toFloat))
+    for (j <- 0 until 3) assert(math.abs(got(j) - expected(j)) < 1e-5)
+  }
+
+  test("codeless archive falls back to Linear/ReLU heuristic; rejects other ops") {
+    val (w0, b0) = (vals(6, 11), vals(3, 12))
+    val (w1, b1) = (vals(6, 13), vals(2, 14))
+    val mlp = Module("__torch__.Plain", Seq(
+      "training" -> B(false),
+      "fc1" -> linear(w0, 3, 2, b0),
+      "fc2" -> linear(w1, 2, 3, b1),
+      "relu" -> Module(ReluCls, Seq("training" -> B(false)))))
+    val m = TorchScriptModel.load(writeTemp("plain", "plain", mlp, Map.empty))
+    // heuristic: ReLU between the linears, logits out
+    assert(m.ops == IndexedSeq(m.layers(0), ActOp("relu"), m.layers(1)))
+    val x = Array(0.5, -0.25)
+    val expected = mm(mm(x, w0, b0, 3, 2).map(v => math.max(0.0, v)), w1, b1, 2, 3)
+    val got = m.forward(x.map(_.toFloat))
+    for (j <- 0 until 2) assert(math.abs(got(j) - expected(j)) < 1e-5)
+
+    // a codeless archive with a Sigmoid cannot be ordered — loud failure
+    val sig = Module("__torch__.Plain2", Seq(
+      "fc1" -> linear(w0, 3, 2, b0),
+      "sig" -> Module(SigmoidCls, Seq("training" -> B(false)))))
+    val e = intercept[RuntimeException] {
+      TorchScriptModel.load(writeTemp("plain2", "plain2", sig, Map.empty))
+    }
+    assert(e.getMessage.contains("unsupported TorchScript op"))
+  }
+
+  test("iris.spt traces through its serialized code: shared relu between linears") {
+    val m = TorchScriptModel.load("/root/reference/model/iris.spt")
+    // execution order from code/__torch__.py, NOT registration order
+    // (the archive registers relu after all three linears)
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      Seq("LinearLayer", "ActOp", "LinearLayer", "ActOp", "LinearLayer"))
+    assert(m.ops.collect { case ActOp(k) => k } == Seq("relu", "relu"))
+  }
+}
