@@ -585,15 +585,21 @@ object SparkEntry {
       // quotient often lands on exact half cents, where the two
       // engines' round() implementations disagree — floor over the
       // same IEEE ops is bit-identical
+      // the two subqueries are TEXTUALLY IDENTICAL (truncation applied
+      // outside the SELECT arm's subquery) so they decorrelate to the
+      // same aggregate and the second one reuses the first's exchange
+      // (PlanAuditSpec asserts the ReusedExchange) — stated
+      // differently, the aggregation runs once, not twice
       s.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice,
-          |  (SELECT floor(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-          |     / count(*) * 100) / 100
-          |   FROM g54_orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+          |  floor((SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |     / count(*)
+          |   FROM g54_orders o2 WHERE o2.o_custkey = o.o_custkey) * 100) / 100 AS cust_avg
           |FROM g54_orders o
           |WHERE o_totalprice >= 1.5 *
-          |  (SELECT CAST(sum(CAST(o3.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-          |   FROM g54_orders o3 WHERE o3.o_custkey = o.o_custkey)
+          |  (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |     / count(*)
+          |   FROM g54_orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
     },
 

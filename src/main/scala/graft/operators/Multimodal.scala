@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,10 +47,12 @@ object Multimodal {
    * real decoder (which wants batched I/O) needs.
    */
   def withDecodedMeta(df: DataFrame, binCol: String, metaCol: String): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+ StructField(metaCol, metaSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    // Dataset-typed mapPartitions (NOT df.rdd + createDataFrame): stays
+    // one logical plan — no ExistingRDD rescan, no separate job, and
+    // upstream filters/projections still optimize around it.
+    df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row.fromSeq(r.toSeq :+ null) // null payload -> null meta
@@ -59,8 +61,7 @@ object Multimodal {
           Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /**
@@ -72,11 +73,10 @@ object Multimodal {
    * over the row iterator, one pass per payload.
    */
   def byteHistogramFeatures(df: DataFrame, binCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    df.mapPartitions { it => // typed, single-plan — see withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null || bytes.isEmpty) Row.fromSeq(r.toSeq :+ null)
@@ -88,8 +88,7 @@ object Multimodal {
           Row.fromSeq(r.toSeq :+ counts.map(_ / n).toSeq)
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /**
@@ -101,11 +100,10 @@ object Multimodal {
    */
   def resizeStub(df: DataFrame, binCol: String, outCol: String, targetBytes: Int): DataFrame = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, BinaryType, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    df.mapPartitions { it => // typed, single-plan — see withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row.fromSeq(r.toSeq :+ null)
@@ -116,8 +114,7 @@ object Multimodal {
           Row.fromSeq(r.toSeq :+ out)
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /**

@@ -109,7 +109,10 @@ object Torch {
     val schema = StructType(withFloats.schema.fields :+
       StructField(outputCol, ArrayType(FloatType), nullable = true))
     val inIdx = withFloats.schema.fieldIndex(inputCol)
-    val rdd = withFloats.rdd.mapPartitions { it =>
+    // Dataset-typed mapPartitions (NOT df.rdd + createDataFrame): one
+    // logical plan, no ExistingRDD rescan or extra job boundary; the
+    // grouped(bs) GEMM batching below is unchanged
+    withFloats.mapPartitions { it =>
       val m = model.value
       val inDim = m.inDim
       val outDim = m.outDim
@@ -150,7 +153,6 @@ object Torch {
           }
         }
       }
-    }
-    spark.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

@@ -101,4 +101,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"decontamination produced a product plan:\n$p")
   }
+
+  test("mapPartitions operators stay in one plan (no ExistingRDD rescan)") {
+    // Torch.inferBatched and the Multimodal operators formerly dropped
+    // to df.rdd + createDataFrame, splitting the query into two jobs
+    // with a serialized-Row boundary; the typed mapPartitions path
+    // must keep the parquet scan in the SAME plan.
+    for (q <- Seq("q26_multimodal_meta", "q28_torch_batched")) {
+      val p = plan(q)
+      assert(!p.contains("Scan ExistingRDD"), s"$q re-scans a materialized RDD:\n$p")
+      assert(p.contains("MapPartitions"), s"$q lost its mapPartitions stage:\n$p")
+      assert(p.contains("Scan parquet") || p.contains("FileScan"),
+        s"$q lost its direct file scan:\n$p")
+    }
+  }
+
+  test("q54's two identical correlated aggregates share one exchange") {
+    // The SELECT arm and the WHERE arm state the same per-customer
+    // aggregate; the plan must compute it once and reuse the exchange,
+    // not run the aggregation twice. AQE inserts ReusedExchange during
+    // execution, so run the query and audit the FINAL adaptive plan.
+    val df = SparkEntry.queries("q54_scalar_subquery")(spark, sfDir)
+    df.collect() // count() would build a NEW QueryExecution; collect
+    // executes THIS dataset's plan so its AQE run finalizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"adaptive plan did not finalize:\n$p")
+    assert(p.contains("ReusedExchange"), s"aggregate computed twice:\n$p")
+  }
 }
