@@ -1062,6 +1062,15 @@ object SparkEntry {
         .orderBy("sl", "sw", "pl", "pw")
     },
 
+    // Exact duplicated-substring (span) detection: maximal token
+    // ranges of >= 8 tokens occurring more than once corpus-wide —
+    // the Lee-et-al-style exact-substring dedup pass; winnowing (q69)
+    // scores overlap, this names the excisable spans.
+    "q87_span_dedup" -> ((s, dir) =>
+      graft.operators.SpanDedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", window = 8)
+        .orderBy("doc_id", "span_start")),
+
     // ---------------- config + introspection ------------------------
     "q29_settings" -> { (s, _) =>
       s.conf.unset(TorchConf.DeviceKey)
@@ -1251,6 +1260,26 @@ object SparkEntry {
         | round(CASE WHEN total2 > 0 THEN 1.0 - CAST(d2 AS DOUBLE) / total2
         |            ELSE 0.0 END, 6) AS rep2
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Span dedup from the raw gram strings (the Spark side hashes them
+    // first — md5-derived, collision odds 2^-60 — so equal results
+    // mean the hash marking matched exact string comparison).
+    "q87_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 6)) AS u(i)),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) > 1),
+        |marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM marked)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |       count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     // Approximate-op gate queries: the Spark side computes and CHECKS
     // its own accuracy against an in-query exact baseline; the oracle

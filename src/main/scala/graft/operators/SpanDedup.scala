@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact duplicated-substring (span) detection — the ccnet/Gopher-class
+ * "remove exact duplicated substrings" pass (public recipe: Lee et al.
+ * 2022, "Deduplicating Training Data Makes Language Models Better",
+ * which uses a suffix array; the distributed equivalent below uses
+ * positional window hashes, which finds exactly the duplicated spans of
+ * >= `window` tokens).
+ *
+ * Unlike [[Winnow]] (which *scores* overlap via fingerprint samples),
+ * this reports the exact maximal token ranges that occur more than once
+ * in the corpus, per document — the input a span-excision rewrite needs.
+ *
+ * Scale shape: one pass computes positional k-gram hashes per doc
+ * (native [[graft.functions.GramHashes]], one md5 per window); the
+ * duplicated-hash set comes from ONE keyed aggregate on the hash (a
+ * count>1 filter — map-side partial aggregation applies); marking is a
+ * keyed semi-join hash->doc (never all-pairs); span merging is one
+ * window function per doc (gaps-and-islands on consecutive positions).
+ * Everything is keyed by hash or doc id — no pairwise doc joins at all,
+ * so output scales with duplicated-window volume, not corpus^2.
+ */
+object SpanDedup {
+
+  /**
+   * Maximal duplicated spans of >= `window` tokens.
+   *
+   * A token window (length `window`, starting at 0-based token position
+   * `pos`) is DUPLICATED when its text occurs >1 times corpus-wide
+   * (across docs or repeated within one doc). Overlapping/adjacent
+   * duplicated windows merge into maximal spans.
+   *
+   * Output: (idCol, span_start, span_end, n_windows) — token positions,
+   * both ends inclusive (`span_end = last window start + window - 1`),
+   * n_windows = merged window count in the span.
+   */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    // (id, pos, h): positional window hashes, exploded at the scan side
+    val grams = df.select(
+      col(idCol),
+      posexplode(graft.functions.GramHashes.gram_hashes(spark, col(textCol), window)))
+      .toDF(idCol, "pos", "h")
+      // both the dup-hash aggregate and the mark join read it; without
+      // the checkpoint the tokenize+md5 pass runs twice (self-join
+      // aliases defeat exchange reuse — same discipline as Dedup)
+      .localCheckpoint(false)
+    // corpus-wide duplicated window hashes: one keyed aggregate,
+    // partial counts map-side; count>1 keeps output proportional to
+    // true duplication
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select("h")
+    // windows of each doc that are duplicated: keyed join on the hash
+    val marked = grams.join(dup, Seq("h")).select(idCol, "pos")
+    // gaps-and-islands: consecutive positions share (pos - row_number)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    marked
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") + window - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__grp")
+  }
+}
