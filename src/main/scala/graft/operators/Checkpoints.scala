@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * One checkpoint policy for every iterative/multi-consumer operator.
+ *
+ * Default: lazy `localCheckpoint` — blocks live on executors, are freed
+ * by the ContextCleaner when the DataFrame is dropped, and cost no
+ * distributed-FS round trip. Caveat (documented on [[Dedup]]): losing
+ * an executor (dynamic allocation, spot kill) loses its blocks and
+ * fails the job.
+ *
+ * For long dedup runs on preemptible pools, set
+ * `spark.graft.checkpoint.dir` to a fault-tolerant path (HDFS/S3A):
+ * every operator checkpoint then becomes a RELIABLE checkpoint backed
+ * by that directory — identical results, executor-loss-proof lineage
+ * truncation, at the cost of writing the intermediate to the FS.
+ */
+object Checkpoints {
+
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  /** Lazy checkpoint under the session's policy (see object doc). */
+  def cp(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir mkdirs + validates; only (re)set on change
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case None => df.localCheckpoint(eager = false)
+    }
+  }
+}

@@ -37,17 +37,17 @@ object Components {
       maxIter: Int = 25): DataFrame = {
     // the edge list is read twice (both union sides) — checkpoint it so
     // an expensive upstream (e.g. a minhash pair pipeline) runs once
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(false)
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).transform(Checkpoints.cp)
     // symmetric adjacency — one narrow (src, dst) table, reused every
     // iteration (checkpointed: the loop reads it maxIter times)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
 
     var converged = false
     var i = 0
@@ -60,7 +60,7 @@ object Components {
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), labels("comp").as("__old"),
           least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"))
-        .localCheckpoint(false)
+        .transform(Checkpoints.cp)
       val changed = next.filter(col("comp") =!= col("__old"))
         .limit(1).count() // any-change probe, not a full count
       labels = next.drop("__old")

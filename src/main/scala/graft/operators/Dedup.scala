@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
  * is no longer referenced, so repeated calls do not accumulate
  * session-lifetime cache. Standard localCheckpoint caveat: blocks
  * live on executors, so losing an executor (dynamic allocation)
- * fails the job — use a stable pool for long dedup runs.
+ * fails the job — use a stable pool for long dedup runs, or set
+ * `spark.graft.checkpoint.dir` to switch every operator checkpoint
+ * to a reliable FS-backed one (see [[Checkpoints]]).
  */
 object Dedup {
 
@@ -84,7 +86,7 @@ object Dedup {
         // checkpointed: the doc-frequency aggregate AND the join back
         // both consume it — unpersisted, the tokenize/hash/explode
         // stage would run twice before pruning even starts
-        val idxC = idx0.localCheckpoint(false)
+        val idxC = idx0.transform(Checkpoints.cp)
         val keep = idxC.groupBy("shingle").agg(count("*").as("__df")).filter(col("__df") <= m)
         // using-column joins move the key to column 0 — re-select so the
         // downstream positional toDF stays (id, shingle)
@@ -98,7 +100,7 @@ object Dedup {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     // checkpointed: both self-join sides AND the sizes aggregate read
     // it (self-join aliases defeat exchange reuse)
-    val keyed = idx.repartition(p, col("shingle")).localCheckpoint(false)
+    val keyed = idx.repartition(p, col("shingle")).transform(Checkpoints.cp)
     // sizes come from the SAME (possibly pruned) index as the
     // intersection counts, so the jaccard ratio is internally
     // consistent: with pruning it is exact jaccard over the pruned
@@ -142,7 +144,7 @@ object Dedup {
     val withSets = df.select(col(idCol),
       graft.functions.ShingleHashes.shingle_hashes(df.sparkSession, col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
     // Band rows carry ONLY (id, band, bucket): the wide shingle arrays
     // stay out of the candidate-generating shuffle and are joined back
     // for the (few) surviving candidate pairs. Bucket keys come from
@@ -158,7 +160,7 @@ object Dedup {
         col("band"), col("bucket"))
       // checkpointed: both self-join sides read it, and the banding
       // pass (128 hashes per doc) is the dominant linear stage
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
     val cand = banded.toDF("ida", "band", "bucket")
       .join(banded.toDF("idb", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
@@ -196,7 +198,7 @@ object Dedup {
     def withSets(df: DataFrame) = df.select(col(idCol),
       graft.functions.ShingleHashes.shingle_hashes(spark, col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(false) // read by the banding stage AND the verify join
+      .transform(Checkpoints.cp) // read by the banding stage AND the verify join
     def banded(sets: DataFrame) = sets.select(
       col(idCol),
       posexplode(graft.functions.MinHashBuckets
@@ -253,7 +255,7 @@ object Dedup {
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("chunk"), col("key"))
       // checkpointed: both self-join sides read it (aliases defeat reuse)
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
     val l = banded.toDF("ida", "fpa", "chunk", "key")
     val r = banded.toDF("idb", "fpb", "chunk", "key")
     l.join(r, Seq("chunk", "key"))

@@ -67,7 +67,7 @@ object Pipeline {
     // re-runs the whole dedup chain above — scan, exact dedup window,
     // LSH banding, candidate verification, anti join. Same lifecycle
     // note as [[Dedup]]: blocks are freed when the result is dropped.
-    val withSplit = filtered.withColumn("split", split).localCheckpoint(false)
+    val withSplit = filtered.withColumn("split", split).transform(Checkpoints.cp)
 
     // 5. pack each split into ~capacity-token bins — ONE partitioned
     //    two-level prefix sum over all splits (a per-split loop would

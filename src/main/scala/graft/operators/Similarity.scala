@@ -122,7 +122,7 @@ object Similarity {
       .toDF(("id" +: wNames :+ "band" :+ "key"): _*)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("key"))
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
   }
 
   /** Hamming cutoff that loses ~no recall at `threshold` (6 sigma over
@@ -187,9 +187,9 @@ object Similarity {
     val nWords = (numPlanes + 63) / 64
     val wNames = (0 until nWords).map(w => s"w$w")
     val cBase = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
-      .localCheckpoint(false) // read by banding AND the verify join
+      .transform(Checkpoints.cp) // read by banding AND the verify join
     val fBase = fresh.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
     val maxHamming = hammingCutoff(numPlanes, threshold)
     val l = bandedSigs(cBase, dim, numPlanes, bands)
       .toDF(("corpus_id" +: wNames.map(_ + "a") :+ "band" :+ "key"): _*)

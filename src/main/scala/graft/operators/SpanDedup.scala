@@ -50,7 +50,7 @@ object SpanDedup {
       // both the dup-hash aggregate and the mark join read it; without
       // the checkpoint the tokenize+md5 pass runs twice (self-join
       // aliases defeat exchange reuse — same discipline as Dedup)
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
     // corpus-wide duplicated window hashes: one keyed aggregate,
     // partial counts map-side; count>1 keeps output proportional to
     // true duplication

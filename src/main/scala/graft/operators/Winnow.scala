@@ -49,7 +49,7 @@ object Winnow {
     val fps = fingerprints(df, idCol, textCol, k, w)
       // pin the expansion shuffle width — see Dedup.jaccardPairs
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col("fp"))
-      .localCheckpoint(false)
+      .transform(Checkpoints.cp)
     fps.toDF("ida", "fp").join(fps.toDF("idb", "fp"), Seq("fp"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))

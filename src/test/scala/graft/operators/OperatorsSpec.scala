@@ -727,4 +727,23 @@ class OperatorsSpec extends AnyFunSuite {
     val m = graft.torch.TorchScriptModel.load("file:///root/reference/model/iris.spt")
     assert(m.inDim == 4 && m.outDim == 3)
   }
+
+  test("spark.graft.checkpoint.dir switches to reliable checkpoints, same results") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a", "b")
+    val local = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      val reliable = Components.connectedComponents(edges, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliable == local)
+      // the reliable path actually wrote checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
 }
