@@ -1071,6 +1071,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", window = 8)
         .orderBy("doc_id", "span_start")),
 
+    // Span excision — the rewrite over q87's detection: duplicated
+    // text removed, first corpus occurrence kept verbatim (Lee-style
+    // keep-one-copy). Output: per-doc removed-token count + cleaned
+    // text fingerprint.
+    "q88_span_excise" -> ((s, dir) =>
+      graft.operators.SpanDedup.exciseSpans(
+        t(s, dir, "documents"), "doc_id", "text", window = 8)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")),
+
     // ---------------- config + introspection ------------------------
     "q29_settings" -> { (s, _) =>
       s.conf.unset(TorchConf.DeviceKey)
@@ -1280,6 +1291,38 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
         |       count(*) AS n_windows
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    // Excision from raw gram strings; the doc LEFT JOIN keeps
+    // token-less docs (Spark's posexplode_outer does the same).
+    "q88_span_excise" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 6)) AS u(i)),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) > 1),
+        |occ AS (
+        |  SELECT w.doc_id, w.pos,
+        |         row_number() OVER (PARTITION BY gram ORDER BY w.doc_id, w.pos) = 1 AS canon
+        |  FROM wins w JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT doc_id, canon, pos + k AS tokpos
+        |  FROM occ, UNNEST(range(0, 8)) AS t(k)),
+        |rem AS (
+        |  SELECT doc_id, tokpos FROM cov GROUP BY doc_id, tokpos
+        |  HAVING NOT bool_or(canon)),
+        |tk AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tokpos, ws[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.tokpos, t.tok, r.tokpos IS NOT NULL AS rm
+        |  FROM tk t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.tokpos = r.tokpos)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sum(CASE WHEN k.rm THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT k.rm THEN k.tok END, ' ' ORDER BY k.tokpos), '')) AS clean_fp
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Approximate-op gate queries: the Spark side computes and CHECKS
     // its own accuracy against an in-query exact baseline; the oracle

@@ -70,4 +70,69 @@ object SpanDedup {
         count(lit(1)).as("n_windows"))
       .drop("__grp")
   }
+
+  /**
+   * Span EXCISION — the rewrite pass over [[duplicatedSpans]]'s
+   * detection: remove duplicated text but KEEP ONE COPY corpus-wide
+   * (Lee et al.'s dedup semantics).
+   *
+   * Rule, stated per window occurrence: the CANONICAL occurrence of a
+   * duplicated window is the globally smallest (doc, pos) holding its
+   * content; a token is excised when it is covered by at least one
+   * duplicated window but by NO canonical-occurrence window in its own
+   * document. So the first document to state a repeated passage keeps
+   * it verbatim; later restatements lose exactly the repeated tokens.
+   *
+   * Scale shape: everything from [[duplicatedSpans]] plus one window
+   * function over each duplicated hash's occurrence list (tiny: only
+   * duplicated windows participate) and a token-coverage explode whose
+   * size is (duplicated windows) x window — proportional to true
+   * duplication, never to corpus^2. The rebuild groups tokens per doc;
+   * per-doc data is bounded by doc length.
+   *
+   * Output: (idCol, clean_text, n_removed) — the doc's surviving
+   * tokens space-joined, and how many token positions were excised.
+   * Docs with nothing duplicated pass through with n_removed = 0
+   * (whitespace normalized to single spaces by the token rebuild).
+   */
+  def exciseSpans(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    val grams = df.select(
+      col(idCol),
+      posexplode(graft.functions.GramHashes.gram_hashes(spark, col(textCol), window)))
+      .toDF(idCol, "pos", "h")
+      .transform(Checkpoints.cp) // dup aggregate + occurrence join both read it
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select("h")
+    // occurrences of duplicated windows, with the global first flagged;
+    // the per-hash window is tiny (only duplicated hashes participate)
+    val occW = Window.partitionBy("h").orderBy(col(idCol), col("pos"))
+    val occ = grams.join(dup, Seq("h"))
+      .withColumn("__canon", row_number().over(occW) === 1)
+    // token coverage: (id, tokpos) covered by dup windows, split by
+    // whether ANY covering window in this doc is canonical
+    val covered = occ.select(
+      col(idCol), col("__canon"),
+      explode(sequence(col("pos"), col("pos") + window - 1)).as("tokpos"))
+    val removed = covered.groupBy(col(idCol), col("tokpos"))
+      .agg(max(col("__canon")).as("__any_canon"))
+      .filter(!col("__any_canon"))
+      .select(col(idCol), col("tokpos"))
+    // rebuild: tokens minus removed positions, in order
+    val toks = df.select(col(idCol), col(textCol))
+      .select(col(idCol),
+        posexplode_outer(expr(s"regexp_extract_all($textCol, '\\\\S+', 0)")))
+      .toDF(idCol, "tokpos", "tok")
+    toks.join(removed.withColumn("__rm", lit(1)), Seq(idCol, "tokpos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("__rm").isNull,
+              struct(col("tokpos"), col("tok"))))),
+            s => s.getField("tok"))).as("clean_text"),
+        sum(when(col("__rm").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
 }

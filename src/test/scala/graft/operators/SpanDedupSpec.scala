@@ -54,6 +54,37 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(spans(Seq(1L -> "only three tokens", 2L -> "only three tokens"), window = 8).isEmpty)
   }
 
+  private def excised(docs: Seq[(Long, String)], window: Int): Map[Long, (String, Long)] =
+    SpanDedup.exciseSpans(docs.toDF("doc_id", "text"), "doc_id", "text", window)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+
+  test("excision keeps the first corpus occurrence, removes later restatements") {
+    val block = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val d1 = s"head1 a b $block tail1"
+    val d2 = s"head2 $block tail2 x y"
+    val d3 = block // entirely the repeated block
+    val got = excised(Seq(1L -> d1, 2L -> d2, 3L -> d3), window = 4)
+    assert(got(1L) == (d1, 0L)) // canonical copy untouched
+    assert(got(2L) == ("head2 tail2 x y", 12L))
+    assert(got(3L) == ("", 12L))
+  }
+
+  test("excision is identity (modulo whitespace normalization) without duplicates") {
+    val docs = (1 to 4).map(d => d.toLong -> (0 until 15).map(i => s"w${d}_$i").mkString("  "))
+    val got = excised(docs, window = 4)
+    for ((id, text) <- docs)
+      assert(got(id) == (text.split("\\s+").mkString(" "), 0L))
+  }
+
+  test("within-doc repetition keeps only the first in-doc occurrence") {
+    val phrase = "p0 p1 p2 p3 p4"
+    val doc = s"$phrase mid1 mid2 $phrase"
+    val got = excised(Seq(1L -> doc), window = 5)
+    assert(got(1L) == (s"$phrase mid1 mid2", 5L))
+  }
+
   test("property: rebuilt spans cover exactly the duplicated window starts") {
     val rnd = new scala.util.Random(7)
     // random docs over a tiny vocab => natural window collisions
