@@ -292,6 +292,15 @@ object TorchCode {
         case Some(other) => sys.error(s"${m.fqName}: non-int attr $key = $other")
       }
 
+    private def floatAttr(m: ModuleNode, key: String, dflt: Double): Double =
+      m.attrs.get(key) match {
+        case Some(d: Double) => d
+        case Some(n: Long) => n.toDouble
+        case Some(Pickle.PFloat(d)) => d
+        case None => dflt
+        case Some(other) => sys.error(s"${m.fqName}: non-float attr $key = $other")
+      }
+
     private def builtin(m: ModuleNode, dim: Int): Int = m.simpleName match {
       case "Linear" =>
         val w = m.attrs.get("weight") match {
@@ -317,6 +326,42 @@ object TorchCode {
       case "Sigmoid" => ops += ActOp("sigmoid"); dim
       case "Tanh" => ops += ActOp("tanh"); dim
       case "GELU" => ops += ActOp("gelu"); dim
+      case "BatchNorm1d" =>
+        // eval-mode BN is a per-feature affine; fold it at load time
+        def vec(key: String): Array[Float] = m.attrs.get(key) match {
+          case Some(t: Pickle.PTensor) if t.shape.length == 1 => materialize(t)
+          case other => sys.error(s"${m.fqName}: BatchNorm1d missing 1-D tensor '$key' (got $other)")
+        }
+        val (mean, vr) = (vec("running_mean"), vec("running_var"))
+        val eps = floatAttr(m, "eps", 1e-5)
+        // affine=False stores weight/bias as None
+        val gamma = m.attrs.get("weight") match {
+          case Some(t: Pickle.PTensor) => materialize(t)
+          case _ => Array.fill(mean.length)(1f)
+        }
+        val beta = m.attrs.get("bias") match {
+          case Some(t: Pickle.PTensor) => materialize(t)
+          case _ => new Array[Float](mean.length)
+        }
+        require(dim == -1 || dim == mean.length,
+          s"BatchNorm1d(${mean.length}) applied to $dim features")
+        val scale = Array.tabulate(mean.length)(i =>
+          (gamma(i) / math.sqrt(vr(i).toDouble + eps)).toFloat)
+        val shift = Array.tabulate(mean.length)(i => beta(i) - mean(i) * scale(i))
+        ops += ScaleShiftOp(scale, shift)
+        mean.length
+      case "LayerNorm" =>
+        def vecOr(key: String, n: Int, dflt: Float): Array[Float] = m.attrs.get(key) match {
+          case Some(t: Pickle.PTensor) if t.shape.length == 1 => materialize(t)
+          case _ => Array.fill(n)(dflt) // elementwise_affine=False
+        }
+        require(dim > 0, s"${m.fqName}: LayerNorm before any Linear needs a known dim")
+        val gamma = vecOr("weight", dim, 1f)
+        val beta = vecOr("bias", dim, 0f)
+        require(gamma.length == dim,
+          s"LayerNorm(${gamma.length}) applied to $dim features")
+        ops += LayerNormOp(gamma, beta, floatAttr(m, "eps", 1e-5))
+        dim
       case "Softmax" | "LogSoftmax" =>
         val d = intAttr(m, "dim", -1L)
         require(d == -1L || d == 1L,
@@ -339,7 +384,8 @@ object TorchCode {
         }
       case other => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
         "(builtin torch.nn surface: Linear, ReLU, Sigmoid, Tanh, GELU, " +
-        "Softmax, LogSoftmax, Identity, Dropout, Flatten, Sequential)")
+        "Softmax, LogSoftmax, BatchNorm1d, LayerNorm, Identity, Dropout, " +
+        "Flatten, Sequential)")
     }
 
     /** Execute a parsed forward body with `self = m`, input dim `dim`. */

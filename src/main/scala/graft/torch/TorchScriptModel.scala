@@ -21,6 +21,14 @@ final case class ActOp(kind: String) extends TorchOp
 /** Per-row (log-)softmax over the feature dim. */
 final case class SoftmaxOp(log: Boolean) extends TorchOp
 
+/** Per-feature affine `y = x*scale + shift` — eval-mode BatchNorm1d
+  * folded at load time (scale = γ/√(σ²+ε), shift = β − μ·scale). */
+final case class ScaleShiftOp(scale: Array[Float], shift: Array[Float]) extends TorchOp
+
+/** Per-row layer normalization over the feature dim. */
+final case class LayerNormOp(gamma: Array[Float], beta: Array[Float], eps: Double)
+    extends TorchOp
+
 /**
  * A TorchScript MLP loaded from a `torch.jit.save` archive, executed on
  * the JVM with a plain float GEMM (no libtorch).
@@ -99,6 +107,41 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
               i += 1
             }
           case other => sys.error(s"unknown activation $other")
+        }
+      case ScaleShiftOp(scale, shift) =>
+        require(curDim == scale.length,
+          s"batchnorm over ${scale.length} features applied to $curDim")
+        if (cur eq x) cur = x.clone()
+        var i = 0
+        while (i < cur.length) {
+          val f = i % curDim
+          cur(i) = cur(i) * scale(f) + shift(f)
+          i += 1
+        }
+      case LayerNormOp(gamma, beta, eps) =>
+        require(curDim == gamma.length,
+          s"layernorm over ${gamma.length} features applied to $curDim")
+        if (cur eq x) cur = x.clone()
+        var r = 0
+        while (r < n) {
+          val off = r * curDim
+          var mean = 0.0
+          var j = 0
+          while (j < curDim) { mean += cur(off + j); j += 1 }
+          mean /= curDim
+          var va = 0.0
+          j = 0
+          while (j < curDim) {
+            val d = cur(off + j) - mean; va += d * d; j += 1
+          }
+          va /= curDim // biased variance, as torch uses for layer_norm
+          val inv = 1.0 / math.sqrt(va + eps)
+          j = 0
+          while (j < curDim) {
+            cur(off + j) = (((cur(off + j) - mean) * inv) * gamma(j) + beta(j)).toFloat
+            j += 1
+          }
+          r += 1
         }
       case SoftmaxOp(log) =>
         if (cur eq x) cur = x.clone()

@@ -21,6 +21,7 @@ object SptFixture {
   final case class Module(fqcn: String, attrs: Seq[(String, V)]) extends V
   final case class I(n: Long) extends V
   final case class B(b: Boolean) extends V
+  final case class F(d: Double) extends V
   case object NoneV extends V
 
   /** Write the archive; `code` maps archive-relative paths (e.g.
@@ -46,6 +47,10 @@ object SptFixture {
     def emit(v: V): Unit = v match {
       case I(n) => int(n)
       case B(b) => byte(if (b) 0x88 else 0x89)
+      case F(d) => // BINFLOAT is big-endian
+        byte('G')
+        val bb = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putDouble(d)
+        pkl.write(bb.array())
       case NoneV => byte('N')
       case Tensor(shape, data) =>
         require(shape.product == data.length, s"shape $shape vs ${data.length} values")

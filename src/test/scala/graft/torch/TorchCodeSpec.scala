@@ -166,6 +166,65 @@ class TorchCodeSpec extends AnyFunSuite {
     for (j <- 0 until 3) assert(math.abs(got(j) - expected(j)) < 1e-5)
   }
 
+  test("eval-mode BatchNorm1d and LayerNorm between linears") {
+    val (w0, b0) = (vals(8, 15), vals(4, 16))
+    val (w1, b1) = (vals(8, 17), vals(2, 18))
+    val bnMean = vals(4, 19)
+    val bnVar = bnMean.map(v => v * v + 0.5f) // positive variances
+    val bnG = vals(4, 20)
+    val bnB = vals(4, 21)
+    val lnG = vals(2, 22)
+    val lnB = vals(2, 23)
+    val eps = 1e-5
+    val model = Module("__torch__.BNet", Seq(
+      "training" -> B(false),
+      "fc1" -> linear(w0, 4, 2, b0),
+      "bn" -> Module("__torch__.torch.nn.modules.batchnorm.BatchNorm1d", Seq(
+        "weight" -> Tensor(Seq(4), bnG),
+        "bias" -> Tensor(Seq(4), bnB),
+        "running_mean" -> Tensor(Seq(4), bnMean),
+        "running_var" -> Tensor(Seq(4), bnVar),
+        "eps" -> F(eps),
+        "training" -> B(false))),
+      "fc2" -> linear(w1, 2, 4, b1),
+      "ln" -> Module("__torch__.torch.nn.modules.normalization.LayerNorm", Seq(
+        "weight" -> Tensor(Seq(2), lnG),
+        "bias" -> Tensor(Seq(2), lnB),
+        "eps" -> F(eps),
+        "training" -> B(false)))))
+    val code = Map("code/__torch__.py" ->
+      """class BNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.BNet,
+        |    x: Tensor) -> Tensor:
+        |    fc1 = self.fc1
+        |    bn = self.bn
+        |    x0 = (bn).forward((fc1).forward(x, ), )
+        |    fc2 = self.fc2
+        |    x1 = (fc2).forward(x0, )
+        |    ln = self.ln
+        |    return (ln).forward(x1, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("bnet", "bnet", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      Seq("LinearLayer", "ScaleShiftOp", "LinearLayer", "LayerNormOp"))
+
+    val x = Array(0.9, -1.4)
+    val h = mm(x, w0, b0, 4, 2)
+    val bn = h.indices.map { i =>
+      (h(i) - bnMean(i)) / math.sqrt(bnVar(i).toDouble + eps) * bnG(i) + bnB(i)
+    }.toArray
+    val l2 = mm(bn, w1, b1, 2, 4)
+    val mean = l2.sum / 2
+    val variance = l2.map(v => (v - mean) * (v - mean)).sum / 2
+    val expected = l2.indices.map { j =>
+      (l2(j) - mean) / math.sqrt(variance + eps) * lnG(j) + lnB(j)
+    }
+    val got = m.forward(x.map(_.toFloat))
+    for (j <- 0 until 2)
+      assert(math.abs(got(j) - expected(j)) < 1e-4, s"out[$j]: ${got(j)} vs ${expected(j)}")
+  }
+
   test("codeless archive falls back to Linear/ReLU heuristic; rejects other ops") {
     val (w0, b0) = (vals(6, 11), vals(3, 12))
     val (w1, b1) = (vals(6, 13), vals(2, 14))
