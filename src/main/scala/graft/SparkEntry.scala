@@ -1071,6 +1071,30 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", window = 8)
         .orderBy("doc_id", "span_start")),
 
+    // Gopher-style quality rules (public filtering recipe): per-doc
+    // rule metrics + the conjunctive keep flag. Integer-exact
+    // arithmetic with single divisions, so the oracle reproduces every
+    // value bit-identically.
+    "q89_gopher_rules" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val nWords = TextOps.strictTokenCount(col("text"))
+      d.select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        TextOps.meanWordLen(col("text")).as("mean_word_len"),
+        TextOps.symbolToWordRatio(col("text")).as("symbol_ratio"),
+        TextOps.alphaWordFrac(col("text")).as("alpha_word_frac"),
+        TextOps.dupLineFrac(col("text")).as("dup_line_frac"),
+        TextOps.stopwordHits(col("text")).cast("long").as("stop_hits"))
+        .withColumn("keep",
+          col("n_words").between(10, 100000) &&
+            col("mean_word_len").between(2.0, 12.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("dup_line_frac") <= 0.3 &&
+            col("stop_hits") >= 1)
+        .orderBy("doc_id")
+    },
+
     // Span excision — the rewrite over q87's detection: duplicated
     // text removed, first corpus occurrence kept verbatim (Lee-style
     // keep-one-copy). Output: per-doc removed-token count + cleaned
@@ -1291,6 +1315,38 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
         |       count(*) AS n_windows
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "q89_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonws_chars,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses,
+        |    len(list_filter(regexp_extract_all(text, '\S+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(list_distinct(string_split(text, chr(10)))) AS d_lines,
+        |    CAST(len(list_intersect(
+        |      list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |      ['the','of','and','to','in','is','that','it','was','for','a',
+        |       'der','die','das','und','ist','nicht','mit','ein','zu','den',
+        |       'el','la','de','que','y','en','un','es','se','no',
+        |       'le','les','et','une','est','pas','vous','je','ne','ce',
+        |       '的','是','在','了','我','有','和','就','不','人'])) AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN CAST(nonws_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN n_words > 0 THEN CAST(hashes + ellipses AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+        |  CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END AS alpha_word_frac,
+        |  CASE WHEN n_lines > 0 THEN 1.0 - CAST(d_lines AS DOUBLE) / n_lines ELSE 0.0 END AS dup_line_frac,
+        |  stop_hits,
+        |  (n_words BETWEEN 10 AND 100000)
+        |    AND (CASE WHEN n_words > 0 THEN CAST(nonws_chars AS DOUBLE) / n_words ELSE 0.0 END BETWEEN 2.0 AND 12.0)
+        |    AND (CASE WHEN n_words > 0 THEN CAST(hashes + ellipses AS DOUBLE) / n_words ELSE 0.0 END <= 0.1)
+        |    AND (CASE WHEN n_lines > 0 THEN 1.0 - CAST(d_lines AS DOUBLE) / n_lines ELSE 0.0 END <= 0.3)
+        |    AND stop_hits >= 1 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Excision from raw gram strings; the doc LEFT JOIN keeps
     // token-less docs (Spark's posexplode_outer does the same).

@@ -91,6 +91,49 @@ object TextOps {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
 
+  // ---- Gopher-style document-quality rule ingredients (Rae et al.
+  // 2021, public filtering recipe). All integer-exact or single-
+  // division arithmetic, so oracle SQL reproduces them bit-identically.
+
+  /** Mean word length: non-whitespace chars / `\S+` token count. */
+  def meanWordLen(text: Column): Column = {
+    val n = strictTokenCount(text).cast("double")
+    when(n > 0,
+      length(regexp_replace(text, "\\s", "")).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Gopher symbol-to-word ratio: occurrences of `#` or `...` per word. */
+  def symbolToWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val n = strictTokenCount(text).cast("double")
+    when(n > 0, (hashes + ellipses).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Fraction of words containing at least one ASCII letter. */
+  def alphaWordFrac(text: Column): Column = {
+    val ws = call_function("regexp_extract_all", text, lit("\\S+"), lit(0))
+    when(size(ws) > 0,
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / size(ws).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Duplicate-line fraction: 1 - distinct lines / lines (Gopher's
+    * repetition family at line granularity; [[graft.SparkEntry]] q47
+    * covers the 2-gram variant). */
+  def dupLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Distinct stopword hits across all known languages — Gopher's
+    * "contains stop words" naturalness signal, language-neutral. */
+  def stopwordHits(text: Column): Column =
+    size(array_intersect(wordSet(text),
+      array(stopwords.flatMap(_._2).map(lit): _*)))
+
   /**
    * Composite quality score in [0,1]: blends token count (longer is
    * better up to 64 tokens), alphanumeric density, and mean word
