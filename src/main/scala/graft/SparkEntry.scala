@@ -1071,6 +1071,23 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", window = 8)
         .orderBy("doc_id", "span_start")),
 
+    // PII scrubbing: regex-tier email/phone/IPv4 detect-and-redact.
+    // The corpus is synthetic and contains none (counts 0, scrub_fp ==
+    // md5(text)) — which is exactly what the oracle certifies: both
+    // engines ran the same RE2-compatible patterns over every doc and
+    // changed nothing. Behavioral redaction is pinned by ScrubSpec's
+    // planted-PII cases.
+    "q90_pii_scrub" -> { (s, dir) =>
+      val Scrub = graft.operators.Scrub
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Scrub.emailCount(col("text")).cast("long").as("n_emails"),
+        Scrub.phoneCount(col("text")).cast("long").as("n_phones"),
+        Scrub.ipCount(col("text")).cast("long").as("n_ips"),
+        md5(Scrub.scrub(col("text"))).as("scrub_fp"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style quality rules (public filtering recipe): per-doc
     // rule metrics + the conjunctive keep flag. Integer-exact
     // arithmetic with single divisions, so the oracle reproduces every
@@ -1315,6 +1332,17 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
         |       count(*) AS n_windows
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "q90_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g')) AS scrub_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q89_gopher_rules" ->
       """WITH m AS (
