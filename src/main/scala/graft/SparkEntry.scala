@@ -1071,6 +1071,20 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", window = 8)
         .orderBy("doc_id", "span_start")),
 
+    // Token-budget sampling: per language, keep docs in deterministic
+    // md5 order until a 5k-token budget is exhausted — the "cap each
+    // source at N tokens" corpus-assembly primitive. Output: per-lang
+    // kept-doc count and exact token totals.
+    "q91_token_budget" -> { (s, dir) =>
+      graft.operators.Mix.tokenBudgetSample(
+        t(s, dir, "documents"), "lang", "doc_id",
+        TextOps.strictTokenCount(col("text")), budgetPerStratum = 5000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(TextOps.strictTokenCount(col("text")).cast("long")).as("kept_tokens"))
+        .orderBy("lang")
+    },
+
     // PII scrubbing: regex-tier email/phone/IPv4 detect-and-redact.
     // The corpus is synthetic and contains none (counts 0, scrub_fp ==
     // md5(text)) — which is exactly what the oracle certifies: both
@@ -1332,6 +1346,22 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
         |       count(*) AS n_windows
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "q91_token_budget" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, toks,
+        |    COALESCE(sum(toks) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d)
+        |SELECT lang, count(*) AS kept_docs,
+        |  CAST(sum(toks) AS BIGINT) AS kept_tokens
+        |FROM r WHERE tokens_before < 5000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q90_pii_scrub" ->
       """SELECT doc_id,

@@ -51,4 +51,40 @@ object Mix {
       .filter(bucket < col("__rate_bp"))
       .drop("__rate_bp")
   }
+
+  /**
+   * Token-budget sampling: per stratum, keep documents — in a
+   * DETERMINISTIC hash order — until the stratum's token budget is
+   * exhausted (the "cap each source at N tokens" primitive of corpus
+   * assembly, complementing [[rebalance]]'s proportional row
+   * sampling).
+   *
+   * A doc is kept when the running token total of hash-earlier docs in
+   * its stratum is still below the budget, so each stratum overshoots
+   * by at most one document and the selection is reproducible across
+   * engines/runs (md5 order, no RNG). Output: input columns +
+   * `tokens_before` (the prefix total that admitted the doc).
+   *
+   * Plan shape: one window per stratum ordered by (hash, id). The
+   * window is per-stratum (parallel across strata); within a stratum
+   * it is the usual single-partition window caveat — at 100 TB with
+   * few giant strata, pre-aggregate to (stratum, hash-bucket) totals
+   * first, the same two-level trick [[Pack.packBins]] uses.
+   */
+  def tokenBudgetSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      budgetPerStratum: Long): DataFrame = {
+    require(budgetPerStratum >= 1, "budget must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("tokens_before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetPerStratum)
+      .drop("__tok")
+  }
 }

@@ -728,6 +728,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m.inDim == 4 && m.outDim == 3)
   }
 
+  test("tokenBudgetSample: budget respected within one doc, deterministic, per stratum") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 10L))
+      .toDF("id", "src", "toks")
+    val kept = Mix.tokenBudgetSample(docs, "src", "id", col("toks"), budgetPerStratum = 500L)
+    val bySrc = kept.groupBy("src").agg(sum("toks").as("t"), max("toks").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((src, (total, mx)) <- bySrc) {
+      assert(total - mx < 500L, s"$src: prefix before last doc must be under budget")
+      assert(total >= 500L || docs.filter(col("src") === src).agg(sum("toks"))
+        .collect()(0).getLong(0) == total, s"$src: stopped early with budget left")
+    }
+    // deterministic: same selection on re-run
+    val again = Mix.tokenBudgetSample(docs, "src", "id", col("toks"), 500L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("spark.graft.checkpoint.dir switches to reliable checkpoints, same results") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
