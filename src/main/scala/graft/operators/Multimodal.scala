@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
  * opaque `binary` column with typed metadata extracted beside it.
  *
  * The Spark-side machinery — schema, per-partition batched iteration,
- * column append — is real and tested. The actual byte decoding is a
- * **STUB**: no image/audio codec libraries exist in this environment,
- * so [[FakeDecoder]] derives deterministic metadata from the byte
- * content alone. Swapping in a real decoder is a one-function change
- * (replace `FakeDecoder.decode`) that does not touch the plumbing.
+ * column append — is real and tested. Metadata decode is REAL for the
+ * four dominant raster formats ([[HeaderDecoder]]: PNG/JPEG/GIF/BMP
+ * header parsing, codec-free); payloads with no recognized header get
+ * deterministic length-derived stand-in metadata ([[FakeDecoder]]).
+ * Pixel-level work (resize) remains a labeled STUB — no codec
+ * libraries exist in this environment; swapping in a real scaler is a
+ * one-function change that does not touch the plumbing.
  */
 object Multimodal {
 
@@ -23,9 +25,63 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** STUB decoder: deterministic metadata from byte length/content —
-    * stands in for an image header parse (magic bytes -> format,
-    * dimensions). Replace with a real codec for production. */
+  /**
+   * REAL image-header decoder: container metadata (format, dimensions,
+   * channels) parsed straight from the byte headers of the four
+   * dominant raster formats — no codec library needed, this is pure
+   * public file-format layout (what the `imagesize`-class tools do):
+   *
+   *  - PNG: 8-byte signature, then IHDR — width/height big-endian u32
+   *    at offsets 16/20, color type at 25 → channel count;
+   *  - JPEG: FF D8, then marker walk to the first SOFn (C0-CF minus
+   *    C4/C8/CC) — height/width big-endian u16 after precision,
+   *    component count = channels;
+   *  - GIF: "GIF87a"/"GIF89a" — logical-screen width/height
+   *    little-endian u16 at 6/8, palette RGB → 3 channels;
+   *  - BMP: "BM" — DIB width/|height| little-endian i32 at 18/22,
+   *    bits-per-pixel at 28 → channels.
+   *
+   * Returns None for anything else (truncated or unknown payloads).
+   */
+  object HeaderDecoder {
+    def decode(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      if (b.length >= 26 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a &&
+          new String(b, 12, 4, "US-ASCII") == "IHDR") {
+        val channels = u8(25) match {
+          case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4 case _ => 3
+        }
+        Some((be32(16), be32(20), channels, "png"))
+      } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // marker walk: FF marker, u16 length (includes itself)
+        var i = 2
+        while (i + 9 < b.length) {
+          if (u8(i) != 0xff) return None // desynced — not a JPEG stream
+          val m = u8(i + 1)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return Some((be16(i + 7), be16(i + 5), u8(i + 9), "jpeg"))
+          else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+          else i += 2 + be16(i + 2)
+        }
+        None
+      } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        Some((le16(6), le16(8), 3, "gif"))
+      } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
+        val bpp = le16(28)
+        Some((le32(18), math.abs(le32(22)), math.max(1, bpp / 8), "bmp"))
+      } else None
+    }
+  }
+
+  /** Deterministic stand-in metadata for payloads with NO recognized
+    * image header (the synthetic corpus, corrupt bytes): derived from
+    * byte length so pipelines over non-image binaries still exercise
+    * the full schema. Real images never reach this branch. */
   object FakeDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
       val len = bytes.length.toLong
@@ -39,6 +95,11 @@ object Multimodal {
       (width, height, 3, format)
     }
   }
+
+  /** Header parse first (real, codec-free); length-derived fallback
+    * for unrecognized payloads. */
+  def decodeMeta(bytes: Array[Byte]): (Int, Int, Int, String) =
+    HeaderDecoder.decode(bytes).getOrElse(FakeDecoder.decode(bytes))
 
   /**
    * Append a `metaCol: struct<width,height,channels,format>` decoded
@@ -57,7 +118,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row.fromSeq(r.toSeq :+ null) // null payload -> null meta
         else {
-          val (w, h, c, f) = FakeDecoder.decode(bytes)
+          val (w, h, c, f) = decodeMeta(bytes)
           Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
         }
       }

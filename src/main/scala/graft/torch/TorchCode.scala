@@ -326,6 +326,18 @@ object TorchCode {
       case "Sigmoid" => ops += ActOp("sigmoid"); dim
       case "Tanh" => ops += ActOp("tanh"); dim
       case "GELU" => ops += ActOp("gelu"); dim
+      case "SiLU" => ops += ActOp("silu"); dim
+      case "LeakyReLU" =>
+        ops += ParamActOp("leaky_relu", floatAttr(m, "negative_slope", 0.01), 0); dim
+      case "ELU" => ops += ParamActOp("elu", floatAttr(m, "alpha", 1.0), 0); dim
+      case "Hardtanh" =>
+        ops += ParamActOp("hardtanh",
+          floatAttr(m, "min_val", -1.0), floatAttr(m, "max_val", 1.0))
+        dim
+      case "Softplus" =>
+        ops += ParamActOp("softplus",
+          floatAttr(m, "beta", 1.0), floatAttr(m, "threshold", 20.0))
+        dim
       case "BatchNorm1d" =>
         // eval-mode BN is a per-feature affine; fold it at load time
         def vec(key: String): Array[Float] = m.attrs.get(key) match {
@@ -383,9 +395,9 @@ object TorchCode {
             cur
         }
       case other => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
-        "(builtin torch.nn surface: Linear, ReLU, Sigmoid, Tanh, GELU, " +
-        "Softmax, LogSoftmax, BatchNorm1d, LayerNorm, Identity, Dropout, " +
-        "Flatten, Sequential)")
+        "(builtin torch.nn surface: Linear, ReLU, Sigmoid, Tanh, GELU, SiLU, " +
+        "LeakyReLU, ELU, Hardtanh, Softplus, Softmax, LogSoftmax, " +
+        "BatchNorm1d, LayerNorm, Identity, Dropout, Flatten, Sequential)")
     }
 
     /** Execute a parsed forward body with `self = m`, input dim `dim`. */
@@ -416,7 +428,7 @@ object TorchCode {
           fn match {
             // evaluate the tensor arg FIRST: its sub-calls (e.g. the
             // nested Linear forward) must emit their ops before this one
-            case "relu" | "sigmoid" | "tanh" | "gelu" =>
+            case "relu" | "sigmoid" | "tanh" | "gelu" | "silu" =>
               val d = tensorArg; ops += ActOp(fn); d
             case "softmax" | "log_softmax" =>
               val d = tensorArg

@@ -15,8 +15,13 @@ sealed trait TorchOp extends Serializable
 final case class LinearLayer(weight: Array[Float], bias: Array[Float], outDim: Int, inDim: Int)
     extends TorchOp
 
-/** Elementwise activation: relu | sigmoid | tanh | gelu. */
+/** Elementwise activation: relu | sigmoid | tanh | gelu | silu. */
 final case class ActOp(kind: String) extends TorchOp
+
+/** Parameterized elementwise activation:
+  * leaky_relu(a=slope) | elu(a=alpha) | hardtanh(a=min, b=max) |
+  * softplus(a=beta, b=threshold). */
+final case class ParamActOp(kind: String, a: Double, b: Double) extends TorchOp
 
 /** Per-row (log-)softmax over the feature dim. */
 final case class SoftmaxOp(log: Boolean) extends TorchOp
@@ -104,6 +109,39 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
             // below float32 resolution)
             while (i < cur.length) {
               cur(i) = (0.5 * cur(i) * (1.0 + erf(cur(i) / math.sqrt(2.0)))).toFloat
+              i += 1
+            }
+          case "silu" => // x * sigmoid(x)
+            while (i < cur.length) {
+              val x0 = cur(i).toDouble
+              cur(i) = (x0 / (1.0 + math.exp(-x0))).toFloat
+              i += 1
+            }
+          case other => sys.error(s"unknown activation $other")
+        }
+      case ParamActOp(kind, a, b) =>
+        if (cur eq x) cur = x.clone()
+        var i = 0
+        kind match {
+          case "leaky_relu" =>
+            while (i < cur.length) {
+              if (cur(i) < 0f) cur(i) = (cur(i) * a).toFloat; i += 1
+            }
+          case "elu" =>
+            while (i < cur.length) {
+              if (cur(i) < 0f) cur(i) = (a * (math.exp(cur(i).toDouble) - 1.0)).toFloat
+              i += 1
+            }
+          case "hardtanh" =>
+            while (i < cur.length) {
+              if (cur(i) < a) cur(i) = a.toFloat
+              else if (cur(i) > b) cur(i) = b.toFloat
+              i += 1
+            }
+          case "softplus" => // (1/beta)·log1p(exp(beta·x)), linear past threshold
+            while (i < cur.length) {
+              val bx = a * cur(i)
+              if (bx <= b) cur(i) = (math.log1p(math.exp(bx)) / a).toFloat
               i += 1
             }
           case other => sys.error(s"unknown activation $other")

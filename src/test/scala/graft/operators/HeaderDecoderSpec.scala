@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Hand-crafted headers per the public format specs — the decoder must
+  * read dimensions/channels from real byte layouts, not guess. */
+class HeaderDecoderSpec extends AnyFunSuite {
+
+  private def png(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(26 + 7).order(ByteOrder.BIG_ENDIAN)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13) // IHDR length
+    bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte) // bit depth
+    bb.put(colorType.toByte)
+    bb.put(new Array[Byte](3)) // compression/filter/interlace
+    bb.array()
+  }
+
+  private def jpeg(w: Int, h: Int, comps: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64).order(ByteOrder.BIG_ENDIAN)
+    bb.put(0xff.toByte).put(0xd8.toByte) // SOI
+    // APP0 segment to force a marker walk
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(6).put(Array[Byte]('J', 'F', 'I', 'F'))
+    // SOF0
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort((8 + 3 * comps).toShort)
+    bb.put(8.toByte) // precision
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(comps.toByte)
+    bb.array()
+  }
+
+  private def gif(w: Int, h: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.put(new Array[Byte](3))
+    bb.array()
+  }
+
+  private def bmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54) // file size (don't care)
+    bb.putInt(0).putInt(54) // reserved, data offset
+    bb.putInt(40) // DIB header size
+    bb.putInt(w).putInt(h)
+    bb.putShort(1) // planes
+    bb.putShort(bpp.toShort)
+    bb.array()
+  }
+
+  test("PNG IHDR: dimensions and color-type channels") {
+    assert(Multimodal.HeaderDecoder.decode(png(640, 480, 6)) == Some((640, 480, 4, "png")))
+    assert(Multimodal.HeaderDecoder.decode(png(1, 99999, 0)) == Some((1, 99999, 1, "png")))
+    assert(Multimodal.HeaderDecoder.decode(png(320, 200, 2)) == Some((320, 200, 3, "png")))
+  }
+
+  test("JPEG: marker walk past APP0 to SOF0") {
+    assert(Multimodal.HeaderDecoder.decode(jpeg(1920, 1080, 3)) == Some((1920, 1080, 3, "jpeg")))
+    assert(Multimodal.HeaderDecoder.decode(jpeg(8, 8, 1)) == Some((8, 8, 1, "jpeg")))
+  }
+
+  test("GIF logical screen descriptor") {
+    assert(Multimodal.HeaderDecoder.decode(gif(256, 192)) == Some((256, 192, 3, "gif")))
+  }
+
+  test("BMP DIB header, including bottom-up negative height") {
+    assert(Multimodal.HeaderDecoder.decode(bmp(800, 600, 24)) == Some((800, 600, 3, "bmp")))
+    assert(Multimodal.HeaderDecoder.decode(bmp(64, -64, 32)) == Some((64, 64, 4, "bmp")))
+  }
+
+  test("unknown/truncated payloads return None (fallback path)") {
+    assert(Multimodal.HeaderDecoder.decode("plain utf-8 text payload".getBytes).isEmpty)
+    assert(Multimodal.HeaderDecoder.decode(Array[Byte](0x89.toByte, 'P')).isEmpty)
+    assert(Multimodal.HeaderDecoder.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Multimodal.HeaderDecoder.decode(Array.empty[Byte]).isEmpty)
+    // decodeMeta falls back deterministically
+    val (w, h, c, f) = Multimodal.decodeMeta("abc".getBytes)
+    assert(w == 35 && h == 53 && c == 3 && f == "jpeg")
+  }
+}

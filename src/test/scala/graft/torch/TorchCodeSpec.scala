@@ -225,6 +225,55 @@ class TorchCodeSpec extends AnyFunSuite {
       assert(math.abs(got(j) - expected(j)) < 1e-4, s"out[$j]: ${got(j)} vs ${expected(j)}")
   }
 
+  test("parameterized activations: SiLU, LeakyReLU, ELU, Hardtanh, Softplus chain") {
+    val (w0, b0) = (vals(9, 25), vals(3, 26))
+    val model = Module("__torch__.PNet", Seq(
+      "training" -> B(false),
+      "fc" -> linear(w0, 3, 3, b0),
+      "silu" -> Module("__torch__.torch.nn.modules.activation.SiLU",
+        Seq("training" -> B(false))),
+      "lrelu" -> Module("__torch__.torch.nn.modules.activation.LeakyReLU",
+        Seq("negative_slope" -> F(0.2), "training" -> B(false))),
+      "elu" -> Module("__torch__.torch.nn.modules.activation.ELU",
+        Seq("alpha" -> F(1.5), "training" -> B(false))),
+      "ht" -> Module("__torch__.torch.nn.modules.activation.Hardtanh",
+        Seq("min_val" -> F(-0.5), "max_val" -> F(0.6), "training" -> B(false))),
+      "sp" -> Module("__torch__.torch.nn.modules.activation.Softplus",
+        Seq("beta" -> F(2.0), "threshold" -> F(20.0), "training" -> B(false)))))
+    val code = Map("code/__torch__.py" ->
+      """class PNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.PNet,
+        |    x: Tensor) -> Tensor:
+        |    fc = self.fc
+        |    silu = self.silu
+        |    x0 = (silu).forward((fc).forward(x, ), )
+        |    lrelu = self.lrelu
+        |    x1 = (lrelu).forward(x0, )
+        |    elu = self.elu
+        |    x2 = (elu).forward(x1, )
+        |    ht = self.ht
+        |    x3 = (ht).forward(x2, )
+        |    sp = self.sp
+        |    return (sp).forward(x3, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("pnet", "pnet", model, code))
+    assert(m.ops.collect { case ParamActOp(k, a, b) => (k, a, b) } ==
+      Seq(("leaky_relu", 0.2, 0.0), ("elu", 1.5, 0.0),
+        ("hardtanh", -0.5, 0.6), ("softplus", 2.0, 20.0)))
+
+    val x = Array(0.8, -1.1, 0.3)
+    def silu(v: Double) = v / (1.0 + math.exp(-v))
+    def lrelu(v: Double) = if (v < 0) 0.2 * v else v
+    def elu(v: Double) = if (v < 0) 1.5 * (math.exp(v) - 1) else v
+    def ht(v: Double) = math.max(-0.5, math.min(0.6, v))
+    def sp(v: Double) = if (2.0 * v <= 20.0) math.log1p(math.exp(2.0 * v)) / 2.0 else v
+    val expected = mm(x, w0, b0, 3, 3).map(silu).map(lrelu).map(elu).map(ht).map(sp)
+    val got = m.forward(x.map(_.toFloat))
+    for (j <- 0 until 3)
+      assert(math.abs(got(j) - expected(j)) < 1e-5, s"out[$j]: ${got(j)} vs ${expected(j)}")
+  }
+
   test("codeless archive falls back to Linear/ReLU heuristic; rejects other ops") {
     val (w0, b0) = (vals(6, 11), vals(3, 12))
     val (w1, b1) = (vals(6, 13), vals(2, 14))
