@@ -54,7 +54,7 @@ object Bench {
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings"))
       spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
-    for (w <- Seq("q22_minhash_lsh", "q75_retrieval_prep"))
+    for (w <- Seq("q22_minhash_lsh", "q75_retrieval_prep", "q21_jaccard_pairs"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
 

@@ -286,12 +286,14 @@ object SparkEntry {
       val sim = Dedup.simHashPairs(docs, "doc_id", "text", n = 3, maxHamming = 3)
       val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("a"), col("b")).withColumn("ex", lit(1))
+      // pins the exact deterministic pair COUNT (not just non-emptiness)
+      // plus zero false positives vs the exact-jaccard baseline
       sim.join(exact, Seq("a", "b"), "left")
         .agg(
-          (count(lit(1)) > 0).as("nonempty"),
+          count(lit(1)).cast("long").as("n_pairs"),
           sum(when(col("ex").isNull, 1).otherwise(0)).cast("long").as("false_positives"))
         .select(lit("simhash_h3_subset_of_jaccard05").as("gate"),
-          col("nonempty"), col("false_positives"))
+          col("n_pairs"), col("false_positives"))
     },
 
     // ---------------- embeddings: similarity search -----------------
@@ -318,9 +320,13 @@ object SparkEntry {
       val rec = brute.join(approx, Seq("q_id", "vec_id"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
       val nq = q.agg(countDistinct("vec_id").as("n_queries"))
+      // recall is deterministic (seeded planes, fixed data) => pin the
+      // 0.05-bucketed value, not just a loose boolean: a regression from
+      // the measured 0.38 below 0.35 now hash-mismatches
       rec.crossJoin(broadcast(nq))
         .select(lit("lsh_recall_at_5").as("metric"), col("n_queries"),
-          (col("recall") >= 0.3).as("pass"))
+          (floor(col("recall") * 20) / 20).as("recall_floor"),
+          (col("recall") >= 0.35).as("pass"))
     },
 
     // IVF ANN, same in-query recall gate (threshold 0.5; measured
@@ -336,9 +342,12 @@ object SparkEntry {
       val rec = brute.join(approx, Seq("q_id", "vec_id"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
       val nq = q.agg(countDistinct("vec_id").as("n_queries"))
+      // same pinning as q25: measured 0.61 @sf0.01 => bucket 0.60,
+      // threshold raised to the bucket floor
       rec.crossJoin(broadcast(nq))
         .select(lit("ivf_recall_at_5").as("metric"), col("n_queries"),
-          (col("recall") >= 0.5).as("pass"))
+          (floor(col("recall") * 20) / 20).as("recall_floor"),
+          (col("recall") >= 0.55).as("pass"))
     },
 
     "q32_fact_join_monthly" -> ((s, dir) =>
@@ -1439,21 +1448,24 @@ object SparkEntry {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Approximate-op gate queries: the Spark side computes and CHECKS
-    // its own accuracy against an in-query exact baseline; the oracle
-    // pins the expected verdict (plus any SQL-derivable count).
+    // its own accuracy against an in-query exact baseline; the ops are
+    // deterministic (seeded planes/centroids, fixed data), so the
+    // oracle pins NUMBERS — the exact pair count for simhash, the
+    // 0.05-bucketed recall for the ANN ops — not just a pass flag.
+    // Constants measured at the driver's verify scale (sf0.01).
     "q23_simhash_pairs" ->
       """SELECT 'simhash_h3_subset_of_jaccard05' AS gate,
-        | true AS nonempty, CAST(0 AS BIGINT) AS false_positives""".stripMargin,
+        | CAST(17 AS BIGINT) AS n_pairs, CAST(0 AS BIGINT) AS false_positives""".stripMargin,
 
     "q25_ann_lsh" ->
       """SELECT 'lsh_recall_at_5' AS metric,
         | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
-        | true AS pass""".stripMargin,
+        | CAST(0.35 AS DOUBLE) AS recall_floor, true AS pass""".stripMargin,
 
     "q39_ann_ivf" ->
       """SELECT 'ivf_recall_at_5' AS metric,
         | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
-        | true AS pass""".stripMargin,
+        | CAST(0.6 AS DOUBLE) AS recall_floor, true AS pass""".stripMargin,
 
     // Torch inference, oracled as generated SQL arithmetic: DuckDB
     // re-computes every layer from the same weights in float64 (ReLU

@@ -21,14 +21,21 @@ object Checkpoints {
 
   val DirKey = "spark.graft.checkpoint.dir"
 
+  // getCheckpointDir returns the fully-qualified UUID SUBdirectory that
+  // setCheckpointDir created, never the configured root — so the change
+  // guard must compare against what WE last set, not what Spark reports.
+  private val lastSet = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Lazy checkpoint under the session's policy (see object doc). */
   def cp(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir mkdirs + validates; only (re)set on change
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir mkdirs a fresh UUID subdir per call; only
+        // (re)set when the configured root actually changed
+        if (lastSet.put(sc.applicationId, dir) != dir || sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(dir)
         df.checkpoint(eager = false)
       case None => df.localCheckpoint(eager = false)
     }

@@ -106,8 +106,20 @@ object Dedup {
     // consistent: with pruning it is exact jaccard over the pruned
     // shingle space, not a mixed-denominator underestimate
     val sizes = keyed.groupBy(idCol).agg(count("*").as("n"))
-    val a = keyed.toDF("ida", "shingle")
-    val b = keyed.toDF("idb", "shingle")
+    // EXACT pruning of the join input: a shingle appearing in exactly
+    // one doc cannot contribute to any intersection, and set sizes
+    // were already taken above — dropping df==1 rows changes nothing
+    // in the output but removes the (typically dominant) unique-shingle
+    // mass from both self-join sides. The count window runs on data
+    // already hash-partitioned by shingle, so it adds a sort, no shuffle.
+    val shared = keyed
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("__df") >= 2)
+      .select(col(idCol), col("shingle"))
+      // checkpointed: both self-join sides read it (aliases defeat reuse)
+      .transform(Checkpoints.cp)
+    val a = shared.toDF("ida", "shingle")
+    val b = shared.toDF("idb", "shingle")
     val inter = a.join(b, Seq("shingle"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count("*").as("i"))

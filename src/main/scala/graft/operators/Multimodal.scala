@@ -57,15 +57,25 @@ object Multimodal {
         }
         Some((be32(16), be32(20), channels, "png"))
       } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-        // marker walk: FF marker, u16 length (includes itself)
+        // marker walk: FF marker, u16 length (includes itself).
+        // JPEG permits any number of 0xFF fill bytes before a marker
+        // (ITU T.81 §B.1.1.2) — consume them; stop at SOS/EOI (image
+        // data follows SOS unframed, so no SOFn can legally appear
+        // after either); TEM/RSTn/SOI are standalone (no length word).
         var i = 2
-        while (i + 9 < b.length) {
+        while (i + 1 < b.length) {
           if (u8(i) != 0xff) return None // desynced — not a JPEG stream
+          while (i + 1 < b.length && u8(i + 1) == 0xff) i += 1 // fill bytes
+          if (i + 1 >= b.length) return None
           val m = u8(i + 1)
           if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-            return Some((be16(i + 7), be16(i + 5), u8(i + 9), "jpeg"))
-          else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
-          else i += 2 + be16(i + 2)
+            return if (i + 9 < b.length)
+              Some((be16(i + 7), be16(i + 5), u8(i + 9), "jpeg"))
+            else None // truncated SOFn
+          else if (m == 0xd9 || m == 0xda) return None // EOI / SOS
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // TEM/RSTn/SOI
+          else if (i + 3 < b.length) i += 2 + be16(i + 2)
+          else return None // truncated length word
         }
         None
       } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&

@@ -128,7 +128,10 @@ object TorchCode {
         line(j) match {
           case '(' | '[' => depth += 1
           case ')' | ']' => depth -= 1
-          case '=' if depth == 0 && (j + 1 >= line.length || line(j + 1) != '=') => eq = j
+          // assignment '=' only: not the 2nd char of '==' and not part
+          // of '!='/'<='/'>=' — a comparison statement must fail loudly
+          case '=' if depth == 0 && (j + 1 >= line.length || line(j + 1) != '=') &&
+              (j == 0 || "=!<>".indexOf(line(j - 1)) < 0) => eq = j
           case _ =>
         }
         j += 1

@@ -60,9 +60,18 @@ object TorchOracle {
       arms: Seq[String], // input-column prefixes
       carry: Seq[String], // columns passed through every layer CTE
       finalSelect: String): String = {
-    require(m.ops.collect { case a: ActOp => a.kind }.forall(_ == "relu") &&
-      !m.ops.exists(_.isInstanceOf[SoftmaxOp]),
-      "SQL oracle generation supports Linear/ReLU stacks")
+    // The CTE chain is built from m.layers with ReLU hardwired between
+    // consecutive linears — any other op (ParamActOp, ScaleShiftOp,
+    // LayerNormOp, Softmax, trailing activation) would be silently
+    // DROPPED, producing a wrong oracle. Require the exact shape.
+    val expected: Seq[TorchOp] =
+      m.layers.init.flatMap(l => Seq(l, ActOp("relu"))) :+ m.layers.last
+    require(m.ops.length == expected.length && m.ops.zip(expected).forall {
+      case (a: LinearLayer, b: LinearLayer) => a eq b
+      case (ActOp("relu"), ActOp("relu"))   => true
+      case _                                => false
+    }, s"SQL oracle generation supports exactly alternating Linear/ReLU " +
+      s"stacks ending in Linear; got ops=${m.ops.map(_.getClass.getSimpleName)}")
     val n = m.layers.length
     val ctes = (0 until n).map { li =>
       val l = m.layers(li)

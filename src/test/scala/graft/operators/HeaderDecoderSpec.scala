@@ -72,6 +72,31 @@ class HeaderDecoderSpec extends AnyFunSuite {
     assert(Multimodal.HeaderDecoder.decode(bmp(64, -64, 32)) == Some((64, 64, 4, "bmp")))
   }
 
+  test("JPEG: 0xFF fill bytes before markers, EOI/SOS stop, TEM standalone") {
+    // padded: SOI, FF-fill, APP0, FF-fill-fill, SOF0 (T.81 B.1.1.2)
+    val bb = ByteBuffer.allocate(64).order(ByteOrder.BIG_ENDIAN)
+    bb.put(0xff.toByte).put(0xd8.toByte) // SOI
+    bb.put(0xff.toByte) // fill byte
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(6).put(Array[Byte]('J', 'F', 'I', 'F'))
+    bb.put(0xff.toByte).put(0xff.toByte) // two fill bytes
+    bb.put(0xff.toByte).put(0x01.toByte) // TEM: standalone, no length word
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort(17)
+    bb.put(8.toByte).putShort(480.toShort).putShort(640.toShort).put(3.toByte)
+    assert(Multimodal.HeaderDecoder.decode(bb.array()) == Some((640, 480, 3, "jpeg")))
+
+    // EOI before any SOFn: no dimensions exist — must be None, not a
+    // desynced read of image data
+    val eoi = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+    eoi.put(0xff.toByte).put(0xd8.toByte).put(0xff.toByte).put(0xd9.toByte)
+    assert(Multimodal.HeaderDecoder.decode(eoi.array()).isEmpty)
+
+    // SOS before SOFn (entropy-coded data follows unframed): stop
+    val sos = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    sos.put(0xff.toByte).put(0xd8.toByte)
+    sos.put(0xff.toByte).put(0xda.toByte).putShort(4).put(1.toByte).put(0.toByte)
+    assert(Multimodal.HeaderDecoder.decode(sos.array()).isEmpty)
+  }
+
   test("unknown/truncated payloads return None (fallback path)") {
     assert(Multimodal.HeaderDecoder.decode("plain utf-8 text payload".getBytes).isEmpty)
     assert(Multimodal.HeaderDecoder.decode(Array[Byte](0x89.toByte, 'P')).isEmpty)

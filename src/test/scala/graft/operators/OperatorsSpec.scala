@@ -762,6 +762,13 @@ class OperatorsSpec extends AnyFunSuite {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, s"no checkpoint files under $dir")
+      // setCheckpointDir is called once per CONFIGURED dir, not once
+      // per cp() call: a CC run makes many checkpoints, and each
+      // setCheckpointDir would mkdir a fresh UUID subdirectory (FS
+      // round trips + directory churn on HDFS/S3). One UUID dir total.
+      val uuidDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isDirectory(_)).count()
+      assert(uuidDirs == 1, s"expected 1 UUID checkpoint subdir, got $uuidDirs")
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 }

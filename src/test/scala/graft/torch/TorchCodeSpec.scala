@@ -300,6 +300,34 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported TorchScript op"))
   }
 
+  test("comparison statements fail loudly, not silently misparse as assignment") {
+    // '_0 = x == y' must not be read as assigning '= y' after skipping
+    // only the first '=' of '==' — the fail-loud contract for
+    // unsupported TorchScript surface
+    val (w0, b0) = (vals(6, 15), vals(3, 16))
+    val model = Module("__torch__.CNet", Seq(
+      "training" -> B(false),
+      "fc" -> linear(w0, 3, 2, b0)))
+    val code = Map("code/__torch__.py" ->
+      """class CNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.CNet,
+        |    x: Tensor) -> Tensor:
+        |    fc = self.fc
+        |    x0 = (fc).forward(x, )
+        |    _0 = x0 == x0
+        |    return x0
+        |""".stripMargin)
+    val e = intercept[RuntimeException] {
+      TorchScriptModel.load(writeTemp("cnet", "cnet", model, code))
+    }
+    // either parse path is acceptable as long as it is LOUD: the
+    // standalone comparison hits "unsupported statement", the assigned
+    // form hits the expression parser's trailing-input check
+    assert(e.getMessage.contains("unsupported") || e.getMessage.contains("trailing input"),
+      e.getMessage)
+  }
+
   test("iris.spt traces through its serialized code: shared relu between linears") {
     val m = TorchScriptModel.load("/root/reference/model/iris.spt")
     // execution order from code/__torch__.py, NOT registration order
