@@ -1094,6 +1094,72 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // Canonical text normalization (NFC + control strip + whitespace
+    // collapse). The synthetic corpus is ASCII (NFC is identity on
+    // it), so the query plants a canonically-DEcomposed suffix plus
+    // control debris on every doc and certifies both engines produce
+    // the identical normalized string: 'Cafe'+U+0301 must compose to
+    // 'Café', \x01 must vanish, \x0B must vanish (NOT become a space —
+    // Java \s and RE2 \s disagree on it), tabs/runs must collapse.
+    "q92_normalize_text" -> { (s, dir) =>
+      val messy = concat(col("text"), lit("  Cafe\u0301 \u0001x\u000By\t fin "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), messy.as("messy"))
+        .select(col("doc_id"), col("messy"),
+          TextOps.normalizeText(s, col("messy")).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          (length(col("messy")) - length(col("norm"))).cast("long").as("chars_removed"))
+        .orderBy("doc_id")
+    },
+
+    // Bloom-prefiltered decontamination: same benchmark slice and
+    // exact contamination rule as q64, restricted to the flagged docs —
+    // but the corpus only shuffles candidate grams (bloom prefilter on
+    // the scan). The synthetic corpus has ZERO natural 8-gram overlap
+    // with the benchmark slice (measured at sf0.01), so the query
+    // plants one verbatim copy of each benchmark doc (id+100000; the
+    // shifted ids fall on %97==93, passing the corpus filter) — those
+    // copies MUST come out flagged with their full gram count.
+    "q93_bloom_decontam" -> { (s, dir) =>
+      val docsDf = t(s, dir, "documents")
+      val bench = docsDf.filter(col("doc_id") % 97 === 3)
+      val planted = bench.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val corpus = docsDf.filter(col("doc_id") % 97 =!= 3)
+        .select("doc_id", "text").unionByName(planted)
+      graft.operators.Decontaminate.flagContaminatedBloom(
+        corpus, "doc_id", "text", bench, "text", n = 8, minHits = 3)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic seed-keyed training shuffle: shard + in-shard
+    // position from md5(seed:id) — reproducible epoch ordering with
+    // one hash-partition shuffle, no global sort.
+    "q94_train_shuffle" -> { (s, dir) =>
+      graft.operators.Shuffle.trainShuffle(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        seed = "epoch0", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+        .orderBy("shard", "pos")
+    },
+
+    // SemDeDup accuracy gate. The synthetic embeddings have no natural
+    // near-dups (max pairwise cosine 0.51), so the query plants 50
+    // scaled twins (cosine exactly 1 with their originals; scaling
+    // cannot split a pair across k-means cells because clustering runs
+    // on L2-normalized vectors). Pinned: every planted twin is dropped
+    // (50), the global brute-force rule agrees (50), and the cluster
+    // path never drops anything the global rule would not (0) — the
+    // structural no-false-drops property.
+    "q95_semantic_dedup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.5f)).as("embedding"))
+      graft.operators.Similarity.semanticDedupGate(
+        emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.99, k = 16)
+    },
+
     // PII scrubbing: regex-tier email/phone/IPv4 detect-and-redact.
     // The corpus is synthetic and contains none (counts 0, scrub_fp ==
     // md5(text)) — which is exactly what the oracle certifies: both
@@ -1371,6 +1437,66 @@ object SparkEntry {
         |  CAST(sum(toks) AS BIGINT) AS kept_tokens
         |FROM r WHERE tokens_before < 5000
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same decomposed suffix as the Spark side (chr(769) = U+0301
+    // combining acute; chr(1)/chr(11) control debris), same 3-step
+    // normalization — DuckDB's nfc_normalize is the independent NFC.
+    "q92_normalize_text" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    text || '  Cafe' || chr(769) || ' ' || chr(1) || 'x' || chr(11) || 'y' || chr(9) || ' fin ' AS messy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, messy,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(messy),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM m)
+        |SELECT doc_id, norm,
+        |  CAST(length(messy) - length(norm) AS BIGINT) AS chars_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q64's exact contamination rule restricted to the flagged slice —
+    // the bloom path must reproduce it exactly (no false negatives by
+    // construction, false positives culled by the verify join).
+    "q93_bloom_decontam" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 97 = 3),
+        |toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM alldocs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 3)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh JOIN bench USING (s)
+        |WHERE sh.doc_id % 97 <> 3
+        |GROUP BY sh.doc_id
+        |HAVING count(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    "q94_train_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, key,
+        |    CAST(('0x' || substring(key, 1, 8))::BIGINT % 8 AS BIGINT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // Pinned constants (see the query comment): 50 planted twins, all
+    // caught by the clustered path, zero false drops; n_rows follows
+    // the table size.
+    "q95_semantic_dedup" ->
+      """SELECT 'semantic_dedup_subset_of_global' AS gate,
+        | (SELECT count(*) + 50 FROM embeddings) AS n_rows,
+        | CAST(50 AS BIGINT) AS n_dropped,
+        | CAST(50 AS BIGINT) AS n_global_dropped,
+        | CAST(0 AS BIGINT) AS subset_violations""".stripMargin,
 
     "q90_pii_scrub" ->
       """SELECT doc_id,

@@ -47,4 +47,69 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
+
+  /**
+   * Bloom-prefiltered decontamination: same verdict as
+   * [[flagContaminated]] restricted to the flagged docs, at a fraction
+   * of the shuffle. A Bloom filter over the benchmark's distinct gram
+   * hashes (a bounded-size sketch, built distributed via
+   * `df.stat.bloomFilter` and shipped like a broadcast dim) prefilters
+   * the corpus ON THE SCAN: only docs whose gram arrays score >=
+   * `minHits` possible-members enter the exact inverted-index join.
+   *
+   * Correctness: Bloom filters have NO false negatives, so every truly
+   * contaminated doc survives the prefilter (bloomHits >= exactHits);
+   * false positives are culled by the exact verify join. Output is
+   * therefore EXACTLY the contaminated slice of [[flagContaminated]] —
+   * `(idCol, n_hits)` with n_hits >= minHits.
+   *
+   * At 100 TB this is the shape that matters: the exact path shuffles
+   * one (id, hash) row per gram of every corpus doc; the bloom path
+   * shuffles only the candidate docs' grams — for a benchmark touching
+   * ~1e-4 of the corpus, a ~10^4x smaller exchange for one broadcast
+   * of a few MB.
+   */
+  def flagContaminatedBloom(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      minHits: Int,
+      fpp: Double = 0.001): DataFrame = {
+    require(n >= 1 && minHits >= 1, "n and minHits must be >= 1")
+    val spark = df.sparkSession
+    val benchShingles = bench
+      .select(explode(graft.functions.ShingleHashes
+        .shingle_hashes(spark, col(benchTextCol), n)).as("shingle"))
+      .distinct()
+      // three consumers (count, bloom build, verify join) — don't
+      // re-shingle the benchmark per consumer
+      .transform(Checkpoints.cp)
+    // expectedNumItems needs a count; one cheap pass over the SMALL
+    // side (the benchmark), not the corpus
+    val nGrams = benchShingles.count().max(1L)
+    val bloom = benchShingles.stat.bloomFilter("shingle", nGrams, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightHits = udf { hs: Seq[Long] =>
+      var c = 0
+      var i = 0
+      while (i < hs.length) { if (bloomBc.value.mightContainLong(hs(i))) c += 1; i += 1 }
+      c
+    }
+    // the prefilter is scan-side: gram hashes are computed in the
+    // projection, counted against the broadcast sketch, and only
+    // candidate docs (a superset of the true positives) are kept
+    val candidates = df
+      .select(col(idCol), graft.functions.ShingleHashes
+        .shingle_hashes(spark, col(textCol), n).as("__sh"))
+      .filter(mightHits(col("__sh")) >= minHits)
+    // exact verify on the (tiny) candidate set only
+    candidates
+      .select(col(idCol), explode(col("__sh")).as("shingle"))
+      .join(benchShingles, Seq("shingle"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
 }

@@ -279,6 +279,114 @@ object Similarity {
   }
 
   /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540 — "SemDeDup: Data-efficient learning at web-scale
+   * through semantic deduplication"): a seeded k-means partitions the
+   * embedding space into `k` clusters, and WITHIN each cluster any row
+   * that has a lower-id neighbor at cosine >= `threshold` is dropped
+   * (the lowest id of each semantic group survives).
+   *
+   * The clustering is what makes this the 100 TB shape: pairwise
+   * cosine work is confined to cluster-keyed self-joins (expected
+   * cluster size N/k), never a global O(N^2). The price is recall —
+   * near-dup pairs straddling a cluster boundary are missed; the paper
+   * accepts exactly this trade. Drops are exact-verified, so the drop
+   * set is always a SUBSET of the global near-dup drops (no false
+   * drops) — the property [[semanticDedupGate]] checks.
+   *
+   * @return (id, cluster, dropped, kept_id) — `kept_id` is the
+   *         lowest-id same-cluster neighbor justifying a drop (null
+   *         for survivors).
+   */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
+    // cluster on L2-NORMALIZED vectors (as the paper does): Euclidean
+    // k-means on the unit sphere orders by cosine, so cosine-identical
+    // rows land in the same cell by construction — scale differences
+    // cannot split a semantic group across clusters
+    val nrm = sqrt(aggregate(col("e"), lit(0.0), (a, v) => a + v * v))
+    val train = base
+      .withColumn("nrm", nrm)
+      .withColumn("feat", array_to_vector(
+        when(col("nrm") > 0, transform(col("e"), v => v / col("nrm")))
+          .otherwise(col("e"))))
+    // same training budget rationale as ivfTopK: coarse cells, reused model
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("feat").setPredictionCol("cluster")
+      .fit(train)
+    val assigned = model.transform(train).select("id", "e", "cluster")
+      // pin the cluster-join shuffle width (AQE byte-coalescing vs the
+      // self-join expansion — see Dedup.jaccardPairs), checkpoint for
+      // the two self-join sides
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("cluster"))
+      .transform(Checkpoints.cp)
+    val l = assigned.toDF("ida", "ea", "cluster")
+    val r = assigned.toDF("idb", "eb", "cluster")
+    // per dropped row keep the smallest justifying neighbor
+    val drops = l.join(r, Seq("cluster"))
+      .filter(col("ida") < col("idb"))
+      .filter(graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb"))
+        >= threshold)
+      .groupBy(col("idb").as("id")).agg(min(col("ida")).as("kept_id"))
+    assigned.select("id", "cluster")
+      .join(drops, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        col("kept_id").isNotNull.as("dropped"), col("kept_id"))
+  }
+
+  /**
+   * Accuracy gate for [[semanticDedup]], suitable for a pinned-number
+   * oracle: computes the GLOBAL (cluster-free) near-dup drop set by
+   * brute force and reports, in one row: total rows, cluster-path
+   * drops, global drops, and `subset_violations` — rows the cluster
+   * path dropped that the global rule would not (structurally 0, since
+   * every drop is exact-cosine-verified; a nonzero value means the
+   * operator is broken, not just approximate).
+   */
+  def semanticDedupGate(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val sd = semanticDedup(corpus, idCol, embCol, threshold, k, seed)
+      .transform(Checkpoints.cp) // two consumers below
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
+      .transform(Checkpoints.cp)
+    // brute-force global drop set — the oracle baseline the paper's
+    // clustered pass approximates. Broadcast one side: gate-scale only.
+    val globalDrops = base.toDF("ida", "ea")
+      .join(broadcast(base.toDF("idb", "eb")), col("ida") < col("idb"))
+      .filter(graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb"))
+        >= threshold)
+      .select(col("idb").as("id")).distinct()
+      .withColumn("glob", lit(1))
+    sd.join(globalDrops, Seq("id"), "left")
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("dropped"), 1).otherwise(0)).cast("long").as("n_dropped"),
+        sum(coalesce(col("glob"), lit(0))).cast("long").as("n_global_dropped"),
+        sum(when(col("dropped") && col("glob").isNull, 1).otherwise(0)).cast("long")
+          .as("subset_violations"))
+      .select(lit("semantic_dedup_subset_of_global").as("gate"),
+        col("n_rows"), col("n_dropped"), col("n_global_dropped"),
+        col("subset_violations"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: signatures are split into
    * `bands` chunks; query and corpus rows sharing any chunk value are
    * candidates, ranked by exact cosine. Recall < 1 by construction —

@@ -149,4 +149,29 @@ object TextOps {
     val wlScore = when(meanWl >= 3 && meanWl <= 10, lit(1.0)).otherwise(lit(0.5))
     (lenScore * lit(0.4) + density * lit(0.4) + wlScore * lit(0.2))
   }
+
+  /**
+   * Canonical text normalization — the pre-dedup cleanup every public
+   * web-corpus pipeline runs so that byte-identical dedup actually
+   * catches canonically-equivalent text:
+   *
+   *  1. Unicode NFC (combining sequences -> precomposed; codegen'd
+   *     native expression, see [[graft.functions.NfcNormalize]]);
+   *  2. strip control characters other than \t\n\r (C0 incl. \x0B\x0C,
+   *     plus DEL) — mojibake debris that defeats hashing. \x0B\x0C are
+   *     stripped HERE, not collapsed by step 3, because Java's \s
+   *     includes them and RE2's (the oracle engine's) does not;
+   *  3. collapse all whitespace runs to a single space;
+   *  4. trim.
+   *
+   * Pure scan-side projection: no shuffle, stays in whole-stage
+   * codegen. Case is left intact (lowercasing is a *model* choice,
+   * not a canonicalization, so it is a separate opt-in).
+   */
+  def normalizeText(spark: org.apache.spark.sql.SparkSession, text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.NfcNormalize.nfc_normalize(spark, text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
 }

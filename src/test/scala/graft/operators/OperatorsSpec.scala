@@ -746,6 +746,102 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse, idempotent") {
+    import spark.implicits._
+    val in = Seq(
+      "Café",                      // decomposed -> composed
+      "abc",                 // control debris stripped
+      "xy",                        // \x0B stripped, NOT a space (RE2 parity)
+      "  a \t\n  b  ",                   // runs collapse, ends trim
+      "plain ascii",                     // untouched
+      "").toDF("s")
+    val out = in.select(TextOps.normalizeText(spark, col("s")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out === Array("Café", "abc", "xy", "a b", "plain ascii", ""))
+    // idempotence: normalize(normalize(s)) == normalize(s)
+    val twice = in.select(TextOps.normalizeText(spark,
+      TextOps.normalizeText(spark, col("s"))).as("n")).collect().map(_.getString(0))
+    assert(twice === out)
+    // null-safe
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(TextOps.normalizeText(spark, col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("flagContaminatedBloom == flagContaminated's contaminated slice") {
+    import spark.implicits._
+    // planted corpus: two docs verbatim-share bench text, one partial,
+    // rest clean; the bloom path must reproduce the exact rule
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // full copy
+      (2L, "pre alpha beta gamma delta epsilon zeta eta theta post"),   // 2 shared 8-grams
+      (3L, "totally unrelated words that never overlap anything here at all"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa and tail words"))
+      .toDF("doc_id", "text")
+    val exact = Decontaminate.flagContaminated(
+      corpus, "doc_id", "text", bench, "text", n = 8, minHits = 2)
+      .filter(col("contaminated"))
+      .select("doc_id", "n_hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Decontaminate.flagContaminatedBloom(
+      corpus, "doc_id", "text", bench, "text", n = 8, minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted contamination should flag")
+    assert(bloom == exact)
+  }
+
+  test("trainShuffle: deterministic, dense per-shard positions, seed changes order") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    val a = Shuffle.trainShuffle(df, "id", "s1", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // partition: every row exactly once, shards in range
+    assert(a.map(_._1).sorted === (0L until 500L).toArray)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // dense 1..n positions within each shard
+    for ((_, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).sorted === (1 to rows.length).toArray)
+    // deterministic re-run
+    val b = Shuffle.trainShuffle(df, "id", "s1", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.toSet == b.toSet)
+    // a different seed produces a different permutation
+    val c = Shuffle.trainShuffle(df, "id", "s2", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(c.toSet != a.toSet)
+    // the shuffle is unbiased-ish: no shard is empty at n=500, k=8
+    assert(a.groupBy(_._2).size == 8)
+  }
+
+  test("semanticDedup: planted twins dropped within cluster, subset of global rule") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // scaled twins: cosine exactly 1 with the original, and the same
+    // point after L2 normalization => same k-means cell by construction
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val sd = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.99, k = 8)
+    val dropped = sd.filter(col("dropped")).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // every planted twin is dropped, justified by its original
+    assert((0L until 10L).forall(i => dropped.get(i + 5000).contains(i)),
+      s"dropped=$dropped")
+    // nothing else dropped (no natural >=0.99 pairs in the corpus)
+    assert(dropped.size == 10)
+    // survivors + dropped partition the corpus
+    assert(sd.count() == corpus.count())
+    // gate row agrees and certifies the structural subset property
+    val g = Similarity.semanticDedupGate(corpus, "vec_id", "embedding",
+      threshold = 0.99, k = 8).collect()(0)
+    assert(g.getLong(1) == corpus.count())
+    assert(g.getLong(2) == 10 && g.getLong(3) == 10 && g.getLong(4) == 0)
+  }
+
   test("spark.graft.checkpoint.dir switches to reliable checkpoints, same results") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
