@@ -116,6 +116,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q93 bloom decontamination: no product plans, corpus scans keyed joins only") {
+    val p = plan("q93_bloom_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom decontamination produced a product plan:\n$p")
+  }
+
+  test("q94 train shuffle sorts within shards, never globally") {
+    // the window must partition by shard: a global-order sort (empty
+    // partition spec) would serialize the whole corpus through one task
+    val p = plan("q94_train_shuffle")
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(shard"),
+      s"train shuffle lost its shard partitioning:\n$p")
+    // the q94 query's final orderBy is presentation-only; inside the
+    // operator the only exchange is the hash partition on shard
+    assert(p.contains("hashpartitioning(shard"),
+      s"train shuffle is not hash-partitioned by shard:\n$p")
+  }
+
+  test("semanticDedup pair work is cluster-keyed (no cartesian)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val p = operators.Similarity.semanticDedup(
+      emb, "vec_id", "embedding", threshold = 0.99, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"semanticDedup has a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"semanticDedup has an NLJ:\n$p")
+  }
+
   test("q54's two identical correlated aggregates share one exchange") {
     // The SELECT arm and the WHERE arm state the same per-customer
     // aggregate; the plan must compute it once and reuse the exchange,

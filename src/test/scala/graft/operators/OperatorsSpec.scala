@@ -842,6 +842,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g.getLong(2) == 10 && g.getLong(3) == 10 && g.getLong(4) == 0)
   }
 
+  test("BPE: paper-example merges, lossless roundtrip, deterministic, rank order") {
+    // Sennrich et al. 2016 toy vocab: the first merge must be the most
+    // frequent adjacent pair. vocab: low:5 lower:2 newest:6 widest:3
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainFromVocab(vocab, 4)
+    // pair counts: (e,s)=9 (newest+widest), (s,t</w>)=9, (n,e)=6 ... —
+    // (e,s) wins the (count, lexicographic) tie-break over (s,t</w>)
+    assert(merges.head == ("e", "s"), s"first merge was ${merges.head}")
+    assert(merges(1) == ("es", "t</w>"), s"second merge was ${merges(1)}")
+
+    // encode honors rank order and is lossless
+    val ranks = merges.zipWithIndex.toMap
+    for (w <- vocab.keys) {
+      val toks = Bpe.encodeWord(w, ranks)
+      assert(toks.mkString("") == w + Bpe.EndOfWord, s"$w -> $toks")
+    }
+    // unseen word with unseen chars still roundtrips (all-singleton)
+    assert(Bpe.encodeWord("zq", ranks).mkString("") == "zq" + Bpe.EndOfWord)
+
+    // corpus-level: train+encode on the real docs table, roundtrip all
+    val merges2 = Bpe.train(docs, "text", numMerges = 20)
+    assert(merges2.length == 20)
+    val enc = Bpe.encode(docs.select(col("doc_id"), col("text")), "text", merges2)
+    val bad = enc.select(col("text"), col("tokens"))
+      .collect().filter { r =>
+        val orig = graft.functions.HashExprs.tokenize(r.getString(0)).mkString(" ")
+        val back = r.getSeq[String](1).mkString("").replace(Bpe.EndOfWord, " ").trim
+        back != orig
+      }
+    assert(bad.isEmpty, s"${bad.length} docs failed roundtrip")
+    // determinism
+    assert(Bpe.train(docs, "text", numMerges = 20) == merges2)
+  }
+
+  test("model quality filter: runner-up logit gap dwarfs f32 drift; no NaN logits") {
+    val bc = spark.sparkContext.broadcast(graft.SparkEntry.qualityModel)
+    val feats = docs.select(col("doc_id"), graft.SparkEntry.qualityFeatures.as("feat"))
+    val logits = graft.torch.Torch.inferBatched(feats, "feat", "logits", bc, batchSize = 64)
+      .select("logits").collect().map(_.getSeq[Float](0).toArray)
+    assert(logits.nonEmpty && logits.forall(l => l.length == 3 && l.forall(v => !v.isNaN)))
+    // the argmax the oracle pins is only meaningful if the runner-up
+    // gap clears the f32-vs-f64 forward drift (measured 4e-5) with room
+    val gaps = logits.map { l => val s = l.sorted; s(2) - s(1) }
+    assert(gaps.min > 1e-3, s"min runner-up gap ${gaps.min} too close to f32 drift")
+  }
+
   test("spark.graft.checkpoint.dir switches to reliable checkpoints, same results") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
