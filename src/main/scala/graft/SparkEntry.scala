@@ -1142,6 +1142,19 @@ object SparkEntry {
         .orderBy("shard", "pos")
     },
 
+    // Length-based curriculum ordering (short -> long, the classic
+    // schedule): phases from token-count thresholds (scan-side, no
+    // percentile pass), deterministic seed-keyed shuffle within each
+    // phase. The training reader consumes (phase, pos) order.
+    "q98_curriculum" -> { (s, dir) =>
+      graft.operators.Shuffle.curriculumOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id",
+        TextOps.strictTokenCount(col("text")).cast("double"),
+        thresholds = Seq(40.0, 70.0), seed = "cur0")
+        .select(col("doc_id"), col("phase"), col("pos").cast("long").as("pos"))
+        .orderBy("phase", "pos")
+    },
+
     // Real BPE (Sennrich et al. 2016): train a 40-merge table on the
     // corpus (ONE distributed vocab aggregate -> driver merge loop,
     // the k-means-centroids discipline -> broadcast ranks), encode
@@ -1556,6 +1569,21 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q98_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS toks,
+        |    md5('cur0:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, key,
+        |    (CASE WHEN toks >= 40 THEN 1 ELSE 0 END
+        |     + CASE WHEN toks >= 70 THEN 1 ELSE 0 END) AS phase
+        |  FROM d)
+        |SELECT doc_id, phase,
+        |  CAST(row_number() OVER (PARTITION BY phase ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM p ORDER BY phase, pos""".stripMargin,
 
     // BPE is iterative (not SQL-expressible); the gate pins the
     // deterministic token totals per verified scale plus the in-query

@@ -29,6 +29,35 @@ object Shuffle {
     md5(concat(lit(seed), lit(":"), id.cast("string")))
 
   /**
+   * Curriculum ordering: rows enter training phases by a difficulty
+   * score (phase = how many `thresholds` the score clears — a
+   * scan-side comparison, no percentile shuffle), and order WITHIN a
+   * phase is a deterministic seed-keyed shuffle (curriculum schedules
+   * fix the phase sequence but randomize within phases). One
+   * hash-partition shuffle on `phase` + per-phase sort; phases are
+   * consumed in (phase, pos) order by the training reader.
+   *
+   * @return df plus `phase` (0..thresholds.length) and `pos` (1..n
+   *         dense within phase).
+   */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      score: Column,
+      thresholds: Seq[Double],
+      seed: String): DataFrame = {
+    require(thresholds == thresholds.sorted, "thresholds must be ascending")
+    val phase = thresholds.foldLeft(lit(0))((acc, t) =>
+      acc + when(score >= t, 1).otherwise(0))
+    val key = shuffleKey(seed, col(idCol))
+    val w = Window.partitionBy("phase").orderBy(col("__key"), col(idCol))
+    df.withColumn("phase", phase)
+      .withColumn("__key", key)
+      .withColumn("pos", row_number().over(w))
+      .drop("__key")
+  }
+
+  /**
    * @return df plus `shard` (0..nShards-1) and `pos` (1..len, dense
    *         within shard, ordered by shuffle key; id tiebreak makes
    *         the order total even under md5-collision paranoia).

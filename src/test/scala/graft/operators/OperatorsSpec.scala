@@ -815,6 +815,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.groupBy(_._2).size == 8)
   }
 
+  test("curriculumOrder: threshold phases, dense in-phase positions, deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, 45.0), (3L, 80.0), (4L, 39.9), (5L, 70.0), (6L, 40.0))
+      .toDF("id", "score")
+    val out = Shuffle.curriculumOrder(df, "id", col("score"), Seq(40.0, 70.0), "s")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    val phases = out.map(t => t._1 -> t._2).toMap
+    // boundary semantics: score >= threshold advances the phase
+    assert(phases == Map(1L -> 0, 4L -> 0, 2L -> 1, 6L -> 1, 3L -> 2, 5L -> 2))
+    for ((_, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted === (1 to rows.length).toArray)
+    // deterministic
+    val again = Shuffle.curriculumOrder(df, "id", col("score"), Seq(40.0, 70.0), "s")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    assert(again.toSet == out.toSet)
+    // unsorted thresholds rejected
+    intercept[IllegalArgumentException] {
+      Shuffle.curriculumOrder(df, "id", col("score"), Seq(70.0, 40.0), "s")
+    }
+  }
+
   test("semanticDedup: planted twins dropped within cluster, subset of global rule") {
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"))
