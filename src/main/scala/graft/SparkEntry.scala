@@ -1142,6 +1142,32 @@ object SparkEntry {
         .orderBy("shard", "pos")
     },
 
+    // PQ-compressed ANN (Jégou et al. 2011): codebooks trained on the
+    // unit sphere, corpus stored as m=4 byte codes, ADC ranking — the
+    // same in-query recall@5 gate discipline as q25/q39, pinned
+    // per-scale (deterministic: seeded subspace k-means).
+    "q99_ann_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 20)
+      val brute = graft.operators.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("q_id", "vec_id")
+      val books = graft.operators.Similarity.pqTrain(emb, "embedding",
+        dim = 64, m = 8, ksub = 32)
+      val codes = graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      val approx = graft.operators.Similarity
+        .pqTopKReranked(emb, codes, q, "vec_id", "embedding", books,
+          k = 5, shortlist = 50)
+        .select("q_id", "vec_id").withColumn("hit", lit(1))
+      val rec = brute.join(approx, Seq("q_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+      val nq = q.agg(countDistinct("vec_id").as("n_queries"))
+      rec.crossJoin(broadcast(nq))
+        .select(lit("pq_recall_at_5").as("metric"), col("n_queries"),
+          (floor(col("recall") * 20) / 20).as("recall_floor"),
+          (col("recall") >= 0.5).as("pass"))
+    },
+
     // Length-based curriculum ordering (short -> long, the classic
     // schedule): phases from token-count thresholds (scan-side, no
     // percentile pass), deterministic seed-keyed shuffle within each
@@ -1569,6 +1595,15 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // PQ ANN: same per-SF pinned recall discipline as q25/q39
+    // (deterministic: seeded subspace k-means + exact rerank).
+    "q99_ann_pq" ->
+      """SELECT 'pq_recall_at_5' AS metric,
+        | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 0.85 WHEN 2000 THEN 0.7 ELSE -1 END AS DOUBLE) AS recall_floor,
+        | true AS pass""".stripMargin,
 
     "q98_curriculum" ->
       """WITH d AS (

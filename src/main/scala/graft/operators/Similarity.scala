@@ -386,6 +386,210 @@ object Similarity {
         col("subset_violations"))
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids
+    * × (dim/m) values — the compressed representation behind
+    * billion-scale ANN (Jégou et al. 2011, "Product quantization for
+    * nearest neighbor search"). */
+  final case class PqCodebooks(m: Int, dsub: Int, centroids: Array[Array[Array[Double]]])
+      extends Serializable
+
+  /**
+   * Train PQ codebooks on L2-NORMALIZED vectors (unit sphere => L2
+   * ordering == cosine ordering, so ADC ranks approximate cosine
+   * top-k): the embedding dim splits into `m` contiguous subspaces,
+   * each quantized by its own seeded `ksub`-centroid Lloyd's k-means.
+   *
+   * Training follows the production PQ recipe (FAISS trains codebooks
+   * on a bounded sample regardless of corpus size): ONE distributed
+   * pass takes a deterministic hash-ordered sample of `trainSample`
+   * vectors, the m Lloyd loops run locally over that bounded sample
+   * (subspace k-means on <=64k points is milliseconds — a distributed
+   * fit per subspace would cost m full job launches to do the same
+   * arithmetic), and the finished codebook (m*ksub*dsub doubles) ships
+   * back as a broadcast. Corpus size only affects the sample pass.
+   */
+  def pqTrain(
+      corpus: DataFrame,
+      embCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      seed: Long = 42L,
+      trainSample: Int = 1 << 16): PqCodebooks = {
+    require(dim % m == 0, "m must divide dim")
+    val dsub = dim / m
+    // deterministic sample: hash-ordered prefix (no RNG state, stable
+    // across partitionings), one distributed pass
+    val sample = normalized(corpus, embCol)
+      .select(col("__unit"))
+      .withColumn("__h", md5(concat(lit(seed.toString),
+        concat_ws(",", col("__unit").cast("array<string>")))))
+      .orderBy("__h")
+      .limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val rnd = new scala.util.Random(seed)
+    val books = Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansLocal(pts, ksub, iters = 10, rnd)
+    }
+    PqCodebooks(m, dsub, books)
+  }
+
+  /** Seeded local Lloyd's: init = distinct random picks, empty
+    * clusters keep their previous centroid. Deterministic for a fixed
+    * seed and point order. */
+  private def kmeansLocal(
+      pts: Array[Array[Double]], k: Int, iters: Int,
+      rnd: scala.util.Random): Array[Array[Double]] = {
+    val d = pts(0).length
+    val cents = Array.tabulate(math.min(k, pts.length))(i =>
+      pts(rnd.nextInt(pts.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val counts = new Array[Long](cents.length)
+      for (p <- pts) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val df = p(j) - cents(c)(j); dist += df * df; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < cents.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    cents
+  }
+
+  private def normalized(df: DataFrame, embCol: String): DataFrame = {
+    val e = asDouble(col(embCol))
+    val nrm = sqrt(aggregate(e, lit(0.0), (a, v) => a + v * v))
+    df.withColumn("__unit",
+      when(nrm > 0, transform(e, v => v / nrm)).otherwise(e))
+  }
+
+  /** Encode each (normalized) vector as `m` codes: nearest centroid
+    * per subspace. Scan-side UDF over the broadcast codebook; the
+    * output column costs m bytes-ish per row instead of dim floats. */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      books: PqCodebooks): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(books)
+    val enc = udf { unit: Seq[Double] =>
+      val b = bc.value
+      Array.tabulate(b.m) { s =>
+        val cents = b.centroids(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < b.dsub) {
+            val diff = unit(s * b.dsub + j) - cents(c)(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    normalized(df, embCol)
+      .select(col(idCol).as("vec_id"), enc(col("__unit")).as("codes"))
+  }
+
+  /**
+   * ADC (asymmetric distance) top-k over PQ codes: per query, one
+   * m×ksub lookup table of exact subspace distances to every centroid,
+   * then each corpus row costs m table lookups — the classic PQ search
+   * kernel. Queries are a broadcast (small by construction); the
+   * corpus side streams its compact code rows with no shuffle until
+   * the final per-query top-k. Recall < 1 by construction (quantization
+   * error) — gated against [[bruteForceTopK]] like LSH/IVF.
+   */
+  def pqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      books: PqCodebooks,
+      k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val bc = spark.sparkContext.broadcast(books)
+    val lut = udf { qUnit: Seq[Double] =>
+      val b = bc.value
+      Array.tabulate(b.m) { s =>
+        val cents = b.centroids(s)
+        Array.tabulate(cents.length) { c =>
+          var d = 0.0; var j = 0
+          while (j < b.dsub) {
+            val diff = qUnit(s * b.dsub + j) - cents(c)(j); d += diff * diff; j += 1
+          }
+          d
+        }
+      }
+    }
+    val adc = udf { (table: Seq[Seq[Double]], cs: Seq[Int]) =>
+      var d = 0.0; var s = 0
+      while (s < cs.length) { d += table(s)(cs(s)); s += 1 }
+      d
+    }
+    val q = normalized(queries, embCol)
+      .select(col(idCol).as("q_id"), lut(col("__unit")).as("__lut"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc(col("__lut"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("adc"), 6).as("adc"))
+  }
+
+  /**
+   * The production PQ search shape: ADC over the compressed codes
+   * SHORTLISTS `shortlist` candidates per query, and only those join
+   * back to the full-precision vectors for an exact cosine re-rank to
+   * top-k. The expensive full-vector read touches shortlist*Q rows
+   * instead of N*Q — quantization error bounds the shortlist's recall,
+   * the re-rank removes it from the final ordering.
+   */
+  def pqTopKReranked(
+      corpus: DataFrame,
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      books: PqCodebooks,
+      k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = corpus.sparkSession
+    val cand = pqTopK(codes, queries, idCol, embCol, books, shortlist)
+      .select("q_id", "vec_id")
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /**
    * LSH-bucketed approximate top-k: signatures are split into
    * `bands` chunks; query and corpus rows sharing any chunk value are

@@ -897,6 +897,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.train(docs, "text", numMerges = 20) == merges2)
   }
 
+  test("PQ: codes in range, deterministic; reranked recall beats raw ADC") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val books = Similarity.pqTrain(base, "embedding", dim = 64, m = 8, ksub = 32)
+    assert(books.centroids.length == 8 &&
+      books.centroids.forall(_.length == 32) && books.dsub == 8)
+    val codes = Similarity.pqEncode(base, "vec_id", "embedding", books)
+    val rows = codes.collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(rows.forall { case (_, cs) => cs.length == 8 && cs.forall(c => c >= 0 && c < 32) })
+    // deterministic re-train + re-encode
+    val books2 = Similarity.pqTrain(base, "embedding", dim = 64, m = 8, ksub = 32)
+    val rows2 = Similarity.pqEncode(base, "vec_id", "embedding", books2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(rows.toMap == rows2.toMap)
+
+    val q = base.filter(col("vec_id") < 10)
+    def recall(topk: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.bruteForceTopK(base, q, "vec_id", "embedding", 5)
+        .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = topk.select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val raw = recall(Similarity.pqTopK(codes, q, "vec_id", "embedding", books, 5))
+    val rr = recall(Similarity.pqTopKReranked(base, codes, q, "vec_id", "embedding",
+      books, 5, shortlist = 50))
+    assert(rr >= raw, s"rerank ($rr) should not lose to raw ADC ($raw)")
+    assert(rr >= 0.5, s"reranked recall $rr below floor")
+  }
+
   test("model quality filter: runner-up logit gap dwarfs f32 drift; no NaN logits") {
     val bc = spark.sparkContext.broadcast(graft.SparkEntry.qualityModel)
     val feats = docs.select(col("doc_id"), graft.SparkEntry.qualityFeatures.as("feat"))
