@@ -1142,6 +1142,31 @@ object SparkEntry {
         .orderBy("shard", "pos")
     },
 
+    // Round-6 capstone: the ingest pipeline composed end-to-end from
+    // this round's operators — normalize -> Gopher keep rules ->
+    // bloom decontamination -> curriculum ordering — with ONE exact
+    // SQL oracle re-deriving every stage.
+    "q100_ingest_pipeline" -> { (s, dir) =>
+      val normed = t(s, dir, "documents").select(col("doc_id"),
+        TextOps.normalizeText(s, col("text")).as("text"))
+      val kept = normed.filter(
+        TextOps.strictTokenCount(col("text")).between(10, 100000) &&
+          TextOps.meanWordLen(col("text")).between(2.0, 12.0) &&
+          TextOps.stopwordHits(col("text")) >= 1)
+      val bench = normed.filter(col("doc_id") % 97 === 3)
+      val corpus = kept.filter(col("doc_id") % 97 =!= 3)
+      val contaminated = graft.operators.Decontaminate.flagContaminatedBloom(
+        corpus, "doc_id", "text", bench, "text", n = 8, minHits = 3)
+        .select("doc_id")
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      graft.operators.Shuffle.curriculumOrder(clean, "doc_id",
+        TextOps.strictTokenCount(col("text")).cast("double"),
+        thresholds = Seq(40.0, 70.0), seed = "ing0")
+        .select(col("doc_id"), col("phase"), col("pos").cast("long").as("pos"),
+          md5(col("text")).as("fp"))
+        .orderBy("phase", "pos")
+    },
+
     // PQ-compressed ANN (Jégou et al. 2011): codebooks trained on the
     // unit sphere, corpus stored as m=4 byte codes, ADC ranking — the
     // same in-query recall@5 gate discipline as q25/q39, pinned
@@ -1595,6 +1620,53 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // Every stage re-derived: normalization (nfc + control strip +
+    // collapse), the three keep rules, distinct-8-gram contamination
+    // vs the bench slice, curriculum phases + md5 ordering.
+    "q100_ingest_pipeline" ->
+      """WITH normed AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS text
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text FROM normed
+        |  WHERE len(regexp_extract_all(text, '\S+')) BETWEEN 10 AND 100000
+        |    AND (CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+        |      THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |        / len(regexp_extract_all(text, '\S+')) ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |    AND len(list_intersect(
+        |      list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |      ['the','of','and','to','in','is','that','it','was','for','a',
+        |       'der','die','das','und','ist','nicht','mit','ein','zu','den',
+        |       'el','la','de','que','y','en','un','es','se','no',
+        |       'le','les','et','une','est','pas','vous','je','ne','ce',
+        |       '的','是','在','了','我','有','和','就','不','人'])) >= 1),
+        |toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM normed),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 3),
+        |contam AS (
+        |  SELECT sh.doc_id FROM sh JOIN bench USING (s)
+        |  WHERE sh.doc_id % 97 <> 3
+        |  GROUP BY sh.doc_id HAVING count(*) >= 3),
+        |clean AS (
+        |  SELECT k.doc_id, k.text FROM kept k
+        |  WHERE k.doc_id % 97 <> 3
+        |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |cur AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN len(regexp_extract_all(text, '\S+')) >= 40 THEN 1 ELSE 0 END
+        |     + CASE WHEN len(regexp_extract_all(text, '\S+')) >= 70 THEN 1 ELSE 0 END) AS phase,
+        |    md5('ing0:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM clean)
+        |SELECT doc_id, phase,
+        |  CAST(row_number() OVER (PARTITION BY phase ORDER BY key, doc_id) AS BIGINT) AS pos,
+        |  md5(text) AS fp
+        |FROM cur ORDER BY phase, pos""".stripMargin,
 
     // PQ ANN: same per-SF pinned recall discipline as q25/q39
     // (deterministic: seeded subspace k-means + exact rerank).
