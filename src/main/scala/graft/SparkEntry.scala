@@ -1182,7 +1182,7 @@ object SparkEntry {
       val codes = graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding", books)
       val approx = graft.operators.Similarity
         .pqTopKReranked(emb, codes, q, "vec_id", "embedding", books,
-          k = 5, shortlist = 50)
+          k = 5, shortlist = 100)
         .select("q_id", "vec_id").withColumn("hit", lit(1))
       val rec = brute.join(approx, Seq("q_id", "vec_id"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
@@ -1190,7 +1190,7 @@ object SparkEntry {
       rec.crossJoin(broadcast(nq))
         .select(lit("pq_recall_at_5").as("metric"), col("n_queries"),
           (floor(col("recall") * 20) / 20).as("recall_floor"),
-          (col("recall") >= 0.5).as("pass"))
+          (col("recall") >= 0.65).as("pass"))
     },
 
     // Length-based curriculum ordering (short -> long, the classic
@@ -1674,7 +1674,7 @@ object SparkEntry {
       """SELECT 'pq_recall_at_5' AS metric,
         | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
         | CAST(CASE (SELECT count(*) FROM embeddings)
-        |   WHEN 500 THEN 0.85 WHEN 2000 THEN 0.7 ELSE -1 END AS DOUBLE) AS recall_floor,
+        |   WHEN 500 THEN 0.95 WHEN 2000 THEN 0.7 ELSE -1 END AS DOUBLE) AS recall_floor,
         | true AS pass""".stripMargin,
 
     "q98_curriculum" ->

@@ -25,44 +25,85 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** End-of-word sentinel appended to each word's last symbol, per the
-    * original algorithm (distinguishes "est</w>" from "est"). */
+    * original algorithm (distinguishes "est</w>" from "est").
+    *
+    * The sentinel is RESERVED: a word whose text contains the literal
+    * "</w>" would make the emitted token stream ambiguous (word
+    * boundary indistinguishable from content), so [[trainFromVocab]]
+    * and [[encodeWord]] reject such words loudly rather than corrupt
+    * the roundtrip. Public BPE implementations avoid this class of
+    * collision with byte-level alphabets; a pre-pass stripping or
+    * escaping the sentinel is the caller's lever for corpora where it
+    * occurs. */
   val EndOfWord = "</w>"
 
   type Merge = (String, String)
 
   /** Train `numMerges` merges from a word-frequency vocab. Pure local
-    * function of the vocab — the distributed side is [[wordCounts]]. */
+    * function of the vocab — the distributed side is [[wordCounts]].
+    *
+    * Incremental, as the reference trainers are: pair counts and a
+    * pair->words inverted index are built ONCE; each merge touches
+    * only the words that actually contain the winning pair (updating
+    * adjacent-pair counts in place), so the loop is O(affected words)
+    * per merge, not a full vocab rescan — the difference between
+    * milliseconds and minutes of driver CPU at an open-vocabulary
+    * `maxVocab`.
+    */
   def trainFromVocab(vocab: Map[String, Long], numMerges: Int): IndexedSeq[Merge] = {
-    // word -> symbol sequence (chars, last char + </w>)
-    var words: Map[IndexedSeq[String], Long] = vocab.map { case (w, c) =>
-      val chars = w.map(_.toString).toIndexedSeq
-      (chars.init :+ (chars.last + EndOfWord), c)
-    }.groupMapReduce(_._1)(_._2)(_ + _)
+    require(vocab.keys.forall(w => !w.contains(EndOfWord)),
+      s"vocab contains the reserved end-of-word sentinel '$EndOfWord'")
+    // word -> symbol sequence (chars, last char + </w>); sorted for a
+    // deterministic index order
+    val words: Array[Array[String]] = vocab.keys.toArray.sorted.map { w =>
+      val chars = w.map(_.toString).toArray
+      chars(chars.length - 1) += EndOfWord
+      chars
+    }
+    val freq: Array[Long] = {
+      val sortedKeys = vocab.keys.toArray.sorted
+      sortedKeys.map(vocab)
+    }
+    val pairCounts = scala.collection.mutable.Map.empty[Merge, Long]
+    val pairWords = scala.collection.mutable.Map.empty[Merge, scala.collection.mutable.Set[Int]]
+    def addPair(p: Merge, wi: Int, c: Long): Unit = {
+      pairCounts.updateWith(p)(v => Some(v.getOrElse(0L) + c).filter(_ != 0L))
+      if (pairCounts.contains(p))
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+      else pairWords.remove(p)
+    }
+    for (wi <- words.indices; j <- 0 until words(wi).length - 1)
+      addPair((words(wi)(j), words(wi)(j + 1)), wi, freq(wi))
+
     val merges = IndexedSeq.newBuilder[Merge]
-    var done = false
     var i = 0
-    while (i < numMerges && !done) {
-      val pairCounts = scala.collection.mutable.Map.empty[Merge, Long]
-      for ((syms, c) <- words; j <- 0 until syms.length - 1)
-        pairCounts.updateWith((syms(j), syms(j + 1)))(p => Some(p.getOrElse(0L) + c))
-      if (pairCounts.isEmpty) done = true
-      else {
-        // max count, ties broken lexicographically -> deterministic
-        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        val joined = best._1 + best._2
-        words = words.map { case (syms, c) =>
-          val out = IndexedSeq.newBuilder[String]
-          var j = 0
-          while (j < syms.length) {
-            if (j + 1 < syms.length && syms(j) == best._1 && syms(j + 1) == best._2) {
-              out += joined; j += 2
-            } else { out += syms(j); j += 1 }
-          }
-          (out.result(), c)
-        }.groupMapReduce(_._1)(_._2)(_ + _)
-        i += 1
+    while (i < numMerges && pairCounts.nonEmpty) {
+      // max count, ties broken lexicographically -> deterministic
+      val best = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      val joined = best._1 + best._2
+      val affected = pairWords.getOrElse(best, Set.empty[Int]).toArray.sorted
+      for (wi <- affected) {
+        val syms = words(wi)
+        val c = freq(wi)
+        // retract the word's current adjacent pairs...
+        for (j <- 0 until syms.length - 1) addPair((syms(j), syms(j + 1)), wi, -c)
+        // ...apply the merge...
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == best._1 && syms(j + 1) == best._2) {
+            out += joined; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        words(wi) = out.result()
+        // ...and re-add the rewritten word's pairs
+        val ns = words(wi)
+        for (j2 <- 0 until ns.length - 1) addPair((ns(j2), ns(j2 + 1)), wi, c)
       }
+      pairCounts.remove(best)
+      pairWords.remove(best)
+      i += 1
     }
     merges.result()
   }
@@ -91,6 +132,8 @@ object Bpe {
     * original algorithm and every public implementation do). */
   def encodeWord(word: String, ranks: Map[Merge, Int]): IndexedSeq[String] = {
     if (word.isEmpty) return IndexedSeq.empty
+    require(!word.contains(EndOfWord),
+      s"word contains the reserved end-of-word sentinel '$EndOfWord': $word")
     val chars = word.map(_.toString).toIndexedSeq
     var syms = chars.init :+ (chars.last + EndOfWord)
     var continue = true

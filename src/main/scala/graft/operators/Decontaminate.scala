@@ -93,10 +93,15 @@ object Decontaminate {
     val bloom = benchShingles.stat.bloomFilter("shingle", nGrams, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightHits = udf { hs: Seq[Long] =>
-      var c = 0
-      var i = 0
-      while (i < hs.length) { if (bloomBc.value.mightContainLong(hs(i))) c += 1; i += 1 }
-      c
+      // null text -> null gram array -> 0 hits, matching the exact
+      // path (explode of null emits no rows)
+      if (hs == null) 0
+      else {
+        var c = 0
+        var i = 0
+        while (i < hs.length) { if (bloomBc.value.mightContainLong(hs(i))) c += 1; i += 1 }
+        c
+      }
     }
     // the prefilter is scan-side: gram hashes are computed in the
     // projection, counted against the broadcast sketch, and only

@@ -216,10 +216,17 @@ object Similarity {
    * corpus into `nlist` cells; each query probes only its `nprobe`
    * nearest cells, and the (corpus_size * nprobe / nlist) candidates
    * are exactly cosine-ranked. Cell assignment is a tiny broadcast
-   * (nlist x dim doubles) joined on the cell id — no cross join, and
-   * the corpus is scanned once for training and once for assignment.
+   * (nlist x dim doubles) joined on the cell id — no cross join.
    * Recall < 1 by construction; measured against [[bruteForceTopK]]
-   * in the test suite. Deterministic for a fixed seed + input layout.
+   * in the test suite.
+   *
+   * Quantizer training = deterministic hash-ordered sample -> local
+   * Lloyd loops (the FAISS/pqTrain discipline): the coarse centroids
+   * are a pure function of seed + data VALUES, not of the parquet
+   * split layout (a distributed fit's per-partition random init made
+   * the trained cells — and therefore the pinned recall — depend on
+   * partitioning), and a coarse quantizer needs exactly this rough,
+   * bounded-sample training budget.
    */
   def ivfTopK(
       corpus: DataFrame,
@@ -229,23 +236,16 @@ object Similarity {
       k: Int,
       nlist: Int,
       nprobe: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      trainSample: Int = 1 << 16): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
     val spark = corpus.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
-    val train = c.withColumn("feat", array_to_vector(col("ce")))
-    // a coarse quantizer only needs rough cells, not converged ones:
-    // random init + 5 Lloyd iterations is the usual IVF training
-    // budget (k-means|| init alone costs several extra passes), and
-    // the centroid model is reused across the whole query volume
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("feat").setPredictionCol("cell")
-      .fit(train)
-    val assigned = model.transform(train).select("vec_id", "ce", "cell")
+    val sample = sampleVectors(c, "ce", trainSample, seed)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    val cents = kmeansLocal(sample, nlist, iters = 10, new scala.util.Random(seed))
+    val cell = nearestCellUdf(spark, cents)
+    val assigned = c.select(col("vec_id"), col("ce"), cell(col("ce")).as("cell"))
 
     // Query-side probe list: rank cells by ||q - c||^2, which orders the
     // same as -2*q.c + ||c||^2 (||q||^2 is constant per row). Centroids
@@ -254,7 +254,6 @@ object Similarity {
     // (nlist ~1k+, dim ~768) the literal form blows up driver-side plan
     // compilation, while a broadcast join costs one small exchange and
     // keeps the plan O(1) in nlist.
-    val cents = model.clusterCenters.map(_.toArray)
     val centDf = spark.createDataFrame(
       cents.zipWithIndex.toIndexedSeq
         .map { case (ct, i) => (i, ct, ct.map(x => x * x).sum) })
@@ -306,26 +305,23 @@ object Similarity {
       k: Int,
       seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val base = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
     // cluster on L2-NORMALIZED vectors (as the paper does): Euclidean
     // k-means on the unit sphere orders by cosine, so cosine-identical
     // rows land in the same cell by construction — scale differences
-    // cannot split a semantic group across clusters
-    val nrm = sqrt(aggregate(col("e"), lit(0.0), (a, v) => a + v * v))
-    val train = base
-      .withColumn("nrm", nrm)
-      .withColumn("feat", array_to_vector(
-        when(col("nrm") > 0, transform(col("e"), v => v / col("nrm")))
-          .otherwise(col("e"))))
-    // same training budget rationale as ivfTopK: coarse cells, reused model
-    val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("feat").setPredictionCol("cluster")
-      .fit(train)
-    val assigned = model.transform(train).select("id", "e", "cluster")
+    // cannot split a semantic group across clusters.
+    // Training = deterministic hash-ordered sample -> local Lloyd
+    // (the FAISS/pqTrain discipline): layout-independent (a
+    // per-partition RNG init would make cluster assignment depend on
+    // the parquet split), and milliseconds instead of a distributed
+    // fit's job overhead. Assignment is a scan-side broadcast UDF.
+    val unit = normalized(base, "e")
+    val sample = sampleVectors(unit, "__unit", 1 << 16, seed)
+    require(sample.nonEmpty, "semanticDedup: empty corpus")
+    val cents = kmeansLocal(sample, k, iters = 10, new scala.util.Random(seed))
+    val cell = nearestCellUdf(spark, cents)
+    val assigned = unit
+      .select(col("id"), col("e"), cell(col("__unit")).as("cluster"))
       // pin the cluster-join shuffle width (AQE byte-coalescing vs the
       // self-join expansion — see Dedup.jaccardPairs), checkpoint for
       // the two self-join sides
@@ -418,15 +414,7 @@ object Similarity {
       trainSample: Int = 1 << 16): PqCodebooks = {
     require(dim % m == 0, "m must divide dim")
     val dsub = dim / m
-    // deterministic sample: hash-ordered prefix (no RNG state, stable
-    // across partitionings), one distributed pass
-    val sample = normalized(corpus, embCol)
-      .select(col("__unit"))
-      .withColumn("__h", md5(concat(lit(seed.toString),
-        concat_ws(",", col("__unit").cast("array<string>")))))
-      .orderBy("__h")
-      .limit(trainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = sampleVectors(normalized(corpus, embCol), "__unit", trainSample, seed)
     require(sample.nonEmpty, "pqTrain: empty corpus")
     val rnd = new scala.util.Random(seed)
     val books = Array.tabulate(m) { s =>
@@ -436,15 +424,45 @@ object Similarity {
     PqCodebooks(m, dsub, books)
   }
 
-  /** Seeded local Lloyd's: init = distinct random picks, empty
-    * clusters keep their previous centroid. Deterministic for a fixed
-    * seed and point order. */
+  /** Seeded local Lloyd's with k-means++ init (D^2-weighted seeding —
+    * Arthur & Vassilvitskii 2007): spread starting centroids give
+    * better-separated cells than uniform picks, and the distinct-point
+    * selection cannot duplicate a centroid (duplicates never separate
+    * because assignment prefers the lower index). Empty clusters keep
+    * their previous centroid. Deterministic for a fixed seed + point
+    * order. */
   private def kmeansLocal(
       pts: Array[Array[Double]], k: Int, iters: Int,
       rnd: scala.util.Random): Array[Array[Double]] = {
     val d = pts(0).length
-    val cents = Array.tabulate(math.min(k, pts.length))(i =>
-      pts(rnd.nextInt(pts.length)).clone())
+    val kk = math.min(k, pts.length)
+    // k-means++ seeding: first pick uniform, then each next centroid
+    // drawn with probability proportional to squared distance from the
+    // nearest chosen centroid
+    val chosen = Array.ofDim[Array[Double]](kk)
+    chosen(0) = pts(rnd.nextInt(pts.length)).clone()
+    val d2 = pts.map(p => sqDist(p, chosen(0), d))
+    var ci = 1
+    while (ci < kk) {
+      val total = d2.sum
+      var pick = 0
+      if (total <= 0) pick = rnd.nextInt(pts.length) // all points coincide
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < pts.length - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
+        pick = i
+      }
+      chosen(ci) = pts(pick).clone()
+      var i = 0
+      while (i < pts.length) {
+        val nd = sqDist(pts(i), chosen(ci), d)
+        if (nd < d2(i)) d2(i) = nd
+        i += 1
+      }
+      ci += 1
+    }
+    val cents = chosen
     for (_ <- 0 until iters) {
       val sums = Array.fill(cents.length)(new Array[Double](d))
       val counts = new Array[Long](cents.length)
@@ -473,11 +491,55 @@ object Similarity {
     cents
   }
 
+  private def sqDist(a: Array[Double], b: Array[Double], d: Int): Double = {
+    var s = 0.0; var j = 0
+    while (j < d) { val df = a(j) - b(j); s += df * df; j += 1 }
+    s
+  }
+
   private def normalized(df: DataFrame, embCol: String): DataFrame = {
     val e = asDouble(col(embCol))
     val nrm = sqrt(aggregate(e, lit(0.0), (a, v) => a + v * v))
     df.withColumn("__unit",
       when(nrm > 0, transform(e, v => v / nrm)).otherwise(e))
+  }
+
+  /** Deterministic hash-ordered bounded sample of an array<double>
+    * column, collected to the driver — the codebook/quantizer training
+    * input. Stable under any partitioning/layout (the order is a pure
+    * function of the VALUES), which keeps seeded trainers
+    * deterministic where a per-partition RNG init is not. */
+  private def sampleVectors(
+      df: DataFrame, colName: String, n: Int, seed: Long): Array[Array[Double]] =
+    df.select(col(colName))
+      .filter(col(colName).isNotNull)
+      .withColumn("__h", md5(concat(lit(seed.toString),
+        concat_ws(",", col(colName).cast("array<string>")))))
+      .orderBy("__h")
+      .limit(n)
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Nearest-centroid id as a scan-side UDF over broadcast centroids;
+    * null vectors map to cell -1 (no pair work, never joined). */
+  private def nearestCellUdf(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(cents)
+    udf { v: Seq[Double] =>
+      if (v == null) -1
+      else {
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var dist = 0.0; var j = 0
+          while (j < cs(c).length) { val df = v(j) - cs(c)(j); dist += df * df; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        best
+      }
+    }
   }
 
   /** Encode each (normalized) vector as `m` codes: nearest centroid
@@ -492,7 +554,8 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(books)
     val enc = udf { unit: Seq[Double] =>
       val b = bc.value
-      Array.tabulate(b.m) { s =>
+      if (unit == null) null
+      else Array.tabulate(b.m) { s =>
         val cents = b.centroids(s)
         var best = 0; var bestD = Double.MaxValue
         var c = 0
@@ -507,8 +570,12 @@ object Similarity {
         best
       }
     }
+    // null embeddings carry no codes and are excluded from the index —
+    // the same silent-drop semantics as the LSH path (banding of a
+    // null signature emits no rows)
     normalized(df, embCol)
       .select(col(idCol).as("vec_id"), enc(col("__unit")).as("codes"))
+      .filter(col("codes").isNotNull)
   }
 
   /**
@@ -531,7 +598,8 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(books)
     val lut = udf { qUnit: Seq[Double] =>
       val b = bc.value
-      Array.tabulate(b.m) { s =>
+      if (qUnit == null) null
+      else Array.tabulate(b.m) { s =>
         val cents = b.centroids(s)
         Array.tabulate(cents.length) { c =>
           var d = 0.0; var j = 0
@@ -549,6 +617,7 @@ object Similarity {
     }
     val q = normalized(queries, embCol)
       .select(col(idCol).as("q_id"), lut(col("__unit")).as("__lut"))
+      .filter(col("__lut").isNotNull) // null-embedding queries have no neighbors
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
     codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("adc", adc(col("__lut"), col("codes")))
