@@ -1142,6 +1142,45 @@ object SparkEntry {
         .orderBy("shard", "pos")
     },
 
+    // Recursive CTE (new SQL surface in Spark 4): a month spine
+    // generated by recursion, left-joined against monthly order
+    // revenue so empty months surface as zero rows — the calendar-
+    // completion shape reporting pipelines need. DuckDB runs its own
+    // WITH RECURSIVE.
+    "q101_recursive_cte" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_rc")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT DATE '1995-01-01' AS m
+          |  UNION ALL
+          |  SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-08-01')
+          |SELECT date_format(m, 'yyyy-MM') AS month,
+          |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+          |       round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+          |FROM months LEFT JOIN g_orders_rc
+          |  ON date_format(o_orderdate, 'yyyy-MM') = date_format(m, 'yyyy-MM')
+          |GROUP BY date_format(m, 'yyyy-MM')
+          |ORDER BY month""".stripMargin)
+    },
+
+    // EXISTS / NOT EXISTS correlated subqueries (decorrelated by
+    // Catalyst into semi/anti joins — plan shape shared with q48/q09).
+    "q102_exists_subquery" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("g_cust_ex")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_ex")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name
+          |FROM g_cust_ex c
+          |WHERE EXISTS (
+          |    SELECT 1 FROM g_orders_ex o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM g_orders_ex o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          |      AND o.o_totalprice < 50000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // Round-6 capstone: the ingest pipeline composed end-to-end from
     // this round's operators — normalize -> Gopher keep rules ->
     // bloom decontamination -> curriculum ordering — with ONE exact
@@ -1620,6 +1659,32 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q101_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01' AS m
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '2001-08-01')
+        |SELECT strftime(m, '%Y-%m') AS month,
+        |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+        |FROM months LEFT JOIN orders
+        |  ON strftime(o_orderdate, '%Y-%m') = strftime(m, '%Y-%m')
+        |GROUP BY strftime(m, '%Y-%m')
+        |ORDER BY month""".stripMargin,
+
+    "q102_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |      AND o.o_totalprice < 50000)
+        |ORDER BY c_custkey""".stripMargin,
 
     // Every stage re-derived: normalization (nfc + control strip +
     // collapse), the three keep rules, distinct-8-gram contamination
