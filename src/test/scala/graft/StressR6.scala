@@ -31,6 +31,13 @@ object StressR6 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
+    // "100x" arg: 100 rotated doc copies (500k docs), 10M-row shuffle,
+    // 100 permuted embedding copies (200k+10k vecs) — the dup-heavy
+    // web-crawl-like stress of the round-4/5 records
+    val big = args.contains("100x")
+    val docCopies = if (big) 100 else 20
+    val embCopies = if (big) 100 else 20
+    val shuffleRows = if (big) 10000000L else 2000000L
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -40,11 +47,11 @@ object StressR6 {
     }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-    val docs20 = rotate(docs, 20, "doc_id", "text").cache()
+    val docs20 = rotate(docs, docCopies, "doc_id", "text").cache()
     println(s"[stress] docs20 rows: ${docs20.count()}")
 
     // ---- BPE train+encode on 100k docs ----
-    val (merges, total) = timed("bpe train(40)+encode on 100k docs") {
+    val (merges, total) = timed(s"bpe train(40)+encode on ${docCopies}x docs") {
       val m = operators.Bpe.train(docs20, "text", numMerges = 40)
       val enc = operators.Bpe.encode(docs20, "text", m)
       val t = enc.agg(sum(size(col("tokens")))).collect()(0).getLong(0)
@@ -56,7 +63,7 @@ object StressR6 {
     val bench = docs20.filter(col("doc_id") % 97 === 3)
     val planted = bench.select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
     val corpus = docs20.filter(col("doc_id") % 97 =!= 3).unionByName(planted)
-    val flagged = timed("bloom decontam 100k corpus vs 1k bench (+planted copies)") {
+    val flagged = timed(s"bloom decontam ${docCopies}x corpus vs bench slice (+planted copies)") {
       operators.Decontaminate.flagContaminatedBloom(
         corpus, "doc_id", "text", bench, "text", n = 8, minHits = 3).count()
     }
@@ -64,9 +71,9 @@ object StressR6 {
     println(s"[stress] bloom flagged=$flagged planted=$nPlanted (flagged >= planted expected)")
 
     // ---- train shuffle on 2M rows ----
-    val big = spark.range(2000000).toDF("id")
-    val shardStats = timed("trainShuffle 2M rows, 64 shards") {
-      operators.Shuffle.trainShuffle(big, "id", "epoch0", 64)
+    val bigIds = spark.range(shuffleRows).toDF("id")
+    val shardStats = timed(s"trainShuffle $shuffleRows rows, 64 shards") {
+      operators.Shuffle.trainShuffle(bigIds, "id", "epoch0", 64)
         .groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("maxpos"))
         .agg(count(lit(1)), min("n"), max("n"),
           sum(when(col("n") === col("maxpos"), 0).otherwise(1)))
@@ -78,7 +85,7 @@ object StressR6 {
     // ---- semantic dedup on 40k embeddings + 2k planted twins ----
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val emb20 = (0 until 20).map { k =>
+    val emb20 = (0 until embCopies).map { k =>
       // dimension rotation by k: bijective, preserves within-copy cosine
       val perm = (0 until dim).map(i => (i + k) % dim)
       emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
@@ -90,9 +97,9 @@ object StressR6 {
     val nTwins = twins.count()
     val sdCorpus = emb20.unionByName(twins)
     println(s"[stress] semdedup corpus: ${sdCorpus.count()} vecs (twins: $nTwins)")
-    val sd = timed("semanticDedup 42k vecs, k=64, t=0.99") {
+    val sd = timed(s"semanticDedup ${embCopies}x vecs, k=${if (big) 256 else 64}, t=0.99") {
       val r = operators.Similarity.semanticDedup(
-        sdCorpus, "vec_id", "embedding", threshold = 0.99, k = 64)
+        sdCorpus, "vec_id", "embedding", threshold = 0.99, k = if (big) 256 else 64)
       r.filter(col("dropped")).count()
     }
     println(s"[stress] semdedup dropped=$sd (expected >= $nTwins: every twin has an " +
