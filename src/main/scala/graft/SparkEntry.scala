@@ -20,14 +20,18 @@ import graft.torch.{ActOp, LinearLayer, Torch, TorchConf, TorchOracle, TorchScri
  * filter, array literal, float cast, LIMIT); q27/q28 the torch UDF
  * pipeline I4/I5/Q5-Q7 (golden e2e in GoldenIrisSpec); q29/q30 config +
  * introspection I7/I8/Q11/Q12; q05-q15, q31/q32, q36/q37, q44-q51,
- * q53-q56 the relational breadth (agg/join/window/rollup/cube/set-ops/
- * pivot/subqueries/sessionize) any real workload needs; q16-q26,
- * q33-q35, q38-q43, q57-q69 the LLM-data-pipeline extension set
- * (dedup exact/MinHash-LSH/SimHash/jaccard/embedding, kNN/LSH/IVF ANN,
- * text analysis and quality signals, lang-ID, fingerprinting,
- * winnowing overlap, chunking, mix rebalancing, decontamination,
- * rarity scoring, TF-IDF, quantization, as-of/range joins, hash split,
- * packing, multimodal plumbing); q52 the composed pipeline capstone.
+ * q53-q56, q72/q73, q76/q77, q79, q81-q86, q101/q102 the relational
+ * breadth (agg/join/window/rollup/cube/set-ops/pivot/subqueries incl.
+ * EXISTS + recursive CTE/sessionize) any real workload needs; the rest
+ * is the LLM-data-pipeline extension set — dedup (exact/MinHash-LSH/
+ * SimHash/jaccard/embedding/span/semantic/incremental + cluster
+ * resolution), ANN (kNN/LSH/IVF/PQ), text analysis and quality
+ * signals (incl. the model-based classifier filter), lang-ID,
+ * fingerprinting, winnowing, chunking/packing/mixing/splitting/
+ * shuffling/curriculum, decontamination (exact + bloom), rarity,
+ * TF-IDF, normalization, real BPE, PII scrubbing, as-of/range joins,
+ * quantization, multimodal plumbing — with q52/q75/q100 the composed
+ * pipeline capstones.
  */
 object SparkEntry {
 
@@ -1142,6 +1146,46 @@ object SparkEntry {
         .orderBy("shard", "pos")
     },
 
+    // Incremental semantic dedup at ingest: a new batch of 50 scaled
+    // twins (cosine exactly 1 with standing-corpus rows; same
+    // normalized point => same frozen-quantizer cell) and 50 novel
+    // rows (dimension-reversed — a bijection that decorrelates them
+    // from every corpus vector). The gate checks the in-query brute
+    // cross-pair baseline: twins all dropped, novel all kept, zero
+    // false drops, and the cluster path missing nothing the global
+    // rule finds (pinned 100/50/50/0).
+    "q103_semantic_incremental" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+      val novel = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+        .select((col("vec_id") + 30000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val fresh = twins.unionByName(novel)
+      val sd = graft.operators.Similarity.semanticDedupIncremental(
+        emb, fresh, "vec_id", "embedding", threshold = 0.99, k = 16)
+      // brute cross-pair baseline (gate-scale): a new row the GLOBAL
+      // rule drops but the cluster path kept would be a recall miss
+      val cBase = emb.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("ce"))
+      val fBase = fresh.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("e"))
+      val globalDrops = fBase.join(broadcast(cBase), lit(true))
+        .filter(graft.operators.Similarity.cosine(col("e"), col("ce")) >= 0.99)
+        .select("id").distinct().withColumn("glob", lit(1))
+      sd.join(globalDrops, Seq("id"), "left")
+        .agg(
+          count(lit(1)).cast("long").as("n_new"),
+          sum(when(col("dropped"), 1).otherwise(0)).cast("long").as("n_dropped"),
+          sum(coalesce(col("glob"), lit(0))).cast("long").as("n_global_dropped"),
+          (sum(when(col("dropped") =!= col("glob").isNotNull, 1).otherwise(0)))
+            .cast("long").as("disagreements"))
+        .select(lit("semantic_incremental_exact").as("gate"),
+          col("n_new"), col("n_dropped"), col("n_global_dropped"),
+          col("disagreements"))
+    },
+
     // Recursive CTE (new SQL surface in Spark 4): a month spine
     // generated by recursion, left-joined against monthly order
     // revenue so empty months surface as zero rows — the calendar-
@@ -1659,6 +1703,13 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q103_semantic_incremental" ->
+      """SELECT 'semantic_incremental_exact' AS gate,
+        | CAST(100 AS BIGINT) AS n_new,
+        | CAST(50 AS BIGINT) AS n_dropped,
+        | CAST(50 AS BIGINT) AS n_global_dropped,
+        | CAST(0 AS BIGINT) AS disagreements""".stripMargin,
 
     "q101_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (

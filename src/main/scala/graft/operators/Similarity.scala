@@ -342,6 +342,53 @@ object Similarity {
   }
 
   /**
+   * Incremental (cross-corpus) semantic dedup: a NEW batch is checked
+   * against a STANDING corpus's semantic clusters — the ingest shape,
+   * where accepted data is never re-paired with itself. The coarse
+   * quantizer is trained on the CORPUS only and frozen, so cluster
+   * assignments stay stable as batches arrive (a re-trained quantizer
+   * would reshuffle cells every ingest and silently change which
+   * near-dups are visible). A new row is dropped when some same-cell
+   * corpus row has cosine >= threshold; drops are exact-verified, so
+   * false drops are structurally impossible. Ids must be disjoint.
+   *
+   * @return (id [new], cluster, dropped, kept_id [smallest justifying
+   *         corpus id, null for survivors])
+   */
+  def semanticDedupIncremental(
+      corpus: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val cUnit = normalized(
+      corpus.select(col(idCol).as("cid"), asDouble(col(embCol)).as("ce")), "ce")
+    val sample = sampleVectors(cUnit, "__unit", 1 << 16, seed)
+    require(sample.nonEmpty, "semanticDedupIncremental: empty corpus")
+    val cents = kmeansLocal(sample, k, iters = 10, new scala.util.Random(seed))
+    val cell = nearestCellUdf(spark, cents)
+    val cAssigned = cUnit
+      .select(col("cid"), col("ce"), cell(col("__unit")).as("cluster"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("cluster"))
+      .transform(Checkpoints.cp)
+    val fAssigned = normalized(
+      fresh.select(col(idCol).as("id"), asDouble(col(embCol)).as("e")), "e")
+      .select(col("id"), col("e"), cell(col("__unit")).as("cluster"))
+      .transform(Checkpoints.cp) // read by the pair join AND the output join
+    val drops = fAssigned.join(cAssigned, Seq("cluster"))
+      .filter(graft.functions.CosineSim.cosine_sim(spark, col("e"), col("ce"))
+        >= threshold)
+      .groupBy(col("id")).agg(min(col("cid")).as("kept_id"))
+    fAssigned.select("id", "cluster")
+      .join(drops, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        col("kept_id").isNotNull.as("dropped"), col("kept_id"))
+  }
+
+  /**
    * Accuracy gate for [[semanticDedup]], suitable for a pinned-number
    * oracle: computes the GLOBAL (cluster-free) near-dup drop set by
    * brute force and reports, in one row: total rows, cluster-path

@@ -926,6 +926,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rr >= 0.5, s"reranked recall $rr below floor")
   }
 
+  test("semanticDedupIncremental: twins dropped vs corpus, novel kept, stable cells") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(3.0f)).as("embedding"))
+    val novel = base.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select((col("vec_id") + 6000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val fresh = twins.unionByName(novel)
+    val out = Similarity.semanticDedupIncremental(
+      base, fresh, "vec_id", "embedding", threshold = 0.99, k = 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // every twin dropped, justified by its original; every novel kept
+    assert((0L until 10L).forall(i => out.contains((i + 5000, true, i))), s"out=$out")
+    assert((10L until 20L).forall(i => out.contains((i + 6000, false, -1L))), s"out=$out")
+    assert(out.length == 20)
+    // frozen quantizer: a re-run assigns identical cells (the ingest
+    // stability property — cluster ids must not reshuffle per batch)
+    val cells1 = Similarity.semanticDedupIncremental(
+      base, fresh, "vec_id", "embedding", threshold = 0.99, k = 8)
+      .select("id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val cells2 = Similarity.semanticDedupIncremental(
+      base, fresh, "vec_id", "embedding", threshold = 0.99, k = 8)
+      .select("id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(cells1 == cells2)
+  }
+
   test("model quality filter: runner-up logit gap dwarfs f32 drift; no NaN logits") {
     val bc = spark.sparkContext.broadcast(graft.SparkEntry.qualityModel)
     val feats = docs.select(col("doc_id"), graft.SparkEntry.qualityFeatures.as("feat"))
