@@ -97,6 +97,53 @@ class HeaderDecoderSpec extends AnyFunSuite {
     assert(Multimodal.HeaderDecoder.decode(sos.array()).isEmpty)
   }
 
+  test("PixelDecoder: BMP 24bpp bottom-up decodes to top-down RGB with row padding") {
+    // 3x2 BMP, 24bpp: rows padded to 4 bytes (3*3=9 -> 12). Stored
+    // bottom-up in BGR; decode must emit top-down RGB.
+    val w = 3; val h = 2
+    val rowBytes = 12
+    val bb = ByteBuffer.allocate(54 + rowBytes * h).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+    bb.putInt(0).putInt(54) // reserved, data offset
+    bb.putInt(40).putInt(w).putInt(h) // DIB, width, height (bottom-up)
+    bb.putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+    bb.put(new Array[Byte](54 - bb.position()))
+    // bottom row first (will be decoded as row 1): pixels B,G,R
+    // bottom row: red, green, blue; top row: white, black, gray
+    val bottom = Array[Int](0, 0, 255, /**/ 0, 255, 0, /**/ 255, 0, 0, 0, 0, 0)
+    val top = Array[Int](255, 255, 255, /**/ 0, 0, 0, /**/ 128, 128, 128, 0, 0, 0)
+    bottom.foreach(v => bb.put(v.toByte))
+    top.foreach(v => bb.put(v.toByte))
+    val Some((dw, dh, dc, px)) = Multimodal.PixelDecoder.decode(bb.array())
+    assert((dw, dh, dc) == (3, 2, 3))
+    def rgb(i: Int) = (px(i * 3) & 0xff, px(i * 3 + 1) & 0xff, px(i * 3 + 2) & 0xff)
+    // top-down output: row 0 = the file's TOP row (stored last)
+    assert(rgb(0) == ((255, 255, 255)) && rgb(1) == ((0, 0, 0)) && rgb(2) == ((128, 128, 128)))
+    // row 1 = bottom row, BGR -> RGB reordered
+    assert(rgb(3) == ((255, 0, 0)) && rgb(4) == ((0, 255, 0)) && rgb(5) == ((0, 0, 255)))
+  }
+
+  test("PixelDecoder: binary PGM/PPM with comments; nearest-neighbor resize exact") {
+    val pgm = ("P5 # comment\n4 2\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val Some((w, h, c, px)) = Multimodal.PixelDecoder.decode(pgm)
+    assert((w, h, c) == (4, 2, 1) && px.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    // nearest-neighbor 4x2 -> 2x1: picks (0,0) and (0,2)
+    val rs = Multimodal.PixelDecoder.resize(px, 4, 2, 1, 2, 1)
+    assert(rs.toSeq == Seq[Byte](10, 30))
+    // identity resize
+    assert(Multimodal.PixelDecoder.resize(px, 4, 2, 1, 4, 2).toSeq == px.toSeq)
+    // PPM: 1x2 RGB
+    val ppm = "P6\n1 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val Some((pw, ph, pc, ppx)) = Multimodal.PixelDecoder.decode(ppm)
+    assert((pw, ph, pc) == (1, 2, 3) && ppx.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // truncated raster -> None, not garbage
+    assert(Multimodal.PixelDecoder.decode(ppm.dropRight(1)).isEmpty)
+    // compressed formats are honestly not decodable without a codec
+    assert(Multimodal.PixelDecoder.decode(jpeg(8, 8, 3)).isEmpty)
+  }
+
   test("unknown/truncated payloads return None (fallback path)") {
     assert(Multimodal.HeaderDecoder.decode("plain utf-8 text payload".getBytes).isEmpty)
     assert(Multimodal.HeaderDecoder.decode(Array[Byte](0x89.toByte, 'P')).isEmpty)

@@ -815,6 +815,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.groupBy(_._2).size == 8)
   }
 
+  test("resizeImage: real decode+scale for PGM payloads, null for compressed") {
+    import spark.implicits._
+    val pgm = ("P5\n4 4\n255\n").getBytes("US-ASCII") ++
+      Array.tabulate[Byte](16)(i => (i * 10).toByte)
+    val notDecodable = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)
+    val df = Seq((1L, pgm), (2L, notDecodable)).toDF("id", "payload")
+    val out = Multimodal.resizeImage(df, "payload", "img", targetW = 2, targetH = 2)
+      .select("id", "img").collect().map(r => r.getLong(0) -> r).toMap
+    val img = out(1L).getStruct(1)
+    assert(img.getInt(0) == 2 && img.getInt(1) == 2 && img.getInt(2) == 1)
+    // nearest neighbor on the 4x4 ramp: rows 0,2 cols 0,2 -> 0,20,80,100
+    assert(img.getAs[Array[Byte]](3).toSeq == Seq[Byte](0, 20, 80, 100))
+    assert(out(2L).isNullAt(1), "compressed payload must yield null, not fake pixels")
+  }
+
   test("curriculumOrder: threshold phases, dense in-phase positions, deterministic") {
     import spark.implicits._
     val df = Seq((1L, 5.0), (2L, 45.0), (3L, 80.0), (4L, 39.9), (5L, 70.0), (6L, 40.0))
