@@ -1630,10 +1630,16 @@ object SparkEntry {
         |  FROM toks, UNNEST(range(1, len(ws) - 6)) AS u(i)),
         |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) > 1),
         |marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM marked),
         |isl AS (
         |  SELECT doc_id, pos,
-        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM marked)
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM brk)
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
         |       count(*) AS n_windows
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
@@ -2331,12 +2337,17 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // chunk count: 1 + ceil((n - chunkSize)/stride) clamped at >= 1 for
+    // non-empty docs — a trailing window fully inside the previous
+    // chunk's overlap would duplicate that suffix verbatim; 0 chunks
+    // for token-less docs
     "q62_chunk" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
         |c AS (
         |  SELECT doc_id, ws,
-        |   unnest(range(0, greatest(CAST(ceil(len(ws) / 48.0) AS INT), 1))) AS chunk_no
+        |   unnest(range(0, CASE WHEN len(ws) <= 0 THEN 0
+        |     ELSE 1 + greatest(CAST(ceil((len(ws) - 64) / 48.0) AS INT), 0) END)) AS chunk_no
         |  FROM t)
         |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
         | md5(list_aggregate(ws[chunk_no * 48 + 1 : chunk_no * 48 + 64],
@@ -2351,15 +2362,16 @@ object SparkEntry {
         |  FROM documents GROUP BY lang),
         |t AS (SELECT min(n / p) AS T FROM counts),
         |rates AS (
-        |  SELECT lang, CAST(floor(p * T / n * 10000) AS INT) AS rate_bp
+        |  SELECT lang,
+        |   least(CAST(round(p * T / n * 100000000) AS BIGINT), 100000000) AS rate_b
         |  FROM counts, t),
         |b AS (
-        |  SELECT d.doc_id, d.lang, r.rate_bp,
+        |  SELECT d.doc_id, d.lang, r.rate_b,
         |   CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-        |     % 10000 AS bucket
+        |     % 100000000 AS bucket
         |  FROM documents d JOIN rates r USING (lang))
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM b
-        |WHERE bucket < rate_bp GROUP BY lang ORDER BY lang""".stripMargin,
+        |WHERE bucket < rate_b GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q64_decontam" ->
       """WITH toks AS (
@@ -2557,17 +2569,19 @@ object SparkEntry {
         |  FROM clean GROUP BY lang),
         |tt AS (SELECT min(n / p) AS T FROM counts),
         |rates AS (
-        |  SELECT lang, CAST(floor(p * T / n * 10000) AS INT) AS rate_bp
+        |  SELECT lang,
+        |   least(CAST(round(p * T / n * 100000000) AS BIGINT), 100000000) AS rate_b
         |  FROM counts, tt),
         |kept AS (
         |  SELECT c.doc_id, c.text FROM clean c JOIN rates r USING (lang)
         |  WHERE CAST('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-        |        % 10000 < r.rate_bp),
+        |        % 100000000 < r.rate_b),
         |tk AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM kept),
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM kept),
         |ch AS (
         |  SELECT doc_id, ws,
-        |   unnest(range(0, greatest(CAST(ceil(len(ws) / 48.0) AS INT), 1))) AS chunk_no
+        |   unnest(range(0, CASE WHEN len(ws) <= 0 THEN 0
+        |     ELSE 1 + greatest(CAST(ceil((len(ws) - 64) / 48.0) AS INT), 0) END)) AS chunk_no
         |  FROM tk)
         |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
         | md5(list_aggregate(ws[chunk_no * 48 + 1 : chunk_no * 48 + 64],

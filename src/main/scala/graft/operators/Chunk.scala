@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
  *
  * Chunk i covers tokens `[i*stride + 1, i*stride + chunkSize]`
  * (1-based, stride = chunkSize - overlap), clipped at the document
- * end; chunks are emitted while `i*stride < n_tokens`, so the last
- * chunk may be shorter and every token belongs to >= 1 chunk. Pure
- * scan-side explode — no shuffle, no state, linear in corpus size.
+ * end. Chunk i > 0 is emitted only while the PREVIOUS chunk did not
+ * already reach the document end (`(i-1)*stride + chunkSize < n`) —
+ * a trailing window that would fit entirely inside the previous
+ * chunk's overlap region adds zero new tokens and would inject a
+ * verbatim duplicate of that chunk's suffix into the corpus the
+ * operator prepares. Every token still belongs to >= 1 chunk; the
+ * last chunk may be shorter. Token-less documents (empty, whitespace,
+ * or null text) emit NO chunks — a phantom empty chunk would count
+ * one token that does not exist. Pure scan-side explode — no shuffle,
+ * no state, linear in corpus size.
  */
 object Chunk {
 
@@ -25,15 +32,28 @@ object Chunk {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need chunkSize > 0 and 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    val ws = split(trim(col(textCol)), "\\s+")
-    val nChunks = ceil(size(ws).cast("double") / stride).cast("int")
+    // \S+ extraction (the repo-wide tokenization): 0 tokens for
+    // empty/whitespace text, where split-on-\s+ yields a phantom ""
+    val ws = call_function("regexp_extract_all", col(textCol), lit("\\S+"), lit(0))
+    // null text -> null array -> treat as 0 tokens (size(null) is null,
+    // and greatest() IGNORES nulls, so an uncoalesced count would let
+    // null docs fall through the <=0 branch into one garbage chunk)
+    val n = coalesce(size(ws), lit(0))
+    val nChunks = when(n <= 0, lit(0)).otherwise(
+      lit(1) + greatest(
+        ceil((n - chunkSize).cast("double") / stride).cast("int"), lit(0)))
     df.select(col(idCol), ws.as("__ws"), nChunks.as("__nc"))
+      .filter(col("__nc") > 0) // token-less / null docs emit nothing
       .select(col(idCol),
         posexplode(transform(
-          sequence(lit(0), greatest(col("__nc"), lit(1)) - 1),
-          i => array_join(slice(col("__ws"), i * stride + 1, lit(chunkSize)), " "))))
-      .toDF(idCol, "chunk_no", "chunk_text")
-      .withColumn("chunk_tokens",
-        size(split(col("chunk_text"), "\\s+")))
+          sequence(lit(0), col("__nc") - 1),
+          i => struct(
+            array_join(slice(col("__ws"), i * stride + 1, lit(chunkSize)), " ").as("t"),
+            // token count from the slice itself — no re-tokenization
+            // of the (overlap-inflated) chunk text
+            size(slice(col("__ws"), i * stride + 1, lit(chunkSize))).as("k")))))
+      .toDF(idCol, "chunk_no", "__c")
+      .select(col(idCol), col("chunk_no"),
+        col("__c.t").as("chunk_text"), col("__c.k").as("chunk_tokens"))
   }
 }

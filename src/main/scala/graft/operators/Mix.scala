@@ -37,19 +37,27 @@ object Mix {
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
       .join(targetDf, Seq(stratumCol)) // inner: unknown strata are dropped
     val t = counts.agg(min(col("__n") / col("__p")).as("__T"))
-    // keep-rate in 1/10000ths, floor'd — integer thresholds keep the
-    // bucket comparison exact across engines
+    // Keep-rate quantized to 1e8 buckets — integer thresholds keep the
+    // bucket comparison exact across engines. The resolution matters:
+    // the previous 1/10000 grid FLOORED, so a stratum whose rate fell
+    // below 1e-4 (a heavy stratum against a tiny binding one) kept
+    // ZERO rows instead of its target share, and the binding stratum's
+    // mathematically-1.0 rate could land at 0.9999... in doubles and
+    // floor to 9999, shaving the one stratum documented to keep 100%.
+    // round() fixes the binding stratum; 1e8 buckets (the full 32 bits
+    // of md5 prefix already computed) make sub-1e-4 rates representable.
     val rates = counts.crossJoin(broadcast(t))
-      .withColumn("__rate_bp",
-        floor(col("__p") * col("__T") / col("__n") * 10000).cast("int"))
-      .select(col(stratumCol), col("__rate_bp"))
+      .withColumn("__rate_b",
+        least(round(col("__p") * col("__T") / col("__n") * 100000000L).cast("long"),
+          lit(100000000L)))
+      .select(col(stratumCol), col("__rate_b"))
 
     val bucket =
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000
+        .cast("long") % 100000000L
     df.join(broadcast(rates), Seq(stratumCol))
-      .filter(bucket < col("__rate_bp"))
-      .drop("__rate_bp")
+      .filter(bucket < col("__rate_b"))
+      .drop("__rate_b")
   }
 
   /**
@@ -83,6 +91,11 @@ object Mix {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("__tok", tokensCol.cast("long"))
+      // a row whose token count is NULL (or casts to NULL) cannot be
+      // budgeted — admitting it for free would let a stratum of
+      // null-count docs keep unbounded rows "under budget"; excluded
+      // rather than admitted, the conservative reading of the cap
+      .filter(col("__tok").isNotNull)
       .withColumn("tokens_before", coalesce(sum(col("__tok")).over(w), lit(0L)))
       .filter(col("tokens_before") < budgetPerStratum)
       .drop("__tok")

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
  *
  * Output is bit-identical to the naive global window because the
  * group id is monotone in the document order.
+ *
+ * ASSUMPTION — dense numeric ids: `#groups = id_range / groupSize`,
+ * so the "tiny" offsets table is tiny only when ids are roughly
+ * sequential. Sparse 64-bit ids (snowflake/hash-derived) would put
+ * ~every doc in its own group — a corpus-sized broadcast and a serial
+ * offsets window. A cheap id-range guard fails loudly in that case
+ * (re-key with `row_number` or `zipWithIndex`-style dense ids first,
+ * or raise groupSize to cover the actual id range).
  */
 object Pack {
 
@@ -43,6 +51,23 @@ object Pack {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"packBins requires a numeric idCol; '$idCol' is ${df.schema(idCol).dataType.sql} " +
         "(a non-numeric id would cast to null and silently drop every row)")
+    // dense-id guard: one cheap (min,max,count) scan. If the id range
+    // implies vastly more groups than rows/groupSize, the offsets
+    // table is NOT tiny and the design's premise is broken — fail
+    // loudly instead of OOMing the broadcast or serializing the
+    // offsets window.
+    val Array(idStats) = df.agg(
+      min(col(idCol)).cast("double"), max(col(idCol)).cast("double"),
+      count(lit(1))).collect()
+    if (!idStats.isNullAt(0)) {
+      val span = idStats.getDouble(1) - idStats.getDouble(0) + 1
+      val n = idStats.getLong(2).toDouble
+      val impliedGroups = span / groupSize
+      require(impliedGroups <= 10.0 * (n / groupSize + 1),
+        f"packBins requires roughly dense ids: id range $span%.0f implies " +
+          f"~$impliedGroups%.0f groups for $n%.0f rows (groupSize=$groupSize). " +
+          "Re-key with dense ids or raise groupSize to cover the id range.")
+    }
     val pcols = partitionCols.map(col)
     val base = df.select(pcols :+ col(idCol) :+ tokensCol.as("n_tokens"): _*)
       .withColumn("__g", floor(col(idCol) / groupSize))
@@ -52,11 +77,19 @@ object Pack {
     val wg = wg0.rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy(pcols :+ col("__g"): _*).agg(sum("n_tokens").as("__gsum"))
       .withColumn("__goff", coalesce(sum("__gsum").over(wg), lit(0)))
-      .select(pcols :+ col("__g") :+ col("__goff"): _*)
+      .select(pcols.zipWithIndex.map { case (c, i) => c.as(s"__po_$i") } :+
+        col("__g").as("__g_o") :+ col("__goff"): _*)
 
+    // NULL-SAFE join back: a null id (null __g) or a null partition
+    // value forms its own group in the aggregate above, and <=> keeps
+    // those rows — an equi-join would silently drop them from the
+    // packed output
+    val joinCond = (partitionCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__po_$i") } :+
+      (col("__g") <=> col("__g_o"))).reduce(_ && _)
     val win = Window.partitionBy(pcols :+ col("__g"): _*).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(offsets), partitionCols :+ "__g")
+    base.join(broadcast(offsets), joinCond)
       .withColumn("__before", col("__goff") + coalesce(sum("n_tokens").over(win), lit(0)))
       .select(pcols :+ col(idCol) :+ col("n_tokens") :+
         floor(col("__before") / capacity).cast("long").as("bin"): _*)

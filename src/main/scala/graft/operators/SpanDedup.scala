@@ -39,30 +39,44 @@ object SpanDedup {
    * both ends inclusive (`span_end = last window start + window - 1`),
    * n_windows = merged window count in the span.
    */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
-    require(window >= 1, "window must be >= 1")
+  /** Shared detection front end: positional window hashes + the
+    * corpus-wide duplicated-hash set. One tokenize+md5 pass
+    * (checkpointed — the dup aggregate AND the downstream join both
+    * read it; self-join aliases defeat exchange reuse, same discipline
+    * as Dedup). */
+  private def dupGrams(
+      df: DataFrame, idCol: String, textCol: String, window: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    // (id, pos, h): positional window hashes, exploded at the scan side
     val grams = df.select(
       col(idCol),
       posexplode(graft.functions.GramHashes.gram_hashes(spark, col(textCol), window)))
       .toDF(idCol, "pos", "h")
-      // both the dup-hash aggregate and the mark join read it; without
-      // the checkpoint the tokenize+md5 pass runs twice (self-join
-      // aliases defeat exchange reuse — same discipline as Dedup)
       .transform(Checkpoints.cp)
-    // corpus-wide duplicated window hashes: one keyed aggregate,
-    // partial counts map-side; count>1 keeps output proportional to
-    // true duplication
+    // count>1 keeps output proportional to true duplication; partial
+    // counts map-side
     val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .select("h")
+    (grams, dup)
+  }
+
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val (grams, dup) = dupGrams(df, idCol, textCol, window)
     // windows of each doc that are duplicated: keyed join on the hash
     val marked = grams.join(dup, Seq("h")).select(idCol, "pos")
-    // gaps-and-islands: consecutive positions share (pos - row_number)
+    // islands merge OVERLAPPING OR CONTIGUOUS windows: window at `pos`
+    // covers [pos, pos+window-1], so it extends the previous region
+    // whenever pos <= prev + window. A plain pos-row_number grouping
+    // would split duplicated starts with a gap of 2..window-1 into
+    // OVERLAPPING "maximal" spans (e.g. duplicated starts {0, 2},
+    // window 3: spans [0,2] and [2,4] share token 2).
     val w = Window.partitionBy(idCol).orderBy("pos")
     marked
-      .withColumn("__grp", col("pos") - row_number().over(w))
+      .withColumn("__brk",
+        when(col("pos") > lag("pos", 1).over(w) + window, 1).otherwise(0))
+      .withColumn("__grp", sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("__grp"))
       .agg(
         min("pos").cast("long").as("span_start"),
@@ -97,15 +111,7 @@ object SpanDedup {
    */
   def exciseSpans(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val spark = df.sparkSession
-    val grams = df.select(
-      col(idCol),
-      posexplode(graft.functions.GramHashes.gram_hashes(spark, col(textCol), window)))
-      .toDF(idCol, "pos", "h")
-      .transform(Checkpoints.cp) // dup aggregate + occurrence join both read it
-    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1)
-      .select("h")
+    val (grams, dup) = dupGrams(df, idCol, textCol, window)
     // occurrences of duplicated windows, with the global first flagged;
     // the per-hash window is tiny (only duplicated hashes participate)
     val occW = Window.partitionBy("h").orderBy(col(idCol), col("pos"))
@@ -121,9 +127,12 @@ object SpanDedup {
       .filter(!col("__any_canon"))
       .select(col(idCol), col("tokpos"))
     // rebuild: tokens minus removed positions, in order
+    // Column-API call (not string interpolation into expr): column
+    // names needing quoting work the same here as everywhere else
     val toks = df.select(col(idCol), col(textCol))
       .select(col(idCol),
-        posexplode_outer(expr(s"regexp_extract_all($textCol, '\\\\S+', 0)")))
+        posexplode_outer(
+          call_function("regexp_extract_all", col(textCol), lit("\\S+"), lit(0))))
       .toDF(idCol, "tokpos", "tok")
     toks.join(removed.withColumn("__rm", lit(1)), Seq(idCol, "tokpos"), "left")
       .groupBy(col(idCol))

@@ -324,9 +324,20 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Chunk.chunkByTokens(df, "doc_id", "text", chunkSize = 4, overlap = 1)
       .orderBy("chunk_no")
       .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    // chunk 2 already reaches the last token — a 4th chunk "t10" would
+    // sit entirely inside chunk 2's overlap (verbatim duplicate)
     assert(got.toSeq == Seq(
       (0, "t1 t2 t3 t4", 4), (1, "t4 t5 t6 t7", 4),
-      (2, "t7 t8 t9 t10", 4), (3, "t10", 1)))
+      (2, "t7 t8 t9 t10", 4)))
+    // exact-fit doc: one chunk, no ghost trailing chunk
+    val exact = Chunk.chunkByTokens(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(exact.toSeq == Seq((0, "a b c d", 4)))
+    // token-less docs emit NO chunks (no phantom 1-token "" chunk)
+    val empties = Seq((1L, ""), (2L, "   \t  "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Chunk.chunkByTokens(empties, "doc_id", "text", 4, 1).count() == 0)
   }
 
   test("Mix.rebalance: binding stratum keeps all rows, others are hash-thresholded") {
@@ -339,9 +350,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept("a") == 10L)
     val expectedB = df.filter(col("s") === "b")
       .filter(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000 < 1000)
+        .cast("long") % 100000000L < 10000000L)
       .count()
     assert(kept.getOrElse("b", 0L) == expectedB && expectedB > 0)
+  }
+
+  test("Mix.rebalance: sub-1e-4 keep rates survive quantization (no vanished strata)") {
+    import spark.implicits._
+    // heavy stratum vs tiny binding stratum: heavy's rate = 5e-5, which
+    // the old 1/10000 floor grid quantized to ZERO, silently deleting a
+    // stratum meant to be half the mix
+    val df = ((0L until 100000L).map(i => (i, "web")) ++
+      (1000000L until 1000005L).map(i => (i, "books"))).toDF("id", "s")
+    val kept = Mix.rebalance(df, "s", "id", Map("web" -> 0.5, "books" -> 0.5))
+      .groupBy("s").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // T = min(1e5/0.5, 5/0.5) = 10 -> books keeps 100%, web keeps 5e-5
+    assert(kept("books") == 5L, s"binding stratum shaved: $kept")
+    // expectation 5 rows; hash-binomial noise, but ZERO would mean the
+    // stratum vanished
+    assert(kept.getOrElse("web", 0L) > 0, s"web stratum vanished: $kept")
   }
 
   test("flagContaminated: shared 8-gram span flags the doc, clean doc passes") {

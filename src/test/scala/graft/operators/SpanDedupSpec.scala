@@ -50,6 +50,25 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 24L, 18L), (2L, 0L, 24L, 18L)))
   }
 
+  test("overlapping windows with a position gap merge into ONE non-overlapping span") {
+    // doc A = "a b c d e"; B holds "a b c", C holds "c d e": A's
+    // duplicated window starts are {0, 2} (gap 2 < window 3). The old
+    // consecutive-only islands emitted spans [0,2] and [2,4], which
+    // OVERLAP at token 2; the contract is one maximal span [0,4].
+    val got = spans(Seq(
+      1L -> "a b c d e",
+      2L -> "x1 x2 a b c x3",
+      3L -> "y1 c d e y2 y3"), window = 3)
+    val aSpans = got.filter(_._1 == 1L)
+    assert(aSpans == Set((1L, 0L, 4L, 2L)), s"got $aSpans")
+    // spans within one doc never overlap, corpus-wide property
+    for ((id, ss) <- got.groupBy(_._1)) {
+      val sorted = ss.toSeq.sortBy(_._2)
+      for (Seq(p, n) <- sorted.sliding(2) if sorted.length > 1)
+        assert(p._3 < n._2, s"doc $id: span $p overlaps $n")
+    }
+  }
+
   test("docs shorter than the window produce nothing (and don't error)") {
     assert(spans(Seq(1L -> "only three tokens", 2L -> "only three tokens"), window = 8).isEmpty)
   }
@@ -100,12 +119,29 @@ class SpanDedupSpec extends AnyFunSuite {
     }
     val dupStrings = wins.groupBy(_._3).filter(_._2.size > 1).keySet
     val dupStarts = wins.filter(w => dupStrings.contains(w._3)).map(w => (w._1, w._2)).toSet
-    // expand spans back to window starts
-    val rebuilt = got.flatMap { case (id, s, e, n) =>
-      val starts = (s to (e - window + 1)).map(p => (id, p.toInt))
-      assert(starts.size == n, s"span ($id,$s,$e) claims $n windows, has ${starts.size}")
-      starts
-    }.map { case (id, p) => (id, p) }
-    assert(rebuilt == dupStarts.map { case (id, p) => (id, p) })
+    val byDoc = dupStarts.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every span: boundaries are duplicated starts, n_windows counts
+    // the duplicated starts inside, spans per doc are disjoint, and
+    // merged starts are never more than `window` apart (else they
+    // would be separate spans)
+    var covered = Set.empty[(Long, Int)]
+    for ((id, s, e, n) <- got) {
+      val ds = byDoc(id)
+      assert(ds.contains(s.toInt), s"span start $s of doc $id is not a duplicated start")
+      assert(ds.contains((e - window + 1).toInt), s"span end $e of doc $id misaligned")
+      val inSpan = ds.filter(p => p >= s && p <= e - window + 1).toSeq.sorted
+      assert(inSpan.size == n, s"span ($id,$s,$e) claims $n windows, has ${inSpan.size}")
+      for (Seq(a, b) <- inSpan.sliding(2) if inSpan.length > 1)
+        assert(b - a <= window, s"doc $id: starts $a,$b should not share a span")
+      covered ++= inSpan.map(p => (id, p))
+    }
+    // every duplicated start lands in exactly one span (disjointness +
+    // coverage together: the union reconstructs the brute-force set)
+    assert(covered == dupStarts)
+    for ((id, ss) <- got.groupBy(_._1)) {
+      val sorted = ss.toSeq.sortBy(_._2)
+      for (Seq(p, nx) <- sorted.sliding(2) if sorted.length > 1)
+        assert(p._3 < nx._2, s"doc $id: span $p overlaps $nx")
+    }
   }
 }
