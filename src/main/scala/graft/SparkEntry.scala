@@ -1146,6 +1146,30 @@ object SparkEntry {
         .orderBy("shard", "pos")
     },
 
+    // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
+    // first/last_value over customer revenue — the remaining analytic
+    // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
+    // shorthand both engines support.
+    "q104_window_breadth" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_wb")
+      t(s, dir, "customer").createOrReplaceTempView("g_cust_wb")
+      s.sql(
+        """WITH rev AS (
+          |  SELECT c_nationkey, o_custkey,
+          |         round(sum(o_totalprice), 2) AS revenue
+          |  FROM g_orders_wb JOIN g_cust_wb ON o_custkey = c_custkey
+          |  GROUP BY ALL)
+          |SELECT c_nationkey, o_custkey, revenue,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd,
+          |  first_value(o_custkey) OVER w AS poorest,
+          |  last_value(o_custkey) OVER (PARTITION BY c_nationkey ORDER BY revenue, o_custkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+          |FROM rev
+          |WINDOW w AS (PARTITION BY c_nationkey ORDER BY revenue, o_custkey)
+          |ORDER BY c_nationkey, revenue, o_custkey""".stripMargin)
+    },
+
     // Incremental semantic dedup at ingest: a new batch of 50 scaled
     // twins (cosine exactly 1 with standing-corpus rows; same
     // normalized point => same frozen-quantizer cell) and 50 novel
@@ -1709,6 +1733,22 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q104_window_breadth" ->
+      """WITH rev AS (
+        |  SELECT c_nationkey, o_custkey,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY ALL)
+        |SELECT c_nationkey, o_custkey, revenue,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_custkey) OVER w AS poorest,
+        |  last_value(o_custkey) OVER (PARTITION BY c_nationkey ORDER BY revenue, o_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+        |FROM rev
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY revenue, o_custkey)
+        |ORDER BY c_nationkey, revenue, o_custkey""".stripMargin,
 
     "q103_semantic_incremental" ->
       """SELECT 'semantic_incremental_exact' AS gate,
