@@ -1146,6 +1146,20 @@ object SparkEntry {
         .orderBy("shard", "pos")
     },
 
+    // Z-order (Morton) clustering keys — the OPTIMIZE ZORDER layout
+    // pass: interleave (customer, order-day) bits so scans filtered on
+    // either dimension touch few files. The oracle reproduces the
+    // magic-number bit spreading literally.
+    "q105_zorder" -> { (s, dir) =>
+      val x = col("o_custkey").bitwiseAND(lit(65535L))
+      val y = (unix_timestamp(col("o_orderdate")) / lit(86400L)).cast("long")
+        .bitwiseAND(lit(65535L))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), x.as("xd"), y.as("yd"),
+          graft.operators.ZOrder.morton2(x, y).as("zkey"))
+        .orderBy("zkey", "o_orderkey")
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -1733,6 +1747,23 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q105_zorder" ->
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_custkey & 65535 AS BIGINT) AS xd,
+        |    CAST(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) & 65535 AS BIGINT) AS yd
+        |  FROM orders),
+        |s2 AS (SELECT o_orderkey, xd, yd,
+        |  ((xd | (xd << 8)) & 16711935) AS vx, ((yd | (yd << 8)) & 16711935) AS vy FROM a),
+        |s3 AS (SELECT o_orderkey, xd, yd,
+        |  ((vx | (vx << 4)) & 252645135) AS vx, ((vy | (vy << 4)) & 252645135) AS vy FROM s2),
+        |s4 AS (SELECT o_orderkey, xd, yd,
+        |  ((vx | (vx << 2)) & 858993459) AS vx, ((vy | (vy << 2)) & 858993459) AS vy FROM s3),
+        |s5 AS (SELECT o_orderkey, xd, yd,
+        |  ((vx | (vx << 1)) & 1431655765) AS vx, ((vy | (vy << 1)) & 1431655765) AS vy FROM s4)
+        |SELECT o_orderkey, xd, yd, (vx | (vy << 1)) AS zkey
+        |FROM s5 ORDER BY zkey, o_orderkey""".stripMargin,
 
     "q104_window_breadth" ->
       """WITH rev AS (

@@ -842,6 +842,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.groupBy(_._2).size == 8)
   }
 
+  test("ZOrder.morton2 matches the reference bit interleave; cluster sorts by z") {
+    import spark.implicits._
+    def spreadRef(v0: Long): Long = {
+      var v = v0 & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    val rnd = new scala.util.Random(11)
+    val pts = Seq((3L, 5L), (65535L, 0L), (0L, 65535L), (12345L, 54321L)) ++
+      Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.morton2(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for ((x, y) <- pts)
+      assert(got((x, y)) == (spreadRef(x) | (spreadRef(y) << 1)), s"($x,$y)")
+    // cluster: all rows kept, z non-decreasing within each partition
+    val df = pts.toDF("x", "y")
+    val clustered = ZOrder.cluster(df, col("x"), col("y"), numPartitions = 4)
+    assert(clustered.count() == pts.length)
+    val perPart = clustered
+      .withColumn("z", ZOrder.morton2(col("x"), col("y")))
+      .withColumn("p", spark_partition_id())
+      .collect().map(r => (r.getAs[Int]("p"), r.getAs[Long]("z")))
+    for ((_, zs) <- perPart.groupBy(_._1))
+      assert(zs.map(_._2).toSeq == zs.map(_._2).toSeq.sorted)
+  }
+
   test("resizeImage: real decode+scale for PGM payloads, null for compressed") {
     import spark.implicits._
     val pgm = ("P5\n4 4\n255\n").getBytes("US-ASCII") ++
