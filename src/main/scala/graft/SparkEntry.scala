@@ -2434,7 +2434,8 @@ object SparkEntry {
         |t AS (SELECT min(n / p) AS T FROM counts),
         |rates AS (
         |  SELECT lang,
-        |   least(CAST(round(p * T / n * 100000000) AS BIGINT), 100000000) AS rate_b
+        |   greatest(least(CAST(round(p * T / n * 100000000) AS BIGINT), 100000000),
+        |            1) AS rate_b
         |  FROM counts, t),
         |b AS (
         |  SELECT d.doc_id, d.lang, r.rate_b,

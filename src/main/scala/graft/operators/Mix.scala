@@ -44,12 +44,20 @@ object Mix {
     // ZERO rows instead of its target share, and the binding stratum's
     // mathematically-1.0 rate could land at 0.9999... in doubles and
     // floor to 9999, shaving the one stratum documented to keep 100%.
-    // round() fixes the binding stratum; 1e8 buckets (the full 32 bits
-    // of md5 prefix already computed) make sub-1e-4 rates representable.
+    // round() fixes the binding stratum; 1e8 buckets (mod 1e8 of the
+    // 32-bit md5 prefix — ~2.3% residue non-uniformity, 43 vs 42
+    // preimages, the standard hash-sampling noise) make sub-1e-4 rates
+    // representable. greatest(...,1): a rate that still rounds to zero
+    // (< 0.5e-8 — a pathological heavy-vs-tiny mix) keeps at least
+    // bucket 0 instead of silently deleting the stratum; targets are
+    // required positive, so "present with nonzero share" always means
+    // "at least one bucket survives".
     val rates = counts.crossJoin(broadcast(t))
       .withColumn("__rate_b",
-        least(round(col("__p") * col("__T") / col("__n") * 100000000L).cast("long"),
-          lit(100000000L)))
+        greatest(
+          least(round(col("__p") * col("__T") / col("__n") * 100000000L).cast("long"),
+            lit(100000000L)),
+          lit(1L)))
       .select(col(stratumCol), col("__rate_b"))
 
     val bucket =

@@ -130,17 +130,24 @@ object Multimodal {
       def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
       def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
       if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+        // Header fields are UNTRUSTED: le32 is signed, so dataOff can be
+        // negative; w/h near Int.MaxValue overflow w*c / w*h*c. Validate
+        // with Long arithmetic and cap dims before any allocation.
         val dataOff = le32(10)
         val w = le32(18)
         val hRaw = le32(22)
-        val h = math.abs(hRaw)
+        val h = if (hRaw == Int.MinValue) -1 else math.abs(hRaw) // abs(MinValue) stays negative
         val topDown = hRaw < 0
         val bpp = le16(28)
         val compression = le32(30)
-        if (compression != 0 || (bpp != 24 && bpp != 32) || w <= 0 || h == 0) return None
+        val maxDim = 1 << 16 // 65536px per side: generous for real images, overflow-proof
+        if (compression != 0 || (bpp != 24 && bpp != 32) ||
+          w <= 0 || h <= 0 || w > maxDim || h > maxDim || dataOff < 54) return None
         val c = bpp / 8
-        val rowBytes = ((w * c + 3) / 4) * 4
-        if (dataOff.toLong + rowBytes.toLong * h > b.length) return None // truncated
+        val rowBytesL = ((w.toLong * c + 3) / 4) * 4
+        if (dataOff.toLong + rowBytesL * h > b.length) return None // truncated
+        if (w.toLong * h * c > Int.MaxValue - 8) return None // output would not fit a JVM array
+        val rowBytes = rowBytesL.toInt
         val out = new Array[Byte](w * h * c)
         var y = 0
         while (y < h) {
@@ -170,13 +177,13 @@ object Multimodal {
           if (i < b.length && b(i) == '#') {
             while (i < b.length && b(i) != '\n') i += 1
           } else {
-            var n = 0
+            var n = 0L // Long: a crafted run of digits must not wrap Int
             var any = false
             while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-              n = n * 10 + (b(i) - '0'); i += 1; any = true
+              n = math.min(n * 10 + (b(i) - '0'), 1L << 20); i += 1; any = true
             }
             if (!any) return None // malformed header
-            vals(v) = n
+            vals(v) = n.toInt
             v += 1
           }
         }
@@ -285,10 +292,13 @@ object Multimodal {
     df.mapPartitions { it => // typed, single-plan — see withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val resized = Option(bytes).flatMap(PixelDecoder.decode).map {
-          case (w, h, c, px) =>
+        // Try: one corrupt payload must degrade to null, not fail the job —
+        // decode validates headers but defense-in-depth costs nothing here.
+        val resized = Option(bytes)
+          .flatMap(bs => scala.util.Try(PixelDecoder.decode(bs)).toOption.flatten)
+          .map { case (w, h, c, px) =>
             Row(targetW, targetH, c, PixelDecoder.resize(px, w, h, c, targetW, targetH))
-        }.orNull
+          }.orNull
         Row.fromSeq(r.toSeq :+ resized)
       }
     }(Encoders.row(outSchema))

@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
  * so the "tiny" offsets table is tiny only when ids are roughly
  * sequential. Sparse 64-bit ids (snowflake/hash-derived) would put
  * ~every doc in its own group — a corpus-sized broadcast and a serial
- * offsets window. A cheap id-range guard fails loudly in that case
- * (re-key with `row_number` or `zipWithIndex`-style dense ids first,
- * or raise groupSize to cover the actual id range).
+ * offsets window. An in-plan group-count guard (a one-row aggregate
+ * folded into the offsets plan, evaluated lazily at execution time)
+ * fails loudly in that case (re-key with `row_number` or
+ * `zipWithIndex`-style dense ids first, or raise groupSize to cover
+ * the actual id range).
  */
 object Pack {
 
@@ -51,23 +53,6 @@ object Pack {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"packBins requires a numeric idCol; '$idCol' is ${df.schema(idCol).dataType.sql} " +
         "(a non-numeric id would cast to null and silently drop every row)")
-    // dense-id guard: one cheap (min,max,count) scan. If the id range
-    // implies vastly more groups than rows/groupSize, the offsets
-    // table is NOT tiny and the design's premise is broken — fail
-    // loudly instead of OOMing the broadcast or serializing the
-    // offsets window.
-    val Array(idStats) = df.agg(
-      min(col(idCol)).cast("double"), max(col(idCol)).cast("double"),
-      count(lit(1))).collect()
-    if (!idStats.isNullAt(0)) {
-      val span = idStats.getDouble(1) - idStats.getDouble(0) + 1
-      val n = idStats.getLong(2).toDouble
-      val impliedGroups = span / groupSize
-      require(impliedGroups <= 10.0 * (n / groupSize + 1),
-        f"packBins requires roughly dense ids: id range $span%.0f implies " +
-          f"~$impliedGroups%.0f groups for $n%.0f rows (groupSize=$groupSize). " +
-          "Re-key with dense ids or raise groupSize to cover the id range.")
-    }
     val pcols = partitionCols.map(col)
     val base = df.select(pcols :+ col(idCol) :+ tokensCol.as("n_tokens"): _*)
       .withColumn("__g", floor(col(idCol) / groupSize))
@@ -75,8 +60,28 @@ object Pack {
     val wg0 = if (partitionCols.isEmpty) Window.orderBy("__g")
       else Window.partitionBy(pcols: _*).orderBy("__g")
     val wg = wg0.rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(pcols :+ col("__g"): _*).agg(sum("n_tokens").as("__gsum"))
-      .withColumn("__goff", coalesce(sum("__gsum").over(wg), lit(0)))
+    val gAgg = base.groupBy(pcols :+ col("__g"): _*)
+      .agg(sum("n_tokens").as("__gsum"), count(lit(1)).as("__gcnt"))
+    // dense-id guard, IN-PLAN (lazy — no eager extra pass over the
+    // upstream pipeline at call time): if the actual group count vastly
+    // exceeds rows/groupSize, the offsets table is NOT tiny and the
+    // design's premise is broken — raise_error loudly instead of OOMing
+    // the broadcast or serializing the offsets window. The one-row
+    // guard aggregate reuses gAgg's exchange; its value is folded into
+    // __goff (always +0 when healthy) so column pruning cannot drop it.
+    val guard = gAgg
+      .agg(count(lit(1)).cast("double").as("__ng"), sum("__gcnt").cast("double").as("__n"))
+      .select(
+        when(col("__ng") > (col("__n") / groupSize + 1) * 10.0,
+          raise_error(format_string(
+            "packBins requires roughly dense ids: %.0f groups for %.0f rows " +
+              s"(groupSize=$groupSize). Re-key with dense ids or raise groupSize " +
+              "to cover the id range.", col("__ng"), col("__n"))))
+          .otherwise(lit(0L)).as("__dense_ok"))
+    val offsets = gAgg
+      .crossJoin(broadcast(guard))
+      .withColumn("__goff",
+        coalesce(sum("__gsum").over(wg), lit(0)) + col("__dense_ok"))
       .select(pcols.zipWithIndex.map { case (c, i) => c.as(s"__po_$i") } :+
         col("__g").as("__g_o") :+ col("__goff"): _*)
 

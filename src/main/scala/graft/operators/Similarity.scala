@@ -162,7 +162,10 @@ object Similarity {
       .join(base.toDF("ida", "ea"), Seq("ida"))
       .join(base.toDF("idb", "eb"), Seq("idb"))
       .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb")))
-      .filter(col("cos") >= threshold)
+      // !isnan: cosine of two zero-norm vectors is 0/0 = NaN, and Spark
+      // orders NaN above all doubles, so `>= threshold` would be TRUE —
+      // zero embeddings must never count as near-duplicates.
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
       .select(col("ida").as("a"), col("idb").as("b"), col("cos"))
   }
 
@@ -206,7 +209,7 @@ object Similarity {
       .join(cBase.toDF("corpus_id", "ea"), Seq("corpus_id"))
       .join(fBase.toDF("new_id", "eb"), Seq("new_id"))
       .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb")))
-      .filter(col("cos") >= threshold)
+      .filter(col("cos") >= threshold && !isnan(col("cos"))) // see nearDupPairs
       .select(col("corpus_id"), col("new_id"), col("cos"))
   }
 
@@ -330,10 +333,12 @@ object Similarity {
     val l = assigned.toDF("ida", "ea", "cluster")
     val r = assigned.toDF("idb", "eb", "cluster")
     // per dropped row keep the smallest justifying neighbor
+    val simAB = graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb"))
     val drops = l.join(r, Seq("cluster"))
       .filter(col("ida") < col("idb"))
-      .filter(graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb"))
-        >= threshold)
+      // !isnan: zero-norm pairs give 0/0 = NaN, which Spark orders above
+      // all doubles — without the guard they'd spuriously drop each other.
+      .filter(simAB >= threshold && !isnan(simAB))
       .groupBy(col("idb").as("id")).agg(min(col("ida")).as("kept_id"))
     assigned.select("id", "cluster")
       .join(drops, Seq("id"), "left")
@@ -378,9 +383,9 @@ object Similarity {
       fresh.select(col(idCol).as("id"), asDouble(col(embCol)).as("e")), "e")
       .select(col("id"), col("e"), cell(col("__unit")).as("cluster"))
       .transform(Checkpoints.cp) // read by the pair join AND the output join
+    val simFC = graft.functions.CosineSim.cosine_sim(spark, col("e"), col("ce"))
     val drops = fAssigned.join(cAssigned, Seq("cluster"))
-      .filter(graft.functions.CosineSim.cosine_sim(spark, col("e"), col("ce"))
-        >= threshold)
+      .filter(simFC >= threshold && !isnan(simFC)) // see semanticDedup
       .groupBy(col("id")).agg(min(col("cid")).as("kept_id"))
     fAssigned.select("id", "cluster")
       .join(drops, Seq("id"), "left")
@@ -411,10 +416,10 @@ object Similarity {
       .transform(Checkpoints.cp)
     // brute-force global drop set — the oracle baseline the paper's
     // clustered pass approximates. Broadcast one side: gate-scale only.
+    val simG = graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb"))
     val globalDrops = base.toDF("ida", "ea")
       .join(broadcast(base.toDF("idb", "eb")), col("ida") < col("idb"))
-      .filter(graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb"))
-        >= threshold)
+      .filter(simG >= threshold && !isnan(simG)) // see semanticDedup
       .select(col("idb").as("id")).distinct()
       .withColumn("glob", lit(1))
     sd.join(globalDrops, Seq("id"), "left")

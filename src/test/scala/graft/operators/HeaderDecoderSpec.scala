@@ -144,6 +144,40 @@ class HeaderDecoderSpec extends AnyFunSuite {
     assert(Multimodal.PixelDecoder.decode(jpeg(8, 8, 3)).isEmpty)
   }
 
+  test("PixelDecoder: crafted BMP headers cannot crash — overflow/negative fields -> None") {
+    // all fields attacker-controlled: each of these used to throw
+    // (NegativeArraySize / ArrayIndexOutOfBounds) instead of None
+    def bmp(dataOff: Int, w: Int, h: Int, bpp: Short = 24, compression: Int = 0,
+        payload: Int = 64): Array[Byte] = {
+      val bb = ByteBuffer.allocate(54 + payload).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + payload)
+      bb.putInt(0).putInt(dataOff)
+      bb.putInt(40).putInt(w).putInt(h)
+      bb.putShort(1).putShort(bpp).putInt(compression)
+      bb.array()
+    }
+    import Multimodal.PixelDecoder.decode
+    assert(decode(bmp(54, Int.MaxValue, 2)).isEmpty) // w*c overflows Int
+    assert(decode(bmp(54, 0x40000000, 2)).isEmpty) // rowBytes overflows
+    assert(decode(bmp(54, 3, Int.MinValue)).isEmpty) // abs(MinValue) < 0
+    assert(decode(bmp(-4, 3, 2)).isEmpty) // negative data offset
+    assert(decode(bmp(0, 3, 2)).isEmpty) // offset inside the header
+    assert(decode(bmp(54, 65537, 1)).isEmpty) // over the dim cap
+    assert(decode(bmp(54, 46341, 46341)).isEmpty) // w*h*c > Int.MaxValue
+    // and a PGM whose dimension digit-run would wrap Int
+    val evil = "P5 99999999999999999999 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1)
+    assert(decode(evil).isEmpty)
+    // healthy small BMP still decodes after the hardening
+    val good = {
+      val bb = ByteBuffer.allocate(54 + 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(58).putInt(0).putInt(54)
+      bb.putInt(40).putInt(1).putInt(1).putShort(1).putShort(24).putInt(0)
+      bb.position(54); bb.put(1.toByte).put(2.toByte).put(3.toByte)
+      bb.array()
+    }
+    assert(decode(good).map(t => (t._1, t._2, t._3)) == Some((1, 1, 3)))
+  }
+
   test("unknown/truncated payloads return None (fallback path)") {
     assert(Multimodal.HeaderDecoder.decode("plain utf-8 text payload".getBytes).isEmpty)
     assert(Multimodal.HeaderDecoder.decode(Array[Byte](0x89.toByte, 'P')).isEmpty)

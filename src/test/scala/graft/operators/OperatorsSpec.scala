@@ -935,6 +935,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g.getLong(2) == 10 && g.getLong(3) == 10 && g.getLong(4) == 0)
   }
 
+  test("zero-norm embeddings never count as near-duplicates (NaN cosine guard)") {
+    import spark.implicits._
+    // cosine(0-vec, 0-vec) = 0/0 = NaN, and Spark orders NaN above all
+    // doubles — without the isnan guard `NaN >= threshold` is TRUE and
+    // zero-embedding rows spuriously drop each other
+    val zeros = Seq.tabulate(5)(i => (9000L + i, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(zeros)
+    val sd = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.99, k = 8)
+    val zeroDrops = sd.filter(col("dropped") && col("id") >= 9000).count()
+    assert(zeroDrops == 0, s"$zeroDrops zero-norm rows were spuriously dropped")
+    assert(sd.count() == corpus.count())
+    // and the pairwise operator likewise emits no zero-zero pairs
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.9, dim = 64)
+    assert(pairs.filter(col("a") >= 9000 && col("b") >= 9000).count() == 0)
+  }
+
+  test("packBins dense-id guard is lazy and fires in-plan on sparse ids") {
+    import spark.implicits._
+    val sparse = Seq.tabulate(50)(i => (i * 1000000L, 10L)).toDF("doc_id", "n")
+    // plan CONSTRUCTION must not run a job (the guard is in-plan now):
+    // no exception until an action
+    val plan = Pack.packBins(sparse, "doc_id", col("n"), 100L, groupSize = 16L)
+    val e = intercept[Exception] { plan.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("roughly dense ids")), s"got: ${msgs(e)}")
+    // dense ids still pack fine through the in-plan guard (+0 fold)
+    val dense = Seq.tabulate(50)(i => (i.toLong, 10L)).toDF("doc_id", "n")
+    val out = Pack.packBins(dense, "doc_id", col("n"), 100L, groupSize = 16L)
+    assert(out.count() == 50)
+    assert(out.agg(max("bin")).collect()(0).getLong(0) == 4L) // 500 tokens / 100
+  }
+
   test("BPE: paper-example merges, lossless roundtrip, deterministic, rank order") {
     // Sennrich et al. 2016 toy vocab: the first merge must be the most
     // frequent adjacent pair. vocab: low:5 lower:2 newest:6 widest:3
