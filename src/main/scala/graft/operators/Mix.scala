@@ -81,11 +81,16 @@ object Mix {
    * engines/runs (md5 order, no RNG). Output: input columns +
    * `tokens_before` (the prefix total that admitted the doc).
    *
-   * Plan shape: one window per stratum ordered by (hash, id). The
-   * window is per-stratum (parallel across strata); within a stratum
-   * it is the usual single-partition window caveat — at 100 TB with
-   * few giant strata, pre-aggregate to (stratum, hash-bucket) totals
-   * first, the same two-level trick [[Pack.packBins]] uses.
+   * Plan shape: NOT one window per stratum — with ~5 sources at
+   * 100 TB that is five serial multi-TB sorted scans. Instead the
+   * two-level prefix sum [[Pack.packBins]] proved: (1) per-(stratum,
+   * hex-block) token totals — an ordinary parallel aggregate over
+   * <= 65536 blocks per stratum; (2) a running offset across those
+   * TINY per-block totals; (3) a block-local running sum plus the
+   * broadcast block offset — parallel across strata x blocks. The
+   * block id is a monotone prefix of the md5 sort key and token
+   * counts are longs (exact addition), so the result is
+   * BIT-IDENTICAL to the naive per-stratum window (spec-asserted).
    */
   def tokenBudgetSample(
       df: DataFrame,
@@ -94,18 +99,33 @@ object Mix {
       tokensCol: org.apache.spark.sql.Column,
       budgetPerStratum: Long): DataFrame = {
     require(budgetPerStratum >= 1, "budget must be >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratumCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("__tok", tokensCol.cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__tok", tokensCol.cast("long"))
       // a row whose token count is NULL (or casts to NULL) cannot be
       // budgeted — admitting it for free would let a stratum of
       // null-count docs keep unbounded rows "under budget"; excluded
       // rather than admitted, the conservative reading of the cap
       .filter(col("__tok").isNotNull)
-      .withColumn("tokens_before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("__blk", Shuffle.hexBlock(col("__key")))
+    val wOff = Window.partitionBy(stratumCol)
+      .orderBy(col("__blk").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(stratumCol), col("__blk"))
+      .agg(sum("__tok").as("__bt"))
+      .withColumn("__boff", coalesce(sum("__bt").over(wOff), lit(0L)))
+      .select(col(stratumCol).as("__so"), col("__blk").as("__bo"), col("__boff"))
+    // null-safe on __blk: a null id hashes to a null key/block, which
+    // still belongs to its stratum (and sorts first, as under the
+    // naive orderBy(md5(id)))
+    val wIn = Window.partitionBy(col(stratumCol), col("__blk"))
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets),
+        col(stratumCol) === col("__so") && col("__blk") <=> col("__bo"))
+      .withColumn("tokens_before",
+        col("__boff") + coalesce(sum(col("__tok")).over(wIn), lit(0L)))
       .filter(col("tokens_before") < budgetPerStratum)
-      .drop("__tok")
+      .drop("__tok", "__key", "__blk", "__so", "__bo", "__boff")
   }
 }

@@ -28,14 +28,33 @@ object Shuffle {
   def shuffleKey(seed: String, id: Column): Column =
     md5(concat(lit(seed), lit(":"), id.cast("string")))
 
+  /** Order-preserving 65536-way block id from an md5-hex sort key: the
+    * first 4 hex chars, parsed exactly (no float rounding). Rows sort
+    * by the full key, and a key's block is a monotone prefix of it, so
+    * per-block prefix sums + per-block offsets reproduce a global
+    * per-partition running total BIT-IDENTICALLY — the two-level trick
+    * [[Pack.packBins]] uses, applied to hash-ordered windows. */
+  private[operators] def hexBlock(key: Column): Column =
+    conv(substring(key, 1, 4), 16, 10).cast("int")
+
   /**
    * Curriculum ordering: rows enter training phases by a difficulty
    * score (phase = how many `thresholds` the score clears — a
    * scan-side comparison, no percentile shuffle), and order WITHIN a
    * phase is a deterministic seed-keyed shuffle (curriculum schedules
-   * fix the phase sequence but randomize within phases). One
-   * hash-partition shuffle on `phase` + per-phase sort; phases are
+   * fix the phase sequence but randomize within phases). Phases are
    * consumed in (phase, pos) order by the training reader.
+   *
+   * Scale shape: `pos` is NOT a per-phase window — with 3-5 phases that
+   * caps parallelism at the phase count (one multi-TB serial sort per
+   * phase at 100 TB). Instead, the same two-level prefix sum as
+   * [[Pack.packBins]]: (1) per-(phase, hex-block) counts — an ordinary
+   * parallel aggregate; (2) a running offset across the <= 65536 blocks
+   * of each phase — a window over the TINY counts table; (3) a
+   * block-local row_number plus the broadcast offset — parallel across
+   * phases x 65536 blocks. Bit-identical to the naive per-phase window
+   * because the block id is a monotone prefix of the sort key
+   * (spec-asserted).
    *
    * @return df plus `phase` (0..thresholds.length) and `pos` (1..n
    *         dense within phase).
@@ -49,12 +68,24 @@ object Shuffle {
     require(thresholds == thresholds.sorted, "thresholds must be ascending")
     val phase = thresholds.foldLeft(lit(0))((acc, t) =>
       acc + when(score >= t, 1).otherwise(0))
-    val key = shuffleKey(seed, col(idCol))
-    val w = Window.partitionBy("phase").orderBy(col("__key"), col(idCol))
-    df.withColumn("phase", phase)
-      .withColumn("__key", key)
-      .withColumn("pos", row_number().over(w))
-      .drop("__key")
+    val base = df.withColumn("phase", phase)
+      .withColumn("__key", shuffleKey(seed, col(idCol)))
+      .withColumn("__blk", hexBlock(col("__key")))
+    val counts = base.groupBy(col("phase"), col("__blk"))
+      .agg(count(lit(1)).as("__bn"))
+    val wOff = Window.partitionBy("phase").orderBy(col("__blk").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__boff", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select(col("phase").as("__po"), col("__blk").as("__bo"), col("__boff"))
+    // null-safe on __blk: a null id gives a null key/block, which still
+    // belongs to its phase (and sorts first, as under orderBy(__key))
+    val wIn = Window.partitionBy(col("phase"), col("__blk"))
+      .orderBy(col("__key"), col(idCol))
+    base.join(broadcast(offsets),
+        col("phase") === col("__po") && col("__blk") <=> col("__bo"))
+      .withColumn("pos", (col("__boff") + row_number().over(wIn)).cast("int"))
+      .drop("__key", "__blk", "__po", "__bo", "__boff")
   }
 
   /**

@@ -52,6 +52,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no codegen spans:\n$p")
   }
 
+  test("q91/q98 full-table windows are block-partitioned, not stratum-serial") {
+    // the running aggregates over the DATA must be keyed by
+    // (stratum, __blk) — a window keyed by the 3-5-value stratum alone
+    // serializes a 100 TB scan onto 3-5 tasks. (The per-block offset
+    // window IS stratum-keyed, but runs over the <=65536-row counts
+    // aggregate — filter it out by the columns it aggregates.)
+    val p91 = plan("q91_token_budget")
+    val w91 = p91.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("sum(__tok")).toList
+    assert(w91.nonEmpty, s"q91 running-sum window missing:\n$p91")
+    assert(w91.forall(_.contains("__blk")),
+      s"q91 full-table window not block-partitioned:\n${w91.mkString("\n")}")
+    val p98 = plan("q98_curriculum")
+    val w98 = p98.linesIterator.filter(_.contains("row_number")).toList
+    assert(w98.nonEmpty, s"q98 row_number window missing:\n$p98")
+    assert(w98.forall(_.contains("__blk")),
+      s"q98 row_number window not block-partitioned:\n${w98.mkString("\n")}")
+  }
+
   test("q53 IN subquery executes as a join, not a per-row subquery") {
     val p = plan("q53_in_subquery")
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"),

@@ -773,6 +773,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("tokenBudgetSample two-level prefix sum is bit-identical to the naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 3 strata x ~700 rows; enough ids to spread over many hex blocks
+    val docs = (1 to 2000).map(i => (i.toLong * 7919L, s"s${i % 3}", (i % 97 + 1).toLong))
+      .toDF("id", "src", "toks")
+    val twoLevel = Mix.tokenBudgetSample(docs, "src", "id", col("toks"), 9000L)
+      .select("id", "tokens_before").as[(Long, Long)].collect().toMap
+    val wNaive = Window.partitionBy("src")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("tokens_before", coalesce(sum(col("toks")).over(wNaive), lit(0L)))
+      .filter(col("tokens_before") < 9000L)
+      .select("id", "tokens_before").as[(Long, Long)].collect().toMap
+    assert(twoLevel == naive, "two-level prefix sum diverged from the naive window")
+  }
+
+  test("curriculumOrder two-level prefix sum is bit-identical to the naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 2000).map(i => (i.toLong * 104729L, (i % 100).toDouble))
+      .toDF("id", "score")
+    val twoLevel = Shuffle.curriculumOrder(df, "id", col("score"), Seq(40.0, 70.0), "s7")
+      .select("id", "phase", "pos").as[(Long, Int, Int)].collect().toSet
+    val phase = Seq(40.0, 70.0).foldLeft(lit(0))((acc, t) =>
+      acc + when(col("score") >= t, 1).otherwise(0))
+    val wNaive = Window.partitionBy("phase")
+      .orderBy(md5(concat(lit("s7:"), col("id").cast("string"))), col("id"))
+    val naive = df.withColumn("phase", phase)
+      .withColumn("pos", row_number().over(wNaive))
+      .select("id", "phase", "pos").as[(Long, Int, Int)].collect().toSet
+    assert(twoLevel == naive, "two-level prefix sum diverged from the naive window")
+  }
+
   test("normalizeText: NFC composition, control strip, whitespace collapse, idempotent") {
     import spark.implicits._
     val in = Seq(
