@@ -296,6 +296,17 @@ object Similarity {
    * set is always a SUBSET of the global near-dup drops (no false
    * drops) — the property [[semanticDedupGate]] checks.
    *
+   * Hot-cell guard: a web-crawl mega-cluster of c near-identical rows
+   * would put the whole c^2/2 pair scan on ONE task. Cells larger than
+   * `maxCell` are split into s = ceil(c/maxCell) id-hash blocks and the
+   * self-join runs per block-PAIR (the classic triangle decomposition):
+   * a row in block i joins tasks (i, j>=i) on the left and (i<=j, j) on
+   * the right, so every unordered same-cell pair lands in EXACTLY one
+   * (cluster, i, j) task of <= maxCell^2 pairs. No pair is skipped and
+   * none repeats (same-block tasks dedup by id order), so the drop set
+   * and kept_id are BIT-IDENTICAL to the unsplit join — the guard
+   * changes the schedule, never the result (spec-asserted).
+   *
    * @return (id, cluster, dropped, kept_id) — `kept_id` is the
    *         lowest-id same-cluster neighbor justifying a drop (null
    *         for survivors).
@@ -306,7 +317,9 @@ object Similarity {
       embCol: String,
       threshold: Double,
       k: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxCell: Int = 1 << 13): DataFrame = {
+    require(maxCell >= 1, "maxCell must be >= 1")
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("e"))
     // cluster on L2-NORMALIZED vectors (as the paper does): Euclidean
@@ -325,21 +338,39 @@ object Similarity {
     val cell = nearestCellUdf(spark, cents)
     val assigned = unit
       .select(col("id"), col("e"), cell(col("__unit")).as("cluster"))
-      // pin the cluster-join shuffle width (AQE byte-coalescing vs the
-      // self-join expansion — see Dedup.jaccardPairs), checkpoint for
-      // the two self-join sides
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("cluster"))
+      // checkpoint: read by the cell-size agg, both self-join sides,
+      // and the output join
       .transform(Checkpoints.cp)
-    val l = assigned.toDF("ida", "ea", "cluster")
-    val r = assigned.toDF("idb", "eb", "cluster")
+    // per-cluster split factor (tiny aggregate, broadcast back)
+    val cellS = assigned.groupBy("cluster")
+      .agg(ceil(count(lit(1)) / lit(maxCell.toDouble)).cast("int").as("__s"))
+    val guarded = assigned.join(broadcast(cellS), Seq("cluster"))
+      .withColumn("__blk", pmod(xxhash64(col("id")), col("__s")).cast("int"))
+    val width = spark.sessionState.conf.numShufflePartitions
+    // pin the block-pair-join shuffle width (AQE byte-coalescing vs the
+    // self-join expansion — see Dedup.jaccardPairs)
+    val l = guarded.select(col("cluster"), col("id").as("ida"), col("e").as("ea"),
+        col("__blk").as("__bi"),
+        explode(sequence(col("__blk"), col("__s") - 1)).as("__bj"))
+      .repartition(width, col("cluster"), col("__bi"), col("__bj"))
+    val r = guarded.select(col("cluster"), col("id").as("idb"), col("e").as("eb"),
+        col("__blk").as("__bj"),
+        explode(sequence(lit(0), col("__blk"))).as("__bi"))
+      .repartition(width, col("cluster"), col("__bi"), col("__bj"))
     // per dropped row keep the smallest justifying neighbor
     val simAB = graft.functions.CosineSim.cosine_sim(spark, col("ea"), col("eb"))
-    val drops = l.join(r, Seq("cluster"))
-      .filter(col("ida") < col("idb"))
+    val drops = l.join(r, Seq("cluster", "__bi", "__bj"))
+      // same-block tasks see both orders of a pair — keep one; cross-
+      // block tasks see each pair once, in whichever order the blocks
+      // fell, so victim/keeper are picked by id below, not by side
+      .filter(when(col("__bi") === col("__bj"), col("ida") < col("idb"))
+        .otherwise(col("ida") =!= col("idb")))
       // !isnan: zero-norm pairs give 0/0 = NaN, which Spark orders above
       // all doubles — without the guard they'd spuriously drop each other.
       .filter(simAB >= threshold && !isnan(simAB))
-      .groupBy(col("idb").as("id")).agg(min(col("ida")).as("kept_id"))
+      .select(greatest(col("ida"), col("idb")).as("id"),
+        least(col("ida"), col("idb")).as("__keep"))
+      .groupBy("id").agg(min("__keep").as("kept_id"))
     assigned.select("id", "cluster")
       .join(drops, Seq("id"), "left")
       .select(col("id"), col("cluster"),
@@ -367,7 +398,9 @@ object Similarity {
       embCol: String,
       threshold: Double,
       k: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxCell: Int = 1 << 13): DataFrame = {
+    require(maxCell >= 1, "maxCell must be >= 1")
     val spark = corpus.sparkSession
     val cUnit = normalized(
       corpus.select(col(idCol).as("cid"), asDouble(col(embCol)).as("ce")), "ce")
@@ -377,14 +410,35 @@ object Similarity {
     val cell = nearestCellUdf(spark, cents)
     val cAssigned = cUnit
       .select(col("cid"), col("ce"), cell(col("__unit")).as("cluster"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("cluster"))
       .transform(Checkpoints.cp)
     val fAssigned = normalized(
       fresh.select(col(idCol).as("id"), asDouble(col(embCol)).as("e")), "e")
       .select(col("id"), col("e"), cell(col("__unit")).as("cluster"))
       .transform(Checkpoints.cp) // read by the pair join AND the output join
+    // hot-cell guard, two-sided (see semanticDedup): split EACH side of
+    // a hot cell into id-hash blocks — fresh into sf, corpus into sc —
+    // and join per (fresh-block, corpus-block), so every (fresh, corpus)
+    // pair lands in exactly one task of <= maxCell^2 pairs. Sides are
+    // distinct, so no ordering dedup is needed; the drop set is
+    // bit-identical to the unsplit join.
+    val sF = fAssigned.groupBy("cluster")
+      .agg(ceil(count(lit(1)) / lit(maxCell.toDouble)).cast("int").as("__sf"))
+    val sC = cAssigned.groupBy("cluster")
+      .agg(ceil(count(lit(1)) / lit(maxCell.toDouble)).cast("int").as("__sc"))
+    val splits = sF.join(sC, Seq("cluster")) // inner: one-sided cells pair nothing
+    val width = spark.sessionState.conf.numShufflePartitions
+    val fSide = fAssigned.join(broadcast(splits), Seq("cluster"))
+      .withColumn("__fi", pmod(xxhash64(col("id")), col("__sf")).cast("int"))
+      .select(col("cluster"), col("id"), col("e"), col("__fi"),
+        explode(sequence(lit(0), col("__sc") - 1)).as("__cj"))
+      .repartition(width, col("cluster"), col("__fi"), col("__cj"))
+    val cSide = cAssigned.join(broadcast(splits), Seq("cluster"))
+      .withColumn("__cj", pmod(xxhash64(col("cid")), col("__sc")).cast("int"))
+      .select(col("cluster"), col("cid"), col("ce"), col("__cj"),
+        explode(sequence(lit(0), col("__sf") - 1)).as("__fi"))
+      .repartition(width, col("cluster"), col("__fi"), col("__cj"))
     val simFC = graft.functions.CosineSim.cosine_sim(spark, col("e"), col("ce"))
-    val drops = fAssigned.join(cAssigned, Seq("cluster"))
+    val drops = fSide.join(cSide, Seq("cluster", "__fi", "__cj"))
       .filter(simFC >= threshold && !isnan(simFC)) // see semanticDedup
       .groupBy(col("id")).agg(min(col("cid")).as("kept_id"))
     fAssigned.select("id", "cluster")

@@ -970,6 +970,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g.getLong(2) == 10 && g.getLong(3) == 10 && g.getLong(4) == 0)
   }
 
+  test("semanticDedup hot-cell guard: split path is bit-identical and exact on a planted mega-cluster") {
+    import spark.implicits._
+    // 3000 copies of ONE vector (cosine exactly 1 pairwise) — the
+    // web-crawl mega-cluster shape — plus the natural corpus. With
+    // maxCell=128 the hot cell splits into ceil(3000/128)=24 blocks.
+    val hot = spark.range(3000)
+      .select((col("id") + 100000L).as("vec_id"),
+        typedLit(Array.fill(8)(0.5f)).as("embedding"))
+    val nat = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    val corpus = nat.unionByName(hot)
+    val split = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.99, k = 4, maxCell = 128)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // all copies but the lowest id drop, each justified by the lowest
+    val hotDrops = split.filter { case (id, _, _) => id > 100000L }
+    assert(hotDrops.size == 2999 && hotDrops.forall {
+      case (_, d, keep) => d && keep == 100000L }, "mega-cluster not fully deduped")
+    assert(split.exists { case (id, d, _) => id == 100000L && !d })
+    // the guard changes the schedule, never the result: unsplit
+    // (maxCell large enough to hold the cell) must agree bit-for-bit
+    val unsplit = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.99, k = 4, maxCell = 1 << 13)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(split == unsplit, "hot-cell split diverged from the unsplit join")
+  }
+
+  test("semanticDedupIncremental hot-cell guard: two-sided split bit-identical") {
+    import spark.implicits._
+    val corpus = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+      .unionByName(spark.range(600).select((col("id") + 200000L).as("vec_id"),
+        typedLit(Array.fill(8)(0.25f)).as("embedding")))
+    val fresh = spark.range(500)
+      .select((col("id") + 900000L).as("vec_id"),
+        typedLit(Array.fill(8)(0.25f)).as("embedding"))
+    def run(mc: Int) = Similarity.semanticDedupIncremental(
+      corpus, fresh, "vec_id", "embedding", threshold = 0.99, k = 4, maxCell = mc)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val split = run(64) // both sides split: sf=ceil(500/64)=8, sc>=10
+    // every fresh copy drops against the smallest corpus twin
+    assert(split.count { case (_, d, k) => d && k == 200000L } == 500)
+    assert(split == run(1 << 13), "two-sided split diverged from unsplit join")
+  }
+
   test("zero-norm embeddings never count as near-duplicates (NaN cosine guard)") {
     import spark.implicits._
     // cosine(0-vec, 0-vec) = 0/0 = NaN, and Spark orders NaN above all
