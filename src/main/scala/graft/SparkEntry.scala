@@ -1160,6 +1160,32 @@ object SparkEntry {
         .orderBy("zkey", "o_orderkey")
     },
 
+    // IVFADC (Jegou et al. 2011): coarse quantizer bounds the ADC scan
+    // to nprobe cells (the 100 TB fix over q99's full-code IndexPQ
+    // scan), residual-PQ codes + exact cosine rerank. Same pinned
+    // per-SF recall discipline as q99.
+    "q106_ann_ivfpq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 20)
+      val brute = graft.operators.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("q_id", "vec_id")
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 16, m = 8, ksub = 32)
+      val codes = graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix)
+      val approx = graft.operators.Similarity
+        .ivfPqTopKReranked(emb, codes, q, "vec_id", "embedding", ix,
+          k = 5, shortlist = 100, nprobe = 14)
+        .select("q_id", "vec_id").withColumn("hit", lit(1))
+      val rec = brute.join(approx, Seq("q_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+      val nq = q.agg(countDistinct("vec_id").as("n_queries"))
+      rec.crossJoin(broadcast(nq))
+        .select(lit("ivfpq_recall_at_5").as("metric"), col("n_queries"),
+          (floor(col("recall") * 20) / 20).as("recall_floor"),
+          (col("recall") >= 0.65).as("pass"))
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -1868,6 +1894,15 @@ object SparkEntry {
         | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
         | CAST(CASE (SELECT count(*) FROM embeddings)
         |   WHEN 500 THEN 0.95 WHEN 2000 THEN 0.7 ELSE -1 END AS DOUBLE) AS recall_floor,
+        | true AS pass""".stripMargin,
+
+    // IVFADC: same per-SF pinned recall discipline as q99 (seeded
+    // coarse + residual-PQ quantizers, exact rerank — deterministic).
+    "q106_ann_ivfpq" ->
+      """SELECT 'ivfpq_recall_at_5' AS metric,
+        | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 0.95 WHEN 2000 THEN 0.75 ELSE -1 END AS DOUBLE) AS recall_floor,
         | true AS pass""".stripMargin,
 
     "q98_curriculum" ->

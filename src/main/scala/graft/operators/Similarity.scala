@@ -765,6 +765,214 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF-PQ index parameters: a coarse quantizer (nlist cells) plus
+    * per-subspace PQ codebooks trained on cell RESIDUALS — the classic
+    * IVFADC composition (Jégou et al. 2011 §IV: quantize r = x - c(x),
+    * not x, so the fine quantizer spends its bits on the within-cell
+    * remainder). */
+  final case class IvfPqIndex(coarse: Array[Array[Double]], books: PqCodebooks)
+      extends Serializable
+
+  /**
+   * Train the IVFADC index on L2-normalized vectors: a coarse Lloyd
+   * quantizer over a bounded hash-ordered sample, then PQ codebooks on
+   * the sample's cell residuals. Both trainers are local over the
+   * <= `trainSample` bounded sample (the FAISS discipline — corpus
+   * size only affects the one sample pass), deterministic in
+   * (seed, values), layout-independent.
+   */
+  def ivfPqTrain(
+      corpus: DataFrame,
+      embCol: String,
+      dim: Int,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      seed: Long = 42L,
+      trainSample: Int = 1 << 16): IvfPqIndex = {
+    require(dim % m == 0, "m must divide dim")
+    val dsub = dim / m
+    val sample = sampleVectors(normalized(corpus, embCol), "__unit", trainSample, seed)
+    require(sample.nonEmpty, "ivfPqTrain: empty corpus")
+    val rnd = new scala.util.Random(seed)
+    val coarse = kmeansLocal(sample, nlist, iters = 10, rnd)
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val d = sqDist(v, coarse(c), v.length)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val residuals = sample.map { v =>
+      val ct = coarse(cellOf(v))
+      Array.tabulate(v.length)(j => v(j) - ct(j))
+    }
+    val books = Array.tabulate(m) { s =>
+      val pts = residuals.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansLocal(pts, ksub, iters = 10, rnd)
+    }
+    IvfPqIndex(coarse, PqCodebooks(m, dsub, books))
+  }
+
+  /**
+   * Encode the corpus against an IVFADC index: (vec_id, cell, codes)
+   * where `codes` quantizes the residual unit(v) - coarse(cell). One
+   * scan, two broadcast lookups — the index row costs a cell id plus
+   * m small ints instead of dim floats.
+   */
+  def ivfPqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(index)
+    val enc = udf { unit: Seq[Double] =>
+      if (unit == null) null
+      else {
+        val ix = bc.value
+        val b = ix.books
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ix.coarse.length) {
+          var d = 0.0; var j = 0
+          while (j < unit.length) { val df = unit(j) - ix.coarse(c)(j); d += df * df; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val ct = ix.coarse(best)
+        val codes = Array.tabulate(b.m) { s =>
+          val cents = b.centroids(s)
+          var bc2 = 0; var bd2 = Double.MaxValue
+          var cc = 0
+          while (cc < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < b.dsub) {
+              val diff = (unit(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
+              d += diff * diff; j += 1
+            }
+            if (d < bd2) { bd2 = d; bc2 = cc }
+            cc += 1
+          }
+          bc2
+        }
+        (best, codes)
+      }
+    }
+    // null embeddings carry no codes — excluded like pqEncode/LSH
+    normalized(corpus, embCol)
+      .select(col(idCol).as("vec_id"), enc(col("__unit")).as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col("vec_id"), col("__e._1").as("cell"), col("__e._2").as("codes"))
+  }
+
+  /**
+   * IVFADC top-k: each query probes its `nprobe` nearest coarse cells
+   * and ADC-scans ONLY the code rows of those cells — candidate volume
+   * is bounded by the probed cells' population (~ N * nprobe / nlist),
+   * never the corpus (the scale fix over [[pqTopK]]'s full-code scan).
+   * Per (query, probed cell) the LUT holds exact subspace distances to
+   * every residual centroid: ||(q - c)_s - cent||^2, so the ADC sum
+   * approximates ||q - x||^2 which on the unit sphere orders like
+   * cosine. Probes and LUTs travel as one broadcast (queries are small
+   * by construction); the candidate join is an equi-join on `cell`.
+   */
+  def ivfPqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.coarse.length, "nprobe must be in [1, nlist]")
+    val spark = codes.sparkSession
+    val bc = spark.sparkContext.broadcast(index)
+    // per query: nprobe (cell, LUT) pairs in one pass over the
+    // broadcast index — local top-nprobe selection, no row explosion
+    // beyond the probe count
+    val probe = udf { qUnit: Seq[Double] =>
+      if (qUnit == null) null
+      else {
+        val ix = bc.value
+        val b = ix.books
+        val ds = ix.coarse.indices.map { c =>
+          var d = 0.0; var j = 0
+          while (j < qUnit.length) { val df = qUnit(j) - ix.coarse(c)(j); d += df * df; j += 1 }
+          (c, d)
+        }
+        ds.sortBy { case (c, d) => (d, c) }.take(nprobe).map { case (cell, _) =>
+          val ct = ix.coarse(cell)
+          val lut = Array.tabulate(b.m) { s =>
+            val cents = b.centroids(s)
+            Array.tabulate(cents.length) { cc =>
+              var d = 0.0; var j = 0
+              while (j < b.dsub) {
+                val diff = (qUnit(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
+                d += diff * diff; j += 1
+              }
+              d
+            }
+          }
+          (cell, lut)
+        }
+      }
+    }
+    val adc = udf { (table: Seq[Seq[Double]], cs: Seq[Int]) =>
+      var d = 0.0; var s = 0
+      while (s < cs.length) { d += table(s)(cs(s)); s += 1 }
+      d
+    }
+    val q = normalized(queries, embCol)
+      .select(col(idCol).as("q_id"), probe(col("__unit")).as("__probes"))
+      .filter(col("__probes").isNotNull) // null-embedding queries have no neighbors
+      .select(col("q_id"), explode(col("__probes")).as("__p"))
+      .select(col("q_id"), col("__p._1").as("cell"), col("__p._2").as("__lut"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc(col("__lut"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("adc"), 6).as("adc"))
+  }
+
+  /**
+   * Production IVFADC search: the probe-bounded ADC pass shortlists
+   * `shortlist` candidates per query, then only those join back to the
+   * full-precision vectors for an exact cosine re-rank to top-k — the
+   * [[pqTopKReranked]] refinement with the scan bounded by nprobe
+   * cells instead of the whole code table.
+   */
+  def ivfPqTopKReranked(
+      corpus: DataFrame,
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      k: Int,
+      shortlist: Int,
+      nprobe: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = corpus.sparkSession
+    val cand = ivfPqTopK(codes, queries, idCol, embCol, index, k = shortlist, nprobe)
+      .select("q_id", "vec_id")
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /**
    * LSH-bucketed approximate top-k: signatures are split into
    * `bands` chunks; query and corpus rows sharing any chunk value are

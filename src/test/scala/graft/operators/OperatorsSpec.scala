@@ -1116,6 +1116,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rr >= 0.5, s"reranked recall $rr below floor")
   }
 
+  test("IVF-PQ: probe-bounded ADC, codes in range, deterministic, reranked recall") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val ix = Similarity.ivfPqTrain(base, "embedding", dim = 64, nlist = 8, m = 8, ksub = 32)
+    assert(ix.coarse.length == 8 && ix.books.centroids.length == 8 && ix.books.dsub == 8)
+    val codes = Similarity.ivfPqEncode(base, "vec_id", "embedding", ix)
+    val rows = codes.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    assert(rows.forall { case (_, cell, cs) =>
+      cell >= 0 && cell < 8 && cs.length == 8 && cs.forall(c => c >= 0 && c < 32) })
+    // deterministic re-train + re-encode
+    val ix2 = Similarity.ivfPqTrain(base, "embedding", dim = 64, nlist = 8, m = 8, ksub = 32)
+    val rows2 = Similarity.ivfPqEncode(base, "vec_id", "embedding", ix2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    assert(rows.toSet == rows2.toSet)
+
+    val q = base.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(base, q, "vec_id", "embedding", 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(topk: org.apache.spark.sql.DataFrame): Double = {
+      val got = topk.select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    // full probe = IndexPQ-grade recall; the rerank removes ADC error
+    val rr = recall(Similarity.ivfPqTopKReranked(base, codes, q, "vec_id", "embedding",
+      ix, k = 5, shortlist = 50, nprobe = 8))
+    assert(rr >= 0.5, s"IVFADC reranked recall $rr below floor")
+    // probe-bounded: nprobe < nlist still finds most neighbors
+    val partial = recall(Similarity.ivfPqTopKReranked(base, codes, q, "vec_id", "embedding",
+      ix, k = 5, shortlist = 50, nprobe = 4))
+    assert(partial >= 0.4, s"nprobe=4 recall $partial collapsed")
+    // plan shape: candidates come from an equi-join on cell against the
+    // broadcast probe list — never a cartesian/NLJ over the codes
+    val plan = Similarity.ivfPqTopK(codes, q, "vec_id", "embedding", ix, 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unbounded scan in IVFADC plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+  }
+
   test("semanticDedupIncremental: twins dropped vs corpus, novel kept, stable cells") {
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"))
