@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
  * four dominant raster formats ([[HeaderDecoder]]: PNG/JPEG/GIF/BMP
  * header parsing, codec-free); payloads with no recognized header get
  * deterministic length-derived stand-in metadata ([[FakeDecoder]]).
- * Pixel-level work (resize) remains a labeled STUB — no codec
- * libraries exist in this environment; swapping in a real scaler is a
- * one-function change that does not touch the plumbing.
+ * Pixel decode + resize is REAL for PNG (zlib inflate + scanline
+ * unfilter, pure JVM), BMP, and PGM/PPM ([[PixelDecoder]]); only
+ * JPEG/GIF — which need an entropy codec absent from this
+ * environment — keep the labeled stand-ins.
  */
 object Multimodal {
 
@@ -115,21 +116,111 @@ object Multimodal {
    * REAL pixel decoder for the uncompressed raster formats — pure JVM
    * byte-layout work, no codec library:
    *
+   *  - PNG: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
+   *    zlib inflate of the IDAT stream ([[java.util.zip.Inflater]] IS
+   *    the JVM's zlib, no codec library involved) + the five scanline
+   *    filters of the PNG spec (None/Sub/Up/Average/Paeth, RFC 2083
+   *    §6); palette / 16-bit / Adam7 payloads return None;
    *  - BMP: BI_RGB 24/32bpp, bottom-up or top-down, 4-byte row
    *    padding, BGR(A) -> RGB(A) reorder;
    *  - PGM/PPM: binary "P5"/"P6", maxval <= 255, '#' comments.
    *
    * Returns (width, height, channels, row-major interleaved RGB(A)/
-   * gray bytes, top-down). Compressed formats (JPEG/PNG/GIF) genuinely
-   * need a codec and return None — [[FakeDecoder]] remains their
-   * clearly-labeled stand-in.
+   * gray bytes, top-down). JPEG/GIF genuinely need an entropy codec
+   * and return None — [[FakeDecoder]] remains their clearly-labeled
+   * stand-in.
    */
   object PixelDecoder {
     def decode(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
       def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
       def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
       def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
-      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      if (b.length >= 33 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) {
+        // ---- PNG: chunk walk (all fields UNTRUSTED — Long bounds) ----
+        var i = 8
+        var w = -1; var h = -1; var depth = -1; var ct = -1
+        var seenIhdr = false; var seenIend = false
+        val idat = new java.io.ByteArrayOutputStream()
+        while (i + 8 <= b.length && !seenIend) {
+          val len = be32(i) // signed parse of an attacker-controlled u32
+          if (len < 0 || i + 12L + len > b.length) return None
+          val typ = new String(b, i + 4, 4, "US-ASCII")
+          typ match {
+            case "IHDR" =>
+              if (len < 13) return None
+              w = be32(i + 8); h = be32(i + 12)
+              depth = u8(i + 16); ct = u8(i + 17)
+              // compression/filter methods are fixed at 0 by the spec;
+              // interlace 1 (Adam7) needs a 7-pass de-interleave — out
+              // of scope, reject rather than mis-decode
+              if (u8(i + 18) != 0 || u8(i + 19) != 0 || u8(i + 20) != 0) return None
+              seenIhdr = true
+            case "IDAT" => idat.write(b, i + 8, len)
+            case "IEND" => seenIend = true
+            case _ => () // ancillary chunks (tEXt, gAMA, ...) skipped
+          }
+          i += 12 + len
+        }
+        val maxDim = 1 << 16
+        if (!seenIhdr || w <= 0 || h <= 0 || w > maxDim || h > maxDim) return None
+        if (depth != 8) return None // 16-bit / sub-byte depths out of scope
+        val c = ct match {
+          case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4
+          case _ => return None // 3 = palette (needs PLTE handling)
+        }
+        val rowBytes = w * c // <= (1<<16) * 4, no overflow
+        val totalL = (rowBytes.toLong + 1) * h // +1 per-row filter byte
+        if (totalL > Int.MaxValue - 8) return None
+        val raw = new Array[Byte](totalL.toInt)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        try {
+          var off = 0
+          while (off < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              return None // truncated / preset-dictionary stream
+            off += n
+          }
+          if (off < raw.length) return None // short inflate
+        } catch {
+          case _: java.util.zip.DataFormatException => return None
+        } finally inf.end()
+        // ---- unfilter (RFC 2083 §6): predictors read the RECONSTRUCTED
+        // left/up/up-left bytes, one pass, in place into `out` ----
+        val out = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          val f = raw(y * (rowBytes + 1)) & 0xff
+          if (f > 4) return None
+          val src = y * (rowBytes + 1) + 1
+          val dst = y * rowBytes
+          var x = 0
+          while (x < rowBytes) {
+            val rv = raw(src + x) & 0xff
+            val left = if (x >= c) out(dst + x - c) & 0xff else 0
+            val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+            val ul = if (y > 0 && x >= c) out(dst - rowBytes + x - c) & 0xff else 0
+            val v = f match {
+              case 0 => rv
+              case 1 => rv + left
+              case 2 => rv + up
+              case 3 => rv + ((left + up) >> 1)
+              case 4 =>
+                val p = left + up - ul
+                val pa = math.abs(p - left)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                rv + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            }
+            out(dst + x) = v.toByte // mod-256 per spec
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, c, out))
+      } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
         // Header fields are UNTRUSTED: le32 is signed, so dataOff can be
         // negative; w/h near Int.MaxValue overflow w*c / w*h*c. Validate
         // with Long arithmetic and cap dims before any allocation.
@@ -271,7 +362,7 @@ object Multimodal {
 
   /**
    * REAL image resize for decodable payloads: [[PixelDecoder]] decodes
-   * BMP/PGM/PPM, nearest-neighbor scales to (targetW, targetH), and
+   * PNG/BMP/PGM/PPM, nearest-neighbor scales to (targetW, targetH), and
    * emits `struct<width,height,channels,pixels>` (top-down interleaved
    * RGB(A)/gray). Payloads the pure-JVM decoder cannot handle
    * (compressed formats) yield null — callers keep them via the

@@ -178,6 +178,109 @@ class HeaderDecoderSpec extends AnyFunSuite {
     assert(decode(good).map(t => (t._1, t._2, t._3)) == Some((1, 1, 3)))
   }
 
+  // ---- real PNG fixtures: deflate + forward filtering + CRC chunks,
+  // straight from the spec (RFC 2083) — the decoder must invert these ----
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Encode pixels as a valid PNG: per-row forward filter (enc = raw -
+    * predictor mod 256), zlib deflate, chunked with CRCs. `filters(y)`
+    * picks the scanline filter for row y. */
+  private def pngFull(w: Int, h: Int, c: Int, px: Array[Byte], filters: Seq[Int],
+      idatSplit: Int = Int.MaxValue, extraChunk: Boolean = false,
+      interlace: Int = 0, depth: Int = 8): Array[Byte] = {
+    val ct = c match { case 1 => 0 case 2 => 4 case 3 => 2 case 4 => 6 }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(w).putInt(h).put(depth.toByte).put(ct.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    val rowBytes = w * c
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    for (y <- 0 until h) {
+      val f = filters(y)
+      raw(y * (rowBytes + 1)) = f.toByte
+      for (x <- 0 until rowBytes) {
+        val cur = px(y * rowBytes + x) & 0xff
+        val left = if (x >= c) px(y * rowBytes + x - c) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * rowBytes + x) & 0xff else 0
+        val ul = if (y > 0 && x >= c) px((y - 1) * rowBytes + x - c) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (rowBytes + 1) + 1 + x) = (cur - pred).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = defl.deflate(zbuf)
+    defl.end()
+    val z = java.util.Arrays.copyOf(zbuf, zlen)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val idats =
+      if (z.length > idatSplit)
+        pngChunk("IDAT", z.take(idatSplit)) ++ pngChunk("IDAT", z.drop(idatSplit))
+      else pngChunk("IDAT", z)
+    val extra = if (extraChunk) pngChunk("tEXt", "k v".getBytes("ISO-8859-1"))
+      else Array.empty[Byte]
+    sig ++ pngChunk("IHDR", ihdr) ++ extra ++ idats ++ pngChunk("IEND", Array.empty)
+  }
+
+  test("PNG pixel decode: RGB with None/Sub/Up filters round-trips exactly") {
+    val px = Array.tabulate(3 * 3 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val file = pngFull(3, 3, 3, px, filters = Seq(0, 1, 2))
+    assert(Multimodal.PixelDecoder.decode(file).map(_._4.toSeq) == Some(px.toSeq),
+      "RGB None/Sub/Up decode mismatch")
+  }
+
+  test("PNG pixel decode: Average and Paeth filters, gray + RGBA + gray-alpha") {
+    val gray = Array.tabulate(5 * 4)(i => ((i * 53 + 7) % 256).toByte)
+    val g = Multimodal.PixelDecoder.decode(pngFull(5, 4, 1, gray, Seq(3, 4, 3, 4)))
+    assert(g.map(t => (t._1, t._2, t._3)) == Some((5, 4, 1)))
+    assert(g.map(_._4.toSeq) == Some(gray.toSeq), "gray Average/Paeth mismatch")
+    val rgba = Array.tabulate(2 * 2 * 4)(i => ((i * 91 + 3) % 256).toByte)
+    val r = Multimodal.PixelDecoder.decode(pngFull(2, 2, 4, rgba, Seq(4, 4)))
+    assert(r.map(_._4.toSeq) == Some(rgba.toSeq), "RGBA Paeth mismatch")
+    val ga = Array.tabulate(3 * 2 * 2)(i => ((i * 17 + 29) % 256).toByte)
+    val a = Multimodal.PixelDecoder.decode(pngFull(3, 2, 2, ga, Seq(1, 3)))
+    assert(a.map(t => (t._3, t._4.toSeq)) == Some((2, ga.toSeq)), "gray-alpha mismatch")
+  }
+
+  test("PNG pixel decode: split IDAT concatenates; ancillary chunks skipped") {
+    val px = Array.tabulate(4 * 4 * 3)(i => ((i * 29) % 256).toByte)
+    val split = pngFull(4, 4, 3, px, Seq(0, 1, 2, 4), idatSplit = 10, extraChunk = true)
+    assert(Multimodal.PixelDecoder.decode(split).map(_._4.toSeq) == Some(px.toSeq))
+  }
+
+  test("PNG pixel decode: rejects out-of-scope and malformed payloads, never throws") {
+    val px = Array.tabulate(2 * 2 * 3)(i => i.toByte)
+    import Multimodal.PixelDecoder.decode
+    assert(decode(pngFull(2, 2, 3, px, Seq(0, 0), interlace = 1)).isEmpty, "Adam7")
+    assert(decode(pngFull(2, 2, 3, px, Seq(0, 0), depth = 16)).isEmpty, "16-bit")
+    val whole = pngFull(2, 2, 3, px, Seq(0, 0))
+    assert(decode(whole.dropRight(20)).isEmpty, "truncated IDAT/IEND")
+    assert(decode(whole.take(40)).isEmpty, "header only")
+    // giant declared dims with a tiny stream: bounds reject, no OOM/throw
+    val evil = whole.clone()
+    evil(16) = 0x7f.toByte // width high byte -> ~2^31
+    assert(decode(evil).isEmpty, "crafted width")
+    // header-metadata path still agrees on the real file
+    assert(Multimodal.HeaderDecoder.decode(whole) == Some((2, 2, 3, "png")))
+  }
+
   test("unknown/truncated payloads return None (fallback path)") {
     assert(Multimodal.HeaderDecoder.decode("plain utf-8 text payload".getBytes).isEmpty)
     assert(Multimodal.HeaderDecoder.decode(Array[Byte](0x89.toByte, 'P')).isEmpty)

@@ -907,19 +907,43 @@ class OperatorsSpec extends AnyFunSuite {
       assert(zs.map(_._2).toSeq == zs.map(_._2).toSeq.sorted)
   }
 
-  test("resizeImage: real decode+scale for PGM payloads, null for compressed") {
+  test("resizeImage: real decode+scale for PGM and PNG payloads, null for JPEG") {
     import spark.implicits._
     val pgm = ("P5\n4 4\n255\n").getBytes("US-ASCII") ++
       Array.tabulate[Byte](16)(i => (i * 10).toByte)
     val notDecodable = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)
-    val df = Seq((1L, pgm), (2L, notDecodable)).toDF("id", "payload")
+    // same 4x4 gray ramp as a real PNG (filter-0 rows, deflate, CRCs)
+    val png = {
+      def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(12 + d.length)
+        bb.putInt(d.length).put(t.getBytes("US-ASCII")).put(d)
+        val crc = new java.util.zip.CRC32()
+        crc.update(t.getBytes("US-ASCII")); crc.update(d)
+        bb.putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(4).putInt(4).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val raw = Array.tabulate[Byte](4 * 5)(i =>
+        if (i % 5 == 0) 0 else (((i / 5) * 4 + (i % 5) - 1) * 10).toByte)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val z = new Array[Byte](128)
+      val n = defl.deflate(z); defl.end()
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", z.take(n)) ++ chunk("IEND", Array.empty)
+    }
+    val df = Seq((1L, pgm), (2L, notDecodable), (3L, png)).toDF("id", "payload")
     val out = Multimodal.resizeImage(df, "payload", "img", targetW = 2, targetH = 2)
       .select("id", "img").collect().map(r => r.getLong(0) -> r).toMap
-    val img = out(1L).getStruct(1)
-    assert(img.getInt(0) == 2 && img.getInt(1) == 2 && img.getInt(2) == 1)
-    // nearest neighbor on the 4x4 ramp: rows 0,2 cols 0,2 -> 0,20,80,100
-    assert(img.getAs[Array[Byte]](3).toSeq == Seq[Byte](0, 20, 80, 100))
-    assert(out(2L).isNullAt(1), "compressed payload must yield null, not fake pixels")
+    for (id <- Seq(1L, 3L)) {
+      val img = out(id).getStruct(1)
+      assert(img.getInt(0) == 2 && img.getInt(1) == 2 && img.getInt(2) == 1)
+      // nearest neighbor on the 4x4 ramp: rows 0,2 cols 0,2 -> 0,20,80,100
+      assert(img.getAs[Array[Byte]](3).toSeq == Seq[Byte](0, 20, 80, 100),
+        s"payload $id resize mismatch")
+    }
+    assert(out(2L).isNullAt(1), "JPEG payload must yield null, not fake pixels")
   }
 
   test("curriculumOrder: threshold phases, dense in-phase positions, deterministic") {
