@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{ArgMax, RollingHash64, SimHash64}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
-import graft.torch.{ActOp, LinearLayer, Torch, TorchConf, TorchOracle, TorchScriptModel}
+import graft.torch.{ActOp, EmbeddingMeanOp, LinearLayer, Torch, TorchConf, TorchOracle, TorchScriptModel}
 
 /**
  * Driver contract: every operator the engine implements is a key in
@@ -1186,6 +1186,26 @@ object SparkEntry {
           (col("recall") >= 0.65).as("pass"))
     },
 
+    // Token-input torch inference (the fastText classifier shape):
+    // md5-hashed token ids -> Embedding mean-pool -> MLP -> argmax,
+    // batched through the same inferBatched GEMM path as q96. The
+    // DuckDB oracle re-derives lookup + mean + MLP as SQL arithmetic.
+    "q107_torch_embedding" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = embedClassModel
+      val vocab = m.embedHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        transform(
+          call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
+          .as("tok_ids"))
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("lang_class"))
+        .orderBy("doc_id")
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -1500,6 +1520,27 @@ object SparkEntry {
       LinearLayer(vals(40, 160, 6.0), vals(8, 210, 1.8), 8, 5),
       ActOp("relu"),
       LinearLayer(vals(24, 260, 6.0), vals(3, 310, 1.8), 3, 8)))
+  }
+
+  /** Token-input fastText-shape classifier for q107: Embedding(32, 4)
+    * mean-pooled into a 4->8->3 MLP — the nn.EmbeddingBag/Embedding
+    * surface the reference would execute via libtorch (udf.rs:127).
+    * Same seeded-closed-form weight scheme as [[qualityModel]] so the
+    * DuckDB oracle rebuilds the identical network (embedding table as
+    * VALUES literals, pooling as avg, MLP via TorchOracle). Seeds/
+    * scales chosen (measured over sf0.01 AND sf0.1) so predicted
+    * classes are MIXED and the min runner-up logit gap is 2.5e-2 —
+    * ~600x the q96-measured f32-vs-f64 forward drift (4e-5), so the
+    * argmax is numerically pinned; TorchSpec re-asserts the gap on the
+    * real corpus. */
+  private[graft] lazy val embedClassModel: TorchScriptModel = {
+    def vals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i => (math.sin(seed * 97 + i * 13.7) * scale).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingMeanOp(vals(128, 413, 2.0), vocab = 32, embDim = 4, padIdx = -1),
+      LinearLayer(vals(32, 420, 8.0), vals(8, 430, 0.3), 8, 4),
+      ActOp("relu"),
+      LinearLayer(vals(24, 440, 6.0), vals(3, 450, 0.2), 3, 8)))
   }
 
   /** The five q89-parity quality features feeding [[qualityModel]],
@@ -1895,6 +1936,40 @@ object SparkEntry {
         | CAST(CASE (SELECT count(*) FROM embeddings)
         |   WHEN 500 THEN 0.95 WHEN 2000 THEN 0.7 ELSE -1 END AS DOUBLE) AS recall_floor,
         | true AS pass""".stripMargin,
+
+    // Token-input torch inference: DuckDB rebuilds the embedding table
+    // from the same closed-form f32 weights (VALUES literals), pools
+    // with avg over md5-hashed token ids, and runs the MLP via
+    // TorchOracle — fully independent f64 re-execution, argmax pinned
+    // by the runner-up gap (TorchSpec asserts the margin).
+    "q107_torch_embedding" -> {
+      val m = embedClassModel
+      val e = m.embedHead.get
+      def fmtF(f: Float): String = {
+        val s = f.toString
+        if (s.contains("E") || s.contains(".")) s else s + ".0"
+      }
+      val embRows = (0 until e.vocab).map { t =>
+        (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+          .mkString(s"($t, ", ", ", ")")
+      }.mkString(",\n    ")
+      val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+      val avgs = (0 until e.embDim).map(j => s"avg(w$j) AS a$j").mkString(", ")
+      val mlp = new TorchScriptModel(m.ops.drop(1))
+      val inpSelect =
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '\\S+'))), 1, 8)
+           |      AS BIGINT) % ${e.vocab} AS tid
+           |  FROM documents),
+           |embw(tid, $wCols) AS (VALUES
+           |    $embRows)
+           |SELECT doc_id, $avgs FROM toks JOIN embw USING (tid) GROUP BY doc_id""".stripMargin
+      TorchOracle.mlpArgmaxSql(mlp, inpSelect,
+        arms = Seq("a"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(mlp, "a")} " +
+          s"AS lang_class FROM ${TorchOracle.lastCte(mlp)} ORDER BY doc_id")
+    },
 
     // IVFADC: same per-SF pinned recall discipline as q99 (seeded
     // coarse + residual-PQ quantizers, exact rerank — deterministic).

@@ -71,15 +71,39 @@ object Torch {
       }
       in
     }
+    // token-input (embedding-head) models take a variable-length
+    // token-id row; ids arrive through the same numeric-array UDF
+    // boundary and are truncated to int for the lookup
+    def toTokens(xs: scala.collection.Seq[java.lang.Double]): Array[Int] = {
+      if (xs == null) return null
+      val in = new Array[Int](xs.length)
+      var i = 0
+      while (i < in.length) {
+        val d = xs(i)
+        if (d == null) return null
+        in(i) = d.intValue()
+        i += 1
+      }
+      in
+    }
+    val tokenInput = model.inDim == -1
+    def run(xs: scala.collection.Seq[java.lang.Double]): Array[Float] =
+      if (tokenInput) {
+        val t = toTokens(xs)
+        if (t == null) null else bc.value.forwardTokens(t)
+      } else {
+        val in = toF32(xs)
+        if (in == null) null else bc.value.forward(in)
+      }
     if (f64Return)
       spark.udf.register(name, (xs: scala.collection.Seq[java.lang.Double]) => {
-        val in = toF32(xs)
-        if (in == null) null else bc.value.forward(in).map(_.toDouble).toSeq
+        val out = run(xs)
+        if (out == null) null else out.map(_.toDouble).toSeq
       })
     else
       spark.udf.register(name, (xs: scala.collection.Seq[java.lang.Double]) => {
-        val in = toF32(xs)
-        if (in == null) null else bc.value.forward(in).toSeq
+        val out = run(xs)
+        if (out == null) null else out.toSeq
       })
     model
   }
@@ -105,7 +129,11 @@ object Torch {
     val bs =
       if (batchSize > 0) batchSize
       else TorchConf.get(spark).batchSize
-    val withFloats = df.withColumn(inputCol, col(inputCol).cast(ArrayType(FloatType)))
+    // token-input (embedding-head) models read int token ids; feature
+    // models read f32 vectors
+    val tokenInput = model.value.inDim == -1
+    val withFloats = df.withColumn(inputCol, col(inputCol).cast(
+      if (tokenInput) ArrayType(IntegerType) else ArrayType(FloatType)))
     val schema = StructType(withFloats.schema.fields :+
       StructField(outputCol, ArrayType(FloatType), nullable = true))
     val inIdx = withFloats.schema.fieldIndex(inputCol)
@@ -134,22 +162,52 @@ object Torch {
           }
           a
         }
-        val inputs = rows.map(floats)
-        val live = inputs.filter(_ != null)
-        val n = live.size
-        val flat = new Array[Float](n * inDim)
-        var i = 0
-        while (i < n) {
-          System.arraycopy(live(i), 0, flat, i * inDim, inDim)
-          i += 1
+        // variable-length token rows: no length requirement — pooling
+        // is per-row, the GEMM batch is the pooled (n, embDim) matrix
+        def tokens(r: Row): Array[Int] = {
+          if (r.isNullAt(inIdx)) return null
+          val xs = r.getSeq[Any](inIdx)
+          val a = new Array[Int](xs.length)
+          var j = 0
+          while (j < a.length) {
+            xs(j) match {
+              case null => return null
+              case f: java.lang.Number => a(j) = f.intValue()
+            }
+            j += 1
+          }
+          a
         }
-        val out = if (n > 0) m.forwardBatch(flat, n) else Array.empty[Float]
-        var k = -1
-        rows.iterator.zip(inputs.iterator).map { case (r, in) =>
-          if (in == null) Row.fromSeq(r.toSeq :+ null)
-          else {
-            k += 1
-            Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
+        if (tokenInput) {
+          val inputs = rows.map(tokens)
+          val live = inputs.filter(_ != null).toArray
+          val out = if (live.nonEmpty) m.forwardTokensBatch(live) else Array.empty[Float]
+          var k = -1
+          rows.iterator.zip(inputs.iterator).map { case (r, in) =>
+            if (in == null) Row.fromSeq(r.toSeq :+ null)
+            else {
+              k += 1
+              Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
+            }
+          }
+        } else {
+          val inputs = rows.map(floats)
+          val live = inputs.filter(_ != null)
+          val n = live.size
+          val flat = new Array[Float](n * inDim)
+          var i = 0
+          while (i < n) {
+            System.arraycopy(live(i), 0, flat, i * inDim, inDim)
+            i += 1
+          }
+          val out = if (n > 0) m.forwardBatch(flat, n) else Array.empty[Float]
+          var k = -1
+          rows.iterator.zip(inputs.iterator).map { case (r, in) =>
+            if (in == null) Row.fromSeq(r.toSeq :+ null)
+            else {
+              k += 1
+              Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
+            }
           }
         }
       }

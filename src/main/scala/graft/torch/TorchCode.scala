@@ -45,6 +45,7 @@ object TorchCode {
   /** torch.relu(x, ...) / __torch__.torch.nn.functional.relu(x, ...) */
   final case class EFnCall(qualName: String, args: Vector[Expr]) extends Expr
   final case class ELit(value: Any) extends Expr // Long | Double | Boolean | String | null
+  final case class EList(items: Vector[Expr]) extends Expr // [1] dim lists
 
   final case class Stmt(lhs: Option[String], expr: Expr, line: String)
   final case class ClassDef(fqName: String, paramName: String, body: Vector[Stmt])
@@ -186,8 +187,22 @@ object TorchCode {
           if (m != "forward") fail(s"unsupported method .$m (only .forward)")
           expect("(")
           val args = argList()
-          if (args.length != 1) fail(s".forward with ${args.length} args (single tensor only)")
-          EForward(inner, args.head)
+          // trailing Nones are generator-emitted optionals (e.g.
+          // EmbeddingBag's offsets / per_sample_weights) — droppable
+          val real = args.reverse.dropWhile(_ == ELit(null)).reverse
+          if (real.length != 1) fail(s".forward with ${args.length} args (single tensor only)")
+          EForward(inner, real.head)
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[Expr]
+          skipWs()
+          while (pos < s.length && s(pos) != ']') {
+            items += expr()
+            skipWs()
+            if (pos < s.length && s(pos) == ',') { pos += 1; skipWs() }
+          }
+          expect("]")
+          EList(items.result())
         case '"' =>
           val end = s.indexOf('"', pos + 1)
           if (end < 0) fail("unterminated string")
@@ -304,7 +319,55 @@ object TorchCode {
         case Some(other) => sys.error(s"${m.fqName}: non-float attr $key = $other")
       }
 
-    private def builtin(m: ModuleNode, dim: Int): Int = m.simpleName match {
+    /** Pre-pool marker: Embedding output is a (seq, embDim) sequence,
+      * encoded as -(embDim + 2) until a mean(dim=1) pools it. Only the
+      * eval-mode no-ops may pass it through — anything else computing
+      * on the sequence would need per-position execution we don't do. */
+    private def prePool(embDim: Int): Int = -(embDim + 2)
+
+    private def builtin(m: ModuleNode, dim: Int): Int = {
+      if (dim < -1 && !Set("Identity", "Dropout")(m.simpleName))
+        sys.error(s"${m.fqName} applied to an unpooled embedding sequence " +
+          "(only mean(dim=1) may follow Embedding)")
+      builtinOp(m, dim)
+    }
+
+    private def embeddingWeight(m: ModuleNode): Pickle.PTensor =
+      m.attrs.get("weight") match {
+        case Some(t: Pickle.PTensor) if t.shape.length == 2 => t
+        case other => sys.error(s"${m.fqName}: missing 2-D tensor 'weight' (got $other)")
+      }
+
+    private def builtinOp(m: ModuleNode, dim: Int): Int = m.simpleName match {
+      case "Embedding" =>
+        // token-id input -> (seq, embDim); a padding_idx row (if any)
+        // participates with its stored vector, exactly as torch looks
+        // it up — the following mean(1) divides by the full length
+        require(dim == -1, s"${m.fqName}: embedding must consume the raw token input")
+        val w = embeddingWeight(m)
+        ops += EmbeddingMeanOp(materialize(w), w.shape(0), w.shape(1), padIdx = -1)
+        prePool(w.shape(1))
+      case "EmbeddingBag" =>
+        // fastText head: lookup + pool in one module. mode='mean' only;
+        // padding_idx entries are excluded from numerator AND
+        // denominator (torch's EmbeddingBag padding semantics).
+        require(dim == -1, s"${m.fqName}: embedding must consume the raw token input")
+        val mode = m.attrs.get("mode") match {
+          case Some(s: String) => s
+          case None => "mean"
+          case Some(other) => sys.error(s"${m.fqName}: non-string mode $other")
+        }
+        require(mode == "mean", s"${m.fqName}: EmbeddingBag mode '$mode' unsupported (mean only)")
+        val padIdx = m.attrs.get("padding_idx") match {
+          case Some(n: Long) => n.toInt
+          case Some(Pickle.PInt(n)) => n.toInt
+          case Some(null) | None => -1
+          case Some(other) => sys.error(s"${m.fqName}: non-int padding_idx $other")
+        }
+        val w = embeddingWeight(m)
+        require(padIdx < w.shape(0), s"${m.fqName}: padding_idx $padIdx out of vocab")
+        ops += EmbeddingMeanOp(materialize(w), w.shape(0), w.shape(1), padIdx)
+        w.shape(1)
       case "Linear" =>
         val w = m.attrs.get("weight") match {
           case Some(t: Pickle.PTensor) => t
@@ -398,9 +461,10 @@ object TorchCode {
             cur
         }
       case other => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
-        "(builtin torch.nn surface: Linear, ReLU, Sigmoid, Tanh, GELU, SiLU, " +
-        "LeakyReLU, ELU, Hardtanh, Softplus, Softmax, LogSoftmax, " +
-        "BatchNorm1d, LayerNorm, Identity, Dropout, Flatten, Sequential)")
+        "(builtin torch.nn surface: Linear, Embedding, EmbeddingBag, ReLU, " +
+        "Sigmoid, Tanh, GELU, SiLU, LeakyReLU, ELU, Hardtanh, Softplus, " +
+        "Softmax, LogSoftmax, BatchNorm1d, LayerNorm, Identity, Dropout, " +
+        "Flatten, Sequential)")
     }
 
     /** Execute a parsed forward body with `self = m`, input dim `dim`. */
@@ -412,6 +476,7 @@ object TorchCode {
         case ESelfAttr(a) => m.attrs.getOrElse(a,
           sys.error(s"TorchScript code: ${m.fqName} has no attr $a in: $line"))
         case ELit(v) => v
+        case EList(items) => items.map(eval(_, line))
         case EForward(t, a) =>
           val mod = eval(t, line) match {
             case mn: ModuleNode => mn
@@ -428,20 +493,42 @@ object TorchCode {
             case d: Int => d
             case other => sys.error(s"TorchScript code: $fn on non-tensor $other in: $line")
           }
+          def flat(d: Int): Int = {
+            if (d < -1) sys.error(s"TorchScript code: $fn on an unpooled embedding " +
+              s"sequence unsupported (only mean(dim=1)) in: $line")
+            d
+          }
           fn match {
             // evaluate the tensor arg FIRST: its sub-calls (e.g. the
             // nested Linear forward) must emit their ops before this one
             case "relu" | "sigmoid" | "tanh" | "gelu" | "silu" =>
-              val d = tensorArg; ops += ActOp(fn); d
+              val d = flat(tensorArg); ops += ActOp(fn); d
             case "softmax" | "log_softmax" =>
-              val d = tensorArg
+              val d = flat(tensorArg)
               args.lift(1).map(a => eval(a, line)) match {
                 case None | Some(-1L) | Some(1L) | Some(null) =>
                 case other => sys.error(s"TorchScript code: $fn over dim $other unsupported in: $line")
               }
               ops += SoftmaxOp(log = fn == "log_softmax")
               d
-            case "flatten" | "dropout" => tensorArg // eval-mode no-ops on (n, d)
+            case "mean" =>
+              // only the Embedding -> mean(dim=1) pool: (n, seq, emb)
+              // -> (n, emb). The EmbeddingMeanOp already emitted does
+              // the pooling at execution; here the marker resolves.
+              val d = tensorArg
+              if (d >= -1) sys.error(s"TorchScript code: mean on a flat tensor " +
+                s"unsupported (Embedding output only) in: $line")
+              args.lift(1).map(a => eval(a, line)) match {
+                case Some(1L) | Some(Vector(1L)) =>
+                case other => sys.error(s"TorchScript code: mean over dims $other " +
+                  s"unsupported (dim=1 only) in: $line")
+              }
+              args.lift(2).map(a => eval(a, line)) match {
+                case None | Some(false) | Some(null) => // keepdim=False
+                case other => sys.error(s"TorchScript code: mean keepdim $other unsupported in: $line")
+              }
+              -d - 2 // pooled: (n, embDim)
+            case "flatten" | "dropout" => flat(tensorArg) // eval-mode no-ops on (n, d)
             case other => sys.error(s"TorchScript code: unsupported function $qual in: $line")
           }
       }

@@ -34,6 +34,18 @@ final case class ScaleShiftOp(scale: Array[Float], shift: Array[Float]) extends 
 final case class LayerNormOp(gamma: Array[Float], beta: Array[Float], eps: Double)
     extends TorchOp
 
+/** Embedding lookup + mean pool over a variable-length token-id row —
+  * the fastText-classifier head (nn.EmbeddingBag mode='mean', or
+  * nn.Embedding followed by `.mean(dim=1)`). Weight is row-major
+  * `(vocab, embDim)`. `padIdx >= 0` excludes that token id from the
+  * numerator AND denominator (nn.EmbeddingBag padding_idx semantics);
+  * -1 pools over every position (nn.Embedding rows — including a
+  * padding row, whose stored vector participates — divided by the full
+  * length, torch's `.mean(1)`). Always the FIRST op: it consumes the
+  * raw token input. */
+final case class EmbeddingMeanOp(weight: Array[Float], vocab: Int, embDim: Int, padIdx: Int)
+    extends TorchOp
+
 /**
  * A TorchScript MLP loaded from a `torch.jit.save` archive, executed on
  * the JVM with a plain float GEMM (no libtorch).
@@ -49,14 +61,67 @@ final case class LayerNormOp(gamma: Array[Float], beta: Array[Float], eps: Doubl
  * (reference src/udf.rs:59-64).
  */
 final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable {
+  /** Token-input (fastText-shape) models start with the embedding pool. */
+  val embedHead: Option[EmbeddingMeanOp] =
+    ops.headOption.collect { case e: EmbeddingMeanOp => e }
+  require(!ops.drop(1).exists(_.isInstanceOf[EmbeddingMeanOp]),
+    "embedding must be the first op (it consumes the raw token input)")
   /** Linear layers in execution order (first occurrence for shared). */
   val layers: IndexedSeq[LinearLayer] = ops.collect { case l: LinearLayer => l }
-  require(layers.nonEmpty, "model has no linear layers")
-  val inDim: Int = layers.head.inDim
-  val outDim: Int = layers.last.outDim
+  require(layers.nonEmpty || embedHead.isDefined, "model has no linear layers")
+  /** -1 for token-input models: the input is a VARIABLE-length token-id
+    * row, not a fixed feature vector — use [[forwardTokens]]. */
+  val inDim: Int = if (embedHead.isDefined) -1 else layers.head.inDim
+  val outDim: Int = layers.lastOption.map(_.outDim).getOrElse(embedHead.get.embDim)
 
   /** Single-row forward. */
   def forward(x: Array[Float]): Array[Float] = forwardBatch(x, 1)
+
+  /** Single token-id row through an embedding-head model. */
+  def forwardTokens(tokens: Array[Int]): Array[Float] = forwardTokensBatch(Array(tokens))
+
+  /**
+   * Batched token-input forward: each row is looked up + mean-pooled
+   * into `embDim` features (accumulated in f64, one rounding at the
+   * end), then the remaining ops run as one `n × embDim` batch. Rows
+   * may differ in length — pooling is per-row, so the GEMM batch shape
+   * is unaffected. An out-of-range id fails loudly (torch throws the
+   * same way); an empty (or all-padding) row pools to NaN (0/0, as
+   * torch's mean of an empty slice).
+   */
+  def forwardTokensBatch(rows: Array[Array[Int]]): Array[Float] = {
+    val e = embedHead.getOrElse(
+      sys.error("not a token-input model: use forwardBatch"))
+    val n = rows.length
+    val pooled = new Array[Float](n * e.embDim)
+    var i = 0
+    while (i < n) {
+      val toks = rows(i)
+      val acc = new Array[Double](e.embDim)
+      var cnt = 0
+      var t = 0
+      while (t < toks.length) {
+        val id = toks(t)
+        require(id >= 0 && id < e.vocab, s"token id $id out of range [0, ${e.vocab})")
+        if (id != e.padIdx) {
+          val off = id * e.embDim
+          var j = 0
+          while (j < e.embDim) { acc(j) += e.weight(off + j); j += 1 }
+          cnt += 1
+        }
+        t += 1
+      }
+      val denom = if (e.padIdx >= 0) cnt else toks.length
+      var j = 0
+      while (j < e.embDim) {
+        pooled(i * e.embDim + j) =
+          if (denom == 0) Float.NaN else (acc(j) / denom).toFloat
+        j += 1
+      }
+      i += 1
+    }
+    runOps(1, pooled, n, e.embDim)
+  }
 
   /**
    * Batched forward: `x` is `n × inDim` row-major; returns `n × outDim`
@@ -64,10 +129,18 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
    * (reference src/udf.rs:211-213, 277).
    */
   def forwardBatch(x: Array[Float], n: Int): Array[Float] = {
+    require(embedHead.isEmpty, "token-input model: use forwardTokensBatch")
     require(x.length == n * inDim, s"expected $n x $inDim = ${n * inDim} values, got ${x.length}")
+    runOps(0, x, n, inDim)
+  }
+
+  /** Run ops[from..] over an `n × dim0` row-major batch. */
+  private def runOps(from: Int, x: Array[Float], n: Int, dim0: Int): Array[Float] = {
     var cur = x
-    var curDim = inDim
-    for (op <- ops) op match {
+    var curDim = dim0
+    for (op <- ops.drop(from)) op match {
+      case _: EmbeddingMeanOp =>
+        sys.error("embedding op past the model head") // constructor forbids
       case l: LinearLayer =>
         require(curDim == l.inDim, s"linear expects ${l.inDim} features, got $curDim")
         val out = new Array[Float](n * l.outDim)
@@ -293,7 +366,9 @@ object TorchScriptModel {
     val tracer = new TorchCode.Tracer(classes, materializeF32(_, entries, root))
     if (classes.contains(rootNode.fqName) || rootNode.isTorchNn) {
       // input dim starts unknown (-1); the first executed Linear binds it
-      tracer.trace(rootNode, -1)
+      val outSym = tracer.trace(rootNode, -1)
+      require(outSym >= -1,
+        "model returns an unpooled embedding sequence (mean(dim=1) missing)")
     } else {
       // no serialized code (minimal archive): fall back to the legacy
       // heuristic — Linears in registration order with ReLU between

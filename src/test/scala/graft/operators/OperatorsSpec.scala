@@ -1220,6 +1220,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gaps.min > 1e-3, s"min runner-up gap ${gaps.min} too close to f32 drift")
   }
 
+  test("q107 embedding classifier: mixed classes, runner-up gap dwarfs f32 drift") {
+    val out = graft.SparkEntry.queries("q107_torch_embedding")(spark, sfDir)
+      .collect().map(_.getInt(1))
+    assert(out.toSet.size >= 2, s"constant class column: ${out.toSet}")
+    val m = graft.SparkEntry.embedClassModel
+    val vocab = m.embedHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val toks = docs.select(col("doc_id"),
+      transform(
+        call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+        tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
+    val logits = graft.torch.Torch.inferBatched(toks, "tok_ids", "logits", bc, 64)
+      .select("logits").collect().map(_.getSeq[Float](0).toArray)
+    assert(logits.forall(l => l.length == 3 && l.forall(v => !v.isNaN)))
+    val gaps = logits.map { l => val s = l.sorted; s(2) - s(1) }
+    assert(gaps.min > 1e-3, s"min runner-up gap ${gaps.min} too close to f32 drift")
+  }
+
   test("spark.graft.checkpoint.dir switches to reliable checkpoints, same results") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))

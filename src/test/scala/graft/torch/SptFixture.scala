@@ -22,6 +22,7 @@ object SptFixture {
   final case class I(n: Long) extends V
   final case class B(b: Boolean) extends V
   final case class F(d: Double) extends V
+  final case class Str(s: String) extends V
   case object NoneV extends V
 
   /** Write the archive; `code` maps archive-relative paths (e.g.
@@ -46,6 +47,7 @@ object SptFixture {
     }
     def emit(v: V): Unit = v match {
       case I(n) => int(n)
+      case Str(s) => str(s)
       case B(b) => byte(if (b) 0x88 else 0x89)
       case F(d) => // BINFLOAT is big-endian
         byte('G')

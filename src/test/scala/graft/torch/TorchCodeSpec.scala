@@ -328,6 +328,114 @@ class TorchCodeSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("Embedding + mean(dim=1) + MLP: archive traces and executes, golden vs f64 math") {
+    // fastText-classifier shape: token ids -> Embedding(10, 4) ->
+    // mean over the sequence -> Linear(4->3)
+    val vocab = 10; val embDim = 4
+    val ew = vals(vocab * embDim, 21)
+    val (w0, b0) = (vals(12, 22), vals(3, 23))
+    val model = Module("__torch__.FT", Seq(
+      "training" -> B(false),
+      "emb" -> Module("__torch__.torch.nn.modules.sparse.Embedding", Seq(
+        "weight" -> Tensor(Seq(vocab, embDim), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "out" -> linear(w0, 3, 4, b0)))
+    val code = Map("code/__torch__.py" ->
+      """class FT(Module):
+        |  training : bool
+        |  def forward(self: __torch__.FT,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    m = torch.mean(e, [1], False, None)
+        |    out = self.out
+        |    return (out).forward(m, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("ft", "ft", model, code))
+    assert(m.inDim == -1 && m.outDim == 3)
+    assert(m.ops.head.isInstanceOf[EmbeddingMeanOp])
+    val toks = Array(2, 5, 5, 1, 9)
+    // independent double math: mean of embedding rows, then the linear
+    val pooled = Array.tabulate(embDim) { j =>
+      toks.map(t => ew(t * embDim + j).toDouble).sum / toks.length
+    }
+    val expected = mm(pooled, w0, b0, 3, 4)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 3) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // variable-length batch: rows pool independently
+    val batch = m.forwardTokensBatch(Array(toks, Array(0), Array(7, 7)))
+    for (j <- 0 until 3) assert(math.abs(batch(j) - expected(j)) < 1e-5)
+    // out-of-range id fails loudly, like torch's index check
+    val oob = intercept[IllegalArgumentException](m.forwardTokens(Array(11)))
+    assert(oob.getMessage.contains("out of range"))
+    // feature-vector API refuses a token-input model
+    assert(intercept[IllegalArgumentException](
+      m.forward(Array(1f, 2f))).getMessage.contains("token-input"))
+  }
+
+  test("EmbeddingBag(mode=mean, padding_idx): pads excluded from the mean") {
+    val vocab = 8; val embDim = 3
+    val ew = vals(vocab * embDim, 31)
+    val (w0, b0) = (vals(6, 32), vals(2, 33))
+    val model = Module("__torch__.Bag", Seq(
+      "training" -> B(false),
+      "bag" -> Module("__torch__.torch.nn.modules.sparse.EmbeddingBag", Seq(
+        "weight" -> Tensor(Seq(vocab, embDim), ew),
+        "mode" -> SptFixture.Str("mean"),
+        "padding_idx" -> I(0),
+        "training" -> B(false))),
+      "out" -> linear(w0, 2, 3, b0)))
+    val code = Map("code/__torch__.py" ->
+      """class Bag(Module):
+        |  training : bool
+        |  def forward(self: __torch__.Bag,
+        |    x: Tensor) -> Tensor:
+        |    bag = self.bag
+        |    m = (bag).forward(x, None, )
+        |    out = self.out
+        |    return (out).forward(m, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("bag", "bag", model, code))
+    val toks = Array(0, 3, 0, 6, 2) // two padding entries
+    val live = Seq(3, 6, 2)
+    val pooled = Array.tabulate(embDim) { j =>
+      live.map(t => ew(t * embDim + j).toDouble).sum / live.length
+    }
+    val expected = mm(pooled, w0, b0, 2, 3)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 2) assert(math.abs(got(j) - expected(j)) < 1e-5)
+    // all-padding row pools to NaN (0/0), as torch does
+    assert(m.forwardTokens(Array(0, 0)).forall(_.isNaN))
+  }
+
+  test("unpooled embedding output and non-dim-1 mean fail loudly at load") {
+    val model = Module("__torch__.Raw", Seq(
+      "training" -> B(false),
+      "emb" -> Module("__torch__.torch.nn.modules.sparse.Embedding", Seq(
+        "weight" -> Tensor(Seq(4, 2), vals(8, 41)),
+        "training" -> B(false)))))
+    def codeWith(body: String) = Map("code/__torch__.py" ->
+      s"""class Raw(Module):
+         |  training : bool
+         |  def forward(self: __torch__.Raw,
+         |    x: Tensor) -> Tensor:
+         |    emb = self.emb
+         |$body
+         |""".stripMargin)
+    val unpooled = intercept[IllegalArgumentException] {
+      TorchScriptModel.load(writeTemp("raw", "raw", model,
+        codeWith("    return (emb).forward(x, )")))
+    }
+    assert(unpooled.getMessage.contains("unpooled"))
+    val dim0 = intercept[RuntimeException] {
+      TorchScriptModel.load(writeTemp("raw0", "raw0", model,
+        codeWith("    e = (emb).forward(x, )\n    return torch.mean(e, [0], False, None)")))
+    }
+    assert(dim0.getMessage.contains("mean over dims"))
+  }
+
   test("iris.spt traces through its serialized code: shared relu between linears") {
     val m = TorchScriptModel.load("/root/reference/model/iris.spt")
     // execution order from code/__torch__.py, NOT registration order
