@@ -125,4 +125,38 @@ class DocStreamSpec extends AnyFunSuite {
         s"pair across the evicted window: $cands")
     } finally q.stop()
   }
+
+  test("stateTtl: state size plateaus under a long stream instead of growing with it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 batches of distinct-text docs, each opening ~bands new buckets;
+    // timestamps advance 5 min per batch, TTL 10 min — only the last
+    // ~2-3 docs' buckets can be live, so total state rows must plateau
+    // far below the no-TTL growth of ~16 buckets x 40 docs
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    def text(i: Int) =
+      (0 until 12).map(k => s"w${i}_$k").mkString(" ") // unique shingles per doc
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = DocStream.nearDupCandidates(
+      mem.toDF().toDF("doc_id", "ts", "text").withWatermark("ts", "0 seconds"),
+      "doc_id", "text", n = 3,
+      tsCol = Some("ts"), stateTtl = Some(java.time.Duration.ofMinutes(10)))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dup_plateau").start()
+    try {
+      val totals = (1 to 40).map { i =>
+        mem.addData(Seq((i.toLong, ts(i * 5), text(i))))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)
+      }
+      assert(spark.table("dup_plateau").count() == 0) // nothing collides
+      // growth bound: the last-batch state is a small multiple of one
+      // doc's bucket count, nowhere near the 40-doc accumulation
+      val buckets = 16 // bands
+      assert(totals.last <= 4L * buckets,
+        s"state did not plateau: ${totals.mkString(",")}")
+      assert(totals.max <= 6L * buckets,
+        s"state spiked: ${totals.mkString(",")}")
+    } finally q.stop()
+  }
 }
