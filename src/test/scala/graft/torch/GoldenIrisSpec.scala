@@ -29,6 +29,22 @@ class GoldenIrisSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).toSeq == golden, "inferred (array literal)")
   }
 
+  test("model loads + runs through a non-file Hadoop FS scheme (Q15 URL source)") {
+    // mock:// resolves via ServiceLoader -> MockFs -> local disk, so the
+    // Hadoop FileSystem branch of readAllBytes (the reference's
+    // object_store fetch path, lib.rs:64-77) is exercised end-to-end
+    // offline — closing Q15's untested leg
+    val m = TorchScriptModel.load(s"mock://$modelPath")
+    assert(m.inDim == 4 && m.outDim == 3)
+    ArgMax.register(spark)
+    Torch.createFunction(spark, "iris_mock", s"mock://$modelPath")
+    spark.read.parquet(irisParquet).coalesce(1).createOrReplaceTempView("iris_mock_t")
+    val preds = spark.sql(
+      "SELECT argmax(iris_mock(features)) FROM iris_mock_t LIMIT 15")
+      .collect().map(_.getInt(0)).toSeq
+    assert(preds == golden)
+  }
+
   test("full-table inference agrees with the stored label on most rows") {
     ArgMax.register(spark)
     Torch.createFunction(spark, "iris_f", modelPath)
