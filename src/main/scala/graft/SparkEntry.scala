@@ -1206,6 +1206,41 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // UNPIVOT: wide -> long reshaping, the inverse of q45's pivot and
+    // the last common SQL-surface reshape. Unaliased IN-columns keep
+    // the metric labels identical across engines.
+    "q108_unpivot" -> { (s, dir) =>
+      t(s, dir, "part").createOrReplaceTempView("g_part_up")
+      s.sql(
+        """SELECT p_partkey, metric, round(val, 2) AS val
+          |FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_d,
+          |             CAST(p_retailprice AS DOUBLE) AS price_d
+          |      FROM g_part_up)
+          |UNPIVOT (val FOR metric IN (size_d, price_d))
+          |ORDER BY p_partkey, metric""".stripMargin)
+    },
+
+    // Deterministic TABLESAMPLE: Bernoulli sampling is seeded per
+    // PARTITION (Spark's REPEATABLE contract), so the source is pinned
+    // to one partition to make the drawn set a pure function of the
+    // seed — the in-query gate certifies two same-seed samples agree
+    // row-for-row, and the oracle pins the per-SF sampled count.
+    // (Partitioning-independent sampling at scale is the md5-bucket
+    // path q63 uses; this exercises the SQL surface.)
+    "q109_tablesample" -> { (s, dir) =>
+      t(s, dir, "orders").coalesce(1).createOrReplaceTempView("g_ord_ts")
+      def samp = s.sql(
+        "SELECT o_orderkey FROM g_ord_ts TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+      val a = samp.select(col("o_orderkey").as("k"))
+      val b = samp.select(col("o_orderkey").as("k2"))
+      a.join(b, col("k") === col("k2"), "full_outer")
+        .agg(
+          sum(when(col("k").isNotNull, 1).otherwise(0)).cast("long").as("n_sampled"),
+          sum(when(col("k").isNull || col("k2").isNull, 1).otherwise(0)).as("__mm"))
+        .select(lit("tablesample_10pct_seed42").as("metric"), col("n_sampled"),
+          (col("__mm") === 0).as("deterministic"))
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -1970,6 +2005,22 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(mlp, "a")} " +
           s"AS lang_class FROM ${TorchOracle.lastCte(mlp)} ORDER BY doc_id")
     },
+
+    "q108_unpivot" ->
+      """SELECT p_partkey, metric, round(val, 2) AS val
+        |FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_d,
+        |             CAST(p_retailprice AS DOUBLE) AS price_d
+        |      FROM part)
+        |UNPIVOT (val FOR metric IN (size_d, price_d))
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    // Sampled counts pinned per SF (single-partition seed-42 Bernoulli
+    // draw — deterministic by construction, certified in-query).
+    "q109_tablesample" ->
+      """SELECT 'tablesample_10pct_seed42' AS metric,
+        | CAST(CASE (SELECT count(*) FROM orders)
+        |   WHEN 15000 THEN 1585 WHEN 150000 THEN 14885 ELSE -1 END AS BIGINT) AS n_sampled,
+        | true AS deterministic""".stripMargin,
 
     // IVFADC: same per-SF pinned recall discipline as q99 (seeded
     // coarse + residual-PQ quantizers, exact rerank — deterministic).
