@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
  * header parsing, codec-free); payloads with no recognized header get
  * deterministic length-derived stand-in metadata ([[FakeDecoder]]).
  * Pixel decode + resize is REAL for PNG (zlib inflate + scanline
- * unfilter, pure JVM), BMP, and PGM/PPM ([[PixelDecoder]]); only
- * JPEG/GIF — which need an entropy codec absent from this
- * environment — keep the labeled stand-ins.
+ * unfilter, pure JVM), GIF (variable-width LZW + palette expansion +
+ * de-interlace), BMP, and PGM/PPM ([[PixelDecoder]]); only JPEG —
+ * which needs an arithmetic/Huffman entropy codec absent from this
+ * environment — keeps the labeled stand-in.
  */
 object Multimodal {
 
@@ -121,14 +122,18 @@ object Multimodal {
    *    the JVM's zlib, no codec library involved) + the five scanline
    *    filters of the PNG spec (None/Sub/Up/Average/Paeth, RFC 2083
    *    §6); palette / 16-bit / Adam7 payloads return None;
+   *  - GIF: 87a/89a first frame — variable-width LZW (the GIF flavor:
+   *    per-spec CLEAR/END codes, 12-bit dictionary cap, deferred
+   *    clear), global or local palette lookup to RGB, Adam-style
+   *    4-pass de-interlace;
    *  - BMP: BI_RGB 24/32bpp, bottom-up or top-down, 4-byte row
    *    padding, BGR(A) -> RGB(A) reorder;
    *  - PGM/PPM: binary "P5"/"P6", maxval <= 255, '#' comments.
    *
    * Returns (width, height, channels, row-major interleaved RGB(A)/
-   * gray bytes, top-down). JPEG/GIF genuinely need an entropy codec
-   * and return None — [[FakeDecoder]] remains their clearly-labeled
-   * stand-in.
+   * gray bytes, top-down). JPEG alone genuinely needs an entropy
+   * codec and returns None — [[FakeDecoder]] remains its
+   * clearly-labeled stand-in.
    */
   object PixelDecoder {
     def decode(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
@@ -220,6 +225,88 @@ object Multimodal {
           y += 1
         }
         Some((w, h, c, out))
+      } else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        // ---- GIF: first frame; palette -> RGB ----
+        val maxDim = 1 << 16
+        var i = 13
+        var globalPal: Array[Byte] = null
+        val screenPacked = u8(10)
+        if ((screenPacked & 0x80) != 0) { // global color table
+          val sz = 3 * (1 << ((screenPacked & 7) + 1))
+          if (13 + sz > b.length) return None
+          globalPal = java.util.Arrays.copyOfRange(b, 13, 13 + sz)
+          i = 13 + sz
+        }
+        while (i < b.length) {
+          u8(i) match {
+            case 0x21 => // extension: introducer + label + sub-blocks
+              i += 2
+              while (i < b.length && u8(i) != 0) i += 1 + u8(i)
+              if (i >= b.length) return None
+              i += 1 // block terminator
+            case 0x3b => return None // trailer before any image frame
+            case 0x2c => // image descriptor: the frame we decode
+              if (i + 10 > b.length) return None
+              val w = le16(i + 5)
+              val h = le16(i + 7)
+              val ip = u8(i + 9)
+              val interlaced = (ip & 0x40) != 0
+              var j = i + 10
+              var pal = globalPal
+              if ((ip & 0x80) != 0) { // local color table wins
+                val sz = 3 * (1 << ((ip & 7) + 1))
+                if (j + sz > b.length) return None
+                pal = java.util.Arrays.copyOfRange(b, j, j + sz)
+                j += sz
+              }
+              if (pal == null || w <= 0 || h <= 0 || w > maxDim || h > maxDim) return None
+              if (w.toLong * h * 3 > Int.MaxValue - 8) return None
+              if (j >= b.length) return None
+              val minCode = u8(j)
+              j += 1
+              if (minCode < 2 || minCode > 8) return None // spec range
+              val data = new java.io.ByteArrayOutputStream()
+              while (j < b.length && u8(j) != 0) { // data sub-blocks
+                val n = u8(j)
+                if (j + 1 + n > b.length) return None
+                data.write(b, j + 1, n)
+                j += 1 + n
+              }
+              if (j >= b.length) return None // missing terminator
+              val idx = gifLzw(data.toByteArray, minCode, w * h) match {
+                case Some(a) => a
+                case None => return None
+              }
+              val out = new Array[Byte](w * h * 3)
+              // interlaced frames store rows in 4 passes (8/8, 8/8+4,
+              // 4/4+2, 2/2+1) — map stored row -> display row
+              val rowOrder: Array[Int] =
+                if (interlaced) {
+                  val ord = new Array[Int](h)
+                  var r = 0
+                  for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                       y <- start until h by step) { ord(r) = y; r += 1 }
+                  ord
+                } else Array.tabulate(h)(identity)
+              var sr = 0
+              while (sr < h) {
+                val y = rowOrder(sr)
+                var x = 0
+                while (x < w) {
+                  val p = (idx(sr * w + x) & 0xff) * 3
+                  if (p + 2 >= pal.length) return None // index past palette
+                  val d = (y * w + x) * 3
+                  out(d) = pal(p); out(d + 1) = pal(p + 1); out(d + 2) = pal(p + 2)
+                  x += 1
+                }
+                sr += 1
+              }
+              return Some((w, h, 3, out))
+            case _ => return None // desynced block stream
+          }
+        }
+        None
       } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
         // Header fields are UNTRUSTED: le32 is signed, so dataOff can be
         // negative; w/h near Int.MaxValue overflow w*c / w*h*c. Validate
@@ -285,6 +372,93 @@ object Multimodal {
         if (i.toLong + w.toLong * h * c > b.length) return None // truncated
         Some((w, h, c, java.util.Arrays.copyOfRange(b, i, i + w * h * c)))
       } else None
+    }
+
+    /**
+     * GIF-flavor LZW decode (the spec's Appendix F variant): literal
+     * codes 0..2^min-1, CLEAR = 2^min, END = CLEAR+1, dictionary
+     * entries from CLEAR+2 capped at 4096, code width starts min+1 and
+     * grows when the dictionary reaches 2^width (never past 12 —
+     * "deferred clear": a full dictionary keeps emitting 12-bit codes
+     * until the encoder sends CLEAR). Codes are packed LSB-first.
+     * Returns exactly `maxPixels` decoded indices, or None on any
+     * malformed/truncated stream.
+     */
+    private[operators] def gifLzw(
+        data: Array[Byte], minCode: Int, maxPixels: Int): Option[Array[Byte]] = {
+      val clear = 1 << minCode
+      val end = clear + 1
+      val out = new Array[Byte](maxPixels)
+      var outLen = 0
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val stack = new Array[Byte](4097)
+      var dictSize = clear + 2
+      var width = minCode + 1
+      var prev = -1
+      var bitPos = 0
+      val totalBits = data.length * 8
+      def readCode(): Int = {
+        if (bitPos + width > totalBits) return -1
+        var v = 0
+        var k = 0
+        while (k < width) {
+          val p = bitPos + k
+          if (((data(p >> 3) >> (p & 7)) & 1) != 0) v |= 1 << k
+          k += 1
+        }
+        bitPos += width
+        v
+      }
+      /** Push entry `code`'s byte sequence onto the stack (reversed);
+        * returns stack top (sequence length) or -1 on a corrupt chain. */
+      def expand(code: Int): Int = {
+        var c = code
+        var top = 0
+        while (c >= clear + 2) {
+          if (top >= stack.length || c >= dictSize) return -1
+          stack(top) = suffix(c); top += 1
+          c = prefix(c)
+        }
+        if (c >= clear) return -1 // chain must end in a literal
+        stack(top) = c.toByte
+        top + 1
+      }
+      var done = false
+      while (!done && outLen < maxPixels) {
+        val code = readCode()
+        if (code < 0) return None // truncated mid-image
+        else if (code == clear) {
+          dictSize = clear + 2; width = minCode + 1; prev = -1
+        } else if (code == end) {
+          done = true
+        } else if (prev == -1) {
+          if (code >= clear) return None // first code must be a literal
+          out(outLen) = code.toByte; outLen += 1
+          prev = code
+        } else {
+          val known = code < dictSize && code != clear && code != end
+          // the classic KwKwK case: `code == dictSize` references the
+          // entry being built — its sequence is expand(prev) + first
+          // byte of expand(prev)
+          if (!known && code != dictSize) return None
+          val top = expand(if (known) code else prev)
+          if (top < 0) return None
+          val first = stack(top - 1)
+          if (outLen + top + (if (known) 0 else 1) > maxPixels) return None
+          var t = top - 1
+          while (t >= 0) { out(outLen) = stack(t); outLen += 1; t -= 1 }
+          if (!known) { out(outLen) = first; outLen += 1 }
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      if (outLen == maxPixels) Some(out) else None
     }
 
     /** Nearest-neighbor resize of row-major interleaved pixels. */

@@ -907,11 +907,31 @@ class OperatorsSpec extends AnyFunSuite {
       assert(zs.map(_._2).toSeq == zs.map(_._2).toSeq.sorted)
   }
 
-  test("resizeImage: real decode+scale for PGM and PNG payloads, null for JPEG") {
+  test("resizeImage: real decode+scale for PGM, PNG and GIF payloads, null for JPEG") {
     import spark.implicits._
     val pgm = ("P5\n4 4\n255\n").getBytes("US-ASCII") ++
       Array.tabulate[Byte](16)(i => (i * 10).toByte)
     val notDecodable = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)
+    // 4x4 GIF, 4-color palette, index pattern i%4; the LZW stream is
+    // hand-packed with a CLEAR before every literal so the code width
+    // stays fixed at minCode+1 (no dictionary needed)
+    val gif = {
+      val idx = Array.tabulate(16)(_ % 4)
+      val codes = (Seq(4) ++ idx.flatMap(p => Seq(p, 4)).init :+ 5) // CLEAR p CLEAR p ... END
+      val bits = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nb = 0
+      for (c <- codes) {
+        cur |= c << nb; nb += 3
+        while (nb >= 8) { bits.write(cur & 0xff); cur >>= 8; nb -= 8 }
+      }
+      if (nb > 0) bits.write(cur & 0xff)
+      val z = bits.toByteArray
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 4, 0, 0x81.toByte, 0, 0) ++               // screen + global table (4 entries)
+        Array.tabulate[Byte](12)(i => ((i / 3) * 10 + i % 3).toByte) ++ // palette: idx k -> (10k,10k+1,10k+2)
+        Array[Byte](0x2c, 0, 0, 0, 0, 4, 0, 4, 0, 0, 2) ++          // descriptor + minCode=2
+        Array[Byte](z.length.toByte) ++ z ++ Array[Byte](0, 0x3b)
+    }
     // same 4x4 gray ramp as a real PNG (filter-0 rows, deflate, CRCs)
     val png = {
       def chunk(t: String, d: Array[Byte]): Array[Byte] = {
@@ -933,7 +953,7 @@ class OperatorsSpec extends AnyFunSuite {
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
         chunk("IHDR", ihdr) ++ chunk("IDAT", z.take(n)) ++ chunk("IEND", Array.empty)
     }
-    val df = Seq((1L, pgm), (2L, notDecodable), (3L, png)).toDF("id", "payload")
+    val df = Seq((1L, pgm), (2L, notDecodable), (3L, png), (4L, gif)).toDF("id", "payload")
     val out = Multimodal.resizeImage(df, "payload", "img", targetW = 2, targetH = 2)
       .select("id", "img").collect().map(r => r.getLong(0) -> r).toMap
     for (id <- Seq(1L, 3L)) {
@@ -943,6 +963,11 @@ class OperatorsSpec extends AnyFunSuite {
       assert(img.getAs[Array[Byte]](3).toSeq == Seq[Byte](0, 20, 80, 100),
         s"payload $id resize mismatch")
     }
+    val gifImg = out(4L).getStruct(1)
+    assert(gifImg.getInt(0) == 2 && gifImg.getInt(1) == 2 && gifImg.getInt(2) == 3)
+    // sampled indices at (0,0)/(0,2)/(2,0)/(2,2) are 0,2,0,2 -> palette RGB
+    assert(gifImg.getAs[Array[Byte]](3).toSeq ==
+      Seq[Byte](0, 1, 2, 20, 21, 22, 0, 1, 2, 20, 21, 22), "GIF resize mismatch")
     assert(out(2L).isNullAt(1), "JPEG payload must yield null, not fake pixels")
   }
 
