@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
  * four dominant raster formats ([[HeaderDecoder]]: PNG/JPEG/GIF/BMP
  * header parsing, codec-free); payloads with no recognized header get
  * deterministic length-derived stand-in metadata ([[FakeDecoder]]).
- * Pixel decode + resize is REAL for PNG (zlib inflate + scanline
- * unfilter, pure JVM), GIF (variable-width LZW + palette expansion +
- * de-interlace), BMP, and PGM/PPM ([[PixelDecoder]]); only JPEG —
- * which needs an arithmetic/Huffman entropy codec absent from this
- * environment — keeps the labeled stand-in.
+ * Pixel decode + resize is REAL for every supported format
+ * ([[PixelDecoder]]): PNG (zlib inflate + scanline unfilter, pure
+ * JVM), GIF (variable-width LZW + palette expansion + de-interlace),
+ * BMP and PGM/PPM (byte layout), and JPEG (the JDK's own
+ * `javax.imageio` reader — platform code, no external codec).
+ * [[FakeDecoder]]/[[Multimodal.resizeStub]] remain only for payloads
+ * with no recognized header.
  */
 object Multimodal {
 
@@ -128,12 +130,16 @@ object Multimodal {
    *    4-pass de-interlace;
    *  - BMP: BI_RGB 24/32bpp, bottom-up or top-down, 4-byte row
    *    padding, BGR(A) -> RGB(A) reorder;
-   *  - PGM/PPM: binary "P5"/"P6", maxval <= 255, '#' comments.
+   *  - PGM/PPM: binary "P5"/"P6", maxval <= 255, '#' comments;
+   *  - JPEG: delegated to the JDK's own `javax.imageio` reader (part
+   *    of the java.desktop platform module, not an external library) —
+   *    Huffman/progressive/chroma-subsampled variants all decode;
+   *    grayscale stays 1 channel, everything else lands as RGB.
    *
    * Returns (width, height, channels, row-major interleaved RGB(A)/
-   * gray bytes, top-down). JPEG alone genuinely needs an entropy
-   * codec and returns None — [[FakeDecoder]] remains its
-   * clearly-labeled stand-in.
+   * gray bytes, top-down). Undecodable payloads return None —
+   * [[FakeDecoder]] remains the clearly-labeled stand-in for
+   * unrecognized formats only.
    */
   object PixelDecoder {
     def decode(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
@@ -307,6 +313,44 @@ object Multimodal {
           }
         }
         None
+      } else if (b.length >= 3 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff) {
+        // ---- JPEG: the JDK's own ImageIO reader (java.desktop module,
+        // platform code, not an external codec dependency). Pre-guard
+        // dimensions from the SOF header (HeaderDecoder's marker walk)
+        // so a crafted 65535x65535 header is rejected BEFORE ImageIO
+        // allocates rasters for it.
+        val okDims = HeaderDecoder.decode(b) match {
+          case Some((w, h, _, _)) =>
+            w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14) &&
+              w.toLong * h * 3 <= Int.MaxValue - 8
+          case None => false
+        }
+        if (!okDims) None
+        else try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+              val out = new Array[Byte](w * h)
+              img.getRaster.getDataElements(0, 0, w, h, out)
+              Some((w, h, 1, out))
+            } else {
+              val argb = img.getRGB(0, 0, w, h, null, 0, w)
+              val out = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < argb.length) {
+                val v = argb(i)
+                out(i * 3) = (v >> 16).toByte
+                out(i * 3 + 1) = (v >> 8).toByte
+                out(i * 3 + 2) = v.toByte
+                i += 1
+              }
+              Some((w, h, 3, out))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
       } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
         // Header fields are UNTRUSTED: le32 is signed, so dataOff can be
         // negative; w/h near Int.MaxValue overflow w*c / w*h*c. Validate
@@ -573,9 +617,9 @@ object Multimodal {
    * Resize STUB: deterministic byte subsampling to `targetBytes`
    * (every ceil(len/target)-th byte) standing in for an image resize —
    * the plumbing (binary in, smaller binary out, metadata updated) is
-   * real; [[resizeImage]] is the REAL path for formats the pure-JVM
-   * [[PixelDecoder]] covers; this stub remains only for compressed
-   * payloads in codec-less environments.
+   * real; [[resizeImage]] is the REAL path for every format
+   * [[PixelDecoder]] covers (PNG/GIF/BMP/PGM/PPM/JPEG); this stub
+   * remains only for payloads with no recognized image header.
    */
   def resizeStub(df: DataFrame, binCol: String, outCol: String, targetBytes: Int): DataFrame = {
     require(targetBytes >= 1, "targetBytes must be >= 1")

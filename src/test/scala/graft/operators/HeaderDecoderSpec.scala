@@ -427,6 +427,85 @@ class HeaderDecoderSpec extends AnyFunSuite {
     assert(Multimodal.HeaderDecoder.decode(good) == Some((4, 4, 3, "gif")))
   }
 
+  test("JPEG pixel decode via the platform reader: lossy round-trip within tolerance") {
+    // encode a smooth synthetic image with the SAME platform codec the
+    // decoder delegates to, then check PixelDecoder's output stays
+    // within JPEG-loss distance of the source pixels
+    val w = 32; val h = 24
+    val src = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, (x * 8 << 16) | (y * 10 << 8) | ((x + y) * 4))
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val pw = wr.getDefaultWriteParam
+    pw.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    pw.setCompressionQuality(0.97f)
+    wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(src, null, null), pw)
+    wr.dispose()
+    val jpeg = bos.toByteArray
+    assert(jpeg.length >= 3 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val Some((dw, dh, dc, px)) = Multimodal.PixelDecoder.decode(jpeg)
+    assert((dw, dh, dc) == (w, h, 3))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+      val s = (src.getRGB(x, y) >> (16 - 8 * ch)) & 0xff
+      val d = px((y * w + x) * 3 + ch) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(s - d))
+    }
+    assert(maxDiff <= 12, s"JPEG round-trip drifted: max channel diff $maxDiff")
+    // metadata path and pixel path agree on dimensions
+    assert(Multimodal.HeaderDecoder.decode(jpeg).map(m => (m._1, m._2)) == Some((w, h)))
+  }
+
+  test("JPEG pixel decode: real files — color 3-channel, grayscale 1-channel") {
+    import java.nio.file.{Files, Paths}
+    val kitten = Paths.get("/opt/spark/data/mllib/images/origin/kittens/DP802813.jpg")
+    val gray = Paths.get("/opt/spark/data/mllib/images/origin/multi-channel/grayscale.jpg")
+    assume(Files.exists(kitten) && Files.exists(gray), "spark sample images not present")
+    val Some((kw, kh, kc, kpx)) = Multimodal.PixelDecoder.decode(Files.readAllBytes(kitten))
+    assert((kw, kh, kc) == (199, 313, 3) && kpx.length == 199 * 313 * 3)
+    val Some((gw, gh, gc, gpx)) = Multimodal.PixelDecoder.decode(Files.readAllBytes(gray))
+    assert((gw, gh, gc) == (300, 215, 1) && gpx.length == 300 * 215)
+    // real photos are not flat: decoded rasters must carry variation
+    assert(kpx.distinct.length > 16 && gpx.distinct.length > 16)
+  }
+
+  test("JPEG pixel decode: crafted dims rejected before the reader allocates") {
+    // FF D8 + a SOF0 claiming 65535x65535: the header pre-guard must
+    // return None without handing the payload to ImageIO
+    val sof = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte,
+      0, 17, 8, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(Multimodal.PixelDecoder.decode(sof).isEmpty)
+    // JPEG magic with no SOF at all (EOI immediately)
+    assert(Multimodal.PixelDecoder.decode(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
+  }
+
+  test("hand-rolled GIF decode agrees pixel-exact with the platform reader on real files") {
+    import java.nio.file.{Files, Paths}
+    val files = Seq(
+      "/usr/share/doc/libxslt1-dev/html/processing.gif",
+      "/usr/share/doc/libxslt1-dev/html/node.gif",
+      "/usr/share/doc/libxslt1-dev/html/templates.gif").map(Paths.get(_))
+    assume(files.forall(Files.exists(_)), "libxslt doc gifs not present")
+    for (f <- files) {
+      val bytes = Files.readAllBytes(f)
+      val Some((w, h, c, px)) = Multimodal.PixelDecoder.decode(bytes)
+      assert(c == 3)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert((w, h) == (ref.getWidth, ref.getHeight))
+      val argb = ref.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < argb.length) {
+        val v = argb(i)
+        assert(px(i * 3) == (v >> 16).toByte && px(i * 3 + 1) == (v >> 8).toByte &&
+          px(i * 3 + 2) == v.toByte, s"$f pixel $i differs from the platform decode")
+        i += 1
+      }
+    }
+  }
+
   test("unknown/truncated payloads return None (fallback path)") {
     assert(Multimodal.HeaderDecoder.decode("plain utf-8 text payload".getBytes).isEmpty)
     assert(Multimodal.HeaderDecoder.decode(Array[Byte](0x89.toByte, 'P')).isEmpty)

@@ -907,10 +907,11 @@ class OperatorsSpec extends AnyFunSuite {
       assert(zs.map(_._2).toSeq == zs.map(_._2).toSeq.sorted)
   }
 
-  test("resizeImage: real decode+scale for PGM, PNG and GIF payloads, null for JPEG") {
+  test("resizeImage: real decode+scale for PGM, PNG, GIF and JPEG payloads, null for junk") {
     import spark.implicits._
     val pgm = ("P5\n4 4\n255\n").getBytes("US-ASCII") ++
       Array.tabulate[Byte](16)(i => (i * 10).toByte)
+    // JPEG magic but no frame header: must degrade to null, not throw
     val notDecodable = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)
     // 4x4 GIF, 4-color palette, index pattern i%4; the LZW stream is
     // hand-packed with a CLEAR before every literal so the code width
@@ -953,7 +954,14 @@ class OperatorsSpec extends AnyFunSuite {
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
         chunk("IHDR", ihdr) ++ chunk("IDAT", z.take(n)) ++ chunk("IEND", Array.empty)
     }
-    val df = Seq((1L, pgm), (2L, notDecodable), (3L, png), (4L, gif)).toDF("id", "payload")
+    val kittenPath = java.nio.file.Paths.get(
+      "/opt/spark/data/mllib/images/origin/kittens/DP802813.jpg")
+    val jpeg: Array[Byte] =
+      if (java.nio.file.Files.exists(kittenPath)) java.nio.file.Files.readAllBytes(kittenPath)
+      else null
+    val rows = Seq((1L, pgm), (2L, notDecodable), (3L, png), (4L, gif)) ++
+      Option(jpeg).map(5L -> _)
+    val df = rows.toDF("id", "payload")
     val out = Multimodal.resizeImage(df, "payload", "img", targetW = 2, targetH = 2)
       .select("id", "img").collect().map(r => r.getLong(0) -> r).toMap
     for (id <- Seq(1L, 3L)) {
@@ -968,7 +976,12 @@ class OperatorsSpec extends AnyFunSuite {
     // sampled indices at (0,0)/(0,2)/(2,0)/(2,2) are 0,2,0,2 -> palette RGB
     assert(gifImg.getAs[Array[Byte]](3).toSeq ==
       Seq[Byte](0, 1, 2, 20, 21, 22, 0, 1, 2, 20, 21, 22), "GIF resize mismatch")
-    assert(out(2L).isNullAt(1), "JPEG payload must yield null, not fake pixels")
+    assert(out(2L).isNullAt(1), "undecodable payload must yield null, not fake pixels")
+    for (r <- out.get(5L)) { // real JPEG decodes + scales through the API
+      val img = r.getStruct(1)
+      assert(img.getInt(0) == 2 && img.getInt(1) == 2 && img.getInt(2) == 3)
+      assert(img.getAs[Array[Byte]](3).length == 12)
+    }
   }
 
   test("curriculumOrder: threshold phases, dense in-phase positions, deterministic") {
