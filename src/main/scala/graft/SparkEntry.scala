@@ -1200,6 +1200,12 @@ object SparkEntry {
           call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
           tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
           .as("tok_ids"))
+        // token-less docs (empty/whitespace/null text) have no pooled
+        // embedding — the oracle's JOIN drops them, and classifying a
+        // doc with zero evidence is meaningless; exclude explicitly on
+        // both sides (size() is -1 for a null array, so this also
+        // removes null-text rows)
+        .filter(size(col("tok_ids")) > 0)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
           call_function("argmax", col("logits")).as("lang_class"))

@@ -115,14 +115,15 @@ object Mix {
       .agg(sum("__tok").as("__bt"))
       .withColumn("__boff", coalesce(sum("__bt").over(wOff), lit(0L)))
       .select(col(stratumCol).as("__so"), col("__blk").as("__bo"), col("__boff"))
-    // null-safe on __blk: a null id hashes to a null key/block, which
-    // still belongs to its stratum (and sorts first, as under the
-    // naive orderBy(md5(id)))
+    // null-safe on BOTH keys: a null id hashes to a null key/block but
+    // still belongs to its stratum, and a NULL stratum is itself a
+    // stratum under Window.partitionBy (null-grouping) — an equi-join
+    // on either key would silently drop those rows
     val wIn = Window.partitionBy(col(stratumCol), col("__blk"))
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(offsets),
-        col(stratumCol) === col("__so") && col("__blk") <=> col("__bo"))
+        col(stratumCol) <=> col("__so") && col("__blk") <=> col("__bo"))
       .withColumn("tokens_before",
         col("__boff") + coalesce(sum(col("__tok")).over(wIn), lit(0L)))
       .filter(col("tokens_before") < budgetPerStratum)

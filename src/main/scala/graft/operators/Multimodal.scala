@@ -254,6 +254,8 @@ object Multimodal {
             case 0x3b => return None // trailer before any image frame
             case 0x2c => // image descriptor: the frame we decode
               if (i + 10 > b.length) return None
+              val left = le16(i + 1)
+              val top = le16(i + 3)
               val w = le16(i + 5)
               val h = le16(i + 7)
               val ip = u8(i + 9)
@@ -267,7 +269,14 @@ object Multimodal {
                 j += sz
               }
               if (pal == null || w <= 0 || h <= 0 || w > maxDim || h > maxDim) return None
-              if (w.toLong * h * 3 > Int.MaxValue - 8) return None
+              // the decoded image is the LOGICAL SCREEN (what
+              // HeaderDecoder reports as this payload's dimensions);
+              // the frame composites onto it at its left/top offset
+              val sw = le16(6)
+              val sh = le16(8)
+              if (sw <= 0 || sh <= 0 || sw > maxDim || sh > maxDim) return None
+              if (left + w > sw || top + h > sh) return None // frame off-screen
+              if (sw.toLong * sh * 3 > Int.MaxValue - 8) return None
               if (j >= b.length) return None
               val minCode = u8(j)
               j += 1
@@ -284,7 +293,22 @@ object Multimodal {
                 case Some(a) => a
                 case None => return None
               }
-              val out = new Array[Byte](w * h * 3)
+              val out = new Array[Byte](sw * sh * 3)
+              // off-frame screen area takes the background color (the
+              // screen descriptor's bg index into the GLOBAL palette);
+              // only needed when the frame doesn't cover the screen
+              if ((left != 0 || top != 0 || w != sw || h != sh) && globalPal != null) {
+                val bg = u8(11) * 3
+                if (bg + 2 < globalPal.length) {
+                  var p = 0
+                  while (p < sw * sh) {
+                    out(p * 3) = globalPal(bg)
+                    out(p * 3 + 1) = globalPal(bg + 1)
+                    out(p * 3 + 2) = globalPal(bg + 2)
+                    p += 1
+                  }
+                }
+              }
               // interlaced frames store rows in 4 passes (8/8, 8/8+4,
               // 4/4+2, 2/2+1) — map stored row -> display row
               val rowOrder: Array[Int] =
@@ -297,18 +321,18 @@ object Multimodal {
                 } else Array.tabulate(h)(identity)
               var sr = 0
               while (sr < h) {
-                val y = rowOrder(sr)
+                val y = top + rowOrder(sr)
                 var x = 0
                 while (x < w) {
                   val p = (idx(sr * w + x) & 0xff) * 3
                   if (p + 2 >= pal.length) return None // index past palette
-                  val d = (y * w + x) * 3
+                  val d = (y * sw + left + x) * 3
                   out(d) = pal(p); out(d + 1) = pal(p + 1); out(d + 2) = pal(p + 2)
                   x += 1
                 }
                 sr += 1
               }
-              return Some((w, h, 3, out))
+              return Some((sw, sh, 3, out))
             case _ => return None // desynced block stream
           }
         }

@@ -69,13 +69,19 @@ object DocStream {
     // unix_millis projection — that strips the watermark metadata the
     // event-time-timeout checker looks for)
     val tsExpr = tsCol.map(c => col(c)).getOrElse(lit(null).cast("timestamp"))
-    val banded = docs
+    val bandedDf = docs
       .select(col(idCol).cast("long").as("id"), tsExpr.as("ts"),
         posexplode(graft.functions.MinHashBuckets.minhash_buckets(
           spark,
           graft.functions.ShingleHashes.shingle_hashes(spark, col(textCol), n),
           bands, rowsPerBand)))
       .toDF("id", "ts", "band", "bucket")
+    // with a TTL, a null event time has no position in the arrival
+    // window: it would otherwise default to epoch 0, be evicted by the
+    // first real watermark, and silently never pair again. Null-ts
+    // rows also bypass Spark's late-event watermark filter, so they
+    // must be excluded here, visibly, not mis-stamped.
+    val banded = (if (stateTtl.isDefined) bandedDf.filter(col("ts").isNotNull) else bandedDf)
       .as[(Long, java.sql.Timestamp, Int, Long)]
 
     val ttlMs = stateTtl.map(_.toMillis)

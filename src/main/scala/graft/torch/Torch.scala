@@ -178,10 +178,10 @@ object Torch {
           }
           a
         }
-        if (tokenInput) {
-          val inputs = rows.map(tokens)
-          val live = inputs.filter(_ != null).toArray
-          val out = if (live.nonEmpty) m.forwardTokensBatch(live) else Array.empty[Float]
+        // null inputs stay null in the output; live rows take their
+        // forward-pass slice in order (one shared assembly for both
+        // input shapes)
+        def emit(inputs: Seq[AnyRef], out: Array[Float]): Iterator[Row] = {
           var k = -1
           rows.iterator.zip(inputs.iterator).map { case (r, in) =>
             if (in == null) Row.fromSeq(r.toSeq :+ null)
@@ -190,6 +190,12 @@ object Torch {
               Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
             }
           }
+        }
+        if (tokenInput) {
+          val inputs = rows.map(tokens)
+          val live = inputs.filter(_ != null).toArray
+          val out = if (live.nonEmpty) m.forwardTokensBatch(live) else Array.empty[Float]
+          emit(inputs, out)
         } else {
           val inputs = rows.map(floats)
           val live = inputs.filter(_ != null)
@@ -201,14 +207,7 @@ object Torch {
             i += 1
           }
           val out = if (n > 0) m.forwardBatch(flat, n) else Array.empty[Float]
-          var k = -1
-          rows.iterator.zip(inputs.iterator).map { case (r, in) =>
-            if (in == null) Row.fromSeq(r.toSeq :+ null)
-            else {
-              k += 1
-              Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
-            }
-          }
+          emit(inputs, out)
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -86,8 +86,9 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
    * end), then the remaining ops run as one `n × embDim` batch. Rows
    * may differ in length — pooling is per-row, so the GEMM batch shape
    * is unaffected. An out-of-range id fails loudly (torch throws the
-   * same way); an empty (or all-padding) row pools to NaN (0/0, as
-   * torch's mean of an empty slice).
+   * same way); an empty row pools to what torch yields for that head —
+   * a ZERO vector for EmbeddingBag(mode=mean) with an all-padding bag,
+   * NaN (0/0) for Embedding(...).mean(dim=1) over zero tokens.
    */
   def forwardTokensBatch(rows: Array[Array[Int]]): Array[Float] = {
     val e = embedHead.getOrElse(
@@ -111,11 +112,16 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         }
         t += 1
       }
+      // empty-row semantics differ per head: EmbeddingBag(mode=mean)
+      // leaves its zero-initialized sum and skips the divide when no
+      // non-padding token exists (torch yields a ZERO vector), while
+      // Embedding(...).mean(dim=1) over zero tokens is 0/0 = NaN
       val denom = if (e.padIdx >= 0) cnt else toks.length
+      val empty: Float = if (e.padIdx >= 0) 0.0f else Float.NaN
       var j = 0
       while (j < e.embDim) {
         pooled(i * e.embDim + j) =
-          if (denom == 0) Float.NaN else (acc(j) / denom).toFloat
+          if (denom == 0) empty else (acc(j) / denom).toFloat
         j += 1
       }
       i += 1

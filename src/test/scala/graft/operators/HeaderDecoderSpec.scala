@@ -325,7 +325,8 @@ class HeaderDecoderSpec extends AnyFunSuite {
     * extension block, sub-block-chunked LZW data. */
   private def gifFull(w: Int, h: Int, palette: Array[Byte], indices: Array[Byte],
       minCode: Int, interlaced: Boolean = false, subBlock: Int = 255,
-      extension: Boolean = false, localPalette: Boolean = false): Array[Byte] = {
+      extension: Boolean = false, localPalette: Boolean = false,
+      frame: Option[(Int, Int, Int, Int)] = None): Array[Byte] = {
     require(palette.length % 3 == 0)
     val palBits = {
       var n = 1
@@ -346,8 +347,9 @@ class HeaderDecoderSpec extends AnyFunSuite {
       bos.write(0x21); bos.write(0xfe); bos.write(3)
       bos.write("abc".getBytes); bos.write(0)
     }
-    bos.write(0x2c) // image descriptor
-    le16(0); le16(0); le16(w); le16(h)
+    bos.write(0x2c) // image descriptor (optionally a sub-frame)
+    val (fl, ft, fw, fh) = frame.getOrElse((0, 0, w, h))
+    le16(fl); le16(ft); le16(fw); le16(fh)
     bos.write((if (interlaced) 0x40 else 0) | (if (localPalette) 0x80 | palBits else 0))
     if (localPalette) bos.write(palPadded)
     bos.write(minCode)
@@ -407,6 +409,28 @@ class HeaderDecoderSpec extends AnyFunSuite {
     assert(px.length == 4096 * 3)
     val got = Array.tabulate[Byte](4096)(i => px(i * 3))
     assert(got.toSeq == idx.map(i => pal(i * 3)).toSeq, "LZW stream mismatch")
+  }
+
+  test("GIF pixel decode: sub-frame composites onto the logical screen at its offset") {
+    // 4x4 screen, 2x2 frame at (1,1): decoded dims must be the SCREEN
+    // (matching HeaderDecoder's metadata), frame pixels at the offset,
+    // the rest filled with the background color (index 0)
+    val pal = Array[Byte](90, 91, 92, /**/ 10, 11, 12, /**/ 20, 21, 22, /**/ 30, 31, 32)
+    val idx = Array[Byte](1, 2, 2, 1) // the 2x2 frame
+    val g = gifFull(4, 4, pal, idx, minCode = 2, frame = Some((1, 1, 2, 2)))
+    val Some((w, h, c, px)) = Multimodal.PixelDecoder.decode(g)
+    assert((w, h, c) == (4, 4, 3))
+    assert(Multimodal.HeaderDecoder.decode(g).map(m => (m._1, m._2)) == Some((4, 4)))
+    def rgb(x: Int, y: Int) = (px((y * 4 + x) * 3), px((y * 4 + x) * 3 + 1), px((y * 4 + x) * 3 + 2))
+    assert(rgb(0, 0) == ((90: Byte, 91: Byte, 92: Byte)), "background fill")
+    assert(rgb(3, 3) == ((90: Byte, 91: Byte, 92: Byte)), "background fill")
+    assert(rgb(1, 1) == ((10: Byte, 11: Byte, 12: Byte)), "frame (0,0) at offset")
+    assert(rgb(2, 1) == ((20: Byte, 21: Byte, 22: Byte)))
+    assert(rgb(1, 2) == ((20: Byte, 21: Byte, 22: Byte)))
+    assert(rgb(2, 2) == ((10: Byte, 11: Byte, 12: Byte)))
+    // a frame that overflows the screen is rejected, not blitted OOB
+    assert(Multimodal.PixelDecoder.decode(
+      gifFull(4, 4, pal, idx, minCode = 2, frame = Some((3, 3, 2, 2)))).isEmpty)
   }
 
   test("GIF pixel decode: malformed streams return None, never throw") {

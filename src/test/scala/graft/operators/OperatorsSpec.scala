@@ -776,8 +776,11 @@ class OperatorsSpec extends AnyFunSuite {
   test("tokenBudgetSample two-level prefix sum is bit-identical to the naive window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // 3 strata x ~700 rows; enough ids to spread over many hex blocks
-    val docs = (1 to 2000).map(i => (i.toLong * 7919L, s"s${i % 3}", (i % 97 + 1).toLong))
+    // 3 strata x ~700 rows plus a NULL stratum (a stratum of its own
+    // under Window.partitionBy null-grouping — the join must be
+    // null-safe or these rows silently vanish)
+    val docs = (1 to 2000).map(i =>
+        (i.toLong * 7919L, if (i % 11 == 0) null else s"s${i % 3}", (i % 97 + 1).toLong))
       .toDF("id", "src", "toks")
     val twoLevel = Mix.tokenBudgetSample(docs, "src", "id", col("toks"), 9000L)
       .select("id", "tokens_before").as[(Long, Long)].collect().toMap

@@ -367,6 +367,9 @@ class TorchCodeSpec extends AnyFunSuite {
     // variable-length batch: rows pool independently
     val batch = m.forwardTokensBatch(Array(toks, Array(0), Array(7, 7)))
     for (j <- 0 until 3) assert(math.abs(batch(j) - expected(j)) < 1e-5)
+    // empty token row through Embedding(...).mean(1): 0/0 -> NaN, as
+    // torch's mean over an empty dim (contrast the EmbeddingBag test)
+    assert(m.forwardTokens(Array.empty[Int]).forall(_.isNaN))
     // out-of-range id fails loudly, like torch's index check
     val oob = intercept[IllegalArgumentException](m.forwardTokens(Array(11)))
     assert(oob.getMessage.contains("out of range"))
@@ -406,8 +409,12 @@ class TorchCodeSpec extends AnyFunSuite {
     val expected = mm(pooled, w0, b0, 2, 3)
     val got = m.forwardTokens(toks)
     for (j <- 0 until 2) assert(math.abs(got(j) - expected(j)) < 1e-5)
-    // all-padding row pools to NaN (0/0), as torch does
-    assert(m.forwardTokens(Array(0, 0)).forall(_.isNaN))
+    // all-padding bag: torch's embedding_bag leaves the zero-init sum
+    // (no divide), so the pooled vector is ZERO and the logits are the
+    // linear layer's bias — not NaN
+    val emptyBag = m.forwardTokens(Array(0, 0))
+    val biasOnly = mm(Array.fill(embDim)(0.0), w0, b0, 2, 3)
+    for (j <- 0 until 2) assert(math.abs(emptyBag(j) - biasOnly(j)) < 1e-6)
   }
 
   test("unpooled embedding output and non-dim-1 mean fail loudly at load") {
