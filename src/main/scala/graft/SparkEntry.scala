@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ArgMax, RollingHash64, SimHash64}
+import graft.functions.{ArgMax, RollingHash64, SimHash64, TopKAgg}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
 import graft.torch.{ActOp, EmbeddingMeanOp, LinearLayer, Torch, TorchConf, TorchOracle, TorchScriptModel}
 
@@ -1247,6 +1247,46 @@ object SparkEntry {
           (col("__mm") === 0).as("deterministic"))
     },
 
+    // Spark 4 VARIANT surface: parse_json shreds the props string into
+    // the binary semi-structured VARIANT type ONCE per row; typed field
+    // access via variant_get stays codegen'd (no per-field string
+    // re-parse, the scale win over repeated get_json_object at 100 TB),
+    // try_variant_get yields null on a missing path, and
+    // schema_of_variant exposes the inferred shape. The VARIANT itself
+    // never reaches the output schema — only extracted plain types.
+    "q110_variant" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(expr("variant_get(v, '$.k', 'int')")), 4).as("avg_k"),
+          max(expr("variant_get(v, '$.k', 'int')")).as("max_k"),
+          count(expr("try_variant_get(v, '$.missing', 'string')"))
+            .as("n_missing"),
+          min(expr("schema_of_variant(v)")).as("vschema"))
+        .orderBy("event_type")),
+
+    // Domain caps via the exact bounded top-k Aggregator: keep each
+    // source's 20 largest documents (n_chars DESC, doc_id tiebreak).
+    // The mergeable O(k)-state buffer crosses the shuffle instead of
+    // the row stream — the scale-correct alternative to the
+    // row_number window, whose PARTITION BY source would sort ALL
+    // rows inside a handful of serial partitions (the low-cardinality
+    // shape tokenBudgetSample/curriculumOrder were rebuilt to avoid).
+    "q111_domain_cap" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(TopKAgg.top_k(s, col("n_chars"), col("doc_id"), 20).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(
+          col("source"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("col.id").as("doc_id"),
+          col("col.score").as("n_chars"))
+        .orderBy("source", "rnk")
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -2027,6 +2067,29 @@ object SparkEntry {
         | CAST(CASE (SELECT count(*) FROM orders)
         |   WHEN 15000 THEN 1585 WHEN 150000 THEN 14885 ELSE -1 END AS BIGINT) AS n_sampled,
         | true AS deterministic""".stripMargin,
+
+    // VARIANT: DuckDB re-derives every extracted field from the same
+    // JSON text; the inferred-schema string is pinned (every props row
+    // is the single-key {"k": int} object, verified by n_missing = 0
+    // coming from a really-absent path).
+    "q110_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+        | CAST(count(json_extract_string(props, '$.missing')) AS BIGINT) AS n_missing,
+        | 'OBJECT<k: BIGINT>' AS vschema
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Domain cap: DuckDB's row_number window is the exact spec the
+    // bounded top-k Aggregator must reproduce (same deterministic
+    // n_chars DESC, doc_id ASC order).
+    "q111_domain_cap" ->
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin,
 
     // IVFADC: same per-SF pinned recall discipline as q99 (seeded
     // coarse + residual-PQ quantizers, exact rerank — deterministic).

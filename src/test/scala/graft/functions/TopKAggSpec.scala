@@ -1,0 +1,75 @@
+package graft.functions
+
+import scala.util.Random
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ref(xs: Seq[ScoredId], k: Int): Seq[ScoredId] =
+    xs.sortBy(x => (-x.score, x.id)).take(k)
+
+  test("reduce/merge keep the exact global top-k under any split (property)") {
+    val rnd = new Random(7)
+    for (trial <- 0 until 200) {
+      val k = 1 + rnd.nextInt(8)
+      val agg = new TopKAgg(k)
+      val n = rnd.nextInt(60)
+      // duplicate scores on purpose to exercise the id tiebreak
+      val xs = Seq.fill(n)(ScoredId(rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+        .distinctBy(_.id)
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(bl, br)
+      assert(merged == ref(xs, k), s"trial $trial k=$k xs=$xs")
+      // merge must be symmetric for a shuffle-order-independent result
+      assert(agg.merge(br, bl) == merged)
+    }
+  }
+
+  test("ties break by ascending id, buffer never exceeds k") {
+    val agg = new TopKAgg(3)
+    val xs = Seq(ScoredId(5, 9), ScoredId(5, 2), ScoredId(5, 7), ScoredId(5, 1))
+    val buf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(buf == Seq(ScoredId(5, 1), ScoredId(5, 2), ScoredId(5, 7)))
+    assert(buf.length == 3)
+  }
+
+  test("end-to-end over a DataFrame groupBy equals the window spec") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val df = (0 until 5000)
+      .map(i => (s"src${i % 7}", rnd.nextInt(100).toLong, i.toLong))
+      .toDF("source", "score", "id")
+      .repartition(13) // force multi-partition partial aggregation
+    val got = df.groupBy("source")
+      .agg(TopKAgg.top_k(spark, col("score"), col("id"), 10).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).as("rnk"),
+        col("col.score").as("score"), col("col.id").as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("id"))
+    val want = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 10)
+      .select("source", "rnk", "score", "id")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("partial aggregation crosses the shuffle (no full-row exchange sort)") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => ("s", i.toLong, i.toLong)).toDF("source", "score", "id")
+    val plan = df.groupBy("source")
+      .agg(TopKAgg.top_k(spark, col("score"), col("id"), 5).as("top"))
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate runs in partial + final mode around the
+    // exchange; a window plan would show Sort + Window instead.
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
