@@ -1287,6 +1287,39 @@ object SparkEntry {
         .orderBy("source", "rnk")
     },
 
+    // Batch IVFADC — the retrieval-at-corpus-scale shape ("for every
+    // document, find its neighbors"): every 7th vector (~14% of the
+    // corpus, above the 10% bar) queries the index at once. Per-query
+    // LUTs are built EXECUTOR-side inside a cell-keyed cogroup —
+    // nothing per-query is broadcast, the 100 TB fix over q106's
+    // all-queries LUT broadcast (spec-asserted bit-identical to it).
+    // Recall is gauged on a 20-query subset against exact brute force;
+    // n_result_rows certifies every query got its full top-5.
+    "q112_ann_ivfpq_batch" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qs = emb.filter(col("vec_id") % 7 === 0)
+      val gauge = qs.filter(col("vec_id") < 140)
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 16, m = 8, ksub = 32)
+      val codes = graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix)
+      val res = graft.operators.Similarity
+        .ivfPqTopKBatchReranked(emb, codes, qs, "vec_id", "embedding", ix,
+          k = 5, shortlist = 100, nprobe = 14)
+      val brute = graft.operators.Similarity
+        .bruteForceTopK(emb, gauge, "vec_id", "embedding", k = 5)
+        .select("q_id", "vec_id")
+      val hits = res.select("q_id", "vec_id").withColumn("hit", lit(1))
+      val rec = brute.join(hits, Seq("q_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+      val stats = res.agg(count(lit(1)).as("n_result_rows"),
+        countDistinct("q_id").as("n_queries"))
+      rec.crossJoin(broadcast(stats))
+        .select(lit("ivfpq_batch_recall_at_5").as("metric"),
+          col("n_queries"), col("n_result_rows"),
+          (floor(col("recall") * 20) / 20).as("recall_floor"),
+          (col("recall") >= 0.65).as("pass"))
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -2098,6 +2131,17 @@ object SparkEntry {
         | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
         | CAST(CASE (SELECT count(*) FROM embeddings)
         |   WHEN 500 THEN 0.95 WHEN 2000 THEN 0.75 ELSE -1 END AS DOUBLE) AS recall_floor,
+        | true AS pass""".stripMargin,
+
+    // Batch IVFADC: deterministic (seeded quantizers + exact rerank),
+    // so the gauge recall and the all-queries result volume pin per SF.
+    "q112_ann_ivfpq_batch" ->
+      """SELECT 'ivfpq_batch_recall_at_5' AS metric,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0) AS n_queries,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 360 WHEN 2000 THEN 1430 ELSE -1 END AS BIGINT) AS n_result_rows,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 0.95 WHEN 2000 THEN 0.85 ELSE -1 END AS DOUBLE) AS recall_floor,
         | true AS pass""".stripMargin,
 
     "q98_curriculum" ->

@@ -974,6 +974,160 @@ object Similarity {
   }
 
   /**
+   * Batch IVFADC top-k — the query-set-at-corpus-scale variant of
+   * [[ivfPqTopK]]. That path ships every query's nprobe LUTs in ONE
+   * broadcast (~nprobe*m*ksub doubles per query), which is correct for
+   * bounded query sets but breaks when the query set approaches the
+   * corpus (the batch retrieval/dedup shape: "for EVERY document, find
+   * its neighbors"). Here nothing per-query is broadcast:
+   *
+   *  1. only the trained index (nlist*dim + m*ksub*dsub doubles —
+   *     fixed model size, independent of both corpus and query count)
+   *     travels as a broadcast;
+   *  2. each query emits its nprobe (cell, unit-vector) probe rows —
+   *     dim doubles each, CHEAPER than the m*ksub-double LUT it
+   *     replaces — and both probes and codes shuffle on `cell`;
+   *  3. a sort-based cogroup per cell materializes that cell's probing
+   *     queries (≈ Q*nprobe/nlist of them), builds each one's residual
+   *     LUT ONCE executor-side, then STREAMS the cell's code rows
+   *     (never materialized — hot cells on the corpus side cost no
+   *     memory), maintaining a bounded O(k) top-k buffer per query;
+   *  4. only ≤ k survivors per (query, cell) leave the task — the
+   *     final exact per-query top-k merges ≤ nprobe*k rows per query,
+   *     keyed by the high-cardinality q_id.
+   *
+   * Any global top-k row is necessarily in its own cell's per-cell
+   * top-k, and LUT/ADC arithmetic reproduces [[ivfPqTopK]]'s operation
+   * order exactly, so the result is bit-identical to the broadcast
+   * path (spec-asserted) — same output schema, same pinned-recall
+   * discipline. Per-task memory is bounded by (queries probing the
+   * cell) * (m*ksub + 2k) doubles; a query-side hot cell can be split
+   * by query-hash blocks like [[semanticDedup]]'s guard, not needed
+   * while nprobe*Q/nlist fits comfortably in a task.
+   */
+  def ivfPqTopKBatch(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.coarse.length, "nprobe must be in [1, nlist]")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    // (cell, q_id, unit): the probe rows — no LUT travels, just the
+    // query vector, exploded to its nprobe nearest coarse cells
+    val probeCells = udf { qUnit: Seq[Double] =>
+      if (qUnit == null) null
+      else {
+        val coarse = bc.value.coarse
+        coarse.indices.map { c =>
+          var d = 0.0; var j = 0
+          while (j < qUnit.length) { val df = qUnit(j) - coarse(c)(j); d += df * df; j += 1 }
+          (c, d)
+        }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
+      }
+    }
+    val probes = normalized(queries, embCol)
+      .select(col(idCol).cast("long").as("q_id"), col("__unit"),
+        probeCells(col("__unit")).as("__cells"))
+      .filter(col("__cells").isNotNull) // null-embedding queries have no neighbors
+      .select(explode(col("__cells")).as("cell"), col("q_id"), col("__unit"))
+      .as[(Int, Long, Array[Double])]
+    val cd = codes.select(col("cell"), col("vec_id").cast("long"), col("codes"))
+      .as[(Int, Long, Array[Int])]
+    val perCell = probes.groupByKey(_._1).cogroup(cd.groupByKey(_._1)) { (cell, qIt, cIt) =>
+      val qs = qIt.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val ix = bc.value
+        val b = ix.books
+        val ct = ix.coarse(cell)
+        // one LUT per probing query, built ONCE per (query, cell) —
+        // identical arithmetic (and operation order) to ivfPqTopK's
+        // probe UDF, so ADC sums are bit-equal across the two paths
+        val luts = qs.map { case (_, _, qUnit) =>
+          Array.tabulate(b.m) { s =>
+            val cents = b.centroids(s)
+            Array.tabulate(cents.length) { cc =>
+              var d = 0.0; var j = 0
+              while (j < b.dsub) {
+                val diff = (qUnit(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
+                d += diff * diff; j += 1
+              }
+              d
+            }
+          }
+        }
+        // bounded per-query top-k: a max-heap on (adc, vec_id) —
+        // head is the WORST kept candidate, evicted when a better one
+        // arrives — O(k) memory per query, codes side streamed
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        cIt.foreach { case (_, vid, cs) =>
+          var i = 0
+          while (i < qs.length) {
+            if (vid != qs(i)._2) {
+              val lut = luts(i)
+              var d = 0.0; var s = 0
+              while (s < cs.length) { d += lut(s)(cs(s)); s += 1 }
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((d, vid))
+              else if (ord.lt((d, vid), h.head)) { h.dequeue(); h.enqueue((d, vid)) }
+            }
+            i += 1
+          }
+        }
+        qs.indices.iterator.flatMap { i =>
+          val qid = qs(i)._2
+          heaps(i).iterator.map { case (d, vid) => (qid, vid, d) }
+        }
+      }
+    }.toDF("q_id", "vec_id", "adc")
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    perCell
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("adc"), 6).as("adc"))
+  }
+
+  /**
+   * Batch IVFADC with exact rerank: [[ivfPqTopKBatch]] shortlists,
+   * then full-precision cosine re-ranks — [[ivfPqTopKReranked]] for
+   * query sets too large to broadcast. Both rerank joins are keyed
+   * shuffles (vec_id, then q_id); nothing scales with Q except
+   * Q-proportional row counts.
+   */
+  def ivfPqTopKBatchReranked(
+      corpus: DataFrame,
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      k: Int,
+      shortlist: Int,
+      nprobe: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = corpus.sparkSession
+    val cand = ivfPqTopKBatch(codes, queries, idCol, embCol, index, k = shortlist, nprobe)
+      .select("q_id", "vec_id")
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"), asDouble(col(embCol)).as("ce"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"), asDouble(col(embCol)).as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(c, Seq("vec_id"))
+      .join(q, Seq("q_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: signatures are split into
    * `bands` chunks; query and corpus rows sharing any chunk value are
    * candidates, ranked by exact cosine. Recall < 1 by construction —

@@ -13,7 +13,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.01")
     for (q <- args) {
       println(s"=== $q ===")
       SparkEntry.queries(q)(spark, dir).show(50, truncate = false)

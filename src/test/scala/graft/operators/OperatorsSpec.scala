@@ -1220,6 +1220,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
   }
 
+  test("batch IVFADC == broadcast IVFADC bit-for-bit; no per-query broadcast join") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val ix = Similarity.ivfPqTrain(base, "embedding", dim = 64, nlist = 8, m = 8, ksub = 32)
+    val codes = Similarity.ivfPqEncode(base, "vec_id", "embedding", ix)
+    // the batch shape: the query set IS the corpus (100% — beyond the
+    // >=10% bar), so the per-query LUT broadcast of ivfPqTopK would
+    // scale with N; the batch path must reproduce it exactly anyway
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ref = key(Similarity.ivfPqTopK(codes, base, "vec_id", "embedding", ix, 5, 4))
+    val bat = key(Similarity.ivfPqTopKBatch(codes, base, "vec_id", "embedding", ix, 5, 4))
+    assert(bat == ref, s"batch/broadcast mismatch: ${bat.diff(ref)} vs ${ref.diff(bat)}")
+    // reranked variant agrees too (exact cosine removes ADC rounding)
+    val refR = key(Similarity.ivfPqTopKReranked(base, codes, base, "vec_id", "embedding",
+      ix, k = 5, shortlist = 50, nprobe = 8))
+    val batR = key(Similarity.ivfPqTopKBatchReranked(base, codes, base, "vec_id", "embedding",
+      ix, k = 5, shortlist = 50, nprobe = 8))
+    assert(batR == refR)
+    // plan shape: candidates come from the cell-keyed cogroup — no
+    // broadcast scales with the query set, no product anywhere
+    val plan = Similarity.ivfPqTopKBatch(codes, base, "vec_id", "embedding", ix, 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CoGroup"), s"expected cell-keyed cogroup:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"per-query broadcast/product leaked into batch IVFADC plan:\n$plan")
+  }
+
   test("semanticDedupIncremental: twins dropped vs corpus, novel kept, stable cells") {
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"))
