@@ -283,6 +283,24 @@ object TorchCode {
     def isTorchNn: Boolean = fqName.contains(".torch.nn.modules.")
   }
 
+  /** The symbolic tensor flowing through the trace — shape CLASS, not
+   * concrete sizes (the batch and sequence dims stay free). */
+  sealed trait Sym
+  object Sym {
+    /** `(n, dim)` feature matrix; `dim == -1` until the first
+      * parameterized op binds it. */
+    final case class Flat(dim: Int) extends Sym
+    /** `(n, seq, emb)` embedding sequence (nn.Embedding output). */
+    final case class SeqEmb(emb: Int) extends Sym
+    /** `(n, ch, seq)` channel-major sequence (after transpose(1, 2) —
+      * Conv1d's input layout). */
+    final case class ChanSeq(ch: Int) extends Sym
+    /** `(n, ch, 1)` pooled but unflattened (AdaptiveMaxPool1d(1)
+      * output); flatten/squeeze converts to Flat(ch). */
+    final case class Pooled(ch: Int) extends Sym
+  }
+  import Sym._
+
   /** Trace context: resolves Linear weights against the archive and
    * collects the flat op list. */
   final class Tracer(
@@ -290,14 +308,13 @@ object TorchCode {
       materialize: Pickle.PTensor => Array[Float]) {
     val ops = IndexedSeq.newBuilder[TorchOp]
 
-    def trace(root: ModuleNode, inDim: Int): Int = applyModule(root, inDim)
+    def trace(root: ModuleNode, in: Sym): Sym = applyModule(root, in)
 
-    /** Apply a module to a symbolic tensor of `dim` features; returns
-     * the output feature dim. */
-    def applyModule(m: ModuleNode, dim: Int): Int =
-      if (m.isTorchNn) builtin(m, dim)
+    /** Apply a module to the symbolic tensor; returns the output shape. */
+    def applyModule(m: ModuleNode, s: Sym): Sym =
+      if (m.isTorchNn) builtinOp(m, s)
       else classes.get(m.fqName) match {
-        case Some(cd) => interpret(cd, m, dim)
+        case Some(cd) => interpret(cd, m, s)
         case None => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
           "(no builtin and no serialized forward code)")
       }
@@ -319,18 +336,16 @@ object TorchCode {
         case Some(other) => sys.error(s"${m.fqName}: non-float attr $key = $other")
       }
 
-    /** Pre-pool marker: Embedding output is a (seq, embDim) sequence,
-      * encoded as -(embDim + 2) until a mean(dim=1) pools it. Only the
-      * eval-mode no-ops may pass it through — anything else computing
-      * on the sequence would need per-position execution we don't do. */
-    private def prePool(embDim: Int): Int = -(embDim + 2)
-
-    private def builtin(m: ModuleNode, dim: Int): Int = {
-      if (dim < -1 && !Set("Identity", "Dropout")(m.simpleName))
-        sys.error(s"${m.fqName} applied to an unpooled embedding sequence " +
-          "(only mean(dim=1) may follow Embedding)")
-      builtinOp(m, dim)
-    }
+    /** Conv/pool hyper-params serialize as ints OR 1-tuples depending
+      * on module and torch version; accept both. */
+    private def sizeAttr(m: ModuleNode, key: String, dflt: Long): Long =
+      m.attrs.get(key) match {
+        case Some(n: Long) => n
+        case Some(Pickle.PInt(n)) => n
+        case Some(Pickle.PTuple(Vector(Pickle.PInt(n)))) => n
+        case Some(null) | None => dflt
+        case Some(other) => sys.error(s"${m.fqName}: non-size attr $key = $other")
+      }
 
     private def embeddingWeight(m: ModuleNode): Pickle.PTensor =
       m.attrs.get("weight") match {
@@ -338,20 +353,29 @@ object TorchCode {
         case other => sys.error(s"${m.fqName}: missing 2-D tensor 'weight' (got $other)")
       }
 
-    private def builtinOp(m: ModuleNode, dim: Int): Int = m.simpleName match {
+    /** Flat-only ops reject sequence shapes with a pointed message. */
+    private def flatDim(m: ModuleNode, s: Sym): Int = s match {
+      case Flat(d) => d
+      case Pooled(_) => sys.error(s"${m.fqName} applied to an unflattened " +
+        "(n, ch, 1) pool output (flatten/squeeze missing)")
+      case other => sys.error(s"${m.fqName} applied to an unpooled sequence " +
+        s"($other): pool it (mean(dim=1) / AdaptiveMaxPool1d) first")
+    }
+
+    private def builtinOp(m: ModuleNode, s: Sym): Sym = m.simpleName match {
       case "Embedding" =>
         // token-id input -> (seq, embDim); a padding_idx row (if any)
         // participates with its stored vector, exactly as torch looks
-        // it up — the following mean(1) divides by the full length
-        require(dim == -1, s"${m.fqName}: embedding must consume the raw token input")
+        // it up — a following mean(1) divides by the full length
+        require(s == Flat(-1), s"${m.fqName}: embedding must consume the raw token input")
         val w = embeddingWeight(m)
-        ops += EmbeddingMeanOp(materialize(w), w.shape(0), w.shape(1), padIdx = -1)
-        prePool(w.shape(1))
+        ops += EmbeddingSeqOp(materialize(w), w.shape(0), w.shape(1))
+        SeqEmb(w.shape(1))
       case "EmbeddingBag" =>
         // fastText head: lookup + pool in one module. mode='mean' only;
         // padding_idx entries are excluded from numerator AND
         // denominator (torch's EmbeddingBag padding semantics).
-        require(dim == -1, s"${m.fqName}: embedding must consume the raw token input")
+        require(s == Flat(-1), s"${m.fqName}: embedding must consume the raw token input")
         val mode = m.attrs.get("mode") match {
           case Some(s: String) => s
           case None => "mean"
@@ -367,7 +391,7 @@ object TorchCode {
         val w = embeddingWeight(m)
         require(padIdx < w.shape(0), s"${m.fqName}: padding_idx $padIdx out of vocab")
         ops += EmbeddingMeanOp(materialize(w), w.shape(0), w.shape(1), padIdx)
-        w.shape(1)
+        Flat(w.shape(1))
       case "Linear" =>
         val w = m.attrs.get("weight") match {
           case Some(t: Pickle.PTensor) => t
@@ -377,6 +401,7 @@ object TorchCode {
         val (out, in) = (w.shape(0), w.shape(1))
         // dim == -1: the symbolic input whose dim the first executed
         // Linear binds (activations before it don't change the count)
+        val dim = flatDim(m, s)
         require(dim == -1 || dim == in, s"Linear(${in}→$out) applied to $dim features")
         val bias = m.attrs.get("bias") match {
           case Some(t: Pickle.PTensor) =>
@@ -387,23 +412,84 @@ object TorchCode {
           case other => sys.error(s"linear module missing tensor 'bias' (got $other)")
         }
         ops += LinearLayer(materialize(w), bias, outDim = out, inDim = in)
-        out
-      case "ReLU" => ops += ActOp("relu"); dim
-      case "Sigmoid" => ops += ActOp("sigmoid"); dim
-      case "Tanh" => ops += ActOp("tanh"); dim
-      case "GELU" => ops += ActOp("gelu"); dim
-      case "SiLU" => ops += ActOp("silu"); dim
+        Flat(out)
+      case "Conv1d" =>
+        // channel-major input only: (n, inCh, L) — exactly torch's
+        // contract, so an un-transposed embedding fails loudly here
+        val ch = s match {
+          case ChanSeq(c) => c
+          case SeqEmb(_) => sys.error(s"${m.fqName} applied to the (n, seq, emb) " +
+            "embedding output: transpose(1, 2) missing before Conv1d")
+          case other => sys.error(s"${m.fqName} needs (n, ch, seq) input, got $other")
+        }
+        val w = m.attrs.get("weight") match {
+          case Some(t: Pickle.PTensor) if t.shape.length == 3 => t
+          case other => sys.error(s"${m.fqName}: missing 3-D tensor 'weight' (got $other)")
+        }
+        val (outCh, inCh, k) = (w.shape(0), w.shape(1), w.shape(2))
+        require(ch == inCh, s"Conv1d(in=$inCh) applied to $ch channels")
+        require(sizeAttr(m, "groups", 1) == 1, s"${m.fqName}: grouped conv unsupported")
+        val padding = m.attrs.get("padding") match {
+          case Some("valid") | Some(Pickle.PStr("valid")) => 0L
+          case _ => sizeAttr(m, "padding", 0)
+        }
+        require(padding == 0, s"${m.fqName}: padding $padding unsupported (0 only)")
+        require(sizeAttr(m, "dilation", 1) == 1, s"${m.fqName}: dilation unsupported")
+        val stride = sizeAttr(m, "stride", 1).toInt
+        require(stride >= 1, s"${m.fqName}: stride $stride invalid")
+        val bias = m.attrs.get("bias") match {
+          case Some(t: Pickle.PTensor) =>
+            require(t.shape.length == 1 && t.shape(0) == outCh,
+              s"bias shape ${t.shape} incompatible with weight ${w.shape}")
+            materialize(t)
+          case Some(null) | Some(Pickle.PNone) | None => new Array[Float](outCh)
+          case other => sys.error(s"${m.fqName}: bad conv bias $other")
+        }
+        ops += Conv1dOp(materialize(w), bias, outCh, inCh, k, stride)
+        ChanSeq(outCh)
+      case "MaxPool1d" =>
+        s match {
+          case ChanSeq(c) =>
+            val k = sizeAttr(m, "kernel_size", -1).toInt
+            require(k >= 1, s"${m.fqName}: kernel_size missing")
+            val stride = sizeAttr(m, "stride", k).toInt // torch default: stride = kernel
+            require(sizeAttr(m, "padding", 0) == 0, s"${m.fqName}: padding unsupported")
+            require(sizeAttr(m, "dilation", 1) == 1, s"${m.fqName}: dilation unsupported")
+            m.attrs.get("ceil_mode") match {
+              case Some(true) | Some(Pickle.PBool(true)) =>
+                sys.error(s"${m.fqName}: ceil_mode unsupported")
+              case _ =>
+            }
+            ops += MaxPool1dOp(k, stride)
+            ChanSeq(c)
+          case other => sys.error(s"${m.fqName} needs (n, ch, seq) input, got $other")
+        }
+      case "AdaptiveMaxPool1d" | "AdaptiveAvgPool1d" =>
+        s match {
+          case ChanSeq(c) =>
+            val outSize = sizeAttr(m, "output_size", -1)
+            require(outSize == 1,
+              s"${m.fqName}: output_size $outSize unsupported (1 = global pool only)")
+            ops += (if (m.simpleName == "AdaptiveMaxPool1d") SeqMaxPoolOp else SeqAvgPoolOp)
+            Pooled(c)
+          case other => sys.error(s"${m.fqName} needs (n, ch, seq) input, got $other")
+        }
+      case "ReLU" => ops += ActOp("relu"); s
+      case "Sigmoid" => ops += ActOp("sigmoid"); s
+      case "Tanh" => ops += ActOp("tanh"); s
+      case "GELU" => ops += ActOp("gelu"); s
+      case "SiLU" => ops += ActOp("silu"); s
       case "LeakyReLU" =>
-        ops += ParamActOp("leaky_relu", floatAttr(m, "negative_slope", 0.01), 0); dim
-      case "ELU" => ops += ParamActOp("elu", floatAttr(m, "alpha", 1.0), 0); dim
+        ops += ParamActOp("leaky_relu", floatAttr(m, "negative_slope", 0.01), 0); s
+      case "ELU" => ops += ParamActOp("elu", floatAttr(m, "alpha", 1.0), 0); s
       case "Hardtanh" =>
         ops += ParamActOp("hardtanh",
           floatAttr(m, "min_val", -1.0), floatAttr(m, "max_val", 1.0))
-        dim
+        s
       case "Softplus" =>
         ops += ParamActOp("softplus",
           floatAttr(m, "beta", 1.0), floatAttr(m, "threshold", 20.0))
-        dim
+        s
       case "BatchNorm1d" =>
         // eval-mode BN is a per-feature affine; fold it at load time
         def vec(key: String): Array[Float] = m.attrs.get(key) match {
@@ -421,39 +507,52 @@ object TorchCode {
           case Some(t: Pickle.PTensor) => materialize(t)
           case _ => new Array[Float](mean.length)
         }
+        val dim = flatDim(m, s)
         require(dim == -1 || dim == mean.length,
           s"BatchNorm1d(${mean.length}) applied to $dim features")
         val scale = Array.tabulate(mean.length)(i =>
           (gamma(i) / math.sqrt(vr(i).toDouble + eps)).toFloat)
         val shift = Array.tabulate(mean.length)(i => beta(i) - mean(i) * scale(i))
         ops += ScaleShiftOp(scale, shift)
-        mean.length
+        Flat(mean.length)
       case "LayerNorm" =>
         def vecOr(key: String, n: Int, dflt: Float): Array[Float] = m.attrs.get(key) match {
           case Some(t: Pickle.PTensor) if t.shape.length == 1 => materialize(t)
           case _ => Array.fill(n)(dflt) // elementwise_affine=False
         }
+        val dim = flatDim(m, s)
         require(dim > 0, s"${m.fqName}: LayerNorm before any Linear needs a known dim")
         val gamma = vecOr("weight", dim, 1f)
         val beta = vecOr("bias", dim, 0f)
         require(gamma.length == dim,
           s"LayerNorm(${gamma.length}) applied to $dim features")
         ops += LayerNormOp(gamma, beta, floatAttr(m, "eps", 1e-5))
-        dim
+        Flat(dim)
       case "Softmax" | "LogSoftmax" =>
         val d = intAttr(m, "dim", -1L)
         require(d == -1L || d == 1L,
           s"${m.simpleName} over dim $d unsupported (feature dim only: -1 or 1)")
+        val dim = flatDim(m, s)
         ops += SoftmaxOp(log = m.simpleName == "LogSoftmax")
-        dim
-      case "Identity" | "Dropout" | "Flatten" => dim // eval-mode no-ops on (n, d)
+        Flat(dim)
+      case "Identity" | "Dropout" => s // eval-mode no-ops on any shape
+      case "Flatten" =>
+        // nn.Flatten(start_dim=1): (n, ch, 1) -> (n, ch); identity on
+        // an already-flat (n, d). A VARIABLE-length sequence cannot
+        // flatten into a fixed feature vector — loud failure.
+        s match {
+          case f: Flat => f
+          case Pooled(ch) => Flat(ch)
+          case other => sys.error(s"${m.fqName} on a variable-length sequence " +
+            s"($other): pool before flattening")
+        }
       case "Sequential" | "ModuleList" =>
         // code-backed container if its (mangled) class was serialized;
         // else registration order IS execution order for Sequential
         classes.get(m.fqName) match {
-          case Some(cd) => interpret(cd, m, dim)
+          case Some(cd) => interpret(cd, m, s)
           case None =>
-            var cur = dim
+            var cur = s
             for ((_, v) <- m.attrs) v match {
               case sub: ModuleNode => cur = applyModule(sub, cur)
               case _ => // training flag etc.
@@ -461,15 +560,16 @@ object TorchCode {
             cur
         }
       case other => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
-        "(builtin torch.nn surface: Linear, Embedding, EmbeddingBag, ReLU, " +
+        "(builtin torch.nn surface: Linear, Embedding, EmbeddingBag, Conv1d, " +
+        "MaxPool1d, AdaptiveMaxPool1d, AdaptiveAvgPool1d, ReLU, " +
         "Sigmoid, Tanh, GELU, SiLU, LeakyReLU, ELU, Hardtanh, Softplus, " +
         "Softmax, LogSoftmax, BatchNorm1d, LayerNorm, Identity, Dropout, " +
         "Flatten, Sequential)")
     }
 
-    /** Execute a parsed forward body with `self = m`, input dim `dim`. */
-    private def interpret(cd: ClassDef, m: ModuleNode, dim: Int): Int = {
-      val env = mutable.Map[String, Any](cd.paramName -> dim)
+    /** Execute a parsed forward body with `self = m`, input shape `in`. */
+    private def interpret(cd: ClassDef, m: ModuleNode, in: Sym): Sym = {
+      val env = mutable.Map[String, Any](cd.paramName -> in)
       def eval(e: Expr, line: String): Any = e match {
         case EName(n) => env.getOrElse(n,
           sys.error(s"TorchScript code: unbound name $n in: $line"))
@@ -483,41 +583,51 @@ object TorchCode {
             case other => sys.error(s"TorchScript code: .forward on non-module $other in: $line")
           }
           val d = eval(a, line) match {
-            case d: Int => d
+            case sy: Sym => sy
             case other => sys.error(s"TorchScript code: .forward on non-tensor $other in: $line")
           }
           applyModule(mod, d)
         case EFnCall(qual, args) =>
           val fn = qual.substring(qual.lastIndexOf('.') + 1)
-          def tensorArg: Int = eval(args.head, line) match {
-            case d: Int => d
+          def tensorArg: Sym = eval(args.head, line) match {
+            case sy: Sym => sy
             case other => sys.error(s"TorchScript code: $fn on non-tensor $other in: $line")
           }
-          def flat(d: Int): Int = {
-            if (d < -1) sys.error(s"TorchScript code: $fn on an unpooled embedding " +
-              s"sequence unsupported (only mean(dim=1)) in: $line")
-            d
+          def flat(sy: Sym): Sym = sy match {
+            case f: Flat => f
+            case other => sys.error(s"TorchScript code: $fn on an unpooled sequence " +
+              s"($other) unsupported in: $line")
+          }
+          /** A size argument that generated code writes as `2` or `[2]`. */
+          def sizeArg(i: Int, dflt: Long): Long = args.lift(i).map(a => eval(a, line)) match {
+            case None | Some(null) => dflt
+            case Some(n: Long) => n
+            case Some(Vector(n: Long)) => n
+            case Some(Vector()) => dflt // e.g. stride=[] -> default
+            case other => sys.error(s"TorchScript code: $fn arg $i = $other unsupported in: $line")
           }
           fn match {
             // evaluate the tensor arg FIRST: its sub-calls (e.g. the
             // nested Linear forward) must emit their ops before this one
             case "relu" | "sigmoid" | "tanh" | "gelu" | "silu" =>
-              val d = flat(tensorArg); ops += ActOp(fn); d
+              val sy = tensorArg; ops += ActOp(fn); sy // elementwise: any shape
             case "softmax" | "log_softmax" =>
-              val d = flat(tensorArg)
+              val sy = flat(tensorArg)
               args.lift(1).map(a => eval(a, line)) match {
                 case None | Some(-1L) | Some(1L) | Some(null) =>
                 case other => sys.error(s"TorchScript code: $fn over dim $other unsupported in: $line")
               }
               ops += SoftmaxOp(log = fn == "log_softmax")
-              d
+              sy
             case "mean" =>
               // only the Embedding -> mean(dim=1) pool: (n, seq, emb)
-              // -> (n, emb). The EmbeddingMeanOp already emitted does
-              // the pooling at execution; here the marker resolves.
-              val d = tensorArg
-              if (d >= -1) sys.error(s"TorchScript code: mean on a flat tensor " +
-                s"unsupported (Embedding output only) in: $line")
+              // -> (n, emb); fromBytes fuses the adjacent lookup+pool
+              // pair back into EmbeddingMeanOp
+              val emb = tensorArg match {
+                case SeqEmb(e) => e
+                case other => sys.error(s"TorchScript code: mean on $other " +
+                  s"unsupported (Embedding output only) in: $line")
+              }
               args.lift(1).map(a => eval(a, line)) match {
                 case Some(1L) | Some(Vector(1L)) =>
                 case other => sys.error(s"TorchScript code: mean over dims $other " +
@@ -527,19 +637,99 @@ object TorchCode {
                 case None | Some(false) | Some(null) => // keepdim=False
                 case other => sys.error(s"TorchScript code: mean keepdim $other unsupported in: $line")
               }
-              -d - 2 // pooled: (n, embDim)
-            case "flatten" | "dropout" => flat(tensorArg) // eval-mode no-ops on (n, d)
+              ops += SeqMeanPoolOp
+              Flat(emb)
+            case "transpose" =>
+              // torch.transpose(x, 1, 2): the layout flip between the
+              // embedding sequence and Conv1d's channel-major input
+              val sy = tensorArg
+              val dims = (sizeArg(1, -1), sizeArg(2, -1))
+              require(dims == (1L, 2L) || dims == (2L, 1L),
+                s"TorchScript code: transpose over dims $dims unsupported (1, 2 only) in: $line")
+              ops += TransposeOp
+              sy match {
+                case SeqEmb(e) => ChanSeq(e)
+                case ChanSeq(c) => SeqEmb(c)
+                case other => sys.error(s"TorchScript code: transpose(1, 2) on " +
+                  s"$other unsupported in: $line")
+              }
+            case "permute" =>
+              // torch.permute(x, [0, 2, 1]) — same flip as transpose(1, 2)
+              val sy = tensorArg
+              args.lift(1).map(a => eval(a, line)) match {
+                case Some(Vector(0L, 2L, 1L)) =>
+                case other => sys.error(s"TorchScript code: permute $other " +
+                  s"unsupported ([0, 2, 1] only) in: $line")
+              }
+              ops += TransposeOp
+              sy match {
+                case SeqEmb(e) => ChanSeq(e)
+                case ChanSeq(c) => SeqEmb(c)
+                case other => sys.error(s"TorchScript code: permute on $other " +
+                  s"unsupported in: $line")
+              }
+            case "max_pool1d" =>
+              val sy = tensorArg match {
+                case cs: ChanSeq => cs
+                case other => sys.error(s"TorchScript code: max_pool1d on $other " +
+                  s"(needs (n, ch, seq)) in: $line")
+              }
+              val k = sizeArg(1, -1)
+              require(k >= 1, s"TorchScript code: max_pool1d kernel missing in: $line")
+              val stride = sizeArg(2, k)
+              require(sizeArg(3, 0) == 0, s"TorchScript code: max_pool1d padding unsupported in: $line")
+              require(sizeArg(4, 1) == 1, s"TorchScript code: max_pool1d dilation unsupported in: $line")
+              args.lift(5).map(a => eval(a, line)) match {
+                case None | Some(false) | Some(null) =>
+                case other => sys.error(s"TorchScript code: max_pool1d ceil_mode $other unsupported in: $line")
+              }
+              ops += MaxPool1dOp(k.toInt, stride.toInt)
+              sy
+            case "adaptive_max_pool1d" | "adaptive_avg_pool1d" =>
+              val ch = tensorArg match {
+                case ChanSeq(c) => c
+                case other => sys.error(s"TorchScript code: $fn on $other " +
+                  s"(needs (n, ch, seq)) in: $line")
+              }
+              require(sizeArg(1, -1) == 1,
+                s"TorchScript code: $fn output_size != 1 unsupported in: $line")
+              ops += (if (fn == "adaptive_max_pool1d") SeqMaxPoolOp else SeqAvgPoolOp)
+              Pooled(ch)
+            case "flatten" =>
+              // torch.flatten(x, 1): (n, ch, 1) -> (n, ch); identity on
+              // flat input; a variable-length sequence cannot flatten
+              tensorArg match {
+                case f: Flat => f
+                case Pooled(ch) => Flat(ch)
+                case other => sys.error(s"TorchScript code: flatten on a " +
+                  s"variable-length sequence ($other) in: $line")
+              }
+            case "squeeze" =>
+              // torch.squeeze(x[, 2 | -1]): drops the pooled length-1 dim
+              tensorArg match {
+                case f: Flat => f // no size-1 dim: identity
+                case Pooled(ch) =>
+                  args.lift(1).map(a => eval(a, line)) match {
+                    case None | Some(2L) | Some(-1L) =>
+                    case other => sys.error(s"TorchScript code: squeeze dim $other " +
+                      s"unsupported in: $line")
+                  }
+                  Flat(ch)
+                case other => sys.error(s"TorchScript code: squeeze on $other " +
+                  s"unsupported in: $line")
+              }
+            case "dropout" => tensorArg // eval-mode no-op on any shape
             case other => sys.error(s"TorchScript code: unsupported function $qual in: $line")
           }
       }
-      var result: Option[Int] = None
+      var result: Option[Sym] = None
       for (st <- cd.body if result.isEmpty) {
         val v = eval(st.expr, st.line)
         st.lhs match {
           case Some(n) => env(n) = v
           case None => // return
             result = Some(v match {
-              case d: Int => d
+              case sy: Sym => sy
               case other => sys.error(s"TorchScript code: non-tensor return $other in: ${st.line}")
             })
         }

@@ -46,6 +46,46 @@ final case class LayerNormOp(gamma: Array[Float], beta: Array[Float], eps: Doubl
 final case class EmbeddingMeanOp(weight: Array[Float], vocab: Int, embDim: Int, padIdx: Int)
     extends TorchOp
 
+/** Embedding lookup WITHOUT pooling: token row (L ids) -> `(L, embDim)`
+  * sequence — the TextCNN head, where a transpose + Conv1d consumes the
+  * sequence instead of a mean pool. Always the FIRST op. A traced
+  * `nn.Embedding` + `.mean(dim=1)` pair is fused back to
+  * [[EmbeddingMeanOp]] at load time (see `TorchScriptModel.fromBytes`),
+  * so this op survives only when something other than a mean pool
+  * consumes the sequence. */
+final case class EmbeddingSeqOp(weight: Array[Float], vocab: Int, embDim: Int)
+    extends TorchOp
+
+/** `transpose(1, 2)`: `(L, emb)` <-> `(ch, L)` — the mandatory layout
+  * flip between an embedding sequence and Conv1d's channel-major input. */
+case object TransposeOp extends TorchOp
+
+/** 1-D convolution over `(inCh, L)`: weight row-major `(outCh, inCh, k)`,
+  * stride >= 1, no padding/dilation/groups (validated at trace time).
+  * Output `(outCh, (L - k) / stride + 1)`; L < k fails loudly, exactly
+  * like torch's output-size check. */
+final case class Conv1dOp(weight: Array[Float], bias: Array[Float],
+    outCh: Int, inCh: Int, k: Int, stride: Int) extends TorchOp
+
+/** Windowed max over the sequence dim of `(ch, L)` (nn.MaxPool1d,
+  * padding 0, dilation 1, floor mode). */
+final case class MaxPool1dOp(k: Int, stride: Int) extends TorchOp
+
+/** Global max over the sequence dim: `(ch, L)` -> `(ch)` — the
+  * AdaptiveMaxPool1d(1) + flatten pair of a TextCNN. */
+case object SeqMaxPoolOp extends TorchOp
+
+/** Global mean over the sequence dim: `(ch, L)` -> `(ch)`
+  * (AdaptiveAvgPool1d(1) + flatten). Empty sequence -> NaN (0/0),
+  * like torch's mean over an empty dim. */
+case object SeqAvgPoolOp extends TorchOp
+
+/** Mean pool over the POSITION dim of a `(L, emb)` embedding sequence
+  * -> `(emb)` — `.mean(dim=1)` when it could NOT be fused into
+  * [[EmbeddingMeanOp]] (never the case today; kept for completeness of
+  * the seq-phase op set). Empty sequence -> NaN. */
+case object SeqMeanPoolOp extends TorchOp
+
 /**
  * A TorchScript MLP loaded from a `torch.jit.save` archive, executed on
  * the JVM with a plain float GEMM (no libtorch).
@@ -64,15 +104,60 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
   /** Token-input (fastText-shape) models start with the embedding pool. */
   val embedHead: Option[EmbeddingMeanOp] =
     ops.headOption.collect { case e: EmbeddingMeanOp => e }
-  require(!ops.drop(1).exists(_.isInstanceOf[EmbeddingMeanOp]),
+  /** Token-input SEQUENCE models (TextCNN shape) start with the
+    * unpooled embedding; a pool op later collapses to a flat vector. */
+  val seqHead: Option[EmbeddingSeqOp] =
+    ops.headOption.collect { case e: EmbeddingSeqOp => e }
+  require(!ops.drop(1).exists(o =>
+      o.isInstanceOf[EmbeddingMeanOp] || o.isInstanceOf[EmbeddingSeqOp]),
     "embedding must be the first op (it consumes the raw token input)")
   /** Linear layers in execution order (first occurrence for shared). */
   val layers: IndexedSeq[LinearLayer] = ops.collect { case l: LinearLayer => l }
-  require(layers.nonEmpty || embedHead.isDefined, "model has no linear layers")
+  require(layers.nonEmpty || embedHead.isDefined || seqHead.isDefined,
+    "model has no linear layers")
+
+  /** For seq-head models: index of the pool op ending the sequence
+    * phase, and the flat width it produces — validated by walking the
+    * symbolic layout exactly like the load-time trace, so directly
+    * constructed op lists (no archive) get the same shape checks. */
+  private val (poolIdx: Int, pooledDim: Int) = seqHead match {
+    case None => (-1, -1)
+    case Some(e) =>
+      var mode = 0 // 0 = (L, emb), 1 = (ch, L), 2 = flat (pooled)
+      var width = e.embDim
+      var pool = -1
+      for ((op, i) <- ops.zipWithIndex.drop(1)) op match {
+        case TransposeOp =>
+          require(mode < 2, "transpose after the pool op"); mode = 1 - mode
+        case c: Conv1dOp =>
+          require(mode == 1, "Conv1d needs (n, ch, seq) input: transpose(1, 2) missing")
+          require(width == c.inCh, s"Conv1d(in=${c.inCh}) applied to $width channels")
+          width = c.outCh
+        case MaxPool1dOp(_, _) =>
+          require(mode == 1, "MaxPool1d needs (n, ch, seq) input")
+        case SeqMaxPoolOp | SeqAvgPoolOp =>
+          require(mode == 1, "adaptive pool needs (n, ch, seq) input")
+          require(pool < 0, "second pool op after the sequence already collapsed")
+          mode = 2; pool = i
+        case SeqMeanPoolOp =>
+          require(mode == 0, "mean(dim=1) needs the (n, seq, emb) embedding output")
+          require(pool < 0, "second pool op after the sequence already collapsed")
+          mode = 2; pool = i
+        case _: ActOp | _: ParamActOp => // elementwise: fine in any phase
+        case other =>
+          require(mode == 2,
+            s"${other.getClass.getSimpleName} on an unpooled sequence (pool op missing)")
+      }
+      require(pool >= 0,
+        "sequence model never pools to a fixed-size vector (adaptive pool / mean missing)")
+      (pool, width)
+  }
+
   /** -1 for token-input models: the input is a VARIABLE-length token-id
     * row, not a fixed feature vector — use [[forwardTokens]]. */
-  val inDim: Int = if (embedHead.isDefined) -1 else layers.head.inDim
-  val outDim: Int = layers.lastOption.map(_.outDim).getOrElse(embedHead.get.embDim)
+  val inDim: Int = if (embedHead.isDefined || seqHead.isDefined) -1 else layers.head.inDim
+  val outDim: Int = layers.lastOption.map(_.outDim)
+    .orElse(embedHead.map(_.embDim)).getOrElse(pooledDim)
 
   /** Single-row forward. */
   def forward(x: Array[Float]): Array[Float] = forwardBatch(x, 1)
@@ -91,6 +176,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
    * NaN (0/0) for Embedding(...).mean(dim=1) over zero tokens.
    */
   def forwardTokensBatch(rows: Array[Array[Int]]): Array[Float] = {
+    if (seqHead.isDefined) return forwardSeqBatch(rows)
     val e = embedHead.getOrElse(
       sys.error("not a token-input model: use forwardBatch"))
     val n = rows.length
@@ -135,9 +221,138 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
    * (reference src/udf.rs:211-213, 277).
    */
   def forwardBatch(x: Array[Float], n: Int): Array[Float] = {
-    require(embedHead.isEmpty, "token-input model: use forwardTokensBatch")
+    require(embedHead.isEmpty && seqHead.isEmpty,
+      "token-input model: use forwardTokensBatch")
     require(x.length == n * inDim, s"expected $n x $inDim = ${n * inDim} values, got ${x.length}")
     runOps(0, x, n, inDim)
+  }
+
+  /** Sequence-head (TextCNN) batch: each token row runs the per-row
+    * sequence phase (lookup -> transpose -> conv -> pool) into a fixed
+    * `pooledDim` vector; the flat tail then runs as one batched GEMM,
+    * same shape discipline as the fused embedding path. Rows shorter
+    * than a conv/pool kernel fail loudly, exactly like torch's
+    * output-size check. */
+  private def forwardSeqBatch(rows: Array[Array[Int]]): Array[Float] = {
+    val n = rows.length
+    val pooled = new Array[Float](n * pooledDim)
+    var i = 0
+    while (i < n) {
+      System.arraycopy(runSeqRow(rows(i)), 0, pooled, i * pooledDim, pooledDim)
+      i += 1
+    }
+    runOps(poolIdx + 1, pooled, n, pooledDim)
+  }
+
+  /** One token row through ops[0..poolIdx]: the current tensor is a
+    * `rows × cols` row-major matrix — `(L, emb)` after the lookup,
+    * `(ch, L)` after a transpose — collapsed to a `pooledDim` vector by
+    * the pool op. */
+  private def runSeqRow(toks: Array[Int]): Array[Float] = {
+    val e = seqHead.get
+    var rows = toks.length
+    var cols = e.embDim
+    var data = new Array[Float](rows * cols)
+    var p = 0
+    while (p < toks.length) {
+      val id = toks(p)
+      require(id >= 0 && id < e.vocab, s"token id $id out of range [0, ${e.vocab})")
+      System.arraycopy(e.weight, id * e.embDim, data, p * e.embDim, e.embDim)
+      p += 1
+    }
+    var oi = 1
+    while (oi < poolIdx) {
+      ops(oi) match {
+        case TransposeOp =>
+          val out = new Array[Float](rows * cols)
+          var r = 0
+          while (r < rows) {
+            var c = 0
+            while (c < cols) { out(c * rows + r) = data(r * cols + c); c += 1 }
+            r += 1
+          }
+          data = out
+          val t = rows; rows = cols; cols = t
+        case cv: Conv1dOp =>
+          require(cols >= cv.k,
+            s"Conv1d(kernel=${cv.k}) on a length-$cols sequence (need >= ${cv.k} tokens)")
+          val lout = (cols - cv.k) / cv.stride + 1
+          val out = new Array[Float](cv.outCh * lout)
+          var c = 0
+          while (c < cv.outCh) {
+            var q = 0
+            while (q < lout) {
+              var acc = cv.bias(c)
+              var d = 0
+              while (d < cv.inCh) {
+                val wOff = (c * cv.inCh + d) * cv.k
+                val xOff = d * cols + q * cv.stride
+                var j = 0
+                while (j < cv.k) { acc += cv.weight(wOff + j) * data(xOff + j); j += 1 }
+                d += 1
+              }
+              out(c * lout + q) = acc
+              q += 1
+            }
+            c += 1
+          }
+          data = out
+          rows = cv.outCh; cols = lout
+        case MaxPool1dOp(k, stride) =>
+          require(cols >= k,
+            s"MaxPool1d(kernel=$k) on a length-$cols sequence")
+          val lout = (cols - k) / stride + 1
+          val out = new Array[Float](rows * lout)
+          var r = 0
+          while (r < rows) {
+            var q = 0
+            while (q < lout) {
+              var mx = Float.NegativeInfinity
+              var j = 0
+              while (j < k) {
+                val v = data(r * cols + q * stride + j)
+                if (v > mx) mx = v
+                j += 1
+              }
+              out(r * lout + q) = mx
+              q += 1
+            }
+            r += 1
+          }
+          data = out
+          cols = lout
+        case ActOp(kind) => applyAct(data, kind)
+        case ParamActOp(kind, a, b) => applyParamAct(data, kind, a, b)
+        case other => sys.error(s"unexpected sequence-phase op $other") // poolIdx walk forbids
+      }
+      oi += 1
+    }
+    ops(poolIdx) match {
+      case SeqMaxPoolOp =>
+        require(cols > 0, "adaptive max pool over an empty sequence")
+        Array.tabulate(rows) { r =>
+          var mx = Float.NegativeInfinity
+          var q = 0
+          while (q < cols) { val v = data(r * cols + q); if (v > mx) mx = v; q += 1 }
+          mx
+        }
+      case SeqAvgPoolOp =>
+        Array.tabulate(rows) { r =>
+          var acc = 0.0
+          var q = 0
+          while (q < cols) { acc += data(r * cols + q); q += 1 }
+          (acc / cols).toFloat // cols == 0 -> 0/0 = NaN, torch's empty mean
+        }
+      case SeqMeanPoolOp =>
+        // (L, emb): mean over positions per embedding dim; L == 0 -> NaN
+        Array.tabulate(cols) { c =>
+          var acc = 0.0
+          var r = 0
+          while (r < rows) { acc += data(r * cols + c); r += 1 }
+          (acc / rows).toFloat
+        }
+      case other => sys.error(s"unexpected pool op $other")
+    }
   }
 
   /** Run ops[from..] over an `n × dim0` row-major batch. */
@@ -145,8 +360,11 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     var cur = x
     var curDim = dim0
     for (op <- ops.drop(from)) op match {
-      case _: EmbeddingMeanOp =>
+      case _: EmbeddingMeanOp | _: EmbeddingSeqOp =>
         sys.error("embedding op past the model head") // constructor forbids
+      case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | SeqMaxPoolOp |
+          SeqAvgPoolOp | SeqMeanPoolOp =>
+        sys.error("sequence op past the pool") // poolIdx walk forbids
       case l: LinearLayer =>
         require(curDim == l.inDim, s"linear expects ${l.inDim} features, got $curDim")
         val out = new Array[Float](n * l.outDim)
@@ -174,57 +392,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         // them in any real MLP; if not, copy so the caller's input
         // array is never mutated)
         if (cur eq x) cur = x.clone()
-        var i = 0
-        kind match {
-          case "relu" =>
-            while (i < cur.length) { if (cur(i) < 0f) cur(i) = 0f; i += 1 }
-          case "sigmoid" =>
-            while (i < cur.length) { cur(i) = (1.0 / (1.0 + math.exp(-cur(i).toDouble))).toFloat; i += 1 }
-          case "tanh" =>
-            while (i < cur.length) { cur(i) = math.tanh(cur(i).toDouble).toFloat; i += 1 }
-          case "gelu" =>
-            // exact (erf) form: 0.5·x·(1 + erf(x/√2)); erf via the
-            // Abramowitz-Stegun 7.1.26 rational approx (|err| < 1.5e-7,
-            // below float32 resolution)
-            while (i < cur.length) {
-              cur(i) = (0.5 * cur(i) * (1.0 + erf(cur(i) / math.sqrt(2.0)))).toFloat
-              i += 1
-            }
-          case "silu" => // x * sigmoid(x)
-            while (i < cur.length) {
-              val x0 = cur(i).toDouble
-              cur(i) = (x0 / (1.0 + math.exp(-x0))).toFloat
-              i += 1
-            }
-          case other => sys.error(s"unknown activation $other")
-        }
+        applyAct(cur, kind)
       case ParamActOp(kind, a, b) =>
         if (cur eq x) cur = x.clone()
-        var i = 0
-        kind match {
-          case "leaky_relu" =>
-            while (i < cur.length) {
-              if (cur(i) < 0f) cur(i) = (cur(i) * a).toFloat; i += 1
-            }
-          case "elu" =>
-            while (i < cur.length) {
-              if (cur(i) < 0f) cur(i) = (a * (math.exp(cur(i).toDouble) - 1.0)).toFloat
-              i += 1
-            }
-          case "hardtanh" =>
-            while (i < cur.length) {
-              if (cur(i) < a) cur(i) = a.toFloat
-              else if (cur(i) > b) cur(i) = b.toFloat
-              i += 1
-            }
-          case "softplus" => // (1/beta)·log1p(exp(beta·x)), linear past threshold
-            while (i < cur.length) {
-              val bx = a * cur(i)
-              if (bx <= b) cur(i) = (math.log1p(math.exp(bx)) / a).toFloat
-              i += 1
-            }
-          case other => sys.error(s"unknown activation $other")
-        }
+        applyParamAct(cur, kind, a, b)
       case ScaleShiftOp(scale, shift) =>
         require(curDim == scale.length,
           s"batchnorm over ${scale.length} features applied to $curDim")
@@ -284,6 +455,62 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         }
     }
     cur
+  }
+
+  /** In-place elementwise activation on a buffer the caller owns. */
+  private def applyAct(cur: Array[Float], kind: String): Unit = {
+    var i = 0
+    kind match {
+      case "relu" =>
+        while (i < cur.length) { if (cur(i) < 0f) cur(i) = 0f; i += 1 }
+      case "sigmoid" =>
+        while (i < cur.length) { cur(i) = (1.0 / (1.0 + math.exp(-cur(i).toDouble))).toFloat; i += 1 }
+      case "tanh" =>
+        while (i < cur.length) { cur(i) = math.tanh(cur(i).toDouble).toFloat; i += 1 }
+      case "gelu" =>
+        // exact (erf) form: 0.5·x·(1 + erf(x/√2)); erf via the
+        // Abramowitz-Stegun 7.1.26 rational approx (|err| < 1.5e-7,
+        // below float32 resolution)
+        while (i < cur.length) {
+          cur(i) = (0.5 * cur(i) * (1.0 + erf(cur(i) / math.sqrt(2.0)))).toFloat
+          i += 1
+        }
+      case "silu" => // x * sigmoid(x)
+        while (i < cur.length) {
+          val x0 = cur(i).toDouble
+          cur(i) = (x0 / (1.0 + math.exp(-x0))).toFloat
+          i += 1
+        }
+      case other => sys.error(s"unknown activation $other")
+    }
+  }
+
+  private def applyParamAct(cur: Array[Float], kind: String, a: Double, b: Double): Unit = {
+    var i = 0
+    kind match {
+      case "leaky_relu" =>
+        while (i < cur.length) {
+          if (cur(i) < 0f) cur(i) = (cur(i) * a).toFloat; i += 1
+        }
+      case "elu" =>
+        while (i < cur.length) {
+          if (cur(i) < 0f) cur(i) = (a * (math.exp(cur(i).toDouble) - 1.0)).toFloat
+          i += 1
+        }
+      case "hardtanh" =>
+        while (i < cur.length) {
+          if (cur(i) < a) cur(i) = a.toFloat
+          else if (cur(i) > b) cur(i) = b.toFloat
+          i += 1
+        }
+      case "softplus" => // (1/beta)·log1p(exp(beta·x)), linear past threshold
+        while (i < cur.length) {
+          val bx = a * cur(i)
+          if (bx <= b) cur(i) = (math.log1p(math.exp(bx)) / a).toFloat
+          i += 1
+        }
+      case other => sys.error(s"unknown activation $other")
+    }
   }
 
   private def erf(z: Double): Double = {
@@ -371,10 +598,12 @@ object TorchScriptModel {
     val classes = TorchCode.parseClasses(entries, root)
     val tracer = new TorchCode.Tracer(classes, materializeF32(_, entries, root))
     if (classes.contains(rootNode.fqName) || rootNode.isTorchNn) {
-      // input dim starts unknown (-1); the first executed Linear binds it
-      val outSym = tracer.trace(rootNode, -1)
-      require(outSym >= -1,
-        "model returns an unpooled embedding sequence (mean(dim=1) missing)")
+      // input dim starts unknown; the first parameterized op binds it
+      tracer.trace(rootNode, TorchCode.Sym.Flat(-1)) match {
+        case TorchCode.Sym.Flat(_) => // flat output: logits / probabilities
+        case other => sys.error("model returns an unpooled sequence " +
+          s"($other): mean(dim=1) / adaptive pool / flatten missing")
+      }
     } else {
       // no serialized code (minimal archive): fall back to the legacy
       // heuristic — Linears in registration order with ReLU between
@@ -395,13 +624,22 @@ object TorchScriptModel {
       walk(rootNode)
       val ls = linears.result()
       require(ls.nonEmpty, "model has no linear layers")
-      var dim = -1
+      var sym: TorchCode.Sym = TorchCode.Sym.Flat(-1)
       for ((l, i) <- ls.zipWithIndex) {
         if (i > 0) tracer.ops += ActOp("relu")
-        dim = tracer.applyModule(l, dim)
+        sym = tracer.applyModule(l, sym)
       }
     }
-    new TorchScriptModel(tracer.ops.result())
+    // nn.Embedding emits the unpooled lookup; a directly following
+    // mean(dim=1) fuses back into the single-op EmbeddingMeanOp so the
+    // fastText shape keeps its one-pass pooled GEMM path (and q107-era
+    // op lists stay identical)
+    val traced = tracer.ops.result() match {
+      case (e: EmbeddingSeqOp) +: SeqMeanPoolOp +: rest =>
+        EmbeddingMeanOp(e.weight, e.vocab, e.embDim, padIdx = -1) +: rest
+      case other => other
+    }
+    new TorchScriptModel(traced)
   }
 
   /** Gather a tensor's values into a row-major Array[Float], honoring

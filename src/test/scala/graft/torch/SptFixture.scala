@@ -24,6 +24,8 @@ object SptFixture {
   final case class F(d: Double) extends V
   final case class Str(s: String) extends V
   case object NoneV extends V
+  /** Pickled tuple — conv/pool hyper-params serialize as 1-tuples. */
+  final case class Tup(items: Seq[V]) extends V
 
   /** Write the archive; `code` maps archive-relative paths (e.g.
    * "code/__torch__.py") to generated-python text. */
@@ -54,6 +56,8 @@ object SptFixture {
         val bb = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putDouble(d)
         pkl.write(bb.array())
       case NoneV => byte('N')
+      case Tup(items) =>
+        byte('('); items.foreach(emit); byte('t')
       case Tensor(shape, data) =>
         require(shape.product == data.length, s"shape $shape vs ${data.length} values")
         val key = nextKey.toString; nextKey += 1
@@ -128,5 +132,27 @@ object SptFixture {
     Module(LinearCls, Seq(
       "weight" -> Tensor(Seq(out, in), weight),
       "bias" -> Tensor(Seq(out), bias),
+      "training" -> B(false)))
+
+  val Conv1dCls = "__torch__.torch.nn.modules.conv.Conv1d"
+  val MaxPool1dCls = "__torch__.torch.nn.modules.pooling.MaxPool1d"
+  val AdaptiveMaxPool1dCls = "__torch__.torch.nn.modules.pooling.AdaptiveMaxPool1d"
+  val EmbeddingCls = "__torch__.torch.nn.modules.sparse.Embedding"
+
+  /** nn.Conv1d with the full attr set a real torch.jit.save emits
+   * (hyper-params as 1-tuples). */
+  def conv1d(weight: Array[Float], outCh: Int, inCh: Int, k: Int,
+      bias: Array[Float], stride: Int = 1, padding: Int = 0): Module =
+    Module(Conv1dCls, Seq(
+      "weight" -> Tensor(Seq(outCh, inCh, k), weight),
+      "bias" -> Tensor(Seq(outCh), bias),
+      "stride" -> Tup(Seq(I(stride))),
+      "padding" -> Tup(Seq(I(padding))),
+      "dilation" -> Tup(Seq(I(1))),
+      "groups" -> I(1),
+      "in_channels" -> I(inCh),
+      "out_channels" -> I(outCh),
+      "kernel_size" -> Tup(Seq(I(k))),
+      "padding_mode" -> Str("zeros"),
       "training" -> B(false)))
 }

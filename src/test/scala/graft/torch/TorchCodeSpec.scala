@@ -431,7 +431,7 @@ class TorchCodeSpec extends AnyFunSuite {
          |    emb = self.emb
          |$body
          |""".stripMargin)
-    val unpooled = intercept[IllegalArgumentException] {
+    val unpooled = intercept[RuntimeException] {
       TorchScriptModel.load(writeTemp("raw", "raw", model,
         codeWith("    return (emb).forward(x, )")))
     }
@@ -441,6 +441,165 @@ class TorchCodeSpec extends AnyFunSuite {
         codeWith("    e = (emb).forward(x, )\n    return torch.mean(e, [0], False, None)")))
     }
     assert(dim0.getMessage.contains("mean over dims"))
+  }
+
+  // ---- independent Conv1d reference math (double precision) ----
+  /** conv over (inCh, L) channel-major input; weight (outCh, inCh, k). */
+  private def convRef(x: Array[Array[Double]], w: Array[Float], b: Array[Float],
+      outCh: Int, inCh: Int, k: Int, stride: Int = 1): Array[Array[Double]] = {
+    val l = x(0).length
+    val lout = (l - k) / stride + 1
+    Array.tabulate(outCh) { c =>
+      Array.tabulate(lout) { p =>
+        var acc = b(c).toDouble
+        for (d <- 0 until inCh; j <- 0 until k)
+          acc += w((c * inCh + d) * k + j) * x(d)(p * stride + j)
+        acc
+      }
+    }
+  }
+
+  test("TextCNN: Embedding -> transpose -> Conv1d -> relu -> AdaptiveMaxPool1d -> Linear") {
+    val vocab = 8; val embDim = 3; val ch = 4; val k = 2
+    val ew = vals(vocab * embDim, 51)
+    val cw = vals(ch * embDim * k, 52)
+    val cb = vals(ch, 53)
+    val (w0, b0) = (vals(2 * ch, 54), vals(2, 55))
+    val model = Module("__torch__.CNN", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, embDim), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "conv" -> conv1d(cw, ch, embDim, k, cb),
+      "pool" -> Module(AdaptiveMaxPool1dCls, Seq(
+        "output_size" -> I(1), "training" -> B(false))),
+      "fc" -> linear(w0, 2, ch, b0)))
+    val code = Map("code/__torch__.py" ->
+      """class CNN(Module):
+        |  training : bool
+        |  def forward(self: __torch__.CNN,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    e0 = torch.transpose(e, 1, 2)
+        |    conv = self.conv
+        |    c = torch.relu((conv).forward(e0, ), )
+        |    pool = self.pool
+        |    p = (pool).forward(c, )
+        |    p0 = torch.flatten(p, 1)
+        |    fc = self.fc
+        |    return (fc).forward(p0, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("cnn", "cnn", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) == Seq("EmbeddingSeqOp",
+      "TransposeOp$", "Conv1dOp", "ActOp", "SeqMaxPoolOp$", "LinearLayer"))
+    assert(m.inDim == -1 && m.outDim == 2)
+
+    val toks = Array(2, 5, 0, 7, 3, 1)
+    // reference: channel-major embedded sequence, conv, relu, global max, fc
+    val x = Array.tabulate(embDim)(d => toks.map(t => ew(t * embDim + d).toDouble))
+    val conv = convRef(x, cw, cb, ch, embDim, k).map(_.map(math.max(0.0, _)))
+    val pooled = conv.map(_.max)
+    val expected = mm(pooled, w0, b0, 2, ch)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 2)
+      assert(math.abs(got(j) - expected(j)) < 1e-5, s"logit $j: ${got(j)} vs ${expected(j)}")
+
+    // variable-length batch: rows convolve and pool independently
+    val toks2 = Array(7, 7) // minimum length (== kernel)
+    val x2 = Array.tabulate(embDim)(d => toks2.map(t => ew(t * embDim + d).toDouble))
+    val conv2 = convRef(x2, cw, cb, ch, embDim, k).map(_.map(math.max(0.0, _)))
+    val expected2 = mm(conv2.map(_.max), w0, b0, 2, ch)
+    val batch = m.forwardTokensBatch(Array(toks, toks2))
+    for (j <- 0 until 2) {
+      assert(math.abs(batch(j) - expected(j)) < 1e-5)
+      assert(math.abs(batch(2 + j) - expected2(j)) < 1e-5)
+    }
+
+    // a row shorter than the kernel fails loudly (torch's output-size check)
+    val short = intercept[IllegalArgumentException](m.forwardTokens(Array(3)))
+    assert(short.getMessage.contains("need >= 2 tokens"))
+    // out-of-range token id fails loudly
+    val oob = intercept[IllegalArgumentException](m.forwardTokens(Array(0, 99)))
+    assert(oob.getMessage.contains("out of range"))
+  }
+
+  test("TextCNN with strided MaxPool1d window between conv and global pool") {
+    val vocab = 6; val embDim = 2; val ch = 3; val k = 2
+    val ew = vals(vocab * embDim, 61)
+    val cw = vals(ch * embDim * k, 62)
+    val cb = vals(ch, 63)
+    val (w0, b0) = (vals(2 * ch, 64), vals(2, 65))
+    val model = Module("__torch__.CNN2", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, embDim), ew),
+        "training" -> B(false))),
+      "conv" -> conv1d(cw, ch, embDim, k, cb),
+      "mp" -> Module(MaxPool1dCls, Seq(
+        "kernel_size" -> I(2), "stride" -> I(2), "padding" -> I(0),
+        "dilation" -> I(1), "ceil_mode" -> B(false), "training" -> B(false))),
+      "pool" -> Module(AdaptiveMaxPool1dCls, Seq(
+        "output_size" -> I(1), "training" -> B(false))),
+      "fc" -> linear(w0, 2, ch, b0)))
+    val code = Map("code/__torch__.py" ->
+      """class CNN2(Module):
+        |  training : bool
+        |  def forward(self: __torch__.CNN2,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e0 = torch.transpose((emb).forward(x, ), 1, 2)
+        |    conv = self.conv
+        |    c = torch.relu((conv).forward(e0, ), )
+        |    mp = self.mp
+        |    c0 = (mp).forward(c, )
+        |    pool = self.pool
+        |    p0 = torch.squeeze((pool).forward(c0, ), -1)
+        |    fc = self.fc
+        |    return (fc).forward(p0, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("cnn2", "cnn2", model, code))
+    assert(m.ops.contains(MaxPool1dOp(2, 2)))
+
+    val toks = Array(1, 4, 2, 0, 5, 3, 1) // L=7 -> conv Lout=6 -> pool 3
+    val x = Array.tabulate(embDim)(d => toks.map(t => ew(t * embDim + d).toDouble))
+    val conv = convRef(x, cw, cb, ch, embDim, k).map(_.map(math.max(0.0, _)))
+    val mp = conv.map(row => row.grouped(2).filter(_.length == 2).map(_.max).toArray)
+    val expected = mm(mp.map(_.max), w0, b0, 2, ch)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 2)
+      assert(math.abs(got(j) - expected(j)) < 1e-5, s"logit $j: ${got(j)} vs ${expected(j)}")
+  }
+
+  test("conv on an un-transposed embedding and nonzero padding fail loudly at load") {
+    val ew = vals(8, 71); val cw = vals(8, 72); val cb = vals(2, 73)
+    def cnn(convMod: Module, body: String) = Module("__torch__.BadCNN", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(4, 2), ew), "training" -> B(false))),
+      "conv" -> convMod,
+      "fc" -> linear(vals(4, 74), 2, 2, vals(2, 75)))) -> Map("code/__torch__.py" ->
+      s"""class BadCNN(Module):
+         |  training : bool
+         |  def forward(self: __torch__.BadCNN,
+         |    x: Tensor) -> Tensor:
+         |    emb = self.emb
+         |    conv = self.conv
+         |$body
+         |""".stripMargin)
+    // conv directly on the (n, seq, emb) embedding output: transpose missing
+    val (m1, c1) = cnn(conv1d(cw, 2, 2, 2, cb),
+      "    return (conv).forward((emb).forward(x, ), )")
+    val noT = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("badcnn1", "badcnn1", m1, c1)))
+    assert(noT.getMessage.contains("transpose(1, 2) missing"))
+    // padding != 0 is unsupported surface -> loud at load, not wrong at run
+    val (m2, c2) = cnn(conv1d(cw, 2, 2, 2, cb, padding = 1),
+      "    e0 = torch.transpose((emb).forward(x, ), 1, 2)\n    return (conv).forward(e0, )")
+    val pad = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("badcnn2", "badcnn2", m2, c2)))
+    assert(pad.getMessage.contains("padding"))
   }
 
   test("iris.spt traces through its serialized code: shared relu between linears") {
