@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{ArgMax, RollingHash64, SimHash64, TopKAgg}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
-import graft.torch.{ActOp, EmbeddingMeanOp, LinearLayer, Torch, TorchConf, TorchOracle, TorchScriptModel}
+import graft.torch.{ActOp, Conv1dOp, EmbeddingMeanOp, EmbeddingSeqOp, LinearLayer,
+  SeqMaxPoolOp, Torch, TorchConf, TorchOracle, TorchScriptModel, TransposeOp}
 
 /**
  * Driver contract: every operator the engine implements is a key in
@@ -1320,6 +1321,30 @@ object SparkEntry {
           (col("recall") >= 0.65).as("pass"))
     },
 
+    // TextCNN torch inference (the 1-D-conv classifier shape): md5
+    // token ids -> Embedding -> transpose -> Conv1d -> ReLU -> global
+    // max pool -> Linear -> argmax, through the interpreter's sequence
+    // phase and the same batched mapPartitions path as q96/q107. Docs
+    // need >= kernel (2) tokens — torch itself errors below that. The
+    // dyadic 1/16-grid weights make the f32 forward bit-identical to
+    // the DuckDB f64 oracle (see textCnnModel).
+    "q113_torch_textcnn" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = textCnnModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        transform(
+          call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
+          .as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 2)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("text_class"))
+        .orderBy("doc_id")
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -1655,6 +1680,35 @@ object SparkEntry {
       LinearLayer(vals(32, 420, 8.0), vals(8, 430, 0.3), 8, 4),
       ActOp("relu"),
       LinearLayer(vals(24, 440, 6.0), vals(3, 450, 0.2), 3, 8)))
+  }
+
+  /** TextCNN classifier for q113: token ids -> Embedding(256, 4) ->
+    * transpose -> Conv1d(4->6, k=2) -> ReLU -> global max pool ->
+    * Linear(6->3) -> argmax — the 1-D-conv TorchScript shape the
+    * reference would execute via libtorch (udf.rs:127), run through the
+    * interpreter's sequence phase. Numerical pinning here is STRONGER
+    * than q96/q107's gap-margin argument: every weight is a dyadic
+    * rational on the 1/16 grid, so every product/sum in the forward
+    * pass is exactly representable in BOTH float32 (engine) and float64
+    * (DuckDB oracle) — the computations are bit-identical, argmax flips
+    * are impossible, and even the one exact logit tie at sf0.1 resolves
+    * first-index in both (ArgMax ties-first == oracle's >= CASE). The
+    * fc bias re-centers each class at its measured median logit so
+    * predictions are mixed (measured 221/60/219 at sf0.01, 2139/636/2225
+    * at sf0.1). */
+  private[graft] lazy val textCnnModel: TorchScriptModel = {
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(256 * 4, 733, 2.0), vocab = 256, embDim = 4),
+      TransposeOp,
+      Conv1dOp(qvals(6 * 4 * 2, 743, 2.0), qvals(6, 753, 0.5),
+        outCh = 6, inCh = 4, k = 2, stride = 1),
+      ActOp("relu"),
+      SeqMaxPoolOp,
+      LinearLayer(qvals(18, 763, 4.0),
+        Array(-3.625f, -5.625f, -6.8125f), 3, 6)))
   }
 
   /** The five q89-parity quality features feeding [[qualityModel]],
@@ -2143,6 +2197,56 @@ object SparkEntry {
         | CAST(CASE (SELECT count(*) FROM embeddings)
         |   WHEN 500 THEN 0.95 WHEN 2000 THEN 0.85 ELSE -1 END AS DOUBLE) AS recall_floor,
         | true AS pass""".stripMargin,
+
+    // TextCNN: DuckDB re-runs the conv forward as SQL arithmetic —
+    // positions via zipped unnest/generate_subscripts, the k=2 window
+    // via a pos+1 self-join, per-channel GREATEST(0, affine), max-pool
+    // via GROUP BY, then the fc+argmax through TorchOracle. All
+    // weights are dyadic (1/16 grid), so f64 here equals the engine's
+    // f32 bit-for-bit (see textCnnModel) — an EXACT oracle.
+    "q113_torch_textcnn" -> {
+      val m = textCnnModel
+      val e = m.seqHead.get
+      val cv = m.ops.collectFirst { case c: Conv1dOp => c }.get
+      val tail = new TorchScriptModel(IndexedSeq(m.layers.last))
+      def fmtF(f: Float): String = {
+        val s = f.toString
+        if (s.contains("E") || s.contains(".")) s else s + ".0"
+      }
+      val embRows = (0 until e.vocab).map { t =>
+        (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+          .mkString(s"($t, ", ", ", ")")
+      }.mkString(",\n    ")
+      val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+      val convSel = (0 until cv.outCh).map { c =>
+        val terms = fmtF(cv.bias(c)) +: (0 until cv.inCh).flatMap { d =>
+          Seq(s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k))}*a.w$d",
+            s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k + 1))}*b.w$d")
+        }
+        s"GREATEST(0, ${terms.mkString("+")}) AS c$c"
+      }.mkString(",\n      ")
+      val pools = (0 until cv.outCh).map(c => s"max(c$c) AS a$c").mkString(", ")
+      val inpSelect =
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '\\S+'))), 1, 8)
+           |      AS BIGINT) % ${e.vocab} AS tid,
+           |    generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+           |  FROM documents),
+           |embw(tid, $wCols) AS (VALUES
+           |    $embRows),
+           |pose AS (
+           |  SELECT doc_id, pos, $wCols FROM toks JOIN embw USING (tid)),
+           |conv AS (
+           |  SELECT a.doc_id,
+           |      $convSel
+           |  FROM pose a JOIN pose b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+           |SELECT doc_id, $pools FROM conv GROUP BY doc_id""".stripMargin
+      TorchOracle.mlpArgmaxSql(tail, inpSelect,
+        arms = Seq("a"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
+          s"AS text_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")
+    },
 
     "q98_curriculum" ->
       """WITH d AS (

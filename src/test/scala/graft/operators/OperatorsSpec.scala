@@ -1307,6 +1307,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gaps.min > 1e-3, s"min runner-up gap ${gaps.min} too close to f32 drift")
   }
 
+  test("q113 TextCNN: mixed classes; dyadic weights make f32 forward EXACTLY equal f64") {
+    val out = graft.SparkEntry.queries("q113_torch_textcnn")(spark, sfDir)
+      .collect().map(_.getInt(1))
+    assert(out.toSet.size >= 2, s"constant class column: ${out.toSet}")
+    val m = graft.SparkEntry.textCnnModel
+    // the oracle-soundness invariant: every weight sits on the 1/16
+    // grid within the magnitude bound that keeps ALL forward-pass
+    // intermediates inside the f32 24-bit mantissa (see textCnnModel) —
+    // so the engine's f32 math and DuckDB's f64 math are bit-identical
+    def dyadic(w: Array[Float], bound: Double): Unit = w.foreach { v =>
+      assert(v * 16 == math.rint(v * 16) && math.abs(v) <= bound, s"off-grid weight $v")
+    }
+    val e = m.seqHead.get
+    val cv = m.ops.collectFirst { case c: graft.torch.Conv1dOp => c }.get
+    val fc = m.layers.last
+    dyadic(e.weight, 2.0); dyadic(cv.weight, 2.0); dyadic(cv.bias, 0.5)
+    dyadic(fc.weight, 4.0); dyadic(fc.bias, 8.0)
+    // exactness witness: independent f64 forward on real docs must
+    // EQUAL (not approximate) the engine's f32 logits
+    val vocab = e.vocab
+    val toks = docs.select(col("doc_id"),
+      transform(
+        call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+        tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 2)
+    val bc = spark.sparkContext.broadcast(m)
+    val rows = graft.torch.Torch.inferBatched(toks, "tok_ids", "logits", bc, 64)
+      .select("tok_ids", "logits").limit(64).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ids = r.getSeq[Int](0).toArray
+      val got = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val x = Array.tabulate(e.embDim)(d => ids.map(t => e.weight(t * e.embDim + d).toDouble))
+      val l = ids.length
+      val convOut = Array.tabulate(cv.outCh) { c =>
+        Array.tabulate(l - cv.k + 1) { p =>
+          var acc = cv.bias(c).toDouble
+          for (d <- 0 until cv.inCh; j <- 0 until cv.k)
+            acc += cv.weight((c * cv.inCh + d) * cv.k + j) * x(d)(p + j)
+          math.max(0.0, acc)
+        }.max
+      }
+      val want = Array.tabulate(3) { o =>
+        var acc = fc.bias(o).toDouble
+        for (c <- 0 until cv.outCh) acc += fc.weight(o * cv.outCh + c) * convOut(c)
+        acc
+      }
+      assert(got.sameElements(want), s"f32 ${got.toSeq} != f64 ${want.toSeq}")
+    }
+  }
+
   test("spark.graft.checkpoint.dir switches to reliable checkpoints, same results") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
