@@ -1278,7 +1278,7 @@ object SparkEntry {
     "q111_domain_cap" -> { (s, dir) =>
       t(s, dir, "documents")
         .groupBy("source")
-        .agg(TopKAgg.top_k(s, col("n_chars"), col("doc_id"), 20).as("top"))
+        .agg(TopKAgg.top_k(col("n_chars"), col("doc_id"), 20).as("top"))
         .select(col("source"), posexplode(col("top")))
         .select(
           col("source"),
@@ -1343,6 +1343,38 @@ object SparkEntry {
         .select(col("doc_id"),
           call_function("argmax", col("logits")).as("text_class"))
         .orderBy("doc_id")
+    },
+
+    // Model-scored domain caps: keep each source's 20 docs with the
+    // highest TextCNN class-2 logit — the double-scored top-k
+    // Aggregator (NaN-never-wins total order) over a genuinely
+    // model-produced score. The logit is bit-exact across f32/f64
+    // (dyadic weights, see textCnnModel), so the DuckDB window oracle
+    // ranks identically — including exact ties, which both sides break
+    // by doc_id ASC. Same bounded-exchange scale argument as q111.
+    "q114_domain_cap_model" -> { (s, dir) =>
+      val m = textCnnModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        transform(
+          call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
+          .as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 2)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("source"),
+          element_at(col("logits"), 3).cast("double").as("score"),
+          col("doc_id"))
+        .groupBy("source")
+        .agg(TopKAgg.top_k_d(col("score"), col("doc_id"), 20).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(
+          col("source"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("col.id").as("doc_id"),
+          col("col.score").as("score"))
+        .orderBy("source", "rnk")
     },
 
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
@@ -1709,6 +1741,51 @@ object SparkEntry {
       SeqMaxPoolOp,
       LinearLayer(qvals(18, 763, 4.0),
         Array(-3.625f, -5.625f, -6.8125f), 3, 6)))
+  }
+
+  /** Shared DuckDB chain for the TextCNN oracles (q113/q114): zipped
+    * token positions -> embedding VALUES join -> k=2 conv window via a
+    * pos+1 self-join -> ReLU -> per-channel max pool; ends in
+    * `SELECT doc_id[, source], a0..a{ch-1}` ready for
+    * [[TorchOracle.mlpArgmaxSql]]'s fc chain. Exact: all weights are
+    * dyadic (see [[textCnnModel]]). */
+  private def textCnnPoolSql(withSource: Boolean): String = {
+    val m = textCnnModel
+    val e = m.seqHead.get
+    val cv = m.ops.collectFirst { case c: Conv1dOp => c }.get
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+    val convSel = (0 until cv.outCh).map { c =>
+      val terms = fmtF(cv.bias(c)) +: (0 until cv.inCh).flatMap { d =>
+        Seq(s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k))}*a.w$d",
+          s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k + 1))}*b.w$d")
+      }
+      s"GREATEST(0, ${terms.mkString("+")}) AS c$c"
+    }.mkString(",\n      ")
+    val pools = (0 until cv.outCh).map(c => s"max(c$c) AS a$c").mkString(", ")
+    val src = if (withSource) ", source" else ""
+    s"""WITH toks AS (
+       |  SELECT doc_id$src,
+       |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '\\S+'))), 1, 8)
+       |      AS BIGINT) % ${e.vocab} AS tid,
+       |    generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+       |  FROM documents),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |pose AS (
+       |  SELECT doc_id$src, pos, $wCols FROM toks JOIN embw USING (tid)),
+       |conv AS (
+       |  SELECT a.doc_id${if (withSource) ", a.source" else ""},
+       |      $convSel
+       |  FROM pose a JOIN pose b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+       |SELECT doc_id$src, $pools FROM conv GROUP BY doc_id$src""".stripMargin
   }
 
   /** The five q89-parity quality features feeding [[qualityModel]],
@@ -2205,47 +2282,31 @@ object SparkEntry {
     // weights are dyadic (1/16 grid), so f64 here equals the engine's
     // f32 bit-for-bit (see textCnnModel) — an EXACT oracle.
     "q113_torch_textcnn" -> {
-      val m = textCnnModel
-      val e = m.seqHead.get
-      val cv = m.ops.collectFirst { case c: Conv1dOp => c }.get
-      val tail = new TorchScriptModel(IndexedSeq(m.layers.last))
-      def fmtF(f: Float): String = {
-        val s = f.toString
-        if (s.contains("E") || s.contains(".")) s else s + ".0"
-      }
-      val embRows = (0 until e.vocab).map { t =>
-        (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
-          .mkString(s"($t, ", ", ", ")")
-      }.mkString(",\n    ")
-      val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
-      val convSel = (0 until cv.outCh).map { c =>
-        val terms = fmtF(cv.bias(c)) +: (0 until cv.inCh).flatMap { d =>
-          Seq(s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k))}*a.w$d",
-            s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k + 1))}*b.w$d")
-        }
-        s"GREATEST(0, ${terms.mkString("+")}) AS c$c"
-      }.mkString(",\n      ")
-      val pools = (0 until cv.outCh).map(c => s"max(c$c) AS a$c").mkString(", ")
-      val inpSelect =
-        s"""WITH toks AS (
-           |  SELECT doc_id,
-           |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '\\S+'))), 1, 8)
-           |      AS BIGINT) % ${e.vocab} AS tid,
-           |    generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
-           |  FROM documents),
-           |embw(tid, $wCols) AS (VALUES
-           |    $embRows),
-           |pose AS (
-           |  SELECT doc_id, pos, $wCols FROM toks JOIN embw USING (tid)),
-           |conv AS (
-           |  SELECT a.doc_id,
-           |      $convSel
-           |  FROM pose a JOIN pose b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
-           |SELECT doc_id, $pools FROM conv GROUP BY doc_id""".stripMargin
-      TorchOracle.mlpArgmaxSql(tail, inpSelect,
+      val tail = new TorchScriptModel(IndexedSeq(textCnnModel.layers.last))
+      TorchOracle.mlpArgmaxSql(tail, textCnnPoolSql(withSource = false),
         arms = Seq("a"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
           s"AS text_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")
+    },
+
+    // Model-scored domain caps: DuckDB recomputes the class-2 logit
+    // through the same exact (dyadic-weight) conv chain, then the
+    // row_number window is the spec the bounded double-scored top-k
+    // Aggregator must reproduce — sound ONLY because the score is
+    // bit-identical across f32/f64 (a raw qualityModel logit is not:
+    // measured adjacent-rank gaps at sf0.01 run to 3.5e-4 with exact
+    // f32 ties, inside drift range of an f64 oracle).
+    "q114_domain_cap_model" -> {
+      val tail = new TorchScriptModel(IndexedSeq(textCnnModel.layers.last))
+      TorchOracle.mlpArgmaxSql(tail, textCnnPoolSql(withSource = true),
+        arms = Seq("a"), carry = Seq("doc_id", "source"),
+        finalSelect =
+          s"""SELECT source, rnk, doc_id, score FROM (
+             |  SELECT source, doc_id, a2 AS score,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY a2 DESC, doc_id) AS INT) AS rnk
+             |  FROM ${TorchOracle.lastCte(tail)})
+             |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin)
     },
 
     "q98_curriculum" ->

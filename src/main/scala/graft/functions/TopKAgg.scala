@@ -1,11 +1,14 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** One (score, id) candidate for a bounded per-group top-k. */
 final case class ScoredId(score: Long, id: Long)
+
+/** Double-scored candidate — model scores, similarities, ratios. */
+final case class ScoredIdD(score: Double, id: Long)
 
 /**
  * Bounded exact top-k per group as a typed mergeable `Aggregator`
@@ -39,21 +42,75 @@ class TopKAgg(k: Int)
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   override def zero: Seq[ScoredId] = Vector.empty
-
   override def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
+    TopKAgg.insert(buf, x, k, beats)
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+    TopKAgg.mergeRuns(a, b, k, beats)
+  override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+}
+
+/**
+ * Double-scored sibling of [[TopKAgg]] for model-quality / similarity
+ * scores. Same bounded-buffer shape; the order is a TOTAL order with
+ * an explicit NaN policy — NaN never wins (mirrors [[ArgMax]]): a NaN
+ * score loses to every real score, NaN-vs-NaN falls through to the
+ * id ASC tiebreak. Without this, `>` comparisons involving NaN are
+ * all-false and the buffer order (hence merge correctness) breaks.
+ * -0.0 == 0.0 ties break by id, matching SQL DOUBLE comparison.
+ */
+class TopKAggD(k: Int)
+    extends Aggregator[ScoredIdD, Seq[ScoredIdD], Seq[ScoredIdD]] with Serializable {
+  require(k >= 1, "k must be >= 1")
+
+  private def beats(a: ScoredIdD, b: ScoredIdD): Boolean = {
+    val an = java.lang.Double.isNaN(a.score)
+    val bn = java.lang.Double.isNaN(b.score)
+    if (an || bn) { if (an && bn) a.id < b.id else an < bn } // NaN never wins
+    else a.score > b.score || (a.score == b.score && a.id < b.id)
+  }
+
+  override def zero: Seq[ScoredIdD] = Vector.empty
+  override def reduce(buf: Seq[ScoredIdD], x: ScoredIdD): Seq[ScoredIdD] =
+    TopKAgg.insert(buf, x, k, beats)
+  override def merge(a: Seq[ScoredIdD], b: Seq[ScoredIdD]): Seq[ScoredIdD] =
+    TopKAgg.mergeRuns(a, b, k, beats)
+  override def finish(buf: Seq[ScoredIdD]): Seq[ScoredIdD] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredIdD]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredIdD]]()
+  override def outputEncoder: Encoder[Seq[ScoredIdD]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredIdD]]()
+}
+
+object TopKAgg {
+  /** Bounded insert into a sorted top-k run — one builder pass, no
+    * intermediate collections (this is per-row hot code). */
+  private[functions] def insert[T](buf: Seq[T], x: T, k: Int,
+      beats: (T, T) => Boolean): Seq[T] =
     if (buf.length == k && !beats(x, buf.last)) buf
     else {
-      val i = buf.indexWhere(beats(x, _)) match {
-        case -1 => buf.length
-        case j  => j
+      val b = Vector.newBuilder[T]
+      b.sizeHint(math.min(buf.length + 1, k))
+      var i = 0
+      var n = 0
+      var placed = false
+      while (n < k && (i < buf.length || !placed)) {
+        if (!placed && (i >= buf.length || beats(x, buf(i)))) { b += x; placed = true }
+        else { b += buf(i); i += 1 }
+        n += 1
       }
-      val ins = (buf.take(i) :+ x) ++ buf.drop(i)
-      if (ins.length > k) ins.take(k) else ins
+      b.result()
     }
 
-  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = {
-    // bounded merge of two sorted runs
-    val out = Vector.newBuilder[ScoredId]
+  /** Bounded merge of two sorted runs. */
+  private[functions] def mergeRuns[T](a: Seq[T], b: Seq[T], k: Int,
+      beats: (T, T) => Boolean): Seq[T] = {
+    val out = Vector.newBuilder[T]
     var i = 0
     var j = 0
     var n = 0
@@ -66,21 +123,14 @@ class TopKAgg(k: Int)
     out.result()
   }
 
-  override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
+  /** The group's top-k (score DESC, id ASC) as an array of {score, id}
+    * structs, best first. Pure: the UDAF is applied directly as a
+    * Column — nothing is registered in the session's function registry,
+    * so building queries is side-effect-free and concurrency-safe. */
+  def top_k(score: Column, id: Column, k: Int): Column =
+    udaf(new TopKAgg(k), Encoders.product[ScoredId])(score, id)
 
-  override def bufferEncoder: Encoder[Seq[ScoredId]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
-  override def outputEncoder: Encoder[Seq[ScoredId]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
-}
-
-object TopKAgg {
-  /** Register as `top_k_<k>` and return the aggregate column: the
-    * group's top-k (score DESC, id ASC) as an array of
-    * {score, id} structs, best first. */
-  def top_k(spark: SparkSession, score: Column, id: Column, k: Int): Column = {
-    val name = s"top_k_$k"
-    spark.udf.register(name, udaf(new TopKAgg(k), Encoders.product[ScoredId]))
-    org.apache.spark.sql.functions.call_function(name, score, id)
-  }
+  /** Double-scored variant (NaN never wins; see [[TopKAggD]]). */
+  def top_k_d(score: Column, id: Column, k: Int): Column =
+    udaf(new TopKAggD(k), Encoders.product[ScoredIdD])(score, id)
 }

@@ -40,6 +40,50 @@ class TopKAggSpec extends AnyFunSuite {
     assert(buf.length == 3)
   }
 
+  // reference order for the double variant: NaN never wins, then
+  // score DESC, id ASC — must be a total order for sortBy to agree
+  // `+ 0.0` collapses -0.0 onto 0.0 before negating: SQL DOUBLE
+  // comparison (the oracle's) ties signed zeros, unlike Java's total
+  // order which would put -0.0 below 0.0
+  private def refD(xs: Seq[ScoredIdD], k: Int): Seq[ScoredIdD] =
+    xs.sortBy(x => (java.lang.Double.isNaN(x.score), -(x.score + 0.0), x.id)).take(k)
+
+  test("double variant: exact top-k under any split, NaN never wins (property)") {
+    val rnd = new Random(11)
+    for (trial <- 0 until 200) {
+      val k = 1 + rnd.nextInt(8)
+      val agg = new TopKAggD(k)
+      val n = rnd.nextInt(60)
+      // duplicated finite scores, NaNs, and signed zeros on purpose
+      val xs = Seq.fill(n)(ScoredIdD(
+        rnd.nextInt(6) match {
+          case 0 => Double.NaN
+          case 1 => 0.0
+          case 2 => -0.0
+          case _ => rnd.nextInt(8).toDouble / 2
+        }, rnd.nextInt(1000).toLong)).distinctBy(_.id)
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(bl, br)
+      // compare by bits so NaN == NaN and -0.0 is distinguished only
+      // when genuinely a different stored value
+      def key(s: Seq[ScoredIdD]) =
+        s.map(x => (java.lang.Double.doubleToLongBits(x.score), x.id))
+      assert(key(merged) == key(refD(xs, k)), s"trial $trial k=$k xs=$xs")
+      assert(key(agg.merge(br, bl)) == key(merged))
+    }
+  }
+
+  test("double variant: all-NaN group keeps id order; NaN loses to any real score") {
+    val agg = new TopKAggD(2)
+    val nans = Seq(ScoredIdD(Double.NaN, 9), ScoredIdD(Double.NaN, 2), ScoredIdD(Double.NaN, 5))
+    assert(nans.foldLeft(agg.zero)(agg.reduce).map(_.id) == Seq(2, 5))
+    val mixed = Seq(ScoredIdD(Double.NaN, 1), ScoredIdD(-1e300, 7), ScoredIdD(Double.NaN, 3))
+    assert(mixed.foldLeft(agg.zero)(agg.reduce).map(_.id) == Seq(7, 1))
+  }
+
   test("end-to-end over a DataFrame groupBy equals the window spec") {
     import spark.implicits._
     val rnd = new Random(42)
@@ -48,7 +92,7 @@ class TopKAggSpec extends AnyFunSuite {
       .toDF("source", "score", "id")
       .repartition(13) // force multi-partition partial aggregation
     val got = df.groupBy("source")
-      .agg(TopKAgg.top_k(spark, col("score"), col("id"), 10).as("top"))
+      .agg(TopKAgg.top_k(col("score"), col("id"), 10).as("top"))
       .select(col("source"), posexplode(col("top")))
       .select(col("source"), (col("pos") + 1).as("rnk"),
         col("col.score").as("score"), col("col.id").as("id"))
@@ -65,7 +109,7 @@ class TopKAggSpec extends AnyFunSuite {
     import spark.implicits._
     val df = (0 until 100).map(i => ("s", i.toLong, i.toLong)).toDF("source", "score", "id")
     val plan = df.groupBy("source")
-      .agg(TopKAgg.top_k(spark, col("score"), col("id"), 5).as("top"))
+      .agg(TopKAgg.top_k(col("score"), col("id"), 5).as("top"))
       .queryExecution.executedPlan.toString
     // ObjectHashAggregate runs in partial + final mode around the
     // exchange; a window plan would show Sort + Window instead.
