@@ -119,11 +119,13 @@ object Multimodal {
    * REAL pixel decoder for the uncompressed raster formats — pure JVM
    * byte-layout work, no codec library:
    *
-   *  - PNG: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
-   *    zlib inflate of the IDAT stream ([[java.util.zip.Inflater]] IS
-   *    the JVM's zlib, no codec library involved) + the five scanline
-   *    filters of the PNG spec (None/Sub/Up/Average/Paeth, RFC 2083
-   *    §6); palette / 16-bit / Adam7 payloads return None;
+   *  - PNG: 8-bit gray / gray+alpha / RGB / RGBA, sequential or
+   *    Adam7-interlaced (7-pass de-interleave, per-pass scanline
+   *    filtering) — zlib inflate of the IDAT stream
+   *    ([[java.util.zip.Inflater]] IS the JVM's zlib, no codec library
+   *    involved) + the five scanline filters of the PNG spec
+   *    (None/Sub/Up/Average/Paeth, RFC 2083 §6); palette / 16-bit
+   *    payloads return None;
    *  - GIF: 87a/89a first frame — variable-width LZW (the GIF flavor:
    *    per-spec CLEAR/END codes, 12-bit dictionary cap, deferred
    *    clear), global or local palette lookup to RGB, Adam-style
@@ -150,7 +152,7 @@ object Multimodal {
       if (b.length >= 33 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) {
         // ---- PNG: chunk walk (all fields UNTRUSTED — Long bounds) ----
         var i = 8
-        var w = -1; var h = -1; var depth = -1; var ct = -1
+        var w = -1; var h = -1; var depth = -1; var ct = -1; var interlace = 0
         var seenIhdr = false; var seenIend = false
         val idat = new java.io.ByteArrayOutputStream()
         while (i + 8 <= b.length && !seenIend) {
@@ -163,9 +165,9 @@ object Multimodal {
               w = be32(i + 8); h = be32(i + 12)
               depth = u8(i + 16); ct = u8(i + 17)
               // compression/filter methods are fixed at 0 by the spec;
-              // interlace 1 (Adam7) needs a 7-pass de-interleave — out
-              // of scope, reject rather than mis-decode
-              if (u8(i + 18) != 0 || u8(i + 19) != 0 || u8(i + 20) != 0) return None
+              // interlace: 0 = sequential, 1 = Adam7 (7-pass, below)
+              interlace = u8(i + 20)
+              if (u8(i + 18) != 0 || u8(i + 19) != 0 || interlace > 1) return None
               seenIhdr = true
             case "IDAT" => idat.write(b, i + 8, len)
             case "IEND" => seenIend = true
@@ -181,8 +183,25 @@ object Multimodal {
           case _ => return None // 3 = palette (needs PLTE handling)
         }
         val rowBytes = w * c // <= (1<<16) * 4, no overflow
-        val totalL = (rowBytes.toLong + 1) * h // +1 per-row filter byte
-        if (totalL > Int.MaxValue - 8) return None
+        // Adam7 pass grid (RFC 2083 §2.6): (xStart, yStart, xStep, yStep);
+        // sequential mode is the single full-frame "pass"
+        val passes: Seq[(Int, Int, Int, Int)] =
+          if (interlace == 0) Seq((0, 0, 1, 1))
+          else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        // each pass is an independent sub-image: its own scanline raster
+        // (1 filter byte + passW*c per row); EMPTY passes contribute
+        // nothing, not even filter bytes
+        def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+          val (x0, y0, dx, dy) = p
+          (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+            if (h > y0) (h - y0 + dy - 1) / dy else 0)
+        }
+        val totalL = passes.map { p =>
+          val (pw, ph) = passDims(p)
+          if (pw > 0 && ph > 0) ph * (1L + pw.toLong * c) else 0L
+        }.sum
+        if (totalL <= 0 || totalL > Int.MaxValue - 8) return None
         val raw = new Array[Byte](totalL.toInt)
         val inf = new java.util.zip.Inflater()
         inf.setInput(idat.toByteArray)
@@ -199,38 +218,66 @@ object Multimodal {
           case _: java.util.zip.DataFormatException => return None
         } finally inf.end()
         // ---- unfilter (RFC 2083 §6): predictors read the RECONSTRUCTED
-        // left/up/up-left bytes, one pass, in place into `out` ----
-        val out = new Array[Byte](rowBytes * h)
-        var y = 0
-        while (y < h) {
-          val f = raw(y * (rowBytes + 1)) & 0xff
-          if (f > 4) return None
-          val src = y * (rowBytes + 1) + 1
-          val dst = y * rowBytes
-          var x = 0
-          while (x < rowBytes) {
-            val rv = raw(src + x) & 0xff
-            val left = if (x >= c) out(dst + x - c) & 0xff else 0
-            val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
-            val ul = if (y > 0 && x >= c) out(dst - rowBytes + x - c) & 0xff else 0
-            val v = f match {
-              case 0 => rv
-              case 1 => rv + left
-              case 2 => rv + up
-              case 3 => rv + ((left + up) >> 1)
-              case 4 =>
-                val p = left + up - ul
-                val pa = math.abs(p - left)
-                val pb = math.abs(p - up)
-                val pc = math.abs(p - ul)
-                rv + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        // left/up/up-left bytes of the SAME pass's sub-image ----
+        def unfilter(off: Int, rows: Int, rowB: Int): Option[Array[Byte]] = {
+          val out = new Array[Byte](rowB * rows)
+          var y = 0
+          while (y < rows) {
+            val f = raw(off + y * (rowB + 1)) & 0xff
+            if (f > 4) return None
+            val src = off + y * (rowB + 1) + 1
+            val dst = y * rowB
+            var x = 0
+            while (x < rowB) {
+              val rv = raw(src + x) & 0xff
+              val left = if (x >= c) out(dst + x - c) & 0xff else 0
+              val up = if (y > 0) out(dst - rowB + x) & 0xff else 0
+              val ul = if (y > 0 && x >= c) out(dst - rowB + x - c) & 0xff else 0
+              val v = f match {
+                case 0 => rv
+                case 1 => rv + left
+                case 2 => rv + up
+                case 3 => rv + ((left + up) >> 1)
+                case 4 =>
+                  val p = left + up - ul
+                  val pa = math.abs(p - left)
+                  val pb = math.abs(p - up)
+                  val pc = math.abs(p - ul)
+                  rv + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+              }
+              out(dst + x) = v.toByte // mod-256 per spec
+              x += 1
             }
-            out(dst + x) = v.toByte // mod-256 per spec
-            x += 1
+            y += 1
           }
-          y += 1
+          Some(out)
         }
-        Some((w, h, c, out))
+        if (interlace == 0) {
+          unfilter(0, h, rowBytes).map((w, h, c, _))
+        } else {
+          // de-interleave: unfilter each pass, scatter its pixels onto
+          // the full-frame grid at (x0 + px*dx, y0 + py*dy)
+          val out = new Array[Byte](rowBytes * h)
+          var off = 0
+          for (p @ (x0, y0, dx, dy) <- passes) {
+            val (pw, ph) = passDims(p)
+            if (pw > 0 && ph > 0) {
+              val sub = unfilter(off, ph, pw * c).getOrElse(return None)
+              var py = 0
+              while (py < ph) {
+                var px = 0
+                while (px < pw) {
+                  val dst = (y0 + py * dy) * rowBytes + (x0 + px * dx) * c
+                  System.arraycopy(sub, (py * pw + px) * c, out, dst, c)
+                  px += 1
+                }
+                py += 1
+              }
+              off += ph * (1 + pw * c)
+            }
+          }
+          Some((w, h, c, out))
+        }
       } else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
         // ---- GIF: first frame; palette -> RGB ----

@@ -265,10 +265,108 @@ class HeaderDecoderSpec extends AnyFunSuite {
     assert(Multimodal.PixelDecoder.decode(split).map(_._4.toSeq) == Some(px.toSeq))
   }
 
+  /** Encode pixels as a REAL Adam7-interlaced PNG: each of the 7
+    * passes is gathered as its own sub-image and forward-filtered
+    * independently (`filterFor(pass, passRow)` picks the filter);
+    * empty passes emit nothing, per the spec. */
+  private def pngAdam7(w: Int, h: Int, c: Int, px: Array[Byte],
+      filterFor: (Int, Int) => Int): Array[Byte] = {
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    for (((x0, y0, dx, dy), pi) <- passes.zipWithIndex) {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Byte](pw * ph * c)
+        for (py <- 0 until ph; qx <- 0 until pw; ch <- 0 until c)
+          sub((py * pw + qx) * c + ch) =
+            px(((y0 + py * dy) * w + (x0 + qx * dx)) * c + ch)
+        val rowB = pw * c
+        for (py <- 0 until ph) {
+          val f = filterFor(pi, py)
+          bos.write(f)
+          for (x <- 0 until rowB) {
+            val cur = sub(py * rowB + x) & 0xff
+            val left = if (x >= c) sub(py * rowB + x - c) & 0xff else 0
+            val up = if (py > 0) sub((py - 1) * rowB + x) & 0xff else 0
+            val ul = if (py > 0 && x >= c) sub((py - 1) * rowB + x - c) & 0xff else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) >> 1
+              case 4 =>
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+                if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            }
+            bos.write((cur - pred) & 0xff)
+          }
+        }
+      }
+    }
+    val ct = c match { case 1 => 0 case 2 => 4 case 3 => 2 case 4 => 6 }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(w).putInt(h).put(8.toByte).put(ct.toByte)
+      .put(0.toByte).put(0.toByte).put(1.toByte).array()
+    val rawz = bos.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(rawz); defl.finish()
+    val zbuf = new Array[Byte](rawz.length + 64)
+    val zlen = defl.deflate(zbuf)
+    defl.end()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", java.util.Arrays.copyOf(zbuf, zlen)) ++
+      pngChunk("IEND", Array.empty)
+  }
+
+  test("PNG pixel decode: Adam7 interlace round-trips exactly, every filter") {
+    // 10x9 RGB: all 7 passes non-empty; filters cycle 0..4 across
+    // (pass, row) so every predictor runs inside a sub-image
+    val px = Array.tabulate(10 * 9 * 3)(i => ((i * 41 + 13) % 256).toByte)
+    val file = pngAdam7(10, 9, 3, px, (p, r) => (p + r) % 5)
+    val got = Multimodal.PixelDecoder.decode(file)
+    assert(got.map(t => (t._1, t._2, t._3)) == Some((10, 9, 3)))
+    assert(got.map(_._4.toSeq) == Some(px.toSeq), "Adam7 RGB mismatch")
+    // gray 8x8 (exactly one tile), RGBA 5x5, gray-alpha 3x3 (passes
+    // 2/4 partially empty), 1x1 (only pass 1 exists), 2x1, 1x2
+    for ((w, h, c) <- Seq((8, 8, 1), (5, 5, 4), (3, 3, 2), (1, 1, 3), (2, 1, 1), (1, 2, 3))) {
+      val p = Array.tabulate(w * h * c)(i => ((i * 67 + 5) % 256).toByte)
+      val d = Multimodal.PixelDecoder.decode(pngAdam7(w, h, c, p, (pi, r) => (pi + r) % 5))
+      assert(d.map(t => (t._1, t._2, t._3, t._4.toSeq)) == Some((w, h, c, p.toSeq)),
+        s"Adam7 ${w}x${h}x$c mismatch")
+    }
+  }
+
+  test("PNG Adam7 decode agrees pixel-exact with the platform reader") {
+    val (w, h) = (13, 7)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 29 + 3) % 256).toByte)
+    val file = pngAdam7(w, h, 3, px, (p, r) => (2 * p + r) % 5)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(file))
+    assert(ref != null && (ref.getWidth, ref.getHeight) == (w, h),
+      "platform reader rejected the hand-built interlaced PNG")
+    val Some((gw, gh, gc, gpx)) = Multimodal.PixelDecoder.decode(file)
+    assert((gw, gh, gc) == (w, h, 3))
+    val argb = ref.getRGB(0, 0, w, h, null, 0, w)
+    for (i <- argb.indices) {
+      val v = argb(i)
+      assert(gpx(i * 3) == (v >> 16).toByte && gpx(i * 3 + 1) == (v >> 8).toByte &&
+        gpx(i * 3 + 2) == v.toByte, s"pixel $i differs from the platform decode")
+    }
+  }
+
   test("PNG pixel decode: rejects out-of-scope and malformed payloads, never throws") {
     val px = Array.tabulate(2 * 2 * 3)(i => i.toByte)
     import Multimodal.PixelDecoder.decode
-    assert(decode(pngFull(2, 2, 3, px, Seq(0, 0), interlace = 1)).isEmpty, "Adam7")
+    // an interlace FLAG on a sequential-length raster is a short
+    // stream for the 7-pass layout -> None, never a mis-decode
+    assert(decode(pngFull(2, 2, 3, px, Seq(0, 0), interlace = 1)).isEmpty,
+      "interlace flag with sequential payload")
+    // truncated REAL interlaced stream
+    val il = pngAdam7(6, 6, 3, Array.tabulate(6 * 6 * 3)(_.toByte), (_, _) => 0)
+    assert(decode(il.dropRight(16)).isEmpty, "truncated Adam7")
     assert(decode(pngFull(2, 2, 3, px, Seq(0, 0), depth = 16)).isEmpty, "16-bit")
     val whole = pngFull(2, 2, 3, px, Seq(0, 0))
     assert(decode(whole.dropRight(20)).isEmpty, "truncated IDAT/IEND")
@@ -480,6 +578,49 @@ class HeaderDecoderSpec extends AnyFunSuite {
     assert(maxDiff <= 12, s"JPEG round-trip drifted: max channel diff $maxDiff")
     // metadata path and pixel path agree on dimensions
     assert(Multimodal.HeaderDecoder.decode(jpeg).map(m => (m._1, m._2)) == Some((w, h)))
+  }
+
+  test("PROGRESSIVE JPEG decodes and matches the baseline decode of the same image") {
+    // encode the same image twice with the platform codec — baseline
+    // and progressive (SOF2 scan script) — and pin that the decoder
+    // handles the progressive stream: same dims, pixels within
+    // re-encode distance of the baseline decode. Guards the imageio
+    // delegation against a silent regression to baseline-only.
+    val w = 32; val h = 24
+    val src = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, (x * 8 << 16) | (y * 10 << 8) | ((x + y) * 4))
+    def encode(progressive: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val pw = wr.getDefaultWriteParam
+      pw.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      pw.setCompressionQuality(0.97f)
+      pw.setProgressiveMode(
+        if (progressive) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      wr.write(null, new javax.imageio.IIOImage(src, null, null), pw)
+      wr.dispose()
+      bos.toByteArray
+    }
+    val base = encode(progressive = false)
+    val prog = encode(progressive = true)
+    // the progressive stream really is progressive: SOF2 (0xFFC2)
+    // present, and absent from the baseline stream
+    def hasSof2(b: Array[Byte]) = b.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    assert(hasSof2(prog), "encoder did not produce a progressive scan script")
+    assert(!hasSof2(base))
+    val Some((bw, bh, bc, bpx)) = Multimodal.PixelDecoder.decode(base)
+    val Some((pw2, ph2, pc, ppx)) = Multimodal.PixelDecoder.decode(prog)
+    assert((pw2, ph2, pc) == (w, h, 3) && (bw, bh, bc) == (w, h, 3))
+    // header (metadata) path reads progressive SOF2 dims too
+    assert(Multimodal.HeaderDecoder.decode(prog).map(m => (m._1, m._2)) == Some((w, h)))
+    var maxDiff = 0
+    for (i <- bpx.indices)
+      maxDiff = math.max(maxDiff, math.abs((bpx(i) & 0xff) - (ppx(i) & 0xff)))
+    assert(maxDiff <= 8, s"progressive decode drifted from baseline: max diff $maxDiff")
   }
 
   test("JPEG pixel decode: real files — color 3-channel, grayscale 1-channel") {
