@@ -8,6 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * same or a later micro-batch than `a` (a < b by id within a batch). */
 final case class DupCandidate(a: Long, b: Long)
 
+/** One streamed ANN candidate: `vec_id` was accepted before `q_id`
+  * arrived and lives in one of q's probed cells; `adc` is the IVFADC
+  * distance (lower = closer). */
+final case class AnnCandidate(q_id: Long, vec_id: Long, adc: Double)
+
 /**
  * Streaming document-ingest operators — the dedup-at-ingest shape:
  * documents arrive continuously, and each must be checked against
@@ -134,6 +139,187 @@ object DocStream {
             for (t <- ttlMs if accepted.nonEmpty)
               state.setTimeoutTimestamp(
                 math.max(wm + 1, accepted.map { case (_, ts) => ts + t }.min))
+            out.iterator
+          }
+      }
+  }
+
+  /**
+   * Streaming IVFADC ANN lookups at ingest — the q106/q112 index
+   * composed with the q103 frozen-quantizer pattern: coarse centroids
+   * and residual-PQ codebooks are trained OFFLINE (batch
+   * [[graft.operators.Similarity.ivfPqTrain]]) and frozen; each
+   * arriving vector
+   *
+   *  1. probes its `nprobe` nearest cells, carrying one residual LUT
+   *     per probed cell (computed scan-side, exactly the batch
+   *     `ivfPqTopK` probe kernel);
+   *  2. ADC-scans ONLY those cells' state — per cell, the (id, codes)
+   *     of vectors ACCEPTED earlier whose home is that cell — keeping a
+   *     bounded (adc ASC, vec_id ASC) top-k per (arrival, cell);
+   *  3. then joins its own home cell's state with its PQ codes.
+   *
+   * "Accepted earlier" is deterministic: an earlier micro-batch, or
+   * the same batch with a smaller id (within-batch arrival order is
+   * undefined, so id order is imposed — same rule as
+   * [[nearDupCandidates]]). The LUT/ADC arithmetic reproduces the
+   * batch kernels' operation order, so the per-query top-k over the
+   * emitted candidates is BIT-IDENTICAL to batch `ivfPqTopK` with
+   * corpus = the vectors accepted before q (spec-asserted).
+   *
+   * Output is per-(arrival, probed cell) candidates, ≤ nprobe*k rows
+   * per arrival; the final ≤ k merge (and any exact rerank) is a batch
+   * concern downstream of the sink, like the near-dup exact-verify.
+   * State per cell is the compact code list (m small ints + id + ts
+   * per vector, never the embedding). TTL semantics are exactly
+   * [[nearDupCandidates]]'s: with `tsCol`+`stateTtl` (+ watermark on
+   * the input) an accepted vector stops matching once the watermark
+   * passes ts + ttl, and idle cells are removed via event-time
+   * timeout. A re-delivered id is skipped at its HOME cell (state
+   * stays clean); its probe rows to OTHER cells may re-emit
+   * candidates under at-least-once delivery — downstream dedup, as
+   * with candidate pairs.
+   */
+  def ivfPqCandidates(
+      docs: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: graft.operators.Similarity.IvfPqIndex,
+      k: Int,
+      nprobe: Int,
+      tsCol: Option[String] = None,
+      stateTtl: Option[java.time.Duration] = None): Dataset[AnnCandidate] = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1 && nprobe <= index.coarse.length, "nprobe must be in [1, nlist]")
+    require(stateTtl.isEmpty || tsCol.nonEmpty, "stateTtl requires tsCol")
+    require(stateTtl.forall(d => d.toMillis > 0), "stateTtl must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    // one pass per arrival: normalize, pick nprobe nearest cells, build
+    // each cell's residual LUT, PQ-encode against the HOME (nearest)
+    // cell — the same loops as the batch probe/encode kernels, in the
+    // same order, so ADC doubles match bit-for-bit
+    val probe = udf { v: Seq[Double] =>
+      if (v == null) null
+      else {
+        val ix = bc.value
+        val b = ix.books
+        var nrm = 0.0
+        v.foreach(x => nrm += x * x)
+        nrm = math.sqrt(nrm)
+        val unit = if (nrm > 0) v.map(_ / nrm) else v
+        val ds = ix.coarse.indices.map { c =>
+          var d = 0.0; var j = 0
+          while (j < unit.length) { val df = unit(j) - ix.coarse(c)(j); d += df * df; j += 1 }
+          (c, d)
+        }
+        val probes = ds.sortBy { case (c, d) => (d, c) }.take(nprobe)
+        val home = probes.head._1
+        val homeCt = ix.coarse(home)
+        val codes = Array.tabulate(b.m) { s =>
+          val cents = b.centroids(s)
+          var bc2 = 0; var bd2 = Double.MaxValue
+          var cc = 0
+          while (cc < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < b.dsub) {
+              val diff = (unit(s * b.dsub + j) - homeCt(s * b.dsub + j)) - cents(cc)(j)
+              d += diff * diff; j += 1
+            }
+            if (d < bd2) { bd2 = d; bc2 = cc }
+            cc += 1
+          }
+          bc2
+        }
+        probes.zipWithIndex.map { case ((cell, _), pi) =>
+          val ct = ix.coarse(cell)
+          val lut = Array.tabulate(b.m) { s =>
+            val cents = b.centroids(s)
+            Array.tabulate(cents.length) { cc =>
+              var d = 0.0; var j = 0
+              while (j < b.dsub) {
+                val diff = (unit(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
+                d += diff * diff; j += 1
+              }
+              d
+            }
+          }
+          (cell, lut, if (pi == 0) codes else null, pi == 0)
+        }
+      }
+    }
+    val tsExpr = tsCol.map(c => col(c)).getOrElse(lit(null).cast("timestamp"))
+    val probedDf = docs
+      .select(col(idCol).cast("long").as("id"), tsExpr.as("ts"),
+        explode(probe(col(embCol).cast("array<double>"))).as("__p"))
+      .select(col("id"), col("ts"), col("__p._1").as("cell"),
+        col("__p._2").as("lut"), col("__p._3").as("codes"), col("__p._4").as("isHome"))
+    // null event time with a TTL: same visible exclusion as nearDupCandidates
+    val probed = (if (stateTtl.isDefined) probedDf.filter(col("ts").isNotNull) else probedDf)
+      .as[(Long, java.sql.Timestamp, Int, Seq[Seq[Double]], Seq[Int], Boolean)]
+
+    val ttlMs = stateTtl.map(_.toMillis)
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    // state = (id, arrivalMs, codes) per accepted home vector, newest first
+    probed
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Long, Seq[Int])], AnnCandidate](
+        OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[List[(Long, Long, Seq[Int])]]) =>
+          val wm = if (ttlMs.isDefined) state.getCurrentWatermarkMs() else Long.MinValue
+          val live = state.getOption.getOrElse(Nil).filter {
+            case (_, ts, _) => ttlMs.forall(t => ts + t > wm)
+          }
+          if (state.hasTimedOut) {
+            if (live.isEmpty) state.remove()
+            else {
+              state.update(live)
+              state.setTimeoutTimestamp(
+                math.max(wm + 1, live.map { case (_, ts, _) => ts + ttlMs.get }.min))
+            }
+            Iterator.empty
+          } else {
+            // within-batch determinism: id order; first arrival wins on
+            // re-delivery of a home row
+            val fresh = rows.toSeq
+              .groupBy(_._1).map { case (_, rs) => rs.minBy(r =>
+                (if (r._2 == null) 0L else r._2.getTime, !r._6)) }
+              .toSeq.sortBy(_._1)
+            val acceptedIds = scala.collection.mutable.HashSet.empty[Long]
+            live.foreach { case (id, _, _) => acceptedIds += id }
+            val out = scala.collection.mutable.ArrayBuffer.empty[AnnCandidate]
+            var accepted = live
+            for ((id, tsRaw, _, lut, codes, isHome) <- fresh
+                if !(isHome && acceptedIds.contains(id))) {
+              val ts = if (tsRaw == null) 0L else tsRaw.getTime
+              // bounded (adc ASC, vec_id ASC) top-k over this cell's state
+              def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+                a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+              val top = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+              for ((vid, _, vcodes) <- accepted if vid != id) {
+                var d = 0.0; var s = 0
+                while (s < vcodes.length) { d += lut(s)(vcodes(s)); s += 1 }
+                val cand = (d, vid)
+                if (top.length < k || lt(cand, top.last)) {
+                  val at = top.indexWhere(t => lt(cand, t))
+                  top.insert(if (at < 0) top.length else at, cand)
+                  if (top.length > k) top.remove(k)
+                }
+              }
+              top.foreach { case (d, vid) => out += AnnCandidate(id, vid, d) }
+              if (isHome) {
+                accepted = (id, ts, codes) :: accepted
+                acceptedIds += id
+              }
+            }
+            if (accepted.isEmpty) state.remove() else state.update(accepted)
+            for (t <- ttlMs if accepted.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(wm + 1, accepted.map { case (_, ts, _) => ts + t }.min))
             out.iterator
           }
       }

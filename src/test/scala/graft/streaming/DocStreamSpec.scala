@@ -126,6 +126,190 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- streaming IVFADC (frozen quantizer) ----
+
+  /** Pure-Scala mirror of the streaming kernels (same loop order as
+    * the operator and the batch ivfPqTopK): unit-normalize, probe
+    * cells, residual codes, residual LUT, ADC. */
+  private object IvfRef {
+    import graft.operators.Similarity.IvfPqIndex
+    def unit(v: Seq[Double]): Seq[Double] = {
+      var n = 0.0; v.foreach(x => n += x * x); n = math.sqrt(n)
+      if (n > 0) v.map(_ / n) else v
+    }
+    def probes(ix: IvfPqIndex, u: Seq[Double], nprobe: Int): Seq[Int] =
+      ix.coarse.indices.map { c =>
+        var d = 0.0; var j = 0
+        while (j < u.length) { val df = u(j) - ix.coarse(c)(j); d += df * df; j += 1 }
+        (c, d)
+      }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
+    def codes(ix: IvfPqIndex, u: Seq[Double], home: Int): Seq[Int] = {
+      val b = ix.books; val ct = ix.coarse(home)
+      (0 until b.m).map { s =>
+        val cents = b.centroids(s)
+        var best = 0; var bd = Double.MaxValue
+        for (cc <- cents.indices) {
+          var d = 0.0; var j = 0
+          while (j < b.dsub) {
+            val diff = (u(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
+            d += diff * diff; j += 1
+          }
+          if (d < bd) { bd = d; best = cc }
+        }
+        best
+      }
+    }
+    def lut(ix: IvfPqIndex, u: Seq[Double], cell: Int): Array[Array[Double]] = {
+      val b = ix.books; val ct = ix.coarse(cell)
+      Array.tabulate(b.m) { s =>
+        val cents = b.centroids(s)
+        Array.tabulate(cents.length) { cc =>
+          var d = 0.0; var j = 0
+          while (j < b.dsub) {
+            val diff = (u(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
+            d += diff * diff; j += 1
+          }
+          d
+        }
+      }
+    }
+    def adc(l: Array[Array[Double]], cs: Seq[Int]): Double = {
+      var d = 0.0; var s = 0
+      while (s < cs.length) { d += l(s)(cs(s)); s += 1 }
+      d
+    }
+  }
+
+  test("streaming IVFADC: candidates match the reference rule; final query == batch ivfPqTopK") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sim = graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") <= 120)
+      .select(col("vec_id"), col("embedding"))
+    val ix = Sim.ivfPqTrain(emb, "embedding", dim = 64, nlist = 8, m = 8, ksub = 16)
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val (k, nprobe) = (5, 3)
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = DocStream.ivfPqCandidates(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", ix, k, nprobe)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ann_cand").start()
+    try {
+      // two corpus batches, then the largest id alone as the final query
+      val batches = Seq(rows.slice(0, 60), rows.slice(60, 120), rows.slice(120, 121))
+      for (b <- batches) { mem.addData(b); q.processAllAvailable() }
+      val got = spark.table("ann_cand")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+      // full-stream check: every arrival's per-cell top-k vs the
+      // reference rule "accepted = earlier (batch, id), home cell in
+      // my probes", with EXACT double equality (same op order)
+      val batchOf = batches.zipWithIndex
+        .flatMap { case (b, i) => b.map(r => r._1 -> i) }.toMap
+      val units = rows.map { case (id, v) => id -> IvfRef.unit(v) }.toMap
+      val homes = rows.map { case (id, _) => id -> IvfRef.probes(ix, units(id), 1).head }.toMap
+      val cds = rows.map { case (id, _) => id -> IvfRef.codes(ix, units(id), homes(id)) }.toMap
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      for ((qid, _) <- rows) {
+        val before = rows.map(_._1).filter(v =>
+          (batchOf(v), v) != ((batchOf(qid), qid)) &&
+            (batchOf(v) < batchOf(qid) || (batchOf(v) == batchOf(qid) && v < qid)))
+        for (cell <- IvfRef.probes(ix, units(qid), nprobe)) {
+          val l = IvfRef.lut(ix, units(qid), cell)
+          val inCell = before.filter(homes(_) == cell)
+            .map(v => (IvfRef.adc(l, cds(v)), v)).sorted.take(k)
+          inCell.foreach { case (d, v) => expected += ((qid, v, d)) }
+        }
+      }
+      assert(got.toSet == expected.toSet,
+        s"stream=${got.length} expected=${expected.length}")
+
+      // the literal batch gate: global top-k for the final query over
+      // its streamed candidates == batch ivfPqTopK with corpus = all
+      // accepted-before vectors (bit-identical adc after the same
+      // 6-decimal rounding)
+      val lastId = rows.last._1
+      val streamTop = got.filter(_._1 == lastId).sortBy(t => (t._3, t._2)).take(k)
+        .map { case (_, vid, d) => (vid, math.rint(d * 1e6) / 1e6) }
+      val corpus = emb.filter(col("vec_id") =!= lastId)
+      val codesDf = Sim.ivfPqEncode(corpus, "vec_id", "embedding", ix)
+      val batchTop = Sim.ivfPqTopK(codesDf, emb.filter(col("vec_id") === lastId),
+        "vec_id", "embedding", ix, k, nprobe)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(2), r.getDouble(3)))
+      assert(streamTop.map(_._1).toSeq == batchTop.map(_._1).toSeq,
+        s"stream=$streamTop batch=${batchTop.toSeq}")
+      for ((s, b) <- streamTop.zip(batchTop)) assert(s._2 == b._2,
+        s"adc mismatch: $s vs $b")
+    } finally q.stop()
+  }
+
+  test("streaming IVFADC: re-delivered vectors neither duplicate state nor candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sim = graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40).select(col("vec_id"), col("embedding"))
+    val ix = Sim.ivfPqTrain(emb, "embedding", dim = 64, nlist = 4, m = 8, ksub = 8)
+    val v0 = emb.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].head()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = DocStream.ivfPqCandidates(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", ix,
+      k = 5, nprobe = 1)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ann_redeliver").start()
+    try {
+      mem.addData(Seq((1L, v0))); q.processAllAvailable()
+      mem.addData(Seq((1L, v0))); q.processAllAvailable() // at-least-once
+      mem.addData(Seq((2L, v0))); q.processAllAvailable()
+      val cands = spark.table("ann_redeliver")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // exactly one candidate: 2 vs the single accepted copy of 1
+      assert(cands.toSeq == Seq((2L, 1L)), s"got ${cands.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming IVFADC: stateTtl evicts accepted vectors past the arrival window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sim = graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40).select(col("vec_id"), col("embedding"))
+    val ix = Sim.ivfPqTrain(emb, "embedding", dim = 64, nlist = 4, m = 8, ksub = 8)
+    val vecs = emb.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    val v0 = vecs(0)
+    val home0 = IvfRef.probes(ix, IvfRef.unit(v0), 1).head
+    // a watermark-advancing vector homed in a DIFFERENT cell, so with
+    // nprobe = 1 it cannot interact with v0's cell
+    val vOther = vecs.find(v => IvfRef.probes(ix, IvfRef.unit(v), 1).head != home0)
+      .getOrElse(fail("no vector outside v0's cell"))
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val out = DocStream.ivfPqCandidates(
+      mem.toDF().toDF("vec_id", "ts", "embedding").withWatermark("ts", "0 seconds"),
+      "vec_id", "embedding", ix, k = 5, nprobe = 1,
+      tsCol = Some("ts"), stateTtl = Some(java.time.Duration.ofMinutes(10)))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ann_ttl").start()
+    try {
+      mem.addData(Seq((1L, ts(100), v0))); q.processAllAvailable()
+      mem.addData(Seq((2L, ts(105), v0))); q.processAllAvailable() // pairs with 1
+      mem.addData(Seq((9L, ts(200), vOther))); q.processAllAvailable() // advances wm
+      mem.addData(Seq((3L, ts(205), v0))); q.processAllAvailable() // 1/2 evicted
+      mem.addData(Seq((4L, ts(210), v0))); q.processAllAvailable() // pairs with 3
+      val cands = spark.table("ann_ttl")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands.contains((2L, 1L)) && cands.contains((4L, 3L)), s"got $cands")
+      assert(!cands.exists { case (a, b) => a >= 3 && b <= 2 },
+        s"candidate across the evicted window: $cands")
+    } finally q.stop()
+  }
+
   test("stateTtl: state size plateaus under a long stream instead of growing with it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
