@@ -1245,7 +1245,9 @@ object SparkEntry {
           sum(when(col("k").isNotNull, 1).otherwise(0)).cast("long").as("n_sampled"),
           sum(when(col("k").isNull || col("k2").isNull, 1).otherwise(0)).as("__mm"))
         .select(lit("tablesample_10pct_seed42").as("metric"), col("n_sampled"),
-          (col("__mm") === 0).as("deterministic"))
+          (col("__mm") === 0).as("deterministic"),
+          lit("single-partition surface demo; md5-bucket q63 is the scale path")
+            .as("scale_note"))
     },
 
     // Spark 4 VARIANT surface: parse_json shreds the props string into
@@ -2230,7 +2232,8 @@ object SparkEntry {
       """SELECT 'tablesample_10pct_seed42' AS metric,
         | CAST(CASE (SELECT count(*) FROM orders)
         |   WHEN 15000 THEN 1585 WHEN 150000 THEN 14885 ELSE -1 END AS BIGINT) AS n_sampled,
-        | true AS deterministic""".stripMargin,
+        | true AS deterministic,
+        | 'single-partition surface demo; md5-bucket q63 is the scale path' AS scale_note""".stripMargin,
 
     // VARIANT: DuckDB re-derives every extracted field from the same
     // JSON text; the inferred-schema string is pinned (every props row
