@@ -91,22 +91,36 @@ object Bench {
     // stable full-name order for both outputs
     val ordered = names.flatMap(n => timings.get(n).map(n -> _))
     val total = ordered.map(_._2).sum
-    def line(keyOf: String => String, fmt: Double => String): String = {
+    def line(keyOf: String => String, fmt: Double => String,
+             esOf: => String): String = {
       val qs = ordered.map { case (k, v) => s"${jstr(keyOf(k))}:${fmt(v)}" }
         .mkString("{", ",", "}")
-      val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
-        s""""queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+        s""""failed":${errors.nonEmpty},"n_errors":${errors.size},""" +
+        s""""queries":$qs,"errors":$esOf,"sf":"$sfDir"}"""
     }
+    val fullErrors =
+      errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // The driver parses only the LAST ~2000 chars of output: a full error
+    // dump for many failing queries would push the JSON head out of the
+    // window and truncate strings mid-token, reading as parsed:null with
+    // rc 0 (ADVICE r8). The printed line therefore carries at most 3
+    // abbreviated errors (the rest are counted in n_errors and the full
+    // text lives in BENCH_LOCAL.json), and the process exits nonzero on
+    // any error so the runner can never file a failing run as green.
+    val shortErrors =
+      errors.take(3).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
+        .mkString("{", ",", "}")
     // full-precision, full-name copy for humans (BASELINE.md cross-ref)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      line(identity, _.toString) + "\n")
+      line(identity, _.toString, fullErrors) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     // short keys ("q22" for "q22_minhash_lsh") keep the line ~1kB so it
     // fits the tail buffer whole; printed last, after Spark is down
-    println(line(_.takeWhile(_ != '_'), v => f"$v%.3f"))
+    println(line(_.takeWhile(_ != '_'), v => f"$v%.3f", shortErrors))
     System.out.flush()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -39,14 +39,12 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively: read it as raw nanos (legacy conf) and convert to a
-    * proper TimestampType column (microsecond floor — identical epoch
-    * seconds to DuckDB's nanosecond view for positive timestamps). */
+  /** `events.ts` normalized to TimestampType whatever the fixture
+    * generation shipped (nanos-as-long, NTZ micros, or LTZ) — see
+    * [[EventTime.normalize]]. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventTime.normalize(t(spark, dir, "events"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1379,6 +1377,73 @@ object SparkEntry {
         .orderBy("source", "rnk")
     },
 
+    // Shard-mergeable cardinality via Datasketches HLL: each source
+    // builds a fixed-size sketch map-side, the corpus-wide distinct is
+    // a union of sketches — the 100 TB dedup-monitoring shape (1000
+    // shards merge in one tiny final aggregate; exact count(DISTINCT)
+    // shuffles the full value stream). Exact counts are the oracle and
+    // certify every estimate in-query at a 5% gate (lgK=14 standard
+    // error ~0.8% — a >6-sigma margin, so the deterministic estimate
+    // cannot sit gate-adjacent), re-validating the cheap estimator.
+    "q115_hll_cardinality" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val perSrc = docs.groupBy("source").agg(
+        count_distinct(col("text")).as("n_exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(text, 14))").as("est"))
+      val globalSketch = docs.groupBy("source")
+        .agg(expr("hll_sketch_agg(text, 14)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      val globalExact = docs.agg(count_distinct(col("text")).as("n_exact"))
+      val g = globalExact.crossJoin(broadcast(globalSketch))
+        .select(lit("__ALL__").as("source"), col("n_exact"), col("est"))
+      perSrc.select(col("source"), col("n_exact"), col("est"))
+        .unionByName(g)
+        .select(col("source"), col("n_exact"),
+          (abs(col("est").cast("double") - col("n_exact").cast("double"))
+            <= lit(0.05) * col("n_exact").cast("double")).as("approx_ok"))
+        .orderBy("source")
+    },
+
+    // Distribution monitoring: exact per-language length quantiles
+    // (the oracle — a per-group sort at scale) next to the mergeable
+    // approx_percentile sketch, gated in-query by the median-rank
+    // property |rank(approx_median) - 0.5| <= 1% — the shape a 100 TB
+    // pipeline runs on every quality-score column, where only the
+    // fixed-size sketch is affordable and this query certifies it.
+    "q116_quality_quantiles" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("lang", "n_chars")
+      val exact = docs.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(n_chars, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(n_chars, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.75D)"), 4).as("p75"),
+        // 15/16 instead of 0.95: dyadic interpolation weights make the
+        // interpolated value EXACT in both engines (int data × 2^-4
+        // weights), so the oracle compare is float-noise-free
+        round(expr("percentile(n_chars, 0.9375D)"), 4).as("p9375"),
+        expr("approx_percentile(n_chars, 0.5D, 10000)").as("amed"))
+      val ranks = docs.join(broadcast(exact.select("lang", "amed")), "lang")
+        .groupBy("lang").agg(
+          (sum(when(col("n_chars") < col("amed"), 1L).otherwise(0L))
+            / count(lit(1))).as("frac_lt"),
+          (sum(when(col("n_chars") <= col("amed"), 1L).otherwise(0L))
+            / count(lit(1))).as("frac_le"))
+      exact.join(ranks, "lang")
+        .select(col("lang"), col("n"), col("p25"), col("p50"), col("p75"), col("p9375"),
+          (col("frac_lt") <= lit(0.51) && col("frac_le") >= lit(0.49)).as("approx_ok"))
+        .orderBy("lang")
+    },
+
+    // One-pass dataset profiler (operators/Profile.scala): every
+    // column's row/null/distinct/min-max stats from ONE aggregate job,
+    // with the mergeable HLL++ distinct estimate gated against the
+    // exact count per column — the ingest-admission check a 100 TB
+    // pipeline runs on each new shard.
+    "q117_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -2310,6 +2375,58 @@ object SparkEntry {
              |      ORDER BY a2 DESC, doc_id) AS INT) AS rnk
              |  FROM ${TorchOracle.lastCte(tail)})
              |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin)
+    },
+
+    // HLL estimates aren't DuckDB-reproducible; the exact counts ARE,
+    // and the in-query gate (est within 5% of exact, >6-sigma margin
+    // at lgK=14) must come out true for every shard and the union.
+    "q115_hll_cardinality" ->
+      """SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+        | true AS approx_ok
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '__ALL__', CAST(count(DISTINCT text) AS BIGINT), true FROM documents
+        |ORDER BY source""".stripMargin,
+
+    // Exact quantiles: both engines interpolate at rank p*(n-1); the
+    // p set {1/4, 1/2, 3/4, 15/16} keeps every interpolation weight
+    // dyadic, so int data makes the doubles bit-identical. The approx-
+    // median gate (rank within 1% of 0.5) is certified in-query.
+    "q116_quality_quantiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        | round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        | round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        | round(quantile_cont(n_chars, 0.9375), 4) AS p9375,
+        | true AS approx_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Profiler: DuckDB recomputes every exact stat per column
+    // (timestamps as epoch micros — integer-exact doubles); the HLL++
+    // gate column must be uniformly true.
+    "q117_profile" -> {
+      def num(c: String, mn: String, mx: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, true AS approx_ok,
+           | CAST($mn AS DOUBLE) AS min_num, CAST($mx AS DOUBLE) AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, true AS approx_ok,
+           | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           | min($c) AS min_str, max($c) AS max_str
+           |FROM orders""".stripMargin
+      Seq(
+        num("o_orderkey", "min(o_orderkey)", "max(o_orderkey)"),
+        num("o_custkey", "min(o_custkey)", "max(o_custkey)"),
+        str("o_orderstatus"),
+        num("o_totalprice", "min(o_totalprice)", "max(o_totalprice)"),
+        num("o_orderdate", "epoch_us(min(o_orderdate))", "epoch_us(max(o_orderdate))"),
+        str("o_orderpriority"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
 
     "q98_curriculum" ->

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+
+/**
+ * One-pass dataset profiler — the ingest-monitoring operator a 100 TB
+ * pipeline runs on every new shard before it is admitted to the corpus
+ * (row/null/distinct/min-max drift catches upstream schema breaks and
+ * silent truncation long before a training job does).
+ *
+ * Shape at scale:
+ *  - ONE aggregate job over the table produces every column's stats —
+ *    no per-column scan loop (a naive `df.describe`-style loop is N
+ *    full scans).
+ *  - Exact `count(DISTINCT)` for several columns at once forces
+ *    Spark's Expand — each row is replicated once per distinct
+ *    aggregate before the shuffle, so the shuffle input is
+ *    rows × columns. That is the correctness oracle here; the SCALE
+ *    path is `approx_count_distinct` (HLL++), a fixed-size mergeable
+ *    sketch per (column) with a plain partial/final aggregate. The
+ *    profiler computes BOTH and gates the sketch against the exact
+ *    count in-query, so the cheap estimator is certified every time
+ *    the expensive one still fits.
+ *  - Numeric and temporal min/max surface as doubles (epoch seconds
+ *    for timestamps), strings as strings — both DuckDB-expressible,
+ *    no engine-specific float formatting in the output.
+ */
+object Profile {
+
+  /** Long-format profile: one row per profiled column with
+    * (col_name, n, n_null, n_distinct, approx_ok, min_num, max_num,
+    * min_str, max_str). Numeric/temporal min-max land in min_num/
+    * max_num (timestamps as epoch MICROS — integer-valued doubles,
+    * exact to 2^53, so no float-rounding ambiguity against an external
+    * oracle); strings land in min_str/max_str. `relErr` is the gate on
+    * |approx - exact| / exact for the HLL++ estimate (its standard
+    * error at the default precision is ~2.3%). */
+  def profile(df: DataFrame, cols: Seq[String], relErr: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    val schema = df.schema
+    def isNum(c: String) = schema(c).dataType.isInstanceOf[NumericType]
+    def isTime(c: String) = schema(c).dataType match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    // numeric view used for min/max: numbers as themselves, timestamps
+    // as epoch micros (same total order as the native type; exact)
+    def numView(c: String): Column = schema(c).dataType match {
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case DateType => (unix_date(col(c)).cast("long") * lit(86400000000L)).cast("double")
+      case _ => col(c).cast("double")
+    }
+
+    // Pass A — sketches + simple stats, NO exact distinct: one
+    // Expand-free aggregate whose buffers are a fixed few KB total.
+    // Pass B — the exact count(DISTINCT)s alone. Mixing them in one
+    // agg is a scale trap: multi-distinct plans Expand and re-key the
+    // partial aggregate on (gid, value), and EVERY one of those hash
+    // entries would then carry all the non-distinct buffers — columns
+    // × 16 KB of HLL++ registers per distinct value (measured OOM at
+    // sf0.01 on a 4 GB heap). Split, each pass's buffers are sane; the
+    // two 1-row results broadcast-join for free.
+    val statAggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        // rsd 1% against the 5% default gate = a 5-sigma margin: the
+        // (deterministic) estimate for a given dataset can't sit on
+        // the wrong side of the gate by estimator noise
+        approx_count_distinct(col(c), 0.01).as(s"__and_$c"))
+      val minmax =
+        if (isNum(c) || isTime(c)) Seq(
+          min(numView(c)).as(s"__minn_$c"),
+          max(numView(c)).as(s"__maxn_$c"),
+          lit(null).cast("string").as(s"__mins_$c"),
+          lit(null).cast("string").as(s"__maxs_$c"))
+        else Seq(
+          lit(null).cast("double").as(s"__minn_$c"),
+          lit(null).cast("double").as(s"__maxn_$c"),
+          min(col(c)).cast("string").as(s"__mins_$c"),
+          max(col(c)).cast("string").as(s"__maxs_$c"))
+      base ++ minmax
+    }
+    val exactAggs: Seq[Column] =
+      cols.map(c => count_distinct(col(c)).as(s"__nd_$c"))
+    val one = df.agg(statAggs.head, statAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(exactAggs.head, exactAggs.tail: _*)))
+
+    // unpivot the single stats row to long format (driver never sees
+    // the data — this is a 1-row transform)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        (abs(col(s"__and_$c").cast("double") - col(s"__nd_$c").cast("double"))
+          <= lit(relErr) * col(s"__nd_$c").cast("double")).as("approx_ok"),
+        col(s"__minn_$c").as("min_num"),
+        col(s"__maxn_$c").as("max_num"),
+        col(s"__mins_$c").as("min_str"),
+        col(s"__maxs_$c").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("col_name")
+  }
+}

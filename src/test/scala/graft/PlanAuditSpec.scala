@@ -163,6 +163,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"semanticDedup has an NLJ:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB shape: a big fact shuffle-joined to a selectively-
+    // filtered dimension. Spark's InjectRuntimeFilter can build a bloom
+    // filter from the filtered dim and push it into the fact scan, so
+    // most fact rows die before the exchange. Thresholds are production
+    // defaults scaled to fixture size; broadcast is disabled because a
+    // broadcast-hash-join plan already prunes via its own build side.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+      // tree prints parent-first: the might_contain Filter printing
+      // BELOW the fact-side exchange means it executes BEFORE it —
+      // rows are pruned pre-shuffle
+      assert(p.indexOf("might_contain") > p.indexOf("Exchange hashpartitioning(l_orderkey"),
+        s"bloom filter not pruning before the fact shuffle:\n$p")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q54's two identical correlated aggregates share one exchange") {
     // The SELECT arm and the WHERE arm state the same per-customer
     // aggregate; the plan must compute it once and reuse the exchange,

@@ -47,8 +47,9 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("asof join == brute-force latest-predecessor on real events") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("tsu", col("ts").cast("long"))
+    val ev = graft.EventTime
+      .normalize(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .withColumn("tsu", unix_micros(col("ts")))
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "tsu")
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -12,8 +12,8 @@ class SourcesSpec extends AnyFunSuite {
 
   private def events = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("ts div 1000")) // epoch micros: format-stable
+    graft.EventTime.normalize(spark.read.parquet(s"$sfDir/events.parquet"))
+      .withColumn("ts", unix_micros(col("ts"))) // epoch micros: format-stable
   }
 
   private def fingerprint(df: org.apache.spark.sql.DataFrame): Array[String] = {
@@ -33,6 +33,15 @@ class SourcesSpec extends AnyFunSuite {
     val fromCsv = spark.read.schema(base.schema)
       .option("header", "true").csv(s"$dir/events_csv")
     assert(fingerprint(fromCsv).sameElements(fingerprint(base)), "csv round-trip")
+  }
+
+  test("events round-trip orc with identical rows") {
+    val base = events
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    base.write.mode("overwrite").orc(s"$dir/events_orc")
+    val fromOrc = spark.read.orc(s"$dir/events_orc")
+    assert(fromOrc.schema == base.schema, "orc round-trip schema")
+    assert(fingerprint(fromOrc).sameElements(fingerprint(base)), "orc round-trip")
   }
 
   test("partitioned parquet write prunes partitions at scan") {

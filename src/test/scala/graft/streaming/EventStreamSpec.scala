@@ -10,8 +10,8 @@ class EventStreamSpec extends AnyFunSuite {
 
   private def eventsBatch = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.EventTime.normalize(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
   }
 
   test("streaming hourly windowed agg over MemoryStream == batch groupBy on same rows") {
