@@ -1444,6 +1444,28 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))),
 
+    // Per-dimension embedding moments (mean/variance for whitening and
+    // drift monitoring) via the mergeable vector aggregator
+    // (functions/VecStatsAgg.scala): one pass, no posexplode row
+    // blowup (rows × 64 element-rows through the scan at 100 TB); the
+    // exchange carries one (1 + 2·dim)-double buffer per task per
+    // label. Variance uses the explicit (Σx² − (Σx)²/n)/n form stated
+    // identically in the oracle, so both engines run the same
+    // arithmetic on the same per-element double casts.
+    "q118_embed_stats" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(graft.functions.VecStatsAgg.vec_stats(col("embedding"), 64).as("st"))
+        .select(col("label"), col("st.n").as("n"),
+          col("st.sum").as("s"), col("st.sumSq").as("q"))
+        .select(col("label"), col("n"), posexplode(arrays_zip(col("s"), col("q"))))
+        .select(col("label"), col("n"), col("pos").cast("int").as("dim"),
+          round(col("col.s") / col("n"), 4).as("mean"),
+          round((col("col.q") - col("col.s") * col("col.s") / col("n"))
+            / col("n"), 4).as("var_pop"))
+        .orderBy("label", "dim")
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -2428,6 +2450,19 @@ object SparkEntry {
         str("o_orderpriority"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    // Element/ordinal pairs via DuckDB's zipped unnest +
+    // generate_subscripts; the moment formulas are stated exactly as
+    // the Spark side computes them.
+    "q118_embed_stats" ->
+      """WITH v AS (
+        |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(dim AS INT) AS dim,
+        | round(sum(x) / count(*), 4) AS mean,
+        | round((sum(x * x) - sum(x) * sum(x) / count(*)) / count(*), 4) AS var_pop
+        |FROM v GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "q98_curriculum" ->
       """WITH d AS (

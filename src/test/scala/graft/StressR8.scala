@@ -119,8 +119,25 @@ object StressR8 {
     val out = timed("top_k(20) over 20M rows, one source = 90%") {
       capped.collect()
     }
-    val qe = capped.queryExecution
-    val partialRows = qe.executedPlan.collect {
+    // AQE hides the executed nodes twice over: the final plan lives in
+    // AdaptiveSparkPlanExec.executedPlan (not its children), and each
+    // materialized stage is a LEAF QueryStageExec whose real subtree is
+    // its `plan` field — a naive collect() sees only zeroed initial-plan
+    // metrics. Walk through both wrappers explicitly.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => p.children
+      }
+      p +: through.flatMap(allNodes)
+    }
+    val partialRows = allNodes(capped.queryExecution.executedPlan).collect {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
           if a.aggregateExpressions.exists(_.mode ==
             org.apache.spark.sql.catalyst.expressions.aggregate.Partial) =>
