@@ -203,6 +203,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q118 vector moments aggregate without exploding the embedding") {
+    // the per-element Generate must appear only ABOVE the aggregate
+    // (shaping the tiny per-group result), never below it — an explode
+    // upstream of the aggregation is the 64x-row-traffic shape
+    // VecStatsAgg exists to avoid
+    // tree prints parent-first, so a Generate that EXECUTES before the
+    // aggregate (bad) prints after it; the output-shaping Generate
+    // (fine) prints before the first aggregate node
+    val p = plan("q118_embed_stats")
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    assert(firstAgg >= 0, s"expected Aggregator plan:\n$p")
+    val genPositions = "Generate".r.findAllMatchIn(p).map(_.start).toList
+    assert(genPositions.nonEmpty && genPositions.forall(_ < firstAgg),
+      s"explode upstream of the aggregation (row blowup before partial agg):\n$p")
+  }
+
   test("q54's two identical correlated aggregates share one exchange") {
     // The SELECT arm and the WHERE arm state the same per-customer
     // aggregate; the plan must compute it once and reuse the exchange,
