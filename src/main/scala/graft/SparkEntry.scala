@@ -1466,6 +1466,36 @@ object SparkEntry {
         .orderBy("label", "dim")
     },
 
+    // Native session_window aggregation (the built-in sibling of q15's
+    // hand-rolled islands sessionize; also the batch mirror of the
+    // streaming state-backed EventStream.sessionize). Timestamps are
+    // floored to whole seconds BEFORE windowing so the gap comparisons
+    // run at the same precision as the oracle's epoch-seconds islands.
+    // Session end = last event + gap, per the operator's contract.
+    "q119_session_window" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("tss"), col("value"))
+      ev.groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("sess_start"),
+          unix_timestamp(col("sw.end")).as("sess_end"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "sess_start")
+    },
+
+    // Content-defined chunking (operators/Chunk.chunkByContent): chunk
+    // boundaries from each word's own hash (~64-word average), so an
+    // edit perturbs at most the chunk it lands in — the insertion-
+    // robust prep for chunk-level dedup. Scan-side HOF, zero shuffle;
+    // the oracle rebuilds it the expensive way (per-word unnest +
+    // doc-keyed running window).
+    "q120_cdc_chunks" -> ((s, dir) =>
+      graft.operators.Chunk
+        .chunkByContent(t(s, dir, "documents"), "doc_id", "text", 64)
+        .orderBy("doc_id", "chunk_no")),
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -2450,6 +2480,52 @@ object SparkEntry {
         str("o_orderpriority"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    // Islands rebuild of the native session_window: a new session
+    // starts when the gap since the previous event is >= 1800s (Spark
+    // merges an event into a session only while its time is strictly
+    // inside the previous window's end = last + gap); session end =
+    // last event + gap.
+    "q119_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |m AS (
+        |  SELECT user_id, sec, value,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |           OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |s AS (
+        |  SELECT user_id, sec, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(sec) AS sess_start, max(sec) + 1800 AS sess_end,
+        | CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
+    // The explode + doc-keyed running-window rebuild of the scan-side
+    // CDC HOF: boundary after any word whose 32-bit md5-prefix hash is
+    // divisible by 64; a word's chunk index counts the boundaries
+    // strictly before it.
+    "q120_cdc_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+        |         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, pos,
+        |    CASE WHEN CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 64 = 0
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, w, pos,
+        |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+        |  FROM f)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        |  string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+        |  CAST(count(*) AS INT) AS chunk_tokens
+        |FROM c GROUP BY doc_id, chunk_no ORDER BY doc_id, chunk_no""".stripMargin,
 
     // Element/ordinal pairs via DuckDB's zipped unnest +
     // generate_subscripts; the moment formulas are stated exactly as

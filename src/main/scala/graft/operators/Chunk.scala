@@ -56,4 +56,48 @@ object Chunk {
       .select(col(idCol), col("chunk_no"),
         col("__c.t").as("chunk_text"), col("__c.k").as("chunk_tokens"))
   }
+
+  /**
+   * Content-defined chunking: a chunk boundary falls AFTER any word
+   * whose own 32-bit md5-prefix hash is ≡ 0 (mod `divisor`), giving
+   * chunks of ~`divisor` words on average. Because the boundary rule
+   * depends only on the word itself (a gear-style CDC with window 1),
+   * an insertion or deletion perturbs AT MOST the one chunk it lands
+   * in — every other chunk's text is byte-identical, which is the
+   * property that makes chunk-level dedup robust to small edits
+   * (fixed-stride chunking shifts every downstream chunk instead).
+   *
+   * Scale shape: the per-document running state (current chunk, closed
+   * chunks) lives inside ONE `aggregate` higher-order function per row
+   * — pure scan-side projection, zero shuffle, no per-word explode +
+   * doc-keyed window (the row-blowup alternative the oracle uses).
+   */
+  def chunkByContent(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 64): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    import org.apache.spark.sql.Column
+    val ws = call_function("regexp_extract_all", col(textCol), lit("\\S+"), lit(0))
+    def isBoundary(w: Column): Column =
+      conv(substring(md5(w), 1, 8), 16, 10).cast("long") % divisor === 0
+    val chunks = aggregate(
+      coalesce(ws, array().cast("array<string>")),
+      struct(array().cast("array<string>").as("chunks"), lit("").as("cur")),
+      (acc, w) => {
+        val grown = when(acc("cur") === "", w)
+          .otherwise(concat(acc("cur"), lit(" "), w))
+        struct(
+          when(isBoundary(w), concat(acc("chunks"), array(grown)))
+            .otherwise(acc("chunks")).as("chunks"),
+          when(isBoundary(w), lit("")).otherwise(grown).as("cur"))
+      },
+      acc => when(acc("cur") === "", acc("chunks"))
+        .otherwise(concat(acc("chunks"), array(acc("cur")))))
+    df.select(col(idCol), chunks.as("__cdc"))
+      .select(col(idCol), posexplode(col("__cdc")))
+      .toDF(idCol, "chunk_no", "chunk_text")
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
+  }
 }

@@ -340,6 +340,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Chunk.chunkByTokens(empties, "doc_id", "text", 4, 1).count() == 0)
   }
 
+  test("chunkByContent: boundary rule, reconstruction, and insertion robustness") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(400)("w" + rnd.nextInt(5000))
+    val base = words.mkString(" ")
+    def chunksOf(text: String): Seq[String] =
+      Chunk.chunkByContent(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 8)
+        .orderBy("chunk_no").collect().map(_.getString(2)).toSeq
+
+    val got = chunksOf(base)
+    // reconstruction: chunks concatenate back to the original token stream
+    assert(got.mkString(" ") == base)
+    // naive reimplementation of the boundary rule
+    def h(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md, 16)
+    }
+    val naive = {
+      val out = Seq.newBuilder[String]
+      var cur = List.empty[String]
+      for (w <- words) {
+        cur = w :: cur
+        if (h(w) % 8 == 0) { out += cur.reverse.mkString(" "); cur = Nil }
+      }
+      if (cur.nonEmpty) out += cur.reverse.mkString(" ")
+      out.result()
+    }
+    assert(got == naive, "HOF disagrees with the naive boundary walk")
+    assert(got.length > 5, s"divisor 8 over 400 words should yield many chunks: ${got.length}")
+
+    // insertion robustness: adding one (non-boundary) word changes AT
+    // MOST the single chunk it lands in; every other chunk is identical
+    val insertAt = 199
+    val filler = words.indexWhere(w => h(w) % 8 != 0) match {
+      case i => words(i) // reuse a known non-boundary word
+    }
+    val edited = (words.take(insertAt) ++ Seq(filler) ++ words.drop(insertAt)).mkString(" ")
+    val got2 = chunksOf(edited)
+    assert(math.abs(got2.length - got.length) <= 0,
+      "a non-boundary insertion cannot change the chunk count")
+    assert(got2.zip(got).count { case (a, b) => a != b } <= 1,
+      "more than one chunk changed after a single insertion")
+
+    // token-less docs emit nothing
+    val empties = Seq((1L, ""), (2L, " \t "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Chunk.chunkByContent(empties, "doc_id", "text", 8).count() == 0)
+  }
+
   test("Mix.rebalance: binding stratum keeps all rows, others are hash-thresholded") {
     import spark.implicits._
     val df = ((0 until 10).map(i => (i.toLong, "a")) ++
