@@ -32,7 +32,11 @@ import graft.torch.{ActOp, Conv1dOp, EmbeddingMeanOp, EmbeddingSeqOp, LinearLaye
  * shuffling/curriculum, decontamination (exact + bloom), rarity,
  * TF-IDF, normalization, real BPE, PII scrubbing, as-of/range joins,
  * quantization, multimodal plumbing — with q52/q75/q100 the composed
- * pipeline capstones.
+ * pipeline capstones — plus the corpus-monitoring set: shard-merged
+ * HLL cardinality (q115), quantile gates (q116), the one-pass profiler
+ * (q117), per-dimension embedding moments (q118), native session
+ * windows (q119), content-defined chunking (q120), and shard drift
+ * PSI (q121).
  */
 object SparkEntry {
 
@@ -1496,6 +1500,38 @@ object SparkEntry {
         .chunkByContent(t(s, dir, "documents"), "doc_id", "text", 64)
         .orderBy("doc_id", "chunk_no")),
 
+    // Distribution drift (PSI) between corpus shards — the monitoring
+    // gate that catches upstream shifts before a training run does.
+    // Baseline octile bounds (dyadic p ∈ {1/8..7/8}: interpolation is
+    // bit-exact across engines, so bucket EDGES — which integer counts
+    // hinge on — can't drift by a ulp) broadcast to a scan-side HOF
+    // bucket assignment; per-bucket PSI terms use the same
+    // half-count-smoothed frequencies stated in the oracle. Two scans
+    // + one 8-row aggregate; nothing row-shaped shuffles.
+    "q121_drift_psi" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val bounds = docs.filter(col("doc_id") % 2 === 0).agg(
+        expr("percentile(n_chars, array(0.125D, 0.25D, 0.375D, 0.5D, " +
+          "0.625D, 0.75D, 0.875D))").as("bs"))
+      val counts = docs.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          size(filter(col("bs"), bd => col("n_chars").cast("double") > bd)))
+        .groupBy("bucket").agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_cand"))
+      val totals = counts.agg(
+        sum("n_base").as("tb"), sum("n_cand").as("tc"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bucket").cast("int").as("bucket"),
+          col("n_base"), col("n_cand"),
+          round(((col("n_cand") + lit(0.5)) / (col("tc") + lit(4.0))
+              - (col("n_base") + lit(0.5)) / (col("tb") + lit(4.0)))
+            * log(((col("n_cand") + lit(0.5)) / (col("tc") + lit(4.0)))
+              / ((col("n_base") + lit(0.5)) / (col("tb") + lit(4.0)))), 6)
+            .as("psi_term"))
+        .orderBy("bucket")
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -2480,6 +2516,34 @@ object SparkEntry {
         str("o_orderpriority"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    // PSI terms re-derived with the identical dyadic octile bounds,
+    // strict-greater bucket rule and half-count smoothing.
+    "q121_drift_psi" ->
+      """WITH a AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        |bs AS (
+        |  SELECT [quantile_cont(n_chars, 0.125), quantile_cont(n_chars, 0.25),
+        |          quantile_cont(n_chars, 0.375), quantile_cont(n_chars, 0.5),
+        |          quantile_cont(n_chars, 0.625), quantile_cont(n_chars, 0.75),
+        |          quantile_cont(n_chars, 0.875)] AS bs
+        |  FROM a),
+        |d AS (
+        |  SELECT doc_id % 2 = 0 AS is_base,
+        |    len(list_filter((SELECT bs FROM bs),
+        |        x -> CAST(n_chars AS DOUBLE) > x)) AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_cand
+        |  FROM d GROUP BY bucket),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_cand) AS tc FROM c)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        | CAST(n_base AS BIGINT) AS n_base, CAST(n_cand AS BIGINT) AS n_cand,
+        | round(((n_cand + 0.5) / (tc + 4.0) - (n_base + 0.5) / (tb + 4.0))
+        |   * ln(((n_cand + 0.5) / (tc + 4.0)) / ((n_base + 0.5) / (tb + 4.0))), 6)
+        |   AS psi_term
+        |FROM c, t ORDER BY bucket""".stripMargin,
 
     // Islands rebuild of the native session_window: a new session
     // starts when the gap since the previous event is >= 1800s (Spark
