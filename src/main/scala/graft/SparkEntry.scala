@@ -2546,9 +2546,11 @@ object SparkEntry {
         |FROM c, t ORDER BY bucket""".stripMargin,
 
     // Islands rebuild of the native session_window: a new session
-    // starts when the gap since the previous event is >= 1800s (Spark
-    // merges an event into a session only while its time is strictly
-    // inside the previous window's end = last + gap); session end =
+    // starts only when the gap since the previous event EXCEEDS 1800s
+    // — Spark merges TOUCHING windows (an event at exactly
+    // prev_end = last + gap still joins the session; probed
+    // empirically: gaps 1799/1800 merge, 1801 splits — the same
+    // > rule as q15's hand-rolled sessionize); session end =
     // last event + gap.
     "q119_session_window" ->
       """WITH e AS (
@@ -2556,7 +2558,7 @@ object SparkEntry {
         |m AS (
         |  SELECT user_id, sec, value,
         |    CASE WHEN lag(sec) OVER w IS NULL
-        |           OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+        |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
         |s AS (
         |  SELECT user_id, sec, value,
