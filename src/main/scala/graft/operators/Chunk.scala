@@ -71,27 +71,39 @@ object Chunk {
    * chunks) lives inside ONE `aggregate` higher-order function per row
    * — pure scan-side projection, zero shuffle, no per-word explode +
    * doc-keyed window (the row-blowup alternative the oracle uses).
+   * `maxChunk` is the standard CDC max-size clamp: a run of
+   * `maxChunk` boundary-free words closes the chunk anyway, bounding
+   * the accumulator (and the O(len²) append copying) on adversarial
+   * boundary-free documents; chunk sizes are geometric with mean
+   * ~`divisor`, so an organic chunk reaching the default clamp has
+   * probability (1 - 1/divisor)^4096 ≈ e^-64 — the clamp exists for
+   * the pathological tail, not the typical path.
    */
   def chunkByContent(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      divisor: Int = 64): DataFrame = {
+      divisor: Int = 64,
+      maxChunk: Int = 4096): DataFrame = {
     require(divisor >= 2, "divisor must be >= 2")
+    require(maxChunk >= 1, "maxChunk must be >= 1")
     import org.apache.spark.sql.Column
     val ws = call_function("regexp_extract_all", col(textCol), lit("\\S+"), lit(0))
     def isBoundary(w: Column): Column =
       conv(substring(md5(w), 1, 8), 16, 10).cast("long") % divisor === 0
     val chunks = aggregate(
       coalesce(ws, array().cast("array<string>")),
-      struct(array().cast("array<string>").as("chunks"), lit("").as("cur")),
+      struct(array().cast("array<string>").as("chunks"), lit("").as("cur"),
+        lit(0).as("n")),
       (acc, w) => {
         val grown = when(acc("cur") === "", w)
           .otherwise(concat(acc("cur"), lit(" "), w))
+        val close = isBoundary(w) || (acc("n") + 1 >= maxChunk)
         struct(
-          when(isBoundary(w), concat(acc("chunks"), array(grown)))
+          when(close, concat(acc("chunks"), array(grown)))
             .otherwise(acc("chunks")).as("chunks"),
-          when(isBoundary(w), lit("")).otherwise(grown).as("cur"))
+          when(close, lit("")).otherwise(grown).as("cur"),
+          when(close, lit(0)).otherwise(acc("n") + 1).as("n"))
       },
       acc => when(acc("cur") === "", acc("chunks"))
         .otherwise(concat(acc("chunks"), array(acc("cur")))))

@@ -388,6 +388,17 @@ class OperatorsSpec extends AnyFunSuite {
     val empties = Seq((1L, ""), (2L, " \t "), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     assert(Chunk.chunkByContent(empties, "doc_id", "text", 8).count() == 0)
+
+    // max-size clamp: a boundary-free word run closes at maxChunk
+    // (bounds the accumulator on adversarial docs); boundary words
+    // reset the count
+    val noB = words.filter(w => h(w) % 8 != 0).take(10)
+    val clamped = Chunk.chunkByContent(
+      Seq((1L, noB.mkString(" "))).toDF("doc_id", "text"), "doc_id", "text",
+      divisor = 8, maxChunk = 4)
+      .orderBy("chunk_no").collect().map(r => (r.getString(2), r.getInt(3)))
+    assert(clamped.map(_._2).toSeq == Seq(4, 4, 2), s"clamp sizes: ${clamped.toSeq}")
+    assert(clamped.map(_._1).mkString(" ") == noB.mkString(" "))
   }
 
   test("Mix.rebalance: binding stratum keeps all rows, others are hash-thresholded") {
