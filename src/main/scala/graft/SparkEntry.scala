@@ -1391,16 +1391,28 @@ object SparkEntry {
     // cannot sit gate-adjacent), re-validating the cheap estimator.
     "q115_hll_cardinality" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val perSrc = docs.groupBy("source").agg(
-        count_distinct(col("text")).as("n_exact"),
-        expr("hll_sketch_estimate(hll_sketch_agg(text, 14))").as("est"))
-      val globalSketch = docs.groupBy("source")
+      // One sketch pass: per-source sketches serve BOTH the per-source
+      // estimates and (via union) the global one. Kept separate from
+      // the exact arm on purpose: count(DISTINCT) alongside a sketch
+      // aggregate re-keys partial aggregation on (source, text) and
+      // would materialize a 16 KB sketch buffer per distinct VALUE —
+      // the same trap Profile.profile documents.
+      val sk = docs.groupBy("source")
         .agg(expr("hll_sketch_agg(text, 14)").as("sk"))
+        .withColumn("est", expr("hll_sketch_estimate(sk)"))
+      // One exact pass: the distinct (source, text) pairs feed the
+      // per-source counts, and their re-dedup by text alone feeds the
+      // global count — no third scan of the corpus text.
+      val dt = docs.select("source", "text").distinct()
+      val perExact = dt.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      val globalExact = dt.select("text").distinct()
+        .agg(count(lit(1)).as("n_exact"))
+      val globalEst = sk
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
-      val globalExact = docs.agg(count_distinct(col("text")).as("n_exact"))
-      val g = globalExact.crossJoin(broadcast(globalSketch))
+      val g = globalExact.crossJoin(broadcast(globalEst))
         .select(lit("__ALL__").as("source"), col("n_exact"), col("est"))
-      perSrc.select(col("source"), col("n_exact"), col("est"))
+      perExact.join(sk.select("source", "est"), "source")
+        .select(col("source"), col("n_exact"), col("est"))
         .unionByName(g)
         .select(col("source"), col("n_exact"),
           (abs(col("est").cast("double") - col("n_exact").cast("double"))
@@ -2554,7 +2566,7 @@ object SparkEntry {
     // last event + gap.
     "q119_session_window" ->
       """WITH e AS (
-        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec, value FROM events),
         |m AS (
         |  SELECT user_id, sec, value,
         |    CASE WHEN lag(sec) OVER w IS NULL
@@ -2571,8 +2583,11 @@ object SparkEntry {
 
     // The explode + doc-keyed running-window rebuild of the scan-side
     // CDC HOF: boundary after any word whose 32-bit md5-prefix hash is
-    // divisible by 64; a word's chunk index counts the boundaries
-    // strictly before it.
+    // divisible by 64; a word's island index counts the boundaries
+    // strictly before it, and each island splits into consecutive
+    // 4096-word sub-chunks — the operator's maxChunk clamp, stated
+    // here too so an adversarial boundary-free run can't diverge the
+    // engines (never triggered by organic data: P ~ e^-64).
     "q120_cdc_chunks" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
@@ -2586,12 +2601,23 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id, w, pos,
         |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
-        |  FROM f)
-        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
-        |  string_agg(w, ' ' ORDER BY pos) AS chunk_text,
-        |  CAST(count(*) AS INT) AS chunk_tokens
-        |FROM c GROUP BY doc_id, chunk_no ORDER BY doc_id, chunk_no""".stripMargin,
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS island
+        |  FROM f),
+        |r AS (
+        |  SELECT doc_id, w, pos, island,
+        |    (row_number() OVER (PARTITION BY doc_id, island ORDER BY pos) - 1)
+        |      // 4096 AS sub
+        |  FROM c),
+        |agg AS (
+        |  SELECT doc_id, island, sub,
+        |    string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+        |    CAST(count(*) AS INT) AS chunk_tokens
+        |  FROM r GROUP BY doc_id, island, sub)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY island, sub) - 1
+        |    AS INT) AS chunk_no,
+        |  chunk_text, chunk_tokens
+        |FROM agg ORDER BY doc_id, chunk_no""".stripMargin,
 
     // Element/ordinal pairs via DuckDB's zipped unnest +
     // generate_subscripts; the moment formulas are stated exactly as

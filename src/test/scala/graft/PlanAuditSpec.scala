@@ -193,8 +193,11 @@ class PlanAuditSpec extends AnyFunSuite {
         s"no runtime bloom filter injected:\n$p")
       // tree prints parent-first: the might_contain Filter printing
       // BELOW the fact-side exchange means it executes BEFORE it —
-      // rows are pruned pre-shuffle
-      assert(p.indexOf("might_contain") > p.indexOf("Exchange hashpartitioning(l_orderkey"),
+      // rows are pruned pre-shuffle. Guard the exchange index: a
+      // missing substring returns -1 and would pass vacuously.
+      val exchIdx = p.indexOf("Exchange hashpartitioning(l_orderkey")
+      assert(exchIdx >= 0, s"fact-side exchange not found in plan:\n$p")
+      assert(p.indexOf("might_contain") > exchIdx,
         s"bloom filter not pruning before the fact shuffle:\n$p")
       assert(joined.count() > 0)
     } finally saved.foreach {

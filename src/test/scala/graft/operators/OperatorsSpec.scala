@@ -374,9 +374,9 @@ class OperatorsSpec extends AnyFunSuite {
     // insertion robustness: adding one (non-boundary) word changes AT
     // MOST the single chunk it lands in; every other chunk is identical
     val insertAt = 199
-    val filler = words.indexWhere(w => h(w) % 8 != 0) match {
-      case i => words(i) // reuse a known non-boundary word
-    }
+    val fillerIdx = words.indexWhere(w => h(w) % 8 != 0)
+    assert(fillerIdx >= 0, "need at least one non-boundary word in the sample")
+    val filler = words(fillerIdx) // reuse a known non-boundary word
     val edited = (words.take(insertAt) ++ Seq(filler) ++ words.drop(insertAt)).mkString(" ")
     val got2 = chunksOf(edited)
     assert(math.abs(got2.length - got.length) <= 0,
