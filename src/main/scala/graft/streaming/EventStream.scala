@@ -90,6 +90,30 @@ object EventStream {
   }
 
   /**
+   * Native session-window aggregation — the same plan runs streaming
+   * (state-backed, watermark-bounded: a session's state is dropped
+   * once the watermark passes its end) or batch (where the watermark
+   * is a no-op). In append mode a session emits exactly once, when the
+   * watermark closes it — the scale-correct contract (emitting
+   * per-update would re-shuffle every session on every batch).
+   * Expects (user_id, ts timestamp, value); timestamps should be
+   * second-floored upstream if cross-engine second-precision parity
+   * matters (see q119).
+   */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("sess_start"),
+        unix_timestamp(col("sw.end")).as("sess_end"),
+        col("n_events"), col("total"))
+
+  /**
    * Streaming dedup: drops events whose `idCols` were already seen
    * within the watermark delay. The watermark bounds the dedup state
    * (exactly-once by key forever would need unbounded state at 100 TB/

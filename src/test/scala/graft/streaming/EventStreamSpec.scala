@@ -61,6 +61,50 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window == batch q119 on the real events fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // second-floored real rows (the q119 preparation)
+    // event-time order: an unsorted split would let batch 1's watermark
+    // (max - 10 min) drop older events arriving in batch 2
+    val rows = eventsBatch
+      .select($"event_id", unix_timestamp($"ts").as("sec"), $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(e => (e.sec, e.event_id))
+    val maxSec = rows.map(_.sec).max
+    // append mode emits a session only when the watermark passes its
+    // end; a far-future sentinel event advances the watermark so every
+    // real session closes. Sentinel user id is outside the fixture.
+    val sentinel = Event(-1L, maxSec + 86400L, -1L, "flush", 0.0)
+
+    val mem = MemoryStream[Event]
+    val streamDf = mem.toDF().withColumn("ts", timestamp_seconds(col("sec")))
+    val q = EventStream.sessionWindowAgg(streamDf)
+      .writeStream.outputMode("append").format("memory").queryName("swin_out").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.size / 2)
+      mem.addData(first)
+      q.processAllAvailable()
+      mem.addData(rest)
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      val streamed = spark.table("swin_out")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "sess_start", "sess_end", "n_events", "total")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val batch = graft.SparkEntry
+        .queries("q119_session_window")(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streamed == batch,
+        s"streaming-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed events, keeps distinct ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
