@@ -104,13 +104,16 @@ object Bench {
     // The driver parses only the LAST ~2000 chars of output: a full error
     // dump for many failing queries would push the JSON head out of the
     // window and truncate strings mid-token, reading as parsed:null with
-    // rc 0 (ADVICE r8). The printed line therefore carries at most 3
-    // abbreviated errors (the rest are counted in n_errors and the full
-    // text lives in BENCH_LOCAL.json), and the process exits nonzero on
-    // any error so the runner can never file a failing run as green.
+    // rc 0 (ADVICE r8). The printed line therefore carries only the
+    // failing queries' SHORT names (worst case, all 121 failing, that is
+    // ~700 chars on top of an EMPTY queries map — the two never grow
+    // together, since a query is either timed or errored); the error text
+    // lives in BENCH_LOCAL.json and n_errors counts them, and the process
+    // exits nonzero on any error so the runner can never file a failing
+    // run as green (ADVICE r9: message values, even truncated, could
+    // still blow the window when the query map is near-full).
     val shortErrors =
-      errors.take(3).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
-        .mkString("{", ",", "}")
+      errors.keys.map(k => jstr(k.takeWhile(_ != '_'))).mkString("[", ",", "]")
     // full-precision, full-name copy for humans (BASELINE.md cross-ref)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),

@@ -18,7 +18,18 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object EventTime {
   def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case LongType => // raw nanos via the legacy conf
+    case LongType =>
+      // A LongType ts is only ever produced by Spark's nanosAsLong legacy
+      // read of TIMESTAMP(NANOS); any other origin (a fixture shipping
+      // epoch micros/millis as plain BIGINT) would be silently scaled
+      // 1000x wrong by the div below — the same silent-drift class this
+      // shim exists to fix (ADVICE r9). Refuse to guess: require the
+      // session to have opted into the nanos read explicitly.
+      require(
+        df.sparkSession.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"),
+        "events.ts is LongType but spark.sql.legacy.parquet.nanosAsLong is " +
+          "not set: cannot assume the epoch unit is nanoseconds")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     case TimestampNTZType =>
       df.withColumn("ts", col("ts").cast(TimestampType))

@@ -1200,7 +1200,7 @@ object SparkEntry {
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
         transform(
-          call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
           tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
           .as("tok_ids"))
         // token-less docs (empty/whitespace/null text) have no pooled
@@ -1339,7 +1339,7 @@ object SparkEntry {
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
         transform(
-          call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
           tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
           .as("tok_ids"))
         .filter(size(col("tok_ids")) >= 2)
@@ -1362,7 +1362,7 @@ object SparkEntry {
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
         transform(
-          call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
           tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
           .as("tok_ids"))
         .filter(size(col("tok_ids")) >= 2)
@@ -1725,7 +1725,7 @@ object SparkEntry {
         d.select(col("doc_id"), col("text")), "text", merges)
       val reassembled = rtrim(regexp_replace(concat_ws("", col("tokens")), "</w>", " "))
       val orig = array_join(
-        call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)), " ")
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), " ")
       enc.agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum(size(col("tokens"))).cast("long").as("total_tokens"),
@@ -1940,9 +1940,9 @@ object SparkEntry {
     val src = if (withSource) ", source" else ""
     s"""WITH toks AS (
        |  SELECT doc_id$src,
-       |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '\\S+'))), 1, 8)
+       |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))), 1, 8)
        |      AS BIGINT) % ${e.vocab} AS tid,
-       |    generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+       |    generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |  FROM documents),
        |embw(tid, $wCols) AS (VALUES
        |    $embRows),
@@ -2099,21 +2099,21 @@ object SparkEntry {
     "q17_text_stats" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        | CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS INT) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_words,
         | CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
-        |   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_wlen,
-        | (least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0) * 0.4
+        |   / CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE) AS mean_wlen,
+        | (least(CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 64.0, 1.0) * 0.4
         |  + CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
         |      / CAST(length(text) AS DOUBLE) * 0.4
         |  + CASE WHEN CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
-        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE)
         |              BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END * 0.2) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q18_lang_profile" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        | avg(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) AS avg_tokens,
+        | avg(CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE)) AS avg_tokens,
         | avg(CASE WHEN text LIKE '%the%' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
         |   AS share_the
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -2124,7 +2124,7 @@ object SparkEntry {
 
     "q47_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
         |g AS (
         |  SELECT doc_id, len(ws) - 1 AS total2,
         |   len(list_distinct(list_transform(range(1, len(ws)),
@@ -2140,7 +2140,7 @@ object SparkEntry {
     // mean the hash marking matched exact string comparison).
     "q87_span_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
         |wins AS (
         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
         |         array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
@@ -2164,7 +2164,7 @@ object SparkEntry {
     "q91_token_budget" ->
       """WITH d AS (
         |  SELECT lang, doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS toks
         |  FROM documents),
         |r AS (
         |  SELECT lang, toks,
@@ -2188,7 +2188,7 @@ object SparkEntry {
         |n AS (
         |  SELECT doc_id, messy,
         |    trim(regexp_replace(regexp_replace(nfc_normalize(messy),
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM m)
         |SELECT doc_id, norm,
         |  CAST(length(messy) - length(norm) AS BIGINT) AS chars_removed
@@ -2203,7 +2203,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 97 = 3),
         |toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM alldocs),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM alldocs),
         |sh AS (
         |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toks)),
@@ -2300,23 +2300,23 @@ object SparkEntry {
       """WITH normed AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS text
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
         |  FROM documents),
         |kept AS (
         |  SELECT doc_id, text FROM normed
-        |  WHERE len(regexp_extract_all(text, '\S+')) BETWEEN 10 AND 100000
-        |    AND (CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
-        |      THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |        / len(regexp_extract_all(text, '\S+')) ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |  WHERE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) BETWEEN 10 AND 100000
+        |    AND (CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
+        |      THEN CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
+        |        / len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) ELSE 0.0 END) BETWEEN 2.0 AND 12.0
         |    AND len(list_intersect(
-        |      list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |      list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')),
         |      ['the','of','and','to','in','is','that','it','was','for','a',
         |       'der','die','das','und','ist','nicht','mit','ein','zu','den',
         |       'el','la','de','que','y','en','un','es','se','no',
         |       'le','les','et','une','est','pas','vous','je','ne','ce',
         |       '的','是','在','了','我','有','和','就','不','人'])) >= 1),
         |toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM normed),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM normed),
         |sh AS (
         |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toks)),
@@ -2331,8 +2331,8 @@ object SparkEntry {
         |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)),
         |cur AS (
         |  SELECT doc_id, text,
-        |    (CASE WHEN len(regexp_extract_all(text, '\S+')) >= 40 THEN 1 ELSE 0 END
-        |     + CASE WHEN len(regexp_extract_all(text, '\S+')) >= 70 THEN 1 ELSE 0 END) AS phase,
+        |    (CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) >= 40 THEN 1 ELSE 0 END
+        |     + CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) >= 70 THEN 1 ELSE 0 END) AS phase,
         |    md5('ing0:' || CAST(doc_id AS VARCHAR)) AS key
         |  FROM clean)
         |SELECT doc_id, phase,
@@ -2371,7 +2371,7 @@ object SparkEntry {
       val inpSelect =
         s"""WITH toks AS (
            |  SELECT doc_id,
-           |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '\\S+'))), 1, 8)
+           |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))), 1, 8)
            |      AS BIGINT) % ${e.vocab} AS tid
            |  FROM documents),
            |embw(tid, $wCols) AS (VALUES
@@ -2590,8 +2590,8 @@ object SparkEntry {
     // engines (never triggered by organic data: P ~ e^-64).
     "q120_cdc_chunks" ->
       """WITH w AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
-        |         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS w,
+        |         generate_subscripts(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'), 1) AS pos
         |  FROM documents),
         |f AS (
         |  SELECT doc_id, w, pos,
@@ -2635,7 +2635,7 @@ object SparkEntry {
     "q98_curriculum" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    len(regexp_extract_all(text, '\S+')) AS toks,
+        |    len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS toks,
         |    md5('cur0:' || CAST(doc_id AS VARCHAR)) AS key
         |  FROM documents),
         |p AS (
@@ -2664,20 +2664,20 @@ object SparkEntry {
       val m = qualityModel
       val inpSelect =
         """SELECT doc_id,
-          |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0 AS a0,
-          |  CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
-          |    THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-          |      / len(regexp_extract_all(text, '\S+')) ELSE 0.0 END AS a1,
-          |  CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+          |  CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS DOUBLE) / 100.0 AS a0,
+          |  CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
+          |    THEN CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
+          |      / len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) ELSE 0.0 END AS a1,
+          |  CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
           |    THEN CAST(length(text) - length(replace(text, '#', ''))
           |      + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
-          |      / len(regexp_extract_all(text, '\S+')) ELSE 0.0 END AS a2,
-          |  CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
-          |    THEN CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+          |      / len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) ELSE 0.0 END AS a2,
+          |  CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
+          |    THEN CAST(len(list_filter(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'),
           |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-          |      / len(regexp_extract_all(text, '\S+')) ELSE 0.0 END AS a3,
+          |      / len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) ELSE 0.0 END AS a3,
           |  CAST(len(list_intersect(
-          |    list_distinct(regexp_split_to_array(trim(text), '\s+')),
+          |    list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')),
           |    ['the','of','and','to','in','is','that','it','was','for','a',
           |     'der','die','das','und','ist','nicht','mit','ein','zu','den',
           |     'el','la','de','que','y','en','un','es','se','no',
@@ -2714,16 +2714,16 @@ object SparkEntry {
     "q89_gopher_rules" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-        |    length(regexp_replace(text, '\s', '', 'g')) AS nonws_chars,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_words,
+        |    length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonws_chars,
         |    length(text) - length(replace(text, '#', '')) AS hashes,
         |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses,
-        |    len(list_filter(regexp_extract_all(text, '\S+'),
+        |    len(list_filter(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'),
         |        w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
         |    len(string_split(text, chr(10))) AS n_lines,
         |    len(list_distinct(string_split(text, chr(10)))) AS d_lines,
         |    CAST(len(list_intersect(
-        |      list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |      list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')),
         |      ['the','of','and','to','in','is','that','it','was','for','a',
         |       'der','die','das','und','ist','nicht','mit','ein','zu','den',
         |       'el','la','de','que','y','en','un','es','se','no',
@@ -2747,7 +2747,7 @@ object SparkEntry {
     // token-less docs (Spark's posexplode_outer does the same).
     "q88_span_excise" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
         |wins AS (
         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
         |         array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
@@ -2840,7 +2840,7 @@ object SparkEntry {
 
     "q19_langid" ->
       """WITH t AS (
-        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS ws
         |  FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -2924,7 +2924,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
         |           % 20 AS bucket,
-        |         len(regexp_split_to_array(trim(text), '\s+')) AS ntok
+        |         len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS ntok
         |  FROM documents)
         |SELECT CASE WHEN bucket < 16 THEN 'train'
         |            WHEN bucket < 18 THEN 'val' ELSE 'test' END AS split,
@@ -2970,7 +2970,7 @@ object SparkEntry {
 
     "q38_vocab_topk" ->
       """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS token
         |  FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
         |WHERE len(token) > 0
@@ -3022,7 +3022,7 @@ object SparkEntry {
     "q43_pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+        |   CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS INT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, n_tokens,
         | CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -3033,7 +3033,7 @@ object SparkEntry {
       """WITH exact AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
         |base AS (SELECT d.doc_id, d.text FROM documents d JOIN exact USING (doc_id)),
-        |toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM base),
+        |toks AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM base),
         |sh AS (
         |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS s
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)),
@@ -3049,18 +3049,18 @@ object SparkEntry {
         |       WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
         |q AS (
         |  SELECT doc_id, text,
-        |   (least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0) * 0.4
+        |   (least(CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 64.0, 1.0) * 0.4
         |    + CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
         |        / CAST(length(text) AS DOUBLE) * 0.4
         |    + CASE WHEN CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
-        |                / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |                / CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE)
         |                BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END * 0.2) AS quality,
-        |   CASE WHEN len(regexp_extract_all(text, '\S+')) - 1 > 0
+        |   CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) - 1 > 0
         |        THEN 1.0 - CAST(len(list_distinct(list_transform(
-        |               range(1, len(regexp_extract_all(text, '\S+'))),
-        |               i -> regexp_extract_all(text, '\S+')[i] || ' '
-        |                    || regexp_extract_all(text, '\S+')[i + 1]))) AS DOUBLE)
-        |             / (len(regexp_extract_all(text, '\S+')) - 1)
+        |               range(1, len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'))),
+        |               i -> regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')[i] || ' '
+        |                    || regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')[i + 1]))) AS DOUBLE)
+        |             / (len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) - 1)
         |        ELSE 0.0 END AS rep2
         |  FROM dd),
         |f AS (SELECT doc_id, text FROM q WHERE quality >= 0.3 AND rep2 <= 0.5),
@@ -3070,7 +3070,7 @@ object SparkEntry {
         |             % 20 < 16 THEN 'train'
         |        WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
         |             % 20 < 18 THEN 'val' ELSE 'test' END AS split,
-        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+        |   CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS INT) AS n_tokens
         |  FROM f)
         |SELECT doc_id, text, split, n_tokens,
         | CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
@@ -3142,12 +3142,12 @@ object SparkEntry {
 
     "q60_bpe_tokens" ->
       """SELECT lang,
-        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')))
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9 \t\n\x0B\f\r]')))
         |   AS BIGINT) AS bpe_tokens,
-        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
-        | round(avg(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))
+        | CAST(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS ws_tokens,
+        | round(avg(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9 \t\n\x0B\f\r]'))
         |     AS DOUBLE)
-        |   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 4)
+        |   / CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE)), 4)
         |   AS bpe_per_word
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -3176,7 +3176,7 @@ object SparkEntry {
     // for token-less docs
     "q62_chunk" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
         |c AS (
         |  SELECT doc_id, ws,
         |   unnest(range(0, CASE WHEN len(ws) <= 0 THEN 0
@@ -3209,7 +3209,7 @@ object SparkEntry {
 
     "q64_decontam" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toks)),
@@ -3227,7 +3227,7 @@ object SparkEntry {
 
     "q65_rarity_score" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
         |occ AS (
         |  SELECT doc_id, list_aggregate(ws[i:i+1], 'string_agg', ' ') AS bg
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
@@ -3263,7 +3263,7 @@ object SparkEntry {
 
     "q67_tfidf_topterms" ->
       """WITH terms AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS term
         |  FROM documents),
         |tf AS (
         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms
@@ -3291,7 +3291,7 @@ object SparkEntry {
 
     "q69_winnow_pairs" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
         |grams AS (
         |  SELECT doc_id,
         |   CASE WHEN len(ws) >= 5 THEN
@@ -3359,21 +3359,21 @@ object SparkEntry {
     "q74_source_profile" ->
       """WITH d AS (
         |  SELECT source, lang,
-        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok,
-        |   (least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 64.0,
+        |   CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ntok,
+        |   (least(CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 64.0,
         |      1.0) * 0.4
         |    + CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
         |        AS DOUBLE) / CAST(length(text) AS DOUBLE) * 0.4
         |    + CASE WHEN CAST(octet_length(encode(regexp_replace(text, '[^A-Za-z0-9]', '',
         |                 'g'))) AS DOUBLE)
-        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE)
         |              BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END * 0.2) AS quality,
-        |   CASE WHEN len(regexp_extract_all(text, '\S+')) - 1 > 0
+        |   CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) - 1 > 0
         |        THEN 1.0 - CAST(len(list_distinct(list_transform(
-        |               range(1, len(regexp_extract_all(text, '\S+'))),
-        |               i -> regexp_extract_all(text, '\S+')[i] || ' '
-        |                    || regexp_extract_all(text, '\S+')[i + 1]))) AS DOUBLE)
-        |             / (len(regexp_extract_all(text, '\S+')) - 1)
+        |               range(1, len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'))),
+        |               i -> regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')[i] || ' '
+        |                    || regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')[i + 1]))) AS DOUBLE)
+        |             / (len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) - 1)
         |        ELSE 0.0 END AS rep2
         |  FROM documents)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3386,7 +3386,7 @@ object SparkEntry {
 
     "q75_retrieval_prep" ->
       """WITH toksd AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
         |sh8 AS (
         |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toksd)),
@@ -3411,7 +3411,7 @@ object SparkEntry {
         |  WHERE CAST('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |        % 100000000 < r.rate_b),
         |tk AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM kept),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM kept),
         |ch AS (
         |  SELECT doc_id, ws,
         |   unnest(range(0, CASE WHEN len(ws) <= 0 THEN 0
@@ -3467,7 +3467,7 @@ object SparkEntry {
 
     "q80_heavy_hitters" ->
       """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS token
         |  FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS n, TRUE AS mg_ok
         |FROM toks WHERE len(token) > 0
@@ -3556,7 +3556,7 @@ object SparkEntry {
     * Shingles/ShingleHashes expressions (robust to trailing `\n`). */
   private val jaccardCtes: String =
     """toks AS (
-      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS s
       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)),

@@ -104,7 +104,7 @@ object ShingleHashes {
 }
 
 private[graft] object HashExprs {
-  @transient private lazy val nonWs = java.util.regex.Pattern.compile("\\S+")
+  @transient private lazy val nonWs = java.util.regex.Pattern.compile(graft.Tok.Pattern)
 
   /** Tokens = maximal non-whitespace runs (`\S+` matches) — the ONE
     * tokenization shared by Shingles, ShingleHashes, and the oracles'

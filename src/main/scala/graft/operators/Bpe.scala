@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tok
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -113,7 +114,7 @@ object Bpe {
     * most frequent words (ties by word — deterministic), which is how
     * public BPE trainers bound memory on open vocabularies. */
   def wordCounts(df: DataFrame, textCol: String, maxVocab: Int): DataFrame =
-    df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    df.select(explode(split(trim(col(textCol)), Tok.WsPlus)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))

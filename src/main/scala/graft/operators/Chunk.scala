@@ -34,7 +34,7 @@ object Chunk {
     val stride = chunkSize - overlap
     // \S+ extraction (the repo-wide tokenization): 0 tokens for
     // empty/whitespace text, where split-on-\s+ yields a phantom ""
-    val ws = call_function("regexp_extract_all", col(textCol), lit("\\S+"), lit(0))
+    val ws = call_function("regexp_extract_all", col(textCol), lit(graft.Tok.Pattern), lit(0))
     // null text -> null array -> treat as 0 tokens (size(null) is null,
     // and greatest() IGNORES nulls, so an uncoalesced count would let
     // null docs fall through the <=0 branch into one garbage chunk)
@@ -88,7 +88,7 @@ object Chunk {
     require(divisor >= 2, "divisor must be >= 2")
     require(maxChunk >= 1, "maxChunk must be >= 1")
     import org.apache.spark.sql.Column
-    val ws = call_function("regexp_extract_all", col(textCol), lit("\\S+"), lit(0))
+    val ws = call_function("regexp_extract_all", col(textCol), lit(graft.Tok.Pattern), lit(0))
     def isBoundary(w: Column): Column =
       conv(substring(md5(w), 1, 8), 16, 10).cast("long") % divisor === 0
     val chunks = aggregate(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tok
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,7 @@ object LmScore {
       textCol: String,
       rareThreshold: Long): DataFrame = {
     require(rareThreshold >= 1, "rareThreshold must be >= 1")
-    val ws = split(trim(col(textCol)), "\\s+")
+    val ws = split(trim(col(textCol)), Tok.WsPlus)
     // NON-distinct bigram occurrences (TextOps.shingles dedups — a
     // rarity RATE needs every occurrence)
     val bgArr = when(size(ws) >= 2,

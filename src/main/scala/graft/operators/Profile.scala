@@ -39,6 +39,11 @@ object Profile {
     * error at the default precision is ~2.3%). */
   def profile(df: DataFrame, cols: Seq[String], relErr: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile of zero columns")
+    // duplicate entries would mint duplicate __null_c/__and_c/... aliases
+    // and make the later col("__null_$c") references ambiguous, failing
+    // deep in analysis with an unhelpful error (ADVICE r9)
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in profile: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
     val schema = df.schema
     def isNum(c: String) = schema(c).dataType.isInstanceOf[NumericType]
     def isTime(c: String) = schema(c).dataType match {

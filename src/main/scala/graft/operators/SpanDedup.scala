@@ -132,7 +132,7 @@ object SpanDedup {
     val toks = df.select(col(idCol), col(textCol))
       .select(col(idCol),
         posexplode_outer(
-          call_function("regexp_extract_all", col(textCol), lit("\\S+"), lit(0))))
+          call_function("regexp_extract_all", col(textCol), lit(graft.Tok.Pattern), lit(0))))
       .toDF(idCol, "tokpos", "tok")
     toks.join(removed.withColumn("__rm", lit(1)), Seq(idCol, "tokpos"), "left")
       .groupBy(col(idCol))

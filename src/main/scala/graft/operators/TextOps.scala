@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tok
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -14,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokens of the trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), Tok.WsPlus)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -25,7 +26,7 @@ object TextOps {
     * [[graft.functions.Shingles]] / [[graft.functions.ShingleHashes]]
     * expressions use, so ratios built from both stay consistent. */
   def strictTokenCount(text: Column): Column =
-    size(call_function("regexp_extract_all", text, lit("\\S+"), lit(0)))
+    size(call_function("regexp_extract_all", text, lit(graft.Tok.Pattern), lit(0)))
 
   /** BPE-ish token count: alphanumeric runs and each punctuation mark
     * count as separate tokens (a cheap stand-in for subword tokenizers
@@ -41,7 +42,7 @@ object TextOps {
     * tokenizer when budgeting training tokens. */
   def bpeTokenCount(text: Column): Column =
     size(call_function("regexp_extract_all", text,
-      lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
+      lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9" + Tok.WsChars + "]"), lit(0)))
 
   /** Distinct word set (for set-semantics similarity). */
   def wordSet(text: Column): Column = array_distinct(tokens(text))
@@ -99,7 +100,7 @@ object TextOps {
   def meanWordLen(text: Column): Column = {
     val n = strictTokenCount(text).cast("double")
     when(n > 0,
-      length(regexp_replace(text, "\\s", "")).cast("double") / n).otherwise(lit(0.0))
+      length(regexp_replace(text, Tok.Ws, "")).cast("double") / n).otherwise(lit(0.0))
   }
 
   /** Gopher symbol-to-word ratio: occurrences of `#` or `...` per word. */
@@ -112,7 +113,7 @@ object TextOps {
 
   /** Fraction of words containing at least one ASCII letter. */
   def alphaWordFrac(text: Column): Column = {
-    val ws = call_function("regexp_extract_all", text, lit("\\S+"), lit(0))
+    val ws = call_function("regexp_extract_all", text, lit(graft.Tok.Pattern), lit(0))
     when(size(ws) > 0,
       size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / size(ws).cast("double"))
       .otherwise(lit(0.0))
@@ -173,5 +174,5 @@ object TextOps {
       regexp_replace(
         graft.functions.NfcNormalize.nfc_normalize(spark, text),
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
-      "\\s+", " "))
+      Tok.WsPlus, " "))
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tok
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,7 +25,7 @@ object TfIdf {
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val terms = df.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      explode(split(trim(col(textCol)), Tok.WsPlus)).as("term"))
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -58,7 +58,7 @@ class EquivalenceSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val composed = docs.select(col("doc_id"),
       array_distinct(transform(
-        call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
         t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("fps"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(native.keySet == composed.keySet)

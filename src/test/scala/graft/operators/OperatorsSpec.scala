@@ -1359,7 +1359,7 @@ class OperatorsSpec extends AnyFunSuite {
     val bc = spark.sparkContext.broadcast(m)
     val toks = docs.select(col("doc_id"),
       transform(
-        call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
         tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
     val logits = graft.torch.Torch.inferBatched(toks, "tok_ids", "logits", bc, 64)
       .select("logits").collect().map(_.getSeq[Float](0).toArray)
@@ -1390,7 +1390,7 @@ class OperatorsSpec extends AnyFunSuite {
     val vocab = e.vocab
     val toks = docs.select(col("doc_id"),
       transform(
-        call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
         tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
       .filter(size(col("tok_ids")) >= 2)
     val bc = spark.sparkContext.broadcast(m)
