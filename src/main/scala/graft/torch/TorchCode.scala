@@ -298,6 +298,19 @@ object TorchCode {
     /** `(n, ch, 1)` pooled but unflattened (AdaptiveMaxPool1d(1)
       * output); flatten/squeeze converts to Flat(ch). */
     final case class Pooled(ch: Int) extends Sym
+    /** A position-wise Linear applied to the live `(n, seq, emb)`
+      * sequence — NOT emitted as an op: it is one leg of a self-attention
+      * block, fused into [[SelfAttentionOp]] when the closing
+      * `matmul(softmax(matmul(q, k^T) * scale), v)` pattern completes.
+      * Any other consumption fails loudly (the op-list execution model
+      * is a linear chain; a lone sequence projection has no home). */
+    final case class SeqProj(l: LinearLayer) extends Sym
+    /** `transpose(-2, -1)` of a [[SeqProj]] — the K^T leg. */
+    final case class SeqProjT(p: SeqProj) extends Sym
+    /** `(n, seq, seq)` raw attention scores `matmul(q, k^T) * scale`. */
+    final case class AttnScores(q: SeqProj, k: SeqProj, scale: Double) extends Sym
+    /** Row-softmaxed attention weights, awaiting the `matmul(·, v)`. */
+    final case class AttnWeights(q: SeqProj, k: SeqProj, scale: Double) extends Sym
   }
   import Sym._
 
@@ -399,10 +412,6 @@ object TorchCode {
         }
         require(w.shape.length == 2, s"linear weight must be 2-D, got ${w.shape}")
         val (out, in) = (w.shape(0), w.shape(1))
-        // dim == -1: the symbolic input whose dim the first executed
-        // Linear binds (activations before it don't change the count)
-        val dim = flatDim(m, s)
-        require(dim == -1 || dim == in, s"Linear(${in}→$out) applied to $dim features")
         val bias = m.attrs.get("bias") match {
           case Some(t: Pickle.PTensor) =>
             require(t.shape.length == 1 && t.shape(0) == out,
@@ -411,8 +420,21 @@ object TorchCode {
           case Some(null) | Some(Pickle.PNone) | None => new Array[Float](out)
           case other => sys.error(s"linear module missing tensor 'bias' (got $other)")
         }
-        ops += LinearLayer(materialize(w), bias, outDim = out, inDim = in)
-        Flat(out)
+        s match {
+          case SeqEmb(e) =>
+            // position-wise projection of the live sequence: one leg of
+            // a self-attention block — held back, fused when the block
+            // closes (see Sym.SeqProj)
+            require(e == in, s"Linear(${in}→$out) applied to $e-dim sequence")
+            SeqProj(LinearLayer(materialize(w), bias, outDim = out, inDim = in))
+          case _ =>
+            // dim == -1: the symbolic input whose dim the first executed
+            // Linear binds (activations before it don't change the count)
+            val dim = flatDim(m, s)
+            require(dim == -1 || dim == in, s"Linear(${in}→$out) applied to $dim features")
+            ops += LinearLayer(materialize(w), bias, outDim = out, inDim = in)
+            Flat(out)
+        }
       case "Conv1d" =>
         // channel-major input only: (n, inCh, L) — exactly torch's
         // contract, so an un-transposed embedding fails loudly here
@@ -612,13 +634,65 @@ object TorchCode {
             case "relu" | "sigmoid" | "tanh" | "gelu" | "silu" =>
               val sy = tensorArg; ops += ActOp(fn); sy // elementwise: any shape
             case "softmax" | "log_softmax" =>
-              val sy = flat(tensorArg)
-              args.lift(1).map(a => eval(a, line)) match {
-                case None | Some(-1L) | Some(1L) | Some(null) =>
-                case other => sys.error(s"TorchScript code: $fn over dim $other unsupported in: $line")
+              tensorArg match {
+                case sc: AttnScores =>
+                  // row-softmax of the (n, seq, seq) score matrix: the
+                  // middle of the attention pattern — no op emitted yet
+                  require(fn == "softmax",
+                    s"TorchScript code: $fn on attention scores unsupported in: $line")
+                  args.lift(1).map(a => eval(a, line)) match {
+                    case None | Some(-1L) | Some(2L) | Some(null) =>
+                    case other => sys.error(s"TorchScript code: $fn over dim $other " +
+                      s"unsupported on attention scores (last dim only) in: $line")
+                  }
+                  AttnWeights(sc.q, sc.k, sc.scale)
+                case sy0 =>
+                  val sy = flat(sy0)
+                  args.lift(1).map(a => eval(a, line)) match {
+                    case None | Some(-1L) | Some(1L) | Some(null) =>
+                    case other => sys.error(s"TorchScript code: $fn over dim $other unsupported in: $line")
+                  }
+                  ops += SoftmaxOp(log = fn == "log_softmax")
+                  sy
               }
-              ops += SoftmaxOp(log = fn == "log_softmax")
-              sy
+            case "matmul" | "bmm" =>
+              // only the two matmuls of a self-attention block have a
+              // home in the linear op chain (see Sym.SeqProj)
+              require(args.length >= 2, s"TorchScript code: $fn needs 2 args in: $line")
+              (eval(args(0), line), eval(args(1), line)) match {
+                case (q: SeqProj, kt: SeqProjT) =>
+                  require(q.l.outDim == kt.p.l.outDim,
+                    s"TorchScript code: matmul(q, k^T) with head dims " +
+                      s"${q.l.outDim} vs ${kt.p.l.outDim} in: $line")
+                  AttnScores(q, kt.p, 1.0)
+                case (aw: AttnWeights, v: SeqProj) =>
+                  val (q, k) = (aw.q.l, aw.k.l)
+                  require(v.l.outDim == q.outDim && v.l.inDim == q.inDim &&
+                      k.inDim == q.inDim,
+                    s"TorchScript code: attention legs disagree (q ${q.inDim}->" +
+                      s"${q.outDim}, k ${k.inDim}->${k.outDim}, v ${v.l.inDim}->" +
+                      s"${v.l.outDim}) in: $line")
+                  ops += SelfAttentionOp(q.weight, q.bias, k.weight, k.bias,
+                    v.l.weight, v.l.bias, dim = v.l.outDim, inDim = v.l.inDim,
+                    scale = aw.scale)
+                  SeqEmb(v.l.outDim)
+                case (x, y) => sys.error(s"TorchScript code: $fn on (${x.getClass.getSimpleName}, " +
+                  s"${y.getClass.getSimpleName}) unsupported (self-attention pattern only) in: $line")
+              }
+            case "div" | "mul" =>
+              // scalar scaling of attention scores (q·k^T / sqrt(d))
+              val sc = eval(args(0), line) match {
+                case s0: AttnScores => s0
+                case other => sys.error(s"TorchScript code: $fn on $other unsupported " +
+                  s"(attention-score scaling only) in: $line")
+              }
+              val c = eval(args(1), line) match {
+                case d: Double => d
+                case n: Long => n.toDouble
+                case other => sys.error(s"TorchScript code: $fn by non-scalar $other in: $line")
+              }
+              require(c != 0.0 || fn == "mul", s"TorchScript code: div by zero in: $line")
+              AttnScores(sc.q, sc.k, if (fn == "div") sc.scale / c else sc.scale * c)
             case "mean" =>
               // only the Embedding -> mean(dim=1) pool: (n, seq, emb)
               // -> (n, emb); fromBytes fuses the adjacent lookup+pool
@@ -641,15 +715,18 @@ object TorchCode {
               Flat(emb)
             case "transpose" =>
               // torch.transpose(x, 1, 2): the layout flip between the
-              // embedding sequence and Conv1d's channel-major input
+              // embedding sequence and Conv1d's channel-major input.
+              // On a 3-D (n, seq, d) tensor, (-2, -1) names the same
+              // pair of dims — the spelling attention code uses for K^T.
               val sy = tensorArg
               val dims = (sizeArg(1, -1), sizeArg(2, -1))
-              require(dims == (1L, 2L) || dims == (2L, 1L),
-                s"TorchScript code: transpose over dims $dims unsupported (1, 2 only) in: $line")
-              ops += TransposeOp
+              val lastTwo = Set((1L, 2L), (2L, 1L), (-2L, -1L), (-1L, -2L))
+              require(lastTwo(dims),
+                s"TorchScript code: transpose over dims $dims unsupported (last two only) in: $line")
               sy match {
-                case SeqEmb(e) => ChanSeq(e)
-                case ChanSeq(c) => SeqEmb(c)
+                case p: SeqProj => SeqProjT(p) // K^T leg: no op emitted
+                case SeqEmb(e) => ops += TransposeOp; ChanSeq(e)
+                case ChanSeq(c) => ops += TransposeOp; SeqEmb(c)
                 case other => sys.error(s"TorchScript code: transpose(1, 2) on " +
                   s"$other unsupported in: $line")
               }

@@ -71,6 +71,21 @@ final case class Conv1dOp(weight: Array[Float], bias: Array[Float],
   * padding 0, dilation 1, floor mode). */
 final case class MaxPool1dOp(k: Int, stride: Int) extends TorchOp
 
+/** Single-head scaled-dot-product self-attention over a `(L, emb)`
+  * embedding sequence — the transformer-encoder text-classifier shape
+  * (Q = X·Wq^T+bq, K/V likewise; A = softmax(Q·K^T·scale) row-wise;
+  * output A·V, `(L, dim)`). Weights row-major `(dim, inDim)`. All math
+  * runs in float64 internally with ONE rounding to float32 per output
+  * value at the op boundary, so the only drift vs a float64 oracle fed
+  * the same (dyadic-exact) scores is that final rounding. An empty
+  * sequence never reaches here (the following mean pool would be 0/0
+  * anyway); softmax over a length-L row is well-defined for L >= 1. */
+final case class SelfAttentionOp(
+    wq: Array[Float], bq: Array[Float],
+    wk: Array[Float], bk: Array[Float],
+    wv: Array[Float], bv: Array[Float],
+    dim: Int, inDim: Int, scale: Double) extends TorchOp
+
 /** Global max over the sequence dim: `(ch, L)` -> `(ch)` — the
   * AdaptiveMaxPool1d(1) + flatten pair of a TextCNN. */
 case object SeqMaxPoolOp extends TorchOp
@@ -135,6 +150,11 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           width = c.outCh
         case MaxPool1dOp(_, _) =>
           require(mode == 1, "MaxPool1d needs (n, ch, seq) input")
+        case a: SelfAttentionOp =>
+          require(mode == 0, "self-attention needs the (n, seq, emb) embedding output")
+          require(width == a.inDim,
+            s"attention(in=${a.inDim}) applied to $width features")
+          width = a.dim
         case SeqMaxPoolOp | SeqAvgPoolOp =>
           require(mode == 1, "adaptive pool needs (n, ch, seq) input")
           require(pool < 0, "second pool op after the sequence already collapsed")
@@ -321,6 +341,62 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           }
           data = out
           cols = lout
+        case at: SelfAttentionOp =>
+          // (L, inDim) -> (L, dim); everything below in f64, one float
+          // rounding per output value at the end
+          val L = rows
+          val d = at.dim
+          def proj(w: Array[Float], b: Array[Float]): Array[Double] = {
+            val out = new Array[Double](L * d)
+            var p = 0
+            while (p < L) {
+              var o = 0
+              while (o < d) {
+                var acc: Double = b(o)
+                val wOff = o * at.inDim
+                val xOff = p * cols
+                var j = 0
+                while (j < at.inDim) { acc += data(xOff + j).toDouble * w(wOff + j); j += 1 }
+                out(p * d + o) = acc
+                o += 1
+              }
+              p += 1
+            }
+            out
+          }
+          val qm = proj(at.wq, at.bq)
+          val km = proj(at.wk, at.bk)
+          val vm = proj(at.wv, at.bv)
+          val out = new Array[Float](L * d)
+          val scores = new Array[Double](L)
+          var a = 0
+          while (a < L) {
+            var mx = Double.NegativeInfinity
+            var b0 = 0
+            while (b0 < L) {
+              var s0 = 0.0
+              var j = 0
+              while (j < d) { s0 += qm(a * d + j) * km(b0 * d + j); j += 1 }
+              s0 *= at.scale
+              scores(b0) = s0
+              if (s0 > mx) mx = s0
+              b0 += 1
+            }
+            var z = 0.0
+            b0 = 0
+            while (b0 < L) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
+            var j = 0
+            while (j < d) {
+              var acc = 0.0
+              b0 = 0
+              while (b0 < L) { acc += scores(b0) * vm(b0 * d + j); b0 += 1 }
+              out(a * d + j) = (acc / z).toFloat
+              j += 1
+            }
+            a += 1
+          }
+          data = out
+          cols = d
         case ActOp(kind) => applyAct(data, kind)
         case ParamActOp(kind, a, b) => applyParamAct(data, kind, a, b)
         case other => sys.error(s"unexpected sequence-phase op $other") // poolIdx walk forbids
@@ -362,8 +438,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     for (op <- ops.drop(from)) op match {
       case _: EmbeddingMeanOp | _: EmbeddingSeqOp =>
         sys.error("embedding op past the model head") // constructor forbids
-      case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | SeqMaxPoolOp |
-          SeqAvgPoolOp | SeqMeanPoolOp =>
+      case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: SelfAttentionOp |
+          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp =>
         sys.error("sequence op past the pool") // poolIdx walk forbids
       case l: LinearLayer =>
         require(curDim == l.inDim, s"linear expects ${l.inDim} features, got $curDim")

@@ -378,6 +378,109 @@ class TorchCodeSpec extends AnyFunSuite {
       m.forward(Array(1f, 2f))).getMessage.contains("token-input"))
   }
 
+  test("single-head self-attention archive: traces to the fused op, golden vs f64 math") {
+    // minimal transformer-encoder classifier: token ids -> Embedding(8, 4)
+    // -> {q,k,v} Linear(4->4) -> softmax(q·k^T / 2)·v -> mean(dim=1) ->
+    // Linear(4->3); the generated code spells K^T as transpose(k, -2, -1)
+    // and the scale as torch.div by a literal
+    val vocab = 8; val d = 4
+    val ew = vals(vocab * d, 41)
+    val (wq, bq) = (vals(16, 42), vals(4, 43))
+    val (wk, bk) = (vals(16, 44), vals(4, 45))
+    val (wv, bv) = (vals(16, 46), vals(4, 47))
+    val (wf, bf) = (vals(12, 48), vals(3, 49))
+    val model = Module("__torch__.AttnNet", Seq(
+      "training" -> B(false),
+      "emb" -> Module("__torch__.torch.nn.modules.sparse.Embedding", Seq(
+        "weight" -> Tensor(Seq(vocab, d), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "q" -> linear(wq, 4, 4, bq),
+      "k" -> linear(wk, 4, 4, bk),
+      "v" -> linear(wv, 4, 4, bv),
+      "fc" -> linear(wf, 3, 4, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class AttnNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.AttnNet,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    q = (self.q).forward(e, )
+        |    k = (self.k).forward(e, )
+        |    v = (self.v).forward(e, )
+        |    k0 = torch.transpose(k, -2, -1)
+        |    s = torch.matmul(q, k0)
+        |    s0 = torch.div(s, 2.)
+        |    a = torch.softmax(s0, -1)
+        |    o = torch.matmul(a, v)
+        |    p = torch.mean(o, [1], False, None)
+        |    fc = self.fc
+        |    return (fc).forward(p, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("attn", "attn", model, code))
+    // trace shape: fused attention, nothing emitted for q/k/v/transpose
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "SelfAttentionOp", "SeqMeanPoolOp$", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val at = m.ops(1).asInstanceOf[SelfAttentionOp]
+    assert(at.scale == 0.5 && at.dim == 4 && at.inDim == 4)
+    assert(at.wq.toSeq == wq.toSeq && at.wk.toSeq == wk.toSeq && at.wv.toSeq == wv.toSeq)
+    // independent double math
+    val toks = Array(3, 0, 6, 2, 5)
+    val L = toks.length
+    val x = Array.tabulate(L, d)((p, j) => ew(toks(p) * d + j).toDouble)
+    def proj(w: Array[Float], b: Array[Float]): Array[Array[Double]] =
+      Array.tabulate(L, d)((p, o) =>
+        b(o) + (0 until d).map(j => x(p)(j) * w(o * d + j)).sum)
+    val (qm, km, vm) = (proj(wq, bq), proj(wk, bk), proj(wv, bv))
+    val pooled = new Array[Double](d)
+    for (a <- 0 until L) {
+      val sc = Array.tabulate(L)(b0 => (0 until d).map(j => qm(a)(j) * km(b0)(j)).sum * 0.5)
+      val mx = sc.max
+      val es = sc.map(s0 => math.exp(s0 - mx))
+      val z = es.sum
+      for (j <- 0 until d)
+        pooled(j) += (0 until L).map(b0 => es(b0) * vm(b0)(j)).sum / z / L
+    }
+    val expected = mm(pooled, wf, bf, 3, 4)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 3) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // batch path agrees with the single-row path bit-for-bit
+    val batch = m.forwardTokensBatch(Array(toks, Array(1), Array(7, 7)))
+    for (j <- 0 until 3) assert(batch(j) == got(j))
+    // single-token sequence: softmax over one score is 1, out = v row
+    assert(!m.forwardTokens(Array(1)).exists(_.isNaN))
+  }
+
+  test("attention pattern misuse fails loudly (matmul without transpose)") {
+    val vocab = 4; val d = 2
+    val model = Module("__torch__.BadAttn", Seq(
+      "training" -> B(false),
+      "emb" -> Module("__torch__.torch.nn.modules.sparse.Embedding", Seq(
+        "weight" -> Tensor(Seq(vocab, d), vals(vocab * d, 51)),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "q" -> linear(vals(4, 52), 2, 2, vals(2, 53)),
+      "v" -> linear(vals(4, 54), 2, 2, vals(2, 55))))
+    val code = Map("code/__torch__.py" ->
+      """class BadAttn(Module):
+        |  training : bool
+        |  def forward(self: __torch__.BadAttn,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    q = (self.q).forward(e, )
+        |    v = (self.v).forward(e, )
+        |    return torch.matmul(q, v)
+        |""".stripMargin)
+    val e = intercept[RuntimeException] {
+      TorchScriptModel.load(writeTemp("badattn", "badattn", model, code))
+    }
+    assert(e.getMessage.contains("matmul"), e.getMessage)
+  }
+
   test("EmbeddingBag(mode=mean, padding_idx): pads excluded from the mean") {
     val vocab = 8; val embDim = 3
     val ew = vals(vocab * embDim, 31)
