@@ -80,6 +80,20 @@ object Bench {
       }
     }
 
+    // ANN index/query split: time each ANN query's BUILD phase (train +
+    // encode, the exact in-query parameters) once, so BENCH_LOCAL.json
+    // shows how much of the query's wall time is index construction —
+    // amortized to ~zero at scale, where the index persists
+    // (Similarity.saveIndex/loadIndex). Printed driver line unchanged.
+    val annSplit = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    for ((name, build) <- SparkEntry.annBuild if timings.contains(name)) {
+      try {
+        val t0 = System.nanoTime()
+        build(spark, sfDir)
+        annSplit(name) = ((System.nanoTime() - t0) / 1e9, timings(name))
+      } catch { case _: Throwable => () }
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -114,10 +128,15 @@ object Bench {
     // still blow the window when the query map is near-full).
     val shortErrors =
       errors.keys.map(k => jstr(k.takeWhile(_ != '_'))).mkString("[", ",", "]")
-    // full-precision, full-name copy for humans (BASELINE.md cross-ref)
+    // full-precision, full-name copy for humans (BASELINE.md cross-ref);
+    // carries the ANN build/query split the short line has no room for
+    val annJson = annSplit.map { case (k, (b, q)) =>
+      s"""${jstr(k)}:{"build_s":$b,"query_total_s":$q}"""
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      line(identity, _.toString, fullErrors) + "\n")
+      line(identity, _.toString, fullErrors).dropRight(1) +
+        s""","ann_split":$annJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     // short keys ("q22" for "q22_minhash_lsh") keep the line ~1kB so it

@@ -1863,6 +1863,45 @@ object SparkEntry {
     }
   )
 
+  /** Index-BUILD phases of the ANN queries, with the exact parameters
+    * the queries use — exposed so Bench can time construction (train +
+    * encode) separately from query execution and report the split in
+    * BENCH_LOCAL.json (`ann_split`). The queries themselves stay
+    * self-contained (train in-query) so the correctness gate is
+    * stateless; at 100 TB the build runs once and persists
+    * ([[graft.operators.Similarity.saveIndex]]/`loadIndex` — reopened
+    * indexes are spec-pinned bit-identical), so the in-query training
+    * cost visible in the bench is an artifact of statelessness, not of
+    * the operator. Each thunk forces the build with a count(). */
+  def annBuild: Map[String, (SparkSession, String) => Unit] = ListMap(
+    "q39_ann_ivf" -> { (s, dir) =>
+      graft.operators.Similarity.ivfTrain(
+        t(s, dir, "embeddings"), "embedding", nlist = 16)
+      ()
+    },
+    "q99_ann_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val books = graft.operators.Similarity.pqTrain(emb, "embedding",
+        dim = 64, m = 8, ksub = 32)
+      graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding", books).count()
+      ()
+    },
+    "q106_ann_ivfpq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 16, m = 8, ksub = 32)
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix).count()
+      ()
+    },
+    "q112_ann_ivfpq_batch" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 16, m = 8, ksub = 32)
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix).count()
+      ()
+    },
+  )
+
   /** Cached for oracle generation — the torch oracles re-express the
     * MLP as DuckDB arithmetic from the same weights (TorchOracle). */
   private lazy val irisOracleModel: TorchScriptModel = TorchScriptModel.load(irisModel)

@@ -231,6 +231,23 @@ object Similarity {
    * partitioning), and a coarse quantizer needs exactly this rough,
    * bounded-sample training budget.
    */
+  /** Train the plain-IVF coarse quantizer alone — the build phase of
+    * [[ivfTopK]], split out so index construction can be timed (and at
+    * scale, persisted) separately from query execution. Identical
+    * sample + Lloyd recipe, so `ivfTopK` built on this is bit-identical
+    * to the previous fused form. */
+  def ivfTrain(
+      corpus: DataFrame,
+      embCol: String,
+      nlist: Int,
+      seed: Long = 42L,
+      trainSample: Int = 1 << 16): Array[Array[Double]] = {
+    val c = corpus.select(asDouble(col(embCol)).as("ce"))
+    val sample = sampleVectors(c, "ce", trainSample, seed)
+    require(sample.nonEmpty, "ivfTrain: empty corpus")
+    kmeansLocal(sample, nlist, iters = 10, new scala.util.Random(seed))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -244,9 +261,7 @@ object Similarity {
     require(nprobe <= nlist, "nprobe must be <= nlist")
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
-    val sample = sampleVectors(c, "ce", trainSample, seed)
-    require(sample.nonEmpty, "ivfTopK: empty corpus")
-    val cents = kmeansLocal(sample, nlist, iters = 10, new scala.util.Random(seed))
+    val cents = ivfTrain(corpus, embCol, nlist, seed, trainSample)
     val cell = nearestCellUdf(spark, cents)
     val assigned = c.select(col("vec_id"), col("ce"), cell(col("ce")).as("cell"))
 
@@ -772,6 +787,67 @@ object Similarity {
     * remainder). */
   final case class IvfPqIndex(coarse: Array[Array[Double]], books: PqCodebooks)
       extends Serializable
+
+  // ------------------------------------------------------------------
+  // Index persistence. At 100 TB the index is an ARTIFACT, not a
+  // per-run computation: codebooks train once on a bounded sample,
+  // persist beside the codes table, and absorb new shards by encoding
+  // only the new batch with the FROZEN codebooks — the q103/q78
+  // frozen-quantizer ingest discipline, and the same split FAISS ships
+  // as write_index/read_index + add. Doubles round-trip parquet
+  // bit-exactly, so a reopened index encodes and ranks BIT-IDENTICALLY
+  // to the fresh one (IvfPqPersistSpec pins it: reopened-index query
+  // results equal the fresh index's, and frozen-codebook incremental
+  // encode of a new batch unions to exactly the full re-encode).
+
+  /** Persist the coarse quantizer + PQ codebooks as two tiny parquet
+    * tables under `path`: `coarse` = (c, vec), `books` = (s, c, vec).
+    * Row order is irrelevant — [[loadIndex]] reassembles by key. */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex, path: String): Unit = {
+    import spark.implicits._
+    index.coarse.zipWithIndex.toSeq
+      .map { case (v, c) => (c, v.toSeq) }
+      .toDF("c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    (for {
+      s <- index.books.centroids.indices
+      c <- index.books.centroids(s).indices
+    } yield (s, c, index.books.centroids(s)(c).toSeq))
+      .toDF("s", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Reopen a persisted index. Validates the stored tables form a
+    * complete, uniform codebook grid — a partially-written or mixed-up
+    * path fails loudly instead of mis-ranking. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val coarseRows = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => r.getAs[Int]("c") -> r.getSeq[Double](r.fieldIndex("vec")).toArray)
+    require(coarseRows.nonEmpty, s"empty coarse quantizer at $path")
+    require(coarseRows.map(_._1).sorted.toSeq == (0 until coarseRows.length),
+      s"coarse cell ids not contiguous at $path")
+    val dim = coarseRows.head._2.length
+    require(coarseRows.forall(_._2.length == dim), s"ragged coarse centroids at $path")
+    val coarse = new Array[Array[Double]](coarseRows.length)
+    coarseRows.foreach { case (c, v) => coarse(c) = v }
+    val bookRows = spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getAs[Int]("s"), r.getAs[Int]("c"),
+        r.getSeq[Double](r.fieldIndex("vec")).toArray))
+    require(bookRows.nonEmpty, s"empty codebooks at $path")
+    val m = bookRows.map(_._1).max + 1
+    val ksub = bookRows.length / m
+    require(bookRows.map(t => (t._1, t._2)).distinct.length == bookRows.length &&
+      bookRows.length == m * ksub &&
+      bookRows.forall(t => t._1 >= 0 && t._1 < m && t._2 >= 0 && t._2 < ksub),
+      s"codebook grid incomplete at $path (m=$m, rows=${bookRows.length})")
+    val dsub = bookRows.head._3.length
+    require(bookRows.forall(_._3.length == dsub), s"ragged codebook centroids at $path")
+    require(m * dsub == dim, s"codebook dims (m=$m, dsub=$dsub) disagree with coarse dim $dim")
+    val centroids = Array.fill(m)(new Array[Array[Double]](ksub))
+    bookRows.foreach { case (s, c, v) => centroids(s)(c) = v }
+    IvfPqIndex(coarse, PqCodebooks(m, dsub, centroids))
+  }
 
   /**
    * Train the IVFADC index on L2-normalized vectors: a coarse Lloyd
