@@ -324,4 +324,57 @@ object DocStream {
           }
       }
   }
+
+  /**
+   * Streaming shard-drift bucket counts — the ingest-monitoring gate
+   * run AS the shard streams in, completing the trio with the
+   * cardinality (q115) and profile (q117) monitors. The bucket BOUNDS
+   * are FROZEN from the reference shard (the q103/q78 frozen-quantizer
+   * ingest discipline) and travel as literals; the only streaming
+   * state is one mergeable count per bucket — |bounds|+1 rows TOTAL,
+   * so drift state does NOT grow with the stream and no watermark is
+   * needed (Complete mode re-emits the 9-row table per batch for
+   * free). Bucket rule identical to the batch PSI (q121): the count
+   * of bounds strictly below the value.
+   */
+  def driftBucketCounts(
+      docs: DataFrame,
+      valueCol: String,
+      bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty, "driftBucketCounts: empty bounds")
+    val bs = array(bounds.map(lit): _*)
+    docs
+      .withColumn("bucket",
+        size(filter(bs, bd => col(valueCol).cast("double") > bd)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_cand"))
+  }
+
+  /**
+   * PSI terms from candidate bucket counts vs FROZEN base-shard counts
+   * — bit-identical arithmetic to the batch drift query (q121: same
+   * half-count smoothing, same strict-greater bucket rule upstream,
+   * same 6-decimal rounding), so a drift stream's final sink table
+   * yields exactly the batch PSI on the same rows (spec-pinned).
+   * Buckets present in only one side appear with a zero count.
+   */
+  def psiVsBase(cand: DataFrame, baseCounts: Seq[(Int, Long)]): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val base = baseCounts.toDF("bucket", "n_base")
+    val joined = base.join(cand, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+    val totals = joined.agg(sum("n_base").as("tb"), sum("n_cand").as("tc"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket").cast("int").as("bucket"),
+        col("n_base"), col("n_cand"),
+        round(((col("n_cand") + lit(0.5)) / (col("tc") + lit(4.0))
+            - (col("n_base") + lit(0.5)) / (col("tb") + lit(4.0)))
+          * log(((col("n_cand") + lit(0.5)) / (col("tc") + lit(4.0)))
+            / ((col("n_base") + lit(0.5)) / (col("tb") + lit(4.0)))), 6)
+          .as("psi_term"))
+      .orderBy("bucket")
+  }
 }

@@ -8,6 +8,53 @@ import org.scalatest.funsuite.AnyFunSuite
 class DocStreamSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("streaming drift PSI across micro-batches == batch q121 on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // gate setup, FROZEN from the reference (even-doc_id) shard with
+    // exactly q121's expressions: dyadic octile bounds + base counts
+    val bounds = raw.filter(col("doc_id") % 2 === 0)
+      .agg(expr("percentile(n_chars, array(0.125D, 0.25D, 0.375D, 0.5D, " +
+        "0.625D, 0.75D, 0.875D))").as("bs"))
+      .collect()(0).getSeq[Double](0).toSeq
+    val bs = array(bounds.map(lit): _*)
+    val baseCounts = raw.filter(col("doc_id") % 2 === 0)
+      .withColumn("bucket", size(filter(bs, bd => col("n_chars").cast("double") > bd)))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+
+    // the candidate (odd) shard arrives as a stream in 3 micro-batches
+    val cand = raw.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, Long)]
+    val q = DocStream.driftBucketCounts(
+      mem.toDF().toDF("doc_id", "n_chars"), "n_chars", bounds)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("drift_out").start()
+    try {
+      for (chunk <- cand.grouped((cand.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = DocStream.psiVsBase(spark.table("drift_out"), baseCounts)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.SparkEntry.queries("q121_drift_psi")(spark, sfDir)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+      assert(streamed.nonEmpty)
+      // the drift state is the bucket-count table itself: |bounds|+1
+      // rows max, regardless of how much data streamed through
+      assert(spark.table("drift_out").count() <= bounds.size + 1)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates across micro-batches == batch MinHash-LSH pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -105,6 +105,56 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late event inside the watermark merges two open sessions; below it, dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1: user 1 opens TWO sessions — [8000, 9800) and
+    // [10000, 11800) (gap 2000 > 1800). Watermark after the batch is
+    // 10000 - 600 = 9400, below both session ends, so both stay open.
+    val batch1 = Seq(
+      Event(1, 8000, 1, "view", 1.0),
+      Event(2, 10000, 1, "view", 2.0))
+    // batch 2: a LATE event at 9500 (event time before the already-seen
+    // 10000, but its would-be session end 11300 is past the 9400
+    // watermark) bridges the two sessions — within gap of both — so the
+    // state must MERGE them into one [8000, 11800) session. A second
+    // late event at 7000 has session end 8800 < watermark 9400 — the
+    // aggregation's late-row rule (window END vs watermark) drops it.
+    val batch2 = Seq(
+      Event(3, 9500, 1, "click", 4.0),
+      Event(4, 7000, 1, "click", 8.0))
+    val sentinel = Event(-1, 10000 + 86400L, -1, "flush", 0.0)
+
+    val mem = MemoryStream[Event]
+    val streamDf = mem.toDF().withColumn("ts", timestamp_seconds(col("sec")))
+    val q = EventStream.sessionWindowAgg(streamDf)
+      .writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+      val streamed = spark.table("late_out")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "sess_start", "sess_end", "n_events", "total")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      // batch recompute over exactly the ACCEPTED rows (the 7000 event
+      // is gone — watermark semantics, not session semantics)
+      val accepted = (batch1 :+ batch2.head).toDS()
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      val batch = EventStream.sessionWindowAgg(accepted)
+        .select("user_id", "sess_start", "sess_end", "n_events", "total")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // the merge happened: ONE session spanning both originals, with
+      // exactly the three accepted events (the 7000 straggler excluded)
+      assert(streamed == Set((1L, 8000L, 11800L, 3L, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed events, keeps distinct ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
