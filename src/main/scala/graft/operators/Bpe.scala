@@ -40,6 +40,71 @@ object Bpe {
 
   type Merge = (String, String)
 
+  // ------------------------------------------------------------------
+  // Byte-level alphabet (the GPT-2 `bytes_to_unicode` construction):
+  // a bijection from the 256 byte values onto 256 PRINTABLE chars —
+  // printable latin-1 ranges map to themselves, the 68 remaining bytes
+  // (controls, space, DEL, soft hyphen, ...) map to U+0100 + n. Words
+  // are first re-spelled in this closed alphabet, so the base vocab is
+  // exactly 256 symbols, ANY UTF-8 string is representable (no OOV
+  // character can be dropped), and the end-of-word sentinel can be a
+  // char OUTSIDE the alphabet — immune to the "word contains '</w>'"
+  // collision the char-level mode must reject.
+
+  /** byte value -> alphabet char (bijective). */
+  val ByteAlphabet: Array[Char] = {
+    val printable = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    var n = 0
+    Array.tabulate(256) { b =>
+      if (printable(b)) b.toChar
+      else { val c = (0x100 + n).toChar; n += 1; c }
+    }
+  }
+  private lazy val byteUnmap: Map[Char, Int] =
+    ByteAlphabet.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** End-of-word sentinel for byte-level mode: a char outside the
+    * 256-char alphabet by construction, so NO input word — including
+    * one containing the literal "</w>" — can collide with it. */
+  val ByteSentinel = "␀" // ␀ SYMBOL FOR NULL
+
+  /** Re-spell a word in the byte alphabet (UTF-8 bytes, mapped). */
+  def byteWord(word: String): String = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) { sb.append(ByteAlphabet(bs(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Inverse of [[byteWord]] (sentinel chars must be stripped first). */
+  def unByteWord(s: String): String = {
+    val bs = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      bs(i) = byteUnmap.getOrElse(s.charAt(i),
+        sys.error(s"char '${s.charAt(i)}' is not in the byte alphabet")).toByte
+      i += 1
+    }
+    new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Decode a byte-level token stream back to the exact words: symbols
+    * concatenate until one ends with the sentinel (= word boundary). */
+  def decodeByteTokens(tokens: Seq[String]): IndexedSeq[String] = {
+    val words = IndexedSeq.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    tokens.foreach { t =>
+      if (t.endsWith(ByteSentinel)) {
+        cur.append(t, 0, t.length - ByteSentinel.length)
+        words += unByteWord(cur.toString)
+        cur.setLength(0)
+      } else cur.append(t)
+    }
+    require(cur.length == 0, "byte-level token stream ends mid-word (sentinel missing)")
+    words.result()
+  }
+
   /** Train `numMerges` merges from a word-frequency vocab. Pure local
     * function of the vocab — the distributed side is [[wordCounts]].
     *
@@ -51,14 +116,15 @@ object Bpe {
     * milliseconds and minutes of driver CPU at an open-vocabulary
     * `maxVocab`.
     */
-  def trainFromVocab(vocab: Map[String, Long], numMerges: Int): IndexedSeq[Merge] = {
-    require(vocab.keys.forall(w => !w.contains(EndOfWord)),
-      s"vocab contains the reserved end-of-word sentinel '$EndOfWord'")
-    // word -> symbol sequence (chars, last char + </w>); sorted for a
-    // deterministic index order
+  def trainFromVocab(vocab: Map[String, Long], numMerges: Int,
+      sentinel: String = EndOfWord): IndexedSeq[Merge] = {
+    require(vocab.keys.forall(w => !w.contains(sentinel)),
+      s"vocab contains the reserved end-of-word sentinel '$sentinel'")
+    // word -> symbol sequence (chars, last char + sentinel); sorted for
+    // a deterministic index order
     val words: Array[Array[String]] = vocab.keys.toArray.sorted.map { w =>
       val chars = w.map(_.toString).toArray
-      chars(chars.length - 1) += EndOfWord
+      chars(chars.length - 1) += sentinel
       chars
     }
     val freq: Array[Long] = {
@@ -131,12 +197,13 @@ object Bpe {
   /** Encode one word with the merge table (ranks = merge priority:
     * always apply the LOWEST-rank applicable merge first, as the
     * original algorithm and every public implementation do). */
-  def encodeWord(word: String, ranks: Map[Merge, Int]): IndexedSeq[String] = {
+  def encodeWord(word: String, ranks: Map[Merge, Int],
+      sentinel: String = EndOfWord): IndexedSeq[String] = {
     if (word.isEmpty) return IndexedSeq.empty
-    require(!word.contains(EndOfWord),
-      s"word contains the reserved end-of-word sentinel '$EndOfWord': $word")
+    require(!word.contains(sentinel),
+      s"word contains the reserved end-of-word sentinel '$sentinel': $word")
     val chars = word.map(_.toString).toIndexedSeq
-    var syms = chars.init :+ (chars.last + EndOfWord)
+    var syms = chars.init :+ (chars.last + sentinel)
     var continue = true
     while (continue && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -166,6 +233,44 @@ object Bpe {
       if (text == null) null
       else graft.functions.HashExprs.tokenize(text)
         .flatMap(w => encodeWord(w, bc.value)).toSeq
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
+  // ----------------------------------------------------- byte level
+
+  /** Byte-level training: the vocab's words are re-spelled in the
+    * closed 256-char byte alphabet before the merge loop, so merges
+    * are over byte symbols (GPT-2 style) and ANY UTF-8 word — however
+    * exotic, including ones containing the literal char-level sentinel
+    * — trains and encodes without rejection. */
+  def trainBytesFromVocab(vocab: Map[String, Long], numMerges: Int): IndexedSeq[Merge] =
+    trainFromVocab(vocab.map { case (w, c) => byteWord(w) -> c }, numMerges, ByteSentinel)
+
+  /** Byte-level corpus training: distributed vocab -> local merges. */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 1 << 20): IndexedSeq[Merge] = {
+    val vocab = wordCounts(df, textCol, maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trainBytesFromVocab(vocab, numMerges)
+  }
+
+  /** Byte-level word encode: never fails, never drops a character —
+    * [[decodeByteTokens]] inverts the stream exactly. */
+  def encodeWordBytes(word: String, ranks: Map[Merge, Int]): IndexedSeq[String] =
+    encodeWord(byteWord(word), ranks, ByteSentinel)
+
+  /** Byte-level DataFrame encode — same broadcast + scan-side shape as
+    * [[encode]]. */
+  def encodeBytes(df: DataFrame, textCol: String, merges: IndexedSeq[Merge],
+      outCol: String = "tokens"): DataFrame = {
+    val spark = df.sparkSession
+    val ranks = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val enc = udf { text: String =>
+      if (text == null) null
+      else graft.functions.HashExprs.tokenize(text)
+        .flatMap(w => encodeWordBytes(w, bc.value)).toSeq
     }
     df.withColumn(outCol, enc(col(textCol)))
   }

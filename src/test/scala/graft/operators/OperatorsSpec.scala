@@ -1213,6 +1213,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.train(docs, "text", numMerges = 20) == merges2)
   }
 
+  test("byte-level BPE: lossless roundtrip over arbitrary UTF-8, sentinel-proof") {
+    // the byte alphabet is a bijection over all 256 byte values
+    assert(Bpe.ByteAlphabet.distinct.length == 256)
+    assert(!Bpe.ByteAlphabet.contains(Bpe.ByteSentinel.charAt(0)))
+
+    // property: ANY word over ANY codepoints (controls, emoji,
+    // surrogate pairs, the literal char-level sentinel) encodes and
+    // decodes back exactly — seeded random per the repo's test
+    // discipline (no scalatestplus bridge offline)
+    val rnd = new scala.util.Random(20260814L)
+    def randWord(): String = {
+      val sb = new java.lang.StringBuilder
+      val len = 1 + rnd.nextInt(12)
+      var i = 0
+      while (i < len) {
+        val cp = rnd.nextInt(0x110000)
+        // skip the surrogate range (unpaired surrogates are not UTF-8)
+        // and skip ASCII whitespace (word-internal by contract)
+        if ((cp < 0xd800 || cp > 0xdfff) && !" \t\n\f\r".exists(_ == cp.toChar)) {
+          sb.appendCodePoint(cp)
+          i += 1
+        }
+      }
+      sb.toString
+    }
+    val words = Seq.fill(300)(randWord()) ++ Seq(
+      "plain", "</w>", "a</w>b", " ", "␀-adjacent␁", "🚀🚀",
+      "mixé", "中文词", Bpe.ByteSentinel /* the sentinel ITSELF as input */)
+    // char-level mode REJECTS sentinel-colliding words...
+    assertThrows[IllegalArgumentException](
+      Bpe.encodeWord("a</w>b", Map.empty))
+    // ...byte-level mode encodes every one of them losslessly
+    val vocab = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val merges = Bpe.trainBytesFromVocab(vocab, numMerges = 50)
+    assert(merges.length == 50)
+    val ranks = merges.zipWithIndex.toMap
+    for (w <- words) {
+      val toks = Bpe.encodeWordBytes(w, ranks)
+      assert(toks.last.endsWith(Bpe.ByteSentinel), s"$w -> $toks")
+      val back = Bpe.decodeByteTokens(toks)
+      assert(back == IndexedSeq(w), s"roundtrip failed: '$w' -> $toks -> $back")
+    }
+    // multi-word stream decodes back word-for-word
+    val stream = words.take(20).flatMap(w => Bpe.encodeWordBytes(w, ranks))
+    assert(Bpe.decodeByteTokens(stream) == words.take(20).toIndexedSeq)
+
+    // corpus-level: byte-level encode of the real docs roundtrips to
+    // the exact tokenization (trainBytes determinism included)
+    val bm = Bpe.trainBytes(docs, "text", numMerges = 20)
+    assert(Bpe.trainBytes(docs, "text", numMerges = 20) == bm)
+    val enc = Bpe.encodeBytes(docs.select(col("doc_id"), col("text")), "text", bm)
+    val bad = enc.select(col("text"), col("tokens"))
+      .collect().filter { r =>
+        val orig = graft.functions.HashExprs.tokenize(r.getString(0)).toIndexedSeq
+        Bpe.decodeByteTokens(r.getSeq[String](1)) != orig
+      }
+    assert(bad.isEmpty, s"${bad.length} docs failed byte-level roundtrip")
+  }
+
   test("PQ: codes in range, deterministic; reranked recall beats raw ADC") {
     val base = emb.select(col("vec_id"), col("embedding"))
     val books = Similarity.pqTrain(base, "embedding", dim = 64, m = 8, ksub = 32)
