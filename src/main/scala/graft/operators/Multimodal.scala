@@ -280,110 +280,12 @@ object Multimodal {
         }
       } else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
-        // ---- GIF: first frame; palette -> RGB ----
-        val maxDim = 1 << 16
-        var i = 13
-        var globalPal: Array[Byte] = null
-        val screenPacked = u8(10)
-        if ((screenPacked & 0x80) != 0) { // global color table
-          val sz = 3 * (1 << ((screenPacked & 7) + 1))
-          if (13 + sz > b.length) return None
-          globalPal = java.util.Arrays.copyOfRange(b, 13, 13 + sz)
-          i = 13 + sz
+        // ---- GIF: first composited frame via the multi-frame walker ----
+        gifFrames(b, maxFrames = 1) match {
+          case Some((sw, sh, frames)) if frames.nonEmpty =>
+            Some((sw, sh, 3, frames.head.canvas))
+          case _ => None
         }
-        while (i < b.length) {
-          u8(i) match {
-            case 0x21 => // extension: introducer + label + sub-blocks
-              i += 2
-              while (i < b.length && u8(i) != 0) i += 1 + u8(i)
-              if (i >= b.length) return None
-              i += 1 // block terminator
-            case 0x3b => return None // trailer before any image frame
-            case 0x2c => // image descriptor: the frame we decode
-              if (i + 10 > b.length) return None
-              val left = le16(i + 1)
-              val top = le16(i + 3)
-              val w = le16(i + 5)
-              val h = le16(i + 7)
-              val ip = u8(i + 9)
-              val interlaced = (ip & 0x40) != 0
-              var j = i + 10
-              var pal = globalPal
-              if ((ip & 0x80) != 0) { // local color table wins
-                val sz = 3 * (1 << ((ip & 7) + 1))
-                if (j + sz > b.length) return None
-                pal = java.util.Arrays.copyOfRange(b, j, j + sz)
-                j += sz
-              }
-              if (pal == null || w <= 0 || h <= 0 || w > maxDim || h > maxDim) return None
-              // the decoded image is the LOGICAL SCREEN (what
-              // HeaderDecoder reports as this payload's dimensions);
-              // the frame composites onto it at its left/top offset
-              val sw = le16(6)
-              val sh = le16(8)
-              if (sw <= 0 || sh <= 0 || sw > maxDim || sh > maxDim) return None
-              if (left + w > sw || top + h > sh) return None // frame off-screen
-              if (sw.toLong * sh * 3 > Int.MaxValue - 8) return None
-              if (j >= b.length) return None
-              val minCode = u8(j)
-              j += 1
-              if (minCode < 2 || minCode > 8) return None // spec range
-              val data = new java.io.ByteArrayOutputStream()
-              while (j < b.length && u8(j) != 0) { // data sub-blocks
-                val n = u8(j)
-                if (j + 1 + n > b.length) return None
-                data.write(b, j + 1, n)
-                j += 1 + n
-              }
-              if (j >= b.length) return None // missing terminator
-              val idx = gifLzw(data.toByteArray, minCode, w * h) match {
-                case Some(a) => a
-                case None => return None
-              }
-              val out = new Array[Byte](sw * sh * 3)
-              // off-frame screen area takes the background color (the
-              // screen descriptor's bg index into the GLOBAL palette);
-              // only needed when the frame doesn't cover the screen
-              if ((left != 0 || top != 0 || w != sw || h != sh) && globalPal != null) {
-                val bg = u8(11) * 3
-                if (bg + 2 < globalPal.length) {
-                  var p = 0
-                  while (p < sw * sh) {
-                    out(p * 3) = globalPal(bg)
-                    out(p * 3 + 1) = globalPal(bg + 1)
-                    out(p * 3 + 2) = globalPal(bg + 2)
-                    p += 1
-                  }
-                }
-              }
-              // interlaced frames store rows in 4 passes (8/8, 8/8+4,
-              // 4/4+2, 2/2+1) — map stored row -> display row
-              val rowOrder: Array[Int] =
-                if (interlaced) {
-                  val ord = new Array[Int](h)
-                  var r = 0
-                  for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
-                       y <- start until h by step) { ord(r) = y; r += 1 }
-                  ord
-                } else Array.tabulate(h)(identity)
-              var sr = 0
-              while (sr < h) {
-                val y = top + rowOrder(sr)
-                var x = 0
-                while (x < w) {
-                  val p = (idx(sr * w + x) & 0xff) * 3
-                  if (p + 2 >= pal.length) return None // index past palette
-                  val d = (y * sw + left + x) * 3
-                  out(d) = pal(p); out(d + 1) = pal(p + 1); out(d + 2) = pal(p + 2)
-                  x += 1
-                }
-                sr += 1
-              }
-              return Some((sw, sh, 3, out))
-            case _ => return None // desynced block stream
-          }
-        }
-        None
       } else if (b.length >= 3 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff) {
         // ---- JPEG: the JDK's own ImageIO reader (java.desktop module,
         // platform code, not an external codec dependency). Pre-guard
@@ -487,6 +389,182 @@ object Multimodal {
         if (i.toLong + w.toLong * h * c > b.length) return None // truncated
         Some((w, h, c, java.util.Arrays.copyOfRange(b, i, i + w * h * c)))
       } else None
+    }
+
+    /** One decoded GIF frame: rect geometry, its disposal method, the
+      * raw palette-expanded rect as RGBA (alpha 0 at transparent
+      * pixels — the per-frame output a platform reader hands back,
+      * pinned against `javax.imageio` in HeaderDecoderSpec), and the
+      * full-screen RGB canvas COMPOSITED up to and including this
+      * frame (what a viewer displays — the useful frame-sampling
+      * output for crawl-data GIFs). */
+    final case class GifFrame(left: Int, top: Int, width: Int, height: Int,
+        disposal: Int, rgba: Array[Byte], canvas: Array[Byte])
+
+    /**
+     * Multi-frame GIF decode with disposal-method compositing — frame
+     * N's pixels are reachable, not just the first frame's. The canvas
+     * starts as the background color (screen descriptor's bg index
+     * into the global palette; zeros without one); each frame draws
+     * its non-transparent pixels at its (left, top) offset, then
+     * disposes per its Graphic Control Extension before the next
+     * frame: 0/1 leave the canvas, 2 restores the frame RECT to the
+     * background, 3 restores the pre-draw canvas. Transparency is the
+     * GCE transparent index (those pixels leave the canvas unchanged —
+     * the mechanism that makes delta frames work). Stops after
+     * `maxFrames`; returns None on any malformed stream, mirroring the
+     * single-frame contract (decode() is exactly `maxFrames = 1`).
+     */
+    private[operators] def gifFrames(
+        b: Array[Byte], maxFrames: Int): Option[(Int, Int, IndexedSeq[GifFrame])] = {
+      require(maxFrames >= 1, "maxFrames must be >= 1")
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      if (b.length < 14) return None
+      val hdr = new String(b, 0, 6, "US-ASCII")
+      if (hdr != "GIF87a" && hdr != "GIF89a") return None
+      val maxDim = 1 << 16
+      val sw = le16(6)
+      val sh = le16(8)
+      if (sw <= 0 || sh <= 0 || sw > maxDim || sh > maxDim) return None
+      if (sw.toLong * sh * 3 > Int.MaxValue - 8) return None
+      var i = 13
+      var globalPal: Array[Byte] = null
+      val screenPacked = u8(10)
+      if ((screenPacked & 0x80) != 0) { // global color table
+        val sz = 3 * (1 << ((screenPacked & 7) + 1))
+        if (13 + sz > b.length) return None
+        globalPal = java.util.Arrays.copyOfRange(b, 13, 13 + sz)
+        i = 13 + sz
+      }
+      val canvas = new Array[Byte](sw * sh * 3)
+      // background fill (only with a valid global-palette bg index —
+      // otherwise the canvas stays zero, the single-frame behavior)
+      val bgRgb = new Array[Byte](3)
+      if (globalPal != null && u8(11) * 3 + 2 < globalPal.length) {
+        val bg = u8(11) * 3
+        bgRgb(0) = globalPal(bg); bgRgb(1) = globalPal(bg + 1); bgRgb(2) = globalPal(bg + 2)
+        var p = 0
+        while (p < sw * sh) {
+          canvas(p * 3) = bgRgb(0); canvas(p * 3 + 1) = bgRgb(1); canvas(p * 3 + 2) = bgRgb(2)
+          p += 1
+        }
+      }
+      var pendingDisposal = 0
+      var pendingTrans = -1
+      val frames = IndexedSeq.newBuilder[GifFrame]
+      var count = 0
+      def done(): Option[(Int, Int, IndexedSeq[GifFrame])] = {
+        val fs = frames.result()
+        if (fs.isEmpty) None else Some((sw, sh, fs))
+      }
+      while (i < b.length) {
+        u8(i) match {
+          case 0x21 => // extension: capture the GCE, skip the rest
+            if (i + 1 >= b.length) return None
+            if (u8(i + 1) == 0xf9 && i + 7 < b.length && u8(i + 2) == 4) {
+              val packed = u8(i + 3)
+              pendingDisposal = (packed >> 2) & 7
+              pendingTrans = if ((packed & 1) != 0) u8(i + 6) else -1
+            }
+            i += 2
+            while (i < b.length && u8(i) != 0) i += 1 + u8(i)
+            if (i >= b.length) return None
+            i += 1 // block terminator
+          case 0x3b => return done() // trailer
+          case 0x2c => // image descriptor
+            if (i + 10 > b.length) return None
+            val left = le16(i + 1)
+            val top = le16(i + 3)
+            val w = le16(i + 5)
+            val h = le16(i + 7)
+            val ip = u8(i + 9)
+            val interlaced = (ip & 0x40) != 0
+            var j = i + 10
+            var pal = globalPal
+            if ((ip & 0x80) != 0) { // local color table wins
+              val sz = 3 * (1 << ((ip & 7) + 1))
+              if (j + sz > b.length) return None
+              pal = java.util.Arrays.copyOfRange(b, j, j + sz)
+              j += sz
+            }
+            if (pal == null || w <= 0 || h <= 0 || w > maxDim || h > maxDim) return None
+            if (left + w > sw || top + h > sh) return None // frame off-screen
+            if (j >= b.length) return None
+            val minCode = u8(j)
+            j += 1
+            if (minCode < 2 || minCode > 8) return None // spec range
+            val data = new java.io.ByteArrayOutputStream()
+            while (j < b.length && u8(j) != 0) { // data sub-blocks
+              val n = u8(j)
+              if (j + 1 + n > b.length) return None
+              data.write(b, j + 1, n)
+              j += 1 + n
+            }
+            if (j >= b.length) return None // missing terminator
+            val idx = gifLzw(data.toByteArray, minCode, w * h) match {
+              case Some(a) => a
+              case None => return None
+            }
+            // interlaced frames store rows in 4 passes (8/8, 8/8+4,
+            // 4/4+2, 2/2+1) — map stored row -> display row
+            val rowOrder: Array[Int] =
+              if (interlaced) {
+                val ord = new Array[Int](h)
+                var r = 0
+                for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                     y <- start until h by step) { ord(r) = y; r += 1 }
+                ord
+              } else Array.tabulate(h)(identity)
+            val snapshot = if (pendingDisposal == 3) canvas.clone() else null
+            val rgba = new Array[Byte](w * h * 4)
+            var sr = 0
+            while (sr < h) {
+              val dy = rowOrder(sr)
+              val y = top + dy
+              var x = 0
+              while (x < w) {
+                val pi = idx(sr * w + x) & 0xff
+                val p = pi * 3
+                if (p + 2 >= pal.length) return None // index past palette
+                if (pi != pendingTrans) {
+                  val rd = (dy * w + x) * 4
+                  rgba(rd) = pal(p); rgba(rd + 1) = pal(p + 1)
+                  rgba(rd + 2) = pal(p + 2); rgba(rd + 3) = -1 // alpha 255
+                  val d = (y * sw + left + x) * 3
+                  canvas(d) = pal(p); canvas(d + 1) = pal(p + 1); canvas(d + 2) = pal(p + 2)
+                }
+                x += 1
+              }
+              sr += 1
+            }
+            frames += GifFrame(left, top, w, h, pendingDisposal, rgba, canvas.clone())
+            count += 1
+            if (count >= maxFrames) return done()
+            pendingDisposal match {
+              case 2 => // restore the frame rect to background
+                var y = top
+                while (y < top + h) {
+                  var x = left
+                  while (x < left + w) {
+                    val d = (y * sw + x) * 3
+                    canvas(d) = bgRgb(0); canvas(d + 1) = bgRgb(1); canvas(d + 2) = bgRgb(2)
+                    x += 1
+                  }
+                  y += 1
+                }
+              case 3 => System.arraycopy(snapshot, 0, canvas, 0, canvas.length)
+              case _ => // 0/1: leave the canvas
+            }
+            pendingDisposal = 0
+            pendingTrans = -1
+            i = j + 1 // past the data terminator
+          case _ => return None // desynced block stream
+        }
+      }
+      // truncated after a complete frame but before the trailer: keep
+      // what decoded (the single-frame path's effective leniency)
+      done()
     }
 
     /**
@@ -727,4 +805,44 @@ object Multimodal {
             greatest(floor((length(col(binCol)) - 1).cast("double") / stride).cast("int"), lit(0))),
           i => call_function("substring", col(binCol), i * lit(stride) + lit(1), lit(stride)))))
       .toDF(idCol, "frame_no", "frame_bytes")
+
+  /**
+   * REAL frame sampling for animated GIFs: one row per COMPOSITED
+   * frame (disposal methods + transparency honored — what a viewer
+   * displays at that frame, see [[PixelDecoder.gifFrames]]), emitting
+   * (id, frame_no, width, height, channels=3, pixels). Non-GIF or
+   * corrupt payloads yield NO rows — degrade, never crash. `every`
+   * keeps each `every`-th composited frame (stride sampling — decode
+   * walks all frames up to `maxFrames` because compositing needs every
+   * delta, but only the sampled ones ship downstream). mapPartitions
+   * over the row iterator, one plan, no shuffle.
+   */
+  def gifFramePixels(
+      df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int = 64, every: Int = 1): DataFrame = {
+    require(maxFrames >= 1 && every >= 1, "maxFrames and every must be >= 1")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("pixels", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it => // typed, single-plan — see withDecodedMeta
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val id = r.get(idIdx)
+        Option(bytes)
+          .flatMap(bs => scala.util.Try(PixelDecoder.gifFrames(bs, maxFrames)).toOption.flatten)
+          .toSeq.flatMap { case (sw, sh, frames) =>
+            frames.zipWithIndex.collect {
+              case (f, k) if k % every == 0 =>
+                Row(id, k, sw, sh, 3, f.canvas)
+            }
+          }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -647,6 +647,161 @@ class HeaderDecoderSpec extends AnyFunSuite {
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
   }
 
+  /** One animated-GIF frame spec: rect geometry + indices + its GCE
+    * (disposal method, transparent index or -1). */
+  private case class AnimFrame(left: Int, top: Int, w: Int, h: Int,
+      indices: Array[Byte], disposal: Int, transIdx: Int = -1)
+
+  /** Assemble a multi-frame GIF89a: global palette, one GCE + image
+    * descriptor per frame. */
+  private def gifAnim(sw: Int, sh: Int, palette: Array[Byte], bgIndex: Int,
+      frames: Seq[AnimFrame], minCode: Int = 2): Array[Byte] = {
+    require(palette.length % 3 == 0)
+    val palBits = {
+      var n = 1
+      while (3 * (1 << (n + 1)) < palette.length) n += 1
+      n
+    }
+    val palPadded = palette ++ new Array[Byte](3 * (1 << (palBits + 1)) - palette.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    le16(sw); le16(sh)
+    bos.write(0x80 | palBits)
+    bos.write(bgIndex); bos.write(0)
+    bos.write(palPadded)
+    for (f <- frames) {
+      bos.write(0x21); bos.write(0xf9); bos.write(4) // GCE
+      bos.write((f.disposal << 2) | (if (f.transIdx >= 0) 1 else 0))
+      bos.write(0); bos.write(0) // delay
+      bos.write(if (f.transIdx >= 0) f.transIdx else 0)
+      bos.write(0) // terminator
+      bos.write(0x2c)
+      le16(f.left); le16(f.top); le16(f.w); le16(f.h)
+      bos.write(0) // no local palette, not interlaced
+      bos.write(minCode)
+      val z = lzwEncode(f.indices, minCode)
+      var off = 0
+      while (off < z.length) {
+        val n = math.min(255, z.length - off)
+        bos.write(n); bos.write(z, off, n)
+        off += n
+      }
+      bos.write(0)
+    }
+    bos.write(0x3b)
+    bos.toByteArray
+  }
+
+  test("animated GIF: disposal methods compose frame N's canvas correctly") {
+    // palette: 0=bg(5,6,7) 1=red-ish 2=green-ish 3=blue-ish
+    val pal = Array[Byte](5, 6, 7, /**/ 100, 0, 0, /**/ 0, 100, 0, /**/ 0, 0, 100)
+    def rgbAt(px: Array[Byte], sw: Int, x: Int, y: Int) =
+      (px((y * sw + x) * 3), px((y * sw + x) * 3 + 1), px((y * sw + x) * 3 + 2))
+    val g = gifAnim(4, 4, pal, bgIndex = 0, frames = Seq(
+      // frame 0: full screen of color 1, disposal 1 (leave)
+      AnimFrame(0, 0, 4, 4, Array.fill[Byte](16)(1), disposal = 1),
+      // frame 1: 2x2 color-2 patch at (1,1) with one TRANSPARENT pixel,
+      // disposal 2 (restore rect to background afterwards)
+      AnimFrame(1, 1, 2, 2, Array[Byte](2, 3, 3, 2), disposal = 2, transIdx = 3),
+      // frame 2: 1x1 color-3 at (0,0), disposal 3 (restore previous)
+      AnimFrame(0, 0, 1, 1, Array[Byte](3), disposal = 3),
+      // frame 3: fully transparent 1x1 — canvas must equal the
+      // post-disposal state of frame 2
+      AnimFrame(3, 3, 1, 1, Array[Byte](3), disposal = 0, transIdx = 3)))
+    val Some((sw, sh, frames)) = Multimodal.PixelDecoder.gifFrames(g, maxFrames = 16)
+    assert((sw, sh) == (4, 4) && frames.length == 4)
+    val c1 = ((100: Byte), (0: Byte), (0: Byte))
+    val c2 = ((0: Byte), (100: Byte), (0: Byte))
+    val bg = ((5: Byte), (6: Byte), (7: Byte))
+    // frame 0: all color 1
+    for (x <- 0 until 4; y <- 0 until 4)
+      assert(rgbAt(frames(0).canvas, 4, x, y) == c1)
+    // frame 1: color 2 at (1,1) and (2,2); transparent at (2,1)/(1,2)
+    // leaves frame 0's color 1 underneath
+    assert(rgbAt(frames(1).canvas, 4, 1, 1) == c2)
+    assert(rgbAt(frames(1).canvas, 4, 2, 2) == c2)
+    assert(rgbAt(frames(1).canvas, 4, 2, 1) == c1, "transparent pixel must not overdraw")
+    assert(rgbAt(frames(1).canvas, 4, 1, 2) == c1)
+    assert(rgbAt(frames(1).canvas, 4, 0, 0) == c1)
+    // frame 1's rgba rect: alpha 0 exactly at the transparent pixels
+    assert(frames(1).rgba.grouped(4).map(_(3)).toSeq == Seq(-1, 0, 0, -1).map(_.toByte))
+    // frame 2: disposal 2 of frame 1 restored its RECT to bg first
+    assert(rgbAt(frames(2).canvas, 4, 1, 1) == bg, "frame 1 rect restored to background")
+    assert(rgbAt(frames(2).canvas, 4, 2, 2) == bg)
+    assert(rgbAt(frames(2).canvas, 4, 0, 0) == ((0: Byte), (0: Byte), (100: Byte)))
+    assert(rgbAt(frames(2).canvas, 4, 3, 3) == c1, "outside both rects: frame 0 pixels stay")
+    // frame 3: disposal 3 undid frame 2's pixel; fully-transparent
+    // frame 3 draws nothing
+    assert(rgbAt(frames(3).canvas, 4, 0, 0) == c1, "restore-previous undid frame 2")
+    assert(frames(3).canvas.toSeq == {
+      val expect = frames(1).canvas.clone()
+      // frame 1's disposal-2 rect restore, then nothing else drawn
+      for (y <- 1 to 2; x <- 1 to 2) {
+        expect((y * 4 + x) * 3) = 5; expect((y * 4 + x) * 3 + 1) = 6
+        expect((y * 4 + x) * 3 + 2) = 7
+      }
+      expect.toSeq
+    })
+    // decode() == first composited frame (the pinned single-frame path)
+    assert(Multimodal.PixelDecoder.decode(g).map(_._4.toSeq) ==
+      Some(frames(0).canvas.toSeq))
+  }
+
+  test("animated GIF: per-frame rects agree pixel-exact with the platform reader") {
+    val pal = Array[Byte](5, 6, 7, /**/ 100, 0, 0, /**/ 0, 100, 0, /**/ 0, 0, 100)
+    val g = gifAnim(5, 4, pal, bgIndex = 0, frames = Seq(
+      AnimFrame(0, 0, 5, 4, Array.tabulate[Byte](20)(i => (i % 4).toByte), disposal = 1),
+      AnimFrame(2, 1, 3, 2, Array[Byte](1, 2, 3, 3, 2, 1), disposal = 2, transIdx = 2),
+      AnimFrame(1, 0, 2, 3, Array[Byte](0, 1, 2, 3, 0, 1), disposal = 3)))
+    val Some((_, _, ours)) = Multimodal.PixelDecoder.gifFrames(g, maxFrames = 16)
+    assert(ours.length == 3)
+
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(g))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 3)
+    for (k <- 0 until 3) {
+      val img = reader.read(k)
+      val f = ours(k)
+      assert((img.getWidth, img.getHeight) == (f.width, f.height), s"frame $k dims")
+      val argb = img.getRGB(0, 0, f.width, f.height, null, 0, f.width)
+      for (p <- argb.indices) {
+        val a = (argb(p) >>> 24).toByte
+        assert(f.rgba(p * 4 + 3) == a, s"frame $k pixel $p alpha")
+        if (a != 0) {
+          assert(f.rgba(p * 4) == (argb(p) >> 16).toByte &&
+            f.rgba(p * 4 + 1) == (argb(p) >> 8).toByte &&
+            f.rgba(p * 4 + 2) == argb(p).toByte,
+            s"frame $k pixel $p differs from the platform decode")
+        }
+      }
+    }
+    reader.dispose()
+  }
+
+  test("gifFramePixels operator: one row per composited frame; corrupt payloads drop") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val pal = Array[Byte](5, 6, 7, /**/ 100, 0, 0, /**/ 0, 100, 0, /**/ 0, 0, 100)
+    val g = gifAnim(3, 3, pal, bgIndex = 0, frames = Seq(
+      AnimFrame(0, 0, 3, 3, Array.fill[Byte](9)(1), disposal = 1),
+      AnimFrame(0, 0, 1, 1, Array[Byte](2), disposal = 1),
+      AnimFrame(2, 2, 1, 1, Array[Byte](3), disposal = 1)))
+    val df = Seq(
+      (1L, g),
+      (2L, "not a gif".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val out = Multimodal.gifFramePixels(df, "id", "payload", maxFrames = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 0, 3, 3), (1L, 1, 3, 3), (1L, 2, 3, 3)))
+    // stride sampling keeps frames 0 and 2
+    val strided = Multimodal.gifFramePixels(df, "id", "payload", maxFrames = 16, every = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(strided.toSeq == Seq((1L, 0), (1L, 2)))
+  }
+
   test("hand-rolled GIF decode agrees pixel-exact with the platform reader on real files") {
     import java.nio.file.{Files, Paths}
     val files = Seq(
