@@ -1569,6 +1569,64 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Recurrent heads (GRU q123 / LSTM q124): token ids through the
+    // interpreter's RnnOp — final hidden state h_L -> fc -> argmax,
+    // oracled by a DuckDB WITH RECURSIVE unroll of the exact same
+    // recurrence in f64 (see rnnHiddenSql).
+    "q123_torch_gru" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = gruModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, RnnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("gru_class"))
+        .orderBy("doc_id")
+    },
+
+    "q124_torch_lstm" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = lstmModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, RnnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("lstm_class"))
+        .orderBy("doc_id")
+    },
+
+    // Hybrid retrieval: BM25 keyword top-20 (terms spark/join/dup — two
+    // common + one rare, so idf discriminates) fused with the dense
+    // cosine top-20 around vec_id 123 by reciprocal-rank fusion. The
+    // fused score is computed from RANKS only (1/(60+r)), so it is
+    // bit-exact across engines however the underlying f64 scores drift.
+    "q125_hybrid_rrf" -> { (s, dir) =>
+      val txt = graft.operators.Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join", "dup"), k = 20)
+        .select(col("doc_id"), col("rank").as("t_rank"))
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 123), "vec_id", "embedding", k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank").cast("int").as("v_rank"))
+      graft.operators.Retrieval.rrfFuse(txt, "t_rank", ann, "v_rank", "doc_id", k = 20)
+        .select(col("doc_id"), col("t_rank"), col("v_rank"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -2120,6 +2178,144 @@ object SparkEntry {
        |      $convSel
        |  FROM pose a JOIN pose b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
        |SELECT doc_id$src, $pools FROM conv GROUP BY doc_id$src""".stripMargin
+  }
+
+  /** Recurrent (GRU) text classifier for q123: token ids ->
+    * Embedding(32, 4) -> GRU(4, 6) -> final hidden h_L -> Linear(6->3)
+    * -> argmax — the recurrent-classifier family the reference runs via
+    * libtorch (udf.rs:127), through the interpreter's [[graft.torch.RnnOp]].
+    * Numerical pinning: all weights dyadic (1/16 grid), the recurrence
+    * runs in f64 on BOTH engines from those exact values, and the
+    * nonlinearities are stated identically (sigmoid = 1/(1+exp(-t)),
+    * tanh) — residual drift is cross-libm exp/tanh ulps (~1e-15/step
+    * over <= [[RnnMaxLen]] steps) plus one f32 rounding at the op
+    * boundary and the f32 fc GEMM, absorbed by the argmax gap
+    * (TorchRnnSpec pins the floor at sf0.001; measured min runner-up
+    * gap 3.5e-3, median 0.81 at sf0.01). The fc bias re-centers each
+    * class near its measured median logit (dyadic-rounded) so
+    * predictions are mixed (measured 183/170/147 at sf0.01). */
+  private[graft] lazy val gruModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 871, 2.0), vocab = 32, embDim = 4),
+      RnnOp("gru",
+        qvals(3 * 6 * 4, 877, 1.0), qvals(3 * 6 * 6, 881, 0.75),
+        qvals(3 * 6, 883, 0.25), qvals(3 * 6, 887, 0.25),
+        hidden = 6, inDim = 4),
+      LinearLayer(qvals(18, 907, 4.0),
+        Array(1.75f, 1.75f, -0.0625f), 3, 6)))
+  }
+
+  /** LSTM sibling of [[gruModel]] for q124: Embedding(32, 4) ->
+    * LSTM(4, 5) -> h_L -> Linear(5->3); same pinning discipline (fc
+    * bias re-centered at sf0.01: mixed 174/170/156, min runner-up gap 5.7e-3). */
+  private[graft] lazy val lstmModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 911, 2.0), vocab = 32, embDim = 4),
+      RnnOp("lstm",
+        qvals(4 * 5 * 4, 919, 1.0), qvals(4 * 5 * 5, 929, 0.75),
+        qvals(4 * 5, 937, 0.25), qvals(4 * 5, 941, 0.25),
+        hidden = 5, inDim = 4),
+      LinearLayer(qvals(15, 947, 4.0),
+        Array(0.4375f, 1.25f, 0.625f), 3, 5)))
+  }
+
+  /** Max token positions fed to the recurrent heads (both engines
+    * truncate identically): bounds the oracle's recursion depth AND is
+    * the usual max-sequence-length cap. */
+  private val RnnMaxLen = 12
+
+  /** DuckDB chain for the q123/q124 oracles: token ids (pos <=
+    * [[RnnMaxLen]]) -> embedding VALUES join -> WITH RECURSIVE
+    * recurrence stepping one position per iteration, hidden state (and
+    * LSTM cell) carried as explicit DOUBLE columns, gates inlined with
+    * the exact same formulas the engine runs (sigmoid spelled
+    * 1/(1+exp(-t)), torch gate order r,z,n / i,f,g,o, the GRU candidate
+    * scaling ONLY the hidden leg by the reset gate) -> final-position
+    * row; ends in `SELECT doc_id, p0..p{H-1}` ready for
+    * [[TorchOracle.mlpArgmaxSql]]'s fc chain. */
+  private def rnnHiddenSql(m: graft.torch.TorchScriptModel): String = {
+    import graft.torch._
+    val e = m.seqHead.get
+    val op = m.ops.collectFirst { case r: RnnOp => r }.get
+    val H = op.hidden
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+    // gate affines: input leg over x.x_j, hidden leg over r.h_j
+    def ih(g: Int, o: Int): String =
+      (fmtF(op.bIh(g * H + o)) +: (0 until op.inDim).map(j =>
+        s"${fmtF(op.wIh((g * H + o) * op.inDim + j))}*x.x$j")).mkString("(", "+", ")")
+    def hh(g: Int, o: Int): String =
+      (fmtF(op.bHh(g * H + o)) +: (0 until H).map(j =>
+        s"${fmtF(op.wHh((g * H + o) * H + j))}*r.h$j")).mkString("(", "+", ")")
+    def sig(t: String): String = s"1.0/(1.0+exp(-($t)))"
+    // DuckDB 1.0.0 ships no tanh; 1 - 2/(e^{2t}+1) is the stable exp
+    // form (overflow -> +1, underflow -> -1, exactly tanh's limits).
+    // The engine runs Math.tanh — the cross-form drift is a few ulps,
+    // same order as the cross-libm exp drift the gap floor absorbs.
+    def tanhS(t: String): String = s"(1.0-2.0/(exp(2.0*($t))+1.0))"
+    val stateCols =
+      (0 until H).map(o => s"h$o") ++
+        (if (op.kind == "lstm") (0 until H).map(o => s"c$o") else Nil)
+    val anchor = stateCols.map(c => s"CAST(0.0 AS DOUBLE) AS $c").mkString(", ")
+    val step =
+      if (op.kind == "gru")
+        (0 until H).map { o =>
+          val r0 = sig(s"${ih(0, o)}+${hh(0, o)}")
+          val z = sig(s"${ih(1, o)}+${hh(1, o)}")
+          val n = tanhS(s"${ih(2, o)}+($r0)*${hh(2, o)}")
+          s"(1.0-($z))*($n)+($z)*r.h$o AS h$o"
+        }.mkString(",\n      ")
+      else {
+        def cNew(o: Int): String = {
+          val i = sig(s"${ih(0, o)}+${hh(0, o)}")
+          val f = sig(s"${ih(1, o)}+${hh(1, o)}")
+          val g = tanhS(s"${ih(2, o)}+${hh(2, o)}")
+          s"($f)*r.c$o+($i)*($g)"
+        }
+        val hs = (0 until H).map { o =>
+          val og = sig(s"${ih(3, o)}+${hh(3, o)}")
+          s"($og)*${tanhS(cNew(o))} AS h$o"
+        }
+        val cs = (0 until H).map(o => s"${cNew(o)} AS c$o")
+        (hs ++ cs).mkString(",\n      ")
+      }
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % ${e.vocab} AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $RnnMaxLen),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |x AS (SELECT doc_id, pos,
+       |        ${(0 until e.embDim).map(j => s"CAST(w$j AS DOUBLE) AS x$j").mkString(", ")}
+       |      FROM toks JOIN embw USING (tid)),
+       |lens AS (SELECT doc_id, max(pos) AS len FROM x GROUP BY doc_id),
+       |rec AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, $anchor FROM lens
+       |  UNION ALL
+       |  SELECT r.doc_id, r.pos + 1,
+       |      $step
+       |  FROM rec r JOIN x ON x.doc_id = r.doc_id AND x.pos = r.pos + 1)
+       |SELECT r.doc_id, ${(0 until H).map(o => s"r.h$o AS p$o").mkString(", ")}
+       |FROM rec r JOIN lens ON r.doc_id = lens.doc_id AND r.pos = lens.len""".stripMargin
   }
 
   /** The five q89-parity quality features feeding [[qualityModel]],
@@ -2738,6 +2934,70 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS attn_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
+
+    "q123_torch_gru" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        gruModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, rnnHiddenSql(gruModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS gru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q124_torch_lstm" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        lstmModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, rnnHiddenSql(lstmModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS lstm_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // BM25 restated in full (Lucene idf, k1=1.2, b=0.75; k1+1 spelled
+    // 2.2 — the same double both engines produce), the dense leg as in
+    // q24, ranks fused by 1/(60+r); the fused score is rank-only.
+    "q125_hybrid_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, len(tk) AS dl,
+        |    len(list_filter(tk, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(tk, x -> x = 'join'))  AS tf1,
+        |    len(list_filter(tk, x -> x = 'dup'))   AS tf2
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS tk
+        |        FROM documents)),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM tf),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - df0 + 0.5)/(df0 + 0.5))
+        |      * (tf0*CAST(2.2 AS DOUBLE))/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |    + ln(1.0 + (n_docs - df1 + 0.5)/(df1 + 0.5))
+        |      * (tf1*CAST(2.2 AS DOUBLE))/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |    + ln(1.0 + (n_docs - df2 + 0.5)/(df2 + 0.5))
+        |      * (tf2*CAST(2.2 AS DOUBLE))/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) AS score
+        |  FROM tf, st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+        |tr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS t_rank
+        |  FROM sc QUALIFY t_rank <= 20),
+        |vs AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 123) q
+        |  WHERE vec_id <> 123),
+        |vr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS v_rank
+        |  FROM vs QUALIFY v_rank <= 20),
+        |f AS (
+        |  SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, t_rank, v_rank,
+        |    COALESCE(1.0/(60 + t_rank), 0) + COALESCE(1.0/(60 + v_rank), 0) AS rrf
+        |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+        |SELECT doc_id, CAST(t_rank AS INT) AS t_rank, CAST(v_rank AS INT) AS v_rank,
+        |  round(rrf, 6) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // Islands rebuild of the native session_window: a new session
     // starts only when the gap since the previous event EXCEEDS 1800s

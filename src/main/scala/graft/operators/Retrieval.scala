@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sparse/dense hybrid retrieval: Okapi-BM25 keyword scoring, and
+ * reciprocal-rank fusion of ranked lists (Cormack et al., SIGIR'09) —
+ * the standard way a training-data pipeline marries a keyword index
+ * with an embedding ANN index (RAG-style corpus search, labeled-seed
+ * expansion, targeted decontamination).
+ *
+ * Scale shape: per-term tf's are scan-side `filter(tokens, …)` sizes
+ * (no explode — a 100-word doc never becomes 100 rows), the corpus
+ * stats (N, avgdl, per-term df) are ONE aggregate broadcast back as a
+ * scalar row, the candidate set is pre-filtered to docs containing at
+ * least one query term before anything ranks, and top-k plans as
+ * TakeOrderedAndProject (no global sort at 100 TB). The fusion join
+ * touches 2·k rows.
+ */
+object Retrieval {
+
+  /**
+   * Okapi BM25 top-k for one bag-of-terms query, Lucene's idf variant:
+   * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+   * `score = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))`.
+   * Returns `(<idCol>, rank, score)` with rank 1..k by
+   * (score DESC, id ASC).
+   */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"terms must be non-empty and distinct: $terms")
+    val toks = docs.select(col(idCol).as("id"),
+      call_function("regexp_extract_all", col(textCol),
+        lit(graft.Tok.Pattern), lit(0)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val withTf = terms.zipWithIndex.foldLeft(toks) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i", size(filter(col("toks"), x => x === lit(t))))
+    }.drop("toks")
+    // one corpus pass -> a single scalar row, broadcast to the candidates
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i")): _*)
+    val cand = withTf
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      // tf = 0 contributes exactly 0 (numerator 0, denominator > 0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val top = cand.withColumn("score", score)
+      .select("id", "score")
+      .orderBy(col("score").desc, col("id"))
+      .limit(k) // TakeOrderedAndProject: no global sort
+    // rank over the <= k surviving rows only
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("int"))
+      .select(col("id").as(idCol), col("rank"), col("score"))
+  }
+
+  /**
+   * Reciprocal-rank fusion of two ranked lists (full outer on id):
+   * `rrf = Σ_lists 1/(kRrf + rank)`, a missing entry contributing 0 —
+   * rank-only, so the fused score is bit-exact across engines
+   * regardless of how the underlying scores drift. Returns the top-k
+   * ids by (rrf DESC, id ASC) with both source ranks carried (null
+   * when absent).
+   */
+  def rrfFuse(
+      a: DataFrame, rankA: String,
+      b: DataFrame, rankB: String,
+      idCol: String,
+      k: Int,
+      kRrf: Int = 60): DataFrame = {
+    def contrib(c: Column): Column =
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + c.cast("double")), lit(0.0))
+    a.select(col(idCol), col(rankA)).join(
+        b.select(col(idCol), col(rankB)), Seq(idCol), "full_outer")
+      .withColumn("rrf", contrib(col(rankA)) + contrib(col(rankB)))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+}

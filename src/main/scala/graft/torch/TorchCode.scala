@@ -47,7 +47,10 @@ object TorchCode {
   final case class ELit(value: Any) extends Expr // Long | Double | Boolean | String | null
   final case class EList(items: Vector[Expr]) extends Expr // [1] dim lists
 
-  final case class Stmt(lhs: Option[String], expr: Expr, line: String)
+  /** `lhs` empty = return; one name = plain assignment; several names =
+    * tuple-unpack (`out, hn, = _0` — how generated code consumes an
+    * RNN's (output, h_n) return). */
+  final case class Stmt(lhs: Vector[String], expr: Expr, line: String)
   final case class ClassDef(fqName: String, paramName: String, body: Vector[Stmt])
 
   // ------------------------------------------------------ code parsing
@@ -119,7 +122,7 @@ object TorchCode {
 
   private def parseStmt(line: String): Stmt = {
     if (line.startsWith("return "))
-      Stmt(None, parseExpr(line.stripPrefix("return ").trim, line), line)
+      Stmt(Vector.empty, parseExpr(line.stripPrefix("return ").trim, line), line)
     else {
       // `name = expr` or `name : Type = expr`; '=' at depth 0 only
       var depth = 0
@@ -139,10 +142,14 @@ object TorchCode {
       }
       if (eq < 0) sys.error(s"TorchScript code: unsupported statement: $line")
       val lhs = line.substring(0, eq).trim
-      val name = lhs.takeWhile(c => c != ':' && c != ' ')
-      if (name.isEmpty || name.contains(","))
+      // one name (optionally `name : Type`) or a comma-separated unpack
+      // target (`out, hn, =` — the generator leaves a trailing comma)
+      val names = lhs.split(',').toVector.map(_.trim).filter(_.nonEmpty)
+        .map(_.takeWhile(c => c != ':' && c != ' '))
+      if (names.isEmpty || names.exists(n =>
+          n.isEmpty || !n.forall(c => c.isLetterOrDigit || c == '_')))
         sys.error(s"TorchScript code: unsupported assignment target: $line")
-      Stmt(Some(name), parseExpr(line.substring(eq + 1).trim, line), line)
+      Stmt(names, parseExpr(line.substring(eq + 1).trim, line), line)
     }
   }
 
@@ -311,6 +318,19 @@ object TorchCode {
     final case class AttnScores(q: SeqProj, k: SeqProj, scale: Double) extends Sym
     /** Row-softmaxed attention weights, awaiting the `matmul(·, v)`. */
     final case class AttnWeights(q: SeqProj, k: SeqProj, scale: Double) extends Sym
+    /** Tuple of traced values — an RNN's forward returns
+      * `(output, h_n)` (GRU) / `(output, (h_n, c_n))` (LSTM); consumed
+      * by tuple-unpack statements. */
+    final case class STuple(items: Vector[Sym]) extends Sym
+    /** The `(1, n, H)` final-hidden-state leg of a GRU/LSTM — held back
+      * like [[SeqProj]]: the op is emitted when `squeeze(0)` /
+      * `select(dim 0)` collapses the num_layers dim into the flat
+      * `(n, H)` classifier input. */
+    final case class RnnHidden(op: TorchOp, hidden: Int) extends Sym
+    /** The `(n, L, H)` full-sequence output (or the LSTM cell state) of
+      * an RNN — nothing downstream consumes it in a final-hidden-state
+      * classifier; any use fails loudly with this description. */
+    final case class RnnSeqOut(desc: String) extends Sym
   }
   import Sym._
 
@@ -558,6 +578,64 @@ object TorchCode {
         ops += SoftmaxOp(log = m.simpleName == "LogSoftmax")
         Flat(dim)
       case "Identity" | "Dropout" => s // eval-mode no-ops on any shape
+      case "GRU" | "LSTM" =>
+        // single-layer unidirectional batch-first recurrent head; the
+        // forward returns (output, h_n) / (output, (h_n, c_n)) — the
+        // op itself is held inside RnnHidden and emitted when the
+        // squeeze/select collapses h_n's num_layers dim (only the
+        // final-hidden-state classifier shape has a home in the linear
+        // op chain; consuming `output` fails loudly)
+        val kind = m.simpleName.toLowerCase
+        val e = s match {
+          case SeqEmb(d) => d
+          case other => sys.error(s"${m.fqName} needs the (n, seq, emb) " +
+            s"embedding output, got $other")
+        }
+        def boolAttr(key: String, dflt: Boolean): Boolean = m.attrs.get(key) match {
+          case Some(b: Boolean) => b
+          case Some(Pickle.PBool(b)) => b
+          case None => dflt
+          case Some(other) => sys.error(s"${m.fqName}: non-bool attr $key = $other")
+        }
+        require(boolAttr("batch_first", dflt = false),
+          s"${m.fqName}: batch_first=False unsupported (the engine's batch " +
+            "layout is (n, seq, emb); construct the module with batch_first=True)")
+        require(intAttr(m, "num_layers", 1L) == 1L,
+          s"${m.fqName}: num_layers ${intAttr(m, "num_layers", 1L)} unsupported (1 only)")
+        require(!boolAttr("bidirectional", dflt = false),
+          s"${m.fqName}: bidirectional unsupported")
+        require(intAttr(m, "proj_size", 0L) == 0L,
+          s"${m.fqName}: proj_size unsupported")
+        val hd = intAttr(m, "hidden_size", -1L).toInt
+        require(hd > 0, s"${m.fqName}: hidden_size missing")
+        require(intAttr(m, "input_size", e.toLong) == e.toLong,
+          s"${m.fqName}(input_size=${intAttr(m, "input_size", -1L)}) applied " +
+            s"to $e-dim sequence")
+        val gates = if (kind == "lstm") 4 else 3
+        def w2(key: String, rows: Int, cols: Int): Array[Float] = m.attrs.get(key) match {
+          case Some(t: Pickle.PTensor) =>
+            require(t.shape == Vector(rows, cols) || t.shape == Seq(rows, cols),
+              s"${m.fqName}: $key shape ${t.shape}, expected ($rows, $cols)")
+            materialize(t)
+          case other => sys.error(s"${m.fqName}: missing tensor '$key' (got $other)")
+        }
+        val hasBias = boolAttr("bias", dflt = true)
+        def b1(key: String): Array[Float] = m.attrs.get(key) match {
+          case Some(t: Pickle.PTensor) if hasBias =>
+            require(t.shape.length == 1 && t.shape(0) == gates * hd,
+              s"${m.fqName}: $key shape ${t.shape}")
+            materialize(t)
+          case _ => new Array[Float](gates * hd)
+        }
+        val op = RnnOp(kind,
+          w2("weight_ih_l0", gates * hd, e), w2("weight_hh_l0", gates * hd, hd),
+          b1("bias_ih_l0"), b1("bias_hh_l0"), hidden = hd, inDim = e)
+        val hn = RnnHidden(op, hd)
+        if (kind == "gru")
+          STuple(Vector(RnnSeqOut(s"${m.simpleName} full-sequence output"), hn))
+        else
+          STuple(Vector(RnnSeqOut(s"${m.simpleName} full-sequence output"),
+            STuple(Vector(hn, RnnSeqOut(s"${m.simpleName} cell state c_n")))))
       case "Flatten" =>
         // nn.Flatten(start_dim=1): (n, ch, 1) -> (n, ch); identity on
         // an already-flat (n, d). A VARIABLE-length sequence cannot
@@ -583,7 +661,7 @@ object TorchCode {
         }
       case other => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
         "(builtin torch.nn surface: Linear, Embedding, EmbeddingBag, Conv1d, " +
-        "MaxPool1d, AdaptiveMaxPool1d, AdaptiveAvgPool1d, ReLU, " +
+        "MaxPool1d, AdaptiveMaxPool1d, AdaptiveAvgPool1d, GRU, LSTM, ReLU, " +
         "Sigmoid, Tanh, GELU, SiLU, LeakyReLU, ELU, Hardtanh, Softplus, " +
         "Softmax, LogSoftmax, BatchNorm1d, LayerNorm, Identity, Dropout, " +
         "Flatten, Sequential)")
@@ -782,7 +860,8 @@ object TorchCode {
                   s"variable-length sequence ($other) in: $line")
               }
             case "squeeze" =>
-              // torch.squeeze(x[, 2 | -1]): drops the pooled length-1 dim
+              // torch.squeeze(x[, 2 | -1]): drops the pooled length-1 dim;
+              // torch.squeeze(h_n[, 0]): drops an RNN h_n's num_layers dim
               tensorArg match {
                 case f: Flat => f // no size-1 dim: identity
                 case Pooled(ch) =>
@@ -792,7 +871,30 @@ object TorchCode {
                       s"unsupported in: $line")
                   }
                   Flat(ch)
+                case h: RnnHidden =>
+                  args.lift(1).map(a => eval(a, line)) match {
+                    case None | Some(0L) => // (1, n, H) -> (n, H)
+                    case other => sys.error(s"TorchScript code: squeeze dim $other " +
+                      s"on an RNN hidden state unsupported (num_layers dim 0 only) in: $line")
+                  }
+                  ops += h.op
+                  Flat(h.hidden)
                 case other => sys.error(s"TorchScript code: squeeze on $other " +
+                  s"unsupported in: $line")
+              }
+            case "select" =>
+              // torch.select(h_n, 0, -1): the last (= only) layer of an
+              // RNN hidden state — equivalent to squeeze(0) for 1 layer
+              tensorArg match {
+                case h: RnnHidden =>
+                  (sizeArg(1, Long.MinValue), sizeArg(2, Long.MinValue)) match {
+                    case (0L, 0L) | (0L, -1L) =>
+                    case other => sys.error(s"TorchScript code: select $other on an " +
+                      s"RNN hidden state unsupported ((0, 0) / (0, -1) only) in: $line")
+                  }
+                  ops += h.op
+                  Flat(h.hidden)
+                case other => sys.error(s"TorchScript code: select on $other " +
                   s"unsupported in: $line")
               }
             case "dropout" => tensorArg // eval-mode no-op on any shape
@@ -803,12 +905,20 @@ object TorchCode {
       for (st <- cd.body if result.isEmpty) {
         val v = eval(st.expr, st.line)
         st.lhs match {
-          case Some(n) => env(n) = v
-          case None => // return
+          case Vector() => // return
             result = Some(v match {
               case sy: Sym => sy
               case other => sys.error(s"TorchScript code: non-tensor return $other in: ${st.line}")
             })
+          case Vector(n) => env(n) = v
+          case names => v match { // tuple unpack (out, hn, = _0)
+            case STuple(items) if items.length == names.length =>
+              names.zip(items).foreach { case (n, it) => env(n) = it }
+            case STuple(items) => sys.error(s"TorchScript code: unpacking " +
+              s"${names.length} names from a ${items.length}-tuple in: ${st.line}")
+            case other => sys.error(s"TorchScript code: unpacking from " +
+              s"non-tuple $other in: ${st.line}")
+          }
         }
       }
       result.getOrElse(sys.error(s"TorchScript code: ${cd.fqName}.forward has no return"))

@@ -86,6 +86,31 @@ final case class SelfAttentionOp(
     wv: Array[Float], bv: Array[Float],
     dim: Int, inDim: Int, scale: Double) extends TorchOp
 
+/** Single-layer unidirectional batch-first recurrent cell (`kind` =
+  * "gru" | "lstm") over a `(L, emb)` embedding sequence, returning the
+  * FINAL hidden state `h_L` — the recurrent text-classifier head
+  * (`out, h_n = self.gru(x)` … `fc(h_n.squeeze(0))`). Weights use
+  * torch's packed layout: `wIh` is `(gates·H, inDim)` row-major, `wHh`
+  * `(gates·H, H)`, biases `(gates·H)`; gate order r,z,n for GRU and
+  * i,f,g,o for LSTM (torch.nn.GRU / torch.nn.LSTM docs). The
+  * recurrence runs in float64 from the exact float32 weights with ONE
+  * rounding to float32 per output value at the op boundary (the
+  * [[SelfAttentionOp]] discipline), so the only drift vs a float64
+  * oracle is that final rounding plus cross-libm exp/tanh ulps.
+  * `h_0 = c_0 = 0` (torch's default when hx is None); an empty
+  * sequence yields `h_0` = the zero vector, exactly as torch does.
+  * Like the pool ops, this COLLAPSES the sequence phase: everything
+  * after it runs on flat `(n, H)` batches. */
+final case class RnnOp(kind: String, wIh: Array[Float], wHh: Array[Float],
+    bIh: Array[Float], bHh: Array[Float], hidden: Int, inDim: Int) extends TorchOp {
+  require(kind == "gru" || kind == "lstm", s"unsupported RNN kind $kind")
+  val gates: Int = if (kind == "lstm") 4 else 3
+  require(wIh.length == gates * hidden * inDim, s"$kind wIh size ${wIh.length}")
+  require(wHh.length == gates * hidden * hidden, s"$kind wHh size ${wHh.length}")
+  require(bIh.length == gates * hidden && bHh.length == gates * hidden,
+    s"$kind bias sizes ${bIh.length}/${bHh.length}")
+}
+
 /** Global max over the sequence dim: `(ch, L)` -> `(ch)` — the
   * AdaptiveMaxPool1d(1) + flatten pair of a TextCNN. */
 case object SeqMaxPoolOp extends TorchOp
@@ -163,6 +188,13 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(mode == 0, "mean(dim=1) needs the (n, seq, emb) embedding output")
           require(pool < 0, "second pool op after the sequence already collapsed")
           mode = 2; pool = i
+        case r: RnnOp =>
+          require(mode == 0,
+            s"${r.kind.toUpperCase} needs the (n, seq, emb) embedding output")
+          require(width == r.inDim,
+            s"${r.kind.toUpperCase}(input_size=${r.inDim}) applied to $width features")
+          require(pool < 0, "second pool op after the sequence already collapsed")
+          mode = 2; pool = i; width = r.hidden
         case _: ActOp | _: ParamActOp => // elementwise: fine in any phase
         case other =>
           require(mode == 2,
@@ -427,8 +459,66 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           while (r < rows) { acc += data(r * cols + c); r += 1 }
           (acc / rows).toFloat
         }
+      case r: RnnOp => runRnn(r, data, rows, cols)
       case other => sys.error(s"unexpected pool op $other")
     }
+  }
+
+  /** The GRU/LSTM recurrence over a `(L, emb)` row-major sequence in
+    * float64: `h_0 = c_0 = 0`; per step the input and hidden affines are
+    * kept separate because GRU's candidate gate scales ONLY the hidden
+    * leg by the reset gate — `n = tanh(Win·x + bin + r ⊙ (Whn·h + bhn))`
+    * (torch.nn.GRU docs); LSTM uses the plain sum per gate. One float32
+    * rounding per output value at the end. */
+  private def runRnn(r: RnnOp, data: Array[Float], L: Int, emb: Int): Array[Float] = {
+    val hd = r.hidden
+    val g = r.gates
+    val h = new Array[Double](hd)
+    val c = new Array[Double](hd) // lstm cell state
+    val ih = new Array[Double](g * hd)
+    val hh = new Array[Double](g * hd)
+    val hNew = new Array[Double](hd)
+    def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+    var t = 0
+    while (t < L) {
+      var gi = 0
+      while (gi < g * hd) {
+        var accI: Double = r.bIh(gi)
+        val wiOff = gi * r.inDim
+        var j = 0
+        while (j < emb) { accI += r.wIh(wiOff + j) * data(t * emb + j); j += 1 }
+        ih(gi) = accI
+        var accH: Double = r.bHh(gi)
+        val whOff = gi * hd
+        j = 0
+        while (j < hd) { accH += r.wHh(whOff + j) * h(j); j += 1 }
+        hh(gi) = accH
+        gi += 1
+      }
+      var o = 0
+      if (r.kind == "gru") {
+        while (o < hd) {
+          val rg = sigmoid(ih(o) + hh(o))
+          val zg = sigmoid(ih(hd + o) + hh(hd + o))
+          val ng = math.tanh(ih(2 * hd + o) + rg * hh(2 * hd + o))
+          hNew(o) = (1.0 - zg) * ng + zg * h(o)
+          o += 1
+        }
+      } else {
+        while (o < hd) {
+          val ig = sigmoid(ih(o) + hh(o))
+          val fg = sigmoid(ih(hd + o) + hh(hd + o))
+          val gg = math.tanh(ih(2 * hd + o) + hh(2 * hd + o))
+          val og = sigmoid(ih(3 * hd + o) + hh(3 * hd + o))
+          c(o) = fg * c(o) + ig * gg
+          hNew(o) = og * math.tanh(c(o))
+          o += 1
+        }
+      }
+      System.arraycopy(hNew, 0, h, 0, hd)
+      t += 1
+    }
+    Array.tabulate(hd)(o => h(o).toFloat)
   }
 
   /** Run ops[from..] over an `n × dim0` row-major batch. */
@@ -439,7 +529,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       case _: EmbeddingMeanOp | _: EmbeddingSeqOp =>
         sys.error("embedding op past the model head") // constructor forbids
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: SelfAttentionOp |
-          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp =>
+          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | _: RnnOp =>
         sys.error("sequence op past the pool") // poolIdx walk forbids
       case l: LinearLayer =>
         require(curDim == l.inDim, s"linear expects ${l.inDim} features, got $curDim")

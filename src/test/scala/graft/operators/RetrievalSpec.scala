@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def bm25Ref(tf: Int, df: Int, n: Int, dl: Int, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+  test("bm25TopK matches the hand-computed Okapi formula; idf ranks rare over common") {
+    // 4 docs, 4 words each (avgdl exact); "rare" appears once in the
+    // corpus, "the" in every doc — one rare hit must outscore many
+    // common hits at equal length
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the rare cat cat"),
+      (3L, "the cat cat cat"),
+      (4L, "dog dog dog dog")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("the", "rare"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val n = 4; val avgdl = 4.0
+    val exp = Map( // (doc -> score) from the formula directly
+      1L -> bm25Ref(4, 3, n, 4, avgdl),
+      2L -> (bm25Ref(1, 3, n, 4, avgdl) + bm25Ref(1, 1, n, 4, avgdl)),
+      3L -> bm25Ref(1, 3, n, 4, avgdl))
+    assert(got.length == 3) // doc 4 has no query term
+    for ((id, _, score) <- got)
+      assert(math.abs(score - exp(id)) < 1e-12, s"doc $id: $score vs ${exp(id)}")
+    // the single rare hit beats four common hits; ranks are dense 1..3
+    val byRank = got.sortBy(_._2).map(_._1).toSeq
+    assert(byRank.head == 2L, s"rare-term doc should rank first: $byRank")
+    assert(got.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("bm25TopK ties break by id; k truncates after ordering") {
+    val docs = Seq(
+      (5L, "x y"), (3L, "x y"), (9L, "x y"), (7L, "z z")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq.sortBy(_._2) == Seq((3L, 1), (5L, 2))) // 9 cut by k
+  }
+
+  test("rrfFuse: both-lists membership sums contributions, single-list carries null rank") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "ra")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rb")
+    val got = Retrieval.rrfFuse(a, "ra", b, "rb", "id", k = 10, kRrf = 60)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        r.getDouble(3)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(2L)._4 == 1.0 / 62 + 1.0 / 61) // in both lists
+    assert(byId(1L) == ((1L, 1, -1, 1.0 / 61)))
+    assert(byId(4L) == ((4L, -1, 2, 1.0 / 62)))
+    // fused order: doc 2 (two contributions) first, then by rrf desc, id asc
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L))
+  }
+
+  test("bm25 plan shape: stats broadcast, top-k as TakeOrderedAndProject") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark", "dup"), k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

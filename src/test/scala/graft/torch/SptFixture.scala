@@ -139,6 +139,30 @@ object SptFixture {
   val AdaptiveMaxPool1dCls = "__torch__.torch.nn.modules.pooling.AdaptiveMaxPool1d"
   val EmbeddingCls = "__torch__.torch.nn.modules.sparse.Embedding"
 
+  val GruCls = "__torch__.torch.nn.modules.rnn.GRU"
+  val LstmCls = "__torch__.torch.nn.modules.rnn.LSTM"
+
+  /** nn.GRU / nn.LSTM (single layer, unidirectional, batch_first) with
+   * the attr set a real torch.jit.save emits: packed gate weights
+   * `weight_ih_l0 (gates·H, in)` / `weight_hh_l0 (gates·H, H)` + biases,
+   * gate order r,z,n (GRU) / i,f,g,o (LSTM). */
+  def rnn(cls: String, wIh: Array[Float], wHh: Array[Float],
+      bIh: Array[Float], bHh: Array[Float], input: Int, hidden: Int,
+      numLayers: Int = 1, batchFirst: Boolean = true): Module = {
+    val gates = if (cls == LstmCls) 4 else 3
+    Module(cls, Seq(
+      "mode" -> Str(if (cls == LstmCls) "LSTM" else "GRU"),
+      "input_size" -> I(input), "hidden_size" -> I(hidden),
+      "num_layers" -> I(numLayers), "bias" -> B(true),
+      "batch_first" -> B(batchFirst), "dropout" -> F(0.0),
+      "bidirectional" -> B(false), "proj_size" -> I(0),
+      "weight_ih_l0" -> Tensor(Seq(gates * hidden, input), wIh),
+      "weight_hh_l0" -> Tensor(Seq(gates * hidden, hidden), wHh),
+      "bias_ih_l0" -> Tensor(Seq(gates * hidden), bIh),
+      "bias_hh_l0" -> Tensor(Seq(gates * hidden), bHh),
+      "training" -> B(false)))
+  }
+
   /** nn.Conv1d with the full attr set a real torch.jit.save emits
    * (hyper-params as 1-tuples). */
   def conv1d(weight: Array[Float], outCh: Int, inCh: Int, k: Int,

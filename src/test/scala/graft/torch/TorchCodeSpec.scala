@@ -705,6 +705,203 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(pad.getMessage.contains("padding"))
   }
 
+  // ---- independent f64 recurrences (gate order r,z,n / i,f,g,o) ----
+  private def gruRef(toks: Array[Int], ew: Array[Float], emb: Int,
+      wIh: Array[Float], wHh: Array[Float], bIh: Array[Float], bHh: Array[Float],
+      H: Int): Array[Double] = {
+    val h = new Array[Double](H)
+    for (t <- toks) {
+      val x = Array.tabulate(emb)(j => ew(t * emb + j).toDouble)
+      def ih(g: Int, o: Int) = bIh(g * H + o) +
+        (0 until emb).map(j => wIh((g * H + o) * emb + j).toDouble * x(j)).sum
+      def hh(g: Int, o: Int) = bHh(g * H + o) +
+        (0 until H).map(j => wHh((g * H + o) * H + j).toDouble * h(j)).sum
+      val hNew = Array.tabulate(H) { o =>
+        val r = 1.0 / (1.0 + math.exp(-(ih(0, o) + hh(0, o))))
+        val z = 1.0 / (1.0 + math.exp(-(ih(1, o) + hh(1, o))))
+        val n = math.tanh(ih(2, o) + r * hh(2, o))
+        (1.0 - z) * n + z * h(o)
+      }
+      System.arraycopy(hNew, 0, h, 0, H)
+    }
+    h
+  }
+  private def lstmRef(toks: Array[Int], ew: Array[Float], emb: Int,
+      wIh: Array[Float], wHh: Array[Float], bIh: Array[Float], bHh: Array[Float],
+      H: Int): Array[Double] = {
+    val h = new Array[Double](H)
+    val c = new Array[Double](H)
+    for (t <- toks) {
+      val x = Array.tabulate(emb)(j => ew(t * emb + j).toDouble)
+      def gate(g: Int, o: Int) = bIh(g * H + o) + bHh(g * H + o) +
+        (0 until emb).map(j => wIh((g * H + o) * emb + j).toDouble * x(j)).sum +
+        (0 until H).map(j => wHh((g * H + o) * H + j).toDouble * h(j)).sum
+      val cNew = new Array[Double](H)
+      val hNew = new Array[Double](H)
+      for (o <- 0 until H) {
+        val i = 1.0 / (1.0 + math.exp(-gate(0, o)))
+        val f = 1.0 / (1.0 + math.exp(-gate(1, o)))
+        val g = math.tanh(gate(2, o))
+        val og = 1.0 / (1.0 + math.exp(-gate(3, o)))
+        cNew(o) = f * c(o) + i * g
+        hNew(o) = og * math.tanh(cNew(o))
+      }
+      System.arraycopy(cNew, 0, c, 0, H)
+      System.arraycopy(hNew, 0, h, 0, H)
+    }
+    h
+  }
+
+  test("GRU archive: tuple-unpack forward traces to RnnOp, golden vs f64 recurrence") {
+    // token ids -> Embedding(8, 3) -> GRU(3, 4) -> h_n.squeeze(0) -> Linear(4->3)
+    val (vocab, emb, h, cls) = (8, 3, 4, 3)
+    val ew = vals(vocab * emb, 61)
+    val wIh = vals(3 * h * emb, 62); val wHh = vals(3 * h * h, 63)
+    val bIh = vals(3 * h, 64); val bHh = vals(3 * h, 65)
+    val (wf, bf) = (vals(cls * h, 66), vals(cls, 67))
+    val model = Module("__torch__.GruNet", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "gru" -> rnn(GruCls, wIh, wHh, bIh, bHh, emb, h),
+      "fc" -> linear(wf, cls, h, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class GruNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.GruNet,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    gru = self.gru
+        |    _0 = (gru).forward(e, None, )
+        |    out, hn, = _0
+        |    h = torch.squeeze(hn, 0)
+        |    fc = self.fc
+        |    return (fc).forward(h, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("gru", "gru", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "RnnOp", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val op = m.ops(1).asInstanceOf[RnnOp]
+    assert(op.kind == "gru" && op.hidden == h && op.inDim == emb && op.gates == 3)
+    assert(op.wIh.toSeq == wIh.toSeq && op.wHh.toSeq == wHh.toSeq)
+    val toks = Array(3, 0, 6, 2, 5, 1)
+    val expected = mm(gruRef(toks, ew, emb, wIh, wHh, bIh, bHh, h), wf, bf, cls, h)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // batch path agrees with the single-row path bit-for-bit
+    val batch = m.forwardTokensBatch(Array(toks, Array(1), Array(7, 7)))
+    for (j <- 0 until cls) assert(batch(j) == got(j))
+    // single-token row: one recurrence step from h_0 = 0
+    val one = m.forwardTokens(Array(2))
+    val expOne = mm(gruRef(Array(2), ew, emb, wIh, wHh, bIh, bHh, h), wf, bf, cls, h)
+    for (j <- 0 until cls) assert(math.abs(one(j) - expOne(j)) < 1e-5)
+  }
+
+  test("LSTM archive: nested tuple unpack + select(0, -1), golden vs f64 recurrence") {
+    val (vocab, emb, h, cls) = (6, 2, 3, 2)
+    val ew = vals(vocab * emb, 71)
+    val wIh = vals(4 * h * emb, 72); val wHh = vals(4 * h * h, 73)
+    val bIh = vals(4 * h, 74); val bHh = vals(4 * h, 75)
+    val (wf, bf) = (vals(cls * h, 76), vals(cls, 77))
+    val model = Module("__torch__.LstmNet", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "lstm" -> rnn(LstmCls, wIh, wHh, bIh, bHh, emb, h),
+      "fc" -> linear(wf, cls, h, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class LstmNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.LstmNet,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    lstm = self.lstm
+        |    _0 = (lstm).forward(e, None, )
+        |    out, _1, = _0
+        |    hn, cn, = _1
+        |    h = torch.select(hn, 0, -1)
+        |    fc = self.fc
+        |    return (fc).forward(h, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("lstm", "lstm", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "RnnOp", "LinearLayer"))
+    val op = m.ops(1).asInstanceOf[RnnOp]
+    assert(op.kind == "lstm" && op.gates == 4)
+    val toks = Array(4, 1, 5, 0, 3)
+    val expected = mm(lstmRef(toks, ew, emb, wIh, wHh, bIh, bHh, h), wf, bf, cls, h)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+  }
+
+  test("RNN misuse fails loudly: seq output consumed, num_layers > 1, batch_first=False") {
+    val (vocab, emb, h) = (4, 2, 3)
+    val ew = vals(vocab * emb, 81)
+    def net(gru: Module, body: String): (Module, Map[String, String]) = (
+      Module("__torch__.BadRnn", Seq(
+        "training" -> B(false),
+        "emb" -> Module(EmbeddingCls, Seq(
+          "weight" -> Tensor(Seq(vocab, emb), ew),
+          "padding_idx" -> NoneV,
+          "training" -> B(false))),
+        "gru" -> gru,
+        "fc" -> linear(vals(2 * h, 82), 2, h, vals(2, 83)))),
+      Map("code/__torch__.py" ->
+        s"""class BadRnn(Module):
+           |  training : bool
+           |  def forward(self: __torch__.BadRnn,
+           |    x: Tensor) -> Tensor:
+           |    emb = self.emb
+           |    e = (emb).forward(x, )
+           |    gru = self.gru
+           |$body
+           |""".stripMargin))
+    val ok = rnn(GruCls, vals(3 * h * emb, 84), vals(3 * h * h, 85),
+      vals(3 * h, 86), vals(3 * h, 87), emb, h)
+    // classifying the full-sequence output has no home in the op chain
+    val (m1, c1) = net(ok,
+      """    _0 = (gru).forward(e, None, )
+        |    out, hn, = _0
+        |    fc = self.fc
+        |    return (fc).forward(out, )""".stripMargin)
+    val seqUse = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("badrnn1", "badrnn1", m1, c1)))
+    assert(seqUse.getMessage.contains("full-sequence output"), seqUse.getMessage)
+    // stacked RNNs are out of surface -> loud at load
+    val two = rnn(GruCls, vals(3 * h * emb, 84), vals(3 * h * h, 85),
+      vals(3 * h, 86), vals(3 * h, 87), emb, h, numLayers = 2)
+    val (m2, c2) = net(two,
+      """    _0 = (gru).forward(e, None, )
+        |    out, hn, = _0
+        |    h = torch.squeeze(hn, 0)
+        |    fc = self.fc
+        |    return (fc).forward(h, )""".stripMargin)
+    val layers = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("badrnn2", "badrnn2", m2, c2)))
+    assert(layers.getMessage.contains("num_layers"), layers.getMessage)
+    // batch_first=False would silently transpose the batch: reject
+    val bf = rnn(GruCls, vals(3 * h * emb, 84), vals(3 * h * h, 85),
+      vals(3 * h, 86), vals(3 * h, 87), emb, h, batchFirst = false)
+    val (m3, c3) = net(bf,
+      """    _0 = (gru).forward(e, None, )
+        |    out, hn, = _0
+        |    h = torch.squeeze(hn, 0)
+        |    fc = self.fc
+        |    return (fc).forward(h, )""".stripMargin)
+    val bfErr = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("badrnn3", "badrnn3", m3, c3)))
+    assert(bfErr.getMessage.contains("batch_first"), bfErr.getMessage)
+  }
+
   test("iris.spt traces through its serialized code: shared relu between linears") {
     val m = TorchScriptModel.load("/root/reference/model/iris.spt")
     // execution order from code/__torch__.py, NOT registration order
