@@ -1627,6 +1627,32 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     },
 
+    // Audio modality end-to-end THROUGH the real byte codec: a
+    // deterministic PCM16 WAV payload per doc (the synth UDF is fixture
+    // plumbing, q26's text-as-payload pattern), then Audio.WavDecoder
+    // parses the RIFF bytes back and the features come from the PARSED
+    // samples — a decoder bug cannot cancel out, while the oracle
+    // recomputes the same stats from the closed-form sample formula.
+    "q126_audio_features" -> { (s, dir) =>
+      val synth = udf((docId: Long) => {
+        val n = (800 + (docId % 5) * 160).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((docId * 31 + i.toLong * 7) % 4096) - 2048).toShort)
+        graft.operators.Audio.writeWavPcm16(8000, Array(samples))
+      })
+      val withWav = t(s, dir, "documents")
+        .select(col("doc_id"), synth(col("doc_id")).as("wav"))
+      graft.operators.Audio.withWavFeatures(withWav, "wav", "af")
+        .select(col("doc_id"),
+          col("af.sample_rate").as("sample_rate"),
+          col("af.n_samples").as("n_samples"),
+          round(col("af.duration"), 6).as("duration"),
+          round(col("af.rms"), 6).as("rms"),
+          round(col("af.peak"), 6).as("peak"),
+          col("af.zero_cross").as("zero_cross"))
+        .orderBy("doc_id")
+    },
+
     // Window-function + GROUP BY ALL breadth: percent_rank/cume_dist/
     // first/last_value over customer revenue — the remaining analytic
     // window surface q08/q55/q56 did not cover, plus the GROUP BY ALL
@@ -2998,6 +3024,31 @@ object SparkEntry {
         |SELECT doc_id, CAST(t_rank AS INT) AS t_rank, CAST(v_rank AS INT) AS v_rank,
         |  round(rrf, 6) AS rrf
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // The synth samples restated in closed form (amp_i = (doc_id*31 +
+    // i*7) % 4096 - 2048 over n = 800 + (doc_id%5)*160 positions at
+    // 8 kHz); rms/peak normalize by 2^15, zero-cross is the strict
+    // sign-change count. The engine side must reproduce these THROUGH
+    // its RIFF encode + parse.
+    "q126_audio_features" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(800 + (doc_id % 5) * 160 AS INT) AS ns FROM documents),
+        |s AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM n),
+        |a AS (SELECT doc_id, ns, i, (doc_id * 31 + i * 7) % 4096 - 2048 AS amp FROM s),
+        |l AS (SELECT doc_id, ns, amp,
+        |        lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS pamp
+        |      FROM a),
+        |f AS (
+        |  SELECT doc_id, max(ns) AS ns, sum(amp * amp) AS ss, max(abs(amp)) AS pk,
+        |    CAST(sum(CASE WHEN pamp IS NOT NULL AND amp * pamp < 0 THEN 1 ELSE 0 END)
+        |      AS INT) AS zero_cross
+        |  FROM l GROUP BY doc_id)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(ns AS INT) AS n_samples,
+        |  round(CAST(ns AS DOUBLE) / 8000, 6) AS duration,
+        |  round(sqrt(CAST(ss AS DOUBLE) / ns) / 32768, 6) AS rms,
+        |  round(CAST(pk AS DOUBLE) / 32768, 6) AS peak,
+        |  zero_cross
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Islands rebuild of the native session_window: a new session
     // starts only when the gap since the previous event EXCEEDS 1800s
