@@ -1607,6 +1607,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Transformer encoder block (2-head attention + residuals + LN +
+    // FFN) through the fused interpreter ops; DuckDB restates the whole
+    // block (see encPoolSql).
+    "q127_torch_encoder" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = encModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("enc_class"))
+        .orderBy("doc_id")
+    },
+
     // Hybrid retrieval: BM25 keyword top-20 (terms spark/join/dup — two
     // common + one rare, so idf discriminates) fused with the dense
     // cosine top-20 around vec_id 123 by reciprocal-rank fusion. The
@@ -2257,6 +2277,163 @@ object SparkEntry {
     * truncate identically): bounds the oracle's recursion depth AND is
     * the usual max-sequence-length cap. */
   private val RnnMaxLen = 12
+
+  /** Transformer-encoder-block classifier for q127: token ids ->
+    * Embedding(32, 4) -> two 2-dim attention heads (scale 1/2, dyadic)
+    * `cat` + out-proj + residual -> LayerNorm -> position-wise FFN
+    * (4->8->4, ReLU) + residual -> LayerNorm -> mean pool ->
+    * Linear(4->3) -> argmax — the full encoder-block shape through the
+    * interpreter's fused [[graft.torch.EncoderAttnOp]] /
+    * [[graft.torch.SeqLayerNormOp]] / [[graft.torch.PosFfnOp]].
+    * Numerical pinning: dyadic weights, both engines state identical
+    * formulas (max-shifted softmax, biased-variance LN with eps 1e-5,
+    * GREATEST(0,·) ReLU); the engine rounds to f32 once per op
+    * boundary (~1e-6 per logit accumulated), absorbed by the argmax
+    * gap (TorchEncoderSpec pins the sf0.001 floor; measured min
+    * runner-up gap 1.67e-2, median 0.64 at sf0.01; classes 126/255/119). */
+  private[graft] lazy val encModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    def head(seed: Int) = SelfAttentionOp(
+      qvals(8, seed, 1.0), qvals(2, seed + 2, 0.25),
+      qvals(8, seed + 4, 1.0), qvals(2, seed + 6, 0.25),
+      qvals(8, seed + 8, 1.5), qvals(2, seed + 10, 0.5),
+      dim = 2, inDim = 4, scale = 0.5)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 951, 2.0), vocab = 32, embDim = 4),
+      EncoderAttnOp(IndexedSeq(head(953), head(967)),
+        proj = Some(LinearLayer(qvals(16, 971, 1.0), qvals(4, 977, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 983, 0.25).map(v => 1f + v), qvals(4, 991, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 997, 1.0), qvals(8, 1009, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 1013, 1.0), qvals(4, 1019, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1021, 0.25).map(v => 1f + v), qvals(4, 1031, 0.25), 1e-5),
+      SeqMeanPoolOp,
+      LinearLayer(qvals(12, 1033, 4.0), Array(-1.3125f, 4.875f, -0.25f), 3, 4)))
+  }
+
+  /** Position cap for q127 (bounds the oracle's L×L score join). */
+  private val EncMaxLen = 12
+
+  /** DuckDB chain for the q127 oracle: token ids -> embedding VALUES
+    * join -> BOTH heads' q/k/v affines -> one L×L score join computing
+    * both heads -> per-head max-shifted softmax -> attention-weighted v
+    * sums (the 4 concat cols) -> out-proj + residual (rejoined to the
+    * position's embedding) -> inline LayerNorm (biased variance, eps
+    * 1e-5) -> FFN with GREATEST(0,·) hidden -> residual -> LayerNorm ->
+    * mean pool; ends in `SELECT doc_id, p0..p3` for
+    * [[TorchOracle.mlpArgmaxSql]]'s fc chain. */
+  private def encPoolSql: String = {
+    import graft.torch._
+    val m = encModel
+    val e = m.seqHead.get
+    val ea = m.ops.collectFirst { case a: EncoderAttnOp => a }.get
+    val lns = m.ops.collect { case l: SeqLayerNormOp => l }
+    val ff = m.ops.collectFirst { case f: PosFfnOp => f }.get
+    val d = ea.inDim // 4
+    val hd = ea.heads.head.dim // 2
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def fmtD(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+    def affine(w: Array[Float], b: Array[Float], outN: Int, p: String): String =
+      (0 until outN).map { o =>
+        val terms = fmtF(b(o)) +:
+          (0 until d).map(j => s"${fmtF(w(o * d + j))}*w$j")
+        s"${terms.mkString("(", "+", ")")} AS $p$o"
+      }.mkString(",\n   ")
+    val headSel = ea.heads.zipWithIndex.map { case (h, i) =>
+      s"""${affine(h.wq, h.bq, hd, s"q$i")},
+         |   ${affine(h.wk, h.bk, hd, s"k$i")},
+         |   ${affine(h.wv, h.bv, hd, s"v$i")}""".stripMargin
+    }.mkString(",\n   ")
+    val scoreSel = ea.heads.indices.map { i =>
+      (0 until hd).map(j => s"a.q$i$j*b.k$i$j").mkString("(", "+", ")") +
+        s"*${fmtD(ea.heads(i).scale)} AS sc$i"
+    }.mkString(", ")
+    val vCarry = ea.heads.indices.flatMap(i =>
+      (0 until hd).map(j => s"b.v$i$j AS v$i$j")).mkString(", ")
+    val mxSel = ea.heads.indices.map(i => s"max(sc$i) AS m$i").mkString(", ")
+    val exSel = ea.heads.indices.map(i => s"exp(s.sc$i - mx.m$i) AS es$i").mkString(", ")
+    val exVCols = ea.heads.indices.flatMap(i => (0 until hd).map(j => s"s.v$i$j")).mkString(", ")
+    // concat cols c0..c{d-1} = head0 outs then head1 outs
+    val attSel = ea.heads.indices.flatMap { i =>
+      (0 until hd).map(j => s"sum(es$i*v$i$j)/sum(es$i) AS c${i * hd + j}")
+    }.mkString(", ")
+    val pl = ea.proj.get
+    val projSel = (0 until d).map { o =>
+      val terms = fmtF(pl.bias(o)) +: (0 until d).map(j => s"${fmtF(pl.weight(o * d + j))}*c$j")
+      s"${terms.mkString("(", "+", ")")} + w$o AS r$o" // + residual (the position's embedding)
+    }.mkString(",\n   ")
+    def lnSel(ln: SeqLayerNormOp, in: String, out: String, from: String): String = {
+      val mean = (0 until d).map(j => s"$in$j").mkString("(", "+", s")/${d}.0")
+      val varE = (0 until d).map(j => s"($in$j-mu)*($in$j-mu)").mkString("(", "+", s")/${d}.0")
+      s"""SELECT doc_id, pos, ${(0 until d).map(j =>
+        s"(($in$j-mu)/sqrt(va+${fmtD(ln.eps)}))*${fmtF(ln.gamma(j))}+${fmtF(ln.beta(j))} AS $out$j")
+        .mkString(", ")}
+         |FROM (SELECT *, $varE AS va FROM (SELECT *, $mean AS mu FROM $from))""".stripMargin
+    }
+    val hidN = ff.l1.outDim
+    val midSel = (0 until hidN).map { h =>
+      val terms = fmtF(ff.l1.bias(h)) +: (0 until d).map(j =>
+        s"${fmtF(ff.l1.weight(h * d + j))}*n$j")
+      s"GREATEST(0, ${terms.mkString("+")}) AS h$h"
+    }.mkString(",\n   ")
+    val ffnSel = (0 until d).map { o =>
+      val terms = fmtF(ff.l2.bias(o)) +: (0 until hidN).map(h =>
+        s"${fmtF(ff.l2.weight(o * hidN + h))}*h$h")
+      s"${terms.mkString("(", "+", ")")} + n$o AS y$o" // + residual
+    }.mkString(",\n   ")
+    val poolSel = (0 until d).map(j => s"avg(z$j) AS p$j").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % ${e.vocab} AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |x AS (SELECT doc_id, pos,
+       |        ${(0 until e.embDim).map(j => s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
+       |      FROM toks JOIN embw USING (tid)),
+       |qkv AS (SELECT doc_id, pos,
+       |   $headSel
+       | FROM x),
+       |s AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $scoreSel, $vCarry
+       | FROM qkv a JOIN qkv b ON a.doc_id = b.doc_id),
+       |mx AS (SELECT doc_id, pa, $mxSel FROM s GROUP BY doc_id, pa),
+       |ex AS (SELECT s.doc_id, s.pa, $exSel, $exVCols
+       |       FROM s JOIN mx ON s.doc_id = mx.doc_id AND s.pa = mx.pa),
+       |att AS (SELECT doc_id, pa AS pos, $attSel FROM ex GROUP BY doc_id, pa),
+       |res AS (SELECT att.doc_id, att.pos,
+       |   $projSel
+       | FROM att JOIN x ON att.doc_id = x.doc_id AND att.pos = x.pos),
+       |n1 AS (${lnSel(lns(0), "r", "n", "res")}),
+       |ffn AS (SELECT doc_id, pos, ${(0 until d).map(j => s"n$j").mkString(", ")},
+       |   $midSel
+       | FROM n1),
+       |r2 AS (SELECT doc_id, pos,
+       |   $ffnSel
+       | FROM ffn),
+       |n2 AS (${lnSel(lns(1), "y", "z", "r2")}),
+       |pool AS (SELECT doc_id, $poolSel FROM n2 GROUP BY doc_id)
+       |SELECT doc_id, ${(0 until d).map(j => s"p$j").mkString(", ")} FROM pool""".stripMargin
+  }
 
   /** DuckDB chain for the q123/q124 oracles: token ids (pos <=
     * [[RnnMaxLen]]) -> embedding VALUES join -> WITH RECURSIVE
@@ -2977,6 +3154,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS lstm_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q127_torch_encoder" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        encModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, encPoolSql,
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // BM25 restated in full (Lucene idf, k1=1.2, b=0.75; k1+1 spelled

@@ -318,6 +318,21 @@ object TorchCode {
     final case class AttnScores(q: SeqProj, k: SeqProj, scale: Double) extends Sym
     /** Row-softmaxed attention weights, awaiting the `matmul(·, v)`. */
     final case class AttnWeights(q: SeqProj, k: SeqProj, scale: Double) extends Sym
+    /** A completed attention output `(L, Σ head dims)` — HELD, not yet
+      * emitted: the consumer decides the fused op. `torch.cat` merges
+      * heads, a following Linear becomes the out-projection,
+      * `torch.add(x, ·)` fuses the residual into [[EncoderAttnOp]];
+      * any plain sequence consumption (mean, transpose, LayerNorm)
+      * materializes it as-is (a 1-head, no-proj instance emits the
+      * classic [[SelfAttentionOp]], keeping q122-era op lists stable). */
+    final case class AttnOut(heads: Vector[SelfAttentionOp],
+        proj: Option[LinearLayer]) extends Sym
+    /** `act(l1(x))` over the live sequence — the held first half of a
+      * position-wise FFN, awaiting its closing Linear. */
+    final case class FfnMid(l1: LinearLayer, act: String) extends Sym
+    /** `l2(act(l1(x)))` — a complete position-wise FFN, held for the
+      * residual `torch.add(x, ·)` (or materialized without one). */
+    final case class FfnOut(l1: LinearLayer, act: String, l2: LinearLayer) extends Sym
     /** Tuple of traced values — an RNN's forward returns
       * `(output, h_n)` (GRU) / `(output, (h_n, c_n))` (LSTM); consumed
       * by tuple-unpack statements. */
@@ -342,6 +357,19 @@ object TorchCode {
     val ops = IndexedSeq.newBuilder[TorchOp]
 
     def trace(root: ModuleNode, in: Sym): Sym = applyModule(root, in)
+
+    /** Materialize a held attention/FFN sym into the op list (no
+      * residual, no further fusion); other syms pass through. */
+    private def forceSeq(sy: Sym): Sym = sy match {
+      case AttnOut(Vector(h), None) => ops += h; SeqEmb(h.dim)
+      case a: AttnOut =>
+        val op = EncoderAttnOp(a.heads, a.proj, residual = false)
+        ops += op; SeqEmb(op.outDim)
+      case f: FfnOut =>
+        val op = PosFfnOp(f.l1, f.act, f.l2, residual = false)
+        ops += op; SeqEmb(f.l2.outDim)
+      case other => other
+    }
 
     /** Apply a module to the symbolic tensor; returns the output shape. */
     def applyModule(m: ModuleNode, s: Sym): Sym =
@@ -443,10 +471,21 @@ object TorchCode {
         s match {
           case SeqEmb(e) =>
             // position-wise projection of the live sequence: one leg of
-            // a self-attention block — held back, fused when the block
-            // closes (see Sym.SeqProj)
+            // a self-attention block OR an FFN's first dense — held
+            // back, fused when the consumer decides (see Sym.SeqProj)
             require(e == in, s"Linear(${in}→$out) applied to $e-dim sequence")
             SeqProj(LinearLayer(materialize(w), bias, outDim = out, inDim = in))
+          case a: AttnOut if a.proj.isEmpty =>
+            // position-wise out-projection of the concatenated heads
+            val cat = a.heads.map(_.dim).sum
+            require(cat == in, s"Linear(${in}→$out) applied to $cat concatenated head dims")
+            AttnOut(a.heads, Some(LinearLayer(materialize(w), bias, outDim = out, inDim = in)))
+          case m0: FfnMid =>
+            // the FFN's closing dense: l2(act(l1(x))) — still held for
+            // a possible residual add
+            require(m0.l1.outDim == in,
+              s"Linear(${in}→$out) applied to ${m0.l1.outDim} FFN hidden features")
+            FfnOut(m0.l1, m0.act, LinearLayer(materialize(w), bias, outDim = out, inDim = in))
           case _ =>
             // dim == -1: the symbolic input whose dim the first executed
             // Linear binds (activations before it don't change the count)
@@ -562,14 +601,26 @@ object TorchCode {
           case Some(t: Pickle.PTensor) if t.shape.length == 1 => materialize(t)
           case _ => Array.fill(n)(dflt) // elementwise_affine=False
         }
-        val dim = flatDim(m, s)
-        require(dim > 0, s"${m.fqName}: LayerNorm before any Linear needs a known dim")
-        val gamma = vecOr("weight", dim, 1f)
-        val beta = vecOr("bias", dim, 0f)
-        require(gamma.length == dim,
-          s"LayerNorm(${gamma.length}) applied to $dim features")
-        ops += LayerNormOp(gamma, beta, floatAttr(m, "eps", 1e-5))
-        Flat(dim)
+        forceSeq(s) match {
+          case SeqEmb(d) =>
+            // per-position LN over the feature dim of the live sequence
+            // (encoder-block usage); normalized_shape must be (d,)
+            val gamma = vecOr("weight", d, 1f)
+            val beta = vecOr("bias", d, 0f)
+            require(gamma.length == d,
+              s"LayerNorm(${gamma.length}) applied to $d-dim sequence")
+            ops += SeqLayerNormOp(gamma, beta, floatAttr(m, "eps", 1e-5))
+            SeqEmb(d)
+          case s1 =>
+            val dim = flatDim(m, s1)
+            require(dim > 0, s"${m.fqName}: LayerNorm before any Linear needs a known dim")
+            val gamma = vecOr("weight", dim, 1f)
+            val beta = vecOr("bias", dim, 0f)
+            require(gamma.length == dim,
+              s"LayerNorm(${gamma.length}) applied to $dim features")
+            ops += LayerNormOp(gamma, beta, floatAttr(m, "eps", 1e-5))
+            Flat(dim)
+        }
       case "Softmax" | "LogSoftmax" =>
         val d = intAttr(m, "dim", -1L)
         require(d == -1L || d == 1L,
@@ -710,7 +761,11 @@ object TorchCode {
             // evaluate the tensor arg FIRST: its sub-calls (e.g. the
             // nested Linear forward) must emit their ops before this one
             case "relu" | "sigmoid" | "tanh" | "gelu" | "silu" =>
-              val sy = tensorArg; ops += ActOp(fn); sy // elementwise: any shape
+              tensorArg match {
+                case p: SeqProj => FfnMid(p.l, fn) // held: FFN first half
+                case sy0 => // elementwise on any materialized shape
+                  val sy = forceSeq(sy0); ops += ActOp(fn); sy
+              }
             case "softmax" | "log_softmax" =>
               tensorArg match {
                 case sc: AttnScores =>
@@ -750,10 +805,10 @@ object TorchCode {
                     s"TorchScript code: attention legs disagree (q ${q.inDim}->" +
                       s"${q.outDim}, k ${k.inDim}->${k.outDim}, v ${v.l.inDim}->" +
                       s"${v.l.outDim}) in: $line")
-                  ops += SelfAttentionOp(q.weight, q.bias, k.weight, k.bias,
+                  // HELD: cat/proj/residual may still fuse (see AttnOut)
+                  AttnOut(Vector(SelfAttentionOp(q.weight, q.bias, k.weight, k.bias,
                     v.l.weight, v.l.bias, dim = v.l.outDim, inDim = v.l.inDim,
-                    scale = aw.scale)
-                  SeqEmb(v.l.outDim)
+                    scale = aw.scale)), None)
                 case (x, y) => sys.error(s"TorchScript code: $fn on (${x.getClass.getSimpleName}, " +
                   s"${y.getClass.getSimpleName}) unsupported (self-attention pattern only) in: $line")
               }
@@ -771,14 +826,69 @@ object TorchCode {
               }
               require(c != 0.0 || fn == "mul", s"TorchScript code: div by zero in: $line")
               AttnScores(sc.q, sc.k, if (fn == "div") sc.scale / c else sc.scale * c)
+            case "add" =>
+              // the residual connection of an encoder block: one side is
+              // the live (n, seq, d) sequence, the other a HELD
+              // attention/FFN output over that same sequence (the only
+              // (n, seq, d) producers in this restricted language) —
+              // fused into the block op. alpha (arg 3) must be 1.
+              require(args.length >= 2, s"TorchScript code: add needs 2 args in: $line")
+              args.lift(2).map(a => eval(a, line)) match {
+                case None | Some(1L) | Some(null) =>
+                case other => sys.error(s"TorchScript code: add alpha $other unsupported in: $line")
+              }
+              val (x, y) = (eval(args(0), line), eval(args(1), line))
+              def fuse(live: Sym, held: Sym): Sym = (live, held) match {
+                case (SeqEmb(d), a: AttnOut) =>
+                  val op = EncoderAttnOp(a.heads, a.proj, residual = true)
+                  require(op.inDim == d,
+                    s"TorchScript code: residual over $d-dim sequence vs " +
+                      s"attention on ${op.inDim} in: $line")
+                  ops += op
+                  SeqEmb(op.outDim)
+                case (SeqEmb(d), f: FfnOut) =>
+                  require(f.l1.inDim == d && f.l2.outDim == d,
+                    s"TorchScript code: residual over $d-dim sequence vs " +
+                      s"FFN ${f.l1.inDim}->${f.l2.outDim} in: $line")
+                  ops += PosFfnOp(f.l1, f.act, f.l2, residual = true)
+                  SeqEmb(d)
+                case _ => null
+              }
+              val fused = (x, y) match {
+                case (a: Sym, b: Sym) => Option(fuse(a, b)).orElse(Option(fuse(b, a)))
+                case _ => None
+              }
+              fused.getOrElse(sys.error(s"TorchScript code: add on " +
+                s"(${x.getClass.getSimpleName}, ${y.getClass.getSimpleName}) unsupported " +
+                s"(encoder-block residual only) in: $line"))
+            case "cat" =>
+              // torch.cat([o1, o2, ...], -1): merge per-head attention
+              // outputs on the feature dim — the hand-rolled multi-head
+              // pattern; stays held for out-proj / residual fusion
+              val items = eval(args(0), line) match {
+                case v: Vector[_] => v
+                case other => sys.error(s"TorchScript code: cat on non-list $other in: $line")
+              }
+              args.lift(1).map(a => eval(a, line)) match {
+                case None | Some(-1L) | Some(2L) | Some(null) =>
+                case other => sys.error(s"TorchScript code: cat over dim $other " +
+                  s"unsupported (feature dim only) in: $line")
+              }
+              val heads = items.map {
+                case AttnOut(Vector(h), None) => h
+                case other => sys.error(s"TorchScript code: cat of $other unsupported " +
+                  s"(unprojected single-head attention outputs only) in: $line")
+              }
+              require(heads.nonEmpty, s"TorchScript code: cat of empty list in: $line")
+              AttnOut(heads.toVector, None)
             case "mean" =>
-              // only the Embedding -> mean(dim=1) pool: (n, seq, emb)
-              // -> (n, emb); fromBytes fuses the adjacent lookup+pool
-              // pair back into EmbeddingMeanOp
-              val emb = tensorArg match {
+              // the (n, seq, emb) -> (n, emb) position pool — after the
+              // embedding (fused back to EmbeddingMeanOp at load) or
+              // after a materialized attention/FFN block
+              val emb = forceSeq(tensorArg) match {
                 case SeqEmb(e) => e
                 case other => sys.error(s"TorchScript code: mean on $other " +
-                  s"unsupported (Embedding output only) in: $line")
+                  s"unsupported (sequence tensors only) in: $line")
               }
               args.lift(1).map(a => eval(a, line)) match {
                 case Some(1L) | Some(Vector(1L)) =>
@@ -801,7 +911,7 @@ object TorchCode {
               val lastTwo = Set((1L, 2L), (2L, 1L), (-2L, -1L), (-1L, -2L))
               require(lastTwo(dims),
                 s"TorchScript code: transpose over dims $dims unsupported (last two only) in: $line")
-              sy match {
+              forceSeq(sy) match {
                 case p: SeqProj => SeqProjT(p) // K^T leg: no op emitted
                 case SeqEmb(e) => ops += TransposeOp; ChanSeq(e)
                 case ChanSeq(c) => ops += TransposeOp; SeqEmb(c)

@@ -111,6 +111,48 @@ final case class RnnOp(kind: String, wIh: Array[Float], wHh: Array[Float],
     s"$kind bias sizes ${bIh.length}/${bHh.length}")
 }
 
+/** Full encoder-style self-attention over a `(L, emb)` sequence:
+  * independent per-head scaled-dot attentions (the hand-rolled
+  * multi-head pattern — separate Q/K/V Linears per head, outputs
+  * `cat`-ed on the feature dim), an optional position-wise output
+  * projection, and an optional residual add of the block INPUT.
+  * `heads.map(_.dim).sum` is the concat width; with `proj` the output
+  * width is `proj.outDim`; `residual` requires output width == inDim.
+  * All math in float64 with ONE float32 rounding per output value at
+  * the op boundary. A 1-head, no-proj, no-residual instance is exactly
+  * [[SelfAttentionOp]] (which the tracer still emits for that shape,
+  * keeping q122-era op lists stable). */
+final case class EncoderAttnOp(heads: IndexedSeq[SelfAttentionOp],
+    proj: Option[LinearLayer], residual: Boolean) extends TorchOp {
+  require(heads.nonEmpty, "attention needs at least one head")
+  require(heads.forall(_.inDim == heads.head.inDim), "heads disagree on input dim")
+  val inDim: Int = heads.head.inDim
+  val catDim: Int = heads.map(_.dim).sum
+  val outDim: Int = proj.map(_.outDim).getOrElse(catDim)
+  proj.foreach(p => require(p.inDim == catDim,
+    s"out-proj(in=${p.inDim}) applied to $catDim concatenated head dims"))
+  require(!residual || outDim == inDim,
+    s"residual add needs outDim == inDim ($outDim vs $inDim)")
+}
+
+/** Per-POSITION layer normalization over the feature dim of a
+  * `(L, emb)` sequence — `nn.LayerNorm(emb)` applied to the live
+  * sequence inside an encoder block (the flat-input form is
+  * [[LayerNormOp]]). f64 internally, one rounding per value. */
+final case class SeqLayerNormOp(gamma: Array[Float], beta: Array[Float], eps: Double)
+    extends TorchOp
+
+/** Position-wise feed-forward `y = l2(act(l1(x))) [+ x]` over a
+  * `(L, emb)` sequence — the FFN half of a transformer encoder block,
+  * fused so the residual has a home in the linear op chain. f64
+  * internally, one rounding per output value. */
+final case class PosFfnOp(l1: LinearLayer, act: String, l2: LinearLayer,
+    residual: Boolean) extends TorchOp {
+  require(l2.inDim == l1.outDim, s"FFN shape ${l1.outDim} -> ${l2.inDim} broken")
+  require(!residual || l2.outDim == l1.inDim,
+    s"residual add needs l2.outDim == l1.inDim (${l2.outDim} vs ${l1.inDim})")
+}
+
 /** Global max over the sequence dim: `(ch, L)` -> `(ch)` — the
   * AdaptiveMaxPool1d(1) + flatten pair of a TextCNN. */
 case object SeqMaxPoolOp extends TorchOp
@@ -180,6 +222,20 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(width == a.inDim,
             s"attention(in=${a.inDim}) applied to $width features")
           width = a.dim
+        case a: EncoderAttnOp =>
+          require(mode == 0, "encoder attention needs the (n, seq, emb) embedding output")
+          require(width == a.inDim,
+            s"encoder attention(in=${a.inDim}) applied to $width features")
+          width = a.outDim
+        case ln: SeqLayerNormOp =>
+          require(mode == 0, "sequence LayerNorm needs the (n, seq, emb) layout")
+          require(ln.gamma.length == width,
+            s"LayerNorm(${ln.gamma.length}) applied to $width features")
+        case f: PosFfnOp =>
+          require(mode == 0, "position-wise FFN needs the (n, seq, emb) layout")
+          require(f.l1.inDim == width,
+            s"FFN(in=${f.l1.inDim}) applied to $width features")
+          width = f.l2.outDim
         case SeqMaxPoolOp | SeqAvgPoolOp =>
           require(mode == 1, "adaptive pool needs (n, ch, seq) input")
           require(pool < 0, "second pool op after the sequence already collapsed")
@@ -374,61 +430,111 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           data = out
           cols = lout
         case at: SelfAttentionOp =>
-          // (L, inDim) -> (L, dim); everything below in f64, one float
-          // rounding per output value at the end
+          // (L, inDim) -> (L, dim); f64 internally, one float rounding
+          // per output value at the end
+          val o64 = attnHeadF64(at, data, rows, cols)
+          val out = new Array[Float](o64.length)
+          var i0 = 0
+          while (i0 < o64.length) { out(i0) = o64(i0).toFloat; i0 += 1 }
+          data = out
+          cols = at.dim
+        case ea: EncoderAttnOp =>
+          // heads in f64 -> concat -> optional position-wise proj ->
+          // optional residual (the f32 block input, exact in f64) ->
+          // ONE rounding per output value
           val L = rows
-          val d = at.dim
-          def proj(w: Array[Float], b: Array[Float]): Array[Double] = {
-            val out = new Array[Double](L * d)
-            var p = 0
-            while (p < L) {
-              var o = 0
-              while (o < d) {
-                var acc: Double = b(o)
-                val wOff = o * at.inDim
-                val xOff = p * cols
-                var j = 0
-                while (j < at.inDim) { acc += data(xOff + j).toDouble * w(wOff + j); j += 1 }
-                out(p * d + o) = acc
-                o += 1
-              }
-              p += 1
-            }
-            out
-          }
-          val qm = proj(at.wq, at.bq)
-          val km = proj(at.wk, at.bk)
-          val vm = proj(at.wv, at.bv)
-          val out = new Array[Float](L * d)
-          val scores = new Array[Double](L)
-          var a = 0
-          while (a < L) {
-            var mx = Double.NegativeInfinity
-            var b0 = 0
-            while (b0 < L) {
-              var s0 = 0.0
+          val headOuts = ea.heads.map(h => attnHeadF64(h, data, L, cols))
+          val cat = new Array[Double](L * ea.catDim)
+          var p = 0
+          while (p < L) {
+            var off = 0
+            for ((h, ho) <- ea.heads.zip(headOuts)) {
               var j = 0
-              while (j < d) { s0 += qm(a * d + j) * km(b0 * d + j); j += 1 }
-              s0 *= at.scale
-              scores(b0) = s0
-              if (s0 > mx) mx = s0
-              b0 += 1
+              while (j < h.dim) { cat(p * ea.catDim + off + j) = ho(p * h.dim + j); j += 1 }
+              off += h.dim
             }
-            var z = 0.0
-            b0 = 0
-            while (b0 < L) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
-            var j = 0
-            while (j < d) {
-              var acc = 0.0
-              b0 = 0
-              while (b0 < L) { acc += scores(b0) * vm(b0 * d + j); b0 += 1 }
-              out(a * d + j) = (acc / z).toFloat
-              j += 1
-            }
-            a += 1
+            p += 1
+          }
+          val projed = ea.proj match {
+            case None => cat
+            case Some(l) =>
+              val o = new Array[Double](L * l.outDim)
+              var p1 = 0
+              while (p1 < L) {
+                var t = 0
+                while (t < l.outDim) {
+                  var acc: Double = l.bias(t)
+                  var j = 0
+                  while (j < l.inDim) { acc += cat(p1 * l.inDim + j) * l.weight(t * l.inDim + j); j += 1 }
+                  o(p1 * l.outDim + t) = acc
+                  t += 1
+                }
+                p1 += 1
+              }
+              o
+          }
+          val out = new Array[Float](L * ea.outDim)
+          var i1 = 0
+          while (i1 < out.length) {
+            val r0 = if (ea.residual) data(i1).toDouble else 0.0
+            out(i1) = (projed(i1) + r0).toFloat
+            i1 += 1
           }
           data = out
-          cols = d
+          cols = ea.outDim
+        case SeqLayerNormOp(gamma, beta, eps) =>
+          // per-position LN over the feature dim, biased variance
+          // (torch layer_norm); f64, one rounding per value
+          var r0 = 0
+          while (r0 < rows) {
+            val off = r0 * cols
+            var mean = 0.0
+            var j = 0
+            while (j < cols) { mean += data(off + j); j += 1 }
+            mean /= cols
+            var va = 0.0
+            j = 0
+            while (j < cols) { val d0 = data(off + j) - mean; va += d0 * d0; j += 1 }
+            va /= cols
+            val inv = 1.0 / math.sqrt(va + eps)
+            j = 0
+            while (j < cols) {
+              data(off + j) = (((data(off + j) - mean) * inv) * gamma(j) + beta(j)).toFloat
+              j += 1
+            }
+            r0 += 1
+          }
+        case ff: PosFfnOp =>
+          // y = l2(act(l1(x))) [+ x] per position; f64, one rounding
+          val L = rows
+          val hid = ff.l1.outDim
+          val out = new Array[Float](L * ff.l2.outDim)
+          val mid = new Array[Double](hid)
+          var p2 = 0
+          while (p2 < L) {
+            var h0 = 0
+            while (h0 < hid) {
+              var acc: Double = ff.l1.bias(h0)
+              var j = 0
+              while (j < ff.l1.inDim) {
+                acc += data(p2 * cols + j).toDouble * ff.l1.weight(h0 * ff.l1.inDim + j); j += 1
+              }
+              mid(h0) = actF64(ff.act, acc)
+              h0 += 1
+            }
+            var t = 0
+            while (t < ff.l2.outDim) {
+              var acc: Double = ff.l2.bias(t)
+              var j = 0
+              while (j < hid) { acc += mid(j) * ff.l2.weight(t * hid + j); j += 1 }
+              if (ff.residual) acc += data(p2 * cols + t)
+              out(p2 * ff.l2.outDim + t) = acc.toFloat
+              t += 1
+            }
+            p2 += 1
+          }
+          data = out
+          cols = ff.l2.outDim
         case ActOp(kind) => applyAct(data, kind)
         case ParamActOp(kind, a, b) => applyParamAct(data, kind, a, b)
         case other => sys.error(s"unexpected sequence-phase op $other") // poolIdx walk forbids
@@ -521,6 +627,76 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     Array.tabulate(hd)(o => h(o).toFloat)
   }
 
+  /** One attention head over `(L, cols)` f32 data -> `(L, at.dim)` f64
+    * (shared by [[SelfAttentionOp]] and [[EncoderAttnOp]]): Q/K/V
+    * affines, scaled scores, max-shifted softmax, weighted V sums —
+    * all float64. */
+  private def attnHeadF64(at: SelfAttentionOp, data: Array[Float],
+      L: Int, cols: Int): Array[Double] = {
+    val d = at.dim
+    def proj(w: Array[Float], b: Array[Float]): Array[Double] = {
+      val out = new Array[Double](L * d)
+      var p = 0
+      while (p < L) {
+        var o = 0
+        while (o < d) {
+          var acc: Double = b(o)
+          val wOff = o * at.inDim
+          val xOff = p * cols
+          var j = 0
+          while (j < at.inDim) { acc += data(xOff + j).toDouble * w(wOff + j); j += 1 }
+          out(p * d + o) = acc
+          o += 1
+        }
+        p += 1
+      }
+      out
+    }
+    val qm = proj(at.wq, at.bq)
+    val km = proj(at.wk, at.bk)
+    val vm = proj(at.wv, at.bv)
+    val out = new Array[Double](L * d)
+    val scores = new Array[Double](L)
+    var a = 0
+    while (a < L) {
+      var mx = Double.NegativeInfinity
+      var b0 = 0
+      while (b0 < L) {
+        var s0 = 0.0
+        var j = 0
+        while (j < d) { s0 += qm(a * d + j) * km(b0 * d + j); j += 1 }
+        s0 *= at.scale
+        scores(b0) = s0
+        if (s0 > mx) mx = s0
+        b0 += 1
+      }
+      var z = 0.0
+      b0 = 0
+      while (b0 < L) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        b0 = 0
+        while (b0 < L) { acc += scores(b0) * vm(b0 * d + j); b0 += 1 }
+        out(a * d + j) = acc / z
+        j += 1
+      }
+      a += 1
+    }
+    out
+  }
+
+  /** The [[applyAct]] formulas in f64 (for the fused FFN's hidden
+    * activation, before any rounding). */
+  private def actF64(kind: String, x: Double): Double = kind match {
+    case "relu" => if (x < 0) 0.0 else x
+    case "sigmoid" => 1.0 / (1.0 + math.exp(-x))
+    case "tanh" => math.tanh(x)
+    case "gelu" => 0.5 * x * (1.0 + erf(x / math.sqrt(2.0)))
+    case "silu" => x / (1.0 + math.exp(-x))
+    case other => sys.error(s"unknown activation $other")
+  }
+
   /** Run ops[from..] over an `n × dim0` row-major batch. */
   private def runOps(from: Int, x: Array[Float], n: Int, dim0: Int): Array[Float] = {
     var cur = x
@@ -529,6 +705,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       case _: EmbeddingMeanOp | _: EmbeddingSeqOp =>
         sys.error("embedding op past the model head") // constructor forbids
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: SelfAttentionOp |
+          _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp |
           SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | _: RnnOp =>
         sys.error("sequence op past the pool") // poolIdx walk forbids
       case l: LinearLayer =>

@@ -843,6 +843,118 @@ class TorchCodeSpec extends AnyFunSuite {
       s"logit $j: ${got(j)} vs ${expected(j)}")
   }
 
+  test("transformer encoder block: 2-head cat + out-proj + residuals + seq LayerNorm + FFN") {
+    // token ids -> Embedding(8, 4) -> [head1(4->2), head2(4->2)] cat ->
+    // proj(4->4) -> +residual -> LayerNorm(4) -> FFN(4->8->4, relu) ->
+    // +residual -> LayerNorm(4) -> mean(dim=1) -> Linear(4->3)
+    val (vocab, d, hd) = (8, 4, 2)
+    val ew = vals(vocab * d, 101)
+    def head(seed: Int) = (vals(hd * d, seed), vals(hd, seed + 1))
+    val (wq1, bq1) = head(102); val (wk1, bk1) = head(104); val (wv1, bv1) = head(106)
+    val (wq2, bq2) = head(108); val (wk2, bk2) = head(110); val (wv2, bv2) = head(112)
+    val (wp, bp) = (vals(d * d, 114), vals(d, 115))
+    val (g1, be1) = (vals(d, 116).map(v => 1f + v * 0.1f), vals(d, 117))
+    val (w1, b1) = (vals(8 * d, 118), vals(8, 119))
+    val (w2, b2) = (vals(d * 8, 120), vals(d, 121))
+    val (g2, be2) = (vals(d, 122).map(v => 1f + v * 0.1f), vals(d, 123))
+    val (wf, bf) = (vals(3 * d, 124), vals(3, 125))
+    def ln(name: String, g: Array[Float], b: Array[Float]) = name -> Module(
+      "__torch__.torch.nn.modules.normalization.LayerNorm", Seq(
+        "weight" -> Tensor(Seq(d), g), "bias" -> Tensor(Seq(d), b),
+        "eps" -> F(1e-5), "training" -> B(false)))
+    val model = Module("__torch__.EncNet", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, d), ew),
+        "padding_idx" -> NoneV, "training" -> B(false))),
+      "q1" -> linear(wq1, hd, d, bq1), "k1" -> linear(wk1, hd, d, bk1),
+      "v1" -> linear(wv1, hd, d, bv1),
+      "q2" -> linear(wq2, hd, d, bq2), "k2" -> linear(wk2, hd, d, bk2),
+      "v2" -> linear(wv2, hd, d, bv2),
+      "proj" -> linear(wp, d, d, bp),
+      ln("ln1", g1, be1),
+      "lin1" -> linear(w1, 8, d, b1), "lin2" -> linear(w2, d, 8, b2),
+      ln("ln2", g2, be2),
+      "fc" -> linear(wf, 3, d, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class EncNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.EncNet,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    s1 = torch.div(torch.matmul((self.q1).forward(e, ), torch.transpose((self.k1).forward(e, ), -2, -1)), 1.4142135623730951)
+        |    o1 = torch.matmul(torch.softmax(s1, -1), (self.v1).forward(e, ))
+        |    s2 = torch.div(torch.matmul((self.q2).forward(e, ), torch.transpose((self.k2).forward(e, ), -2, -1)), 1.4142135623730951)
+        |    o2 = torch.matmul(torch.softmax(s2, -1), (self.v2).forward(e, ))
+        |    o = torch.cat([o1, o2], -1)
+        |    p = (self.proj).forward(o, )
+        |    r = torch.add(e, p)
+        |    n1 = (self.ln1).forward(r, )
+        |    f1 = torch.relu((self.lin1).forward(n1, ))
+        |    f2 = (self.lin2).forward(f1, )
+        |    r2 = torch.add(n1, f2)
+        |    n2 = (self.ln2).forward(r2, )
+        |    pool = torch.mean(n2, [1], False, None)
+        |    fc = self.fc
+        |    return (fc).forward(pool, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("enc", "enc", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "EncoderAttnOp", "SeqLayerNormOp",
+        "PosFfnOp", "SeqLayerNormOp", "SeqMeanPoolOp$", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val ea = m.ops(1).asInstanceOf[EncoderAttnOp]
+    assert(ea.heads.length == 2 && ea.residual && ea.proj.isDefined && ea.outDim == d)
+    assert(ea.heads(0).wq.toSeq == wq1.toSeq && ea.heads(1).wv.toSeq == wv2.toSeq)
+    assert(m.ops(3).asInstanceOf[PosFfnOp].residual)
+
+    // independent all-f64 recompute
+    val toks = Array(3, 0, 6, 2, 5)
+    val L = toks.length
+    val x = Array.tabulate(L, d)((p, j) => ew(toks(p) * d + j).toDouble)
+    def headOut(wq: Array[Float], bq: Array[Float], wk: Array[Float], bk: Array[Float],
+        wv: Array[Float], bv: Array[Float]): Array[Array[Double]] = {
+      def pr(w: Array[Float], b: Array[Float]) = Array.tabulate(L, hd)((p, o) =>
+        b(o) + (0 until d).map(j => x(p)(j) * w(o * d + j)).sum)
+      val (qm, km, vm) = (pr(wq, bq), pr(wk, bk), pr(wv, bv))
+      Array.tabulate(L) { a =>
+        val sc = Array.tabulate(L)(b0 =>
+          (0 until hd).map(j => qm(a)(j) * km(b0)(j)).sum / 1.4142135623730951)
+        val mx = sc.max
+        val es = sc.map(s0 => math.exp(s0 - mx))
+        val z = es.sum
+        Array.tabulate(hd)(j => (0 until L).map(b0 => es(b0) * vm(b0)(j)).sum / z)
+      }
+    }
+    val h1 = headOut(wq1, bq1, wk1, bk1, wv1, bv1)
+    val h2 = headOut(wq2, bq2, wk2, bk2, wv2, bv2)
+    def lnF(y: Array[Double], g: Array[Float], b: Array[Float]): Array[Double] = {
+      val mean = y.sum / d
+      val va = y.map(v => (v - mean) * (v - mean)).sum / d
+      val inv = 1.0 / math.sqrt(va + 1e-5)
+      Array.tabulate(d)(j => (y(j) - mean) * inv * g(j) + b(j))
+    }
+    val pooled = new Array[Double](d)
+    for (p <- 0 until L) {
+      val cat = h1(p) ++ h2(p)
+      val pj = Array.tabulate(d)(o => bp(o) + (0 until d).map(j => cat(j) * wp(o * d + j)).sum)
+      val r = Array.tabulate(d)(j => x(p)(j) + pj(j))
+      val n1 = lnF(r, g1, be1)
+      val mid = Array.tabulate(8)(h =>
+        math.max(0.0, b1(h) + (0 until d).map(j => n1(j) * w1(h * d + j)).sum))
+      val f2 = Array.tabulate(d)(o => b2(o) + (0 until 8).map(h => mid(h) * w2(o * 8 + h)).sum)
+      val n2 = lnF(Array.tabulate(d)(j => n1(j) + f2(j)), g2, be2)
+      for (j <- 0 until d) pooled(j) += n2(j) / L
+    }
+    val expected = mm(pooled, wf, bf, 3, d)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 3) assert(math.abs(got(j) - expected(j)) < 1e-4,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // single-token row stays finite (softmax over one position)
+    assert(!m.forwardTokens(Array(1)).exists(v => v.isNaN || v.isInfinite))
+  }
+
   test("RNN misuse fails loudly: seq output consumed, num_layers > 1, batch_first=False") {
     val (vocab, emb, h) = (4, 2, 3)
     val ew = vals(vocab * emb, 81)

@@ -1,0 +1,89 @@
+package graft.torch
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q127's numerical-safety contract on real fixture data: the engine's
+  * per-op-rounded encoder block (attention f32 boundary -> LN -> FFN ->
+  * LN -> pool -> fc) must agree with an independent all-f64 recompute
+  * on EVERY document's argmax, with the f64 runner-up gap clearing the
+  * accumulated rounding drift (~1e-6) by orders of magnitude. */
+class TorchEncoderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("sf0.001: engine argmax == f64 encoder recompute on every doc; gap floor holds") {
+    val m = graft.SparkEntry.encModel
+    val e = m.seqHead.get
+    val ea = m.ops.collectFirst { case a: EncoderAttnOp => a }.get
+    val lns = m.ops.collect { case l: SeqLayerNormOp => l }
+    val ff = m.ops.collectFirst { case f: PosFfnOp => f }.get
+    val fc = m.ops.collect { case l: LinearLayer => l }.last
+    val d = ea.inDim
+
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q127_torch_encoder")(spark, dir).collect()
+    assert(rows.length > 0)
+    val engine = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % e.vocab),
+          1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    assert(toks.length == engine.size)
+
+    var minGap = Double.MaxValue
+    for ((docId, ids) <- toks) {
+      val L = ids.length
+      val x = Array.tabulate(L, d)((p, j) => e.weight(ids(p) * e.embDim + j).toDouble)
+      def headOut(h: SelfAttentionOp): Array[Array[Double]] = {
+        val hd = h.dim
+        def pr(w: Array[Float], b: Array[Float]) = Array.tabulate(L, hd)((p, o) =>
+          b(o) + (0 until d).map(j => x(p)(j) * w(o * d + j)).sum)
+        val (qm, km, vm) = (pr(h.wq, h.bq), pr(h.wk, h.bk), pr(h.wv, h.bv))
+        Array.tabulate(L) { a =>
+          val sc = Array.tabulate(L)(b0 =>
+            (0 until hd).map(j => qm(a)(j) * km(b0)(j)).sum * h.scale)
+          val mx = sc.max
+          val es = sc.map(s0 => math.exp(s0 - mx))
+          val z = es.sum
+          Array.tabulate(hd)(j => (0 until L).map(b0 => es(b0) * vm(b0)(j)).sum / z)
+        }
+      }
+      val heads = ea.heads.map(headOut)
+      val pl = ea.proj.get
+      def lnF(y: Array[Double], ln: SeqLayerNormOp): Array[Double] = {
+        val mean = y.sum / d
+        val va = y.map(v => (v - mean) * (v - mean)).sum / d
+        val inv = 1.0 / math.sqrt(va + ln.eps)
+        Array.tabulate(d)(j => (y(j) - mean) * inv * ln.gamma(j) + ln.beta(j))
+      }
+      val pooled = new Array[Double](d)
+      for (p <- 0 until L) {
+        val cat = heads.flatMap(ho => ho(p)).toArray
+        val pj = Array.tabulate(d)(o =>
+          pl.bias(o) + (0 until d).map(j => cat(j) * pl.weight(o * d + j)).sum)
+        val n1 = lnF(Array.tabulate(d)(j => x(p)(j) + pj(j)), lns(0))
+        val hid = ff.l1.outDim
+        val mid = Array.tabulate(hid)(h =>
+          math.max(0.0, ff.l1.bias(h) + (0 until d).map(j => n1(j) * ff.l1.weight(h * d + j)).sum))
+        val f2 = Array.tabulate(d)(o =>
+          ff.l2.bias(o) + (0 until hid).map(h => mid(h) * ff.l2.weight(o * hid + h)).sum)
+        val n2 = lnF(Array.tabulate(d)(j => n1(j) + f2(j)), lns(1))
+        for (j <- 0 until d) pooled(j) += n2(j) / L
+      }
+      val logits = Array.tabulate(fc.outDim)(o =>
+        fc.bias(o) + (0 until d).map(j => pooled(j) * fc.weight(o * d + j)).sum)
+      val cls = logits.indexOf(logits.max)
+      assert(engine(docId) == cls, s"doc $docId: engine ${engine(docId)} vs f64 $cls")
+      val sorted = logits.sorted
+      minGap = math.min(minGap, sorted(fc.outDim - 1) - sorted(fc.outDim - 2))
+    }
+    assert(minGap > 1e-3, s"argmax gap floor violated: $minGap")
+  }
+}
