@@ -72,6 +72,66 @@ object Retrieval {
       .select(col("id").as(idCol), col("rank"), col("score"))
   }
 
+  /** Frozen corpus-side BM25 statistics: doc count, average doc
+    * length, per-query-term document frequencies (aligned with the
+    * `terms` they were computed for). */
+  final case class Bm25Stats(nDocs: Double, avgdl: Double, dfs: IndexedSeq[Double])
+
+  /** One corpus pass -> the frozen stats for `terms` (a 1-row collect;
+    * the standing-corpus side of streaming ingest scoring). */
+  def corpusStats(docs: DataFrame, textCol: String, terms: Seq[String]): Bm25Stats = {
+    val toks = docs.select(
+      call_function("regexp_extract_all", col(textCol),
+        lit(graft.Tok.Pattern), lit(0)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val r = terms.zipWithIndex.foldLeft(toks) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i", size(filter(col("toks"), x => x === lit(t))))
+    }.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i")): _*)
+      .collect().head
+    Bm25Stats(r.getDouble(0), r.getDouble(1),
+      terms.indices.map(i => r.getDouble(2 + i)).toIndexedSeq)
+  }
+
+  /**
+   * BM25 scoring against FROZEN stats — the streaming-ingest form
+   * (the frozen-quantizer discipline: the standing corpus defines N /
+   * avgdl / df as literals, each arriving doc is scored scan-side
+   * with ZERO streaming state, so relevance routing runs at line
+   * rate on an unbounded stream). Identical arithmetic to
+   * [[bm25TopK]], so a batch re-score with the same frozen stats is
+   * equal row-for-row (spec-pinned in DocStreamSpec). Works on batch
+   * and streaming frames alike; appends `outCol`.
+   */
+  def withBm25Frozen(
+      df: DataFrame,
+      textCol: String,
+      terms: Seq[String],
+      stats: Bm25Stats,
+      outCol: String = "bm25",
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(stats.dfs.length == terms.length, "stats/terms length mismatch")
+    val toksCol = call_function("regexp_extract_all", col(textCol),
+      lit(graft.Tok.Pattern), lit(0))
+    val dl = size(toksCol).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toksCol, x => x === lit(t))).cast("double")
+      // StrictMath.log, not math.log: Spark's log() expression runs
+      // StrictMath (platform-pinned), and matching it makes this frozen
+      // literal BIT-EQUAL to bm25TopK's in-plan idf on the same corpus
+      // (java.lang.Math.log may differ by 1 ulp)
+      val idf = StrictMath.log(1.0 +
+        (stats.nDocs - stats.dfs(i) + 0.5) / (stats.dfs(i) + 0.5))
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(stats.avgdl)))
+    }.reduce(_ + _)
+    df.withColumn(outCol, score)
+  }
+
   /**
    * Reciprocal-rank fusion of two ranked lists (full outer on id):
    * `rrf = Σ_lists 1/(kRrf + rank)`, a missing entry contributing 0 —

@@ -55,6 +55,58 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BM25 with frozen corpus stats == batch scoring, bit-for-bit, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val terms = Seq("spark", "join", "dup")
+
+    // frozen standing-corpus stats (the frozen-quantizer ingest
+    // discipline: N/avgdl/df are literals, arriving docs never mutate
+    // them) — computed from the same corpus so the batch ranker is the
+    // exact comparator
+    val stats = graft.operators.Retrieval.corpusStats(raw, "text", terms)
+    assert(stats.nDocs == 500.0 && stats.dfs.forall(_ > 0))
+
+    // the docs arrive as a stream in 3 micro-batches; scoring is a
+    // stateless scan-side projection (append mode, no watermark)
+    val docs = raw.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Retrieval.withBm25Frozen(
+        mem.toDF().toDF("doc_id", "text"), "text", terms, stats)
+      .select("doc_id", "bm25")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bm25_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("bm25_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.size == docs.size)
+      // batch comparator 1: the same frozen-score expression on the
+      // static frame — bit-for-bit equal
+      val batchFrozen = graft.operators.Retrieval.withBm25Frozen(
+          raw, "text", terms, stats)
+        .select("doc_id", "bm25").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == batchFrozen)
+      // batch comparator 2: bm25TopK's in-plan stats produce the SAME
+      // scores (frozen == live when the corpus is identical); ranks
+      // order by that score
+      val top = graft.operators.Retrieval.bm25TopK(raw, "doc_id", "text", terms, k = 500)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(top.nonEmpty)
+      for ((id, score) <- top)
+        assert(streamed(id) == score, s"doc $id: streamed ${streamed(id)} vs batch $score")
+      // docs outside the candidate set score exactly 0 (every tf = 0)
+      val candIds = top.map(_._1).toSet
+      for ((id, s0) <- streamed if !candIds.contains(id)) assert(s0 == 0.0, s"doc $id: $s0")
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates across micro-batches == batch MinHash-LSH pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
