@@ -1627,6 +1627,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Vision head end-to-end THROUGH the real codecs: PGM P5 payload
+    // per doc -> PixelDecoder (resizeImage 8x8 = identity) ->
+    // inferImageBatched (u8/255 -> Conv2d f64 -> ReLU -> global max ->
+    // fc) -> argmax; the oracle restates the 2-D conv over the
+    // closed-form pixel formula.
+    "q128_torch_conv2d" -> { (s, dir) =>
+      ArgMax.register(s)
+      val bc = s.sparkContext.broadcast(convModel)
+      val synth = udf((docId: Long) => {
+        val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate(64)(i =>
+          (((docId * 2654435761L) ^ ((i / 8) * 40503L + (i % 8) * 9973L +
+            docId * 7919L)) % 256).toByte)
+        header ++ px
+      })
+      val imgs = Multimodal.resizeImage(
+        t(s, dir, "documents").select(col("doc_id"), synth(col("doc_id")).as("img")),
+        "img", "px", 8, 8)
+      Torch.inferImageBatched(
+          imgs.select(col("doc_id"), col("px.pixels").as("pixels")),
+          "pixels", "logits", bc, c = 1, h = 8, w = 8, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("conv_class"))
+        .orderBy("doc_id")
+    },
+
     // Hybrid retrieval: BM25 keyword top-20 (terms spark/join/dup — two
     // common + one rare, so idf discriminates) fused with the dense
     // cosine top-20 around vec_id 123 by reciprocal-rank fusion. The
@@ -2319,6 +2345,32 @@ object SparkEntry {
   /** Position cap for q127 (bounds the oracle's L×L score join). */
   private val EncMaxLen = 12
 
+  /** Vision-classifier head for q128: an 8×8 grayscale image ->
+    * Conv2d(1->4, k=2) -> ReLU -> AdaptiveMaxPool2d(1) -> flatten ->
+    * Linear(4->3) -> argmax — the pixel-input model family the
+    * reference runs via libtorch (udf.rs:127), through the
+    * interpreter's image phase ([[graft.torch.Conv2dOp]] /
+    * [[graft.torch.GlobalPool2dOp]]). The payload goes THROUGH the
+    * real byte codecs: a PGM P5 file per doc, decoded by
+    * Multimodal.resizeImage's PixelDecoder, then
+    * `Torch.inferImageBatched` normalizes u8/255 (torchvision
+    * ToTensor) and runs the conv in f64 with one f32 rounding per
+    * value. Dyadic conv weights; oracle restates the 2-D conv over the
+    * closed-form pixel formula. fc bias re-centered at sf0.01
+    * (classes 127/153/220, min runner-up gap 4.4e-2). */
+  private[graft] lazy val convModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      Conv2dOp(qvals(4 * 1 * 2 * 2, 1039, 2.0), qvals(4, 1049, 0.5),
+        outCh = 4, inCh = 1, kh = 2, kw = 2, stride = 1),
+      ActOp("relu"),
+      GlobalPool2dOp(max = true),
+      LinearLayer(qvals(12, 1051, 4.0), Array(-1.9375f, -12.375f, 5.0f), 3, 4)))
+  }
+
   /** DuckDB chain for the q127 oracle: token ids -> embedding VALUES
     * join -> BOTH heads' q/k/v affines -> one L×L score join computing
     * both heads -> per-head max-shifted softmax -> attention-weighted v
@@ -2519,6 +2571,41 @@ object SparkEntry {
        |  FROM rec r JOIN x ON x.doc_id = r.doc_id AND x.pos = r.pos + 1)
        |SELECT r.doc_id, ${(0 until H).map(o => s"r.h$o AS p$o").mkString(", ")}
        |FROM rec r JOIN lens ON r.doc_id = lens.doc_id AND r.pos = lens.len""".stripMargin
+  }
+
+  /** DuckDB chain for the q128 oracle: the 7×7 valid-conv output grid
+    * per doc (range unnest twice), each cell a 2×2 window over the
+    * closed-form pixel formula
+    * `((doc_id·2654435761) XOR (r·40503 + c·9973 + doc_id·7919)) % 256 / 255`
+    * (the xor decorrelates neighboring docs/cells so argmax gaps stay wide),
+    * ReLU'd, then a per-channel global max; ends in
+    * `SELECT doc_id, p0..p3` for [[TorchOracle.mlpArgmaxSql]]. */
+  private def convPoolSql: String = {
+    import graft.torch._
+    val cv = convModel.ops.collectFirst { case c: Conv2dOp => c }.get
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def px(r: String, c: String): String =
+      s"CAST(xor(doc_id * 2654435761, ($r) * 40503 + ($c) * 9973 + " +
+        s"doc_id * 7919) % 256 AS DOUBLE)/255"
+    val convSel = (0 until cv.outCh).map { oc =>
+      def wv(r: Int, q: Int) = fmtF(cv.weight((oc * cv.kh + r) * cv.kw + q))
+      s"GREATEST(0, ${fmtF(cv.bias(oc))} + ${wv(0, 0)}*${px("i", "j")} + " +
+        s"${wv(0, 1)}*${px("i", "j+1")} + ${wv(1, 0)}*${px("i+1", "j")} + " +
+        s"${wv(1, 1)}*${px("i+1", "j+1")}) AS c$oc"
+    }.mkString(",\n   ")
+    s"""WITH grid AS (
+       |  SELECT doc_id, ii.i, jj.j FROM documents,
+       |    (SELECT unnest(range(0, 7)) AS i) ii,
+       |    (SELECT unnest(range(0, 7)) AS j) jj),
+       |conv AS (SELECT doc_id,
+       |   $convSel
+       | FROM grid),
+       |pool AS (SELECT doc_id, ${(0 until cv.outCh).map(c0 => s"max(c$c0) AS p$c0").mkString(", ")}
+       | FROM conv GROUP BY doc_id)
+       |SELECT doc_id, ${(0 until cv.outCh).map(c0 => s"p$c0").mkString(", ")} FROM pool""".stripMargin
   }
 
   /** The five q89-parity quality features feeding [[qualityModel]],
@@ -3163,6 +3250,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q128_torch_conv2d" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        convModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, convPoolSql,
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS conv_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // BM25 restated in full (Lucene idf, k1=1.2, b=0.75; k1+1 spelled

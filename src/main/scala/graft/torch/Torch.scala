@@ -130,7 +130,9 @@ object Torch {
       if (batchSize > 0) batchSize
       else TorchConf.get(spark).batchSize
     // token-input (embedding-head) models read int token ids; feature
-    // models read f32 vectors
+    // models read f32 vectors (pixel models go through inferImageBatched)
+    require(model.value.imageHead.isEmpty,
+      "pixel-input model: use Torch.inferImageBatched")
     val tokenInput = model.value.inDim == -1
     val withFloats = df.withColumn(inputCol, col(inputCol).cast(
       if (tokenInput) ArrayType(IntegerType) else ArrayType(FloatType)))
@@ -208,6 +210,59 @@ object Torch {
           }
           val out = if (n > 0) m.forwardBatch(flat, n) else Array.empty[Float]
           emit(inputs, out)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * Batched PIXEL-input inference (vision-classifier head): `inputCol`
+   * is a BINARY column of channel-major u8 pixels — exactly what
+   * [[graft.operators.Multimodal]]'s PixelDecoder/resizeImage emit —
+   * normalized `v/255` (torchvision ToTensor's convention) into the
+   * model's `(c, h, w)` input. The conv/pool phase runs per row, the
+   * flat tail as one batched GEMM. Null or wrong-size payloads yield
+   * null output (decode-failure rows survive the pipeline). Weights
+   * ride the broadcast once per executor, like the other paths.
+   */
+  def inferImageBatched(
+      df: DataFrame,
+      inputCol: String,
+      outputCol: String,
+      model: Broadcast[TorchScriptModel],
+      c: Int, h: Int, w: Int,
+      batchSize: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val bs =
+      if (batchSize > 0) batchSize
+      else TorchConf.get(spark).batchSize
+    require(model.value.imageHead.isDefined, "not a pixel-input model")
+    val schema = StructType(df.schema.fields :+
+      StructField(outputCol, ArrayType(FloatType), nullable = true))
+    val inIdx = df.schema.fieldIndex(inputCol)
+    df.mapPartitions { it =>
+      val m = model.value
+      val outDim = m.outDim
+      it.grouped(bs).flatMap { rows =>
+        def pixels(r: Row): Array[Float] = {
+          if (r.isNullAt(inIdx)) return null
+          val bytes = r.getAs[Array[Byte]](inIdx)
+          if (bytes == null || bytes.length != c * h * w) return null
+          val a = new Array[Float](bytes.length)
+          var j = 0
+          while (j < a.length) { a(j) = ((bytes(j) & 0xff) / 255.0).toFloat; j += 1 }
+          a
+        }
+        val inputs = rows.map(pixels)
+        val live = inputs.filter(_ != null).toArray
+        val out = if (live.nonEmpty) m.forwardImageBatch(live, c, h, w) else Array.empty[Float]
+        var k = -1
+        rows.iterator.zip(inputs.iterator).map { case (r, in) =>
+          if (in == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            k += 1
+            Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
+          }
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -302,6 +302,9 @@ object TorchCode {
     /** `(n, ch, seq)` channel-major sequence (after transpose(1, 2) —
       * Conv1d's input layout). */
     final case class ChanSeq(ch: Int) extends Sym
+    /** `(n, ch, H, W)` image tensor (Conv2d's layout; H/W stay free —
+      * the vision-classifier phase). */
+    final case class ChanHW(ch: Int) extends Sym
     /** `(n, ch, 1)` pooled but unflattened (AdaptiveMaxPool1d(1)
       * output); flatten/squeeze converts to Flat(ch). */
     final case class Pooled(ch: Int) extends Sym
@@ -528,6 +531,73 @@ object TorchCode {
         }
         ops += Conv1dOp(materialize(w), bias, outCh, inCh, k, stride)
         ChanSeq(outCh)
+      case "Conv2d" =>
+        // pixel input: the FIRST conv consumes the raw (n, ch, H, W)
+        // image (symbolic input binds to the declared in_channels)
+        val inSym = s match {
+          case Flat(-1) => ChanHW(-1) // raw model input: image head
+          case c: ChanHW => c
+          case other => sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
+        }
+        val w = m.attrs.get("weight") match {
+          case Some(t: Pickle.PTensor) if t.shape.length == 4 => t
+          case other => sys.error(s"${m.fqName}: missing 4-D tensor 'weight' (got $other)")
+        }
+        val (outCh, inCh, kh, kw) = (w.shape(0), w.shape(1), w.shape(2), w.shape(3))
+        require(inSym.ch == -1 || inSym.ch == inCh,
+          s"Conv2d(in=$inCh) applied to ${inSym.ch} channels")
+        require(sizeAttr(m, "groups", 1) == 1, s"${m.fqName}: grouped conv unsupported")
+        def pair(key: String, dflt: Long): (Long, Long) = m.attrs.get(key) match {
+          case Some(Pickle.PTuple(Vector(Pickle.PInt(a), Pickle.PInt(b)))) => (a, b)
+          case Some(Pickle.PTuple(Vector(Pickle.PInt(a)))) => (a, a)
+          case Some(n: Long) => (n, n)
+          case Some(Pickle.PInt(n)) => (n, n)
+          case Some("valid") | Some(Pickle.PStr("valid")) if key == "padding" => (0L, 0L)
+          case Some(null) | None => (dflt, dflt)
+          case Some(other) => sys.error(s"${m.fqName}: bad $key $other")
+        }
+        require(pair("padding", 0) == ((0L, 0L)),
+          s"${m.fqName}: padding ${pair("padding", 0)} unsupported (0 only)")
+        require(pair("dilation", 1) == ((1L, 1L)), s"${m.fqName}: dilation unsupported")
+        val (sh, sw) = pair("stride", 1)
+        require(sh == sw && sh >= 1, s"${m.fqName}: stride ($sh, $sw) unsupported (square only)")
+        val bias = m.attrs.get("bias") match {
+          case Some(t: Pickle.PTensor) =>
+            require(t.shape.length == 1 && t.shape(0) == outCh,
+              s"bias shape ${t.shape} incompatible with weight ${w.shape}")
+            materialize(t)
+          case Some(null) | Some(Pickle.PNone) | None => new Array[Float](outCh)
+          case other => sys.error(s"${m.fqName}: bad conv bias $other")
+        }
+        ops += Conv2dOp(materialize(w), bias, outCh, inCh, kh, kw, sh.toInt)
+        ChanHW(outCh)
+      case "MaxPool2d" =>
+        s match {
+          case c: ChanHW =>
+            val k = sizeAttr(m, "kernel_size", -1).toInt
+            require(k >= 1, s"${m.fqName}: kernel_size missing (square kernels only)")
+            val stride = sizeAttr(m, "stride", k).toInt
+            require(sizeAttr(m, "padding", 0) == 0, s"${m.fqName}: padding unsupported")
+            require(sizeAttr(m, "dilation", 1) == 1, s"${m.fqName}: dilation unsupported")
+            ops += MaxPool2dOp(k, stride)
+            c
+          case other => sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
+        }
+      case "AdaptiveMaxPool2d" | "AdaptiveAvgPool2d" =>
+        s match {
+          case ChanHW(c) =>
+            val outSize = m.attrs.get("output_size") match {
+              case Some(Pickle.PTuple(Vector(Pickle.PInt(a), Pickle.PInt(b)))) => (a, b)
+              case Some(n: Long) => (n, n)
+              case Some(Pickle.PInt(n)) => (n, n)
+              case other => sys.error(s"${m.fqName}: bad output_size $other")
+            }
+            require(outSize == ((1L, 1L)),
+              s"${m.fqName}: output_size $outSize unsupported (1 = global pool only)")
+            ops += GlobalPool2dOp(max = m.simpleName == "AdaptiveMaxPool2d")
+            Pooled(c)
+          case other => sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
+        }
       case "MaxPool1d" =>
         s match {
           case ChanSeq(c) =>

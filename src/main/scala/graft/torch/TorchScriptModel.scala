@@ -71,6 +71,24 @@ final case class Conv1dOp(weight: Array[Float], bias: Array[Float],
   * padding 0, dilation 1, floor mode). */
 final case class MaxPool1dOp(k: Int, stride: Int) extends TorchOp
 
+/** 2-D convolution over `(inCh, H, W)` — the vision-classifier head
+  * (the model consumes a PIXEL input instead of token ids; see
+  * `TorchScriptModel.forwardImageBatch`). Weight row-major
+  * `(outCh, inCh, kh, kw)`, valid padding, stride >= 1, no
+  * dilation/groups. Output `(outCh, (H-kh)/s+1, (W-kw)/s+1)`; an input
+  * smaller than the kernel fails loudly, exactly torch's output-size
+  * check. f64 accumulation, one f32 rounding per output value. */
+final case class Conv2dOp(weight: Array[Float], bias: Array[Float],
+    outCh: Int, inCh: Int, kh: Int, kw: Int, stride: Int) extends TorchOp
+
+/** Windowed 2-D max pool over `(ch, H, W)` (nn.MaxPool2d, padding 0,
+  * dilation 1, floor mode; square kernel). */
+final case class MaxPool2dOp(k: Int, stride: Int) extends TorchOp
+
+/** Global 2-D pool `(ch, H, W)` -> `(ch)` (AdaptiveMaxPool2d(1) /
+  * AdaptiveAvgPool2d(1) + flatten). */
+final case class GlobalPool2dOp(max: Boolean) extends TorchOp
+
 /** Single-head scaled-dot-product self-attention over a `(L, emb)`
   * embedding sequence — the transformer-encoder text-classifier shape
   * (Q = X·Wq^T+bq, K/V likewise; A = softmax(Q·K^T·scale) row-wise;
@@ -261,9 +279,47 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       (pool, width)
   }
 
+  /** PIXEL-input (vision) models start with a 2-D convolution that
+    * consumes the raw `(inCh, H, W)` image — use
+    * [[forwardImageBatch]]. */
+  val imageHead: Option[Conv2dOp] =
+    ops.headOption.collect { case c: Conv2dOp => c }
+  require(!ops.drop(1).exists(_.isInstanceOf[Conv2dOp]) || imageHead.isDefined,
+    "Conv2d must be part of the image phase (it consumes the pixel input)")
+
+  /** Image-phase walker (mirrors the seq-phase one): index of the
+    * global pool collapsing `(ch, H, W)` to `(ch)`, and that width. */
+  private val (imgPoolIdx: Int, imgPooledDim: Int) = imageHead match {
+    case None => (-1, -1)
+    case Some(c0) =>
+      var width = c0.outCh
+      var pool = -1
+      for ((op, i) <- ops.zipWithIndex.drop(1)) op match {
+        case c: Conv2dOp =>
+          require(pool < 0, "Conv2d after the global pool")
+          require(width == c.inCh, s"Conv2d(in=${c.inCh}) applied to $width channels")
+          width = c.outCh
+        case _: MaxPool2dOp =>
+          require(pool < 0, "MaxPool2d after the global pool")
+        case GlobalPool2dOp(_) =>
+          require(pool < 0, "second global pool")
+          pool = i
+        case _: ActOp | _: ParamActOp => // elementwise: fine in any phase
+        case other =>
+          require(pool >= 0,
+            s"${other.getClass.getSimpleName} on an unpooled (ch, H, W) image " +
+              "(global pool missing)")
+      }
+      require(pool >= 0,
+        "image model never pools to a fixed-size vector (adaptive 2-D pool missing)")
+      (pool, width)
+  }
+
   /** -1 for token-input models: the input is a VARIABLE-length token-id
     * row, not a fixed feature vector — use [[forwardTokens]]. */
-  val inDim: Int = if (embedHead.isDefined || seqHead.isDefined) -1 else layers.head.inDim
+  val inDim: Int =
+    if (embedHead.isDefined || seqHead.isDefined || imageHead.isDefined) -1
+    else layers.head.inDim
   val outDim: Int = layers.lastOption.map(_.outDim)
     .orElse(embedHead.map(_.embDim)).getOrElse(pooledDim)
 
@@ -328,9 +384,137 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
    * row-major — mirrors the reference's batch GEMM shape
    * (reference src/udf.rs:211-213, 277).
    */
+  /**
+   * Batched pixel-input forward: each row is one `(c, h, w)` image,
+   * channel-major row-major floats (already normalized — the caller
+   * owns the `/255` convention). The image phase (conv/pool) runs
+   * per row into the `imgPooledDim` vector; the flat tail then runs
+   * as one batched GEMM, same discipline as the token paths.
+   */
+  def forwardImageBatch(rows: Array[Array[Float]], c: Int, h: Int, w: Int): Array[Float] = {
+    require(imageHead.isDefined, "not a pixel-input model: use forwardBatch")
+    require(c == imageHead.get.inCh,
+      s"model expects ${imageHead.get.inCh} channels, got $c")
+    val n = rows.length
+    val pooled = new Array[Float](n * imgPooledDim)
+    var i = 0
+    while (i < n) {
+      require(rows(i).length == c * h * w,
+        s"row $i: ${rows(i).length} values != $c x $h x $w")
+      System.arraycopy(runImageRow(rows(i), c, h, w), 0, pooled, i * imgPooledDim, imgPooledDim)
+      i += 1
+    }
+    runOps(imgPoolIdx + 1, pooled, n, imgPooledDim)
+  }
+
+  /** One image through ops[0..imgPoolIdx]: the tensor is `(ch, H, W)`
+    * channel-major row-major; collapses to `(imgPooledDim)` at the
+    * global pool. Conv accumulation in f64, one f32 rounding per
+    * output value. */
+  private def runImageRow(px: Array[Float], c0: Int, h0: Int, w0: Int): Array[Float] = {
+    var ch = c0
+    var hh = h0
+    var ww = w0
+    var data = px
+    var oi = 0
+    while (oi < imgPoolIdx) {
+      ops(oi) match {
+        case cv: Conv2dOp =>
+          require(hh >= cv.kh && ww >= cv.kw,
+            s"Conv2d(${cv.kh}x${cv.kw}) on a ${hh}x$ww image (too small)")
+          val oh = (hh - cv.kh) / cv.stride + 1
+          val ow = (ww - cv.kw) / cv.stride + 1
+          val out = new Array[Float](cv.outCh * oh * ow)
+          var oc = 0
+          while (oc < cv.outCh) {
+            var i = 0
+            while (i < oh) {
+              var j = 0
+              while (j < ow) {
+                var acc: Double = cv.bias(oc)
+                var d = 0
+                while (d < cv.inCh) {
+                  var r = 0
+                  while (r < cv.kh) {
+                    val wOff = ((oc * cv.inCh + d) * cv.kh + r) * cv.kw
+                    val xOff = d * hh * ww + (i * cv.stride + r) * ww + j * cv.stride
+                    var q = 0
+                    while (q < cv.kw) { acc += cv.weight(wOff + q) * data(xOff + q); q += 1 }
+                    r += 1
+                  }
+                  d += 1
+                }
+                out((oc * oh + i) * ow + j) = acc.toFloat
+                j += 1
+              }
+              i += 1
+            }
+            oc += 1
+          }
+          data = out; ch = cv.outCh; hh = oh; ww = ow
+        case MaxPool2dOp(k, stride) =>
+          require(hh >= k && ww >= k, s"MaxPool2d($k) on a ${hh}x$ww image")
+          val oh = (hh - k) / stride + 1
+          val ow = (ww - k) / stride + 1
+          val out = new Array[Float](ch * oh * ow)
+          var d = 0
+          while (d < ch) {
+            var i = 0
+            while (i < oh) {
+              var j = 0
+              while (j < ow) {
+                var mx = Float.NegativeInfinity
+                var r = 0
+                while (r < k) {
+                  var q = 0
+                  while (q < k) {
+                    val v = data(d * hh * ww + (i * stride + r) * ww + j * stride + q)
+                    if (v > mx) mx = v
+                    q += 1
+                  }
+                  r += 1
+                }
+                out((d * oh + i) * ow + j) = mx
+                j += 1
+              }
+              i += 1
+            }
+            d += 1
+          }
+          data = out; hh = oh; ww = ow
+        case ActOp(kind) =>
+          if (data eq px) data = px.clone()
+          applyAct(data, kind)
+        case ParamActOp(kind, a, b) =>
+          if (data eq px) data = px.clone()
+          applyParamAct(data, kind, a, b)
+        case other => sys.error(s"unexpected image-phase op $other") // walker forbids
+      }
+      oi += 1
+    }
+    val plane = hh * ww
+    ops(imgPoolIdx) match {
+      case GlobalPool2dOp(max) =>
+        Array.tabulate(ch) { d =>
+          if (max) {
+            var mx = Float.NegativeInfinity
+            var q = 0
+            while (q < plane) { val v = data(d * plane + q); if (v > mx) mx = v; q += 1 }
+            mx
+          } else {
+            var acc = 0.0
+            var q = 0
+            while (q < plane) { acc += data(d * plane + q); q += 1 }
+            (acc / plane).toFloat
+          }
+        }
+      case other => sys.error(s"unexpected image pool op $other")
+    }
+  }
+
   def forwardBatch(x: Array[Float], n: Int): Array[Float] = {
-    require(embedHead.isEmpty && seqHead.isEmpty,
-      "token-input model: use forwardTokensBatch")
+    require(embedHead.isEmpty && seqHead.isEmpty && imageHead.isEmpty,
+      "token/pixel-input model: use forwardTokensBatch / forwardImageBatch")
     require(x.length == n * inDim, s"expected $n x $inDim = ${n * inDim} values, got ${x.length}")
     runOps(0, x, n, inDim)
   }
@@ -706,8 +890,9 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         sys.error("embedding op past the model head") // constructor forbids
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: SelfAttentionOp |
           _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp |
-          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | _: RnnOp =>
-        sys.error("sequence op past the pool") // poolIdx walk forbids
+          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | _: RnnOp |
+          _: Conv2dOp | _: MaxPool2dOp | _: GlobalPool2dOp =>
+        sys.error("sequence/image op past the pool") // phase walkers forbid
       case l: LinearLayer =>
         require(curDim == l.inDim, s"linear expects ${l.inDim} features, got $curDim")
         val out = new Array[Float](n * l.outDim)

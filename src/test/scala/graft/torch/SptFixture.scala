@@ -163,6 +163,26 @@ object SptFixture {
       "training" -> B(false)))
   }
 
+  val Conv2dCls = "__torch__.torch.nn.modules.conv.Conv2d"
+  val AdaptiveMaxPool2dCls = "__torch__.torch.nn.modules.pooling.AdaptiveMaxPool2d"
+
+  /** nn.Conv2d with the 2-tuple hyper-params a real torch.jit.save
+   * emits. */
+  def conv2d(weight: Array[Float], outCh: Int, inCh: Int, kh: Int, kw: Int,
+      bias: Array[Float], stride: Int = 1, padding: Int = 0): Module =
+    Module(Conv2dCls, Seq(
+      "weight" -> Tensor(Seq(outCh, inCh, kh, kw), weight),
+      "bias" -> Tensor(Seq(outCh), bias),
+      "stride" -> Tup(Seq(I(stride), I(stride))),
+      "padding" -> Tup(Seq(I(padding), I(padding))),
+      "dilation" -> Tup(Seq(I(1), I(1))),
+      "groups" -> I(1),
+      "in_channels" -> I(inCh),
+      "out_channels" -> I(outCh),
+      "kernel_size" -> Tup(Seq(I(kh), I(kw))),
+      "padding_mode" -> Str("zeros"),
+      "training" -> B(false)))
+
   /** nn.Conv1d with the full attr set a real torch.jit.save emits
    * (hyper-params as 1-tuples). */
   def conv1d(weight: Array[Float], outCh: Int, inCh: Int, k: Int,

@@ -1014,6 +1014,58 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(bfErr.getMessage.contains("batch_first"), bfErr.getMessage)
   }
 
+  test("Conv2d vision archive: pixel input -> conv -> relu -> global pool -> fc, golden vs f64") {
+    // 2-channel 4x5 input -> Conv2d(2->3, 2x2) -> relu ->
+    // AdaptiveMaxPool2d(1) -> flatten -> Linear(3->2)
+    val (ic, oc, kh, kw, h, w) = (2, 3, 2, 2, 4, 5)
+    val cw = vals(oc * ic * kh * kw, 131); val cb = vals(oc, 132)
+    val (wf, bf) = (vals(2 * oc, 133), vals(2, 134))
+    val model = Module("__torch__.VisNet", Seq(
+      "training" -> B(false),
+      "conv" -> conv2d(cw, oc, ic, kh, kw, cb),
+      "pool" -> Module(AdaptiveMaxPool2dCls, Seq(
+        "output_size" -> I(1), "return_indices" -> B(false), "training" -> B(false))),
+      "fc" -> linear(wf, 2, oc, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class VisNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.VisNet,
+        |    x: Tensor) -> Tensor:
+        |    conv = self.conv
+        |    c = (conv).forward(x, )
+        |    r = torch.relu(c)
+        |    pool = self.pool
+        |    p = (pool).forward(r, )
+        |    f = torch.flatten(p, 1)
+        |    fc = self.fc
+        |    return (fc).forward(f, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("vis", "vis", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("Conv2dOp", "ActOp", "GlobalPool2dOp", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    assert(m.imageHead.isDefined && m.inDim == -1)
+    val px = vals(ic * h * w, 135).map(v => math.abs(v) % 1.0f)
+    // f64 reference
+    val conv = Array.tabulate(oc, h - kh + 1, w - kw + 1) { (o, i, j) =>
+      var acc: Double = cb(o)
+      for (d <- 0 until ic; r <- 0 until kh; q <- 0 until kw)
+        acc += cw(((o * ic + d) * kh + r) * kw + q) * px(d * h * w + (i + r) * w + (j + q))
+      math.max(0.0, acc)
+    }
+    val pooled = Array.tabulate(oc)(o => conv(o).flatten.max)
+    val expected = mm(pooled, wf, bf, 2, oc)
+    val got = m.forwardImageBatch(Array(px), ic, h, w)
+    for (j <- 0 until 2) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // misuse: a second Conv2d after the pool must fail at construction
+    val bad = intercept[IllegalArgumentException](new TorchScriptModel(IndexedSeq(
+      Conv2dOp(cw, cb, oc, ic, kh, kw, 1), GlobalPool2dOp(max = true),
+      Conv2dOp(vals(oc * oc * 4, 136), vals(oc, 137), oc, oc, 2, 2, 1),
+      LinearLayer(wf, bf, 2, oc))))
+    assert(bad.getMessage.contains("Conv2d"), bad.getMessage)
+  }
+
   test("iris.spt traces through its serialized code: shared relu between linears") {
     val m = TorchScriptModel.load("/root/reference/model/iris.spt")
     // execution order from code/__torch__.py, NOT registration order
