@@ -1627,6 +1627,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Asymmetric containment dedup: C(a->b) = |S(a) ∩ S(b)| / |S(a)|
+    // over 3-gram shingles — catches excerpts/prefixes that symmetric
+    // Jaccard structurally misses (a half-doc inside its source has
+    // J = 0.5 but C = 1.0). Twenty prefix excerpts are planted
+    // in-query (doc_id + 10000 = first half of the token stream) so
+    // the asymmetric case is guaranteed exercised; organic rotation
+    // twins fire in both directions.
+    "q129_containment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = call_function("regexp_extract_all", col("text"),
+        lit(graft.Tok.Pattern), lit(0))
+      val aug = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), floor(size(toks) / 2).cast("int")), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(aug), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .orderBy("contained", "container")
+    },
+
     // Vision head end-to-end THROUGH the real codecs: PGM P5 payload
     // per doc -> PixelDecoder (resizeImage 8x8 = identity) ->
     // inferImageBatched (u8/255 -> Conv2d f64 -> ReLU -> global max ->
@@ -3251,6 +3270,37 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
+
+    // The q21 shingle CTEs plus the planted prefixes, with the ratio
+    // asymmetric (i / |S(contained)|) and both directions emitted.
+    "q129_containment" ->
+      """WITH aug0 AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws
+        |  FROM documents WHERE doc_id < 20),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id,
+        |         array_to_string(ws[1:len(ws)//2], ' ') AS text
+        |  FROM aug0),
+        |toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM docs2),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS s
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT a AS contained, b AS container, CAST(i AS DOUBLE) / sa.n AS containment
+        |  FROM inter JOIN sz sa ON a = sa.doc_id
+        |  UNION ALL
+        |  SELECT b AS contained, a AS container, CAST(i AS DOUBLE) / sb.n AS containment
+        |  FROM inter JOIN sz sb ON b = sb.doc_id)
+        |SELECT contained, container, containment FROM cont
+        |WHERE containment >= 0.9 ORDER BY contained, container""".stripMargin,
 
     "q128_torch_conv2d" -> {
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(

@@ -73,13 +73,16 @@ object Dedup {
    * shingles are by construction ones shared across many docs, so
    * typically it is lower). Pinned by the tight-cap case in DedupSpec.
    */
-  def jaccardPairs(
+  /** Shared exact-pair machinery: the (possibly df-pruned) hashed
+    * shingle index reduced to per-pair intersection counts + per-doc
+    * distinct-shingle sizes. Both the symmetric (Jaccard) and
+    * asymmetric (containment) rules divide these. */
+  private def intersectionCounts(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int]): (DataFrame, DataFrame) = {
     val idx0 = shingleHashIndex(df, idCol, textCol, n)
     val idx = maxDocFreq match {
       case Some(m) =>
@@ -123,6 +126,17 @@ object Dedup {
     val inter = a.join(b, Seq("shingle"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count("*").as("i"))
+    (inter, sizes)
+  }
+
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val (inter, sizes) = intersectionCounts(df, idCol, textCol, n, maxDocFreq)
     inter
       .join(sizes.toDF("ida", "na"), Seq("ida"))
       .join(sizes.toDF("idb", "nb"), Seq("idb"))
@@ -130,6 +144,36 @@ object Dedup {
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"), col("jaccard"))
+  }
+
+  /**
+   * Exact ASYMMETRIC containment pairs: `C(a -> b) = |S(a) ∩ S(b)| /
+   * |S(a)|` over distinct hashed n-gram shingles — the rule that
+   * catches a short document embedded in a longer one (a prefix,
+   * excerpt, or quotation), which symmetric Jaccard structurally
+   * misses (a half-doc inside its source has J = 0.5 but C = 1.0).
+   * Emits DIRECTED rows `(contained, container, containment)` for
+   * every ordered pair meeting the threshold; both directions can
+   * fire for true near-twins. Same scale shape as [[jaccardPairs]]:
+   * inverted-index join, df==1 shingles pruned exactly, optional
+   * stop-shingle cap — candidate volume scales with true overlap,
+   * never all-pairs. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val (inter, sizes) = intersectionCounts(df, idCol, textCol, n, maxDocFreq)
+    val both = inter
+      .join(sizes.toDF("ida", "na"), Seq("ida"))
+      .join(sizes.toDF("idb", "nb"), Seq("idb"))
+    val ab = both.select(col("ida").as("contained"), col("idb").as("container"),
+      (col("i").cast("double") / col("na").cast("double")).as("containment"))
+    val ba = both.select(col("idb").as("contained"), col("ida").as("container"),
+      (col("i").cast("double") / col("nb").cast("double")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
   }
 
   /**

@@ -126,13 +126,32 @@ class PlanAuditSpec extends AnyFunSuite {
     // to df.rdd + createDataFrame, splitting the query into two jobs
     // with a serialized-Row boundary; the typed mapPartitions path
     // must keep the parquet scan in the SAME plan.
-    for (q <- Seq("q26_multimodal_meta", "q28_torch_batched")) {
+    // q126/q128 chain TWO mapPartitions stages (codec synth/decode ->
+    // features / inference) — still one plan, one file scan
+    for (q <- Seq("q26_multimodal_meta", "q28_torch_batched",
+        "q126_audio_features", "q128_torch_conv2d")) {
       val p = plan(q)
       assert(!p.contains("Scan ExistingRDD"), s"$q re-scans a materialized RDD:\n$p")
       assert(p.contains("MapPartitions"), s"$q lost its mapPartitions stage:\n$p")
       assert(p.contains("Scan parquet") || p.contains("FileScan"),
         s"$q lost its direct file scan:\n$p")
     }
+  }
+
+  test("q125 hybrid retrieval: stats broadcast, top-k short-circuits, no product of data sides") {
+    val p = plan("q125_hybrid_rrf")
+    // the BM25 corpus-stats row and the dense query vector ride
+    // broadcasts; candidate ranking plans as TakeOrderedAndProject
+    // (never a global sort of the corpus)
+    assert(p.contains("TakeOrderedAndProject"), s"q125 lost its top-k short-circuit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q125 has a non-broadcast product:\n$p")
+    assert(p.contains("BroadcastExchange"), s"q125 lost its broadcasts:\n$p")
+  }
+
+  test("q129 containment pairs stay inverted-index keyed (no product plans)") {
+    val p = plan("q129_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment produced a product plan:\n$p")
   }
 
   test("q93 bloom decontamination: no product plans, corpus scans keyed joins only") {

@@ -22,6 +22,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("containmentPairs: prefix excerpt scores C=1.0 both planted and organic; jaccard misses it") {
+    import spark.implicits._
+    // doc 2 = the first half of doc 1's token stream: containment
+    // (2 -> 1) is exactly 1.0 while jaccard is ~0.5 — the asymmetric
+    // case the symmetric rule structurally cannot flag
+    val full = (1 to 40).map(i => s"w$i").mkString(" ")
+    val half = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, full), (2L, half), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((2L, 1L, 1.0)), cont.toSeq.toString)
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.8).collect()
+    assert(jac.isEmpty, "jaccard >= 0.8 should not fire on a half-doc")
+    // plan shape: inverted-index join, never a cartesian
+    val plan = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("jaccard/minhash/LSH plans contain no cartesian product") {
     for (df <- Seq(
         Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8),

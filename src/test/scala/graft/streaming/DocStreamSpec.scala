@@ -107,6 +107,47 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming model inference at ingest: GRU classes across micro-batches == batch q123") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch comparator: the full q123 result
+    val batch = graft.SparkEntry.queries("q123_torch_gru")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // the same docs arrive as a stream; tokenization + inferBatched is
+    // a stateless scan-side projection (mapPartitions works unchanged
+    // on the streaming frame — ingest-time model routing)
+    val m = graft.SparkEntry.gruModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val toks = mem.toDF().toDF("doc_id", "text").select(col("doc_id"),
+      slice(transform(
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+        tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+        1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+    graft.functions.ArgMax.register(spark)
+    val q = graft.torch.Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 64)
+      .select(col("doc_id"), call_function("argmax", col("logits")).as("cls"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gru_stream_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("gru_stream_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch,
+        s"diff: ${streamed.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(streamed.toSet).take(3)}")
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates across micro-batches == batch MinHash-LSH pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
