@@ -571,7 +571,7 @@ object TorchCode {
         }
         ops += Conv2dOp(materialize(w), bias, outCh, inCh, kh, kw, sh.toInt)
         ChanHW(outCh)
-      case "MaxPool2d" =>
+      case "MaxPool2d" | "AvgPool2d" =>
         s match {
           case c: ChanHW =>
             val k = sizeAttr(m, "kernel_size", -1).toInt
@@ -579,7 +579,8 @@ object TorchCode {
             val stride = sizeAttr(m, "stride", k).toInt
             require(sizeAttr(m, "padding", 0) == 0, s"${m.fqName}: padding unsupported")
             require(sizeAttr(m, "dilation", 1) == 1, s"${m.fqName}: dilation unsupported")
-            ops += MaxPool2dOp(k, stride)
+            ops += (if (m.simpleName == "MaxPool2d") MaxPool2dOp(k, stride)
+                    else AvgPool2dOp(k, stride))
             c
           case other => sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
         }
@@ -641,11 +642,12 @@ object TorchCode {
         ops += ParamActOp("softplus",
           floatAttr(m, "beta", 1.0), floatAttr(m, "threshold", 20.0))
         s
-      case "BatchNorm1d" =>
-        // eval-mode BN is a per-feature affine; fold it at load time
+      case "BatchNorm1d" | "BatchNorm2d" =>
+        // eval-mode BN is a per-feature (or per-channel) affine; fold
+        // it at load time
         def vec(key: String): Array[Float] = m.attrs.get(key) match {
           case Some(t: Pickle.PTensor) if t.shape.length == 1 => materialize(t)
-          case other => sys.error(s"${m.fqName}: BatchNorm1d missing 1-D tensor '$key' (got $other)")
+          case other => sys.error(s"${m.fqName}: ${m.simpleName} missing 1-D tensor '$key' (got $other)")
         }
         val (mean, vr) = (vec("running_mean"), vec("running_var"))
         val eps = floatAttr(m, "eps", 1e-5)
@@ -658,14 +660,31 @@ object TorchCode {
           case Some(t: Pickle.PTensor) => materialize(t)
           case _ => new Array[Float](mean.length)
         }
-        val dim = flatDim(m, s)
-        require(dim == -1 || dim == mean.length,
-          s"BatchNorm1d(${mean.length}) applied to $dim features")
         val scale = Array.tabulate(mean.length)(i =>
           (gamma(i) / math.sqrt(vr(i).toDouble + eps)).toFloat)
         val shift = Array.tabulate(mean.length)(i => beta(i) - mean(i) * scale(i))
-        ops += ScaleShiftOp(scale, shift)
-        Flat(mean.length)
+        (m.simpleName, s) match {
+          case ("BatchNorm2d", ChanHW(c)) =>
+            // per-channel affine over the (ch, H, W) image
+            require(c == mean.length,
+              s"BatchNorm2d(${mean.length}) applied to $c channels")
+            ops += ChannelAffineOp(scale, shift)
+            s
+          case ("BatchNorm2d", other) =>
+            sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
+          case ("BatchNorm1d", ChanSeq(c)) =>
+            // torch's 3-D BatchNorm1d form: per-channel over (ch, L)
+            require(c == mean.length,
+              s"BatchNorm1d(${mean.length}) applied to $c channels")
+            ops += ChannelAffineOp(scale, shift)
+            s
+          case _ =>
+            val dim = flatDim(m, s)
+            require(dim == -1 || dim == mean.length,
+              s"BatchNorm1d(${mean.length}) applied to $dim features")
+            ops += ScaleShiftOp(scale, shift)
+            Flat(mean.length)
+        }
       case "LayerNorm" =>
         def vecOr(key: String, n: Int, dflt: Float): Array[Float] = m.attrs.get(key) match {
           case Some(t: Pickle.PTensor) if t.shape.length == 1 => materialize(t)
@@ -782,10 +801,11 @@ object TorchCode {
         }
       case other => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
         "(builtin torch.nn surface: Linear, Embedding, EmbeddingBag, Conv1d, " +
-        "MaxPool1d, AdaptiveMaxPool1d, AdaptiveAvgPool1d, GRU, LSTM, ReLU, " +
-        "Sigmoid, Tanh, GELU, SiLU, LeakyReLU, ELU, Hardtanh, Softplus, " +
-        "Softmax, LogSoftmax, BatchNorm1d, LayerNorm, Identity, Dropout, " +
-        "Flatten, Sequential)")
+        "Conv2d, MaxPool1d, MaxPool2d, AvgPool2d, AdaptiveMaxPool1d, " +
+        "AdaptiveAvgPool1d, AdaptiveMaxPool2d, AdaptiveAvgPool2d, GRU, LSTM, " +
+        "ReLU, Sigmoid, Tanh, GELU, SiLU, LeakyReLU, ELU, Hardtanh, Softplus, " +
+        "Softmax, LogSoftmax, BatchNorm1d, BatchNorm2d, LayerNorm, Identity, " +
+        "Dropout, Flatten, Sequential)")
     }
 
     /** Execute a parsed forward body with `self = m`, input shape `in`. */

@@ -85,6 +85,16 @@ final case class Conv2dOp(weight: Array[Float], bias: Array[Float],
   * dilation 1, floor mode; square kernel). */
 final case class MaxPool2dOp(k: Int, stride: Int) extends TorchOp
 
+/** Windowed 2-D average pool (nn.AvgPool2d, padding 0, floor mode;
+  * square kernel; torch's default stride = kernel). */
+final case class AvgPool2dOp(k: Int, stride: Int) extends TorchOp
+
+/** Per-CHANNEL affine over a channel-major tensor — eval-mode
+  * BatchNorm2d on `(ch, H, W)` or BatchNorm1d on `(ch, L)`, folded at
+  * load exactly like the flat-input [[ScaleShiftOp]]
+  * (scale = γ/√(σ²+ε), shift = β − μ·scale). */
+final case class ChannelAffineOp(scale: Array[Float], shift: Array[Float]) extends TorchOp
+
 /** Global 2-D pool `(ch, H, W)` -> `(ch)` (AdaptiveMaxPool2d(1) /
   * AdaptiveAvgPool2d(1) + flatten). */
 final case class GlobalPool2dOp(max: Boolean) extends TorchOp
@@ -235,6 +245,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           width = c.outCh
         case MaxPool1dOp(_, _) =>
           require(mode == 1, "MaxPool1d needs (n, ch, seq) input")
+        case ca: ChannelAffineOp =>
+          require(mode == 1, "BatchNorm1d on a sequence needs the (n, ch, seq) layout")
+          require(ca.scale.length == width,
+            s"BatchNorm1d(${ca.scale.length}) applied to $width channels")
         case a: SelfAttentionOp =>
           require(mode == 0, "self-attention needs the (n, seq, emb) embedding output")
           require(width == a.inDim,
@@ -301,6 +315,12 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           width = c.outCh
         case _: MaxPool2dOp =>
           require(pool < 0, "MaxPool2d after the global pool")
+        case _: AvgPool2dOp =>
+          require(pool < 0, "AvgPool2d after the global pool")
+        case ca: ChannelAffineOp =>
+          require(pool < 0, "BatchNorm2d after the global pool")
+          require(ca.scale.length == width,
+            s"BatchNorm2d(${ca.scale.length}) applied to $width channels")
         case GlobalPool2dOp(_) =>
           require(pool < 0, "second global pool")
           pool = i
@@ -482,6 +502,48 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
             d += 1
           }
           data = out; hh = oh; ww = ow
+        case AvgPool2dOp(k, stride) =>
+          require(hh >= k && ww >= k, s"AvgPool2d($k) on a ${hh}x$ww image")
+          val oh = (hh - k) / stride + 1
+          val ow = (ww - k) / stride + 1
+          val out = new Array[Float](ch * oh * ow)
+          var d = 0
+          while (d < ch) {
+            var i = 0
+            while (i < oh) {
+              var j = 0
+              while (j < ow) {
+                var acc = 0.0
+                var r = 0
+                while (r < k) {
+                  var q = 0
+                  while (q < k) {
+                    acc += data(d * hh * ww + (i * stride + r) * ww + j * stride + q)
+                    q += 1
+                  }
+                  r += 1
+                }
+                out((d * oh + i) * ow + j) = (acc / (k * k)).toFloat
+                j += 1
+              }
+              i += 1
+            }
+            d += 1
+          }
+          data = out; hh = oh; ww = ow
+        case ChannelAffineOp(scale, shift) =>
+          if (data eq px) data = px.clone()
+          val plane0 = hh * ww
+          var d = 0
+          while (d < ch) {
+            var q = 0
+            while (q < plane0) {
+              val idx = d * plane0 + q
+              data(idx) = data(idx) * scale(d) + shift(d)
+              q += 1
+            }
+            d += 1
+          }
         case ActOp(kind) =>
           if (data eq px) data = px.clone()
           applyAct(data, kind)
@@ -514,7 +576,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
 
   def forwardBatch(x: Array[Float], n: Int): Array[Float] = {
     require(embedHead.isEmpty && seqHead.isEmpty && imageHead.isEmpty,
-      "token/pixel-input model: use forwardTokensBatch / forwardImageBatch")
+      "token-input / pixel-input model: use forwardTokensBatch / forwardImageBatch")
     require(x.length == n * inDim, s"expected $n x $inDim = ${n * inDim} values, got ${x.length}")
     runOps(0, x, n, inDim)
   }
@@ -719,6 +781,18 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           }
           data = out
           cols = ff.l2.outDim
+        case ChannelAffineOp(scale, shift) =>
+          // (ch, L): per-channel affine — eval BatchNorm1d after Conv1d
+          var r = 0
+          while (r < rows) {
+            var c = 0
+            while (c < cols) {
+              val idx = r * cols + c
+              data(idx) = data(idx) * scale(r) + shift(r)
+              c += 1
+            }
+            r += 1
+          }
         case ActOp(kind) => applyAct(data, kind)
         case ParamActOp(kind, a, b) => applyParamAct(data, kind, a, b)
         case other => sys.error(s"unexpected sequence-phase op $other") // poolIdx walk forbids
@@ -891,7 +965,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: SelfAttentionOp |
           _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp |
           SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | _: RnnOp |
-          _: Conv2dOp | _: MaxPool2dOp | _: GlobalPool2dOp =>
+          _: Conv2dOp | _: MaxPool2dOp | _: AvgPool2dOp | _: GlobalPool2dOp |
+          _: ChannelAffineOp =>
         sys.error("sequence/image op past the pool") // phase walkers forbid
       case l: LinearLayer =>
         require(curDim == l.inDim, s"linear expects ${l.inDim} features, got $curDim")

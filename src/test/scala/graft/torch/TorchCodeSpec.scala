@@ -1066,6 +1066,144 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("Conv2d"), bad.getMessage)
   }
 
+  test("deep CNN archive: conv -> BatchNorm2d -> relu -> AvgPool2d -> conv -> pool -> fc") {
+    val (ic, h, w) = (1, 6, 6)
+    val cw1 = vals(2 * 1 * 2 * 2, 141); val cb1 = vals(2, 142)
+    val (bnMean, bnVar) = (vals(2, 143), vals(2, 144).map(v => 1f + math.abs(v)))
+    val (bnG, bnB) = (vals(2, 145).map(v => 1f + v * 0.2f), vals(2, 146))
+    val cw2 = vals(3 * 2 * 2 * 2, 147); val cb2 = vals(3, 148)
+    val (wf, bf) = (vals(2 * 3, 149), vals(2, 150))
+    val model = Module("__torch__.DeepCnn", Seq(
+      "training" -> B(false),
+      "c1" -> conv2d(cw1, 2, ic, 2, 2, cb1),
+      "bn" -> Module("__torch__.torch.nn.modules.batchnorm.BatchNorm2d", Seq(
+        "running_mean" -> Tensor(Seq(2), bnMean),
+        "running_var" -> Tensor(Seq(2), bnVar),
+        "weight" -> Tensor(Seq(2), bnG),
+        "bias" -> Tensor(Seq(2), bnB),
+        "eps" -> F(1e-5), "num_features" -> I(2), "training" -> B(false))),
+      "ap" -> Module("__torch__.torch.nn.modules.pooling.AvgPool2d", Seq(
+        "kernel_size" -> I(2), "stride" -> I(2), "padding" -> I(0), "training" -> B(false))),
+      "c2" -> conv2d(cw2, 3, 2, 2, 2, cb2),
+      "pool" -> Module(AdaptiveMaxPool2dCls, Seq(
+        "output_size" -> I(1), "return_indices" -> B(false), "training" -> B(false))),
+      "fc" -> linear(wf, 2, 3, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class DeepCnn(Module):
+        |  training : bool
+        |  def forward(self: __torch__.DeepCnn,
+        |    x: Tensor) -> Tensor:
+        |    c = (self.c1).forward(x, )
+        |    b = (self.bn).forward(c, )
+        |    r = torch.relu(b)
+        |    a = (self.ap).forward(r, )
+        |    c2 = (self.c2).forward(a, )
+        |    p = (self.pool).forward(c2, )
+        |    f = torch.flatten(p, 1)
+        |    return (self.fc).forward(f, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("deepcnn", "deepcnn", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("Conv2dOp", "ChannelAffineOp", "ActOp", "AvgPool2dOp",
+        "Conv2dOp", "GlobalPool2dOp", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val px = vals(ic * h * w, 151).map(v => math.abs(v) % 1.0f)
+    // f64 reference
+    def convRef(in: Array[Double], ic0: Int, h0: Int, w0: Int,
+        cw: Array[Float], cb: Array[Float], oc: Int): (Array[Double], Int, Int) = {
+      val (oh, ow) = (h0 - 1, w0 - 1)
+      val out = new Array[Double](oc * oh * ow)
+      for (o <- 0 until oc; i <- 0 until oh; j <- 0 until ow) {
+        var acc: Double = cb(o)
+        for (d <- 0 until ic0; r <- 0 until 2; q <- 0 until 2)
+          acc += cw(((o * ic0 + d) * 2 + r) * 2 + q) * in(d * h0 * w0 + (i + r) * w0 + (j + q))
+        out((o * oh + i) * ow + j) = acc
+      }
+      (out, oh, ow)
+    }
+    val (c1o, h1, w1) = convRef(px.map(_.toDouble), ic, h, w, cw1, cb1, 2)
+    // folded BN (f32 scale/shift, like the engine) then relu
+    val scale = Array.tabulate(2)(i => (bnG(i) / math.sqrt(bnVar(i).toDouble + 1e-5)).toFloat)
+    val shift = Array.tabulate(2)(i => bnB(i) - bnMean(i) * scale(i))
+    val bno = Array.tabulate(c1o.length)(i =>
+      math.max(0.0, c1o(i) * scale(i / (h1 * w1)) + shift(i / (h1 * w1))))
+    // 2x2/2 avg pool
+    val (h2, w2) = (h1 / 2, w1 / 2)
+    val ap = new Array[Double](2 * h2 * w2)
+    for (d <- 0 until 2; i <- 0 until h2; j <- 0 until w2)
+      ap((d * h2 + i) * w2 + j) = (bno(d * h1 * w1 + (2 * i) * w1 + 2 * j) +
+        bno(d * h1 * w1 + (2 * i) * w1 + 2 * j + 1) +
+        bno(d * h1 * w1 + (2 * i + 1) * w1 + 2 * j) +
+        bno(d * h1 * w1 + (2 * i + 1) * w1 + 2 * j + 1)) / 4.0
+    val (c2o, h3, w3) = convRef(ap, 2, h2, w2, cw2, cb2, 3)
+    val pooled = Array.tabulate(3)(o =>
+      (0 until h3 * w3).map(q => c2o(o * h3 * w3 + q)).max)
+    val expected = mm(pooled, wf, bf, 2, 3)
+    val got = m.forwardImageBatch(Array(px), ic, h, w)
+    for (j <- 0 until 2) assert(math.abs(got(j) - expected(j)) < 1e-4,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+  }
+
+  test("two stacked encoder blocks chain through the op list") {
+    // block = 1-head attention + residual + LN + FFN + residual + LN;
+    // stacking twice must trace to the doubled op sequence and execute
+    val (vocab, d) = (6, 4)
+    val ew = vals(vocab * d, 161)
+    def lnMod(g: Array[Float], b: Array[Float]) = Module(
+      "__torch__.torch.nn.modules.normalization.LayerNorm", Seq(
+        "weight" -> Tensor(Seq(d), g), "bias" -> Tensor(Seq(d), b),
+        "eps" -> F(1e-5), "training" -> B(false)))
+    def blockAttrs(k: Int): Seq[(String, V)] = Seq(
+      s"q$k" -> linear(vals(d * d, 162 + 10 * k), d, d, vals(d, 163 + 10 * k)),
+      s"k$k" -> linear(vals(d * d, 164 + 10 * k), d, d, vals(d, 165 + 10 * k)),
+      s"v$k" -> linear(vals(d * d, 166 + 10 * k), d, d, vals(d, 167 + 10 * k)),
+      s"ln$k" -> lnMod(vals(d, 168 + 10 * k).map(v => 1f + v * 0.1f), vals(d, 169 + 10 * k)),
+      s"f1$k" -> linear(vals(8 * d, 170 + 10 * k), 8, d, vals(8, 171 + 10 * k)),
+      s"f2$k" -> linear(vals(d * 8, 172 + 10 * k), d, 8, vals(d, 173 + 10 * k)),
+      s"lm$k" -> lnMod(vals(d, 174 + 10 * k).map(v => 1f + v * 0.1f), vals(d, 175 + 10 * k)))
+    val model = Module("__torch__.Enc2", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, d), ew),
+        "padding_idx" -> NoneV, "training" -> B(false)))) ++
+      blockAttrs(0) ++ blockAttrs(1) ++ Seq(
+      "fc" -> linear(vals(3 * d, 190), 3, d, vals(3, 191))))
+    def blockCode(k: Int, in: String, out: String): String =
+      s"""    q$k = (self.q$k).forward($in, )
+         |    k$k = torch.transpose((self.k$k).forward($in, ), -2, -1)
+         |    s$k = torch.div(torch.matmul(q$k, k$k), 2.)
+         |    o$k = torch.matmul(torch.softmax(s$k, -1), (self.v$k).forward($in, ))
+         |    r$k = torch.add($in, o$k)
+         |    n$k = (self.ln$k).forward(r$k, )
+         |    g$k = torch.relu((self.f1$k).forward(n$k, ))
+         |    h$k = (self.f2$k).forward(g$k, )
+         |    t$k = torch.add(n$k, h$k)
+         |    $out = (self.lm$k).forward(t$k, )""".stripMargin
+    val code = Map("code/__torch__.py" ->
+      s"""class Enc2(Module):
+         |  training : bool
+         |  def forward(self: __torch__.Enc2,
+         |    x: Tensor) -> Tensor:
+         |    e = (self.emb).forward(x, )
+         |${blockCode(0, "e", "e0")}
+         |${blockCode(1, "e0", "e1")}
+         |    p = torch.mean(e1, [1], False, None)
+         |    return (self.fc).forward(p, )
+         |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("enc2", "enc2", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp",
+        "EncoderAttnOp", "SeqLayerNormOp", "PosFfnOp", "SeqLayerNormOp",
+        "EncoderAttnOp", "SeqLayerNormOp", "PosFfnOp", "SeqLayerNormOp",
+        "SeqMeanPoolOp$", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val out = m.forwardTokens(Array(3, 0, 5, 2))
+    assert(out.length == 3 && !out.exists(v => v.isNaN || v.isInfinite))
+    // batch path bit-equal to single-row
+    val batch = m.forwardTokensBatch(Array(Array(3, 0, 5, 2), Array(1)))
+    for (j <- 0 until 3) assert(batch(j) == out(j))
+  }
+
   test("iris.spt traces through its serialized code: shared relu between linears") {
     val m = TorchScriptModel.load("/root/reference/model/iris.spt")
     // execution order from code/__torch__.py, NOT registration order
