@@ -1627,6 +1627,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
+    // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
+    // modern SQL spelling of grouped top-k; Catalyst decorrelates it
+    // (DomainJoin rewrite), no per-row re-execution.
+    "q130_lateral_topk" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("g130_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g130_orders")
+      s.sql(
+        """SELECT c_custkey, o.okey, o.price FROM g130_customer c JOIN LATERAL (
+          |  SELECT o_orderkey AS okey, o_totalprice AS price FROM g130_orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+          |ORDER BY c_custkey, price DESC, okey""".stripMargin)
+    },
+
     // Asymmetric containment dedup: C(a->b) = |S(a) ∩ S(b)| / |S(a)|
     // over 3-gram shingles — catches excerpts/prefixes that symmetric
     // Jaccard structurally misses (a half-doc inside its source has
@@ -3270,6 +3285,14 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
+
+    // DuckDB's comma-LATERAL spelling of the same per-customer top-3.
+    "q130_lateral_topk" ->
+      """SELECT c_custkey, o.okey, o.price FROM customer c, LATERAL (
+        |  SELECT o_orderkey AS okey, o_totalprice AS price FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        |ORDER BY c_custkey, price DESC, okey""".stripMargin,
 
     // The q21 shingle CTEs plus the planted prefixes, with the ratio
     // asymmetric (i / |S(contained)|) and both directions emitted.
