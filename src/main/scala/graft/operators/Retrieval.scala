@@ -114,6 +114,7 @@ object Retrieval {
       outCol: String = "bm25",
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "withBm25Frozen: empty terms")
     require(stats.dfs.length == terms.length, "stats/terms length mismatch")
     val toksCol = call_function("regexp_extract_all", col(textCol),
       lit(graft.Tok.Pattern), lit(0))

@@ -148,6 +148,36 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming audio features at ingest == batch decode on the same payloads") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic PCM16 payloads (q126's generator shape), one junk row
+    def wav(id: Long): Array[Byte] =
+      if (id == 7L) "not a wav".getBytes
+      else graft.operators.Audio.writeWavPcm16(8000,
+        Array(Array.tabulate(200 + (id % 3).toInt * 40)(i =>
+          (((id * 31 + i.toLong * 7) % 4096) - 2048).toShort)))
+    val rows = (0L until 30L).map(id => (id, wav(id)))
+    val batch = graft.operators.Audio.withWavFeatures(
+        rows.toDF("id", "wav"), "wav", "af")
+      .select(col("id"), col("af.rms"), col("af.zero_cross"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getDouble(1), r.getInt(2)))).toMap
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = graft.operators.Audio.withWavFeatures(
+        mem.toDF().toDF("id", "wav"), "wav", "af")
+      .select(col("id"), col("af.rms"), col("af.zero_cross"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wav_out").start()
+    try {
+      for (chunk <- rows.grouped(10)) { mem.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("wav_out").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getDouble(1), r.getInt(2)))).toMap
+      assert(streamed == batch) // bit-for-bit, junk row null on both sides
+      assert(streamed(7L) == null && streamed.count(_._2 != null) == 29)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates across micro-batches == batch MinHash-LSH pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
