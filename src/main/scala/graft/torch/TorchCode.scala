@@ -305,6 +305,12 @@ object TorchCode {
     /** `(n, ch, H, W)` image tensor (Conv2d's layout; H/W stay free —
       * the vision-classifier phase). */
     final case class ChanHW(ch: Int) extends Sym
+    /** A HELD image-phase pipeline (convs / channel affines /
+      * activations accumulated since the last live tensor): fused into
+      * [[ResBlock2dOp]] when a residual `torch.add(x, ·)` closes it,
+      * or materialized op-by-op on any plain consumption (pooling,
+      * a non-shape-preserving stage). */
+    final case class ImgPipe(stages: Vector[TorchOp], inCh: Int, outCh: Int) extends Sym
     /** `(n, ch, 1)` pooled but unflattened (AdaptiveMaxPool1d(1)
       * output); flatten/squeeze converts to Flat(ch). */
     final case class Pooled(ch: Int) extends Sym
@@ -361,7 +367,7 @@ object TorchCode {
 
     def trace(root: ModuleNode, in: Sym): Sym = applyModule(root, in)
 
-    /** Materialize a held attention/FFN sym into the op list (no
+    /** Materialize a held attention/FFN/image sym into the op list (no
       * residual, no further fusion); other syms pass through. */
     private def forceSeq(sy: Sym): Sym = sy match {
       case AttnOut(Vector(h), None) => ops += h; SeqEmb(h.dim)
@@ -371,7 +377,24 @@ object TorchCode {
       case f: FfnOut =>
         val op = PosFfnOp(f.l1, f.act, f.l2, residual = false)
         ops += op; SeqEmb(f.l2.outDim)
+      case ip: ImgPipe =>
+        ops ++= ip.stages; ChanHW(ip.outCh)
       case other => other
+    }
+
+    /** An elementwise activation applied to whatever shape is live:
+      * extends a held image pipe, turns a held sequence projection into
+      * the FFN's first half (ActOp kinds only), otherwise materializes
+      * and emits. */
+    private def elemAct(op: TorchOp, s: Sym): Sym = (op, s) match {
+      case (_, ip: ImgPipe) => ip.copy(stages = ip.stages :+ op)
+      case (ActOp(kind), p: SeqProj) => FfnMid(p.l, kind) // held: FFN first half
+      case (_, p: SeqProj) => sys.error(
+        s"parameterized activation on a held sequence projection unsupported")
+      case _ =>
+        val sy = forceSeq(s)
+        ops += op
+        sy
     }
 
     /** Apply a module to the symbolic tensor; returns the output shape. */
@@ -532,20 +555,11 @@ object TorchCode {
         ops += Conv1dOp(materialize(w), bias, outCh, inCh, k, stride)
         ChanSeq(outCh)
       case "Conv2d" =>
-        // pixel input: the FIRST conv consumes the raw (n, ch, H, W)
-        // image (symbolic input binds to the declared in_channels)
-        val inSym = s match {
-          case Flat(-1) => ChanHW(-1) // raw model input: image head
-          case c: ChanHW => c
-          case other => sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
-        }
         val w = m.attrs.get("weight") match {
           case Some(t: Pickle.PTensor) if t.shape.length == 4 => t
           case other => sys.error(s"${m.fqName}: missing 4-D tensor 'weight' (got $other)")
         }
         val (outCh, inCh, kh, kw) = (w.shape(0), w.shape(1), w.shape(2), w.shape(3))
-        require(inSym.ch == -1 || inSym.ch == inCh,
-          s"Conv2d(in=$inCh) applied to ${inSym.ch} channels")
         require(sizeAttr(m, "groups", 1) == 1, s"${m.fqName}: grouped conv unsupported")
         def pair(key: String, dflt: Long): (Long, Long) = m.attrs.get(key) match {
           case Some(Pickle.PTuple(Vector(Pickle.PInt(a), Pickle.PInt(b)))) => (a, b)
@@ -553,11 +567,16 @@ object TorchCode {
           case Some(n: Long) => (n, n)
           case Some(Pickle.PInt(n)) => (n, n)
           case Some("valid") | Some(Pickle.PStr("valid")) if key == "padding" => (0L, 0L)
+          case Some("same") | Some(Pickle.PStr("same")) if key == "padding" =>
+            require(kh == kw && kh % 2 == 1,
+              s"${m.fqName}: padding='same' needs a square odd kernel (got ${kh}x$kw)")
+            ((kh - 1) / 2L, (kw - 1) / 2L)
           case Some(null) | None => (dflt, dflt)
           case Some(other) => sys.error(s"${m.fqName}: bad $key $other")
         }
-        require(pair("padding", 0) == ((0L, 0L)),
-          s"${m.fqName}: padding ${pair("padding", 0)} unsupported (0 only)")
+        val (ph, pw) = pair("padding", 0)
+        require(ph == pw && ph >= 0,
+          s"${m.fqName}: padding ($ph, $pw) unsupported (symmetric only)")
         require(pair("dilation", 1) == ((1L, 1L)), s"${m.fqName}: dilation unsupported")
         val (sh, sw) = pair("stride", 1)
         require(sh == sw && sh >= 1, s"${m.fqName}: stride ($sh, $sw) unsupported (square only)")
@@ -569,10 +588,25 @@ object TorchCode {
           case Some(null) | Some(Pickle.PNone) | None => new Array[Float](outCh)
           case other => sys.error(s"${m.fqName}: bad conv bias $other")
         }
-        ops += Conv2dOp(materialize(w), bias, outCh, inCh, kh, kw, sh.toInt)
-        ChanHW(outCh)
-      case "MaxPool2d" | "AvgPool2d" =>
+        val op = Conv2dOp(materialize(w), bias, outCh, inCh, kh, kw, sh.toInt, ph.toInt)
         s match {
+          case Flat(-1) =>
+            // raw model input: the stem conv binds the (n, ch, H, W)
+            // image layout and emits eagerly
+            ops += op
+            ChanHW(outCh)
+          case ChanHW(c) =>
+            // a conv past the stem STARTS a held pipe — a residual add
+            // may still close it into a ResBlock2dOp
+            require(c == inCh, s"Conv2d(in=$inCh) applied to $c channels")
+            ImgPipe(Vector(op), c, outCh)
+          case ip: ImgPipe =>
+            require(ip.outCh == inCh, s"Conv2d(in=$inCh) applied to ${ip.outCh} channels")
+            ImgPipe(ip.stages :+ op, ip.inCh, outCh)
+          case other => sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
+        }
+      case "MaxPool2d" | "AvgPool2d" =>
+        forceSeq(s) match {
           case c: ChanHW =>
             val k = sizeAttr(m, "kernel_size", -1).toInt
             require(k >= 1, s"${m.fqName}: kernel_size missing (square kernels only)")
@@ -585,7 +619,7 @@ object TorchCode {
           case other => sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
         }
       case "AdaptiveMaxPool2d" | "AdaptiveAvgPool2d" =>
-        s match {
+        forceSeq(s) match {
           case ChanHW(c) =>
             val outSize = m.attrs.get("output_size") match {
               case Some(Pickle.PTuple(Vector(Pickle.PInt(a), Pickle.PInt(b)))) => (a, b)
@@ -626,22 +660,20 @@ object TorchCode {
             Pooled(c)
           case other => sys.error(s"${m.fqName} needs (n, ch, seq) input, got $other")
         }
-      case "ReLU" => ops += ActOp("relu"); s
-      case "Sigmoid" => ops += ActOp("sigmoid"); s
-      case "Tanh" => ops += ActOp("tanh"); s
-      case "GELU" => ops += ActOp("gelu"); s
-      case "SiLU" => ops += ActOp("silu"); s
+      case "ReLU" => elemAct(ActOp("relu"), s)
+      case "Sigmoid" => elemAct(ActOp("sigmoid"), s)
+      case "Tanh" => elemAct(ActOp("tanh"), s)
+      case "GELU" => elemAct(ActOp("gelu"), s)
+      case "SiLU" => elemAct(ActOp("silu"), s)
       case "LeakyReLU" =>
-        ops += ParamActOp("leaky_relu", floatAttr(m, "negative_slope", 0.01), 0); s
-      case "ELU" => ops += ParamActOp("elu", floatAttr(m, "alpha", 1.0), 0); s
+        elemAct(ParamActOp("leaky_relu", floatAttr(m, "negative_slope", 0.01), 0), s)
+      case "ELU" => elemAct(ParamActOp("elu", floatAttr(m, "alpha", 1.0), 0), s)
       case "Hardtanh" =>
-        ops += ParamActOp("hardtanh",
-          floatAttr(m, "min_val", -1.0), floatAttr(m, "max_val", 1.0))
-        s
+        elemAct(ParamActOp("hardtanh",
+          floatAttr(m, "min_val", -1.0), floatAttr(m, "max_val", 1.0)), s)
       case "Softplus" =>
-        ops += ParamActOp("softplus",
-          floatAttr(m, "beta", 1.0), floatAttr(m, "threshold", 20.0))
-        s
+        elemAct(ParamActOp("softplus",
+          floatAttr(m, "beta", 1.0), floatAttr(m, "threshold", 20.0)), s)
       case "BatchNorm1d" | "BatchNorm2d" =>
         // eval-mode BN is a per-feature (or per-channel) affine; fold
         // it at load time
@@ -670,6 +702,10 @@ object TorchCode {
               s"BatchNorm2d(${mean.length}) applied to $c channels")
             ops += ChannelAffineOp(scale, shift)
             s
+          case ("BatchNorm2d", ip: ImgPipe) =>
+            require(ip.outCh == mean.length,
+              s"BatchNorm2d(${mean.length}) applied to ${ip.outCh} channels")
+            ip.copy(stages = ip.stages :+ ChannelAffineOp(scale, shift))
           case ("BatchNorm2d", other) =>
             sys.error(s"${m.fqName} needs (n, ch, H, W) input, got $other")
           case ("BatchNorm1d", ChanSeq(c)) =>
@@ -851,11 +887,9 @@ object TorchCode {
             // evaluate the tensor arg FIRST: its sub-calls (e.g. the
             // nested Linear forward) must emit their ops before this one
             case "relu" | "sigmoid" | "tanh" | "gelu" | "silu" =>
-              tensorArg match {
-                case p: SeqProj => FfnMid(p.l, fn) // held: FFN first half
-                case sy0 => // elementwise on any materialized shape
-                  val sy = forceSeq(sy0); ops += ActOp(fn); sy
-              }
+              // extends a held image pipe / starts a held FFN half /
+              // materializes-and-emits, per the live shape
+              elemAct(ActOp(fn), tensorArg)
             case "softmax" | "log_softmax" =>
               tensorArg match {
                 case sc: AttnScores =>
@@ -942,6 +976,14 @@ object TorchCode {
                       s"FFN ${f.l1.inDim}->${f.l2.outDim} in: $line")
                   ops += PosFfnOp(f.l1, f.act, f.l2, residual = true)
                   SeqEmb(d)
+                case (ChanHW(c), ip: ImgPipe) =>
+                  // the ResNet basic block: x + stages(x); shape
+                  // preservation validated by the op's constructor
+                  require(ip.inCh == c && ip.outCh == c,
+                    s"TorchScript code: residual over $c channels vs pipe " +
+                      s"${ip.inCh}->${ip.outCh} in: $line")
+                  ops += ResBlock2dOp(ip.stages)
+                  ChanHW(c)
                 case _ => null
               }
               val fused = (x, y) match {

@@ -74,12 +74,54 @@ final case class MaxPool1dOp(k: Int, stride: Int) extends TorchOp
 /** 2-D convolution over `(inCh, H, W)` — the vision-classifier head
   * (the model consumes a PIXEL input instead of token ids; see
   * `TorchScriptModel.forwardImageBatch`). Weight row-major
-  * `(outCh, inCh, kh, kw)`, valid padding, stride >= 1, no
-  * dilation/groups. Output `(outCh, (H-kh)/s+1, (W-kw)/s+1)`; an input
-  * smaller than the kernel fails loudly, exactly torch's output-size
-  * check. f64 accumulation, one f32 rounding per output value. */
+  * `(outCh, inCh, kh, kw)`, symmetric zero padding `pad` (0 = valid;
+  * `2·pad == k−1` with stride 1 = torch's `padding='same'` for odd
+  * kernels — the shape-preserving ResNet-block form), stride >= 1, no
+  * dilation/groups. Output `(outCh, (H+2p−kh)/s+1, (W+2p−kw)/s+1)`; an
+  * input smaller than the effective kernel fails loudly, exactly
+  * torch's output-size check. f64 accumulation, one f32 rounding per
+  * output value. */
 final case class Conv2dOp(weight: Array[Float], bias: Array[Float],
-    outCh: Int, inCh: Int, kh: Int, kw: Int, stride: Int) extends TorchOp
+    outCh: Int, inCh: Int, kh: Int, kw: Int, stride: Int, pad: Int = 0) extends TorchOp {
+  require(pad >= 0, s"negative padding $pad")
+  /** Does this conv map (H, W) to itself? (same padding, unit stride) */
+  def shapePreserving: Boolean = stride == 1 && 2 * pad == kh - 1 && kh == kw
+}
+
+/** A fused residual block over the `(ch, H, W)` image phase:
+  * `y = x + stages(x)` — the ResNet basic-block pattern
+  * (conv→BN→relu→conv→BN + identity shortcut). Every stage must
+  * preserve shape (same-padded unit-stride convs, channel affines,
+  * activations) and the block must map its channel count to itself, so
+  * the elementwise add is well-formed at ANY input size. The stages
+  * run through the normal per-op executor (each rounding to f32 at its
+  * boundary, exactly as they would unfused); the residual add is one
+  * more f32 add. */
+final case class ResBlock2dOp(stages: IndexedSeq[TorchOp]) extends TorchOp {
+  require(stages.nonEmpty, "empty residual block")
+  val ch: Int = stages.collectFirst { case c: Conv2dOp => c.inCh }
+    .getOrElse(sys.error("residual block with no convolution"))
+  locally {
+    var width = ch
+    for (s <- stages) s match {
+      case c: Conv2dOp =>
+        require(c.shapePreserving,
+          s"residual-block conv must preserve shape (k=${c.kh}, pad=${c.pad}, " +
+            s"stride=${c.stride})")
+        require(c.inCh == width, s"conv(in=${c.inCh}) applied to $width channels")
+        width = c.outCh
+      case ca: ChannelAffineOp =>
+        require(ca.scale.length == width,
+          s"BatchNorm2d(${ca.scale.length}) applied to $width channels")
+      case _: ActOp | _: ParamActOp => // elementwise
+      case other => sys.error(
+        s"${other.getClass.getSimpleName} cannot appear inside a residual block")
+    }
+    require(width == ch,
+      s"residual block must map $ch channels to itself (got $width); " +
+        "projection shortcuts are out of surface")
+  }
+}
 
 /** Windowed 2-D max pool over `(ch, H, W)` (nn.MaxPool2d, padding 0,
   * dilation 1, floor mode; square kernel). */
@@ -317,6 +359,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(pool < 0, "MaxPool2d after the global pool")
         case _: AvgPool2dOp =>
           require(pool < 0, "AvgPool2d after the global pool")
+        case rb: ResBlock2dOp =>
+          require(pool < 0, "residual block after the global pool")
+          require(rb.ch == width,
+            s"residual block over ${rb.ch} channels applied to $width")
         case ca: ChannelAffineOp =>
           require(pool < 0, "BatchNorm2d after the global pool")
           require(ca.scale.length == width,
@@ -439,118 +485,25 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     var oi = 0
     while (oi < imgPoolIdx) {
       ops(oi) match {
-        case cv: Conv2dOp =>
-          require(hh >= cv.kh && ww >= cv.kw,
-            s"Conv2d(${cv.kh}x${cv.kw}) on a ${hh}x$ww image (too small)")
-          val oh = (hh - cv.kh) / cv.stride + 1
-          val ow = (ww - cv.kw) / cv.stride + 1
-          val out = new Array[Float](cv.outCh * oh * ow)
-          var oc = 0
-          while (oc < cv.outCh) {
-            var i = 0
-            while (i < oh) {
-              var j = 0
-              while (j < ow) {
-                var acc: Double = cv.bias(oc)
-                var d = 0
-                while (d < cv.inCh) {
-                  var r = 0
-                  while (r < cv.kh) {
-                    val wOff = ((oc * cv.inCh + d) * cv.kh + r) * cv.kw
-                    val xOff = d * hh * ww + (i * cv.stride + r) * ww + j * cv.stride
-                    var q = 0
-                    while (q < cv.kw) { acc += cv.weight(wOff + q) * data(xOff + q); q += 1 }
-                    r += 1
-                  }
-                  d += 1
-                }
-                out((oc * oh + i) * ow + j) = acc.toFloat
-                j += 1
-              }
-              i += 1
-            }
-            oc += 1
+        case blk: ResBlock2dOp =>
+          // run the stages through the same per-op executor, then add
+          // the block input elementwise (shapes equal by construction)
+          var sData = data
+          var sCh = ch
+          var sH = hh
+          var sW = ww
+          for (st <- blk.stages) {
+            val r = applyImageOp(st, sData, sCh, sH, sW, borrowed = sData eq data)
+            sData = r._1; sCh = r._2; sH = r._3; sW = r._4
           }
-          data = out; ch = cv.outCh; hh = oh; ww = ow
-        case MaxPool2dOp(k, stride) =>
-          require(hh >= k && ww >= k, s"MaxPool2d($k) on a ${hh}x$ww image")
-          val oh = (hh - k) / stride + 1
-          val ow = (ww - k) / stride + 1
-          val out = new Array[Float](ch * oh * ow)
-          var d = 0
-          while (d < ch) {
-            var i = 0
-            while (i < oh) {
-              var j = 0
-              while (j < ow) {
-                var mx = Float.NegativeInfinity
-                var r = 0
-                while (r < k) {
-                  var q = 0
-                  while (q < k) {
-                    val v = data(d * hh * ww + (i * stride + r) * ww + j * stride + q)
-                    if (v > mx) mx = v
-                    q += 1
-                  }
-                  r += 1
-                }
-                out((d * oh + i) * ow + j) = mx
-                j += 1
-              }
-              i += 1
-            }
-            d += 1
-          }
-          data = out; hh = oh; ww = ow
-        case AvgPool2dOp(k, stride) =>
-          require(hh >= k && ww >= k, s"AvgPool2d($k) on a ${hh}x$ww image")
-          val oh = (hh - k) / stride + 1
-          val ow = (ww - k) / stride + 1
-          val out = new Array[Float](ch * oh * ow)
-          var d = 0
-          while (d < ch) {
-            var i = 0
-            while (i < oh) {
-              var j = 0
-              while (j < ow) {
-                var acc = 0.0
-                var r = 0
-                while (r < k) {
-                  var q = 0
-                  while (q < k) {
-                    acc += data(d * hh * ww + (i * stride + r) * ww + j * stride + q)
-                    q += 1
-                  }
-                  r += 1
-                }
-                out((d * oh + i) * ow + j) = (acc / (k * k)).toFloat
-                j += 1
-              }
-              i += 1
-            }
-            d += 1
-          }
-          data = out; hh = oh; ww = ow
-        case ChannelAffineOp(scale, shift) =>
-          if (data eq px) data = px.clone()
-          val plane0 = hh * ww
-          var d = 0
-          while (d < ch) {
-            var q = 0
-            while (q < plane0) {
-              val idx = d * plane0 + q
-              data(idx) = data(idx) * scale(d) + shift(d)
-              q += 1
-            }
-            d += 1
-          }
-        case ActOp(kind) =>
-          if (data eq px) data = px.clone()
-          applyAct(data, kind)
-        case ParamActOp(kind, a, b) =>
-          if (data eq px) data = px.clone()
-          applyParamAct(data, kind, a, b)
-        case other => sys.error(s"unexpected image-phase op $other") // walker forbids
+          require(sCh == ch && sH == hh && sW == ww, "residual shape drift") // ctor forbids
+          val out = new Array[Float](data.length)
+          var i = 0
+          while (i < out.length) { out(i) = data(i) + sData(i); i += 1 }
+          data = out
+        case op =>
+          val r = applyImageOp(op, data, ch, hh, ww, borrowed = data eq px)
+          data = r._1; ch = r._2; hh = r._3; ww = r._4
       }
       oi += 1
     }
@@ -571,6 +524,139 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           }
         }
       case other => sys.error(s"unexpected image pool op $other")
+    }
+  }
+
+  /** One image-phase op over a `(ch, H, W)` channel-major tensor.
+    * `borrowed` = the buffer belongs to the caller (the raw input or a
+    * residual block\'s shared input) and must be copied before any
+    * in-place mutation. Returns (data, ch, H, W). */
+  private def applyImageOp(op: TorchOp, in: Array[Float], ch: Int, hh: Int, ww: Int,
+      borrowed: Boolean): (Array[Float], Int, Int, Int) = {
+    var data = in
+    op match {
+      case cv: Conv2dOp =>
+        require(hh + 2 * cv.pad >= cv.kh && ww + 2 * cv.pad >= cv.kw,
+          s"Conv2d(${cv.kh}x${cv.kw}, pad=${cv.pad}) on a ${hh}x$ww image (too small)")
+        val oh = (hh + 2 * cv.pad - cv.kh) / cv.stride + 1
+        val ow = (ww + 2 * cv.pad - cv.kw) / cv.stride + 1
+        val out = new Array[Float](cv.outCh * oh * ow)
+        var oc = 0
+        while (oc < cv.outCh) {
+          var i = 0
+          while (i < oh) {
+            var j = 0
+            while (j < ow) {
+              var acc: Double = cv.bias(oc)
+              var d = 0
+              while (d < cv.inCh) {
+                var r = 0
+                while (r < cv.kh) {
+                  val y = i * cv.stride + r - cv.pad
+                  if (y >= 0 && y < hh) {
+                    val wOff = ((oc * cv.inCh + d) * cv.kh + r) * cv.kw
+                    var q = 0
+                    while (q < cv.kw) {
+                      val x = j * cv.stride + q - cv.pad
+                      if (x >= 0 && x < ww)
+                        acc += cv.weight(wOff + q) * data(d * hh * ww + y * ww + x)
+                      q += 1
+                    }
+                  }
+                  r += 1
+                }
+                d += 1
+              }
+              out((oc * oh + i) * ow + j) = acc.toFloat
+              j += 1
+            }
+            i += 1
+          }
+          oc += 1
+        }
+        (out, cv.outCh, oh, ow)
+      case MaxPool2dOp(k, stride) =>
+        require(hh >= k && ww >= k, s"MaxPool2d($k) on a ${hh}x$ww image")
+        val oh = (hh - k) / stride + 1
+        val ow = (ww - k) / stride + 1
+        val out = new Array[Float](ch * oh * ow)
+        var d = 0
+        while (d < ch) {
+          var i = 0
+          while (i < oh) {
+            var j = 0
+            while (j < ow) {
+              var mx = Float.NegativeInfinity
+              var r = 0
+              while (r < k) {
+                var q = 0
+                while (q < k) {
+                  val v = data(d * hh * ww + (i * stride + r) * ww + j * stride + q)
+                  if (v > mx) mx = v
+                  q += 1
+                }
+                r += 1
+              }
+              out((d * oh + i) * ow + j) = mx
+              j += 1
+            }
+            i += 1
+          }
+          d += 1
+        }
+        (out, ch, oh, ow)
+      case AvgPool2dOp(k, stride) =>
+        require(hh >= k && ww >= k, s"AvgPool2d($k) on a ${hh}x$ww image")
+        val oh = (hh - k) / stride + 1
+        val ow = (ww - k) / stride + 1
+        val out = new Array[Float](ch * oh * ow)
+        var d = 0
+        while (d < ch) {
+          var i = 0
+          while (i < oh) {
+            var j = 0
+            while (j < ow) {
+              var acc = 0.0
+              var r = 0
+              while (r < k) {
+                var q = 0
+                while (q < k) {
+                  acc += data(d * hh * ww + (i * stride + r) * ww + j * stride + q)
+                  q += 1
+                }
+                r += 1
+              }
+              out((d * oh + i) * ow + j) = (acc / (k * k)).toFloat
+              j += 1
+            }
+            i += 1
+          }
+          d += 1
+        }
+        (out, ch, oh, ow)
+      case ChannelAffineOp(scale, shift) =>
+        if (borrowed) data = in.clone()
+        val plane0 = hh * ww
+        var d = 0
+        while (d < ch) {
+          var q = 0
+          while (q < plane0) {
+            val idx = d * plane0 + q
+            data(idx) = data(idx) * scale(d) + shift(d)
+            q += 1
+          }
+          d += 1
+        }
+        (data, ch, hh, ww)
+      case ActOp(kind) =>
+        if (borrowed) data = in.clone()
+        applyAct(data, kind)
+        (data, ch, hh, ww)
+      case ParamActOp(kind, a, b) =>
+        if (borrowed) data = in.clone()
+        applyParamAct(data, kind, a, b)
+        (data, ch, hh, ww)
+      case other => sys.error(s"unexpected image-phase op $other") // walker forbids
     }
   }
 
@@ -966,7 +1052,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp |
           SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | _: RnnOp |
           _: Conv2dOp | _: MaxPool2dOp | _: AvgPool2dOp | _: GlobalPool2dOp |
-          _: ChannelAffineOp =>
+          _: ChannelAffineOp | _: ResBlock2dOp =>
         sys.error("sequence/image op past the pool") // phase walkers forbid
       case l: LinearLayer =>
         require(curDim == l.inDim, s"linear expects ${l.inDim} features, got $curDim")

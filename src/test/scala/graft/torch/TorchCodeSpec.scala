@@ -1144,6 +1144,116 @@ class TorchCodeSpec extends AnyFunSuite {
       s"logit $j: ${got(j)} vs ${expected(j)}")
   }
 
+  test("ResNet basic block: same-padded convs + BN fused into ResBlock2dOp, golden vs f64") {
+    // stem Conv2d(1->3, k3, pad 1) -> relu -> [conv3x3 -> BN -> relu ->
+    // conv3x3 -> BN] + identity -> relu -> global avg pool -> fc
+    val (h, w) = (5, 5)
+    val sw = vals(3 * 1 * 3 * 3, 201); val sb = vals(3, 202)
+    val c1w = vals(3 * 3 * 3 * 3, 203); val c1b = vals(3, 204)
+    val (m1, v1) = (vals(3, 205), vals(3, 206).map(v => 1f + math.abs(v)))
+    val (g1, be1) = (vals(3, 207).map(v => 1f + v * 0.2f), vals(3, 208))
+    val c2w = vals(3 * 3 * 3 * 3, 209); val c2b = vals(3, 210)
+    val (m2, v2) = (vals(3, 211), vals(3, 212).map(v => 1f + math.abs(v)))
+    val (g2, be2) = (vals(3, 213).map(v => 1f + v * 0.2f), vals(3, 214))
+    val (wf, bf) = (vals(2 * 3, 215), vals(2, 216))
+    def bn(mean: Array[Float], vr: Array[Float], g: Array[Float], b: Array[Float]) =
+      Module("__torch__.torch.nn.modules.batchnorm.BatchNorm2d", Seq(
+        "running_mean" -> Tensor(Seq(3), mean), "running_var" -> Tensor(Seq(3), vr),
+        "weight" -> Tensor(Seq(3), g), "bias" -> Tensor(Seq(3), b),
+        "eps" -> F(1e-5), "num_features" -> I(3), "training" -> B(false)))
+    val model = Module("__torch__.ResNetTiny", Seq(
+      "training" -> B(false),
+      "stem" -> conv2d(sw, 3, 1, 3, 3, sb, padding = 1),
+      "c1" -> conv2d(c1w, 3, 3, 3, 3, c1b, padding = 1),
+      "bn1" -> bn(m1, v1, g1, be1),
+      "c2" -> conv2d(c2w, 3, 3, 3, 3, c2b, padding = 1),
+      "bn2" -> bn(m2, v2, g2, be2),
+      "pool" -> Module("__torch__.torch.nn.modules.pooling.AdaptiveAvgPool2d", Seq(
+        "output_size" -> I(1), "training" -> B(false))),
+      "fc" -> linear(wf, 2, 3, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class ResNetTiny(Module):
+        |  training : bool
+        |  def forward(self: __torch__.ResNetTiny,
+        |    x: Tensor) -> Tensor:
+        |    s = torch.relu((self.stem).forward(x, ))
+        |    c1 = (self.c1).forward(s, )
+        |    b1 = (self.bn1).forward(c1, )
+        |    r1 = torch.relu(b1)
+        |    c2 = (self.c2).forward(r1, )
+        |    b2 = (self.bn2).forward(c2, )
+        |    y = torch.add(s, b2)
+        |    y0 = torch.relu(y)
+        |    p = (self.pool).forward(y0, )
+        |    f = torch.flatten(p, 1)
+        |    return (self.fc).forward(f, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("resnet", "resnet", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("Conv2dOp", "ActOp", "ResBlock2dOp", "ActOp",
+        "GlobalPool2dOp", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val blk = m.ops(2).asInstanceOf[ResBlock2dOp]
+    assert(blk.stages.map(_.getClass.getSimpleName) ==
+      IndexedSeq("Conv2dOp", "ChannelAffineOp", "ActOp", "Conv2dOp", "ChannelAffineOp"))
+    assert(blk.ch == 3 && blk.stages.collect { case c: Conv2dOp => c }.forall(_.shapePreserving))
+
+    // all-f64 reference with the engine's f32 BN fold
+    val px = vals(h * w, 217).map(v => math.abs(v) % 1.0f)
+    def conv(in: Array[Double], ic: Int, cw: Array[Float], cb: Array[Float],
+        oc: Int): Array[Double] = { // same-padded 3x3, H/W preserved
+      val out = new Array[Double](oc * h * w)
+      for (o <- 0 until oc; i <- 0 until h; j <- 0 until w) {
+        var acc: Double = cb(o)
+        for (d <- 0 until ic; r <- 0 until 3; q <- 0 until 3) {
+          val (y, x) = (i + r - 1, j + q - 1)
+          if (y >= 0 && y < h && x >= 0 && x < w)
+            acc += cw(((o * ic + d) * 3 + r) * 3 + q) * in(d * h * w + y * w + x)
+        }
+        out((o * h + i) * w + j) = acc
+      }
+      out
+    }
+    def bnFold(in: Array[Double], mean: Array[Float], vr: Array[Float],
+        g: Array[Float], b: Array[Float]): Array[Double] = {
+      val scale = Array.tabulate(3)(i => (g(i) / math.sqrt(vr(i).toDouble + 1e-5)).toFloat)
+      val shift = Array.tabulate(3)(i => b(i) - mean(i) * scale(i))
+      Array.tabulate(in.length)(i => in(i) * scale(i / (h * w)) + shift(i / (h * w)))
+    }
+    val stem = conv(px.map(_.toDouble), 1, sw, sb, 3).map(v => math.max(0.0, v))
+    val b1o = bnFold(conv(stem, 3, c1w, c1b, 3), m1, v1, g1, be1).map(v => math.max(0.0, v))
+    val b2o = bnFold(conv(b1o, 3, c2w, c2b, 3), m2, v2, g2, be2)
+    val res = Array.tabulate(stem.length)(i => math.max(0.0, stem(i) + b2o(i)))
+    val pooled = Array.tabulate(3)(o => (0 until h * w).map(q => res(o * h * w + q)).sum / (h * w))
+    val expected = mm(pooled, wf, bf, 2, 3)
+    val got = m.forwardImageBatch(Array(px), 1, h, w)
+    for (j <- 0 until 2) assert(math.abs(got(j) - expected(j)) < 1e-4,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // misuse: a stride-2 conv inside a residual pipe fails at fuse time
+    val badModel = Module("__torch__.BadRes", Seq(
+      "training" -> B(false),
+      "stem" -> conv2d(sw, 3, 1, 3, 3, sb, padding = 1),
+      "c1" -> conv2d(c1w, 3, 3, 3, 3, c1b, padding = 1, stride = 2),
+      "pool" -> Module("__torch__.torch.nn.modules.pooling.AdaptiveAvgPool2d", Seq(
+        "output_size" -> I(1), "training" -> B(false))),
+      "fc" -> linear(wf, 2, 3, bf)))
+    val badCode = Map("code/__torch__.py" ->
+      """class BadRes(Module):
+        |  training : bool
+        |  def forward(self: __torch__.BadRes,
+        |    x: Tensor) -> Tensor:
+        |    s = (self.stem).forward(x, )
+        |    c1 = (self.c1).forward(s, )
+        |    y = torch.add(s, c1)
+        |    p = (self.pool).forward(y, )
+        |    f = torch.flatten(p, 1)
+        |    return (self.fc).forward(f, )
+        |""".stripMargin)
+    val e = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("badres", "badres", badModel, badCode)))
+    assert(e.getMessage.contains("preserve shape"), e.getMessage)
+  }
+
   test("two stacked encoder blocks chain through the op list") {
     // block = 1-head attention + residual + LN + FFN + residual + LN;
     // stacking twice must trace to the doubled op sequence and execute
