@@ -1687,6 +1687,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Residual-CNN capstone: the ResNet basic block end-to-end THROUGH
+    // the PGM codec (fresh xor pixel constants), fused ResBlock2dOp in
+    // the engine, neighbor-self-join conv restatement in the oracle.
+    "q131_torch_resnet" -> { (s, dir) =>
+      ArgMax.register(s)
+      val bc = s.sparkContext.broadcast(resnetModel)
+      val synth = udf((docId: Long) => {
+        val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate(64)(i =>
+          (((docId * 1099511627791L) ^ ((i / 8) * 52501L + (i % 8) * 8191L +
+            docId * 6007L)) % 256).toByte)
+        header ++ px
+      })
+      val imgs = Multimodal.resizeImage(
+        t(s, dir, "documents").select(col("doc_id"), synth(col("doc_id")).as("img")),
+        "img", "px", 8, 8)
+      Torch.inferImageBatched(
+          imgs.select(col("doc_id"), col("px.pixels").as("pixels")),
+          "pixels", "logits", bc, c = 1, h = 8, w = 8, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("res_class"))
+        .orderBy("doc_id")
+    },
+
     // Hybrid retrieval: BM25 keyword top-20 (terms spark/join/dup — two
     // common + one rare, so idf discriminates) fused with the dense
     // cosine top-20 around vec_id 123 by reciprocal-rank fusion. The
@@ -2607,6 +2631,112 @@ object SparkEntry {
        |FROM rec r JOIN lens ON r.doc_id = lens.doc_id AND r.pos = lens.len""".stripMargin
   }
 
+  /** ResNet-tiny vision head for q131: 8×8 grayscale -> stem
+    * Conv2d(1->3, k3, pad 1) -> ReLU -> basic block [conv3x3 ->
+    * channel affine -> ReLU -> conv3x3 -> channel affine] + identity
+    * -> ReLU -> global avg pool -> Linear(3->3) — the residual-CNN
+    * family through the fused [[graft.torch.ResBlock2dOp]]. All
+    * weights AND the (pre-folded) channel affines are dyadic, so the
+    * oracle's f64 restatement differs from the engine only by the
+    * per-op f32 roundings (~1e-5 through three stacked convs),
+    * absorbed by the argmax gap (bias re-centered at sf0.01: classes
+    * 56/260/184, min runner-up gap 6.6e-3 — >500x the drift;
+    * TorchResnetSpec pins the sf0.001 floor). */
+  private[graft] lazy val resnetModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      Conv2dOp(qvals(27, 1061, 1.0), qvals(3, 1063, 0.25),
+        outCh = 3, inCh = 1, kh = 3, kw = 3, stride = 1, pad = 1),
+      ActOp("relu"),
+      ResBlock2dOp(IndexedSeq(
+        Conv2dOp(qvals(81, 1069, 0.5), qvals(3, 1087, 0.25),
+          outCh = 3, inCh = 3, kh = 3, kw = 3, stride = 1, pad = 1),
+        ChannelAffineOp(qvals(3, 1091, 0.5).map(v => 1f + v), qvals(3, 1093, 0.25)),
+        ActOp("relu"),
+        Conv2dOp(qvals(81, 1097, 0.5), qvals(3, 1103, 0.25),
+          outCh = 3, inCh = 3, kh = 3, kw = 3, stride = 1, pad = 1),
+        ChannelAffineOp(qvals(3, 1109, 0.5).map(v => 1f + v), qvals(3, 1117, 0.25)))),
+      ActOp("relu"),
+      GlobalPool2dOp(max = false),
+      LinearLayer(qvals(9, 1123, 4.0), Array(-0.0625f, 5.0f, -1.0f), 3, 3)))
+  }
+
+  /** DuckDB chain for the q131 oracle: the same closed-form pixel grid
+    * as q128 (fresh xor constants), the STEM's same-padded 3×3 conv
+    * written with per-term bounds CASEs over the pixel formula, then
+    * each block conv as a ±1 neighbor SELF-JOIN over the previous CTE
+    * (absent neighbors = zero padding, exactly the engine's rule),
+    * channel affines/ReLU inline, the residual add rejoined to the
+    * stem, and a per-channel global average; ends in
+    * `SELECT doc_id, p0..p2` for [[TorchOracle.mlpArgmaxSql]]. */
+  private def resnetPoolSql: String = {
+    import graft.torch._
+    val m = resnetModel
+    val stem = m.ops.collectFirst { case c: Conv2dOp => c }.get
+    val blk = m.ops.collectFirst { case b: ResBlock2dOp => b }.get
+    val convs = blk.stages.collect { case c: Conv2dOp => c }
+    val affs = blk.stages.collect { case a: ChannelAffineOp => a }
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def px(r: String, c: String): String =
+      s"CAST(xor(doc_id * 1099511627791, ($r) * 52501 + ($c) * 8191 + " +
+        s"doc_id * 6007) % 256 AS DOUBLE)/255"
+    // stem: 9 bounds-checked closed-form terms per output channel
+    val stemSel = (0 until stem.outCh).map { oc =>
+      val terms = (for (di <- -1 to 1; dj <- -1 to 1) yield {
+        val wv = fmtF(stem.weight((oc * 3 + (di + 1)) * 3 + (dj + 1)))
+        s"CASE WHEN i+($di) BETWEEN 0 AND 7 AND j+($dj) BETWEEN 0 AND 7 " +
+          s"THEN $wv*${px(s"i+($di)", s"j+($dj)")} ELSE 0 END"
+      }).mkString(" + ")
+      s"GREATEST(0, ${fmtF(stem.bias(oc))} + $terms) AS s$oc"
+    }.mkString(",\n   ")
+    // a block conv as a neighbor self-join over CTE `from` with input
+    // cols `in0..in2`, output cols `out0..out2` (+ affine, opt. relu)
+    def blockConv(cv: Conv2dOp, aff: ChannelAffineOp, relu: Boolean,
+        from: String, inP: String, outP: String): String = {
+      val sums = (0 until cv.outCh).map { oc =>
+        val branches = (for (di <- -1 to 1; dj <- -1 to 1) yield {
+          val terms = (0 until cv.inCh).map { d =>
+            s"${fmtF(cv.weight(((oc * cv.inCh + d) * 3 + (di + 1)) * 3 + (dj + 1)))}*b.$inP$d"
+          }.mkString("+")
+          s"WHEN b.i - a.i = $di AND b.j - a.j = $dj THEN $terms"
+        }).mkString(" ")
+        val conv = s"${fmtF(cv.bias(oc))} + SUM(CASE $branches ELSE 0 END)"
+        val affine = s"($conv)*${fmtF(aff.scale(oc))}+${fmtF(aff.shift(oc))}"
+        (if (relu) s"GREATEST(0, $affine)" else s"($affine)") + s" AS $outP$oc"
+      }.mkString(",\n   ")
+      s"""SELECT a.doc_id, a.i, a.j,
+         |   $sums
+         | FROM $from a JOIN $from b
+         |   ON a.doc_id = b.doc_id AND b.i BETWEEN a.i - 1 AND a.i + 1
+         |      AND b.j BETWEEN a.j - 1 AND a.j + 1
+         | GROUP BY a.doc_id, a.i, a.j""".stripMargin
+    }
+    val poolSel = (0 until 3).map(c => s"avg(y$c) AS p$c").mkString(", ")
+    val resSel = (0 until 3).map(c =>
+      s"GREATEST(0, st.s$c + c2.r2$c) AS y$c").mkString(", ")
+    s"""WITH grid AS (
+       |  SELECT doc_id, ii.i, jj.j FROM documents,
+       |    (SELECT unnest(range(0, 8)) AS i) ii,
+       |    (SELECT unnest(range(0, 8)) AS j) jj),
+       |stem AS (SELECT doc_id, i, j,
+       |   $stemSel
+       | FROM grid),
+       |r1 AS (${blockConv(convs(0), affs(0), relu = true, "stem", "s", "r1")}),
+       |r2 AS (${blockConv(convs(1), affs(1), relu = false, "r1", "r1", "r2")}),
+       |res AS (
+       |  SELECT st.doc_id, st.i, st.j, $resSel
+       |  FROM stem st JOIN r2 c2 ON st.doc_id = c2.doc_id
+       |    AND st.i = c2.i AND st.j = c2.j),
+       |pool AS (SELECT doc_id, $poolSel FROM res GROUP BY doc_id)
+       |SELECT doc_id, p0, p1, p2 FROM pool""".stripMargin
+  }
+
   /** DuckDB chain for the q128 oracle: the 7×7 valid-conv output grid
     * per doc (range unnest twice), each cell a 2×2 window over the
     * closed-form pixel formula
@@ -3284,6 +3414,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q131_torch_resnet" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        resnetModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, resnetPoolSql,
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS res_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // DuckDB's comma-LATERAL spelling of the same per-customer top-3.
