@@ -1687,6 +1687,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Frozen-stats BM25 scoring (the ingest-side form): N/avgdl/df are
+    // computed ONCE from the even-doc_id standing shard and frozen as
+    // literals (the frozen-quantizer discipline); every doc — standing
+    // and new alike — is then scored scan-side with zero state. The
+    // oracle recomputes the same frozen stats from the same shard.
+    "q132_bm25_frozen" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val terms = Seq("spark", "join", "dup")
+      val stats = graft.operators.Retrieval.corpusStats(
+        docs.filter(col("doc_id") % 2 === 0), "text", terms)
+      graft.operators.Retrieval.withBm25Frozen(docs, "text", terms, stats)
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")
+    },
+
     // Residual-CNN capstone: the ResNet basic block end-to-end THROUGH
     // the PGM codec (fresh xor pixel constants), fused ResBlock2dOp in
     // the engine, neighbor-self-join conv restatement in the oracle.
@@ -3415,6 +3430,38 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
+
+    // The q125 BM25 arithmetic with the stats CTEs computed over the
+    // even-doc_id shard only, then applied to every doc.
+    "q132_bm25_frozen" ->
+      """WITH rtf AS (
+        |  SELECT len(tk) AS dl,
+        |    len(list_filter(tk, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(tk, x -> x = 'join'))  AS tf1,
+        |    len(list_filter(tk, x -> x = 'dup'))   AS tf2
+        |  FROM (SELECT regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS tk
+        |        FROM documents WHERE doc_id % 2 = 0)),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM rtf),
+        |atf AS (
+        |  SELECT doc_id, len(tk) AS dl,
+        |    len(list_filter(tk, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(tk, x -> x = 'join'))  AS tf1,
+        |    len(list_filter(tk, x -> x = 'dup'))   AS tf2
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS tk
+        |        FROM documents))
+        |SELECT doc_id, round(
+        |    ln(1.0 + (n_docs - df0 + 0.5)/(df0 + 0.5))
+        |      * (tf0*CAST(2.2 AS DOUBLE))/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |  + ln(1.0 + (n_docs - df1 + 0.5)/(df1 + 0.5))
+        |      * (tf1*CAST(2.2 AS DOUBLE))/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |  + ln(1.0 + (n_docs - df2 + 0.5)/(df2 + 0.5))
+        |      * (tf2*CAST(2.2 AS DOUBLE))/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
+        |FROM atf, st ORDER BY doc_id""".stripMargin,
 
     "q131_torch_resnet" -> {
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(

@@ -155,6 +155,28 @@ object StressR10 {
       s"sample count wrong: $nSamples")
     println(s"[stress] wav: total samples=$nSamples rms_min=${af.getDouble(1)} peak_max=${af.getDouble(2)}")
 
+    // ---- 7. ResNet vision inference over 300k images ----
+    // synth PGM -> real PixelDecoder -> stem+residual block (q131's
+    // model): the conv stack is per-row-bounded (8x8), scan-side
+    val resBc = spark.sparkContext.broadcast(SparkEntry.resnetModel)
+    val pgm = udf((id: Long) => {
+      val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+      header ++ Array.tabulate(64)(i =>
+        (((id * 1099511627791L) ^ ((i / 8) * 52501L + (i % 8) * 8191L +
+          id * 6007L)) % 256).toByte)
+    })
+    val imgs = operators.Multimodal.resizeImage(
+      spark.range(300000L).select(col("id"), pgm(col("id")).as("img")),
+      "img", "px", 8, 8)
+    val vis = timed("PGM decode + ResNet forward 300k images") {
+      graft.torch.Torch.inferImageBatched(
+          imgs.select(col("id"), col("px.pixels").as("pixels")),
+          "pixels", "logits", resBc, c = 1, h = 8, w = 8, batchSize = 1024)
+        .agg(sum(element_at(col("logits"), 1))).collect().head.getDouble(0)
+    }
+    require(!vis.isNaN, "resnet inference produced NaN")
+    println(f"[stress] resnet logit sum = $vis%.2f")
+
     spark.stop()
   }
 }
