@@ -1687,6 +1687,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Video modality THROUGH the real ISO-BMFF container codec: a
+    // deterministic MP4 (ftyp/moov/mvhd/trak/tkhd/mdat) per doc, the
+    // box-walking parser extracts brand/duration/tracks/dims, and the
+    // oracle recomputes the same values from the generator's closed
+    // form — a parser bug cannot cancel out.
+    "q133_video_meta" -> { (s, dir) =>
+      val synth = udf((docId: Long) => graft.operators.Video.writeMp4(
+        if (docId % 3 == 0) "isom" else "mp42",
+        timescale = 1000,
+        duration = 800 + (docId % 7) * 250,
+        tracks = Seq(((16 * (1 + docId % 4)).toInt, (16 * (1 + docId % 3)).toInt))))
+      graft.operators.Video.withMp4Meta(
+          t(s, dir, "documents").select(col("doc_id"), synth(col("doc_id")).as("v")),
+          "v", "meta")
+        .select(col("doc_id"), col("meta.brand").as("brand"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.n_tracks").as("n_tracks"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("doc_id")
+    },
+
     // Frozen-stats BM25 scoring (the ingest-side form): N/avgdl/df are
     // computed ONCE from the even-doc_id standing shard and frozen as
     // literals (the frozen-quantizer discipline); every doc — standing
@@ -3430,6 +3451,16 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
+
+    // The synth MP4's parameters restated in closed form.
+    "q133_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(800 + (doc_id % 7) * 250 AS BIGINT) AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks,
+        |  CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+        |  CAST(16 * (1 + doc_id % 3) AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // The q125 BM25 arithmetic with the stats CTEs computed over the
     // even-doc_id shard only, then applied to every doc.
