@@ -112,6 +112,9 @@ object Video {
     * v0 + one trak/tkhd per (w, h)) + an empty mdat. */
   def writeMp4(brand: String, timescale: Int, duration: Long,
       tracks: Seq[(Int, Int)]): Array[Byte] = {
+    require(duration >= 0 && duration <= 0xFFFFFFFFL,
+      s"duration $duration does not fit mvhd v0's u32") // v1 is parse-only
+    require(brand.length == 4, s"brand must be a 4cc: '$brand'")
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
       bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)

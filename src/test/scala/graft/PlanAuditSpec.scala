@@ -129,7 +129,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // q126/q128 chain TWO mapPartitions stages (codec synth/decode ->
     // features / inference) — still one plan, one file scan
     for (q <- Seq("q26_multimodal_meta", "q28_torch_batched",
-        "q126_audio_features", "q128_torch_conv2d")) {
+        "q126_audio_features", "q128_torch_conv2d", "q131_torch_resnet",
+        "q133_video_meta")) {
       val p = plan(q)
       assert(!p.contains("Scan ExistingRDD"), s"$q re-scans a materialized RDD:\n$p")
       assert(p.contains("MapPartitions"), s"$q lost its mapPartitions stage:\n$p")
