@@ -1607,6 +1607,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // LM-perplexity quality filter (CCNet-style): token ids through the
+    // tiny GRU language model under teacher forcing — mean next-token
+    // NLL per doc, 6-dp report + a dyadic keep threshold. Stateless
+    // scan-side mapPartitions over broadcast weights: no shuffle at any
+    // corpus size. DuckDB restates the full recurrence + log-softmax
+    // chain (lmNllSql).
+    "q134_lm_perplexity" -> { (s, dir) =>
+      val m = gruLmModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, RnnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 2)
+      Torch.scoreLmBatched(toks, "tok_ids", "mean_nll", bc)
+        .select(col("doc_id"),
+          (size(col("tok_ids")) - 1).cast("long").as("n_scored"),
+          round(col("mean_nll"), 6).as("lm_nll"),
+          (col("mean_nll") < lit(4.1875D)).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -2393,6 +2417,37 @@ object SparkEntry {
         Array(0.4375f, 1.25f, 0.625f), 3, 5)))
   }
 
+  /** Tiny GRU language model for q134's perplexity quality filter:
+    * Embedding(16, 4) -> GRU(4, 4) -> Linear(4 -> 16 logits over the
+    * vocabulary) scored with teacher forcing
+    * ([[graft.torch.TorchScriptModel.lmMeanNll]]) — the CCNet-style
+    * "filter by LM perplexity" signal, the standard model-based quality
+    * gate for pretraining corpora. Same pinning discipline as
+    * [[gruModel]]: dyadic weights, all-f64 math stated identically in
+    * the DuckDB oracle (lmNllSql), residual cross-libm exp/log/tanh ulp
+    * drift absorbed by the 6-dp report rounding and the keep-threshold
+    * margin (TorchLmSpec pins the floors; measured at sf0.01 in the
+    * spec's header). */
+  private[graft] lazy val gruLmModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(16 * 4, 1151, 2.0), vocab = 16, embDim = 4),
+      RnnOp("gru",
+        qvals(3 * 4 * 4, 1153, 1.0), qvals(3 * 4 * 4, 1163, 0.75),
+        qvals(3 * 4, 1171, 0.25), qvals(3 * 4, 1181, 0.25),
+        hidden = 4, inDim = 4),
+      LinearLayer(qvals(16 * 4, 1187, 2.0), qvals(16, 1193, 0.5), 16, 4)))
+  }
+
+  /** q134's keep threshold on the mean next-token NLL — dyadic, sits
+    * inside the observed NLL spread so the keep split is mixed; the
+    * margin from every doc's UNROUNDED mean to this literal is pinned
+    * by TorchLmSpec (drift budget: cross-libm ulps, ~1e-13). */
+  private[graft] val LmKeepBelow = "4.1875" // 4 + 3/16; sf0.01: keep 260/500, min |nll-thr| 4.2e-3
+
   /** Max token positions fed to the recurrent heads (both engines
     * truncate identically): bounds the oracle's recursion depth AND is
     * the usual max-sequence-length cap. */
@@ -2595,6 +2650,22 @@ object SparkEntry {
     val e = m.seqHead.get
     val op = m.ops.collectFirst { case r: RnnOp => r }.get
     val H = op.hidden
+    s"""${rnnRecurrenceSql(m)}
+       |SELECT r.doc_id, ${(0 until H).map(o => s"r.h$o AS p$o").mkString(", ")}
+       |FROM rec r JOIN lens ON r.doc_id = lens.doc_id AND r.pos = lens.len""".stripMargin
+  }
+
+  /** Shared WITH-RECURSIVE prefix for the recurrent-head oracles
+    * (q123/q124/q134): tokens -> embedding join -> per-position GRU/LSTM
+    * recurrence. Ends with the `rec` CTE open for a consumer SELECT —
+    * `rec` holds one row per (doc_id, pos 0..len) with the hidden state
+    * AFTER consuming the token at `pos` as DOUBLE columns h0..h{H-1}
+    * (pos 0 = the all-zero h_0). */
+  private def rnnRecurrenceSql(m: graft.torch.TorchScriptModel): String = {
+    import graft.torch._
+    val e = m.seqHead.get
+    val op = m.ops.collectFirst { case r: RnnOp => r }.get
+    val H = op.hidden
     def fmtF(f: Float): String = {
       val s = f.toString
       if (s.contains("E") || s.contains(".")) s else s + ".0"
@@ -2662,9 +2733,54 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT r.doc_id, r.pos + 1,
        |      $step
-       |  FROM rec r JOIN x ON x.doc_id = r.doc_id AND x.pos = r.pos + 1)
-       |SELECT r.doc_id, ${(0 until H).map(o => s"r.h$o AS p$o").mkString(", ")}
-       |FROM rec r JOIN lens ON r.doc_id = lens.doc_id AND r.pos = lens.len""".stripMargin
+       |  FROM rec r JOIN x ON x.doc_id = r.doc_id AND x.pos = r.pos + 1)""".stripMargin
+  }
+
+  /** DuckDB restatement of [[graft.torch.TorchScriptModel.lmMeanNll]]
+    * for the q134 oracle: every `rec` row with pos t in [1, len-1]
+    * predicts the token at pos t+1 — 16 inline logits from the fc
+    * weights, GREATEST max shift, a left-to-right exp sum associating
+    * exactly like the engine's vocab-order loop, and the target logit
+    * picked by a CASE over the SAME inline expressions (so target and
+    * log-sum-exp read identical f64 values, as the engine's single
+    * logits array does). Mean in f64, 6-dp rounding on the report (the
+    * q121 cross-engine discipline), keep decision on the UNROUNDED mean
+    * (TorchLmSpec pins the margin floor). */
+  private def lmNllSql(m: graft.torch.TorchScriptModel, keepBelow: String): String = {
+    import graft.torch._
+    val e = m.seqHead.get
+    val op = m.ops.collectFirst { case r: RnnOp => r }.get
+    val H = op.hidden
+    val fc = m.ops.collectFirst { case l: LinearLayer => l }.get
+    require(fc.outDim == e.vocab)
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def logit(v: Int): String =
+      (fmtF(fc.bias(v)) +: (0 until H).map(j =>
+        s"${fmtF(fc.weight(v * H + j))}*r.h$j")).mkString("(", "+", ")")
+    val lgCols = (0 until e.vocab).map(v => s"${logit(v)} AS l$v").mkString(",\n    ")
+    val greatest = (0 until e.vocab).map(v => s"l$v").mkString("GREATEST(", ", ", ")")
+    val expSum = (0 until e.vocab).map(v => s"exp(g.l$v-g.m)").mkString("+")
+    val targetCase = (0 until e.vocab).map(v => s"WHEN $v THEN g.l$v")
+      .mkString("CASE t.tid ", " ", " END")
+    s"""${rnnRecurrenceSql(m)},
+       |lg AS (
+       |  SELECT r.doc_id, r.pos,
+       |    $lgCols
+       |  FROM rec r WHERE r.pos >= 1),
+       |g AS (SELECT *, $greatest AS m FROM lg),
+       |terms AS (
+       |  SELECT g.doc_id,
+       |    (g.m + ln($expSum)) - $targetCase AS nll
+       |  FROM g JOIN toks t ON t.doc_id = g.doc_id AND t.pos = g.pos + 1),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_scored, avg(nll) AS mean_nll
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, n_scored, round(mean_nll, 6) AS lm_nll,
+       |       mean_nll < $keepBelow AS keep
+       |FROM perdoc ORDER BY doc_id""".stripMargin
   }
 
   /** ResNet-tiny vision head for q131: 8×8 grayscale -> stem
@@ -3442,6 +3558,8 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS lstm_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
+
+    "q134_lm_perplexity" -> lmNllSql(gruLmModel, LmKeepBelow),
 
     "q127_torch_encoder" -> {
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(

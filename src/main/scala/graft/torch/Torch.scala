@@ -267,4 +267,48 @@ object Torch {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /**
+   * Batched language-model perplexity scoring (the CCNet-style quality
+   * filter): `inputCol` is an `array<int>` token-id column; appends
+   * `outputCol: double` = the model's mean next-token NLL under teacher
+   * forcing ([[TorchScriptModel.lmMeanNll]] — exp of it is the
+   * perplexity). Rows with a null input, a null element, or fewer than
+   * 2 tokens (no prediction to score) yield null. Stateless scan-side
+   * projection over the broadcast weights — the same one-plan
+   * `mapPartitions` shape as [[inferBatched]], so it runs unchanged on
+   * a streaming frame and shuffles nothing at any corpus size.
+   */
+  def scoreLmBatched(
+      df: DataFrame,
+      inputCol: String,
+      outputCol: String,
+      model: Broadcast[TorchScriptModel]): DataFrame = {
+    val withInts = df.withColumn(inputCol, col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outputCol, DoubleType, nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      it.map { r =>
+        val toks: Array[Int] =
+          if (r.isNullAt(inIdx)) null
+          else {
+            val xs = r.getSeq[Any](inIdx)
+            val a = new Array[Int](xs.length)
+            var j = 0
+            var ok = true
+            while (ok && j < a.length) {
+              xs(j) match {
+                case null => ok = false
+                case f: java.lang.Number => a(j) = f.intValue(); j += 1
+              }
+            }
+            if (ok) a else null
+          }
+        if (toks == null || toks.length < 2) Row.fromSeq(r.toSeq :+ null)
+        else Row.fromSeq(r.toSeq :+ m.lmMeanNll(toks))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -914,6 +914,112 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     }
   }
 
+  /** Teacher-forced language-model scoring: mean negative log-likelihood
+    * of each next token under the model — the CCNet-style quality signal
+    * (docs a small LM finds surprising are low-quality or off-domain).
+    * Model shape is pinned to `Embedding -> GRU/LSTM -> Linear(hidden ->
+    * vocab)`: the hidden state AFTER consuming token `t` predicts token
+    * `t+1` (targets are positions `1..L-1`), logits go through a
+    * max-shifted log-softmax, and the per-target NLLs are averaged in
+    * position order. The whole chain runs in float64 with NO float32
+    * rounding: this is a score path, not a tensor-op boundary, and the
+    * DuckDB oracle restates the identical f64 formulas (the residual
+    * cross-engine drift is libm exp/tanh/log ulps, absorbed by the
+    * 6-dp rounding both engines apply to the reported score). The same
+    * recurrence/gate formulas as [[runRnn]]; needs >= 2 tokens (one
+    * prediction) — shorter rows are the caller's to filter. */
+  def lmMeanNll(toks: Array[Int]): Double = {
+    val e = seqHead.getOrElse(sys.error("LM scoring needs a token-sequence model"))
+    require(ops.length == 3, s"LM shape is Embedding -> RNN -> Linear; got ${ops.length} ops")
+    val r = ops(1) match {
+      case r: RnnOp => r
+      case other => sys.error(s"LM scoring needs a recurrent second op, got $other")
+    }
+    val fc = ops(2) match {
+      case l: LinearLayer => l
+      case other => sys.error(s"LM scoring needs a Linear head, got $other")
+    }
+    require(fc.outDim == e.vocab,
+      s"LM head emits ${fc.outDim} logits over a ${e.vocab}-token vocabulary")
+    require(fc.inDim == r.hidden, s"LM head reads ${fc.inDim} != hidden ${r.hidden}")
+    val L = toks.length
+    require(L >= 2, s"LM scoring needs >= 2 tokens (got $L)")
+    val hd = r.hidden
+    val g = r.gates
+    val h = new Array[Double](hd)
+    val c = new Array[Double](hd)
+    val ih = new Array[Double](g * hd)
+    val hh = new Array[Double](g * hd)
+    val hNew = new Array[Double](hd)
+    val logits = new Array[Double](e.vocab)
+    def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+    var nllSum = 0.0
+    var t = 0
+    while (t < L - 1) {
+      val id = toks(t)
+      require(id >= 0 && id < e.vocab, s"token id $id out of range [0, ${e.vocab})")
+      val xOff = id * e.embDim
+      var gi = 0
+      while (gi < g * hd) {
+        var accI: Double = r.bIh(gi)
+        val wiOff = gi * r.inDim
+        var j = 0
+        while (j < e.embDim) { accI += r.wIh(wiOff + j) * e.weight(xOff + j); j += 1 }
+        ih(gi) = accI
+        var accH: Double = r.bHh(gi)
+        val whOff = gi * hd
+        j = 0
+        while (j < hd) { accH += r.wHh(whOff + j) * h(j); j += 1 }
+        hh(gi) = accH
+        gi += 1
+      }
+      var o = 0
+      if (r.kind == "gru") {
+        while (o < hd) {
+          val rg = sigmoid(ih(o) + hh(o))
+          val zg = sigmoid(ih(hd + o) + hh(hd + o))
+          val ng = math.tanh(ih(2 * hd + o) + rg * hh(2 * hd + o))
+          hNew(o) = (1.0 - zg) * ng + zg * h(o)
+          o += 1
+        }
+      } else {
+        while (o < hd) {
+          val ig = sigmoid(ih(o) + hh(o))
+          val fg = sigmoid(ih(hd + o) + hh(hd + o))
+          val gg = math.tanh(ih(2 * hd + o) + hh(2 * hd + o))
+          val og = sigmoid(ih(3 * hd + o) + hh(3 * hd + o))
+          c(o) = fg * c(o) + ig * gg
+          hNew(o) = og * math.tanh(c(o))
+          o += 1
+        }
+      }
+      System.arraycopy(hNew, 0, h, 0, hd)
+      // h now holds the state after consuming token t -> predict t+1
+      val target = toks(t + 1)
+      require(target >= 0 && target < e.vocab,
+        s"token id $target out of range [0, ${e.vocab})")
+      var mx = Double.NegativeInfinity
+      var v = 0
+      while (v < e.vocab) {
+        var acc: Double = fc.bias(v)
+        val wOff = v * hd
+        var j = 0
+        while (j < hd) { acc += fc.weight(wOff + j) * h(j); j += 1 }
+        logits(v) = acc
+        if (acc > mx) mx = acc
+        v += 1
+      }
+      // left-to-right exp sum in vocab order: the oracle's generated
+      // `exp(l0-m)+exp(l1-m)+...` associates the same way
+      var sumExp = 0.0
+      v = 0
+      while (v < e.vocab) { sumExp += math.exp(logits(v) - mx); v += 1 }
+      nllSum += (mx + math.log(sumExp)) - logits(target)
+      t += 1
+    }
+    nllSum / (L - 1)
+  }
+
   /** The GRU/LSTM recurrence over a `(L, emb)` row-major sequence in
     * float64: `h_0 = c_0 = 0`; per step the input and hidden affines are
     * kept separate because GRU's candidate gate scales ONLY the hidden
