@@ -1627,7 +1627,7 @@ object SparkEntry {
         .select(col("doc_id"),
           (size(col("tok_ids")) - 1).cast("long").as("n_scored"),
           round(col("mean_nll"), 6).as("lm_nll"),
-          (col("mean_nll") < lit(4.1875D)).as("keep"))
+          (col("mean_nll") < lit(LmKeepBelow.toDouble)).as("keep"))
         .orderBy("doc_id")
     },
 

@@ -922,10 +922,13 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     * `t+1` (targets are positions `1..L-1`), logits go through a
     * max-shifted log-softmax, and the per-target NLLs are averaged in
     * position order. The whole chain runs in float64 with NO float32
-    * rounding: this is a score path, not a tensor-op boundary, and the
-    * DuckDB oracle restates the identical f64 formulas (the residual
-    * cross-engine drift is libm exp/tanh/log ulps, absorbed by the
-    * 6-dp rounding both engines apply to the reported score). The same
+    * rounding (the f32 weights are explicitly widened before every
+    * product): this is a score path, not a tensor-op boundary, and the
+    * DuckDB oracle restates the identical f64 formulas. Residual
+    * cross-engine drift: libm exp/tanh/log ulps, plus DuckDB's `avg()`
+    * summing NLLs in scan order rather than position order — both are
+    * absorbed by the 6-dp rounding both engines apply to the reported
+    * score and by the keep-threshold margin TorchLmSpec pins. The same
     * recurrence/gate formulas as [[runRnn]]; needs >= 2 tokens (one
     * prediction) — shorter rows are the caller's to filter. */
   def lmMeanNll(toks: Array[Int]): Double = {
@@ -964,7 +967,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         var accI: Double = r.bIh(gi)
         val wiOff = gi * r.inDim
         var j = 0
-        while (j < e.embDim) { accI += r.wIh(wiOff + j) * e.weight(xOff + j); j += 1 }
+        while (j < e.embDim) { accI += r.wIh(wiOff + j).toDouble * e.weight(xOff + j); j += 1 }
         ih(gi) = accI
         var accH: Double = r.bHh(gi)
         val whOff = gi * hd
