@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Test-observability handle for [[ivfPqTopKBatch]]'s hot-cell
+    * guard: the accumulator counting non-empty (cell, block) cogroups
+    * of the most recent call — the spec asserts it exceeds nlist on a
+    * forced-split run (task-retry double counts can only overshoot,
+    * which the > assertion tolerates). Not part of the public API. */
+  @volatile private[graft] var lastBatchGroups: org.apache.spark.util.LongAccumulator = _
+
   /** Cosine similarity between two double-array columns (elementwise
     * zip_with dot / norms), computed in double precision. Composable
     * built-ins form — [[graft.functions.CosineSim]] is the single-pass
@@ -1076,10 +1083,22 @@ object Similarity {
    * top-k, and LUT/ADC arithmetic reproduces [[ivfPqTopK]]'s operation
    * order exactly, so the result is bit-identical to the broadcast
    * path (spec-asserted) — same output schema, same pinned-recall
-   * discipline. Per-task memory is bounded by (queries probing the
-   * cell) * (m*ksub + 2k) doubles; a query-side hot cell can be split
-   * by query-hash blocks like [[semanticDedup]]'s guard, not needed
-   * while nprobe*Q/nlist fits comfortably in a task.
+   * discipline.
+   *
+   * Query-side hot-cell guard (the [[semanticDedup]] recipe, bipartite
+   * form): without it, task parallelism is capped at nlist and a cell
+   * probed by q queries holds q * (m*ksub + 2k) doubles of LUT state
+   * in ONE task. Cells probed by more than `maxQueriesPerCell` queries
+   * are split into s = ceil(q/maxQueriesPerCell) id-hash blocks of
+   * queries; that cell's code rows are replicated into each block's
+   * task (`explode(sequence)` on a broadcast per-cell factor), so
+   * every (query, cell) pair is scored in exactly one (cell, block)
+   * task against ALL of the cell's codes — the schedule changes, the
+   * result cannot (spec-asserted bit-identical, forced-split). Cost:
+   * the hot cell's codes shuffle s times; parallelism and per-task
+   * memory improve s-fold. Cells no query probes are pruned BEFORE the
+   * shuffle by the same per-cell join (at scale, nprobe << nlist makes
+   * that most of them).
    */
   def ivfPqTopKBatch(
       codes: DataFrame,
@@ -1088,8 +1107,10 @@ object Similarity {
       embCol: String,
       index: IvfPqIndex,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      maxQueriesPerCell: Int = 1 << 12): DataFrame = {
     require(nprobe >= 1 && nprobe <= index.coarse.length, "nprobe must be in [1, nlist]")
+    require(maxQueriesPerCell >= 1, "maxQueriesPerCell must be >= 1")
     val spark = codes.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(index)
@@ -1106,25 +1127,43 @@ object Similarity {
         }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
       }
     }
-    val probes = normalized(queries, embCol)
+    val groupsAcc = spark.sparkContext.longAccumulator("graft.ivfPqBatch.groups")
+    lastBatchGroups = groupsAcc
+    val probes0 = normalized(queries, embCol)
       .select(col(idCol).cast("long").as("q_id"), col("__unit"),
         probeCells(col("__unit")).as("__cells"))
       .filter(col("__cells").isNotNull) // null-embedding queries have no neighbors
       .select(explode(col("__cells")).as("cell"), col("q_id"), col("__unit"))
-      .as[(Int, Long, Array[Double])]
+      // checkpoint: read by the per-cell count agg and the main shuffle
+      .transform(Checkpoints.cp)
+    // per-cell split factor — a <= nlist-row aggregate, broadcast back
+    val cellS = probes0.groupBy("cell")
+      .agg(ceil(count(lit(1)) / lit(maxQueriesPerCell.toDouble)).cast("int").as("__s"))
+    val probes = probes0.join(broadcast(cellS), Seq("cell"))
+      .withColumn("__blk", pmod(xxhash64(col("q_id")), col("__s")).cast("int"))
+      .select(col("cell"), col("__blk"), col("q_id"), col("__unit"))
+      .as[(Int, Int, Long, Array[Double])]
+    // codes replicate into each of their cell's s query blocks; cells
+    // no query probes fall out of the inner join BEFORE the shuffle
     val cd = codes.select(col("cell"), col("vec_id").cast("long"), col("codes"))
-      .as[(Int, Long, Array[Int])]
-    val perCell = probes.groupByKey(_._1).cogroup(cd.groupByKey(_._1)) { (cell, qIt, cIt) =>
+      .join(broadcast(cellS), Seq("cell"))
+      .select(col("cell"), explode(sequence(lit(0), col("__s") - 1)).as("__blk"),
+        col("vec_id"), col("codes"))
+      .as[(Int, Int, Long, Array[Int])]
+    val perCell = probes.groupByKey(t => (t._1, t._2))
+        .cogroup(cd.groupByKey(t => (t._1, t._2))) { (key, qIt, cIt) =>
+      val cell = key._1
       val qs = qIt.toArray
       if (qs.isEmpty) Iterator.empty
       else {
+        groupsAcc.add(1)
         val ix = bc.value
         val b = ix.books
         val ct = ix.coarse(cell)
         // one LUT per probing query, built ONCE per (query, cell) —
         // identical arithmetic (and operation order) to ivfPqTopK's
         // probe UDF, so ADC sums are bit-equal across the two paths
-        val luts = qs.map { case (_, _, qUnit) =>
+        val luts = qs.map { case (_, _, _, qUnit) =>
           Array.tabulate(b.m) { s =>
             val cents = b.centroids(s)
             Array.tabulate(cents.length) { cc =>
@@ -1143,10 +1182,10 @@ object Similarity {
         val ord = Ordering.Tuple2[Double, Long]
         val heaps = Array.fill(qs.length)(
           new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
-        cIt.foreach { case (_, vid, cs) =>
+        cIt.foreach { case (_, _, vid, cs) =>
           var i = 0
           while (i < qs.length) {
-            if (vid != qs(i)._2) {
+            if (vid != qs(i)._3) {
               val lut = luts(i)
               var d = 0.0; var s = 0
               while (s < cs.length) { d += lut(s)(cs(s)); s += 1 }
@@ -1158,7 +1197,7 @@ object Similarity {
           }
         }
         qs.indices.iterator.flatMap { i =>
-          val qid = qs(i)._2
+          val qid = qs(i)._3
           heaps(i).iterator.map { case (d, vid) => (qid, vid, d) }
         }
       }

@@ -1378,14 +1378,27 @@ class OperatorsSpec extends AnyFunSuite {
     val batR = key(Similarity.ivfPqTopKBatchReranked(base, codes, base, "vec_id", "embedding",
       ix, k = 5, shortlist = 50, nprobe = 8))
     assert(batR == refR)
-    // plan shape: candidates come from the cell-keyed cogroup — no
-    // broadcast scales with the query set, no product anywhere
+    // hot-cell guard: forcing maxQueriesPerCell far below the ~Q*nprobe/nlist
+    // per-cell probe load splits every cell into id-hash query blocks —
+    // results must stay bit-identical (each (query, cell) pair scored in
+    // exactly one block task against ALL the cell's codes) while the
+    // executed cogroup-task count rises above the nlist=8 ceiling
+    val split = key(Similarity.ivfPqTopKBatch(codes, base, "vec_id", "embedding", ix, 5, 4,
+      maxQueriesPerCell = 16))
+    val groups = Similarity.lastBatchGroups.value
+    assert(split == ref, s"forced-split batch diverged: ${split.diff(ref)} vs ${ref.diff(split)}")
+    assert(groups > 8, s"hot-cell split did not lift parallelism past nlist: $groups groups")
+    // plan shape: candidates come from the cell-keyed cogroup; the only
+    // broadcasts are of the <= nlist-row per-cell split-factor aggregate
+    // — nothing broadcast scales with the query set, no product anywhere
     val plan = Similarity.ivfPqTopKBatch(codes, base, "vec_id", "embedding", ix, 5, 4)
       .queryExecution.executedPlan.toString
     assert(plan.contains("CoGroup"), s"expected cell-keyed cogroup:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin")
-      && !plan.contains("CartesianProduct"),
-      s"per-query broadcast/product leaked into batch IVFADC plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"product leaked into batch IVFADC plan:\n$plan")
+    val bhj = "BroadcastHashJoin \\[(\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(bhj.forall(_ == "cell"),
+      s"a broadcast join not keyed on cell (per-query broadcast?) leaked in: $bhj\n$plan")
   }
 
   test("semanticDedupIncremental: twins dropped vs corpus, novel kept, stable cells") {
