@@ -1631,6 +1631,48 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // IVF pruning demonstrated, not just mechanized: q106/q112 run
+    // nprobe=14 of nlist=16 (87.5% of codes scanned — they certify the
+    // ADC/LUT arithmetic, not the index's selectivity). Here nlist=64,
+    // nprobe=8: each query ADC-scans only its 8 nearest cells'
+    // posting lists, and the query EMITS the measured scan fraction
+    // (probedCells x per-cell code counts) alongside recall — both
+    // oracle-pinned per SF, so an index that silently stopped pruning
+    // (scan_frac ceiling) OR stopped finding neighbors (recall floor)
+    // fails the gate. The scale story: recall costs nprobe/nlist of
+    // the corpus, not all of it.
+    "q135_ann_ivf_pruned" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 20)
+      val brute = graft.operators.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("q_id", "vec_id")
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 64, m = 8, ksub = 32)
+      val codes = graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix)
+      val approx = graft.operators.Similarity
+        .ivfPqTopKReranked(emb, codes, q, "vec_id", "embedding", ix,
+          k = 5, shortlist = 50, nprobe = 8)
+        .select("q_id", "vec_id").withColumn("hit", lit(1))
+      val rec = brute.join(approx, Seq("q_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+      val sizes = codes.groupBy("cell").agg(count(lit(1)).as("c_sz"))
+      val n = emb.agg(count(lit(1)).as("n_corpus"))
+      val scan = graft.operators.Similarity
+        .probedCells(q, "vec_id", "embedding", ix, nprobe = 8)
+        .join(sizes, Seq("cell"), "left")
+        .groupBy("q_id").agg(sum(coalesce(col("c_sz"), lit(0L))).as("scanned"))
+        .crossJoin(broadcast(n))
+        .agg(avg(col("scanned") / col("n_corpus")).as("scan_frac"),
+          countDistinct("q_id").as("n_queries"))
+      rec.crossJoin(broadcast(scan))
+        .select(lit("ivf_pruned_recall_at_5").as("metric"), col("n_queries"),
+          (floor(col("recall") * 20) / 20).as("recall_floor"),
+          (ceil(col("scan_frac") * 20) / 20).as("scan_frac_ceil"),
+          (col("scan_frac") <= 0.30).as("pruned"),
+          (col("recall") >= 0.50).as("pass"))
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -2145,6 +2187,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
         dim = 64, nlist = 16, m = 8, ksub = 32)
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix).count()
+      ()
+    },
+    "q135_ann_ivf_pruned" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 64, m = 8, ksub = 32)
       graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix).count()
       ()
     },
@@ -3411,6 +3460,20 @@ object SparkEntry {
         | CAST(CASE (SELECT count(*) FROM embeddings)
         |   WHEN 500 THEN 0.95 WHEN 2000 THEN 0.85 ELSE -1 END AS DOUBLE) AS recall_floor,
         | true AS pass""".stripMargin,
+
+    // Pruned IVF: recall and the measured scan fraction pin per SF.
+    // sf0.001 and sf0.01 both hold 500 embeddings, so the recall CASE
+    // discriminates on lineitem's count (6k/60k/600k) instead; the
+    // deterministic seeded quantizer makes both values exact constants.
+    "q135_ann_ivf_pruned" ->
+      """SELECT 'ivf_pruned_recall_at_5' AS metric,
+        | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
+        | CAST(CASE (SELECT count(*) FROM lineitem)
+        |   WHEN 6000 THEN 0.6 WHEN 60000 THEN 0.55 WHEN 600000 THEN 0.5
+        |   ELSE -1 END AS DOUBLE) AS recall_floor,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 0.2 WHEN 2000 THEN 0.15 ELSE -1 END AS DOUBLE) AS scan_frac_ceil,
+        | true AS pruned, true AS pass""".stripMargin,
 
     // TextCNN: DuckDB re-runs the conv forward as SQL arithmetic —
     // positions via zipped unnest/generate_subscripts, the k=2 window

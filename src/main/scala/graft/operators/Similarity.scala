@@ -963,6 +963,42 @@ object Similarity {
    * cosine. Probes and LUTs travel as one broadcast (queries are small
    * by construction); the candidate join is an equi-join on `cell`.
    */
+  /**
+   * The (query, probed-cell) assignment of [[ivfPqTopK]] /
+   * [[ivfPqTopKBatch]], exposed for selectivity audits: joining the
+   * result against per-cell code counts gives the exact fraction of
+   * the corpus each query ADC-scans — the number that proves the
+   * inverted index prunes (nprobe/nlist of the cells, NOT the whole
+   * corpus). Same coarse-distance ranking and (distance, cell)
+   * tie-break as the search paths, so the audit reflects precisely
+   * the cells they visit. Output: (q_id, cell).
+   */
+  def probedCells(
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.coarse.length, "nprobe must be in [1, nlist]")
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(index)
+    val cellsOf = udf { qUnit: Seq[Double] =>
+      if (qUnit == null) null
+      else {
+        val coarse = bc.value.coarse
+        coarse.indices.map { c =>
+          var d = 0.0; var j = 0
+          while (j < qUnit.length) { val df = qUnit(j) - coarse(c)(j); d += df * df; j += 1 }
+          (c, d)
+        }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
+      }
+    }
+    normalized(queries, embCol)
+      .select(col(idCol).as("q_id"), cellsOf(col("__unit")).as("__cells"))
+      .filter(col("__cells").isNotNull)
+      .select(col("q_id"), explode(col("__cells")).as("cell"))
+  }
+
   def ivfPqTopK(
       codes: DataFrame,
       queries: DataFrame,
