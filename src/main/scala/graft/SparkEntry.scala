@@ -1693,6 +1693,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // BERT-style classifier head (q127 + what every real pre-BERT
+    // model adds): learned positional embeddings summed into the token
+    // embeddings, a prepended [CLS] token (id 0), and CLS pooling —
+    // the classifier reads position 0 instead of mean-pooling. DuckDB
+    // restates the whole chain including the position VALUES table and
+    // the pos=0 read-out (encBlockSql withCls).
+    "q136_torch_cls" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = encClsModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen - 1).as("word_ids"))
+        .filter(size(col("word_ids")) >= 1)
+        .select(col("doc_id"),
+          concat(array(lit(0L)), col("word_ids")).as("tok_ids"))
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("cls_class"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -2543,6 +2568,43 @@ object SparkEntry {
   /** Position cap for q127 (bounds the oracle's L×L score join). */
   private val EncMaxLen = 12
 
+  /** q136's BERT-style head: the q127 encoder block completed with the
+    * two things every real pre-BERT classifier adds — LEARNED
+    * positional embeddings (Embedding(12, 4) indexed by arange(L),
+    * summed into the token embeddings) and CLS pooling (the query
+    * prepends token id 0; the classifier reads position 0 instead of
+    * mean-pooling). Same pinning discipline as [[encModel]]: dyadic
+    * weights, identical formulas stated in the DuckDB oracle, one f32
+    * rounding per op boundary absorbed by the argmax gap
+    * (TorchEncoderSpec pins the floor; fc bias re-centered over
+    * sf0.001 AND sf0.01 by dyadic grid search — classes 172/277/51 at
+    * sf0.01, min runner-up gap 1.5e-2 across both SFs). */
+  private[graft] lazy val encClsModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    def head(seed: Int) = SelfAttentionOp(
+      qvals(8, seed, 1.0), qvals(2, seed + 2, 0.25),
+      qvals(8, seed + 4, 1.0), qvals(2, seed + 6, 0.25),
+      qvals(8, seed + 8, 1.5), qvals(2, seed + 10, 0.5),
+      dim = 2, inDim = 4, scale = 0.5)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 1301, 2.0), vocab = 32, embDim = 4),
+      PosEmbedOp(qvals(EncMaxLen * 4, 1303, 0.5), maxLen = EncMaxLen, embDim = 4),
+      EncoderAttnOp(IndexedSeq(head(1307), head(1319)),
+        proj = Some(LinearLayer(qvals(16, 1321, 1.0), qvals(4, 1327, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1361, 0.25).map(v => 1f + v), qvals(4, 1367, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 1373, 1.0), qvals(8, 1381, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 1399, 1.0), qvals(4, 1409, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1423, 0.25).map(v => 1f + v), qvals(4, 1427, 0.25), 1e-5),
+      SeqClsPoolOp,
+      LinearLayer(qvals(12, 1429, 4.0), Array(0f, 0.375f, 7.75f), 3, 4)))
+  }
+
   /** Vision-classifier head for q128: an 8×8 grayscale image ->
     * Conv2d(1->4, k=2) -> ReLU -> AdaptiveMaxPool2d(1) -> flatten ->
     * Linear(4->3) -> argmax — the pixel-input model family the
@@ -2577,9 +2639,19 @@ object SparkEntry {
     * 1e-5) -> FFN with GREATEST(0,·) hidden -> residual -> LayerNorm ->
     * mean pool; ends in `SELECT doc_id, p0..p3` for
     * [[TorchOracle.mlpArgmaxSql]]'s fc chain. */
-  private def encPoolSql: String = {
+  private def encPoolSql: String = encBlockSql(encModel, withCls = false)
+
+  /** Generalized encoder-block oracle: [[encPoolSql]]'s chain with two
+    * optional extensions for the q136 CLS head — a positional-embedding
+    * VALUES table summed into `x` (when the model carries a
+    * [[graft.torch.PosEmbedOp]]) and a prepended CLS token (tid 0,
+    * pos 0) whose position-0 row replaces the mean pool as the
+    * read-out (when `withCls`). Word positions stay 1-based from
+    * generate_subscripts, which after prepending IS their sequence
+    * index — the same arange id the engine's PosEmbedOp applies. */
+  private def encBlockSql(m0: graft.torch.TorchScriptModel, withCls: Boolean): String = {
     import graft.torch._
-    val m = encModel
+    val m = m0
     val e = m.seqHead.get
     val ea = m.ops.collectFirst { case a: EncoderAttnOp => a }.get
     val lns = m.ops.collect { case l: SeqLayerNormOp => l }
@@ -2648,19 +2720,55 @@ object SparkEntry {
       s"${terms.mkString("(", "+", ")")} + n$o AS y$o" // + residual
     }.mkString(",\n   ")
     val poolSel = (0 until d).map(j => s"avg(z$j) AS p$j").mkString(", ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
-       |           % ${e.vocab} AS tid, pos
-       |  FROM (SELECT doc_id,
-       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-       |        FROM documents)
-       |  WHERE pos <= $EncMaxLen),
+    val posOp = m.ops.collectFirst { case p: graft.torch.PosEmbedOp => p }
+    val wordCap = if (withCls) EncMaxLen - 1 else EncMaxLen
+    val wordsCte =
+      s"""words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % ${e.vocab} AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $wordCap)"""
+    val toksCte =
+      if (withCls)
+        s"""$wordsCte,
+           |toks AS (
+           |  SELECT doc_id, CAST(0 AS BIGINT) AS tid, 0 AS pos
+           |  FROM (SELECT DISTINCT doc_id FROM words)
+           |  UNION ALL SELECT doc_id, tid, pos FROM words)"""
+      else s"""$wordsCte, toks AS (SELECT * FROM words)"""
+    val xCte = posOp match {
+      case None =>
+        s"""x AS (SELECT doc_id, pos,
+           |        ${(0 until e.embDim).map(j => s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
+           |      FROM toks JOIN embw USING (tid))"""
+      case Some(p) =>
+        // token embedding + learned position embedding, summed per dim;
+        // dyadic weights make the f64 sum equal the engine's one f32
+        // rounding at the op boundary
+        val posRows = (0 until p.maxLen).map { t =>
+          (0 until p.embDim).map(j => fmtF(p.weight(t * p.embDim + j)))
+            .mkString(s"($t, ", ", ", ")")
+        }.mkString(",\n    ")
+        val pCols = (0 until p.embDim).map(j => s"pp$j").mkString(", ")
+        s"""posw(pos, $pCols) AS (VALUES
+           |    $posRows),
+           |x AS (SELECT doc_id, pos,
+           |        ${(0 until e.embDim).map(j =>
+                      s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS w$j").mkString(", ")}
+           |      FROM toks JOIN embw USING (tid) JOIN posw USING (pos))"""
+    }
+    val poolCte =
+      if (withCls)
+        s"""pool AS (SELECT doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}
+           |         FROM n2 WHERE pos = 0)"""
+      else s"""pool AS (SELECT doc_id, $poolSel FROM n2 GROUP BY doc_id)"""
+    s"""WITH $toksCte,
        |embw(tid, $wCols) AS (VALUES
        |    $embRows),
-       |x AS (SELECT doc_id, pos,
-       |        ${(0 until e.embDim).map(j => s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
-       |      FROM toks JOIN embw USING (tid)),
+       |$xCte,
        |qkv AS (SELECT doc_id, pos,
        |   $headSel
        | FROM x),
@@ -2681,7 +2789,7 @@ object SparkEntry {
        |   $ffnSel
        | FROM ffn),
        |n2 AS (${lnSel(lns(1), "y", "z", "r2")}),
-       |pool AS (SELECT doc_id, $poolSel FROM n2 GROUP BY doc_id)
+       |$poolCte
        |SELECT doc_id, ${(0 until d).map(j => s"p$j").mkString(", ")} FROM pool""".stripMargin
   }
 
@@ -3631,6 +3739,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q136_torch_cls" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        encClsModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, encBlockSql(encClsModel, withCls = true),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS cls_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // The synth MP4's parameters restated in closed form.

@@ -342,6 +342,17 @@ object TorchCode {
     /** `l2(act(l1(x)))` — a complete position-wise FFN, held for the
       * residual `torch.add(x, ·)` (or materialized without one). */
     final case class FfnOut(l1: LinearLayer, act: String, l2: LinearLayer) extends Sym
+    /** The dynamic sequence length `torch.size(x, 1)` of the live
+      * embedding sequence — only `torch.arange` consumes it (the
+      * positional-id ramp of a learned-position encoder). */
+    case object SeqLen extends Sym
+    /** `torch.arange(size(x, 1))`: the position-id ramp, awaiting its
+      * positional-embedding lookup. */
+    case object PosIds extends Sym
+    /** A positional-embedding table (nn.Embedding) looked up with
+      * [[PosIds]] — HELD until the `torch.add(x, ·)` that sums it into
+      * the token-embedding sequence emits [[PosEmbedOp]]. */
+    final case class PosEmbSeq(weight: Array[Float], maxLen: Int, emb: Int) extends Sym
     /** Tuple of traced values — an RNN's forward returns
       * `(output, h_n)` (GRU) / `(output, (h_n, c_n))` (LSTM); consumed
       * by tuple-unpack statements. */
@@ -453,11 +464,20 @@ object TorchCode {
       case "Embedding" =>
         // token-id input -> (seq, embDim); a padding_idx row (if any)
         // participates with its stored vector, exactly as torch looks
-        // it up — a following mean(1) divides by the full length
-        require(s == Flat(-1), s"${m.fqName}: embedding must consume the raw token input")
-        val w = embeddingWeight(m)
-        ops += EmbeddingSeqOp(materialize(w), w.shape(0), w.shape(1))
-        SeqEmb(w.shape(1))
+        // it up — a following mean(1) divides by the full length.
+        // Applied to the arange position ramp instead, it is the
+        // learned positional table — HELD for the residual-style add
+        s match {
+          case PosIds =>
+            val w = embeddingWeight(m)
+            PosEmbSeq(materialize(w), w.shape(0), w.shape(1))
+          case Flat(-1) =>
+            val w = embeddingWeight(m)
+            ops += EmbeddingSeqOp(materialize(w), w.shape(0), w.shape(1))
+            SeqEmb(w.shape(1))
+          case other => sys.error(s"${m.fqName}: embedding must consume the raw " +
+            s"token input or an arange position ramp (got $other)")
+        }
       case "EmbeddingBag" =>
         // fastText head: lookup + pool in one module. mode='mean' only;
         // padding_idx entries are excluded from numerator AND
@@ -963,6 +983,13 @@ object TorchCode {
               }
               val (x, y) = (eval(args(0), line), eval(args(1), line))
               def fuse(live: Sym, held: Sym): Sym = (live, held) match {
+                case (SeqEmb(d), p: PosEmbSeq) =>
+                  // x + pos_emb(arange(L)): the learned position signal
+                  require(p.emb == d,
+                    s"TorchScript code: $d-dim sequence + ${p.emb}-dim " +
+                      s"positional embeddings in: $line")
+                  ops += PosEmbedOp(p.weight, p.maxLen, p.emb)
+                  SeqEmb(d)
                 case (SeqEmb(d), a: AttnOut) =>
                   val op = EncoderAttnOp(a.heads, a.proj, residual = true)
                   require(op.inDim == d,
@@ -1126,7 +1153,9 @@ object TorchCode {
               }
             case "select" =>
               // torch.select(h_n, 0, -1): the last (= only) layer of an
-              // RNN hidden state — equivalent to squeeze(0) for 1 layer
+              // RNN hidden state — equivalent to squeeze(0) for 1 layer.
+              // torch.select(x, 1, 0): CLS pooling — position 0 of the
+              // live (n, seq, emb) sequence (the x[:, 0] read-out)
               tensorArg match {
                 case h: RnnHidden =>
                   (sizeArg(1, Long.MinValue), sizeArg(2, Long.MinValue)) match {
@@ -1136,8 +1165,41 @@ object TorchCode {
                   }
                   ops += h.op
                   Flat(h.hidden)
-                case other => sys.error(s"TorchScript code: select on $other " +
-                  s"unsupported in: $line")
+                case sy0 => forceSeq(sy0) match {
+                  case SeqEmb(e) =>
+                    (sizeArg(1, Long.MinValue), sizeArg(2, Long.MinValue)) match {
+                      case (1L, 0L) =>
+                      case other => sys.error(s"TorchScript code: select $other on a " +
+                        s"sequence unsupported ((1, 0) CLS read-out only) in: $line")
+                    }
+                    ops += SeqClsPoolOp
+                    Flat(e)
+                  case other => sys.error(s"TorchScript code: select on $other " +
+                    s"unsupported in: $line")
+                }
+              }
+            case "size" =>
+              // torch.size(x, 1): the dynamic sequence length — only
+              // meaningful as arange's input (position-id ramp)
+              tensorArg match {
+                case SeqEmb(_) =>
+                  require(sizeArg(1, Long.MinValue) == 1L,
+                    s"TorchScript code: size over a non-sequence dim in: $line")
+                  SeqLen
+                case other => sys.error(s"TorchScript code: size on $other " +
+                  s"unsupported (live sequences only) in: $line")
+              }
+            case "arange" =>
+              // torch.arange(size(x, 1)[, dtype/device/...]): the
+              // position-id ramp; trailing None args are torch.jit's
+              // serialized dtype/layout/device defaults
+              eval(args.head, line) match {
+                case SeqLen =>
+                  require(args.tail.forall(a => eval(a, line) == null),
+                    s"TorchScript code: arange with non-default dtype/device in: $line")
+                  PosIds
+                case other => sys.error(s"TorchScript code: arange over $other " +
+                  s"unsupported (size(x, 1) only) in: $line")
               }
             case "dropout" => tensorArg // eval-mode no-op on any shape
             case other => sys.error(s"TorchScript code: unsupported function $qual in: $line")

@@ -56,6 +56,22 @@ final case class EmbeddingMeanOp(weight: Array[Float], vocab: Int, embDim: Int, 
 final case class EmbeddingSeqOp(weight: Array[Float], vocab: Int, embDim: Int)
     extends TorchOp
 
+/** Learned positional embeddings added to the live `(L, emb)` sequence:
+  * `y[t] = x[t] + P[t]` — `nn.Embedding(maxLen, emb)` indexed by
+  * `torch.arange(L)`, the BERT-style position signal (sinusoidal
+  * COMPUTED encodings are a different serialized-code shape and fail
+  * loudly at load). Sequences longer than `maxLen` fail exactly like
+  * torch's out-of-range embedding lookup. Sum in f64, one f32 rounding
+  * per value at the op boundary. */
+final case class PosEmbedOp(weight: Array[Float], maxLen: Int, embDim: Int)
+    extends TorchOp
+
+/** CLS pooling: `x[:, 0]` — position 0 of the `(L, emb)` sequence,
+  * the classifier read-out of a BERT-style encoder whose tokenizer
+  * PREPENDS a [CLS] token (the caller's contract, as in torch). Empty
+  * sequence fails loudly (torch select on an empty dim errors). */
+case object SeqClsPoolOp extends TorchOp
+
 /** `transpose(1, 2)`: `(L, emb)` <-> `(ch, L)` — the mandatory layout
   * flip between an embedding sequence and Conv1d's channel-major input. */
 case object TransposeOp extends TorchOp
@@ -314,8 +330,16 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(mode == 1, "adaptive pool needs (n, ch, seq) input")
           require(pool < 0, "second pool op after the sequence already collapsed")
           mode = 2; pool = i
+        case pe: PosEmbedOp =>
+          require(mode == 0, "positional embeddings need the (n, seq, emb) layout")
+          require(pe.embDim == width,
+            s"positional embedding dim ${pe.embDim} applied to $width features")
         case SeqMeanPoolOp =>
           require(mode == 0, "mean(dim=1) needs the (n, seq, emb) embedding output")
+          require(pool < 0, "second pool op after the sequence already collapsed")
+          mode = 2; pool = i
+        case SeqClsPoolOp =>
+          require(mode == 0, "CLS pooling needs the (n, seq, emb) layout")
           require(pool < 0, "second pool op after the sequence already collapsed")
           mode = 2; pool = i
         case r: RnnOp =>
@@ -879,6 +903,16 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
             }
             r += 1
           }
+        case pe: PosEmbedOp =>
+          // y[t] = x[t] + P[t] in f64, one rounding per value; torch
+          // raises on an arange past the position table, so do we
+          require(rows <= pe.maxLen,
+            s"sequence length $rows exceeds the ${pe.maxLen}-position embedding table")
+          var i2 = 0
+          while (i2 < rows * cols) {
+            data(i2) = (data(i2).toDouble + pe.weight(i2)).toFloat
+            i2 += 1
+          }
         case ActOp(kind) => applyAct(data, kind)
         case ParamActOp(kind, a, b) => applyParamAct(data, kind, a, b)
         case other => sys.error(s"unexpected sequence-phase op $other") // poolIdx walk forbids
@@ -909,6 +943,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           while (r < rows) { acc += data(r * cols + c); r += 1 }
           (acc / rows).toFloat
         }
+      case SeqClsPoolOp =>
+        // (L, emb): position 0 — the [CLS] read-out
+        require(rows > 0, "CLS pooling over an empty sequence")
+        java.util.Arrays.copyOfRange(data, 0, cols)
       case r: RnnOp => runRnn(r, data, rows, cols)
       case other => sys.error(s"unexpected pool op $other")
     }

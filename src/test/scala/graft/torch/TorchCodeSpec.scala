@@ -1314,6 +1314,120 @@ class TorchCodeSpec extends AnyFunSuite {
     for (j <- 0 until 3) assert(batch(j) == out(j))
   }
 
+  test("learned positional embeddings + CLS pooling: traces to PosEmbedOp/SeqClsPoolOp, golden vs f64") {
+    // BERT-style read-out: token ids (caller prepends [CLS]) ->
+    // Embedding(8, 4) + pos_emb(arange(L)) -> single-head attention ->
+    // x[:, 0] -> Linear(4->3); generated code spells the position ramp
+    // as torch.arange(torch.size(e, 1), None, None, None, None) and
+    // the CLS read-out as torch.select(o, 1, 0)
+    val vocab = 8; val d = 4; val maxLen = 16
+    val ew = vals(vocab * d, 61)
+    val pw = vals(maxLen * d, 62)
+    val (wq, bq) = (vals(16, 63), vals(4, 64))
+    val (wk, bk) = (vals(16, 65), vals(4, 66))
+    val (wv, bv) = (vals(16, 67), vals(4, 68))
+    val (wf, bf) = (vals(12, 69), vals(3, 70))
+    val model = Module("__torch__.ClsNet", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, d), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "pos" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(maxLen, d), pw),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "q" -> linear(wq, 4, 4, bq),
+      "k" -> linear(wk, 4, 4, bk),
+      "v" -> linear(wv, 4, 4, bv),
+      "fc" -> linear(wf, 3, 4, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class ClsNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.ClsNet,
+        |    x: Tensor) -> Tensor:
+        |    e = (self.emb).forward(x, )
+        |    n = torch.size(e, 1)
+        |    ids = torch.arange(n, None, None, None, None)
+        |    pe = (self.pos).forward(ids, )
+        |    e0 = torch.add(e, pe)
+        |    q = (self.q).forward(e0, )
+        |    k = (self.k).forward(e0, )
+        |    v = (self.v).forward(e0, )
+        |    k0 = torch.transpose(k, -2, -1)
+        |    s = torch.matmul(q, k0)
+        |    s0 = torch.div(s, 2.)
+        |    a = torch.softmax(s0, -1)
+        |    o = torch.matmul(a, v)
+        |    cls = torch.select(o, 1, 0)
+        |    fc = self.fc
+        |    return (fc).forward(cls, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("clsnet", "clsnet", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "PosEmbedOp", "SelfAttentionOp",
+        "SeqClsPoolOp$", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val pe = m.ops(1).asInstanceOf[PosEmbedOp]
+    assert(pe.maxLen == maxLen && pe.embDim == d && pe.weight.toSeq == pw.toSeq)
+    // independent double math: x[p] = f32(tok_emb + pos_emb) per the
+    // one-rounding-per-op boundary, attention in f64, CLS = row 0
+    val toks = Array(3, 0, 6, 2, 5)
+    val L = toks.length
+    val x = Array.tabulate(L, d)((p, j) =>
+      (ew(toks(p) * d + j).toDouble + pw(p * d + j).toDouble).toFloat.toDouble)
+    def proj(w: Array[Float], b: Array[Float]): Array[Array[Double]] =
+      Array.tabulate(L, d)((p, o) =>
+        b(o) + (0 until d).map(j => x(p)(j) * w(o * d + j)).sum)
+    val (qm, km, vm) = (proj(wq, bq), proj(wk, bk), proj(wv, bv))
+    val sc = Array.tabulate(L)(b0 => (0 until d).map(j => qm(0)(j) * km(b0)(j)).sum * 0.5)
+    val mx = sc.max
+    val es = sc.map(s0 => math.exp(s0 - mx))
+    val z = es.sum
+    val cls = Array.tabulate(d)(j => (0 until L).map(b0 => es(b0) * vm(b0)(j)).sum / z)
+    val expected = mm(cls, wf, bf, 3, 4)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 3) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // batch path bit-equal to single-row
+    val batch = m.forwardTokensBatch(Array(toks, Array(1), Array(7, 2)))
+    for (j <- 0 until 3) assert(batch(j) == got(j))
+    // past the position table: fails exactly like torch's lookup
+    val over = intercept[Exception](m.forwardTokens(Array.fill(maxLen + 1)(1)))
+    assert(over.getMessage.contains("position"), over.getMessage)
+  }
+
+  test("CLS select on a non-zero index and sinusoidal-computed positions fail loudly") {
+    val vocab = 4; val d = 2
+    def net(body: String) = {
+      val model = Module("__torch__.BadCls", Seq(
+        "training" -> B(false),
+        "emb" -> Module(EmbeddingCls, Seq(
+          "weight" -> Tensor(Seq(vocab, d), vals(vocab * d, 71)),
+          "padding_idx" -> NoneV,
+          "training" -> B(false))),
+        "fc" -> linear(vals(6, 72), 3, 2, vals(3, 73))))
+      val code = Map("code/__torch__.py" ->
+        (s"""class BadCls(Module):
+           |  training : bool
+           |  def forward(self: __torch__.BadCls,
+           |    x: Tensor) -> Tensor:
+           |    e = (self.emb).forward(x, )
+           |$body
+           |    fc = self.fc
+           |    return (fc).forward(cls, )
+           |""".stripMargin))
+      TorchScriptModel.load(writeTemp("badcls", "badcls", model, code))
+    }
+    // select(1, 1): only the position-0 CLS read-out has a home
+    val e1 = intercept[Exception](net("    cls = torch.select(e, 1, 1)"))
+    assert(e1.getMessage.contains("CLS"), e1.getMessage)
+    // computed (sinusoidal) encodings: torch.sin has no traced home
+    val e2 = intercept[Exception](net(
+      "    p = torch.sin(e)\n    cls = torch.select(p, 1, 0)"))
+    assert(e2.getMessage.contains("unsupported function"), e2.getMessage)
+  }
+
   test("iris.spt traces through its serialized code: shared relu between linears") {
     val m = TorchScriptModel.load("/root/reference/model/iris.spt")
     // execution order from code/__torch__.py, NOT registration order
