@@ -1799,6 +1799,48 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // REAL video frame pixels end-to-end THROUGH the codec chain:
+    // per-doc AVI/MJPEG (RIFF writer, ImageIO JPEG encode at quality
+    // 1.0) -> AviParser movi walk -> each frame's JPEG through the
+    // same PixelDecoder path as still images. Frames are solid
+    // grayscale — a flat block is DC-only so max-quality JPEG
+    // round-trips the level EXACTLY (VideoAviSpec pins it), making the
+    // whole lossy-codec chain closed-form for the oracle. `flat`
+    // certifies in-engine that every pixel carried the level.
+    "q137_video_frames" -> { (s, dir) =>
+      val synth = udf((docId: Long) => {
+        val nf = (2 + docId % 3).toInt
+        val frames = (0 until nf).map { i =>
+          val level = ((docId * 37 + i * 29) % 256).toInt
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var p = 0
+          while (p < 256) { img.getRaster.setSample(p % 16, p / 16, 0, level); p += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+          val wp = wr.getDefaultWriteParam
+          wp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          wp.setCompressionQuality(1f)
+          val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          wr.setOutput(mos)
+          wr.write(null, new javax.imageio.IIOImage(img, null, null), wp)
+          mos.close(); wr.dispose()
+          bos.toByteArray
+        }
+        graft.operators.Video.writeAviMjpeg(40000, 16, 16, frames)
+      })
+      val lvl = udf((px: Array[Byte]) => {
+        val l = px(0) & 0xff
+        if (px.forall(b => (b & 0xff) == l)) l else -1
+      })
+      graft.operators.Video.aviFramePixels(
+          t(s, dir, "documents").select(col("doc_id"), synth(col("doc_id")).as("v")),
+          "doc_id", "v")
+        .select(col("doc_id"), col("frame_no"), col("width"), col("height"),
+          col("channels"), lvl(col("pixels")).as("level"))
+        .orderBy("doc_id", "frame_no")
+    },
+
     // Frozen-stats BM25 scoring (the ingest-side form): N/avgdl/df are
     // computed ONCE from the even-doc_id standing shard and frozen as
     // literals (the frozen-quantizer discipline); every doc — standing
@@ -3759,6 +3801,19 @@ object SparkEntry {
         |  CAST(16 * (1 + doc_id % 4) AS INT) AS width,
         |  CAST(16 * (1 + doc_id % 3) AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The synth AVI's frame plan in closed form: 2 + doc_id%3 frames,
+    // level (doc_id*37 + frame_no*29) % 256 — exact because flat
+    // max-quality MJPEG frames are DC-only (VideoAviSpec).
+    "q137_video_frames" ->
+      """SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+        |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST((doc_id * 37 + frame_no * 29) % 256 AS INT) AS level
+        |FROM (SELECT doc_id,
+        |        unnest(generate_series(0, CAST(doc_id % 3 AS INT) + 1)) AS frame_no
+        |      FROM documents)
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     // The q125 BM25 arithmetic with the stats CTEs computed over the
     // even-doc_id shard only, then applied to every doc.
