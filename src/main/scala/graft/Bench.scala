@@ -59,25 +59,42 @@ object Bench {
       catch { case _: Throwable => () }
 
     val names = SparkEntry.queries.keys.toSeq
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val samples = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOne(name: String): Unit =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        samples.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer()) += t
+      } catch {
+        case e: Throwable =>
+          samples.remove(name)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     for (pass <- 0 until runs) {
       // rotate the start point each pass: a slow window hits a
       // DIFFERENT run-order neighborhood every time
       val offset = pass * names.size / runs
       val order = names.drop(offset) ++ names.take(offset)
-      for (name <- order if !errors.contains(name)) {
-        try {
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
-          val t = (System.nanoTime() - t0) / 1e9
-          if (!timings.get(name).exists(_ <= t)) timings(name) = t
-        } catch {
-          case e: Throwable =>
-            timings.remove(name)
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-      }
+      for (name <- order if !errors.contains(name)) timeOne(name)
+    }
+    // tail hardening: queries still over the threshold get extra
+    // interleaved samples, so one noisy host window cannot silently
+    // become a heavy query's reported number (r10's q112 artifact:
+    // all three samples landed in a 4x window; with extra samples the
+    // min recovers and min != median flags the noise)
+    val tailRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_RUNS", "2").toInt.max(0)
+    val tailThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_SEC", "2.0").toDouble
+    val tail = names.filter(n => samples.get(n).exists(_.min > tailThreshold))
+    for (_ <- 0 until tailRuns; name <- tail if !errors.contains(name)) timeOne(name)
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for ((name, ss) <- samples) {
+      timings(name) = ss.min
+      val sorted = ss.sorted
+      medians(name) = sorted(sorted.length / 2)
     }
 
     // ANN index/query split: time each ANN query's BUILD phase (train +
@@ -91,6 +108,19 @@ object Bench {
         val t0 = System.nanoTime()
         build(spark, sfDir)
         annSplit(name) = ((System.nanoTime() - t0) / 1e9, timings(name))
+      } catch { case _: Throwable => () }
+    }
+    // amortized leg: one-time save/reopen untimed, then min-of-2 on
+    // the reopened-index search — the steady-state per-batch cost
+    val annAmortized = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for ((name, prep) <- SparkEntry.annPersisted if timings.contains(name)) {
+      try {
+        val search = prep(spark, sfDir)
+        search() // warm the reopened plan
+        val ts = (0 until 2).map { _ =>
+          val t0 = System.nanoTime(); search(); (System.nanoTime() - t0) / 1e9
+        }
+        annAmortized(name) = ts.min
       } catch { case _: Throwable => () }
     }
 
@@ -131,12 +161,16 @@ object Bench {
     // full-precision, full-name copy for humans (BASELINE.md cross-ref);
     // carries the ANN build/query split the short line has no room for
     val annJson = annSplit.map { case (k, (b, q)) =>
-      s"""${jstr(k)}:{"build_s":$b,"query_total_s":$q}"""
+      val am = annAmortized.get(k).map(a => s""","query_amortized_s":$a""").getOrElse("")
+      s"""${jstr(k)}:{"build_s":$b,"query_total_s":$q$am}"""
     }.mkString("{", ",", "}")
+    // medians beside mins: min != median is the noisy-window tell
+    val medJson = ordered.map { case (k, _) => s"${jstr(k)}:${medians(k)}" }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
       line(identity, _.toString, fullErrors).dropRight(1) +
-        s""","ann_split":$annJson}""" + "\n")
+        s""","medians":$medJson,"ann_split":$annJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     // short keys ("q22" for "q22_minhash_lsh") keep the line ~1kB so it

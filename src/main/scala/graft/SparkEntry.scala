@@ -2266,6 +2266,68 @@ object SparkEntry {
     },
   )
 
+  /** AMORTIZED-index query phases for the IVFADC queries: the outer
+    * call does the one-time artifact work untimed — train, persist via
+    * [[graft.operators.Similarity.saveIndex]], write the codes
+    * parquet, REOPEN both — and returns the search thunk Bench times.
+    * This is the number the 100 TB story claims: a steady-state
+    * cluster pays only the reopened-index search per query batch, not
+    * the in-query training the stateless correctness gate performs
+    * (IvfPqPersistSpec pins reopened results bit-identical). */
+  def annPersisted: Map[String, (SparkSession, String) => (() => Unit)] = ListMap(
+    "q106_ann_ivfpq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann106").toString
+      val ix0 = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 16, m = 8, ksub = 32)
+      graft.operators.Similarity.saveIndex(s, ix0, s"$tmp/ix")
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix0)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
+      val codes = s.read.parquet(s"$tmp/codes")
+      () => {
+        val q = emb.filter(col("vec_id") < 20)
+        graft.operators.Similarity.ivfPqTopKReranked(emb, codes, q,
+          "vec_id", "embedding", ix, k = 5, shortlist = 100, nprobe = 14).count()
+        ()
+      }
+    },
+    "q112_ann_ivfpq_batch" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann112").toString
+      val ix0 = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 16, m = 8, ksub = 32)
+      graft.operators.Similarity.saveIndex(s, ix0, s"$tmp/ix")
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix0)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
+      val codes = s.read.parquet(s"$tmp/codes")
+      () => {
+        val qs = emb.filter(col("vec_id") % 7 === 0)
+        graft.operators.Similarity.ivfPqTopKBatchReranked(emb, codes, qs,
+          "vec_id", "embedding", ix, k = 5, shortlist = 100, nprobe = 14).count()
+        ()
+      }
+    },
+    "q135_ann_ivf_pruned" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann135").toString
+      val ix0 = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 64, m = 8, ksub = 32)
+      graft.operators.Similarity.saveIndex(s, ix0, s"$tmp/ix")
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix0)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
+      val codes = s.read.parquet(s"$tmp/codes")
+      () => {
+        val q = emb.filter(col("vec_id") < 20)
+        graft.operators.Similarity.ivfPqTopKReranked(emb, codes, q,
+          "vec_id", "embedding", ix, k = 5, shortlist = 50, nprobe = 8).count()
+        ()
+      }
+    },
+  )
+
   /** Cached for oracle generation — the torch oracles re-express the
     * MLP as DuckDB arithmetic from the same weights (TorchOracle). */
   private lazy val irisOracleModel: TorchScriptModel = TorchScriptModel.load(irisModel)
