@@ -1718,6 +1718,52 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // GPT-style CAUSAL decoder block: additive upper-triangular -inf
+    // attention mask (position a attends only to <= a) + last-token
+    // pooling — the decoder complement of q136's BERT head. The
+    // DuckDB oracle states the mask as `b.pos <= a.pos` on the L×L
+    // score join (masked softmax terms are exactly zero on both
+    // engines) and reads out the max-pos row.
+    "q138_torch_decoder" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = decModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("dec_class"))
+        .orderBy("doc_id")
+    },
+
+    // Sinusoidal positional encodings riding as a PRECOMPUTED f32
+    // buffer (the `x + self.pe[:L]` serialized shape) into a causal
+    // single-head attention + mean pool: neither engine recomputes
+    // sin/cos — the engine adds the stored buffer, the oracle inlines
+    // the same f32 values as literals, so there is no cross-libm
+    // trig drift by construction.
+    "q139_torch_sinpe" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = sinPeModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, AttnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("sinpe_class"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -2444,9 +2490,16 @@ object SparkEntry {
     * -> mean pool; ends in `SELECT doc_id, p0..p{d-1}` ready for
     * [[TorchOracle.mlpArgmaxSql]]'s fc chain. The scores are exact (all
     * dyadic, see [[attnModel]]); exp/softmax runs in f64 on both sides. */
-  private def attnPoolSql: String = {
+  private def attnPoolSql: String = attnPoolSql(attnModel)
+
+  /** [[attnPoolSql]] generalized for q139: an optional
+    * positional-encoding VALUES table summed into `x` (the model's
+    * [[graft.torch.PosEmbedOp]] — its f32 buffer values inlined as
+    * literals, so sinusoidal encodings never recompute sin/cos in
+    * SQL), and the causal `b.pos <= a.pos` join restriction when the
+    * attention head carries the causal flag. */
+  private def attnPoolSql(m: graft.torch.TorchScriptModel): String = {
     import graft.torch._
-    val m = attnModel
     val e = m.seqHead.get
     val at = m.ops.collectFirst { case a: SelfAttentionOp => a }.get
     val d = at.dim
@@ -2474,6 +2527,28 @@ object SparkEntry {
     val vCarry = (0 until d).map(j => s"b.v$j AS v$j").mkString(", ")
     val oSel = (0 until d).map(j => s"sum(es*v$j)/sum(es) AS o$j").mkString(", ")
     val pSel = (0 until d).map(j => s"avg(o$j) AS p$j").mkString(", ")
+    val causalCond = if (at.causal) " AND b.pos <= a.pos" else ""
+    val xCte = m.ops.collectFirst { case p: graft.torch.PosEmbedOp => p } match {
+      case None =>
+        s"""x AS (SELECT doc_id, pos,
+           |        ${(0 until e.embDim).map(j => s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
+           |      FROM toks JOIN embw USING (tid))"""
+      case Some(p) =>
+        // positional-encoding buffer values inlined as literals
+        // (never recomputed in SQL); 1-based word pos -> 0-based PE row
+        val posRows = (0 until p.maxLen).map { t =>
+          (0 until p.embDim).map(j => fmtF(p.weight(t * p.embDim + j)))
+            .mkString(s"($t, ", ", ", ")")
+        }.mkString(",\n    ")
+        val pCols = (0 until p.embDim).map(j => s"pp$j").mkString(", ")
+        s"""posw(pos, $pCols) AS (VALUES
+           |    $posRows),
+           |x AS (SELECT toks.doc_id, toks.pos,
+           |        ${(0 until e.embDim).map(j =>
+                      s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS w$j").mkString(", ")}
+           |      FROM toks JOIN embw USING (tid)
+           |      JOIN posw ON posw.pos = toks.pos - 1)"""
+    }
     s"""WITH toks AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
        |           % ${e.vocab} AS tid, pos
@@ -2484,16 +2559,14 @@ object SparkEntry {
        |  WHERE pos <= $AttnMaxLen),
        |embw(tid, $wCols) AS (VALUES
        |    $embRows),
-       |x AS (SELECT doc_id, pos,
-       |        ${(0 until e.embDim).map(j => s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
-       |      FROM toks JOIN embw USING (tid)),
+       |$xCte,
        |qkv AS (SELECT doc_id, pos,
        |   ${affine(at.wq, at.bq, "q")},
        |   ${affine(at.wk, at.bk, "k")},
        |   ${affine(at.wv, at.bv, "v")}
        | FROM x),
        |s AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $score AS sc, $vCarry
-       | FROM qkv a JOIN qkv b ON a.doc_id = b.doc_id),
+       | FROM qkv a JOIN qkv b ON a.doc_id = b.doc_id$causalCond),
        |mx AS (SELECT doc_id, pa, max(sc) AS m FROM s GROUP BY doc_id, pa),
        |ex AS (SELECT s.doc_id, s.pa, exp(s.sc - mx.m) AS es,
        |         ${(0 until d).map(j => s"s.v$j").mkString(", ")}
@@ -2709,6 +2782,84 @@ object SparkEntry {
       LinearLayer(qvals(12, 1429, 4.0), Array(0f, 0.375f, 7.75f), 3, 4)))
   }
 
+  /** q138's GPT-style CAUSAL decoder block: the [[encClsModel]]
+    * architecture with the two things that make a decoder a decoder —
+    * an additive upper-triangular -inf attention mask (position `a`
+    * attends only to positions `<= a`; masked softmax terms are
+    * EXACTLY zero on both engines, so causality adds no drift of its
+    * own) and LAST-token pooling (`x[:, -1]`, the only position that
+    * has seen the whole sequence). No CLS prepend. Same pinning
+    * discipline: dyadic weights, identical formulas in the DuckDB
+    * oracle (the mask becomes `b.pos <= a.pos` on the score join), one
+    * f32 rounding per op boundary absorbed by the argmax gap
+    * (TorchDecoderSpec pins the floor; fc bias re-centered by dyadic
+    * grid search over sf0.001 AND sf0.01). Reference capability
+    * anchor: arbitrary TorchScript classifiers via libtorch
+    * (reference src/udf.rs:127). */
+  private[graft] lazy val decModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    def head(seed: Int) = SelfAttentionOp(
+      qvals(8, seed, 1.0), qvals(2, seed + 2, 0.25),
+      qvals(8, seed + 4, 1.0), qvals(2, seed + 6, 0.25),
+      qvals(8, seed + 8, 1.5), qvals(2, seed + 10, 0.5),
+      dim = 2, inDim = 4, scale = 0.5, causal = true)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 1501, 2.0), vocab = 32, embDim = 4),
+      PosEmbedOp(qvals(EncMaxLen * 4, 1503, 0.5), maxLen = EncMaxLen, embDim = 4),
+      EncoderAttnOp(IndexedSeq(head(1507), head(1511)),
+        proj = Some(LinearLayer(qvals(16, 1523, 1.0), qvals(4, 1531, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1543, 0.25).map(v => 1f + v), qvals(4, 1549, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 1553, 1.0), qvals(8, 1559, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 1567, 1.0), qvals(4, 1571, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1579, 0.25).map(v => 1f + v), qvals(4, 1583, 0.25), 1e-5),
+      SeqLastPoolOp,
+      LinearLayer(qvals(12, 1597, 4.0), Array(0f, -6.75f, -7.4375f), 3, 4)))
+  }
+
+  /** q139's sinusoidal-positional-encoding head: token embeddings +
+    * the PRECOMPUTED "Attention is All You Need" position signal
+    * `pe[p, 2i] = sin(p / base^(2i/d))`, `pe[p, 2i+1] = cos(...)`
+    * (base 100 — the standard 10000 is flat over <= 16 positions),
+    * then a causal single-head attention and a mean pool. The PE
+    * values ride as a REGISTERED BUFFER (f32), exactly how real
+    * sinusoidal-PE modules serialize — the engine adds the stored
+    * values (`x + self.pe[:L]`, traced as a buffer slice, see
+    * TorchCodeSpec) and NEVER recomputes sin/cos, and the oracle
+    * inlines the same f32 values as literals, so there is no
+    * cross-libm sin/cos drift by construction. The values are NOT
+    * dyadic: the engine's one f32 rounding of (emb + pe) at the op
+    * boundary is real drift vs the oracle's f64 sum (~1e-8), absorbed
+    * by the argmax gap TorchDecoderSpec pins. */
+  private[graft] lazy val sinPeModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val d = 4
+    val pe = Array.tabulate(AttnMaxLen * d) { idx =>
+      val pos = idx / d
+      val j = idx % d
+      val angle = pos / math.pow(100.0, (2 * (j / 2)).toDouble / d)
+      (if (j % 2 == 0) math.sin(angle) else math.cos(angle)).toFloat
+    }
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(64 * 4, 1601, 2.0), vocab = 64, embDim = 4),
+      PosEmbedOp(pe, maxLen = AttnMaxLen, embDim = 4),
+      SelfAttentionOp(
+        qvals(16, 1607, 1.0), qvals(4, 1609, 0.25),
+        qvals(16, 1613, 1.0), qvals(4, 1619, 0.25),
+        qvals(16, 1621, 1.5), qvals(4, 1627, 0.5),
+        dim = 4, inDim = 4, scale = 0.5, causal = true),
+      SeqMeanPoolOp,
+      LinearLayer(qvals(12, 1637, 2.0), Array(0f, 3.125f, 7.5f), 3, 4)))
+  }
+
   /** Vision-classifier head for q128: an 8×8 grayscale image ->
     * Conv2d(1->4, k=2) -> ReLU -> AdaptiveMaxPool2d(1) -> flatten ->
     * Linear(4->3) -> argmax — the pixel-input model family the
@@ -2743,17 +2894,23 @@ object SparkEntry {
     * 1e-5) -> FFN with GREATEST(0,·) hidden -> residual -> LayerNorm ->
     * mean pool; ends in `SELECT doc_id, p0..p3` for
     * [[TorchOracle.mlpArgmaxSql]]'s fc chain. */
-  private def encPoolSql: String = encBlockSql(encModel, withCls = false)
+  private def encPoolSql: String = encBlockSql(encModel, pool = "mean")
 
-  /** Generalized encoder-block oracle: [[encPoolSql]]'s chain with two
-    * optional extensions for the q136 CLS head — a positional-embedding
-    * VALUES table summed into `x` (when the model carries a
-    * [[graft.torch.PosEmbedOp]]) and a prepended CLS token (tid 0,
-    * pos 0) whose position-0 row replaces the mean pool as the
-    * read-out (when `withCls`). Word positions stay 1-based from
-    * generate_subscripts, which after prepending IS their sequence
-    * index — the same arange id the engine's PosEmbedOp applies. */
-  private def encBlockSql(m0: graft.torch.TorchScriptModel, withCls: Boolean): String = {
+  /** Generalized encoder-block oracle: [[encPoolSql]]'s chain with
+    * optional extensions — a positional-embedding VALUES table summed
+    * into `x` (when the model carries a [[graft.torch.PosEmbedOp]]),
+    * a prepended CLS token (tid 0, pos 0) whose position-0 row
+    * replaces the mean pool as the read-out (`pool = "cls"`), a
+    * LAST-position read-out (`pool = "last"`, the causal-decoder
+    * form), and — when the model's attention heads carry the causal
+    * flag — the `b.pos <= a.pos` restriction on the L×L score join
+    * (the SQL statement of the additive upper-triangular -inf mask:
+    * masked terms never enter the max-shift or the softmax sum).
+    * Word positions stay 1-based from generate_subscripts, which
+    * after prepending IS their sequence index — the same arange id
+    * the engine's PosEmbedOp applies. */
+  private def encBlockSql(m0: graft.torch.TorchScriptModel, pool: String): String = {
+    val withCls = pool == "cls"
     import graft.torch._
     val m = m0
     val e = m.seqHead.get
@@ -2857,18 +3014,31 @@ object SparkEntry {
             .mkString(s"($t, ", ", ", ")")
         }.mkString(",\n    ")
         val pCols = (0 until p.embDim).map(j => s"pp$j").mkString(", ")
+        // with a CLS prepend the 1-based word positions ARE the engine's
+        // 0-based arange ids (CLS sits at 0); without one they are off
+        // by one — join the position table shifted
+        val joinCond =
+          if (withCls) "posw.pos = toks.pos" else "posw.pos = toks.pos - 1"
         s"""posw(pos, $pCols) AS (VALUES
            |    $posRows),
-           |x AS (SELECT doc_id, pos,
+           |x AS (SELECT toks.doc_id, toks.pos,
            |        ${(0 until e.embDim).map(j =>
                       s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS w$j").mkString(", ")}
-           |      FROM toks JOIN embw USING (tid) JOIN posw USING (pos))"""
+           |      FROM toks JOIN embw USING (tid) JOIN posw ON $joinCond)"""
     }
-    val poolCte =
-      if (withCls)
+    val causalCond =
+      if (ea.heads.head.causal) " AND b.pos <= a.pos" else ""
+    val poolCte = pool match {
+      case "cls" =>
         s"""pool AS (SELECT doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}
            |         FROM n2 WHERE pos = 0)"""
-      else s"""pool AS (SELECT doc_id, $poolSel FROM n2 GROUP BY doc_id)"""
+      case "last" =>
+        s"""lens AS (SELECT doc_id, max(pos) AS mp FROM toks GROUP BY doc_id),
+           |pool AS (SELECT n2.doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}
+           |         FROM n2 JOIN lens ON n2.doc_id = lens.doc_id AND n2.pos = lens.mp)"""
+      case _ =>
+        s"""pool AS (SELECT doc_id, $poolSel FROM n2 GROUP BY doc_id)"""
+    }
     s"""WITH $toksCte,
        |embw(tid, $wCols) AS (VALUES
        |    $embRows),
@@ -2877,7 +3047,7 @@ object SparkEntry {
        |   $headSel
        | FROM x),
        |s AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $scoreSel, $vCarry
-       | FROM qkv a JOIN qkv b ON a.doc_id = b.doc_id),
+       | FROM qkv a JOIN qkv b ON a.doc_id = b.doc_id$causalCond),
        |mx AS (SELECT doc_id, pa, $mxSel FROM s GROUP BY doc_id, pa),
        |ex AS (SELECT s.doc_id, s.pa, $exSel, $exVCols
        |       FROM s JOIN mx ON s.doc_id = mx.doc_id AND s.pa = mx.pa),
@@ -3848,10 +4018,28 @@ object SparkEntry {
     "q136_torch_cls" -> {
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(
         encClsModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
-      TorchOracle.mlpArgmaxSql(fc, encBlockSql(encClsModel, withCls = true),
+      TorchOracle.mlpArgmaxSql(fc, encBlockSql(encClsModel, pool = "cls"),
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS cls_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q138_torch_decoder" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        decModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, encBlockSql(decModel, pool = "last"),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS dec_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q139_torch_sinpe" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        sinPeModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, attnPoolSql(sinPeModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS sinpe_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // The synth MP4's parameters restated in closed form.

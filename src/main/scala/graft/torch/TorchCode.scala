@@ -323,10 +323,14 @@ object TorchCode {
     final case class SeqProj(l: LinearLayer) extends Sym
     /** `transpose(-2, -1)` of a [[SeqProj]] — the K^T leg. */
     final case class SeqProjT(p: SeqProj) extends Sym
-    /** `(n, seq, seq)` raw attention scores `matmul(q, k^T) * scale`. */
-    final case class AttnScores(q: SeqProj, k: SeqProj, scale: Double) extends Sym
+    /** `(n, seq, seq)` raw attention scores `matmul(q, k^T) * scale`;
+      * `causal` is set when an additive upper-triangular `-inf` mask
+      * (a sliced buffer, see [[BufSlice]]) has been summed in. */
+    final case class AttnScores(q: SeqProj, k: SeqProj, scale: Double,
+        causal: Boolean = false) extends Sym
     /** Row-softmaxed attention weights, awaiting the `matmul(·, v)`. */
-    final case class AttnWeights(q: SeqProj, k: SeqProj, scale: Double) extends Sym
+    final case class AttnWeights(q: SeqProj, k: SeqProj, scale: Double,
+        causal: Boolean = false) extends Sym
     /** A completed attention output `(L, Σ head dims)` — HELD, not yet
       * emitted: the consumer decides the fused op. `torch.cat` merges
       * heads, a following Linear becomes the out-projection,
@@ -353,6 +357,19 @@ object TorchCode {
       * [[PosIds]] — HELD until the `torch.add(x, ·)` that sums it into
       * the token-embedding sequence emits [[PosEmbedOp]]. */
     final case class PosEmbSeq(weight: Array[Float], maxLen: Int, emb: Int) extends Sym
+    /** A registered BUFFER tensor (`self.pe` / `self.causal_mask`)
+      * row-sliced to the live sequence length — the serialized shape of
+      * `self.pe[:x.size(1)]`. `dims = 1`: sliced on dim 0 only, a
+      * `(L, emb)` positional-encoding table (sinusoidal or otherwise
+      * PRECOMPUTED — the values ride in the buffer, so the engine never
+      * recomputes sin/cos); awaiting the `torch.add(x, ·)` that emits
+      * [[PosEmbedOp]]. `dims = 2`: sliced on both dims, a `(L, L)`
+      * additive attention mask; its full (maxLen × maxLen) content was
+      * VALIDATED at slice time to be exactly 0 on `j <= i` and `-inf`
+      * above the diagonal, so the only thing it can mean is causal
+      * masking — summed into [[AttnScores]] it sets the causal flag. */
+    final case class BufSlice(weight: Array[Float], rows: Int, cols: Int,
+        dims: Int) extends Sym
     /** Tuple of traced values — an RNN's forward returns
       * `(output, h_n)` (GRU) / `(output, (h_n, c_n))` (LSTM); consumed
       * by tuple-unpack statements. */
@@ -922,7 +939,7 @@ object TorchCode {
                     case other => sys.error(s"TorchScript code: $fn over dim $other " +
                       s"unsupported on attention scores (last dim only) in: $line")
                   }
-                  AttnWeights(sc.q, sc.k, sc.scale)
+                  AttnWeights(sc.q, sc.k, sc.scale, sc.causal)
                 case sy0 =>
                   val sy = flat(sy0)
                   args.lift(1).map(a => eval(a, line)) match {
@@ -952,7 +969,7 @@ object TorchCode {
                   // HELD: cat/proj/residual may still fuse (see AttnOut)
                   AttnOut(Vector(SelfAttentionOp(q.weight, q.bias, k.weight, k.bias,
                     v.l.weight, v.l.bias, dim = v.l.outDim, inDim = v.l.inDim,
-                    scale = aw.scale)), None)
+                    scale = aw.scale, causal = aw.causal)), None)
                 case (x, y) => sys.error(s"TorchScript code: $fn on (${x.getClass.getSimpleName}, " +
                   s"${y.getClass.getSimpleName}) unsupported (self-attention pattern only) in: $line")
               }
@@ -969,7 +986,7 @@ object TorchCode {
                 case other => sys.error(s"TorchScript code: $fn by non-scalar $other in: $line")
               }
               require(c != 0.0 || fn == "mul", s"TorchScript code: div by zero in: $line")
-              AttnScores(sc.q, sc.k, if (fn == "div") sc.scale / c else sc.scale * c)
+              sc.copy(scale = if (fn == "div") sc.scale / c else sc.scale * c)
             case "add" =>
               // the residual connection of an encoder block: one side is
               // the live (n, seq, d) sequence, the other a HELD
@@ -990,6 +1007,22 @@ object TorchCode {
                       s"positional embeddings in: $line")
                   ops += PosEmbedOp(p.weight, p.maxLen, p.emb)
                   SeqEmb(d)
+                case (SeqEmb(d), b: BufSlice) if b.dims == 1 =>
+                  // x + self.pe[:L]: a PRECOMPUTED positional-encoding
+                  // buffer (the sinusoidal-PE serialized shape) — same
+                  // runtime op as the learned-position path
+                  require(b.cols == d,
+                    s"TorchScript code: $d-dim sequence + ${b.cols}-dim " +
+                      s"positional-encoding buffer in: $line")
+                  ops += PosEmbedOp(b.weight, b.rows, b.cols)
+                  SeqEmb(d)
+                case (sc: AttnScores, b: BufSlice) if b.dims == 2 =>
+                  // scores + self.causal_mask[:L, :L]: the additive
+                  // upper-triangular -inf mask of a GPT-style decoder
+                  // (content validated causal at slice time)
+                  require(!sc.causal,
+                    s"TorchScript code: causal mask added twice in: $line")
+                  sc.copy(causal = true)
                 case (SeqEmb(d), a: AttnOut) =>
                   val op = EncoderAttnOp(a.heads, a.proj, residual = true)
                   require(op.inDim == d,
@@ -1168,11 +1201,11 @@ object TorchCode {
                 case sy0 => forceSeq(sy0) match {
                   case SeqEmb(e) =>
                     (sizeArg(1, Long.MinValue), sizeArg(2, Long.MinValue)) match {
-                      case (1L, 0L) =>
+                      case (1L, 0L) => ops += SeqClsPoolOp // x[:, 0]: CLS read-out
+                      case (1L, -1L) => ops += SeqLastPoolOp // x[:, -1]: decoder read-out
                       case other => sys.error(s"TorchScript code: select $other on a " +
-                        s"sequence unsupported ((1, 0) CLS read-out only) in: $line")
+                        s"sequence unsupported ((1, 0) CLS / (1, -1) last-token only) in: $line")
                     }
-                    ops += SeqClsPoolOp
                     Flat(e)
                   case other => sys.error(s"TorchScript code: select on $other " +
                     s"unsupported in: $line")
@@ -1200,6 +1233,54 @@ object TorchCode {
                   PosIds
                 case other => sys.error(s"TorchScript code: arange over $other " +
                   s"unsupported (size(x, 1) only) in: $line")
+              }
+            case "slice" =>
+              // torch.slice(t, dim, 0, L, 1): the serialized form of
+              // `t[:L]` / `t[:L, :L]` on a registered buffer — a
+              // positional-encoding table (one slice) or an additive
+              // attention mask (two slices). Only the live sequence
+              // length may bound a slice; start 0, step 1.
+              args.lift(3).map(a => eval(a, line)) match {
+                case Some(SeqLen) =>
+                case other => sys.error(s"TorchScript code: slice end $other " +
+                  s"unsupported (the live size(x, 1) only) in: $line")
+              }
+              require(sizeArg(2, 0) == 0,
+                s"TorchScript code: slice start != 0 unsupported in: $line")
+              require(sizeArg(4, 1) == 1,
+                s"TorchScript code: slice step != 1 unsupported in: $line")
+              val sliceDim = sizeArg(1, 0)
+              eval(args.head, line) match {
+                case t: Pickle.PTensor =>
+                  require(sliceDim == 0, s"TorchScript code: first buffer slice " +
+                    s"over dim $sliceDim unsupported (dim 0 only) in: $line")
+                  require(t.shape.length == 2, s"TorchScript code: sliced buffer " +
+                    s"must be 2-D (got ${t.shape.length}-D) in: $line")
+                  BufSlice(materialize(t), t.shape(0), t.shape(1), 1)
+                case b: BufSlice if b.dims == 1 =>
+                  require(sliceDim == 1, s"TorchScript code: second buffer slice " +
+                    s"over dim $sliceDim unsupported (dim 1 only) in: $line")
+                  require(b.rows == b.cols, s"TorchScript code: a two-dim-sliced " +
+                    s"buffer must be square (${b.rows}x${b.cols}) in: $line")
+                  // a square two-dim slice is only meaningful as an additive
+                  // attention mask — validate the causal pattern NOW so
+                  // the add-fusion can trust it
+                  var i = 0
+                  while (i < b.rows) {
+                    var j = 0
+                    while (j < b.cols) {
+                      val v = b.weight(i * b.cols + j)
+                      val ok = if (j <= i) v == 0f else v == Float.NegativeInfinity
+                      require(ok, s"TorchScript code: sliced mask buffer is not " +
+                        s"causal (entry ($i, $j) = $v; expected 0 on/below the " +
+                        s"diagonal, -inf above) in: $line")
+                      j += 1
+                    }
+                    i += 1
+                  }
+                  b.copy(dims = 2)
+                case other => sys.error(s"TorchScript code: slice on $other " +
+                  s"unsupported (registered 2-D buffers only) in: $line")
               }
             case "dropout" => tensorArg // eval-mode no-op on any shape
             case other => sys.error(s"TorchScript code: unsupported function $qual in: $line")

@@ -72,6 +72,13 @@ final case class PosEmbedOp(weight: Array[Float], maxLen: Int, embDim: Int)
   * sequence fails loudly (torch select on an empty dim errors). */
 case object SeqClsPoolOp extends TorchOp
 
+/** Last-token pooling: `x[:, -1]` — the final position of the
+  * `(L, emb)` sequence, the classifier read-out of a GPT-style CAUSAL
+  * decoder (only the last position has attended to the whole
+  * sequence). Empty sequence fails loudly, like torch's select on an
+  * empty dim. */
+case object SeqLastPoolOp extends TorchOp
+
 /** `transpose(1, 2)`: `(L, emb)` <-> `(ch, L)` — the mandatory layout
   * flip between an embedding sequence and Conv1d's channel-major input. */
 case object TransposeOp extends TorchOp
@@ -165,12 +172,18 @@ final case class GlobalPool2dOp(max: Boolean) extends TorchOp
   * value at the op boundary, so the only drift vs a float64 oracle fed
   * the same (dyadic-exact) scores is that final rounding. An empty
   * sequence never reaches here (the following mean pool would be 0/0
-  * anyway); softmax over a length-L row is well-defined for L >= 1. */
+  * anyway); softmax over a length-L row is well-defined for L >= 1.
+  * `causal = true` is the DECODER form: position `a` attends only to
+  * positions `<= a` (the additive `-inf` upper-triangular mask of a
+  * GPT-style block, which zeroes those softmax terms exactly — the
+  * masked entries never enter the max-shift or the normalizer, the
+  * same arithmetic torch's `scores + mask` produces). */
 final case class SelfAttentionOp(
     wq: Array[Float], bq: Array[Float],
     wk: Array[Float], bk: Array[Float],
     wv: Array[Float], bv: Array[Float],
-    dim: Int, inDim: Int, scale: Double) extends TorchOp
+    dim: Int, inDim: Int, scale: Double,
+    causal: Boolean = false) extends TorchOp
 
 /** Single-layer unidirectional batch-first recurrent cell (`kind` =
   * "gru" | "lstm") over a `(L, emb)` embedding sequence, returning the
@@ -212,6 +225,8 @@ final case class EncoderAttnOp(heads: IndexedSeq[SelfAttentionOp],
     proj: Option[LinearLayer], residual: Boolean) extends TorchOp {
   require(heads.nonEmpty, "attention needs at least one head")
   require(heads.forall(_.inDim == heads.head.inDim), "heads disagree on input dim")
+  require(heads.forall(_.causal == heads.head.causal),
+    "heads disagree on causal masking (one traced mask must cover every head)")
   val inDim: Int = heads.head.inDim
   val catDim: Int = heads.map(_.dim).sum
   val outDim: Int = proj.map(_.outDim).getOrElse(catDim)
@@ -338,8 +353,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(mode == 0, "mean(dim=1) needs the (n, seq, emb) embedding output")
           require(pool < 0, "second pool op after the sequence already collapsed")
           mode = 2; pool = i
-        case SeqClsPoolOp =>
-          require(mode == 0, "CLS pooling needs the (n, seq, emb) layout")
+        case SeqClsPoolOp | SeqLastPoolOp =>
+          require(mode == 0, "CLS/last-token pooling needs the (n, seq, emb) layout")
           require(pool < 0, "second pool op after the sequence already collapsed")
           mode = 2; pool = i
         case r: RnnOp =>
@@ -947,6 +962,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         // (L, emb): position 0 — the [CLS] read-out
         require(rows > 0, "CLS pooling over an empty sequence")
         java.util.Arrays.copyOfRange(data, 0, cols)
+      case SeqLastPoolOp =>
+        // (L, emb): position L-1 — the causal-decoder read-out
+        require(rows > 0, "last-token pooling over an empty sequence")
+        java.util.Arrays.copyOfRange(data, (rows - 1) * cols, rows * cols)
       case r: RnnOp => runRnn(r, data, rows, cols)
       case other => sys.error(s"unexpected pool op $other")
     }
@@ -1150,9 +1169,12 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     val scores = new Array[Double](L)
     var a = 0
     while (a < L) {
+      // causal: row a's softmax runs over the prefix 0..a only (the
+      // -inf-masked tail contributes exp(-inf) = 0 to max and sum)
+      val lim = if (at.causal) a + 1 else L
       var mx = Double.NegativeInfinity
       var b0 = 0
-      while (b0 < L) {
+      while (b0 < lim) {
         var s0 = 0.0
         var j = 0
         while (j < d) { s0 += qm(a * d + j) * km(b0 * d + j); j += 1 }
@@ -1163,12 +1185,12 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       }
       var z = 0.0
       b0 = 0
-      while (b0 < L) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
+      while (b0 < lim) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
       var j = 0
       while (j < d) {
         var acc = 0.0
         b0 = 0
-        while (b0 < L) { acc += scores(b0) * vm(b0 * d + j); b0 += 1 }
+        while (b0 < lim) { acc += scores(b0) * vm(b0 * d + j); b0 += 1 }
         out(a * d + j) = acc / z
         j += 1
       }
@@ -1196,8 +1218,9 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       case _: EmbeddingMeanOp | _: EmbeddingSeqOp =>
         sys.error("embedding op past the model head") // constructor forbids
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: SelfAttentionOp |
-          _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp |
-          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | _: RnnOp |
+          _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp | _: PosEmbedOp |
+          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | SeqClsPoolOp |
+          SeqLastPoolOp | _: RnnOp |
           _: Conv2dOp | _: MaxPool2dOp | _: AvgPool2dOp | _: GlobalPool2dOp |
           _: ChannelAffineOp | _: ResBlock2dOp =>
         sys.error("sequence/image op past the pool") // phase walkers forbid

@@ -3,34 +3,47 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-// Dev harness (round 11): grid-searches dyadic fc biases for
-// encClsModel maximizing the min argmax runner-up gap subject to a
-// mixed class split at BOTH sf0.001 and sf0.01.
+// Dev harness (round 11): grid-searches dyadic fc biases for a torch
+// head maximizing the min argmax runner-up gap subject to a mixed
+// class split at BOTH sf0.001 and sf0.01.
+// Usage: Test/runMain graft.TuneR11 [enc|dec|sinpe]
 object TuneR11 {
   def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("enc")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val m = SparkEntry.encClsModel
+    val (m, vocab, cap, cls) = which match {
+      case "enc" => (SparkEntry.encClsModel, 32, 11, true)
+      case "dec" => (SparkEntry.decModel, 32, 12, false)
+      case "sinpe" => (SparkEntry.sinPeModel, 64, 16, false)
+    }
     val all = for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) yield {
-      val vocab = 32
-      val toks = spark.read.parquet(dir + "/documents.parquet").select(col("doc_id"),
+      val words = spark.read.parquet(dir + "/documents.parquet").select(col("doc_id"),
         slice(transform(
           call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
           tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, 11).as("word_ids"))
+          1, cap).as("word_ids"))
         .filter(size(col("word_ids")) >= 1)
-        .select(col("doc_id"), concat(array(lit(0L)), col("word_ids")).as("tok_ids"))
+      val toks =
+        if (cls) words.select(col("doc_id"),
+          concat(array(lit(0L)), col("word_ids")).as("tok_ids"))
+        else words.withColumnRenamed("word_ids", "tok_ids")
       val bc = spark.sparkContext.broadcast(m)
       graft.torch.Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("logits")).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     }
-    // current model has bias (0,0,0): search additive (0, b1, b2) on the 1/16 grid
+    // search additive (0, b1, b2) on the 1/16 grid around the medians
+    val l0 = all.flatten
+    val med = (0 until 3).map(c => l0.map(_(c)).sorted.apply(l0.length / 2))
+    println(s"medians: ${med.mkString(", ")}  n=${all.map(_.length).mkString("/")}")
+    val c1 = math.round((med(0) - med(1)) * 16).toInt
+    val c2 = math.round((med(0) - med(2)) * 16).toInt
     var best: (Double, Double, Double, String) = (0, 0, Double.MinValue, "")
-    for (b1x <- -16 to 16; b2x <- 120 to 160) {
+    for (b1x <- c1 - 24 to c1 + 24; b2x <- c2 - 24 to c2 + 24) {
       val b1 = b1x / 16.0; val b2 = b2x / 16.0
       var minGap = Double.MaxValue
       var ok = true

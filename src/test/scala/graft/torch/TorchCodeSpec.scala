@@ -1397,6 +1397,114 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(over.getMessage.contains("position"), over.getMessage)
   }
 
+  test("causal decoder: buffer PE slice + additive -inf mask + last-token select trace to the causal op") {
+    // GPT-style read-out: Embedding(8, 4) + self.pe[:L] (a REGISTERED
+    // BUFFER — the sinusoidal-PE serialized shape; values precomputed,
+    // never traced through sin/cos) -> single-head attention with
+    // scores + self.mask[:L, :L] (additive upper-triangular -inf) ->
+    // x[:, -1] -> Linear(4->3). Generated code spells the slices as
+    // torch.slice(t, dim, 0, n, 1).
+    val vocab = 8; val d = 4; val maxLen = 12
+    val ew = vals(vocab * d, 81)
+    val pw = Array.tabulate(maxLen * d) { idx =>
+      val pos = idx / d; val j = idx % d
+      val angle = pos / math.pow(100.0, (2 * (j / 2)).toDouble / d)
+      (if (j % 2 == 0) math.sin(angle) else math.cos(angle)).toFloat
+    }
+    val mask = Array.tabulate(maxLen * maxLen) { idx =>
+      if (idx % maxLen <= idx / maxLen) 0f else Float.NegativeInfinity
+    }
+    val (wq, bq) = (vals(16, 83), vals(4, 84))
+    val (wk, bk) = (vals(16, 85), vals(4, 86))
+    val (wv, bv) = (vals(16, 87), vals(4, 88))
+    val (wf, bf) = (vals(12, 89), vals(3, 90))
+    val model = Module("__torch__.DecNet", Seq(
+      "training" -> B(false),
+      "pe" -> Tensor(Seq(maxLen, d), pw),
+      "mask" -> Tensor(Seq(maxLen, maxLen), mask),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, d), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "q" -> linear(wq, 4, 4, bq),
+      "k" -> linear(wk, 4, 4, bk),
+      "v" -> linear(wv, 4, 4, bv),
+      "fc" -> linear(wf, 3, 4, bf)))
+    def codeFor(body: String) = Map("code/__torch__.py" ->
+      (s"""class DecNet(Module):
+          |  training : bool
+          |  def forward(self: __torch__.DecNet,
+          |    x: Tensor) -> Tensor:
+          |    e = (self.emb).forward(x, )
+          |    n = torch.size(e, 1)
+          |$body
+          |    fc = self.fc
+          |    return (fc).forward(last, )
+          |""".stripMargin))
+    val goodBody =
+      """    pe = torch.slice(self.pe, 0, 0, n, 1)
+        |    e0 = torch.add(e, pe)
+        |    q = (self.q).forward(e0, )
+        |    k = (self.k).forward(e0, )
+        |    v = (self.v).forward(e0, )
+        |    k0 = torch.transpose(k, -2, -1)
+        |    s = torch.matmul(q, k0)
+        |    s0 = torch.div(s, 2.)
+        |    m0 = torch.slice(self.mask, 0, 0, n, 1)
+        |    m1 = torch.slice(m0, 1, 0, n, 1)
+        |    s1 = torch.add(s0, m1)
+        |    a = torch.softmax(s1, -1)
+        |    o = torch.matmul(a, v)
+        |    last = torch.select(o, 1, -1)""".stripMargin
+    val m = TorchScriptModel.load(writeTemp("decnet", "decnet", model, codeFor(goodBody)))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "PosEmbedOp", "SelfAttentionOp",
+        "SeqLastPoolOp$", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val pe = m.ops(1).asInstanceOf[PosEmbedOp]
+    assert(pe.maxLen == maxLen && pe.embDim == d && pe.weight.toSeq == pw.toSeq)
+    val at = m.ops(2).asInstanceOf[SelfAttentionOp]
+    assert(at.causal && at.scale == 0.5)
+    // independent double math: causal softmax (row a over 0..a), last row
+    val toks = Array(3, 0, 6, 2, 5)
+    val L = toks.length
+    val x = Array.tabulate(L, d)((p, j) =>
+      (ew(toks(p) * d + j).toDouble + pw(p * d + j).toDouble).toFloat.toDouble)
+    def proj(w: Array[Float], b: Array[Float]): Array[Array[Double]] =
+      Array.tabulate(L, d)((p, o) =>
+        b(o) + (0 until d).map(j => x(p)(j) * w(o * d + j)).sum)
+    val (qm, km, vm) = (proj(wq, bq), proj(wk, bk), proj(wv, bv))
+    val a0 = L - 1 // only the last row reaches the classifier
+    val sc = Array.tabulate(L)(b0 => (0 until d).map(j => qm(a0)(j) * km(b0)(j)).sum * 0.5)
+    val mx = sc.max
+    val es = sc.map(s0 => math.exp(s0 - mx))
+    val z = es.sum
+    val lastVec = Array.tabulate(d)(j => (0 until L).map(b0 => es(b0) * vm(b0)(j)).sum / z)
+    val expected = mm(lastVec, wf, bf, 3, 4)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 3) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // (row L-1 attends every position, so last-pool output alone cannot
+    // distinguish causal from full attention — the BEHAVIORAL causal
+    // pin is TorchDecoderSpec's mean-pooled f64 recompute, where rows
+    // a < L-1 are prefix-limited)
+    // a NON-causal mask buffer fails at the second slice
+    val badMask = mask.clone(); badMask(1) = 0f // (0, 1) should be -inf
+    val badModel = Module("__torch__.DecNet", model.attrs.map {
+      case ("mask", _) => "mask" -> Tensor(Seq(maxLen, maxLen), badMask)
+      case kv => kv
+    })
+    val e1 = intercept[Exception](
+      TorchScriptModel.load(writeTemp("decbad", "decbad", badModel, codeFor(goodBody))))
+    assert(e1.getMessage.contains("causal"), e1.getMessage)
+    // a slice bounded by anything but the live length fails
+    val e2 = intercept[Exception](
+      TorchScriptModel.load(writeTemp("decbad2", "decbad2", model, codeFor(
+        goodBody.replace("torch.slice(self.pe, 0, 0, n, 1)",
+          "torch.slice(self.pe, 0, 0, 4, 1)")))))
+    assert(e2.getMessage.contains("slice end"), e2.getMessage)
+  }
+
   test("CLS select on a non-zero index and sinusoidal-computed positions fail loudly") {
     val vocab = 4; val d = 2
     def net(body: String) = {
