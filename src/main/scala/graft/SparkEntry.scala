@@ -1764,6 +1764,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Depthwise-separable (MobileNet-style) vision head: pointwise
+    // expand -> DEPTHWISE 3x3 (groups == channels; each channel
+    // convolves only itself) -> folded BN -> pointwise reduce ->
+    // global avg pool -> fc, end-to-end through the real PGM codec.
+    // The oracle restates the depthwise conv as a per-channel
+    // neighbor self-join — a dense restatement would produce
+    // different numbers, so the grouped semantics is what's pinned.
+    "q140_torch_depthwise" -> { (s, dir) =>
+      ArgMax.register(s)
+      val bc = s.sparkContext.broadcast(mobileModel)
+      val synth = udf((docId: Long) => {
+        val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate(64)(i =>
+          (((docId * 2246822519L) ^ ((i / 8) * 30011L + (i % 8) * 12007L +
+            docId * 5003L)) % 256).toByte)
+        header ++ px
+      })
+      val imgs = Multimodal.resizeImage(
+        t(s, dir, "documents").select(col("doc_id"), synth(col("doc_id")).as("img")),
+        "img", "px", 8, 8)
+      Torch.inferImageBatched(
+          imgs.select(col("doc_id"), col("px.pixels").as("pixels")),
+          "pixels", "logits", bc, c = 1, h = 8, w = 8, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("dw_class"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -3247,6 +3275,101 @@ object SparkEntry {
       LinearLayer(qvals(9, 1123, 4.0), Array(-0.0625f, 5.0f, -1.0f), 3, 3)))
   }
 
+  /** Depthwise-separable vision head for q140 — the MobileNet block
+    * family: 8×8 grayscale -> pointwise Conv2d(1->4, k1) -> ReLU ->
+    * DEPTHWISE Conv2d(4->4, k3, pad 1, groups=4; each channel
+    * convolves only itself — weight `(4, 1, 3, 3)`, nn.Conv2d's
+    * grouped layout) -> folded BN (channel affine) -> ReLU ->
+    * pointwise Conv2d(4->3, k1) -> ReLU -> global max pool ->
+    * Linear(3->3). All weights and affines dyadic; the oracle
+    * restates the depthwise conv as a per-channel neighbor self-join
+    * (each output channel reading ONLY its own input channel — a
+    * dense restatement would produce different numbers, so the
+    * oracle genuinely pins the grouped semantics). fc bias
+    * re-centered by dyadic grid search over sf0.001 + sf0.01;
+    * TorchConvSpec pins the gap floor. Reference capability anchor:
+    * arbitrary TorchScript models via libtorch (udf.rs:127). */
+  private[graft] lazy val mobileModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      Conv2dOp(qvals(4, 1701, 1.0), qvals(4, 1703, 0.25),
+        outCh = 4, inCh = 1, kh = 1, kw = 1, stride = 1),
+      ActOp("relu"),
+      Conv2dOp(qvals(36, 1709, 0.5), qvals(4, 1721, 0.25),
+        outCh = 4, inCh = 4, kh = 3, kw = 3, stride = 1, pad = 1, groups = 4),
+      ChannelAffineOp(qvals(4, 1723, 0.5).map(v => 1f + v), qvals(4, 1733, 0.25)),
+      ActOp("relu"),
+      Conv2dOp(qvals(12, 1741, 1.0), qvals(3, 1747, 0.25),
+        outCh = 3, inCh = 4, kh = 1, kw = 1, stride = 1),
+      ActOp("relu"),
+      GlobalPool2dOp(max = true),
+      LinearLayer(qvals(9, 1753, 4.0), Array(0f, 6.6875f, -0.1875f), 3, 3)))
+  }
+
+  /** DuckDB chain for the q140 oracle: fresh closed-form pixel grid,
+    * the pointwise expand as a per-pixel affine of the single input
+    * channel, the DEPTHWISE 3×3 as a ±1 neighbor self-join where
+    * output channel c reads ONLY input channel c (+ channel affine +
+    * ReLU), the pointwise reduce per-pixel, then a per-channel global
+    * max; ends in `SELECT doc_id, p0..p2` for
+    * [[TorchOracle.mlpArgmaxSql]]. */
+  private def mobilePoolSql: String = {
+    import graft.torch._
+    val m = mobileModel
+    val convs = m.ops.collect { case c: Conv2dOp => c }
+    val (pw1, dw, pw2) = (convs(0), convs(1), convs(2))
+    val aff = m.ops.collectFirst { case a: ChannelAffineOp => a }.get
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def px(r: String, c: String): String =
+      s"CAST(xor(doc_id * 2246822519, ($r) * 30011 + ($c) * 12007 + " +
+        s"doc_id * 5003) % 256 AS DOUBLE)/255"
+    // pointwise expand: e_c = relu(b_c + w_c * px)
+    val expandSel = (0 until pw1.outCh).map { oc =>
+      s"GREATEST(0, ${fmtF(pw1.bias(oc))} + ${fmtF(pw1.weight(oc))}*${px("i", "j")}) AS e$oc"
+    }.mkString(",\n   ")
+    // depthwise 3x3 (same padding): channel c sums ONLY b.e{c} over
+    // the ±1 window; absent neighbors = zero padding
+    val dwSel = (0 until dw.outCh).map { oc =>
+      val branches = (for (di <- -1 to 1; dj <- -1 to 1) yield {
+        val wv = fmtF(dw.weight((oc * 3 + (di + 1)) * 3 + (dj + 1)))
+        s"WHEN b.i - a.i = $di AND b.j - a.j = $dj THEN $wv*b.e$oc"
+      }).mkString(" ")
+      val conv = s"${fmtF(dw.bias(oc))} + SUM(CASE $branches ELSE 0 END)"
+      s"GREATEST(0, ($conv)*${fmtF(aff.scale(oc))}+${fmtF(aff.shift(oc))}) AS d$oc"
+    }.mkString(",\n   ")
+    // pointwise reduce: y_o = relu(b_o + sum_c w_oc * d_c)
+    val reduceSel = (0 until pw2.outCh).map { oc =>
+      val terms = fmtF(pw2.bias(oc)) +: (0 until pw2.inCh).map(c0 =>
+        s"${fmtF(pw2.weight(oc * pw2.inCh + c0))}*d$c0")
+      s"GREATEST(0, ${terms.mkString("+")}) AS y$oc"
+    }.mkString(",\n   ")
+    val poolSel = (0 until pw2.outCh).map(c0 => s"max(y$c0) AS p$c0").mkString(", ")
+    s"""WITH grid AS (
+       |  SELECT doc_id, ii.i, jj.j FROM documents,
+       |    (SELECT unnest(range(0, 8)) AS i) ii,
+       |    (SELECT unnest(range(0, 8)) AS j) jj),
+       |expand AS (SELECT doc_id, i, j,
+       |   $expandSel
+       | FROM grid),
+       |dw AS (SELECT a.doc_id, a.i, a.j,
+       |   $dwSel
+       | FROM expand a JOIN expand b
+       |   ON a.doc_id = b.doc_id AND b.i BETWEEN a.i - 1 AND a.i + 1
+       |      AND b.j BETWEEN a.j - 1 AND a.j + 1
+       | GROUP BY a.doc_id, a.i, a.j),
+       |red AS (SELECT doc_id, i, j,
+       |   $reduceSel
+       | FROM dw),
+       |pool AS (SELECT doc_id, $poolSel FROM red GROUP BY doc_id)
+       |SELECT doc_id, ${(0 until pw2.outCh).map(c0 => s"p$c0").mkString(", ")} FROM pool""".stripMargin
+  }
+
   /** DuckDB chain for the q131 oracle: the same closed-form pixel grid
     * as q128 (fresh xor constants), the STEM's same-padded 3×3 conv
     * written with per-term bounds CASEs over the pixel formula, then
@@ -4040,6 +4163,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS sinpe_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q140_torch_depthwise" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        mobileModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, mobilePoolSql,
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS dw_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // The synth MP4's parameters restated in closed form.

@@ -596,8 +596,15 @@ object TorchCode {
           case Some(t: Pickle.PTensor) if t.shape.length == 4 => t
           case other => sys.error(s"${m.fqName}: missing 4-D tensor 'weight' (got $other)")
         }
-        val (outCh, inCh, kh, kw) = (w.shape(0), w.shape(1), w.shape(2), w.shape(3))
-        require(sizeAttr(m, "groups", 1) == 1, s"${m.fqName}: grouped conv unsupported")
+        // weight is (outCh, inCh/groups, kh, kw) — nn.Conv2d's grouped
+        // layout; groups == in == out channels is the depthwise conv of
+        // a MobileNet-style separable block
+        val groups = sizeAttr(m, "groups", 1).toInt
+        require(groups >= 1, s"${m.fqName}: groups $groups invalid")
+        val (outCh, inCh, kh, kw) =
+          (w.shape(0), w.shape(1) * groups, w.shape(2), w.shape(3))
+        require(outCh % groups == 0,
+          s"${m.fqName}: groups=$groups must divide out_channels=$outCh")
         def pair(key: String, dflt: Long): (Long, Long) = m.attrs.get(key) match {
           case Some(Pickle.PTuple(Vector(Pickle.PInt(a), Pickle.PInt(b)))) => (a, b)
           case Some(Pickle.PTuple(Vector(Pickle.PInt(a)))) => (a, a)
@@ -625,7 +632,8 @@ object TorchCode {
           case Some(null) | Some(Pickle.PNone) | None => new Array[Float](outCh)
           case other => sys.error(s"${m.fqName}: bad conv bias $other")
         }
-        val op = Conv2dOp(materialize(w), bias, outCh, inCh, kh, kw, sh.toInt, ph.toInt)
+        val op = Conv2dOp(materialize(w), bias, outCh, inCh, kh, kw, sh.toInt,
+          ph.toInt, groups)
         s match {
           case Flat(-1) =>
             // raw model input: the stem conv binds the (n, ch, H, W)

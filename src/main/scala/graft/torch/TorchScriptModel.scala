@@ -97,16 +97,25 @@ final case class MaxPool1dOp(k: Int, stride: Int) extends TorchOp
 /** 2-D convolution over `(inCh, H, W)` — the vision-classifier head
   * (the model consumes a PIXEL input instead of token ids; see
   * `TorchScriptModel.forwardImageBatch`). Weight row-major
-  * `(outCh, inCh, kh, kw)`, symmetric zero padding `pad` (0 = valid;
-  * `2·pad == k−1` with stride 1 = torch's `padding='same'` for odd
-  * kernels — the shape-preserving ResNet-block form), stride >= 1, no
-  * dilation/groups. Output `(outCh, (H+2p−kh)/s+1, (W+2p−kw)/s+1)`; an
-  * input smaller than the effective kernel fails loudly, exactly
-  * torch's output-size check. f64 accumulation, one f32 rounding per
-  * output value. */
+  * `(outCh, inCh/groups, kh, kw)`, symmetric zero padding `pad` (0 =
+  * valid; `2·pad == k−1` with stride 1 = torch's `padding='same'` for
+  * odd kernels — the shape-preserving ResNet-block form), stride >= 1,
+  * no dilation. `groups` partitions the channels exactly like
+  * nn.Conv2d: output channel `o` (in group `o / (outCh/groups)`)
+  * reads only that group's `inCh/groups` input channels —
+  * `groups == inCh == outCh` is the DEPTHWISE conv of a
+  * MobileNet-style separable block. Output
+  * `(outCh, (H+2p−kh)/s+1, (W+2p−kw)/s+1)`; an input smaller than the
+  * effective kernel fails loudly, exactly torch's output-size check.
+  * f64 accumulation, one f32 rounding per output value. */
 final case class Conv2dOp(weight: Array[Float], bias: Array[Float],
-    outCh: Int, inCh: Int, kh: Int, kw: Int, stride: Int, pad: Int = 0) extends TorchOp {
+    outCh: Int, inCh: Int, kh: Int, kw: Int, stride: Int, pad: Int = 0,
+    groups: Int = 1) extends TorchOp {
   require(pad >= 0, s"negative padding $pad")
+  require(groups >= 1 && inCh % groups == 0 && outCh % groups == 0,
+    s"groups=$groups must divide in=$inCh and out=$outCh channels")
+  require(weight.length == outCh * (inCh / groups) * kh * kw,
+    s"conv weight length ${weight.length} != $outCh x ${inCh / groups} x $kh x $kw")
   /** Does this conv map (H, W) to itself? (same padding, unit stride) */
   def shapePreserving: Boolean = stride == 1 && 2 * pad == kh - 1 && kh == kw
 }
@@ -580,20 +589,27 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         val oh = (hh + 2 * cv.pad - cv.kh) / cv.stride + 1
         val ow = (ww + 2 * cv.pad - cv.kw) / cv.stride + 1
         val out = new Array[Float](cv.outCh * oh * ow)
+        // grouped channel ranges (nn.Conv2d): output channel oc reads
+        // input channels [g*icg, (g+1)*icg) of its group only; weight
+        // rows are (outCh, icg, kh, kw)
+        val icg = cv.inCh / cv.groups
+        val ocg = cv.outCh / cv.groups
         var oc = 0
         while (oc < cv.outCh) {
+          val dBase = (oc / ocg) * icg
           var i = 0
           while (i < oh) {
             var j = 0
             while (j < ow) {
               var acc: Double = cv.bias(oc)
-              var d = 0
-              while (d < cv.inCh) {
+              var dg = 0
+              while (dg < icg) {
+                val d = dBase + dg
                 var r = 0
                 while (r < cv.kh) {
                   val y = i * cv.stride + r - cv.pad
                   if (y >= 0 && y < hh) {
-                    val wOff = ((oc * cv.inCh + d) * cv.kh + r) * cv.kw
+                    val wOff = ((oc * icg + dg) * cv.kh + r) * cv.kw
                     var q = 0
                     while (q < cv.kw) {
                       val x = j * cv.stride + q - cv.pad
@@ -604,7 +620,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
                   }
                   r += 1
                 }
-                d += 1
+                dg += 1
               }
               out((oc * oh + i) * ow + j) = acc.toFloat
               j += 1

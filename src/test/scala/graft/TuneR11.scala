@@ -20,8 +20,28 @@ object TuneR11 {
       case "enc" => (SparkEntry.encClsModel, 32, 11, true)
       case "dec" => (SparkEntry.decModel, 32, 12, false)
       case "sinpe" => (SparkEntry.sinPeModel, 64, 16, false)
+      case "dw" => (SparkEntry.mobileModel, 0, 0, false)
     }
-    val all = for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) yield {
+    val all = for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) yield
+      if (which == "dw") {
+      // image path: the q140 PGM synth through the real codec
+      val synth = udf((docId: Long) => {
+        val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate(64)(i =>
+          (((docId * 2246822519L) ^ ((i / 8) * 30011L + (i % 8) * 12007L +
+            docId * 5003L)) % 256).toByte)
+        header ++ px
+      })
+      val imgs = graft.operators.Multimodal.resizeImage(
+        spark.read.parquet(dir + "/documents.parquet")
+          .select(col("doc_id"), synth(col("doc_id")).as("img")),
+        "img", "px", 8, 8)
+      val bc = spark.sparkContext.broadcast(m)
+      graft.torch.Torch.inferImageBatched(
+          imgs.select(col("doc_id"), col("px.pixels").as("pixels")),
+          "pixels", "logits", bc, c = 1, h = 8, w = 8, batchSize = 256)
+        .select(col("logits")).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    } else {
       val words = spark.read.parquet(dir + "/documents.parquet").select(col("doc_id"),
         slice(transform(
           call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),

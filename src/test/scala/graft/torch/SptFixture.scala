@@ -169,14 +169,15 @@ object SptFixture {
   /** nn.Conv2d with the 2-tuple hyper-params a real torch.jit.save
    * emits. */
   def conv2d(weight: Array[Float], outCh: Int, inCh: Int, kh: Int, kw: Int,
-      bias: Array[Float], stride: Int = 1, padding: Int = 0): Module =
+      bias: Array[Float], stride: Int = 1, padding: Int = 0,
+      groups: Int = 1): Module =
     Module(Conv2dCls, Seq(
-      "weight" -> Tensor(Seq(outCh, inCh, kh, kw), weight),
+      "weight" -> Tensor(Seq(outCh, inCh / groups, kh, kw), weight),
       "bias" -> Tensor(Seq(outCh), bias),
       "stride" -> Tup(Seq(I(stride), I(stride))),
       "padding" -> Tup(Seq(I(padding), I(padding))),
       "dilation" -> Tup(Seq(I(1), I(1))),
-      "groups" -> I(1),
+      "groups" -> I(groups),
       "in_channels" -> I(inCh),
       "out_channels" -> I(outCh),
       "kernel_size" -> Tup(Seq(I(kh), I(kw))),

@@ -1397,6 +1397,72 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(over.getMessage.contains("position"), over.getMessage)
   }
 
+  test("depthwise (grouped) Conv2d archive: weight (out, in/groups, k, k) traces; channels stay grouped") {
+    // MobileNet-style separable pair: pointwise Conv2d(1->3, k1) ->
+    // relu -> DEPTHWISE Conv2d(3->3, k3, pad 1, groups=3) -> relu ->
+    // AdaptiveMaxPool2d(1) -> flatten -> Linear(3->2)
+    val (h, w) = (5, 5)
+    val pwW = vals(3, 141); val pwB = vals(3, 142)
+    val dwW = vals(3 * 1 * 3 * 3, 143); val dwB = vals(3, 144)
+    val (wf, bf) = (vals(6, 145), vals(2, 146))
+    val model = Module("__torch__.DwNet", Seq(
+      "training" -> B(false),
+      "pw" -> conv2d(pwW, 3, 1, 1, 1, pwB),
+      "dw" -> conv2d(dwW, 3, 3, 3, 3, dwB, padding = 1, groups = 3),
+      "pool" -> Module(AdaptiveMaxPool2dCls, Seq(
+        "output_size" -> I(1), "return_indices" -> B(false), "training" -> B(false))),
+      "fc" -> linear(wf, 2, 3, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class DwNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.DwNet,
+        |    x: Tensor) -> Tensor:
+        |    pw = self.pw
+        |    e = torch.relu((pw).forward(x, ))
+        |    dw = self.dw
+        |    d = torch.relu((dw).forward(e, ))
+        |    pool = self.pool
+        |    p = (pool).forward(d, )
+        |    f = torch.flatten(p, 1)
+        |    fc = self.fc
+        |    return (fc).forward(f, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("dwnet", "dwnet", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("Conv2dOp", "ActOp", "Conv2dOp", "ActOp",
+        "GlobalPool2dOp", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    val dwOp = m.ops(2).asInstanceOf[Conv2dOp]
+    assert(dwOp.groups == 3 && dwOp.inCh == 3 && dwOp.outCh == 3 &&
+      dwOp.weight.length == 3 * 1 * 3 * 3)
+    // f64 reference with the GROUPED channel rule (channel c reads only
+    // channel c); same-padded
+    val px = vals(h * w, 147).map(v => math.abs(v) % 1.0f)
+    val e = Array.tabulate(3, h, w)((c, i, j) =>
+      math.max(0.0, pwB(c) + pwW(c) * px(i * w + j)))
+    val d = Array.tabulate(3, h, w) { (c, i, j) =>
+      var acc: Double = dwB(c)
+      for (di <- -1 to 1; dj <- -1 to 1
+           if i + di >= 0 && i + di < h && j + dj >= 0 && j + dj < w)
+        acc += dwW((c * 3 + (di + 1)) * 3 + (dj + 1)) * e(c)(i + di)(j + dj)
+      math.max(0.0, acc)
+    }
+    val pooled = Array.tabulate(3)(c => d(c).flatten.max)
+    val expected = mm(pooled, wf, bf, 2, 3)
+    val got = m.forwardImageBatch(Array(px), 1, h, w)
+    for (j <- 0 until 2) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // groups failing to divide out_channels fails loudly at load
+    val bad = Module("__torch__.DwNet", model.attrs.map {
+      case ("dw", _) => "dw" -> conv2d(vals(3 * 1 * 9, 148), 3, 2, 3, 3,
+        vals(3, 149), padding = 1, groups = 2)
+      case kv => kv
+    })
+    val e1 = intercept[Exception](
+      TorchScriptModel.load(writeTemp("dwbad", "dwbad", bad, code)))
+    assert(e1.getMessage.contains("groups"), e1.getMessage)
+  }
+
   test("causal decoder: buffer PE slice + additive -inf mask + last-token select trace to the causal op") {
     // GPT-style read-out: Embedding(8, 4) + self.pe[:L] (a REGISTERED
     // BUFFER — the sinusoidal-PE serialized shape; values precomputed,
