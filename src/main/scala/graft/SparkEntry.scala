@@ -1792,6 +1792,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // G.711 telephony audio (WAVE_FORMAT_MULAW/ALAW): deterministic
+    // code bytes per doc -> writeWavG711 -> the real chunk walker +
+    // segmented-companding expansion -> scan-side features. The
+    // oracle restates the EXACT bit arithmetic of both expansions
+    // (complement/xor 0x55, rebias, segment shift) in SQL — decoded
+    // samples are dyadic m/32768, so rms/peak/zero-cross are
+    // bit-identical across engines with no rounding budget at all.
+    "q141_audio_g711" -> { (s, dir) =>
+      import graft.operators.Audio
+      val synth = udf((docId: Long) => {
+        val n = 800 + (docId % 5).toInt * 40
+        val codes = Array.tabulate(n)(i => ((docId * 31 + i * 7) % 256).toByte)
+        Audio.writeWavG711(8000, if (docId % 2 == 0) 7 else 6, codes)
+      })
+      val feats = Audio.withWavFeatures(
+        t(s, dir, "documents").select(col("doc_id"), synth(col("doc_id")).as("wav")),
+        "wav", "f")
+      feats.select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("ulaw")).otherwise(lit("alaw")).as("codec"),
+          col("f.n_samples").as("n_samples"),
+          col("f.rms").as("rms"),
+          col("f.peak").as("peak"),
+          col("f.zero_cross").as("zero_cross"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -4173,6 +4199,48 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS dw_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
+
+    // The G.711 expansions restated bit-for-bit: μ-law = complement,
+    // ((mant<<3)+0x84)<<seg, re-bias; A-law = xor 0x55, segment-0
+    // linear else ((mant<<4)+0x108)<<(seg-1), sign bit SET = positive.
+    // Decoded samples are m/32768 (dyadic) -> features carry no
+    // rounding budget at all.
+    "q141_audio_g711" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, 800 + CAST(doc_id % 5 AS INT) * 40)) AS i
+        |  FROM documents),
+        |kk AS (SELECT doc_id, i,
+        |         CAST((doc_id * 31 + i * 7) % 256 AS INT) AS k FROM codes),
+        |u AS (SELECT doc_id, i, k, 255 - k AS uc, xor(k, 85) AS ac FROM kk),
+        |dec AS (SELECT doc_id, i,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE WHEN (uc & 128) != 0
+        |      THEN 132 - ((((uc & 15) * 8) + 132) << ((uc >> 4) & 7))
+        |      ELSE ((((uc & 15) * 8) + 132) << ((uc >> 4) & 7)) - 132 END
+        |  ELSE
+        |    (CASE WHEN (ac & 128) != 0 THEN 1 ELSE -1 END) *
+        |    (CASE ((ac >> 4) & 7)
+        |       WHEN 0 THEN ((ac & 15) * 16) + 8
+        |       WHEN 1 THEN ((ac & 15) * 16) + 264
+        |       ELSE (((ac & 15) * 16) + 264) << (((ac >> 4) & 7) - 1) END)
+        |  END AS pcm
+        |  FROM u),
+        |sgn AS (SELECT doc_id, i, pcm,
+        |         lag(pcm) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |        FROM dec),
+        |feat AS (SELECT doc_id,
+        |   CAST(count(*) AS INT) AS n_samples,
+        |   sqrt(sum((CAST(pcm AS DOUBLE)/32768)*(CAST(pcm AS DOUBLE)/32768))
+        |        /count(*)) AS rms,
+        |   max(abs(CAST(pcm AS DOUBLE)/32768)) AS peak,
+        |   CAST(sum(CASE WHEN prev IS NOT NULL AND prev * pcm < 0
+        |                 THEN 1 ELSE 0 END) AS INT) AS zero_cross
+        |  FROM sgn GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+        |  n_samples, rms, peak, zero_cross
+        |FROM feat ORDER BY doc_id""".stripMargin,
 
     // The synth MP4's parameters restated in closed form.
     "q133_video_meta" ->

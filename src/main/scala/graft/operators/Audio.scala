@@ -69,7 +69,9 @@ object Audio {
       val bytesPer = bits / 8
       if (fmt == 1 && !Set(8, 16, 24, 32).contains(bits)) return None
       if (fmt == 3 && bits != 32) return None
-      if (fmt != 1 && fmt != 3) return None // compressed codec: out of surface
+      if ((fmt == 6 || fmt == 7) && bits != 8) return None // G.711 is 8-bit
+      if (fmt != 1 && fmt != 3 && fmt != 6 && fmt != 7)
+        return None // compressed codec: out of surface
       val frameB = bytesPer * channels
       if (frameB == 0 || dataLen % frameB != 0) return None
       val n = dataLen / frameB
@@ -87,6 +89,8 @@ object Audio {
               ((v << 8) >> 8) / 8388608.0 // sign-extend 24 -> 32
             case (1, 32) => le32(off) / 2147483648.0
             case (3, 32) => java.lang.Float.intBitsToFloat(le32(off)).toDouble
+            case (6, 8)  => alawToPcm16(u8(off)) / 32768.0 // WAVE_FORMAT_ALAW
+            case (7, 8)  => ulawToPcm16(u8(off)) / 32768.0 // WAVE_FORMAT_MULAW
             case _       => return None
           }
           c += 1
@@ -95,6 +99,50 @@ object Audio {
       }
       Some(Wav(rate, channels, bits, out))
     }
+  }
+
+  /** G.711 μ-law byte -> linear PCM16 (ITU-T G.711 segmented
+    * companding; the classic public-domain expansion: complement,
+    * rebias by 0x84, shift by the 3-bit segment). Exact integers —
+    * the SQL oracle restates the identical bit arithmetic. */
+  def ulawToPcm16(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte -> linear PCM16 (xor 0x55, segment 0 linear,
+    * segments 1+ rebias by 0x108 and shift; sign bit SET = positive,
+    * per the spec's even-bit inversion). */
+  def alawToPcm16(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 7
+    val t = (a & 0x0f) << 4
+    val mag = seg match {
+      case 0 => t + 8
+      case 1 => t + 0x108
+      case _ => (t + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Canonical G.711 WAV writer (`fmtTag` 6 = A-law, 7 = μ-law): one
+    * code byte per sample, mono; the 18-byte fmt chunk (cbSize = 0)
+    * plus a fact chunk, as G.711 WAVs ship in the wild. */
+  def writeWavG711(sampleRate: Int, fmtTag: Int, codes: Array[Byte]): Array[Byte] = {
+    require(fmtTag == 6 || fmtTag == 7, s"fmtTag $fmtTag is not G.711")
+    val dataLen = codes.length
+    val bb = java.nio.ByteBuffer.allocate(12 + 26 + 12 + 8 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 26 + 12 + 8 + dataLen + (dataLen & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(fmtTag.toShort).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate).putShort(1).putShort(8).putShort(0)
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(dataLen)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen).put(codes)
+    bb.array()
   }
 
   /** Canonical 44-byte-header PCM16 writer (fixture synthesis and a

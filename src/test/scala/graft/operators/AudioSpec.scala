@@ -115,6 +115,32 @@ class AudioSpec extends AnyFunSuite {
     assert(Audio.WavDecoder.decode(mp3).isEmpty)
   }
 
+  test("G.711 mu-law and A-law: every code byte == javax.sound expansion") {
+    import javax.sound.sampled.AudioFormat
+    for ((tag, name) <- Seq(7 -> "ulaw", 6 -> "alaw")) {
+      val codes = Array.tabulate(256)(i => i.toByte)
+      val bytes = Audio.writeWavG711(8000, tag, codes)
+      val w = Audio.WavDecoder.decode(bytes).get
+      assert(w.sampleRate == 8000 && w.channels == 1 && w.bits == 8 &&
+        w.nSamples == 256, s"$name header")
+      // independent oracle: the JDK's own G.711 codec, converted to
+      // linear PCM16 (the same segmented expansion by spec)
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val conv = AudioSystem.getAudioInputStream(pcmFmt, in)
+      val data = conv.readAllBytes()
+      assert(data.length == 512, s"$name javax bytes ${data.length}")
+      val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until 256) {
+        val jv = bb.getShort().toInt
+        val ours = if (tag == 7) Audio.ulawToPcm16(i) else Audio.alawToPcm16(i)
+        assert(ours == jv, s"$name code $i: $ours vs javax $jv")
+        assert(w.samples(0)(i) == ours / 32768.0, s"$name normalized $i")
+      }
+    }
+  }
+
   test("withWavFeatures + frameEnergies: hand-computed RMS/peak/zero-cross, null for junk") {
     import spark.implicits._
     val s1 = Array[Short](16384, -16384, 16384, -16384) // alternating: 3 crossings
