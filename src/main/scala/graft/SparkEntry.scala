@@ -1818,6 +1818,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // STACKED (2-layer) GRU: layer 2 consumes layer 1's full hidden
+    // sequence, the classifier reads h_n[-1] (the top layer) — the
+    // depth dimension of the recurrent family. The oracle carries
+    // both layers' states through ONE WITH RECURSIVE recurrence.
+    "q142_torch_stacked_gru" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = stackedGruModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, RnnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("sgru_class"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -2704,6 +2725,34 @@ object SparkEntry {
         Array(1.75f, 1.75f, -0.0625f), 3, 6)))
   }
 
+  /** 2-layer STACKED GRU classifier for q142: token ids ->
+    * Embedding(32, 4) -> GRU(4, 4, num_layers=2) -> h_n[-1] (the TOP
+    * layer's final hidden) -> Linear(4->3) -> argmax. Layer 2 consumes
+    * layer 1's full `(L, H)` hidden sequence at the same position
+    * (torch's layering); the oracle carries BOTH layers' states
+    * through one WITH RECURSIVE recurrence ([[rnnStackedHiddenSql]]).
+    * Same pinning as q123: dyadic weights, identical f64 gate
+    * formulas both engines, cross-libm exp/tanh ulps + one f32
+    * boundary rounding absorbed by the argmax gap (TorchRnnSpec pins
+    * the stacked floor; fc bias re-centered by dyadic grid search
+    * over sf0.001 + sf0.01). */
+  private[graft] lazy val stackedGruModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 1801, 2.0), vocab = 32, embDim = 4),
+      RnnOp("gru",
+        qvals(3 * 4 * 4, 1811, 1.0), qvals(3 * 4 * 4, 1823, 0.75),
+        qvals(3 * 4, 1831, 0.25), qvals(3 * 4, 1847, 0.25),
+        hidden = 4, inDim = 4,
+        stack = IndexedSeq(RnnStackLayer(
+          qvals(3 * 4 * 4, 1861, 1.0), qvals(3 * 4 * 4, 1867, 0.75),
+          qvals(3 * 4, 1871, 0.25), qvals(3 * 4, 1873, 0.25)))),
+      LinearLayer(qvals(12, 1877, 4.0), Array(0f, -5.75f, -4.0625f), 3, 4)))
+  }
+
   /** LSTM sibling of [[gruModel]] for q124: Embedding(32, 4) ->
     * LSTM(4, 5) -> h_L -> Linear(5->3); same pinning discipline (fc
     * bias re-centered at sf0.01: mixed 174/170/156, min runner-up gap 5.7e-3). */
@@ -3137,6 +3186,89 @@ object SparkEntry {
     val H = op.hidden
     s"""${rnnRecurrenceSql(m)}
        |SELECT r.doc_id, ${(0 until H).map(o => s"r.h$o AS p$o").mkString(", ")}
+       |FROM rec r JOIN lens ON r.doc_id = lens.doc_id AND r.pos = lens.len""".stripMargin
+  }
+
+  /** DuckDB chain for the q142 STACKED-GRU oracle: one WITH RECURSIVE
+    * recurrence carrying BOTH layers' hidden states as DOUBLE columns
+    * (`h*` = layer 1, `g*` = layer 2). Each step computes layer 1's
+    * new hidden from the token embedding in an inner subquery, then
+    * layer 2's gates read that NEW `(L, H)` hidden (torch's layering:
+    * layer k consumes layer k-1's output at the SAME position) with
+    * the previous `g*` as the recurrent leg. Ends in
+    * `SELECT doc_id, p0..p{H-1}` (the TOP layer's final hidden — the
+    * engine's `h_n[-1]` read-out) for [[TorchOracle.mlpArgmaxSql]]. */
+  private def rnnStackedHiddenSql(m: graft.torch.TorchScriptModel): String = {
+    import graft.torch._
+    val e = m.seqHead.get
+    val op = m.ops.collectFirst { case r: RnnOp => r }.get
+    require(op.kind == "gru" && op.stack.length == 1,
+      "stacked oracle covers the 2-layer GRU shape")
+    val l2 = op.stack.head
+    val H = op.hidden
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+    def ih1(g: Int, o: Int): String =
+      (fmtF(op.bIh(g * H + o)) +: (0 until op.inDim).map(j =>
+        s"${fmtF(op.wIh((g * H + o) * op.inDim + j))}*x.x$j")).mkString("(", "+", ")")
+    def hh1(g: Int, o: Int): String =
+      (fmtF(op.bHh(g * H + o)) +: (0 until H).map(j =>
+        s"${fmtF(op.wHh((g * H + o) * H + j))}*r.h$j")).mkString("(", "+", ")")
+    def ih2(g: Int, o: Int): String =
+      (fmtF(l2.bIh(g * H + o)) +: (0 until H).map(j =>
+        s"${fmtF(l2.wIh((g * H + o) * H + j))}*s.h$j")).mkString("(", "+", ")")
+    def hh2(g: Int, o: Int): String =
+      (fmtF(l2.bHh(g * H + o)) +: (0 until H).map(j =>
+        s"${fmtF(l2.wHh((g * H + o) * H + j))}*s.pg$j")).mkString("(", "+", ")")
+    def sig(t: String): String = s"1.0/(1.0+exp(-($t)))"
+    def tanhS(t: String): String = s"(1.0-2.0/(exp(2.0*($t))+1.0))"
+    val step1 = (0 until H).map { o =>
+      val r0 = sig(s"${ih1(0, o)}+${hh1(0, o)}")
+      val z = sig(s"${ih1(1, o)}+${hh1(1, o)}")
+      val n = tanhS(s"${ih1(2, o)}+($r0)*${hh1(2, o)}")
+      s"(1.0-($z))*($n)+($z)*r.h$o AS h$o"
+    }.mkString(",\n        ")
+    val carry = (0 until H).map(o => s"r.g$o AS pg$o").mkString(", ")
+    val step2 = (0 until H).map { o =>
+      val r0 = sig(s"${ih2(0, o)}+${hh2(0, o)}")
+      val z = sig(s"${ih2(1, o)}+${hh2(1, o)}")
+      val n = tanhS(s"${ih2(2, o)}+($r0)*${hh2(2, o)}")
+      s"(1.0-($z))*($n)+($z)*s.pg$o AS g$o"
+    }.mkString(",\n      ")
+    val zeros = ((0 until H).map(o => s"CAST(0.0 AS DOUBLE) AS h$o") ++
+      (0 until H).map(o => s"CAST(0.0 AS DOUBLE) AS g$o")).mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % ${e.vocab} AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $RnnMaxLen),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |x AS (SELECT doc_id, pos,
+       |        ${(0 until e.embDim).map(j => s"CAST(w$j AS DOUBLE) AS x$j").mkString(", ")}
+       |      FROM toks JOIN embw USING (tid)),
+       |lens AS (SELECT doc_id, max(pos) AS len FROM x GROUP BY doc_id),
+       |rec AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, $zeros FROM lens
+       |  UNION ALL
+       |  SELECT s.doc_id, s.pos, ${(0 until H).map(o => s"s.h$o").mkString(", ")},
+       |      $step2
+       |  FROM (
+       |    SELECT r.doc_id, r.pos + 1 AS pos,
+       |        $step1,
+       |        $carry
+       |    FROM rec r JOIN x ON x.doc_id = r.doc_id AND x.pos = r.pos + 1) s)
+       |SELECT r.doc_id, ${(0 until H).map(o => s"r.g$o AS p$o").mkString(", ")}
        |FROM rec r JOIN lens ON r.doc_id = lens.doc_id AND r.pos = lens.len""".stripMargin
   }
 
@@ -4142,6 +4274,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS gru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q142_torch_stacked_gru" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        stackedGruModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, rnnStackedHiddenSql(stackedGruModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS sgru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     "q124_torch_lstm" -> {

@@ -374,11 +374,11 @@ object TorchCode {
       * `(output, h_n)` (GRU) / `(output, (h_n, c_n))` (LSTM); consumed
       * by tuple-unpack statements. */
     final case class STuple(items: Vector[Sym]) extends Sym
-    /** The `(1, n, H)` final-hidden-state leg of a GRU/LSTM — held back
-      * like [[SeqProj]]: the op is emitted when `squeeze(0)` /
-      * `select(dim 0)` collapses the num_layers dim into the flat
-      * `(n, H)` classifier input. */
-    final case class RnnHidden(op: TorchOp, hidden: Int) extends Sym
+    /** The `(num_layers, n, H)` final-hidden-state leg of a GRU/LSTM —
+      * held back like [[SeqProj]]: the op is emitted when `squeeze(0)`
+      * (1 layer) / `select(0, -1)` (any depth: the TOP layer) collapses
+      * the num_layers dim into the flat `(n, H)` classifier input. */
+    final case class RnnHidden(op: TorchOp, hidden: Int, layers: Int) extends Sym
     /** The `(n, L, H)` full-sequence output (or the LSTM cell state) of
       * an RNN — nothing downstream consumes it in a final-hidden-state
       * classifier; any use fails loudly with this description. */
@@ -821,8 +821,8 @@ object TorchCode {
         require(boolAttr("batch_first", dflt = false),
           s"${m.fqName}: batch_first=False unsupported (the engine's batch " +
             "layout is (n, seq, emb); construct the module with batch_first=True)")
-        require(intAttr(m, "num_layers", 1L) == 1L,
-          s"${m.fqName}: num_layers ${intAttr(m, "num_layers", 1L)} unsupported (1 only)")
+        val numLayers = intAttr(m, "num_layers", 1L).toInt
+        require(numLayers >= 1, s"${m.fqName}: num_layers $numLayers invalid")
         require(!boolAttr("bidirectional", dflt = false),
           s"${m.fqName}: bidirectional unsupported")
         require(intAttr(m, "proj_size", 0L) == 0L,
@@ -848,10 +848,19 @@ object TorchCode {
             materialize(t)
           case _ => new Array[Float](gates * hd)
         }
+        // layers past the first consume the (L, H) hidden sequence of
+        // the layer below — their weight_ih is (gates·H, H)
+        val stack = (1 until numLayers).map { li =>
+          RnnStackLayer(
+            w2(s"weight_ih_l$li", gates * hd, hd),
+            w2(s"weight_hh_l$li", gates * hd, hd),
+            b1(s"bias_ih_l$li"), b1(s"bias_hh_l$li"))
+        }
         val op = RnnOp(kind,
           w2("weight_ih_l0", gates * hd, e), w2("weight_hh_l0", gates * hd, hd),
-          b1("bias_ih_l0"), b1("bias_hh_l0"), hidden = hd, inDim = e)
-        val hn = RnnHidden(op, hd)
+          b1("bias_ih_l0"), b1("bias_hh_l0"), hidden = hd, inDim = e,
+          stack = stack.toIndexedSeq)
+        val hn = RnnHidden(op, hd, numLayers)
         if (kind == "gru")
           STuple(Vector(RnnSeqOut(s"${m.simpleName} full-sequence output"), hn))
         else
@@ -1187,6 +1196,11 @@ object TorchCode {
                     case other => sys.error(s"TorchScript code: squeeze dim $other " +
                       s"on an RNN hidden state unsupported (num_layers dim 0 only) in: $line")
                   }
+                  // torch.squeeze(h_n, 0) only drops a SIZE-1 dim: on a
+                  // stacked RNN it is a no-op and the downstream fc
+                  // would see (k, n, H) — reject exactly as torch would
+                  require(h.layers == 1, s"TorchScript code: squeeze(0) on a " +
+                    s"${h.layers}-layer h_n is a no-op (use h_n[-1]) in: $line")
                   ops += h.op
                   Flat(h.hidden)
                 case other => sys.error(s"TorchScript code: squeeze on $other " +
@@ -1200,7 +1214,11 @@ object TorchCode {
               tensorArg match {
                 case h: RnnHidden =>
                   (sizeArg(1, Long.MinValue), sizeArg(2, Long.MinValue)) match {
-                    case (0L, 0L) | (0L, -1L) =>
+                    case (0L, -1L) => // top layer: the classifier read-out
+                    case (0L, 0L) =>
+                      require(h.layers == 1, s"TorchScript code: h_n[0] of a " +
+                        s"${h.layers}-layer RNN reads the BOTTOM layer " +
+                        s"(classifiers read h_n[-1]) in: $line")
                     case other => sys.error(s"TorchScript code: select $other on an " +
                       s"RNN hidden state unsupported ((0, 0) / (0, -1) only) in: $line")
                   }

@@ -208,16 +208,40 @@ final case class SelfAttentionOp(
   * `h_0 = c_0 = 0` (torch's default when hx is None); an empty
   * sequence yields `h_0` = the zero vector, exactly as torch does.
   * Like the pool ops, this COLLAPSES the sequence phase: everything
-  * after it runs on flat `(n, H)` batches. */
+  * after it runs on flat `(n, H)` batches.
+  *
+  * `stack` holds the weights of layers 1..num_layers-1 of a STACKED
+  * RNN (`nn.GRU(..., num_layers = k)`): each consumes the full
+  * `(L, H)` hidden sequence of the layer below (torch's layering),
+  * so their `wIh` is `(gates·H, H)`. The classifier reads the TOP
+  * layer's final hidden state — `h_n[-1]`, the only multi-layer
+  * read-out with a home here. Inter-layer values stay float64
+  * (mirroring the single-layer discipline: torch itself rounds each
+  * layer's output to f32 — that drift is part of the gap budget the
+  * per-model specs pin). */
 final case class RnnOp(kind: String, wIh: Array[Float], wHh: Array[Float],
-    bIh: Array[Float], bHh: Array[Float], hidden: Int, inDim: Int) extends TorchOp {
+    bIh: Array[Float], bHh: Array[Float], hidden: Int, inDim: Int,
+    stack: IndexedSeq[RnnStackLayer] = IndexedSeq.empty) extends TorchOp {
   require(kind == "gru" || kind == "lstm", s"unsupported RNN kind $kind")
   val gates: Int = if (kind == "lstm") 4 else 3
   require(wIh.length == gates * hidden * inDim, s"$kind wIh size ${wIh.length}")
   require(wHh.length == gates * hidden * hidden, s"$kind wHh size ${wHh.length}")
   require(bIh.length == gates * hidden && bHh.length == gates * hidden,
     s"$kind bias sizes ${bIh.length}/${bHh.length}")
+  for (l <- stack) {
+    require(l.wIh.length == gates * hidden * hidden,
+      s"$kind stacked-layer wIh size ${l.wIh.length} (input is the $hidden-dim hidden)")
+    require(l.wHh.length == gates * hidden * hidden, s"$kind stacked wHh size")
+    require(l.bIh.length == gates * hidden && l.bHh.length == gates * hidden,
+      s"$kind stacked bias sizes")
+  }
+  def numLayers: Int = 1 + stack.length
 }
+
+/** Weights of one stacked-RNN layer past the first (torch's
+  * `weight_ih_l{k}` / `weight_hh_l{k}` / biases, packed gate order). */
+final case class RnnStackLayer(wIh: Array[Float], wHh: Array[Float],
+    bIh: Array[Float], bHh: Array[Float])
 
 /** Full encoder-style self-attention over a `(L, emb)` sequence:
   * independent per-head scaled-dot attentions (the hand-rolled
@@ -1008,7 +1032,9 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     val e = seqHead.getOrElse(sys.error("LM scoring needs a token-sequence model"))
     require(ops.length == 3, s"LM shape is Embedding -> RNN -> Linear; got ${ops.length} ops")
     val r = ops(1) match {
-      case r: RnnOp => r
+      case r: RnnOp =>
+        require(r.stack.isEmpty, "LM scoring supports single-layer RNNs only")
+        r
       case other => sys.error(s"LM scoring needs a recurrent second op, got $other")
     }
     val fc = ops(2) match {
@@ -1103,6 +1129,33 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     * (torch.nn.GRU docs); LSTM uses the plain sum per gate. One float32
     * rounding per output value at the end. */
   private def runRnn(r: RnnOp, data: Array[Float], L: Int, emb: Int): Array[Float] = {
+    // layer 0 over the token embeddings, then each stacked layer over
+    // the full hidden sequence of the layer below (torch's layering);
+    // all inter-layer values f64, one f32 rounding at the op boundary
+    var seq: Array[Double] = {
+      val a = new Array[Double](L * emb)
+      var i = 0
+      while (i < a.length) { a(i) = data(i); i += 1 }
+      a
+    }
+    var inDim = emb
+    var h = runRnnLayer(r, r.wIh, r.wHh, r.bIh, r.bHh, seq, L, inDim,
+      collectSeq = r.stack.nonEmpty)
+    for ((l, li) <- r.stack.zipWithIndex) {
+      seq = h
+      inDim = r.hidden
+      h = runRnnLayer(r, l.wIh, l.wHh, l.bIh, l.bHh, seq, L, inDim,
+        collectSeq = li < r.stack.length - 1)
+    }
+    Array.tabulate(r.hidden)(o => h(o).toFloat)
+  }
+
+  /** One GRU/LSTM layer over an f64 `(L, inDim)` sequence; returns the
+    * full `(L, H)` hidden sequence when `collectSeq` (to feed the next
+    * stacked layer), else just the final `(H)` hidden state. */
+  private def runRnnLayer(r: RnnOp, wIh: Array[Float], wHh: Array[Float],
+      bIh: Array[Float], bHh: Array[Float], data: Array[Double], L: Int,
+      inDim: Int, collectSeq: Boolean): Array[Double] = {
     val hd = r.hidden
     val g = r.gates
     val h = new Array[Double](hd)
@@ -1110,20 +1163,21 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     val ih = new Array[Double](g * hd)
     val hh = new Array[Double](g * hd)
     val hNew = new Array[Double](hd)
+    val outSeq = if (collectSeq) new Array[Double](L * hd) else null
     def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
     var t = 0
     while (t < L) {
       var gi = 0
       while (gi < g * hd) {
-        var accI: Double = r.bIh(gi)
-        val wiOff = gi * r.inDim
+        var accI: Double = bIh(gi)
+        val wiOff = gi * inDim
         var j = 0
-        while (j < emb) { accI += r.wIh(wiOff + j) * data(t * emb + j); j += 1 }
+        while (j < inDim) { accI += wIh(wiOff + j) * data(t * inDim + j); j += 1 }
         ih(gi) = accI
-        var accH: Double = r.bHh(gi)
+        var accH: Double = bHh(gi)
         val whOff = gi * hd
         j = 0
-        while (j < hd) { accH += r.wHh(whOff + j) * h(j); j += 1 }
+        while (j < hd) { accH += wHh(whOff + j) * h(j); j += 1 }
         hh(gi) = accH
         gi += 1
       }
@@ -1148,9 +1202,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         }
       }
       System.arraycopy(hNew, 0, h, 0, hd)
+      if (collectSeq) System.arraycopy(hNew, 0, outSeq, t * hd, hd)
       t += 1
     }
-    Array.tabulate(hd)(o => h(o).toFloat)
+    if (collectSeq) outSeq else h
   }
 
   /** One attention head over `(L, cols)` f32 data -> `(L, at.dim)` f64

@@ -20,6 +20,7 @@ object TuneR11 {
       case "enc" => (SparkEntry.encClsModel, 32, 11, true)
       case "dec" => (SparkEntry.decModel, 32, 12, false)
       case "sinpe" => (SparkEntry.sinPeModel, 64, 16, false)
+      case "sgru" => (SparkEntry.stackedGruModel, 32, 12, false)
       case "dw" => (SparkEntry.mobileModel, 0, 0, false)
     }
     val all = for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) yield

@@ -148,8 +148,17 @@ object SptFixture {
    * gate order r,z,n (GRU) / i,f,g,o (LSTM). */
   def rnn(cls: String, wIh: Array[Float], wHh: Array[Float],
       bIh: Array[Float], bHh: Array[Float], input: Int, hidden: Int,
-      numLayers: Int = 1, batchFirst: Boolean = true): Module = {
+      numLayers: Int = 1, batchFirst: Boolean = true,
+      extraLayers: Seq[(Array[Float], Array[Float], Array[Float], Array[Float])] =
+        Nil): Module = {
     val gates = if (cls == LstmCls) 4 else 3
+    val stacked = extraLayers.zipWithIndex.flatMap {
+      case ((wi, wh, bi, bh), k) => Seq(
+        s"weight_ih_l${k + 1}" -> Tensor(Seq(gates * hidden, hidden), wi),
+        s"weight_hh_l${k + 1}" -> Tensor(Seq(gates * hidden, hidden), wh),
+        s"bias_ih_l${k + 1}" -> Tensor(Seq(gates * hidden), bi),
+        s"bias_hh_l${k + 1}" -> Tensor(Seq(gates * hidden), bh))
+    }
     Module(cls, Seq(
       "mode" -> Str(if (cls == LstmCls) "LSTM" else "GRU"),
       "input_size" -> I(input), "hidden_size" -> I(hidden),
@@ -159,7 +168,7 @@ object SptFixture {
       "weight_ih_l0" -> Tensor(Seq(gates * hidden, input), wIh),
       "weight_hh_l0" -> Tensor(Seq(gates * hidden, hidden), wHh),
       "bias_ih_l0" -> Tensor(Seq(gates * hidden), bIh),
-      "bias_hh_l0" -> Tensor(Seq(gates * hidden), bHh),
+      "bias_hh_l0" -> Tensor(Seq(gates * hidden), bHh)) ++ stacked ++ Seq(
       "training" -> B(false)))
   }
 

@@ -802,6 +802,74 @@ class TorchCodeSpec extends AnyFunSuite {
     for (j <- 0 until cls) assert(math.abs(one(j) - expOne(j)) < 1e-5)
   }
 
+  test("stacked GRU archive: num_layers=2 + h_n[-1] traces; layer 2 reads layer 1's sequence") {
+    val (vocab, emb, h, cls) = (8, 3, 4, 3)
+    val ew = vals(vocab * emb, 161)
+    val wIh = vals(3 * h * emb, 162); val wHh = vals(3 * h * h, 163)
+    val bIh = vals(3 * h, 164); val bHh = vals(3 * h, 165)
+    val wIh2 = vals(3 * h * h, 166); val wHh2 = vals(3 * h * h, 167)
+    val bIh2 = vals(3 * h, 168); val bHh2 = vals(3 * h, 169)
+    val (wf, bf) = (vals(cls * h, 170), vals(cls, 171))
+    val model = Module("__torch__.SgruNet", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "gru" -> rnn(GruCls, wIh, wHh, bIh, bHh, emb, h, numLayers = 2,
+        extraLayers = Seq((wIh2, wHh2, bIh2, bHh2))),
+      "fc" -> linear(wf, cls, h, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class SgruNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.SgruNet,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    gru = self.gru
+        |    _0 = (gru).forward(e, None, )
+        |    out, hn, = _0
+        |    h = torch.select(hn, 0, -1)
+        |    fc = self.fc
+        |    return (fc).forward(h, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("sgru", "sgru", model, code))
+    val op = m.ops(1).asInstanceOf[RnnOp]
+    assert(op.numLayers == 2 && op.stack.head.wIh.toSeq == wIh2.toSeq)
+    // f64 reference: layer 2 consumes layer 1's NEW hidden per position
+    val toks = Array(3, 0, 6, 2, 5, 1)
+    val h1 = new Array[Double](h)
+    val h2 = new Array[Double](h)
+    def step(x: Array[Double], hPrev: Array[Double], wi: Array[Float],
+        wh: Array[Float], bi: Array[Float], bh: Array[Float], in: Int) = {
+      def ih(g: Int, o: Int) = bi(g * h + o) +
+        (0 until in).map(j => wi((g * h + o) * in + j).toDouble * x(j)).sum
+      def hh(g: Int, o: Int) = bh(g * h + o) +
+        (0 until h).map(j => wh((g * h + o) * h + j).toDouble * hPrev(j)).sum
+      Array.tabulate(h) { o =>
+        val r = 1.0 / (1.0 + math.exp(-(ih(0, o) + hh(0, o))))
+        val z = 1.0 / (1.0 + math.exp(-(ih(1, o) + hh(1, o))))
+        val n = math.tanh(ih(2, o) + r * hh(2, o))
+        (1.0 - z) * n + z * hPrev(o)
+      }
+    }
+    for (t <- toks) {
+      val x = Array.tabulate(emb)(j => ew(t * emb + j).toDouble)
+      val n1 = step(x, h1, wIh, wHh, bIh, bHh, emb)
+      val n2 = step(n1, h2, wIh2, wHh2, bIh2, bHh2, h)
+      System.arraycopy(n1, 0, h1, 0, h)
+      System.arraycopy(n2, 0, h2, 0, h)
+    }
+    val expected = mm(h2, wf, bf, cls, h)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // a single-layer recompute (fc over layer-1's final h) must differ —
+    // depth is live, not cosmetic
+    val single = mm(h1, wf, bf, cls, h)
+    assert((0 until cls).exists(j => math.abs(single(j) - expected(j)) > 1e-6))
+  }
+
   test("LSTM archive: nested tuple unpack + select(0, -1), golden vs f64 recurrence") {
     val (vocab, emb, h, cls) = (6, 2, 3, 2)
     val ew = vals(vocab * emb, 71)
@@ -988,7 +1056,7 @@ class TorchCodeSpec extends AnyFunSuite {
     val seqUse = intercept[RuntimeException](
       TorchScriptModel.load(writeTemp("badrnn1", "badrnn1", m1, c1)))
     assert(seqUse.getMessage.contains("full-sequence output"), seqUse.getMessage)
-    // stacked RNNs are out of surface -> loud at load
+    // a stacked RNN missing its layer-1 weights fails loudly at load
     val two = rnn(GruCls, vals(3 * h * emb, 84), vals(3 * h * h, 85),
       vals(3 * h, 86), vals(3 * h, 87), emb, h, numLayers = 2)
     val (m2, c2) = net(two,
@@ -999,7 +1067,32 @@ class TorchCodeSpec extends AnyFunSuite {
         |    return (fc).forward(h, )""".stripMargin)
     val layers = intercept[RuntimeException](
       TorchScriptModel.load(writeTemp("badrnn2", "badrnn2", m2, c2)))
-    assert(layers.getMessage.contains("num_layers"), layers.getMessage)
+    assert(layers.getMessage.contains("weight_ih_l1"), layers.getMessage)
+    // squeeze(0) on a WEIGHTED 2-layer h_n is a torch no-op (the dim is
+    // size 2) -> the downstream fc would see (2, n, H); reject loudly
+    val two2 = rnn(GruCls, vals(3 * h * emb, 84), vals(3 * h * h, 85),
+      vals(3 * h, 86), vals(3 * h, 87), emb, h, numLayers = 2,
+      extraLayers = Seq((vals(3 * h * h, 88), vals(3 * h * h, 89),
+        vals(3 * h, 90), vals(3 * h, 91))))
+    val (m2b, c2b) = net(two2,
+      """    _0 = (gru).forward(e, None, )
+        |    out, hn, = _0
+        |    h = torch.squeeze(hn, 0)
+        |    fc = self.fc
+        |    return (fc).forward(h, )""".stripMargin)
+    val sq = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("badrnn2b", "badrnn2b", m2b, c2b)))
+    assert(sq.getMessage.contains("no-op"), sq.getMessage)
+    // ...and h_n[0] reads the BOTTOM layer, not a classifier read-out
+    val (m2c, c2c) = net(two2,
+      """    _0 = (gru).forward(e, None, )
+        |    out, hn, = _0
+        |    h = torch.select(hn, 0, 0)
+        |    fc = self.fc
+        |    return (fc).forward(h, )""".stripMargin)
+    val bottom = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("badrnn2c", "badrnn2c", m2c, c2c)))
+    assert(bottom.getMessage.contains("BOTTOM"), bottom.getMessage)
     // batch_first=False would silently transpose the batch: reject
     val bf = rnn(GruCls, vals(3 * h * emb, 84), vals(3 * h * h, 85),
       vals(3 * h, 86), vals(3 * h, 87), emb, h, batchFirst = false)

@@ -99,4 +99,36 @@ class TorchRnnSpec extends AnyFunSuite {
       h
     })
   }
+
+  test("sf0.001 stacked GRU: engine argmax == f64 2-layer recompute; gap floor holds") {
+    check("q142_torch_stacked_gru", graft.SparkEntry.stackedGruModel, (ids, e, op) => {
+      val H = op.hidden
+      val l2 = op.stack.head
+      val h1 = new Array[Double](H)
+      val h2 = new Array[Double](H)
+      def gruStep(x: Array[Double], h: Array[Double], wIh: Array[Float],
+          wHh: Array[Float], bIh: Array[Float], bHh: Array[Float],
+          inDim: Int): Array[Double] = {
+        def ih(g: Int, o: Int) = bIh(g * H + o) +
+          (0 until inDim).map(j => wIh((g * H + o) * inDim + j).toDouble * x(j)).sum
+        def hh(g: Int, o: Int) = bHh(g * H + o) +
+          (0 until H).map(j => wHh((g * H + o) * H + j).toDouble * h(j)).sum
+        Array.tabulate(H) { o =>
+          val r = sigmoid(ih(0, o) + hh(0, o))
+          val z = sigmoid(ih(1, o) + hh(1, o))
+          val n = math.tanh(ih(2, o) + r * hh(2, o))
+          (1.0 - z) * n + z * h(o)
+        }
+      }
+      for (t <- ids) {
+        val x = Array.tabulate(e.embDim)(j => e.weight(t * e.embDim + j).toDouble)
+        // layer 2 reads layer 1's NEW hidden at the SAME position
+        val n1 = gruStep(x, h1, op.wIh, op.wHh, op.bIh, op.bHh, op.inDim)
+        val n2 = gruStep(n1, h2, l2.wIh, l2.wHh, l2.bIh, l2.bHh, H)
+        System.arraycopy(n1, 0, h1, 0, H)
+        System.arraycopy(n2, 0, h2, 0, H)
+      }
+      h2 // the classifier reads h_n[-1]: the TOP layer
+    })
+  }
 }
