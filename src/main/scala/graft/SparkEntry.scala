@@ -1839,6 +1839,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Bidirectional GRU (q143): the BiRNN classifier read-out —
+    // cat(forward final hidden, reverse final hidden) -> fc -> argmax,
+    // oracled by TWO DuckDB WITH RECURSIVE recurrences (forward from
+    // pos 0, backward from pos len+1) over the same token CTEs
+    // (rnnBiHiddenSql). Same scan-side mapPartitions shape as q123.
+    "q143_torch_bigru" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = biGruModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, RnnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("bigru_class"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -2753,6 +2775,39 @@ object SparkEntry {
       LinearLayer(qvals(12, 1877, 4.0), Array(0f, -5.75f, -4.0625f), 3, 4)))
   }
 
+  /** BIDIRECTIONAL GRU classifier for q143: token ids ->
+    * Embedding(32, 4) -> GRU(4, 4, bidirectional=True) ->
+    * cat(h_n[-2], h_n[-1]) (forward final ++ reverse final, the
+    * BiRNN read-out) -> Linear(8->3) -> argmax. The reverse cell
+    * consumes the SAME token sequence scanned from the last position
+    * to the first — its final hidden is the state after consuming
+    * token 1. Oracle: TWO WITH RECURSIVE recurrences (forward joins
+    * pos+1 from 0, backward joins pos-1 from len+1), final row of
+    * each concatenated into the fc inputs ([[rnnBiHiddenSql]]). Same
+    * pinning as q123: dyadic weights, identical f64 gate formulas
+    * both engines, cross-libm exp/tanh ulps + one f32 boundary
+    * rounding absorbed by the argmax gap (TorchRnnSpec pins the
+    * floor; fc bias picked by dyadic grid search jointly over
+    * sf0.001 + sf0.01: measured min runner-up gap 1.6e-2, class mix
+    * 295/459/246 over the combined 1000 docs). */
+  private[graft] lazy val biGruModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 2003, 2.0), vocab = 32, embDim = 4),
+      RnnOp("gru",
+        qvals(3 * 4 * 4, 2011, 1.0), qvals(3 * 4 * 4, 2017, 0.75),
+        qvals(3 * 4, 2027, 0.25), qvals(3 * 4, 2029, 0.25),
+        hidden = 4, inDim = 4,
+        rev = IndexedSeq(RnnStackLayer(
+          qvals(3 * 4 * 4, 2039, 1.0), qvals(3 * 4 * 4, 2053, 0.75),
+          qvals(3 * 4, 2063, 0.25), qvals(3 * 4, 2069, 0.25)))),
+      LinearLayer(qvals(3 * 8, 2081, 4.0),
+        Array(-5.75f, 3.6875f, -2.1875f), 3, 8)))
+  }
+
   /** LSTM sibling of [[gruModel]] for q124: Embedding(32, 4) ->
     * LSTM(4, 5) -> h_L -> Linear(5->3); same pinning discipline (fc
     * bias re-centered at sf0.01: mixed 174/170/156, min runner-up gap 5.7e-3). */
@@ -3270,6 +3325,84 @@ object SparkEntry {
        |    FROM rec r JOIN x ON x.doc_id = r.doc_id AND x.pos = r.pos + 1) s)
        |SELECT r.doc_id, ${(0 until H).map(o => s"r.g$o AS p$o").mkString(", ")}
        |FROM rec r JOIN lens ON r.doc_id = lens.doc_id AND r.pos = lens.len""".stripMargin
+  }
+
+  /** DuckDB chain for the q143 BIDIRECTIONAL-GRU oracle: TWO WITH
+    * RECURSIVE recurrences over the same token/embedding CTEs — `recf`
+    * steps forward (anchor pos 0, join pos+1) with the forward-cell
+    * weights, `recb` steps backward (anchor pos len+1 per doc, join
+    * pos-1) with the reverse-cell weights; both use the exact GRU gate
+    * formulas the engine runs in f64. The final features are torch's
+    * `cat(h_n[-2], h_n[-1])`: forward state at pos=len (p0..pH-1) ++
+    * reverse state at pos=1 (pH..p2H-1), ready for
+    * [[TorchOracle.mlpArgmaxSql]]'s fc chain. */
+  private def rnnBiHiddenSql(m: graft.torch.TorchScriptModel): String = {
+    import graft.torch._
+    val e = m.seqHead.get
+    val op = m.ops.collectFirst { case r: RnnOp => r }.get
+    require(op.kind == "gru" && op.stack.isEmpty && op.rev.length == 1,
+      "bidirectional oracle covers the single-layer BiGRU shape")
+    val rv = op.rev.head
+    val H = op.hidden
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+    def ihOf(wIh: Array[Float], bIh: Array[Float])(g: Int, o: Int): String =
+      (fmtF(bIh(g * H + o)) +: (0 until op.inDim).map(j =>
+        s"${fmtF(wIh((g * H + o) * op.inDim + j))}*x.x$j")).mkString("(", "+", ")")
+    def hhOf(wHh: Array[Float], bHh: Array[Float])(g: Int, o: Int): String =
+      (fmtF(bHh(g * H + o)) +: (0 until H).map(j =>
+        s"${fmtF(wHh((g * H + o) * H + j))}*r.h$j")).mkString("(", "+", ")")
+    def sig(t: String): String = s"1.0/(1.0+exp(-($t)))"
+    def tanhS(t: String): String = s"(1.0-2.0/(exp(2.0*($t))+1.0))"
+    def gruStep(ih: (Int, Int) => String, hh: (Int, Int) => String): String =
+      (0 until H).map { o =>
+        val r0 = sig(s"${ih(0, o)}+${hh(0, o)}")
+        val z = sig(s"${ih(1, o)}+${hh(1, o)}")
+        val n = tanhS(s"${ih(2, o)}+($r0)*${hh(2, o)}")
+        s"(1.0-($z))*($n)+($z)*r.h$o AS h$o"
+      }.mkString(",\n      ")
+    val stepF = gruStep(ihOf(op.wIh, op.bIh), hhOf(op.wHh, op.bHh))
+    val stepB = gruStep(ihOf(rv.wIh, rv.bIh), hhOf(rv.wHh, rv.bHh))
+    val zeros = (0 until H).map(o => s"CAST(0.0 AS DOUBLE) AS h$o").mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % ${e.vocab} AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $RnnMaxLen),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |x AS (SELECT doc_id, pos,
+       |        ${(0 until e.embDim).map(j => s"CAST(w$j AS DOUBLE) AS x$j").mkString(", ")}
+       |      FROM toks JOIN embw USING (tid)),
+       |lens AS (SELECT doc_id, max(pos) AS len FROM x GROUP BY doc_id),
+       |recf AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, $zeros FROM lens
+       |  UNION ALL
+       |  SELECT r.doc_id, r.pos + 1,
+       |      $stepF
+       |  FROM recf r JOIN x ON x.doc_id = r.doc_id AND x.pos = r.pos + 1),
+       |recb AS (
+       |  SELECT doc_id, len + 1 AS pos, $zeros FROM lens
+       |  UNION ALL
+       |  SELECT r.doc_id, r.pos - 1,
+       |      $stepB
+       |  FROM recb r JOIN x ON x.doc_id = r.doc_id AND x.pos = r.pos - 1)
+       |SELECT f.doc_id,
+       |  ${(0 until H).map(o => s"f.h$o AS p$o").mkString(", ")},
+       |  ${(0 until H).map(o => s"b.h$o AS p${H + o}").mkString(", ")}
+       |FROM recf f
+       |JOIN lens ON f.doc_id = lens.doc_id AND f.pos = lens.len
+       |JOIN recb b ON b.doc_id = f.doc_id AND b.pos = 1""".stripMargin
   }
 
   /** Shared WITH-RECURSIVE prefix for the recurrent-head oracles
@@ -4283,6 +4416,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS sgru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q143_torch_bigru" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        biGruModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, rnnBiHiddenSql(biGruModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS bigru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     "q124_torch_lstm" -> {

@@ -374,14 +374,27 @@ object TorchCode {
       * `(output, h_n)` (GRU) / `(output, (h_n, c_n))` (LSTM); consumed
       * by tuple-unpack statements. */
     final case class STuple(items: Vector[Sym]) extends Sym
-    /** The `(num_layers, n, H)` final-hidden-state leg of a GRU/LSTM —
-      * held back like [[SeqProj]]: the op is emitted when `squeeze(0)`
-      * (1 layer) / `select(0, -1)` (any depth: the TOP layer) collapses
-      * the num_layers dim into the flat `(n, H)` classifier input. */
-    final case class RnnHidden(op: TorchOp, hidden: Int, layers: Int) extends Sym
-    /** The `(n, L, H)` full-sequence output (or the LSTM cell state) of
-      * an RNN — nothing downstream consumes it in a final-hidden-state
-      * classifier; any use fails loudly with this description. */
+    /** The `(num_layers·dirs, n, H)` final-hidden-state leg of a
+      * GRU/LSTM — held back like [[SeqProj]]: the op is emitted when
+      * `squeeze(0)` (1 layer, unidirectional) / `select(0, -1)` (any
+      * depth, unidirectional: the TOP layer) collapses the layer dim
+      * into the flat `(n, H)` classifier input. For a BIDIRECTIONAL
+      * RNN (`dirs` = 2) the read-out is two selects `h_n[-2]` /
+      * `h_n[-1]` (forward/reverse top layer, held as [[RnnDirTop]])
+      * re-joined by `torch.cat(..., 1)` into the `(n, 2H)` input. */
+    final case class RnnHidden(op: RnnOp, hidden: Int, layers: Int,
+        dirs: Int) extends Sym
+    /** One direction's top-layer final hidden `(n, H)` selected out of
+      * a bidirectional h_n — only `cat([fwd, bwd], 1)` consumes it. */
+    final case class RnnDirTop(h: RnnHidden, fwd: Boolean) extends Sym
+    /** The `(n, L, H·dirs)` full-sequence output of an RNN — consumed
+      * only by `mean(dim=1)` (the sentence-encoder pool, fused into
+      * the op's `seqPool`); anything else fails loudly. */
+    final case class RnnOutSeq(h: RnnHidden, desc: String) extends Sym {
+      override def toString: String = desc
+    }
+    /** An RNN leg nothing may consume (the LSTM cell state c_n): any
+      * use fails loudly with this description. */
     final case class RnnSeqOut(desc: String) extends Sym
   }
   import Sym._
@@ -823,8 +836,7 @@ object TorchCode {
             "layout is (n, seq, emb); construct the module with batch_first=True)")
         val numLayers = intAttr(m, "num_layers", 1L).toInt
         require(numLayers >= 1, s"${m.fqName}: num_layers $numLayers invalid")
-        require(!boolAttr("bidirectional", dflt = false),
-          s"${m.fqName}: bidirectional unsupported")
+        val bidi = boolAttr("bidirectional", dflt = false)
         require(intAttr(m, "proj_size", 0L) == 0L,
           s"${m.fqName}: proj_size unsupported")
         val hd = intAttr(m, "hidden_size", -1L).toInt
@@ -848,23 +860,35 @@ object TorchCode {
             materialize(t)
           case _ => new Array[Float](gates * hd)
         }
-        // layers past the first consume the (L, H) hidden sequence of
-        // the layer below — their weight_ih is (gates·H, H)
+        // layers past the first consume the full output sequence of
+        // the layer below — (L, H), or (L, 2H) when bidirectional
+        val stackIn = if (bidi) 2 * hd else hd
         val stack = (1 until numLayers).map { li =>
           RnnStackLayer(
-            w2(s"weight_ih_l$li", gates * hd, hd),
+            w2(s"weight_ih_l$li", gates * hd, stackIn),
             w2(s"weight_hh_l$li", gates * hd, hd),
             b1(s"bias_ih_l$li"), b1(s"bias_hh_l$li"))
         }
+        // torch serializes the reverse direction's weights per layer
+        // with a `_reverse` suffix (torch.nn.RNNBase._flat_weights)
+        val rev =
+          if (!bidi) IndexedSeq.empty[RnnStackLayer]
+          else (0 until numLayers).map { li =>
+            val in = if (li == 0) e else stackIn
+            RnnStackLayer(
+              w2(s"weight_ih_l${li}_reverse", gates * hd, in),
+              w2(s"weight_hh_l${li}_reverse", gates * hd, hd),
+              b1(s"bias_ih_l${li}_reverse"), b1(s"bias_hh_l${li}_reverse"))
+          }.toIndexedSeq
         val op = RnnOp(kind,
           w2("weight_ih_l0", gates * hd, e), w2("weight_hh_l0", gates * hd, hd),
           b1("bias_ih_l0"), b1("bias_hh_l0"), hidden = hd, inDim = e,
-          stack = stack.toIndexedSeq)
-        val hn = RnnHidden(op, hd, numLayers)
+          stack = stack.toIndexedSeq, rev = rev)
+        val hn = RnnHidden(op, hd, numLayers, dirs = if (bidi) 2 else 1)
         if (kind == "gru")
-          STuple(Vector(RnnSeqOut(s"${m.simpleName} full-sequence output"), hn))
+          STuple(Vector(RnnOutSeq(hn, s"${m.simpleName} full-sequence output"), hn))
         else
-          STuple(Vector(RnnSeqOut(s"${m.simpleName} full-sequence output"),
+          STuple(Vector(RnnOutSeq(hn, s"${m.simpleName} full-sequence output"),
             STuple(Vector(hn, RnnSeqOut(s"${m.simpleName} cell state c_n")))))
       case "Flatten" =>
         // nn.Flatten(start_dim=1): (n, ch, 1) -> (n, ch); identity on
@@ -1073,43 +1097,70 @@ object TorchCode {
             case "cat" =>
               // torch.cat([o1, o2, ...], -1): merge per-head attention
               // outputs on the feature dim — the hand-rolled multi-head
-              // pattern; stays held for out-proj / residual fusion
+              // pattern; stays held for out-proj / residual fusion.
+              // torch.cat([h_n[-2], h_n[-1]], 1): re-join the two
+              // directions of a bidirectional RNN read-out -> (n, 2H).
               val items = eval(args(0), line) match {
                 case v: Vector[_] => v
                 case other => sys.error(s"TorchScript code: cat on non-list $other in: $line")
               }
-              args.lift(1).map(a => eval(a, line)) match {
-                case None | Some(-1L) | Some(2L) | Some(null) =>
-                case other => sys.error(s"TorchScript code: cat over dim $other " +
-                  s"unsupported (feature dim only) in: $line")
+              def featureDim(extra: Set[Long]): Unit =
+                args.lift(1).map(a => eval(a, line)) match {
+                  case None | Some(-1L) | Some(null) =>
+                  case Some(d: Long) if extra(d) =>
+                  case other => sys.error(s"TorchScript code: cat over dim $other " +
+                    s"unsupported (feature dim only) in: $line")
+                }
+              items match {
+                case Vector(RnnDirTop(hf, true), RnnDirTop(hb, false)) if hf eq hb =>
+                  featureDim(Set(1L)) // (n, H) pair: feature dim is 1
+                  ops += hf.op
+                  Flat(2 * hf.hidden)
+                case Vector(RnnDirTop(_, a0), RnnDirTop(_, b0)) =>
+                  sys.error(s"TorchScript code: cat of bidirectional RNN selects " +
+                    s"must be (h_n[-2], h_n[-1]) of ONE rnn (got fwd=$a0, fwd=$b0) in: $line")
+                case _ =>
+                  featureDim(Set(2L)) // (n, L, d) heads: feature dim is 2
+                  val heads = items.map {
+                    case AttnOut(Vector(h), None) => h
+                    case other => sys.error(s"TorchScript code: cat of $other unsupported " +
+                      s"(unprojected single-head attention outputs only) in: $line")
+                  }
+                  require(heads.nonEmpty, s"TorchScript code: cat of empty list in: $line")
+                  AttnOut(heads.toVector, None)
               }
-              val heads = items.map {
-                case AttnOut(Vector(h), None) => h
-                case other => sys.error(s"TorchScript code: cat of $other unsupported " +
-                  s"(unprojected single-head attention outputs only) in: $line")
-              }
-              require(heads.nonEmpty, s"TorchScript code: cat of empty list in: $line")
-              AttnOut(heads.toVector, None)
             case "mean" =>
               // the (n, seq, emb) -> (n, emb) position pool — after the
-              // embedding (fused back to EmbeddingMeanOp at load) or
-              // after a materialized attention/FFN block
-              val emb = forceSeq(tensorArg) match {
-                case SeqEmb(e) => e
-                case other => sys.error(s"TorchScript code: mean on $other " +
-                  s"unsupported (sequence tensors only) in: $line")
+              // embedding (fused back to EmbeddingMeanOp at load), after
+              // a materialized attention/FFN block, or over an RNN's
+              // full output sequence (out.mean(1), the sentence-encoder
+              // read-out — fused into the RnnOp as seqPool)
+              def meanArgs(): Unit = {
+                args.lift(1).map(a => eval(a, line)) match {
+                  case Some(1L) | Some(Vector(1L)) =>
+                  case other => sys.error(s"TorchScript code: mean over dims $other " +
+                    s"unsupported (dim=1 only) in: $line")
+                }
+                args.lift(2).map(a => eval(a, line)) match {
+                  case None | Some(false) | Some(null) => // keepdim=False
+                  case other => sys.error(s"TorchScript code: mean keepdim $other unsupported in: $line")
+                }
               }
-              args.lift(1).map(a => eval(a, line)) match {
-                case Some(1L) | Some(Vector(1L)) =>
-                case other => sys.error(s"TorchScript code: mean over dims $other " +
-                  s"unsupported (dim=1 only) in: $line")
+              tensorArg match {
+                case RnnOutSeq(h, _) =>
+                  meanArgs()
+                  ops += h.op.copy(seqPool = Some("mean"))
+                  Flat(h.hidden * h.dirs)
+                case sy0 =>
+                  val emb = forceSeq(sy0) match {
+                    case SeqEmb(e) => e
+                    case other => sys.error(s"TorchScript code: mean on $other " +
+                      s"unsupported (sequence tensors only) in: $line")
+                  }
+                  meanArgs()
+                  ops += SeqMeanPoolOp
+                  Flat(emb)
               }
-              args.lift(2).map(a => eval(a, line)) match {
-                case None | Some(false) | Some(null) => // keepdim=False
-                case other => sys.error(s"TorchScript code: mean keepdim $other unsupported in: $line")
-              }
-              ops += SeqMeanPoolOp
-              Flat(emb)
             case "transpose" =>
               // torch.transpose(x, 1, 2): the layout flip between the
               // embedding sequence and Conv1d's channel-major input.
@@ -1197,10 +1248,13 @@ object TorchCode {
                       s"on an RNN hidden state unsupported (num_layers dim 0 only) in: $line")
                   }
                   // torch.squeeze(h_n, 0) only drops a SIZE-1 dim: on a
-                  // stacked RNN it is a no-op and the downstream fc
-                  // would see (k, n, H) — reject exactly as torch would
-                  require(h.layers == 1, s"TorchScript code: squeeze(0) on a " +
-                    s"${h.layers}-layer h_n is a no-op (use h_n[-1]) in: $line")
+                  // stacked or bidirectional RNN it is a no-op and the
+                  // downstream fc would see (k·dirs, n, H) — reject
+                  // exactly as torch would
+                  require(h.layers == 1 && h.dirs == 1,
+                    s"TorchScript code: squeeze(0) on a ${h.layers}-layer " +
+                      s"${h.dirs}-direction h_n is a no-op (classifiers read " +
+                      s"h_n[-1], bidirectional ones cat(h_n[-2], h_n[-1])) in: $line")
                   ops += h.op
                   Flat(h.hidden)
                 case other => sys.error(s"TorchScript code: squeeze on $other " +
@@ -1212,6 +1266,17 @@ object TorchCode {
               // torch.select(x, 1, 0): CLS pooling — position 0 of the
               // live (n, seq, emb) sequence (the x[:, 0] read-out)
               tensorArg match {
+                case h: RnnHidden if h.dirs == 2 =>
+                  // bidirectional h_n rows are [l0_fwd, l0_bwd, …,
+                  // ltop_fwd, ltop_bwd]: h_n[-2] = forward top layer,
+                  // h_n[-1] = reverse top layer — held for the cat
+                  (sizeArg(1, Long.MinValue), sizeArg(2, Long.MinValue)) match {
+                    case (0L, -2L) => RnnDirTop(h, fwd = true)
+                    case (0L, -1L) => RnnDirTop(h, fwd = false)
+                    case other => sys.error(s"TorchScript code: select $other on a " +
+                      s"bidirectional RNN hidden state unsupported ((0, -2) fwd / " +
+                      s"(0, -1) bwd only) in: $line")
+                  }
                 case h: RnnHidden =>
                   (sizeArg(1, Long.MinValue), sizeArg(2, Long.MinValue)) match {
                     case (0L, -1L) => // top layer: the classifier read-out

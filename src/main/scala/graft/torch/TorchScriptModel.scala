@@ -218,23 +218,62 @@ final case class SelfAttentionOp(
   * read-out with a home here. Inter-layer values stay float64
   * (mirroring the single-layer discipline: torch itself rounds each
   * layer's output to f32 — that drift is part of the gap budget the
-  * per-model specs pin). */
+  * per-model specs pin).
+  *
+  * `rev` (non-empty = BIDIRECTIONAL, `nn.GRU(..., bidirectional =
+  * True)`) holds the reverse-direction weights (torch's
+  * `weight_ih_l0_reverse` etc.), one entry per layer: `rev(0)` pairs
+  * with the inline layer-0 weights, `rev(k)` with `stack(k-1)`. Each
+  * layer runs its forward cell over positions `0..L-1` and its
+  * reverse cell over `L-1..0`; a stacked layer consumes the
+  * position-wise concat `(L, 2H)` of the layer below (so stacked
+  * `wIh` is `(gates·H, 2H)` when bidi). The classifier read-out is
+  * `cat(h_n[-2], h_n[-1])` — forward top-layer final hidden (after
+  * position L-1) ++ reverse top-layer final hidden (after position
+  * 0) — width `2H` (torch's output convention for bidirectional
+  * `h_n`).
+  *
+  * `seqPool = Some("mean")` switches the read-out from the final
+  * hidden state to the MEAN over the full top-layer output sequence
+  * (`out.mean(dim=1)` on the `(n, L, H·dirs)` output) — the sentence
+  * -encoder consumption of `out` rather than `h_n`; width is
+  * unchanged (`H·dirs`), the average runs in f64 position order. */
 final case class RnnOp(kind: String, wIh: Array[Float], wHh: Array[Float],
     bIh: Array[Float], bHh: Array[Float], hidden: Int, inDim: Int,
-    stack: IndexedSeq[RnnStackLayer] = IndexedSeq.empty) extends TorchOp {
+    stack: IndexedSeq[RnnStackLayer] = IndexedSeq.empty,
+    rev: IndexedSeq[RnnStackLayer] = IndexedSeq.empty,
+    seqPool: Option[String] = None) extends TorchOp {
   require(kind == "gru" || kind == "lstm", s"unsupported RNN kind $kind")
   val gates: Int = if (kind == "lstm") 4 else 3
+  def bidi: Boolean = rev.nonEmpty
+  /** feature width this op emits: H, doubled by bidirectionality. */
+  def outWidth: Int = if (bidi) 2 * hidden else hidden
   require(wIh.length == gates * hidden * inDim, s"$kind wIh size ${wIh.length}")
   require(wHh.length == gates * hidden * hidden, s"$kind wHh size ${wHh.length}")
   require(bIh.length == gates * hidden && bHh.length == gates * hidden,
     s"$kind bias sizes ${bIh.length}/${bHh.length}")
+  // a stacked layer's input is the layer below's full output: H, or 2H bidi
+  private val stackIn = if (bidi) 2 * hidden else hidden
   for (l <- stack) {
-    require(l.wIh.length == gates * hidden * hidden,
-      s"$kind stacked-layer wIh size ${l.wIh.length} (input is the $hidden-dim hidden)")
+    require(l.wIh.length == gates * hidden * stackIn,
+      s"$kind stacked-layer wIh size ${l.wIh.length} (input is the $stackIn-dim " +
+        "output of the layer below)")
     require(l.wHh.length == gates * hidden * hidden, s"$kind stacked wHh size")
     require(l.bIh.length == gates * hidden && l.bHh.length == gates * hidden,
       s"$kind stacked bias sizes")
   }
+  require(rev.isEmpty || rev.length == 1 + stack.length,
+    s"$kind bidirectional needs reverse weights for every layer: " +
+      s"${rev.length} vs ${1 + stack.length}")
+  for ((l, li) <- rev.zipWithIndex) {
+    val in = if (li == 0) inDim else stackIn
+    require(l.wIh.length == gates * hidden * in,
+      s"$kind reverse layer-$li wIh size ${l.wIh.length} (expected ${gates * hidden * in})")
+    require(l.wHh.length == gates * hidden * hidden, s"$kind reverse wHh size")
+    require(l.bIh.length == gates * hidden && l.bHh.length == gates * hidden,
+      s"$kind reverse bias sizes")
+  }
+  require(seqPool.forall(_ == "mean"), s"unsupported RNN sequence pool $seqPool")
   def numLayers: Int = 1 + stack.length
 }
 
@@ -396,7 +435,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(width == r.inDim,
             s"${r.kind.toUpperCase}(input_size=${r.inDim}) applied to $width features")
           require(pool < 0, "second pool op after the sequence already collapsed")
-          mode = 2; pool = i; width = r.hidden
+          mode = 2; pool = i; width = r.outWidth
         case _: ActOp | _: ParamActOp => // elementwise: fine in any phase
         case other =>
           require(mode == 2,
@@ -1034,6 +1073,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     val r = ops(1) match {
       case r: RnnOp =>
         require(r.stack.isEmpty, "LM scoring supports single-layer RNNs only")
+        require(!r.bidi, "LM scoring is causal: bidirectional RNNs unsupported")
+        require(r.seqPool.isEmpty, "LM scoring reads per-position hiddens itself")
         r
       case other => sys.error(s"LM scoring needs a recurrent second op, got $other")
     }
@@ -1138,24 +1179,92 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       while (i < a.length) { a(i) = data(i); i += 1 }
       a
     }
-    var inDim = emb
-    var h = runRnnLayer(r, r.wIh, r.wHh, r.bIh, r.bHh, seq, L, inDim,
-      collectSeq = r.stack.nonEmpty)
-    for ((l, li) <- r.stack.zipWithIndex) {
-      seq = h
-      inDim = r.hidden
-      h = runRnnLayer(r, l.wIh, l.wHh, l.bIh, l.bHh, seq, L, inDim,
-        collectSeq = li < r.stack.length - 1)
+    val hd = r.hidden
+    val poolSeq = r.seqPool.isDefined
+    if (r.bidi) {
+      // per layer: forward cell over 0..L-1, reverse cell over L-1..0,
+      // positions concat to a (L, 2H) sequence feeding the next layer.
+      // Read-out: cat(fwd final (after L-1), rev final (after 0)) —
+      // torch's h_n[-2] ++ h_n[-1]; seqPool=mean averages the (L, 2H)
+      // top-layer output instead.
+      var out: Array[Double] = null
+      var inDim = emb
+      val layers = 1 + r.stack.length
+      for (li <- 0 until layers) {
+        val (wi, wh, bi, bh) =
+          if (li == 0) (r.wIh, r.wHh, r.bIh, r.bHh)
+          else { val l = r.stack(li - 1); (l.wIh, l.wHh, l.bIh, l.bHh) }
+        val rv = r.rev(li)
+        val needSeq = li < layers - 1 || poolSeq
+        val fw = runRnnLayer(r, wi, wh, bi, bh, seq, L, inDim,
+          collectSeq = needSeq, reverse = false)
+        val bw = runRnnLayer(r, rv.wIh, rv.wHh, rv.bIh, rv.bHh, seq, L, inDim,
+          collectSeq = needSeq, reverse = true)
+        if (needSeq) {
+          val cat = new Array[Double](L * 2 * hd)
+          var t = 0
+          while (t < L) {
+            System.arraycopy(fw, t * hd, cat, t * 2 * hd, hd)
+            System.arraycopy(bw, t * hd, cat, t * 2 * hd + hd, hd)
+            t += 1
+          }
+          seq = cat
+          inDim = 2 * hd
+          // the final hidden read-out from the collected sequences:
+          // forward = position L-1's row, reverse = position 0's row
+          if (li == layers - 1) {
+            out = new Array[Double](2 * hd)
+            System.arraycopy(fw, (L - 1) * hd, out, 0, hd)
+            System.arraycopy(bw, 0, out, hd, hd)
+          }
+        } else {
+          // collectSeq=false returns each direction's final hidden
+          // (forward: after t=L-1; reverse: after t=0)
+          out = new Array[Double](2 * hd)
+          System.arraycopy(fw, 0, out, 0, hd)
+          System.arraycopy(bw, 0, out, hd, hd)
+        }
+      }
+      if (poolSeq) return seqMeanF32(seq, L, 2 * hd)
+      Array.tabulate(2 * hd)(o => out(o).toFloat)
+    } else {
+      var inDim = emb
+      var h = runRnnLayer(r, r.wIh, r.wHh, r.bIh, r.bHh, seq, L, inDim,
+        collectSeq = r.stack.nonEmpty || poolSeq)
+      for ((l, li) <- r.stack.zipWithIndex) {
+        seq = h
+        inDim = hd
+        h = runRnnLayer(r, l.wIh, l.wHh, l.bIh, l.bHh, seq, L, inDim,
+          collectSeq = li < r.stack.length - 1 || poolSeq)
+      }
+      if (poolSeq) return seqMeanF32(h, L, hd)
+      Array.tabulate(hd)(o => h(o).toFloat)
     }
-    Array.tabulate(r.hidden)(o => h(o).toFloat)
+  }
+
+  /** `out.mean(dim=1)` over an f64 `(L, w)` output sequence: per-column
+    * sum in POSITION order, one divide, one f32 rounding per value. */
+  private def seqMeanF32(seq: Array[Double], L: Int, w: Int): Array[Float] = {
+    val acc = new Array[Double](w)
+    var t = 0
+    while (t < L) {
+      var o = 0
+      while (o < w) { acc(o) += seq(t * w + o); o += 1 }
+      t += 1
+    }
+    Array.tabulate(w)(o => (acc(o) / L).toFloat)
   }
 
   /** One GRU/LSTM layer over an f64 `(L, inDim)` sequence; returns the
     * full `(L, H)` hidden sequence when `collectSeq` (to feed the next
-    * stacked layer), else just the final `(H)` hidden state. */
+    * stacked layer), else just the final `(H)` hidden state. `reverse`
+    * scans positions `L-1..0` (the bidirectional reverse cell) — the
+    * collected sequence stays position-indexed (row `t` = the hidden
+    * AFTER consuming position `t` in scan order), and the "final"
+    * state is the one after position 0. */
   private def runRnnLayer(r: RnnOp, wIh: Array[Float], wHh: Array[Float],
       bIh: Array[Float], bHh: Array[Float], data: Array[Double], L: Int,
-      inDim: Int, collectSeq: Boolean): Array[Double] = {
+      inDim: Int, collectSeq: Boolean, reverse: Boolean = false): Array[Double] = {
     val hd = r.hidden
     val g = r.gates
     val h = new Array[Double](hd)
@@ -1165,8 +1274,9 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     val hNew = new Array[Double](hd)
     val outSeq = if (collectSeq) new Array[Double](L * hd) else null
     def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
-    var t = 0
-    while (t < L) {
+    var step = 0
+    while (step < L) {
+      val t = if (reverse) L - 1 - step else step
       var gi = 0
       while (gi < g * hd) {
         var accI: Double = bIh(gi)
@@ -1203,7 +1313,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       }
       System.arraycopy(hNew, 0, h, 0, hd)
       if (collectSeq) System.arraycopy(hNew, 0, outSeq, t * hd, hd)
-      t += 1
+      step += 1
     }
     if (collectSeq) outSeq else h
   }

@@ -142,33 +142,47 @@ object SptFixture {
   val GruCls = "__torch__.torch.nn.modules.rnn.GRU"
   val LstmCls = "__torch__.torch.nn.modules.rnn.LSTM"
 
-  /** nn.GRU / nn.LSTM (single layer, unidirectional, batch_first) with
-   * the attr set a real torch.jit.save emits: packed gate weights
-   * `weight_ih_l0 (gates·H, in)` / `weight_hh_l0 (gates·H, H)` + biases,
-   * gate order r,z,n (GRU) / i,f,g,o (LSTM). */
+  /** nn.GRU / nn.LSTM (batch_first) with the attr set a real
+   * torch.jit.save emits: packed gate weights `weight_ih_l0
+   * (gates·H, in)` / `weight_hh_l0 (gates·H, H)` + biases, gate order
+   * r,z,n (GRU) / i,f,g,o (LSTM); `reverseLayers` adds the
+   * `_reverse`-suffixed per-layer weights of a bidirectional module
+   * (layer 0 wIh is (gates·H, in), deeper layers (gates·H, 2H)). */
   def rnn(cls: String, wIh: Array[Float], wHh: Array[Float],
       bIh: Array[Float], bHh: Array[Float], input: Int, hidden: Int,
       numLayers: Int = 1, batchFirst: Boolean = true,
       extraLayers: Seq[(Array[Float], Array[Float], Array[Float], Array[Float])] =
+        Nil,
+      reverseLayers: Seq[(Array[Float], Array[Float], Array[Float], Array[Float])] =
         Nil): Module = {
     val gates = if (cls == LstmCls) 4 else 3
+    val bidi = reverseLayers.nonEmpty
+    val stackIn = if (bidi) 2 * hidden else hidden
     val stacked = extraLayers.zipWithIndex.flatMap {
       case ((wi, wh, bi, bh), k) => Seq(
-        s"weight_ih_l${k + 1}" -> Tensor(Seq(gates * hidden, hidden), wi),
+        s"weight_ih_l${k + 1}" -> Tensor(Seq(gates * hidden, stackIn), wi),
         s"weight_hh_l${k + 1}" -> Tensor(Seq(gates * hidden, hidden), wh),
         s"bias_ih_l${k + 1}" -> Tensor(Seq(gates * hidden), bi),
         s"bias_hh_l${k + 1}" -> Tensor(Seq(gates * hidden), bh))
+    }
+    val reversed = reverseLayers.zipWithIndex.flatMap {
+      case ((wi, wh, bi, bh), k) => Seq(
+        s"weight_ih_l${k}_reverse" ->
+          Tensor(Seq(gates * hidden, if (k == 0) input else stackIn), wi),
+        s"weight_hh_l${k}_reverse" -> Tensor(Seq(gates * hidden, hidden), wh),
+        s"bias_ih_l${k}_reverse" -> Tensor(Seq(gates * hidden), bi),
+        s"bias_hh_l${k}_reverse" -> Tensor(Seq(gates * hidden), bh))
     }
     Module(cls, Seq(
       "mode" -> Str(if (cls == LstmCls) "LSTM" else "GRU"),
       "input_size" -> I(input), "hidden_size" -> I(hidden),
       "num_layers" -> I(numLayers), "bias" -> B(true),
       "batch_first" -> B(batchFirst), "dropout" -> F(0.0),
-      "bidirectional" -> B(false), "proj_size" -> I(0),
+      "bidirectional" -> B(bidi), "proj_size" -> I(0),
       "weight_ih_l0" -> Tensor(Seq(gates * hidden, input), wIh),
       "weight_hh_l0" -> Tensor(Seq(gates * hidden, hidden), wHh),
       "bias_ih_l0" -> Tensor(Seq(gates * hidden), bIh),
-      "bias_hh_l0" -> Tensor(Seq(gates * hidden), bHh)) ++ stacked ++ Seq(
+      "bias_hh_l0" -> Tensor(Seq(gates * hidden), bHh)) ++ stacked ++ reversed ++ Seq(
       "training" -> B(false)))
   }
 

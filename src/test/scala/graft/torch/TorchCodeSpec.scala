@@ -870,6 +870,137 @@ class TorchCodeSpec extends AnyFunSuite {
     assert((0 until cls).exists(j => math.abs(single(j) - expected(j)) > 1e-6))
   }
 
+  test("bidirectional GRU archive: cat(h_n[-2], h_n[-1]) traces; golden vs f64 fwd+rev") {
+    val (vocab, emb, h, cls) = (8, 3, 4, 3)
+    val ew = vals(vocab * emb, 261)
+    val wIh = vals(3 * h * emb, 262); val wHh = vals(3 * h * h, 263)
+    val bIh = vals(3 * h, 264); val bHh = vals(3 * h, 265)
+    val wIhR = vals(3 * h * emb, 266); val wHhR = vals(3 * h * h, 267)
+    val bIhR = vals(3 * h, 268); val bHhR = vals(3 * h, 269)
+    val (wf, bf) = (vals(cls * 2 * h, 270), vals(cls, 271))
+    def net(body: String) = (
+      Module("__torch__.BgruNet", Seq(
+        "training" -> B(false),
+        "emb" -> Module(EmbeddingCls, Seq(
+          "weight" -> Tensor(Seq(vocab, emb), ew),
+          "padding_idx" -> NoneV,
+          "training" -> B(false))),
+        "gru" -> rnn(GruCls, wIh, wHh, bIh, bHh, emb, h,
+          reverseLayers = Seq((wIhR, wHhR, bIhR, bHhR))),
+        "fc" -> linear(wf, cls, 2 * h, bf))),
+      Map("code/__torch__.py" ->
+        s"""class BgruNet(Module):
+           |  training : bool
+           |  def forward(self: __torch__.BgruNet,
+           |    x: Tensor) -> Tensor:
+           |    emb = self.emb
+           |    e = (emb).forward(x, )
+           |    gru = self.gru
+           |    _0 = (gru).forward(e, None, )
+           |    out, hn, = _0
+           |$body
+           |    fc = self.fc
+           |    return (fc).forward(h, )
+           |""".stripMargin))
+    val (model, code) = net(
+      """    hf = torch.select(hn, 0, -2)
+        |    hb = torch.select(hn, 0, -1)
+        |    h = torch.cat([hf, hb], 1)""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("bgru", "bgru", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "RnnOp", "LinearLayer"))
+    val op = m.ops(1).asInstanceOf[RnnOp]
+    assert(op.bidi && op.outWidth == 2 * h && op.rev.head.wIh.toSeq == wIhR.toSeq)
+    val toks = Array(3, 0, 6, 2, 5, 1)
+    val hFwd = gruRef(toks, ew, emb, wIh, wHh, bIh, bHh, h)
+    val hBwd = gruRef(toks.reverse, ew, emb, wIhR, wHhR, bIhR, bHhR, h)
+    val expected = mm(hFwd ++ hBwd, wf, bf, cls, 2 * h)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // directions are live: swapping reverse weights changes the output
+    assert((0 until cls).exists { j =>
+      val swapped = mm(hBwd ++ hFwd, wf, bf, cls, 2 * h)
+      math.abs(swapped(j) - expected(j)) > 1e-6
+    })
+    // misuse fails loudly at LOAD time
+    val (m1, c1) = net("    h = torch.squeeze(hn, 0)")
+    val sq = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("bgru1", "bgru1", m1, c1)))
+    assert(sq.getMessage.contains("no-op"))
+    val (m2, c2) = net(
+      """    hf = torch.select(hn, 0, -2)
+        |    hb = torch.select(hn, 0, -1)
+        |    h = torch.cat([hb, hf], 1)""".stripMargin)
+    val rev = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("bgru2", "bgru2", m2, c2)))
+    assert(rev.getMessage.contains("h_n[-2], h_n[-1]"))
+    val (m3, c3) = net("    h = torch.select(hn, 0, 0)")
+    val sel = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("bgru3", "bgru3", m3, c3)))
+    assert(sel.getMessage.contains("bidirectional"))
+  }
+
+  test("GRU out.mean(1) traces to the seqPool read-out; golden vs f64 position mean") {
+    val (vocab, emb, h, cls) = (8, 3, 4, 3)
+    val ew = vals(vocab * emb, 281)
+    val wIh = vals(3 * h * emb, 282); val wHh = vals(3 * h * h, 283)
+    val bIh = vals(3 * h, 284); val bHh = vals(3 * h, 285)
+    val (wf, bf) = (vals(cls * h, 286), vals(cls, 287))
+    val model = Module("__torch__.MgruNet", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "gru" -> rnn(GruCls, wIh, wHh, bIh, bHh, emb, h),
+      "fc" -> linear(wf, cls, h, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class MgruNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.MgruNet,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    gru = self.gru
+        |    _0 = (gru).forward(e, None, )
+        |    out, hn, = _0
+        |    p = torch.mean(out, [1], False, None)
+        |    fc = self.fc
+        |    return (fc).forward(p, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("mgru", "mgru", model, code))
+    val op = m.ops.collectFirst { case r: RnnOp => r }.get
+    assert(op.seqPool.contains("mean") && !op.bidi)
+    // f64 reference: mean over the hidden AFTER each position
+    val toks = Array(3, 0, 6, 2, 5, 1)
+    val acc = new Array[Double](h)
+    val hCur = new Array[Double](h)
+    for (t <- toks) {
+      val x = Array.tabulate(emb)(j => ew(t * emb + j).toDouble)
+      def ih(g: Int, o: Int) = bIh(g * h + o) +
+        (0 until emb).map(j => wIh((g * h + o) * emb + j).toDouble * x(j)).sum
+      def hh(g: Int, o: Int) = bHh(g * h + o) +
+        (0 until h).map(j => wHh((g * h + o) * h + j).toDouble * hCur(j)).sum
+      val hNew = Array.tabulate(h) { o =>
+        val r = 1.0 / (1.0 + math.exp(-(ih(0, o) + hh(0, o))))
+        val z = 1.0 / (1.0 + math.exp(-(ih(1, o) + hh(1, o))))
+        val n = math.tanh(ih(2, o) + r * hh(2, o))
+        (1.0 - z) * n + z * hCur(o)
+      }
+      System.arraycopy(hNew, 0, hCur, 0, h)
+      for (o <- 0 until h) acc(o) += hNew(o)
+    }
+    val pooled = acc.map(_ / toks.length)
+    val expected = mm(pooled, wf, bf, cls, h)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // the pool is live: the final-hidden read-out differs
+    val hnOnly = mm(hCur, wf, bf, cls, h)
+    assert((0 until cls).exists(j => math.abs(hnOnly(j) - expected(j)) > 1e-6))
+  }
+
   test("LSTM archive: nested tuple unpack + select(0, -1), golden vs f64 recurrence") {
     val (vocab, emb, h, cls) = (6, 2, 3, 2)
     val ew = vals(vocab * emb, 71)

@@ -39,8 +39,9 @@ class TorchRnnSpec extends AnyFunSuite {
     var minGap = Double.MaxValue
     for ((docId, ids) <- docs) {
       val h = recur(ids, e, op)
+      assert(h.length == fc.inDim)
       val logits = Array.tabulate(fc.outDim)(o =>
-        fc.bias(o) + (0 until op.hidden).map(j => h(j) * fc.weight(o * op.hidden + j)).sum)
+        fc.bias(o) + h.indices.map(j => h(j) * fc.weight(o * fc.inDim + j)).sum)
       val cls = logits.indexOf(logits.max)
       assert(engine(docId) == cls, s"$name doc $docId: engine ${engine(docId)} vs f64 $cls")
       val sorted = logits.sorted
@@ -98,6 +99,40 @@ class TorchRnnSpec extends AnyFunSuite {
       }
       h
     })
+  }
+
+  /** Forward + reverse f64 GRU scans -> the BiRNN cat read-out; shared
+    * by the q143 check and the bias-tuning harness. */
+  private[torch] def biGruHidden(ids: Array[Int], e: EmbeddingSeqOp,
+      op: RnnOp): Array[Double] = {
+    val H = op.hidden
+    def scan(order: Seq[Int], wIh: Array[Float], wHh: Array[Float],
+        bIh: Array[Float], bHh: Array[Float]): Array[Double] = {
+      val h = new Array[Double](H)
+      for (t <- order) {
+        val x = Array.tabulate(e.embDim)(j => e.weight(t * e.embDim + j).toDouble)
+        def ih(g: Int, o: Int) = bIh(g * H + o) +
+          (0 until op.inDim).map(j => wIh((g * H + o) * op.inDim + j).toDouble * x(j)).sum
+        def hh(g: Int, o: Int) = bHh(g * H + o) +
+          (0 until H).map(j => wHh((g * H + o) * H + j).toDouble * h(j)).sum
+        val hNew = Array.tabulate(H) { o =>
+          val r = sigmoid(ih(0, o) + hh(0, o))
+          val z = sigmoid(ih(1, o) + hh(1, o))
+          val n = math.tanh(ih(2, o) + r * hh(2, o))
+          (1.0 - z) * n + z * h(o)
+        }
+        System.arraycopy(hNew, 0, h, 0, H)
+      }
+      h
+    }
+    val rv = op.rev.head
+    scan(ids.toIndexedSeq, op.wIh, op.wHh, op.bIh, op.bHh) ++
+      scan(ids.reverse.toIndexedSeq, rv.wIh, rv.wHh, rv.bIh, rv.bHh)
+  }
+
+  test("sf0.001 BiGRU: engine argmax == f64 fwd+rev recompute; gap floor holds") {
+    check("q143_torch_bigru", graft.SparkEntry.biGruModel, (ids, e, op) =>
+      biGruHidden(ids, e, op))
   }
 
   test("sf0.001 stacked GRU: engine argmax == f64 2-layer recompute; gap floor holds") {
