@@ -1861,6 +1861,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Mean-pooled GRU sentence encoder (q144): consumes the RNN's FULL
+    // output sequence (out.mean(1)) rather than h_n — the read-out the
+    // tracer fuses into RnnOp.seqPool; oracled by avg() over the
+    // recurrence CTE's per-position rows (rnnMeanHiddenSql).
+    "q144_torch_gru_meanpool" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = meanGruModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, RnnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("mgru_class"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -2808,6 +2829,33 @@ object SparkEntry {
         Array(-5.75f, 3.6875f, -2.1875f), 3, 8)))
   }
 
+  /** Mean-pooled GRU sentence encoder for q144: token ids ->
+    * Embedding(32, 4) -> GRU(4, 6) -> `out.mean(dim=1)` (the average
+    * of the hidden state AFTER each position — consuming the full
+    * output sequence rather than h_n, the RNN sentence-encoder
+    * read-out the tracer fuses into `seqPool`) -> Linear(6->3) ->
+    * argmax. Oracle: the shared WITH RECURSIVE recurrence's `rec`
+    * rows averaged over pos 1..len ([[rnnMeanHiddenSql]]); DuckDB's
+    * avg() sums in scan order vs the engine's position order — f64
+    * ulp drift absorbed by the argmax gap like the q134 discipline.
+    * fc bias by dyadic grid search jointly over sf0.001 + sf0.01
+    * (measured min runner-up gap 5.8e-3, class mix 441/106/453 over
+    * the combined 1000 docs; TorchRnnSpec pins the 1e-3 floor). */
+  private[graft] lazy val meanGruModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 2111, 2.0), vocab = 32, embDim = 4),
+      RnnOp("gru",
+        qvals(3 * 6 * 4, 2113, 1.0), qvals(3 * 6 * 6, 2129, 0.75),
+        qvals(3 * 6, 2131, 0.25), qvals(3 * 6, 2137, 0.25),
+        hidden = 6, inDim = 4, seqPool = Some("mean")),
+      LinearLayer(qvals(3 * 6, 2141, 4.0),
+        Array(1.375f, 1.4375f, 1.0f), 3, 6)))
+  }
+
   /** LSTM sibling of [[gruModel]] for q124: Embedding(32, 4) ->
     * LSTM(4, 5) -> h_L -> Linear(5->3); same pinning discipline (fc
     * bias re-centered at sf0.01: mixed 174/170/156, min runner-up gap 5.7e-3). */
@@ -3403,6 +3451,23 @@ object SparkEntry {
        |FROM recf f
        |JOIN lens ON f.doc_id = lens.doc_id AND f.pos = lens.len
        |JOIN recb b ON b.doc_id = f.doc_id AND b.pos = 1""".stripMargin
+  }
+
+  /** DuckDB chain for the q144 mean-pooled-GRU oracle: the shared
+    * recurrence's `rec` rows (hidden AFTER each position) averaged
+    * over pos 1..len per doc — `out.mean(dim=1)` restated as avg().
+    * Engine sums in position order, DuckDB in scan order: f64 ulp
+    * drift only, absorbed by the pinned argmax gap. */
+  private def rnnMeanHiddenSql(m: graft.torch.TorchScriptModel): String = {
+    import graft.torch._
+    val op = m.ops.collectFirst { case r: RnnOp => r }.get
+    require(op.kind == "gru" && op.stack.isEmpty && !op.bidi &&
+      op.seqPool.contains("mean"), "mean oracle covers the pooled GRU shape")
+    val H = op.hidden
+    s"""${rnnRecurrenceSql(m)}
+       |SELECT r.doc_id,
+       |  ${(0 until H).map(o => s"avg(r.h$o) AS p$o").mkString(", ")}
+       |FROM rec r WHERE r.pos >= 1 GROUP BY r.doc_id""".stripMargin
   }
 
   /** Shared WITH-RECURSIVE prefix for the recurrent-head oracles
@@ -4425,6 +4490,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS bigru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q144_torch_gru_meanpool" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        meanGruModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, rnnMeanHiddenSql(meanGruModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS mgru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     "q124_torch_lstm" -> {

@@ -130,6 +130,36 @@ class TorchRnnSpec extends AnyFunSuite {
       scan(ids.reverse.toIndexedSeq, rv.wIh, rv.wHh, rv.bIh, rv.bHh)
   }
 
+  /** f64 GRU scan collecting the hidden AFTER each position, averaged —
+    * the out.mean(1) read-out; shared with the bias-tuning harness. */
+  private[torch] def meanGruHidden(ids: Array[Int], e: EmbeddingSeqOp,
+      op: RnnOp): Array[Double] = {
+    val H = op.hidden
+    val h = new Array[Double](H)
+    val acc = new Array[Double](H)
+    for (t <- ids) {
+      val x = Array.tabulate(e.embDim)(j => e.weight(t * e.embDim + j).toDouble)
+      def ih(g: Int, o: Int) = op.bIh(g * H + o) +
+        (0 until op.inDim).map(j => op.wIh((g * H + o) * op.inDim + j).toDouble * x(j)).sum
+      def hh(g: Int, o: Int) = op.bHh(g * H + o) +
+        (0 until H).map(j => op.wHh((g * H + o) * H + j).toDouble * h(j)).sum
+      val hNew = Array.tabulate(H) { o =>
+        val r = sigmoid(ih(0, o) + hh(0, o))
+        val z = sigmoid(ih(1, o) + hh(1, o))
+        val n = math.tanh(ih(2, o) + r * hh(2, o))
+        (1.0 - z) * n + z * h(o)
+      }
+      System.arraycopy(hNew, 0, h, 0, H)
+      for (o <- 0 until H) acc(o) += hNew(o)
+    }
+    acc.map(_ / ids.length)
+  }
+
+  test("sf0.001 mean-pooled GRU: engine argmax == f64 recompute; gap floor holds") {
+    check("q144_torch_gru_meanpool", graft.SparkEntry.meanGruModel, (ids, e, op) =>
+      meanGruHidden(ids, e, op))
+  }
+
   test("sf0.001 BiGRU: engine argmax == f64 fwd+rev recompute; gap floor holds") {
     check("q143_torch_bigru", graft.SparkEntry.biGruModel, (ids, e, op) =>
       biGruHidden(ids, e, op))
