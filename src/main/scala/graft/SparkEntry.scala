@@ -1882,6 +1882,43 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Cross-encoder rerank (q145): the retrieve-then-rerank pipeline —
+    // BM25 top-20 lexical candidates, each rescored by the q127
+    // encoder over the PAIR text (query terms prepended to the doc, so
+    // doc tokens attend to query tokens — token-level interaction, the
+    // cross-encoder signal bi-encoders lack), reranked by (class tier
+    // desc, BM25 rank). Candidate set is top-k-bounded, so the rerank
+    // stage is O(k) inference + a 20-row window regardless of corpus
+    // size; the candidate join broadcasts the 20-row side. DuckDB
+    // restates BM25 scoring AND the full encoder chain over the same
+    // pair texts (encBlockSql source/extraCtes).
+    "q145_cross_encoder" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = encModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val docs = t(s, dir, "documents")
+      val cand = graft.operators.Retrieval.bm25TopK(
+          docs, "doc_id", "text", Seq("spark", "join", "dup"), k = 20)
+        .select(col("doc_id"), col("rank").cast("int").as("t_rank"))
+      val pairs = docs.join(broadcast(cand), "doc_id")
+        .select(col("doc_id"), col("t_rank"),
+          concat(lit("spark join dup "), col("text")).as("pair_text"))
+      val toks = pairs.select(col("doc_id"), col("t_rank"),
+        slice(transform(
+          call_function("regexp_extract_all", col("pair_text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      // global window is safe: the input is the k=20 candidate set
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"), col("t_rank"),
+          call_function("argmax", col("logits")).as("ce_class"))
+        .withColumn("ce_rank", row_number().over(
+          Window.orderBy(col("ce_class").desc, col("t_rank"))))
+        .orderBy("ce_rank")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -3115,7 +3152,11 @@ object SparkEntry {
     * Word positions stay 1-based from generate_subscripts, which
     * after prepending IS their sequence index — the same arange id
     * the engine's PosEmbedOp applies. */
-  private def encBlockSql(m0: graft.torch.TorchScriptModel, pool: String): String = {
+  /** `source` swaps the relation the word CTE tokenizes (any relation
+    * with `doc_id, text` — q145 feeds BM25-candidate PAIR texts);
+    * `extraCtes` prepends CTEs that `source` may reference. */
+  private def encBlockSql(m0: graft.torch.TorchScriptModel, pool: String,
+      source: String = "documents", extraCtes: String = ""): String = {
     val withCls = pool == "cls"
     import graft.torch._
     val m = m0
@@ -3196,7 +3237,7 @@ object SparkEntry {
          |  FROM (SELECT doc_id,
          |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
          |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-         |        FROM documents)
+         |        FROM $source)
          |  WHERE pos <= $wordCap)"""
     val toksCte =
       if (withCls)
@@ -3245,7 +3286,7 @@ object SparkEntry {
       case _ =>
         s"""pool AS (SELECT doc_id, $poolSel FROM n2 GROUP BY doc_id)"""
     }
-    s"""WITH $toksCte,
+    s"""WITH $extraCtes$toksCte,
        |embw(tid, $wCols) AS (VALUES
        |    $embRows),
        |$xCte,
@@ -4499,6 +4540,56 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS mgru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // BM25 CTEs (q125's lexical arm) hoisted into the OUTER WITH so
+    // both the encoder chain's pair-text source AND the final rerank
+    // select can reference tr; the encoder runs over 'spark join dup '
+    // || text for the 20 candidates only.
+    "q145_cross_encoder" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        encModel.ops.collect { case l: graft.torch.LinearLayer => l }.last))
+      val am = TorchOracle.armArgmax(fc, "p")
+      val chain = TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(encModel, pool = "mean", source = "pairdoc"),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect =
+          s"""SELECT l.doc_id, CAST(tr.t_rank AS INT) AS t_rank,
+             |  $am AS ce_class,
+             |  CAST(row_number() OVER (ORDER BY $am DESC, tr.t_rank) AS INT) AS ce_rank
+             |FROM ${TorchOracle.lastCte(fc)} l JOIN tr ON l.doc_id = tr.doc_id
+             |ORDER BY ce_rank""".stripMargin)
+      val bm25Ctes =
+        """tf AS (
+          |  SELECT doc_id, len(tk) AS dl,
+          |    len(list_filter(tk, x -> x = 'spark')) AS tf0,
+          |    len(list_filter(tk, x -> x = 'join'))  AS tf1,
+          |    len(list_filter(tk, x -> x = 'dup'))   AS tf2
+          |  FROM (SELECT doc_id,
+          |          regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS tk
+          |        FROM documents)),
+          |st AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+          |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+          |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+          |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+          |  FROM tf),
+          |sc AS (
+          |  SELECT doc_id,
+          |    ln(1.0 + (n_docs - df0 + 0.5)/(df0 + 0.5))
+          |      * (tf0*CAST(2.2 AS DOUBLE))/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+          |    + ln(1.0 + (n_docs - df1 + 0.5)/(df1 + 0.5))
+          |      * (tf1*CAST(2.2 AS DOUBLE))/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+          |    + ln(1.0 + (n_docs - df2 + 0.5)/(df2 + 0.5))
+          |      * (tf2*CAST(2.2 AS DOUBLE))/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) AS score
+          |  FROM tf, st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+          |tr AS (
+          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS t_rank
+          |  FROM sc QUALIFY t_rank <= 20),
+          |pairdoc AS (
+          |  SELECT tr.doc_id, 'spark join dup ' || d.text AS text
+          |  FROM tr JOIN documents d USING (doc_id))""".stripMargin
+      s"WITH $bm25Ctes,\n" + chain.stripPrefix("WITH ")
     },
 
     "q124_torch_lstm" -> {

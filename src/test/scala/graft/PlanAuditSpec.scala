@@ -152,6 +152,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"q125 lost its broadcasts:\n$p")
   }
 
+  test("q145 cross-encoder rerank: BM25 top-k short-circuits, candidates broadcast, no cartesian") {
+    val p = plan("q145_cross_encoder")
+    // candidate selection must be TakeOrderedAndProject (never a global
+    // sort of the corpus), the 20-row candidate set rides a broadcast
+    // back to documents, and the encoder stage is the usual one-plan
+    // mapPartitions
+    assert(p.contains("TakeOrderedAndProject"), s"q145 lost its top-k short-circuit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q145 candidate join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q145 has a cartesian:\n$p")
+    assert(p.contains("MapPartitions"), s"q145 lost its inference stage:\n$p")
+    assert(!p.contains("Scan ExistingRDD"), s"q145 re-scans a materialized RDD:\n$p")
+  }
+
   test("q129 containment pairs stay inverted-index keyed (no product plans)") {
     val p = plan("q129_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
