@@ -1919,6 +1919,21 @@ object SparkEntry {
         .orderBy("ce_rank")
     },
 
+    // Nearest-class-centroid probe (q146): the cheap embedding-quality
+    // eval — per-label mean vectors (posexplode + partial agg, shuffle
+    // bounded by labels x dim x tasks), labels x dim centroids driver-
+    // collected (bounded by the label domain) and broadcast, cosine
+    // re-assignment scan-side, confusion matrix out. Measured ~41%
+    // top-1 vs 10% chance on the fixture labels; min assignment
+    // margin 1.1e-4 >> f64 ulp drift.
+    "q146_centroid_classify" -> { (s, dir) =>
+      Similarity.centroidClassify(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -4591,6 +4606,31 @@ object SparkEntry {
           |  FROM tr JOIN documents d USING (doc_id))""".stripMargin
       s"WITH $bm25Ctes,\n" + chain.stripPrefix("WITH ")
     },
+
+    // Centroids restated dimension-wise (unnest + avg), cosine via a
+    // pos-join dot product, argmax by (cos DESC, label) — exactly the
+    // engine UDF's ascending strict-> scan.
+    "q146_centroid_classify" ->
+      """WITH d AS (
+        |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |c AS (SELECT label AS clab, pos, avg(v) AS m FROM d GROUP BY label, pos),
+        |cn AS (SELECT clab, sqrt(sum(m*m)) AS cnorm FROM c GROUP BY clab),
+        |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS vnorm FROM d GROUP BY vec_id),
+        |dots AS (
+        |  SELECT d.vec_id, d.label, c.clab, sum(d.v * c.m) AS dot
+        |  FROM d JOIN c USING (pos) GROUP BY d.vec_id, d.label, c.clab),
+        |sc AS (
+        |  SELECT dots.vec_id, dots.label, dots.clab,
+        |    CASE WHEN vnorm = 0 OR cnorm = 0 THEN 0 ELSE dot/(vnorm*cnorm) END AS cos
+        |  FROM dots JOIN vn USING (vec_id) JOIN cn USING (clab)),
+        |pr AS (
+        |  SELECT vec_id, label, clab AS pred,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clab) AS rn
+        |  FROM sc)
+        |SELECT CAST(label AS INT) AS label, CAST(pred AS INT) AS pred, count(*) AS n
+        |FROM pr WHERE rn = 1 GROUP BY label, pred ORDER BY label, pred""".stripMargin,
 
     "q124_torch_lstm" -> {
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(

@@ -67,6 +67,63 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /**
+   * Nearest-class-centroid probe — the standard cheap eval of
+   * embedding quality ("do the classes separate in embedding
+   * space?"): per-label mean vector, then every vector re-assigned to
+   * the label whose centroid it is most cosine-similar to. Returns
+   * `(idCol, labelCol, pred)`; aggregate to a confusion matrix for
+   * the accuracy story.
+   *
+   * Scale shape: the centroid pass is posexplode + partial aggregation
+   * (each task emits <= labels x dim partial sums, the shuffle carries
+   * labels x dim x tasks rows — constant in corpus size); the
+   * assembled centroids are a labels x dim driver collect (bounded by
+   * the LABEL-DOMAIN cardinality, a handful of classes by
+   * construction) broadcast back; assignment is one scan-side UDF.
+   * No data-sized shuffle anywhere.
+   *
+   * Determinism: centroids and cosines run in f64; exact cosine ties
+   * pick the smallest label (ascending scan with strict >, matching
+   * the oracle's `ORDER BY cos DESC, label`).
+   */
+  def centroidClassify(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cents: Array[(Int, Array[Double])] = df
+      .select(col(labelCol).cast("int").as("__lab"), asDouble(col(embCol)).as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col("__lab"), posexplode(col("__e")).as(Seq("__pos", "__v")))
+      .groupBy("__lab", "__pos").agg(avg("__v").as("__m"))
+      .groupBy("__lab").agg(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          x => x.getField("__m")).as("__c"))
+      .orderBy("__lab")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val pred = udf { v: Seq[Double] =>
+      if (v == null) -1
+      else {
+        val cs = bc.value
+        var bestLab = cs(0)._1
+        var bestCos = Double.NegativeInfinity
+        var vn = 0.0
+        var j = 0
+        while (j < v.length) { vn += v(j) * v(j); j += 1 }
+        vn = math.sqrt(vn)
+        for ((lab, c) <- cs) {
+          var dot = 0.0; var cn = 0.0; var i = 0
+          while (i < c.length) { dot += v(i) * c(i); cn += c(i) * c(i); i += 1 }
+          val cos = if (vn == 0 || cn == 0) 0.0 else dot / (vn * math.sqrt(cn))
+          if (cos > bestCos) { bestCos = cos; bestLab = lab }
+        }
+        bestLab
+      }
+    }
+    df.select(col(idCol), col(labelCol),
+      pred(asDouble(col(embCol))).as("pred"))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded), shipped
     * as a literal array — tiny (numPlanes x dim doubles). */
   private def planes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {

@@ -1430,6 +1430,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cells1 == cells2)
   }
 
+  test("centroidClassify: above-chance accuracy, label-domain preds, margin floor, layout-stable") {
+    val out = Similarity.centroidClassify(emb, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val labels = out.map(_._2).toSet
+    assert(out.nonEmpty && out.forall(r => labels.contains(r._3)),
+      "a prediction left the label domain")
+    val acc = out.count(r => r._2 == r._3).toDouble / out.length
+    assert(acc > 2.0 / labels.size,
+      s"centroid probe no better than 2x chance: $acc over ${labels.size} labels")
+    // determinism under a different physical layout (the centroid
+    // aggregation and the assignment must be pure functions of values)
+    val out2 = Similarity.centroidClassify(
+        emb.repartition(7, col("vec_id")), "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // the oracle's exact-match contract rests on the best-vs-runner-up
+    // cosine margin dwarfing cross-engine f64 ulp drift — recompute
+    // margins independently and pin the floor
+    val vecs = emb.select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._3.length)(j => vs.map(_._3(j)).sum / vs.length)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(j => a(j) * b(j)).sum
+      val na = math.sqrt(a.map(v => v * v).sum)
+      val nb = math.sqrt(b.map(v => v * v).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    var minMargin = Double.MaxValue
+    for ((_, _, v) <- vecs) {
+      val sims = cents.values.map(c => cos(v, c)).toArray.sorted
+      minMargin = math.min(minMargin, sims(sims.length - 1) - sims(sims.length - 2))
+    }
+    assert(minMargin > 1e-6, s"assignment margin floor violated: $minMargin")
+  }
+
   test("model quality filter: runner-up logit gap dwarfs f32 drift; no NaN logits") {
     val bc = spark.sparkContext.broadcast(graft.SparkEntry.qualityModel)
     val feats = docs.select(col("doc_id"), graft.SparkEntry.qualityFeatures.as("feat"))
