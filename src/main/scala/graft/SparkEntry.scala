@@ -1934,6 +1934,28 @@ object SparkEntry {
         .orderBy("label", "pred")
     },
 
+    // nn.MultiheadAttention surface (q147): the q127 block with its
+    // per-head projections derived from torch's PACKED in_proj layout
+    // (Mha.split — the same split the tracer applies to a loaded
+    // MultiheadAttention module) and the authentic 1/sqrt(hd) score
+    // scale. Same scan-side mapPartitions shape and encBlockSql oracle.
+    "q147_torch_mha" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = mhaModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("mha_class"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery (Spark 4 / SPARK-34382): per-customer
     // top-3 orders via an ORDER BY + LIMIT inside the lateral — the
     // modern SQL spelling of grouped top-k; Catalyst decorrelates it
@@ -3002,6 +3024,40 @@ object SparkEntry {
 
   /** Position cap for q127 (bounds the oracle's L×L score join). */
   private val EncMaxLen = 12
+
+  /** q147's encoder block built from `nn.MultiheadAttention`'s PACKED
+    * layout: one dyadic `(3E, E)` in_proj + `(3E)` bias split into
+    * per-head Q/K/V by [[graft.torch.Mha.split]] — the exact split the
+    * tracer applies to a loaded MultiheadAttention module (torch's
+    * reshape-to-heads row mapping, scores scaled by `1/sqrt(hd)`).
+    * The scale is irrational (1/sqrt(2)); its f64 `toString` in the
+    * oracle SQL round-trips to the identical double, so both engines
+    * multiply by the same bits. Rest of the block (residual, LNs, FFN,
+    * mean pool) mirrors [[encModel]]; fc bias by joint dyadic grid
+    * search (measured min runner-up gap 1.3e-2, mix 303/394/303 over
+    * the combined 1000 docs; TorchEncoderSpec pins the floor). */
+  private[graft] lazy val mhaModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val heads = Mha.split(qvals(3 * 4 * 4, 2203, 1.0), qvals(3 * 4, 2207, 0.25),
+      embed = 4, numHeads = 2)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 2201, 2.0), vocab = 32, embDim = 4),
+      EncoderAttnOp(heads,
+        proj = Some(LinearLayer(qvals(16, 2213, 1.0), qvals(4, 2221, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 2237, 0.25).map(v => 1f + v), qvals(4, 2239, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 2243, 1.0), qvals(8, 2251, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 2267, 1.0), qvals(4, 2269, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 2273, 0.25).map(v => 1f + v), qvals(4, 2281, 0.25), 1e-5),
+      SeqMeanPoolOp,
+      LinearLayer(qvals(12, 2287, 4.0),
+        Array(2.375f, -1.125f, -2.6875f), 3, 4)))
+  }
 
   /** q136's BERT-style head: the q127 encoder block completed with the
     * two things every real pre-BERT classifier adds — LEARNED
@@ -4650,6 +4706,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q147_torch_mha" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        mhaModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, encBlockSql(mhaModel, pool = "mean"),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS mha_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     "q136_torch_cls" -> {

@@ -41,7 +41,7 @@ object TorchCode {
   sealed trait Expr
   final case class EName(name: String) extends Expr
   final case class ESelfAttr(attr: String) extends Expr // self.x / getattr(self, "x")
-  final case class EForward(target: Expr, arg: Expr) extends Expr
+  final case class EForward(target: Expr, args: Vector[Expr]) extends Expr
   /** torch.relu(x, ...) / __torch__.torch.nn.functional.relu(x, ...) */
   final case class EFnCall(qualName: String, args: Vector[Expr]) extends Expr
   final case class ELit(value: Any) extends Expr // Long | Double | Boolean | String | null
@@ -195,10 +195,12 @@ object TorchCode {
           expect("(")
           val args = argList()
           // trailing Nones are generator-emitted optionals (e.g.
-          // EmbeddingBag's offsets / per_sample_weights) — droppable
+          // EmbeddingBag's offsets / per_sample_weights) — droppable;
+          // single-tensor enforcement happens at APPLY time (the
+          // MultiheadAttention module legitimately takes (q, k, v, …))
           val real = args.reverse.dropWhile(_ == ELit(null)).reverse
-          if (real.length != 1) fail(s".forward with ${args.length} args (single tensor only)")
-          EForward(inner, real.head)
+          if (real.isEmpty) fail(".forward with no tensor args")
+          EForward(inner, real)
         case '[' =>
           pos += 1
           val items = Vector.newBuilder[Expr]
@@ -421,6 +423,87 @@ object TorchCode {
       case ip: ImgPipe =>
         ops ++= ip.stages; ChanHW(ip.outCh)
       case other => other
+    }
+
+    /** `nn.MultiheadAttention` as a MODULE call `(attn).forward(x, x,
+      * x, …)`: the packed `(3E, E)` in_proj is split into per-head
+      * Q/K/V projections ([[Mha.split]]), the out-projection rides
+      * along, and the result is the same held [[Sym.AttnOut]] the
+      * hand-rolled pattern produces — residual/LN/FFN fusion and the
+      * `(output, weights)` tuple unpack compose unchanged. SELF
+      * attention only (query, key, value must be the SAME traced
+      * tensor); masks and non-default flags fail loudly. */
+    private def applyMha(m: ModuleNode, args: Seq[Any], line: String): Sym = {
+      require(args.length >= 3, s"TorchScript code: ${m.simpleName}.forward " +
+        s"needs (query, key, value), got ${args.length} args in: $line")
+      val qkv = args.take(3)
+      require(qkv.forall(_.isInstanceOf[Sym]),
+        s"TorchScript code: ${m.simpleName} on non-tensor args in: $line")
+      require(qkv(0).asInstanceOf[AnyRef].eq(qkv(1).asInstanceOf[AnyRef]) &&
+        qkv(1).asInstanceOf[AnyRef].eq(qkv(2).asInstanceOf[AnyRef]),
+        s"TorchScript code: ${m.simpleName} with distinct query/key/value " +
+          s"(cross-attention) unsupported — self-attention only in: $line")
+      for (extra <- args.drop(3)) extra match {
+        case null | _: Boolean => // absent masks / need_weights flags
+        case other => sys.error(s"TorchScript code: ${m.simpleName} extra arg " +
+          s"$other unsupported (attn_mask / key_padding_mask) in: $line")
+      }
+      def boolA(key: String, dflt: Boolean): Boolean = m.attrs.get(key) match {
+        case Some(b: Boolean) => b
+        case Some(Pickle.PBool(b)) => b
+        case None => dflt
+        case Some(other) => sys.error(s"${m.fqName}: non-bool attr $key = $other")
+      }
+      require(boolA("batch_first", dflt = false),
+        s"${m.fqName}: batch_first=False unsupported (construct with batch_first=True)")
+      require(boolA("_qkv_same_embed_dim", dflt = true),
+        s"${m.fqName}: separate q/k/v projection weights unsupported " +
+          "(packed in_proj_weight only)")
+      require(!boolA("add_zero_attn", dflt = false),
+        s"${m.fqName}: add_zero_attn unsupported")
+      m.attrs.get("bias_k") match {
+        case None | Some(null) | Some(Pickle.PNone) =>
+        case Some(other) => sys.error(s"${m.fqName}: bias_k/bias_v unsupported (got $other)")
+      }
+      val e = forceSeq(qkv(0).asInstanceOf[Sym]) match {
+        case SeqEmb(d) => d
+        case other => sys.error(s"${m.fqName} needs the (n, seq, emb) " +
+          s"sequence, got $other in: $line")
+      }
+      val embed = intAttr(m, "embed_dim", e.toLong).toInt
+      require(embed == e, s"${m.fqName}(embed_dim=$embed) applied to $e-dim sequence")
+      val numHeads = intAttr(m, "num_heads", -1L).toInt
+      def tens(key: String, n: Int): Array[Float] = m.attrs.get(key) match {
+        case Some(t: Pickle.PTensor) =>
+          val w = materialize(t)
+          require(w.length == n, s"${m.fqName}: $key size ${w.length}, expected $n")
+          w
+        case other => sys.error(s"${m.fqName}: missing tensor '$key' (got $other)")
+      }
+      val inW = tens("in_proj_weight", 3 * embed * embed)
+      val inB = m.attrs.get("in_proj_bias") match {
+        case Some(t: Pickle.PTensor) => tens("in_proj_bias", 3 * embed)
+        case _ => new Array[Float](3 * embed)
+      }
+      val heads = Mha.split(inW, inB, embed, numHeads)
+      val proj = m.attrs.get("out_proj") match {
+        case Some(p: ModuleNode) =>
+          val w = p.attrs.get("weight") match {
+            case Some(t: Pickle.PTensor) =>
+              require(t.shape == Vector(embed, embed) || t.shape == Seq(embed, embed),
+                s"${m.fqName}: out_proj weight shape ${t.shape}")
+              materialize(t)
+            case other => sys.error(s"${m.fqName}: out_proj missing weight (got $other)")
+          }
+          val b = p.attrs.get("bias") match {
+            case Some(t: Pickle.PTensor) => materialize(t)
+            case _ => new Array[Float](embed)
+          }
+          LinearLayer(w, b, outDim = embed, inDim = embed)
+        case other => sys.error(s"${m.fqName}: missing out_proj module (got $other)")
+      }
+      STuple(Vector(AttnOut(heads.toVector, Some(proj)),
+        RnnSeqOut(s"${m.simpleName} attention weights")))
     }
 
     /** An elementwise activation applied to whatever shape is live:
@@ -932,16 +1015,22 @@ object TorchCode {
           sys.error(s"TorchScript code: ${m.fqName} has no attr $a in: $line"))
         case ELit(v) => v
         case EList(items) => items.map(eval(_, line))
-        case EForward(t, a) =>
+        case EForward(t, as) =>
           val mod = eval(t, line) match {
             case mn: ModuleNode => mn
             case other => sys.error(s"TorchScript code: .forward on non-module $other in: $line")
           }
-          val d = eval(a, line) match {
-            case sy: Sym => sy
-            case other => sys.error(s"TorchScript code: .forward on non-tensor $other in: $line")
+          if (mod.simpleName == "MultiheadAttention")
+            applyMha(mod, as.map(a => eval(a, line)), line)
+          else {
+            if (as.length != 1) sys.error(s"TorchScript code: .forward with " +
+              s"${as.length} args on ${mod.simpleName} (single tensor only) in: $line")
+            val d = eval(as.head, line) match {
+              case sy: Sym => sy
+              case other => sys.error(s"TorchScript code: .forward on non-tensor $other in: $line")
+            }
+            applyModule(mod, d)
           }
-          applyModule(mod, d)
         case EFnCall(qual, args) =>
           val fn = qual.substring(qual.lastIndexOf('.') + 1)
           def tensorArg: Sym = eval(args.head, line) match {

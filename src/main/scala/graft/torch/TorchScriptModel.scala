@@ -194,6 +194,37 @@ final case class SelfAttentionOp(
     dim: Int, inDim: Int, scale: Double,
     causal: Boolean = false) extends TorchOp
 
+/** `nn.MultiheadAttention`'s packed-projection layout split into the
+  * per-head [[SelfAttentionOp]]s the interpreter runs: `in_proj_weight`
+  * stacks the full Q, K, V projections as a `(3E, E)` matrix (rows
+  * `[0,E)` = Wq, `[E,2E)` = Wk, `[2E,3E)` = Wv — torch.nn.activation
+  * MultiheadAttention docs), and head `h` owns rows `[h·hd, (h+1)·hd)`
+  * of each projection (torch reshapes the projected `(L, E)` into
+  * `(L, H, hd)`, so consecutive output rows belong to consecutive
+  * heads). Scores scale by `1/sqrt(hd)`; the concatenated heads go
+  * through `out_proj`. Shared by the tracer and programmatic model
+  * construction. */
+object Mha {
+  def split(inProjW: Array[Float], inProjB: Array[Float],
+      embed: Int, numHeads: Int): IndexedSeq[SelfAttentionOp] = {
+    require(inProjW.length == 3 * embed * embed,
+      s"in_proj_weight size ${inProjW.length}, expected ${3 * embed * embed}")
+    require(inProjB.length == 3 * embed, s"in_proj_bias size ${inProjB.length}")
+    require(numHeads >= 1 && embed % numHeads == 0,
+      s"embed_dim $embed not divisible by num_heads $numHeads")
+    val hd = embed / numHeads
+    def rows(proj: Int, h: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(inProjW,
+        (proj * embed + h * hd) * embed, (proj * embed + (h + 1) * hd) * embed)
+    def bias(proj: Int, h: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(inProjB, proj * embed + h * hd,
+        proj * embed + (h + 1) * hd)
+    (0 until numHeads).map(h => SelfAttentionOp(
+      rows(0, h), bias(0, h), rows(1, h), bias(1, h), rows(2, h), bias(2, h),
+      dim = hd, inDim = embed, scale = 1.0 / math.sqrt(hd.toDouble)))
+  }
+}
+
 /** Single-layer unidirectional batch-first recurrent cell (`kind` =
   * "gru" | "lstm") over a `(L, emb)` embedding sequence, returning the
   * FINAL hidden state `h_L` — the recurrent text-classifier head

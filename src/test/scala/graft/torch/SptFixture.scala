@@ -186,6 +186,28 @@ object SptFixture {
       "training" -> B(false)))
   }
 
+  val MhaCls = "__torch__.torch.nn.modules.activation.MultiheadAttention"
+  val OutProjCls = "__torch__.torch.nn.modules.linear.NonDynamicallyQuantizableLinear"
+
+  /** nn.MultiheadAttention (batch_first, packed in_proj) with the attr
+   * set a real torch.jit.save emits — out_proj serializes as the
+   * NonDynamicallyQuantizableLinear subclass. */
+  def mha(inProjW: Array[Float], inProjB: Array[Float],
+      outW: Array[Float], outB: Array[Float], embed: Int, heads: Int): Module =
+    Module(MhaCls, Seq(
+      "training" -> B(false),
+      "embed_dim" -> I(embed), "num_heads" -> I(heads),
+      "dropout" -> F(0.0), "batch_first" -> B(true),
+      "_qkv_same_embed_dim" -> B(true),
+      "in_proj_weight" -> Tensor(Seq(3 * embed, embed), inProjW),
+      "in_proj_bias" -> Tensor(Seq(3 * embed), inProjB),
+      "bias_k" -> NoneV, "bias_v" -> NoneV,
+      "add_zero_attn" -> B(false),
+      "out_proj" -> Module(OutProjCls, Seq(
+        "weight" -> Tensor(Seq(embed, embed), outW),
+        "bias" -> Tensor(Seq(embed), outB),
+        "training" -> B(false)))))
+
   val Conv2dCls = "__torch__.torch.nn.modules.conv.Conv2d"
   val AdaptiveMaxPool2dCls = "__torch__.torch.nn.modules.pooling.AdaptiveMaxPool2d"
 

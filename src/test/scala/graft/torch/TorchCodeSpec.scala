@@ -1001,6 +1001,91 @@ class TorchCodeSpec extends AnyFunSuite {
     assert((0 until cls).exists(j => math.abs(hnOnly(j) - expected(j)) > 1e-6))
   }
 
+  test("MultiheadAttention archive: packed in_proj splits per-head; golden vs f64 dense MHA") {
+    // token ids -> Embedding(8, 4) -> nn.MultiheadAttention(4, 2,
+    // batch_first) self-attention -> out.mean(1) -> Linear(4->3)
+    val (vocab, emb, heads, cls) = (8, 4, 2, 3)
+    val ew = vals(vocab * emb, 301)
+    val inW = vals(3 * emb * emb, 302); val inB = vals(3 * emb, 303)
+    val outW = vals(emb * emb, 304); val outB = vals(emb, 305)
+    val (wf, bf) = (vals(cls * emb, 306), vals(cls, 307))
+    def net(body: String) = (
+      Module("__torch__.MhaNet", Seq(
+        "training" -> B(false),
+        "emb" -> Module(EmbeddingCls, Seq(
+          "weight" -> Tensor(Seq(vocab, emb), ew),
+          "padding_idx" -> NoneV,
+          "training" -> B(false))),
+        "attn" -> mha(inW, inB, outW, outB, emb, heads),
+        "fc" -> linear(wf, cls, emb, bf))),
+      Map("code/__torch__.py" ->
+        s"""class MhaNet(Module):
+           |  training : bool
+           |  def forward(self: __torch__.MhaNet,
+           |    x: Tensor) -> Tensor:
+           |    emb = self.emb
+           |    e = (emb).forward(x, )
+           |    attn = self.attn
+           |$body
+           |    p = torch.mean(a, [1], False, None)
+           |    fc = self.fc
+           |    return (fc).forward(p, )
+           |""".stripMargin))
+    val (model, code) = net(
+      """    _0 = (attn).forward(e, e, e, None, True, None, )
+        |    a, _1, = _0""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("mhan", "mhan", model, code))
+    val ea = m.ops.collectFirst { case a: EncoderAttnOp => a }.get
+    assert(ea.heads.length == heads && ea.proj.isDefined && !ea.residual)
+    assert(ea.heads.forall(h => h.dim == emb / heads && h.inDim == emb))
+    // f64 dense reference straight from the PACKED layout: full (E, E)
+    // projections, reshape to heads, per-head softmax attention,
+    // concat, out_proj, mean, fc — an independent statement of the
+    // split the tracer performs
+    val toks = Array(3, 0, 6, 2, 5, 1)
+    val L = toks.length
+    val x = Array.tabulate(L, emb)((p, j) => ew(toks(p) * emb + j).toDouble)
+    def proj(off: Int): Array[Array[Double]] = Array.tabulate(L, emb)((p, o) =>
+      inB(off * emb + o) + (0 until emb).map(j => x(p)(j) * inW((off * emb + o) * emb + j)).sum)
+    val (qm, km, vm) = (proj(0), proj(1), proj(2))
+    val hd = emb / heads
+    val attn = Array.tabulate(L, emb) { (p, o) => 0.0 } // filled below
+    for (h <- 0 until heads) {
+      val scale = 1.0 / math.sqrt(hd.toDouble)
+      for (p <- 0 until L) {
+        val sc = Array.tabulate(L)(b0 =>
+          (0 until hd).map(j => qm(p)(h * hd + j) * km(b0)(h * hd + j)).sum * scale)
+        val mx = sc.max
+        val es = sc.map(s0 => math.exp(s0 - mx))
+        val z = es.sum
+        for (j <- 0 until hd)
+          attn(p)(h * hd + j) = (0 until L).map(b0 => es(b0) * vm(b0)(h * hd + j)).sum / z
+      }
+    }
+    val pooled = new Array[Double](emb)
+    for (p <- 0 until L) {
+      val o = Array.tabulate(emb)(oi =>
+        outB(oi) + (0 until emb).map(j => attn(p)(j) * outW(oi * emb + j)).sum)
+      for (j <- 0 until emb) pooled(j) += o(j) / L
+    }
+    val expected = mm(pooled, wf, bf, cls, emb)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // programmatic Mha.split produces the identical op
+    val split = Mha.split(inW, inB, emb, heads)
+    assert(split.zip(ea.heads).forall { case (a, b) =>
+      a.wq.toSeq == b.wq.toSeq && a.wk.toSeq == b.wk.toSeq &&
+        a.wv.toSeq == b.wv.toSeq && a.scale == b.scale })
+    // misuse fails loudly: a non-bool, non-None extra arg (a mask)
+    val (m2, c2) = net(
+      """    _0 = (attn).forward(e, e, e, 1, )
+        |    a, _1, = _0""".stripMargin)
+    val bad = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("mhan2", "mhan2", m2, c2)))
+    assert(bad.getMessage.contains("unsupported"))
+  }
+
   test("LSTM archive: nested tuple unpack + select(0, -1), golden vs f64 recurrence") {
     val (vocab, emb, h, cls) = (6, 2, 3, 2)
     val ew = vals(vocab * emb, 71)

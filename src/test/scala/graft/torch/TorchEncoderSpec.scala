@@ -97,6 +97,35 @@ class TorchEncoderSpec extends AnyFunSuite {
     assert(minGap > 1e-3, s"argmax gap floor violated: $minGap")
   }
 
+  test("sf0.001 MHA block: engine argmax == f64 recompute (packed-split heads); gap floor holds") {
+    val m = graft.SparkEntry.mhaModel
+    val e = m.seqHead.get
+    val fc = m.ops.collect { case l: LinearLayer => l }.last
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q147_torch_mha")(spark, dir).collect()
+    assert(rows.length > 0)
+    val engine = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % e.vocab),
+          1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    assert(toks.length == engine.size)
+    var minGap = Double.MaxValue
+    for ((docId, ids) <- toks) {
+      val logits = encLogitsF64(m, ids)
+      val cls = logits.indexOf(logits.max)
+      assert(engine(docId) == cls, s"doc $docId: engine ${engine(docId)} vs f64 $cls")
+      val sorted = logits.sorted
+      minGap = math.min(minGap, sorted(fc.outDim - 1) - sorted(fc.outDim - 2))
+    }
+    assert(minGap > 1e-3, s"MHA argmax gap floor violated: $minGap")
+  }
+
   test("sf0.001 cross-encoder: engine ce_class == f64 pair-text recompute; gap floor holds") {
     // q145 runs encModel over PAIR texts ('spark join dup ' + doc) for
     // the BM25 top-20 — a different input distribution than q127, so
