@@ -666,14 +666,22 @@ object TorchCode {
           case Some(t: Pickle.PTensor) if t.shape.length == 3 => t
           case other => sys.error(s"${m.fqName}: missing 3-D tensor 'weight' (got $other)")
         }
-        val (outCh, inCh, k) = (w.shape(0), w.shape(1), w.shape(2))
+        // weight is (outCh, inCh/groups, k) — nn.Conv1d's grouped layout
+        val groups = sizeAttr(m, "groups", 1).toInt
+        require(groups >= 1, s"${m.fqName}: groups $groups invalid")
+        val (outCh, inCh, k) = (w.shape(0), w.shape(1) * groups, w.shape(2))
+        require(outCh % groups == 0,
+          s"${m.fqName}: groups=$groups must divide out_channels=$outCh")
         require(ch == inCh, s"Conv1d(in=$inCh) applied to $ch channels")
-        require(sizeAttr(m, "groups", 1) == 1, s"${m.fqName}: grouped conv unsupported")
         val padding = m.attrs.get("padding") match {
           case Some("valid") | Some(Pickle.PStr("valid")) => 0L
+          case Some("same") | Some(Pickle.PStr("same")) =>
+            require(k % 2 == 1,
+              s"${m.fqName}: padding='same' needs an odd kernel (got $k)")
+            (k - 1) / 2
           case _ => sizeAttr(m, "padding", 0)
         }
-        require(padding == 0, s"${m.fqName}: padding $padding unsupported (0 only)")
+        require(padding >= 0, s"${m.fqName}: padding $padding invalid")
         require(sizeAttr(m, "dilation", 1) == 1, s"${m.fqName}: dilation unsupported")
         val stride = sizeAttr(m, "stride", 1).toInt
         require(stride >= 1, s"${m.fqName}: stride $stride invalid")
@@ -685,7 +693,8 @@ object TorchCode {
           case Some(null) | Some(Pickle.PNone) | None => new Array[Float](outCh)
           case other => sys.error(s"${m.fqName}: bad conv bias $other")
         }
-        ops += Conv1dOp(materialize(w), bias, outCh, inCh, k, stride)
+        ops += Conv1dOp(materialize(w), bias, outCh, inCh, k, stride,
+          pad = padding.toInt, groups = groups)
         ChanSeq(outCh)
       case "Conv2d" =>
         val w = m.attrs.get("weight") match {

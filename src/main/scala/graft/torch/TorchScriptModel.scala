@@ -83,12 +83,26 @@ case object SeqLastPoolOp extends TorchOp
   * flip between an embedding sequence and Conv1d's channel-major input. */
 case object TransposeOp extends TorchOp
 
-/** 1-D convolution over `(inCh, L)`: weight row-major `(outCh, inCh, k)`,
-  * stride >= 1, no padding/dilation/groups (validated at trace time).
-  * Output `(outCh, (L - k) / stride + 1)`; L < k fails loudly, exactly
-  * like torch's output-size check. */
+/** 1-D convolution over `(inCh, L)`: weight row-major
+  * `(outCh, inCh/groups, k)`, stride >= 1, symmetric zero padding
+  * `pad` (0 = valid; `2·pad == k−1` with stride 1 = torch's
+  * `padding='same'` for odd kernels), no dilation. `groups` partitions
+  * channels exactly like nn.Conv1d: output channel `o` (in group
+  * `o / (outCh/groups)`) reads only that group's `inCh/groups` input
+  * channels — `groups == inCh == outCh` is the depthwise conv of a
+  * separable text-CNN block. Output `(outCh, (L + 2p - k)/stride + 1)`;
+  * an input shorter than the effective kernel fails loudly, exactly
+  * torch's output-size check. Accumulation stays float32 (the pinned
+  * q113-era behavior the dyadic-weight oracles restate). */
 final case class Conv1dOp(weight: Array[Float], bias: Array[Float],
-    outCh: Int, inCh: Int, k: Int, stride: Int) extends TorchOp
+    outCh: Int, inCh: Int, k: Int, stride: Int, pad: Int = 0,
+    groups: Int = 1) extends TorchOp {
+  require(pad >= 0, s"negative padding $pad")
+  require(groups >= 1 && inCh % groups == 0 && outCh % groups == 0,
+    s"groups=$groups must divide in=$inCh and out=$outCh channels")
+  require(weight.length == outCh * (inCh / groups) * k,
+    s"Conv1d weight size ${weight.length}, expected ${outCh * (inCh / groups) * k}")
+}
 
 /** Windowed max over the sequence dim of `(ch, L)` (nn.MaxPool1d,
   * padding 0, dilation 1, floor mode). */
@@ -863,21 +877,31 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           data = out
           val t = rows; rows = cols; cols = t
         case cv: Conv1dOp =>
-          require(cols >= cv.k,
-            s"Conv1d(kernel=${cv.k}) on a length-$cols sequence (need >= ${cv.k} tokens)")
-          val lout = (cols - cv.k) / cv.stride + 1
+          require(cols + 2 * cv.pad >= cv.k,
+            s"Conv1d(kernel=${cv.k}, pad=${cv.pad}) on a length-$cols sequence " +
+              s"(need >= ${cv.k - 2 * cv.pad} tokens)")
+          val lout = (cols + 2 * cv.pad - cv.k) / cv.stride + 1
+          val icg = cv.inCh / cv.groups
+          val ocg = cv.outCh / cv.groups
           val out = new Array[Float](cv.outCh * lout)
           var c = 0
           while (c < cv.outCh) {
+            val g = c / ocg
             var q = 0
             while (q < lout) {
               var acc = cv.bias(c)
+              val base = q * cv.stride - cv.pad
               var d = 0
-              while (d < cv.inCh) {
-                val wOff = (c * cv.inCh + d) * cv.k
-                val xOff = d * cols + q * cv.stride
+              while (d < icg) {
+                val wOff = (c * icg + d) * cv.k
+                val xRow = (g * icg + d) * cols
                 var j = 0
-                while (j < cv.k) { acc += cv.weight(wOff + j) * data(xOff + j); j += 1 }
+                while (j < cv.k) {
+                  val xi = base + j
+                  if (xi >= 0 && xi < cols)
+                    acc += cv.weight(wOff + j) * data(xRow + xi)
+                  j += 1
+                }
                 d += 1
               }
               out(c * lout + q) = acc

@@ -232,14 +232,15 @@ object SptFixture {
   /** nn.Conv1d with the full attr set a real torch.jit.save emits
    * (hyper-params as 1-tuples). */
   def conv1d(weight: Array[Float], outCh: Int, inCh: Int, k: Int,
-      bias: Array[Float], stride: Int = 1, padding: Int = 0): Module =
+      bias: Array[Float], stride: Int = 1, padding: Int = 0,
+      groups: Int = 1, dilation: Int = 1): Module =
     Module(Conv1dCls, Seq(
-      "weight" -> Tensor(Seq(outCh, inCh, k), weight),
+      "weight" -> Tensor(Seq(outCh, inCh / groups, k), weight),
       "bias" -> Tensor(Seq(outCh), bias),
       "stride" -> Tup(Seq(I(stride))),
       "padding" -> Tup(Seq(I(padding))),
-      "dilation" -> Tup(Seq(I(1))),
-      "groups" -> I(1),
+      "dilation" -> Tup(Seq(I(dilation))),
+      "groups" -> I(groups),
       "in_channels" -> I(inCh),
       "out_channels" -> I(outCh),
       "kernel_size" -> Tup(Seq(I(k))),

@@ -697,12 +697,78 @@ class TorchCodeSpec extends AnyFunSuite {
     val noT = intercept[RuntimeException](
       TorchScriptModel.load(writeTemp("badcnn1", "badcnn1", m1, c1)))
     assert(noT.getMessage.contains("transpose(1, 2) missing"))
-    // padding != 0 is unsupported surface -> loud at load, not wrong at run
-    val (m2, c2) = cnn(conv1d(cw, 2, 2, 2, cb, padding = 1),
+    // dilation != 1 is unsupported surface -> loud at load, not wrong at run
+    val (m2, c2) = cnn(conv1d(cw, 2, 2, 2, cb, dilation = 2),
       "    e0 = torch.transpose((emb).forward(x, ), 1, 2)\n    return (conv).forward(e0, )")
-    val pad = intercept[RuntimeException](
+    val dil = intercept[RuntimeException](
       TorchScriptModel.load(writeTemp("badcnn2", "badcnn2", m2, c2)))
-    assert(pad.getMessage.contains("padding"))
+    assert(dil.getMessage.contains("dilation"))
+  }
+
+  test("separable Conv1d: same-padded depthwise + pointwise trace; golden vs naive recompute") {
+    // token ids -> Embedding(8, 3) -> transpose -> depthwise Conv1d(3,
+    // k=3, groups=3, padding='same' form) -> ReLU -> pointwise
+    // Conv1d(3->4, k=1) -> adaptive max pool -> Linear(4->2)
+    val (vocab, emb, cls) = (8, 3, 2)
+    val ew = vals(vocab * emb, 321)
+    val dw = vals(3 * 1 * 3, 322); val db = vals(3, 323)
+    val pw = vals(4 * 3 * 1, 324); val pb = vals(4, 325)
+    val (wf, bf) = (vals(cls * 4, 326), vals(cls, 327))
+    val model = Module("__torch__.SepCnn", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "dwc" -> conv1d(dw, 3, 3, 3, db, padding = 1, groups = 3),
+      "pwc" -> conv1d(pw, 4, 3, 1, pb),
+      "pool" -> Module(AdaptiveMaxPool1dCls, Seq(
+        "output_size" -> I(1), "training" -> B(false))),
+      "fc" -> linear(wf, cls, 4, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class SepCnn(Module):
+        |  training : bool
+        |  def forward(self: __torch__.SepCnn,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = torch.transpose((emb).forward(x, ), 1, 2)
+        |    dwc = self.dwc
+        |    d = torch.relu((dwc).forward(e, ))
+        |    pwc = self.pwc
+        |    p = (pwc).forward(d, )
+        |    pool = self.pool
+        |    q = torch.squeeze((pool).forward(p, ), 2)
+        |    fc = self.fc
+        |    return (fc).forward(q, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("sepcnn", "sepcnn", model, code))
+    val convs = m.ops.collect { case c: Conv1dOp => c }
+    assert(convs.length == 2)
+    assert(convs(0).groups == 3 && convs(0).pad == 1 && convs(0).k == 3)
+    assert(convs(1).groups == 1 && convs(1).k == 1)
+    // naive recompute with the executor's f32 accumulation: depthwise
+    // channel c reads ONLY channel c (zero-padded), pointwise mixes
+    val toks = Array(3, 0, 6, 2, 5, 1)
+    val L = toks.length
+    val x = Array.tabulate(emb, L)((c, p) => ew(toks(p) * emb + c)) // (ch, L)
+    val dOut = Array.tabulate(3, L) { (c, q) =>
+      var acc = db(c)
+      for (j <- 0 until 3) {
+        val xi = q - 1 + j
+        if (xi >= 0 && xi < L) acc += dw(c * 3 + j) * x(c)(xi)
+      }
+      math.max(0f, acc)
+    }
+    val pOut = Array.tabulate(4, L) { (c, q) =>
+      var acc = pb(c)
+      for (d <- 0 until 3) acc += pw(c * 3 + d) * dOut(d)(q)
+      acc
+    }
+    val pooled = Array.tabulate(4)(c => pOut(c).max)
+    val expected = mm(pooled.map(_.toDouble), wf, bf, cls, 4)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
   }
 
   // ---- independent f64 recurrences (gate order r,z,n / i,f,g,o) ----
