@@ -102,6 +102,35 @@ object StressR11 {
     require(nRows == 10000L * 5, s"a query lost part of its top-5: $nRows rows")
     require(groups > 16, s"hot-cell split did not engage at volume: $groups groups")
 
+    // ---- 4. bidirectional GRU at 500k rows (two scans per row) ----
+    val biBc = spark.sparkContext.broadcast(SparkEntry.biGruModel)
+    val biCounts = timed("BiGRU inference 500k x 12 tokens") {
+      graft.torch.Torch.inferBatched(toks, "tok_ids", "logits", biBc, batchSize = 256)
+        .select(call_function("argmax", col("logits")).as("c"))
+        .groupBy("c").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    println(s"[stress] bigru classes: $biCounts")
+    require(biCounts.values.sum == 500000L && biCounts.size >= 2,
+      s"bigru degenerate at volume: $biCounts")
+
+    // ---- 5. centroid probe at 1M vectors: label geometry planted ----
+    // vector = label-anchored base + per-id jitter an order smaller, so
+    // the nearest-centroid assignment must recover EVERY label; the
+    // centroid pass must stay a partial agg (no data-sized shuffle)
+    val labeled = spark.range(1000000L).select(col("id").as("vec_id"),
+      (col("id") % 10).cast("int").as("label"),
+      transform(sequence(lit(0), lit(63)),
+        j => sin(col("id") % 10 * 2.3 + j * 0.7) +
+          sin(col("id") * 0.917 + j) * 0.05).as("embedding"))
+    val conf = timed("centroidClassify 1M x 64d, 10 labels") {
+      operators.Similarity.centroidClassify(labeled, "vec_id", "embedding", "label")
+        .groupBy("label", "pred").count().collect()
+    }
+    val correct = conf.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum
+    println(s"[stress] centroid probe: ${correct}/1000000 correct, ${conf.length} confusion cells")
+    require(correct == 1000000L,
+      s"planted label geometry not recovered: $correct/1000000")
+
     spark.stop()
   }
 }
