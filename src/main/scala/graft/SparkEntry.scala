@@ -1934,6 +1934,21 @@ object SparkEntry {
         .orderBy("label", "pred")
     },
 
+    // WordPiece tokenization (q148): BERT-family greedy longest-match
+    // segmentation against a fixed broadcast vocabulary, '##'
+    // continuations, all-or-nothing [UNK] per word. Scan-side UDF, no
+    // shuffle; DuckDB restates the greedy scan as a WITH RECURSIVE
+    // peel (one piece per iteration, longest-first CASE probe).
+    "q148_wordpiece" -> { (s, dir) =>
+      graft.operators.WordPiece.withPieces(
+          t(s, dir, "documents"), "text", "pieces", WordPieceVocab)
+        .select(col("doc_id"),
+          size(col("pieces")).as("n_pieces"),
+          size(filter(col("pieces"), p => p === "[UNK]")).as("n_unk"),
+          concat_ws(" ", slice(col("pieces"), 1, 10)).as("head_pieces"))
+        .orderBy("doc_id")
+    },
+
     // nn.MultiheadAttention surface (q147): the q127 block with its
     // per-head projections derived from torch's PACKED in_proj layout
     // (Mha.split — the same split the tracer applies to a loaded
@@ -3024,6 +3039,24 @@ object SparkEntry {
 
   /** Position cap for q127 (bounds the oracle's L×L score join). */
   private val EncMaxLen = 12
+
+  /** q148's pinned WordPiece vocabulary over the fixture word list:
+    * whole-word pieces, split pieces with `##` continuations (incl. a
+    * 3-piece word, "cus ##tom ##er"), and a deliberate coverage hole —
+    * no piece matches "slow"'s first letter, so it exercises the
+    * all-or-nothing [UNK] rule on real rows. "sort" also prefixes no
+    * shorter piece, pinning longest-match-first. */
+  private[graft] val WordPieceVocab: Seq[String] = Seq(
+    // whole words
+    "scan", "join", "sort", "key", "the", "big", "row", "agg", "data",
+    "hash", "a",
+    // word-initial pieces
+    "col", "win", "or", "pa", "val", "li", "mer", "gr", "qu", "vec",
+    "str", "fil", "fa", "bat", "sp", "ta", "sm", "cus", "du",
+    // continuations
+    "##umn", "##dow", "##der", "##rt", "##ue", "##ne", "##ge", "##oup",
+    "##ery", "##tor", "##eam", "##ter", "##st", "##ch", "##ark",
+    "##ble", "##all", "##tom", "##er", "##p", "##ow")
 
   /** q147's encoder block built from `nn.MultiheadAttention`'s PACKED
     * layout: one dyadic `(3E, E)` in_proj + `(3E)` bias split into
@@ -4706,6 +4739,62 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // The greedy longest-match scan as a WITH RECURSIVE peel: each
+    // iteration consumes the longest vocab piece prefixing the
+    // remaining suffix (CASE probing lengths 4..1, '##'-prefixed when
+    // mid-word), a null probe marks the word failed, and failed words
+    // collapse to one [UNK] in the final assembly.
+    "q148_wordpiece" -> {
+      val maxPiece = WordPieceVocab.map(_.stripPrefix("##").length).max
+      val vocabRows = WordPieceVocab.map(p => s"('${p}')").mkString(", ")
+      def probe(contPrefix: String): String =
+        (maxPiece to 1 by -1).map { l =>
+          s"WHEN $contPrefix substr(r.rest, 1, $l) IN (SELECT p FROM v) " +
+            s"THEN substr(r.rest, 1, $l)"
+        }.mkString("CASE ", " ", " ELSE NULL END")
+      s"""WITH RECURSIVE words AS (
+         |  SELECT doc_id, w, wpos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS wpos
+         |        FROM documents)),
+         |v(p) AS (VALUES $vocabRows),
+         |rec AS (
+         |  SELECT doc_id, wpos, CAST(0 AS INT) AS step, w AS rest,
+         |         CAST(NULL AS VARCHAR) AS piece,
+         |         len(w) > 16 AS failed
+         |  FROM words
+         |  UNION ALL
+         |  SELECT s.doc_id, s.wpos, s.step + 1,
+         |    CASE WHEN s.pc IS NULL THEN s.rest ELSE substr(s.rest, len(s.pc) + 1) END,
+         |    CASE WHEN s.pc IS NULL THEN NULL
+         |         WHEN s.step = 0 THEN s.pc ELSE '##' || s.pc END,
+         |    s.pc IS NULL AS failed
+         |  FROM (
+         |    SELECT r.doc_id, r.wpos, r.step, r.rest,
+         |      CASE WHEN r.step = 0 THEN ${probe("")}
+         |           ELSE ${probe("'##' ||")} END AS pc
+         |    FROM rec r
+         |    WHERE r.rest <> '' AND NOT r.failed) s),
+         |fails AS (
+         |  SELECT DISTINCT doc_id, wpos FROM rec WHERE failed),
+         |good AS (
+         |  SELECT r.doc_id, r.wpos, r.step, r.piece FROM rec r
+         |  WHERE r.piece IS NOT NULL
+         |    AND NOT EXISTS (SELECT 1 FROM fails f
+         |                    WHERE f.doc_id = r.doc_id AND f.wpos = r.wpos)),
+         |allp AS (
+         |  SELECT * FROM good
+         |  UNION ALL
+         |  SELECT doc_id, wpos, 1 AS step, '[UNK]' AS piece FROM fails),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_pieces,
+         |    CAST(sum(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END) AS INT) AS n_unk,
+         |    array_to_string(list(piece ORDER BY wpos, step)[1:10], ' ') AS head_pieces
+         |  FROM allp GROUP BY doc_id)
+         |SELECT doc_id, n_pieces, n_unk, head_pieces FROM agg ORDER BY doc_id""".stripMargin
     },
 
     "q147_torch_mha" -> {
