@@ -1861,6 +1861,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Bidirectional LSTM (q149): the classic BiLSTM classifier — same
+    // shape as q143 with per-direction cell state carried through the
+    // oracle's recursive CTEs.
+    "q149_torch_bilstm" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = biLstmModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, RnnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("bilstm_class"))
+        .orderBy("doc_id")
+    },
+
     // Mean-pooled GRU sentence encoder (q144): consumes the RNN's FULL
     // output sequence (out.mean(1)) rather than h_n — the read-out the
     // tracer fuses into RnnOp.seqPool; oracled by avg() over the
@@ -2918,6 +2938,32 @@ object SparkEntry {
         Array(-5.75f, 3.6875f, -2.1875f), 3, 8)))
   }
 
+  /** Bidirectional LSTM sibling of [[biGruModel]] for q149:
+    * Embedding(32, 4) -> LSTM(4, 4, bidirectional=True) ->
+    * cat(h_n[-2], h_n[-1]) -> Linear(8->3) -> argmax — the classic
+    * BiLSTM text classifier. Cell state carried per direction in the
+    * oracle's recursive CTEs; same pinning discipline as q143 (fc
+    * bias by joint dyadic grid search over sf0.001+sf0.01: min
+    * runner-up gap 1.3e-2, mix 330/435/235; TorchRnnSpec pins the
+    * 1e-3 floor). */
+  private[graft] lazy val biLstmModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 2301, 2.0), vocab = 32, embDim = 4),
+      RnnOp("lstm",
+        qvals(4 * 4 * 4, 2309, 1.0), qvals(4 * 4 * 4, 2311, 0.75),
+        qvals(4 * 4, 2333, 0.25), qvals(4 * 4, 2339, 0.25),
+        hidden = 4, inDim = 4,
+        rev = IndexedSeq(RnnStackLayer(
+          qvals(4 * 4 * 4, 2341, 1.0), qvals(4 * 4 * 4, 2347, 0.75),
+          qvals(4 * 4, 2351, 0.25), qvals(4 * 4, 2357, 0.25)))),
+      LinearLayer(qvals(3 * 8, 2371, 4.0),
+        Array(0.8125f, -1.375f, 0.1875f), 3, 8)))
+  }
+
   /** Mean-pooled GRU sentence encoder for q144: token ids ->
     * Embedding(32, 4) -> GRU(4, 6) -> `out.mean(dim=1)` (the average
     * of the hidden state AFTER each position — consuming the full
@@ -3533,8 +3579,8 @@ object SparkEntry {
     import graft.torch._
     val e = m.seqHead.get
     val op = m.ops.collectFirst { case r: RnnOp => r }.get
-    require(op.kind == "gru" && op.stack.isEmpty && op.rev.length == 1,
-      "bidirectional oracle covers the single-layer BiGRU shape")
+    require(op.stack.isEmpty && op.rev.length == 1,
+      "bidirectional oracle covers the single-layer BiGRU/BiLSTM shapes")
     val rv = op.rev.head
     val H = op.hidden
     def fmtF(f: Float): String = {
@@ -3554,16 +3600,36 @@ object SparkEntry {
         s"${fmtF(wHh((g * H + o) * H + j))}*r.h$j")).mkString("(", "+", ")")
     def sig(t: String): String = s"1.0/(1.0+exp(-($t)))"
     def tanhS(t: String): String = s"(1.0-2.0/(exp(2.0*($t))+1.0))"
-    def gruStep(ih: (Int, Int) => String, hh: (Int, Int) => String): String =
-      (0 until H).map { o =>
-        val r0 = sig(s"${ih(0, o)}+${hh(0, o)}")
-        val z = sig(s"${ih(1, o)}+${hh(1, o)}")
-        val n = tanhS(s"${ih(2, o)}+($r0)*${hh(2, o)}")
-        s"(1.0-($z))*($n)+($z)*r.h$o AS h$o"
-      }.mkString(",\n      ")
-    val stepF = gruStep(ihOf(op.wIh, op.bIh), hhOf(op.wHh, op.bHh))
-    val stepB = gruStep(ihOf(rv.wIh, rv.bIh), hhOf(rv.wHh, rv.bHh))
-    val zeros = (0 until H).map(o => s"CAST(0.0 AS DOUBLE) AS h$o").mkString(", ")
+    // one direction's per-step state columns: GRU h0..h{H-1}; LSTM
+    // additionally carries the cell c0..c{H-1}
+    def dirStep(ih: (Int, Int) => String, hh: (Int, Int) => String): String =
+      if (op.kind == "gru")
+        (0 until H).map { o =>
+          val r0 = sig(s"${ih(0, o)}+${hh(0, o)}")
+          val z = sig(s"${ih(1, o)}+${hh(1, o)}")
+          val n = tanhS(s"${ih(2, o)}+($r0)*${hh(2, o)}")
+          s"(1.0-($z))*($n)+($z)*r.h$o AS h$o"
+        }.mkString(",\n      ")
+      else {
+        def cNew(o: Int): String = {
+          val i = sig(s"${ih(0, o)}+${hh(0, o)}")
+          val f = sig(s"${ih(1, o)}+${hh(1, o)}")
+          val g = tanhS(s"${ih(2, o)}+${hh(2, o)}")
+          s"($f)*r.c$o+($i)*($g)"
+        }
+        val hs = (0 until H).map { o =>
+          val og = sig(s"${ih(3, o)}+${hh(3, o)}")
+          s"($og)*${tanhS(cNew(o))} AS h$o"
+        }
+        val cs = (0 until H).map(o => s"${cNew(o)} AS c$o")
+        (hs ++ cs).mkString(",\n      ")
+      }
+    val stepF = dirStep(ihOf(op.wIh, op.bIh), hhOf(op.wHh, op.bHh))
+    val stepB = dirStep(ihOf(rv.wIh, rv.bIh), hhOf(rv.wHh, rv.bHh))
+    val stateCols =
+      (0 until H).map(o => s"h$o") ++
+        (if (op.kind == "lstm") (0 until H).map(o => s"c$o") else Nil)
+    val zeros = stateCols.map(c => s"CAST(0.0 AS DOUBLE) AS $c").mkString(", ")
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
        |           % ${e.vocab} AS tid, pos
@@ -4635,6 +4701,15 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS bigru_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    "q149_torch_bilstm" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        biLstmModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, rnnBiHiddenSql(biLstmModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS bilstm_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     "q144_torch_gru_meanpool" -> {

@@ -133,7 +133,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "q133_video_meta", "q134_lm_perplexity", "q136_torch_cls",
         "q137_video_frames", "q138_torch_decoder", "q139_torch_sinpe",
         "q140_torch_depthwise", "q141_audio_g711", "q142_torch_stacked_gru",
-        "q143_torch_bigru", "q144_torch_gru_meanpool", "q147_torch_mha")) {
+        "q143_torch_bigru", "q144_torch_gru_meanpool", "q147_torch_mha",
+        "q149_torch_bilstm")) {
       val p = plan(q)
       assert(!p.contains("Scan ExistingRDD"), s"$q re-scans a materialized RDD:\n$p")
       assert(p.contains("MapPartitions"), s"$q lost its mapPartitions stage:\n$p")

@@ -165,6 +165,44 @@ class TorchRnnSpec extends AnyFunSuite {
       biGruHidden(ids, e, op))
   }
 
+  /** BiLSTM sibling of [[biGruHidden]]: per-direction cell state. */
+  private[torch] def biLstmHidden(ids: Array[Int], e: EmbeddingSeqOp,
+      op: RnnOp): Array[Double] = {
+    val H = op.hidden
+    def scan(order: Seq[Int], wIh: Array[Float], wHh: Array[Float],
+        bIh: Array[Float], bHh: Array[Float]): Array[Double] = {
+      val h = new Array[Double](H)
+      val c = new Array[Double](H)
+      for (t <- order) {
+        val x = Array.tabulate(e.embDim)(j => e.weight(t * e.embDim + j).toDouble)
+        def gate(g: Int, o: Int) = bIh(g * H + o) + bHh(g * H + o) +
+          (0 until op.inDim).map(j => wIh((g * H + o) * op.inDim + j).toDouble * x(j)).sum +
+          (0 until H).map(j => wHh((g * H + o) * H + j).toDouble * h(j)).sum
+        val cNew = new Array[Double](H)
+        val hNew = new Array[Double](H)
+        for (o <- 0 until H) {
+          val i = sigmoid(gate(0, o))
+          val f = sigmoid(gate(1, o))
+          val g = math.tanh(gate(2, o))
+          val og = sigmoid(gate(3, o))
+          cNew(o) = f * c(o) + i * g
+          hNew(o) = og * math.tanh(cNew(o))
+        }
+        System.arraycopy(cNew, 0, c, 0, H)
+        System.arraycopy(hNew, 0, h, 0, H)
+      }
+      h
+    }
+    val rv = op.rev.head
+    scan(ids.toIndexedSeq, op.wIh, op.wHh, op.bIh, op.bHh) ++
+      scan(ids.reverse.toIndexedSeq, rv.wIh, rv.wHh, rv.bIh, rv.bHh)
+  }
+
+  test("sf0.001 BiLSTM: engine argmax == f64 fwd+rev recompute; gap floor holds") {
+    check("q149_torch_bilstm", graft.SparkEntry.biLstmModel, (ids, e, op) =>
+      biLstmHidden(ids, e, op))
+  }
+
   test("sf0.001 stacked GRU: engine argmax == f64 2-layer recompute; gap floor holds") {
     check("q142_torch_stacked_gru", graft.SparkEntry.stackedGruModel, (ids, e, op) => {
       val H = op.hidden
