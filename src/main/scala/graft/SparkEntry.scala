@@ -1969,6 +1969,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // kNN-vote label probe (q150): the second standard embedding eval
+    // beside q146 — each held-out query vector takes the majority
+    // label of its 10 exact-cosine nearest neighbors (ties -> smaller
+    // label). The query set is bounded (broadcast); the corpus scan is
+    // one pass; the vote is a tiny keyed aggregate over q x k rows.
+    "q150_knn_classify" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val nn = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      val labeled = emb.select(col("vec_id"), col("label").as("nlab"))
+        .join(broadcast(nn.select(col("q_id"), col("vec_id"))), "vec_id")
+      val votes = labeled.groupBy("q_id", "nlab").agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy("q_id").orderBy(col("v").desc, col("nlab"))
+      votes.withColumn("pr", row_number().over(w)).filter(col("pr") === 1)
+        .join(broadcast(queries.select(col("vec_id").as("q_id"),
+          col("label").as("true_lab"))), "q_id")
+        .select(col("q_id"), col("true_lab").as("label"),
+          col("nlab").as("pred"), col("v").cast("int").as("votes"))
+        .orderBy("q_id")
+    },
+
     // nn.MultiheadAttention surface (q147): the q127 block with its
     // per-head projections derived from torch's PACKED in_proj layout
     // (Mha.split — the same split the tracer applies to a loaded
@@ -4770,6 +4791,31 @@ object SparkEntry {
           |  FROM tr JOIN documents d USING (doc_id))""".stripMargin
       s"WITH $bm25Ctes,\n" + chain.stripPrefix("WITH ")
     },
+
+    // Exact-cosine neighbor ranks (the q24 discipline), majority vote
+    // with (count DESC, label) tie-break — the engine window's exact
+    // ordering.
+    "q150_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qe, label AS qlab
+        |  FROM embeddings WHERE vec_id < 20),
+        |nn AS (
+        |  SELECT q_id, qlab, e.vec_id, e.label AS nlab,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY
+        |      list_cosine_similarity(CAST(qe AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[])) DESC,
+        |      e.vec_id) AS rnk
+        |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+        |votes AS (
+        |  SELECT q_id, qlab, nlab, count(*) AS v
+        |  FROM nn WHERE rnk <= 10 GROUP BY q_id, qlab, nlab),
+        |pred AS (
+        |  SELECT q_id, qlab, nlab, v,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY v DESC, nlab) AS pr
+        |  FROM votes)
+        |SELECT q_id, CAST(qlab AS INT) AS label, CAST(nlab AS INT) AS pred,
+        |  CAST(v AS INT) AS votes
+        |FROM pred WHERE pr = 1 ORDER BY q_id""".stripMargin,
 
     // Centroids restated dimension-wise (unnest + avg), cosine via a
     // pos-join dot product, argmax by (cos DESC, label) — exactly the

@@ -107,6 +107,35 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WordPiece at ingest == batch segmentation, bit-for-bit, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vocab = graft.SparkEntry.WordPieceVocab
+    val docs = raw.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.WordPiece.withPieces(
+        mem.toDF().toDF("doc_id", "text"), "text", "pieces", vocab)
+      .select(col("doc_id"), concat_ws(" ", col("pieces")).as("p"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wp_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("wp_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.size == docs.size)
+      val batch = graft.operators.WordPiece.withPieces(raw, "text", "pieces", vocab)
+        .select(col("doc_id"), concat_ws(" ", col("pieces")).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      assert(batch.values.exists(_.contains("[UNK]")), "coverage hole never hit")
+    } finally q.stop()
+  }
+
   test("streaming model inference at ingest: GRU classes across micro-batches == batch q123") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
