@@ -1969,6 +1969,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Aho-Corasick blocklist scan (q151): every banned phrase found in
+    // ONE automaton pass per doc (vs one contains-scan per pattern —
+    // the shape that dies at 10k-phrase blocklists). Automaton built
+    // once, broadcast, applied scan-side; sparse (doc, pattern) rows
+    // out. Patterns are borderless (no self-overlap), so the all-
+    // occurrences automaton count equals the oracle's non-overlapping
+    // replace() formula.
+    "q151_blocklist" -> { (s, dir) =>
+      graft.operators.Blocklist.matches(
+          t(s, dir, "documents"), "doc_id", "text", BlocklistPhrases)
+        .orderBy("doc_id", "pattern")
+    },
+
     // kNN-vote label probe (q150): the second standard embedding eval
     // beside q146 — each held-out query vector takes the majority
     // label of its 10 exact-cosine nearest neighbors (ties -> smaller
@@ -3106,6 +3119,14 @@ object SparkEntry {
 
   /** Position cap for q127 (bounds the oracle's L×L score join). */
   private val EncMaxLen = 12
+
+  /** q151's pinned blocklist: multi-word phrases over the fixture
+    * vocabulary plus one bare token; all BORDERLESS (no proper prefix
+    * == suffix), so automaton all-occurrence counts equal the
+    * oracle's non-overlapping replace() arithmetic. */
+  private[graft] val BlocklistPhrases: Seq[String] = Seq(
+    "hash join", "table scan", "sort merge", "slow query", "big data",
+    "stream batch", "dup")
 
   /** q148's pinned WordPiece vocabulary over the fixture word list:
     * whole-word pieces, split pieces with `##` continuations (incl. a
@@ -4790,6 +4811,20 @@ object SparkEntry {
           |  SELECT tr.doc_id, 'spark join dup ' || d.text AS text
           |  FROM tr JOIN documents d USING (doc_id))""".stripMargin
       s"WITH $bm25Ctes,\n" + chain.stripPrefix("WITH ")
+    },
+
+    // Non-overlapping occurrence arithmetic per (doc, pattern):
+    // (len - len(replace))/len(p) — equal to the automaton's count for
+    // borderless patterns.
+    "q151_blocklist" -> {
+      val rows = BlocklistPhrases.map(p => s"('$p')").mkString(", ")
+      s"""WITH p(pattern) AS (VALUES $rows),
+         |hits AS (
+         |  SELECT doc_id, pattern,
+         |    CAST((len(text) - len(replace(text, pattern, ''))) / len(pattern) AS INT) AS hits
+         |  FROM documents, p)
+         |SELECT doc_id, pattern, hits FROM hits
+         |WHERE hits > 0 ORDER BY doc_id, pattern""".stripMargin
     },
 
     // Exact-cosine neighbor ranks (the q24 discipline), majority vote
