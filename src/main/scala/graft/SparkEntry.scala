@@ -1969,6 +1969,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Weighted PageRank over the corpus token-transition graph (q152):
+    // the iterative-algorithm shape — 10 fixed iterations, each one
+    // keyed join + aggregation over the cached transition matrix; the
+    // corpus-scale work is the scan-side bigram extraction, the rank
+    // loop runs over the vocabulary-sized node set. Transition
+    // probabilities are exact integer-count ratios (identical doubles
+    // both engines); iteration-sum ulp drift absorbed by the 6-dp
+    // report rounding.
+    "q152_pagerank" -> { (s, dir) =>
+      val edges = graft.operators.Rank.bigramEdges(t(s, dir, "documents"), "text")
+      graft.operators.Rank.weightedPageRank(edges, d = 0.85, iters = 10)
+        .select(col("node").as("word"), round(col("rank"), 6).as("rank"))
+        .orderBy("word")
+    },
+
     // Aho-Corasick blocklist scan (q151): every banned phrase found in
     // ONE automaton pass per doc (vs one contains-scan per pattern —
     // the shape that dies at 10k-phrase blocklists). Automaton built
@@ -4811,6 +4826,42 @@ object SparkEntry {
           |  SELECT tr.doc_id, 'spark join dup ' || d.text AS text
           |  FROM tr JOIN documents d USING (doc_id))""".stripMargin
       s"WITH $bm25Ctes,\n" + chain.stripPrefix("WITH ")
+    },
+
+    // The 10 iterations UNROLLED as chained CTEs (standard SQL forbids
+    // aggregation in a recursive term): r0 = uniform 1/N, each r{i}
+    // re-derives every node's rank from r{i-1} through the transition
+    // CTE. Constants forced through DOUBLE casts so (1.0 - 0.85)
+    // computes in binary floating point on both engines.
+    "q152_pagerank" -> {
+      val iterCtes = (1 to 10).map { i =>
+        s"""r$i AS (
+           |  SELECT nodes.node,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * COALESCE(s.m, CAST(0.0 AS DOUBLE)) AS rank
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (SELECT t.dst, sum(r.rank * t.p) AS m
+           |             FROM trans t JOIN r${i - 1} r ON r.node = t.src
+           |             GROUP BY t.dst) s
+           |    ON s.dst = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ws AS (
+         |  SELECT regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+') AS a FROM documents),
+         |big AS (
+         |  SELECT a[i] AS src, a[i + 1] AS dst, CAST(count(*) AS DOUBLE) AS w
+         |  FROM (SELECT a, unnest(range(1, len(a))) AS i FROM ws)
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, sum(w) AS ow FROM big GROUP BY src),
+         |trans AS (SELECT big.src, big.dst, w / ow AS p FROM big JOIN outw USING (src)),
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM big
+         |  UNION SELECT DISTINCT dst FROM big),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |$iterCtes
+         |SELECT node AS word, round(rank, 6) AS rank
+         |FROM r10 ORDER BY word""".stripMargin
     },
 
     // Non-overlapping occurrence arithmetic per (doc, pattern):
