@@ -1969,6 +1969,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Count-based bigram-LM perplexity (q153): the KenLM-style quality
+    // signal beside the neural q134 — add-1-smoothed corpus bigram
+    // statistics stay DISTRIBUTED (keyed count joins, the rarityScore
+    // shape; no broadcastable bigram table at real vocab sizes);
+    // probabilities are exact integer-count ratios, drift = ln() libm
+    // ulps under the 6-dp rounding.
+    "q153_bigram_lm" -> { (s, dir) =>
+      graft.operators.LmScore.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("bigram_nll"))
+        .orderBy("doc_id")
+    },
+
     // Weighted PageRank over the corpus token-transition graph (q152):
     // the iterative-algorithm shape — 10 fixed iterations, each one
     // keyed join + aggregation over the cached transition matrix; the
@@ -4827,6 +4840,32 @@ object SparkEntry {
           |  FROM tr JOIN documents d USING (doc_id))""".stripMargin
       s"WITH $bm25Ctes,\n" + chain.stripPrefix("WITH ")
     },
+
+    // Identical smoothed-probability arithmetic from the same integer
+    // counts; ln() and avg() drift at libm/sum-order ulps under the
+    // 6-dp rounding.
+    "q153_bigram_lm" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS a
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS bg
+        |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM ws)),
+        |f2 AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 FROM occ GROUP BY bg),
+        |f1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM occ GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vv
+        |      FROM (SELECT unnest(a) AS w FROM ws)),
+        |nll AS (
+        |  SELECT occ.doc_id, -ln((c2 + CAST(1.0 AS DOUBLE)) / (c1 + vv)) AS s
+        |  FROM occ JOIN f2 USING (bg) JOIN f1 USING (w1) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |    round(avg(s), 6) AS bigram_nll
+        |  FROM nll GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(bigram_nll, 0.0) AS bigram_nll
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The 10 iterations UNROLLED as chained CTEs (standard SQL forbids
     // aggregation in a recursive term): r0 = uniform 1/N, each r{i}

@@ -61,4 +61,44 @@ object LmScore {
           floor(col("n_rare").cast("double") / col("n_bigrams") * 1000000) / 1000000)
           .otherwise(lit(0.0)))
   }
+
+  /** Count-based bigram language-model scoring — the classic KenLM-
+    * style quality signal (the non-neural sibling of the GRU LM's
+    * q134): per-doc mean negative log-likelihood of each next token
+    * under add-1-smoothed corpus bigram statistics,
+    * `-ln((c(w1,w2) + 1) / (c(w1·) + V))`.
+    *
+    * Scale shape: all statistics stay DISTRIBUTED — bigram and
+    * head-token counts are keyed aggregates joined back to the
+    * occurrence stream (the [[rarityScore]] shape; a 100k-token vocab
+    * has up to 10^10 bigrams, far beyond any broadcast). The one
+    * driver scalar is V, a count-distinct aggregate. Probabilities
+    * are exact-integer-count ratios in f64, so cross-engine drift is
+    * confined to ln() libm ulps — absorbed by the caller's report
+    * rounding. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(trim(col(textCol)), Tok.WsPlus)
+    val bgArr = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val occ = df.select(col(idCol), explode(bgArr).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val freq2 = occ.groupBy("bg").agg(count(lit(1)).cast("double").as("c2"))
+    val freq1 = occ.groupBy("w1").agg(count(lit(1)).cast("double").as("c1"))
+    val v = df.select(explode(call_function("regexp_extract_all",
+        col(textCol), lit(Tok.Pattern), lit(0))).as("w"))
+      .agg(countDistinct("w")).first().getLong(0).toDouble
+    val perDoc = occ
+      .join(freq2, Seq("bg"))
+      .join(freq1, Seq("w1"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(-log((col("c2") + 1.0d) / (col("c1") + lit(v)))).as("nll"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("nll"), lit(0.0d)).as("nll"))
+  }
 }
