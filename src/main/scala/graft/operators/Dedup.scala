@@ -280,6 +280,83 @@ object Dedup {
       .select(col("corpus_id"), col("new_id"), col("jaccard"))
   }
 
+  /** A persisted text-dedup index: the standing corpus's shingle-hash
+    * sets and banded minhash buckets as parquet artifacts, plus the
+    * parameters they were built with — the text-side sibling of the
+    * IVFADC index discipline ([[Similarity.saveIndex]]): build once,
+    * reopen per ingest batch, never recompute the standing corpus. */
+  final case class TextIndex(sets: DataFrame, bandsDf: DataFrame,
+      n: Int, bands: Int, rowsPerBand: Int)
+
+  /** Write the index: `sets` (id, sh), `bands` (id, band, bucket),
+    * `meta` (one row of build parameters). Append mode folds a new
+    * batch INTO the standing index (same parameters enforced at
+    * load). */
+  def saveTextIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, path: String,
+      append: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mode = if (append) "append" else "overwrite"
+    val sets = df.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingle_hashes(spark, col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .transform(Checkpoints.cp)
+    sets.write.mode(mode).parquet(s"$path/sets")
+    sets.select(col("id"),
+      posexplode(graft.functions.MinHashBuckets
+        .minhash_buckets(spark, col("sh"), bands, rowsPerBand)))
+      .toDF("id", "band", "bucket")
+      .write.mode(mode).parquet(s"$path/bands")
+    Seq((n, bands, rowsPerBand)).toDF("n", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reopen a persisted index; the stored parameters ARE the index's
+    * contract (a query batch must shingle/band identically). */
+  def loadTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): TextIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"bad text-index meta at $path")
+    TextIndex(
+      spark.read.parquet(s"$path/sets"),
+      spark.read.parquet(s"$path/bands"),
+      meta(0).getAs[Int]("n"), meta(0).getAs[Int]("bands"),
+      meta(0).getAs[Int]("rows_per_band"))
+  }
+
+  /** New-batch near-dup pairs against a REOPENED index — the
+    * [[crossCorpusPairs]] semantics with the corpus side read from
+    * parquet instead of recomputed: banded candidates on (band,
+    * bucket), exact-jaccard verification against the stored shingle
+    * sets. Returns (corpus_id, new_id, jaccard). */
+  def incrementalPairsAgainst(index: TextIndex, fresh: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val spark = fresh.sparkSession
+    val fSets = fresh.select(col(idCol),
+      graft.functions.ShingleHashes.shingle_hashes(spark, col(textCol), index.n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .transform(Checkpoints.cp)
+    val fBands = fSets.select(col(idCol),
+      posexplode(graft.functions.MinHashBuckets
+        .minhash_buckets(spark, col("sh"), index.bands, index.rowsPerBand)))
+      .toDF("new_id", "band", "bucket")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val cand = index.bandsDf.toDF("corpus_id", "band", "bucket")
+      .repartition(p, col("band"), col("bucket"))
+      .join(fBands, Seq("band", "bucket"))
+      .select("corpus_id", "new_id")
+      .dropDuplicates("corpus_id", "new_id")
+    cand
+      .join(index.sets.toDF("corpus_id", "sha"), Seq("corpus_id"))
+      .join(fSets.toDF("new_id", "shb"), Seq("new_id"))
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        col("i") / (size(col("sha")) + size(col("shb")) - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("jaccard"))
+  }
+
   /**
    * SimHash near-dup pairs: 64-bit fingerprint per doc
    * ([[graft.functions.SimHash64]]), candidates via the pigeonhole
