@@ -131,6 +131,45 @@ object StressR11 {
     require(correct == 1000000L,
       s"planted label geometry not recovered: $correct/1000000")
 
+    // ---- 6. Aho-Corasick at blocklist scale: 10k patterns, 500k docs ----
+    // patterns pN_a..pN_c over a synthetic alphabet; docs embed exactly
+    // one known pattern each (id % 10k) inside doc-unique filler, so
+    // the expected match total is exactly 500k and each hit is
+    // attributable. ONE automaton pass per doc regardless of P.
+    val patterns = (0 until 10000).map(i => s"p${i}_a p${i}_b p${i}_c")
+    val blDocs = spark.range(500000L).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("f"), col("id"), lit("_x f"), col("id"), lit("_y")),
+        concat(lit("p"), col("id") % 10000, lit("_a p"), col("id") % 10000,
+          lit("_b p"), col("id") % 10000, lit("_c")),
+        concat(lit("f"), col("id"), lit("_z"))).as("text"))
+    val blHits = timed("Blocklist.matches 500k docs x 10k patterns") {
+      operators.Blocklist.matches(blDocs, "doc_id", "text", patterns)
+        .select(col("doc_id"), col("pattern")).collect()
+    }
+    require(blHits.length == 500000, s"expected exactly 500k hits, got ${blHits.length}")
+    require(blHits.forall(r => r.getString(1) == s"p${r.getLong(0) % 10000}_a " +
+      s"p${r.getLong(0) % 10000}_b p${r.getLong(0) % 10000}_c"),
+      "a hit did not match its planted pattern")
+    println(s"[stress] blocklist: ${blHits.length} hits, all planted-pattern-exact")
+
+    // ---- 7. PageRank over a 10k-word vocabulary graph from 500k docs ----
+    // token stream cycles a 10k-word vocabulary with an id-dependent
+    // stride, giving a dense transition graph; the rank loop runs over
+    // the 10k-node set while edge extraction scans 500k x 40 words
+    val prDocs = spark.range(500000L).select(
+      array_join(transform(sequence(lit(0), lit(39)),
+        i => concat(lit("w"), pmod(col("id") * 7L + i * (col("id") % 13L + 1L),
+          lit(10000L)))), " ").as("text"))
+    val ranks = timed("PageRank 500k docs -> 10k-node graph, 10 iterations") {
+      operators.Rank.weightedPageRank(
+        operators.Rank.bigramEdges(prDocs, "text"), 0.85, 10).collect()
+    }
+    require(ranks.length == 10000, s"node set ${ranks.length} != 10000")
+    val mass = ranks.map(_.getDouble(1)).sum
+    require(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass drifted")
+    println(f"[stress] pagerank: ${ranks.length} nodes, mass $mass%.9f")
+
     spark.stop()
   }
 }
