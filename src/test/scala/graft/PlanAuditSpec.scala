@@ -166,6 +166,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Scan ExistingRDD"), s"q145 re-scans a materialized RDD:\n$p")
   }
 
+  test("round-11 pipeline queries: no data-sized cartesian products") {
+    // q150's corpus x broadcast-query-set BroadcastNestedLoopJoin is
+    // the documented bounded brute-force shape (q24); what must never
+    // appear anywhere is a non-broadcast CartesianProduct.
+    for (q <- Seq("q146_centroid_classify", "q148_wordpiece",
+        "q150_knn_classify", "q151_blocklist", "q152_pagerank",
+        "q153_bigram_lm")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+    }
+  }
+
   test("q129 containment pairs stay inverted-index keyed (no product plans)") {
     val p = plan("q129_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
