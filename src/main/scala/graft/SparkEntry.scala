@@ -1969,6 +1969,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Round-11 ingest capstone (q154): the new operators COMPOSED —
+    // Aho-Corasick blocklist filter (drop docs with >= 2 banned-phrase
+    // hits), bigram-LM quality gate (frozen full-corpus statistics,
+    // keep 6-dp-rounded NLL < 3.40 — comparing the ROUNDED value makes
+    // the gate deterministic cross-engine), WordPiece token accounting
+    // per source. Every stage scan-side or keyed; the oracle restates
+    // all three stages over the same kept set.
+    "q154_ingest_v2" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bl = graft.operators.Blocklist.matches(docs, "doc_id", "text", BlocklistPhrases)
+        .groupBy("doc_id").agg(sum("hits").as("bl_hits"))
+      val lm = graft.operators.LmScore.bigramLmScore(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("nll"), 6).as("nll6"))
+      val kept = docs
+        .join(bl, Seq("doc_id"), "left")
+        .filter(coalesce(col("bl_hits"), lit(0L)) < 2)
+        .join(lm, Seq("doc_id"))
+        .filter(col("nll6") < 3.40)
+      graft.operators.WordPiece.withPieces(kept, "text", "pieces", WordPieceVocab)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("pieces"))).cast("long").as("n_pieces"),
+          sum(size(filter(col("pieces"), p => p === "[UNK]"))).cast("long").as("n_unk"))
+        .orderBy("source")
+    },
+
     // Count-based bigram-LM perplexity (q153): the KenLM-style quality
     // signal beside the neural q134 — add-1-smoothed corpus bigram
     // statistics stay DISTRIBUTED (keyed count joins, the rarityScore
@@ -3155,6 +3181,58 @@ object SparkEntry {
   private[graft] val BlocklistPhrases: Seq[String] = Seq(
     "hash join", "table scan", "sort merge", "slow query", "big data",
     "stream batch", "dup")
+
+  /** The WordPiece greedy scan as reusable DuckDB CTEs (caller must
+    * open `WITH RECURSIVE`): tokenizes `source` (any relation with
+    * doc_id, text), peels one longest vocab piece per iteration
+    * (lengths probed high-to-low, '##'-prefixed mid-word), collapses
+    * failed words to one [UNK]; ends with `allp` = one row per
+    * (doc_id, wpos, step, piece). Shared by q148 and the q154
+    * capstone. */
+  private def wordPieceCtes(source: String): String = {
+    val maxPiece = WordPieceVocab.map(_.stripPrefix("##").length).max
+    val vocabRows = WordPieceVocab.map(p => s"('${p}')").mkString(", ")
+    def probe(contPrefix: String): String =
+      (maxPiece to 1 by -1).map { l =>
+        s"WHEN $contPrefix substr(r.rest, 1, $l) IN (SELECT p FROM v) " +
+          s"THEN substr(r.rest, 1, $l)"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+    s"""words AS (
+       |  SELECT doc_id, w, wpos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS wpos
+       |        FROM $source)),
+       |v(p) AS (VALUES $vocabRows),
+       |rec AS (
+       |  SELECT doc_id, wpos, CAST(0 AS INT) AS step, w AS rest,
+       |         CAST(NULL AS VARCHAR) AS piece,
+       |         len(w) > 16 AS failed
+       |  FROM words
+       |  UNION ALL
+       |  SELECT s.doc_id, s.wpos, s.step + 1,
+       |    CASE WHEN s.pc IS NULL THEN s.rest ELSE substr(s.rest, len(s.pc) + 1) END,
+       |    CASE WHEN s.pc IS NULL THEN NULL
+       |         WHEN s.step = 0 THEN s.pc ELSE '##' || s.pc END,
+       |    s.pc IS NULL AS failed
+       |  FROM (
+       |    SELECT r.doc_id, r.wpos, r.step, r.rest,
+       |      CASE WHEN r.step = 0 THEN ${probe("")}
+       |           ELSE ${probe("'##' ||")} END AS pc
+       |    FROM rec r
+       |    WHERE r.rest <> '' AND NOT r.failed) s),
+       |fails AS (
+       |  SELECT DISTINCT doc_id, wpos FROM rec WHERE failed),
+       |good AS (
+       |  SELECT r.doc_id, r.wpos, r.step, r.piece FROM rec r
+       |  WHERE r.piece IS NOT NULL
+       |    AND NOT EXISTS (SELECT 1 FROM fails f
+       |                    WHERE f.doc_id = r.doc_id AND f.wpos = r.wpos)),
+       |allp AS (
+       |  SELECT * FROM good
+       |  UNION ALL
+       |  SELECT doc_id, wpos, 1 AS step, '[UNK]' AS piece FROM fails)""".stripMargin
+  }
 
   /** q148's pinned WordPiece vocabulary over the fixture word list:
     * whole-word pieces, split pieces with `##` continuations (incl. a
@@ -4841,6 +4919,47 @@ object SparkEntry {
       s"WITH $bm25Ctes,\n" + chain.stripPrefix("WITH ")
     },
 
+    // The three stages restated over the same kept set: blocklist
+    // replace() arithmetic, the q153 smoothed-count NLL (rounded BEFORE
+    // the gate compare), the WordPiece recursive peel over `kept`.
+    "q154_ingest_v2" -> {
+      val blRows = BlocklistPhrases.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE bp(pattern) AS (VALUES $blRows),
+         |bl AS (
+         |  SELECT doc_id, sum((len(text) - len(replace(text, pattern, ''))) / len(pattern)) AS bl_hits
+         |  FROM documents, bp GROUP BY doc_id),
+         |wsq AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+') AS a
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS bg
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM wsq)),
+         |f2 AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 FROM occ GROUP BY bg),
+         |f1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM occ GROUP BY w1),
+         |vv0 AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vv
+         |        FROM (SELECT unnest(a) AS w FROM wsq)),
+         |nll AS (
+         |  SELECT occ.doc_id, -ln((c2 + CAST(1.0 AS DOUBLE)) / (c1 + vv)) AS sc
+         |  FROM occ JOIN f2 USING (bg) JOIN f1 USING (w1) CROSS JOIN vv0),
+         |lm AS (SELECT doc_id, round(avg(sc), 6) AS nll6 FROM nll GROUP BY doc_id),
+         |kept AS (
+         |  SELECT d.doc_id, d.text, d.source
+         |  FROM documents d
+         |  LEFT JOIN bl USING (doc_id)
+         |  JOIN lm USING (doc_id)
+         |  WHERE COALESCE(bl.bl_hits, 0) < 2 AND lm.nll6 < 3.40),
+         |${wordPieceCtes("kept")},
+         |per_doc AS (
+         |  SELECT doc_id, count(*) AS np,
+         |    sum(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END) AS nu
+         |  FROM allp GROUP BY doc_id)
+         |SELECT k.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(COALESCE(p.np, 0)) AS BIGINT) AS n_pieces,
+         |  CAST(sum(COALESCE(p.nu, 0)) AS BIGINT) AS n_unk
+         |FROM kept k LEFT JOIN per_doc p USING (doc_id)
+         |GROUP BY k.source ORDER BY k.source""".stripMargin
+    },
+
     // Identical smoothed-probability arithmetic from the same integer
     // counts; ln() and avg() drift at libm/sum-order ulps under the
     // 6-dp rounding.
@@ -4993,48 +5112,7 @@ object SparkEntry {
     // mid-word), a null probe marks the word failed, and failed words
     // collapse to one [UNK] in the final assembly.
     "q148_wordpiece" -> {
-      val maxPiece = WordPieceVocab.map(_.stripPrefix("##").length).max
-      val vocabRows = WordPieceVocab.map(p => s"('${p}')").mkString(", ")
-      def probe(contPrefix: String): String =
-        (maxPiece to 1 by -1).map { l =>
-          s"WHEN $contPrefix substr(r.rest, 1, $l) IN (SELECT p FROM v) " +
-            s"THEN substr(r.rest, 1, $l)"
-        }.mkString("CASE ", " ", " ELSE NULL END")
-      s"""WITH RECURSIVE words AS (
-         |  SELECT doc_id, w, wpos
-         |  FROM (SELECT doc_id,
-         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-         |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS wpos
-         |        FROM documents)),
-         |v(p) AS (VALUES $vocabRows),
-         |rec AS (
-         |  SELECT doc_id, wpos, CAST(0 AS INT) AS step, w AS rest,
-         |         CAST(NULL AS VARCHAR) AS piece,
-         |         len(w) > 16 AS failed
-         |  FROM words
-         |  UNION ALL
-         |  SELECT s.doc_id, s.wpos, s.step + 1,
-         |    CASE WHEN s.pc IS NULL THEN s.rest ELSE substr(s.rest, len(s.pc) + 1) END,
-         |    CASE WHEN s.pc IS NULL THEN NULL
-         |         WHEN s.step = 0 THEN s.pc ELSE '##' || s.pc END,
-         |    s.pc IS NULL AS failed
-         |  FROM (
-         |    SELECT r.doc_id, r.wpos, r.step, r.rest,
-         |      CASE WHEN r.step = 0 THEN ${probe("")}
-         |           ELSE ${probe("'##' ||")} END AS pc
-         |    FROM rec r
-         |    WHERE r.rest <> '' AND NOT r.failed) s),
-         |fails AS (
-         |  SELECT DISTINCT doc_id, wpos FROM rec WHERE failed),
-         |good AS (
-         |  SELECT r.doc_id, r.wpos, r.step, r.piece FROM rec r
-         |  WHERE r.piece IS NOT NULL
-         |    AND NOT EXISTS (SELECT 1 FROM fails f
-         |                    WHERE f.doc_id = r.doc_id AND f.wpos = r.wpos)),
-         |allp AS (
-         |  SELECT * FROM good
-         |  UNION ALL
-         |  SELECT doc_id, wpos, 1 AS step, '[UNK]' AS piece FROM fails),
+      s"""WITH RECURSIVE ${wordPieceCtes("documents")},
          |agg AS (
          |  SELECT doc_id, CAST(count(*) AS INT) AS n_pieces,
          |    CAST(sum(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END) AS INT) AS n_unk,

@@ -800,6 +800,23 @@ object TorchCode {
             ChanSeq(c)
           case other => sys.error(s"${m.fqName} needs (n, ch, seq) input, got $other")
         }
+      case "AvgPool1d" =>
+        s match {
+          case ChanSeq(c) =>
+            val k = sizeAttr(m, "kernel_size", -1).toInt
+            require(k >= 1, s"${m.fqName}: kernel_size missing")
+            val stride = sizeAttr(m, "stride", k).toInt // torch default: stride = kernel
+            require(sizeAttr(m, "padding", 0) == 0, s"${m.fqName}: padding unsupported")
+            m.attrs.get("ceil_mode") match {
+              case Some(true) | Some(Pickle.PBool(true)) =>
+                sys.error(s"${m.fqName}: ceil_mode unsupported")
+              case _ =>
+            }
+            // count_include_pad only matters with padding > 0
+            ops += AvgPool1dOp(k, stride)
+            ChanSeq(c)
+          case other => sys.error(s"${m.fqName} needs (n, ch, seq) input, got $other")
+        }
       case "AdaptiveMaxPool1d" | "AdaptiveAvgPool1d" =>
         s match {
           case ChanSeq(c) =>
@@ -1007,7 +1024,7 @@ object TorchCode {
         }
       case other => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
         "(builtin torch.nn surface: Linear, Embedding, EmbeddingBag, Conv1d, " +
-        "Conv2d, MaxPool1d, MaxPool2d, AvgPool2d, AdaptiveMaxPool1d, " +
+        "Conv2d, MaxPool1d, AvgPool1d, MaxPool2d, AvgPool2d, AdaptiveMaxPool1d, " +
         "AdaptiveAvgPool1d, AdaptiveMaxPool2d, AdaptiveAvgPool2d, GRU, LSTM, " +
         "ReLU, Sigmoid, Tanh, GELU, SiLU, LeakyReLU, ELU, Hardtanh, Softplus, " +
         "Softmax, LogSoftmax, BatchNorm1d, BatchNorm2d, LayerNorm, Identity, " +

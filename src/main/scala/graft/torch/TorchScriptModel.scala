@@ -108,6 +108,12 @@ final case class Conv1dOp(weight: Array[Float], bias: Array[Float],
   * padding 0, dilation 1, floor mode). */
 final case class MaxPool1dOp(k: Int, stride: Int) extends TorchOp
 
+/** Windowed average over the sequence dim of `(ch, L)` (nn.AvgPool1d,
+  * padding 0, floor mode; torch default stride = kernel). f64
+  * accumulation, one f32 rounding per output value (the
+  * [[AvgPool2dOp]] discipline). */
+final case class AvgPool1dOp(k: Int, stride: Int) extends TorchOp
+
 /** 2-D convolution over `(inCh, H, W)` — the vision-classifier head
   * (the model consumes a PIXEL input instead of token ids; see
   * `TorchScriptModel.forwardImageBatch`). Weight row-major
@@ -435,6 +441,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           width = c.outCh
         case MaxPool1dOp(_, _) =>
           require(mode == 1, "MaxPool1d needs (n, ch, seq) input")
+        case AvgPool1dOp(_, _) =>
+          require(mode == 1, "AvgPool1d needs (n, ch, seq) input")
         case ca: ChannelAffineOp =>
           require(mode == 1, "BatchNorm1d on a sequence needs the (n, ch, seq) layout")
           require(ca.scale.length == width,
@@ -928,6 +936,25 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
                 j += 1
               }
               out(r * lout + q) = mx
+              q += 1
+            }
+            r += 1
+          }
+          data = out
+          cols = lout
+        case AvgPool1dOp(k, stride) =>
+          require(cols >= k,
+            s"AvgPool1d(kernel=$k) on a length-$cols sequence")
+          val lout = (cols - k) / stride + 1
+          val out = new Array[Float](rows * lout)
+          var r = 0
+          while (r < rows) {
+            var q = 0
+            while (q < lout) {
+              var acc = 0.0
+              var j = 0
+              while (j < k) { acc += data(r * cols + q * stride + j); j += 1 }
+              out(r * lout + q) = (acc / k).toFloat
               q += 1
             }
             r += 1
@@ -1453,7 +1480,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     for (op <- ops.drop(from)) op match {
       case _: EmbeddingMeanOp | _: EmbeddingSeqOp =>
         sys.error("embedding op past the model head") // constructor forbids
-      case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: SelfAttentionOp |
+      case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: AvgPool1dOp |
+          _: SelfAttentionOp |
           _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp | _: PosEmbedOp |
           SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | SeqClsPoolOp |
           SeqLastPoolOp | _: RnnOp |

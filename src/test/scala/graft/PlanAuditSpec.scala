@@ -172,7 +172,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // appear anywhere is a non-broadcast CartesianProduct.
     for (q <- Seq("q146_centroid_classify", "q148_wordpiece",
         "q150_knn_classify", "q151_blocklist", "q152_pagerank",
-        "q153_bigram_lm")) {
+        "q153_bigram_lm", "q154_ingest_v2")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
     }

@@ -675,6 +675,56 @@ class TorchCodeSpec extends AnyFunSuite {
       assert(math.abs(got(j) - expected(j)) < 1e-5, s"logit $j: ${got(j)} vs ${expected(j)}")
   }
 
+  test("TextCNN with strided AvgPool1d window: f64-mean windows, golden vs reference") {
+    val vocab = 6; val embDim = 2; val ch = 3; val k = 2
+    val ew = vals(vocab * embDim, 261)
+    val cw = vals(ch * embDim * k, 262)
+    val cb = vals(ch, 263)
+    val (w0, b0) = (vals(2 * ch, 264), vals(2, 265))
+    val model = Module("__torch__.CNN3", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, embDim), ew),
+        "training" -> B(false))),
+      "conv" -> conv1d(cw, ch, embDim, k, cb),
+      "ap" -> Module("__torch__.torch.nn.modules.pooling.AvgPool1d", Seq(
+        "kernel_size" -> I(2), "stride" -> I(2), "padding" -> I(0),
+        "ceil_mode" -> B(false), "count_include_pad" -> B(true),
+        "training" -> B(false))),
+      "pool" -> Module(AdaptiveMaxPool1dCls, Seq(
+        "output_size" -> I(1), "training" -> B(false))),
+      "fc" -> linear(w0, 2, ch, b0)))
+    val code = Map("code/__torch__.py" ->
+      """class CNN3(Module):
+        |  training : bool
+        |  def forward(self: __torch__.CNN3,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e0 = torch.transpose((emb).forward(x, ), 1, 2)
+        |    conv = self.conv
+        |    c = torch.relu((conv).forward(e0, ), )
+        |    ap = self.ap
+        |    c0 = (ap).forward(c, )
+        |    pool = self.pool
+        |    p0 = torch.squeeze((pool).forward(c0, ), -1)
+        |    fc = self.fc
+        |    return (fc).forward(p0, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("cnn3", "cnn3", model, code))
+    assert(m.ops.contains(AvgPool1dOp(2, 2)))
+    val toks = Array(1, 4, 2, 0, 5, 3, 1) // L=7 -> conv Lout=6 -> pool 3
+    val x = Array.tabulate(embDim)(d => toks.map(t => ew(t * embDim + d).toDouble))
+    val conv = convRef(x, cw, cb, ch, embDim, k).map(_.map(math.max(0.0, _)))
+    // the engine rounds each conv output to f32 before pooling — mirror
+    // that boundary, then average in f64
+    val ap = conv.map(_.map(_.toFloat.toDouble)
+      .grouped(2).filter(_.length == 2).map(w => (w(0) + w(1)) / 2).toArray)
+    val expected = mm(ap.map(_.max), w0, b0, 2, ch)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 2)
+      assert(math.abs(got(j) - expected(j)) < 1e-5, s"logit $j: ${got(j)} vs ${expected(j)}")
+  }
+
   test("conv on an un-transposed embedding and nonzero padding fail loudly at load") {
     val ew = vals(8, 71); val cw = vals(8, 72); val cb = vals(2, 73)
     def cnn(convMod: Module, body: String) = Module("__torch__.BadCNN", Seq(
