@@ -88,20 +88,37 @@ object Similarity {
    * the oracle's `ORDER BY cos DESC, label`).
    */
   def centroidClassify(df: DataFrame, idCol: String, embCol: String,
-      labelCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val cents: Array[(Int, Array[Double])] = df
-      .select(col(labelCol).cast("int").as("__lab"), asDouble(col(embCol)).as("__e"))
-      .filter(col("__e").isNotNull)
-      .select(col("__lab"), posexplode(col("__e")).as(Seq("__pos", "__v")))
-      .groupBy("__lab", "__pos").agg(avg("__v").as("__m"))
-      .groupBy("__lab").agg(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
-          x => x.getField("__m")).as("__c"))
-      .orderBy("__lab")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      labelCol: String): DataFrame =
+    df.select(col(idCol), col(labelCol),
+      assignByCentroids(df.sparkSession,
+        classCentroids(df, embCol, labelCol))(asDouble(col(embCol))).as("pred"))
+
+  /** The per-label mean vectors of `df`, ordered by label — the FROZEN
+    * half of the centroid probe: compute once on a standing corpus,
+    * then [[assignByCentroids]] classifies any batch OR STREAM against
+    * them (the frozen-quantizer ingest discipline — arriving rows
+    * never mutate the centroids). Bounded by the label-domain
+    * cardinality. */
+  def classCentroids(df: DataFrame, embCol: String,
+      labelCol: String): Array[(Int, Array[Double])] = df
+    .select(col(labelCol).cast("int").as("__lab"), asDouble(col(embCol)).as("__e"))
+    .filter(col("__e").isNotNull)
+    .select(col("__lab"), posexplode(col("__e")).as(Seq("__pos", "__v")))
+    .groupBy("__lab", "__pos").agg(avg("__v").as("__m"))
+    .groupBy("__lab").agg(
+      transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        x => x.getField("__m")).as("__c"))
+    .orderBy("__lab")
+    .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+
+  /** Scan-side nearest-centroid assignment (cosine; exact ties pick
+    * the smallest label) over broadcast frozen centroids — stateless,
+    * so it runs identically on batch frames and streaming ingest. */
+  def assignByCentroids(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(cents.nonEmpty, "no centroids")
     val bc = spark.sparkContext.broadcast(cents)
-    val pred = udf { v: Seq[Double] =>
+    udf { v: Seq[Double] =>
       if (v == null) -1
       else {
         val cs = bc.value
@@ -120,8 +137,6 @@ object Similarity {
         bestLab
       }
     }
-    df.select(col(idCol), col(labelCol),
-      pred(asDouble(col(embCol))).as("pred"))
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded), shipped

@@ -136,6 +136,40 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming centroid assignment with frozen centroids == batch probe, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // frozen standing-corpus centroids (arriving vectors never mutate
+    // them — the frozen-quantizer ingest discipline)
+    val cents = graft.operators.Similarity.classCentroids(emb, "embedding", "label")
+    val assign = graft.operators.Similarity.assignByCentroids(spark, cents)
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = assignWrap(mem, assign)
+    try {
+      for (chunk <- rows.grouped((rows.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cent_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed.size == rows.size)
+      val batch = graft.operators.Similarity.centroidClassify(
+          emb, "vec_id", "embedding", "label")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  private def assignWrap(mem: MemoryStream[(Long, Seq[Double])],
+      assign: org.apache.spark.sql.expressions.UserDefinedFunction) =
+    mem.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), assign(col("embedding")).as("pred"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cent_out").start()
+
   test("streaming model inference at ingest: GRU classes across micro-batches == batch q123") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
