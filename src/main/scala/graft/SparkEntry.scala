@@ -2049,6 +2049,19 @@ object SparkEntry {
         .orderBy("doc_id", "pattern")
     },
 
+    // Johnson-Lindenstrauss random projection (q155): 64d -> 8d onto
+    // seeded Gaussian directions — the dimensionality-reduction step
+    // before ANN/dedup at scale. Scan-side HOF dot products over a
+    // LITERAL plane matrix (no broadcast, no shuffle); the oracle
+    // restates the identical plane literals as a VALUES table.
+    "q155_jl_project" -> { (s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "embedding", "proj",
+          dim = 64, outDim = 8, seed = 7L)
+        .select(col("vec_id") +:
+          (0 until 8).map(k => round(col("proj")(k), 6).as(s"y$k")): _*)
+        .orderBy("vec_id")
+    },
+
     // kNN-vote label probe (q150): the second standard embedding eval
     // beside q146 — each held-out query vector takes the majority
     // label of its 10 exact-cosine nearest neighbors (ties -> smaller
@@ -5047,6 +5060,35 @@ object SparkEntry {
          |  FROM documents, p)
          |SELECT doc_id, pattern, hits FROM hits
          |WHERE hits > 0 ORDER BY doc_id, pattern""".stripMargin
+    },
+
+    // The identical seeded plane literals as a VALUES table; per-dim
+    // dot products as pos-join sums (f64, order ulps under the 6-dp
+    // rounding).
+    "q155_jl_project" -> {
+      val ps = Similarity.jlPlanes(64, 8, 7L)
+      def fmtD(x: Double): String = {
+        val s = x.toString
+        if (s.contains("E") || s.contains(".")) s else s + ".0"
+      }
+      val rows = (for {
+        k <- 0 until 8
+        j <- 0 until 64
+      } yield s"($k, ${j + 1}, ${fmtD(ps(k)(j))})").mkString(",\n    ")
+      val pivots = (0 until 8).map(k =>
+        s"round(max(CASE WHEN k = $k THEN y END), 6) AS y$k").mkString(",\n  ")
+      s"""WITH pl(k, pos, pv) AS (VALUES
+         |    $rows),
+         |d AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, k, sum(v * CAST(pv AS DOUBLE)) AS y
+         |  FROM d JOIN pl USING (pos) GROUP BY vec_id, k)
+         |SELECT vec_id,
+         |  $pivots
+         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
 
     // Exact-cosine neighbor ranks (the q24 discipline), majority vote

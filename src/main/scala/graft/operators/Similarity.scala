@@ -146,6 +146,33 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The projection matrix of [[randomProject]] — public so the
+    * oracle can restate the identical literals. */
+  def jlPlanes(dim: Int, outDim: Int, seed: Long): Array[Array[Double]] =
+    planes(dim, outDim, seed)
+
+  /**
+   * Johnson-Lindenstrauss random projection (Johnson & Lindenstrauss
+   * 1984; the database-side statement is Achlioptas 2003): project
+   * each embedding onto `outDim` seeded Gaussian directions —
+   * E[||Pv||^2] = outDim·||v||^2 and pairwise distances concentrate,
+   * so downstream ANN/dedup can run in the reduced space. The
+   * projection is a scan-side `zip_with`+`aggregate` HOF chain per
+   * output dim over a LITERAL plane matrix (outDim x dim doubles in
+   * the plan, no broadcast, no shuffle, codegen-friendly) — a pure
+   * map stage at any corpus size. Deterministic: the planes are a
+   * pure function of (dim, outDim, seed). */
+  def randomProject(df: DataFrame, embCol: String, outCol: String,
+      dim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, outDim, seed)
+    val e = asDouble(col(embCol))
+    val proj = array(ps.map { p =>
+      aggregate(zip_with(e, typedLit(p.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    df.withColumn(outCol, proj)
+  }
+
   /** Sign-bit signature of an embedding against `numPlanes` hyperplanes,
     * packed into a long (one native dot product per plane). */
   def signBits(

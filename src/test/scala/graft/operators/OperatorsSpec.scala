@@ -1430,6 +1430,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cells1 == cells2)
   }
 
+  test("randomProject: JL norm concentration, pairwise preservation, layout determinism") {
+    val out = Similarity.randomProject(emb, "embedding", "proj", 64, 8, 7L)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("proj"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    assert(out.nonEmpty && out.forall(_._3.length == 8))
+    def sq(a: Array[Double]) = a.map(v => v * v).sum
+    // E[||Pv||^2] = outDim * ||v||^2 for gaussian planes: the MEAN
+    // ratio over vectors concentrates near 8 (individual ratios are
+    // chi^2_8-spread)
+    val ratios = out.map { case (_, v, p) => sq(p) / sq(v) }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 5.0 && mean < 11.0, s"norm ratio mean $mean escaped [5, 11]")
+    // pairwise distances preserve in the same sense
+    val pairs = out.take(40).combinations(2).take(200).map { case Array(a, b) =>
+      val dOrig = sq(a._2.zip(b._2).map { case (x, y) => x - y })
+      val dProj = sq(a._3.zip(b._3).map { case (x, y) => x - y })
+      dProj / dOrig
+    }.toArray
+    val pMean = pairs.sum / pairs.length
+    assert(pMean > 5.0 && pMean < 11.0, s"pairwise ratio mean $pMean escaped [5, 11]")
+    // determinism: same seed + different layout => identical doubles
+    val again = Similarity.randomProject(emb.repartition(5), "embedding", "proj", 64, 8, 7L)
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((id, _, p) <- out) assert(p.toSeq == again(id).toSeq, s"vec $id drifted")
+    // a different seed is a different projection
+    val other = Similarity.randomProject(emb, "embedding", "proj", 64, 8, 8L)
+      .select(col("proj")).limit(1).collect().head.getSeq[Double](0)
+    assert(other.toSeq != out.head._3.toSeq)
+  }
+
   test("centroidClassify: above-chance accuracy, label-domain preds, margin floor, layout-stable") {
     val out = Similarity.centroidClassify(emb, "vec_id", "embedding", "label")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
