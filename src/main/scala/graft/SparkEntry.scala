@@ -4972,8 +4972,9 @@ object SparkEntry {
          |  SELECT d.doc_id, d.text, d.source
          |  FROM documents d
          |  LEFT JOIN bl USING (doc_id)
-         |  JOIN lm USING (doc_id)
-         |  WHERE COALESCE(bl.bl_hits, 0) < 2 AND lm.nll6 < 3.40),
+         |  LEFT JOIN lm USING (doc_id)
+         |  WHERE COALESCE(bl.bl_hits, 0) < 2
+         |    AND COALESCE(lm.nll6, CAST(0.0 AS DOUBLE)) < 3.40),
          |${wordPieceCtes("kept")},
          |per_doc AS (
          |  SELECT doc_id, count(*) AS np,
@@ -5173,7 +5174,10 @@ object SparkEntry {
          |    CAST(sum(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END) AS INT) AS n_unk,
          |    array_to_string(list(piece ORDER BY wpos, step)[1:10], ' ') AS head_pieces
          |  FROM allp GROUP BY doc_id)
-         |SELECT doc_id, n_pieces, n_unk, head_pieces FROM agg ORDER BY doc_id""".stripMargin
+         |SELECT d.doc_id, COALESCE(n_pieces, 0) AS n_pieces,
+         |  COALESCE(n_unk, 0) AS n_unk,
+         |  COALESCE(head_pieces, '') AS head_pieces
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
 
     "q147_torch_mha" -> {

@@ -298,6 +298,18 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val mode = if (append) "append" else "overwrite"
+    if (append) {
+      // Appending under different shingle/band parameters would silently
+      // mix incompatible data beneath a meta claiming the new params —
+      // enforce the contract the docstring promises, loudly.
+      val existing = spark.read.parquet(s"$path/meta").collect()
+      require(existing.length == 1, s"bad text-index meta at $path")
+      val (en, eb, er) = (existing(0).getAs[Int]("n"),
+        existing(0).getAs[Int]("bands"), existing(0).getAs[Int]("rows_per_band"))
+      require(en == n && eb == bands && er == rowsPerBand,
+        s"text-index parameter mismatch at $path: stored (n=$en, bands=$eb, " +
+          s"rowsPerBand=$er) vs append (n=$n, bands=$bands, rowsPerBand=$rowsPerBand)")
+    }
     val sets = df.select(col(idCol).as("id"),
       graft.functions.ShingleHashes.shingle_hashes(spark, col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)

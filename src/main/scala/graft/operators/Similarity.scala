@@ -89,9 +89,12 @@ object Similarity {
    */
   def centroidClassify(df: DataFrame, idCol: String, embCol: String,
       labelCol: String): DataFrame =
-    df.select(col(idCol), col(labelCol),
-      assignByCentroids(df.sparkSession,
-        classCentroids(df, embCol, labelCol))(asDouble(col(embCol))).as("pred"))
+    // null embeddings are dropped (not classified as -1) so the batch
+    // semantics match a SQL restatement where unnest(NULL) yields no rows
+    df.filter(col(embCol).isNotNull)
+      .select(col(idCol), col(labelCol),
+        assignByCentroids(df.sparkSession,
+          classCentroids(df, embCol, labelCol))(asDouble(col(embCol))).as("pred"))
 
   /** The per-label mean vectors of `df`, ordered by label — the FROZEN
     * half of the centroid probe: compute once on a standing corpus,
@@ -122,6 +125,8 @@ object Similarity {
       if (v == null) -1
       else {
         val cs = bc.value
+        require(v.length == cs(0)._2.length,
+          s"embedding dim ${v.length} != centroid dim ${cs(0)._2.length}")
         var bestLab = cs(0)._1
         var bestCos = Double.NegativeInfinity
         var vn = 0.0

@@ -348,6 +348,12 @@ object TorchCode {
     /** `l2(act(l1(x)))` — a complete position-wise FFN, held for the
       * residual `torch.add(x, ·)` (or materialized without one). */
     final case class FfnOut(l1: LinearLayer, act: String, l2: LinearLayer) extends Sym
+    /** `torch.eq(x, pad)` on the RAW token-ids input: a key-padding
+      * mask (True AT pads, torch's `key_padding_mask` convention).
+      * Only `nn.MultiheadAttention.forward`'s 4th argument consumes
+      * it; doing so flips the model head into padded-batch mode
+      * ([[graft.torch.EmbeddingSeqOp]] `padIdx`). */
+    final case class PadMask(padId: Int) extends Sym
     /** The dynamic sequence length `torch.size(x, 1)` of the live
       * embedding sequence — only `torch.arange` consumes it (the
       * positional-id ramp of a learned-position encoder). */
@@ -407,6 +413,10 @@ object TorchCode {
       classes: Map[String, ClassDef],
       materialize: Pickle.PTensor => Array[Float]) {
     val ops = IndexedSeq.newBuilder[TorchOp]
+    /** Set when a traced `key_padding_mask` (torch.eq(x, pad)) reaches
+      * an attention module: the load path rewrites the head
+      * [[EmbeddingSeqOp]] with this padIdx (padded-batch mode). */
+    var padMaskId: Int = -1
 
     def trace(root: ModuleNode, in: Sym): Sym = applyModule(root, in)
 
@@ -443,10 +453,25 @@ object TorchCode {
         qkv(1).asInstanceOf[AnyRef].eq(qkv(2).asInstanceOf[AnyRef]),
         s"TorchScript code: ${m.simpleName} with distinct query/key/value " +
           s"(cross-attention) unsupported — self-attention only in: $line")
-      for (extra <- args.drop(3)) extra match {
+      // forward(q, k, v, key_padding_mask, need_weights, attn_mask):
+      // arg 3 may be a traced `torch.eq(ids, pad)` mask — the
+      // padded-batch convention; it flips the model head into padIdx
+      // mode at load (see Tracer.padMaskId). Any OTHER mask tensor
+      // (attn_mask at arg 5, an untraceable key_padding_mask) still
+      // fails loudly.
+      args.lift(3) match {
+        case Some(PadMask(p)) =>
+          require(padMaskId < 0 || padMaskId == p,
+            s"TorchScript code: conflicting key_padding_mask pad ids " +
+              s"($padMaskId vs $p) in: $line")
+          padMaskId = p
+        case _ =>
+      }
+      for ((extra, i) <- args.drop(3).zipWithIndex) extra match {
         case null | _: Boolean => // absent masks / need_weights flags
+        case _: PadMask if i == 0 => // consumed above
         case other => sys.error(s"TorchScript code: ${m.simpleName} extra arg " +
-          s"$other unsupported (attn_mask / key_padding_mask) in: $line")
+          s"$other unsupported (attn_mask / non-eq key_padding_mask) in: $line")
       }
       def boolA(key: String, dflt: Boolean): Boolean = m.attrs.get(key) match {
         case Some(b: Boolean) => b
@@ -1489,6 +1514,20 @@ object TorchCode {
                   s"unsupported (registered 2-D buffers only) in: $line")
               }
             case "dropout" => tensorArg // eval-mode no-op on any shape
+            case "eq" =>
+              // torch.eq(x, pad) on the RAW token-ids input: the
+              // key-padding mask of a padded batch (True AT pads).
+              // eq on anything else has no home in the op-list model.
+              require(tensorArg == Flat(-1), s"TorchScript code: eq on " +
+                s"$tensorArg unsupported (key-padding eq reads the raw " +
+                s"token-ids input) in: $line")
+              eval(args(1), line) match {
+                case p: Long =>
+                  require(p >= 0, s"TorchScript code: eq pad id $p negative in: $line")
+                  PadMask(p.toInt)
+                case other => sys.error(s"TorchScript code: eq comparand " +
+                  s"$other unsupported (int pad id only) in: $line")
+              }
             case other => sys.error(s"TorchScript code: unsupported function $qual in: $line")
           }
       }

@@ -52,9 +52,22 @@ final case class EmbeddingMeanOp(weight: Array[Float], vocab: Int, embDim: Int, 
   * `nn.Embedding` + `.mean(dim=1)` pair is fused back to
   * [[EmbeddingMeanOp]] at load time (see `TorchScriptModel.fromBytes`),
   * so this op survives only when something other than a mean pool
-  * consumes the sequence. */
-final case class EmbeddingSeqOp(weight: Array[Float], vocab: Int, embDim: Int)
-    extends TorchOp
+  * consumes the sequence.
+  *
+  * `padIdx >= 0` turns on PADDED-BATCH mode (torch's
+  * `key_padding_mask` convention): input rows are fixed-length with
+  * trailing `padIdx` tokens, the executor derives each row's valid
+  * length, attention softmaxes exclude pad KEY columns (`exp(-inf) =
+  * 0`, exactly torch's `key_padding_mask=True` semantics — pad QUERY
+  * rows are still computed, they just never reach a masked read-out),
+  * RNNs run packed (recurrence stops at the valid length), and the
+  * masked pool ops read only valid positions. Interior pads and
+  * all-pad rows fail loudly — a padded batch is trailing-pad by
+  * construction, anything else is caller error. */
+final case class EmbeddingSeqOp(weight: Array[Float], vocab: Int, embDim: Int,
+    padIdx: Int = -1) extends TorchOp {
+  require(padIdx < vocab, s"padIdx $padIdx outside vocab [0, $vocab)")
+}
 
 /** Learned positional embeddings added to the live `(L, emb)` sequence:
   * `y[t] = x[t] + P[t]` — `nn.Embedding(maxLen, emb)` indexed by
@@ -389,8 +402,19 @@ case object SeqAvgPoolOp extends TorchOp
 /** Mean pool over the POSITION dim of a `(L, emb)` embedding sequence
   * -> `(emb)` — `.mean(dim=1)` when it could NOT be fused into
   * [[EmbeddingMeanOp]] (never the case today; kept for completeness of
-  * the seq-phase op set). Empty sequence -> NaN. */
+  * the seq-phase op set). Empty sequence -> NaN. With a padded batch
+  * this is torch's literal `.mean(dim=1)` — pad QUERY rows (computed,
+  * garbage-attending-over-valid-keys) ARE averaged in, faithfully. */
 case object SeqMeanPoolOp extends TorchOp
+
+/** MASKED mean pool over the position dim of a padded `(L, emb)`
+  * sequence -> `(emb)`: mean over the VALID positions only — the
+  * standard sentence-encoder read-out
+  * `(x * mask).sum(1) / lengths.unsqueeze(-1)`. Requires the model
+  * head to run in padded-batch mode ([[EmbeddingSeqOp]] `padIdx`);
+  * with trailing-pad inputs the result is bit-identical to running
+  * the unpadded sequence through [[SeqMeanPoolOp]]. */
+case object SeqMaskedMeanPoolOp extends TorchOp
 
 /**
  * A TorchScript MLP loaded from a `torch.jit.save` archive, executed on
@@ -434,7 +458,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       var pool = -1
       for ((op, i) <- ops.zipWithIndex.drop(1)) op match {
         case TransposeOp =>
-          require(mode < 2, "transpose after the pool op"); mode = 1 - mode
+          require(mode < 2, "transpose after the pool op")
+          require(e.padIdx < 0, "key-padding through the transposed (ch, L) " +
+            "conv path unsupported — positions must stay addressable for the mask")
+          mode = 1 - mode
         case c: Conv1dOp =>
           require(mode == 1, "Conv1d needs (n, ch, seq) input: transpose(1, 2) missing")
           require(width == c.inCh, s"Conv1d(in=${c.inCh}) applied to $width channels")
@@ -477,6 +504,12 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         case SeqMeanPoolOp =>
           require(mode == 0, "mean(dim=1) needs the (n, seq, emb) embedding output")
           require(pool < 0, "second pool op after the sequence already collapsed")
+          mode = 2; pool = i
+        case SeqMaskedMeanPoolOp =>
+          require(mode == 0, "masked mean pool needs the (n, seq, emb) layout")
+          require(pool < 0, "second pool op after the sequence already collapsed")
+          require(e.padIdx >= 0,
+            "masked mean pool needs a padded-batch head (EmbeddingSeqOp padIdx)")
           mode = 2; pool = i
         case SeqClsPoolOp | SeqLastPoolOp =>
           require(mode == 0, "CLS/last-token pooling needs the (n, seq, emb) layout")
@@ -871,6 +904,21 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       System.arraycopy(e.weight, id * e.embDim, data, p * e.embDim, e.embDim)
       p += 1
     }
+    // padded-batch mode: the valid length is the prefix before the
+    // trailing padIdx run; interior pads / all-pad rows are caller
+    // error and fail loudly (a key_padding_mask is trailing-pad by
+    // batch construction)
+    var valid = rows
+    if (e.padIdx >= 0) {
+      while (valid > 0 && toks(valid - 1) == e.padIdx) valid -= 1
+      require(valid > 0, "all-pad token row (no valid positions)")
+      var v0 = 0
+      while (v0 < valid) {
+        require(toks(v0) != e.padIdx,
+          s"interior pad token at position $v0 (pads must be a trailing run)")
+        v0 += 1
+      }
+    }
     var oi = 1
     while (oi < poolIdx) {
       ops(oi) match {
@@ -964,7 +1012,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         case at: SelfAttentionOp =>
           // (L, inDim) -> (L, dim); f64 internally, one float rounding
           // per output value at the end
-          val o64 = attnHeadF64(at, data, rows, cols)
+          val o64 = attnHeadF64(at, data, rows, cols, valid)
           val out = new Array[Float](o64.length)
           var i0 = 0
           while (i0 < o64.length) { out(i0) = o64(i0).toFloat; i0 += 1 }
@@ -975,7 +1023,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           // optional residual (the f32 block input, exact in f64) ->
           // ONE rounding per output value
           val L = rows
-          val headOuts = ea.heads.map(h => attnHeadF64(h, data, L, cols))
+          val headOuts = ea.heads.map(h => attnHeadF64(h, data, L, cols, valid))
           val cat = new Array[Double](L * ea.catDim)
           var p = 0
           while (p < L) {
@@ -1113,21 +1161,34 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         }
       case SeqMeanPoolOp =>
         // (L, emb): mean over positions per embedding dim; L == 0 -> NaN
+        // (over a PADDED row this is torch's literal mean(dim=1): pad
+        // query rows are averaged in — masked pooling is the separate
+        // SeqMaskedMeanPoolOp, exactly as in torch it is user code)
         Array.tabulate(cols) { c =>
           var acc = 0.0
           var r = 0
           while (r < rows) { acc += data(r * cols + c); r += 1 }
           (acc / rows).toFloat
         }
+      case SeqMaskedMeanPoolOp =>
+        // (L, emb): mean over the VALID positions only — f64 sum, one
+        // rounding per value, same discipline as the other op boundaries
+        Array.tabulate(cols) { c =>
+          var acc = 0.0
+          var r = 0
+          while (r < valid) { acc += data(r * cols + c); r += 1 }
+          (acc / valid).toFloat
+        }
       case SeqClsPoolOp =>
         // (L, emb): position 0 — the [CLS] read-out
         require(rows > 0, "CLS pooling over an empty sequence")
         java.util.Arrays.copyOfRange(data, 0, cols)
       case SeqLastPoolOp =>
-        // (L, emb): position L-1 — the causal-decoder read-out
+        // (L, emb): the last VALID position — L-1 unpadded, the
+        // standard lengths-gather read-out on a padded batch
         require(rows > 0, "last-token pooling over an empty sequence")
-        java.util.Arrays.copyOfRange(data, (rows - 1) * cols, rows * cols)
-      case r: RnnOp => runRnn(r, data, rows, cols)
+        java.util.Arrays.copyOfRange(data, (valid - 1) * cols, valid * cols)
+      case r: RnnOp => runRnn(r, data, valid, cols)
       case other => sys.error(s"unexpected pool op $other")
     }
   }
@@ -1403,9 +1464,14 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
   /** One attention head over `(L, cols)` f32 data -> `(L, at.dim)` f64
     * (shared by [[SelfAttentionOp]] and [[EncoderAttnOp]]): Q/K/V
     * affines, scaled scores, max-shifted softmax, weighted V sums —
-    * all float64. */
+    * all float64. `keyLim` is the key-padding mask: softmaxes run over
+    * key columns `[0, keyLim)` only (`-inf`-masked pad columns
+    * contribute `exp(-inf) = 0` to max and sum — torch's
+    * `key_padding_mask=True` semantics); pad QUERY rows `>= keyLim`
+    * are still computed, like torch, and discarded by a masked
+    * read-out downstream. Composes with `causal` (both masks AND). */
   private def attnHeadF64(at: SelfAttentionOp, data: Array[Float],
-      L: Int, cols: Int): Array[Double] = {
+      L: Int, cols: Int, keyLim: Int): Array[Double] = {
     val d = at.dim
     def proj(w: Array[Float], b: Array[Float]): Array[Double] = {
       val out = new Array[Double](L * d)
@@ -1433,8 +1499,11 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     var a = 0
     while (a < L) {
       // causal: row a's softmax runs over the prefix 0..a only (the
-      // -inf-masked tail contributes exp(-inf) = 0 to max and sum)
-      val lim = if (at.causal) a + 1 else L
+      // -inf-masked tail contributes exp(-inf) = 0 to max and sum);
+      // key padding caps both forms at keyLim. A causal pad QUERY row
+      // (a >= keyLim) still sees all keyLim valid keys, matching
+      // torch's additive-mask composition.
+      val lim = if (at.causal) math.min(a + 1, keyLim) else keyLim
       var mx = Double.NegativeInfinity
       var b0 = 0
       while (b0 < lim) {
@@ -1483,8 +1552,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: AvgPool1dOp |
           _: SelfAttentionOp |
           _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp | _: PosEmbedOp |
-          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | SeqClsPoolOp |
-          SeqLastPoolOp | _: RnnOp |
+          SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | SeqMaskedMeanPoolOp |
+          SeqClsPoolOp | SeqLastPoolOp | _: RnnOp |
           _: Conv2dOp | _: MaxPool2dOp | _: AvgPool2dOp | _: GlobalPool2dOp |
           _: ChannelAffineOp | _: ResBlock2dOp =>
         sys.error("sequence/image op past the pool") // phase walkers forbid
@@ -1757,8 +1826,20 @@ object TorchScriptModel {
     // mean(dim=1) fuses back into the single-op EmbeddingMeanOp so the
     // fastText shape keeps its one-pass pooled GEMM path (and q107-era
     // op lists stay identical)
-    val traced = tracer.ops.result() match {
-      case (e: EmbeddingSeqOp) +: SeqMeanPoolOp +: rest =>
+    // a consumed key_padding_mask (torch.eq(x, pad) fed to an attention
+    // module) flips the head embedding into padded-batch mode
+    val withPad =
+      if (tracer.padMaskId < 0) tracer.ops.result()
+      else tracer.ops.result() match {
+        case (e: EmbeddingSeqOp) +: rest =>
+          require(tracer.padMaskId < e.vocab,
+            s"key_padding_mask pad id ${tracer.padMaskId} outside vocab [0, ${e.vocab})")
+          e.copy(padIdx = tracer.padMaskId) +: rest
+        case _ => sys.error("key_padding_mask traced but the model head is " +
+          "not a token-sequence embedding")
+      }
+    val traced = withPad match {
+      case (e: EmbeddingSeqOp) +: SeqMeanPoolOp +: rest if e.padIdx < 0 =>
         EmbeddingMeanOp(e.weight, e.vocab, e.embDim, padIdx = -1) +: rest
       case other => other
     }
