@@ -2083,6 +2083,37 @@ object SparkEntry {
         .orderBy("q_id")
     },
 
+    // PADDED-BATCH MultiheadAttention (q156): every row padded to a
+    // FIXED EncMaxLen with the reserved pad id 32 — how real encoder
+    // batches run (torch's key_padding_mask + masked-mean read-out,
+    // traced as torch.eq(ids, pad) -> nn.MultiheadAttention and
+    // (x*mask).sum(1)/lengths). The engine masks pad KEY columns out
+    // of every softmax and pools only valid positions; the DuckDB
+    // oracle states the masked softmax as the q127 score join over
+    // VALID positions only (pad terms are exp(-inf) = 0 — identically
+    // absent from the join). By the unpadded-equivalent contract the
+    // logits equal q127's variable-length run; the engine PATH is the
+    // padded one (TorchPaddedSpec pins bit-identity + loud failures).
+    "q156_torch_padded" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = encPadModel
+      val hashMod = m.seqHead.get.vocab - 1 // 32: top row is the pad id
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % hashMod),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+        .select(col("doc_id"),
+          concat(col("tok_ids"), array_repeat(lit(hashMod.toLong),
+            lit(EncMaxLen) - size(col("tok_ids")))).as("tok_ids"))
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("pad_class"))
+        .orderBy("doc_id")
+    },
+
     // nn.MultiheadAttention surface (q147): the q127 block with its
     // per-head projections derived from torch's PACKED in_proj layout
     // (Mha.split — the same split the tracer applies to a loaded
@@ -3200,6 +3231,29 @@ object SparkEntry {
   /** Position cap for q127 (bounds the oracle's L×L score join). */
   private val EncMaxLen = 12
 
+  /** q156's PADDED-BATCH encoder: [[encModel]]'s attention/LN/FFN/fc
+    * weights re-headed with a 33-row embedding whose top row (id 32,
+    * outside the hash modulus 32) is the padding id, and the mean pool
+    * replaced by [[graft.torch.SeqMaskedMeanPoolOp]] — the read-out a
+    * torch user traces as `(x * mask).sum(1) / lengths`. Every input
+    * row is padded to exactly [[EncMaxLen]] tokens, so the engine runs
+    * the fixed-length batch path with `key_padding_mask` semantics
+    * (pad KEY columns excluded from every softmax, pad QUERY rows
+    * never reaching the masked pool); by the unpadded-equivalent
+    * contract ([[graft.torch.EmbeddingSeqOp]]) the logits equal
+    * q127's variable-length run, which is exactly what the shared
+    * DuckDB oracle (valid positions only) states. Argmax-gap pinning
+    * is inherited from TorchEncoderSpec (identical logits). */
+  private[graft] lazy val encPadModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    val base = encModel.ops
+    val e = base.head.asInstanceOf[EmbeddingSeqOp]
+    new TorchScriptModel(
+      (EmbeddingSeqOp(e.weight ++ Array.fill(e.embDim)(0.5f), vocab = e.vocab + 1,
+        embDim = e.embDim, padIdx = e.vocab): TorchOp) +:
+        (base.slice(1, 5) :+ (SeqMaskedMeanPoolOp: TorchOp) :+ base.last))
+  }
+
   /** q151's pinned blocklist: multi-word phrases over the fixture
     * vocabulary plus one bare token; all BORDERLESS (no proper prefix
     * == suffix), so automaton all-occurrence counts equal the
@@ -3479,12 +3533,17 @@ object SparkEntry {
   /** `source` swaps the relation the word CTE tokenizes (any relation
     * with `doc_id, text` — q145 feeds BM25-candidate PAIR texts);
     * `extraCtes` prepends CTEs that `source` may reference. */
+  /** `hashMod` overrides the tokenizer's hash modulus when it is
+    * smaller than the embedding vocab (q156 reserves the top row as
+    * the padding id, which the hash must never produce). */
   private def encBlockSql(m0: graft.torch.TorchScriptModel, pool: String,
-      source: String = "documents", extraCtes: String = ""): String = {
+      source: String = "documents", extraCtes: String = "",
+      hashMod: Int = -1): String = {
     val withCls = pool == "cls"
     import graft.torch._
     val m = m0
     val e = m.seqHead.get
+    val hm = if (hashMod > 0) hashMod else e.vocab
     val ea = m.ops.collectFirst { case a: EncoderAttnOp => a }.get
     val lns = m.ops.collect { case l: SeqLayerNormOp => l }
     val ff = m.ops.collectFirst { case f: PosFfnOp => f }.get
@@ -3557,7 +3616,7 @@ object SparkEntry {
     val wordsCte =
       s"""words AS (
          |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
-         |           % ${e.vocab} AS tid, pos
+         |           % $hm AS tid, pos
          |  FROM (SELECT doc_id,
          |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
          |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
@@ -5160,6 +5219,23 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // q156: the masked softmax stated as the q127 score join over
+    // VALID positions only — a pad key contributes exp(-inf) = 0 to
+    // max-shift and sum on both engines, i.e. it is identically
+    // absent, so the oracle tokenizes only the valid positions
+    // (hashMod 32 keeps the reserved pad id 32 unreachable) and the
+    // engine's masked-mean pool is the oracle's avg over those rows.
+    "q156_torch_padded" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        encPadModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(encPadModel, pool = "mean",
+          hashMod = encPadModel.seqHead.get.vocab - 1),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS pad_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // The greedy longest-match scan as a WITH RECURSIVE peel: each

@@ -354,6 +354,26 @@ object TorchCode {
       * it; doing so flips the model head into padded-batch mode
       * ([[graft.torch.EmbeddingSeqOp]] `padIdx`). */
     final case class PadMask(padId: Int) extends Sym
+    /** `torch.ne(x, pad)` (or `logical_not` of a [[PadMask]]) on the
+      * RAW token-ids input: the VALID-position mask (True at real
+      * tokens) of the masked-mean read-out
+      * `(x * mask.unsqueeze(-1)).sum(1) / mask.sum(1)`. `asFloat` is
+      * set by the bool->float `torch.to` cast, `unsqueezed` by the
+      * trailing `torch.unsqueeze(·, -1)` that makes it broadcastable
+      * over the feature dim. */
+    final case class ValidMask(padId: Int, asFloat: Boolean = false,
+        unsqueezed: Boolean = false) extends Sym
+    /** `x * validMask.unsqueeze(-1)`: the live `(n, L, emb)` sequence
+      * with pad positions zeroed — awaiting `torch.sum(·, [1])`. */
+    final case class MaskedSeq(emb: Int, padId: Int) extends Sym
+    /** `sum(x * mask, 1)` — the masked-mean numerator `(n, emb)`,
+      * awaiting the division by [[LenVec]] that emits
+      * [[graft.torch.SeqMaskedMeanPoolOp]]. */
+    final case class MaskedSum(emb: Int, padId: Int) extends Sym
+    /** `sum(validMaskFloat, 1)` — the per-row valid lengths
+      * `(n[, 1])`; keepdim / a later unsqueeze only change broadcast
+      * shape, not meaning. */
+    final case class LenVec(padId: Int) extends Sym
     /** The dynamic sequence length `torch.size(x, 1)` of the live
       * embedding sequence — only `torch.arange` consumes it (the
       * positional-id ramp of a learned-position encoder). */
@@ -1155,19 +1175,56 @@ object TorchCode {
                   s"${y.getClass.getSimpleName}) unsupported (self-attention pattern only) in: $line")
               }
             case "div" | "mul" =>
-              // scalar scaling of attention scores (q·k^T / sqrt(d))
-              val sc = eval(args(0), line) match {
-                case s0: AttnScores => s0
-                case other => sys.error(s"TorchScript code: $fn on $other unsupported " +
-                  s"(attention-score scaling only) in: $line")
+              // scalar scaling of attention scores (q·k^T / sqrt(d)),
+              // or a leg of the masked-mean read-out:
+              // mul(x, validMask.unsqueeze(-1)) zeroes pad positions,
+              // div(sum(x·mask, 1), lengths) closes the pattern and
+              // emits SeqMaskedMeanPoolOp (padded-batch mode)
+              (eval(args(0), line), eval(args(1), line)) match {
+                case (sc: AttnScores, c0) =>
+                  val c = c0 match {
+                    case d: Double => d
+                    case n: Long => n.toDouble
+                    case other => sys.error(s"TorchScript code: $fn by non-scalar $other in: $line")
+                  }
+                  require(c != 0.0 || fn == "mul", s"TorchScript code: div by zero in: $line")
+                  sc.copy(scale = if (fn == "div") sc.scale / c else sc.scale * c)
+                case (num: MaskedSum, den: LenVec) if fn == "div" =>
+                  require(num.padId == den.padId,
+                    s"TorchScript code: masked-mean numerator (pad ${num.padId}) " +
+                      s"divided by lengths of pad ${den.padId} in: $line")
+                  require(padMaskId < 0 || padMaskId == num.padId,
+                    s"TorchScript code: conflicting key_padding_mask pad ids " +
+                      s"($padMaskId vs ${num.padId}) in: $line")
+                  padMaskId = num.padId
+                  ops += SeqMaskedMeanPoolOp
+                  Flat(num.emb)
+                case (x, m: ValidMask) if fn == "mul" =>
+                  require(m.asFloat && m.unsqueezed, s"TorchScript code: mul by a " +
+                    s"bool/unbroadcastable valid mask (cast with .to(float) and " +
+                    s".unsqueeze(-1) first) in: $line")
+                  x match {
+                    case sy: Sym => forceSeq(sy) match {
+                      case SeqEmb(d) => MaskedSeq(d, m.padId)
+                      case other => sys.error(s"TorchScript code: masked-mean mul on " +
+                        s"$other unsupported ((n, seq, emb) sequences only) in: $line")
+                    }
+                    case other => sys.error(s"TorchScript code: mul of $other by a " +
+                      s"valid mask unsupported in: $line")
+                  }
+                case (m: ValidMask, x: Sym) if fn == "mul" =>
+                  require(m.asFloat && m.unsqueezed, s"TorchScript code: mul by a " +
+                    s"bool/unbroadcastable valid mask (cast with .to(float) and " +
+                    s".unsqueeze(-1) first) in: $line")
+                  forceSeq(x) match {
+                    case SeqEmb(d) => MaskedSeq(d, m.padId)
+                    case other => sys.error(s"TorchScript code: masked-mean mul on " +
+                      s"$other unsupported ((n, seq, emb) sequences only) in: $line")
+                  }
+                case (x, y) => sys.error(s"TorchScript code: $fn on " +
+                  s"(${x.getClass.getSimpleName}, ${y.getClass.getSimpleName}) " +
+                  s"unsupported (attention-score scaling / masked mean only) in: $line")
               }
-              val c = eval(args(1), line) match {
-                case d: Double => d
-                case n: Long => n.toDouble
-                case other => sys.error(s"TorchScript code: $fn by non-scalar $other in: $line")
-              }
-              require(c != 0.0 || fn == "mul", s"TorchScript code: div by zero in: $line")
-              sc.copy(scale = if (fn == "div") sc.scale / c else sc.scale * c)
             case "add" =>
               // the residual connection of an encoder block: one side is
               // the live (n, seq, d) sequence, the other a HELD
@@ -1527,6 +1584,76 @@ object TorchCode {
                   PadMask(p.toInt)
                 case other => sys.error(s"TorchScript code: eq comparand " +
                   s"$other unsupported (int pad id only) in: $line")
+              }
+            case "ne" =>
+              // torch.ne(x, pad) on the RAW token-ids input: the
+              // valid-position mask of the masked-mean read-out
+              require(tensorArg == Flat(-1), s"TorchScript code: ne on " +
+                s"$tensorArg unsupported (valid-mask ne reads the raw " +
+                s"token-ids input) in: $line")
+              eval(args(1), line) match {
+                case p: Long =>
+                  require(p >= 0, s"TorchScript code: ne pad id $p negative in: $line")
+                  ValidMask(p.toInt)
+                case other => sys.error(s"TorchScript code: ne comparand " +
+                  s"$other unsupported (int pad id only) in: $line")
+              }
+            case "logical_not" | "bitwise_not" | "__not__" =>
+              // ~torch.eq(x, pad) == torch.ne(x, pad): flip between the
+              // key-padding and valid-position masks
+              tensorArg match {
+                case PadMask(p) => ValidMask(p)
+                case ValidMask(p, false, false) => PadMask(p)
+                case other => sys.error(s"TorchScript code: $fn on $other " +
+                  s"unsupported (raw pad/valid masks only) in: $line")
+              }
+            case "to" =>
+              // dtype cast: only the bool->float cast of the valid mask
+              // (the masked-mean multiplicand) has a home
+              tensorArg match {
+                case v @ ValidMask(_, false, false) => v.copy(asFloat = true)
+                case other => sys.error(s"TorchScript code: to (dtype cast) on " +
+                  s"$other unsupported (bool valid masks only) in: $line")
+              }
+            case "unsqueeze" =>
+              // mask.unsqueeze(-1): broadcast the (n, L) float mask over
+              // the feature dim; on the summed lengths it only reshapes
+              tensorArg match {
+                case v @ ValidMask(_, true, false) =>
+                  sizeArg(1, Long.MinValue) match {
+                    case -1L | 2L => v.copy(unsqueezed = true)
+                    case d => sys.error(s"TorchScript code: unsqueeze dim $d on a " +
+                      s"valid mask unsupported (-1/2 only) in: $line")
+                  }
+                case l: LenVec =>
+                  sizeArg(1, Long.MinValue) match {
+                    case -1L | 1L => l
+                    case d => sys.error(s"TorchScript code: unsqueeze dim $d on " +
+                      s"lengths unsupported (-1/1 only) in: $line")
+                  }
+                case other => sys.error(s"TorchScript code: unsqueeze on $other " +
+                  s"unsupported (masked-mean legs only) in: $line")
+              }
+            case "sum" =>
+              // the two masked-mean sums: sum(x·mask, 1) -> numerator,
+              // sum(floatMask, 1) -> per-row valid lengths
+              def sumDim1(): Unit = {
+                args.lift(1).map(a => eval(a, line)) match {
+                  case Some(1L) | Some(Vector(1L)) =>
+                  case other => sys.error(s"TorchScript code: sum over dims $other " +
+                    s"unsupported (dim=1 only) in: $line")
+                }
+                args.lift(2).map(a => eval(a, line)) match {
+                  case None | Some(_: Boolean) | Some(null) => // keepdim: shape only
+                  case other => sys.error(s"TorchScript code: sum keepdim $other " +
+                    s"unsupported in: $line")
+                }
+              }
+              tensorArg match {
+                case ValidMask(p, true, false) => sumDim1(); LenVec(p)
+                case m: MaskedSeq => sumDim1(); MaskedSum(m.emb, m.padId)
+                case other => sys.error(s"TorchScript code: sum on $other " +
+                  s"unsupported (masked-mean legs only) in: $line")
               }
             case other => sys.error(s"TorchScript code: unsupported function $qual in: $line")
           }

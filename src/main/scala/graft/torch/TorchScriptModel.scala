@@ -63,7 +63,22 @@ final case class EmbeddingMeanOp(weight: Array[Float], vocab: Int, embDim: Int, 
   * RNNs run packed (recurrence stops at the valid length), and the
   * masked pool ops read only valid positions. Interior pads and
   * all-pad rows fail loudly — a padded batch is trailing-pad by
-  * construction, anything else is caller error. */
+  * construction, anything else is caller error.
+  *
+  * THE PADDED-BATCH CONTRACT is UNPADDED-EQUIVALENT semantics: pads
+  * exist only as a batching artifact, so every read-out returns what
+  * the same row would produce run unpadded — the result torch users
+  * get via `key_padding_mask` + `pack_padded_sequence` + a lengths
+  * gather. This is an INTENTIONAL divergence from two literal traced
+  * forms: `x[:, -1]` reads the last VALID position (torch's literal
+  * select would read the pad row), and a plain `nn.GRU/LSTM` runs
+  * PACKED (torch's literal unpacked RNN would recurse through pad
+  * steps). Both are pinned by TorchCodeSpec's bit-identity goldens
+  * (padded batch == unpadded rows). The one literal hold-out is
+  * `.mean(dim=1)` ([[SeqMeanPoolOp]]): torch code that means over a
+  * padded batch without a mask is averaging garbage and the engine
+  * reproduces it faithfully; the masked read-out is the traced
+  * `(x * mask).sum(1) / lengths` pattern ([[SeqMaskedMeanPoolOp]]). */
 final case class EmbeddingSeqOp(weight: Array[Float], vocab: Int, embDim: Int,
     padIdx: Int = -1) extends TorchOp {
   require(padIdx < vocab, s"padIdx $padIdx outside vocab [0, $vocab)")
@@ -89,7 +104,13 @@ case object SeqClsPoolOp extends TorchOp
   * `(L, emb)` sequence, the classifier read-out of a GPT-style CAUSAL
   * decoder (only the last position has attended to the whole
   * sequence). Empty sequence fails loudly, like torch's select on an
-  * empty dim. */
+  * empty dim.
+  *
+  * PADDED-BATCH mode reads the last VALID position (the
+  * lengths-gather read-out), NOT the trailing pad row a literal torch
+  * `x[:, -1]` would return — the engine's padded-batch contract is
+  * UNPADDED-EQUIVALENT semantics (see [[EmbeddingSeqOp]]); pinned by
+  * TorchCodeSpec's "padded rows == unpadded rows" goldens. */
 case object SeqLastPoolOp extends TorchOp
 
 /** `transpose(1, 2)`: `(L, emb)` <-> `(ch, L)` — the mandatory layout
