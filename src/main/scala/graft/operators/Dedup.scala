@@ -301,8 +301,16 @@ object Dedup {
     if (append) {
       // Appending under different shingle/band parameters would silently
       // mix incompatible data beneath a meta claiming the new params —
-      // enforce the contract the docstring promises, loudly.
-      val existing = spark.read.parquet(s"$path/meta").collect()
+      // enforce the contract the docstring promises, loudly. A missing
+      // index is its own clear error (not a raw path-not-found).
+      val existing =
+        try spark.read.parquet(s"$path/meta").collect()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+            throw new IllegalArgumentException(
+              s"no text index at $path — build one with append=false first", e)
+        }
       require(existing.length == 1, s"bad text-index meta at $path")
       val (en, eb, er) = (existing(0).getAs[Int]("n"),
         existing(0).getAs[Int]("bands"), existing(0).getAs[Int]("rows_per_band"))

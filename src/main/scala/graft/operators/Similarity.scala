@@ -120,6 +120,11 @@ object Similarity {
   def assignByCentroids(spark: org.apache.spark.sql.SparkSession,
       cents: Array[(Int, Array[Double])]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(cents.nonEmpty, "no centroids")
+    // one dim for ALL labels, checked once at broadcast time — ragged
+    // centroids (inconsistent input vectors) must not reach the dot loop
+    val dim = cents(0)._2.length
+    for ((lab, c) <- cents) require(c.length == dim,
+      s"ragged centroids: label $lab has dim ${c.length}, label ${cents(0)._1} has $dim")
     val bc = spark.sparkContext.broadcast(cents)
     udf { v: Seq[Double] =>
       if (v == null) -1

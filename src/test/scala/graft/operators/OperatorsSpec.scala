@@ -1497,6 +1497,12 @@ class OperatorsSpec extends AnyFunSuite {
       minMargin = math.min(minMargin, sims(sims.length - 1) - sims(sims.length - 2))
     }
     assert(minMargin > 1e-6, s"assignment margin floor violated: $minMargin")
+    // ragged centroid dims are rejected at broadcast time, before any
+    // executor-side dot loop could read out of bounds
+    val ragged = intercept[IllegalArgumentException](
+      Similarity.assignByCentroids(spark,
+        Array(0 -> Array(1.0, 2.0), 1 -> Array(1.0, 2.0, 3.0))))
+    assert(ragged.getMessage.contains("ragged"), ragged.getMessage)
   }
 
   test("model quality filter: runner-up logit gap dwarfs f32 drift; no NaN logits") {

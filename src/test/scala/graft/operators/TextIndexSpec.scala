@@ -62,4 +62,12 @@ class TextIndexSpec extends AnyFunSuite {
     val path = tmpDir()
     intercept[Exception](Dedup.loadTextIndex(spark, path))
   }
+
+  test("append against a not-yet-existing index gives a clear error, not a raw path failure") {
+    val path = tmpDir() + "/nope"
+    val err = intercept[IllegalArgumentException](
+      Dedup.saveTextIndex(docs.limit(5), "doc_id", "text", n = 3, bands = 16,
+        rowsPerBand = 4, path = path, append = true))
+    assert(err.getMessage.contains("no text index"), err.getMessage)
+  }
 }
