@@ -1969,6 +1969,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SentencePiece unigram-LM tokenization (q157): the Llama/T5
+    // tokenizer family completing the trio beside BPE (q97) and
+    // WordPiece (q148). Viterbi argmax segmentation of each word under
+    // the FROZEN hard-EM-trained piece log-probs (train once on a
+    // reference corpus, broadcast, apply anywhere — the production
+    // tokenizer shape; SentencePieceSpec re-derives the artifact from
+    // sf0.001 exactly). Scan-side UDF, no shuffle; the oracle restates
+    // the Viterbi DP as a recursive-CTE path enumeration with the
+    // identical (score DESC, np ASC, path ASC) total order.
+    "q157_sentencepiece" -> { (s, dir) =>
+      graft.operators.SentencePiece.segmentDocs(
+          t(s, dir, "documents"), "text", SentencePieceScores)
+        .select(col("doc_id"), col("n_pieces"),
+          round(col("sp_score"), 6).as("sp_score"), col("head_pieces"))
+        .orderBy("doc_id")
+    },
+
     // Round-11 ingest capstone (q154): the new operators COMPOSED —
     // Aho-Corasick blocklist filter (drop docs with >= 2 banned-phrase
     // hits), bigram-LM quality gate (frozen full-corpus statistics,
@@ -3331,6 +3348,101 @@ object SparkEntry {
     "##umn", "##dow", "##der", "##rt", "##ue", "##ne", "##ge", "##oup",
     "##ery", "##tor", "##eam", "##ter", "##st", "##ch", "##ark",
     "##ble", "##all", "##tom", "##er", "##p", "##ow")
+
+  /** q157's FROZEN unigram-LM piece scores — the artifact
+    * [[graft.operators.SentencePiece.train]] produces on the sf0.001
+    * corpus (vocabSize 64 multi-char + full single-char coverage, 2
+    * hard-EM iterations); SentencePieceSpec re-derives it exactly, so
+    * these literals are provenance-pinned, and the train-once /
+    * freeze / apply-anywhere shape is how production tokenizers ship.
+    * Doubles are shortest-round-trip strings: pasted into the oracle
+    * as CAST('…' AS DOUBLE) they parse to the identical bits. */
+  private[graft] val SentencePieceScores: Seq[(String, Double)] = Seq(
+    ("a", -3.1018521674323023), ("ag", -12.000081153033529), ("agg", -4.44679454743311),
+    ("al", -4.50620726624997), ("alu", -4.449945810545101), ("an", -12.000081153033529),
+    ("ar", -12.000081153033529), ("art", -12.000081153033529), ("as", -4.47876317283429),
+    ("at", -3.807787421885889), ("b", -3.404631463651525), ("c", -3.394693950881376),
+    ("ca", -12.000081153033529), ("can", -12.000081153033529), ("co", -4.4209131856374535),
+    ("col", -12.000081153033529), ("colu", -12.000081153033529), ("d", -4.476599840460032),
+    ("de", -12.000081153033529), ("der", -12.000081153033529), ("do", -12.000081153033529),
+    ("dow", -12.000081153033529), ("e", -2.392375051205832), ("er", -4.485281392544859),
+    ("f", -3.7945895399132934), ("g", -3.384129189594028), ("gg", -12.000081153033529),
+    ("h", -3.09994116493973), ("i", -3.8072340184406643), ("in", -3.7665780127995356),
+    ("ind", -12.000081153033529), ("indo", -12.000081153033529), ("j", -4.464784450589441),
+    ("k", -3.781024491972932), ("l", -2.8762795424745855), ("lu", -12.000081153033529),
+    ("lum", -12.000081153033529), ("lumn", -4.4209131856374535), ("m", -3.80171676306591),
+    ("me", -12.000081153033529), ("mer", -3.797872716597082), ("mn", -12.000081153033529),
+    ("n", -12.000081153033529), ("nd", -12.000081153033529), ("ndo", -12.000081153033529),
+    ("ndow", -12.000081153033529), ("o", -3.797324771377893), ("ol", -12.000081153033529),
+    ("olu", -12.000081153033529), ("olum", -12.000081153033529), ("or", -4.470137782431941),
+    ("ord", -12.000081153033529), ("orde", -4.423983812410419), ("ort", -12.000081153033529),
+    ("ow", -3.3826807012002664), ("p", -12.000081153033529), ("pa", -12.000081153033529),
+    ("par", -4.492940073305921), ("part", -4.436361484619163), ("q", -4.4669223455779665),
+    ("r", -3.092333466244882), ("rd", -12.000081153033529), ("rde", -12.000081153033529),
+    ("rder", -12.000081153033529), ("ro", -4.4669223455779665), ("rt", -12.000081153033529),
+    ("s", -3.3950602512517722), ("sc", -12.000081153033529), ("sca", -12.000081153033529),
+    ("scan", -4.414800074394404), ("so", -12.000081153033529), ("sor", -12.000081153033529),
+    ("sort", -4.425009453525969), ("st", -3.3979954945993294), ("t", -3.384491639761099),
+    ("ta", -4.500657862441301), ("to", -12.000081153033529), ("u", -4.516274465367695),
+    ("ue", -4.4669223455779665), ("um", -12.000081153033529), ("umn", -12.000081153033529),
+    ("up", -4.436361484619163), ("v", -3.767109362440092), ("w", -12.000081153033529),
+    ("wi", -12.000081153033529), ("win", -12.000081153033529), ("wind", -4.422959222156851),
+    ("y", -3.7681729094693517))
+
+  /** q157's DuckDB oracle: the Viterbi DP restated as exhaustive path
+    * enumeration in a recursive CTE — each step appends one vocabulary
+    * piece at the current position (`substr(w, pos+1, len(p)) = p`),
+    * accumulating the f64 score LEFT-TO-RIGHT exactly like the
+    * engine's DP, and the winner per word is
+    * `ORDER BY score DESC, np ASC, path ASC` — the engine's total
+    * order. Exhaustive enumeration == DP because the order is
+    * prefix-decomposable (see SentencePiece.viterbi scaladoc); it is
+    * tractable because pieces cap at 4 chars and words at 12
+    * (<= 1490 compositions/word) over DISTINCT words only. */
+  private def sentencePieceSql: String = {
+    val rows = SentencePieceScores
+      .map { case (p, s) => s"('$p', '$s')" }.mkString(",\n    ")
+    s"""WITH RECURSIVE
+       |spv(p, s) AS (SELECT p, CAST(sv AS DOUBLE) FROM (VALUES
+       |    $rows) t(p, sv)),
+       |words AS (
+       |  SELECT doc_id, substr(w, 1, ${graft.operators.SentencePiece.MaxWordLen}) AS w, wpos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS wpos
+       |        FROM documents)),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |seg(w, pos, score, np, path) AS (
+       |  SELECT w, 0, CAST(0 AS DOUBLE), 0, '' FROM dw
+       |  UNION ALL
+       |  SELECT seg.w, seg.pos + length(v.p), seg.score + v.s, seg.np + 1,
+       |         CASE WHEN seg.path = '' THEN v.p ELSE seg.path || ' ' || v.p END
+       |  FROM seg JOIN spv v ON substr(seg.w, seg.pos + 1, length(v.p)) = v.p
+       |  WHERE seg.pos < length(seg.w)),
+       |best AS (
+       |  SELECT w, path, score, np,
+       |         row_number() OVER (PARTITION BY w
+       |           ORDER BY score DESC, np ASC, path ASC) AS rn
+       |  FROM seg WHERE pos = length(w)),
+       |wall AS (
+       |  SELECT dw.w, COALESCE(b.path, '${graft.operators.SentencePiece.Unk}') AS path,
+       |         COALESCE(b.score, CAST(-20.0 AS DOUBLE)) AS score,
+       |         COALESCE(b.np, 1) AS np
+       |  FROM dw LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON dw.w = b.w),
+       |occ AS (
+       |  SELECT words.doc_id, words.wpos, wall.path, wall.score, wall.np
+       |  FROM words JOIN wall ON words.w = wall.w),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(np) AS INT) AS n_pieces,
+       |         round(sum(score), 6) AS sp_score,
+       |         array_to_string(flatten(list(string_split(path, ' ')
+       |           ORDER BY wpos))[1:10], ' ') AS head_pieces
+       |  FROM occ GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_pieces, 0) AS n_pieces,
+       |  COALESCE(sp_score, CAST(0 AS DOUBLE)) AS sp_score,
+       |  COALESCE(head_pieces, '') AS head_pieces
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 
   /** q147's encoder block built from `nn.MultiheadAttention`'s PACKED
     * layout: one dyadic `(3E, E)` in_proj + `(3E)` bias split into
@@ -5237,6 +5349,10 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS pad_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
+
+    // The Viterbi DP as recursive-CTE path enumeration over distinct
+    // words with the engine's exact total order (see sentencePieceSql).
+    "q157_sentencepiece" -> sentencePieceSql,
 
     // The greedy longest-match scan as a WITH RECURSIVE peel: each
     // iteration consumes the longest vocab piece prefixing the
