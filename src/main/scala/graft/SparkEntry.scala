@@ -1673,6 +1673,43 @@ object SparkEntry {
           (col("recall") >= 0.50).as("pass"))
     },
 
+    // FILTERED ANN (q158): "top-5 WHERE label % 3 = 0" — the RAG
+    // retrieval shape. The metadata predicate is pushed BELOW the
+    // probe-bounded ADC shortlist (ivfPqTopKFilteredReranked filters
+    // the code rows before ranking), so the returned k is the true
+    // top-k of the FILTERED subset; recall is gated against brute
+    // force ON THAT SUBSET, and filter_violations (returned neighbors
+    // violating the predicate) is exactly zero by construction —
+    // the invariant a predicate applied after the shortlist breaks.
+    "q158_ann_filtered" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val q = emb.filter(col("vec_id") < 20).select("vec_id", "embedding")
+      val pred = col("label") % 3 === 0
+      val sub = emb.filter(pred).select("vec_id", "embedding")
+      val brute = graft.operators.Similarity
+        .bruteForceTopK(sub, q, "vec_id", "embedding", k = 5)
+        .select("q_id", "vec_id")
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 64, m = 8, ksub = 32)
+      val codes = graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix)
+      val codesMeta = codes.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val approx = graft.operators.Similarity
+        .ivfPqTopKFilteredReranked(emb, codesMeta, q, "vec_id", "embedding", ix,
+          k = 5, shortlist = 50, nprobe = 16, pred = pred)
+      val viol = approx.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .agg(sum(when(col("label") % 3 === 0, 0).otherwise(1)).cast("long").as("v"),
+          countDistinct("q_id").as("n_queries"))
+      val rec = brute
+        .join(approx.select("q_id", "vec_id").withColumn("hit", lit(1)),
+          Seq("q_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+      rec.crossJoin(broadcast(viol))
+        .select(lit("ann_filtered_recall_at_5").as("metric"), col("n_queries"),
+          (floor(col("recall") * 20) / 20).as("recall_floor"),
+          col("v").as("filter_violations"),
+          (col("recall") >= 0.50 && col("v") === 0).as("pass"))
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -4891,6 +4928,19 @@ object SparkEntry {
         | CAST(CASE (SELECT count(*) FROM embeddings)
         |   WHEN 500 THEN 0.2 WHEN 2000 THEN 0.15 ELSE -1 END AS DOUBLE) AS scan_frac_ceil,
         | true AS pruned, true AS pass""".stripMargin,
+
+    // q158: deterministic quantized recall per SF (training and search
+    // are pure functions of seed+values, q135 discipline); the hard
+    // invariants are filter_violations = 0 (the predicate ran BELOW
+    // the shortlist — post-filtering cannot guarantee this) and pass.
+    "q158_ann_filtered" ->
+      """SELECT 'ann_filtered_recall_at_5' AS metric,
+        | (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 20) AS n_queries,
+        | CAST(CASE (SELECT count(*) FROM lineitem)
+        |   WHEN 6000 THEN 0.7 WHEN 60000 THEN 0.75 WHEN 600000 THEN 0.6
+        |   ELSE -1 END AS DOUBLE) AS recall_floor,
+        | CAST(0 AS BIGINT) AS filter_violations,
+        | true AS pass""".stripMargin,
 
     // TextCNN: DuckDB re-runs the conv forward as SQL arithmetic —
     // positions via zipped unnest/generate_subscripts, the k=2 window

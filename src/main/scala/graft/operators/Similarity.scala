@@ -1169,6 +1169,65 @@ object Similarity {
   }
 
   /**
+   * FILTERED IVFADC top-k — the RAG retrieval shape ("top-k WHERE
+   * lang = 'en'"): `pred`, a boolean Column over the code rows'
+   * metadata columns, is applied BEFORE the probe-bounded ADC ranking,
+   * so the result is the TRUE top-k of the filtered subset. Applying a
+   * predicate AFTER an unfiltered search silently degrades k
+   * (filtered-out rows consume shortlist slots and survivors per query
+   * drop below k); pushing it below the ranking costs nothing extra —
+   * the filter lands on the codes scan side of the cell equi-join
+   * (Catalyst pushes it into a persisted codes table's parquet scan;
+   * PlanAuditSpec pins filter-below-ranking on the physical plan).
+   * `codesWithMeta` is an [[ivfPqEncode]] output joined (or built)
+   * with whatever filterable attributes the corpus carries — the
+   * store-attrs-with-codes layout every production vector store uses.
+   */
+  def ivfPqTopKFiltered(
+      codesWithMeta: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      k: Int,
+      nprobe: Int,
+      pred: Column): DataFrame =
+    ivfPqTopK(codesWithMeta.filter(pred).select("vec_id", "cell", "codes"),
+      queries, idCol, embCol, index, k, nprobe)
+
+  /** [[ivfPqTopKFiltered]] with the exact-cosine re-rank refinement of
+    * [[ivfPqTopKReranked]]: the filtered shortlist joins back to the
+    * full-precision vectors (already predicate-satisfying — the filter
+    * ran below the shortlist) for the exact top-k. */
+  def ivfPqTopKFilteredReranked(
+      corpus: DataFrame,
+      codesWithMeta: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      k: Int,
+      shortlist: Int,
+      nprobe: Int,
+      pred: Column): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = corpus.sparkSession
+    val cand = ivfPqTopKFiltered(codesWithMeta, queries, idCol, embCol, index,
+        k = shortlist, nprobe = nprobe, pred = pred)
+      .select("q_id", "vec_id")
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /**
    * Production IVFADC search: the probe-bounded ADC pass shortlists
    * `shortlist` candidates per query, then only those join back to the
    * full-precision vectors for an exact cosine re-rank to top-k — the

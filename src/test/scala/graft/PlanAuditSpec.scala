@@ -184,6 +184,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"containment produced a product plan:\n$p")
   }
 
+  test("q158 filtered ANN: metadata predicate sits below the shortlist ranking") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+    val ix = operators.Similarity.ivfPqTrain(emb, "embedding",
+      dim = 64, nlist = 64, m = 8, ksub = 32)
+    val codesMeta = operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val q = emb.filter(col("vec_id") < 20).select("vec_id", "embedding")
+    val p = operators.Similarity.ivfPqTopKFiltered(codesMeta, q,
+      "vec_id", "embedding", ix, k = 5, nprobe = 16, pred = col("label") % 3 === 0)
+      .queryExecution.executedPlan.toString
+    // the plan prints parents first: the label filter must appear
+    // BELOW the rank window (inside its subtree), never above it
+    val wIdx = p.indexOf("Window")
+    val fIdx = p.indexOf("label")
+    assert(wIdx >= 0, s"no rank window in the filtered-ANN plan:\n$p")
+    assert(fIdx > wIdx, s"label predicate is not below the shortlist ranking:\n$p")
+    assert(!p.substring(0, wIdx).contains("label"),
+      s"label predicate leaked above the ranking:\n$p")
+  }
+
   test("q93 bloom decontamination: no product plans, corpus scans keyed joins only") {
     val p = plan("q93_bloom_decontam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
