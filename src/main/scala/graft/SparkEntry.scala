@@ -1710,6 +1710,30 @@ object SparkEntry {
           (col("recall") >= 0.50 && col("v") === 0).as("pass"))
     },
 
+    // DILATED TextCNN / TCN (q159): Embedding -> transpose ->
+    // Conv1d(k=3, dilation=2, padding='same') -> ReLU -> max pool ->
+    // Linear -> argmax, through the interpreter's dilated conv path
+    // and the same batched mapPartitions route as q113. 'same'
+    // padding keeps output length L, so every non-empty doc is legal.
+    // Dyadic 1/16-grid weights make the f32 forward bit-identical to
+    // the DuckDB f64 oracle (see tcnModel).
+    "q159_torch_tcn" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = tcnModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
+          .as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("text_class"))
+        .orderBy("doc_id")
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -3045,6 +3069,87 @@ object SparkEntry {
        |      $convSel
        |  FROM pose a JOIN pose b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
        |SELECT doc_id$src, $pools FROM conv GROUP BY doc_id$src""".stripMargin
+  }
+
+  /** DILATED TextCNN (TCN-style) classifier for q159: token ids ->
+    * Embedding(256, 4) -> transpose -> Conv1d(4->6, k=3, dilation=2,
+    * padding='same') -> ReLU -> global max pool -> Linear(6->3) ->
+    * argmax — the dilated-receptive-field conv family (TCN /
+    * WaveNet-style text blocks) the reference would run via libtorch
+    * (udf.rs:127). Dilation 2 spaces the three kernel taps at input
+    * positions {p-2, p, p+2}; 'same' padding (pad = dilation·(k−1)/2
+    * = 2) keeps output length L, so even one-token docs are legal —
+    * the zero-padded taps contribute exactly 0.0 on both engines.
+    * Numerical pinning is the q113 argument verbatim: every weight is
+    * dyadic (1/16 grid), products land on the 1/256 grid with
+    * magnitudes far inside f32's 24-bit mantissa, so the f32 forward
+    * is bit-identical to the DuckDB f64 oracle and argmax flips are
+    * impossible (exact logit ties resolve first-index on both sides).
+    * The fc bias re-centers each class at its measured median logit so
+    * predictions are mixed. */
+  private[graft] lazy val tcnModel: TorchScriptModel = {
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(256 * 4, 1913, 2.0), vocab = 256, embDim = 4),
+      TransposeOp,
+      Conv1dOp(qvals(6 * 4 * 3, 1931, 1.0), qvals(6, 1933, 0.5),
+        outCh = 6, inCh = 4, k = 3, stride = 1, pad = 2, dilation = 2),
+      ActOp("relu"),
+      SeqMaxPoolOp,
+      LinearLayer(qvals(18, 1949, 4.0),
+        Array(-4.6875f, -2.9375f, -0.25f), 3, 6)))
+  }
+
+  /** DuckDB chain for the q159 oracle: the [[textCnnPoolSql]] recipe
+    * with the k=3 DILATED window stated as a pos−2 / pos / pos+2
+    * three-way join — LEFT joins with COALESCE(·, 0) restate the
+    * engine's 'same' zero padding exactly (a zero tap contributes an
+    * exact 0.0 in both f32 and f64). Ends in
+    * `SELECT doc_id, a0..a{ch-1}` ready for
+    * [[TorchOracle.mlpArgmaxSql]]'s fc chain. Exact: all weights
+    * dyadic (see [[tcnModel]]). */
+  private def tcnPoolSql: String = {
+    val m = tcnModel
+    val e = m.seqHead.get
+    val cv = m.ops.collectFirst { case c: Conv1dOp => c }.get
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+    // tap j of the k=3 kernel reads pos + (j-1)*dilation: l / a / r
+    val convSel = (0 until cv.outCh).map { c =>
+      val terms = fmtF(cv.bias(c)) +: (0 until cv.inCh).flatMap { d =>
+        Seq(s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k))}*COALESCE(l.w$d, 0.0)",
+          s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k + 1))}*a.w$d",
+          s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k + 2))}*COALESCE(r.w$d, 0.0)")
+      }
+      s"GREATEST(0, ${terms.mkString("+")}) AS c$c"
+    }.mkString(",\n      ")
+    val pools = (0 until cv.outCh).map(c => s"max(c$c) AS a$c").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))), 1, 8)
+       |      AS BIGINT) % ${e.vocab} AS tid,
+       |    generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |  FROM documents),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |pose AS (
+       |  SELECT doc_id, pos, $wCols FROM toks JOIN embw USING (tid)),
+       |conv AS (
+       |  SELECT a.doc_id,
+       |      $convSel
+       |  FROM pose a
+       |  LEFT JOIN pose l ON l.doc_id = a.doc_id AND l.pos = a.pos - ${cv.dilation}
+       |  LEFT JOIN pose r ON r.doc_id = a.doc_id AND r.pos = a.pos + ${cv.dilation})
+       |SELECT doc_id, $pools FROM conv GROUP BY doc_id""".stripMargin
   }
 
   /** Recurrent (GRU) text classifier for q123: token ids ->
@@ -4951,6 +5056,19 @@ object SparkEntry {
     "q113_torch_textcnn" -> {
       val tail = new TorchScriptModel(IndexedSeq(textCnnModel.layers.last))
       TorchOracle.mlpArgmaxSql(tail, textCnnPoolSql(withSource = false),
+        arms = Seq("a"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
+          s"AS text_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")
+    },
+
+    // Dilated TextCNN: DuckDB restates the k=3 dilation-2 'same'
+    // conv as a pos-2/pos/pos+2 three-way LEFT join with COALESCE-0
+    // padding taps, then per-channel GREATEST(0, affine), max-pool,
+    // fc+argmax through TorchOracle. All weights dyadic — an EXACT
+    // oracle (see tcnModel).
+    "q159_torch_tcn" -> {
+      val tail = new TorchScriptModel(IndexedSeq(tcnModel.layers.last))
+      TorchOracle.mlpArgmaxSql(tail, tcnPoolSql,
         arms = Seq("a"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
           s"AS text_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")

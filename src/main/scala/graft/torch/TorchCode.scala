@@ -718,18 +718,23 @@ object TorchCode {
         require(outCh % groups == 0,
           s"${m.fqName}: groups=$groups must divide out_channels=$outCh")
         require(ch == inCh, s"Conv1d(in=$inCh) applied to $ch channels")
+        val dilation = sizeAttr(m, "dilation", 1).toInt
+        require(dilation >= 1, s"${m.fqName}: dilation $dilation invalid")
+        val stride = sizeAttr(m, "stride", 1).toInt
+        require(stride >= 1, s"${m.fqName}: stride $stride invalid")
         val padding = m.attrs.get("padding") match {
           case Some("valid") | Some(Pickle.PStr("valid")) => 0L
           case Some("same") | Some(Pickle.PStr("same")) =>
+            // torch raises for padding='same' with stride != 1, and an
+            // even-span kernel would need asymmetric padding
+            require(stride == 1,
+              s"${m.fqName}: padding='same' requires stride=1 (got $stride)")
             require(k % 2 == 1,
               s"${m.fqName}: padding='same' needs an odd kernel (got $k)")
-            (k - 1) / 2
+            dilation.toLong * (k - 1) / 2
           case _ => sizeAttr(m, "padding", 0)
         }
         require(padding >= 0, s"${m.fqName}: padding $padding invalid")
-        require(sizeAttr(m, "dilation", 1) == 1, s"${m.fqName}: dilation unsupported")
-        val stride = sizeAttr(m, "stride", 1).toInt
-        require(stride >= 1, s"${m.fqName}: stride $stride invalid")
         val bias = m.attrs.get("bias") match {
           case Some(t: Pickle.PTensor) =>
             require(t.shape.length == 1 && t.shape(0) == outCh,
@@ -739,7 +744,7 @@ object TorchCode {
           case other => sys.error(s"${m.fqName}: bad conv bias $other")
         }
         ops += Conv1dOp(materialize(w), bias, outCh, inCh, k, stride,
-          pad = padding.toInt, groups = groups)
+          pad = padding.toInt, groups = groups, dilation = dilation)
         ChanSeq(outCh)
       case "Conv2d" =>
         val w = m.attrs.get("weight") match {
@@ -764,16 +769,26 @@ object TorchCode {
           case Some("same") | Some(Pickle.PStr("same")) if key == "padding" =>
             require(kh == kw && kh % 2 == 1,
               s"${m.fqName}: padding='same' needs a square odd kernel (got ${kh}x$kw)")
-            ((kh - 1) / 2L, (kw - 1) / 2L)
+            val (dh, _) = pair("dilation", 1)
+            (dh * (kh - 1) / 2L, dh * (kw - 1) / 2L)
           case Some(null) | None => (dflt, dflt)
           case Some(other) => sys.error(s"${m.fqName}: bad $key $other")
+        }
+        val (dh, dw) = pair("dilation", 1)
+        require(dh == dw && dh >= 1,
+          s"${m.fqName}: dilation ($dh, $dw) unsupported (square only)")
+        val (sh, sw) = pair("stride", 1)
+        require(sh == sw && sh >= 1, s"${m.fqName}: stride ($sh, $sw) unsupported (square only)")
+        m.attrs.get("padding") match {
+          case Some("same") | Some(Pickle.PStr("same")) =>
+            // torch raises for padding='same' with stride != 1
+            require(sh == 1,
+              s"${m.fqName}: padding='same' requires stride=1 (got $sh)")
+          case _ =>
         }
         val (ph, pw) = pair("padding", 0)
         require(ph == pw && ph >= 0,
           s"${m.fqName}: padding ($ph, $pw) unsupported (symmetric only)")
-        require(pair("dilation", 1) == ((1L, 1L)), s"${m.fqName}: dilation unsupported")
-        val (sh, sw) = pair("stride", 1)
-        require(sh == sw && sh >= 1, s"${m.fqName}: stride ($sh, $sw) unsupported (square only)")
         val bias = m.attrs.get("bias") match {
           case Some(t: Pickle.PTensor) =>
             require(t.shape.length == 1 && t.shape(0) == outCh,
@@ -783,7 +798,7 @@ object TorchCode {
           case other => sys.error(s"${m.fqName}: bad conv bias $other")
         }
         val op = Conv2dOp(materialize(w), bias, outCh, inCh, kh, kw, sh.toInt,
-          ph.toInt, groups)
+          ph.toInt, groups, dilation = dh.toInt)
         s match {
           case Flat(-1) =>
             // raw model input: the stem conv binds the (n, ch, H, W)

@@ -119,23 +119,31 @@ case object TransposeOp extends TorchOp
 
 /** 1-D convolution over `(inCh, L)`: weight row-major
   * `(outCh, inCh/groups, k)`, stride >= 1, symmetric zero padding
-  * `pad` (0 = valid; `2·pad == k−1` with stride 1 = torch's
-  * `padding='same'` for odd kernels), no dilation. `groups` partitions
+  * `pad` (0 = valid; `2·pad == dilation·(k−1)` with stride 1 =
+  * torch's `padding='same'` for odd kernels). `dilation >= 1` spaces
+  * the kernel taps `dilation` positions apart (tap `j` reads input
+  * `q·stride − pad + j·dilation`) — the TCN / dilated-TextCNN
+  * receptive-field trick; effective kernel span is
+  * `dilation·(k−1) + 1`. `groups` partitions
   * channels exactly like nn.Conv1d: output channel `o` (in group
   * `o / (outCh/groups)`) reads only that group's `inCh/groups` input
   * channels — `groups == inCh == outCh` is the depthwise conv of a
-  * separable text-CNN block. Output `(outCh, (L + 2p - k)/stride + 1)`;
+  * separable text-CNN block. Output
+  * `(outCh, (L + 2p - dilation·(k−1) - 1)/stride + 1)`;
   * an input shorter than the effective kernel fails loudly, exactly
   * torch's output-size check. Accumulation stays float32 (the pinned
   * q113-era behavior the dyadic-weight oracles restate). */
 final case class Conv1dOp(weight: Array[Float], bias: Array[Float],
     outCh: Int, inCh: Int, k: Int, stride: Int, pad: Int = 0,
-    groups: Int = 1) extends TorchOp {
+    groups: Int = 1, dilation: Int = 1) extends TorchOp {
   require(pad >= 0, s"negative padding $pad")
+  require(dilation >= 1, s"dilation $dilation invalid")
   require(groups >= 1 && inCh % groups == 0 && outCh % groups == 0,
     s"groups=$groups must divide in=$inCh and out=$outCh channels")
   require(weight.length == outCh * (inCh / groups) * k,
     s"Conv1d weight size ${weight.length}, expected ${outCh * (inCh / groups) * k}")
+  /** Span of input positions one output value reads. */
+  def kSpan: Int = dilation * (k - 1) + 1
 }
 
 /** Windowed max over the sequence dim of `(ch, L)` (nn.MaxPool1d,
@@ -152,26 +160,34 @@ final case class AvgPool1dOp(k: Int, stride: Int) extends TorchOp
   * (the model consumes a PIXEL input instead of token ids; see
   * `TorchScriptModel.forwardImageBatch`). Weight row-major
   * `(outCh, inCh/groups, kh, kw)`, symmetric zero padding `pad` (0 =
-  * valid; `2·pad == k−1` with stride 1 = torch's `padding='same'` for
-  * odd kernels — the shape-preserving ResNet-block form), stride >= 1,
-  * no dilation. `groups` partitions the channels exactly like
-  * nn.Conv2d: output channel `o` (in group `o / (outCh/groups)`)
+  * valid; `2·pad == dilation·(k−1)` with stride 1 = torch's
+  * `padding='same'` for odd kernels — the shape-preserving
+  * ResNet-block form), stride >= 1. `dilation >= 1` (square) spaces
+  * the kernel taps `dilation` pixels apart in BOTH axes — the
+  * atrous-conv receptive-field trick; effective span is
+  * `dilation·(k−1)+1` per axis. `groups` partitions the channels
+  * exactly like nn.Conv2d: output channel `o` (in group
+  * `o / (outCh/groups)`)
   * reads only that group's `inCh/groups` input channels —
   * `groups == inCh == outCh` is the DEPTHWISE conv of a
   * MobileNet-style separable block. Output
-  * `(outCh, (H+2p−kh)/s+1, (W+2p−kw)/s+1)`; an input smaller than the
-  * effective kernel fails loudly, exactly torch's output-size check.
-  * f64 accumulation, one f32 rounding per output value. */
+  * `(outCh, (H+2p−khSpan)/s+1, (W+2p−kwSpan)/s+1)`; an input smaller
+  * than the effective kernel fails loudly, exactly torch's output-size
+  * check. f64 accumulation, one f32 rounding per output value. */
 final case class Conv2dOp(weight: Array[Float], bias: Array[Float],
     outCh: Int, inCh: Int, kh: Int, kw: Int, stride: Int, pad: Int = 0,
-    groups: Int = 1) extends TorchOp {
+    groups: Int = 1, dilation: Int = 1) extends TorchOp {
   require(pad >= 0, s"negative padding $pad")
+  require(dilation >= 1, s"dilation $dilation invalid")
   require(groups >= 1 && inCh % groups == 0 && outCh % groups == 0,
     s"groups=$groups must divide in=$inCh and out=$outCh channels")
   require(weight.length == outCh * (inCh / groups) * kh * kw,
     s"conv weight length ${weight.length} != $outCh x ${inCh / groups} x $kh x $kw")
+  /** Effective kernel spans with dilation. */
+  def khSpan: Int = dilation * (kh - 1) + 1
+  def kwSpan: Int = dilation * (kw - 1) + 1
   /** Does this conv map (H, W) to itself? (same padding, unit stride) */
-  def shapePreserving: Boolean = stride == 1 && 2 * pad == kh - 1 && kh == kw
+  def shapePreserving: Boolean = stride == 1 && 2 * pad == khSpan - 1 && kh == kw
 }
 
 /** A fused residual block over the `(ch, H, W)` image phase:
@@ -754,10 +770,11 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     var data = in
     op match {
       case cv: Conv2dOp =>
-        require(hh + 2 * cv.pad >= cv.kh && ww + 2 * cv.pad >= cv.kw,
-          s"Conv2d(${cv.kh}x${cv.kw}, pad=${cv.pad}) on a ${hh}x$ww image (too small)")
-        val oh = (hh + 2 * cv.pad - cv.kh) / cv.stride + 1
-        val ow = (ww + 2 * cv.pad - cv.kw) / cv.stride + 1
+        require(hh + 2 * cv.pad >= cv.khSpan && ww + 2 * cv.pad >= cv.kwSpan,
+          s"Conv2d(${cv.kh}x${cv.kw}, dilation=${cv.dilation}, pad=${cv.pad}) " +
+            s"on a ${hh}x$ww image (too small)")
+        val oh = (hh + 2 * cv.pad - cv.khSpan) / cv.stride + 1
+        val ow = (ww + 2 * cv.pad - cv.kwSpan) / cv.stride + 1
         val out = new Array[Float](cv.outCh * oh * ow)
         // grouped channel ranges (nn.Conv2d): output channel oc reads
         // input channels [g*icg, (g+1)*icg) of its group only; weight
@@ -777,12 +794,12 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
                 val d = dBase + dg
                 var r = 0
                 while (r < cv.kh) {
-                  val y = i * cv.stride + r - cv.pad
+                  val y = i * cv.stride + r * cv.dilation - cv.pad
                   if (y >= 0 && y < hh) {
                     val wOff = ((oc * icg + dg) * cv.kh + r) * cv.kw
                     var q = 0
                     while (q < cv.kw) {
-                      val x = j * cv.stride + q - cv.pad
+                      val x = j * cv.stride + q * cv.dilation - cv.pad
                       if (x >= 0 && x < ww)
                         acc += cv.weight(wOff + q) * data(d * hh * ww + y * ww + x)
                       q += 1
@@ -954,10 +971,11 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           data = out
           val t = rows; rows = cols; cols = t
         case cv: Conv1dOp =>
-          require(cols + 2 * cv.pad >= cv.k,
-            s"Conv1d(kernel=${cv.k}, pad=${cv.pad}) on a length-$cols sequence " +
-              s"(need >= ${cv.k - 2 * cv.pad} tokens)")
-          val lout = (cols + 2 * cv.pad - cv.k) / cv.stride + 1
+          require(cols + 2 * cv.pad >= cv.kSpan,
+            s"Conv1d(kernel=${cv.k}, dilation=${cv.dilation}, pad=${cv.pad}) " +
+              s"on a length-$cols sequence " +
+              s"(need >= ${cv.kSpan - 2 * cv.pad} tokens)")
+          val lout = (cols + 2 * cv.pad - cv.kSpan) / cv.stride + 1
           val icg = cv.inCh / cv.groups
           val ocg = cv.outCh / cv.groups
           val out = new Array[Float](cv.outCh * lout)
@@ -974,7 +992,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
                 val xRow = (g * icg + d) * cols
                 var j = 0
                 while (j < cv.k) {
-                  val xi = base + j
+                  val xi = base + j * cv.dilation
                   if (xi >= 0 && xi < cols)
                     acc += cv.weight(wOff + j) * data(xRow + xi)
                   j += 1

@@ -212,16 +212,18 @@ object SptFixture {
   val AdaptiveMaxPool2dCls = "__torch__.torch.nn.modules.pooling.AdaptiveMaxPool2d"
 
   /** nn.Conv2d with the 2-tuple hyper-params a real torch.jit.save
-   * emits. */
+   * emits. `paddingStr` (e.g. "same") overrides numeric padding with
+   * the string form torch stores for `padding='same'`. */
   def conv2d(weight: Array[Float], outCh: Int, inCh: Int, kh: Int, kw: Int,
       bias: Array[Float], stride: Int = 1, padding: Int = 0,
-      groups: Int = 1): Module =
+      groups: Int = 1, dilation: Int = 1, paddingStr: String = null): Module =
     Module(Conv2dCls, Seq(
       "weight" -> Tensor(Seq(outCh, inCh / groups, kh, kw), weight),
       "bias" -> Tensor(Seq(outCh), bias),
       "stride" -> Tup(Seq(I(stride), I(stride))),
-      "padding" -> Tup(Seq(I(padding), I(padding))),
-      "dilation" -> Tup(Seq(I(1), I(1))),
+      "padding" -> (if (paddingStr != null) Str(paddingStr)
+                    else Tup(Seq(I(padding), I(padding)))),
+      "dilation" -> Tup(Seq(I(dilation), I(dilation))),
       "groups" -> I(groups),
       "in_channels" -> I(inCh),
       "out_channels" -> I(outCh),
@@ -230,15 +232,18 @@ object SptFixture {
       "training" -> B(false)))
 
   /** nn.Conv1d with the full attr set a real torch.jit.save emits
-   * (hyper-params as 1-tuples). */
+   * (hyper-params as 1-tuples). `paddingStr` (e.g. "same"/"valid")
+   * overrides the numeric padding with the string form torch stores
+   * for `padding='same'`. */
   def conv1d(weight: Array[Float], outCh: Int, inCh: Int, k: Int,
       bias: Array[Float], stride: Int = 1, padding: Int = 0,
-      groups: Int = 1, dilation: Int = 1): Module =
+      groups: Int = 1, dilation: Int = 1, paddingStr: String = null): Module =
     Module(Conv1dCls, Seq(
       "weight" -> Tensor(Seq(outCh, inCh / groups, k), weight),
       "bias" -> Tensor(Seq(outCh), bias),
       "stride" -> Tup(Seq(I(stride))),
-      "padding" -> Tup(Seq(I(padding))),
+      "padding" -> (if (paddingStr != null) Str(paddingStr)
+                    else Tup(Seq(I(padding)))),
       "dilation" -> Tup(Seq(I(dilation))),
       "groups" -> I(groups),
       "in_channels" -> I(inCh),

@@ -747,12 +747,12 @@ class TorchCodeSpec extends AnyFunSuite {
     val noT = intercept[RuntimeException](
       TorchScriptModel.load(writeTemp("badcnn1", "badcnn1", m1, c1)))
     assert(noT.getMessage.contains("transpose(1, 2) missing"))
-    // dilation != 1 is unsupported surface -> loud at load, not wrong at run
-    val (m2, c2) = cnn(conv1d(cw, 2, 2, 2, cb, dilation = 2),
+    // padding='same' with stride != 1 raises in torch itself -> loud at load
+    val (m2, c2) = cnn(conv1d(cw, 2, 2, 2, cb, stride = 2, paddingStr = "same"),
       "    e0 = torch.transpose((emb).forward(x, ), 1, 2)\n    return (conv).forward(e0, )")
-    val dil = intercept[RuntimeException](
+    val strided = intercept[RuntimeException](
       TorchScriptModel.load(writeTemp("badcnn2", "badcnn2", m2, c2)))
-    assert(dil.getMessage.contains("dilation"))
+    assert(strided.getMessage.contains("padding='same' requires stride=1"))
   }
 
   test("separable Conv1d: same-padded depthwise + pointwise trace; golden vs naive recompute") {
@@ -819,6 +819,87 @@ class TorchCodeSpec extends AnyFunSuite {
     val got = m.forwardTokens(toks)
     for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
       s"logit $j: ${got(j)} vs ${expected(j)}")
+  }
+
+  test("dilated Conv1d: 'same' trace (pad = dilation*(k-1)/2), golden vs f64; valid-mode length check") {
+    // TCN-style block: Embedding(8, 3) -> transpose -> Conv1d(3->4,
+    // k=3, dilation=2, padding='same') -> ReLU -> global max pool ->
+    // Linear(4->2). Taps read positions {q-2, q, q+2}; out-of-range
+    // taps are exact zeros.
+    val (vocab, emb, ch, k, cls) = (8, 3, 4, 3, 2)
+    val ew = vals(vocab * emb, 341)
+    val cw = vals(ch * emb * k, 342); val cb = vals(ch, 343)
+    val (wf, bf) = (vals(cls * ch, 344), vals(cls, 345))
+    def mk(name: String, conv: Module) = {
+      val model = Module("__torch__.Tcn", Seq(
+        "training" -> B(false),
+        "emb" -> Module(EmbeddingCls, Seq(
+          "weight" -> Tensor(Seq(vocab, emb), ew),
+          "padding_idx" -> NoneV,
+          "training" -> B(false))),
+        "conv" -> conv,
+        "pool" -> Module(AdaptiveMaxPool1dCls, Seq(
+          "output_size" -> I(1), "training" -> B(false))),
+        "fc" -> linear(wf, cls, ch, bf)))
+      val code = Map("code/__torch__.py" ->
+        """class Tcn(Module):
+          |  training : bool
+          |  def forward(self: __torch__.Tcn,
+          |    x: Tensor) -> Tensor:
+          |    emb = self.emb
+          |    e0 = torch.transpose((emb).forward(x, ), 1, 2)
+          |    conv = self.conv
+          |    c = torch.relu((conv).forward(e0, ))
+          |    pool = self.pool
+          |    q = torch.squeeze((pool).forward(c, ), 2)
+          |    fc = self.fc
+          |    return (fc).forward(q, )
+          |""".stripMargin)
+      TorchScriptModel.load(writeTemp(name, name, model, code))
+    }
+    val m = mk("tcn", conv1d(cw, ch, emb, k, cb, dilation = 2, paddingStr = "same"))
+    val cv = m.ops.collectFirst { case c: Conv1dOp => c }.get
+    assert(cv.dilation == 2 && cv.pad == 2 && cv.stride == 1, s"traced $cv")
+    // f64 recompute with dilated taps and zero padding
+    def ref(toks: Array[Int]): Array[Double] = {
+      val L = toks.length
+      val pooled = Array.tabulate(ch) { c =>
+        var mx = Double.NegativeInfinity
+        for (q <- 0 until L) {
+          var acc = cb(c).toDouble
+          for (d <- 0 until emb; j <- 0 until k) {
+            val xi = q + (j - 1) * 2
+            if (xi >= 0 && xi < L)
+              acc += cw((c * emb + d) * k + j) * ew(toks(xi) * emb + d)
+          }
+          mx = math.max(mx, math.max(0.0, acc))
+        }
+        mx
+      }
+      mm(pooled, wf, bf, cls, ch)
+    }
+    for (toks <- Seq(Array(3, 0, 6, 2, 5, 1), Array(7), Array(2, 4))) {
+      val got = m.forwardTokens(toks)
+      val expected = ref(toks)
+      for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+        s"L=${toks.length} logit $j: ${got(j)} vs ${expected(j)}")
+    }
+    // valid mode: effective span = dilation*(k-1)+1 = 5 gates the length
+    val mv = mk("tcnv", conv1d(cw, ch, emb, k, cb, dilation = 2))
+    val cvv = mv.ops.collectFirst { case c: Conv1dOp => c }.get
+    assert(cvv.dilation == 2 && cvv.pad == 0)
+    val short = intercept[IllegalArgumentException](mv.forwardTokens(Array(1, 2, 3, 4)))
+    assert(short.getMessage.contains("need >= 5 tokens"))
+    val got5 = mv.forwardTokens(Array(3, 0, 6, 2, 5))
+    // valid-mode L=5 output: single position q=0 reading taps {0, 2, 4}
+    val pooled5 = Array.tabulate(ch) { c =>
+      var acc = cb(c).toDouble
+      for (d <- 0 until emb; j <- 0 until k)
+        acc += cw((c * emb + d) * k + j) * ew(Array(3, 0, 6, 2, 5)(j * 2) * emb + d)
+      math.max(0.0, acc)
+    }
+    val exp5 = mm(pooled5, wf, bf, cls, ch)
+    for (j <- 0 until cls) assert(math.abs(got5(j) - exp5(j)) < 1e-5)
   }
 
   // ---- independent f64 recurrences (gate order r,z,n / i,f,g,o) ----
@@ -1489,6 +1570,56 @@ class TorchCodeSpec extends AnyFunSuite {
       Conv2dOp(vals(oc * oc * 4, 136), vals(oc, 137), oc, oc, 2, 2, 1),
       LinearLayer(wf, bf, 2, oc))))
     assert(bad.getMessage.contains("Conv2d"), bad.getMessage)
+  }
+
+  test("dilated Conv2d (atrous): 'same' trace pad = dilation*(k-1)/2, golden vs f64 recompute") {
+    val (ic, h, w, oc, k) = (2, 6, 6, 3, 3)
+    val cw = vals(oc * ic * k * k, 351); val cb = vals(oc, 352)
+    val (wf, bf) = (vals(2 * oc, 353), vals(2, 354))
+    val model = Module("__torch__.Atrous", Seq(
+      "training" -> B(false),
+      "conv" -> conv2d(cw, oc, ic, k, k, cb, dilation = 2, paddingStr = "same"),
+      "pool" -> Module(AdaptiveMaxPool2dCls, Seq(
+        "output_size" -> I(1), "return_indices" -> B(false), "training" -> B(false))),
+      "fc" -> linear(wf, 2, oc, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class Atrous(Module):
+        |  training : bool
+        |  def forward(self: __torch__.Atrous,
+        |    x: Tensor) -> Tensor:
+        |    conv = self.conv
+        |    r = torch.relu((conv).forward(x, ))
+        |    pool = self.pool
+        |    f = torch.flatten((pool).forward(r, ), 1)
+        |    fc = self.fc
+        |    return (fc).forward(f, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("atrous", "atrous", model, code))
+    val cv = m.ops.collectFirst { case c: Conv2dOp => c }.get
+    assert(cv.dilation == 2 && cv.pad == 2 && cv.stride == 1, s"traced $cv")
+    val px = vals(ic * h * w, 355).map(v => math.abs(v) % 1.0f)
+    // f64 reference: 'same' keeps HxW; tap (r, q) reads (i + 2r - 2, j + 2q - 2)
+    val conv = Array.tabulate(oc, h, w) { (o, i, j) =>
+      var acc: Double = cb(o)
+      for (d <- 0 until ic; r <- 0 until k; q <- 0 until k) {
+        val (y, x) = (i + 2 * r - 2, j + 2 * q - 2)
+        if (y >= 0 && y < h && x >= 0 && x < w)
+          acc += cw(((o * ic + d) * k + r) * k + q) * px(d * h * w + y * w + x)
+      }
+      math.max(0.0, acc)
+    }
+    val pooled = Array.tabulate(oc)(o => conv(o).flatten.max)
+    val expected = mm(pooled, wf, bf, 2, oc)
+    val got = m.forwardImageBatch(Array(px), ic, h, w)
+    for (j <- 0 until 2) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // an image smaller than the effective span fails loudly in valid mode
+    val mv = new TorchScriptModel(IndexedSeq(
+      Conv2dOp(cw, cb, oc, ic, k, k, 1, pad = 0, dilation = 2),
+      GlobalPool2dOp(max = true), LinearLayer(wf, bf, 2, oc)))
+    val small = intercept[IllegalArgumentException](
+      mv.forwardImageBatch(Array(vals(ic * 4 * 4, 356)), ic, 4, 4))
+    assert(small.getMessage.contains("dilation=2"), small.getMessage)
   }
 
   test("deep CNN archive: conv -> BatchNorm2d -> relu -> AvgPool2d -> conv -> pool -> fc") {
