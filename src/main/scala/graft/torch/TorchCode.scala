@@ -501,9 +501,6 @@ object TorchCode {
       }
       require(boolA("batch_first", dflt = false),
         s"${m.fqName}: batch_first=False unsupported (construct with batch_first=True)")
-      require(boolA("_qkv_same_embed_dim", dflt = true),
-        s"${m.fqName}: separate q/k/v projection weights unsupported " +
-          "(packed in_proj_weight only)")
       require(!boolA("add_zero_attn", dflt = false),
         s"${m.fqName}: add_zero_attn unsupported")
       m.attrs.get("bias_k") match {
@@ -525,7 +522,21 @@ object TorchCode {
           w
         case other => sys.error(s"${m.fqName}: missing tensor '$key' (got $other)")
       }
-      val inW = tens("in_proj_weight", 3 * embed * embed)
+      // packed (3E, E) in_proj_weight, or — when the module was built
+      // with explicit kdim/vdim (`_qkv_same_embed_dim=False`) — three
+      // separate (E, E) projection weights. Self-attention feeds one
+      // E-dim tensor to all three projections, so kdim/vdim must equal
+      // embed here (a mismatched kdim fails the size check loudly);
+      // with equal dims torch's use_separate_proj_weight path computes
+      // exactly the packed projections, so concatenating into the
+      // packed layout and splitting per-head is bit-equivalent.
+      val inW =
+        if (boolA("_qkv_same_embed_dim", dflt = true))
+          tens("in_proj_weight", 3 * embed * embed)
+        else
+          tens("q_proj_weight", embed * embed) ++
+            tens("k_proj_weight", embed * embed) ++
+            tens("v_proj_weight", embed * embed)
       val inB = m.attrs.get("in_proj_bias") match {
         case Some(t: Pickle.PTensor) => tens("in_proj_bias", 3 * embed)
         case _ => new Array[Float](3 * embed)

@@ -208,6 +208,35 @@ object SptFixture {
         "bias" -> Tensor(Seq(embed), outB),
         "training" -> B(false)))))
 
+  /** nn.MultiheadAttention built with explicit kdim/vdim: torch stores
+   * `_qkv_same_embed_dim=False` and three separate projection weights
+   * (q_proj_weight/k_proj_weight/v_proj_weight) instead of the packed
+   * in_proj_weight; in_proj_bias stays packed. `kdim`/`vdim` default
+   * to embed (the self-attention case). */
+  def mhaSeparate(qW: Array[Float], kW: Array[Float], vW: Array[Float],
+      inProjB: Array[Float], outW: Array[Float], outB: Array[Float],
+      embed: Int, heads: Int, kdim: Int = -1, vdim: Int = -1): Module = {
+    val kd = if (kdim < 0) embed else kdim
+    val vd = if (vdim < 0) embed else vdim
+    Module(MhaCls, Seq(
+      "training" -> B(false),
+      "embed_dim" -> I(embed), "num_heads" -> I(heads),
+      "kdim" -> I(kd), "vdim" -> I(vd),
+      "dropout" -> F(0.0), "batch_first" -> B(true),
+      "_qkv_same_embed_dim" -> B(false),
+      "q_proj_weight" -> Tensor(Seq(embed, embed), qW),
+      "k_proj_weight" -> Tensor(Seq(embed, kd), kW),
+      "v_proj_weight" -> Tensor(Seq(embed, vd), vW),
+      "in_proj_weight" -> NoneV,
+      "in_proj_bias" -> Tensor(Seq(3 * embed), inProjB),
+      "bias_k" -> NoneV, "bias_v" -> NoneV,
+      "add_zero_attn" -> B(false),
+      "out_proj" -> Module(OutProjCls, Seq(
+        "weight" -> Tensor(Seq(embed, embed), outW),
+        "bias" -> Tensor(Seq(embed), outB),
+        "training" -> B(false)))))
+  }
+
   val Conv2dCls = "__torch__.torch.nn.modules.conv.Conv2d"
   val AdaptiveMaxPool2dCls = "__torch__.torch.nn.modules.pooling.AdaptiveMaxPool2d"
 

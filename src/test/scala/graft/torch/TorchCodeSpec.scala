@@ -1283,6 +1283,67 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("unsupported"))
   }
 
+  test("MultiheadAttention separate q/k/v weights (_qkv_same_embed_dim=False): trace == packed; kdim mismatch loud") {
+    // the SAME weights as the packed test, stored as three (E, E)
+    // projection tensors — torch's kdim/vdim-explicit layout. The
+    // traced heads and the forward logits must be IDENTICAL to the
+    // packed form (torch's use_separate_proj_weight path computes the
+    // same projections when kdim == vdim == embed).
+    val (vocab, emb, heads, cls) = (8, 4, 2, 3)
+    val ew = vals(vocab * emb, 301)
+    val inW = vals(3 * emb * emb, 302); val inB = vals(3 * emb, 303)
+    val outW = vals(emb * emb, 304); val outB = vals(emb, 305)
+    val (wf, bf) = (vals(cls * emb, 306), vals(cls, 307))
+    val qW = java.util.Arrays.copyOfRange(inW, 0, emb * emb)
+    val kW = java.util.Arrays.copyOfRange(inW, emb * emb, 2 * emb * emb)
+    val vW = java.util.Arrays.copyOfRange(inW, 2 * emb * emb, 3 * emb * emb)
+    def net(attn: Module) = (
+      Module("__torch__.MhaSep", Seq(
+        "training" -> B(false),
+        "emb" -> Module(EmbeddingCls, Seq(
+          "weight" -> Tensor(Seq(vocab, emb), ew),
+          "padding_idx" -> NoneV,
+          "training" -> B(false))),
+        "attn" -> attn,
+        "fc" -> linear(wf, cls, emb, bf))),
+      Map("code/__torch__.py" ->
+        """class MhaSep(Module):
+          |  training : bool
+          |  def forward(self: __torch__.MhaSep,
+          |    x: Tensor) -> Tensor:
+          |    emb = self.emb
+          |    e = (emb).forward(x, )
+          |    attn = self.attn
+          |    _0 = (attn).forward(e, e, e, None, True, None, )
+          |    a, _1, = _0
+          |    p = torch.mean(a, [1], False, None)
+          |    fc = self.fc
+          |    return (fc).forward(p, )
+          |""".stripMargin))
+    val (model, code) = net(mhaSeparate(qW, kW, vW, inB, outW, outB, emb, heads))
+    val m = TorchScriptModel.load(writeTemp("mhasep", "mhasep", model, code))
+    val ea = m.ops.collectFirst { case a: EncoderAttnOp => a }.get
+    // heads identical to the packed split
+    val packed = Mha.split(inW, inB, emb, heads)
+    assert(ea.heads.length == heads)
+    assert(packed.zip(ea.heads).forall { case (a, b) =>
+      a.wq.toSeq == b.wq.toSeq && a.bq.toSeq == b.bq.toSeq &&
+        a.wk.toSeq == b.wk.toSeq && a.wv.toSeq == b.wv.toSeq &&
+        a.bv.toSeq == b.bv.toSeq && a.scale == b.scale })
+    // forward logits identical to the packed archive (same weights)
+    val (pModel, pCode) = net(mha(inW, inB, outW, outB, emb, heads))
+    val mp = TorchScriptModel.load(writeTemp("mhasep0", "mhasep0", pModel, pCode))
+    val toks = Array(3, 0, 6, 2, 5, 1)
+    assert(m.forwardTokens(toks).toSeq == mp.forwardTokens(toks).toSeq)
+    // kdim != embed cannot serve self-attention: the (E, kdim) weight
+    // fails the size check loudly at load
+    val (mBad, cBad) = net(mhaSeparate(qW,
+      vals(emb * (emb + 2), 308), vW, inB, outW, outB, emb, heads, kdim = emb + 2))
+    val bad = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("mhasepbad", "mhasepbad", mBad, cBad)))
+    assert(bad.getMessage.contains("k_proj_weight"), bad.getMessage)
+  }
+
   test("LSTM archive: nested tuple unpack + select(0, -1), golden vs f64 recurrence") {
     val (vocab, emb, h, cls) = (6, 2, 3, 2)
     val ew = vals(vocab * emb, 71)
