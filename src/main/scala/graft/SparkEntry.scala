@@ -2114,6 +2114,26 @@ object SparkEntry {
         .orderBy("word")
     },
 
+    // Mass-conserving PageRank (q160): the dangling-redistribution
+    // variant over the customer -> order bipartite graph, where EVERY
+    // order node is dangling (no out-edges) — the graph shape that
+    // drains the simple variant and shows why Page et al. §2.7
+    // redistributes. Each iteration adds d·D/N uniformly (D = one-row
+    // dangling-mass aggregate, broadcast back, never collected); 12
+    // iterations exercise the periodic localCheckpoint lineage
+    // truncation (every 4 in dangling mode). The oracle restates the
+    // identical recurrence with an unrolled dm_i CTE per step.
+    "q160_pagerank_dangling" -> { (s, dir) =>
+      val edges = t(s, dir, "orders").select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("o"), col("o_orderkey")).as("dst"),
+        lit(1.0).as("weight"))
+      graft.operators.Rank.weightedPageRank(edges, d = 0.85, iters = 12,
+          dangling = true)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy("node")
+    },
+
     // Aho-Corasick blocklist scan (q151): every banned phrase found in
     // ONE automaton pass per doc (vs one contains-scan per pattern —
     // the shape that dies at 10k-phrase blocklists). Automaton built
@@ -5386,6 +5406,51 @@ object SparkEntry {
          |$iterCtes
          |SELECT node AS word, round(rank, 6) AS rank
          |FROM r10 ORDER BY word""".stripMargin
+    },
+
+    // Dangling-redistribution PageRank: the same unrolled-CTE
+    // recurrence plus a one-row dm_i CTE per step (the damped mass on
+    // no-out-edge nodes, redistributed uniformly). Each r_i is
+    // referenced TWICE by step i+1 (dm + contrib), so the iteration
+    // CTEs are MATERIALIZED — DuckDB's default inlining would expand
+    // the chain 2^12-fold. Constants through
+    // DOUBLE casts; 8-dp rounding absorbs sum-order ulps on the
+    // ~6e-5-magnitude ranks.
+    "q160_pagerank_dangling" -> {
+      val iterCtes = (1 to 12).map { i =>
+        s"""dm$i AS MATERIALIZED (
+           |  SELECT CAST(COALESCE(sum(r.rank), 0.0) AS DOUBLE) AS dm
+           |  FROM r${i - 1} r JOIN dang USING (node)),
+           |r$i AS MATERIALIZED (
+           |  SELECT nodes.node,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * (COALESCE(s.m, CAST(0.0 AS DOUBLE))
+           |                                + dm$i.dm / nn.n) AS rank
+           |  FROM nodes CROSS JOIN nn CROSS JOIN dm$i
+           |  LEFT JOIN (SELECT t.dst, sum(r.rank * t.p) AS m
+           |             FROM trans t JOIN r${i - 1} r ON r.node = t.src
+           |             GROUP BY t.dst) s
+           |    ON s.dst = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH big AS MATERIALIZED (
+         |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |         'o' || CAST(o_orderkey AS VARCHAR) AS dst,
+         |         CAST(count(*) AS DOUBLE) AS w
+         |  FROM orders GROUP BY 1, 2),
+         |outw AS (SELECT src, sum(w) AS ow FROM big GROUP BY src),
+         |trans AS MATERIALIZED (
+         |  SELECT big.src, big.dst, w / ow AS p FROM big JOIN outw USING (src)),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node FROM big
+         |  UNION SELECT DISTINCT dst FROM big),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |dang AS MATERIALIZED (
+         |  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM big)),
+         |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |$iterCtes
+         |SELECT node, round(rank, 8) AS rank
+         |FROM r12 ORDER BY node""".stripMargin
     },
 
     // Non-overlapping occurrence arithmetic per (doc, pattern):

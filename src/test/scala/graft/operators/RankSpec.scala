@@ -4,51 +4,52 @@ import graft.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** PageRank semantics pinned on closed-form graphs: the symmetric
-  * 2-cycle's fixed point, the pinned dangling-leak variant, weight
-  * normalization, and layout determinism. */
+/** Pins the PageRank recurrences against a hand-rolled f64 iteration
+  * on a tiny graph with a dangling node: the default variant leaks the
+  * dangling node's damped mass, the `dangling = true` variant
+  * redistributes it uniformly and conserves total mass exactly. */
 class RankSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def ranks(edges: Seq[(String, String, Double)], d: Double,
-      iters: Int): Map[String, Double] = {
-    import spark.implicits._
-    Rank.weightedPageRank(edges.toDF("src", "dst", "weight"), d, iters)
+  // a -> b, b -> a, a -> c; c has no out-edges (dangling)
+  private def edges = {
+    val s = spark
+    import s.implicits._
+    Seq(("a", "b", 1.0), ("b", "a", 1.0), ("a", "c", 1.0))
+      .toDF("src", "dst", "weight")
+  }
+
+  /** Reference iteration: p(a->b) = p(a->c) = 0.5, p(b->a) = 1. */
+  private def ref(iters: Int, dangling: Boolean): Map[String, Double] = {
+    val d = 0.85; val n = 3.0
+    var (ra, rb, rc) = (1.0 / n, 1.0 / n, 1.0 / n)
+    for (_ <- 1 to iters) {
+      val dm = if (dangling) rc else 0.0
+      val (ma, mb, mc) = (rb * 1.0, ra * 0.5, ra * 0.5)
+      ra = (1.0 - d) / n + d * (ma + dm / n)
+      rb = (1.0 - d) / n + d * (mb + dm / n)
+      rc = (1.0 - d) / n + d * (mc + dm / n)
+    }
+    Map("a" -> ra, "b" -> rb, "c" -> rc)
+  }
+
+  private def run(iters: Int, dangling: Boolean): Map[String, Double] =
+    Rank.weightedPageRank(edges, d = 0.85, iters = iters, dangling = dangling)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("default variant matches the leaky reference; mass drains") {
+    val got = run(iters = 7, dangling = false)
+    val want = ref(7, dangling = false)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    assert(got.values.sum < 1.0 - 0.05, s"mass should leak, got ${got.values.sum}")
   }
 
-  test("symmetric 2-cycle sits at its 0.5/0.5 fixed point from iteration 1") {
-    val r = ranks(Seq(("a", "b", 1.0), ("b", "a", 1.0)), 0.85, 10)
-    assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
-  }
-
-  test("dangling node leaks damped mass (the pinned no-redistribution variant)") {
-    // a -> b, b has no out-edges: total mass shrinks every iteration
-    val r = ranks(Seq(("a", "b", 1.0)), 0.85, 10)
-    assert(r("a") == (1.0 - 0.85) / 2, s"a=${r("a")}")
-    assert(r.values.sum < 1.0 - 1e-6, s"no leak observed: ${r.values.sum}")
-    assert(r("b") > r("a"), "the pointed-at node must outrank the source")
-  }
-
-  test("edge weights normalize per source: a 9:1 split propagates 9:1") {
-    val r = ranks(Seq(("a", "b", 9.0), ("a", "c", 1.0),
-      ("b", "a", 1.0), ("c", "a", 1.0)), 0.85, 20)
-    val base = (1.0 - 0.85) / 3
-    assert(math.abs((r("b") - base) / (r("c") - base) - 9.0) < 1e-9,
-      s"split not 9:1: ${r("b")} vs ${r("c")}")
-  }
-
-  test("sf0.001 bigram graph: layout-deterministic, mass accounted, common words rank high") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val e = Rank.bigramEdges(docs, "text")
-    val r1 = Rank.weightedPageRank(e, 0.85, 10)
-      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    val r2 = Rank.weightedPageRank(
-        Rank.bigramEdges(docs.repartition(7), "text"), 0.85, 10)
-      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    assert(r1.keySet == r2.keySet)
-    for ((k, v) <- r1) assert(math.abs(v - r2(k)) < 1e-12, s"$k: $v vs ${r2(k)}")
-    // every node has out-edges in this graph -> mass conserved to ulps
-    assert(math.abs(r1.values.sum - 1.0) < 1e-9, s"mass ${r1.values.sum}")
+  test("dangling variant matches the redistributing reference; mass conserved") {
+    // 7 iterations crosses the every-4 localCheckpoint boundary
+    val got = run(iters = 7, dangling = true)
+    val want = ref(7, dangling = true)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12,
+      s"mass should be conserved, got ${got.values.sum}")
   }
 }
