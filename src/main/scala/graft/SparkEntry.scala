@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{ArgMax, RollingHash64, SimHash64, TopKAgg}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
 import graft.torch.{ActOp, Conv1dOp, EmbeddingMeanOp, EmbeddingSeqOp, LinearLayer,
-  SeqMaxPoolOp, Torch, TorchConf, TorchOracle, TorchScriptModel, TransposeOp}
+  Pad1dOp, SeqMaxPoolOp, Torch, TorchConf, TorchOracle, TorchScriptModel, TransposeOp}
 
 /**
  * Driver contract: every operator the engine implements is a key in
@@ -1734,6 +1734,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CAUSAL TCN (q161): ConstantPad1d((4,0)) + valid dilated conv —
+    // position q reads tokens {q-4, q-2, q} only, the WaveNet/TCN
+    // shape — through the interpreter's Pad1dOp path. Dyadic weights
+    // make the f32 forward bit-identical to the DuckDB f64 oracle
+    // (see causalTcnModel).
+    "q161_torch_causal_tcn" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = causalTcnModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
+          .as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("text_class"))
+        .orderBy("doc_id")
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -3169,6 +3191,77 @@ object SparkEntry {
        |  FROM pose a
        |  LEFT JOIN pose l ON l.doc_id = a.doc_id AND l.pos = a.pos - ${cv.dilation}
        |  LEFT JOIN pose r ON r.doc_id = a.doc_id AND r.pos = a.pos + ${cv.dilation})
+       |SELECT doc_id, $pools FROM conv GROUP BY doc_id""".stripMargin
+  }
+
+  /** CAUSAL TCN classifier for q161: token ids -> Embedding(256, 4) ->
+    * transpose -> ConstantPad1d((4, 0)) -> Conv1d(4->6, k=3,
+    * dilation=2, valid) -> ReLU -> global max pool -> Linear(6->3) ->
+    * argmax — the WaveNet/TCN causal-conv shape: output position q
+    * reads tokens {q-4, q-2, q} ONLY (never the future), via the
+    * asymmetric left pad. Same exactness argument as [[tcnModel]]:
+    * dyadic 1/16-grid weights, zero pad taps contribute exact 0.0,
+    * f32 forward bit-identical to the DuckDB f64 oracle. The fc bias
+    * re-centers each class at its measured median logit. */
+  private[graft] lazy val causalTcnModel: TorchScriptModel = {
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(256 * 4, 2003, 2.0), vocab = 256, embDim = 4),
+      TransposeOp,
+      Pad1dOp(4, 0),
+      Conv1dOp(qvals(6 * 4 * 3, 2011, 1.0), qvals(6, 2017, 0.5),
+        outCh = 6, inCh = 4, k = 3, stride = 1, pad = 0, dilation = 2),
+      ActOp("relu"),
+      SeqMaxPoolOp,
+      LinearLayer(qvals(18, 2027, 4.0),
+        Array(12.125f, 11.5f, 7.1875f), 3, 6)))
+  }
+
+  /** DuckDB chain for the q161 oracle: the [[tcnPoolSql]] recipe with
+    * the CAUSAL dilated window — taps at pos-4 / pos-2 / pos via two
+    * LEFT self-joins, COALESCE(·, 0) restating the left zero pad.
+    * Exact: all weights dyadic (see [[causalTcnModel]]). */
+  private def causalTcnPoolSql: String = {
+    val m = causalTcnModel
+    val e = m.seqHead.get
+    val cv = m.ops.collectFirst { case c: Conv1dOp => c }.get
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+    // causal taps: j=0 reads pos-4, j=1 reads pos-2, j=2 reads pos
+    val convSel = (0 until cv.outCh).map { c =>
+      val terms = fmtF(cv.bias(c)) +: (0 until cv.inCh).flatMap { d =>
+        Seq(s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k))}*COALESCE(l4.w$d, 0.0)",
+          s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k + 1))}*COALESCE(l2.w$d, 0.0)",
+          s"${fmtF(cv.weight((c * cv.inCh + d) * cv.k + 2))}*a.w$d")
+      }
+      s"GREATEST(0, ${terms.mkString("+")}) AS c$c"
+    }.mkString(",\n      ")
+    val pools = (0 until cv.outCh).map(c => s"max(c$c) AS a$c").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))), 1, 8)
+       |      AS BIGINT) % ${e.vocab} AS tid,
+       |    generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |  FROM documents),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |pose AS (
+       |  SELECT doc_id, pos, $wCols FROM toks JOIN embw USING (tid)),
+       |conv AS (
+       |  SELECT a.doc_id,
+       |      $convSel
+       |  FROM pose a
+       |  LEFT JOIN pose l4 ON l4.doc_id = a.doc_id AND l4.pos = a.pos - 4
+       |  LEFT JOIN pose l2 ON l2.doc_id = a.doc_id AND l2.pos = a.pos - 2)
        |SELECT doc_id, $pools FROM conv GROUP BY doc_id""".stripMargin
   }
 
@@ -5089,6 +5182,18 @@ object SparkEntry {
     "q159_torch_tcn" -> {
       val tail = new TorchScriptModel(IndexedSeq(tcnModel.layers.last))
       TorchOracle.mlpArgmaxSql(tail, tcnPoolSql,
+        arms = Seq("a"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
+          s"AS text_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")
+    },
+
+    // Causal TCN: DuckDB restates the left-padded dilated window as
+    // pos-4/pos-2/pos LEFT joins with COALESCE-0 pad taps, then
+    // GREATEST(0, affine), max-pool, fc+argmax. All weights dyadic —
+    // an EXACT oracle (see causalTcnModel).
+    "q161_torch_causal_tcn" -> {
+      val tail = new TorchScriptModel(IndexedSeq(causalTcnModel.layers.last))
+      TorchOracle.mlpArgmaxSql(tail, causalTcnPoolSql,
         arms = Seq("a"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
           s"AS text_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")

@@ -757,6 +757,26 @@ object TorchCode {
         ops += Conv1dOp(materialize(w), bias, outCh, inCh, k, stride,
           pad = padding.toInt, groups = groups, dilation = dilation)
         ChanSeq(outCh)
+      case "ConstantPad1d" =>
+        // the causal-conv idiom: nn.ConstantPad1d((span-1, 0), 0.0)
+        // before a valid Conv1d. Zero padding only — the conv's own
+        // symmetric zero pad and this op must agree on semantics.
+        s match {
+          case ChanSeq(c) =>
+            val (pl, pr) = m.attrs.get("padding") match {
+              case Some(Pickle.PTuple(Vector(Pickle.PInt(a), Pickle.PInt(b)))) => (a, b)
+              case Some(n: Long) => (n, n)
+              case Some(Pickle.PInt(n)) => (n, n)
+              case other => sys.error(s"${m.fqName}: bad padding $other")
+            }
+            require(pl >= 0 && pr >= 0, s"${m.fqName}: negative padding ($pl, $pr)")
+            val v = floatAttr(m, "value", 0.0)
+            require(v == 0.0,
+              s"${m.fqName}: nonzero pad value $v unsupported (zero padding only)")
+            ops += Pad1dOp(pl.toInt, pr.toInt)
+            ChanSeq(c)
+          case other => sys.error(s"${m.fqName} needs (n, ch, seq) input, got $other")
+        }
       case "Conv2d" =>
         val w = m.attrs.get("weight") match {
           case Some(t: Pickle.PTensor) if t.shape.length == 4 => t
@@ -1552,19 +1572,33 @@ object TorchCode {
               // torch.slice(t, dim, 0, L, 1): the serialized form of
               // `t[:L]` / `t[:L, :L]` on a registered buffer — a
               // positional-encoding table (one slice) or an additive
-              // attention mask (two slices). Only the live sequence
-              // length may bound a slice; start 0, step 1.
-              args.lift(3).map(a => eval(a, line)) match {
-                case Some(SeqLen) =>
-                case other => sys.error(s"TorchScript code: slice end $other " +
-                  s"unsupported (the live size(x, 1) only) in: $line")
+              // attention mask (two slices) — OR, on the live
+              // channel-major sequence, `x[:, :, :-n]`: the Chomp1d
+              // trim of a symmetric-pad causal conv (locuslab TCN).
+              val sliced = eval(args.head, line)
+              sliced match {
+                case _: ChanSeq =>
+                case _ =>
+                  args.lift(3).map(a => eval(a, line)) match {
+                    case Some(SeqLen) =>
+                    case other => sys.error(s"TorchScript code: slice end $other " +
+                      s"unsupported (the live size(x, 1) only) in: $line")
+                  }
               }
               require(sizeArg(2, 0) == 0,
                 s"TorchScript code: slice start != 0 unsupported in: $line")
               require(sizeArg(4, 1) == 1,
                 s"TorchScript code: slice step != 1 unsupported in: $line")
               val sliceDim = sizeArg(1, 0)
-              eval(args.head, line) match {
+              sliced match {
+                case cs: ChanSeq =>
+                  require(sliceDim == 2, s"TorchScript code: live-tensor " +
+                    s"slice over dim $sliceDim unsupported (dim 2 only) in: $line")
+                  val end = sizeArg(3, 0)
+                  require(end < 0, s"TorchScript code: live-tensor slice end " +
+                    s"$end unsupported (negative chomp `x[:, :, :-n]` only) in: $line")
+                  ops += Chomp1dOp((-end).toInt)
+                  cs
                 case t: Pickle.PTensor =>
                   require(sliceDim == 0, s"TorchScript code: first buffer slice " +
                     s"over dim $sliceDim unsupported (dim 0 only) in: $line")

@@ -156,6 +156,24 @@ final case class MaxPool1dOp(k: Int, stride: Int) extends TorchOp
   * [[AvgPool2dOp]] discipline). */
 final case class AvgPool1dOp(k: Int, stride: Int) extends TorchOp
 
+/** `nn.ConstantPad1d((padL, padR), 0.0)` over `(ch, L)`: prepends
+  * `padL` and appends `padR` exact-zero columns. The asymmetric
+  * left-pad is the CAUSAL-conv idiom (pad `(span-1, 0)` before a
+  * valid conv → output position q reads only inputs <= q — the TCN /
+  * WaveNet shape). Zero value only: a nonzero constant fails at
+  * trace. */
+final case class Pad1dOp(padL: Int, padR: Int) extends TorchOp {
+  require(padL >= 0 && padR >= 0, s"negative pad ($padL, $padR)")
+}
+
+/** `x[:, :, :-n]` on `(ch, L)` — the `Chomp1d` trim that pairs with a
+  * symmetric-pad conv to restore causality (locuslab TCN): drops the
+  * last `n` positions. Fails loudly when the live sequence is not
+  * longer than `n`, exactly torch's empty-slice misuse. */
+final case class Chomp1dOp(n: Int) extends TorchOp {
+  require(n >= 1, s"chomp $n invalid")
+}
+
 /** 2-D convolution over `(inCh, H, W)` — the vision-classifier head
   * (the model consumes a PIXEL input instead of token ids; see
   * `TorchScriptModel.forwardImageBatch`). Weight row-major
@@ -507,6 +525,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(mode == 1, "MaxPool1d needs (n, ch, seq) input")
         case AvgPool1dOp(_, _) =>
           require(mode == 1, "AvgPool1d needs (n, ch, seq) input")
+        case _: Pad1dOp | _: Chomp1dOp =>
+          require(mode == 1, "pad/chomp need (n, ch, seq) input")
         case ca: ChannelAffineOp =>
           require(mode == 1, "BatchNorm1d on a sequence needs the (n, ch, seq) layout")
           require(ca.scale.length == width,
@@ -1006,6 +1026,28 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           }
           data = out
           rows = cv.outCh; cols = lout
+        case Pad1dOp(padL, padR) =>
+          val lout = cols + padL + padR
+          val out = new Array[Float](rows * lout) // zero-initialized
+          var r = 0
+          while (r < rows) {
+            System.arraycopy(data, r * cols, out, r * lout + padL, cols)
+            r += 1
+          }
+          data = out
+          cols = lout
+        case Chomp1dOp(nc) =>
+          require(cols > nc,
+            s"Chomp1d($nc) on a length-$cols sequence (nothing left)")
+          val lout = cols - nc
+          val out = new Array[Float](rows * lout)
+          var r = 0
+          while (r < rows) {
+            System.arraycopy(data, r * cols, out, r * lout, lout)
+            r += 1
+          }
+          data = out
+          cols = lout
         case MaxPool1dOp(k, stride) =>
           require(cols >= k,
             s"MaxPool1d(kernel=$k) on a length-$cols sequence")
@@ -1589,7 +1631,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       case _: EmbeddingMeanOp | _: EmbeddingSeqOp =>
         sys.error("embedding op past the model head") // constructor forbids
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: AvgPool1dOp |
-          _: SelfAttentionOp |
+          _: Pad1dOp | _: Chomp1dOp | _: SelfAttentionOp |
           _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp | _: PosEmbedOp |
           SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | SeqMaskedMeanPoolOp |
           SeqClsPoolOp | SeqLastPoolOp | _: RnnOp |

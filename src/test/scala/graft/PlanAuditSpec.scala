@@ -134,7 +134,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "q137_video_frames", "q138_torch_decoder", "q139_torch_sinpe",
         "q140_torch_depthwise", "q141_audio_g711", "q142_torch_stacked_gru",
         "q143_torch_bigru", "q144_torch_gru_meanpool", "q147_torch_mha",
-        "q149_torch_bilstm")) {
+        "q149_torch_bilstm", "q156_torch_padded", "q159_torch_tcn",
+        "q161_torch_causal_tcn")) {
       val p = plan(q)
       assert(!p.contains("Scan ExistingRDD"), s"$q re-scans a materialized RDD:\n$p")
       assert(p.contains("MapPartitions"), s"$q lost its mapPartitions stage:\n$p")
@@ -172,7 +173,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // appear anywhere is a non-broadcast CartesianProduct.
     for (q <- Seq("q146_centroid_classify", "q148_wordpiece",
         "q150_knn_classify", "q151_blocklist", "q152_pagerank",
-        "q153_bigram_lm", "q154_ingest_v2")) {
+        "q153_bigram_lm", "q154_ingest_v2", "q157_sentencepiece",
+        "q160_pagerank_dangling")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
     }

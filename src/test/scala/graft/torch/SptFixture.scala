@@ -135,6 +135,14 @@ object SptFixture {
       "training" -> B(false)))
 
   val Conv1dCls = "__torch__.torch.nn.modules.conv.Conv1d"
+  val ConstantPad1dCls = "__torch__.torch.nn.modules.padding.ConstantPad1d"
+
+  /** nn.ConstantPad1d((l, r), value). */
+  def constantPad1d(l: Int, r: Int, value: Double = 0.0): Module =
+    Module(ConstantPad1dCls, Seq(
+      "padding" -> Tup(Seq(I(l), I(r))),
+      "value" -> F(value),
+      "training" -> B(false)))
   val MaxPool1dCls = "__torch__.torch.nn.modules.pooling.MaxPool1d"
   val AdaptiveMaxPool1dCls = "__torch__.torch.nn.modules.pooling.AdaptiveMaxPool1d"
   val EmbeddingCls = "__torch__.torch.nn.modules.sparse.Embedding"

@@ -902,6 +902,99 @@ class TorchCodeSpec extends AnyFunSuite {
     for (j <- 0 until cls) assert(math.abs(got5(j) - exp5(j)) < 1e-5)
   }
 
+  test("causal TCN: ConstantPad1d left pad == symmetric pad + Chomp1d; golden vs f64 causal reference") {
+    // Embedding(8, 3) -> transpose -> CAUSAL dilated conv (k=3,
+    // dilation=2: position q reads tokens {q-4, q-2, q}) -> ReLU ->
+    // global max pool -> Linear(3->2), stated both ways torch code
+    // states it: nn.ConstantPad1d((4, 0)) + valid conv, and
+    // symmetric padding=4 + x[:, :, :-4] (the locuslab Chomp1d).
+    val (vocab, emb, ch, k, cls) = (8, 3, 4, 3, 2)
+    val ew = vals(vocab * emb, 361)
+    val cw = vals(ch * emb * k, 362); val cb = vals(ch, 363)
+    val (wf, bf) = (vals(cls * ch, 364), vals(cls, 365))
+    def mk(name: String, pre: Seq[(String, Module)], conv: Module, body: String) = {
+      val model = Module("__torch__.CTcn", Seq(
+        "training" -> B(false),
+        "emb" -> Module(EmbeddingCls, Seq(
+          "weight" -> Tensor(Seq(vocab, emb), ew),
+          "padding_idx" -> NoneV,
+          "training" -> B(false)))) ++ pre ++ Seq(
+        "conv" -> conv,
+        "pool" -> Module(AdaptiveMaxPool1dCls, Seq(
+          "output_size" -> I(1), "training" -> B(false))),
+        "fc" -> linear(wf, cls, ch, bf)))
+      val code = Map("code/__torch__.py" ->
+        s"""class CTcn(Module):
+           |  training : bool
+           |  def forward(self: __torch__.CTcn,
+           |    x: Tensor) -> Tensor:
+           |    emb = self.emb
+           |    e0 = torch.transpose((emb).forward(x, ), 1, 2)
+           |$body
+           |    pool = self.pool
+           |    q = torch.squeeze((pool).forward(r, ), 2)
+           |    fc = self.fc
+           |    return (fc).forward(q, )
+           |""".stripMargin)
+      TorchScriptModel.load(writeTemp(name, name, model, code))
+    }
+    val mPad = mk("ctcnp", Seq("pad" -> constantPad1d(4, 0)),
+      conv1d(cw, ch, emb, k, cb, dilation = 2),
+      """    pad = self.pad
+        |    p0 = (pad).forward(e0, )
+        |    conv = self.conv
+        |    r = torch.relu((conv).forward(p0, ))""".stripMargin)
+    assert(mPad.ops.contains(Pad1dOp(4, 0)), mPad.ops.toString)
+    val mChomp = mk("ctcnc", Seq.empty,
+      conv1d(cw, ch, emb, k, cb, dilation = 2, padding = 4),
+      """    conv = self.conv
+        |    c0 = (conv).forward(e0, )
+        |    c1 = torch.slice(c0, 2, 0, -4, 1)
+        |    r = torch.relu(c1)""".stripMargin)
+    assert(mChomp.ops.contains(Chomp1dOp(4)), mChomp.ops.toString)
+    // f64 causal reference
+    def ref(toks: Array[Int]): Array[Double] = {
+      val L = toks.length
+      val pooled = Array.tabulate(ch) { c =>
+        var mx = Double.NegativeInfinity
+        for (q <- 0 until L) {
+          var acc = cb(c).toDouble
+          for (d <- 0 until emb; j <- 0 until k) {
+            val xi = q + (j - 2) * 2 // taps q-4, q-2, q
+            if (xi >= 0 && xi < L)
+              acc += cw((c * emb + d) * k + j) * ew(toks(xi) * emb + d)
+          }
+          mx = math.max(mx, math.max(0.0, acc))
+        }
+        mx
+      }
+      mm(pooled, wf, bf, cls, ch)
+    }
+    for (toks <- Seq(Array(3, 0, 6, 2, 5, 1, 7), Array(4), Array(2, 4, 1))) {
+      val a = mPad.forwardTokens(toks)
+      val b = mChomp.forwardTokens(toks)
+      assert(a.toSeq == b.toSeq, s"L=${toks.length}: pad form $a != chomp form $b")
+      val expected = ref(toks)
+      for (j <- 0 until cls) assert(math.abs(a(j) - expected(j)) < 1e-5,
+        s"L=${toks.length} logit $j: ${a(j)} vs ${expected(j)}")
+    }
+    // nonzero pad value fails loudly at load
+    val badPad = intercept[RuntimeException](mk("ctcnbad",
+      Seq("pad" -> constantPad1d(4, 0, value = 0.5)),
+      conv1d(cw, ch, emb, k, cb, dilation = 2),
+      """    pad = self.pad
+        |    p0 = (pad).forward(e0, )
+        |    conv = self.conv
+        |    r = torch.relu((conv).forward(p0, ))""".stripMargin))
+    assert(badPad.getMessage.contains("nonzero pad value"), badPad.getMessage)
+    // chomping the whole sequence fails loudly at run
+    val mShort = new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(ew, vocab, emb), TransposeOp, Chomp1dOp(10),
+      SeqMaxPoolOp, LinearLayer(vals(2 * emb, 366), vals(2, 367), 2, emb)))
+    val gone = intercept[IllegalArgumentException](mShort.forwardTokens(Array(1, 2)))
+    assert(gone.getMessage.contains("nothing left"), gone.getMessage)
+  }
+
   // ---- independent f64 recurrences (gate order r,z,n / i,f,g,o) ----
   private def gruRef(toks: Array[Int], ew: Array[Float], emb: Int,
       wIh: Array[Float], wHh: Array[Float], bIh: Array[Float], bHh: Array[Float],
