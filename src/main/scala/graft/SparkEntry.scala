@@ -1569,6 +1569,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Attention-pooling read-out (q162): a LEARNED (2, 8) latent
+    // query array attends over the token sequence (2-head MHA, the
+    // Set-Transformer PMA / CoCa pooler — cross-attention: query from
+    // a parameter, key == value == the sequence), flattened and
+    // classified. Scores are per-position against constant q vectors
+    // — no L x L join anywhere (better scale shape than q122).
+    "q162_torch_attn_pool" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = attnPoolModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, AttnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("pool_class"))
+        .orderBy("doc_id")
+    },
+
     // Recurrent heads (GRU q123 / LSTM q124): token ids through the
     // interpreter's RnnOp — final hidden state h_L -> fc -> argmax,
     // oracled by a DuckDB WITH RECURSIVE unroll of the exact same
@@ -2975,6 +2998,144 @@ object SparkEntry {
     * identically): bounds the oracle's L×L score join AND is the
     * standard max-sequence-length cap of a real transformer head. */
   private val AttnMaxLen = 16
+
+  /** ATTENTION-POOLING classifier for q162: token ids ->
+    * Embedding(64, 8) -> MHA(latent(2, 8), x, x) with 2 heads (the
+    * Set-Transformer PMA / CoCa pooler — this engine's CROSS-attention
+    * form: a LEARNED query array attends over the sequence) -> flatten
+    * (n, 16) -> Linear(16->3) -> argmax, through the interpreter's
+    * [[graft.torch.AttnPoolOp]]. Numerical pinning (the q122
+    * argument): all weights dyadic (1/16 grid), head dim 4 gives the
+    * exact scale 0.5, the latent-side q vectors are input-INDEPENDENT
+    * f64 dyadic exacts (inlined as literals in the oracle), so the
+    * raw scores are bit-identical across engines; drift = f64 softmax
+    * exp/sum-order ulps + one f32 rounding at the pool boundary +
+    * the f32 fc GEMM, absorbed by the argmax gap (TorchAttentionSpec
+    * pins the sf0.001 floor). The fc bias re-centers each class at
+    * its measured median logit. */
+  private[graft] lazy val attnPoolModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val heads = Mha.split(qvals(3 * 8 * 8, 2063, 1.0), qvals(3 * 8, 2069, 0.25),
+      embed = 8, numHeads = 2)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(64 * 8, 2053, 2.0), vocab = 64, embDim = 8),
+      AttnPoolOp(qvals(2 * 8, 2059, 2.0), m = 2, heads = heads.toVector, inDim = 8,
+        proj = Some(LinearLayer(qvals(8 * 8, 2081, 1.0), qvals(8, 2083, 0.25), 8, 8))),
+      LinearLayer(qvals(3 * 16, 2087, 2.0),
+        Array(0.9375f, 4.0f, 5.4375f), 3, 16)))
+  }
+
+  /** DuckDB chain for the q162 oracle: token ids (pos <=
+    * [[AttnMaxLen]]) -> embedding VALUES join -> per-position k/v
+    * affines -> per-(latent, head) scores against LITERAL q vectors
+    * (the latent-side projection is input-independent — computed here
+    * in the exact f64 index order the engine uses, so the inlined
+    * literals are bit-identical) -> max-shifted exp softmax per doc ->
+    * attention-weighted v sums -> out-proj per latent row -> flatten;
+    * ends in `SELECT doc_id, a0..a15` ready for
+    * [[TorchOracle.mlpArgmaxSql]]'s fc chain. NO L×L join — scores
+    * are per-position against constants, a strictly better scale
+    * shape than q122's self-join. */
+  private def attnPoolLatentSql: String = {
+    import graft.torch._
+    val m = attnPoolModel
+    val e = m.seqHead.get
+    val ap = m.ops.collectFirst { case a: AttnPoolOp => a }.get
+    val E = ap.inDim
+    val proj = ap.proj.get
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def fmtD(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until E).map(j => fmtF(e.weight(t * E + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until E).map(j => s"w$j").mkString(", ")
+    // full-width k/v affines from the per-head slices (head h owns
+    // output rows [h*hd, (h+1)*hd))
+    def kvAffine(sel: SelfAttentionOp => (Array[Float], Array[Float]),
+        p: String): String =
+      ap.heads.zipWithIndex.flatMap { case (h, hi) =>
+        val (w, b) = sel(h)
+        (0 until h.dim).map { o =>
+          val terms = fmtF(b(o)) +:
+            (0 until E).map(j => s"${fmtF(w(o * E + j))}*w$j")
+          s"${terms.mkString("(", "+", ")")} AS $p${hi * h.dim + o}"
+        }
+      }.mkString(",\n   ")
+    // latent-side q vectors: EXACTLY the engine's f64 accumulation
+    // order (attnPoolF64): acc = bq(o); acc += latent(j) * wq(o*E+j)
+    def qLit(i: Int, hi: Int, o: Int): Double = {
+      val h = ap.heads(hi)
+      var acc: Double = h.bq(o)
+      var j = 0
+      while (j < E) {
+        acc += ap.latent(i * E + j).toDouble * h.wq(o * E + j); j += 1
+      }
+      acc
+    }
+    val hd = ap.heads.head.dim
+    val scoreSel = (for (i <- 0 until ap.m; hi <- ap.heads.indices) yield {
+      val h = ap.heads(hi)
+      val dot = (0 until hd).map(o =>
+        s"${fmtD(qLit(i, hi, o))}*k${hi * hd + o}").mkString("(", "+", ")")
+      s"$dot*${fmtD(h.scale)} AS s${i}_$hi"
+    }).mkString(",\n   ")
+    val mxSel = (for (i <- 0 until ap.m; hi <- ap.heads.indices)
+      yield s"max(s${i}_$hi) AS m${i}_$hi").mkString(", ")
+    val exSel = (for (i <- 0 until ap.m; hi <- ap.heads.indices)
+      yield s"exp(s.s${i}_$hi - mx.m${i}_$hi) AS e${i}_$hi").mkString(",\n   ")
+    val attSel = (for (i <- 0 until ap.m; j <- 0 until E) yield {
+      val hi = j / hd
+      s"sum(e${i}_$hi*v$j)/sum(e${i}_$hi) AS o${i}_$j"
+    }).mkString(",\n   ")
+    val poolSel = (for (i <- 0 until ap.m; t <- 0 until E) yield {
+      val terms = fmtF(proj.bias(t)) +:
+        (0 until E).map(j => s"${fmtF(proj.weight(t * E + j))}*o${i}_$j")
+      s"${terms.mkString("(", "+", ")")} AS a${i * E + t}"
+    }).mkString(",\n   ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % ${e.vocab} AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $AttnMaxLen),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |x AS (SELECT doc_id, pos,
+       |        ${(0 until E).map(j => s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
+       |      FROM toks JOIN embw USING (tid)),
+       |kv AS (SELECT doc_id, pos,
+       |   ${kvAffine(h => (h.wk, h.bk), "k")},
+       |   ${kvAffine(h => (h.wv, h.bv), "v")}
+       | FROM x),
+       |s AS (SELECT doc_id, pos,
+       |   $scoreSel,
+       |   ${(0 until E).map(j => s"v$j").mkString(", ")}
+       | FROM kv),
+       |mx AS (SELECT doc_id, $mxSel FROM s GROUP BY doc_id),
+       |ex AS (SELECT s.doc_id,
+       |   $exSel,
+       |   ${(0 until E).map(j => s"s.v$j").mkString(", ")}
+       | FROM s JOIN mx ON s.doc_id = mx.doc_id),
+       |att AS (SELECT doc_id,
+       |   $attSel
+       | FROM ex GROUP BY doc_id),
+       |pool AS (SELECT doc_id,
+       |   $poolSel
+       | FROM att)
+       |SELECT doc_id, ${(0 until ap.m * E).map(i => s"a$i").mkString(", ")} FROM pool""".stripMargin
+  }
 
   /** DuckDB chain for the q122 oracle: token ids (pos <= [[AttnMaxLen]])
     * -> embedding VALUES join -> per-position q/k/v affines -> L×L score
@@ -5312,6 +5473,19 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS attn_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // Attention pooling: DuckDB restates the latent-query attention
+    // with the q vectors inlined as exact f64 literals (input-
+    // independent), per-position scores (no self-join), max-shifted
+    // softmax, out-proj, flatten, fc+argmax (see attnPoolLatentSql).
+    "q162_torch_attn_pool" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        attnPoolModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, attnPoolLatentSql,
+        arms = Seq("a"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "a")} " +
+          s"AS pool_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     "q123_torch_gru" -> {

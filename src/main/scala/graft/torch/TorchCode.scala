@@ -378,6 +378,14 @@ object TorchCode {
       * embedding sequence — only `torch.arange` consumes it (the
       * positional-id ramp of a learned-position encoder). */
     case object SeqLen extends Sym
+    /** The dynamic batch size `torch.size(x, 0)` — only the batch dim
+      * of `torch.expand` on a latent query array consumes it. */
+    case object BatchLen extends Sym
+    /** A LEARNED `(m, e)` latent query parameter (`self.latent`,
+      * stored 2-D and unsqueezed, or stored `(1, m, e)`) expanded over
+      * the batch dim — nn.MultiheadAttention's QUERY in the
+      * attention-pooling read-out ([[graft.torch.AttnPoolOp]]). */
+    final case class LatentQ(weight: Array[Float], m: Int, e: Int) extends Sym
     /** `torch.arange(size(x, 1))`: the position-id ramp, awaiting its
       * positional-embedding lookup. */
     case object PosIds extends Sym
@@ -467,12 +475,25 @@ object TorchCode {
       require(args.length >= 3, s"TorchScript code: ${m.simpleName}.forward " +
         s"needs (query, key, value), got ${args.length} args in: $line")
       val qkv = args.take(3)
-      require(qkv.forall(_.isInstanceOf[Sym]),
+      // a LEARNED latent query array as arg 0 is the attention-pooling
+      // read-out — the one supported cross-attention form (query from
+      // a parameter, key == value == the live sequence)
+      val latentQ = qkv(0) match {
+        case lq: LatentQ => Some(lq)
+        case _ => None
+      }
+      require(qkv.drop(latentQ.size).forall(_.isInstanceOf[Sym]),
         s"TorchScript code: ${m.simpleName} on non-tensor args in: $line")
-      require(qkv(0).asInstanceOf[AnyRef].eq(qkv(1).asInstanceOf[AnyRef]) &&
-        qkv(1).asInstanceOf[AnyRef].eq(qkv(2).asInstanceOf[AnyRef]),
-        s"TorchScript code: ${m.simpleName} with distinct query/key/value " +
-          s"(cross-attention) unsupported — self-attention only in: $line")
+      if (latentQ.isEmpty)
+        require(qkv(0).asInstanceOf[AnyRef].eq(qkv(1).asInstanceOf[AnyRef]) &&
+          qkv(1).asInstanceOf[AnyRef].eq(qkv(2).asInstanceOf[AnyRef]),
+          s"TorchScript code: ${m.simpleName} with distinct query/key/value " +
+            s"unsupported (self-attention, or a latent-parameter query with " +
+            s"key == value) in: $line")
+      else
+        require(qkv(1).asInstanceOf[AnyRef].eq(qkv(2).asInstanceOf[AnyRef]),
+          s"TorchScript code: ${m.simpleName} latent-query pooling needs " +
+            s"key == value (the live sequence) in: $line")
       // forward(q, k, v, key_padding_mask, need_weights, attn_mask):
       // arg 3 may be a traced `torch.eq(ids, pad)` mask — the
       // padded-batch convention; it flips the model head into padIdx
@@ -507,11 +528,13 @@ object TorchCode {
         case None | Some(null) | Some(Pickle.PNone) =>
         case Some(other) => sys.error(s"${m.fqName}: bias_k/bias_v unsupported (got $other)")
       }
-      val e = forceSeq(qkv(0).asInstanceOf[Sym]) match {
+      val e = forceSeq(qkv(if (latentQ.isEmpty) 0 else 1).asInstanceOf[Sym]) match {
         case SeqEmb(d) => d
         case other => sys.error(s"${m.fqName} needs the (n, seq, emb) " +
           s"sequence, got $other in: $line")
       }
+      latentQ.foreach(lq => require(lq.e == e,
+        s"${m.fqName}: latent query width ${lq.e} != sequence embed dim $e"))
       val embed = intAttr(m, "embed_dim", e.toLong).toInt
       require(embed == e, s"${m.fqName}(embed_dim=$embed) applied to $e-dim sequence")
       val numHeads = intAttr(m, "num_heads", -1L).toInt
@@ -558,8 +581,17 @@ object TorchCode {
           LinearLayer(w, b, outDim = embed, inDim = embed)
         case other => sys.error(s"${m.fqName}: missing out_proj module (got $other)")
       }
-      STuple(Vector(AttnOut(heads.toVector, Some(proj)),
-        RnnSeqOut(s"${m.simpleName} attention weights")))
+      latentQ match {
+        case Some(lq) =>
+          // the pool COLLAPSES the sequence: emit eagerly; the traced
+          // flatten(a, 1) that follows is shape-only on the flat output
+          ops += AttnPoolOp(lq.weight, lq.m, heads.toVector, e, Some(proj))
+          STuple(Vector(Flat(lq.m * e),
+            RnnSeqOut(s"${m.simpleName} attention weights")))
+        case None =>
+          STuple(Vector(AttnOut(heads.toVector, Some(proj)),
+            RnnSeqOut(s"${m.simpleName} attention weights")))
+      }
     }
 
     /** An elementwise activation applied to whatever shape is live:
@@ -1550,9 +1582,12 @@ object TorchCode {
               // meaningful as arange's input (position-id ramp)
               tensorArg match {
                 case SeqEmb(_) =>
-                  require(sizeArg(1, Long.MinValue) == 1L,
-                    s"TorchScript code: size over a non-sequence dim in: $line")
-                  SeqLen
+                  sizeArg(1, Long.MinValue) match {
+                    case 0L => BatchLen
+                    case 1L => SeqLen
+                    case d => sys.error(s"TorchScript code: size over dim $d " +
+                      s"unsupported (batch 0 / sequence 1 only) in: $line")
+                  }
                 case other => sys.error(s"TorchScript code: size on $other " +
                   s"unsupported (live sequences only) in: $line")
               }
@@ -1676,9 +1711,17 @@ object TorchCode {
                   s"$other unsupported (bool valid masks only) in: $line")
               }
             case "unsqueeze" =>
-              // mask.unsqueeze(-1): broadcast the (n, L) float mask over
-              // the feature dim; on the summed lengths it only reshapes
-              tensorArg match {
+              // latent.unsqueeze(0): a (m, e) learned query parameter
+              // gaining its batch dim on the way into the attention
+              // pool; mask.unsqueeze(-1): broadcast the (n, L) float
+              // mask over the feature dim; on summed lengths it only
+              // reshapes
+              eval(args.head, line) match {
+                case t: Pickle.PTensor if t.shape.length == 2 =>
+                  require(sizeArg(1, Long.MinValue) == 0L,
+                    s"TorchScript code: unsqueeze on a raw parameter over dim " +
+                      s"${sizeArg(1, Long.MinValue)} unsupported (0 only) in: $line")
+                  LatentQ(materialize(t), t.shape(0).toInt, t.shape(1).toInt)
                 case v @ ValidMask(_, true, false) =>
                   sizeArg(1, Long.MinValue) match {
                     case -1L | 2L => v.copy(unsqueezed = true)
@@ -1692,8 +1735,38 @@ object TorchCode {
                       s"lengths unsupported (-1/1 only) in: $line")
                   }
                 case other => sys.error(s"TorchScript code: unsqueeze on $other " +
-                  s"unsupported (masked-mean legs only) in: $line")
+                  s"unsupported (masked-mean legs / latent queries only) in: $line")
               }
+            case "expand" =>
+              // latent.expand(b, -1, -1) (or a stored (1, m, e)
+              // parameter expanded over the batch): shape-only on the
+              // traced latent query array — torch requires the
+              // explicit batch broadcast before nn.MultiheadAttention
+              val base = eval(args.head, line) match {
+                case lq: LatentQ => lq
+                case t: Pickle.PTensor if t.shape.length == 3 && t.shape(0) == 1 =>
+                  LatentQ(materialize(t), t.shape(1).toInt, t.shape(2).toInt)
+                case other => sys.error(s"TorchScript code: expand on $other " +
+                  s"unsupported (latent attention queries only) in: $line")
+              }
+              eval(args(1), line) match {
+                case Seq(b, m0, e0) =>
+                  require(b == BatchLen || b == -1L,
+                    s"TorchScript code: expand batch dim $b unsupported " +
+                      s"(size(x, 0) or -1 only) in: $line")
+                  require(m0 == -1L || m0 == base.m.toLong,
+                    s"TorchScript code: expand dim-1 $m0 != latent rows ${base.m} in: $line")
+                  require(e0 == -1L || e0 == base.e.toLong,
+                    s"TorchScript code: expand dim-2 $e0 != latent width ${base.e} in: $line")
+                case other => sys.error(s"TorchScript code: expand dims $other " +
+                  s"unsupported in: $line")
+              }
+              args.lift(2).map(a => eval(a, line)) match {
+                case None | Some(_: Boolean) | Some(null) => // implicit flag
+                case other => sys.error(s"TorchScript code: expand extra arg " +
+                  s"$other unsupported in: $line")
+              }
+              base
             case "sum" =>
               // the two masked-mean sums: sum(x·mask, 1) -> numerator,
               // sum(floatMask, 1) -> per-row valid lengths

@@ -427,6 +427,36 @@ final case class EncoderAttnOp(heads: IndexedSeq[SelfAttentionOp],
     s"residual add needs outDim == inDim ($outDim vs $inDim)")
 }
 
+/** ATTENTION-POOLING read-out (`nn.MultiheadAttention(latent, x, x)`
+  * with a LEARNED `(m, E)` latent query array — the Set-Transformer
+  * PMA / CoCa attentional-pooler shape, and this engine's cross-
+  * attention form: query comes from a different source than key and
+  * value). Each latent row attends over the live `(L, E)` sequence
+  * (keys capped at the valid length on padded batches), heads are the
+  * usual per-head `Mha.split` projections, concatenated and passed
+  * through `out_proj` per latent row. COLLAPSES the sequence phase:
+  * output is the flattened `(m·E)` vector. f64 internally, one f32
+  * rounding per output value (the [[SelfAttentionOp]] discipline).
+  * The latent-side Q projection is input-independent — q vectors
+  * depend only on model weights — so scores stay exactly
+  * reproducible from the weights (the q162 oracle inlines them as
+  * literals). */
+final case class AttnPoolOp(latent: Array[Float], m: Int,
+    heads: IndexedSeq[SelfAttentionOp], inDim: Int,
+    proj: Option[LinearLayer]) extends TorchOp {
+  require(m >= 1 && latent.length == m * inDim,
+    s"latent query array ${latent.length} != $m x $inDim")
+  require(heads.nonEmpty, "attention pooling needs at least one head")
+  require(heads.forall(_.inDim == inDim), "heads disagree on input dim")
+  require(heads.forall(h => !h.causal),
+    "causal masking is meaningless for a latent-query pool")
+  val catDim: Int = heads.map(_.dim).sum
+  require(catDim == inDim, s"concatenated head dims $catDim != embed $inDim")
+  proj.foreach(p => require(p.inDim == catDim && p.outDim == catDim,
+    s"out-proj(${p.inDim}->${p.outDim}) must map $catDim to itself"))
+  val outWidth: Int = m * inDim
+}
+
 /** Per-POSITION layer normalization over the feature dim of a
   * `(L, emb)` sequence — `nn.LayerNorm(emb)` applied to the live
   * sequence inside an encoder block (the flat-input form is
@@ -572,6 +602,12 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(mode == 0, "CLS/last-token pooling needs the (n, seq, emb) layout")
           require(pool < 0, "second pool op after the sequence already collapsed")
           mode = 2; pool = i
+        case ap: AttnPoolOp =>
+          require(mode == 0, "attention pooling needs the (n, seq, emb) layout")
+          require(width == ap.inDim,
+            s"attention pool(in=${ap.inDim}) applied to $width features")
+          require(pool < 0, "second pool op after the sequence already collapsed")
+          mode = 2; pool = i; width = ap.outWidth
         case r: RnnOp =>
           require(mode == 0,
             s"${r.kind.toUpperCase} needs the (n, seq, emb) embedding output")
@@ -1270,8 +1306,106 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         require(rows > 0, "last-token pooling over an empty sequence")
         java.util.Arrays.copyOfRange(data, (valid - 1) * cols, valid * cols)
       case r: RnnOp => runRnn(r, data, valid, cols)
+      case ap: AttnPoolOp =>
+        require(valid > 0, "attention pooling over an empty sequence")
+        attnPoolF64(ap, data, cols, valid)
       case other => sys.error(s"unexpected pool op $other")
     }
+  }
+
+  /** [[AttnPoolOp]]: m latent queries attend over the first `keyLim`
+    * positions of the `(L, cols)` sequence; heads concatenated,
+    * out_proj per latent row, flattened `(m·E)`. All f64 internally,
+    * one f32 rounding per output value. */
+  private def attnPoolF64(ap: AttnPoolOp, data: Array[Float],
+      cols: Int, keyLim: Int): Array[Float] = {
+    val e = ap.inDim
+    val cat = new Array[Double](ap.m * e)
+    var hOff = 0
+    for (h <- ap.heads) {
+      val d = h.dim
+      // k/v affines over the valid positions
+      def proj(w: Array[Float], b: Array[Float]): Array[Double] = {
+        val out = new Array[Double](keyLim * d)
+        var p = 0
+        while (p < keyLim) {
+          var o = 0
+          while (o < d) {
+            var acc: Double = b(o)
+            val wOff = o * e
+            val xOff = p * cols
+            var j = 0
+            while (j < e) { acc += data(xOff + j).toDouble * w(wOff + j); j += 1 }
+            out(p * d + o) = acc
+            o += 1
+          }
+          p += 1
+        }
+        out
+      }
+      val km = proj(h.wk, h.bk)
+      val vm = proj(h.wv, h.bv)
+      val scores = new Array[Double](keyLim)
+      var i = 0
+      while (i < ap.m) {
+        // latent-side q: weights-only, input-independent
+        val q = new Array[Double](d)
+        var o = 0
+        while (o < d) {
+          var acc: Double = h.bq(o)
+          var j = 0
+          while (j < e) { acc += ap.latent(i * e + j).toDouble * h.wq(o * e + j); j += 1 }
+          q(o) = acc
+          o += 1
+        }
+        var mx = Double.NegativeInfinity
+        var p = 0
+        while (p < keyLim) {
+          var s0 = 0.0
+          var j = 0
+          while (j < d) { s0 += q(j) * km(p * d + j); j += 1 }
+          s0 *= h.scale
+          scores(p) = s0
+          if (s0 > mx) mx = s0
+          p += 1
+        }
+        var z = 0.0
+        p = 0
+        while (p < keyLim) { scores(p) = math.exp(scores(p) - mx); z += scores(p); p += 1 }
+        var j = 0
+        while (j < d) {
+          var acc = 0.0
+          p = 0
+          while (p < keyLim) { acc += scores(p) * vm(p * d + j); p += 1 }
+          cat(i * e + hOff + j) = acc / z
+          j += 1
+        }
+        i += 1
+      }
+      hOff += d
+    }
+    val out64 = ap.proj match {
+      case None => cat
+      case Some(l) =>
+        val o = new Array[Double](ap.m * e)
+        var i = 0
+        while (i < ap.m) {
+          var t = 0
+          while (t < e) {
+            var acc: Double = l.bias(t)
+            var j = 0
+            while (j < e) { acc += cat(i * e + j) * l.weight(t * e + j); j += 1 }
+            o(i * e + t) = acc
+            t += 1
+          }
+          i += 1
+        }
+        o
+    }
+    val out = new Array[Float](ap.outWidth)
+    var i = 0
+    while (i < out.length) { out(i) = out64(i).toFloat; i += 1 }
+    out
   }
 
   /** Teacher-forced language-model scoring: mean negative log-likelihood
@@ -1634,7 +1768,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           _: Pad1dOp | _: Chomp1dOp | _: SelfAttentionOp |
           _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp | _: PosEmbedOp |
           SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | SeqMaskedMeanPoolOp |
-          SeqClsPoolOp | SeqLastPoolOp | _: RnnOp |
+          SeqClsPoolOp | SeqLastPoolOp | _: AttnPoolOp | _: RnnOp |
           _: Conv2dOp | _: MaxPool2dOp | _: AvgPool2dOp | _: GlobalPool2dOp |
           _: ChannelAffineOp | _: ResBlock2dOp =>
         sys.error("sequence/image op past the pool") // phase walkers forbid

@@ -135,7 +135,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q140_torch_depthwise", "q141_audio_g711", "q142_torch_stacked_gru",
         "q143_torch_bigru", "q144_torch_gru_meanpool", "q147_torch_mha",
         "q149_torch_bilstm", "q156_torch_padded", "q159_torch_tcn",
-        "q161_torch_causal_tcn")) {
+        "q161_torch_causal_tcn", "q162_torch_attn_pool")) {
       val p = plan(q)
       assert(!p.contains("Scan ExistingRDD"), s"$q re-scans a materialized RDD:\n$p")
       assert(p.contains("MapPartitions"), s"$q lost its mapPartitions stage:\n$p")

@@ -64,4 +64,72 @@ class TorchAttentionSpec extends AnyFunSuite {
     }
     assert(minGap > 1e-3, s"argmax gap floor violated: $minGap")
   }
+
+  test("q162 attention pool sf0.001: engine argmax == f64 recompute on every doc; gap floor holds") {
+    val m = graft.SparkEntry.attnPoolModel
+    val e = m.seqHead.get
+    val ap = m.ops.collectFirst { case a: AttnPoolOp => a }.get
+    val fc = m.ops.collectFirst { case l: LinearLayer => l }.get
+    val E = ap.inDim
+    val hd = ap.heads.head.dim
+
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q162_torch_attn_pool")(spark, dir).collect()
+    assert(rows.length > 0)
+    val engine = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % e.vocab),
+          1, 16).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    assert(toks.length == engine.size)
+
+    var minGap = Double.MaxValue
+    for ((docId, ids) <- toks) {
+      val L = ids.length
+      val x = Array.tabulate(L, E)((p, j) => e.weight(ids(p) * E + j).toDouble)
+      val flat = new Array[Double](ap.m * E)
+      for ((h, hi) <- ap.heads.zipWithIndex) {
+        def proj(w: Array[Float], b: Array[Float]): Array[Array[Double]] =
+          Array.tabulate(L, hd)((p, o) =>
+            b(o) + (0 until E).map(j => x(p)(j) * w(o * E + j)).sum)
+        val (km, vm) = (proj(h.wk, h.bk), proj(h.wv, h.bv))
+        for (i <- 0 until ap.m) {
+          val q = Array.tabulate(hd)(o =>
+            h.bq(o) + (0 until E).map(j =>
+              ap.latent(i * E + j).toDouble * h.wq(o * E + j)).sum)
+          val sc = Array.tabulate(L)(p =>
+            (0 until hd).map(j => q(j) * km(p)(j)).sum * h.scale)
+          val mx = sc.max
+          val es = sc.map(s0 => math.exp(s0 - mx))
+          val z = es.sum
+          for (j <- 0 until hd)
+            flat(i * E + hi * hd + j) =
+              (0 until L).map(p => es(p) * vm(p)(j)).sum / z
+        }
+      }
+      val p = ap.proj.get
+      val projed = Array.tabulate(ap.m * E) { idx =>
+        val (i, t) = (idx / E, idx % E)
+        p.bias(t) + (0 until E).map(j => flat(i * E + j) * p.weight(t * E + j)).sum
+      }
+      val logits = Array.tabulate(fc.outDim)(o =>
+        fc.bias(o) + (0 until fc.inDim).map(j => projed(j) * fc.weight(o * fc.inDim + j)).sum)
+      val cls = logits.indexOf(logits.max)
+      assert(engine(docId) == cls, s"doc $docId: engine ${engine(docId)} vs f64 $cls")
+      val sorted = logits.sorted
+      minGap = math.min(minGap, sorted(fc.outDim - 1) - sorted(fc.outDim - 2))
+    }
+    // drift budget: one f32 rounding per pooled value (|v| <= ~8 ->
+    // ~5e-7) through the 16-term f32 fc GEMM (weights <= 2) gives a
+    // worst-case ~1.6e-5, random-walk ~4e-6; the measured sf0.001
+    // floor is 5.4e-5 (and both engines are fully deterministic, so
+    // the sf0.01/sf0.1 exact-hash oracle gates pin the rest)
+    assert(minGap > 2e-5, s"argmax gap floor violated: $minGap")
+  }
 }

@@ -1437,6 +1437,104 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("k_proj_weight"), bad.getMessage)
   }
 
+  test("attention-pooling read-out: latent-query MHA traces to AttnPoolOp; golden vs f64 dense reference") {
+    // token ids -> Embedding(8, 4) -> MHA(latent(2, 4), x, x) with 2
+    // heads (the Set-Transformer PMA / CoCa pooler: learned queries
+    // attend over the sequence) -> flatten (n, 8) -> Linear(8 -> 3)
+    val (vocab, emb, heads, mLat, cls) = (8, 4, 2, 2, 3)
+    val ew = vals(vocab * emb, 311)
+    val lat = vals(mLat * emb, 312)
+    val inW = vals(3 * emb * emb, 313); val inB = vals(3 * emb, 314)
+    val outW = vals(emb * emb, 315); val outB = vals(emb, 316)
+    val (wf, bf) = (vals(cls * mLat * emb, 317), vals(cls, 318))
+    val model = Module("__torch__.AttnPool", Seq(
+      "training" -> B(false),
+      "latent" -> Tensor(Seq(mLat, emb), lat),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ew),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "attn" -> mha(inW, inB, outW, outB, emb, heads),
+      "fc" -> linear(wf, cls, mLat * emb, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class AttnPool(Module):
+        |  training : bool
+        |  def forward(self: __torch__.AttnPool,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    lat = self.latent
+        |    b = torch.size(e, 0)
+        |    q0 = torch.unsqueeze(lat, 0)
+        |    q = torch.expand(q0, [b, -1, -1])
+        |    attn = self.attn
+        |    _0 = (attn).forward(q, e, e, None, True, None, )
+        |    a, _1, = _0
+        |    p = torch.flatten(a, 1)
+        |    fc = self.fc
+        |    return (fc).forward(p, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("attnpool", "attnpool", model, code))
+    val ap = m.ops.collectFirst { case a: AttnPoolOp => a }.get
+    assert(ap.m == mLat && ap.heads.length == heads && ap.proj.isDefined)
+    assert(m.outDim == cls)
+    // f64 dense reference straight from the packed layout
+    val toks = Array(3, 0, 6, 2, 5, 1)
+    val L = toks.length
+    val x = Array.tabulate(L, emb)((p, j) => ew(toks(p) * emb + j).toDouble)
+    def proj(off: Int, rows: Array[Array[Double]]): Array[Array[Double]] =
+      Array.tabulate(rows.length, emb)((p, o) =>
+        inB(off * emb + o) +
+          (0 until emb).map(j => rows(p)(j) * inW((off * emb + o) * emb + j)).sum)
+    val latRows = Array.tabulate(mLat, emb)((i, j) => lat(i * emb + j).toDouble)
+    val (qm, km, vm) = (proj(0, latRows), proj(1, x), proj(2, x))
+    val hd = emb / heads
+    val pooled = Array.tabulate(mLat, emb)((_, _) => 0.0)
+    for (h <- 0 until heads; i <- 0 until mLat) {
+      val scale = 1.0 / math.sqrt(hd.toDouble)
+      val sc = Array.tabulate(L)(p =>
+        (0 until hd).map(j => qm(i)(h * hd + j) * km(p)(h * hd + j)).sum * scale)
+      val mx = sc.max
+      val es = sc.map(s0 => math.exp(s0 - mx))
+      val z = es.sum
+      for (j <- 0 until hd)
+        pooled(i)(h * hd + j) = (0 until L).map(p => es(p) * vm(p)(h * hd + j)).sum / z
+    }
+    val projed = Array.tabulate(mLat, emb)((i, o) =>
+      outB(o) + (0 until emb).map(j => pooled(i)(j) * outW(o * emb + j)).sum)
+    val flat = Array.tabulate(mLat * emb)(i => projed(i / emb)(i % emb))
+    val expected = mm(flat, wf, bf, cls, mLat * emb)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until cls) assert(math.abs(got(j) - expected(j)) < 1e-5,
+      s"logit $j: ${got(j)} vs ${expected(j)}")
+    // batch: rows pool independently; a 1-token row is legal
+    val toks2 = Array(7)
+    val batch = m.forwardTokensBatch(Array(toks, toks2))
+    for (j <- 0 until cls) assert(math.abs(batch(j) - expected(j)) < 1e-5)
+    // misuse fails loudly: latent as VALUE instead of query
+    val badCode = Map("code/__torch__.py" ->
+      """class AttnPool(Module):
+        |  training : bool
+        |  def forward(self: __torch__.AttnPool,
+        |    x: Tensor) -> Tensor:
+        |    emb = self.emb
+        |    e = (emb).forward(x, )
+        |    lat = self.latent
+        |    b = torch.size(e, 0)
+        |    q0 = torch.unsqueeze(lat, 0)
+        |    q = torch.expand(q0, [b, -1, -1])
+        |    attn = self.attn
+        |    _0 = (attn).forward(e, e, q, None, True, None, )
+        |    a, _1, = _0
+        |    p = torch.flatten(a, 1)
+        |    fc = self.fc
+        |    return (fc).forward(p, )
+        |""".stripMargin)
+    val bad = intercept[RuntimeException](
+      TorchScriptModel.load(writeTemp("attnpoolbad", "attnpoolbad", model, badCode)))
+    assert(bad.getMessage.contains("distinct query/key/value"), bad.getMessage)
+  }
+
   test("LSTM archive: nested tuple unpack + select(0, -1), golden vs f64 recurrence") {
     val (vocab, emb, h, cls) = (6, 2, 3, 2)
     val ew = vals(vocab * emb, 71)
