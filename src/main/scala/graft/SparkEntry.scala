@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.{ArgMax, RollingHash64, SimHash64, TopKAgg}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
 import graft.torch.{ActOp, Conv1dOp, EmbeddingMeanOp, EmbeddingSeqOp, LinearLayer,
-  Pad1dOp, SeqMaxPoolOp, Torch, TorchConf, TorchOracle, TorchScriptModel, TransposeOp}
+  Pad1dOp, SeqGluOp, SeqMaxPoolOp, SeqMeanPoolOp, SeqRmsNormOp, Torch, TorchConf,
+  TorchOracle, TorchScriptModel, TransposeOp}
 
 /**
  * Driver contract: every operator the engine implements is a key in
@@ -1779,6 +1780,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // RMSNorm + GLU (q163): Embedding -> per-position Llama norm ->
+    // gated halving -> mean pool -> Linear -> argmax, through the
+    // interpreter's SeqRmsNormOp/SeqGluOp path (see gluRmsModel).
+    "q163_torch_glu_rms" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = gluRmsModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
+          .as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("gated_class"))
+        .orderBy("doc_id")
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -3424,6 +3445,85 @@ object SparkEntry {
        |  LEFT JOIN pose l4 ON l4.doc_id = a.doc_id AND l4.pos = a.pos - 4
        |  LEFT JOIN pose l2 ON l2.doc_id = a.doc_id AND l2.pos = a.pos - 2)
        |SELECT doc_id, $pools FROM conv GROUP BY doc_id""".stripMargin
+  }
+
+  /** RMSNorm + GLU classifier for q163: token ids -> Embedding(64, 8)
+    * -> nn.RMSNorm(8) (the Llama/T5 norm: x/sqrt(mean(x²)+eps)·γ,
+    * per position, no mean subtraction) -> nn.GLU (8->4 gated halving,
+    * a·sigmoid(b) over split halves) -> mean(dim=1) -> Linear(4->3) ->
+    * argmax — the gated-block family (GLU; Llama's pre-norm) through
+    * the interpreter's [[graft.torch.SeqRmsNormOp]]/
+    * [[graft.torch.SeqGluOp]]. Numerical pinning (the q122 argument):
+    * dyadic 1/16-grid embedding and γ values make the RMS sum-of-
+    * squares EXACT in f64, and sqrt/div are correctly rounded on both
+    * engines, so `inv` is bit-identical; residual drift is the
+    * engine's one-f32-rounding-per-op discipline (norm write, gate
+    * write, pool write) + cross-libm exp ulps in the sigmoid + the
+    * f32 fc GEMM, absorbed by the argmax gap (TorchGluRmsSpec pins
+    * the sf0.001 floor). eps = 2^-10 is exactly representable in f32,
+    * f64 AND decimal. The fc bias re-centers each class at its
+    * measured median logit so predictions are mixed. */
+  private[graft] lazy val gluRmsModel: TorchScriptModel = {
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(64 * 8, 2203, 2.0), vocab = 64, embDim = 8),
+      SeqRmsNormOp(qvals(8, 2213, 0.5).map(v => 1f + v), eps = 0.0009765625),
+      SeqGluOp,
+      SeqMeanPoolOp,
+      LinearLayer(qvals(12, 2221, 4.0),
+        Array(-0.140625f, 0.125f, 0.140625f), 3, 4)))
+  }
+
+  /** DuckDB chain for the q163 oracle: token ids -> embedding VALUES
+    * join (cast to DOUBLE) -> per-position `inv = 1/sqrt(mean(x²)+eps)`
+    * (sum of exact dyadic squares in the engine's index order — bit-
+    * identical f64) -> gated halves `h_j = (w_j·inv·γ_j) ·
+    * sigmoid(w_{4+j}·inv·γ_{4+j})` -> mean pool `sum/count` per doc;
+    * ends in `SELECT doc_id, a0..a3` ready for
+    * [[TorchOracle.mlpArgmaxSql]]'s fc chain. Per-position scan +
+    * one GROUP BY — no self-join. */
+  private def gluRmsPoolSql: String = {
+    val m = gluRmsModel
+    val e = m.seqHead.get
+    val rn = m.ops.collectFirst { case r: SeqRmsNormOp => r }.get
+    val E = e.embDim
+    val half = E / 2
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until E).map(j => fmtF(e.weight(t * E + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until E).map(j => s"w$j").mkString(", ")
+    // engine index order: ms = (w0² + w1² + ... + w7²)/8 + eps
+    val msTerms = (0 until E).map(j => s"w$j*w$j").mkString(" + ")
+    val gluSel = (0 until half).map { j =>
+      val a = s"(w$j*inv*${fmtF(rn.gamma(j))})"
+      val b = s"(w${half + j}*inv*${fmtF(rn.gamma(half + j))})"
+      s"$a * (1.0/(1.0 + exp(-$b))) AS h$j"
+    }.mkString(",\n      ")
+    val pools = (0 until half).map(j => s"sum(h$j)/count(*) AS a$j").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))), 1, 8)
+       |      AS BIGINT) % ${e.vocab} AS tid
+       |  FROM documents),
+       |embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |x AS (SELECT doc_id,
+       |        ${(0 until E).map(j => s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
+       |      FROM toks JOIN embw USING (tid)),
+       |rms AS (SELECT doc_id, $wCols,
+       |        1.0/sqrt(($msTerms)/${E}.0 + ${rn.eps}) AS inv
+       |      FROM x),
+       |glu AS (SELECT doc_id,
+       |      $gluSel
+       |  FROM rms)
+       |SELECT doc_id, $pools FROM glu GROUP BY doc_id""".stripMargin
   }
 
   /** Recurrent (GRU) text classifier for q123: token ids ->
@@ -5358,6 +5458,19 @@ object SparkEntry {
         arms = Seq("a"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
           s"AS text_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")
+    },
+
+    // RMSNorm + GLU: DuckDB restates the per-position Llama norm
+    // (bit-identical inv from exact dyadic squares), the sigmoid-gated
+    // halving, and the mean pool; fc+argmax through TorchOracle.
+    // Drift = engine's per-op f32 roundings + sigmoid exp ulps,
+    // absorbed by the argmax gap (see gluRmsModel / gluRmsPoolSql).
+    "q163_torch_glu_rms" -> {
+      val tail = new TorchScriptModel(IndexedSeq(gluRmsModel.layers.last))
+      TorchOracle.mlpArgmaxSql(tail, gluRmsPoolSql,
+        arms = Seq("a"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
+          s"AS gated_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")
     },
 
     // Model-scored domain caps: DuckDB recomputes the class-2 logit

@@ -1036,6 +1036,59 @@ object TorchCode {
             ops += LayerNormOp(gamma, beta, floatAttr(m, "eps", 1e-5))
             Flat(dim)
         }
+      case "RMSNorm" =>
+        // nn.RMSNorm (torch >= 2.4, the Llama/T5-family norm): no mean
+        // subtraction, no bias; `eps=None` (the constructor default)
+        // resolves at run time to torch.finfo(x.dtype).eps — our
+        // inputs are f32, so pin finfo(float32).eps
+        val eps = m.attrs.get("eps") match {
+          case Some(d: Double) => d
+          case Some(Pickle.PFloat(d)) => d
+          case None | Some(null) | Some(Pickle.PNone) => 1.1920928955078125e-7
+          case Some(other) => sys.error(s"${m.fqName}: non-float eps $other")
+        }
+        def rmsGamma(n: Int): Array[Float] = m.attrs.get("weight") match {
+          case Some(t: Pickle.PTensor) if t.shape.length == 1 => materialize(t)
+          case _ => Array.fill(n)(1f) // elementwise_affine=False
+        }
+        forceSeq(s) match {
+          case SeqEmb(d) =>
+            val gamma = rmsGamma(d)
+            require(gamma.length == d,
+              s"RMSNorm(${gamma.length}) applied to $d-dim sequence")
+            ops += SeqRmsNormOp(gamma, eps)
+            SeqEmb(d)
+          case s1 =>
+            val dim = flatDim(m, s1)
+            require(dim > 0, s"${m.fqName}: RMSNorm before any Linear needs a known dim")
+            val gamma = rmsGamma(dim)
+            require(gamma.length == dim,
+              s"RMSNorm(${gamma.length}) applied to $dim features")
+            ops += RmsNormOp(gamma, eps)
+            Flat(dim)
+        }
+      case "GLU" =>
+        // nn.GLU: split the chosen dim in half, y = a * sigmoid(b).
+        // Feature-dim only (dim=-1, or the positive index of the
+        // feature axis for the live shape).
+        val d = intAttr(m, "dim", -1L)
+        forceSeq(s) match {
+          case SeqEmb(dd) =>
+            require(d == -1L || d == 2L,
+              s"${m.fqName}: GLU over dim $d unsupported on a (n, seq, emb) " +
+                "sequence (feature dim only: -1 or 2)")
+            require(dd % 2 == 0, s"GLU on an odd feature width $dd")
+            ops += SeqGluOp
+            SeqEmb(dd / 2)
+          case s1 =>
+            require(d == -1L || d == 1L,
+              s"${m.fqName}: GLU over dim $d unsupported (feature dim only: -1 or 1)")
+            val dim = flatDim(m, s1)
+            require(dim > 0, s"${m.fqName}: GLU before any Linear needs a known dim")
+            require(dim % 2 == 0, s"GLU on an odd feature width $dim")
+            ops += GluOp
+            Flat(dim / 2)
+        }
       case "Softmax" | "LogSoftmax" =>
         val d = intAttr(m, "dim", -1L)
         require(d == -1L || d == 1L,
@@ -1150,8 +1203,8 @@ object TorchCode {
         "Conv2d, MaxPool1d, AvgPool1d, MaxPool2d, AvgPool2d, AdaptiveMaxPool1d, " +
         "AdaptiveAvgPool1d, AdaptiveMaxPool2d, AdaptiveAvgPool2d, GRU, LSTM, " +
         "ReLU, Sigmoid, Tanh, GELU, SiLU, LeakyReLU, ELU, Hardtanh, Softplus, " +
-        "Softmax, LogSoftmax, BatchNorm1d, BatchNorm2d, LayerNorm, Identity, " +
-        "Dropout, Flatten, Sequential)")
+        "Softmax, LogSoftmax, BatchNorm1d, BatchNorm2d, LayerNorm, RMSNorm, " +
+        "GLU, Identity, Dropout, Flatten, Sequential)")
     }
 
     /** Execute a parsed forward body with `self = m`, input shape `in`. */

@@ -34,6 +34,19 @@ final case class ScaleShiftOp(scale: Array[Float], shift: Array[Float]) extends 
 final case class LayerNormOp(gamma: Array[Float], beta: Array[Float], eps: Double)
     extends TorchOp
 
+/** Per-row RMS normalization over the feature dim — `nn.RMSNorm`
+  * (the Llama/T5-family norm: no mean subtraction, no bias):
+  * `y = x / sqrt(mean(x²) + eps) * gamma`. f64 internally, one f32
+  * rounding per value. A None eps in the archive maps to torch's
+  * run-time default `torch.finfo(float32).eps`. */
+final case class RmsNormOp(gamma: Array[Float], eps: Double) extends TorchOp
+
+/** Feature-halving gated linear unit — `nn.GLU(dim=-1)` on a flat
+  * batch: split the feature dim in half, `y = a * sigmoid(b)`
+  * (first half gates on the second). f64 sigmoid, one f32 rounding
+  * per value; halves the live width. */
+case object GluOp extends TorchOp
+
 /** Embedding lookup + mean pool over a variable-length token-id row —
   * the fastText-classifier head (nn.EmbeddingBag mode='mean', or
   * nn.Embedding followed by `.mean(dim=1)`). Weight is row-major
@@ -464,6 +477,19 @@ final case class AttnPoolOp(latent: Array[Float], m: Int,
 final case class SeqLayerNormOp(gamma: Array[Float], beta: Array[Float], eps: Double)
     extends TorchOp
 
+/** Per-POSITION RMS normalization over the feature dim of a
+  * `(L, emb)` sequence — `nn.RMSNorm(emb)` applied to the live
+  * sequence (the Llama pre-norm; flat-input form is [[RmsNormOp]]).
+  * f64 internally, one rounding per value. */
+final case class SeqRmsNormOp(gamma: Array[Float], eps: Double) extends TorchOp
+
+/** Per-POSITION gated linear unit over the feature dim of a
+  * `(L, emb)` sequence — `nn.GLU(dim=-1)`: `(L, 2h)` -> `(L, h)`,
+  * `y = a * sigmoid(b)`. Purely per-position (pad rows of a padded
+  * batch pass through untouched-by-neighbors, like every other
+  * elementwise seq op). */
+case object SeqGluOp extends TorchOp
+
 /** Position-wise feed-forward `y = l2(act(l1(x))) [+ x]` over a
   * `(L, emb)` sequence — the FFN half of a transformer encoder block,
   * fused so the residual has a home in the linear op chain. f64
@@ -575,6 +601,14 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(mode == 0, "sequence LayerNorm needs the (n, seq, emb) layout")
           require(ln.gamma.length == width,
             s"LayerNorm(${ln.gamma.length}) applied to $width features")
+        case rn: SeqRmsNormOp =>
+          require(mode == 0, "sequence RMSNorm needs the (n, seq, emb) layout")
+          require(rn.gamma.length == width,
+            s"RMSNorm(${rn.gamma.length}) applied to $width features")
+        case SeqGluOp =>
+          require(mode == 0, "sequence GLU needs the (n, seq, emb) layout")
+          require(width % 2 == 0, s"GLU on an odd feature width $width")
+          width /= 2
         case f: PosFfnOp =>
           require(mode == 0, "position-wise FFN needs the (n, seq, emb) layout")
           require(f.l1.inDim == width,
@@ -1201,6 +1235,43 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
             }
             r0 += 1
           }
+        case SeqRmsNormOp(gamma, eps) =>
+          // per-position RMSNorm: x / sqrt(mean(x²) + eps) * gamma;
+          // f64, one rounding per value (torch rms_norm)
+          var r0 = 0
+          while (r0 < rows) {
+            val off = r0 * cols
+            var ms = 0.0
+            var j = 0
+            while (j < cols) { val v = data(off + j).toDouble; ms += v * v; j += 1 }
+            ms /= cols
+            val inv = 1.0 / math.sqrt(ms + eps)
+            j = 0
+            while (j < cols) {
+              data(off + j) = ((data(off + j) * inv) * gamma(j)).toFloat
+              j += 1
+            }
+            r0 += 1
+          }
+        case SeqGluOp =>
+          // per-position a * sigmoid(b) over split halves; f64 gate,
+          // one rounding per value; halves the feature width
+          val half = cols / 2
+          val out = new Array[Float](rows * half)
+          var r0 = 0
+          while (r0 < rows) {
+            val off = r0 * cols
+            var j = 0
+            while (j < half) {
+              val a = data(off + j).toDouble
+              val b = data(off + half + j).toDouble
+              out(r0 * half + j) = (a * (1.0 / (1.0 + math.exp(-b)))).toFloat
+              j += 1
+            }
+            r0 += 1
+          }
+          data = out
+          cols = half
         case ff: PosFfnOp =>
           // y = l2(act(l1(x))) [+ x] per position; f64, one rounding
           val L = rows
@@ -1766,7 +1837,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         sys.error("embedding op past the model head") // constructor forbids
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: AvgPool1dOp |
           _: Pad1dOp | _: Chomp1dOp | _: SelfAttentionOp |
-          _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp | _: PosEmbedOp |
+          _: EncoderAttnOp | _: SeqLayerNormOp | _: SeqRmsNormOp | SeqGluOp |
+          _: PosFfnOp | _: PosEmbedOp |
           SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | SeqMaskedMeanPoolOp |
           SeqClsPoolOp | SeqLastPoolOp | _: AttnPoolOp | _: RnnOp |
           _: Conv2dOp | _: MaxPool2dOp | _: AvgPool2dOp | _: GlobalPool2dOp |
@@ -1838,6 +1910,43 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           }
           r += 1
         }
+      case RmsNormOp(gamma, eps) =>
+        require(curDim == gamma.length,
+          s"rmsnorm over ${gamma.length} features applied to $curDim")
+        if (cur eq x) cur = x.clone()
+        var r = 0
+        while (r < n) {
+          val off = r * curDim
+          var ms = 0.0
+          var j = 0
+          while (j < curDim) { val v = cur(off + j).toDouble; ms += v * v; j += 1 }
+          ms /= curDim
+          val inv = 1.0 / math.sqrt(ms + eps)
+          j = 0
+          while (j < curDim) {
+            cur(off + j) = ((cur(off + j) * inv) * gamma(j)).toFloat
+            j += 1
+          }
+          r += 1
+        }
+      case GluOp =>
+        require(curDim % 2 == 0, s"GLU on an odd feature width $curDim")
+        val half = curDim / 2
+        val out = new Array[Float](n * half)
+        var r = 0
+        while (r < n) {
+          val off = r * curDim
+          var j = 0
+          while (j < half) {
+            val a = cur(off + j).toDouble
+            val b = cur(off + half + j).toDouble
+            out(r * half + j) = (a * (1.0 / (1.0 + math.exp(-b)))).toFloat
+            j += 1
+          }
+          r += 1
+        }
+        cur = out
+        curDim = half
       case SoftmaxOp(log) =>
         if (cur eq x) cur = x.clone()
         var r = 0

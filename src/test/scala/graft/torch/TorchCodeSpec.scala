@@ -2410,6 +2410,153 @@ class TorchCodeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported function"), e2.getMessage)
   }
 
+  test("RMSNorm and GLU between linears: Llama-norm then gated halving (flat)") {
+    // x(2) -> fc1(2->4) -> RMSNorm(4) -> fc2(4->4) -> GLU -> (2)
+    val (w0, b0) = (vals(8, 301), vals(4, 302))
+    val g = vals(4, 303).map(v => 1f + v * 0.1f)
+    val (w1, b1) = (vals(16, 304), vals(4, 305))
+    val eps = 1e-6
+    val model = Module("__torch__.RGNet", Seq(
+      "training" -> B(false),
+      "fc1" -> linear(w0, 4, 2, b0),
+      "rms" -> Module("__torch__.torch.nn.modules.normalization.RMSNorm", Seq(
+        "weight" -> Tensor(Seq(4), g),
+        "eps" -> F(eps),
+        "normalized_shape" -> Tup(Seq(I(4))),
+        "training" -> B(false))),
+      "fc2" -> linear(w1, 4, 4, b1),
+      "glu" -> Module("__torch__.torch.nn.modules.activation.GLU", Seq(
+        "dim" -> I(-1), "training" -> B(false)))))
+    val code = Map("code/__torch__.py" ->
+      """class RGNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.RGNet,
+        |    x: Tensor) -> Tensor:
+        |    h = (self.rms).forward((self.fc1).forward(x, ), )
+        |    h2 = (self.fc2).forward(h, )
+        |    return (self.glu).forward(h2, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("rgnet", "rgnet", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      Seq("LinearLayer", "RmsNormOp", "LinearLayer", "GluOp$"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    assert(m.outDim == 4) // outDim reads the last Linear; GLU halves at run time
+
+    val x = Array(0.7, -1.2)
+    val h = mm(x, w0, b0, 4, 2)
+    val ms = h.map(v => v * v).sum / 4
+    val inv = 1.0 / math.sqrt(ms + eps)
+    val rn = h.indices.map(j => h(j) * inv * g(j)).toArray
+    val h2 = mm(rn, w1, b1, 4, 4)
+    val expected = Array.tabulate(2)(j => h2(j) / (1.0 + math.exp(-h2(2 + j))))
+    val got = m.forward(x.map(_.toFloat))
+    assert(got.length == 2)
+    for (j <- 0 until 2)
+      assert(math.abs(got(j) - expected(j)) < 1e-4, s"out[$j]: ${got(j)} vs ${expected(j)}")
+  }
+
+  test("RMSNorm eps=None resolves to finfo(float32).eps; affine=False means unit gamma") {
+    val (w0, b0) = (vals(8, 311), vals(4, 312))
+    val model = Module("__torch__.RNet", Seq(
+      "training" -> B(false),
+      "fc1" -> linear(w0, 4, 2, b0),
+      "rms" -> Module("__torch__.torch.nn.modules.normalization.RMSNorm", Seq(
+        "weight" -> NoneV, // elementwise_affine=False
+        "eps" -> NoneV,
+        "normalized_shape" -> Tup(Seq(I(4))),
+        "training" -> B(false)))))
+    val code = Map("code/__torch__.py" ->
+      """class RNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.RNet,
+        |    x: Tensor) -> Tensor:
+        |    return (self.rms).forward((self.fc1).forward(x, ), )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("rnet", "rnet", model, code))
+    val op = m.ops.collectFirst { case r: RmsNormOp => r }.get
+    assert(op.eps == 1.1920928955078125e-7)
+    assert(op.gamma.toSeq == Seq.fill(4)(1f))
+  }
+
+  test("sequence RMSNorm + GLU: per-position Llama norm and gated halving on the live sequence") {
+    // token ids -> Embedding(8, 4) -> RMSNorm(4) -> GLU (4->2) ->
+    // mean(dim=1) -> Linear(2->3)
+    val (vocab, d) = (8, 4)
+    val ew = vals(vocab * d, 321)
+    val g = vals(d, 322).map(v => 1f + v * 0.1f)
+    val (wf, bf) = (vals(3 * 2, 323), vals(3, 324))
+    val eps = 1e-6
+    val model = Module("__torch__.SRGNet", Seq(
+      "training" -> B(false),
+      "emb" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, d), ew),
+        "padding_idx" -> NoneV, "training" -> B(false))),
+      "rms" -> Module("__torch__.torch.nn.modules.normalization.RMSNorm", Seq(
+        "weight" -> Tensor(Seq(d), g),
+        "eps" -> F(eps),
+        "normalized_shape" -> Tup(Seq(I(d))),
+        "training" -> B(false))),
+      "glu" -> Module("__torch__.torch.nn.modules.activation.GLU", Seq(
+        "dim" -> I(-1), "training" -> B(false))),
+      "fc" -> linear(wf, 3, 2, bf)))
+    val code = Map("code/__torch__.py" ->
+      """class SRGNet(Module):
+        |  training : bool
+        |  def forward(self: __torch__.SRGNet,
+        |    x: Tensor) -> Tensor:
+        |    e = (self.emb).forward(x, )
+        |    n = (self.rms).forward(e, )
+        |    h = (self.glu).forward(n, )
+        |    pool = torch.mean(h, [1], False, None)
+        |    fc = self.fc
+        |    return (fc).forward(pool, )
+        |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("srg", "srg", model, code))
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "SeqRmsNormOp", "SeqGluOp$",
+        "SeqMeanPoolOp$", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+
+    // independent all-f64 recompute
+    val toks = Array(3, 0, 6, 2, 5)
+    val L = toks.length
+    val x = Array.tabulate(L, d)((p, j) => ew(toks(p) * d + j).toDouble)
+    val gated = Array.tabulate(L, 2) { (p, j) =>
+      val ms = x(p).map(v => v * v).sum / d
+      val inv = 1.0 / math.sqrt(ms + eps)
+      val a = x(p)(j) * inv * g(j)
+      val b = x(p)(2 + j) * inv * g(2 + j)
+      a / (1.0 + math.exp(-b))
+    }
+    val pool = Array.tabulate(2)(j => (0 until L).map(p => gated(p)(j)).sum / L)
+    val expected = mm(pool, wf, bf, 3, 2)
+    val got = m.forwardTokens(toks)
+    for (j <- 0 until 3)
+      assert(math.abs(got(j) - expected(j)) < 1e-4, s"out[$j]: ${got(j)} vs ${expected(j)}")
+  }
+
+  test("GLU rejects an odd feature width and a non-feature dim") {
+    def net(dim: Long, inDim: Int): TorchScriptModel = {
+      val model = Module("__torch__.GNet", Seq(
+        "training" -> B(false),
+        "fc" -> linear(vals(3 * inDim, 331), 3, inDim, vals(3, 332)),
+        "glu" -> Module("__torch__.torch.nn.modules.activation.GLU", Seq(
+          "dim" -> I(dim), "training" -> B(false)))))
+      val code = Map("code/__torch__.py" ->
+        """class GNet(Module):
+          |  training : bool
+          |  def forward(self: __torch__.GNet,
+          |    x: Tensor) -> Tensor:
+          |    return (self.glu).forward((self.fc).forward(x, ), )
+          |""".stripMargin)
+      TorchScriptModel.load(writeTemp("gnet", "gnet", model, code))
+    }
+    val e1 = intercept[Exception](net(-1, 2)) // fc out = 3: odd
+    assert(e1.getMessage.contains("odd feature width"), e1.getMessage)
+    val e2 = intercept[Exception](net(0, 2)) // batch dim: no home
+    assert(e2.getMessage.contains("feature dim only"), e2.getMessage)
+  }
+
   test("iris.spt traces through its serialized code: shared relu between linears") {
     val m = TorchScriptModel.load("/root/reference/model/iris.spt")
     // execution order from code/__torch__.py, NOT registration order
