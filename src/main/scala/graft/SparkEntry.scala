@@ -1800,6 +1800,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Fuzzy decontamination (q164): overlap-FRACTION rule (distinct
+    // contaminated 8-grams / distinct 8-grams, flag at >= 0.25) — the
+    // GPT-3/PaLM-style length-normalized contamination check beside
+    // q64's absolute-hits and q93's bloom-prefiltered variants. One
+    // scan-side pass; benchmark grams broadcast.
+    "q164_decontam_fuzzy" -> { (s, dir) =>
+      val docsDf = t(s, dir, "documents")
+      val bench = docsDf.filter(col("doc_id") % 97 === 3)
+      val corpus = docsDf.filter(col("doc_id") % 97 =!= 3)
+      graft.operators.Decontaminate.contaminationFraction(
+        corpus, "doc_id", "text", bench, "text", n = 8, minFrac = 0.25)
+        .orderBy("doc_id")
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -5472,6 +5486,36 @@ object SparkEntry {
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(tail, "a")} " +
           s"AS gated_class FROM ${TorchOracle.lastCte(tail)} ORDER BY doc_id")
     },
+
+    // Fuzzy decontam: the q64 shingle chain, but counting BOTH total
+    // and hit grams per doc via a LEFT join, then the fraction rule.
+    // frac = n_hits/n_grams is the same integer pair divided in f64 on
+    // both engines — bit-identical; 0.25 is dyadic.
+    "q164_decontam_fuzzy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 3),
+        |counts AS (
+        |  SELECT sh.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        |  FROM sh LEFT JOIN bench b ON b.s = sh.s
+        |  WHERE sh.doc_id % 97 <> 3
+        |  GROUP BY sh.doc_id),
+        |corpus AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 3)
+        |SELECT c.doc_id,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CASE WHEN coalesce(n_grams, 0) > 0
+        |       THEN CAST(coalesce(n_hits, 0) AS DOUBLE) / n_grams
+        |       ELSE 0.0 END AS contam_frac,
+        |  (CASE WHEN coalesce(n_grams, 0) > 0
+        |        THEN CAST(coalesce(n_hits, 0) AS DOUBLE) / n_grams
+        |        ELSE 0.0 END >= 0.25) AS contaminated
+        |FROM corpus c LEFT JOIN counts USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Model-scored domain caps: DuckDB recomputes the class-2 logit
     // through the same exact (dyadic-weight) conv chain, then the

@@ -49,6 +49,59 @@ object Decontaminate {
   }
 
   /**
+   * Fuzzy (fraction-threshold) decontamination: flag training
+   * documents whose OVERLAP FRACTION — distinct contaminated n-grams
+   * over the doc's total distinct n-grams — reaches `minFrac`, the
+   * GPT-3/PaLM-style contamination rule. Unlike [[flagContaminated]]'s
+   * absolute `minHits`, the fraction normalizes for document length:
+   * a 10k-gram page sharing 3 boilerplate grams is clean, a 12-gram
+   * quiz answer sharing 3 is 25% contaminated.
+   *
+   * Plan shape: ONE scan-side pass — `shingle_hashes` (already
+   * per-doc-distinct) exploded, LEFT-joined against the broadcast
+   * benchmark gram set, then a single partial-aggregated groupBy
+   * counts total and hit grams together. The corpus text is never
+   * shuffled and is read once (vs the two-pass count-then-join
+   * alternative); at 100 TB the only exchange is the per-doc count
+   * pairs.
+   *
+   * @return (idCol, n_grams, n_hits, contam_frac, contaminated) for
+   *         every corpus doc; zero-gram docs (fewer than n tokens)
+   *         have frac 0.0 and are never flagged.
+   */
+  def contaminationFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      minFrac: Double): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minFrac > 0.0 && minFrac <= 1.0, "minFrac must be in (0, 1]")
+    val spark = df.sparkSession
+    val benchShingles = bench
+      .select(explode(graft.functions.ShingleHashes
+        .shingle_hashes(spark, col(benchTextCol), n)).as("shingle"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    // explode_outer keeps zero-gram docs as a null-shingle row (which
+    // can never match the join), so every corpus doc reaches the output
+    df.select(col(idCol),
+        explode_outer(graft.functions.ShingleHashes
+          .shingle_hashes(spark, col(textCol), n)).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("shingle")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        when(col("n_grams") > 0, col("n_hits") / col("n_grams"))
+          .otherwise(lit(0.0)).as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") >= minFrac)
+  }
+
+  /**
    * Bloom-prefiltered decontamination: same verdict as
    * [[flagContaminated]] restricted to the flagged docs, at a fraction
    * of the shuffle. A Bloom filter over the benchmark's distinct gram

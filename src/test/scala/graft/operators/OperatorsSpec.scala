@@ -468,6 +468,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byId(2L) == ((0L, false)))
   }
 
+  test("contaminationFraction: length-normalized verdicts, zero-gram docs never flagged") {
+    import spark.implicits._
+    val benchTxt = (1 to 20).map(i => s"b$i").mkString(" ")
+    val bench = Seq(Tuple1(benchTxt)).toDF("text")
+    // doc 1: a 10-token benchmark span inside 14 tokens -> 7 grams,
+    // 3 contaminated -> frac 3/7 >= 0.25 -> flagged
+    val span = (5 to 14).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"x y $span z w"),
+      // doc 2: the same 3 contaminated grams diluted in 40 tokens ->
+      // 33 grams, frac 3/33 < 0.25 -> clean (q64's absolute rule
+      // would flag it at minHits=3 — the normalization is the point)
+      (2L, s"$span " + (1 to 30).map(i => s"d$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")), // no overlap
+      (4L, "too short")) // < 8 tokens: zero grams
+      .toDF("doc_id", "text")
+    val got = Decontaminate
+      .contaminationFraction(corpus, "doc_id", "text", bench, "text",
+        n = 8, minFrac = 0.25)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((7L, 3L, 3.0 / 7, true)))
+    assert(got(2L) == ((33L, 3L, 3.0 / 33, false)))
+    assert(got(3L) == ((13L, 0L, 0.0, false)))
+    assert(got(4L) == ((0L, 0L, 0.0, false)))
+  }
+
   test("rarityScore: hand-computed corpus frequencies and per-doc rates") {
     import spark.implicits._
     // corpus bigrams: "a b" x3 (docs 1,2,3), "b c" x2 (docs 1,2),
