@@ -1814,6 +1814,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Temperature mixture sampling (q165): keep rates derived from
+    // stratum sizes alone — sample sources ∝ N^0.5 (the multilingual
+    // flattening recipe) instead of q63's explicit target shares.
+    // tau=0.5 goes through the sqrt path: the 1e8-grid rates are
+    // bit-identical to the oracle's SQL restatement.
+    "q165_temperature_mix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val kept = graft.operators.Mix
+        .temperatureSample(docs, "source", "doc_id", tau = 0.5)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -5516,6 +5533,30 @@ object SparkEntry {
         |        ELSE 0.0 END >= 0.25) AS contaminated
         |FROM corpus c LEFT JOIN counts USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Temperature mix: the q63 bucket chain with rates derived as
+    // min(sqrt(N))/sqrt(N) — sqrt is correctly rounded on both
+    // engines, so the 1e8-grid rates match bit-for-bit.
+    "q165_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM counts),
+        |m AS (SELECT min(w) AS minw FROM w),
+        |rates AS (
+        |  SELECT source, n,
+        |   greatest(least(CAST(round(minw / w * 100000000) AS BIGINT), 100000000),
+        |            1) AS rate_b
+        |  FROM w, m),
+        |kept AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 100000000 < r.rate_b
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n AS n_total,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM rates r LEFT JOIN kept k USING (source)
+        |ORDER BY source""".stripMargin,
 
     // Model-scored domain caps: DuckDB recomputes the class-2 logit
     // through the same exact (dyadic-weight) conv chain, then the

@@ -69,6 +69,60 @@ object Mix {
   }
 
   /**
+   * Temperature-flattened mixture sampling: derive each stratum's keep
+   * rate from its own size — `rate_s = min_t(N_t^(1-tau)) / N_s^(1-tau)`,
+   * i.e. sample strata proportionally to `N^tau` — the multilingual /
+   * multi-domain training recipe (the exponentiated-share mix of
+   * multilingual LM pipelines). tau = 1 keeps the natural mix
+   * untouched; tau -> 0 flattens toward equal per-stratum counts;
+   * tau > 1 sharpens toward the head. Unlike [[rebalance]], there are
+   * no explicit target shares: the stratum sizes plus one scalar ARE
+   * the policy. Sampling is without replacement, so the binding
+   * stratum (the smallest for tau < 1, the largest for tau > 1) keeps
+   * 100% and nothing is up-sampled.
+   *
+   * Selection is [[rebalance]]'s md5-bucket threshold on the same 1e8
+   * grid — deterministic, no RNG, scan-side. Plan shape: one tiny
+   * groupBy for counts, rates broadcast back, scan-side filter; no
+   * wide shuffle.
+   *
+   * Cross-engine exactness: for tau = 0.5 (the common flattening
+   * temperature) the weight is computed with `sqrt` — correctly
+   * rounded IEEE on both engines, so the 1e8-grid rate is
+   * bit-identical to an independent SQL restatement. General tau uses
+   * `pow`, whose cross-libm last-ulp drift could in principle flip a
+   * rate by one 1e-8 bucket (~N_s/1e8 rows in expectation — the
+   * hash-sampling noise class, accepted and documented).
+   */
+  def temperatureSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0, "tau must be > 0")
+    val expo = 1.0 - tau
+    if (expo == 0.0) return df // natural mix: every rate is exactly 1
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        if (expo == 0.5) sqrt(col("__n").cast("double"))
+        else pow(col("__n").cast("double"), lit(expo)))
+    val minw = counts.agg(min(col("__w")).as("__minw"))
+    val rates = counts.crossJoin(broadcast(minw))
+      .withColumn("__rate_b",
+        greatest(
+          least(round(col("__minw") / col("__w") * lit(100000000L)).cast("long"),
+            lit(100000000L)),
+          lit(1L)))
+      .select(col(stratumCol), col("__rate_b"))
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100000000L
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket < col("__rate_b"))
+      .drop("__rate_b")
+  }
+
+  /**
    * Token-budget sampling: per stratum, keep documents — in a
    * DETERMINISTIC hash order — until the stratum's token budget is
    * exhausted (the "cap each source at N tokens" primitive of corpus

@@ -436,6 +436,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.getOrElse("b", 0L) == expectedB && expectedB > 0)
   }
 
+  test("Mix.temperatureSample: tau=0.5 flattens via sqrt rates; tau=1 is identity; tau=2 sharpens") {
+    import spark.implicits._
+    // strata: a=16 rows, b=64 rows -> tau=0.5 weights 4, 8; rates 1.0
+    // and 0.5 -> a keeps all 16, b keeps bucket < 50000000
+    val df = ((0 until 16).map(i => (i.toLong, "a")) ++
+      (100 until 164).map(i => (i.toLong, "b"))).toDF("id", "s")
+    val kept = Mix.temperatureSample(df, "s", "id", tau = 0.5)
+      .groupBy("s").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kept("a") == 16L)
+    val expectedB = df.filter(col("s") === "b")
+      .filter(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100000000L < 50000000L)
+      .count()
+    assert(kept.getOrElse("b", 0L) == expectedB && expectedB > 0)
+    // tau=1: the natural mix passes through untouched
+    assert(Mix.temperatureSample(df, "s", "id", tau = 1.0).count() == 80L)
+    // tau=2 (sharpening): the LARGE stratum binds (keeps 100%), the
+    // small one is down-sampled at rate N_a/N_b = 0.25
+    val sharp = Mix.temperatureSample(df, "s", "id", tau = 2.0)
+      .groupBy("s").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sharp("b") == 64L)
+    val expectedA = df.filter(col("s") === "a")
+      .filter(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100000000L < 25000000L)
+      .count()
+    assert(sharp.getOrElse("a", 0L) == expectedA)
+  }
+
   test("Mix.rebalance: sub-1e-4 keep rates survive quantization (no vanished strata)") {
     import spark.implicits._
     // heavy stratum vs tiny binding stratum: heavy's rate = 5e-5, which
