@@ -1570,6 +1570,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ALiBi-masked attention (q166): q122's head with the linear
+    // relative-position bias as torch's attn_mask — the interpreter's
+    // GENERAL additive mask path (finite recency prior below the
+    // diagonal, -inf above; see alibiModel). Same batched
+    // mapPartitions route as q122; the oracle joins the finite mask
+    // entries as a VALUES table.
+    "q166_torch_alibi" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = alibiModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, AttnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("alibi_class"))
+        .orderBy("doc_id")
+    },
+
     // Attention-pooling read-out (q162): a LEARNED (2, 8) latent
     // query array attends over the token sequence (2-head MHA, the
     // Set-Transformer PMA / CoCa pooler — cross-attention: query from
@@ -3051,6 +3074,44 @@ object SparkEntry {
     * standard max-sequence-length cap of a real transformer head. */
   private val AttnMaxLen = 16
 
+  /** ALiBi-masked attention classifier for q166: [[attnModel]]'s
+    * single head re-traced with the Press-et-al. linear-bias mask as a
+    * registered `(16, 16)` buffer — `0` on the diagonal,
+    * `-slope·(i-j)` below, `-inf` above (causal content carried as the
+    * interpreter's GENERAL additive bias, torch's `attn_mask`:
+    * position `a` attends its prefix with a recency-decaying prior).
+    * The reference runs any such model through libtorch
+    * (/root/reference/src/udf.rs:127). Numerical pinning: the slope
+    * 1/4 keeps every finite bias entry dyadic (multiples of 1/4 down
+    * to -15/4), q/k/v weights stay on the 1/16 grid, so the BIASED
+    * scores are still exact f64 dyadics on both engines; the oracle
+    * joins the finite mask entries as a VALUES table (the inner join
+    * IS the -inf mask) and drift reduces to the usual exp/sum ulps +
+    * one f32 rounding, absorbed by the argmax gap
+    * (TorchAlibiSpec/sf0.001 gap spec). The fc bias re-centers each
+    * class near its measured median logit so predictions are mixed. */
+  private[graft] lazy val alibiModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val bias = Array.tabulate(AttnMaxLen * AttnMaxLen) { idx =>
+      val (i, j) = (idx / AttnMaxLen, idx % AttnMaxLen)
+      if (j <= i) -0.25f * (i - j) else Float.NegativeInfinity
+    }
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(64 * 4, 811, 2.0), vocab = 64, embDim = 4),
+      SelfAttentionOp(
+        qvals(16, 821, 1.0), qvals(4, 823, 0.25),
+        qvals(16, 827, 1.0), qvals(4, 829, 0.25),
+        qvals(16, 833, 1.5), qvals(4, 839, 0.5),
+        dim = 4, inDim = 4, scale = 0.5,
+        bias = Some(bias), biasRows = AttnMaxLen),
+      SeqMeanPoolOp,
+      LinearLayer(qvals(12, 853, 2.0),
+        Array(-1.75f, 1.25f, 1.3125f), 3, 4)))
+  }
+
   /** ATTENTION-POOLING classifier for q162: token ids ->
     * Embedding(64, 8) -> MHA(latent(2, 8), x, x) with 2 heads (the
     * Set-Transformer PMA / CoCa pooler — this engine's CROSS-attention
@@ -3202,7 +3263,12 @@ object SparkEntry {
     * [[graft.torch.PosEmbedOp]] — its f32 buffer values inlined as
     * literals, so sinusoidal encodings never recompute sin/cos in
     * SQL), and the causal `b.pos <= a.pos` join restriction when the
-    * attention head carries the causal flag. */
+    * attention head carries the causal flag. For q166 a GENERAL
+    * additive attention bias (ALiBi slopes / banded windows) joins as
+    * a `(pa, pb, bv)` VALUES table holding the FINITE mask entries
+    * only — the inner join drops `-inf` pairs exactly like the
+    * engine's max-shift exclusion, and `bv` adds to the scaled score
+    * (torch's `softmax(q·kᵀ·scale + mask)`). */
   private def attnPoolSql(m: graft.torch.TorchScriptModel): String = {
     import graft.torch._
     val e = m.seqHead.get
@@ -3227,12 +3293,27 @@ object SparkEntry {
           (0 until at.inDim).map(j => s"${fmtF(w(o * at.inDim + j))}*w$j")
         s"${terms.mkString("(", "+", ")")} AS $p$o"
       }.mkString(",\n   ")
-    val score = (0 until d).map(j => s"a.q$j*b.k$j").mkString("(", "+", ")") +
+    val score0 = (0 until d).map(j => s"a.q$j*b.k$j").mkString("(", "+", ")") +
       s"*${fmtD(at.scale)}"
+    val score = if (at.bias.isDefined) s"$score0 + bw.bv" else score0
     val vCarry = (0 until d).map(j => s"b.v$j AS v$j").mkString(", ")
     val oSel = (0 until d).map(j => s"sum(es*v$j)/sum(es) AS o$j").mkString(", ")
     val pSel = (0 until d).map(j => s"avg(o$j) AS p$j").mkString(", ")
     val causalCond = if (at.causal) " AND b.pos <= a.pos" else ""
+    // finite bias entries only, 1-based positions: the inner join IS
+    // the -inf mask
+    val biasJoin = at.bias.map { bm =>
+      val rows = for {
+        i <- 0 until at.biasRows
+        j <- 0 until at.biasRows
+        if bm(i * at.biasRows + j) != Float.NegativeInfinity
+      } yield s"(${i + 1}, ${j + 1}, CAST(${fmtF(bm(i * at.biasRows + j))} AS DOUBLE))"
+      s""",
+         |biasw(pa, pb, bv) AS (VALUES
+         |    ${rows.mkString(",\n    ")})""".stripMargin
+    }.getOrElse("")
+    val biasCond = if (at.bias.isDefined)
+      " JOIN biasw bw ON bw.pa = a.pos AND bw.pb = b.pos" else ""
     val xCte = m.ops.collectFirst { case p: graft.torch.PosEmbedOp => p } match {
       case None =>
         s"""x AS (SELECT doc_id, pos,
@@ -3264,14 +3345,14 @@ object SparkEntry {
        |  WHERE pos <= $AttnMaxLen),
        |embw(tid, $wCols) AS (VALUES
        |    $embRows),
-       |$xCte,
+       |$xCte$biasJoin,
        |qkv AS (SELECT doc_id, pos,
        |   ${affine(at.wq, at.bq, "q")},
        |   ${affine(at.wk, at.bk, "k")},
        |   ${affine(at.wv, at.bv, "v")}
        | FROM x),
        |s AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $score AS sc, $vCarry
-       | FROM qkv a JOIN qkv b ON a.doc_id = b.doc_id$causalCond),
+       | FROM qkv a JOIN qkv b ON a.doc_id = b.doc_id$causalCond$biasCond),
        |mx AS (SELECT doc_id, pa, max(sc) AS m FROM s GROUP BY doc_id, pa),
        |ex AS (SELECT s.doc_id, s.pa, exp(s.sc - mx.m) AS es,
        |         ${(0 until d).map(j => s"s.v$j").mkString(", ")}
@@ -5671,6 +5752,18 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS attn_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // ALiBi: the q122 chain with the finite mask entries joined as a
+    // (pa, pb, bv) VALUES table — the inner join IS the -inf mask;
+    // bv adds to the scaled score. Dyadic bias keeps scores exact.
+    "q166_torch_alibi" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        alibiModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, attnPoolSql(alibiModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS alibi_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // Attention pooling: DuckDB restates the latent-query attention

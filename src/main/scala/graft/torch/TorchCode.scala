@@ -329,10 +329,12 @@ object TorchCode {
       * `causal` is set when an additive upper-triangular `-inf` mask
       * (a sliced buffer, see [[BufSlice]]) has been summed in. */
     final case class AttnScores(q: SeqProj, k: SeqProj, scale: Double,
-        causal: Boolean = false) extends Sym
+        causal: Boolean = false,
+        bias: Option[BufSlice] = None) extends Sym
     /** Row-softmaxed attention weights, awaiting the `matmul(·, v)`. */
     final case class AttnWeights(q: SeqProj, k: SeqProj, scale: Double,
-        causal: Boolean = false) extends Sym
+        causal: Boolean = false,
+        bias: Option[BufSlice] = None) extends Sym
     /** A completed attention output `(L, Σ head dims)` — HELD, not yet
       * emitted: the consumer decides the fused op. `torch.cat` merges
       * heads, a following Linear becomes the out-projection,
@@ -400,12 +402,15 @@ object TorchCode {
       * PRECOMPUTED — the values ride in the buffer, so the engine never
       * recomputes sin/cos); awaiting the `torch.add(x, ·)` that emits
       * [[PosEmbedOp]]. `dims = 2`: sliced on both dims, a `(L, L)`
-      * additive attention mask; its full (maxLen × maxLen) content was
-      * VALIDATED at slice time to be exactly 0 on `j <= i` and `-inf`
-      * above the diagonal, so the only thing it can mean is causal
-      * masking — summed into [[AttnScores]] it sets the causal flag. */
+      * additive attention mask, CLASSIFIED at slice time: exactly 0 on
+      * `j <= i` and `-inf` above the diagonal sets `causalMask` (the
+      * GPT-decoder pattern — summed into [[AttnScores]] it becomes the
+      * causal flag, keeping pre-bias op lists stable); ANY other
+      * finite-or-`-inf` content is a general additive bias (ALiBi
+      * slopes, banded local-attention windows) carried verbatim into
+      * [[graft.torch.SelfAttentionOp]]'s `bias`. */
     final case class BufSlice(weight: Array[Float], rows: Int, cols: Int,
-        dims: Int) extends Sym
+        dims: Int, causalMask: Boolean = false) extends Sym
     /** Tuple of traced values — an RNN's forward returns
       * `(output, h_n)` (GRU) / `(output, (h_n, c_n))` (LSTM); consumed
       * by tuple-unpack statements. */
@@ -497,9 +502,13 @@ object TorchCode {
       // forward(q, k, v, key_padding_mask, need_weights, attn_mask):
       // arg 3 may be a traced `torch.eq(ids, pad)` mask — the
       // padded-batch convention; it flips the model head into padIdx
-      // mode at load (see Tracer.padMaskId). Any OTHER mask tensor
-      // (attn_mask at arg 5, an untraceable key_padding_mask) still
-      // fails loudly.
+      // mode at load (see Tracer.padMaskId). Arg 5 may be a sliced
+      // registered buffer `self.mask[:L, :L]` — torch's additive
+      // attn_mask, classified at slice time (exactly-causal → the
+      // causal flag; anything else → a general per-head bias, the
+      // ALiBi / banded-window shape). Any other mask tensor (an
+      // untraceable key_padding_mask, a live attn_mask) still fails
+      // loudly.
       args.lift(3) match {
         case Some(PadMask(p)) =>
           require(padMaskId < 0 || padMaskId == p,
@@ -508,11 +517,17 @@ object TorchCode {
           padMaskId = p
         case _ =>
       }
+      val attnMask = args.lift(5) match {
+        case Some(b: BufSlice) if b.dims == 2 => Some(b)
+        case _ => None
+      }
       for ((extra, i) <- args.drop(3).zipWithIndex) extra match {
         case null | _: Boolean => // absent masks / need_weights flags
         case _: PadMask if i == 0 => // consumed above
+        case _: BufSlice if i == 2 && attnMask.isDefined => // consumed above
         case other => sys.error(s"TorchScript code: ${m.simpleName} extra arg " +
-          s"$other unsupported (attn_mask / non-eq key_padding_mask) in: $line")
+          s"$other unsupported (non-buffer attn_mask / non-eq " +
+          s"key_padding_mask) in: $line")
       }
       def boolA(key: String, dflt: Boolean): Boolean = m.attrs.get(key) match {
         case Some(b: Boolean) => b
@@ -564,7 +579,13 @@ object TorchCode {
         case Some(t: Pickle.PTensor) => tens("in_proj_bias", 3 * embed)
         case _ => new Array[Float](3 * embed)
       }
-      val heads = Mha.split(inW, inB, embed, numHeads)
+      val heads0 = Mha.split(inW, inB, embed, numHeads)
+      // nn.MultiheadAttention applies ONE attn_mask across every head
+      val heads = attnMask match {
+        case Some(b) if b.causalMask => heads0.map(_.copy(causal = true))
+        case Some(b) => heads0.map(_.copy(bias = Some(b.weight), biasRows = b.rows))
+        case None => heads0
+      }
       val proj = m.attrs.get("out_proj") match {
         case Some(p: ModuleNode) =>
           val w = p.attrs.get("weight") match {
@@ -1271,7 +1292,7 @@ object TorchCode {
                     case other => sys.error(s"TorchScript code: $fn over dim $other " +
                       s"unsupported on attention scores (last dim only) in: $line")
                   }
-                  AttnWeights(sc.q, sc.k, sc.scale, sc.causal)
+                  AttnWeights(sc.q, sc.k, sc.scale, sc.causal, sc.bias)
                 case sy0 =>
                   val sy = flat(sy0)
                   args.lift(1).map(a => eval(a, line)) match {
@@ -1301,7 +1322,9 @@ object TorchCode {
                   // HELD: cat/proj/residual may still fuse (see AttnOut)
                   AttnOut(Vector(SelfAttentionOp(q.weight, q.bias, k.weight, k.bias,
                     v.l.weight, v.l.bias, dim = v.l.outDim, inDim = v.l.inDim,
-                    scale = aw.scale, causal = aw.causal)), None)
+                    scale = aw.scale, causal = aw.causal,
+                    bias = aw.bias.map(_.weight),
+                    biasRows = aw.bias.map(_.rows).getOrElse(0))), None)
                 case (x, y) => sys.error(s"TorchScript code: $fn on (${x.getClass.getSimpleName}, " +
                   s"${y.getClass.getSimpleName}) unsupported (self-attention pattern only) in: $line")
               }
@@ -1319,7 +1342,16 @@ object TorchCode {
                     case other => sys.error(s"TorchScript code: $fn by non-scalar $other in: $line")
                   }
                   require(c != 0.0 || fn == "mul", s"TorchScript code: div by zero in: $line")
-                  sc.copy(scale = if (fn == "div") sc.scale / c else sc.scale * c)
+                  // a bias summed in BEFORE the scaling ((q·kᵀ + mask)/c)
+                  // scales along with the scores; c > 0 keeps -inf
+                  // entries -inf (a sign flip would turn them +inf)
+                  require(sc.bias.isEmpty || c > 0.0,
+                    s"TorchScript code: $fn of masked scores by non-positive " +
+                      s"$c in: $line")
+                  def sc1(v: Double): Double = if (fn == "div") v / c else v * c
+                  sc.copy(scale = sc1(sc.scale),
+                    bias = sc.bias.map(b =>
+                      b.copy(weight = b.weight.map(v => sc1(v.toDouble).toFloat))))
                 case (num: MaskedSum, den: LenVec) if fn == "div" =>
                   require(num.padId == den.padId,
                     s"TorchScript code: masked-mean numerator (pad ${num.padId}) " +
@@ -1386,12 +1418,14 @@ object TorchCode {
                   ops += PosEmbedOp(b.weight, b.rows, b.cols)
                   SeqEmb(d)
                 case (sc: AttnScores, b: BufSlice) if b.dims == 2 =>
-                  // scores + self.causal_mask[:L, :L]: the additive
-                  // upper-triangular -inf mask of a GPT-style decoder
-                  // (content validated causal at slice time)
-                  require(!sc.causal,
-                    s"TorchScript code: causal mask added twice in: $line")
-                  sc.copy(causal = true)
+                  // scores + self.mask[:L, :L]: an exactly-causal buffer
+                  // (classified at slice time) sets the causal flag —
+                  // the GPT-decoder pattern; any other content is the
+                  // general additive bias (ALiBi / banded windows)
+                  require(!sc.causal && sc.bias.isEmpty,
+                    s"TorchScript code: attention mask added twice in: $line")
+                  if (b.causalMask) sc.copy(causal = true)
+                  else sc.copy(bias = Some(b))
                 case (SeqEmb(d), a: AttnOut) =>
                   val op = EncoderAttnOp(a.heads, a.proj, residual = true)
                   require(op.inDim == d,
@@ -1699,22 +1733,28 @@ object TorchCode {
                   require(b.rows == b.cols, s"TorchScript code: a two-dim-sliced " +
                     s"buffer must be square (${b.rows}x${b.cols}) in: $line")
                   // a square two-dim slice is only meaningful as an additive
-                  // attention mask — validate the causal pattern NOW so
-                  // the add-fusion can trust it
+                  // attention mask — classify its full content NOW so the
+                  // add-fusion can trust it: exactly-causal (0 on/below the
+                  // diagonal, -inf above) becomes the causal flag; anything
+                  // else is a general bias, whose entries must be finite or
+                  // -inf (a NaN / +inf mask has no softmax meaning)
+                  var causalPat = true
                   var i = 0
                   while (i < b.rows) {
                     var j = 0
                     while (j < b.cols) {
                       val v = b.weight(i * b.cols + j)
-                      val ok = if (j <= i) v == 0f else v == Float.NegativeInfinity
-                      require(ok, s"TorchScript code: sliced mask buffer is not " +
-                        s"causal (entry ($i, $j) = $v; expected 0 on/below the " +
-                        s"diagonal, -inf above) in: $line")
+                      require(!v.isNaN && v < Float.PositiveInfinity,
+                        s"TorchScript code: sliced mask buffer entry ($i, $j) " +
+                          s"= $v (additive attention masks must be finite or " +
+                          s"-inf) in: $line")
+                      if (if (j <= i) v != 0f else v != Float.NegativeInfinity)
+                        causalPat = false
                       j += 1
                     }
                     i += 1
                   }
-                  b.copy(dims = 2)
+                  b.copy(dims = 2, causalMask = causalPat)
                 case other => sys.error(s"TorchScript code: slice on $other " +
                   s"unsupported (registered 2-D buffers only) in: $line")
               }

@@ -287,13 +287,39 @@ final case class GlobalPool2dOp(max: Boolean) extends TorchOp
   * positions `<= a` (the additive `-inf` upper-triangular mask of a
   * GPT-style block, which zeroes those softmax terms exactly — the
   * masked entries never enter the max-shift or the normalizer, the
-  * same arithmetic torch's `scores + mask` produces). */
+  * same arithmetic torch's `scores + mask` produces).
+  *
+  * `bias` is the GENERAL additive attention mask (torch's `attn_mask`
+  * / a traced `scores + self.bias[:L, :L]` buffer that is NOT the
+  * exact causal pattern): a square `(biasRows, biasRows)` matrix whose
+  * entry `(a, b)` is added to the SCALED score of query position `a`
+  * against key position `b` — exactly torch's
+  * `softmax(q·kᵀ·scale + mask)`. Finite entries are relative position
+  * biases (the ALiBi `-slope·(a-b)` recipe); `-inf` entries remove the
+  * pair from max-shift and normalizer exactly (banded/local attention
+  * windows). Batches are capped at `biasRows` positions (the same
+  * contract as a positional table: the buffer IS the model's maximum
+  * length). A query row whose every visible key is `-inf`-masked is an
+  * ERROR for valid rows (torch would return NaN — no traced
+  * classifier means that) and yields zeros for pad query rows `>=
+  * keyLim`, which a masked read-out discards anyway. `causal` and
+  * `bias` compose (both masks apply), though a trace sets at most one:
+  * an exactly-causal buffer becomes the `causal` flag, never a bias. */
 final case class SelfAttentionOp(
     wq: Array[Float], bq: Array[Float],
     wk: Array[Float], bk: Array[Float],
     wv: Array[Float], bv: Array[Float],
     dim: Int, inDim: Int, scale: Double,
-    causal: Boolean = false) extends TorchOp
+    causal: Boolean = false,
+    bias: Option[Array[Float]] = None,
+    biasRows: Int = 0) extends TorchOp {
+  bias.foreach { m =>
+    require(biasRows >= 1 && m.length == biasRows * biasRows,
+      s"attention bias ${m.length} values != $biasRows^2 (square (L, L) only)")
+    require(m.forall(v => !v.isNaN && v < Float.PositiveInfinity),
+      "attention bias entries must be finite or -inf")
+  }
+}
 
 /** `nn.MultiheadAttention`'s packed-projection layout split into the
   * per-head [[SelfAttentionOp]]s the interpreter runs: `in_proj_weight`
@@ -431,6 +457,9 @@ final case class EncoderAttnOp(heads: IndexedSeq[SelfAttentionOp],
   require(heads.forall(_.inDim == heads.head.inDim), "heads disagree on input dim")
   require(heads.forall(_.causal == heads.head.causal),
     "heads disagree on causal masking (one traced mask must cover every head)")
+  require(heads.forall(h => h.bias.isDefined == heads.head.bias.isDefined),
+    "heads disagree on the additive attention bias (one traced mask must " +
+      "cover every head)")
   val inDim: Int = heads.head.inDim
   val catDim: Int = heads.map(_.dim).sum
   val outDim: Int = proj.map(_.outDim).getOrElse(catDim)
@@ -463,6 +492,9 @@ final case class AttnPoolOp(latent: Array[Float], m: Int,
   require(heads.forall(_.inDim == inDim), "heads disagree on input dim")
   require(heads.forall(h => !h.causal),
     "causal masking is meaningless for a latent-query pool")
+  require(heads.forall(h => h.bias.isEmpty),
+    "a position-indexed attention bias is meaningless for a latent-query " +
+      "pool (latent rows are not sequence positions)")
   val catDim: Int = heads.map(_.dim).sum
   require(catDim == inDim, s"concatenated head dims $catDim != embed $inDim")
   proj.foreach(p => require(p.inDim == catDim && p.outDim == catDim,
@@ -1780,6 +1812,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     val qm = proj(at.wq, at.bq)
     val km = proj(at.wk, at.bk)
     val vm = proj(at.wv, at.bv)
+    val biasM = at.bias.orNull
+    require(biasM == null || L <= at.biasRows,
+      s"sequence length $L exceeds the attention bias table (${at.biasRows} " +
+        s"positions) — the mask buffer IS the model's maximum length")
     val out = new Array[Double](L * d)
     val scores = new Array[Double](L)
     var a = 0
@@ -1788,7 +1824,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       // -inf-masked tail contributes exp(-inf) = 0 to max and sum);
       // key padding caps both forms at keyLim. A causal pad QUERY row
       // (a >= keyLim) still sees all keyLim valid keys, matching
-      // torch's additive-mask composition.
+      // torch's additive-mask composition. A general additive bias
+      // (ALiBi slopes / banded windows) adds AFTER scaling, torch's
+      // softmax(q·kᵀ·scale + mask); its -inf entries drop the pair
+      // from max and normalizer exactly like the causal tail.
       val lim = if (at.causal) math.min(a + 1, keyLim) else keyLim
       var mx = Double.NegativeInfinity
       var b0 = 0
@@ -1797,20 +1836,33 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         var j = 0
         while (j < d) { s0 += qm(a * d + j) * km(b0 * d + j); j += 1 }
         s0 *= at.scale
+        if (biasM != null) s0 += biasM(a * at.biasRows + b0).toDouble
         scores(b0) = s0
         if (s0 > mx) mx = s0
         b0 += 1
       }
-      var z = 0.0
-      b0 = 0
-      while (b0 < lim) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
-      var j = 0
-      while (j < d) {
-        var acc = 0.0
+      if (mx == Double.NegativeInfinity) {
+        // every visible key is -inf-masked: torch would emit NaN. For
+        // a VALID query row no traced classifier means that — fail
+        // loudly; a pad query row (>= keyLim) is discarded by the
+        // masked read-out downstream, so zeros are safe.
+        require(a >= keyLim, s"attention bias masks out every visible key " +
+          s"for query position $a (of $keyLim valid) — the mask row is " +
+          s"all -inf over the valid keys")
+        var j = 0
+        while (j < d) { out(a * d + j) = 0.0; j += 1 }
+      } else {
+        var z = 0.0
         b0 = 0
-        while (b0 < lim) { acc += scores(b0) * vm(b0 * d + j); b0 += 1 }
-        out(a * d + j) = acc / z
-        j += 1
+        while (b0 < lim) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
+        var j = 0
+        while (j < d) {
+          var acc = 0.0
+          b0 = 0
+          while (b0 < lim) { acc += scores(b0) * vm(b0 * d + j); b0 += 1 }
+          out(a * d + j) = acc / z
+          j += 1
+        }
       }
       a += 1
     }

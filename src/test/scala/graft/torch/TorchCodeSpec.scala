@@ -2362,15 +2362,19 @@ class TorchCodeSpec extends AnyFunSuite {
     // distinguish causal from full attention — the BEHAVIORAL causal
     // pin is TorchDecoderSpec's mean-pooled f64 recompute, where rows
     // a < L-1 are prefix-limited)
-    // a NON-causal mask buffer fails at the second slice
-    val badMask = mask.clone(); badMask(1) = 0f // (0, 1) should be -inf
+    // a NON-causal mask buffer is carried as the GENERAL additive bias
+    // (position (0, 1) visible) — not the causal flag (TorchAlibiSpec
+    // pins the bias arithmetic; here only the classification)
+    val badMask = mask.clone(); badMask(1) = 0f // (0, 1) open, not -inf
     val badModel = Module("__torch__.DecNet", model.attrs.map {
       case ("mask", _) => "mask" -> Tensor(Seq(maxLen, maxLen), badMask)
       case kv => kv
     })
-    val e1 = intercept[Exception](
-      TorchScriptModel.load(writeTemp("decbad", "decbad", badModel, codeFor(goodBody))))
-    assert(e1.getMessage.contains("causal"), e1.getMessage)
+    val m1 = TorchScriptModel.load(
+      writeTemp("decbias", "decbias", badModel, codeFor(goodBody)))
+    val at1 = m1.ops.collectFirst { case a: SelfAttentionOp => a }.get
+    assert(!at1.causal && at1.biasRows == maxLen &&
+      at1.bias.get.toSeq == badMask.toSeq)
     // a slice bounded by anything but the live length fails
     val e2 = intercept[Exception](
       TorchScriptModel.load(writeTemp("decbad2", "decbad2", model, codeFor(
