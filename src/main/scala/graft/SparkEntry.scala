@@ -1854,6 +1854,19 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // CCNet-style perplexity bucketing (q167): within each language,
+    // rank docs by the q153 bigram-LM score and NTILE(3) into
+    // head/middle/tail — the Wenzek et al. 2020 quality split.
+    // Deterministic rank: 6-dp rounded score + doc_id tiebreak, so
+    // tile assignment is engine-independent. One window shuffle on
+    // lang; the scoring is q153's keyed joins.
+    "q167_ppl_buckets" -> { (s, dir) =>
+      graft.operators.LmScore
+        .perplexityBuckets(t(s, dir, "documents"), "doc_id", "text", "lang",
+          buckets = 3)
+        .orderBy("doc_id")
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -5940,6 +5953,37 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
         |  COALESCE(bigram_nll, 0.0) AS bigram_nll
         |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The q153 chain + NTILE(3) per language ordered by the rounded
+    // score with the doc_id tiebreak (the same total order the engine
+    // ranks by).
+    "q167_ppl_buckets" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS a
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS bg
+        |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM ws)),
+        |f2 AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 FROM occ GROUP BY bg),
+        |f1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM occ GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vv
+        |      FROM (SELECT unnest(a) AS w FROM ws)),
+        |nll AS (
+        |  SELECT occ.doc_id, -ln((c2 + CAST(1.0 AS DOUBLE)) / (c1 + vv)) AS s
+        |  FROM occ JOIN f2 USING (bg) JOIN f1 USING (w1) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |    round(avg(s), 6) AS bigram_nll
+        |  FROM nll GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |    COALESCE(bigram_nll, 0.0) AS bigram_nll
+        |  FROM documents d LEFT JOIN agg USING (doc_id))
+        |SELECT doc_id, lang, n_bigrams, bigram_nll,
+        |  CAST(ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY bigram_nll, doc_id) AS INT) AS ppl_bucket
+        |FROM scored
         |ORDER BY doc_id""".stripMargin,
 
     // The 10 iterations UNROLLED as chained CTEs (standard SQL forbids

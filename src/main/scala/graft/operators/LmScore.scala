@@ -101,4 +101,40 @@ object LmScore {
         coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
         coalesce(col("nll"), lit(0.0d)).as("nll"))
   }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+   * stratum (their per-language split), rank documents by LM score and
+   * cut into `buckets` equal tiles — bucket 1 is the "head" (most
+   * fluent), the last the "tail" (likely noise); pipelines keep the
+   * head+middle or re-weight by bucket. Scores come from
+   * [[bigramLmScore]] (the engine-exact count-based stand-in for
+   * KenLM); ranking orders by the 6-dp ROUNDED score with the doc id
+   * as the total-order tiebreak, so tile assignment is deterministic
+   * and engine-independent (ulp drift in a float sum could otherwise
+   * flip the rank of two near-equal docs). NTILE semantics (first
+   * `n mod k` tiles one larger) are identical in Spark and standard
+   * SQL.
+   *
+   * Scale: the LM scoring is [[bigramLmScore]]'s keyed joins; the
+   * ranking is ONE window per stratum key — a single shuffle on
+   * `byCol`, no global sort. Strata counts are corpus-level (a
+   * language has millions of docs, the window sorts within
+   * partitions); at 100 TB the per-stratum sort is the standard
+   * Spark windowed sort-spill, not a driver operation.
+   */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String, byCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(byCol)), Seq(idCol))
+      .withColumn("nll_r", round(col("nll"), 6))
+    scored.withColumn("ppl_bucket",
+        ntile(buckets).over(
+          Window.partitionBy(byCol).orderBy(col("nll_r"), col(idCol))))
+      .select(col(idCol), col(byCol), col("n_bigrams"),
+        col("nll_r").as("bigram_nll"), col("ppl_bucket"))
+  }
 }

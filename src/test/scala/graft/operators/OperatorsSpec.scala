@@ -1667,4 +1667,32 @@ class OperatorsSpec extends AnyFunSuite {
       assert(uuidDirs == 1, s"expected 1 UUID checkpoint subdir, got $uuidDirs")
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
+
+  test("perplexityBuckets: NTILE sizes per stratum, monotone scores across buckets, total assignment") {
+    import spark.implicits._
+    // 7 en docs + 5 de docs with graded repetitiveness (repeated
+    // bigrams score fluent, unique-bigram docs score rare)
+    val docs = (
+      (1 to 7).map(i => (i.toLong, ("common pair " * i) + s"unique$i tail$i", "en")) ++
+      (8 to 12).map(i => (i.toLong, s"wort$i folge$i " * 2 + "gemeinsame folge", "de"))
+    ).toDF("doc_id", "text", "lang")
+    val out = LmScore.perplexityBuckets(docs, "doc_id", "text", "lang", buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getInt(4)))
+    assert(out.length == 12 && out.forall(r => r._4 >= 1 && r._4 <= 3))
+    for ((lang, n) <- Seq("en" -> 7, "de" -> 5)) {
+      val g = out.filter(_._2 == lang)
+      assert(g.length == n)
+      // NTILE: first (n mod k) tiles get the extra row
+      val sizes = (1 to 3).map(b => g.count(_._4 == b))
+      val (q, r) = (n / 3, n % 3)
+      assert(sizes == (1 to 3).map(b => q + (if (b <= r) 1 else 0)),
+        s"$lang tile sizes $sizes")
+      // monotone: head scores <= middle <= tail
+      for (b <- 1 to 2) {
+        val hi = g.filter(_._4 == b).map(_._3).max
+        val lo = g.filter(_._4 == b + 1).map(_._3).min
+        assert(hi <= lo, s"$lang bucket $b max $hi > bucket ${b + 1} min $lo")
+      }
+    }
+  }
 }
