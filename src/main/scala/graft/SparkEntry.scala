@@ -1854,6 +1854,19 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // DSIR importance weighting (q168): score every doc by how much
+    // more likely its unigrams are under the TARGET slice's
+    // distribution (lang='en' — the trusted-slice bootstrap) than the
+    // whole corpus's, add-1 smoothed — the Xie et al. 2023 data-
+    // selection recipe with exact token identities. One conditional-
+    // agg pass builds both frequency tables; totals broadcast as one
+    // row; selected = score > 0.
+    "q168_dsir_select" -> { (s, dir) =>
+      graft.operators.Dsir.importanceScore(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")
+    },
+
     // CCNet-style perplexity bucketing (q167): within each language,
     // rank docs by the q153 bigram-LM score and NTILE(3) into
     // head/middle/tail — the Wenzek et al. 2020 quality split.
@@ -5952,6 +5965,37 @@ object SparkEntry {
         |  FROM nll GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
         |  COALESCE(bigram_nll, 0.0) AS bigram_nll
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // DSIR restated: one conditional-count frequency CTE, one-row
+    // totals, ln of exact integer-count ratios (StrictMath.log == ln),
+    // avg drift absorbed by the 6-dp rounding.
+    "q168_dsir_select" ->
+      """WITH occ AS (
+        |  SELECT doc_id, (lang = 'en') AS t,
+        |    unnest(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS w
+        |  FROM documents),
+        |freq AS (
+        |  SELECT w, count(*) AS cr,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+        |  FROM occ GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM freq),
+        |sc AS (
+        |  SELECT occ.doc_id,
+        |    ln((CAST(ct AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (nt + v)) -
+        |    ln((CAST(cr AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (nr + v)) AS s
+        |  FROM occ JOIN freq USING (w) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |    round(avg(s), 6) AS dsir_score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(dsir_score, 0.0) AS dsir_score,
+        |  COALESCE(dsir_score, 0.0) > 0.0 AS selected
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

@@ -1668,6 +1668,40 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("DSIR importanceScore: target-vocab docs score positive, background-vocab negative, empty doc zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en"),   // target vocabulary
+      (2L, "alpha beta gamma", "en"),
+      (3L, "rho sigma rho sigma", "de"),     // background-only vocabulary
+      (4L, "rho sigma tau", "de"),
+      (5L, "alpha beta alpha", "de"),        // de doc that SOUNDS en
+      (6L, "", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dsir.importanceScore(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // target-vocab docs: tokens far more frequent in the en slice
+    assert(out(1L)._2 > 0 && out(1L)._3)
+    assert(out(2L)._2 > 0 && out(2L)._3)
+    // background-only vocab: ct = 0, cr > 0 -> negative
+    assert(out(3L)._2 < 0 && !out(3L)._3)
+    assert(out(4L)._2 < 0 && !out(4L)._3)
+    // selection follows CONTENT, not the label: the en-sounding de doc
+    // is selected (the whole point of importance resampling)
+    assert(out(5L)._2 > 0 && out(5L)._3)
+    // empty text: zero tokens, zero score, not selected
+    assert(out(6L) == ((0, 0.0, false)))
+    // hand-check doc 3 exactly: every token has ct=0;
+    // s = ln(1/(nt+v)) - ln((cr+1)/(nr+v)); nt=7 en tokens, nr=17
+    // total, v=6 distinct words, cr(rho)=cr(sigma)=3
+    val (nt, nr, v) = (7.0, 17.0, 6.0)
+    val sRho = math.log(1.0 / (nt + v)) - math.log((3.0 + 1.0) / (nr + v))
+    val expected3 = BigDecimal(sRho) // all 4 occurrences score identically
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(3L)._2 - expected3) < 1e-9,
+      s"doc 3: ${out(3L)._2} vs $expected3")
+  }
+
   test("perplexityBuckets: NTILE sizes per stratum, monotone scores across buckets, total assignment") {
     import spark.implicits._
     // 7 en docs + 5 de docs with graded repetitiveness (repeated
