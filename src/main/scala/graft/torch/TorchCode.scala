@@ -330,11 +330,13 @@ object TorchCode {
       * (a sliced buffer, see [[BufSlice]]) has been summed in. */
     final case class AttnScores(q: SeqProj, k: SeqProj, scale: Double,
         causal: Boolean = false,
-        bias: Option[BufSlice] = None) extends Sym
+        bias: Option[BufSlice] = None,
+        rope: Option[(BufSlice, BufSlice)] = None) extends Sym
     /** Row-softmaxed attention weights, awaiting the `matmul(·, v)`. */
     final case class AttnWeights(q: SeqProj, k: SeqProj, scale: Double,
         causal: Boolean = false,
-        bias: Option[BufSlice] = None) extends Sym
+        bias: Option[BufSlice] = None,
+        rope: Option[(BufSlice, BufSlice)] = None) extends Sym
     /** A completed attention output `(L, Σ head dims)` — HELD, not yet
       * emitted: the consumer decides the fused op. `torch.cat` merges
       * heads, a following Linear becomes the out-projection,
@@ -411,6 +413,28 @@ object TorchCode {
       * [[graft.torch.SelfAttentionOp]]'s `bias`. */
     final case class BufSlice(weight: Array[Float], rows: Int, cols: Int,
         dims: Int, causalMask: Boolean = false) extends Sym
+    /** `q[:, :, :h]` / `q[:, :, h:]` — one feature-dim half of a HELD
+      * attention projection, awaiting the rotate-half recombination of
+      * rotary position embeddings (RoPE, Su et al. 2021 — the Llama
+      * position encoding): `rope(x) = x·cos + rotate_half(x)·sin`,
+      * `rotate_half(x) = cat([-x2, x1], -1)`. Only this idiom consumes
+      * a half; anything else fails loudly. */
+    final case class FeatHalf(p: SeqProj, hi: Boolean, half: Int) extends Sym
+    /** `torch.neg(q[:, :, h:])` — the negated high half. */
+    final case class NegFeatHalf(fh: FeatHalf) extends Sym
+    /** `cat([-x2, x1], -1)` — `rotate_half` of a held projection. */
+    final case class RotHalfSeq(p: SeqProj, half: Int) extends Sym
+    /** `x * self.cos[:L]` / `rotate_half(x) * self.sin[:L]` — one leg
+      * of the RoPE recombination, awaiting the closing add. */
+    final case class BufScaledSeq(p: SeqProj, rotated: Boolean,
+        buf: BufSlice) extends Sym
+    /** A rotary-embedded projection leg (RoPE applied AFTER the q/k
+      * projection, the faithful Llama/RoFormer form): plays SeqProj's
+      * role in the attention pattern, carrying the per-position
+      * cos/sin tables. */
+    final case class RopedProj(p: SeqProj, cos: BufSlice, sin: BufSlice) extends Sym
+    /** `transpose(-2, -1)` of a [[RopedProj]] — the rotated K^T leg. */
+    final case class RopedProjT(rp: RopedProj) extends Sym
     /** Tuple of traced values — an RNN's forward returns
       * `(output, h_n)` (GRU) / `(output, (h_n, c_n))` (LSTM); consumed
       * by tuple-unpack statements. */
@@ -1292,7 +1316,7 @@ object TorchCode {
                     case other => sys.error(s"TorchScript code: $fn over dim $other " +
                       s"unsupported on attention scores (last dim only) in: $line")
                   }
-                  AttnWeights(sc.q, sc.k, sc.scale, sc.causal, sc.bias)
+                  AttnWeights(sc.q, sc.k, sc.scale, sc.causal, sc.bias, sc.rope)
                 case sy0 =>
                   val sy = flat(sy0)
                   args.lift(1).map(a => eval(a, line)) match {
@@ -1312,6 +1336,24 @@ object TorchCode {
                     s"TorchScript code: matmul(q, k^T) with head dims " +
                       s"${q.l.outDim} vs ${kt.p.l.outDim} in: $line")
                   AttnScores(q, kt.p, 1.0)
+                case (q: RopedProj, kt: RopedProjT) =>
+                  // RoPE attention: BOTH legs rotated with the SAME
+                  // cos/sin tables (reference-equal slices, or two
+                  // slices of identical buffers)
+                  val k = kt.rp
+                  require(q.p.l.outDim == k.p.l.outDim,
+                    s"TorchScript code: matmul(rope(q), rope(k)^T) with head " +
+                      s"dims ${q.p.l.outDim} vs ${k.p.l.outDim} in: $line")
+                  def same(a: BufSlice, b: BufSlice): Boolean =
+                    (a eq b) || ((a.rows == b.rows) && (a.cols == b.cols) &&
+                      java.util.Arrays.equals(a.weight, b.weight))
+                  require(same(q.cos, k.cos) && same(q.sin, k.sin),
+                    s"TorchScript code: q and k rotated with different " +
+                      s"cos/sin tables in: $line")
+                  AttnScores(q.p, k.p, 1.0, rope = Some((q.cos, q.sin)))
+                case (_: RopedProj, _: SeqProjT) | (_: SeqProj, _: RopedProjT) =>
+                  sys.error(s"TorchScript code: RoPE must rotate BOTH q and k " +
+                    s"(one leg rotated, one plain) in: $line")
                 case (aw: AttnWeights, v: SeqProj) =>
                   val (q, k) = (aw.q.l, aw.k.l)
                   require(v.l.outDim == q.outDim && v.l.inDim == q.inDim &&
@@ -1319,12 +1361,21 @@ object TorchCode {
                     s"TorchScript code: attention legs disagree (q ${q.inDim}->" +
                       s"${q.outDim}, k ${k.inDim}->${k.outDim}, v ${v.l.inDim}->" +
                       s"${v.l.outDim}) in: $line")
+                  aw.rope.foreach { case (c, s0) =>
+                    require(c.cols == q.outDim && s0.cols == q.outDim &&
+                        c.rows == s0.rows,
+                      s"TorchScript code: RoPE tables (${c.rows}x${c.cols}, " +
+                        s"${s0.rows}x${s0.cols}) vs head dim ${q.outDim} in: $line")
+                  }
                   // HELD: cat/proj/residual may still fuse (see AttnOut)
                   AttnOut(Vector(SelfAttentionOp(q.weight, q.bias, k.weight, k.bias,
                     v.l.weight, v.l.bias, dim = v.l.outDim, inDim = v.l.inDim,
                     scale = aw.scale, causal = aw.causal,
                     bias = aw.bias.map(_.weight),
-                    biasRows = aw.bias.map(_.rows).getOrElse(0))), None)
+                    biasRows = aw.bias.map(_.rows).getOrElse(0),
+                    ropeCos = aw.rope.map(_._1.weight),
+                    ropeSin = aw.rope.map(_._2.weight),
+                    ropeLen = aw.rope.map(_._1.rows).getOrElse(0))), None)
                 case (x, y) => sys.error(s"TorchScript code: $fn on (${x.getClass.getSimpleName}, " +
                   s"${y.getClass.getSimpleName}) unsupported (self-attention pattern only) in: $line")
               }
@@ -1362,6 +1413,28 @@ object TorchCode {
                   padMaskId = num.padId
                   ops += SeqMaskedMeanPoolOp
                   Flat(num.emb)
+                case (p: SeqProj, b: BufSlice) if fn == "mul" && b.dims == 1 =>
+                  // q * self.cos[:L] — one leg of the RoPE recombination
+                  require(b.cols == p.l.outDim, s"TorchScript code: " +
+                    s"(L, ${b.cols}) table multiplied into a ${p.l.outDim}-dim " +
+                    s"projection in: $line")
+                  BufScaledSeq(p, rotated = false, b)
+                case (b: BufSlice, p: SeqProj) if fn == "mul" && b.dims == 1 =>
+                  require(b.cols == p.l.outDim, s"TorchScript code: " +
+                    s"(L, ${b.cols}) table multiplied into a ${p.l.outDim}-dim " +
+                    s"projection in: $line")
+                  BufScaledSeq(p, rotated = false, b)
+                case (r: RotHalfSeq, b: BufSlice) if fn == "mul" && b.dims == 1 =>
+                  // rotate_half(q) * self.sin[:L] — the other leg
+                  require(b.cols == r.p.l.outDim, s"TorchScript code: " +
+                    s"(L, ${b.cols}) table multiplied into a ${r.p.l.outDim}-dim " +
+                    s"rotated projection in: $line")
+                  BufScaledSeq(r.p, rotated = true, b)
+                case (b: BufSlice, r: RotHalfSeq) if fn == "mul" && b.dims == 1 =>
+                  require(b.cols == r.p.l.outDim, s"TorchScript code: " +
+                    s"(L, ${b.cols}) table multiplied into a ${r.p.l.outDim}-dim " +
+                    s"rotated projection in: $line")
+                  BufScaledSeq(r.p, rotated = true, b)
                 case (x, m: ValidMask) if fn == "mul" =>
                   require(m.asFloat && m.unsqueezed, s"TorchScript code: mul by a " +
                     s"bool/unbroadcastable valid mask (cast with .to(float) and " +
@@ -1447,6 +1520,16 @@ object TorchCode {
                       s"${ip.inCh}->${ip.outCh} in: $line")
                   ops += ResBlock2dOp(ip.stages)
                   ChanHW(c)
+                case (a: BufScaledSeq, b: BufScaledSeq)
+                    if !a.rotated && b.rotated =>
+                  // x·cos + rotate_half(x)·sin: the RoPE recombination
+                  // closes — the projection leg is now rotary-embedded
+                  require(a.p eq b.p, s"TorchScript code: RoPE legs come " +
+                    s"from different projections in: $line")
+                  require(a.buf.rows == b.buf.rows,
+                    s"TorchScript code: cos (${a.buf.rows} rows) and sin " +
+                      s"(${b.buf.rows} rows) tables disagree in: $line")
+                  RopedProj(a.p, cos = a.buf, sin = b.buf)
                 case _ => null
               }
               val fused = (x, y) match {
@@ -1481,6 +1564,17 @@ object TorchCode {
                 case Vector(RnnDirTop(_, a0), RnnDirTop(_, b0)) =>
                   sys.error(s"TorchScript code: cat of bidirectional RNN selects " +
                     s"must be (h_n[-2], h_n[-1]) of ONE rnn (got fwd=$a0, fwd=$b0) in: $line")
+                case Vector(NegFeatHalf(FeatHalf(p2, true, h2)), FeatHalf(p1, false, h1)) =>
+                  // cat([-x2, x1], -1): rotate_half of ONE held projection
+                  featureDim(Set(2L))
+                  require((p2 eq p1) && h1 == h2,
+                    s"TorchScript code: rotate_half halves come from different " +
+                      s"projections in: $line")
+                  RotHalfSeq(p1, h1)
+                case Vector(_: FeatHalf | _: NegFeatHalf, _) |
+                    Vector(_, _: FeatHalf | _: NegFeatHalf) =>
+                  sys.error(s"TorchScript code: cat of projection halves must " +
+                    s"be the rotate_half pattern cat([-x2, x1], -1) in: $line")
                 case _ =>
                   featureDim(Set(2L)) // (n, L, d) heads: feature dim is 2
                   val heads = items.map {
@@ -1535,6 +1629,7 @@ object TorchCode {
                 s"TorchScript code: transpose over dims $dims unsupported (last two only) in: $line")
               forceSeq(sy) match {
                 case p: SeqProj => SeqProjT(p) // K^T leg: no op emitted
+                case rp: RopedProj => RopedProjT(rp) // rotated K^T leg
                 case SeqEmb(e) => ops += TransposeOp; ChanSeq(e)
                 case ChanSeq(c) => ops += TransposeOp; SeqEmb(c)
                 case other => sys.error(s"TorchScript code: transpose(1, 2) on " +
@@ -1698,6 +1793,7 @@ object TorchCode {
               // channel-major sequence, `x[:, :, :-n]`: the Chomp1d
               // trim of a symmetric-pad causal conv (locuslab TCN).
               val sliced = eval(args.head, line)
+              def sliceRest(): Sym = {
               sliced match {
                 case _: ChanSeq =>
                 case _ =>
@@ -1757,6 +1853,38 @@ object TorchCode {
                   b.copy(dims = 2, causalMask = causalPat)
                 case other => sys.error(s"TorchScript code: slice on $other " +
                   s"unsupported (registered 2-D buffers only) in: $line")
+              }
+              }
+              sliced match {
+                case p: SeqProj =>
+                  // q[:, :, :h] / q[:, :, h:]: the feature-dim halves of
+                  // a HELD projection — the RoPE rotate_half idiom (the
+                  // hi half's end serializes as max-int64 or None)
+                  require(sizeArg(1, 0) == 2, s"TorchScript code: slice of a " +
+                    s"projection over dim ${sizeArg(1, 0)} unsupported (feature " +
+                    s"dim 2 only) in: $line")
+                  require(sizeArg(4, 1) == 1,
+                    s"TorchScript code: slice step != 1 unsupported in: $line")
+                  val d0 = p.l.outDim
+                  require(d0 % 2 == 0, s"TorchScript code: rotate_half on an " +
+                    s"odd head dim $d0 in: $line")
+                  val h = d0 / 2
+                  val start = sizeArg(2, 0)
+                  val end = sizeArg(3, Long.MaxValue)
+                  if (start == 0 && end == h) FeatHalf(p, hi = false, half = h)
+                  else if (start == h && end >= d0) FeatHalf(p, hi = true, half = h)
+                  else sys.error(s"TorchScript code: projection slice " +
+                    s"[$start, $end) unsupported (the two rotate_half " +
+                    s"halves of $d0 only) in: $line")
+                case _ => sliceRest()
+              }
+            case "neg" =>
+              // only the RoPE rotate_half's negated high half has a
+              // home: cat([-x2, x1], -1)
+              tensorArg match {
+                case fh @ FeatHalf(_, true, _) => NegFeatHalf(fh)
+                case other => sys.error(s"TorchScript code: neg on $other " +
+                  s"unsupported (the rotate_half high half only) in: $line")
               }
             case "dropout" => tensorArg // eval-mode no-op on any shape
             case "eq" =>

@@ -304,7 +304,16 @@ final case class GlobalPool2dOp(max: Boolean) extends TorchOp
   * classifier means that) and yields zeros for pad query rows `>=
   * keyLim`, which a masked read-out discards anyway. `causal` and
   * `bias` compose (both masks apply), though a trace sets at most one:
-  * an exactly-causal buffer becomes the `causal` flag, never a bias. */
+  * an exactly-causal buffer becomes the `causal` flag, never a bias.
+  *
+  * `ropeCos`/`ropeSin` (set together) are rotary position embeddings
+  * (Su et al. 2021 — the Llama/RoFormer encoding) applied to the
+  * PROJECTED q and k before their dot product:
+  * `rope(x)_p = x_p·cos_p + rotate_half(x_p)·sin_p` with
+  * `rotate_half([x1, x2]) = [-x2, x1]` over the head-dim halves. The
+  * `(ropeLen, dim)` tables hold the serialized f32 buffer values
+  * (never recomputed trig — the sinusoidal-PE discipline); batches
+  * cap at `ropeLen` positions. */
 final case class SelfAttentionOp(
     wq: Array[Float], bq: Array[Float],
     wk: Array[Float], bk: Array[Float],
@@ -312,12 +321,24 @@ final case class SelfAttentionOp(
     dim: Int, inDim: Int, scale: Double,
     causal: Boolean = false,
     bias: Option[Array[Float]] = None,
-    biasRows: Int = 0) extends TorchOp {
+    biasRows: Int = 0,
+    ropeCos: Option[Array[Float]] = None,
+    ropeSin: Option[Array[Float]] = None,
+    ropeLen: Int = 0) extends TorchOp {
   bias.foreach { m =>
     require(biasRows >= 1 && m.length == biasRows * biasRows,
       s"attention bias ${m.length} values != $biasRows^2 (square (L, L) only)")
     require(m.forall(v => !v.isNaN && v < Float.PositiveInfinity),
       "attention bias entries must be finite or -inf")
+  }
+  require(ropeCos.isDefined == ropeSin.isDefined,
+    "RoPE needs both cos and sin tables")
+  ropeCos.foreach { c =>
+    require(dim % 2 == 0, s"RoPE rotate_half on an odd head dim $dim")
+    require(ropeLen >= 1 && c.length == ropeLen * dim &&
+      ropeSin.get.length == ropeLen * dim,
+      s"RoPE tables (${c.length}, ${ropeSin.get.length} values) != " +
+        s"$ropeLen x $dim")
   }
 }
 
@@ -1812,6 +1833,32 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     val qm = proj(at.wq, at.bq)
     val km = proj(at.wk, at.bk)
     val vm = proj(at.wv, at.bv)
+    // rotary embedding of the projected q and k (f64 over the stored
+    // f32 tables): rope(x)_p = x_p·cos_p + rotate_half(x_p)·sin_p
+    for (cosT <- at.ropeCos; sinT <- at.ropeSin) {
+      require(L <= at.ropeLen,
+        s"sequence length $L exceeds the RoPE tables (${at.ropeLen} " +
+          s"positions) — the cos/sin buffers ARE the model's maximum length")
+      val h = d / 2
+      def rot(x: Array[Double]): Unit = {
+        var p = 0
+        while (p < L) {
+          var j = 0
+          while (j < h) {
+            val lo = x(p * d + j); val hi = x(p * d + h + j)
+            val cL = cosT(p * d + j).toDouble
+            val cH = cosT(p * d + h + j).toDouble
+            val sL = sinT(p * d + j).toDouble
+            val sH = sinT(p * d + h + j).toDouble
+            x(p * d + j) = lo * cL - hi * sL
+            x(p * d + h + j) = hi * cH + lo * sH
+            j += 1
+          }
+          p += 1
+        }
+      }
+      rot(qm); rot(km)
+    }
     val biasM = at.bias.orNull
     require(biasM == null || L <= at.biasRows,
       s"sequence length $L exceeds the attention bias table (${at.biasRows} " +
