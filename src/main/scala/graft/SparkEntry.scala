@@ -1593,6 +1593,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // RoPE causal attention (q169): rotary-embedded q/k + causal
+    // softmax — the Llama-style decoder position encoding, through
+    // the interpreter's rope path (see ropeModel). Same batched
+    // mapPartitions route as q122.
+    "q169_torch_rope" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = ropeModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, AttnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("rope_class"))
+        .orderBy("doc_id")
+    },
+
     // Attention-pooling read-out (q162): a LEARNED (2, 8) latent
     // query array attends over the token sequence (2-head MHA, the
     // Set-Transformer PMA / CoCa pooler — cross-attention: query from
@@ -1852,6 +1873,16 @@ object SparkEntry {
         .select(col("source"), col("n_total"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("source")
+    },
+
+    // Interpolated Kneser-Ney bigram LM (q170): the smoothing KenLM
+    // actually ships (absolute discount 0.75 + continuation
+    // probability), beside q153's add-V baseline — continuation
+    // counts are distinct-count aggregations over the same occurrence
+    // stream; the one-row type total broadcasts.
+    "q170_kn_bigram" -> { (s, dir) =>
+      graft.operators.LmScore.knBigramScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // DSIR importance weighting (q168): score every doc by how much
@@ -3138,6 +3169,48 @@ object SparkEntry {
         Array(-1.75f, 1.25f, 1.3125f), 3, 4)))
   }
 
+  /** RoPE causal attention classifier for q169: token ids ->
+    * Embedding(64, 4) -> q/k/v projections -> ROTARY position
+    * embedding of q and k (Su et al. 2021, the Llama/RoFormer
+    * encoding: `rope(x)_p = x_p·cos_p + rotate_half(x_p)·sin_p`,
+    * tables tiled base-100 like [[sinPeModel]]) -> causal softmax
+    * attention -> mean pool -> Linear(4->3) -> argmax. RoPE injects
+    * position into the SCORES (a relative-position inner product)
+    * rather than the values — the modern decoder recipe the
+    * reference would run via libtorch (udf.rs:127). The cos/sin
+    * values ride as registered-buffer f32s (TorchRopeSpec traces the
+    * rotate_half idiom; this model constructs the same op
+    * programmatically); the oracle inlines their EXACT double
+    * expansions, so the rotated projections are bit-identical f64 on
+    * both engines and drift reduces to exp/sum ulps + one f32
+    * rounding, absorbed by the argmax gap (sf0.001 spec). */
+  private[graft] lazy val ropeModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val d = 4; val h = 2
+    val cosT = Array.tabulate(AttnMaxLen * d) { idx =>
+      val (p, j) = (idx / d, idx % d)
+      math.cos(p / math.pow(100.0, (j % h).toDouble / h)).toFloat
+    }
+    val sinT = Array.tabulate(AttnMaxLen * d) { idx =>
+      val (p, j) = (idx / d, idx % d)
+      math.sin(p / math.pow(100.0, (j % h).toDouble / h)).toFloat
+    }
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(64 * 4, 811, 2.0), vocab = 64, embDim = 4),
+      SelfAttentionOp(
+        qvals(16, 821, 1.0), qvals(4, 823, 0.25),
+        qvals(16, 827, 1.0), qvals(4, 829, 0.25),
+        qvals(16, 833, 1.5), qvals(4, 839, 0.5),
+        dim = 4, inDim = 4, scale = 0.5, causal = true,
+        ropeCos = Some(cosT), ropeSin = Some(sinT), ropeLen = AttnMaxLen),
+      SeqMeanPoolOp,
+      LinearLayer(qvals(12, 853, 2.0),
+        Array(-1.75f, 1.25f, 1.3125f), 3, 4)))
+  }
+
   /** ATTENTION-POOLING classifier for q162: token ids ->
     * Embedding(64, 8) -> MHA(latent(2, 8), x, x) with 2 heads (the
     * Set-Transformer PMA / CoCa pooler — this engine's CROSS-attention
@@ -3326,6 +3399,35 @@ object SparkEntry {
     val oSel = (0 until d).map(j => s"sum(es*v$j)/sum(es) AS o$j").mkString(", ")
     val pSel = (0 until d).map(j => s"avg(o$j) AS p$j").mkString(", ")
     val causalCond = if (at.causal) " AND b.pos <= a.pos" else ""
+    // RoPE (q169): rotate the projected q/k per position before the
+    // score join — `lo·c − hi·s` / `hi·c + lo·s` over the head-dim
+    // halves, with the f32 table values printed as their EXACT double
+    // expansions (Double.toString round-trips bit-exactly through
+    // DuckDB's literal parser, unlike the shortest-float form), so the
+    // rotated projections are bit-identical f64 on both engines.
+    val ropeJoin = at.ropeCos.map { cosT =>
+      val sinT = at.ropeSin.get
+      val rows = (0 until at.ropeLen).map { p =>
+        ((0 until d).map(j => fmtD(cosT(p * d + j).toDouble)) ++
+          (0 until d).map(j => fmtD(sinT(p * d + j).toDouble)))
+          .mkString(s"(${p + 1}, ", ", ", ")")
+      }
+      val cols = (0 until d).map(j => s"c$j") ++ (0 until d).map(j => s"s$j")
+      val half = d / 2
+      val rot = (p: String) => (0 until d).map { j =>
+        if (j < half) s"($p$j*c$j - $p${half + j}*s$j) AS $p$j"
+        else s"($p$j*c$j + $p${j - half}*s$j) AS $p$j"
+      }.mkString(",\n   ")
+      s""",
+         |ropew(pos, ${cols.mkString(", ")}) AS (VALUES
+         |    ${rows.mkString(",\n    ")}),
+         |qkvr AS (SELECT doc_id, pos,
+         |   ${rot("q")},
+         |   ${rot("k")},
+         |   ${(0 until d).map(j => s"v$j").mkString(", ")}
+         | FROM qkv JOIN ropew USING (pos))""".stripMargin
+    }.getOrElse("")
+    val scoreSrc = if (at.ropeCos.isDefined) "qkvr" else "qkv"
     // finite bias entries only, 1-based positions: the inner join IS
     // the -inf mask
     val biasJoin = at.bias.map { bm =>
@@ -3376,9 +3478,9 @@ object SparkEntry {
        |   ${affine(at.wq, at.bq, "q")},
        |   ${affine(at.wk, at.bk, "k")},
        |   ${affine(at.wv, at.bv, "v")}
-       | FROM x),
+       | FROM x)$ropeJoin,
        |s AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $score AS sc, $vCarry
-       | FROM qkv a JOIN qkv b ON a.doc_id = b.doc_id$causalCond$biasCond),
+       | FROM $scoreSrc a JOIN $scoreSrc b ON a.doc_id = b.doc_id$causalCond$biasCond),
        |mx AS (SELECT doc_id, pa, max(sc) AS m FROM s GROUP BY doc_id, pa),
        |ex AS (SELECT s.doc_id, s.pa, exp(s.sc - mx.m) AS es,
        |         ${(0 until d).map(j => s"s.v$j").mkString(", ")}
@@ -5780,6 +5882,18 @@ object SparkEntry {
           s"AS attn_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
+    // RoPE: the q122 chain with a per-position rotation CTE between
+    // the projections and the score join (exact-double cos/sin
+    // literals) plus the causal join restriction.
+    "q169_torch_rope" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        ropeModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, attnPoolSql(ropeModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS rope_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
     // ALiBi: the q122 chain with the finite mask entries joined as a
     // (pa, pb, bv) VALUES table — the inner join IS the -inf mask;
     // bv adds to the scaled score. Dyadic bias keeps scores exact.
@@ -5965,6 +6079,39 @@ object SparkEntry {
         |  FROM nll GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
         |  COALESCE(bigram_nll, 0.0) AS bigram_nll
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Kneser-Ney restated: occurrence/continuation-count CTEs, the
+    // interpolation arithmetic spelled with the IDENTICAL expression
+    // tree (and the discount forced through a DOUBLE cast — bare
+    // decimals are DECIMAL in DuckDB).
+    "q170_kn_bigram" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS a
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2, a[i] || ' ' || a[i + 1] AS bg
+        |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM ws)),
+        |cnt2 AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 FROM occ GROUP BY bg),
+        |cnt1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1,
+        |    CAST(count(DISTINCT w2) AS DOUBLE) AS n1l
+        |  FROM occ GROUP BY w1),
+        |ctx AS (SELECT w2, CAST(count(DISTINCT w1) AS DOUBLE) AS n1r
+        |  FROM occ GROUP BY w2),
+        |tp AS (SELECT CAST(count(DISTINCT bg) AS DOUBLE) AS tt FROM occ),
+        |nll AS (
+        |  SELECT occ.doc_id,
+        |    -ln((c2 - CAST(0.75 AS DOUBLE))/c1 +
+        |      (CAST(0.75 AS DOUBLE)*n1l/c1)*(n1r/tt)) AS s
+        |  FROM occ JOIN cnt2 USING (bg) JOIN cnt1 USING (w1)
+        |    JOIN ctx USING (w2) CROSS JOIN tp),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |    round(avg(s), 6) AS kn_nll
+        |  FROM nll GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(kn_nll, 0.0) AS kn_nll
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

@@ -103,6 +103,67 @@ object LmScore {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram scoring — the smoothing KenLM
+   * actually ships (Kneser & Ney 1995; Chen & Goodman 1998), beside
+   * [[bigramLmScore]]'s add-V baseline: with absolute discount
+   * `D = 0.75` (dyadic — exact in binary FP),
+   *
+   *   P(w2|w1) = (c(w1 w2) − D)/c(w1·)
+   *            + (D · N1+(w1 ·)/c(w1·)) · N1+(· w2)/N1+(· ·)
+   *
+   * where `N1+(w1 ·)` counts distinct continuations of `w1`,
+   * `N1+(· w2)` distinct left contexts of `w2` (the continuation
+   * probability — "how many contexts has w2 completed", the KN
+   * insight), and `N1+(· ·)` distinct bigram types. Scoring the corpus
+   * under its own model means every scored bigram has `c >= 1`, so the
+   * discounted term stays positive and the `max(·, 0)` clamp never
+   * binds (both engines compute the identical unclamped expression).
+   * Per-document: `n_bigrams` and `kn_nll = avg(-ln P)` (6-dp, the
+   * q153 float-sum discipline). Zero-bigram docs score 0.0.
+   *
+   * Plan shape: the [[bigramLmScore]] skeleton plus two distinct-count
+   * aggregations, all keyed on the bigram / left word / right word —
+   * four shuffles over distributed count tables, nothing collected or
+   * broadcast except the one-row type total.
+   */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val D = 0.75d
+    val ws = split(trim(col(textCol)), Tok.WsPlus)
+    val bgArr = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val occ = df.select(col(idCol), explode(bgArr).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+
+    val cnt2 = occ.groupBy("bg").agg(count(lit(1)).cast("double").as("c2"))
+    val cnt1 = occ.groupBy("w1").agg(
+      count(lit(1)).cast("double").as("c1"),
+      countDistinct("w2").cast("double").as("n1l"))
+    val n1r = occ.groupBy("w2").agg(
+      countDistinct("w1").cast("double").as("n1r"))
+    val types = occ.agg(countDistinct("bg").cast("double").as("tt"))
+
+    val p = (col("c2") - lit(D)) / col("c1") +
+      (lit(D) * col("n1l") / col("c1")) * (col("n1r") / col("tt"))
+    val perDoc = occ
+      .join(cnt2, Seq("bg"))
+      .join(cnt1, Seq("w1"))
+      .join(n1r, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(-log(p)).as("nll"))
+
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        round(coalesce(col("nll"), lit(0.0d)), 6).as("kn_nll"))
+  }
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
    * stratum (their per-language split), rank documents by LM score and
    * cut into `buckets` equal tiles — bucket 1 is the "head" (most

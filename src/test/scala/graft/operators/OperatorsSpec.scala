@@ -1668,6 +1668,51 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("Kneser-Ney bigram: hand-derived doc score; full-vocab probabilities sum to 1 per context") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "b a b"),
+      (3L, "c"))       // zero bigrams
+      .toDF("doc_id", "text")
+    val out = LmScore.knBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // corpus bigram occurrences: doc1 = (a b), (b a), (a c); doc2 =
+    // (b a), (a b). counts: c(a b)=2, c(b a)=2, c(a c)=1;
+    // c1(a·)=3, c1(b·)=2; n1l(a)=2, n1l(b)=1;
+    // n1r(b)=1 (only a_), n1r(a)=1 (only b_), n1r(c)=1; T=3 types
+    val D = 0.75
+    def p(c2: Double, c1: Double, n1l: Double, n1r: Double): Double =
+      (c2 - D) / c1 + (D * n1l / c1) * (n1r / 3.0)
+    val pAB = p(2, 3, 2, 1)
+    val pBA = p(2, 2, 1, 1)
+    val pAC = p(1, 3, 2, 1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = r6((-math.log(pAB) - math.log(pBA) - math.log(pAC)) / 3.0)
+    val exp2 = r6((-math.log(pBA) - math.log(pAB)) / 2.0)
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - exp1) < 1e-9,
+      s"doc1 ${out(1L)} vs $exp1")
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - exp2) < 1e-9,
+      s"doc2 ${out(2L)} vs $exp2")
+    assert(out(3L) == ((0, 0.0)))
+    // the KN normalization: summed over the FULL right vocabulary
+    // (seen pairs discounted, unseen pairs pure continuation mass)
+    // each context's distribution sums to exactly 1
+    val rightVocab = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0) // n1r each
+    for ((w1, c1, n1l, seen) <- Seq(
+        ("a", 3.0, 2.0, Map("b" -> 2.0, "c" -> 1.0)),
+        ("b", 2.0, 1.0, Map("a" -> 2.0)))) {
+      val lambda = D * n1l / c1
+      val total = rightVocab.map { case (w2, n1r) =>
+        seen.get(w2) match {
+          case Some(c2) => (c2 - D) / c1 + lambda * (n1r / 3.0)
+          case None => lambda * (n1r / 3.0)
+        }
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context $w1 mass $total")
+    }
+  }
+
   test("DSIR importanceScore: target-vocab docs score positive, background-vocab negative, empty doc zero") {
     import spark.implicits._
     val docs = Seq(
