@@ -121,10 +121,14 @@ object LmScore {
    * Per-document: `n_bigrams` and `kn_nll = avg(-ln P)` (6-dp, the
    * q153 float-sum discipline). Zero-bigram docs score 0.0.
    *
-   * Plan shape: the [[bigramLmScore]] skeleton plus two distinct-count
-   * aggregations, all keyed on the bigram / left word / right word —
-   * four shuffles over distributed count tables, nothing collected or
-   * broadcast except the one-row type total.
+   * Plan shape: every KN statistic derives from the bigram-TYPE table
+   * (`c1 = Σ c2 over w1` — exact: integer-valued doubles sum
+   * order-independently; `n1l`/`n1r`/`N1+(··)` are its row counts),
+   * so the corpus is scanned exactly twice — once to build the
+   * checkpointed type table, once for the scoring join — instead of
+   * once per statistic. The type table is vocabulary-bigram-sized
+   * (narrow, the [[Dedup]] checkpoint discipline), all further
+   * aggregations shuffle only it.
    */
   def knBigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val D = 0.75d
@@ -134,21 +138,22 @@ object LmScore {
         i => concat_ws(" ", slice(ws, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
     val occ = df.select(col(idCol), explode(bgArr).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
 
     val cnt2 = occ.groupBy("bg").agg(count(lit(1)).cast("double").as("c2"))
-    val cnt1 = occ.groupBy("w1").agg(
-      count(lit(1)).cast("double").as("c1"),
-      countDistinct("w2").cast("double").as("n1l"))
-    val n1r = occ.groupBy("w2").agg(
-      countDistinct("w1").cast("double").as("n1r"))
-    val types = occ.agg(countDistinct("bg").cast("double").as("tt"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .transform(Checkpoints.cp)
+    val cnt1 = cnt2.groupBy("w1").agg(
+      sum(col("c2")).as("c1"),
+      count(lit(1)).cast("double").as("n1l"))
+    val n1r = cnt2.groupBy("w2").agg(
+      count(lit(1)).cast("double").as("n1r"))
+    val types = cnt2.agg(count(lit(1)).cast("double").as("tt"))
 
     val p = (col("c2") - lit(D)) / col("c1") +
       (lit(D) * col("n1l") / col("c1")) * (col("n1r") / col("tt"))
     val perDoc = occ
-      .join(cnt2, Seq("bg"))
+      .join(cnt2.select("bg", "c2", "w1", "w2"), Seq("bg"))
       .join(cnt1, Seq("w1"))
       .join(n1r, Seq("w2"))
       .crossJoin(broadcast(types))
