@@ -1911,6 +1911,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Grouped-query attention (q171): the q127 encoder block with 4
+    // query heads sharing 2 kv head-groups (Llama-2/Mistral GQA — see
+    // gqaModel); same batched route and position cap.
+    "q171_torch_gqa" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = gqaModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("gqa_class"))
+        .orderBy("doc_id")
+    },
+
     // Transformer encoder block (2-head attention + residuals + LN +
     // FFN) through the fused interpreter ops; DuckDB restates the whole
     // block (see encPoolSql).
@@ -4003,6 +4023,43 @@ object SparkEntry {
 
   /** Position cap for q127 (bounds the oracle's L×L score join). */
   private val EncMaxLen = 12
+
+  /** GROUPED-QUERY attention encoder for q171: Embedding(32, 8) ->
+    * EncoderAttnOp over [[graft.torch.Mha.splitGqa]] heads — 4 query
+    * heads sharing 2 kv head-groups (the Llama-2-70B/Mistral layout,
+    * Ainslie et al. 2023) -> LN -> FFN -> LN -> mean pool ->
+    * Linear(8->3) -> argmax. Query heads 0-1 carry IDENTICAL k/v
+    * weights (group 0), heads 2-3 group 1 — exactly torch's
+    * repeat_interleave semantics, so the unchanged executor and the
+    * head-generic encBlockSql oracle both ARE the GQA computation
+    * (GqaSpec pins bit-equality against the explicitly-repeated MHA).
+    * Dyadic 1/16-grid weights pin the argmax (the q127 argument);
+    * the fc bias re-centers each class near its median logit. */
+  private[graft] lazy val gqaModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val E = 8
+    val heads = Mha.splitGqa(
+      qvals(E * E, 2111, 1.0), qvals(E, 2113, 0.25),
+      qvals(2 * 2 * 2 * E, 2129, 1.0), qvals(2 * 2 * 2, 2131, 0.25),
+      embed = E, numHeads = 4, numKvHeads = 2)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * E, 2137, 2.0), vocab = 32, embDim = E),
+      EncoderAttnOp(heads,
+        proj = Some(LinearLayer(qvals(E * E, 2141, 1.0), qvals(E, 2143, 0.25), E, E)),
+        residual = true),
+      SeqLayerNormOp(qvals(E, 2153, 0.25).map(v => 1f + v), qvals(E, 2161, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(E * E, 2179, 1.0), qvals(E, 2203, 0.25), E, E), "relu",
+        LinearLayer(qvals(E * E, 2207, 1.0), qvals(E, 2213, 0.25), E, E),
+        residual = true),
+      SeqLayerNormOp(qvals(E, 2221, 0.25).map(v => 1f + v), qvals(E, 2237, 0.25), 1e-5),
+      SeqMeanPoolOp,
+      LinearLayer(qvals(3 * E, 2239, 2.0),
+        Array(-1.625f, 1.6875f, -1.5f), 3, E)))
+  }
 
   /** q156's PADDED-BATCH encoder: [[encModel]]'s attention/LN/FFN/fc
     * weights re-headed with a 33-row embedding whose top row (id 32,
@@ -6369,6 +6426,17 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // GQA: encBlockSql is head-generic — the shared-kv heads restate
+    // as per-head score joins whose k/v affines repeat per group.
+    "q171_torch_gqa" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        gqaModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, encBlockSql(gqaModel, pool = "mean"),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS gqa_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // q156: the masked softmax stated as the q127 score join over

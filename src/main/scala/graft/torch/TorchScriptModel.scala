@@ -371,6 +371,55 @@ object Mha {
       rows(0, h), bias(0, h), rows(1, h), bias(1, h), rows(2, h), bias(2, h),
       dim = hd, inDim = embed, scale = 1.0 / math.sqrt(hd.toDouble)))
   }
+
+  /** GROUPED-QUERY attention split (Ainslie et al. 2023 — the
+    * Llama-2-70B/Mistral kv-sharing layout): `numHeads` query heads
+    * each read their `hd = embed/numHeads` rows of the `(E, E)` query
+    * projection, but the key/value projections carry only
+    * `numKvHeads` head-groups — `kvW` is the packed
+    * `(2·numKvHeads·hd, E)` k-then-v matrix — and query head `h`
+    * borrows kv group `h·numKvHeads/numHeads`. Runtime semantics are
+    * EXACTLY an MHA whose kv heads repeat group-size times (torch
+    * materializes this as `repeat_interleave` on k/v before the
+    * per-head attention), so each returned head carries its group's
+    * k/v weights verbatim and the unchanged executor IS the GQA
+    * computation. (The layout's production win — a KV cache
+    * `numHeads/numKvHeads`× smaller on a generation server — has no
+    * analogue in whole-sequence batch scoring; what matters here is
+    * loading and running the checkpoints that ship this shape.) */
+  def splitGqa(qProjW: Array[Float], qProjB: Array[Float],
+      kvProjW: Array[Float], kvProjB: Array[Float],
+      embed: Int, numHeads: Int, numKvHeads: Int): IndexedSeq[SelfAttentionOp] = {
+    require(numHeads >= 1 && embed % numHeads == 0,
+      s"embed_dim $embed not divisible by num_heads $numHeads")
+    require(numKvHeads >= 1 && numHeads % numKvHeads == 0,
+      s"num_heads $numHeads not divisible by num_kv_heads $numKvHeads " +
+        s"(every kv group must serve the same number of query heads)")
+    val hd = embed / numHeads
+    require(qProjW.length == embed * embed,
+      s"q_proj size ${qProjW.length}, expected ${embed * embed}")
+    require(qProjB.length == embed, s"q_proj bias size ${qProjB.length}")
+    require(kvProjW.length == 2 * numKvHeads * hd * embed,
+      s"kv_proj size ${kvProjW.length}, expected ${2 * numKvHeads * hd * embed}")
+    require(kvProjB.length == 2 * numKvHeads * hd,
+      s"kv_proj bias size ${kvProjB.length}")
+    def qRows(h: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(qProjW, h * hd * embed, (h + 1) * hd * embed)
+    def kvRows(leg: Int, g: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(kvProjW,
+        (leg * numKvHeads + g) * hd * embed, (leg * numKvHeads + g + 1) * hd * embed)
+    def kvBias(leg: Int, g: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(kvProjB,
+        (leg * numKvHeads + g) * hd, (leg * numKvHeads + g + 1) * hd)
+    val group = numHeads / numKvHeads
+    (0 until numHeads).map { h =>
+      val g = h / group
+      SelfAttentionOp(
+        qRows(h), java.util.Arrays.copyOfRange(qProjB, h * hd, (h + 1) * hd),
+        kvRows(0, g), kvBias(0, g), kvRows(1, g), kvBias(1, g),
+        dim = hd, inDim = embed, scale = 1.0 / math.sqrt(hd.toDouble))
+    }
+  }
 }
 
 /** Single-layer unidirectional batch-first recurrent cell (`kind` =
