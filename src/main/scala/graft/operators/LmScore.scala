@@ -169,6 +169,102 @@ object LmScore {
   }
 
   /**
+   * Frozen Kneser-Ney statistics — the ingest-time artifact of
+   * [[knBigramScore]]: the standing corpus's bigram/continuation
+   * counts collected once (CAPPED — the [[Bpe]] broadcast-ranks
+   * discipline: a loud failure beats a silent driver OOM) and
+   * broadcast, so arriving documents score scan-side with ZERO
+   * streaming state and never mutate the model (the frozen-quantizer
+   * ingest rule). At 100 TB the type table of a trained LM vocabulary
+   * is exactly the artifact one ships — bounded by construction, not
+   * by the corpus.
+   */
+  final case class KnStats(
+      big: Map[String, Double],
+      left: Map[String, (Double, Double)],
+      right: Map[String, Double],
+      types: Double)
+
+  /** Collect [[KnStats]] from a corpus; fails loudly past `maxTypes`
+    * distinct bigrams (size-check BEFORE the collect). */
+  def knStats(df: DataFrame, textCol: String,
+      maxTypes: Int = 2000000): KnStats = {
+    val ws = split(trim(col(textCol)), Tok.WsPlus)
+    val bgArr = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val cnt2 = df.select(explode(bgArr).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).cast("double").as("c2"))
+      .transform(Checkpoints.cp)
+    val n = cnt2.count()
+    require(n <= maxTypes,
+      s"$n bigram types exceed the frozen-stats cap $maxTypes — " +
+        s"raise the cap or prune the corpus first")
+    val rows = cnt2.collect().map(r => r.getString(0) -> r.getDouble(1))
+    val left = scala.collection.mutable.HashMap.empty[String, (Double, Double)]
+    val right = scala.collection.mutable.HashMap.empty[String, Double]
+    for ((bg, c2) <- rows) {
+      val sp = bg.indexOf(' ')
+      val (w1, w2) = (bg.substring(0, sp), bg.substring(sp + 1))
+      val (c1, n1l) = left.getOrElse(w1, (0.0, 0.0))
+      left(w1) = (c1 + c2, n1l + 1.0)
+      right(w2) = right.getOrElse(w2, 0.0) + 1.0
+    }
+    KnStats(rows.toMap, left.toMap, right.toMap, rows.length.toDouble)
+  }
+
+  /**
+   * Scan-side KN scoring against a frozen artifact (stream-safe:
+   * stateless projection, append mode, no watermark). Seen bigrams
+   * score the interpolated formula exactly as [[knBigramScore]];
+   * UNSEEN events back off deterministically — unseen bigram:
+   * `λ(w1)·Pcont(w2)`; unseen left context: `Pcont(w2)` alone;
+   * unseen right word: continuation floor `1/N1+(··)`. `ln` is
+   * StrictMath.log (Spark's in-plan `log`), so scoring the frozen
+   * corpus itself reproduces [[knBigramScore]] to summation-order
+   * ulps (spec-pinned at the 6-dp report precision).
+   */
+  def withKnFrozen(df: DataFrame, textCol: String, stats: KnStats,
+      outCols: (String, String) = ("n_bigrams", "kn_nll")): DataFrame = {
+    val D = 0.75
+    val bc = df.sparkSession.sparkContext.broadcast(stats)
+    val score = udf { (toks: Seq[String]) =>
+      val st = bc.value
+      var nBg = 0
+      var acc = 0.0
+      var i = 0
+      while (i + 1 < toks.length) {
+        val (w1, w2) = (toks(i), toks(i + 1))
+        val pc = st.right.get(w2) match {
+          case Some(n1r) => n1r / st.types
+          case None => 1.0 / st.types
+        }
+        val p = st.left.get(w1) match {
+          case Some((c1, n1l)) =>
+            val lambda = D * n1l / c1
+            st.big.get(w1 + " " + w2) match {
+              case Some(c2) => (c2 - D) / c1 + lambda * pc
+              case None => lambda * pc
+            }
+          case None => pc
+        }
+        acc += -StrictMath.log(p)
+        nBg += 1
+        i += 1
+      }
+      (nBg, if (nBg == 0) 0.0
+        else BigDecimal(acc / nBg)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val toks = split(trim(col(textCol)), Tok.WsPlus)
+    df.withColumn("__kn", score(toks))
+      .withColumn(outCols._1, col("__kn._1"))
+      .withColumn(outCols._2, col("__kn._2"))
+      .drop("__kn")
+  }
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
    * stratum (their per-language split), rank documents by LM score and
    * cut into `buckets` equal tiles — bucket 1 is the "head" (most

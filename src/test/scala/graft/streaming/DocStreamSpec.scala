@@ -107,6 +107,69 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Kneser-Ney scoring with frozen stats == batch, zero state; unseen events back off deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val stats = graft.operators.LmScore.knStats(raw, "text")
+    assert(stats.types > 0 && stats.big.size == stats.types.toInt)
+
+    // docs arrive in 3 micro-batches; scoring is a stateless scan-side
+    // projection over the broadcast artifact
+    val docs = raw.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.LmScore.withKnFrozen(
+        mem.toDF().toDF("doc_id", "text"), "text", stats)
+      .select("doc_id", "n_bigrams", "kn_nll")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kn_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("kn_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(streamed.size == docs.size)
+      // frozen-on-stream == frozen-on-batch, bit-for-bit
+      val frozenBatch = graft.operators.LmScore.withKnFrozen(raw, "text", stats)
+        .select("doc_id", "n_bigrams", "kn_nll").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(streamed == frozenBatch)
+      // scoring the frozen corpus itself reproduces the distributed
+      // q170 scorer: identical formula, summation order the only
+      // difference — equal at the 6-dp report precision up to a
+      // boundary ulp
+      val live = graft.operators.LmScore.knBigramScore(raw, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      for ((id, (nb, nll)) <- streamed) {
+        assert(live(id)._1 == nb, s"doc $id: n_bigrams $nb vs ${live(id)._1}")
+        assert(math.abs(live(id)._2 - nll) <= 1e-6, s"doc $id: $nll vs ${live(id)._2}")
+      }
+    } finally q.stop()
+
+    // unseen events, hand-checked against the documented backoff:
+    // "alpha beta" seen; "alpha qux" = lambda(alpha)*floor;
+    // "zork beta" = Pcont(beta); "zork blip" = floor
+    val tiny = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val ts = graft.operators.LmScore.knStats(tiny, "text")
+    // bigrams: (alpha beta) x2, (beta alpha) x1 -> types = 2
+    assert(ts.types == 2.0)
+    val probe = Seq(
+      (1L, "alpha qux"), (2L, "zork beta"), (3L, "zork blip"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.LmScore.withKnFrozen(probe, "text", ts)
+      .select("doc_id", "kn_nll")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lambdaAlpha = 0.75 * 1.0 / 2.0 // n1l(alpha)=1, c1(alpha)=2
+    assert(out(1L) == r6(-StrictMath.log(lambdaAlpha * (1.0 / 2.0))), out(1L).toString)
+    assert(out(2L) == r6(-StrictMath.log(1.0 / 2.0)), out(2L).toString) // Pcont(beta)=n1r/types=1/2
+    assert(out(3L) == r6(-StrictMath.log(1.0 / 2.0)), out(3L).toString) // floor 1/types
+  }
+
   test("streaming WordPiece at ingest == batch segmentation, bit-for-bit, zero state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
