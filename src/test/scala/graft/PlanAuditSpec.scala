@@ -135,7 +135,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "q140_torch_depthwise", "q141_audio_g711", "q142_torch_stacked_gru",
         "q143_torch_bigru", "q144_torch_gru_meanpool", "q147_torch_mha",
         "q149_torch_bilstm", "q156_torch_padded", "q159_torch_tcn",
-        "q161_torch_causal_tcn", "q162_torch_attn_pool")) {
+        "q161_torch_causal_tcn", "q162_torch_attn_pool",
+        "q166_torch_alibi", "q169_torch_rope", "q171_torch_gqa")) {
       val p = plan(q)
       assert(!p.contains("Scan ExistingRDD"), s"$q re-scans a materialized RDD:\n$p")
       assert(p.contains("MapPartitions"), s"$q lost its mapPartitions stage:\n$p")
@@ -306,5 +307,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), s"adaptive plan did not finalize:\n$p")
     assert(p.contains("ReusedExchange"), s"aggregate computed twice:\n$p")
+  }
+
+  test("round-13 LM statistics queries: keyed joins only, one-row totals the sole BNLJ") {
+    // q168 (DSIR) and q170 (KN) broadcast exactly ONE one-row totals
+    // aggregate via crossJoin; every data-shaped join is keyed on the
+    // word/bigram — a second product plan would be a corpus x corpus
+    // blow-up at scale
+    for (q <- Seq("q168_dsir_select", "q170_kn_bigram")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj == 1, s"$q: expected exactly 1 one-row-totals BNLJ, got $bnlj:\n$p")
+    }
+    // q167 (CCNet buckets): the ranking is ONE window, and no product
+    // plans anywhere
+    val p167 = plan("q167_ppl_buckets")
+    assert(!p167.contains("CartesianProduct") &&
+      !p167.contains("BroadcastNestedLoopJoin"),
+      s"q167 produced a product plan:\n$p167")
+    assert("Window".r.findAllIn(p167).length == 1,
+      s"q167: expected exactly one ranking window:\n$p167")
   }
 }
