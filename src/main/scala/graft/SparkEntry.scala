@@ -1875,6 +1875,32 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // URL-keyed dedup (q172): canonicalize crawl URLs (fragment /
+    // case / www / :80 / utm_* / trailing-slash rules — see
+    // TextOps.canonicalUrl) and cluster by the canonical key, the
+    // RefinedWeb pre-content dedup pass. URLs are synthesized
+    // DETERMINISTICALLY from the fixture (the q26 payload recipe):
+    // collisions planted via doc_id % 50 within a source, with
+    // varying case/port/tracking-param noise across members.
+    "q172_url_dedup" -> { (s, dir) =>
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("News-"), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 7 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Article/"), pmod(col("doc_id"), lit(50)),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 1, lit("?utm_source=feed&id=7&utm_campaign=x"))
+          .otherwise(when(col("doc_id") % 3 === 2, lit("?id=7")).otherwise(lit(""))),
+        when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.TextOps.canonicalUrl(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("canonical_url")
+    },
+
     // Interpolated Kneser-Ney bigram LM (q170): the smoothing KenLM
     // actually ships (absolute discount 0.75 + continuation
     // probability), beside q153's add-V baseline — continuation
@@ -6138,6 +6164,49 @@ object SparkEntry {
         |  COALESCE(bigram_nll, 0.0) AS bigram_nll
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // URL dedup restated: identical synthesis CASEs + the six
+    // canonicalization rules in DuckDB string builtins (RE2 patterns,
+    // list_filter lambda for the utm_* strip).
+    "q172_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'News-' || source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END) ||
+        |    '/Article/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&id=7&utm_campaign=x'
+        |          WHEN doc_id % 3 = 2 THEN '?id=7' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |s2 AS (SELECT doc_id, nf,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*') AS auth0
+        |  FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(auth0), '://www\.', '://'),
+        |      ':80$', '') AS auth,
+        |    substring(nf, length(auth0) + 1) AS rest
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, auth, rest,
+        |    regexp_extract(rest, '^[^?]*') AS path0
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, auth,
+        |    regexp_replace(path0, '/$', '') AS path,
+        |    array_to_string(list_filter(
+        |      string_split(substring(rest, length(path0) + 2), '&'),
+        |      x -> substring(x, 1, 4) <> 'utm_'), '&') AS cleanq
+        |  FROM s4),
+        |canon AS (SELECT doc_id,
+        |    auth || path ||
+        |    (CASE WHEN length(cleanq) > 0 THEN '?' || cleanq ELSE '' END)
+        |      AS canonical_url
+        |  FROM s5)
+        |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+        |ORDER BY canonical_url""".stripMargin,
 
     // Kneser-Ney restated: occurrence/continuation-count CTEs, the
     // interpolation arithmetic spelled with the IDENTICAL expression

@@ -175,4 +175,47 @@ object TextOps {
         graft.functions.NfcNormalize.nfc_normalize(spark, text),
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       Tok.WsPlus, " "))
+
+  /**
+   * URL canonicalization — the RefinedWeb-style dedup key (Penedo et
+   * al. 2023 dedup crawled pages by normalized URL before any content
+   * pass). Six deterministic rules, applied in order:
+   *
+   *   1. drop the fragment (`#…`);
+   *   2. lowercase the scheme and authority (path/query case is
+   *      SIGNIFICANT and kept);
+   *   3. strip a `www.` authority prefix;
+   *   4. strip an explicit default port `:80`;
+   *   5. drop `utm_*` tracking parameters (prefix match on each
+   *      `&`-separated pair), keeping the others in their original
+   *      order;
+   *   6. strip one trailing slash from the path.
+   *
+   * Built ENTIRELY from codegen'd string builtins (regexp_extract /
+   * regexp_replace / filter / array_join) with RE2-compatible
+   * patterns (no lookbehind), so a DuckDB oracle states the identical
+   * transformation — and at 100 TB the canonical key is a scan-side
+   * projection, no shuffle until the dedup groupBy on the key.
+   * Idempotent: canonicalizing a canonical URL is the identity
+   * (spec-pinned).
+   */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // authority = scheme://host[:port] — everything before the first
+    // /, ? or end; lowercase it, keep the rest verbatim
+    val auth0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
+    val rest = substring(noFrag, length(auth0) + 1, lit(1000000))
+    val auth = regexp_replace(
+      regexp_replace(lower(auth0), "://www\\.", "://"),
+      ":80$", "")
+    // path = rest before '?', query = after (empty when absent)
+    val path0 = regexp_extract(rest, "^[^?]*", 0)
+    val query = substring(rest, length(path0) + 2, lit(1000000))
+    val path = regexp_replace(path0, "/$", "")
+    val kept = filter(split(query, "&"),
+      p => !(substring(p, 1, 4) === "utm_"))
+    val cleanQ = array_join(kept, "&")
+    concat(auth, path,
+      when(length(cleanQ) > 0, concat(lit("?"), cleanQ)).otherwise(lit("")))
+  }
 }

@@ -1668,6 +1668,33 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("canonicalUrl: the six rules, hand cases + idempotence") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment dropped; scheme+host lowered; path case KEPT
+      ("HTTPS://Example.COM/Article/One#frag", "https://example.com/Article/One"),
+      // www and :80 stripped
+      ("http://WWW.site.org:80/a", "http://site.org/a"),
+      // utm_* params dropped, others kept in order; separators repaired
+      ("https://s.io/p?utm_source=x&id=7&utm_campaign=y&z=1", "https://s.io/p?id=7&z=1"),
+      // all params tracking -> query gone entirely
+      ("https://s.io/p?utm_a=1&utm_b=2", "https://s.io/p"),
+      // trailing slash stripped (one)
+      ("https://s.io/dir/", "https://s.io/dir"),
+      // query without path keeps working
+      ("https://s.io?id=1", "https://s.io?id=1"),
+      // host-only
+      ("https://WWW.S.IO", "https://s.io"))
+    val out = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalUrl(col("u")).as("c")).collect().map(_.getString(0))
+    for (((_, want), got) <- cases.zip(out))
+      assert(got == want, s"got $got, want $want")
+    // idempotence: canonical of canonical is the identity
+    val twice = out.toSeq.toDF("u")
+      .select(TextOps.canonicalUrl(col("u")).as("c")).collect().map(_.getString(0))
+    assert(twice.toSeq == out.toSeq, s"not idempotent: ${twice.toSeq} vs ${out.toSeq}")
+  }
+
   test("Kneser-Ney bigram: hand-derived doc score; full-vocab probabilities sum to 1 per context") {
     import spark.implicits._
     val docs = Seq(
