@@ -1593,6 +1593,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Sliding-window attention (q173): q166's bias path with a
+    // symmetric |i-j| <= 2 band — the Longformer/Mistral local
+    // window; the oracle's bias join is banded O(L·w), not L×L (see
+    // localAttnModel).
+    "q173_torch_local" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = localAttnModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, AttnMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("local_class"))
+        .orderBy("doc_id")
+    },
+
     // RoPE causal attention (q169): rotary-embedded q/k + causal
     // softmax — the Llama-style decoder position encoding, through
     // the interpreter's rope path (see ropeModel). Same batched
@@ -3252,6 +3273,37 @@ object SparkEntry {
         qvals(16, 833, 1.5), qvals(4, 839, 0.5),
         dim = 4, inDim = 4, scale = 0.5, causal = true,
         ropeCos = Some(cosT), ropeSin = Some(sinT), ropeLen = AttnMaxLen),
+      SeqMeanPoolOp,
+      LinearLayer(qvals(12, 853, 2.0),
+        Array(-1.75f, 1.25f, 1.3125f), 3, 4)))
+  }
+
+  /** Sliding-window (LOCAL) attention classifier for q173:
+    * [[alibiModel]]'s head with a symmetric band mask instead — 0
+    * within `|i-j| <= 2`, `-inf` outside (the Longformer/Mistral
+    * local-attention window, non-causal) — through the same general
+    * additive-bias path. The scale story is the mask itself: the
+    * oracle's bias join carries only the O(L·w) finite entries, so
+    * the score join is banded, not L×L — exactly why these models
+    * exist at long context. Dyadic (0/-inf) bias keeps scores exact;
+    * argmax gap inherited from the q122 argument. */
+  private[graft] lazy val localAttnModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val bias = Array.tabulate(AttnMaxLen * AttnMaxLen) { idx =>
+      val (i, j) = (idx / AttnMaxLen, idx % AttnMaxLen)
+      if (math.abs(i - j) <= 2) 0f else Float.NegativeInfinity
+    }
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(64 * 4, 811, 2.0), vocab = 64, embDim = 4),
+      SelfAttentionOp(
+        qvals(16, 821, 1.0), qvals(4, 823, 0.25),
+        qvals(16, 827, 1.0), qvals(4, 829, 0.25),
+        qvals(16, 833, 1.5), qvals(4, 839, 0.5),
+        dim = 4, inDim = 4, scale = 0.5,
+        bias = Some(bias), biasRows = AttnMaxLen),
       SeqMeanPoolOp,
       LinearLayer(qvals(12, 853, 2.0),
         Array(-1.75f, 1.25f, 1.3125f), 3, 4)))
@@ -5963,6 +6015,18 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS attn_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // Local attention: the q166 bias-join chain — the VALUES table
+    // carries only the band's finite entries, so the score join is
+    // O(L·w).
+    "q173_torch_local" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        localAttnModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, attnPoolSql(localAttnModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS local_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // RoPE: the q122 chain with a per-position rotation CTE between
