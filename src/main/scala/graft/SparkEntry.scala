@@ -715,6 +715,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Quality-aware cluster resolution (q174): q61's near-dup
+    // clusters, but the survivor is the LONGEST member (n_chars DESC,
+    // doc_id tiebreak) — production dedup keeps the best extraction,
+    // not the smallest id.
+    "q174_dedup_best" -> { (s, dir) =>
+      val docsDf = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docsDf, "doc_id", "text",
+        n = 3, threshold = 0.8, bands = 32, rowsPerBand = 4)
+      graft.operators.Components.dedupClustersBy(docsDf, "doc_id", pairs,
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Overlapping token-window chunking (context-window preprocessing):
     // 64-token chunks, 16-token overlap, scan-side explode only.
     "q62_chunk" -> ((s, dir) =>
@@ -7492,6 +7505,27 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q61's recursive-CC oracle + a quality window: survivor = rank 1
+    // by (n_chars DESC, doc_id) within the cluster.
+    "q174_dedup_best" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |p AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         |reach AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |comp AS (SELECT x AS doc_id, least(x, min(y)) AS cluster
+         |         FROM reach GROUP BY x),
+         |cl AS (SELECT d.doc_id, d.n_chars,
+         |         coalesce(c.cluster, d.doc_id) AS cluster
+         |       FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, cluster,
+         |  (row_number() OVER (PARTITION BY cluster
+         |     ORDER BY n_chars DESC, doc_id) = 1) AS is_survivor
+         |FROM cl
          |ORDER BY doc_id""".stripMargin,
 
     // chunk count: 1 + ceil((n - chunkSize)/stride) clamped at >= 1 for

@@ -91,4 +91,33 @@ object Components {
         coalesce(col("comp"), col(idCol)).as("cluster"))
       .withColumn("is_survivor", col(idCol) === col("cluster"))
   }
+
+  /**
+   * [[dedupClusters]] with a QUALITY-aware survivor: production dedup
+   * keeps the BEST member of each near-dup cluster (longest /
+   * cleanest extraction — the RefinedWeb/Dolma practice), not the
+   * smallest id. Survivor = rank 1 by `(score DESC, id ASC)` within
+   * the cluster — the id tiebreak keeps the choice total and
+   * engine-independent for equal scores. One extra shuffle on the
+   * cluster key for the ranking window; everything else is
+   * [[connectedComponents]]'s O(diameter) keyed propagation.
+   */
+  def dedupClustersBy(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      score: org.apache.spark.sql.Column,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol), score.as("__q"))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+      .withColumn("is_survivor",
+        row_number().over(Window.partitionBy("cluster")
+          .orderBy(col("__q").desc, col(idCol))) === 1)
+      .select(col(idCol), col("cluster"), col("is_survivor"))
+  }
 }

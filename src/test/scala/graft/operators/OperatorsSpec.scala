@@ -1668,6 +1668,24 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("dedupClustersBy: survivor is the best-scoring member, exactly one per cluster, singletons survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 120L), (2L, 300L), (3L, 300L), // cluster {1,2,3}: 2 wins (score tie 2/3 -> id)
+      (4L, 50L), (5L, 80L),               // cluster {4,5}: 5 wins
+      (6L, 10L))                          // singleton
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Components.dedupClustersBy(docs, "doc_id", pairs, col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(2L)._2 && !out(1L)._2 && !out(3L)._2)
+    assert(out(5L)._2 && !out(4L)._2)
+    assert(out(6L)._2 && out(6L)._1 == 6L)
+    // one survivor per cluster
+    val perCluster = out.values.groupBy(_._1).map { case (c, vs) => c -> vs.count(_._2) }
+    assert(perCluster.values.forall(_ == 1), perCluster.toString)
+  }
+
   test("canonicalUrl: the six rules, hand cases + idempotence") {
     import spark.implicits._
     val cases = Seq(
