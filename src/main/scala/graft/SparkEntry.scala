@@ -715,6 +715,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Hard-negative mining (q175): per query vector, the top-3 most
+    // cosine-similar vectors with a DIFFERENT label — the contrastive-
+    // training examples a DPR/SimCSE-style recipe mines. Deterministic
+    // rank; 6-dp cosine like q24.
+    "q175_hard_negatives" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      graft.operators.Similarity
+        .hardNegatives(emb, q, "vec_id", "embedding", "label", k = 3)
+        .select(col("q_id"), col("q_label"), col("rank"), col("vec_id"),
+          col("neg_label"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    },
+
     // Quality-aware cluster resolution (q174): q61's near-dup
     // clusters, but the survivor is the LONGEST member (n_chars DESC,
     // doc_id tiebreak) — production dedup keeps the best extraction,
@@ -7506,6 +7520,20 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // q24's brute-force chain + the label-mismatch join predicate.
+    "q175_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+        |           FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q_id, q_label, vec_id, label AS neg_label,
+        |       list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+        |      FROM q JOIN embeddings ON vec_id <> q_id AND label <> q_label),
+        |r AS (SELECT q_id, q_label, vec_id, neg_label, cos,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |      FROM p)
+        |SELECT q_id, q_label, CAST(rank AS INT) AS rank, vec_id, neg_label,
+        |  round(cos, 6) AS cos
+        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     // q61's recursive-CC oracle + a quality window: survivor = rank 1
     // by (n_chars DESC, doc_id) within the cluster.

@@ -68,6 +68,41 @@ object Similarity {
   }
 
   /**
+   * HARD-NEGATIVE mining for contrastive training (the in-batch /
+   * BM25-negative upgrade every embedding-model recipe ships — e.g.
+   * DPR, SimCSE supervised): for each query vector, the top-k most
+   * cosine-similar corpus vectors with a DIFFERENT label — close in
+   * embedding space, wrong by supervision, exactly the examples a
+   * contrastive loss learns most from. Deterministic rank tiebreak by
+   * id. Brute-force comparator shape (broadcast queries, keyed window
+   * top-k); at corpus scale swap the candidate generator for the
+   * IVFADC shortlist ([[ivfPqTopKFilteredReranked]] with a
+   * label-mismatch predicate) — the ranking contract stays identical.
+   */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"),
+      col(labelCol).as("c_label"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"),
+      col(labelCol).as("q_label"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("c_label") =!= col("q_label"))
+      .withColumn("cos",
+        graft.functions.CosineSim.cosine_sim(corpus.sparkSession, col("qe"), col("ce")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"), col("vec_id"),
+        col("c_label").as("neg_label"), col("cos"))
+  }
+
+  /**
    * Nearest-class-centroid probe — the standard cheap eval of
    * embedding quality ("do the classes separate in embedding
    * space?"): per-label mean vector, then every vector re-assigned to

@@ -1668,6 +1668,23 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("hardNegatives: never the query's own label; an identical different-label vector ranks 1") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0),
+      (2L, Seq(1.0, 0.0, 0.0), 1), // identical to q1 but other label -> rank 1
+      (3L, Seq(0.9, 0.1, 0.0), 0), // same label: excluded however close
+      (4L, Seq(0.0, 1.0, 0.0), 1),
+      (5L, Seq(0.0, 0.0, 1.0), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(corpus,
+        corpus.filter(col("vec_id") === 1L), "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(out.forall(_._3 != 0), s"a negative shares the query label: ${out.toSeq}")
+    assert(out.head == ((1, 2L, 1)), s"rank 1 should be the identical vec 2: ${out.toSeq}")
+    assert(out.map(_._2).toSet == Set(2L, 4L, 5L))
+  }
+
   test("dedupClustersBy: survivor is the best-scoring member, exactly one per cluster, singletons survive") {
     import spark.implicits._
     val docs = Seq(
