@@ -715,6 +715,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Packed windows with document boundaries (q176): q43's bins
+    // composed into per-bin (doc_ids, starts, seq_len) — the
+    // compressed block-diagonal attention mask a packed-pretraining
+    // loader consumes (cross-document attention masking).
+    "q176_pack_boundaries" -> { (s, dir) =>
+      // boundary lists comma-joined: the gate compares scalars
+      graft.operators.Pack.packedBoundaries(
+        t(s, dir, "documents"), "doc_id", TextOps.tokenCount(col("text")),
+        capacity = 2048L)
+        .select(col("bin"), col("n_docs"), col("seq_len"),
+          array_join(col("doc_ids"), ",").as("doc_ids"),
+          array_join(col("starts"), ",").as("starts"))
+        .orderBy("bin")
+    },
+
     // Hard-negative mining (q175): per query vector, the top-3 most
     // cosine-similar vectors with a DIFFERENT label — the contrastive-
     // training examples a DPR/SimCSE-style recipe mines. Deterministic
@@ -7520,6 +7535,28 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // q43's packing window + a per-bin start-offset window, grouped
+    // to ordered member/offset lists.
+    "q176_pack_boundaries" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |   CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, n_tokens, bin,
+        |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM b)
+        |SELECT bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_len,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+        |  array_to_string(list(start ORDER BY doc_id), ',') AS starts
+        |FROM s GROUP BY bin ORDER BY bin""".stripMargin,
 
     // q24's brute-force chain + the label-mismatch join predicate.
     "q175_hard_negatives" ->

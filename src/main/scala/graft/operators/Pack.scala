@@ -99,4 +99,38 @@ object Pack {
       .select(pcols :+ col(idCol) :+ col("n_tokens") :+
         floor(col("__before") / capacity).cast("long").as("bin"): _*)
   }
+
+  /**
+   * Packed-window composition with DOCUMENT BOUNDARIES — what a
+   * packed-pretraining loader actually needs (Raffel et al. 2020 T5
+   * packing; modern stacks mask cross-document attention): per bin,
+   * the ordered member docs with their cumulative start offsets. The
+   * `(doc_ids, starts, seq_len)` triple IS the block-diagonal
+   * attention mask in compressed form — segment k attends
+   * `[starts[k], starts[k] + len_k)`.
+   *
+   * Scale: [[packBins]]'s two-level prefix sum assigns bins without a
+   * global window; the per-bin start offsets are a window PARTITIONED
+   * by bin (parallel across bins, each bounded by `capacity` tokens
+   * of members), and the composition groupBy shuffles once on the bin
+   * key.
+   */
+  def packedBoundaries(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      capacity: Long): DataFrame = {
+    val bins = packBins(df, idCol, tokensCol, capacity)
+    val w = Window.partitionBy("bin").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("seq_len"),
+        sort_array(collect_list(struct(col(idCol), col("start")))).as("__m"))
+      .select(col("bin"), col("n_docs"), col("seq_len"),
+        transform(col("__m"), m => m(idCol)).as("doc_ids"),
+        transform(col("__m"), m => m("start")).as("starts"))
+  }
 }

@@ -1668,6 +1668,30 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("packedBoundaries: starts are exact cumulative offsets, consistent with packBins membership") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"),
+      (5L, "k l m n o"), (6L, "p q"))
+      .toDF("doc_id", "text")
+    val out = Pack.packedBoundaries(docs, "doc_id",
+        TextOps.tokenCount(col("text")), capacity = 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[Long](4)))
+    val bins = Pack.packBins(docs, "doc_id", TextOps.tokenCount(col("text")), 6L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byBin = bins.groupBy(_._3)
+    assert(out.map(_._1).toSet == byBin.keySet)
+    for ((bin, nDocs, seqLen, ids, starts) <- out) {
+      val members = byBin(bin).sortBy(_._1)
+      assert(ids == members.map(_._1).toSeq, s"bin $bin members")
+      assert(nDocs == members.length && seqLen == members.map(_._2.toLong).sum)
+      // starts = exact prefix sums of member lengths, from 0
+      val expect = members.map(_._2.toLong).scanLeft(0L)(_ + _).init
+      assert(starts == expect.toSeq, s"bin $bin starts $starts vs $expect")
+    }
+  }
+
   test("hardNegatives: never the query's own label; an identical different-label vector ranks 1") {
     import spark.implicits._
     val corpus = Seq(
