@@ -715,6 +715,49 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Epoch upsampling (q178): LLaMA-recipe mixture — src0 at 2.5
+    // epochs, src1 at 1.25, src2 at 0.5, everything else 1.0; copies
+    // from deterministic md5 buckets (no RNG). Per-source totals.
+    "q178_epoch_upsample" -> { (s, dir) =>
+      graft.operators.Mix.epochUpsample(t(s, dir, "documents"),
+          "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.5))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_copies").as("n_copies"))
+        .orderBy("source")
+    },
+
+    // Matryoshka truncation eval (q177): brute-force top-5 recall of
+    // PREFIX-truncated embeddings (first 16 of 64 dims) against the
+    // full-dimension top-5 — the MRL/dimension-trimming question
+    // ("how much ANN quality do the cheap prefix dims keep?") as a
+    // pinned-number verdict: 0.05-bucketed recall, the q25
+    // discipline. The fixture's ISOTROPIC vectors retain little
+    // neighborhood structure in a prefix (measured 0.10 at both SFs —
+    // exactly what the eval should report for non-MRL-trained
+    // embeddings); the floor pins that number, and any machinery
+    // regression hash-mismatches the bucket.
+    "q177_matryoshka_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20).select("vec_id", "embedding")
+      val full = graft.operators.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("q_id", "vec_id")
+      val cut = (c: Column) => slice(c, 1, 16)
+      val embCut = emb.select(col("vec_id"), cut(col("embedding")).as("embedding"))
+      val qCut = q.select(col("vec_id"), cut(col("embedding")).as("embedding"))
+      val trunc = graft.operators.Similarity
+        .bruteForceTopK(embCut, qCut, "vec_id", "embedding", k = 5)
+        .select("q_id", "vec_id")
+      full.join(trunc.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          (floor(sum(coalesce(col("hit"), lit(0))) * 20.0d / count(lit(1))) / 20.0d)
+            .as("recall_floor"))
+        .select(lit("matryoshka_recall_at_5_dim16").as("metric"),
+          col("n_pairs"), col("recall_floor"),
+          (col("recall_floor") >= 0.05).as("pass"))
+    },
+
     // Packed windows with document boundaries (q176): q43's bins
     // composed into per-bin (doc_ids, starts, seq_len) — the
     // compressed block-diagonal attention mask a packed-pretraining
@@ -7535,6 +7578,53 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Epochs restated: floor + md5-bucket threshold on the 1e8 grid
+    // (the q63 arithmetic).
+    "q178_epoch_upsample" ->
+      """WITH e AS (
+        |  SELECT doc_id, source,
+        |   CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+        |        WHEN 'src2' THEN 0.5 ELSE 1.0 END AS DOUBLE) AS ep,
+        |   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |     % 100000000 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |   CAST(floor(ep) AS BIGINT) +
+        |     (CASE WHEN bucket < CAST(round((ep - floor(ep)) * 100000000) AS BIGINT)
+        |           THEN 1 ELSE 0 END) AS n_copies
+        |  FROM e)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_copies) AS BIGINT) AS n_copies
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // Both brute-force rankings restated (full dims and the [1:16]
+    // prefix slice), recall floored to 0.05 buckets.
+    "q177_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |fullp AS (SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY
+        |     list_cosine_similarity(CAST(qe AS DOUBLE[]),
+        |       CAST(embedding AS DOUBLE[])) DESC, vec_id) AS r
+        |  FROM q JOIN embeddings ON vec_id <> q_id),
+        |f AS (SELECT q_id, vec_id FROM fullp WHERE r <= 5),
+        |tp AS (SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY
+        |     list_cosine_similarity(CAST(qe[1:16] AS DOUBLE[]),
+        |       CAST(embedding[1:16] AS DOUBLE[])) DESC, vec_id) AS r
+        |  FROM q JOIN embeddings ON vec_id <> q_id),
+        |t2 AS (SELECT q_id, vec_id FROM tp WHERE r <= 5),
+        |j AS (SELECT f.q_id, f.vec_id,
+        |   CASE WHEN t2.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM f LEFT JOIN t2 ON f.q_id = t2.q_id AND f.vec_id = t2.vec_id)
+        |SELECT 'matryoshka_recall_at_5_dim16' AS metric,
+        |  count(*) AS n_pairs,
+        |  floor(sum(hit) * CAST(20.0 AS DOUBLE) / count(*)) /
+        |    CAST(20.0 AS DOUBLE) AS recall_floor,
+        |  (floor(sum(hit) * CAST(20.0 AS DOUBLE) / count(*)) /
+        |    CAST(20.0 AS DOUBLE) >= CAST(0.05 AS DOUBLE)) AS pass
+        |FROM j""".stripMargin,
 
     // q43's packing window + a per-bin start-offset window, grouped
     // to ordered member/offset lists.

@@ -123,6 +123,40 @@ object Mix {
   }
 
   /**
+   * Epoch upsampling — the LLaMA-recipe mixture knob (Touvron et al.
+   * 2023 sample Wikipedia/Books at ~2 epochs while CommonCrawl stays
+   * under 1): each stratum gets a REAL epoch count `e`; every doc
+   * receives `floor(e)` copies plus one more iff its deterministic
+   * md5 bucket falls under `frac(e)` (the [[rebalance]] hash-
+   * threshold recipe — no RNG state, reproducible across engines and
+   * runs, and a doc's extra copy is stable under corpus growth).
+   * Strata absent from the map default to 1.0 epoch. Returns the
+   * input plus `n_copies` (0 allowed: e < 1 downsamples); callers
+   * explode to physical copies at shard-write time.
+   */
+  def epochUpsample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 100.0),
+      "epoch counts must be in [0, 100]")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val whole = floor(e).cast("long")
+    // frac(e) on the same 1e8 grid as rebalance; round keeps the
+    // threshold exact for the dyadic/decimal epoch counts in practice
+    val fracB = round((e - floor(e)) * 100000000L).cast("long")
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100000000L
+    df.withColumn("n_copies",
+      whole + when(bucket < fracB, 1L).otherwise(0L))
+  }
+
+  /**
    * Token-budget sampling: per stratum, keep documents — in a
    * DETERMINISTIC hash order — until the stratum's token budget is
    * exhausted (the "cap each source at N tokens" primitive of corpus

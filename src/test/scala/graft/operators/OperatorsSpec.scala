@@ -1668,6 +1668,30 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("epochUpsample: integer epochs exact, fractional epochs hit the bucket rate, e<1 downsamples") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map(i =>
+      (i, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else if (i % 4 == 2) "c" else "d"))
+      .toDF("doc_id", "source")
+    val out = Mix.epochUpsample(docs, "source", "doc_id",
+        Map("a" -> 2.0, "b" -> 2.5, "c" -> 0.5))
+      .groupBy("source").agg(sum("n_copies").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // integer epochs: EXACT multiple, no hash noise
+    assert(out("a") == ((2000L, 1000L)))
+    // default stratum: exactly 1 copy each
+    assert(out("d") == ((1000L, 1000L)))
+    // fractional: within ~6% of the expected rate (md5 buckets)
+    assert(math.abs(out("b")._1 - 2500L) < 150, out("b").toString)
+    assert(math.abs(out("c")._1 - 500L) < 150, out("c").toString)
+    // determinism: same inputs -> same copies
+    val again = Mix.epochUpsample(docs, "source", "doc_id", Map("b" -> 2.5))
+      .agg(sum("n_copies")).first().getLong(0)
+    val again2 = Mix.epochUpsample(docs, "source", "doc_id", Map("b" -> 2.5))
+      .agg(sum("n_copies")).first().getLong(0)
+    assert(again == again2)
+  }
+
   test("packedBoundaries: starts are exact cumulative offsets, consistent with packBins membership") {
     import spark.implicits._
     val docs = Seq(
