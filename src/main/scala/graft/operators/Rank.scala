@@ -54,37 +54,41 @@ object Rank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count() // bounded by the node-domain cardinality
-    // dangling = nodes with no out-edges (never appear as src)
-    lazy val danglingNodes = nodes.join(outw.select(col("src").as("node")),
-      Seq("node"), "left_anti").cache()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
-      val contrib = trans.join(ranks, col("src") === col("node"))
+      val contrib0 = trans.join(ranks, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("m"))
         .withColumnRenamed("dst", "cnode")
-      val joined = nodes.join(contrib, col("node") === col("cnode"), "left")
       ranks =
         if (dangling) {
-          // one-row dangling-mass aggregate, broadcast back (the
-          // crossJoin(broadcast(one-row)) discipline — no collect)
-          val dm = danglingNodes.join(ranks, "node")
-            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-          joined.crossJoin(broadcast(dm))
+          // mass conservation makes Σ ranks == 1 every iteration (in
+          // exact arithmetic; fp drift ~1e-15/step, far under the
+          // report rounding), so the dangling mass is DERIVED from the
+          // contributions alone: D = 1 − Σ m (the mass that no
+          // out-edge carried forward) — `ranks` is read once per
+          // iteration and the old dangling-node anti-join pass is
+          // gone. `contrib` IS read twice (rank update + mass
+          // aggregate), which would square the plan per iteration —
+          // the LAZY checkpoint truncates it to an RDD scan computed
+          // once at execution, with NO per-iteration materialization
+          // job (the previous formulation's eager checkpoint ran 10
+          // jobs where this plan runs one).
+          val contrib = Checkpoints.cp(contrib0)
+          val dm = contrib.agg(
+            coalesce(lit(1.0d) - sum("m"), lit(1.0d)).as("dm"))
+          nodes.join(contrib, col("node") === col("cnode"), "left")
+            .crossJoin(broadcast(dm))
             .select(col("node"),
               (lit((1.0 - d) / n) + lit(d) *
                 (coalesce(col("m"), lit(0.0)) + col("dm") / n)).as("rank"))
         } else {
-          joined.select(col("node"),
-            (lit((1.0 - d) / n) + lit(d) * coalesce(col("m"), lit(0.0))).as("rank"))
+          nodes.join(contrib0, col("node") === col("cnode"), "left")
+            .select(col("node"),
+              (lit((1.0 - d) / n) + lit(d) * coalesce(col("m"), lit(0.0))).as("rank"))
         }
-      // dangling reads `ranks` TWICE per iteration (contrib + dm), so
-      // an un-truncated plan doubles in size AND in recompute work
-      // each step (2^gap between checkpoints — measured 5x wall at 50
-      // iters with gap 4): checkpoint every iteration there. The
-      // default variant reads ranks once; linear lineage only needs
-      // the periodic truncation.
-      val cpe = if (dangling) 1 else checkpointEvery
-      if (checkpointEvery > 0 && i % cpe == 0 && i < iters)
+      // both variants read `ranks` once; the periodic truncation only
+      // bounds analysis/codegen time on convergence-length runs
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
     }
     ranks
