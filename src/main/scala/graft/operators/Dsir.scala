@@ -81,4 +81,75 @@ object Dsir {
         round(coalesce(col("score"), lit(0.0d)), 6).as("dsir_score"))
       .withColumn("selected", col("dsir_score") > 0.0d)
   }
+
+  /**
+   * Frozen DSIR statistics — the ingest-time artifact of
+   * [[importanceScore]] (the [[graft.operators.LmScore.knStats]]
+   * discipline): per-word `(raw, target)` counts collected once
+   * (CAPPED — loud failure beats a silent driver OOM) and broadcast,
+   * so arriving documents score scan-side with zero streaming state
+   * and never shift the distributions they are judged against.
+   */
+  final case class DsirStats(
+      counts: Map[String, (Double, Double)],
+      nr: Double, nt: Double, v: Double)
+
+  /** Collect [[DsirStats]]; fails loudly past `maxVocab` distinct
+    * words (size-check BEFORE the collect). */
+  def dsirStats(df: DataFrame, textCol: String, targetPred: Column,
+      maxVocab: Int = 2000000): DsirStats = {
+    val freq = df.select(targetPred.as("__t"),
+        explode(call_function("regexp_extract_all",
+          col(textCol), lit(Tok.Pattern), lit(0))).as("w"))
+      .groupBy("w").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .transform(Checkpoints.cp)
+    val n = freq.count()
+    require(n <= maxVocab,
+      s"$n distinct words exceed the frozen-stats cap $maxVocab — " +
+        s"raise the cap or prune the corpus first")
+    val rows = freq.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1).toDouble, r.getLong(2).toDouble)))
+    DsirStats(rows.toMap,
+      nr = rows.map(_._2._1).sum, nt = rows.map(_._2._2).sum,
+      v = rows.length.toDouble)
+  }
+
+  /**
+   * Scan-side DSIR scoring against a frozen artifact (stream-safe:
+   * stateless projection). Unseen words score the add-1 floor on BOTH
+   * distributions — `ln(1/(nt+v)) − ln(1/(nr+v))`, a CONSTANT
+   * (positive when the raw corpus is larger: a never-seen word is
+   * less surprising under the target's smaller mass — the smoothing's
+   * honest answer, not a special case). `ln` is StrictMath.log, so
+   * scoring the frozen corpus itself reproduces [[importanceScore]]
+   * to summation-order ulps.
+   */
+  def withDsirFrozen(df: DataFrame, textCol: String,
+      stats: DsirStats): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(stats)
+    val score = udf { (toks: Seq[String]) =>
+      val st = bc.value
+      var acc = 0.0
+      var i = 0
+      while (i < toks.length) {
+        val (cr, ct) = st.counts.getOrElse(toks(i), (0.0, 0.0))
+        acc += StrictMath.log((ct + 1.0) / (st.nt + st.v)) -
+          StrictMath.log((cr + 1.0) / (st.nr + st.v))
+        i += 1
+      }
+      val n = toks.length
+      (n, if (n == 0) 0.0
+        else BigDecimal(acc / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val toks = call_function("regexp_extract_all",
+      col(textCol), lit(Tok.Pattern), lit(0))
+    df.withColumn("__ds", score(toks))
+      .withColumn("n_tokens", col("__ds._1"))
+      .withColumn("dsir_score", col("__ds._2"))
+      .withColumn("selected", col("dsir_score") > 0.0d)
+      .drop("__ds")
+  }
 }

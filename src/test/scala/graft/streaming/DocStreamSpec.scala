@@ -170,6 +170,54 @@ class DocStreamSpec extends AnyFunSuite {
     assert(out(3L) == r6(-StrictMath.log(1.0 / 2.0)), out(3L).toString) // floor 1/types
   }
 
+  test("streaming DSIR gating with frozen stats == batch; unseen words score the smoothing floor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pred = col("lang") === "en"
+    val stats = graft.operators.Dsir.dsirStats(raw, "text", pred)
+    assert(stats.v > 0 && stats.nt > 0 && stats.nt < stats.nr)
+
+    val docs = raw.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Dsir.withDsirFrozen(
+        mem.toDF().toDF("doc_id", "text"), "text", stats)
+      .select("doc_id", "n_tokens", "dsir_score", "selected")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dsir_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(streamed.size == docs.size)
+      // frozen-on-stream == frozen-on-batch, bit-for-bit
+      val frozenBatch = graft.operators.Dsir.withDsirFrozen(raw, "text", stats)
+        .select("doc_id", "n_tokens", "dsir_score", "selected").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(streamed == frozenBatch)
+      // scoring the frozen corpus reproduces the distributed scorer
+      val live = graft.operators.Dsir.importanceScore(raw, "doc_id", "text", pred)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      for ((id, (nt, sc, _)) <- streamed) {
+        assert(live(id)._1 == nt, s"doc $id: n_tokens $nt vs ${live(id)._1}")
+        assert(math.abs(live(id)._2 - sc) <= 1e-6, s"doc $id: $sc vs ${live(id)._2}")
+      }
+    } finally q.stop()
+
+    // an all-unseen doc scores exactly the constant smoothing floor
+    val floor = StrictMath.log(1.0 / (stats.nt + stats.v)) -
+      StrictMath.log(1.0 / (stats.nr + stats.v))
+    val probe = Seq((1L, "zorkle blipnax")).toDF("doc_id", "text")
+    val got = graft.operators.Dsir.withDsirFrozen(probe, "text", stats)
+      .select("dsir_score").first().getDouble(0)
+    val want = BigDecimal(floor).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == want, s"$got vs $want")
+  }
+
   test("streaming WordPiece at ingest == batch segmentation, bit-for-bit, zero state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
