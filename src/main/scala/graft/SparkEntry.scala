@@ -758,6 +758,54 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Ingest capstone v3 (q179): the round-13 operators composed
+    // end-to-end — URL-canonical dedup (q172) -> DSIR target-slice
+    // selection (q168) -> CCNet head+middle perplexity keep (q167)
+    // -> temperature mixture flattening (q165) -> token packing
+    // (q43). Every stage's statistics are computed over ITS input
+    // set (the chained semantics the oracle restates); gate frames
+    // are checkpointed once (the q154 discipline), and the one-file
+    // fixture is repartitioned up front so the scan-heavy LM stages
+    // parallelize.
+    "q179_ingest_v3" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs0 = t(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("News-"), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 7 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Article/"), pmod(col("doc_id"), lit(1000)),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 1, lit("?utm_source=feed&id=7&utm_campaign=x"))
+          .otherwise(when(col("doc_id") % 3 === 2, lit("?id=7")).otherwise(lit(""))),
+        when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
+      val surv = docs0
+        .select(col("doc_id"), graft.operators.TextOps.canonicalUrl(url).as("cu"))
+        .groupBy("cu").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val base = graft.operators.Checkpoints.cp(
+        docs0.join(surv, "doc_id")
+          .select("doc_id", "text", "lang", "source")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")))
+      val dsel = graft.operators.Dsir
+        .importanceScore(base, "doc_id", "text", col("lang") === "en")
+        .filter(col("selected")).select("doc_id")
+      val base2 = graft.operators.Checkpoints.cp(base.join(dsel, "doc_id"))
+      val keep3 = graft.operators.LmScore
+        .perplexityBuckets(base2, "doc_id", "text", "lang", buckets = 3)
+        .filter(col("ppl_bucket") <= 2).select("doc_id")
+      val base3 = base2.join(keep3, "doc_id")
+      val base4 = graft.operators.Checkpoints.cp(
+        graft.operators.Mix.temperatureSample(base3, "lang", "doc_id", tau = 0.5))
+      graft.operators.Pack.packBins(base4, "doc_id",
+          TextOps.tokenCount(col("text")), capacity = 2048L)
+        .join(base4.select("doc_id", "lang", "source"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("bin"))
+        .orderBy("doc_id")
+    },
+
     // Packed windows with document boundaries (q176): q43's bins
     // composed into per-bin (doc_ids, starts, seq_len) — the
     // compressed block-diagonal attention mask a packed-pretraining
@@ -7593,6 +7641,114 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Ingest v3 restated stage-for-stage: the q172 canonicalization
+    // chain -> min-id survivors -> the q168 DSIR arithmetic over the
+    // survivor set -> the q167 bucket window over the selected set ->
+    // the q165 temperature rates over the remainder -> the q43
+    // packing window over the final kept set.
+    "q179_ingest_v3" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'News-' || source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END) ||
+        |    '/Article/' || CAST(doc_id % 1000 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&id=7&utm_campaign=x'
+        |          WHEN doc_id % 3 = 2 THEN '?id=7' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |c2 AS (SELECT doc_id, nf,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*') AS auth0
+        |  FROM c1),
+        |c3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(auth0), '://www\.', '://'),
+        |      ':80$', '') AS auth,
+        |    substring(nf, length(auth0) + 1) AS rest
+        |  FROM c2),
+        |c4 AS (SELECT doc_id, auth, rest,
+        |    regexp_extract(rest, '^[^?]*') AS path0 FROM c3),
+        |c5 AS (SELECT doc_id, auth,
+        |    regexp_replace(path0, '/$', '') AS path,
+        |    array_to_string(list_filter(
+        |      string_split(substring(rest, length(path0) + 2), '&'),
+        |      x -> substring(x, 1, 4) <> 'utm_'), '&') AS cleanq
+        |  FROM c4),
+        |canon AS (SELECT doc_id,
+        |    auth || path ||
+        |    (CASE WHEN length(cleanq) > 0 THEN '?' || cleanq ELSE '' END) AS cu
+        |  FROM c5),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY cu),
+        |base AS (SELECT d.doc_id, d.text, d.lang, d.source
+        |         FROM documents d JOIN surv USING (doc_id)),
+        |docc AS (
+        |  SELECT doc_id, (lang = 'en') AS t,
+        |    unnest(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS w
+        |  FROM base),
+        |dfreq AS (
+        |  SELECT w, count(*) AS cr,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+        |  FROM docc GROUP BY w),
+        |dtot AS (
+        |  SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM dfreq),
+        |dsc AS (
+        |  SELECT docc.doc_id,
+        |    ln((CAST(ct AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (nt + v)) -
+        |    ln((CAST(cr AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (nr + v)) AS s
+        |  FROM docc JOIN dfreq USING (w) CROSS JOIN dtot),
+        |dagg AS (SELECT doc_id, round(avg(s), 6) AS ds FROM dsc GROUP BY doc_id),
+        |base2 AS (SELECT b.* FROM base b JOIN dagg USING (doc_id)
+        |          WHERE ds > CAST(0.0 AS DOUBLE)),
+        |ws2 AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS a
+        |  FROM base2),
+        |occ2 AS (
+        |  SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS bg
+        |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM ws2)),
+        |f2 AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 FROM occ2 GROUP BY bg),
+        |f1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM occ2 GROUP BY w1),
+        |v2 AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vv
+        |      FROM (SELECT unnest(a) AS w FROM ws2)),
+        |nll2 AS (
+        |  SELECT occ2.doc_id, -ln((c2 + CAST(1.0 AS DOUBLE)) / (c1 + vv)) AS s
+        |  FROM occ2 JOIN f2 USING (bg) JOIN f1 USING (w1) CROSS JOIN v2),
+        |agg2 AS (SELECT doc_id, round(avg(s), 6) AS bn FROM nll2 GROUP BY doc_id),
+        |scored2 AS (
+        |  SELECT b.doc_id, b.lang, COALESCE(bn, 0.0) AS bn
+        |  FROM base2 b LEFT JOIN agg2 USING (doc_id)),
+        |keep3 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY bn, doc_id) AS pb
+        |    FROM scored2)
+        |  WHERE pb <= 2),
+        |base3 AS (SELECT b.* FROM base2 b JOIN keep3 USING (doc_id)),
+        |tc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM base3 GROUP BY lang),
+        |tw AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS w FROM tc),
+        |tm AS (SELECT min(w) AS minw FROM tw),
+        |tr AS (SELECT lang,
+        |    greatest(least(CAST(round(minw / w * 100000000) AS BIGINT), 100000000),
+        |             1) AS rate_b
+        |  FROM tw, tm),
+        |base4 AS (
+        |  SELECT b.* FROM base3 b JOIN tr USING (lang)
+        |  WHERE CAST('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 100000000 < rate_b),
+        |pt AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS INT)
+        |      AS n_tokens
+        |  FROM base4)
+        |SELECT doc_id, lang, source, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT)
+        |    AS bin
+        |FROM pt ORDER BY doc_id""".stripMargin,
 
     // Epochs restated: floor + md5-bucket threshold on the 1e8 grid
     // (the q63 arithmetic).
