@@ -1668,6 +1668,28 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("randomProject GEMM path (planes past the literal cap) is bit-identical to the literal HOF chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate => aggr, _}
+    val dim = 64; val outDim = 65 // 4160 > LiteralPlaneCap -> GEMM path
+    assert(dim.toLong * outDim > Similarity.LiteralPlaneCap)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 37 + j * 13.7))))
+      .toDF("vec_id", "embedding")
+    val gemm = Similarity.randomProject(vecs, "embedding", "p", dim, outDim)
+      .select("vec_id", "p").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // the literal HOF chain over the SAME planes, built inline
+    val ps = Similarity.jlPlanes(dim, outDim, 42L)
+    val litProj = array(ps.map { p =>
+      aggr(zip_with(col("embedding"), typedLit(p.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val hof = vecs.select(col("vec_id"), litProj.as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- gemm) assert(v == hof(id), s"vec $id differs")
+  }
+
   test("epochUpsample: integer epochs exact, fractional epochs hit the bucket rate, e<1 downsamples") {
     import spark.implicits._
     val docs = (0L until 4000L).map(i =>
