@@ -758,6 +758,51 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // T5 span corruption (q181): deterministic md5-bucket masks,
+    // adjacent positions merged to spans, sentinel-numbered
+    // input/target pair — the denoising-pretraining objective as one
+    // scan-side aggregate HOF (see Noise.spanCorrupt). Strings
+    // fingerprinted for compact rows.
+    "q181_span_corrupt" -> { (s, dir) =>
+      graft.operators.Noise.spanCorrupt(t(s, dir, "documents"),
+          "doc_id", "text", ratePct = 15)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+          md5(col("corrupted")).as("corrupted_fp"),
+          md5(col("target")).as("target_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source data card (q180): the dataset-documentation
+    // deliverable every corpus release ships (Gebru et al. datasheets
+    // / Dolma's per-source reports) — docs, token mass, Gopher keep
+    // rate, PII incidence, language spread, per source, from the
+    // exact q89/q90 rule expressions. Pure scan-side metrics + one
+    // groupBy on source.
+    "q180_data_card" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val nWords = TextOps.strictTokenCount(col("text"))
+      val pii = (graft.operators.Scrub.emailCount(col("text")) +
+        graft.operators.Scrub.phoneCount(col("text")) +
+        graft.operators.Scrub.ipCount(col("text"))) > 0
+      d.select(col("source"), col("lang"),
+          nWords.cast("long").as("nw"),
+          TextOps.meanWordLen(col("text")).as("mwl"),
+          TextOps.symbolToWordRatio(col("text")).as("sr"),
+          TextOps.dupLineFrac(col("text")).as("dlf"),
+          TextOps.stopwordHits(col("text")).cast("long").as("sh"),
+          pii.as("pii"))
+        .withColumn("keep",
+          col("nw").between(10, 100000) && col("mwl").between(2.0, 12.0) &&
+            col("sr") <= 0.1 && col("dlf") <= 0.3 && col("sh") >= 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("n_tokens"),
+          round(avg(col("keep").cast("int")), 6).as("gopher_keep_rate"),
+          round(avg(col("pii").cast("int")), 6).as("pii_doc_rate"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    },
+
     // Ingest capstone v3 (q179): the round-13 operators composed
     // end-to-end — URL-canonical dedup (q172) -> DSIR target-slice
     // selection (q168) -> CCNet head+middle perplexity keep (q167)
@@ -7641,6 +7686,100 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // The HOF walk restated as per-token rows + an islands window:
+    // span starts flag transitions, the running span number names the
+    // sentinels, string_agg(ORDER BY pos) rebuilds the identical
+    // strings.
+    "q181_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS tk,
+        |    generate_subscripts(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'), 1) AS pos
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tk, pos,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_' ||
+        |      CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 15 AS m
+        |  FROM t),
+        |g AS (
+        |  SELECT *, CASE WHEN m AND NOT COALESCE(
+        |      lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM f),
+        |h AS (
+        |  SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS sp
+        |  FROM g),
+        |stats AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS INT) AS n_masked,
+        |    CAST(COALESCE(max(CASE WHEN m THEN sp END), 0) AS INT) AS n_spans
+        |  FROM h GROUP BY doc_id),
+        |inp AS (
+        |  SELECT doc_id, string_agg(
+        |      CASE WHEN NOT m THEN tk
+        |           ELSE '<extra_id_' || CAST(sp - 1 AS VARCHAR) || '>' END,
+        |      ' ' ORDER BY pos) AS corrupted
+        |  FROM h WHERE (NOT m) OR st = 1 GROUP BY doc_id),
+        |tgt AS (
+        |  SELECT doc_id, string_agg(
+        |      CASE WHEN st = 1
+        |        THEN '<extra_id_' || CAST(sp - 1 AS VARCHAR) || '> ' || tk
+        |        ELSE tk END,
+        |      ' ' ORDER BY pos) AS target
+        |  FROM h WHERE m GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_tokens, 0) AS n_tokens,
+        |  COALESCE(s.n_masked, 0) AS n_masked,
+        |  COALESCE(s.n_spans, 0) AS n_spans,
+        |  md5(COALESCE(i.corrupted, '')) AS corrupted_fp,
+        |  md5(COALESCE(g2.target, '')) AS target_fp
+        |FROM documents d
+        |LEFT JOIN stats s USING (doc_id)
+        |LEFT JOIN inp i USING (doc_id)
+        |LEFT JOIN tgt g2 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The q89 rule metrics + q90 PII regexes per doc, aggregated per
+    // source; integer-sum ratios under 6-dp rounding.
+    "q180_data_card" ->
+      """WITH m AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS nw,
+        |    length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonws_chars,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(list_distinct(string_split(text, chr(10)))) AS d_lines,
+        |    CAST(len(list_intersect(
+        |      list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')),
+        |      ['the','of','and','to','in','is','that','it','was','for','a',
+        |       'der','die','das','und','ist','nicht','mit','ein','zu','den',
+        |       'el','la','de','que','y','en','un','es','se','no',
+        |       'le','les','et','une','est','pas','vous','je','ne','ce',
+        |       '的','是','在','了','我','有','和','就','不','人'])) AS BIGINT) AS sh,
+        |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |     > 0) AS pii
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, lang, nw, pii,
+        |    (nw BETWEEN 10 AND 100000)
+        |    AND (CASE WHEN nw > 0 THEN CAST(nonws_chars AS DOUBLE) / nw ELSE 0.0 END
+        |         BETWEEN CAST(2.0 AS DOUBLE) AND CAST(12.0 AS DOUBLE))
+        |    AND (CASE WHEN nw > 0 THEN CAST(hashes + ellipses AS DOUBLE) / nw ELSE 0.0 END
+        |         <= CAST(0.1 AS DOUBLE))
+        |    AND (CASE WHEN n_lines > 0 THEN 1.0 - CAST(d_lines AS DOUBLE) / n_lines
+        |         ELSE 0.0 END <= CAST(0.3 AS DOUBLE))
+        |    AND sh >= 1 AS keep
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+        |  round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS gopher_keep_rate,
+        |  round(avg(CASE WHEN pii THEN 1 ELSE 0 END), 6) AS pii_doc_rate,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // Ingest v3 restated stage-for-stage: the q172 canonicalization
     // chain -> min-id survivors -> the q168 DSIR arithmetic over the

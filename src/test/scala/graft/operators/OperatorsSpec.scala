@@ -1668,6 +1668,44 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("spanCorrupt: strings equal an independent T5-noising recompute; sentinels number spans; empty doc clean") {
+    import spark.implicits._
+    def bucket(id: Long, pos: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}_$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100 < 15
+    }
+    def reference(id: Long, toks: Seq[String]): (Int, Int, String, String) = {
+      var (inp, tgt) = (Vector.empty[String], Vector.empty[String])
+      var k = 0; var nm = 0; var prev = false
+      for ((tk, i) <- toks.zipWithIndex) {
+        val m = bucket(id, i + 1)
+        if (m && !prev) { inp :+= s"<extra_id_$k>"; tgt :+= s"<extra_id_$k>"; tgt :+= tk; k += 1 }
+        else if (m) tgt :+= tk
+        else inp :+= tk
+        if (m) nm += 1
+        prev = m
+      }
+      (nm, k, inp.mkString(" "), tgt.mkString(" "))
+    }
+    val docs = Seq(
+      (7L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (8L, (1 to 40).map(i => s"v$i").mkString(" ")),
+      (9L, ""))
+      .toDF("doc_id", "text")
+    val out = Noise.spanCorrupt(docs, "doc_id", "text", ratePct = 15)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5)))).toMap
+    for (id <- Seq(7L, 8L)) {
+      val toks = (1 to 40).map(i => if (id == 7L) s"w$i" else s"v$i")
+      val (nm, k, inp, tgt) = reference(id, toks)
+      assert(out(id) == ((40, nm, k, inp, tgt)), s"doc $id:\n${out(id)}\nvs\n($nm,$k,$inp,$tgt)")
+      assert(nm > 0 && k > 0, s"fixture doc $id masked nothing — pick other ids")
+    }
+    assert(out(9L) == ((0, 0, 0, "", "")))
+  }
+
   test("randomProject GEMM path (planes past the literal cap) is bit-identical to the literal HOF chain") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{aggregate => aggr, _}
