@@ -758,6 +758,24 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Distributed PCA (q182): one scan-side GramAgg pass (fixed-size
+    // triangle buffer, nothing row-shaped in the exchange) -> driver
+    // power iteration over the 64x64 covariance (8 steps, uniform
+    // init, per-step 2-norm renormalization) -> scan-side centered
+    // projection onto the top principal component. The anisotropy /
+    // whitening / drift question over an embedding store, with the
+    // heavy pass distributed and the d^2 driver work constant. The
+    // oracle restates covariance + every normalized matvec step as
+    // chained MATERIALIZED CTEs (the q160 recipe); the iteration is a
+    // contraction, so cross-engine sum-order ulps do not amplify.
+    "q182_pca_top" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val m = graft.operators.Pca.fitTop(emb, "embedding", dim = 64, iters = 8)
+      emb.select(col("vec_id"),
+          round(graft.operators.Pca.projectTop(m, col("embedding")), 6).as("pc1"))
+        .orderBy("vec_id")
+    },
+
     // T5 span corruption (q181): deterministic md5-bucket masks,
     // adjacent positions merged to spans, sentinel-numbered
     // input/target pair — the denoising-pretraining objective as one
@@ -7686,6 +7704,52 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Population covariance from per-pair sums, then the power
+    // iteration unrolled: one (matvec w_t, renormalize v_t) CTE pair
+    // per step, each MATERIALIZED (w_t is read twice: norm +
+    // division). 6-dp rounding absorbs sum-order ulps — the iteration
+    // contracts toward the dominant eigenvector, so they never
+    // amplify.
+    "q182_pca_top" -> {
+      val dim = 64
+      val iterCtes = (1 to 8).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT cov.i AS i, sum(cov.c * p.v) AS w
+           |  FROM cov JOIN v${t - 1} p ON p.i = cov.j GROUP BY cov.i),
+           |v$t AS MATERIALIZED (
+           |  SELECT w$t.i AS i, w$t.w / nrm.nv AS v
+           |  FROM w$t CROSS JOIN (SELECT sqrt(sum(w * w)) AS nv FROM w$t) nrm)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |idx AS MATERIALIZED (SELECT unnest(range(1, ${dim + 1})) AS i),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+         |m AS MATERIALIZED (
+         |  SELECT i.i AS i, sum(CAST(e.embedding[i.i] AS DOUBLE)) / nn.n AS mu
+         |  FROM e CROSS JOIN idx i CROSS JOIN nn GROUP BY i.i, nn.n),
+         |g AS MATERIALIZED (
+         |  SELECT i.i AS i, j.i AS j,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE)
+         |        * CAST(e.embedding[j.i] AS DOUBLE)) AS s
+         |  FROM e CROSS JOIN idx i CROSS JOIN idx j GROUP BY 1, 2),
+         |cov AS MATERIALIZED (
+         |  SELECT g.i, g.j, g.s / nn.n - mi.mu * mj.mu AS c
+         |  FROM g CROSS JOIN nn
+         |  JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j),
+         |v0 AS MATERIALIZED (
+         |  SELECT i.i AS i,
+         |    CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS v
+         |  FROM idx i),
+         |$iterCtes,
+         |mc AS MATERIALIZED (
+         |  SELECT sum(m.mu * v.v) AS c FROM m JOIN v8 v ON v.i = m.i),
+         |proj AS (
+         |  SELECT e.vec_id, sum(CAST(e.embedding[v.i] AS DOUBLE) * v.v) AS p
+         |  FROM e CROSS JOIN v8 v GROUP BY e.vec_id)
+         |SELECT proj.vec_id, round(proj.p - mc.c, 6) AS pc1
+         |FROM proj CROSS JOIN mc ORDER BY vec_id""".stripMargin
+    },
 
     // The HOF walk restated as per-token rows + an islands window:
     // span starts flag transitions, the running span number names the
