@@ -758,6 +758,22 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // DPO preference pairs (q183): per-prompt chosen/rejected
+    // construction — highest- vs lowest-scoring response with
+    // deterministic smaller-id tie-breaks, strict-gap filter. ONE
+    // groupBy; the struct min/max combine map-side, so the exchange
+    // never carries response rows. Score = strict token count (the
+    // classic length-preference signal, and integer-exact across
+    // engines); prompt groups = doc_id mod 50.
+    "q183_dpo_pairs" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(50L)).as("prompt_id"),
+        col("doc_id"),
+        TextOps.strictTokenCount(col("text")).cast("long").as("score"))
+      graft.operators.Preference.pairs(d, "prompt_id", "doc_id", "score", lit(1L))
+        .orderBy("prompt_id")
+    },
+
     // Distributed PCA (q182): one scan-side GramAgg pass (fixed-size
     // triangle buffer, nothing row-shaped in the exchange) -> driver
     // power iteration over the 64x64 covariance (8 steps, uniform
@@ -7704,6 +7720,31 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // The struct-ordered min/max picks restated as two ranked windows
+    // with the identical tie-breaks.
+    "q183_dpo_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id % 50 AS prompt_id, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT)
+        |      AS score
+        |  FROM documents),
+        |ch AS (
+        |  SELECT prompt_id, doc_id AS chosen_id, score AS chosen_score,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |                       ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM d),
+        |rj AS (
+        |  SELECT prompt_id, doc_id AS rejected_id, score AS rejected_score,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |                       ORDER BY score ASC, doc_id ASC) AS rn
+        |  FROM d)
+        |SELECT ch.prompt_id, chosen_id, chosen_score, rejected_id,
+        |  rejected_score, chosen_score - rejected_score AS gap
+        |FROM ch JOIN rj ON ch.prompt_id = rj.prompt_id
+        |WHERE ch.rn = 1 AND rj.rn = 1 AND chosen_id != rejected_id
+        |  AND chosen_score - rejected_score >= 1
+        |ORDER BY ch.prompt_id""".stripMargin,
 
     // Population covariance from per-pair sums, then the power
     // iteration unrolled: one (matvec w_t, renormalize v_t) CTE pair
