@@ -758,6 +758,20 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Fill-in-the-middle (q184): the code-model data transform —
+    // fimPct of docs split at two md5-deterministic token cuts and
+    // re-emitted as '<PRE> prefix <SUF> suffix <MID> middle'; the
+    // rest pass through token-normalized. Pure map stage (slice +
+    // array_join on the token array), zero shuffle; strings cross the
+    // gate fingerprinted.
+    "q184_fim" -> { (s, dir) =>
+      graft.operators.Noise.fimTransform(t(s, dir, "documents"),
+          "doc_id", "text", fimPct = 50)
+        .select(col("doc_id"), col("n_tokens"), col("mode"),
+          col("cut_lo"), col("cut_hi"), md5(col("out")).as("out_fp"))
+        .orderBy("doc_id")
+    },
+
     // DPO preference pairs (q183): per-prompt chosen/rejected
     // construction — highest- vs lowest-scoring response with
     // deterministic smaller-id tie-breaks, strict-gap filter. ONE
@@ -7720,6 +7734,38 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // The same md5 gate/cut arithmetic and 1-based inclusive list
+    // slices; the PSM string is rebuilt verbatim and fingerprinted.
+    "q184_fim" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS a,
+        |    len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, a, n,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_fim'), 1, 8)
+        |         AS BIGINT) % 100 AS gb,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_cut1'), 1, 8)
+        |         AS BIGINT) % (n + 1) AS c1,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_cut2'), 1, 8)
+        |         AS BIGINT) % (n + 1) AS c2
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, a, n, gb < 50 AS dofim,
+        |    least(c1, c2) AS lo, greatest(c1, c2) AS hi
+        |  FROM h)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CASE WHEN dofim THEN 'psm' ELSE 'plain' END AS mode,
+        |  CASE WHEN dofim THEN lo END AS cut_lo,
+        |  CASE WHEN dofim THEN hi END AS cut_hi,
+        |  md5(CASE WHEN dofim THEN
+        |        '<PRE> ' || COALESCE(array_to_string(a[1:lo], ' '), '')
+        |        || ' <SUF> ' || COALESCE(array_to_string(a[hi+1:n], ' '), '')
+        |        || ' <MID> ' || COALESCE(array_to_string(a[lo+1:hi], ' '), '')
+        |      ELSE COALESCE(array_to_string(a, ' '), '') END) AS out_fp
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // The struct-ordered min/max picks restated as two ranked windows
     // with the identical tie-breaks.

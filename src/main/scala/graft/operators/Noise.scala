@@ -72,4 +72,52 @@ object Noise {
       st("inp").as("corrupted"),
       st("tgt").as("target"))
   }
+
+  /**
+   * Fill-in-the-middle transformation (Bavarian et al. 2022; the
+   * StarCoder/code-model data recipe): split the token sequence at two
+   * deterministic cut points and emit the PSM layout
+   * `<PRE> prefix <SUF> suffix <MID> middle`, so a causal LM learns
+   * infilling "for free". `fimPct` of documents transform (the paper's
+   * fim_rate); the rest pass through as `plain` with the same
+   * token-normalized text, so downstream packing sees one column.
+   *
+   * Determinism is the md5-bucket rule keyed on the document id — the
+   * gate bucket picks the mode, two independent cut hashes in
+   * [0, n_tokens] sort into (lo, hi) — identical across engines, runs,
+   * partitionings, and corpus growth. Everything is scan-side
+   * (`slice` + `array_join` on the token array): a pure map stage at
+   * 100 TB, no explode, no shuffle.
+   *
+   * @return idCol, n_tokens, mode ('psm'|'plain'), cut_lo, cut_hi, out
+   */
+  def fimTransform(
+      df: DataFrame, idCol: String, textCol: String,
+      fimPct: Int): DataFrame = {
+    require(fimPct >= 1 && fimPct <= 100, "fimPct in [1, 100]")
+    val toks = call_function("regexp_extract_all",
+      col(textCol), lit(Tok.Pattern), lit(0))
+    val n = size(toks)
+    def bucket(tag: String, mod: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("_", col(idCol), lit(tag))), 1, 8), 16, 10)
+        .cast("long") % mod
+    val doFim = bucket("fim", lit(100L)) < fimPct
+    val c1 = bucket("cut1", (n + 1).cast("long"))
+    val c2 = bucket("cut2", (n + 1).cast("long"))
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val prefix = array_join(slice(toks, lit(1), lo.cast("int")), " ")
+    val middle = array_join(
+      slice(toks, (lo + 1).cast("int"), (hi - lo).cast("int")), " ")
+    val suffix = array_join(
+      slice(toks, (hi + 1).cast("int"), (n - hi).cast("int")), " ")
+    val psm = concat(lit("<PRE> "), prefix, lit(" <SUF> "), suffix,
+      lit(" <MID> "), middle)
+    df.select(col(idCol),
+      n.as("n_tokens"),
+      when(doFim, lit("psm")).otherwise(lit("plain")).as("mode"),
+      when(doFim, lo).otherwise(lit(null).cast("long")).as("cut_lo"),
+      when(doFim, hi).otherwise(lit(null).cast("long")).as("cut_hi"),
+      when(doFim, psm).otherwise(array_join(toks, " ")).as("out"))
+  }
 }

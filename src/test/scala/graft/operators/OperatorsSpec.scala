@@ -1706,6 +1706,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((0, 0, 0, "", "")))
   }
 
+  test("fimTransform: PSM segments reassemble to the original; cuts bounded; plain passthrough; empty doc clean") {
+    import spark.implicits._
+    def b(id: Long, tag: String, mod: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}_$tag".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % mod
+    }
+    val docs = ((0L until 60L).map(i =>
+        (i, (1 to 30).map(j => s"t${i}_$j").mkString(" "))) :+ (99L, ""))
+      .toDF("doc_id", "text")
+    val out = Noise.fimTransform(docs, "doc_id", "text", fimPct = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getString(5)))).toMap
+    var psmSeen = 0
+    for (id <- 0L until 60L) {
+      val toks = (1 to 30).map(j => s"t${id}_$j")
+      val (n, mode, lo, hi, s) = out(id)
+      assert(n == 30)
+      if (b(id, "fim", 100) < 50) {
+        psmSeen += 1
+        val (c1, c2) = (b(id, "cut1", 31), b(id, "cut2", 31))
+        val (elo, ehi) = (math.min(c1, c2), math.max(c1, c2))
+        assert(mode == "psm" && lo.contains(elo) && hi.contains(ehi))
+        // parse the PSM layout back out and reassemble in document order
+        val m = "(?s)<PRE> (.*) <SUF> (.*) <MID> (.*)".r
+        val m(pre, suf, mid) = s
+        val reassembled = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+        assert(reassembled == toks.mkString(" "), s"doc $id reassembly")
+      } else {
+        assert(mode == "plain" && lo.isEmpty && hi.isEmpty && s == toks.mkString(" "))
+      }
+    }
+    assert(psmSeen > 10 && psmSeen < 50, s"degenerate gate split: $psmSeen")
+    val (n9, mode9, _, _, s9) = out(99L)
+    assert(n9 == 0 && (mode9 == "plain" || s9 == "<PRE>  <SUF>  <MID> "))
+  }
+
   test("randomProject GEMM path (planes past the literal cap) is bit-identical to the literal HOF chain") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{aggregate => aggr, _}
