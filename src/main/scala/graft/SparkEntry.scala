@@ -758,6 +758,33 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Count-min heavy hitters (q185): frequency estimation in FIXED
+    // memory — the sketch is one 4×1024 mergeable buffer per task
+    // (nothing gram-shaped in the exchange), where the exact groupBy
+    // key space at 100 TB (every distinct bigram) would not fit. The
+    // exact top-20 (explode + partial agg + TakeOrderedAndProject)
+    // certifies the estimates in-query: CMS never undercounts, and
+    // the oracle rebuilds the IDENTICAL counters from the md5 bucket
+    // rule. Grams = per-doc DISTINCT bigram shingles (boilerplate
+    // doc-frequency semantics).
+    "q185_cms_heavy" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val grams = TextOps.shingles(col("text"), 2)
+      val (depth, width) = (4, 1024)
+      val skRow = d.agg(graft.operators.Profile.Cms
+          .cms_sketch(grams, depth, width).as("sk"))
+        .selectExpr("sk.counters AS counters").head()
+      val counters = skRow.getSeq[Long](0).toArray
+      val est = udf((g: String) =>
+        graft.operators.Profile.Cms.estimate(counters, depth, width, g))
+      d.select(explode(grams).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("gram")).limit(20)
+        .withColumn("cms_est", est(col("gram")))
+        .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("gram"))
+    },
+
     // Fill-in-the-middle (q184): the code-model data transform —
     // fimPct of docs split at two md5-deterministic token cuts and
     // re-emitted as '<PRE> prefix <SUF> suffix <MID> middle'; the
@@ -7734,6 +7761,40 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // The sketch counters rebuilt exactly: every (doc-distinct) gram
+    // occurrence × depth row j lands in bucket md5("j_gram")%1024;
+    // the estimate is the min over the 4 bucket counts. Top-20 grams
+    // always find all 4 buckets (their own occurrences guarantee
+    // non-empty counters).
+    "q185_cms_heavy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+1], 'string_agg', ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+        |cnt AS (SELECT g, count(*) AS exact_cnt FROM sh GROUP BY g),
+        |topk AS (SELECT g, exact_cnt FROM cnt
+        |         ORDER BY exact_cnt DESC, g LIMIT 20),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |occ AS (
+        |  SELECT js.j,
+        |    CAST('0x' || substring(md5(CAST(js.j AS VARCHAR) || '_' || sh.g), 1, 8)
+        |         AS BIGINT) % 1024 AS b,
+        |    count(*) AS c
+        |  FROM sh CROSS JOIN js GROUP BY 1, 2),
+        |est AS (
+        |  SELECT t.g, min(o.c) AS cms_est
+        |  FROM topk t CROSS JOIN js
+        |  JOIN occ o ON o.j = js.j
+        |    AND o.b = CAST('0x' || substring(md5(CAST(js.j AS VARCHAR) || '_' || t.g), 1, 8)
+        |               AS BIGINT) % 1024
+        |  GROUP BY t.g)
+        |SELECT t.g AS gram, t.exact_cnt, e.cms_est,
+        |  e.cms_est - t.exact_cnt AS overcount
+        |FROM topk t JOIN est e ON e.g = t.g
+        |ORDER BY t.exact_cnt DESC, gram""".stripMargin,
 
     // The same md5 gate/cut arithmetic and 1-based inclusive list
     // slices; the PSM string is rebuilt verbatim and fingerprinted.

@@ -111,4 +111,90 @@ object Profile {
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
       .orderBy("col_name")
   }
+
+  /** Mergeable count-min buffer: `depth` rows of `width` counters,
+    * flattened row-major, plus the total item count. */
+  final case class CmsBuf(n: Long, counters: Array[Long]) extends Serializable
+
+  /**
+   * Count-min sketch (Cormode & Muthukrishnan 2005) over a string-array
+   * column — frequency estimation in FIXED memory where the exact
+   * groupBy's key space (every distinct n-gram at 100 TB) would not
+   * fit anywhere. `estimate(g) = min_j counter[j][h_j(g)]` never
+   * undercounts and overcounts by at most εN with the usual
+   * (depth, width) guarantees.
+   *
+   * Same one-pass discipline as [[graft.operators.GramAgg]]: the
+   * buffer is depth×width longs per task, reduce walks the row's
+   * array, merge is element-wise add — the exchange carries one
+   * fixed-size sketch per map task and nothing gram-shaped. The hash
+   * is the repo's cross-engine md5-bucket rule on `"$j_$gram"`, so an
+   * external engine can rebuild the IDENTICAL counters from the same
+   * corpus (the q185 oracle does).
+   */
+  class CmsAgg(depth: Int, width: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[String], CmsBuf, CmsBuf]
+      with Serializable {
+    require(depth >= 1 && width >= 1, "depth/width must be >= 1")
+
+    override def zero: CmsBuf = CmsBuf(0L, new Array[Long](depth * width))
+
+    override def reduce(buf: CmsBuf, xs: Seq[String]): CmsBuf = {
+      if (xs != null) {
+        val it = xs.iterator
+        var n = 0L
+        while (it.hasNext) {
+          val g = it.next()
+          var j = 0
+          while (j < depth) {
+            buf.counters(j * width + Cms.bucket(j, g, width)) += 1L
+            j += 1
+          }
+          n += 1L
+        }
+        CmsBuf(buf.n + n, buf.counters)
+      } else buf
+    }
+
+    override def merge(a: CmsBuf, b: CmsBuf): CmsBuf = {
+      var k = 0
+      while (k < a.counters.length) { a.counters(k) += b.counters(k); k += 1 }
+      CmsBuf(a.n + b.n, a.counters)
+    }
+
+    override def finish(buf: CmsBuf): CmsBuf = buf
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CmsBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CmsBuf]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[CmsBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CmsBuf]()
+  }
+
+  object Cms {
+    /** md5("$j_$g") first 8 hex digits as a long, mod width — the
+      * cross-engine bucket rule (`CAST('0x'||substring(md5(..),1,8) AS
+      * BIGINT) % width` in DuckDB). */
+    def bucket(j: Int, g: String, width: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${j}_$g".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % width).toInt
+    }
+
+    /** The column-level sketch as one {n, counters} struct. */
+    def cms_sketch(grams: Column, depth: Int, width: Int): Column =
+      udaf(new CmsAgg(depth, width),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())(grams)
+
+    /** Point estimate from a collected sketch. */
+    def estimate(counters: Array[Long], depth: Int, width: Int, g: String): Long = {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < depth) {
+        val c = counters(j * width + bucket(j, g, width))
+        if (c < best) best = c
+        j += 1
+      }
+      best
+    }
+  }
 }

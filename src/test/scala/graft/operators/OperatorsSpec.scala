@@ -1706,6 +1706,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((0, 0, 0, "", "")))
   }
 
+  test("CMS sketch: never undercounts, exact on a collision-free fixture, partition-invariant merge") {
+    import spark.implicits._
+    // 30 distinct grams, gram g_i appears in i+1 docs
+    val docs = (0 until 30).flatMap(i => (0 to i).map(d => (i.toLong * 100 + d,
+      Seq(s"g$i")))).toDF("doc_id", "grams")
+    val (depth, width) = (4, 1024)
+    def sketch(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(Profile.Cms.cms_sketch(col("grams"), depth, width).as("sk"))
+        .selectExpr("sk.counters").head().getSeq[Long](0).toArray
+    val c1 = sketch(docs.coalesce(1))
+    val c32 = sketch(docs.repartition(32))
+    assert(c1.toSeq == c32.toSeq, "merge is not partition-invariant")
+    // exact counts recoverable (min over rows kills the few collisions
+    // 30 grams can make in 1024 buckets only if some pair collides in
+    // ALL 4 rows — probability ~(30·29/2)·1024^-4; never undercount
+    // holds unconditionally)
+    (0 until 30).foreach { i =>
+      val est = Profile.Cms.estimate(c1, depth, width, s"g$i")
+      assert(est >= i + 1, s"undercount for g$i: $est < ${i + 1}")
+      assert(est == i + 1, s"4-deep collision for g$i (astronomically unlikely): $est")
+    }
+    // duplicate grams inside one row count each occurrence
+    val dup = Seq((1L, Seq("x", "x", "y"))).toDF("doc_id", "grams")
+    val cd = sketch(dup)
+    assert(Profile.Cms.estimate(cd, depth, width, "x") == 2L)
+    assert(Profile.Cms.estimate(cd, depth, width, "y") == 1L)
+  }
+
   test("fimTransform: PSM segments reassemble to the original; cuts bounded; plain passthrough; empty doc clean") {
     import spark.implicits._
     def b(id: Long, tag: String, mod: Long): Long = {
