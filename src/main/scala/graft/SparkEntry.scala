@@ -758,6 +758,21 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Character entropy (q186): the repetitive-garbage quality signal
+    // (near-zero bits for boilerplate runs, ~4+ for natural language)
+    // as one scan-side sorted-runs aggregate HOF — no explode, no
+    // shuffle, a pure map stage at 100 TB. The low_entropy flag is
+    // the filter rule a quality pipeline applies.
+    "q186_char_entropy" -> { (s, dir) =>
+      val h = TextOps.charEntropy(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(h, 6).as("entropy_bits"),
+          (h < 2.0D).as("low_entropy"))
+        .orderBy("doc_id")
+    },
+
     // Count-min heavy hitters (q185): frequency estimation in FIXED
     // memory — the sketch is one 4×1024 mergeable buffer per task
     // (nothing gram-shaped in the exchange), where the exact groupBy
@@ -7761,6 +7776,25 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // The sorted-runs walk restated as per-char group counts:
+    // entropy = (ln N − Σ n_c·ln n_c / N) / ln 2.
+    "q186_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        |  FROM documents),
+        |rc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+        |       FROM ch GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, sum(k) AS n, sum(k * ln(k)) AS acc
+        |       FROM rc GROUP BY doc_id)
+        |SELECT d.doc_id, length(d.text) AS n_chars,
+        |  round(COALESCE((ln(ag.n) - ag.acc / ag.n)
+        |                   / ln(CAST(2.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), 6)
+        |    AS entropy_bits,
+        |  COALESCE((ln(ag.n) - ag.acc / ag.n) / ln(CAST(2.0 AS DOUBLE))
+        |             < CAST(2.0 AS DOUBLE), TRUE) AS low_entropy
+        |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The sketch counters rebuilt exactly: every (doc-distinct) gram
     // occurrence × depth row j lands in bucket md5("j_gram")%1024;

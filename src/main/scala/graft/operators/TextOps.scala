@@ -47,6 +47,33 @@ object TextOps {
   /** Distinct word set (for set-semantics similarity). */
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Shannon character entropy in bits — the repetitive-garbage
+    * quality signal (near-zero for "aaaa…"/boilerplate, ~4+ for
+    * natural language). Computed scan-side with NO explode: sort the
+    * character array, then one `aggregate` HOF walks the runs
+    * accumulating Σ n_c·ln n_c (the islands trick — O(L log L) for
+    * the sort, O(L) for the walk, zero shuffle); entropy falls out as
+    * (ln N − Σ n_c·ln n_c / N) / ln 2. `[\s\S]` is the cross-engine
+    * any-char class (Java and RE2 agree on the union even where they
+    * disagree on `\s` alone — the [[graft.Tok]] note). Empty text
+    * maps to 0.0. */
+  def charEntropy(text: Column): Column = {
+    val chars = array_sort(
+      call_function("regexp_extract_all", text, lit("[\\s\\S]"), lit(0)))
+    val n = size(chars)
+    val zero = struct(lit("").as("prev"), lit(0.0D).as("run"), lit(0.0D).as("acc"))
+    val walked = aggregate(chars, zero,
+      (s, c) => when(c === s("prev"),
+          struct(c.as("prev"), (s("run") + 1.0D).as("run"), s("acc").as("acc")))
+        .otherwise(struct(c.as("prev"), lit(1.0D).as("run"),
+          (s("acc") + when(s("run") > 0.0D, s("run") * log(s("run")))
+            .otherwise(0.0D)).as("acc"))),
+      s => s("acc") + when(s("run") > 0.0D, s("run") * log(s("run"))).otherwise(0.0D))
+    when(n === 0, lit(0.0D))
+      .otherwise((log(n.cast("double")) - walked / n.cast("double"))
+        / log(lit(2.0D)))
+  }
+
   /** Word n-gram shingles (distinct), the unit of near-dup detection:
     * shingle i = tokens[i..i+n-1] joined by a single space. */
   def shingles(text: Column, n: Int): Column = {

@@ -1706,6 +1706,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((0, 0, 0, "", "")))
   }
 
+  test("charEntropy: analytic cases exact, matches an independent histogram recompute, empty clean") {
+    import spark.implicits._
+    def ref(s: String): Double = {
+      if (s.isEmpty) 0.0
+      else {
+        val counts = s.toSeq.groupBy(identity).map(_._2.size.toDouble)
+        val n = s.length.toDouble
+        (StrictMath.log(n) - counts.map(k => k * StrictMath.log(k)).sum / n) /
+          StrictMath.log(2.0)
+      }
+    }
+    val docs = Seq("aaaa", "abab", "abcd", "", "mixed text with spaces\nand 的 unicode",
+      "aabbbcccc").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextOps.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == 0.0)                       // single symbol
+    assert(math.abs(got(1L) - 1.0) < 1e-12)      // two equiprobable
+    assert(math.abs(got(2L) - 2.0) < 1e-12)      // four equiprobable
+    assert(got(3L) == 0.0)                       // empty
+    val texts = Seq("aaaa", "abab", "abcd", "", "mixed text with spaces\nand 的 unicode",
+      "aabbbcccc")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(math.abs(got(i.toLong) - ref(t)) < 1e-9, s"doc $i: ${got(i.toLong)} vs ${ref(t)}")
+    }
+  }
+
   test("CMS sketch: never undercounts, exact on a collision-free fixture, partition-invariant merge") {
     import spark.implicits._
     // 30 distinct grams, gram g_i appears in i+1 docs
