@@ -758,6 +758,19 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // MMR diversification (q187): the RAG-shortlist re-rank — greedy
+    // λ·rel − (1−λ)·maxsim selection over the exact top-20, k=5,
+    // λ=0.5. Relevances and pairwise sims quantize to 6 dp before the
+    // argmax (ties → smaller id), so the greedy trajectory is
+    // engine-independent; the oracle unrolls the five steps as CTEs.
+    "q187_mmr_rerank" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      graft.operators.Similarity
+        .mmrRerank(emb, q, "vec_id", "embedding", k = 5, fetch = 20)
+        .orderBy("q_id", "mmr_rank")
+    },
+
     // Character entropy (q186): the repetitive-garbage quality signal
     // (near-zero bits for boilerplate runs, ~4+ for natural language)
     // as one scan-side sorted-runs aggregate HOF — no explode, no
@@ -7776,6 +7789,70 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // The greedy walk unrolled: step 1 picks argmax λ·rel; each later
+    // step joins the remaining candidates against the selected set's
+    // pairwise 6-dp sims, takes the max penalty, and argmaxes again
+    // (ties → smaller vec_id). All sel_t CTEs MATERIALIZED (each is
+    // read by every later step).
+    "q187_mmr_rerank" -> {
+      val steps = (2 to 5).map { t =>
+        s"""m$t AS MATERIALIZED (
+           |  SELECT c.q_id, c.vec_id, c.rel, max(s.sim) AS ms
+           |  FROM c0 c
+           |  JOIN sims s ON s.q_id = c.q_id AND s.da = c.vec_id
+           |  JOIN sel${t - 1} e ON e.q_id = s.q_id AND e.vec_id = s.db
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+           |                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+           |  GROUP BY 1, 2, 3),
+           |p$t AS MATERIALIZED (
+           |  SELECT q_id, vec_id, score, $t AS mmr_rank FROM (
+           |    SELECT q_id, vec_id,
+           |      CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * ms AS score,
+           |      row_number() OVER (PARTITION BY q_id
+           |                         ORDER BY CAST(0.5 AS DOUBLE) * rel
+           |                                  - CAST(0.5 AS DOUBLE) * ms DESC,
+           |                                  vec_id) AS rn
+           |    FROM m$t) WHERE rn = 1),
+           |sel$t AS MATERIALIZED (
+           |  SELECT q_id, vec_id FROM sel${t - 1}
+           |  UNION ALL SELECT q_id, vec_id FROM p$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 20),
+         |cand AS MATERIALIZED (
+         |  SELECT q_id, vec_id,
+         |    round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6)
+         |      AS rel,
+         |    CAST(embedding AS DOUBLE[]) AS ce,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[]))
+         |               DESC, vec_id) AS rk
+         |  FROM q JOIN embeddings ON vec_id <> q_id),
+         |c0 AS MATERIALIZED (
+         |  SELECT q_id, vec_id, rel, ce FROM cand WHERE rk <= 20),
+         |sims AS MATERIALIZED (
+         |  SELECT a.q_id, a.vec_id AS da, b.vec_id AS db,
+         |    round(list_cosine_similarity(a.ce, b.ce), 6) AS sim
+         |  FROM c0 a JOIN c0 b
+         |    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         |p1 AS MATERIALIZED (
+         |  SELECT q_id, vec_id, score, 1 AS mmr_rank FROM (
+         |    SELECT q_id, vec_id, CAST(0.5 AS DOUBLE) * rel AS score,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY CAST(0.5 AS DOUBLE) * rel DESC,
+         |                                  vec_id) AS rn
+         |    FROM c0) WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT q_id, vec_id FROM p1),
+         |$steps,
+         |allp AS (
+         |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+         |  UNION ALL SELECT * FROM p5)
+         |SELECT q_id, mmr_rank, vec_id, score AS mmr_score
+         |FROM allp ORDER BY q_id, mmr_rank""".stripMargin
+    },
 
     // The sorted-runs walk restated as per-char group counts:
     // entropy = (ln N − Σ n_c·ln n_c / N) / ln 2.

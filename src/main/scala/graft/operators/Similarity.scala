@@ -103,6 +103,93 @@ object Similarity {
   }
 
   /**
+   * Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
+   * the diversification step a RAG retrieval stack applies to its
+   * shortlist: greedily pick k of `fetch` candidates maximizing
+   * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`, so near-duplicate
+   * hits don't crowd the context window.
+   *
+   * Scale shape: the candidate shortlist comes from the exact top-k
+   * comparator here (broadcast queries); at corpus scale swap in the
+   * IVFADC shortlist — the re-rank contract is UNCHANGED because the
+   * greedy loop only ever sees `fetch` rows per query. Those rows ride
+   * ONE bounded `collect_list` per query (fetch × dim doubles); the
+   * greedy O(k·fetch) walk runs inside a UDF on that bounded array —
+   * never a driver loop, never a per-step shuffle.
+   *
+   * Cross-engine determinism: relevance and pairwise similarities are
+   * QUANTIZED to 6 dp (the oracle's round()) before the argmax, and
+   * ties break to the smaller id — so the greedy trajectory is
+   * identical in any engine that agrees with the cosines at 6 dp (the
+   * q24-certified contract), instead of hinging on last-ulp argmax
+   * luck. λ rides a dyadic grid (0.5 default) so scores stay exact.
+   */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      fetch: Int,
+      lam: Double = 0.5): DataFrame = {
+    require(k >= 1 && fetch >= k, "need fetch >= k >= 1")
+    val spark = corpus.sparkSession
+    val short = bruteForceTopK(corpus, queries, idCol, embCol, fetch)
+    val withVec = short.join(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce")),
+      "vec_id")
+    val kk = k
+    val lamV = lam
+    val greedy = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cs = cands.map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
+        .sortBy(_._1)
+      def sim(a: Seq[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        q6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      var step = 1
+      while (step <= kk && selected.length < cs.length) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cs.length) {
+          if (!selected.contains(ci)) {
+            // true max over selected (can be negative); 0.0 only when
+            // nothing is selected yet (step 1: score = λ·rel)
+            var ms = if (selected.isEmpty) 0.0 else Double.NegativeInfinity
+            selected.foreach { si =>
+              val s = sim(cs(ci)._3, cs(si)._3)
+              if (s > ms) ms = s
+            }
+            val score = lamV * cs(ci)._2 - (1.0 - lamV) * ms
+            // strict > plus ascending-id iteration = smaller-id ties
+            if (score > bestScore) { bestScore = score; bestIdx = ci }
+          }
+          ci += 1
+        }
+        selected += bestIdx
+        out += ((step, cs(bestIdx)._1, bestScore))
+        step += 1
+      }
+      out.toSeq
+    }
+    withVec
+      .groupBy("q_id")
+      .agg(collect_list(struct(col("vec_id"), round(col("cos"), 6).as("rel"),
+        col("ce"))).as("cands"))
+      .select(col("q_id"), explode(greedy(col("cands"))).as("pick"))
+      .select(col("q_id"), col("pick._1").as("mmr_rank"),
+        col("pick._2").as("vec_id"), col("pick._3").as("mmr_score"))
+  }
+
+  /**
    * Nearest-class-centroid probe — the standard cheap eval of
    * embedding quality ("do the classes separate in embedding
    * space?"): per-label mean vector, then every vector re-assigned to

@@ -1706,6 +1706,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((0, 0, 0, "", "")))
   }
 
+  test("mmrRerank: duplicates demote, step 1 = top relevance, lambda=1 reduces to pure relevance") {
+    import spark.implicits._
+    // query at e0; candidates: two IDENTICAL near-query vectors (10, 11),
+    // one relevant-but-diverse (12: cos 0.6 to q, ~0.52 to 10), one anti (13)
+    def v(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); parts.foreach { case (i, x) => a(i) = x.toFloat }; a.toSeq
+    }
+    val corpus = Seq(
+      (10L, v(0 -> 1.0, 1 -> 0.1)),
+      (11L, v(0 -> 1.0, 1 -> 0.1)),  // exact duplicate of 10
+      (12L, v(0 -> 0.6, 1 -> -0.8)),
+      (13L, v(0 -> -1.0))).toDF("vec_id", "embedding")
+    val q = Seq((0L, v(0 -> 1.0))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, q, "vec_id", "embedding", k = 3, fetch = 4)
+      .orderBy("mmr_rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // rank1 = most relevant smaller id (10); rank2 must SKIP the
+    // duplicate 11 (sim 1.0 halves its score: 0.5·0.995−0.5 ≈ −0.0025,
+    // below 12's 0.3 − 0.5·0.517 ≈ 0.041); rank3 takes the duplicate
+    // back over the anti-correlated 13
+    assert(out.map(_._2) == Seq(10L, 12L, 11L), out.toString)
+    // lambda=1: pure relevance order = bruteForceTopK order
+    val pure = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        k = 3, fetch = 4, lam = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(pure == bf, s"$pure vs $bf")
+  }
+
   test("charEntropy: analytic cases exact, matches an independent histogram recompute, empty clean") {
     import spark.implicits._
     def ref(s: String): Double = {
