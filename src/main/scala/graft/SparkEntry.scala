@@ -758,6 +758,20 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // SFT chat-template rendering (q188): tokens chunked into 8-token
+    // turns with alternating roles, serialized as
+    // '<|user|> … <|assistant|> …' with [start:end) character spans
+    // over each ASSISTANT turn's content — the train-on-assistant-
+    // only loss mask. One scan-side aggregate HOF; spans cross the
+    // gate as "s:e,s:e" strings, the rendering fingerprinted.
+    "q188_sft_render" -> { (s, dir) =>
+      graft.operators.Sft.renderTurns(t(s, dir, "documents"),
+          "doc_id", "text", turnTokens = 8)
+        .select(col("doc_id"), col("n_turns"), col("n_mask_chars"),
+          md5(col("rendered")).as("rendered_fp"), col("mask_spans"))
+        .orderBy("doc_id")
+    },
+
     // MMR diversification (q187): the RAG-shortlist re-rank — greedy
     // λ·rel − (1−λ)·maxsim selection over the exact top-20, k=5,
     // λ=0.5. Relevances and pairwise sims quantize to 6 dp before the
@@ -7789,6 +7803,51 @@ object SparkEntry {
          | (coalesce(c.cluster, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // The HOF walk restated as per-turn rows: each turn's rendered
+    // piece carries its running cumulative length (window sum), so
+    // span start = cum − len(content) and end = cum; string_agg in
+    // turn order rebuilds the identical rendering and span list.
+    "q188_sft_render" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws
+        |  FROM documents),
+        |tn AS (SELECT doc_id, ws,
+        |         CAST(ceil(len(ws) / CAST(8 AS DOUBLE)) AS INT) AS nt
+        |       FROM toks),
+        |turn AS (
+        |  SELECT doc_id, i, (i % 2 = 1) AS is_user,
+        |    COALESCE(array_to_string(ws[(i-1)*8+1 : least(i*8, len(ws))], ' '),
+        |             '') AS content
+        |  FROM (SELECT doc_id, ws, nt, unnest(range(1, nt + 1)) AS i FROM tn)),
+        |piece AS (
+        |  SELECT doc_id, i, is_user, content,
+        |    (CASE WHEN i = 1 THEN '' ELSE ' ' END)
+        |      || (CASE WHEN is_user THEN '<|user|>' ELSE '<|assistant|>' END)
+        |      || ' ' || content AS piece
+        |  FROM turn),
+        |pos AS (
+        |  SELECT doc_id, i, is_user, content, piece,
+        |    sum(length(piece)) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM piece),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN NOT is_user THEN length(content) ELSE 0 END)
+        |         AS BIGINT) AS nm,
+        |    md5(string_agg(piece, '' ORDER BY i)) AS fp,
+        |    COALESCE(string_agg(CASE WHEN NOT is_user THEN
+        |        CAST(cum - length(content) AS VARCHAR) || ':'
+        |          || CAST(cum AS VARCHAR) END, ',' ORDER BY i), '') AS spans
+        |  FROM pos GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(t.nt, 0) AS n_turns,
+        |  COALESCE(a.nm, 0) AS n_mask_chars,
+        |  COALESCE(a.fp, md5('')) AS rendered_fp,
+        |  COALESCE(a.spans, '') AS mask_spans
+        |FROM documents d
+        |LEFT JOIN tn t ON t.doc_id = d.doc_id
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The greedy walk unrolled: step 1 picks argmax λ·rel; each later
     // step joins the remaining candidates against the selected set's

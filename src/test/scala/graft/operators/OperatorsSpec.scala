@@ -1706,6 +1706,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((0, 0, 0, "", "")))
   }
 
+  test("sft renderTurns: spans address the exact assistant substrings; roles alternate; empty doc clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 3 turns: u(1-8), a(9-16), u(17-20)
+      (2L, "solo"),                                    // 1 user turn, no mask
+      (3L, "")).toDF("doc_id", "text")
+    val out = Sft.renderTurns(docs, "doc_id", "text", turnTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    val (nt1, nm1, rnd1, sp1) = out(1L)
+    assert(nt1 == 3)
+    val expRendered = "<|user|> " + (1 to 8).map(i => s"w$i").mkString(" ") +
+      " <|assistant|> " + (9 to 16).map(i => s"w$i").mkString(" ") +
+      " <|user|> " + (17 to 20).map(i => s"w$i").mkString(" ")
+    assert(rnd1 == expRendered, s"\n$rnd1\nvs\n$expRendered")
+    // every span substring must equal the assistant turn's content
+    val spans = sp1.split(",").map { se =>
+      val Array(a, b) = se.split(":"); (a.toInt, b.toInt)
+    }
+    assert(spans.length == 1)
+    val (st, en) = spans.head
+    assert(rnd1.substring(st, en) == (9 to 16).map(i => s"w$i").mkString(" "))
+    assert(nm1 == (en - st).toLong)
+    assert(out(2L) == ((1, 0L, "<|user|> solo", "")))
+    assert(out(3L) == ((0, 0L, "", "")))
+  }
+
   test("mmrRerank: duplicates demote, step 1 = top relevance, lambda=1 reduces to pure relevance") {
     import spark.implicits._
     // query at e0; candidates: two IDENTICAL near-query vectors (10, 11),
