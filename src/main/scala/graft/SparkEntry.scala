@@ -758,6 +758,23 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // All-but-the-top whitening (q189): remove the dominant PCA
+    // direction from every embedding (Mu & Viswanath 2018) — the
+    // standard anisotropy fix before cosine retrieval. Composes the
+    // q182 fit; the projection is materialized ONCE as a column
+    // (non-cheap alias, CollapseProject keeps it), the residual norm
+    // is the element-wise HOF the oracle restates.
+    "q189_abtt_whiten" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val m = graft.operators.Pca.fitTop(emb, "embedding", dim = 64, iters = 8)
+      emb.select(col("vec_id"), col("embedding"),
+          graft.operators.Pca.projectTop(m, col("embedding")).as("p"))
+        .select(col("vec_id"), round(col("p"), 6).as("pc1"),
+          round(graft.operators.Pca.residualNorm(m, col("embedding"), col("p")), 6)
+            .as("resid_norm"))
+        .orderBy("vec_id")
+    },
+
     // SFT chat-template rendering (q188): tokens chunked into 8-token
     // turns with alternating roles, serialized as
     // '<|user|> … <|assistant|> …' with [start:end) character spans
@@ -8029,45 +8046,33 @@ object SparkEntry {
     // division). 6-dp rounding absorbs sum-order ulps — the iteration
     // contracts toward the dominant eigenvector, so they never
     // amplify.
-    "q182_pca_top" -> {
-      val dim = 64
-      val iterCtes = (1 to 8).map { t =>
-        s"""w$t AS MATERIALIZED (
-           |  SELECT cov.i AS i, sum(cov.c * p.v) AS w
-           |  FROM cov JOIN v${t - 1} p ON p.i = cov.j GROUP BY cov.i),
-           |v$t AS MATERIALIZED (
-           |  SELECT w$t.i AS i, w$t.w / nrm.nv AS v
-           |  FROM w$t CROSS JOIN (SELECT sqrt(sum(w * w)) AS nv FROM w$t) nrm)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-         |idx AS MATERIALIZED (SELECT unnest(range(1, ${dim + 1})) AS i),
-         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
-         |m AS MATERIALIZED (
-         |  SELECT i.i AS i, sum(CAST(e.embedding[i.i] AS DOUBLE)) / nn.n AS mu
-         |  FROM e CROSS JOIN idx i CROSS JOIN nn GROUP BY i.i, nn.n),
-         |g AS MATERIALIZED (
-         |  SELECT i.i AS i, j.i AS j,
-         |    sum(CAST(e.embedding[i.i] AS DOUBLE)
-         |        * CAST(e.embedding[j.i] AS DOUBLE)) AS s
-         |  FROM e CROSS JOIN idx i CROSS JOIN idx j GROUP BY 1, 2),
-         |cov AS MATERIALIZED (
-         |  SELECT g.i, g.j, g.s / nn.n - mi.mu * mj.mu AS c
-         |  FROM g CROSS JOIN nn
-         |  JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j),
-         |v0 AS MATERIALIZED (
-         |  SELECT i.i AS i,
-         |    CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS v
-         |  FROM idx i),
-         |$iterCtes,
-         |mc AS MATERIALIZED (
-         |  SELECT sum(m.mu * v.v) AS c FROM m JOIN v8 v ON v.i = m.i),
+    "q182_pca_top" ->
+      s"""WITH $pcaCtes,
          |proj AS (
          |  SELECT e.vec_id, sum(CAST(e.embedding[v.i] AS DOUBLE) * v.v) AS p
          |  FROM e CROSS JOIN v8 v GROUP BY e.vec_id)
          |SELECT proj.vec_id, round(proj.p - mc.c, 6) AS pc1
-         |FROM proj CROSS JOIN mc ORDER BY vec_id""".stripMargin
-    },
+         |FROM proj CROSS JOIN mc ORDER BY vec_id""".stripMargin,
+
+    // The shared PCA chain plus the element-wise residual: x′ = x −
+    // p·v, ‖x′‖ as the per-row sum of squares (the exact expression
+    // the engine's residualNorm HOF walks).
+    "q189_abtt_whiten" ->
+      s"""WITH $pcaCtes,
+         |proj AS MATERIALIZED (
+         |  SELECT e.vec_id, sum(CAST(e.embedding[v.i] AS DOUBLE) * v.v) AS pr
+         |  FROM e CROSS JOIN v8 v GROUP BY e.vec_id),
+         |p AS MATERIALIZED (
+         |  SELECT proj.vec_id, proj.pr - mc.c AS p FROM proj CROSS JOIN mc),
+         |res AS (
+         |  SELECT e.vec_id,
+         |    sqrt(sum((CAST(e.embedding[v.i] AS DOUBLE) - p.p * v.v)
+         |             * (CAST(e.embedding[v.i] AS DOUBLE) - p.p * v.v))) AS rn
+         |  FROM e CROSS JOIN v8 v JOIN p ON p.vec_id = e.vec_id
+         |  GROUP BY e.vec_id)
+         |SELECT p.vec_id, round(p.p, 6) AS pc1, round(res.rn, 6) AS resid_norm
+         |FROM p JOIN res ON res.vec_id = p.vec_id
+         |ORDER BY p.vec_id""".stripMargin,
 
     // The HOF walk restated as per-token rows + an islands window:
     // span starts flag transitions, the running span number names the
@@ -8759,6 +8764,46 @@ object SparkEntry {
     * candidate pair (`jac(a, b, jaccard)`), DuckDB dialect. Tokens are
     * `\S+` matches — the same tokenization as the native
     * Shingles/ShingleHashes expressions (robust to trailing `\n`). */
+  /** The q182/q189 PCA chain: population covariance from per-pair
+    * sums, then 8 power-iteration steps as (matvec, renormalize) CTE
+    * pairs, each MATERIALIZED (w_t is read twice; every v_t feeds the
+    * next step), ending at the unit component v8 and the mean·v
+    * centering constant mc. */
+  private val pcaCtes: String = {
+    val dim = 64
+    val iterCtes = (1 to 8).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT cov.i AS i, sum(cov.c * p.v) AS w
+         |  FROM cov JOIN v${t - 1} p ON p.i = cov.j GROUP BY cov.i),
+         |v$t AS MATERIALIZED (
+         |  SELECT w$t.i AS i, w$t.w / nrm.nv AS v
+         |  FROM w$t CROSS JOIN (SELECT sqrt(sum(w * w)) AS nv FROM w$t) nrm)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |idx AS MATERIALIZED (SELECT unnest(range(1, ${dim + 1})) AS i),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |m AS MATERIALIZED (
+       |  SELECT i.i AS i, sum(CAST(e.embedding[i.i] AS DOUBLE)) / nn.n AS mu
+       |  FROM e CROSS JOIN idx i CROSS JOIN nn GROUP BY i.i, nn.n),
+       |g AS MATERIALIZED (
+       |  SELECT i.i AS i, j.i AS j,
+       |    sum(CAST(e.embedding[i.i] AS DOUBLE)
+       |        * CAST(e.embedding[j.i] AS DOUBLE)) AS s
+       |  FROM e CROSS JOIN idx i CROSS JOIN idx j GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT g.i, g.j, g.s / nn.n - mi.mu * mj.mu AS c
+       |  FROM g CROSS JOIN nn
+       |  JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j),
+       |v0 AS MATERIALIZED (
+       |  SELECT i.i AS i,
+       |    CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS v
+       |  FROM idx i),
+       |$iterCtes,
+       |mc AS MATERIALIZED (
+       |  SELECT sum(m.mu * v.v) AS c FROM m JOIN v8 v ON v.i = m.i)""".stripMargin
+  }
+
   private val jaccardCtes: String =
     """toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws FROM documents),

@@ -169,6 +169,20 @@ object Pca {
     PcaTop(dim, buf.n, mean, v, lambda, tr)
   }
 
+  /** All-but-the-top residual (Mu & Viswanath 2018): ‖x − p·v‖ after
+    * removing the dominant-direction component, p the CENTERED
+    * projection. Removing the anisotropic common direction is the
+    * standard embedding post-process before cosine retrieval. `p`
+    * must be a materialized column (compute it once with
+    * [[projectTop]]); the element-wise form mirrors the oracle's sum
+    * of squares instead of the algebraic expansion, so cross-engine
+    * agreement doesn't hinge on cancellation. */
+  def residualNorm(model: PcaTop, vec: Column, p: Column): Column =
+    sqrt(aggregate(
+      zip_with(vec.cast("array<double>"), typedLit(model.component.toSeq),
+        (x, vi) => (x - p * vi) * (x - p * vi)),
+      lit(0.0), (acc, t) => acc + t))
+
   /** Centered scan-side projection x·v − μ·v as a literal-vector HOF
     * (left-to-right f64 accumulation — the randomProject contract). */
   def projectTop(model: PcaTop, vec: Column): Column = {

@@ -60,6 +60,23 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(mean) < 1e-9, s"centered projection mean $mean")
   }
 
+  test("residualNorm: analytic sqrt(2)·|s| on the fixture (top component fully removed)") {
+    import org.apache.spark.sql.functions.{col, sqrt => _}
+    val df = fixture()
+    val m = Pca.fitTop(df, "embedding", dim = 2, iters = 16)
+    // x = t·(1,1) + s·(1,−1), v = (1,1)/√2, mean_t = 0 exactly →
+    // x − p·v = (s, −s): residual norm is √2·|s| analytically
+    val got = df.select(col("vec_id"), col("embedding"),
+        Pca.projectTop(m, col("embedding")).as("p"))
+      .select(col("vec_id"),
+        Pca.residualNorm(m, col("embedding"), col("p")).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until N).foreach { i =>
+      val exp = math.sqrt(2.0) * math.abs(sOf(i))
+      assert(math.abs(got(i.toLong) - exp) < 1e-9, s"row $i: ${got(i.toLong)} vs $exp")
+    }
+  }
+
   test("length drift fails loudly") {
     import spark.implicits._
     val bad = Seq(Seq(1.0f, 2.0f), Seq(1.0f)).toDF("embedding")
