@@ -7950,8 +7950,10 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     // The sketch counters rebuilt exactly: every (doc-distinct) gram
-    // occurrence × depth row j lands in bucket md5("j_gram")%1024;
-    // the estimate is the min over the 4 bucket counts. Top-20 grams
+    // occurrence lands, for hash row j, in the bucket named by
+    // md5(gram)'s j-th disjoint 8-hex slice mod 1024 (one digest
+    // serves all four rows — the engine's hot-path form); the
+    // estimate is the min over the 4 bucket counts. Top-20 grams
     // always find all 4 buckets (their own occurrences guarantee
     // non-empty counters).
     "q185_cms_heavy" ->
@@ -7967,7 +7969,7 @@ object SparkEntry {
         |js AS (SELECT unnest(range(0, 4)) AS j),
         |occ AS (
         |  SELECT js.j,
-        |    CAST('0x' || substring(md5(CAST(js.j AS VARCHAR) || '_' || sh.g), 1, 8)
+        |    CAST('0x' || substring(md5(sh.g), 1 + 8 * js.j, 8)
         |         AS BIGINT) % 1024 AS b,
         |    count(*) AS c
         |  FROM sh CROSS JOIN js GROUP BY 1, 2),
@@ -7975,7 +7977,7 @@ object SparkEntry {
         |  SELECT t.g, min(o.c) AS cms_est
         |  FROM topk t CROSS JOIN js
         |  JOIN occ o ON o.j = js.j
-        |    AND o.b = CAST('0x' || substring(md5(CAST(js.j AS VARCHAR) || '_' || t.g), 1, 8)
+        |    AND o.b = CAST('0x' || substring(md5(t.g), 1 + 8 * js.j, 8)
         |               AS BIGINT) % 1024
         |  GROUP BY t.g)
         |SELECT t.g AS gram, t.exact_cnt, e.cms_est,

@@ -135,19 +135,24 @@ object Profile {
   class CmsAgg(depth: Int, width: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Seq[String], CmsBuf, CmsBuf]
       with Serializable {
-    require(depth >= 1 && width >= 1, "depth/width must be >= 1")
+    require(depth >= 1 && depth <= 4,
+      "depth in [1, 4]: the rows are disjoint 8-hex slices of ONE md5")
+    require(width >= 1, "width must be >= 1")
 
     override def zero: CmsBuf = CmsBuf(0L, new Array[Long](depth * width))
 
     override def reduce(buf: CmsBuf, xs: Seq[String]): CmsBuf = {
       if (xs != null) {
+        val md = java.security.MessageDigest.getInstance("MD5")
         val it = xs.iterator
         var n = 0L
         while (it.hasNext) {
           val g = it.next()
+          md.reset()
+          val d = md.digest(g.getBytes("UTF-8"))
           var j = 0
           while (j < depth) {
-            buf.counters(j * width + Cms.bucket(j, g, width)) += 1L
+            buf.counters(j * width + Cms.sliceBucket(d, j, width)) += 1L
             j += 1
           }
           n += 1L
@@ -170,14 +175,21 @@ object Profile {
   }
 
   object Cms {
-    /** md5("$j_$g") first 8 hex digits as a long, mod width — the
-      * cross-engine bucket rule (`CAST('0x'||substring(md5(..),1,8) AS
-      * BIGINT) % width` in DuckDB). */
+    /** Hash row j = md5(g)'s j-th disjoint 8-hex slice (bytes 4j..4j+3)
+      * as a long, mod width — ONE digest serves all four rows, and the
+      * rule stays cross-engine:
+      * `CAST('0x'||substring(md5(g), 1+8*j, 8) AS BIGINT) % width`. */
+    def sliceBucket(digest: Array[Byte], j: Int, width: Int): Int = {
+      var v = 0L
+      var b = 4 * j
+      while (b < 4 * j + 4) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+      (v % width).toInt
+    }
+
+    /** [[sliceBucket]] from the gram string. */
     def bucket(j: Int, g: String, width: Int): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${j}_$g".getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex, 16) % width).toInt
+      sliceBucket(md.digest(g.getBytes("UTF-8")), j, width)
     }
 
     /** The column-level sketch as one {n, counters} struct. */
