@@ -758,6 +758,45 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Frozen-CMS boilerplate scoring (q190): the sketch built once
+    // over the corpus rides a broadcast and every doc is scored
+    // scan-side by the fraction of its (distinct) bigrams whose
+    // estimated document frequency clears 5% of the corpus — the
+    // boilerplate-detection pass, with ZERO state on a stream (the
+    // frozen-artifact discipline; streaming==batch by construction).
+    "q190_cms_boiler" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val grams = TextOps.shingles(col("text"), 2)
+      val (depth, width) = (4, 1024)
+      val counters = d.agg(graft.operators.Profile.Cms
+          .cms_sketch(grams, depth, width).as("sk"))
+        .selectExpr("sk.counters").head().getSeq[Long](0).toArray
+      val minCount = math.max(2L, d.count() * 5L / 100L)
+      val st = graft.operators.Profile.Cms
+        .heavyStats(s, counters, depth, width, minCount, grams)
+      d.select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"), col("st.n_grams"), col("st.n_heavy"),
+          round(col("st.n_heavy").cast("double")
+            / greatest(col("st.n_grams"), lit(1)).cast("double"), 6)
+            .as("boiler_rate"))
+        .orderBy("doc_id")
+    },
+
+    // PC1 semantic shard layout (q191): equal-width tiles of the
+    // quantized top-component projection, coherence = mean cosine to
+    // the shard centroid vs the global baseline (shard −1) — the
+    // number 1-d semantic ordering buys for locality-preserving shard
+    // layout. No global ordered window: buckets from a broadcast
+    // one-row min/max, centroids from the fixed-buffer moments
+    // aggregate.
+    "q191_pc1_shards" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val m = graft.operators.Pca.fitTop(emb, "embedding", dim = 64, iters = 8)
+      graft.operators.Pca
+        .pc1ShardCoherence(emb, "vec_id", "embedding", m, shards = 16)
+        .orderBy("shard")
+    },
+
     // All-but-the-top whitening (q189): remove the dominant PCA
     // direction from every embedding (Mu & Viswanath 2018) — the
     // standard anisotropy fix before cosine retrieval. Composes the
@@ -8055,6 +8094,84 @@ object SparkEntry {
          |  FROM e CROSS JOIN v8 v GROUP BY e.vec_id)
          |SELECT proj.vec_id, round(proj.p - mc.c, 6) AS pc1
          |FROM proj CROSS JOIN mc ORDER BY vec_id""".stripMargin,
+
+    // The sketch counters + per-(doc, gram) min-bucket estimates; the
+    // 5%-of-docs threshold via integer division, empty-gram docs kept
+    // by the LEFT JOIN.
+    "q190_cms_boiler" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+1], 'string_agg', ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |occ AS MATERIALIZED (
+        |  SELECT js.j,
+        |    CAST('0x' || substring(md5(sh.g), 1 + 8 * js.j, 8)
+        |         AS BIGINT) % 1024 AS b,
+        |    count(*) AS c
+        |  FROM sh CROSS JOIN js GROUP BY 1, 2),
+        |nd AS (SELECT greatest(2, count(*) * 5 // 100) AS mc FROM documents),
+        |docg AS (
+        |  SELECT sh.doc_id, sh.g, min(o.c) AS est
+        |  FROM sh CROSS JOIN js
+        |  JOIN occ o ON o.j = js.j
+        |    AND o.b = CAST('0x' || substring(md5(sh.g), 1 + 8 * js.j, 8)
+        |               AS BIGINT) % 1024
+        |  GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN est >= nd.mc THEN 1 ELSE 0 END) AS n_heavy
+        |  FROM docg CROSS JOIN nd GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(ag.n_grams, 0) AS INT) AS n_grams,
+        |  CAST(COALESCE(ag.n_heavy, 0) AS INT) AS n_heavy,
+        |  round(CAST(COALESCE(ag.n_heavy, 0) AS DOUBLE)
+        |        / greatest(CAST(COALESCE(ag.n_grams, 0) AS DOUBLE),
+        |                   CAST(1.0 AS DOUBLE)), 6) AS boiler_rate
+        |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The PCA chain, quantized projections, equal-width buckets from
+    // one min/max row, per-(shard, dim) centroids, and the cosine
+    // restated as d/(√nx·√nc); the global baseline rides a UNION ALL
+    // shard −1.
+    "q191_pc1_shards" ->
+      s"""WITH $pcaCtes,
+         |proj AS MATERIALIZED (
+         |  SELECT e.vec_id, sum(CAST(e.embedding[v.i] AS DOUBLE) * v.v) AS pr
+         |  FROM e CROSS JOIN v8 v GROUP BY e.vec_id),
+         |pp AS MATERIALIZED (
+         |  SELECT proj.vec_id, round(proj.pr - mc.c, 6) AS p6
+         |  FROM proj CROSS JOIN mc),
+         |mmx AS MATERIALIZED (SELECT min(p6) AS lo, max(p6) AS hi FROM pp),
+         |sharded AS MATERIALIZED (
+         |  SELECT pp.vec_id,
+         |    CASE WHEN mmx.hi = mmx.lo THEN 0
+         |         ELSE CAST(least(floor((pp.p6 - mmx.lo) / (mmx.hi - mmx.lo)
+         |                               * 16), 15) AS INT) END AS shard
+         |  FROM pp CROSS JOIN mmx),
+         |bt AS MATERIALIZED (
+         |  SELECT vec_id, shard FROM sharded
+         |  UNION ALL SELECT vec_id, -1 AS shard FROM sharded),
+         |cent AS MATERIALIZED (
+         |  SELECT b.shard, i.i AS i,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE)) / count(*) AS c
+         |  FROM bt b JOIN e ON e.vec_id = b.vec_id CROSS JOIN idx i
+         |  GROUP BY 1, 2),
+         |dots AS (
+         |  SELECT b.shard, b.vec_id,
+         |    sum(CAST(e.embedding[ct.i] AS DOUBLE) * ct.c) AS d,
+         |    sum(CAST(e.embedding[ct.i] AS DOUBLE)
+         |        * CAST(e.embedding[ct.i] AS DOUBLE)) AS nx,
+         |    sum(ct.c * ct.c) AS nc
+         |  FROM bt b JOIN e ON e.vec_id = b.vec_id
+         |  JOIN cent ct ON ct.shard = b.shard
+         |  GROUP BY 1, 2)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(d / (sqrt(nx) * sqrt(nc))), 6) AS coherence
+         |FROM dots GROUP BY shard ORDER BY shard""".stripMargin,
 
     // The shared PCA chain plus the element-wise residual: x′ = x −
     // p·v, ‖x′‖ as the per-row sum of squares (the exact expression

@@ -169,6 +169,54 @@ object Pca {
     PcaTop(dim, buf.n, mean, v, lambda, tr)
   }
 
+  /**
+   * Semantic shard layout eval: bucket rows into `shards` equal-WIDTH
+   * tiles of the (6-dp quantized) top-component projection and
+   * measure each shard's coherence as the mean cosine of members to
+   * their shard centroid, beside a global-centroid baseline row
+   * (shard −1). Locality-preserving layout is the curriculum /
+   * cache-locality / co-access story at 100 TB — this op puts a
+   * NUMBER on how much 1-d semantic ordering buys.
+   *
+   * Scale shape: no global ordered window (equal-width buckets from a
+   * broadcast one-row min/max, not ntile), centroids via the
+   * fixed-buffer [[graft.functions.VecStatsAgg]] on the shard key,
+   * cosines scan-side against the broadcast centroids. Quantizing the
+   * projection before bucketing keeps membership engine-independent.
+   */
+  def pc1ShardCoherence(
+      df: DataFrame, idCol: String, embCol: String,
+      model: PcaTop, shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val spark = df.sparkSession
+    val p6 = round(projectTop(model, col(embCol)), 6)
+    val base = df.select(col(idCol).as("id"),
+      col(embCol).as("ef"), // float layout for the moments buffer
+      col(embCol).cast("array<double>").as("e"), p6.as("p6"))
+    val mm = base.agg(min("p6").as("lo"), max("p6").as("hi"))
+    val sharded = base.crossJoin(broadcast(mm))
+      .withColumn("shard",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("p6") - col("lo")) / (col("hi") - col("lo"))
+            * shards), lit(shards - 1)).cast("int")))
+      .select("id", "ef", "e", "shard")
+    def coherence(in: DataFrame, key: Column): DataFrame = {
+      val cents = in.groupBy(key.as("shard"))
+        .agg(graft.functions.VecStatsAgg.vec_stats(col("ef"), model.dim).as("st"))
+        .select(col("shard"),
+          transform(col("st.sum"), s => s / col("st.n")).as("centroid"))
+      in.withColumn("shard", key)
+        .join(broadcast(cents), "shard")
+        .withColumn("cos", graft.functions.CosineSim.cosine_sim(
+          spark, col("e"), col("centroid")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"), round(avg("cos"), 6).as("coherence"))
+    }
+    coherence(sharded, col("shard"))
+      .unionAll(coherence(sharded, lit(-1)))
+      .orderBy("shard")
+  }
+
   /** All-but-the-top residual (Mu & Viswanath 2018): ‖x − p·v‖ after
     * removing the dominant-direction component, p the CENTERED
     * projection. Removing the anisotropic common direction is the

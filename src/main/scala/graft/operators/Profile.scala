@@ -208,5 +208,46 @@ object Profile {
       }
       best
     }
+
+    /** Frozen-sketch boilerplate scoring — the streaming side of the
+      * CMS: a sketch built once over the reference corpus rides a
+      * broadcast, and each incoming row is scored scan-side by the
+      * fraction of its grams whose estimated document frequency clears
+      * `minCount`. Zero state on the stream (the KN/DSIR
+      * frozen-artifact discipline): batch and streaming scores are
+      * identical by construction. Returns a
+      * {n_grams, n_heavy} struct column. */
+    def heavyStats(
+        spark: org.apache.spark.sql.SparkSession,
+        counters: Array[Long], depth: Int, width: Int, minCount: Long,
+        grams: Column): Column = {
+      require(counters.length == depth * width, "sketch shape mismatch")
+      val bc = spark.sparkContext.broadcast(counters)
+      val f = udf { (gs: Seq[String]) =>
+        val cs = bc.value
+        var heavy = 0
+        var n = 0
+        if (gs != null) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val it = gs.iterator
+          while (it.hasNext) {
+            val g = it.next()
+            md.reset()
+            val d = md.digest(g.getBytes("UTF-8"))
+            var best = Long.MaxValue
+            var j = 0
+            while (j < depth) {
+              val c = cs(j * width + sliceBucket(d, j, width))
+              if (c < best) best = c
+              j += 1
+            }
+            if (best >= minCount) heavy += 1
+            n += 1
+          }
+        }
+        (n, heavy)
+      }
+      f(grams).cast("struct<n_grams:int,n_heavy:int>")
+    }
   }
 }

@@ -77,6 +77,33 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("pc1ShardCoherence: 16 shards + global row, counts conserve, partition-invariant, locality lifts coherence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // half-integer offset: the zero vector (NaN cosine) needs t = −offset
+    // with integer t, so it cannot occur — while the angular spread
+    // stays wide enough that per-shard coherence ~1 vs global ~0
+    val df = (0 until 420).map { i =>
+      val t = (i % 21).toDouble - 10.0
+      val s = ((i * 7) % 5).toDouble / 4.0 - 0.5
+      (i.toLong, Seq((0.5 + t + s).toFloat, (0.5 + t - s).toFloat))
+    }.toDF("vec_id", "embedding")
+    val m = Pca.fitTop(df, "embedding", dim = 2, iters = 16)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pca.pc1ShardCoherence(d, "vec_id", "embedding", m, shards = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val out = run(df)
+    val (global, shards) = out.partition(_._1 == -1)
+    assert(global.length == 1 && global.head._2 == 420L)
+    assert(shards.map(_._2).sum == 420L && shards.nonEmpty)
+    assert(run(df.repartition(32)).toSeq == out.toSeq, "not partition-invariant")
+    // weighted shard coherence must beat the global baseline on a
+    // cloud that pc1 genuinely orders
+    val weighted = shards.map(s => s._2 * s._3).sum / 420.0
+    assert(weighted > global.head._3 + 1e-4,
+      s"locality bought nothing: $weighted vs ${global.head._3}")
+  }
+
   test("length drift fails loudly") {
     import spark.implicits._
     val bad = Seq(Seq(1.0f, 2.0f), Seq(1.0f)).toDF("embedding")

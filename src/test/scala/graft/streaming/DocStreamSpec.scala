@@ -687,4 +687,41 @@ class DocStreamSpec extends AnyFunSuite {
         s"state spiked: ${totals.mkString(",")}")
     } finally q.stop()
   }
+
+  test("frozen-CMS boilerplate scoring: streaming == batch, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = graft.operators.TextOps.shingles(col("text"), 2)
+    val (depth, width) = (4, 1024)
+    // sketch frozen from the standing corpus (one fixed-size buffer)
+    val counters = raw
+      .agg(graft.operators.Profile.Cms.cms_sketch(grams, depth, width).as("sk"))
+      .selectExpr("sk.counters").head().getSeq[Long](0).toArray
+    val minCount = math.max(2L, raw.count() * 5L / 100L)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.operators.Profile.Cms
+        .heavyStats(spark, counters, depth, width, minCount,
+          graft.operators.TextOps.shingles(col("text"), 2)).as("st"))
+        .select(col("doc_id"), col("st.n_grams"), col("st.n_heavy"))
+
+    val docs = raw.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = score(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cms_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cms_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+      val batch = score(raw).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+      assert(streamed.size == docs.size)
+      assert(streamed == batch)
+      assert(batch.values.exists(_._2 > 0), "fixture has no heavy grams — weak test")
+    } finally q.stop()
+  }
 }
