@@ -758,6 +758,46 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Corpus version diff (q192): the release audit — v2 derived
+    // deterministically from the fixture (every 7th doc edited, every
+    // 11th dropped, a shifted id range added), then ONE full outer
+    // join on the id classifies added/removed/changed. Fingerprints
+    // shuffle, bodies never do.
+    "q192_corpus_diff" -> { (s, dir) =>
+      val v1 = t(s, dir, "documents")
+      val edited = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"))
+      val added = v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.operators.Versioning
+        .corpusDiff(v1, edited.unionAll(added), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Per-prompt reward normalization (q193): the PPO/GRPO advantage
+    // whitening step — z = (x − μ_g)/√(σ²_g + ε) within each prompt
+    // group, expressed as window sums (ONE shuffle on the prompt key,
+    // no collect). Integer scores make every engine's sums exact.
+    "q193_reward_norm" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("prompt_id")
+      val d = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(50L)).as("prompt_id"),
+        col("doc_id"),
+        TextOps.strictTokenCount(col("text")).cast("long").as("score"))
+      val n = count(lit(1)).over(w).cast("double")
+      val s1 = sum(col("score")).over(w).cast("double")
+      val s2 = sum(col("score") * col("score")).over(w).cast("double")
+      val mu = s1 / n
+      val varp = s2 / n - mu * mu
+      d.select(col("prompt_id"), col("doc_id"), col("score"),
+          round((col("score").cast("double") - mu)
+            / sqrt(varp + lit(1.0e-6D)), 6).as("z"))
+        .orderBy("prompt_id", "doc_id")
+    },
+
     // Frozen-CMS boilerplate scoring (q190): the sketch built once
     // over the corpus rides a broadcast and every doc is scored
     // scan-side by the fraction of its (distinct) bigrams whose
@@ -8094,6 +8134,47 @@ object SparkEntry {
          |  FROM e CROSS JOIN v8 v GROUP BY e.vec_id)
          |SELECT proj.vec_id, round(proj.p - mc.c, 6) AS pc1
          |FROM proj CROSS JOIN mc ORDER BY vec_id""".stripMargin,
+
+    // The same derivation (edit/drop/add rules) and a FULL OUTER JOIN
+    // on md5 fingerprints.
+    "q192_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(a.text) != md5(b.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status != 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+
+    // The window sums restated verbatim; integer scores keep every
+    // sum exact, so z is bit-identical before the 6-dp rounding.
+    "q193_reward_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id % 50 AS prompt_id, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT)
+        |      AS score
+        |  FROM documents),
+        |w AS (
+        |  SELECT prompt_id, doc_id, score,
+        |    CAST(count(*) OVER (PARTITION BY prompt_id) AS DOUBLE) AS n,
+        |    CAST(sum(score) OVER (PARTITION BY prompt_id) AS DOUBLE) AS s1,
+        |    CAST(sum(score * score) OVER (PARTITION BY prompt_id) AS DOUBLE) AS s2
+        |  FROM d)
+        |SELECT prompt_id, doc_id, score,
+        |  round((CAST(score AS DOUBLE) - s1 / n)
+        |        / sqrt(s2 / n - (s1 / n) * (s1 / n)
+        |               + CAST(0.000001 AS DOUBLE)), 6) AS z
+        |FROM w ORDER BY prompt_id, doc_id""".stripMargin,
 
     // The sketch counters + per-(doc, gram) min-bucket estimates; the
     // 5%-of-docs threshold via integer division, empty-gram docs kept

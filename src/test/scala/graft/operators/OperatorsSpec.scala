@@ -1706,6 +1706,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((0, 0, 0, "", "")))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged classified exactly; bodies never join") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val out = Versioning.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val all = Versioning.corpusDiff(v1, v2, "doc_id", "text", keepUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "unchanged" && all.size == 4)
+    // the join carries fingerprints, not text (the bodies are pruned
+    // before the exchange — md5 itself may constant-fold on a local
+    // fixture, but the joined columns must be the fp_ pair)
+    val plan = Versioning.corpusDiff(v1, v2, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("fp_old") && !plan.contains("text#"), plan)
+  }
+
   test("sft renderTurns: spans address the exact assistant substrings; roles alternate; empty doc clean") {
     import spark.implicits._
     val docs = Seq(
