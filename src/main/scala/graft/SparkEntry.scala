@@ -758,6 +758,29 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Greedy autoregressive decoding (q194): the causal LM head fed
+    // back into itself for 3 steps — the forward pass the reference
+    // runs via libtorch (udf.rs:127), looped. The k-step loop runs
+    // INSIDE one mapPartitions over GEMM batches (no per-step plan
+    // growth, no driver round trips); the oracle restates EVERY step
+    // as a nested-WITH forward pass over the grown token CTE, so a
+    // flipped argmax at any step would cascade into a hash mismatch.
+    "q194_torch_generate" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // Corpus version diff (q192): the release audit — v2 derived
     // deterministically from the fixture (every 7th doc edited, every
     // 11th dropped, a shifted id range added), then ONE full outer
@@ -4850,6 +4873,44 @@ object SparkEntry {
       LinearLayer(qvals(12, 1597, 4.0), Array(0f, -6.75f, -7.4375f), 3, 4)))
   }
 
+  /** q194's tiny causal LM for GREEDY DECODING: the [[decModel]]
+    * architecture with the LM-head twist — the final fc maps the
+    * last-position state onto the WHOLE VOCAB (8), so argmax IS the
+    * next token id and the net can feed itself. The position table
+    * covers EncMaxLen + 4 so the grown sequence never reads past it
+    * (the interpreter fails loudly, never wraps). Same pinning
+    * discipline as every torch family: dyadic 1/16-grid weights, one
+    * f32 rounding per op, argmax gap floor pinned by
+    * TorchGenerateSpec. Reference capability anchor: arbitrary
+    * TorchScript nets via libtorch (reference src/udf.rs:127) —
+    * generation is that same forward pass in a loop. */
+  private[graft] lazy val genModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    def head(seed: Int) = SelfAttentionOp(
+      qvals(8, seed, 1.0), qvals(2, seed + 2, 0.25),
+      qvals(8, seed + 4, 1.0), qvals(2, seed + 6, 0.25),
+      qvals(8, seed + 8, 1.5), qvals(2, seed + 10, 0.5),
+      dim = 2, inDim = 4, scale = 0.5, causal = true)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(8 * 4, 1601, 2.0), vocab = 8, embDim = 4),
+      PosEmbedOp(qvals((EncMaxLen + 4) * 4, 1603, 0.5),
+        maxLen = EncMaxLen + 4, embDim = 4),
+      EncoderAttnOp(IndexedSeq(head(1607), head(1611)),
+        proj = Some(LinearLayer(qvals(16, 1623, 1.0), qvals(4, 1631, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1643, 0.25).map(v => 1f + v), qvals(4, 1649, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 1653, 1.0), qvals(8, 1659, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 1667, 1.0), qvals(4, 1671, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1679, 0.25).map(v => 1f + v), qvals(4, 1683, 0.25), 1e-5),
+      SeqLastPoolOp,
+      LinearLayer(qvals(32, 1697, 4.0), qvals(8, 1699, 0.25), 8, 4)))
+  }
+
   /** q139's sinusoidal-positional-encoding head: token embeddings +
     * the PRECOMPUTED "Attention is All You Need" position signal
     * `pe[p, 2i] = sin(p / base^(2i/d))`, `pe[p, 2i+1] = cos(...)`
@@ -4943,9 +5004,14 @@ object SparkEntry {
   /** `hashMod` overrides the tokenizer's hash modulus when it is
     * smaller than the embedding vocab (q156 reserves the top row as
     * the padding id, which the hash must never produce). */
+  /** @param tokensCte when set, the token rows (doc_id, tid, pos)
+    *        come from this OUTER CTE instead of being tokenized from
+    *        `source` — the greedy-decode oracle feeds each step's
+    *        grown sequence this way. The nested WITH keeps every
+    *        internal name scoped, so steps never collide. */
   private def encBlockSql(m0: graft.torch.TorchScriptModel, pool: String,
       source: String = "documents", extraCtes: String = "",
-      hashMod: Int = -1): String = {
+      hashMod: Int = -1, tokensCte: Option[String] = None): String = {
     val withCls = pool == "cls"
     import graft.torch._
     val m = m0
@@ -5029,14 +5095,18 @@ object SparkEntry {
          |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
          |        FROM $source)
          |  WHERE pos <= $wordCap)"""
-    val toksCte =
-      if (withCls)
+    val toksCte = tokensCte match {
+      case Some(name) =>
+        require(!withCls, "tokensCte with CLS prepend is unsupported")
+        s"""toks AS (SELECT doc_id, tid, pos FROM $name)"""
+      case None if withCls =>
         s"""$wordsCte,
            |toks AS (
            |  SELECT doc_id, CAST(0 AS BIGINT) AS tid, 0 AS pos
            |  FROM (SELECT DISTINCT doc_id FROM words)
            |  UNION ALL SELECT doc_id, tid, pos FROM words)"""
-      else s"""$wordsCte, toks AS (SELECT * FROM words)"""
+      case None => s"""$wordsCte, toks AS (SELECT * FROM words)"""
+    }
     val xCte = posOp match {
       case None =>
         s"""x AS (SELECT doc_id, pos,
@@ -8134,6 +8204,52 @@ object SparkEntry {
          |  FROM e CROSS JOIN v8 v GROUP BY e.vec_id)
          |SELECT proj.vec_id, round(proj.p - mc.c, 6) AS pc1
          |FROM proj CROSS JOIN mc ORDER BY vec_id""".stripMargin,
+
+    // Every decode step is one FULL forward pass (the q138 chain) as
+    // a nested WITH scoped inside its step CTE — internal names never
+    // collide — reading the previous step's grown token CTE; the
+    // generated token joins back in at position max(pos)+1. Three
+    // steps, three chained forward passes, one final 3-column row per
+    // doc.
+    "q194_torch_generate" -> {
+      val m = genModel
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      val stepCtes = (1 to 3).map { t =>
+        val stepSql = TorchOracle.mlpArgmaxSql(fc,
+          encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}")),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+            s"AS tid FROM ${TorchOracle.lastCte(fc)}")
+        s"""step$t AS (
+           |$stepSql
+           |),
+           |toks$t AS (
+           |  SELECT doc_id, tid, pos FROM toks${t - 1}
+           |  UNION ALL
+           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+           |  FROM step$t s
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = s.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % 8 AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |toks0 AS (SELECT * FROM words),
+         |$stepCtes
+         |SELECT s1.doc_id, s1.tid AS gen1, s2.tid AS gen2, s3.tid AS gen3
+         |FROM step1 s1
+         |JOIN step2 s2 ON s2.doc_id = s1.doc_id
+         |JOIN step3 s3 ON s3.doc_id = s1.doc_id
+         |ORDER BY s1.doc_id""".stripMargin
+    },
 
     // The same derivation (edit/drop/add rules) and a FULL OUTER JOIN
     // on md5 fingerprints.

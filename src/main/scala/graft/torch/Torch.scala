@@ -311,4 +311,98 @@ object Torch {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /**
+   * Greedy autoregressive decoding — `steps` rounds of (forward pass
+   * on the whole sequence → argmax over the vocab logits → append).
+   * The model must be a token-input net whose output width IS the
+   * vocab (a causal decoder with an LM head); its position table must
+   * cover the grown length (input cap + steps) — the interpreter
+   * fails loudly past it, never wraps.
+   *
+   * Shape at scale: the k-step loop runs INSIDE one `mapPartitions`
+   * over GEMM batches — one job, no per-step plan growth, no driver
+   * round trips; each step re-runs the full prefix (the O(L²)
+   * no-KV-cache form: correct-by-construction against the oracle's
+   * per-step restatement, and the per-row L is capped). Argmax is the
+   * repo rule: FIRST max wins, NaN never wins — exactly
+   * [[graft.functions.ArgMax]] and the oracle's CASE chain.
+   *
+   * @return input columns + `outCol` = array<int> of the `steps`
+   *         generated token ids (null input → null output)
+   */
+  def generateGreedy(
+      df: DataFrame,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1, "generateGreedy needs a token-input model")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def argmaxFirst(out: Array[Float], off: Int): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(off + j)
+          // NaN never wins; strict > keeps the FIRST max
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      it.grouped(bs).flatMap { rows =>
+        val seqs: Array[Array[Int]] = rows.map { r =>
+          if (r.isNullAt(inIdx)) null
+          else {
+            val xs = r.getSeq[Any](inIdx)
+            val a = new Array[Int](xs.length)
+            var j = 0
+            var ok = true
+            while (ok && j < a.length) {
+              xs(j) match {
+                case null => ok = false
+                case f: java.lang.Number => a(j) = f.intValue(); j += 1
+              }
+            }
+            if (ok && a.nonEmpty) a else null
+          }
+        }.toArray
+        val gen = Array.fill(seqs.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        var t = 0
+        var cur = seqs
+        while (t < steps) {
+          val liveIdx = cur.indices.filter(cur(_) != null)
+          if (liveIdx.nonEmpty) {
+            val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
+            val next = cur.clone()
+            liveIdx.zipWithIndex.foreach { case (ri, k) =>
+              val tid = argmaxFirst(out, k * vocab)
+              gen(ri) += tid
+              next(ri) = cur(ri) :+ tid
+            }
+            cur = next
+          }
+          t += 1
+        }
+        rows.iterator.zipWithIndex.map { case (r, ri) =>
+          if (seqs(ri) == null) Row.fromSeq(r.toSeq :+ null)
+          else Row.fromSeq(r.toSeq :+ gen(ri).toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }
