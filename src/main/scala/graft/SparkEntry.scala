@@ -758,6 +758,28 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Constrained (blocklist) decoding (q195): q194's greedy loop
+    // with banned vocabulary ids {1, 4} masked out of every step's
+    // argmax — the safety-decoding shape (bad-words lists). The
+    // banned ids simply never become candidates, on either engine:
+    // the oracle's CASE chain just omits them.
+    "q195_torch_gen_banned" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
+          batchSize = 256, banned = Set(1, 4))
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // Greedy autoregressive decoding (q194): the causal LM head fed
     // back into itself for 3 steps — the forward pass the reference
     // runs via libtorch (udf.rs:127), looped. The k-step loop runs
@@ -8211,45 +8233,11 @@ object SparkEntry {
     // generated token joins back in at position max(pos)+1. Three
     // steps, three chained forward passes, one final 3-column row per
     // doc.
-    "q194_torch_generate" -> {
-      val m = genModel
-      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
-        m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
-      val stepCtes = (1 to 3).map { t =>
-        val stepSql = TorchOracle.mlpArgmaxSql(fc,
-          encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}")),
-          arms = Seq("p"), carry = Seq("doc_id"),
-          finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
-            s"AS tid FROM ${TorchOracle.lastCte(fc)}")
-        s"""step$t AS (
-           |$stepSql
-           |),
-           |toks$t AS (
-           |  SELECT doc_id, tid, pos FROM toks${t - 1}
-           |  UNION ALL
-           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
-           |  FROM step$t s
-           |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
-           |        GROUP BY doc_id) l
-           |    ON l.doc_id = s.doc_id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH words AS (
-         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
-         |           % 8 AS tid, pos
-         |  FROM (SELECT doc_id,
-         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-         |          generate_subscripts(regexp_extract_all(text,
-         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-         |        FROM documents)
-         |  WHERE pos <= $EncMaxLen),
-         |toks0 AS (SELECT * FROM words),
-         |$stepCtes
-         |SELECT s1.doc_id, s1.tid AS gen1, s2.tid AS gen2, s3.tid AS gen3
-         |FROM step1 s1
-         |JOIN step2 s2 ON s2.doc_id = s1.doc_id
-         |JOIN step3 s3 ON s3.doc_id = s1.doc_id
-         |ORDER BY s1.doc_id""".stripMargin
-    },
+    "q194_torch_generate" -> generateOracle(banned = Nil),
+
+    // The identical chain with the banned ids omitted from every
+    // step's argmax CASE.
+    "q195_torch_gen_banned" -> generateOracle(banned = Seq(1, 4)),
 
     // The same derivation (edit/drop/add rules) and a FULL OUTER JOIN
     // on md5 fingerprints.
@@ -9080,6 +9068,55 @@ object SparkEntry {
     * candidate pair (`jac(a, b, jaccard)`), DuckDB dialect. Tokens are
     * `\S+` matches — the same tokenization as the native
     * Shingles/ShingleHashes expressions (robust to trailing `\n`). */
+  /** The q194/q195 greedy-decode oracle: every step is one full
+    * forward pass (nested WITH scoped inside its step CTE) over the
+    * previous step's grown token rows; `banned` ids are omitted from
+    * every step's argmax CASE (constrained decoding). */
+  private def generateOracle(banned: Seq[Int]): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val allowed = (0 until vocab).filterNot(banned.contains)
+    val amax =
+      if (banned.isEmpty) TorchOracle.armArgmax(fc, "p")
+      else TorchOracle.armArgmaxRestricted("p", allowed)
+    val stepCtes = (1 to 3).map { t =>
+      val stepSql = TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}")),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $amax AS tid " +
+          s"FROM ${TorchOracle.lastCte(fc)}")
+      s"""step$t AS (
+         |$stepSql
+         |),
+         |toks$t AS (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM step$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS (SELECT * FROM words),
+       |$stepCtes
+       |SELECT s1.doc_id, s1.tid AS gen1, s2.tid AS gen2, s3.tid AS gen3
+       |FROM step1 s1
+       |JOIN step2 s2 ON s2.doc_id = s1.doc_id
+       |JOIN step3 s3 ON s3.doc_id = s1.doc_id
+       |ORDER BY s1.doc_id""".stripMargin
+  }
+
   /** The q182/q189 PCA chain: population covariance from per-pair
     * sums, then 8 power-iteration steps as (matvec, renormalize) CTE
     * pairs, each MATERIALIZED (w_t is read twice; every v_t feeds the

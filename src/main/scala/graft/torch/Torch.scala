@@ -337,11 +337,14 @@ object Torch {
       outCol: String,
       model: Broadcast[TorchScriptModel],
       steps: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      banned: Set[Int] = Set.empty): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateGreedy needs a token-input model")
+    require(banned.size < model.value.outDim,
+      "banned set covers the whole vocabulary")
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -356,8 +359,11 @@ object Torch {
         var j = 0
         while (j < vocab) {
           val v = out(off + j)
-          // NaN never wins; strict > keeps the FIRST max
-          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          // NaN never wins; strict > keeps the FIRST max; banned ids
+          // are simply never candidates (constrained decoding)
+          if (!banned.contains(j) && !v.isNaN && (best < 0 || v > bv)) {
+            best = j; bv = v
+          }
           j += 1
         }
         require(best >= 0, "all-NaN logits")

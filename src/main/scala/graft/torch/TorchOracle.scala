@@ -84,5 +84,17 @@ object TorchOracle {
 
   def armArgmax(m: TorchScriptModel, p: String): String = argmaxCase(p, m.outDim)
 
+  /** First-max-wins argmax over a RESTRICTED arm set — the
+    * constrained-decoding oracle: banned vocabulary ids simply do not
+    * appear in the CASE, exactly the engine's skip. */
+  def armArgmaxRestricted(p: String, allowed: Seq[Int]): String = {
+    val a = allowed.sorted
+    require(a.nonEmpty, "empty allowed set")
+    a.init.map { i =>
+      val conds = a.filter(_ > i).map(j => s"$p$i >= $p$j").mkString(" AND ")
+      s"WHEN $conds THEN $i"
+    }.mkString("CASE ", " ", s" ELSE ${a.last} END")
+  }
+
   def lastCte(m: TorchScriptModel): String = s"l${m.layers.length}"
 }
