@@ -758,6 +758,29 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // BLEU-2 eval (q196): clipped modified n-gram precisions +
+    // brevity penalty between the FIM rendering (q184) and the
+    // original token stream — "what does the infilling transform cost
+    // in n-gram fidelity", with plain rows as the built-in 1.0
+    // control. Counting is (doc, gram)-keyed: the shuffle carries
+    // count rows, never text.
+    "q196_bleu_fim" -> { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .filter(TextOps.strictTokenCount(col("text")) >= 2)
+      val fim = graft.operators.Noise
+        .fimTransform(base, "doc_id", "text", fimPct = 50)
+        .select(col("doc_id"), col("mode"), col("out"))
+      val ref = base.select(col("doc_id"),
+        array_join(call_function("regexp_extract_all", col("text"),
+          lit(graft.Tok.Pattern), lit(0)), " ").as("ref"))
+      val pairs = fim.join(ref, "doc_id")
+      graft.operators.Eval.bleu2(pairs, "doc_id", "out", "ref")
+        .join(fim.select("doc_id", "mode"), "doc_id")
+        .select(col("doc_id"), col("mode"), col("len1"),
+          col("p1"), col("p2"), col("bleu"))
+        .orderBy("doc_id")
+    },
+
     // Constrained (blocklist) decoding (q195): q194's greedy loop
     // with banned vocabulary ids {1, 4} masked out of every step's
     // argmax — the safety-decoding shape (bad-words lists). The
@@ -8226,6 +8249,83 @@ object SparkEntry {
          |  FROM e CROSS JOIN v8 v GROUP BY e.vec_id)
          |SELECT proj.vec_id, round(proj.p - mc.c, 6) AS pc1
          |FROM proj CROSS JOIN mc ORDER BY vec_id""".stripMargin,
+
+    // The q184 PSM rebuild feeding the same clipped-count arithmetic:
+    // per-(doc, gram) counts joined cand-against-ref, least() clipping,
+    // brevity penalty and the ln/exp geometric mean restated verbatim.
+    "q196_bleu_fim" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS a,
+        |    len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n
+        |  FROM documents),
+        |base AS (SELECT * FROM t0 WHERE n >= 2),
+        |h AS (
+        |  SELECT doc_id, a, n,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_fim'), 1, 8)
+        |         AS BIGINT) % 100 AS gb,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_cut1'), 1, 8)
+        |         AS BIGINT) % (n + 1) AS c1,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_cut2'), 1, 8)
+        |         AS BIGINT) % (n + 1) AS c2
+        |  FROM base),
+        |cand AS (
+        |  SELECT doc_id,
+        |    CASE WHEN gb < 50 THEN 'psm' ELSE 'plain' END AS mode,
+        |    CASE WHEN gb < 50 THEN
+        |      '<PRE> ' || COALESCE(array_to_string(a[1:least(c1, c2)], ' '), '')
+        |      || ' <SUF> '
+        |      || COALESCE(array_to_string(a[greatest(c1, c2)+1:n], ' '), '')
+        |      || ' <MID> '
+        |      || COALESCE(array_to_string(a[least(c1, c2)+1:greatest(c1, c2)], ' '), '')
+        |    ELSE COALESCE(array_to_string(a, ' '), '') END AS out
+        |  FROM h),
+        |cw AS (SELECT doc_id, regexp_extract_all(out, '[^ \t\n\x0B\f\r]+') AS ca
+        |       FROM cand),
+        |c1g AS (
+        |  SELECT doc_id, g, count(*) AS cc FROM
+        |    (SELECT doc_id, unnest(ca) AS g FROM cw) GROUP BY 1, 2),
+        |r1g AS (
+        |  SELECT doc_id, g, count(*) AS rc FROM
+        |    (SELECT doc_id, unnest(a) AS g FROM base) GROUP BY 1, 2),
+        |c2g AS (
+        |  SELECT doc_id, g, count(*) AS cc FROM
+        |    (SELECT doc_id, list_aggregate(ca[i:i+1], 'string_agg', ' ') AS g
+        |     FROM (SELECT doc_id, ca, unnest(range(1, len(ca))) AS i FROM cw))
+        |  GROUP BY 1, 2),
+        |r2g AS (
+        |  SELECT doc_id, g, count(*) AS rc FROM
+        |    (SELECT doc_id, list_aggregate(a[i:i+1], 'string_agg', ' ') AS g
+        |     FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM base))
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT c.doc_id, CAST(sum(c.cc) AS BIGINT) AS len1,
+        |    CAST(sum(least(c.cc, COALESCE(r.rc, 0))) AS BIGINT) AS clip1
+        |  FROM c1g c LEFT JOIN r1g r ON r.doc_id = c.doc_id AND r.g = c.g
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT c.doc_id, CAST(sum(c.cc) AS BIGINT) AS len2,
+        |    CAST(sum(least(c.cc, COALESCE(r.rc, 0))) AS BIGINT) AS clip2
+        |  FROM c2g c LEFT JOIN r2g r ON r.doc_id = c.doc_id AND r.g = c.g
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT base.doc_id, cand.mode, u.len1,
+        |    CAST(u.clip1 AS DOUBLE) / CAST(u.len1 AS DOUBLE) AS p1,
+        |    CASE WHEN b.len2 IS NULL OR b.len2 = 0 THEN NULL
+        |         ELSE CAST(b.clip2 AS DOUBLE) / CAST(b.len2 AS DOUBLE) END AS p2,
+        |    u.clip1 AS clip1, b.clip2 AS clip2, b.len2 AS len2,
+        |    CASE WHEN u.len1 >= base.n THEN CAST(1.0 AS DOUBLE)
+        |         ELSE exp(CAST(1.0 AS DOUBLE)
+        |                  - CAST(base.n AS DOUBLE) / CAST(u.len1 AS DOUBLE))
+        |    END AS bp
+        |  FROM base JOIN cand ON cand.doc_id = base.doc_id
+        |  LEFT JOIN u ON u.doc_id = base.doc_id
+        |  LEFT JOIN b ON b.doc_id = base.doc_id)
+        |SELECT doc_id, mode, len1, round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(CASE WHEN len2 IS NULL OR len2 = 0 THEN NULL
+        |             WHEN clip1 = 0 OR clip2 = 0 THEN CAST(0.0 AS DOUBLE)
+        |             ELSE bp * exp((ln(p1) + ln(p2)) / CAST(2.0 AS DOUBLE))
+        |        END, 6) AS bleu
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // Every decode step is one FULL forward pass (the q138 chain) as
     // a nested WITH scoped inside its step CTE — internal names never

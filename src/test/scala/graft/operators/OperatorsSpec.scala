@@ -1706,6 +1706,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((0, 0, 0, "", "")))
   }
 
+  test("bleu2: identity 1.0, disjoint 0.0, hand-computed clipped case, short-candidate nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "a b c d"),            // identity
+      (2L, "x y z", "a b c"),                // disjoint -> 0
+      // cand: "the the cat" vs ref "the cat sat": clip1 = min(2,1)+1 = 2,
+      // len1 = 3 -> p1 = 2/3; bigrams cand {the the, the cat}, ref
+      // {the cat, cat sat}: clip2 = 1, len2 = 2 -> p2 = 1/2;
+      // len1 == rlen -> BP = 1; bleu = exp((ln(2/3)+ln(1/2))/2)
+      (3L, "the the cat", "the cat sat"),
+      (4L, "a", "a b")                       // 1 token: p2/bleu NULL
+    ).toDF("k", "cand", "ref")
+    val out = Eval.bleu2(df, "k", "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out(1L) == ((Some(1.0), Some(1.0), Some(1.0))))
+    assert(out(2L) == ((Some(0.0), Some(0.0), Some(0.0))))
+    val exp3 = BigDecimal(math.exp((math.log(2.0 / 3.0) + math.log(0.5)) / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L)._1 == Some(0.666667) && out(3L)._2 == Some(0.5)
+      && out(3L)._3 == Some(exp3), out(3L).toString)
+    assert(out(4L)._2.isEmpty && out(4L)._3.isEmpty)
+  }
+
   test("corpusDiff: added/removed/changed/unchanged classified exactly; bodies never join") {
     import spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
