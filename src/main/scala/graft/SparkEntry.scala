@@ -758,6 +758,31 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Beam-search decoding (q197): width 2 × 2 steps over the q194
+    // LM — per-beam log-softmax scores accumulate in f64, candidates
+    // order by (joint DESC, parent rank ASC, token ASC). Every beam
+    // of every row rides ONE forwardTokensBatch per step; the oracle
+    // restates both steps, carrying the two beams as SYNTHETIC doc
+    // ids (doc_id·2 + rank) through the unchanged forward-pass
+    // generator.
+    "q197_torch_beam" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.beamSearch(toks, "tok_ids", "beams", bc,
+          steps = 2, width = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("b1t1"), col("beams")(0)(1).as("b1t2"),
+          col("beams")(1)(0).as("b2t1"), col("beams")(1)(1).as("b2t2"))
+        .orderBy("doc_id")
+    },
+
     // BLEU-2 eval (q196): clipped modified n-gram precisions +
     // brevity penalty between the FIM rendering (q184) and the
     // original token stream — "what does the infilling transform cost
@@ -6147,7 +6172,7 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
         |  FROM documents),
-        |kept AS (
+        |kept AS MATERIALIZED (
         |  SELECT doc_id, text FROM normed
         |  WHERE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) BETWEEN 10 AND 100000
         |    AND (CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
@@ -8339,6 +8364,10 @@ object SparkEntry {
     // step's argmax CASE.
     "q195_torch_gen_banned" -> generateOracle(banned = Seq(1, 4)),
 
+    // Beam search: two forward passes, synthetic beam ids, joint
+    // log-prob ranking (see beamOracle).
+    "q197_torch_beam" -> beamOracle,
+
     // The same derivation (edit/drop/add rules) and a FULL OUTER JOIN
     // on md5 fingerprints.
     "q192_corpus_diff" ->
@@ -9187,10 +9216,10 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, $amax AS tid " +
           s"FROM ${TorchOracle.lastCte(fc)}")
-      s"""step$t AS (
+      s"""step$t AS MATERIALIZED (
          |$stepSql
          |),
-         |toks$t AS (
+         |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL
          |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
@@ -9208,13 +9237,91 @@ object SparkEntry {
        |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |        FROM documents)
        |  WHERE pos <= $EncMaxLen),
-       |toks0 AS (SELECT * FROM words),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
        |$stepCtes
        |SELECT s1.doc_id, s1.tid AS gen1, s2.tid AS gen2, s3.tid AS gen3
        |FROM step1 s1
        |JOIN step2 s2 ON s2.doc_id = s1.doc_id
        |JOIN step3 s3 ON s3.doc_id = s1.doc_id
        |ORDER BY s1.doc_id""".stripMargin
+  }
+
+  /** The q197 beam-search oracle: step-1 logits → log-softmax → top-2
+    * beams; the two beams ride as SYNTHETIC doc ids (doc_id·2 + rank)
+    * through a second unchanged forward pass; expansions rank by
+    * (joint DESC, parent rank ASC, token ASC). */
+  private def beamOracle: String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |lp1 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit1)),
+       |cand1 AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |beams1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM cand1 QUALIFY b <= 2),
+       |toks1 AS MATERIALIZED (
+       |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+       |  FROM toks0 t JOIN beams1 b ON b.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+       |  FROM beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+       |logit2 AS MATERIALIZED (
+       |${fwd("toks1")}
+       |),
+       |lp2 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2)),
+       |cand2raw AS MATERIALIZED (
+       |  ${candRows("lp2")}),
+       |cand2 AS MATERIALIZED (
+       |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, lp
+       |  FROM cand2raw),
+       |joined AS MATERIALIZED (
+       |  SELECT c.doc_id, c.pb, c.tid, b.score + c.lp AS joint,
+       |    CAST(b.tid AS INT) AS t1
+       |  FROM cand2 c JOIN beams1 b
+       |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1),
+       |kept AS (
+       |  SELECT doc_id, t1, tid, joint,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+       |  FROM joined QUALIFY rk <= 2)
+       |SELECT k1.doc_id, k1.t1 AS b1t1, CAST(k1.tid AS INT) AS b1t2,
+       |  k2.t1 AS b2t1, CAST(k2.tid AS INT) AS b2t2
+       |FROM kept k1 JOIN kept k2
+       |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
+       |ORDER BY k1.doc_id""".stripMargin
   }
 
   /** The q182/q189 PCA chain: population covariance from per-pair

@@ -313,6 +313,119 @@ object Torch {
   }
 
   /**
+   * Beam-search decoding — `steps` rounds of (forward pass on every
+   * live beam → per-beam log-softmax → joint-score expansion → keep
+   * the top `width`). Scores are f64 log-probs accumulated from the
+   * f32 logits (`lp = logit − logsumexp`), candidates order by
+   * (joint score DESC, parent-beam rank ASC, token ASC) — a total
+   * order both engines can restate, so beam identity never hinges on
+   * hash-map luck; the numeric margins get a spec-pinned floor like
+   * every argmax in this repo.
+   *
+   * Scale shape: ALL beams of ALL rows in a GEMM batch run through
+   * ONE `forwardTokensBatch` per step inside one `mapPartitions` —
+   * rows×width sequences per call, no per-step plan growth.
+   *
+   * @return input columns + `outCol` = array<array<int>>: the kept
+   *         beams' generated tokens in rank order (null input → null)
+   */
+  def beamSearch(
+      df: DataFrame,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      width: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1 && width >= 1, "steps and width must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1, "beamSearch needs a token-input model")
+    require(width <= model.value.outDim, "width exceeds the vocabulary")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def logProbs(out: Array[Float], off: Int): Array[Double] = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = out(off + j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(out(off + j).toDouble - mx); j += 1 }
+        val lse = math.log(z) + mx
+        Array.tabulate(vocab)(k => out(off + k).toDouble - lse)
+      }
+      it.grouped(bs).flatMap { rows =>
+        val prompts: Array[Array[Int]] = rows.map { r =>
+          if (r.isNullAt(inIdx)) null
+          else {
+            val xs = r.getSeq[Any](inIdx)
+            val a = new Array[Int](xs.length)
+            var j = 0
+            var ok = true
+            while (ok && j < a.length) {
+              xs(j) match {
+                case null => ok = false
+                case f: java.lang.Number => a(j) = f.intValue(); j += 1
+              }
+            }
+            if (ok && a.nonEmpty) a else null
+          }
+        }.toArray
+        // per row: ranked beams as (generated tokens, score)
+        var beams: Array[Seq[(Vector[Int], Double)]] = prompts.map { p =>
+          if (p == null) null else Seq((Vector.empty[Int], 0.0))
+        }
+        var t = 0
+        while (t < steps) {
+          // flatten (row, beamRank) -> sequence for ONE batch forward
+          val idx = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          val seqs = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+          beams.zipWithIndex.foreach { case (bms, ri) =>
+            if (bms != null) bms.zipWithIndex.foreach { case ((g, _), bi) =>
+              idx += ((ri, bi))
+              seqs += (prompts(ri) ++ g)
+            }
+          }
+          if (seqs.nonEmpty) {
+            val out = m.forwardTokensBatch(seqs.toArray)
+            val lpByKey = idx.zipWithIndex.map { case (k, i) =>
+              k -> logProbs(out, i * vocab)
+            }.toMap
+            beams = beams.zipWithIndex.map { case (bms, ri) =>
+              if (bms == null) null
+              else {
+                val cands = bms.zipWithIndex.flatMap { case ((g, s), bi) =>
+                  val lp = lpByKey((ri, bi))
+                  (0 until vocab).map(tok => (s + lp(tok), bi, tok, g))
+                }
+                // total order: score DESC, parent rank ASC, token ASC
+                cands.sortBy { case (sc, bi, tok, _) => (-sc, bi, tok) }
+                  .take(width)
+                  .map { case (sc, _, tok, g) => (g :+ tok, sc) }
+              }
+            }
+          }
+          t += 1
+        }
+        rows.iterator.zipWithIndex.map { case (r, ri) =>
+          if (beams(ri) == null) Row.fromSeq(r.toSeq :+ null)
+          else Row.fromSeq(r.toSeq :+ beams(ri).map(_._1.toSeq))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * Greedy autoregressive decoding — `steps` rounds of (forward pass
    * on the whole sequence → argmax over the vocab logits → append).
    * The model must be a token-input net whose output width IS the

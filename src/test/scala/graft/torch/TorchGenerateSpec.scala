@@ -65,6 +65,94 @@ class TorchGenerateSpec extends AnyFunSuite {
     (logits.indexOf(logits.max), sorted(fc.outDim - 1) - sorted(fc.outDim - 2))
   }
 
+  private def f64Logits(m: TorchScriptModel, ids: Array[Int]): Array[Double] = {
+    // same chain as f64Step but exposing the logits (for beam scoring)
+    val e = m.seqHead.get
+    val pe = m.ops.collectFirst { case p: PosEmbedOp => p }.get
+    val ea = m.ops.collectFirst { case a: EncoderAttnOp => a }.get
+    val lns = m.ops.collect { case l: SeqLayerNormOp => l }
+    val ff = m.ops.collectFirst { case f: PosFfnOp => f }.get
+    val fc = m.ops.collect { case l: LinearLayer => l }.last
+    val d = ea.inDim
+    val L = ids.length
+    val x = Array.tabulate(L, d)((p, j) =>
+      (e.weight(ids(p) * e.embDim + j).toDouble + pe.weight(p * d + j)).toFloat.toDouble)
+    def causalHead(h: SelfAttentionOp): Array[Double] = {
+      val hd = h.dim
+      def pr(w: Array[Float], b: Array[Float]) = Array.tabulate(L, hd)((p, o) =>
+        b(o) + (0 until d).map(j => x(p)(j) * w(o * d + j)).sum)
+      val (qm, km, vm) = (pr(h.wq, h.bq), pr(h.wk, h.bk), pr(h.wv, h.bv))
+      val a = L - 1
+      val sc = Array.tabulate(L)(b0 =>
+        (0 until hd).map(j => qm(a)(j) * km(b0)(j)).sum * h.scale)
+      val mx = sc.max
+      val es = sc.map(s0 => math.exp(s0 - mx))
+      val z = es.sum
+      Array.tabulate(hd)(j => (0 until L).map(b0 => es(b0) * vm(b0)(j)).sum / z)
+    }
+    val pl = ea.proj.get
+    def lnF(y: Array[Double], ln: SeqLayerNormOp): Array[Double] = {
+      val mean = y.sum / d
+      val va = y.map(v => (v - mean) * (v - mean)).sum / d
+      val inv = 1.0 / math.sqrt(va + ln.eps)
+      Array.tabulate(d)(j => (y(j) - mean) * inv * ln.gamma(j) + ln.beta(j))
+    }
+    val cat = ea.heads.flatMap(causalHead).toArray
+    val pj = Array.tabulate(d)(o =>
+      pl.bias(o) + (0 until d).map(j => cat(j) * pl.weight(o * d + j)).sum)
+    val n1 = lnF(Array.tabulate(d)(j => x(L - 1)(j) + pj(j)), lns(0))
+    val hid = ff.l1.outDim
+    val mid = Array.tabulate(hid)(h =>
+      math.max(0.0, ff.l1.bias(h) + (0 until d).map(j => n1(j) * ff.l1.weight(h * d + j)).sum))
+    val f2 = Array.tabulate(d)(o =>
+      ff.l2.bias(o) + (0 until hid).map(h => mid(h) * ff.l2.weight(o * hid + h)).sum)
+    val z2 = lnF(Array.tabulate(d)(j => n1(j) + f2(j)), lns(1))
+    Array.tabulate(fc.outDim)(o =>
+      fc.bias(o) + (0 until d).map(j => z2(j) * fc.weight(o * d + j)).sum)
+  }
+
+  test("sf0.001 beam search: 2x2 beams == f64 recompute; kept-vs-dropped margins floor") {
+    val m = graft.SparkEntry.genModel
+    val e = m.seqHead.get
+    val vocab = e.vocab
+    val dir = "/root/testdata/sf0.001"
+    val engine = graft.SparkEntry.queries("q197_torch_beam")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(engine.nonEmpty)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    def logProbs(ids: Array[Int]): Array[Double] = {
+      val lg = f64Logits(m, ids)
+      val mx = lg.max
+      val lse = math.log(lg.map(v => math.exp(v - mx)).sum) + mx
+      lg.map(_ - lse)
+    }
+    var minMargin = Double.MaxValue
+    for ((docId, ids) <- toks) {
+      val lp1 = logProbs(ids)
+      val b1 = (0 until vocab).sortBy(t => (-lp1(t), t)).take(2)
+      minMargin = math.min(minMargin,
+        lp1(b1(1)) - (0 until vocab).filterNot(b1.contains).map(lp1).max)
+      val cands = b1.zipWithIndex.flatMap { case (t1, rank) =>
+        val lp2 = logProbs(ids :+ t1)
+        (0 until vocab).map(t2 => (lp1(t1) + lp2(t2), rank, t1, t2))
+      }
+      val ranked = cands.sortBy { case (s, r, _, t2) => (-s, r, t2) }
+      val kept = ranked.take(2)
+      minMargin = math.min(minMargin, kept(1)._1 - ranked(2)._1)
+      val exp = (kept(0)._3, kept(0)._4, kept(1)._3, kept(1)._4)
+      assert(engine(docId) == exp, s"doc $docId: ${engine(docId)} vs $exp")
+    }
+    assert(minMargin > 1e-4, s"beam margin floor violated: $minMargin")
+  }
+
   test("sf0.001: 3-step generation == f64 recompute per step; per-step gap floor holds") {
     val m = graft.SparkEntry.genModel
     val e = m.seqHead.get
