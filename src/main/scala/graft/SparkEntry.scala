@@ -758,6 +758,37 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Int8 PTQ eval (q198): the q138 decoder run twice — fp32 weights
+    // vs the symmetric per-tensor int8 grid — and the per-doc class
+    // agreement measured, the standard quantization acceptance gate
+    // before a compressed model ships. The quantized net is a regular
+    // model over dequantized weights, so the executor AND the oracle
+    // generator run it unchanged.
+    "q198_torch_ptq" -> { (s, dir) =>
+      ArgMax.register(s)
+      val fp = decModel
+      val qz = graft.torch.TorchQuant.quantizeInt8(fp)
+      val vocab = fp.seqHead.get.vocab
+      val bcF = s.sparkContext.broadcast(fp)
+      val bcQ = s.sparkContext.broadcast(qz)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val f = Torch.inferBatched(toks, "tok_ids", "fp_logits", bcF, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("fp_logits")).as("fp_class"))
+      val q = Torch.inferBatched(toks, "tok_ids", "q_logits", bcQ, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("q_logits")).as("q_class"))
+      f.join(q, "doc_id")
+        .select(col("doc_id"), col("fp_class"), col("q_class"),
+          (col("fp_class") === col("q_class")).as("agree"))
+        .orderBy("doc_id")
+    },
+
     // Beam-search decoding (q197): width 2 × 2 steps over the q194
     // LM — per-beam log-softmax scores accumulate in f64, candidates
     // order by (joint DESC, parent rank ASC, token ASC). Every beam
@@ -8367,6 +8398,29 @@ object SparkEntry {
     // Beam search: two forward passes, synthetic beam ids, joint
     // log-prob ranking (see beamOracle).
     "q197_torch_beam" -> beamOracle,
+
+    // Two scoped forward chains — fp32 weights and the dequantized
+    // int8 grid — joined per doc.
+    "q198_torch_ptq" -> {
+      def chain(m: graft.torch.TorchScriptModel): String = {
+        val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+          m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+        TorchOracle.mlpArgmaxSql(fc, encBlockSql(m, pool = "last"),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+            s"AS cls FROM ${TorchOracle.lastCte(fc)}")
+      }
+      s"""WITH fp AS MATERIALIZED (
+         |${chain(decModel)}
+         |),
+         |qz AS MATERIALIZED (
+         |${chain(graft.torch.TorchQuant.quantizeInt8(decModel))}
+         |)
+         |SELECT fp.doc_id, fp.cls AS fp_class, qz.cls AS q_class,
+         |  fp.cls = qz.cls AS agree
+         |FROM fp JOIN qz ON qz.doc_id = fp.doc_id
+         |ORDER BY fp.doc_id""".stripMargin
+    },
 
     // The same derivation (edit/drop/add rules) and a FULL OUTER JOIN
     // on md5 fingerprints.
