@@ -758,6 +758,49 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Speculative decoding (q199): the DRAFT is the target pushed
+    // onto the int4 grid (the compressed-draft deployment recipe); it
+    // proposes 2 tokens greedily and the target verifies each prefix
+    // with ITS argmax — accepted = longest agreeing prefix, plus the
+    // target's token at the first mismatch (or its bonus token when
+    // all accepted): the greedy spec-decode acceptance rule, composed
+    // ENTIRELY from existing APIs (quantize + generateGreedy + three
+    // chained inferBatched passes in one plan). All-integer outputs,
+    // no probability-ratio knife-edges.
+    "q199_torch_spec_decode" -> { (s, dir) =>
+      ArgMax.register(s)
+      val vocab = genModel.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(genModel)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(genModel, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val drafted = Torch.generateGreedy(toks, "tok_ids", "draft", bcD,
+        steps = 2, batchSize = 256)
+      val withSeqs = drafted
+        .withColumn("seq1",
+          concat(col("tok_ids"), slice(col("draft").cast("array<bigint>"), 1, 1)))
+        .withColumn("seq2",
+          concat(col("tok_ids"), col("draft").cast("array<bigint>")))
+      val v1 = Torch.inferBatched(withSeqs, "tok_ids", "l1", bcT, batchSize = 256)
+        .withColumn("t1", call_function("argmax", col("l1"))).drop("l1")
+      val v2 = Torch.inferBatched(v1, "seq1", "l2", bcT, batchSize = 256)
+        .withColumn("t2", call_function("argmax", col("l2"))).drop("l2")
+      val v3 = Torch.inferBatched(v2, "seq2", "l3", bcT, batchSize = 256)
+        .withColumn("t3", call_function("argmax", col("l3"))).drop("l3")
+      val a1 = col("t1") === col("draft")(0)
+      val a2 = a1 && (col("t2") === col("draft")(1))
+      v3.select(col("doc_id"),
+          col("draft")(0).as("d1"), col("draft")(1).as("d2"),
+          when(!a1, lit(0)).when(!a2, lit(1)).otherwise(lit(2)).as("n_accepted"),
+          when(!a1, col("t1")).when(!a2, col("t2")).otherwise(col("t3"))
+            .as("next_token"))
+        .orderBy("doc_id")
+    },
+
     // Int8 PTQ eval (q198): the q138 decoder run twice — fp32 weights
     // vs the symmetric per-tensor int8 grid — and the per-doc class
     // agreement measured, the standard quantization acceptance gate
@@ -8398,6 +8441,70 @@ object SparkEntry {
     // Beam search: two forward passes, synthetic beam ids, joint
     // log-prob ranking (see beamOracle).
     "q197_torch_beam" -> beamOracle,
+
+    // Five scoped forward chains: draft steps 1-2 growing the token
+    // CTE, target verdicts at all three prefixes; the acceptance rule
+    // is pure integer CASE logic.
+    "q199_torch_spec_decode" -> {
+      def fwd(model: graft.torch.TorchScriptModel, toksName: String): String = {
+        val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+          model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+        TorchOracle.mlpArgmaxSql(fc,
+          encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+            s"AS tid FROM ${TorchOracle.lastCte(fc)}")
+      }
+      val vocab = genModel.seqHead.get.vocab
+      s"""WITH words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |toks0 AS MATERIALIZED (SELECT * FROM words),
+         |lens0 AS MATERIALIZED (
+         |  SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+         |d1 AS MATERIALIZED (
+         |${fwd(graft.torch.TorchQuant.quantize(genModel, 7), "toks0")}
+         |),
+         |dtoks1 AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks0
+         |  UNION ALL
+         |  SELECT d.doc_id, CAST(d.tid AS BIGINT), l.mp + 1
+         |  FROM d1 d JOIN lens0 l ON l.doc_id = d.doc_id),
+         |d2 AS MATERIALIZED (
+         |${fwd(graft.torch.TorchQuant.quantize(genModel, 7), "dtoks1")}
+         |),
+         |dtoks2 AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM dtoks1
+         |  UNION ALL
+         |  SELECT d.doc_id, CAST(d.tid AS BIGINT), l.mp + 2
+         |  FROM d2 d JOIN lens0 l ON l.doc_id = d.doc_id),
+         |t1 AS MATERIALIZED (
+         |${fwd(genModel, "toks0")}
+         |),
+         |t2 AS MATERIALIZED (
+         |${fwd(genModel, "dtoks1")}
+         |),
+         |t3 AS MATERIALIZED (
+         |${fwd(genModel, "dtoks2")}
+         |)
+         |SELECT d1.doc_id, d1.tid AS d1, d2.tid AS d2,
+         |  CASE WHEN t1.tid != d1.tid THEN 0
+         |       WHEN t2.tid != d2.tid THEN 1 ELSE 2 END AS n_accepted,
+         |  CASE WHEN t1.tid != d1.tid THEN t1.tid
+         |       WHEN t2.tid != d2.tid THEN t2.tid ELSE t3.tid END AS next_token
+         |FROM d1
+         |JOIN d2 ON d2.doc_id = d1.doc_id
+         |JOIN t1 ON t1.doc_id = d1.doc_id
+         |JOIN t2 ON t2.doc_id = d1.doc_id
+         |JOIN t3 ON t3.doc_id = d1.doc_id
+         |ORDER BY d1.doc_id""".stripMargin
+    },
 
     // Two scoped forward chains — fp32 weights and the dequantized
     // int8 grid — joined per doc.

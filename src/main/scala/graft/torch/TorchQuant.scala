@@ -18,8 +18,9 @@ package graft.torch
  */
 object TorchQuant {
 
-  /** Dequantized int8 projection of one weight tensor. */
-  def int8Dequant(w: Array[Float]): Array[Float] = {
+  /** Dequantized symmetric projection of one weight tensor onto the
+    * `[-maxCode, maxCode]` grid (127 = int8, 7 = int4). */
+  def dequantGrid(w: Array[Float], maxCode: Int): Array[Float] = {
     var maxAbs = 0.0f
     var i = 0
     while (i < w.length) {
@@ -29,19 +30,33 @@ object TorchQuant {
     }
     if (maxAbs == 0.0f) w.clone()
     else {
-      val s = maxAbs / 127.0f
+      val s = maxAbs / maxCode.toFloat
       w.map { v =>
-        val q = math.round(v / s).toInt // int8 code in [-127, 127]
+        val q = math.round(v / s).toInt // code in [-maxCode, maxCode]
         q * s
       }
     }
   }
 
-  private def quantLinear(l: LinearLayer): LinearLayer =
-    l.copy(weight = int8Dequant(l.weight))
+  /** Dequantized int8 projection of one weight tensor. */
+  def int8Dequant(w: Array[Float]): Array[Float] = dequantGrid(w, 127)
 
-  /** The model with every matmul weight pushed onto the int8 grid. */
-  def quantizeInt8(m: TorchScriptModel): TorchScriptModel = {
+  /** The model with every matmul weight pushed onto the given grid —
+    * maxCode 127 = W8 PTQ; maxCode 7 = the int4 DRAFT-model recipe
+    * (speculative decoding with a compressed draft, q199). */
+  def quantize(m: TorchScriptModel, maxCode: Int): TorchScriptModel = {
+    def quantLinear(l: LinearLayer): LinearLayer =
+      l.copy(weight = dequantGrid(l.weight, maxCode))
+    def int8Dequant(w: Array[Float]): Array[Float] = dequantGrid(w, maxCode)
+    quantizeBy(m, quantLinear, int8Dequant)
+  }
+
+  /** [[quantize]] at int8. */
+  def quantizeInt8(m: TorchScriptModel): TorchScriptModel = quantize(m, 127)
+
+  private def quantizeBy(m: TorchScriptModel,
+      quantLinear: LinearLayer => LinearLayer,
+      int8Dequant: Array[Float] => Array[Float]): TorchScriptModel = {
     val ops = m.ops.map {
       case l: LinearLayer => quantLinear(l)
       case a: SelfAttentionOp => a.copy(

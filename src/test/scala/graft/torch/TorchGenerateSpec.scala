@@ -212,6 +212,32 @@ class TorchGenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("speculative decoding coheres with the target's greedy trajectory (q194)") {
+    val dir = "/root/testdata/sf0.001"
+    val spec = graft.SparkEntry.queries("q199_torch_spec_decode")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    val greedy = graft.SparkEntry.queries("q194_torch_generate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(spec.keySet == greedy.keySet)
+    var (n0, n2) = (0, 0)
+    for ((id, (d1, d2, n, next)) <- spec) {
+      val (g1, g2, g3) = greedy(id)
+      n match {
+        // target rejected immediately: its correction IS its greedy token
+        case 0 => assert(next == g1, s"doc $id"); n0 += 1
+        // d1 accepted means d1 == target greedy step 1; correction = step 2
+        case 1 => assert(d1 == g1 && next == g2, s"doc $id")
+        // full acceptance: the draft walked the target's greedy path,
+        // and the bonus token is the target's third greedy token
+        case 2 => assert(d1 == g1 && d2 == g2 && next == g3, s"doc $id"); n2 += 1
+        case _ => fail(s"doc $id: n_accepted $n")
+      }
+    }
+    // the int4 draft must be good-but-imperfect on this fixture
+    assert(n2 > 0 && n0 > 0, s"degenerate acceptance mix: all=$n2 none=$n0")
+  }
+
   test("append consistency and loud failure past the position table") {
     import spark.implicits._
     val m = graft.SparkEntry.genModel
