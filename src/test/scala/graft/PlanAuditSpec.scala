@@ -329,4 +329,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p167).length == 1,
       s"q167: expected exactly one ranking window:\n$p167")
   }
+
+  test("round-13 second wave: map-stage ops have ZERO exchanges; keyed ops exactly one") {
+    // FIM, SFT rendering, char entropy, span corruption: pure
+    // scan-side HOF projections — ANY exchange is a regression
+    for (q <- Seq("q184_fim", "q186_char_entropy", "q188_sft_render")) {
+      val p = plan(q)
+      // the final orderBy is allowed its sort exchange; nothing else
+      val ex = "Exchange".r.findAllIn(p).length
+      assert(ex <= 1, s"$q: map-stage op shuffled beyond the output sort ($ex):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // preference pairs: ONE hash-partitioning exchange on the prompt
+    // key (plus the output sort); the struct min/max must partial-agg
+    val pp = plan("q183_dpo_pairs")
+    assert("Exchange hashpartitioning".r.findAllIn(pp).length == 1,
+      s"q183: expected one keyed exchange:\n$pp")
+    assert(pp.contains("partial_"), s"q183: no map-side partial agg:\n$pp")
+    // reward norm: one window over the prompt key, no product plans
+    val rn = plan("q193_reward_norm")
+    assert("Window".r.findAllIn(rn).length == 1 &&
+      !rn.contains("CartesianProduct"), s"q193 plan:\n$rn")
+  }
+
+  test("round-13 PCA family: the Gram pass is one partial/final aggregate, nothing row-shaped exchanged") {
+    import org.apache.spark.sql.functions.col
+    // the fit itself runs eagerly inside the query builder, so audit
+    // the aggregation frame directly: partial (map-side) combine, a
+    // single-partition exchange carrying ONE buffer per task, and no
+    // explode — the triangle buffer IS the fan-out
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val g = emb.agg(graft.operators.Pca.gram_stats(col("embedding"), 64).as("g"))
+    val p = g.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"Gram pass does not partial-aggregate:\n$p")
+    assert(!p.toLowerCase.contains("explode"), s"Gram pass exploded:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"Gram pass: expected one single-partition exchange:\n$p")
+    // the projection query itself: scan-side HOFs + the output sort only
+    val pq = plan("q182_pca_top")
+    assert(!pq.contains("CartesianProduct") &&
+      "Exchange".r.findAllIn(pq).length <= 1,
+      s"q182 projection is not scan-side:\n$pq")
+  }
 }
