@@ -758,6 +758,52 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // Ingest capstone v4 (q200): the round-13 second wave composed —
+    // INCREMENTAL corpus diff (q192: only added/changed docs flow)
+    // -> frozen-CMS boilerplate gate over the delta (q190, rate <
+    // 0.9) -> character-entropy gate (q186, >= 4.0 bits) -> FIM
+    // transform (q184) -> token packing by the TRANSFORMED length.
+    // Each stage's statistics are computed over ITS input (the
+    // chained semantics the oracle restates); the delta is
+    // checkpointed once before the two scan-heavy gates.
+    "q200_ingest_v4" -> { (s, dir) =>
+      val v1 = t(s, dir, "documents")
+      val edited = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"))
+      val added = v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val v2 = edited.unionAll(added)
+      val delta = graft.operators.Versioning.corpusDiff(v1, v2, "doc_id", "text")
+        .filter(col("status").isin("added", "changed")).select("doc_id")
+      val base = graft.operators.Checkpoints.cp(
+        v2.join(delta, "doc_id").select("doc_id", "text"))
+      val grams = TextOps.shingles(col("text"), 2)
+      val (depth, width) = (4, 1024)
+      val counters = base.agg(graft.operators.Profile.Cms
+          .cms_sketch(grams, depth, width).as("sk"))
+        .selectExpr("sk.counters").head().getSeq[Long](0).toArray
+      val minCount = math.max(2L, base.count() * 5L / 100L)
+      val st = graft.operators.Profile.Cms
+        .heavyStats(s, counters, depth, width, minCount, grams)
+      val base2 = base.select(col("doc_id"), col("text"), st.as("st"))
+        .filter(col("st.n_grams") === 0 ||
+          col("st.n_heavy").cast("double")
+            < col("st.n_grams").cast("double") * 0.9D)
+        .select("doc_id", "text")
+      val base3 = base2.filter(TextOps.charEntropy(col("text")) >= 4.0D)
+      val fim = graft.operators.Noise
+        .fimTransform(base3, "doc_id", "text", fimPct = 50)
+        .select(col("doc_id"), col("mode"),
+          TextOps.strictTokenCount(col("out")).as("out_tokens"))
+      graft.operators.Pack.packBins(fim, "doc_id",
+          col("out_tokens"), capacity = 1024L)
+        .join(fim.select("doc_id", "mode"), "doc_id")
+        .select(col("doc_id"), col("mode"), col("n_tokens"), col("bin"))
+        .orderBy("doc_id")
+    },
+
     // Speculative decoding (q199): the DRAFT is the target pushed
     // onto the int4 grid (the compressed-draft deployment recipe); it
     // proposes 2 tokens greedily and the target verifies each prefix
@@ -8441,6 +8487,90 @@ object SparkEntry {
     // Beam search: two forward passes, synthetic beam ids, joint
     // log-prob ranking (see beamOracle).
     "q197_torch_beam" -> beamOracle,
+
+    // The whole v4 chain: q192's v2 derivation and diff, q190's
+    // delta-frozen sketch and rate gate, q186's entropy gate, q184's
+    // FIM arithmetic (out length = n + 3 sentinels for psm), q43's
+    // exclusive-prefix-sum packing window.
+    "q200_ingest_v4" ->
+      """WITH v2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |dj AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(a.text) != md5(b.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+        |base AS MATERIALIZED (
+        |  SELECT v2.doc_id, v2.text FROM v2
+        |  JOIN dj ON dj.doc_id = v2.doc_id
+        |  WHERE dj.status IN ('added', 'changed')),
+        |toksb AS MATERIALIZED (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws
+        |  FROM base),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, list_aggregate(ws[i:i+1], 'string_agg', ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toksb)),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |occ AS MATERIALIZED (
+        |  SELECT js.j,
+        |    CAST('0x' || substring(md5(sh.g), 1 + 8 * js.j, 8)
+        |         AS BIGINT) % 1024 AS b,
+        |    count(*) AS c
+        |  FROM sh CROSS JOIN js GROUP BY 1, 2),
+        |nd AS (SELECT greatest(2, count(*) * 5 // 100) AS mc FROM base),
+        |docg AS MATERIALIZED (
+        |  SELECT sh.doc_id, sh.g, min(o.c) AS est
+        |  FROM sh CROSS JOIN js
+        |  JOIN occ o ON o.j = js.j
+        |    AND o.b = CAST('0x' || substring(md5(sh.g), 1 + 8 * js.j, 8)
+        |               AS BIGINT) % 1024
+        |  GROUP BY 1, 2),
+        |rates AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN est >= nd.mc THEN 1 ELSE 0 END) AS n_heavy
+        |  FROM docg CROSS JOIN nd GROUP BY doc_id),
+        |base2 AS MATERIALIZED (
+        |  SELECT b.doc_id, b.text FROM base b
+        |  LEFT JOIN rates r ON r.doc_id = b.doc_id
+        |  WHERE r.doc_id IS NULL
+        |     OR CAST(r.n_heavy AS DOUBLE)
+        |        < CAST(r.n_grams AS DOUBLE) * CAST(0.9 AS DOUBLE)),
+        |ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        |  FROM base2),
+        |rc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+        |       FROM ch GROUP BY 1, 2),
+        |ag AS MATERIALIZED (
+        |  SELECT doc_id, sum(k) AS n, sum(k * ln(k)) AS acc
+        |  FROM rc GROUP BY doc_id),
+        |base3 AS MATERIALIZED (
+        |  SELECT b.doc_id, b.text FROM base2 b
+        |  JOIN ag ON ag.doc_id = b.doc_id
+        |  WHERE (ln(ag.n) - ag.acc / ag.n) / ln(CAST(2.0 AS DOUBLE))
+        |        >= CAST(4.0 AS DOUBLE)),
+        |fim AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |                 || '_fim'), 1, 8) AS BIGINT) % 100 < 50
+        |         THEN 'psm' ELSE 'plain' END AS mode,
+        |    len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n
+        |  FROM base3),
+        |pt AS (
+        |  SELECT doc_id, mode,
+        |    CAST(CASE WHEN mode = 'psm' THEN n + 3 ELSE n END AS INT) AS n_tokens
+        |  FROM fim)
+        |SELECT doc_id, mode, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1024)
+        |    AS BIGINT) AS bin
+        |FROM pt ORDER BY doc_id""".stripMargin,
 
     // Five scoped forward chains: draft steps 1-2 growing the token
     // CTE, target verdicts at all three prefixes; the acceptance rule
