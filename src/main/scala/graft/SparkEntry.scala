@@ -758,6 +758,23 @@ object SparkEntry {
           (col("recall_floor") >= 0.05).as("pass"))
     },
 
+    // ROUGE-2 recall (q201): the recall complement of q196 — clipped
+    // n-gram overlap normalized by the REFERENCE totals, measured on
+    // the T5 span corruption (q181) vs the original: what the masking
+    // costs in recoverable content (r1 = exactly the unmasked
+    // fraction, since sentinels never collide with corpus tokens —
+    // the oracle derives it independently).
+    "q201_rouge_corrupt" -> { (s, dir) =>
+      val corr = graft.operators.Noise
+        .spanCorrupt(t(s, dir, "documents"), "doc_id", "text", ratePct = 15)
+        .select(col("doc_id"), col("corrupted"))
+      val pairs = corr.join(
+        t(s, dir, "documents").select(col("doc_id"), col("text").as("ref")),
+        "doc_id")
+      graft.operators.Eval.rouge2(pairs, "doc_id", "corrupted", "ref")
+        .orderBy("doc_id")
+    },
+
     // Ingest capstone v4 (q200): the round-13 second wave composed —
     // INCREMENTAL corpus diff (q192: only added/changed docs flow)
     // -> frozen-CMS boilerplate gate over the delta (q190, rate <
@@ -8487,6 +8504,77 @@ object SparkEntry {
     // Beam search: two forward passes, synthetic beam ids, joint
     // log-prob ranking (see beamOracle).
     "q197_torch_beam" -> beamOracle,
+
+    // q181's corruption chain rebuilds the candidate; the clipped
+    // counts divide by the REFERENCE totals.
+    "q201_rouge_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS tk,
+        |    generate_subscripts(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'), 1) AS pos
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tk, pos,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_' ||
+        |      CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 15 AS m
+        |  FROM t),
+        |g AS (
+        |  SELECT *, CASE WHEN m AND NOT COALESCE(
+        |      lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM f),
+        |h AS (
+        |  SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS sp
+        |  FROM g),
+        |inp AS MATERIALIZED (
+        |  SELECT doc_id, string_agg(
+        |      CASE WHEN NOT m THEN tk
+        |           ELSE '<extra_id_' || CAST(sp - 1 AS VARCHAR) || '>' END,
+        |      ' ' ORDER BY pos) AS corrupted
+        |  FROM h WHERE (NOT m) OR st = 1 GROUP BY doc_id),
+        |cw AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    regexp_extract_all(COALESCE(i.corrupted, ''),
+        |      '[^ \t\n\x0B\f\r]+') AS ca,
+        |    regexp_extract_all(d.text, '[^ \t\n\x0B\f\r]+') AS ra
+        |  FROM documents d LEFT JOIN inp i ON i.doc_id = d.doc_id),
+        |r1g AS (
+        |  SELECT doc_id, g, count(*) AS rc FROM
+        |    (SELECT doc_id, unnest(ra) AS g FROM cw) GROUP BY 1, 2),
+        |c1g AS (
+        |  SELECT doc_id, g, count(*) AS cc FROM
+        |    (SELECT doc_id, unnest(ca) AS g FROM cw) GROUP BY 1, 2),
+        |r2g AS (
+        |  SELECT doc_id, g, count(*) AS rc FROM
+        |    (SELECT doc_id, list_aggregate(ra[i:i+1], 'string_agg', ' ') AS g
+        |     FROM (SELECT doc_id, ra, unnest(range(1, len(ra))) AS i FROM cw))
+        |  GROUP BY 1, 2),
+        |c2g AS (
+        |  SELECT doc_id, g, count(*) AS cc FROM
+        |    (SELECT doc_id, list_aggregate(ca[i:i+1], 'string_agg', ' ') AS g
+        |     FROM (SELECT doc_id, ca, unnest(range(1, len(ca))) AS i FROM cw))
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT r.doc_id, CAST(sum(r.rc) AS BIGINT) AS rlen1,
+        |    CAST(sum(least(r.rc, COALESCE(c.cc, 0))) AS BIGINT) AS rclip1
+        |  FROM r1g r LEFT JOIN c1g c ON c.doc_id = r.doc_id AND c.g = r.g
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT r.doc_id, CAST(sum(r.rc) AS BIGINT) AS rlen2,
+        |    CAST(sum(least(r.rc, COALESCE(c.cc, 0))) AS BIGINT) AS rclip2
+        |  FROM r2g r LEFT JOIN c2g c ON c.doc_id = r.doc_id AND c.g = r.g
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(u.rlen1, 0) AS ref_len,
+        |  round(CASE WHEN u.rlen1 IS NULL OR u.rlen1 = 0 THEN NULL
+        |        ELSE CAST(u.rclip1 AS DOUBLE) / CAST(u.rlen1 AS DOUBLE) END, 6)
+        |    AS r1,
+        |  round(CASE WHEN b.rlen2 IS NULL OR b.rlen2 = 0 THEN NULL
+        |        ELSE CAST(b.rclip2 AS DOUBLE) / CAST(b.rlen2 AS DOUBLE) END, 6)
+        |    AS r2
+        |FROM documents d
+        |LEFT JOIN u ON u.doc_id = d.doc_id
+        |LEFT JOIN b ON b.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The whole v4 chain: q192's v2 derivation and diff, q190's
     // delta-frozen sketch and rate gate, q186's entropy gate, q184's

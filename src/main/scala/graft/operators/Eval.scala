@@ -70,4 +70,39 @@ object Eval {
         round(p2, 6).as("p2"),
         round(bleu, 6).as("bleu"))
   }
+
+  /**
+   * ROUGE-N recall (Lin 2004) — the recall complement of [[bleu2]]:
+   * the same clipped n-gram overlap, but normalized by the REFERENCE
+   * totals, so missing reference content is what costs score (BLEU
+   * punishes invented candidate content instead). Same
+   * (key, gram)-keyed counting shape.
+   *
+   * @return keyCol, ref_len (ref unigram total), r1, r2
+   */
+  def rouge2(df: DataFrame, keyCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    def counts(c: Column, n: Int, out: String): DataFrame =
+      df.select(col(keyCol), explode(grams(c, n)).as("g"))
+        .groupBy(keyCol, "g").agg(count(lit(1)).as(out))
+    def recall(n: Int): DataFrame = {
+      val rc = counts(col(refCol), n, "rc")
+      val cc = counts(col(candCol), n, "cc")
+      rc.join(cc, Seq(keyCol, "g"), "left")
+        .groupBy(keyCol)
+        .agg(sum("rc").as(s"rlen$n"),
+          sum(least(col("rc"), coalesce(col("cc"), lit(0L)))).as(s"rclip$n"))
+    }
+    val u = recall(1)
+    val b = recall(2)
+    def ratio(len: Column, clip: Column): Column =
+      when(len.isNull || len === 0, lit(null).cast("double"))
+        .otherwise(clip.cast("double") / len.cast("double"))
+    df.select(col(keyCol)).distinct()
+      .join(u, Seq(keyCol), "left")
+      .join(b, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("rlen1"), lit(0L)).as("ref_len"),
+        round(ratio(col("rlen1"), col("rclip1")), 6).as("r1"),
+        round(ratio(col("rlen2"), col("rclip2")), 6).as("r2"))
+  }
 }

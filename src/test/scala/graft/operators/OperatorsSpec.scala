@@ -1730,6 +1730,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4L)._2.isEmpty && out(4L)._3.isEmpty)
   }
 
+  test("rouge2: identity 1.0; extra candidate content never lowers recall; masked-fraction identity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "a b c"),              // identity
+      (2L, "a b c x y z", "a b c"),        // superset cand -> still 1.0
+      (3L, "a <extra_id_0> d", "a b c d")  // 2 of 4 unigrams survive
+    ).toDF("k", "cand", "ref")
+    val out = Eval.rouge2(df, "k", "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), Option(r.get(3))))).toMap
+    assert(out(1L) == ((3L, 1.0, Some(1.0))))
+    assert(out(2L)._2 == 1.0 && out(2L)._3 == Some(1.0))
+    assert(out(3L)._1 == 4L && out(3L)._2 == 0.5)
+    // the q201 identity: unigram recall == unmasked fraction, because
+    // sentinels never collide with corpus tokens
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corr = Noise.spanCorrupt(docs, "doc_id", "text", ratePct = 15)
+    val pairs = corr.select(col("doc_id"), col("corrupted"),
+        col("n_tokens"), col("n_masked"))
+      .join(docs.select(col("doc_id"), col("text").as("ref")), "doc_id")
+    val joined = Eval.rouge2(pairs, "doc_id", "corrupted", "ref")
+      .join(pairs.select("doc_id", "n_tokens", "n_masked"), "doc_id")
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("r1"),
+        round((col("n_tokens") - col("n_masked")).cast("double")
+          / col("n_tokens").cast("double"), 6).as("unmasked"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"doc ${r.getLong(0)}: r1 ${r.getDouble(1)} != unmasked ${r.getDouble(2)}"))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged classified exactly; bodies never join") {
     import spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
