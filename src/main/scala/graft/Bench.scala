@@ -173,9 +173,25 @@ object Bench {
         s""","medians":$medJson,"ann_split":$annJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    // short keys ("q22" for "q22_minhash_lsh") keep the line ~1kB so it
-    // fits the tail buffer whole; printed last, after Spark is down
+    // The driver captures only the LAST ~2000 chars of output. At 200+
+    // queries even the short-key per-query map is ~2.7kB, so r13's
+    // driver artifact truncated mid-map (BENCH_r13.json parsed:null,
+    // VERDICT r13 item 1). Protocol since r14: the full short-key line
+    // prints FIRST (humans / generous captures), and the LAST line is a
+    // compact summary guaranteed to fit the tail — total, counts, the
+    // top-12 slowest queries, and (capped) failing-query names. The
+    // complete per-query map always lives in BENCH_LOCAL.json.
     println(line(_.takeWhile(_ != '_'), v => f"$v%.3f", shortErrors))
+    val slowest = ordered.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"${jstr(k.takeWhile(_ != '_'))}:${f"$v%.3f"}" }
+      .mkString("{", ",", "}")
+    val errNames = errors.keys.take(40).map(k => jstr(k.takeWhile(_ != '_')))
+    val errJson = (if (errors.size > 40) errNames ++ Seq(jstr(s"+${errors.size - 40}"))
+                   else errNames).mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,""" +
+        s""""n":${ordered.size},"failed":${errors.nonEmpty},"n_errors":${errors.size},""" +
+        s""""errors":$errJson,"slowest":$slowest,"sf":"$sfDir"}""")
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
