@@ -2626,6 +2626,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ENCODER-DECODER CROSS-ATTENTION (q202, VERDICT r13 gap #1): the
+    // doc's first 4 tokens (the query-side sequence, own embedding)
+    // attend over its first 12 tokens run through a SEPARATE encoder
+    // embedding — two live sequences through one nn.MultiheadAttention
+    // -style block (queries from x, keys/values from y). Scan-side
+    // mapPartitions pair inference, no shuffle; the oracle restates
+    // the score join with the query-side CTE distinct from the key
+    // side (crossBlockSql).
+    "q202_torch_crossattn" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = crossModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("k_ids"))
+        .filter(size(col("k_ids")) >= 1)
+        .select(col("doc_id"), slice(col("k_ids"), 1, CrossQLen).as("q_ids"),
+          col("k_ids"))
+      Torch.inferPairBatched(toks, "q_ids", "k_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("cross_class"))
+        .orderBy("doc_id")
+    },
+
     // BERT-style classifier head (q127 + what every real pre-BERT
     // model adds): learned positional embeddings summed into the token
     // embeddings, a prepended [CLS] token (id 0), and CLS pooling —
@@ -4796,6 +4823,50 @@ object SparkEntry {
         (base.slice(1, 5) :+ (SeqMaskedMeanPoolOp: TorchOp) :+ base.last))
   }
 
+  /** ENCODER-DECODER CROSS-ATTENTION model for q202 (the T5/BART
+    * decoder-block shape — VERDICT r13 gap #1; the reference runs any
+    * such TorchScript via libtorch, reference src/udf.rs:127): the
+    * MAIN (query-side) token sequence embeds through one table, the
+    * ENCODER leg (key/value side) through a SEPARATE table
+    * ([[graft.torch.TorchScriptModel.encOps]]), and two 2-dim
+    * cross-attention heads let each query position attend over ALL
+    * encoder positions — then out-proj + residual -> LN -> FFN +
+    * residual -> LN -> mean pool -> Linear(4->3) -> argmax, the q127
+    * block with its self-attention swapped for
+    * [[graft.torch.CrossAttnOp]]. Dyadic 1/16-grid weights pin the
+    * argmax exactly like q127 (TorchCrossSpec pins the sf0.001 gap
+    * floor and the cross(x, x) == self-attention identity). */
+  private[graft] lazy val crossModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    def head(seed: Int) = SelfAttentionOp(
+      qvals(8, seed, 1.0), qvals(2, seed + 2, 0.25),
+      qvals(8, seed + 4, 1.0), qvals(2, seed + 6, 0.25),
+      qvals(8, seed + 8, 1.5), qvals(2, seed + 10, 0.5),
+      dim = 2, inDim = 4, scale = 0.5)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(32 * 4, 3001, 2.0), vocab = 32, embDim = 4),
+      CrossAttnOp(IndexedSeq(head(3011), head(3019)),
+        proj = Some(LinearLayer(qvals(16, 3023, 1.0), qvals(4, 3037, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 3041, 0.25).map(v => 1f + v), qvals(4, 3049, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 3061, 1.0), qvals(8, 3067, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 3079, 1.0), qvals(4, 3083, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 3089, 0.25).map(v => 1f + v), qvals(4, 3109, 0.25), 1e-5),
+      SeqMeanPoolOp,
+      LinearLayer(qvals(12, 3119, 4.0), Array(0f, 0f, 0f), 3, 4)),
+      encOps = IndexedSeq(
+        EmbeddingSeqOp(qvals(32 * 4, 3121, 2.0), vocab = 32, embDim = 4)))
+  }
+
+  /** Query-side position cap for q202 (the key side reuses
+    * [[EncMaxLen]]); Lq != Lk keeps the two-sequence shape honest. */
+  private val CrossQLen = 4
+
   /** q151's pinned blocklist: multi-word phrases over the fixture
     * vocabulary plus one bare token; all BORDERLESS (no proper prefix
     * == suffix), so automaton all-occurrence counts equal the
@@ -5378,6 +5449,131 @@ object SparkEntry {
        | FROM ffn),
        |n2 AS (${lnSel(lns(1), "y", "z", "r2")}),
        |$poolCte
+       |SELECT doc_id, ${(0 until d).map(j => s"p$j").mkString(", ")} FROM pool""".stripMargin
+  }
+
+  /** q202 oracle: the [[encBlockSql]] chain with the score join's
+    * QUERY side and KEY side coming from DISTINCT CTEs — the
+    * cross-attention restatement. Two tokenizations (query positions
+    * <= [[CrossQLen]], key positions <= [[EncMaxLen]]) through two
+    * separate embedding VALUES tables; q-affines from the query-side
+    * sequence, k/v-affines from the encoder-side one; each (doc,
+    * query-position) softmaxes over ALL key positions; out-proj +
+    * residual (the QUERY position's main embedding), then the same
+    * LN -> FFN+residual -> LN -> mean-pool chain as q127. */
+  private def crossBlockSql(m0: graft.torch.TorchScriptModel): String = {
+    import graft.torch._
+    val m = m0
+    val e = m.seqHead.get
+    val enc = m.encHead.get
+    val ca = m.ops.collectFirst { case a: CrossAttnOp => a }.get
+    val lns = m.ops.collect { case l: SeqLayerNormOp => l }
+    val ff = m.ops.collectFirst { case f: PosFfnOp => f }.get
+    val d = ca.inDim
+    val hd = ca.heads.head.dim
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def fmtD(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def embRows(emb: EmbeddingSeqOp): String = (0 until emb.vocab).map { t =>
+      (0 until emb.embDim).map(j => fmtF(emb.weight(t * emb.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until d).map(j => s"w$j").mkString(", ")
+    val castCols = (0 until d).map(j => s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")
+    def affine(w: Array[Float], b: Array[Float], outN: Int, p: String): String =
+      (0 until outN).map { o =>
+        val terms = fmtF(b(o)) +:
+          (0 until d).map(j => s"${fmtF(w(o * d + j))}*w$j")
+        s"${terms.mkString("(", "+", ")")} AS $p$o"
+      }.mkString(",\n   ")
+    val qSel = ca.heads.zipWithIndex.map { case (h, i) =>
+      affine(h.wq, h.bq, hd, s"q$i")
+    }.mkString(",\n   ")
+    val kvSel = ca.heads.zipWithIndex.map { case (h, i) =>
+      s"""${affine(h.wk, h.bk, hd, s"k$i")},
+         |   ${affine(h.wv, h.bv, hd, s"v$i")}""".stripMargin
+    }.mkString(",\n   ")
+    val scoreSel = ca.heads.indices.map { i =>
+      (0 until hd).map(j => s"a.q$i$j*b.k$i$j").mkString("(", "+", ")") +
+        s"*${fmtD(ca.heads(i).scale)} AS sc$i"
+    }.mkString(", ")
+    val vCarry = ca.heads.indices.flatMap(i =>
+      (0 until hd).map(j => s"b.v$i$j AS v$i$j")).mkString(", ")
+    val mxSel = ca.heads.indices.map(i => s"max(sc$i) AS m$i").mkString(", ")
+    val exSel = ca.heads.indices.map(i => s"exp(s.sc$i - mx.m$i) AS es$i").mkString(", ")
+    val exVCols = ca.heads.indices.flatMap(i => (0 until hd).map(j => s"s.v$i$j")).mkString(", ")
+    val attSel = ca.heads.indices.flatMap { i =>
+      (0 until hd).map(j => s"sum(es$i*v$i$j)/sum(es$i) AS c${i * hd + j}")
+    }.mkString(", ")
+    val pl = ca.proj.get
+    val projSel = (0 until d).map { o =>
+      val terms = fmtF(pl.bias(o)) +: (0 until d).map(j => s"${fmtF(pl.weight(o * d + j))}*c$j")
+      s"${terms.mkString("(", "+", ")")} + w$o AS r$o" // + residual (the QUERY position's embedding)
+    }.mkString(",\n   ")
+    def lnSel(ln: SeqLayerNormOp, in: String, out: String, from: String): String = {
+      val mean = (0 until d).map(j => s"$in$j").mkString("(", "+", s")/${d}.0")
+      val varE = (0 until d).map(j => s"($in$j-mu)*($in$j-mu)").mkString("(", "+", s")/${d}.0")
+      s"""SELECT doc_id, pos, ${(0 until d).map(j =>
+        s"(($in$j-mu)/sqrt(va+${fmtD(ln.eps)}))*${fmtF(ln.gamma(j))}+${fmtF(ln.beta(j))} AS $out$j")
+        .mkString(", ")}
+         |FROM (SELECT *, $varE AS va FROM (SELECT *, $mean AS mu FROM $from))""".stripMargin
+    }
+    val hidN = ff.l1.outDim
+    val midSel = (0 until hidN).map { h =>
+      val terms = fmtF(ff.l1.bias(h)) +: (0 until d).map(j =>
+        s"${fmtF(ff.l1.weight(h * d + j))}*n$j")
+      s"GREATEST(0, ${terms.mkString("+")}) AS h$h"
+    }.mkString(",\n   ")
+    val ffnSel = (0 until d).map { o =>
+      val terms = fmtF(ff.l2.bias(o)) +: (0 until hidN).map(h =>
+        s"${fmtF(ff.l2.weight(o * hidN + h))}*h$h")
+      s"${terms.mkString("(", "+", ")")} + n$o AS y$o" // + residual
+    }.mkString(",\n   ")
+    val poolSel = (0 until d).map(j => s"avg(z$j) AS p$j").mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % ${e.vocab} AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |qtoks AS (SELECT * FROM words WHERE pos <= $CrossQLen),
+       |embq(tid, $wCols) AS (VALUES
+       |    ${embRows(e)}),
+       |embk(tid, $wCols) AS (VALUES
+       |    ${embRows(enc)}),
+       |xq AS (SELECT doc_id, pos, $castCols FROM qtoks JOIN embq USING (tid)),
+       |xk AS (SELECT doc_id, pos, $castCols FROM words JOIN embk USING (tid)),
+       |qh AS (SELECT doc_id, pos,
+       |   $qSel
+       | FROM xq),
+       |kh AS (SELECT doc_id, pos,
+       |   $kvSel
+       | FROM xk),
+       |s AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $scoreSel, $vCarry
+       | FROM qh a JOIN kh b ON a.doc_id = b.doc_id),
+       |mx AS (SELECT doc_id, pa, $mxSel FROM s GROUP BY doc_id, pa),
+       |ex AS (SELECT s.doc_id, s.pa, $exSel, $exVCols
+       |       FROM s JOIN mx ON s.doc_id = mx.doc_id AND s.pa = mx.pa),
+       |att AS (SELECT doc_id, pa AS pos, $attSel FROM ex GROUP BY doc_id, pa),
+       |res AS (SELECT att.doc_id, att.pos,
+       |   $projSel
+       | FROM att JOIN xq ON att.doc_id = xq.doc_id AND att.pos = xq.pos),
+       |n1 AS (${lnSel(lns(0), "r", "n", "res")}),
+       |ffn AS (SELECT doc_id, pos, ${(0 until d).map(j => s"n$j").mkString(", ")},
+       |   $midSel
+       | FROM n1),
+       |r2 AS (SELECT doc_id, pos,
+       |   $ffnSel
+       | FROM ffn),
+       |n2 AS (${lnSel(lns(1), "y", "z", "r2")}),
+       |pool AS (SELECT doc_id, $poolSel FROM n2 GROUP BY doc_id)
        |SELECT doc_id, ${(0 until d).map(j => s"p$j").mkString(", ")} FROM pool""".stripMargin
   }
 
@@ -7242,6 +7438,18 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // Cross-attention: the q127 score-join recipe with the QUERY-side
+    // CTE distinct from the KEY side (two tokenizations, two embedding
+    // tables) — see crossBlockSql.
+    "q202_torch_crossattn" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        crossModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, crossBlockSql(crossModel),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS cross_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // GQA: encBlockSql is head-generic — the shared-kv heads restate

@@ -216,6 +216,73 @@ object Torch {
   }
 
   /**
+   * Batched TWO-SEQUENCE inference for CROSS-ATTENTION models
+   * (encoder-decoder: `queryCol` feeds the main/decoder-side token
+   * sequence, `keyCol` the encoder leg whose output every
+   * [[CrossAttnOp]] attends over). Appends `outputCol: array<float>`.
+   * Same scan-side `mapPartitions` shape as [[inferBatched]] — weights
+   * ride the broadcast once per executor, the per-row sequence phase
+   * runs in the partition, the flat tail as one GEMM per batch; no
+   * shuffle at any corpus size. Null inputs (either side, or any null
+   * element, or an empty row) yield null output.
+   */
+  def inferPairBatched(
+      df: DataFrame,
+      queryCol: String,
+      keyCol: String,
+      outputCol: String,
+      model: Broadcast[TorchScriptModel],
+      batchSize: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val bs =
+      if (batchSize > 0) batchSize
+      else TorchConf.get(spark).batchSize
+    require(model.value.isCross, "not a cross-attention model: use inferBatched")
+    val withInts = df
+      .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
+      .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outputCol, ArrayType(FloatType), nullable = true))
+    val qIdx = withInts.schema.fieldIndex(queryCol)
+    val kIdx = withInts.schema.fieldIndex(keyCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val outDim = m.outDim
+      it.grouped(bs).flatMap { rows =>
+        def tokens(r: Row, idx: Int): Array[Int] = {
+          if (r.isNullAt(idx)) return null
+          val xs = r.getSeq[Any](idx)
+          if (xs.isEmpty) return null
+          val a = new Array[Int](xs.length)
+          var j = 0
+          while (j < a.length) {
+            xs(j) match {
+              case null => return null
+              case f: java.lang.Number => a(j) = f.intValue()
+            }
+            j += 1
+          }
+          a
+        }
+        val pairs = rows.map(r => (tokens(r, qIdx), tokens(r, kIdx)))
+        val live = pairs.filter(p => p._1 != null && p._2 != null).toArray
+        val out =
+          if (live.nonEmpty)
+            m.forwardTokensPairBatch(live.map(_._1), live.map(_._2))
+          else Array.empty[Float]
+        var k = -1
+        rows.iterator.zip(pairs.iterator).map { case (r, (q0, k0)) =>
+          if (q0 == null || k0 == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            k += 1
+            Row.fromSeq(r.toSeq :+ out.slice(k * outDim, (k + 1) * outDim).toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * Batched PIXEL-input inference (vision-classifier head): `inputCol`
    * is a BINARY column of channel-major u8 pixels — exactly what
    * [[graft.operators.Multimodal]]'s PixelDecoder/resizeImage emit —

@@ -51,7 +51,12 @@ object TorchCode {
     * tuple-unpack (`out, hn, = _0` — how generated code consumes an
     * RNN's (output, h_n) return). */
   final case class Stmt(lhs: Vector[String], expr: Expr, line: String)
-  final case class ClassDef(fqName: String, paramName: String, body: Vector[Stmt])
+  /** `paramName2` is set for a TWO-TENSOR forward — the
+    * encoder-decoder cross-attention entry `def forward(self, x, y)`
+    * (y = the key/value-side sequence); only the ROOT module may carry
+    * one (submodule forwards stay single-tensor). */
+  final case class ClassDef(fqName: String, paramName: String, body: Vector[Stmt],
+      paramName2: Option[String] = None)
 
   // ------------------------------------------------------ code parsing
 
@@ -83,8 +88,8 @@ object TorchCode {
       val end = if (ci + 1 < classStarts.length) classStarts(ci + 1) else lines.length
       val header = lines(start)
       val clsName = header.stripPrefix("class ").takeWhile(c => c != '(' && c != ':').trim
-      parseForward(lines.slice(start + 1, end)).map { case (param, body) =>
-        ClassDef(s"$prefix.$clsName", param, body)
+      parseForward(lines.slice(start + 1, end)).map { case (param, p2, body) =>
+        ClassDef(s"$prefix.$clsName", param, body, p2)
       }
     }
   }
@@ -92,7 +97,8 @@ object TorchCode {
   /** Find `def forward(` in a class body; return (tensor param name,
    * parsed statements). The signature may span lines; the body is the
    * indented block after it. */
-  private def parseForward(classBody: Vector[String]): Option[(String, Vector[Stmt])] = {
+  private def parseForward(
+      classBody: Vector[String]): Option[(String, Option[String], Vector[Stmt])] = {
     val defIdx = classBody.indexWhere(_.trim.startsWith("def forward("))
     if (defIdx < 0) return None
     val defIndent = classBody(defIdx).takeWhile(_ == ' ').length
@@ -105,7 +111,9 @@ object TorchCode {
     val names = params.split(',').toVector
       .map(_.trim.takeWhile(c => c != ':' && c != '=').trim)
       .filter(_.nonEmpty)
-    if (names.length != 2) return None // self + single tensor only
+    // self + one tensor, or self + two tensors (the cross-attention
+    // root form def forward(self, x, y) — see ClassDef.paramName2)
+    if (names.length != 2 && names.length != 3) return None
     val body = Vector.newBuilder[Stmt]
     var i = sigEnd + 1
     var done = false
@@ -117,7 +125,7 @@ object TorchCode {
       else body += parseStmt(trimmed)
       i += 1
     }
-    Some((names(1), body.result()))
+    Some((names(1), names.lift(2), body.result()))
   }
 
   private def parseStmt(line: String): Stmt = {
@@ -346,6 +354,20 @@ object TorchCode {
       * classic [[SelfAttentionOp]], keeping q122-era op lists stable). */
     final case class AttnOut(heads: Vector[SelfAttentionOp],
         proj: Option[LinearLayer]) extends Sym
+    /** A value living on the ENCODER stream of a two-input model — the
+      * second forward parameter (the key/value-side token sequence)
+      * and everything derived from it. Ops applied to the wrapped sym
+      * are emitted into the tracer's SEPARATE encoder op list; the one
+      * legal crossing back to the main stream is
+      * `nn.MultiheadAttention(query_from_x, y_enc, y_enc)` — the
+      * cross-attention consumption (see applyMha). */
+    final case class EncSide(inner: Sym) extends Sym
+    /** A completed CROSS-attention output `(Lq, Σ head dims)` over the
+      * main stream — HELD like [[AttnOut]] so the decoder-block
+      * residual `torch.add(x, ·)` can fuse into
+      * [[graft.torch.CrossAttnOp]]. */
+    final case class CrossAttnOut(heads: Vector[SelfAttentionOp],
+        proj: Option[LinearLayer]) extends Sym
     /** `act(l1(x))` over the live sequence — the held first half of a
       * position-wise FFN, awaiting its closing Linear. */
     final case class FfnMid(l1: LinearLayer, act: String) extends Sym
@@ -469,7 +491,27 @@ object TorchCode {
   final class Tracer(
       classes: Map[String, ClassDef],
       materialize: Pickle.PTensor => Array[Float]) {
-    val ops = IndexedSeq.newBuilder[TorchOp]
+    private val mainOps = IndexedSeq.newBuilder[TorchOp]
+    /** ENCODER-stream ops of a two-input (cross-attention) trace — the
+      * module chain applied to the second forward parameter. Becomes
+      * [[graft.torch.TorchScriptModel.encOps]]. */
+    val encOps = IndexedSeq.newBuilder[TorchOp]
+    private var opsCur: scala.collection.mutable.Builder[TorchOp, IndexedSeq[TorchOp]] =
+      mainOps
+    /** The op sink of the CURRENT stream (main, or encoder inside a
+      * second-input module application). */
+    def ops: scala.collection.mutable.Builder[TorchOp, IndexedSeq[TorchOp]] = opsCur
+    /** Route ops emitted by `f` into the encoder stream. */
+    private def onEnc[T](f: => T): T = {
+      val saved = opsCur
+      opsCur = encOps
+      try f finally opsCur = saved
+    }
+    /** Set when a cross-attention call consumes the encoder output:
+      * the enc op list is frozen (every cross op shares ONE encoder
+      * output, computed once per row — extending the leg afterwards
+      * would silently change already-emitted ops). */
+    private var encConsumed = false
     /** Set when a traced `key_padding_mask` (torch.eq(x, pad)) reaches
       * an attention module: the load path rewrites the head
       * [[EmbeddingSeqOp]] with this padIdx (padded-batch mode). */
@@ -477,12 +519,26 @@ object TorchCode {
 
     def trace(root: ModuleNode, in: Sym): Sym = applyModule(root, in)
 
+    /** Two-input trace: `in` binds the main (query-side) parameter,
+      * `in2` the encoder (key/value-side) parameter — wrapped in
+      * [[Sym.EncSide]] so every op derived from it lands in [[encOps]]. */
+    def trace2(root: ModuleNode, in: Sym, in2: Sym): Sym = {
+      val cd = classes.getOrElse(root.fqName,
+        sys.error(s"two-input trace needs serialized forward code for ${root.fqName}"))
+      require(cd.paramName2.isDefined,
+        s"${root.fqName}: two-input trace of a single-tensor forward")
+      interpret(cd, root, in, Some(EncSide(in2)))
+    }
+
     /** Materialize a held attention/FFN/image sym into the op list (no
       * residual, no further fusion); other syms pass through. */
     private def forceSeq(sy: Sym): Sym = sy match {
       case AttnOut(Vector(h), None) => ops += h; SeqEmb(h.dim)
       case a: AttnOut =>
         val op = EncoderAttnOp(a.heads, a.proj, residual = false)
+        ops += op; SeqEmb(op.outDim)
+      case c: CrossAttnOut =>
+        val op = CrossAttnOp(c.heads, c.proj, residual = false)
         ops += op; SeqEmb(op.outDim)
       case f: FfnOut =>
         val op = PosFfnOp(f.l1, f.act, f.l2, residual = false)
@@ -511,14 +567,29 @@ object TorchCode {
         case lq: LatentQ => Some(lq)
         case _ => None
       }
+      // CROSS-attention: key == value == the SAME encoder-stream value
+      // (the second forward input), query a main-stream live sequence —
+      // the T5/BART decoder-block form (reference src/udf.rs:127 runs
+      // any such TorchScript via libtorch)
+      val crossKv = qkv(1) match {
+        case e: EncSide if latentQ.isEmpty &&
+            qkv(2).asInstanceOf[AnyRef].eq(e) => Some(e)
+        case _ => None
+      }
       require(qkv.drop(latentQ.size).forall(_.isInstanceOf[Sym]),
         s"TorchScript code: ${m.simpleName} on non-tensor args in: $line")
-      if (latentQ.isEmpty)
+      if (crossKv.isDefined)
+        require(!qkv(0).isInstanceOf[EncSide],
+          s"TorchScript code: ${m.simpleName} query from the encoder stream " +
+            s"unsupported (queries come from the MAIN input; keys/values from " +
+            s"the second) in: $line")
+      else if (latentQ.isEmpty)
         require(qkv(0).asInstanceOf[AnyRef].eq(qkv(1).asInstanceOf[AnyRef]) &&
           qkv(1).asInstanceOf[AnyRef].eq(qkv(2).asInstanceOf[AnyRef]),
           s"TorchScript code: ${m.simpleName} with distinct query/key/value " +
-            s"unsupported (self-attention, or a latent-parameter query with " +
-            s"key == value) in: $line")
+            s"unsupported (self-attention, cross-attention on the traced " +
+            s"second input, or a latent-parameter query with key == value) " +
+            s"in: $line")
       else
         require(qkv(1).asInstanceOf[AnyRef].eq(qkv(2).asInstanceOf[AnyRef]),
           s"TorchScript code: ${m.simpleName} latent-query pooling needs " +
@@ -545,6 +616,12 @@ object TorchCode {
         case Some(b: BufSlice) if b.dims == 2 => Some(b)
         case _ => None
       }
+      // no position-indexed mask has a home ACROSS two sequences, and
+      // padding on the encoder side is not traced yet — fail loudly
+      require(crossKv.isEmpty || (attnMask.isEmpty && padMaskId < 0 &&
+          !args.lift(3).exists(_.isInstanceOf[PadMask])),
+        s"TorchScript code: ${m.simpleName} cross-attention with a " +
+          s"key_padding_mask / attn_mask unsupported in: $line")
       for ((extra, i) <- args.drop(3).zipWithIndex) extra match {
         case null | _: Boolean => // absent masks / need_weights flags
         case _: PadMask if i == 0 => // consumed above
@@ -626,16 +703,32 @@ object TorchCode {
           LinearLayer(w, b, outDim = embed, inDim = embed)
         case other => sys.error(s"${m.fqName}: missing out_proj module (got $other)")
       }
-      latentQ match {
-        case Some(lq) =>
-          // the pool COLLAPSES the sequence: emit eagerly; the traced
-          // flatten(a, 1) that follows is shape-only on the flat output
-          ops += AttnPoolOp(lq.weight, lq.m, heads.toVector, e, Some(proj))
-          STuple(Vector(Flat(lq.m * e),
+      crossKv match {
+        case Some(encKv) =>
+          // finalize the encoder leg: materialize any held sym into the
+          // enc op list and freeze it (every cross op shares ONE
+          // computed encoder output per row)
+          val ek = onEnc(forceSeq(encKv.inner)) match {
+            case SeqEmb(d) => d
+            case other => sys.error(s"${m.fqName} cross-attention needs the " +
+              s"(n, seq, emb) encoder sequence as key/value, got $other in: $line")
+          }
+          require(ek == e, s"${m.fqName}: encoder output width $ek != " +
+            s"query-side embed dim $e (mixed widths unsupported)")
+          encConsumed = true
+          STuple(Vector(CrossAttnOut(heads.toVector, Some(proj)),
             RnnSeqOut(s"${m.simpleName} attention weights")))
-        case None =>
-          STuple(Vector(AttnOut(heads.toVector, Some(proj)),
-            RnnSeqOut(s"${m.simpleName} attention weights")))
+        case None => latentQ match {
+          case Some(lq) =>
+            // the pool COLLAPSES the sequence: emit eagerly; the traced
+            // flatten(a, 1) that follows is shape-only on the flat output
+            ops += AttnPoolOp(lq.weight, lq.m, heads.toVector, e, Some(proj))
+            STuple(Vector(Flat(lq.m * e),
+              RnnSeqOut(s"${m.simpleName} attention weights")))
+          case None =>
+            STuple(Vector(AttnOut(heads.toVector, Some(proj)),
+              RnnSeqOut(s"${m.simpleName} attention weights")))
+        }
       }
     }
 
@@ -654,14 +747,23 @@ object TorchCode {
         sy
     }
 
-    /** Apply a module to the symbolic tensor; returns the output shape. */
-    def applyModule(m: ModuleNode, s: Sym): Sym =
-      if (m.isTorchNn) builtinOp(m, s)
-      else classes.get(m.fqName) match {
-        case Some(cd) => interpret(cd, m, s)
-        case None => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
-          "(no builtin and no serialized forward code)")
-      }
+    /** Apply a module to the symbolic tensor; returns the output shape.
+      * An [[Sym.EncSide]] input routes the application (and every op it
+      * emits) onto the encoder stream, re-wrapping the result. */
+    def applyModule(m: ModuleNode, s: Sym): Sym = s match {
+      case EncSide(inner) =>
+        require(!encConsumed, s"TorchScript code: ${m.simpleName} applied to " +
+          "the encoder sequence AFTER cross-attention consumed it (the " +
+          "encoder leg is computed once and shared; reorder the forward)")
+        EncSide(onEnc(applyModule(m, inner)))
+      case _ =>
+        if (m.isTorchNn) builtinOp(m, s)
+        else classes.get(m.fqName) match {
+          case Some(cd) => interpret(cd, m, s)
+          case None => sys.error(s"unsupported TorchScript op: ${m.fqName} " +
+            "(no builtin and no serialized forward code)")
+        }
+    }
 
     private def intAttr(m: ModuleNode, key: String, dflt: Long): Long =
       m.attrs.get(key) match {
@@ -1252,9 +1354,20 @@ object TorchCode {
         "GLU, Identity, Dropout, Flatten, Sequential)")
     }
 
-    /** Execute a parsed forward body with `self = m`, input shape `in`. */
-    private def interpret(cd: ClassDef, m: ModuleNode, in: Sym): Sym = {
+    /** Execute a parsed forward body with `self = m`, input shape `in`
+      * (plus the encoder-side input for the two-tensor root forward). */
+    private def interpret(cd: ClassDef, m: ModuleNode, in: Sym,
+        in2: Option[Sym] = None): Sym = {
       val env = mutable.Map[String, Any](cd.paramName -> in)
+      (cd.paramName2, in2) match {
+        case (Some(p2), Some(v2)) => env(p2) = v2
+        case (Some(p2), None) => sys.error(s"TorchScript code: ${cd.fqName} " +
+          s"takes two tensors ($p2 unbound) but was applied as a single-input " +
+          "submodule — only the root forward may take two inputs")
+        case (None, Some(_)) =>
+          sys.error(s"TorchScript code: ${cd.fqName} single-tensor forward given two inputs")
+        case _ =>
+      }
       def eval(e: Expr, line: String): Any = e match {
         case EName(n) => env.getOrElse(n,
           sys.error(s"TorchScript code: unbound name $n in: $line"))
@@ -1504,6 +1617,14 @@ object TorchCode {
                   require(op.inDim == d,
                     s"TorchScript code: residual over $d-dim sequence vs " +
                       s"attention on ${op.inDim} in: $line")
+                  ops += op
+                  SeqEmb(op.outDim)
+                case (SeqEmb(d), c: CrossAttnOut) =>
+                  // the decoder-block residual: x + cross_attn(x, enc)
+                  val op = CrossAttnOp(c.heads, c.proj, residual = true)
+                  require(op.inDim == d,
+                    s"TorchScript code: residual over $d-dim sequence vs " +
+                      s"cross-attention on ${op.inDim} in: $line")
                   ops += op
                   SeqEmb(op.outDim)
                 case (SeqEmb(d), f: FfnOut) =>

@@ -57,7 +57,7 @@ object TorchQuant {
   private def quantizeBy(m: TorchScriptModel,
       quantLinear: LinearLayer => LinearLayer,
       int8Dequant: Array[Float] => Array[Float]): TorchScriptModel = {
-    val ops = m.ops.map {
+    def quantOp(op: TorchOp): TorchOp = op match {
       case l: LinearLayer => quantLinear(l)
       case a: SelfAttentionOp => a.copy(
         wq = int8Dequant(a.wq), wk = int8Dequant(a.wk), wv = int8Dequant(a.wv))
@@ -65,9 +65,14 @@ object TorchQuant {
         heads = ea.heads.map(h => h.copy(
           wq = int8Dequant(h.wq), wk = int8Dequant(h.wk), wv = int8Dequant(h.wv))),
         proj = ea.proj.map(quantLinear))
+      case ca: CrossAttnOp => ca.copy(
+        heads = ca.heads.map(h => h.copy(
+          wq = int8Dequant(h.wq), wk = int8Dequant(h.wk), wv = int8Dequant(h.wv))),
+        proj = ca.proj.map(quantLinear))
       case f: PosFfnOp => f.copy(l1 = quantLinear(f.l1), l2 = quantLinear(f.l2))
       case other => other
     }
-    new TorchScriptModel(ops)
+    // the encoder leg of a cross-attention model quantizes too
+    new TorchScriptModel(m.ops.map(quantOp), m.encOps.map(quantOp))
   }
 }

@@ -539,6 +539,39 @@ final case class EncoderAttnOp(heads: IndexedSeq[SelfAttentionOp],
     s"residual add needs outDim == inDim ($outDim vs $inDim)")
 }
 
+/** ENCODER-DECODER CROSS-ATTENTION over TWO live sequences (the
+  * T5/BART decoder-block form the reference runs via libtorch,
+  * reference src/udf.rs:127): queries project from the MAIN `(Lq, E)`
+  * sequence, keys and values from the model's ENCODER leg output
+  * `(Lk, E)` ([[TorchScriptModel.encOps]], computed once per row and
+  * shared by every cross op). Per-head math is exactly
+  * [[SelfAttentionOp]]'s scaled-dot attention with the k/v projections
+  * reading the encoder sequence — each of the `Lq` query positions
+  * softmaxes over all `Lk` encoder positions (no causal order exists
+  * between the two sequences, so `causal`/`bias`/RoPE have no home
+  * here and the constructor rejects them). Heads concatenate, the
+  * optional out-projection applies position-wise, and `residual` adds
+  * the MAIN block input (the decoder-side residual). f64 internally,
+  * ONE f32 rounding per output value at the op boundary. */
+final case class CrossAttnOp(heads: IndexedSeq[SelfAttentionOp],
+    proj: Option[LinearLayer], residual: Boolean) extends TorchOp {
+  require(heads.nonEmpty, "cross-attention needs at least one head")
+  require(heads.forall(_.inDim == heads.head.inDim), "heads disagree on input dim")
+  require(heads.forall(h => !h.causal),
+    "causal masking is meaningless across two unordered sequences")
+  require(heads.forall(h => h.bias.isEmpty),
+    "a position-indexed attention bias has no home across two sequences")
+  require(heads.forall(h => h.ropeCos.isEmpty),
+    "RoPE on cross-attention unsupported (positions are not shared)")
+  val inDim: Int = heads.head.inDim
+  val catDim: Int = heads.map(_.dim).sum
+  val outDim: Int = proj.map(_.outDim).getOrElse(catDim)
+  proj.foreach(p => require(p.inDim == catDim,
+    s"out-proj(in=${p.inDim}) applied to $catDim concatenated head dims"))
+  require(!residual || outDim == inDim,
+    s"residual add needs outDim == inDim ($outDim vs $inDim)")
+}
+
 /** ATTENTION-POOLING read-out (`nn.MultiheadAttention(latent, x, x)`
   * with a LEARNED `(m, E)` latent query array — the Set-Transformer
   * PMA / CoCa attentional-pooler shape, and this engine's cross-
@@ -643,7 +676,61 @@ case object SeqMaskedMeanPoolOp extends TorchOp
  * spirit as the reference's narrow type dispatch
  * (reference src/udf.rs:59-64).
  */
-final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable {
+final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
+    val encOps: IndexedSeq[TorchOp] = IndexedSeq.empty) extends Serializable {
+  /** Cross-attention models carry a second, ENCODER op list: a
+    * token-sequence leg (embedding head + position-preserving seq ops,
+    * NO pool) whose `(Lk, E)` output every [[CrossAttnOp]] in the main
+    * list attends over. Computed once per input pair, shared across
+    * cross ops — exactly how a T5/BART decoder reuses one encoder
+    * output across its layers. */
+  val isCross: Boolean = ops.exists(_.isInstanceOf[CrossAttnOp])
+  require(isCross == encOps.nonEmpty,
+    if (isCross) "cross-attention op without an encoder op list"
+    else "encoder op list without a cross-attention consumer")
+  val encHead: Option[EmbeddingSeqOp] =
+    encOps.headOption.map {
+      case e: EmbeddingSeqOp => e
+      case other => sys.error(s"encoder leg must start with a token embedding, " +
+        s"got ${other.getClass.getSimpleName}")
+    }
+  /** Feature width of the encoder leg's `(Lk, ·)` output — validated by
+    * the same symbolic walk as the main sequence phase, restricted to
+    * position-preserving `(L, emb)` ops (the leg must NOT pool: its
+    * whole output sequence is the cross-attention key/value side). */
+  val encOutDim: Int = encHead match {
+    case None => -1
+    case Some(e) =>
+      var width = e.embDim
+      for (op <- encOps.drop(1)) op match {
+        case a: EncoderAttnOp =>
+          require(width == a.inDim,
+            s"encoder-leg attention(in=${a.inDim}) applied to $width features")
+          width = a.outDim
+        case f: PosFfnOp =>
+          require(f.l1.inDim == width,
+            s"encoder-leg FFN(in=${f.l1.inDim}) applied to $width features")
+          width = f.l2.outDim
+        case ln: SeqLayerNormOp =>
+          require(ln.gamma.length == width,
+            s"encoder-leg LayerNorm(${ln.gamma.length}) applied to $width features")
+        case rn: SeqRmsNormOp =>
+          require(rn.gamma.length == width,
+            s"encoder-leg RMSNorm(${rn.gamma.length}) applied to $width features")
+        case pe: PosEmbedOp =>
+          require(pe.embDim == width,
+            s"encoder-leg positional dim ${pe.embDim} applied to $width features")
+        case _: ActOp | _: ParamActOp => // elementwise
+        case other => sys.error("encoder leg supports position-preserving " +
+          s"(L, emb) ops only, got ${other.getClass.getSimpleName}")
+      }
+      width
+  }
+  for (ca <- ops.collect { case c: CrossAttnOp => c })
+    require(ca.inDim == encOutDim,
+      s"cross-attention k/v projections read ${ca.inDim}-dim input but the " +
+        s"encoder leg emits $encOutDim (mixed widths unsupported)")
+
   /** Token-input (fastText-shape) models start with the embedding pool. */
   val embedHead: Option[EmbeddingMeanOp] =
     ops.headOption.collect { case e: EmbeddingMeanOp => e }
@@ -699,6 +786,11 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
           require(width == a.inDim,
             s"encoder attention(in=${a.inDim}) applied to $width features")
           width = a.outDim
+        case ca: CrossAttnOp =>
+          require(mode == 0, "cross-attention needs the (n, seq, emb) embedding output")
+          require(width == ca.inDim,
+            s"cross-attention(in=${ca.inDim}) applied to $width features")
+          width = ca.outDim
         case ln: SeqLayerNormOp =>
           require(mode == 0, "sequence LayerNorm needs the (n, seq, emb) layout")
           require(ln.gamma.length == width,
@@ -1107,7 +1199,36 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     * same shape discipline as the fused embedding path. Rows shorter
     * than a conv/pool kernel fail loudly, exactly like torch's
     * output-size check. */
+  /** One (query-side, key-side) token-row pair through a
+    * cross-attention model. */
+  def forwardTokensPair(q: Array[Int], k: Array[Int]): Array[Float] =
+    forwardTokensPairBatch(Array(q), Array(k))
+
+  /** Batched two-sequence forward for CROSS-ATTENTION models: row i's
+    * key-side tokens run the encoder leg once into `(Lk, E)`, the
+    * query-side tokens run the main sequence phase attending over it,
+    * and the flat tail runs as one batched GEMM — the same
+    * shape discipline as [[forwardSeqBatch]]. */
+  def forwardTokensPairBatch(qRows: Array[Array[Int]],
+      kRows: Array[Array[Int]]): Array[Float] = {
+    require(isCross, "not a cross-attention model: use forwardTokensBatch")
+    require(qRows.length == kRows.length,
+      s"query/key batch sizes differ (${qRows.length} vs ${kRows.length})")
+    val n = qRows.length
+    val pooled = new Array[Float](n * pooledDim)
+    var i = 0
+    while (i < n) {
+      val (enc, encL) = runEncRow(kRows(i))
+      System.arraycopy(runSeqRow(qRows(i), enc, encL), 0,
+        pooled, i * pooledDim, pooledDim)
+      i += 1
+    }
+    runOps(poolIdx + 1, pooled, n, pooledDim)
+  }
+
   private def forwardSeqBatch(rows: Array[Array[Int]]): Array[Float] = {
+    require(!isCross,
+      "cross-attention model needs two inputs: use forwardTokensPairBatch")
     val n = rows.length
     val pooled = new Array[Float](n * pooledDim)
     var i = 0
@@ -1118,15 +1239,9 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     runOps(poolIdx + 1, pooled, n, pooledDim)
   }
 
-  /** One token row through ops[0..poolIdx]: the current tensor is a
-    * `rows × cols` row-major matrix — `(L, emb)` after the lookup,
-    * `(ch, L)` after a transpose — collapsed to a `pooledDim` vector by
-    * the pool op. */
-  private def runSeqRow(toks: Array[Int]): Array[Float] = {
-    val e = seqHead.get
-    var rows = toks.length
-    var cols = e.embDim
-    var data = new Array[Float](rows * cols)
+  /** Raw embedding lookup: token ids -> `(L, emb)` row-major floats. */
+  private def embedLookup(e: EmbeddingSeqOp, toks: Array[Int]): Array[Float] = {
+    val data = new Array[Float](toks.length * e.embDim)
     var p = 0
     while (p < toks.length) {
       val id = toks(p)
@@ -1134,11 +1249,15 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       System.arraycopy(e.weight, id * e.embDim, data, p * e.embDim, e.embDim)
       p += 1
     }
-    // padded-batch mode: the valid length is the prefix before the
-    // trailing padIdx run; interior pads / all-pad rows are caller
-    // error and fail loudly (a key_padding_mask is trailing-pad by
-    // batch construction)
-    var valid = rows
+    data
+  }
+
+  /** Padded-batch mode: the valid length is the prefix before the
+    * trailing padIdx run; interior pads / all-pad rows are caller
+    * error and fail loudly (a key_padding_mask is trailing-pad by
+    * batch construction). Heads without a padIdx: the full length. */
+  private def validLen(e: EmbeddingSeqOp, toks: Array[Int]): Int = {
+    var valid = toks.length
     if (e.padIdx >= 0) {
       while (valid > 0 && toks(valid - 1) == e.padIdx) valid -= 1
       require(valid > 0, "all-pad token row (no valid positions)")
@@ -1149,9 +1268,73 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         v0 += 1
       }
     }
-    var oi = 1
-    while (oi < poolIdx) {
-      ops(oi) match {
+    valid
+  }
+
+  /** The position-preserving sequence phase `opList(from until until)`
+    * over ONE row's buffer: the current tensor is a `rows × cols`
+    * row-major matrix — `(L, emb)` after the lookup, `(ch, L)` after a
+    * transpose. Shared by the main op list (runSeqRow, which then
+    * applies the pool op) and the encoder leg of a cross-attention
+    * model (runEncRow, which returns the whole sequence). `enc`/`encL`
+    * carry the precomputed encoder output a [[CrossAttnOp]] attends
+    * over (null for non-cross models and inside the enc leg itself). */
+  private def seqPhase(opList: IndexedSeq[TorchOp], from: Int, until: Int,
+      data0: Array[Float], rows0: Int, cols0: Int, valid: Int,
+      enc: Array[Float], encL: Int): (Array[Float], Int, Int) = {
+    var rows = rows0
+    var cols = cols0
+    var data = data0
+    var oi = from
+    while (oi < until) {
+      opList(oi) match {
+        case ca: CrossAttnOp =>
+          // decoder-side block: q from the live (Lq, E) sequence, k/v
+          // from the shared encoder output (encL, E); heads in f64,
+          // concat, optional proj, optional MAIN-input residual, ONE
+          // rounding per output value (the EncoderAttnOp discipline)
+          require(enc != null, "cross-attention op with no encoder output")
+          val L = rows
+          val headOuts = ca.heads.map(h =>
+            attnHeadF64(h, data, L, cols, encL, kvData = enc, kvL = encL))
+          val cat = new Array[Double](L * ca.catDim)
+          var p = 0
+          while (p < L) {
+            var off = 0
+            for ((h, ho) <- ca.heads.zip(headOuts)) {
+              var j = 0
+              while (j < h.dim) { cat(p * ca.catDim + off + j) = ho(p * h.dim + j); j += 1 }
+              off += h.dim
+            }
+            p += 1
+          }
+          val projed = ca.proj match {
+            case None => cat
+            case Some(l) =>
+              val o = new Array[Double](L * l.outDim)
+              var p1 = 0
+              while (p1 < L) {
+                var t = 0
+                while (t < l.outDim) {
+                  var acc: Double = l.bias(t)
+                  var j = 0
+                  while (j < l.inDim) { acc += cat(p1 * l.inDim + j) * l.weight(t * l.inDim + j); j += 1 }
+                  o(p1 * l.outDim + t) = acc
+                  t += 1
+                }
+                p1 += 1
+              }
+              o
+          }
+          val out = new Array[Float](L * ca.outDim)
+          var i1 = 0
+          while (i1 < out.length) {
+            val r0 = if (ca.residual) data(i1).toDouble else 0.0
+            out(i1) = (projed(i1) + r0).toFloat
+            i1 += 1
+          }
+          data = out
+          cols = ca.outDim
         case TransposeOp =>
           val out = new Array[Float](rows * cols)
           var r = 0
@@ -1433,6 +1616,31 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       }
       oi += 1
     }
+    (data, rows, cols)
+  }
+
+  /** The ENCODER leg of a cross-attention model: one key-side token
+    * row through `encOps` — embedding lookup + the position-preserving
+    * seq ops, NO pool. Returns the `(Lk, encOutDim)` buffer and Lk. */
+  private def runEncRow(toks: Array[Int]): (Array[Float], Int) = {
+    val e = encHead.getOrElse(sys.error("not a cross-attention model"))
+    require(toks.nonEmpty, "empty encoder-side token row")
+    val valid = validLen(e, toks)
+    val (data, rows, _) = seqPhase(encOps, 1, encOps.length,
+      embedLookup(e, toks), toks.length, e.embDim, valid, null, 0)
+    (data, rows)
+  }
+
+  /** One token row through ops[0..poolIdx] + the pool op, collapsing
+    * to a `pooledDim` vector. `enc`/`encL` = the row's precomputed
+    * encoder output when the model is cross-attention. */
+  private def runSeqRow(toks: Array[Int], enc: Array[Float] = null,
+      encL: Int = 0): Array[Float] = {
+    val e = seqHead.get
+    val valid0 = validLen(e, toks)
+    val (data, rows, cols) = seqPhase(ops, 1, poolIdx,
+      embedLookup(e, toks), toks.length, e.embDim, valid0, enc, encL)
+    val valid = valid0
     ops(poolIdx) match {
       case SeqMaxPoolOp =>
         require(cols > 0, "adaptive max pool over an empty sequence")
@@ -1859,19 +2067,21 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
     * are still computed, like torch, and discarded by a masked
     * read-out downstream. Composes with `causal` (both masks AND). */
   private def attnHeadF64(at: SelfAttentionOp, data: Array[Float],
-      L: Int, cols: Int, keyLim: Int): Array[Double] = {
+      L: Int, cols: Int, keyLim: Int,
+      kvData: Array[Float] = null, kvL: Int = -1): Array[Double] = {
     val d = at.dim
-    def proj(w: Array[Float], b: Array[Float]): Array[Double] = {
-      val out = new Array[Double](L * d)
+    def proj(w: Array[Float], b: Array[Float],
+        src: Array[Float], n: Int, stride: Int): Array[Double] = {
+      val out = new Array[Double](n * d)
       var p = 0
-      while (p < L) {
+      while (p < n) {
         var o = 0
         while (o < d) {
           var acc: Double = b(o)
           val wOff = o * at.inDim
-          val xOff = p * cols
+          val xOff = p * stride
           var j = 0
-          while (j < at.inDim) { acc += data(xOff + j).toDouble * w(wOff + j); j += 1 }
+          while (j < at.inDim) { acc += src(xOff + j).toDouble * w(wOff + j); j += 1 }
           out(p * d + o) = acc
           o += 1
         }
@@ -1879,9 +2089,14 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       }
       out
     }
-    val qm = proj(at.wq, at.bq)
-    val km = proj(at.wk, at.bk)
-    val vm = proj(at.wv, at.bv)
+    val qm = proj(at.wq, at.bq, data, L, cols)
+    // cross-attention: k/v project from the SEPARATE kvData sequence
+    // (stride = the head's input dim — enc width == inDim is enforced
+    // by the model constructor); self-attention: from the same buffer
+    val (kvSrc, kvN, kvStride) =
+      if (kvData == null) (data, L, cols) else (kvData, kvL, at.inDim)
+    val km = proj(at.wk, at.bk, kvSrc, kvN, kvStride)
+    val vm = proj(at.wv, at.bv, kvSrc, kvN, kvStride)
     // rotary embedding of the projected q and k (f64 over the stored
     // f32 tables): rope(x)_p = x_p·cos_p + rotate_half(x_p)·sin_p
     for (cosT <- at.ropeCos; sinT <- at.ropeSin) {
@@ -1913,7 +2128,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
       s"sequence length $L exceeds the attention bias table (${at.biasRows} " +
         s"positions) — the mask buffer IS the model's maximum length")
     val out = new Array[Double](L * d)
-    val scores = new Array[Double](L)
+    // cross-attention: the key side (keyLim = Lk) can exceed L
+    val scores = new Array[Double](math.max(L, keyLim))
     var a = 0
     while (a < L) {
       // causal: row a's softmax runs over the prefix 0..a only (the
@@ -1985,7 +2201,8 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp]) extends Serializable 
         sys.error("embedding op past the model head") // constructor forbids
       case TransposeOp | _: Conv1dOp | _: MaxPool1dOp | _: AvgPool1dOp |
           _: Pad1dOp | _: Chomp1dOp | _: SelfAttentionOp |
-          _: EncoderAttnOp | _: SeqLayerNormOp | _: SeqRmsNormOp | SeqGluOp |
+          _: EncoderAttnOp | _: CrossAttnOp |
+          _: SeqLayerNormOp | _: SeqRmsNormOp | SeqGluOp |
           _: PosFfnOp | _: PosEmbedOp |
           SeqMaxPoolOp | SeqAvgPoolOp | SeqMeanPoolOp | SeqMaskedMeanPoolOp |
           SeqClsPoolOp | SeqLastPoolOp | _: AttnPoolOp | _: RnnOp |
@@ -2261,9 +2478,16 @@ object TorchScriptModel {
     // between them — see TorchCode's scaladoc)
     val classes = TorchCode.parseClasses(entries, root)
     val tracer = new TorchCode.Tracer(classes, materializeF32(_, entries, root))
+    // a root forward(self, x, y) is the cross-attention entry: the
+    // second tensor feeds the encoder leg (tracer.encOps)
+    val twoInput = classes.get(rootNode.fqName).exists(_.paramName2.isDefined)
     if (classes.contains(rootNode.fqName) || rootNode.isTorchNn) {
       // input dim starts unknown; the first parameterized op binds it
-      tracer.trace(rootNode, TorchCode.Sym.Flat(-1)) match {
+      val out =
+        if (twoInput)
+          tracer.trace2(rootNode, TorchCode.Sym.Flat(-1), TorchCode.Sym.Flat(-1))
+        else tracer.trace(rootNode, TorchCode.Sym.Flat(-1))
+      out match {
         case TorchCode.Sym.Flat(_) => // flat output: logits / probabilities
         case other => sys.error("model returns an unpooled sequence " +
           s"($other): mean(dim=1) / adaptive pool / flatten missing")
@@ -2315,7 +2539,7 @@ object TorchScriptModel {
         EmbeddingMeanOp(e.weight, e.vocab, e.embDim, padIdx = -1) +: rest
       case other => other
     }
-    new TorchScriptModel(traced)
+    new TorchScriptModel(traced, tracer.encOps.result())
   }
 
   /** Gather a tensor's values into a row-major Array[Float], honoring

@@ -1,0 +1,260 @@
+package graft.torch
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import SptFixture._
+
+/**
+ * Encoder-decoder CROSS-ATTENTION, end to end (VERDICT r13 gap #1; the
+ * reference runs any such TorchScript through libtorch — reference
+ * src/udf.rs:127):
+ *
+ *  - a TWO-INPUT traced archive (`def forward(self, x, y)`) whose
+ *    `nn.MultiheadAttention(x_seq, y_seq, y_seq)` call loads into
+ *    [[CrossAttnOp]] + the separate encoder op list, bit-identical to
+ *    the programmatically-constructed model;
+ *  - the algebraic identity cross(x, x) == self-attention when the two
+ *    embeddings share weights — bit-identical logits against the
+ *    [[EncoderAttnOp]] path (same f64 math, same rounding points);
+ *  - q202 on real fixture docs: engine argmax == an independent all-f64
+ *    recompute on EVERY document, with the runner-up gap clearing the
+ *    per-op f32 rounding drift (~1e-6) by orders of magnitude;
+ *  - the loud-failure surface: distinct key/value sequences.
+ */
+class TorchCrossSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+
+  private def vals(n: Int, seed: Int): Array[Float] =
+    Array.tabulate(n)(i => (math.sin(seed * 97 + i * 13.7) * 1.5).toFloat)
+
+  private val (vocab, emb, nHeads, cls) = (9, 4, 2, 3)
+  private val ewq = vals(vocab * emb, 501)
+  private val ewk = vals(vocab * emb, 509)
+  private val inW = vals(3 * emb * emb, 502)
+  private val inB = vals(3 * emb, 503)
+  private val outW = vals(emb * emb, 504)
+  private val outB = vals(emb, 505)
+  private val (wf, bf) = (vals(cls * emb, 506), vals(cls, 507))
+
+  /** Two-input fixture: x embeds through emb_q, y through emb_k, one
+    * MHA call with query = x-side and key == value == y-side, residual
+    * add of the x-side input, mean pool, fc. */
+  private def crossNet(attnCall: String): (Module, Map[String, String]) = (
+    Module("__torch__.XNet", Seq(
+      "training" -> B(false),
+      "emb_q" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ewq),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "emb_k" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ewk),
+        "padding_idx" -> NoneV,
+        "training" -> B(false))),
+      "attn" -> mha(inW, inB, outW, outB, emb, nHeads),
+      "fc" -> linear(wf, cls, emb, bf))),
+    Map("code/__torch__.py" ->
+      s"""class XNet(Module):
+         |  training : bool
+         |  def forward(self: __torch__.XNet,
+         |    x: Tensor, y: Tensor) -> Tensor:
+         |    emb_q = self.emb_q
+         |    e = (emb_q).forward(x, )
+         |    emb_k = self.emb_k
+         |    k0 = (emb_k).forward(y, )
+         |    attn = self.attn
+         |$attnCall
+         |    a, _1, = _0
+         |    r = torch.add(e, a)
+         |    p = torch.mean(r, [1], False, None)
+         |    fc = self.fc
+         |    return (fc).forward(p, )
+         |""".stripMargin))
+
+  private lazy val traced: TorchScriptModel = {
+    val (model, code) = crossNet("    _0 = (attn).forward(e, k0, k0, )")
+    TorchScriptModel.load(writeTemp("crossmha", "crossmha", model, code))
+  }
+
+  /** The same model built programmatically (no archive). */
+  private lazy val programmatic: TorchScriptModel = new TorchScriptModel(
+    IndexedSeq(
+      EmbeddingSeqOp(ewq, vocab, emb),
+      CrossAttnOp(Mha.split(inW, inB, emb, nHeads),
+        proj = Some(LinearLayer(outW, outB, emb, emb)), residual = true),
+      SeqMeanPoolOp,
+      LinearLayer(wf, bf, cls, emb)),
+    encOps = IndexedSeq(EmbeddingSeqOp(ewk, vocab, emb)))
+
+  test("trace: forward(self, x, y) + MHA(x, y, y) loads CrossAttnOp with a separate encoder leg") {
+    val m = traced
+    assert(m.isCross)
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "CrossAttnOp", "SeqMeanPoolOp$", "LinearLayer"),
+      m.ops.map(_.getClass.getSimpleName).toString)
+    assert(m.encOps.map(_.getClass.getSimpleName) == IndexedSeq("EmbeddingSeqOp"))
+    val ca = m.ops(1).asInstanceOf[CrossAttnOp]
+    assert(ca.heads.length == nHeads && ca.proj.isDefined && ca.residual)
+    // the two embeddings landed on the right streams
+    assert(m.ops.head.asInstanceOf[EmbeddingSeqOp].weight.toSeq == ewq.toSeq)
+    assert(m.encOps.head.asInstanceOf[EmbeddingSeqOp].weight.toSeq == ewk.toSeq)
+  }
+
+  test("traced archive == programmatic model, bit-identical on pair batches") {
+    val qs = Array(Array(3, 0, 6), Array(7), Array(1, 2, 3, 4))
+    val ks = Array(Array(5, 1, 8, 2, 0, 4), Array(2, 2, 7), Array(6))
+    val a = traced.forwardTokensPairBatch(qs, ks)
+    val b = programmatic.forwardTokensPairBatch(qs, ks)
+    assert(a.toSeq == b.toSeq)
+    // single-pair entry agrees with the batch
+    assert(traced.forwardTokensPair(qs(0), ks(0)).toSeq ==
+      a.slice(0, cls).toSeq)
+  }
+
+  test("cross(x, x) with shared embeddings == self-attention EncoderAttnOp, bit-identical") {
+    val heads = Mha.split(inW, inB, emb, nHeads)
+    val proj = Some(LinearLayer(outW, outB, emb, emb))
+    val crossM = new TorchScriptModel(
+      IndexedSeq(
+        EmbeddingSeqOp(ewq, vocab, emb),
+        CrossAttnOp(heads, proj, residual = true),
+        SeqMeanPoolOp,
+        LinearLayer(wf, bf, cls, emb)),
+      encOps = IndexedSeq(EmbeddingSeqOp(ewq, vocab, emb)))
+    val selfM = new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(ewq, vocab, emb),
+      EncoderAttnOp(heads, proj, residual = true),
+      SeqMeanPoolOp,
+      LinearLayer(wf, bf, cls, emb)))
+    for (t <- Seq(Array(3, 0, 6, 2, 5, 1), Array(7, 4, 2), Array(5)))
+      assert(crossM.forwardTokensPair(t, t).toSeq == selfM.forwardTokens(t).toSeq,
+        s"cross(x, x) != self-attention on ${t.toSeq}")
+  }
+
+  test("two-sequence batch path == per-row pairs (GEMM tail batching is shape-only)") {
+    val qs = Array(Array(1, 2), Array(8, 0, 3), Array(4))
+    val ks = Array(Array(0, 5), Array(3, 3, 3, 3), Array(7, 6))
+    val batch = programmatic.forwardTokensPairBatch(qs, ks)
+    for (i <- qs.indices)
+      assert(programmatic.forwardTokensPair(qs(i), ks(i)).toSeq ==
+        batch.slice(i * cls, (i + 1) * cls).toSeq)
+  }
+
+  /** All-f64 recompute of the q202 cross block (q-emb / k-emb ->
+    * cross-attention -> proj + residual -> LN -> FFN + residual -> LN
+    * -> mean pool over QUERY positions -> fc). */
+  private def crossLogitsF64(m: TorchScriptModel,
+      qIds: Array[Int], kIds: Array[Int]): Array[Double] = {
+    val e = m.seqHead.get
+    val enc = m.encHead.get
+    val ca = m.ops.collectFirst { case a: CrossAttnOp => a }.get
+    val lns = m.ops.collect { case l: SeqLayerNormOp => l }
+    val ff = m.ops.collectFirst { case f: PosFfnOp => f }.get
+    val fc = m.ops.collect { case l: LinearLayer => l }.last
+    val d = ca.inDim
+    val (lq, lk) = (qIds.length, kIds.length)
+    val xq = Array.tabulate(lq, d)((p, j) => e.weight(qIds(p) * e.embDim + j).toDouble)
+    val xk = Array.tabulate(lk, d)((p, j) => enc.weight(kIds(p) * enc.embDim + j).toDouble)
+    def headOut(h: SelfAttentionOp): Array[Array[Double]] = {
+      val hd = h.dim
+      def pr(x: Array[Array[Double]], n: Int, w: Array[Float], b: Array[Float]) =
+        Array.tabulate(n, hd)((p, o) =>
+          b(o) + (0 until d).map(j => x(p)(j) * w(o * d + j)).sum)
+      val qm = pr(xq, lq, h.wq, h.bq)
+      val km = pr(xk, lk, h.wk, h.bk)
+      val vm = pr(xk, lk, h.wv, h.bv)
+      Array.tabulate(lq) { a =>
+        val sc = Array.tabulate(lk)(b0 =>
+          (0 until hd).map(j => qm(a)(j) * km(b0)(j)).sum * h.scale)
+        val mx = sc.max
+        val es = sc.map(s0 => math.exp(s0 - mx))
+        val z = es.sum
+        Array.tabulate(hd)(j => (0 until lk).map(b0 => es(b0) * vm(b0)(j)).sum / z)
+      }
+    }
+    val heads = ca.heads.map(headOut)
+    val pl = ca.proj.get
+    def lnF(y: Array[Double], ln: SeqLayerNormOp): Array[Double] = {
+      val mean = y.sum / d
+      val va = y.map(v => (v - mean) * (v - mean)).sum / d
+      val inv = 1.0 / math.sqrt(va + ln.eps)
+      Array.tabulate(d)(j => (y(j) - mean) * inv * ln.gamma(j) + ln.beta(j))
+    }
+    val pooled = new Array[Double](d)
+    for (p <- 0 until lq) {
+      val cat = heads.flatMap(ho => ho(p)).toArray
+      val pj = Array.tabulate(d)(o =>
+        pl.bias(o) + (0 until d).map(j => cat(j) * pl.weight(o * d + j)).sum)
+      val n1 = lnF(Array.tabulate(d)(j => xq(p)(j) + pj(j)), lns(0))
+      val hid = ff.l1.outDim
+      val mid = Array.tabulate(hid)(h =>
+        math.max(0.0, ff.l1.bias(h) + (0 until d).map(j => n1(j) * ff.l1.weight(h * d + j)).sum))
+      val f2 = Array.tabulate(d)(o =>
+        ff.l2.bias(o) + (0 until hid).map(h => mid(h) * ff.l2.weight(o * hid + h)).sum)
+      val n2 = lnF(Array.tabulate(d)(j => n1(j) + f2(j)), lns(1))
+      for (j <- 0 until d) pooled(j) += n2(j) / lq
+    }
+    Array.tabulate(fc.outDim)(o =>
+      fc.bias(o) + (0 until d).map(j => pooled(j) * fc.weight(o * d + j)).sum)
+  }
+
+  test("sf0.001: q202 engine argmax == f64 cross recompute on every doc; gap floor holds") {
+    val m = graft.SparkEntry.crossModel
+    val e = m.seqHead.get
+    val fc = m.ops.collect { case l: LinearLayer => l }.last
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q202_torch_crossattn")(spark, dir).collect()
+    assert(rows.length > 0)
+    val engine = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % e.vocab),
+          1, 12).as("k_ids"))
+      .filter(size(col("k_ids")) >= 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    assert(toks.length == engine.size)
+    var minGap = Double.MaxValue
+    for ((docId, kIds) <- toks) {
+      val logits = crossLogitsF64(m, kIds.take(4), kIds)
+      val cls0 = logits.indexOf(logits.max)
+      assert(engine(docId) == cls0, s"doc $docId: engine ${engine(docId)} vs f64 $cls0")
+      val sorted = logits.sorted
+      minGap = math.min(minGap, sorted(fc.outDim - 1) - sorted(fc.outDim - 2))
+    }
+    info(s"q202 min runner-up gap at sf0.001: $minGap")
+    assert(minGap > 1e-3, s"cross-attention argmax gap floor violated: $minGap")
+  }
+
+  test("loud failure: distinct key/value sequences") {
+    val (model, code) = {
+      val (m0, c0) = crossNet("    _0 = (attn).forward(e, k0, k1, )")
+      // a SECOND embedding of y: key and value become distinct traced
+      // values — unsupported, must fail at load with the applyMha error
+      (m0, c0.map { case (p, t) =>
+        p -> t.replace("    attn = self.attn",
+          "    k1 = (emb_k).forward(y, )\n    attn = self.attn")
+      })
+    }
+    val err = intercept[Exception] {
+      TorchScriptModel.load(writeTemp("crossbad", "crossbad", model, code))
+    }
+    assert(err.getMessage.contains("distinct query/key/value"),
+      err.getMessage)
+  }
+
+  test("loud failure: cross op widths must match the encoder leg") {
+    val err = intercept[IllegalArgumentException] {
+      new TorchScriptModel(
+        IndexedSeq(
+          EmbeddingSeqOp(ewq, vocab, emb),
+          CrossAttnOp(Mha.split(inW, inB, emb, nHeads),
+            proj = Some(LinearLayer(outW, outB, emb, emb)), residual = true),
+          SeqMeanPoolOp,
+          LinearLayer(wf, bf, cls, emb)),
+        encOps = IndexedSeq(EmbeddingSeqOp(vals(vocab * 8, 511), vocab, 8)))
+    }
+    assert(err.getMessage.contains("encoder leg emits"), err.getMessage)
+  }
+}
