@@ -988,6 +988,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SAMPLED decoding (q203, VERDICT r13 gap #2): temperature 0.5 +
+    // top-p 0.9 nucleus sampling over the q194 LM — the default
+    // generation mode in practice, determinized by the q94/q187
+    // recipe: seeded md5 draws (u = md5("<doc>:<step>") mod 1e6 / 1e6)
+    // and 6-dp-quantized probabilities/cumulative cutoffs, so no pick
+    // hinges on cross-engine last-ulp luck. The oracle restates every
+    // step's softmax -> nucleus -> draw chain per doc (sampledOracle).
+    "q203_torch_gen_sampled" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
     // Corpus version diff (q192): the release audit — v2 derived
     // deterministically from the fixture (every 7th doc edited, every
     // 11th dropped, a shifted id range added), then ONE full outer
@@ -8705,6 +8728,12 @@ object SparkEntry {
     // doc.
     "q194_torch_generate" -> generateOracle(banned = Nil),
 
+    // Temperature + top-p sampling with seeded md5 draws and 6-dp
+    // quantized cutoffs — the full per-step chain restated
+    // (sampledOracle).
+    "q203_torch_gen_sampled" -> sampledOracle(steps = 2,
+      temperature = 0.5, topP = 0.9),
+
     // The identical chain with the banned ids omitted from every
     // step's argmax CASE.
     "q195_torch_gen_banned" -> generateOracle(banned = Seq(1, 4)),
@@ -9831,6 +9860,98 @@ object SparkEntry {
        |JOIN step2 s2 ON s2.doc_id = s1.doc_id
        |JOIN step3 s3 ON s3.doc_id = s1.doc_id
        |ORDER BY s1.doc_id""".stripMargin
+  }
+
+  /** The q203 sampled-decode oracle: every step is one full forward
+    * pass (the q194 nested-WITH generator) whose 8 vocab logits
+    * unpivot into candidate rows, then the exact engine chain —
+    * temperature-scaled max-shifted softmax, probabilities rounded to
+    * 6 dp, nucleus = the minimal (p6 DESC, tid ASC) prefix whose
+    * PRECEDING mass is < topP, running renormalized cumulative
+    * (sum-first-divide-once, total = max of the running sum so the
+    * f64 addition ORDER matches the engine exactly), 6-dp rounding,
+    * and the pick = first candidate whose cumulative exceeds the
+    * seeded md5 draw. DECIMAL pitfalls: every literal in double
+    * arithmetic is CAST AS DOUBLE (bare decimals are DECIMAL in
+    * DuckDB). */
+  private def sampledOracle(steps: Int, temperature: Double, topP: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val tLit = s"CAST($temperature AS DOUBLE)"
+    val pLit = s"CAST($topP AS DOUBLE)"
+    val stepCtes = (1 to steps).map { t =>
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j / $tLit AS lp FROM logit$t")
+        .mkString("\n  UNION ALL ")
+      s"""logit$t AS MATERIALIZED (
+         |${fwd(s"toks${t - 1}")}
+         |),
+         |cand$t AS MATERIALIZED (
+         |  $unpivot),
+         |prob$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, round(e / z, 6) AS p6
+         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM cand$t))),
+         |nuc$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, rk, cs, max(cs) OVER (PARTITION BY doc_id) AS total
+         |  FROM (SELECT doc_id, tid, rk,
+         |               sum(p6) OVER (PARTITION BY doc_id ORDER BY rk) AS cs
+         |        FROM (SELECT doc_id, tid, p6,
+         |                     row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY p6 DESC, tid) AS rk,
+         |                     coalesce(sum(p6) OVER (PARTITION BY doc_id
+         |                       ORDER BY p6 DESC, tid ROWS BETWEEN UNBOUNDED
+         |                       PRECEDING AND 1 PRECEDING), CAST(0 AS DOUBLE))
+         |                       AS cumprev
+         |              FROM prob$t)
+         |        WHERE cumprev < $pLit)),
+         |samp$t AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT doc_id, tid,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+         |    FROM nuc$t
+         |    WHERE round(cs / total, 6) >
+         |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':$t'), 1, 8)
+         |        AS BIGINT) % 1000000 / CAST(1000000 AS DOUBLE))
+         |  WHERE prk = 1),
+         |toks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM samp$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS sm$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN samp$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |$stepCtes
+       |SELECT g1.doc_id, $outs
+       |FROM samp1 g1
+       |$joins
+       |ORDER BY g1.doc_id""".stripMargin
   }
 
   /** The q197 beam-search oracle: step-1 logits → log-softmax → top-2

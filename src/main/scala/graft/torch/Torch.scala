@@ -511,6 +511,138 @@ object Torch {
    * @return input columns + `outCol` = array<int> of the `steps`
    *         generated token ids (null input → null output)
    */
+  /**
+   * SAMPLED autoregressive decoding — temperature + top-p (nucleus)
+   * sampling, the default generation mode in practice (Holtzman et
+   * al. 2020), made exactly reproducible across engines with this
+   * repo's determinism discipline (the q94/q187 recipe):
+   *
+   *  - the per-step random draw is SEEDED, not ambient:
+   *    `u = (int64(md5("<id>:<step>")[0:8]) mod 1e6) / 1e6` — both
+   *    engines restate the same md5 arithmetic, so there is no RNG to
+   *    disagree about;
+   *  - softmax probabilities (f64 from the f32 logits, max-shifted,
+   *    logits scaled by `1/temperature`) QUANTIZE to 6 dp
+   *    (HALF_UP — Spark/DuckDB `round(x, 6)`) before every discrete
+   *    decision, so a pick never hinges on cross-libm exp ulps;
+   *  - the nucleus is the standard minimal prefix of the
+   *    `(p DESC, token ASC)` order whose cumulative mass reaches
+   *    `topP` (a candidate joins while the mass BEFORE it is < topP);
+   *  - within the nucleus, cumulative renormalized mass is computed
+   *    sum-first-divide-once (`cumsum(p6) / total`), quantized to
+   *    6 dp, and the pick is the FIRST candidate whose cumulative
+   *    exceeds `u` — u lives on the 1e-6 grid and u <= 0.999999, so a
+   *    pick always exists.
+   *
+   * `topP -> 0` keeps exactly the top-1 candidate, reducing to greedy
+   * decoding (spec-pinned). Scale shape: identical to
+   * [[generateGreedy]] — the k-step loop runs INSIDE one
+   * `mapPartitions` over GEMM batches, no per-step plan growth.
+   *
+   * @param idCol BIGINT column seeding the per-row draw chain
+   * @return input columns + `outCol` = array<int> sampled token ids
+   */
+  def generateSampled(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      temperature: Double,
+      topP: Double,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(temperature > 0.0, "temperature must be > 0 (greedy is generateGreedy)")
+    require(topP > 0.0 && topP <= 1.0, "topP must be in (0, 1]")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1, "generateSampled needs a token-input model")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def draw(id: Long, step: Int): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$step".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+      }
+      def sampleNext(out: Array[Float], off: Int, u: Double): Int = {
+        val lp = Array.tabulate(vocab)(j => out(off + j).toDouble / temperature)
+        val mx = lp.max
+        val es = lp.map(v => math.exp(v - mx))
+        val z = es.sum
+        val p6 = es.map(e => q6(e / z))
+        val order = (0 until vocab).sortBy(j => (-p6(j), j))
+        // nucleus: a candidate joins while the mass BEFORE it is < topP
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var cum = 0.0
+        for (j <- order if cum < topP) { kept += j; cum += p6(j) }
+        // total == the last running sum (ORDER-DEFINED on both engines:
+        // the oracle takes max over the running window, not a bare
+        // partition sum, so the f64 addition order is identical)
+        var run = 0.0
+        val sums = kept.map { j => run += p6(j); run }
+        val total = run
+        var pick = kept.last
+        var done = false
+        for ((j, cs) <- kept.zip(sums) if !done)
+          if (q6(cs / total) > u) { pick = j; done = true }
+        pick
+      }
+      it.grouped(bs).flatMap { rows =>
+        val seqs: Array[Array[Int]] = rows.map { r =>
+          if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+          else {
+            val xs = r.getSeq[Any](inIdx)
+            val a = new Array[Int](xs.length)
+            var j = 0
+            var ok = true
+            while (ok && j < a.length) {
+              xs(j) match {
+                case null => ok = false
+                case f: java.lang.Number => a(j) = f.intValue(); j += 1
+              }
+            }
+            if (ok && a.nonEmpty) a else null
+          }
+        }.toArray
+        val ids: Array[Long] = rows.map(r =>
+          if (r.isNullAt(idIdx)) 0L else r.getAs[Number](idIdx).longValue()).toArray
+        val gen = Array.fill(seqs.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        var t = 1
+        var cur = seqs
+        while (t <= steps) {
+          val liveIdx = cur.indices.filter(cur(_) != null)
+          if (liveIdx.nonEmpty) {
+            val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
+            val next = cur.clone()
+            liveIdx.zipWithIndex.foreach { case (ri, k) =>
+              val tid = sampleNext(out, k * vocab, draw(ids(ri), t))
+              gen(ri) += tid
+              next(ri) = cur(ri) :+ tid
+            }
+            cur = next
+          }
+          t += 1
+        }
+        rows.iterator.zipWithIndex.map { case (r, ri) =>
+          if (seqs(ri) == null) Row.fromSeq(r.toSeq :+ null)
+          else Row.fromSeq(r.toSeq :+ gen(ri).toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   def generateGreedy(
       df: DataFrame,
       inputCol: String,

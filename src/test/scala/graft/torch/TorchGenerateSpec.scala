@@ -262,4 +262,97 @@ class TorchGenerateSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  /** The sf0.001 prompt set q194/q203 run on (doc_id, capped token ids). */
+  private def fixturePrompts(vocab: Int) = {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+  }
+
+  test("sampled decoding: topP -> 0 keeps only the top-1 nucleus and reduces to greedy") {
+    val m = graft.SparkEntry.genModel
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(m.seqHead.get.vocab)
+    val greedy = Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 3)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val reduced = Torch.generateSampled(df, "doc_id", "tok_ids", "gen", bc,
+        steps = 3, temperature = 0.5, topP = 1e-6)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(reduced == greedy, "topP -> 0 must equal greedy decoding")
+    // and the REAL nucleus (topP 0.9) must actually sample: some docs
+    // leave the greedy trajectory
+    val sampled = Torch.generateSampled(df, "doc_id", "tok_ids", "gen", bc,
+        steps = 3, temperature = 0.5, topP = 0.9)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val moved = sampled.count { case (k, v) => greedy(k) != v }
+    assert(moved > sampled.size / 10,
+      s"only $moved/${sampled.size} docs left the greedy trajectory")
+    // determinism across partitionings (the draws are seeded, not ambient)
+    val again = Torch.generateSampled(df.repartition(8), "doc_id", "tok_ids",
+        "gen", bc, steps = 3, temperature = 0.5, topP = 0.9)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(again == sampled)
+  }
+
+  test("sampled decoding: every quantized decision sits far from its rounding boundary") {
+    // The cross-engine contract rounds e/z and cumsum/total to 6 dp
+    // before comparing; the only residual risk is a value within
+    // cross-libm exp drift (~1e-16 relative) of a 0.5e-6 rounding
+    // boundary. Measure the minimum distance of x*1e6 from the nearest
+    // half-integer over EVERY probability and cumulative the sf0.001
+    // run quantizes — the floor must clear ulp scale by orders of
+    // magnitude.
+    val m = graft.SparkEntry.genModel
+    val vocab = m.outDim
+    val toks = fixturePrompts(m.seqHead.get.vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def boundaryDist(x: Double): Double = {
+      val f = (x * 1e6) % 1.0
+      math.abs(f - 0.5)
+    }
+    var minDist = Double.MaxValue
+    for ((id, prompt) <- toks) {
+      var cur = prompt
+      for (t <- 1 to 2) {
+        val out = m.forwardTokens(cur)
+        val lp = Array.tabulate(vocab)(j => out(j).toDouble / 0.5)
+        val mx = lp.max
+        val es = lp.map(v => math.exp(v - mx))
+        val z = es.sum
+        es.foreach(e => minDist = math.min(minDist, boundaryDist(e / z)))
+        val p6 = es.map(e => q6(e / z))
+        val order = (0 until vocab).sortBy(j => (-p6(j), j))
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var cum = 0.0
+        for (j <- order if cum < 0.9) { kept += j; cum += p6(j) }
+        var run = 0.0
+        val sums = kept.map { j => run += p6(j); run }
+        val total = run
+        sums.foreach(cs => minDist = math.min(minDist, boundaryDist(cs / total)))
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$t".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        val u = (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+        var pick = kept.last
+        var done = false
+        for ((j, cs) <- kept.zip(sums) if !done)
+          if (q6(cs / total) > u) { pick = j; done = true }
+        cur = cur :+ pick
+      }
+    }
+    info(s"min quantization-boundary distance (x1e-6): $minDist")
+    assert(minDist > 1e-7,
+      s"a quantized decision sits $minDist x 1e-6 from its rounding boundary")
+  }
 }
