@@ -619,21 +619,37 @@ object Torch {
           if (r.isNullAt(idIdx)) 0L else r.getAs[Number](idIdx).longValue()).toArray
         val gen = Array.fill(seqs.length)(
           scala.collection.mutable.ArrayBuffer.empty[Int])
-        var t = 1
-        var cur = seqs
-        while (t <= steps) {
-          val liveIdx = cur.indices.filter(cur(_) != null)
-          if (liveIdx.nonEmpty) {
-            val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
-            val next = cur.clone()
-            liveIdx.zipWithIndex.foreach { case (ri, k) =>
-              val tid = sampleNext(out, k * vocab, draw(ids(ri), t))
-              gen(ri) += tid
-              next(ri) = cur(ri) :+ tid
+        if (m.cacheable) {
+          // KV-cache decode (bit-identical logits; see generateGreedy)
+          seqs.zipWithIndex.foreach { case (s0, ri) =>
+            if (s0 != null) {
+              val sess = m.decodeSession(s0)
+              var t = 1
+              while (t <= steps) {
+                val tid = sampleNext(sess.logits(), 0, draw(ids(ri), t))
+                gen(ri) += tid
+                sess.append(tid)
+                t += 1
+              }
             }
-            cur = next
           }
-          t += 1
+        } else {
+          var t = 1
+          var cur = seqs
+          while (t <= steps) {
+            val liveIdx = cur.indices.filter(cur(_) != null)
+            if (liveIdx.nonEmpty) {
+              val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
+              val next = cur.clone()
+              liveIdx.zipWithIndex.foreach { case (ri, k) =>
+                val tid = sampleNext(out, k * vocab, draw(ids(ri), t))
+                gen(ri) += tid
+                next(ri) = cur(ri) :+ tid
+              }
+              cur = next
+            }
+            t += 1
+          }
         }
         rows.iterator.zipWithIndex.map { case (r, ri) =>
           if (seqs(ri) == null) Row.fromSeq(r.toSeq :+ null)
@@ -700,21 +716,41 @@ object Torch {
         }.toArray
         val gen = Array.fill(seqs.length)(
           scala.collection.mutable.ArrayBuffer.empty[Int])
-        var t = 0
-        var cur = seqs
-        while (t < steps) {
-          val liveIdx = cur.indices.filter(cur(_) != null)
-          if (liveIdx.nonEmpty) {
-            val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
-            val next = cur.clone()
-            liveIdx.zipWithIndex.foreach { case (ri, k) =>
-              val tid = argmaxFirst(out, k * vocab)
-              gen(ri) += tid
-              next(ri) = cur(ri) :+ tid
+        if (m.cacheable) {
+          // KV-cache decode: per-row incremental sessions — each step
+          // costs O(L·d), not the O(L²·d) full-prefix recompute, and
+          // the per-step logits are BIT-IDENTICAL to the recompute
+          // path (TorchGenerateSpec pins equality on every sf0.001
+          // doc), so trajectories and oracles are unchanged.
+          seqs.zipWithIndex.foreach { case (s0, ri) =>
+            if (s0 != null) {
+              val sess = m.decodeSession(s0)
+              var t = 0
+              while (t < steps) {
+                val tid = argmaxFirst(sess.logits(), 0)
+                gen(ri) += tid
+                sess.append(tid)
+                t += 1
+              }
             }
-            cur = next
           }
-          t += 1
+        } else {
+          var t = 0
+          var cur = seqs
+          while (t < steps) {
+            val liveIdx = cur.indices.filter(cur(_) != null)
+            if (liveIdx.nonEmpty) {
+              val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
+              val next = cur.clone()
+              liveIdx.zipWithIndex.foreach { case (ri, k) =>
+                val tid = argmaxFirst(out, k * vocab)
+                gen(ri) += tid
+                next(ri) = cur(ri) :+ tid
+              }
+              cur = next
+            }
+            t += 1
+          }
         }
         rows.iterator.zipWithIndex.map { case (r, ri) =>
           if (seqs(ri) == null) Row.fromSeq(r.toSeq :+ null)

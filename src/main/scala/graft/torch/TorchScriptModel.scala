@@ -2338,6 +2338,261 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     cur
   }
 
+  /** True when [[decodeSession]] can decode this model INCREMENTALLY:
+    * a token-sequence model pooled by the last position whose sequence
+    * phase is position-local except for CAUSAL attention — then a
+    * grown sequence never changes already-computed positions, so
+    * per-position k/v projections cache and each step costs O(L·d)
+    * instead of the O(L²·d) full recompute. Non-causal attention,
+    * RoPE (supportable, not yet wired), padded heads, and conv/pool
+    * layouts fall back to the recompute path. */
+  lazy val cacheable: Boolean =
+    seqHead.isDefined && !isCross && seqHead.get.padIdx < 0 &&
+      poolIdx >= 1 && ops(poolIdx) == SeqLastPoolOp &&
+      ops.slice(1, poolIdx).forall {
+        case ea: EncoderAttnOp =>
+          ea.heads.forall(h => h.causal && h.ropeCos.isEmpty)
+        case a: SelfAttentionOp => a.causal && a.ropeCos.isEmpty
+        case _: SeqLayerNormOp | _: SeqRmsNormOp | SeqGluOp | _: PosFfnOp |
+            _: PosEmbedOp | _: ActOp | _: ParamActOp => true
+        case _ => false
+      }
+
+  /** Open an incremental decoding session seeded with `prompt` — the
+    * KV-cache complement of re-running [[forwardTokens]] on every
+    * grown sequence. BIT-IDENTICAL to the recompute path by
+    * construction: each appended position runs the exact per-op f64
+    * formulas of [[seqPhase]]/[[attnHeadF64]] in the same accumulation
+    * order, and causal attention reads cached k/v projections whose
+    * values never change as the sequence grows (spec-pinned per-step
+    * logit equality on every sf0.001 doc, TorchGenerateSpec). */
+  def decodeSession(prompt: Array[Int]): DecodeSession = {
+    require(cacheable, "model is not incrementally decodable (see cacheable)")
+    require(prompt.nonEmpty, "empty prompt")
+    new DecodeSession(prompt)
+  }
+
+  final class DecodeSession private[TorchScriptModel] (prompt: Array[Int]) {
+    private val e = seqHead.get
+    /** Per causal-attention op (keyed by op index), per head: cached
+      * k/v projections, one `(dim)` f64 vector per position. */
+    private val kCache = scala.collection.mutable.Map.empty[
+      Int, Array[scala.collection.mutable.ArrayBuffer[Array[Double]]]]
+    private val vCache = scala.collection.mutable.Map.empty[
+      Int, Array[scala.collection.mutable.ArrayBuffer[Array[Double]]]]
+    for ((op, oi) <- ops.zipWithIndex.slice(1, poolIdx)) op match {
+      case ea: EncoderAttnOp =>
+        kCache(oi) = Array.fill(ea.heads.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+        vCache(oi) = Array.fill(ea.heads.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      case _: SelfAttentionOp =>
+        kCache(oi) = Array.fill(1)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+        vCache(oi) = Array.fill(1)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      case _ =>
+    }
+    private var pos = -1
+    private var lastX: Array[Float] = null
+    /** Current sequence length. */
+    def length: Int = pos + 1
+    prompt.foreach(append)
+
+    /** f64 projection of the position's f32 features — the exact
+      * attnHeadF64 inner loop. */
+    private def projVec(x: Array[Float], w: Array[Float], b: Array[Float],
+        d: Int, inDim: Int): Array[Double] = {
+      val out = new Array[Double](d)
+      var o = 0
+      while (o < d) {
+        var acc: Double = b(o)
+        val wOff = o * inDim
+        var j = 0
+        while (j < inDim) { acc += x(j).toDouble * w(wOff + j); j += 1 }
+        out(o) = acc
+        o += 1
+      }
+      out
+    }
+
+    /** One head's causal attention OUTPUT row at the current position,
+      * appending this position's k/v to the cache — the attnHeadF64
+      * math (same max-shift, same b0-ascending accumulation order)
+      * restricted to the row the last-pos read-out needs. */
+    private def headRow(h: SelfAttentionOp, x: Array[Float],
+        ks: scala.collection.mutable.ArrayBuffer[Array[Double]],
+        vs: scala.collection.mutable.ArrayBuffer[Array[Double]]): Array[Double] = {
+      val d = h.dim
+      val qm = projVec(x, h.wq, h.bq, d, h.inDim)
+      ks += projVec(x, h.wk, h.bk, d, h.inDim)
+      vs += projVec(x, h.wv, h.bv, d, h.inDim)
+      val biasM = h.bias.orNull
+      require(biasM == null || pos < h.biasRows,
+        s"sequence length ${pos + 1} exceeds the attention bias table " +
+          s"(${h.biasRows} positions)")
+      val lim = pos + 1 // causal row `pos`: keys 0..pos
+      val scores = new Array[Double](lim)
+      var mx = Double.NegativeInfinity
+      var b0 = 0
+      while (b0 < lim) {
+        var s0 = 0.0
+        val km = ks(b0)
+        var j = 0
+        while (j < d) { s0 += qm(j) * km(j); j += 1 }
+        s0 *= h.scale
+        if (biasM != null) s0 += biasM(pos * h.biasRows + b0).toDouble
+        scores(b0) = s0
+        if (s0 > mx) mx = s0
+        b0 += 1
+      }
+      require(mx > Double.NegativeInfinity,
+        s"attention bias masks out every visible key for query position $pos")
+      var z = 0.0
+      b0 = 0
+      while (b0 < lim) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
+      val out = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        b0 = 0
+        while (b0 < lim) { acc += scores(b0) * vs(b0)(j); b0 += 1 }
+        out(j) = acc / z
+        j += 1
+      }
+      out
+    }
+
+    /** Append one token: run the NEW position through the sequence
+      * phase (position-local ops + causal attention over the caches). */
+    def append(tid: Int): Unit = {
+      pos += 1
+      require(tid >= 0 && tid < e.vocab, s"token id $tid out of range [0, ${e.vocab})")
+      var x = java.util.Arrays.copyOfRange(e.weight, tid * e.embDim, (tid + 1) * e.embDim)
+      var oi = 1
+      while (oi < poolIdx) {
+        ops(oi) match {
+          case pe: PosEmbedOp =>
+            require(pos < pe.maxLen,
+              s"sequence length ${pos + 1} exceeds the ${pe.maxLen}-position embedding table")
+            var i2 = 0
+            while (i2 < x.length) {
+              x(i2) = (x(i2).toDouble + pe.weight(pos * pe.embDim + i2)).toFloat
+              i2 += 1
+            }
+          case ea: EncoderAttnOp =>
+            val headOuts = ea.heads.zipWithIndex.map { case (h, hi) =>
+              headRow(h, x, kCache(oi)(hi), vCache(oi)(hi))
+            }
+            val cat = new Array[Double](ea.catDim)
+            var off = 0
+            for ((h, ho) <- ea.heads.zip(headOuts)) {
+              var j = 0
+              while (j < h.dim) { cat(off + j) = ho(j); j += 1 }
+              off += h.dim
+            }
+            val projed = ea.proj match {
+              case None => cat
+              case Some(l) =>
+                val o = new Array[Double](l.outDim)
+                var t = 0
+                while (t < l.outDim) {
+                  var acc: Double = l.bias(t)
+                  var j = 0
+                  while (j < l.inDim) { acc += cat(j) * l.weight(t * l.inDim + j); j += 1 }
+                  o(t) = acc
+                  t += 1
+                }
+                o
+            }
+            val out = new Array[Float](ea.outDim)
+            var i1 = 0
+            while (i1 < out.length) {
+              val r0 = if (ea.residual) x(i1).toDouble else 0.0
+              out(i1) = (projed(i1) + r0).toFloat
+              i1 += 1
+            }
+            x = out
+          case at: SelfAttentionOp =>
+            val o64 = headRow(at, x, kCache(oi)(0), vCache(oi)(0))
+            val out = new Array[Float](o64.length)
+            var i0 = 0
+            while (i0 < o64.length) { out(i0) = o64(i0).toFloat; i0 += 1 }
+            x = out
+          case SeqLayerNormOp(gamma, beta, eps) =>
+            val cols = x.length
+            var mean = 0.0
+            var j = 0
+            while (j < cols) { mean += x(j); j += 1 }
+            mean /= cols
+            var va = 0.0
+            j = 0
+            while (j < cols) { val d0 = x(j) - mean; va += d0 * d0; j += 1 }
+            va /= cols
+            val inv = 1.0 / math.sqrt(va + eps)
+            j = 0
+            while (j < cols) {
+              x(j) = (((x(j) - mean) * inv) * gamma(j) + beta(j)).toFloat
+              j += 1
+            }
+          case SeqRmsNormOp(gamma, eps) =>
+            val cols = x.length
+            var ms = 0.0
+            var j = 0
+            while (j < cols) { val v = x(j).toDouble; ms += v * v; j += 1 }
+            ms /= cols
+            val inv = 1.0 / math.sqrt(ms + eps)
+            j = 0
+            while (j < cols) { x(j) = ((x(j) * inv) * gamma(j)).toFloat; j += 1 }
+          case SeqGluOp =>
+            val half = x.length / 2
+            val out = new Array[Float](half)
+            var j = 0
+            while (j < half) {
+              val a = x(j).toDouble
+              val b = x(half + j).toDouble
+              out(j) = (a * (1.0 / (1.0 + math.exp(-b)))).toFloat
+              j += 1
+            }
+            x = out
+          case ff: PosFfnOp =>
+            val hid = ff.l1.outDim
+            val mid = new Array[Double](hid)
+            var h0 = 0
+            while (h0 < hid) {
+              var acc: Double = ff.l1.bias(h0)
+              var j = 0
+              while (j < ff.l1.inDim) {
+                acc += x(j).toDouble * ff.l1.weight(h0 * ff.l1.inDim + j); j += 1
+              }
+              mid(h0) = actF64(ff.act, acc)
+              h0 += 1
+            }
+            val out = new Array[Float](ff.l2.outDim)
+            var t = 0
+            while (t < ff.l2.outDim) {
+              var acc: Double = ff.l2.bias(t)
+              var j = 0
+              while (j < hid) { acc += mid(j) * ff.l2.weight(t * hid + j); j += 1 }
+              if (ff.residual) acc += x(t)
+              out(t) = acc.toFloat
+              t += 1
+            }
+            x = out
+          case ActOp(kind) => applyAct(x, kind)
+          case ParamActOp(kind, a, b) => applyParamAct(x, kind, a, b)
+          case other => sys.error(s"non-cacheable op $other") // cacheable forbids
+        }
+        oi += 1
+      }
+      lastX = x
+    }
+
+    /** Vocab logits for the CURRENT sequence — the last position's
+      * state through the flat tail (exactly forwardTokens' read-out). */
+    def logits(): Array[Float] = runOps(poolIdx + 1, lastX.clone(), 1, pooledDim)
+  }
+
   /** In-place elementwise activation on a buffer the caller owns. */
   private def applyAct(cur: Array[Float], kind: String): Unit = {
     var i = 0

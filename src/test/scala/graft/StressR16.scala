@@ -81,6 +81,37 @@ object StressR16 {
     require(spec.getOrElse(2, 0L) > 250000L,
       s"int4 draft should mostly agree: $spec")
 
+    // 4. KV-cache step scaling: the incremental session vs the full
+    //    O(L²) prefix recompute, 4 steps from 12-token prompts (the
+    //    position-table max). Same trajectories required BIT-exactly;
+    //    the wall-clock ratio is the O(L) vs O(L²) win.
+    val prompts = Array.tabulate(20000)(i =>
+      Array.tabulate(12)(j => ((i * 131 + j * 37) % vocab)))
+    def argmaxF(l: Array[Float]): Int = {
+      var b = 0
+      var j = 1
+      while (j < l.length) { if (l(j) > l(b)) b = j; j += 1 }
+      b
+    }
+    val cached = timed("KV-cache 4-step decode, 20k rows (driver)") {
+      prompts.map { p =>
+        val s = m.decodeSession(p)
+        (1 to 4).map { _ =>
+          val tid = argmaxF(s.logits()); s.append(tid); tid
+        }
+      }
+    }
+    val recomputed = timed("full-recompute 4-step decode, 20k rows (driver)") {
+      prompts.map { p =>
+        var cur = p
+        (1 to 4).map { _ =>
+          val tid = argmaxF(m.forwardTokens(cur)); cur = cur :+ tid; tid
+        }
+      }
+    }
+    require(cached.zip(recomputed).forall { case (a, b) => a == b },
+      "KV-cache trajectory diverged from the recompute path")
+
     println("[stress] StressR16 PASS")
     spark.stop()
   }

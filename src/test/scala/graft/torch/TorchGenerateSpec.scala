@@ -274,6 +274,35 @@ class TorchGenerateSpec extends AnyFunSuite {
       .filter(size(col("tok_ids")) >= 1)
   }
 
+  test("KV-cache decode: per-step logits BIT-IDENTICAL to the full recompute on every doc") {
+    val m = graft.SparkEntry.genModel
+    assert(m.cacheable, "genModel must be incrementally decodable")
+    val toks = fixturePrompts(m.seqHead.get.vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    assert(toks.nonEmpty)
+    for ((id, prompt) <- toks) {
+      val sess = m.decodeSession(prompt)
+      var cur = prompt
+      for (t <- 1 to 3) {
+        val cached = sess.logits()
+        val full = m.forwardTokens(cur)
+        assert(cached.toSeq == full.toSeq,
+          s"doc $id step $t: cached ${cached.toSeq} != recompute ${full.toSeq}")
+        // advance along the greedy trajectory (first max wins)
+        var tid = 0
+        for (j <- 1 until cached.length) if (cached(j) > cached(tid)) tid = j
+        sess.append(tid)
+        cur = cur :+ tid
+      }
+    }
+    // non-cacheable shapes refuse the session (mean pool: a grown
+    // sequence changes every pooled logit — caching would be wrong)
+    assert(!graft.SparkEntry.encModel.cacheable)
+    intercept[IllegalArgumentException] {
+      graft.SparkEntry.encModel.decodeSession(Array(1, 2, 3))
+    }
+  }
+
   test("sampled decoding: topP -> 0 keeps only the top-1 nucleus and reduces to greedy") {
     val m = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(m)
