@@ -3708,6 +3708,13 @@ object SparkEntry {
       graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix).count()
       ()
     },
+    "q158_ann_filtered" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 64, m = 8, ksub = 32, trainSample = 8192)
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix).count()
+      ()
+    },
   )
 
   /** AMORTIZED-index query phases for the IVFADC queries: the outer
@@ -3767,6 +3774,30 @@ object SparkEntry {
         val q = emb.filter(col("vec_id") < 20)
         graft.operators.Similarity.ivfPqTopKReranked(emb, codes, q,
           "vec_id", "embedding", ix, k = 5, shortlist = 50, nprobe = 8).count()
+        ()
+      }
+    },
+    // q158's amortized leg (VERDICT r13 item 5): the repo's heaviest
+    // bench number is ~70% in-query codebook training — persist the
+    // index AND the label-carrying code table once, reopen, and time
+    // only the filtered search (predicate below the shortlist), which
+    // is what a steady-state RAG cluster pays per query batch.
+    "q158_ann_filtered" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann158").toString
+      val ix0 = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 64, m = 8, ksub = 32, trainSample = 8192)
+      graft.operators.Similarity.saveIndex(s, ix0, s"$tmp/ix")
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix0)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
+      val codesMeta = s.read.parquet(s"$tmp/codes")
+      () => {
+        val q = emb.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        graft.operators.Similarity.ivfPqTopKFilteredReranked(emb, codesMeta, q,
+          "vec_id", "embedding", ix, k = 5, shortlist = 50, nprobe = 16,
+          pred = col("label") % 3 === 0).count()
         ()
       }
     },
