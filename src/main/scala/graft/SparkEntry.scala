@@ -2676,6 +2676,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // LoRA adapter application (q204, VERDICT r13 gap #4): the q127
+    // encoder classifier with two rank-2 adapters FOLDED AT LOAD
+    // (W + (α/r)·B·A on the attention Q projection and the fc) — the
+    // merged model runs at dense cost, no runtime indirection. The
+    // oracle reuses the merged weights through the unchanged
+    // encBlockSql generator, so a wrong fold is a hash mismatch.
+    "q204_torch_lora" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = loraEncModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("lora_class"))
+        .orderBy("doc_id")
+    },
+
     // BERT-style classifier head (q127 + what every real pre-BERT
     // model adds): learned positional embeddings summed into the token
     // embeddings, a prepended [CLS] token (id 0), and CLS pooling —
@@ -4920,6 +4943,26 @@ object SparkEntry {
   /** Query-side position cap for q202 (the key side reuses
     * [[EncMaxLen]]); Lq != Lk keeps the two-sequence shape honest. */
   private val CrossQLen = 4
+
+  /** q204's LoRA-MERGED model (VERDICT r13 gap #4): [[encModel]] with
+    * two rank-2 adapters folded at load — `W + (α/r)·B·A` on the
+    * attention Q projection (the classic LoRA target, per-head B row
+    * slices of the packed layout) and on the classifier fc. α/r = 1
+    * and 1/16-grid factors keep every merged weight on the 1/256
+    * dyadic grid, so the DuckDB oracle inlines the merged weights
+    * exactly and the q127 argmax-pinning argument carries over
+    * (LoraSpec re-measures the gap floor). The merge is bit-identical
+    * to an explicitly-summed dense model (LoraSpec). */
+  private[graft] lazy val loraEncModel: graft.torch.TorchScriptModel = {
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    graft.torch.Lora.merge(encModel, Map(
+      "attn:0:q" -> graft.torch.Lora.Delta(
+        qvals(2 * 4, 3301, 0.5), qvals(4 * 2, 3307, 0.5), rank = 2, alpha = 2.0),
+      "fc:0" -> graft.torch.Lora.Delta(
+        qvals(2 * 4, 3319, 0.5), qvals(3 * 2, 3323, 1.0), rank = 2, alpha = 2.0)))
+  }
 
   /** q151's pinned blocklist: multi-word phrases over the fixture
     * vocabulary plus one bare token; all BORDERLESS (no proper prefix
@@ -7492,6 +7535,17 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS enc_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // LoRA: the oracle reads the MERGED model's weights through the
+    // unchanged generators — the fold is pinned by weight reuse.
+    "q204_torch_lora" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        loraEncModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, encBlockSql(loraEncModel, pool = "mean"),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS lora_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // Cross-attention: the q127 score-join recipe with the QUERY-side
