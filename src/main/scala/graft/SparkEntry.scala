@@ -2798,6 +2798,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // STRIDE-2 'same' stem (q205, VERDICT r13 gap #5): the
+    // MobileNet/ResNet downsampling stem as torch users write it —
+    // Conv2d(k=3, stride=2, padding=1) halving 8×8 to 4×4 (torch
+    // itself raises for padding='same' with stride != 1; the loader
+    // matches that, and the numeric-padding form IS the strided-same
+    // stem). Oracle restates every strided tap with bounds CASEs
+    // (stemPoolSql).
+    "q205_torch_stride_stem" -> { (s, dir) =>
+      ArgMax.register(s)
+      val bc = s.sparkContext.broadcast(stemModel)
+      val synth = udf((docId: Long) => {
+        val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate(64)(i =>
+          (((docId * 40503599627L) ^ ((i / 8) * 20011L + (i % 8) * 160001L +
+            docId * 9001L)) % 256).toByte)
+        header ++ px
+      })
+      val imgs = Multimodal.resizeImage(
+        t(s, dir, "documents").select(col("doc_id"), synth(col("doc_id")).as("img")),
+        "img", "px", 8, 8)
+      Torch.inferImageBatched(
+          imgs.select(col("doc_id"), col("px.pixels").as("pixels")),
+          "pixels", "logits", bc, c = 1, h = 8, w = 8, batchSize = 256)
+        .select(col("doc_id"),
+          call_function("argmax", col("logits")).as("stem_class"))
+        .orderBy("doc_id")
+    },
+
     // G.711 telephony audio (WAVE_FORMAT_MULAW/ALAW): deterministic
     // code bytes per doc -> writeWavG711 -> the real chunk walker +
     // segmented-companding expansion -> scan-side features. The
@@ -6147,6 +6175,70 @@ object SparkEntry {
        |SELECT doc_id, ${(0 until pw2.outCh).map(c0 => s"p$c0").mkString(", ")} FROM pool""".stripMargin
   }
 
+  /** STRIDE-2 stem vision head for q205 — the MobileNet/ResNet stem
+    * shape as torch users actually write it (`nn.Conv2d(1, 4, 3,
+    * stride=2, padding=1)` — torch itself REJECTS `padding='same'`
+    * with stride != 1, and so does this loader, matching that
+    * ValueError; the numeric-padding form IS the strided-'same' stem):
+    * 8×8 grayscale -> Conv2d(1->4, k3, s2, p1) -> folded BN -> ReLU
+    * -> global average pool over the 4×4 output -> Linear(4->3).
+    * Dyadic weights/affines; pixel f32 normalization (k/255) is the
+    * only engine-vs-oracle drift, absorbed by the argmax gap
+    * (TorchConvSpec pins the floor — the q140 argument). */
+  private[graft] lazy val stemModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    new TorchScriptModel(IndexedSeq(
+      Conv2dOp(qvals(36, 2301, 1.0), qvals(4, 2309, 0.25),
+        outCh = 4, inCh = 1, kh = 3, kw = 3, stride = 2, pad = 1),
+      ChannelAffineOp(qvals(4, 2311, 0.5).map(v => 1f + v), qvals(4, 2333, 0.25)),
+      ActOp("relu"),
+      GlobalPool2dOp(max = false),
+      LinearLayer(qvals(12, 2339, 4.0), Array(0f, 0f, 0f), 3, 4)))
+  }
+
+  /** DuckDB chain for the q205 oracle: fresh closed-form pixel grid,
+    * the STRIDED conv written per output position `(i, j) in 0..3` —
+    * tap `(r, q)` reads input `(2i + r - 1, 2j + q - 1)` with
+    * out-of-bounds taps contributing exactly 0 (the engine's zero
+    * padding) — then folded BN + ReLU per channel and a per-channel
+    * global AVERAGE over the 16 output positions; ends in
+    * `SELECT doc_id, p0..p3` for [[TorchOracle.mlpArgmaxSql]]. */
+  private def stemPoolSql: String = {
+    import graft.torch._
+    val m = stemModel
+    val cv = m.ops.collectFirst { case c: Conv2dOp => c }.get
+    val aff = m.ops.collectFirst { case a: ChannelAffineOp => a }.get
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def px(r: String, c: String): String =
+      s"CAST(xor(doc_id * 40503599627, ($r) * 20011 + ($c) * 160001 + " +
+        s"doc_id * 9001) % 256 AS DOUBLE)/255"
+    val stemSel = (0 until cv.outCh).map { oc =>
+      val terms = (for (r <- 0 until 3; q <- 0 until 3) yield {
+        val wv = fmtF(cv.weight((oc * 3 + r) * 3 + q))
+        s"CASE WHEN 2*i+($r)-1 BETWEEN 0 AND 7 AND 2*j+($q)-1 BETWEEN 0 AND 7 " +
+          s"THEN $wv*${px(s"2*i+($r)-1", s"2*j+($q)-1")} ELSE 0 END"
+      }).mkString(" + ")
+      val conv = s"${fmtF(cv.bias(oc))} + $terms"
+      s"GREATEST(0, ($conv)*${fmtF(aff.scale(oc))}+${fmtF(aff.shift(oc))}) AS s$oc"
+    }.mkString(",\n   ")
+    val poolSel = (0 until cv.outCh).map(c0 => s"avg(s$c0) AS p$c0").mkString(", ")
+    s"""WITH grid AS (
+       |  SELECT doc_id, ii.i, jj.j FROM documents,
+       |    (SELECT unnest(range(0, 4)) AS i) ii,
+       |    (SELECT unnest(range(0, 4)) AS j) jj),
+       |stem AS (SELECT doc_id, i, j,
+       |   $stemSel
+       | FROM grid),
+       |pool AS (SELECT doc_id, $poolSel FROM stem GROUP BY doc_id)
+       |SELECT doc_id, ${(0 until cv.outCh).map(c0 => s"p$c0").mkString(", ")} FROM pool""".stripMargin
+  }
+
   /** DuckDB chain for the q131 oracle: the same closed-form pixel grid
     * as q128 (fresh xor constants), the STEM's same-padded 3×3 conv
     * written with per-term bounds CASEs over the pixel formula, then
@@ -7653,6 +7745,17 @@ object SparkEntry {
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
           s"AS dw_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
+    },
+
+    // The strided stem's taps restated with bounds CASEs per output
+    // position (stemPoolSql).
+    "q205_torch_stride_stem" -> {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        stemModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      TorchOracle.mlpArgmaxSql(fc, stemPoolSql,
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(fc, "p")} " +
+          s"AS stem_class FROM ${TorchOracle.lastCte(fc)} ORDER BY doc_id")
     },
 
     // The G.711 expansions restated bit-for-bit: μ-law = complement,
