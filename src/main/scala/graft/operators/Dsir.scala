@@ -95,20 +95,31 @@ object Dsir {
       nr: Double, nt: Double, v: Double)
 
   /** Collect [[DsirStats]]; fails loudly past `maxVocab` distinct
-    * words (size-check BEFORE the collect). */
+    * words (size-check BEFORE the collect).
+    *
+    * 100 TB contract: a web-scale vocabulary exceeds 2M types — set
+    * `pruneTo` to keep the top-N words by raw-corpus count (ties by
+    * word text, a total order: the artifact is deterministic). The
+    * pruned artifact IS the model — nr/nt/v are the kept table's
+    * totals, and dropped words fall through the same OOV smoothing as
+    * unseen ones. The prune runs distributed (orderBy + limit =
+    * TakeOrderedAndProject). */
   def dsirStats(df: DataFrame, textCol: String, targetPred: Column,
-      maxVocab: Int = 2000000): DsirStats = {
-    val freq = df.select(targetPred.as("__t"),
+      maxVocab: Int = 2000000, pruneTo: Int = -1): DsirStats = {
+    val freqAll = df.select(targetPred.as("__t"),
         explode(call_function("regexp_extract_all",
           col(textCol), lit(Tok.Pattern), lit(0))).as("w"))
       .groupBy("w").agg(
         count(lit(1)).as("cr"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
       .transform(Checkpoints.cp)
+    val freq =
+      if (pruneTo > 0) freqAll.orderBy(col("cr").desc, col("w")).limit(pruneTo)
+      else freqAll
     val n = freq.count()
     require(n <= maxVocab,
       s"$n distinct words exceed the frozen-stats cap $maxVocab — " +
-        s"raise the cap or prune the corpus first")
+        s"raise the cap, or pass pruneTo to keep the top-N words by count")
     val rows = freq.collect()
       .map(r => r.getString(0) -> ((r.getLong(1).toDouble, r.getLong(2).toDouble)))
     DsirStats(rows.toMap,

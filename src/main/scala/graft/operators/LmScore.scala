@@ -186,21 +186,34 @@ object LmScore {
       types: Double)
 
   /** Collect [[KnStats]] from a corpus; fails loudly past `maxTypes`
-    * distinct bigrams (size-check BEFORE the collect). */
+    * distinct bigrams (size-check BEFORE the collect).
+    *
+    * 100 TB contract: a web-scale corpus has FAR more than 2M bigram
+    * types, so the raw collect is the wrong tool there — set `pruneTo`
+    * to keep only the top-N bigrams by count (ties broken by bigram
+    * text — a total order, so the artifact is deterministic). The
+    * pruned artifact IS the model: its continuation/type counts are
+    * those of the kept table, and dropped bigrams score through the
+    * same backoff/unseen path as genuinely unseen ones. The prune runs
+    * distributed (orderBy + limit = TakeOrderedAndProject — no full
+    * sort, no driver pressure beyond the kept N). */
   def knStats(df: DataFrame, textCol: String,
-      maxTypes: Int = 2000000): KnStats = {
+      maxTypes: Int = 2000000, pruneTo: Int = -1): KnStats = {
     val ws = split(trim(col(textCol)), Tok.WsPlus)
     val bgArr = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", slice(ws, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
-    val cnt2 = df.select(explode(bgArr).as("bg"))
+    val cnt2all = df.select(explode(bgArr).as("bg"))
       .groupBy("bg").agg(count(lit(1)).cast("double").as("c2"))
       .transform(Checkpoints.cp)
+    val cnt2 =
+      if (pruneTo > 0) cnt2all.orderBy(col("c2").desc, col("bg")).limit(pruneTo)
+      else cnt2all
     val n = cnt2.count()
     require(n <= maxTypes,
       s"$n bigram types exceed the frozen-stats cap $maxTypes — " +
-        s"raise the cap or prune the corpus first")
+        s"raise the cap, or pass pruneTo to keep the top-N bigrams by count")
     val rows = cnt2.collect().map(r => r.getString(0) -> r.getDouble(1))
     val left = scala.collection.mutable.HashMap.empty[String, (Double, Double)]
     val right = scala.collection.mutable.HashMap.empty[String, Double]

@@ -2141,6 +2141,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"doc 3: ${out(3L)._2} vs $expected3")
   }
 
+  test("frozen-stats pruneTo: deterministic top-N artifacts; cap still fails loudly") {
+    import spark.implicits._
+    val knDocs = Seq((1L, "a b a c"), (2L, "b a b"), (3L, "c")).toDF("doc_id", "text")
+    // bigram counts: (a b)=2, (b a)=2, (a c)=1 -> top-2 by (count DESC,
+    // text ASC) = {a b, b a}; the pruned artifact's stats are those of
+    // the KEPT table (types=2, a's continuation row loses "a c")
+    val pruned = LmScore.knStats(knDocs, "text", pruneTo = 2)
+    assert(pruned.big.keySet == Set("a b", "b a") && pruned.types == 2.0)
+    assert(pruned.left("a") == ((2.0, 1.0)) && pruned.left("b") == ((2.0, 1.0)))
+    // over-cap without pruneTo fails BEFORE the collect, naming the fallback
+    val err = intercept[IllegalArgumentException] {
+      LmScore.knStats(knDocs, "text", maxTypes = 2)
+    }
+    assert(err.getMessage.contains("pruneTo"), err.getMessage)
+    // and pruneTo brings the same corpus under the same cap
+    assert(LmScore.knStats(knDocs, "text", maxTypes = 2, pruneTo = 2).types == 2.0)
+
+    val dsirDocs = Seq(
+      (1L, "alpha beta alpha beta", "en"), (2L, "alpha beta gamma", "en"),
+      (3L, "rho sigma rho sigma", "de"), (4L, "rho sigma tau", "de"),
+      (5L, "alpha beta alpha", "de")).toDF("doc_id", "text", "lang")
+    // word counts: alpha=5, beta=4, rho=3, sigma=3, gamma=1, tau=1 ->
+    // top-3 by (count DESC, word ASC) = alpha, beta, then the 3-count
+    // tie resolves alphabetically: rho
+    val d = Dsir.dsirStats(dsirDocs, "text", col("lang") === "en", pruneTo = 3)
+    assert(d.counts.keySet == Set("alpha", "beta", "rho"), d.counts.keySet.toString)
+    assert(d.v == 3.0 && d.nr == 12.0)
+    val derr = intercept[IllegalArgumentException] {
+      Dsir.dsirStats(dsirDocs, "text", col("lang") === "en", maxVocab = 3)
+    }
+    assert(derr.getMessage.contains("pruneTo"), derr.getMessage)
+  }
+
   test("perplexityBuckets: NTILE sizes per stratum, monotone scores across buckets, total assignment") {
     import spark.implicits._
     // 7 en docs + 5 de docs with graded repetitiveness (repeated
