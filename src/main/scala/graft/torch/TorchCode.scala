@@ -368,6 +368,12 @@ object TorchCode {
       * [[graft.torch.CrossAttnOp]]. */
     final case class CrossAttnOut(heads: Vector[SelfAttentionOp],
         proj: Option[LinearLayer]) extends Sym
+    /** `matmul(q_main, k_enc^T)` — raw CROSS-attention scores of the
+      * hand-rolled two-sequence pattern (query projection over the
+      * main stream, key projection over the encoder stream). */
+    final case class CrossScores(q: SeqProj, k: SeqProj, scale: Double) extends Sym
+    /** Row-softmaxed cross scores, awaiting `matmul(·, v_enc)`. */
+    final case class CrossWeights(q: SeqProj, k: SeqProj, scale: Double) extends Sym
     /** `act(l1(x))` over the live sequence — the held first half of a
       * position-wise FFN, awaiting its closing Linear. */
     final case class FfnMid(l1: LinearLayer, act: String) extends Sym
@@ -501,10 +507,24 @@ object TorchCode {
     /** The op sink of the CURRENT stream (main, or encoder inside a
       * second-input module application). */
     def ops: scala.collection.mutable.Builder[TorchOp, IndexedSeq[TorchOp]] = opsCur
-    /** Route ops emitted by `f` into the encoder stream. */
+    /** Route ops emitted by `f` into the encoder stream. After a
+      * cross-attention call consumed the encoder output the leg is
+      * FROZEN: held projections (k/v Linears of further hand-rolled
+      * heads — no op emitted) still evaluate, but anything that would
+      * EMIT an encoder op fails loudly (it would silently change
+      * already-shared per-row state). */
+    private object FrozenEncOps
+        extends scala.collection.mutable.Builder[TorchOp, IndexedSeq[TorchOp]] {
+      def addOne(op: TorchOp): this.type = sys.error(
+        "TorchScript code: encoder-leg op emitted AFTER cross-attention " +
+          "consumed the encoder output (the leg is computed once and " +
+          "shared; reorder the forward)")
+      def clear(): Unit = ()
+      def result(): IndexedSeq[TorchOp] = IndexedSeq.empty
+    }
     private def onEnc[T](f: => T): T = {
       val saved = opsCur
-      opsCur = encOps
+      opsCur = if (encConsumed) FrozenEncOps else encOps
       try f finally opsCur = saved
     }
     /** Set when a cross-attention call consumes the encoder output:
@@ -752,9 +772,6 @@ object TorchCode {
       * emits) onto the encoder stream, re-wrapping the result. */
     def applyModule(m: ModuleNode, s: Sym): Sym = s match {
       case EncSide(inner) =>
-        require(!encConsumed, s"TorchScript code: ${m.simpleName} applied to " +
-          "the encoder sequence AFTER cross-attention consumed it (the " +
-          "encoder leg is computed once and shared; reorder the forward)")
         EncSide(onEnc(applyModule(m, inner)))
       case _ =>
         if (m.isTorchNn) builtinOp(m, s)
@@ -874,6 +891,11 @@ object TorchCode {
             val cat = a.heads.map(_.dim).sum
             require(cat == in, s"Linear(${in}→$out) applied to $cat concatenated head dims")
             AttnOut(a.heads, Some(LinearLayer(materialize(w), bias, outDim = out, inDim = in)))
+          case c: CrossAttnOut if c.proj.isEmpty =>
+            // out-projection of concatenated CROSS-attention heads
+            val cat = c.heads.map(_.dim).sum
+            require(cat == in, s"Linear(${in}→$out) applied to $cat concatenated head dims")
+            CrossAttnOut(c.heads, Some(LinearLayer(materialize(w), bias, outDim = out, inDim = in)))
           case m0: FfnMid =>
             // the FFN's closing dense: l2(act(l1(x))) — still held for
             // a possible residual add
@@ -1430,6 +1452,15 @@ object TorchCode {
                       s"unsupported on attention scores (last dim only) in: $line")
                   }
                   AttnWeights(sc.q, sc.k, sc.scale, sc.causal, sc.bias, sc.rope)
+                case sc: CrossScores =>
+                  require(fn == "softmax",
+                    s"TorchScript code: $fn on cross-attention scores unsupported in: $line")
+                  args.lift(1).map(a => eval(a, line)) match {
+                    case None | Some(-1L) | Some(2L) | Some(null) =>
+                    case other => sys.error(s"TorchScript code: $fn over dim $other " +
+                      s"unsupported on attention scores (last dim only) in: $line")
+                  }
+                  CrossWeights(sc.q, sc.k, sc.scale)
                 case sy0 =>
                   val sy = flat(sy0)
                   args.lift(1).map(a => eval(a, line)) match {
@@ -1467,6 +1498,37 @@ object TorchCode {
                 case (_: RopedProj, _: SeqProjT) | (_: SeqProj, _: RopedProjT) =>
                   sys.error(s"TorchScript code: RoPE must rotate BOTH q and k " +
                     s"(one leg rotated, one plain) in: $line")
+                case (q: SeqProj, EncSide(kt: SeqProjT)) =>
+                  // hand-rolled CROSS attention: query projection over
+                  // the main stream, key projection over the encoder
+                  // stream — the T5/BART decoder pattern
+                  require(q.l.outDim == kt.p.l.outDim,
+                    s"TorchScript code: matmul(q, k_enc^T) with head dims " +
+                      s"${q.l.outDim} vs ${kt.p.l.outDim} in: $line")
+                  require(q.l.inDim == kt.p.l.inDim,
+                    s"TorchScript code: cross-attention needs equal main/encoder " +
+                      s"widths (${q.l.inDim} vs ${kt.p.l.inDim}) in: $line")
+                  CrossScores(q, kt.p, 1.0)
+                case (cw: CrossWeights, EncSide(v: SeqProj)) =>
+                  val (q, k) = (cw.q.l, cw.k.l)
+                  require(v.l.outDim == q.outDim && v.l.inDim == k.inDim &&
+                      k.inDim == q.inDim,
+                    s"TorchScript code: cross-attention legs disagree (q ${q.inDim}->" +
+                      s"${q.outDim}, k ${k.inDim}->${k.outDim}, v ${v.l.inDim}->" +
+                      s"${v.l.outDim}) in: $line")
+                  // the encoder leg is consumed: freeze it (every cross
+                  // op shares ONE per-row encoder output)
+                  encConsumed = true
+                  CrossAttnOut(Vector(SelfAttentionOp(q.weight, q.bias, k.weight, k.bias,
+                    v.l.weight, v.l.bias, dim = v.l.outDim, inDim = v.l.inDim,
+                    scale = cw.scale)), None)
+                case (_: CrossWeights, _: SeqProj) =>
+                  sys.error(s"TorchScript code: cross-attention weights applied to " +
+                    s"a MAIN-stream value projection (v must come from the encoder " +
+                    s"sequence, like k) in: $line")
+                case (_: AttnWeights, EncSide(_)) =>
+                  sys.error(s"TorchScript code: self-attention weights applied to " +
+                    s"an ENCODER-stream value (q and k were main-stream) in: $line")
                 case (aw: AttnWeights, v: SeqProj) =>
                   val (q, k) = (aw.q.l, aw.k.l)
                   require(v.l.outDim == q.outDim && v.l.inDim == q.inDim &&
@@ -1516,6 +1578,14 @@ object TorchCode {
                   sc.copy(scale = sc1(sc.scale),
                     bias = sc.bias.map(b =>
                       b.copy(weight = b.weight.map(v => sc1(v.toDouble).toFloat))))
+                case (sc: CrossScores, c0) =>
+                  val c = c0 match {
+                    case d: Double => d
+                    case n: Long => n.toDouble
+                    case other => sys.error(s"TorchScript code: $fn by non-scalar $other in: $line")
+                  }
+                  require(c != 0.0 || fn == "mul", s"TorchScript code: div by zero in: $line")
+                  sc.copy(scale = if (fn == "div") sc.scale / c else sc.scale * c)
                 case (num: MaskedSum, den: LenVec) if fn == "div" =>
                   require(num.padId == den.padId,
                     s"TorchScript code: masked-mean numerator (pad ${num.padId}) " +
@@ -1696,6 +1766,15 @@ object TorchCode {
                     Vector(_, _: FeatHalf | _: NegFeatHalf) =>
                   sys.error(s"TorchScript code: cat of projection halves must " +
                     s"be the rotate_half pattern cat([-x2, x1], -1) in: $line")
+                case _ if items.nonEmpty && items.forall {
+                    case CrossAttnOut(Vector(_), None) => true
+                    case _ => false
+                  } =>
+                  // merge hand-rolled CROSS-attention heads on the
+                  // feature dim (stays held for out-proj / residual)
+                  featureDim(Set(2L))
+                  CrossAttnOut(items.map(
+                    _.asInstanceOf[CrossAttnOut].heads.head).toVector, None)
                 case _ =>
                   featureDim(Set(2L)) // (n, L, d) heads: feature dim is 2
                   val heads = items.map {
@@ -1751,6 +1830,7 @@ object TorchCode {
               forceSeq(sy) match {
                 case p: SeqProj => SeqProjT(p) // K^T leg: no op emitted
                 case rp: RopedProj => RopedProjT(rp) // rotated K^T leg
+                case EncSide(p: SeqProj) => EncSide(SeqProjT(p)) // cross K^T leg
                 case SeqEmb(e) => ops += TransposeOp; ChanSeq(e)
                 case ChanSeq(c) => ops += TransposeOp; SeqEmb(c)
                 case other => sys.error(s"TorchScript code: transpose(1, 2) on " +

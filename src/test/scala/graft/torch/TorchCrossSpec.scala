@@ -110,6 +110,84 @@ class TorchCrossSpec extends AnyFunSuite {
       a.slice(0, cls).toSeq)
   }
 
+  test("hand-rolled cross pattern: q/k/v Linears across streams load to the same CrossAttnOp") {
+    // two heads spelled out as separate Linears: q over the MAIN
+    // sequence, k/v over the ENCODER sequence, scaled scores, softmax,
+    // matmul, cat, out-proj, residual — the hand-written decoder block
+    def lin(w: Array[Float], b: Array[Float], out: Int, in: Int) =
+      linear(w, out, in, b)
+    val hd = emb / nHeads
+    def slice3(proj: Int, h: Int): (Array[Float], Array[Float]) = {
+      val w = java.util.Arrays.copyOfRange(inW,
+        (proj * emb + h * hd) * emb, (proj * emb + (h + 1) * hd) * emb)
+      val b = java.util.Arrays.copyOfRange(inB, proj * emb + h * hd,
+        proj * emb + (h + 1) * hd)
+      (w, b)
+    }
+    val attrs = Seq(
+      "training" -> B(false),
+      "emb_q" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ewq),
+        "padding_idx" -> NoneV, "training" -> B(false))),
+      "emb_k" -> Module(EmbeddingCls, Seq(
+        "weight" -> Tensor(Seq(vocab, emb), ewk),
+        "padding_idx" -> NoneV, "training" -> B(false)))) ++
+      (0 until nHeads).flatMap { h =>
+        val (qw, qb) = slice3(0, h)
+        val (kw, kb) = slice3(1, h)
+        val (vw, vb) = slice3(2, h)
+        Seq(s"wq$h" -> lin(qw, qb, hd, emb),
+          s"wk$h" -> lin(kw, kb, hd, emb),
+          s"wv$h" -> lin(vw, vb, hd, emb))
+      } ++ Seq(
+      "wo" -> lin(outW, outB, emb, emb),
+      "fc" -> lin(wf, bf, cls, emb))
+    val headCode = (0 until nHeads).map { h =>
+      s"""    wq$h = self.wq$h
+         |    q$h = (wq$h).forward(e, )
+         |    wk$h = self.wk$h
+         |    k$h = (wk$h).forward(kseq, )
+         |    wv$h = self.wv$h
+         |    v$h = (wv$h).forward(kseq, )
+         |    kt$h = torch.transpose(k$h, -2, -1)
+         |    s$h = torch.div(torch.matmul(q$h, kt$h), 1.4142135623730951)
+         |    sw$h = torch.softmax(s$h, -1)
+         |    a$h = torch.matmul(sw$h, v$h)""".stripMargin
+    }.mkString("\n")
+    val code = Map("code/__torch__.py" ->
+      s"""class HNet(Module):
+         |  training : bool
+         |  def forward(self: __torch__.HNet,
+         |    x: Tensor, y: Tensor) -> Tensor:
+         |    emb_q = self.emb_q
+         |    e = (emb_q).forward(x, )
+         |    emb_k = self.emb_k
+         |    kseq = (emb_k).forward(y, )
+         |$headCode
+         |    a = torch.cat([${(0 until nHeads).map(h => s"a$h").mkString(", ")}], -1)
+         |    wo = self.wo
+         |    o = (wo).forward(a, )
+         |    r = torch.add(e, o)
+         |    p = torch.mean(r, [1], False, None)
+         |    fc = self.fc
+         |    return (fc).forward(p, )
+         |""".stripMargin)
+    val m = TorchScriptModel.load(writeTemp("crosshand", "crosshand",
+      Module("__torch__.HNet", attrs), code))
+    assert(m.isCross)
+    assert(m.ops.map(_.getClass.getSimpleName) ==
+      IndexedSeq("EmbeddingSeqOp", "CrossAttnOp", "SeqMeanPoolOp$", "LinearLayer"))
+    // same weights as the MHA-module trace, different scale (1/sqrt(hd)
+    // == 1/1.414... here, so actually identical) -> outputs match the
+    // programmatic model bit-exactly
+    val qs = Array(Array(3, 0, 6), Array(7), Array(1, 2, 3, 4))
+    val ks = Array(Array(5, 1, 8, 2, 0, 4), Array(2, 2, 7), Array(6))
+    val a = m.forwardTokensPairBatch(qs, ks)
+    val b = programmatic.forwardTokensPairBatch(qs, ks)
+    assert(a.toSeq == b.toSeq,
+      "hand-rolled cross != MHA-module cross on the same weights")
+  }
+
   test("cross(x, x) with shared embeddings == self-attention EncoderAttnOp, bit-identical") {
     val heads = Mha.split(inW, inB, emb, nHeads)
     val proj = Some(LinearLayer(outW, outB, emb, emb))
