@@ -2343,16 +2343,16 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     * phase is position-local except for CAUSAL attention — then a
     * grown sequence never changes already-computed positions, so
     * per-position k/v projections cache and each step costs O(L·d)
-    * instead of the O(L²·d) full recompute. Non-causal attention,
-    * RoPE (supportable, not yet wired), padded heads, and conv/pool
-    * layouts fall back to the recompute path. */
+    * instead of the O(L²·d) full recompute. RoPE heads cache the
+    * ROTATED k (the rotation depends only on the absolute position —
+    * the Llama-style decode shape). Non-causal attention, padded
+    * heads, and conv/pool layouts fall back to the recompute path. */
   lazy val cacheable: Boolean =
     seqHead.isDefined && !isCross && seqHead.get.padIdx < 0 &&
       poolIdx >= 1 && ops(poolIdx) == SeqLastPoolOp &&
       ops.slice(1, poolIdx).forall {
-        case ea: EncoderAttnOp =>
-          ea.heads.forall(h => h.causal && h.ropeCos.isEmpty)
-        case a: SelfAttentionOp => a.causal && a.ropeCos.isEmpty
+        case ea: EncoderAttnOp => ea.heads.forall(h => h.causal)
+        case a: SelfAttentionOp => a.causal
         case _: SeqLayerNormOp | _: SeqRmsNormOp | SeqGluOp | _: PosFfnOp |
             _: PosEmbedOp | _: ActOp | _: ParamActOp => true
         case _ => false
@@ -2425,7 +2425,32 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
         vs: scala.collection.mutable.ArrayBuffer[Array[Double]]): Array[Double] = {
       val d = h.dim
       val qm = projVec(x, h.wq, h.bq, d, h.inDim)
-      ks += projVec(x, h.wk, h.bk, d, h.inDim)
+      val kNew = projVec(x, h.wk, h.bk, d, h.inDim)
+      // rotary embedding at THIS position — the cached k is rotated
+      // once (rotations depend only on the absolute position, which is
+      // exactly why a RoPE KV cache is sound); same formulas and
+      // f64 order as attnHeadF64's rot at row `pos`
+      for (cosT <- h.ropeCos; sinT <- h.ropeSin) {
+        require(pos < h.ropeLen,
+          s"sequence length ${pos + 1} exceeds the RoPE tables (${h.ropeLen} " +
+            s"positions) — the cos/sin buffers ARE the model's maximum length")
+        val half = d / 2
+        def rot(x0: Array[Double]): Unit = {
+          var j = 0
+          while (j < half) {
+            val lo = x0(j); val hi = x0(half + j)
+            val cL = cosT(pos * d + j).toDouble
+            val cH = cosT(pos * d + half + j).toDouble
+            val sL = sinT(pos * d + j).toDouble
+            val sH = sinT(pos * d + half + j).toDouble
+            x0(j) = lo * cL - hi * sL
+            x0(half + j) = hi * cH + lo * sH
+            j += 1
+          }
+        }
+        rot(qm); rot(kNew)
+      }
+      ks += kNew
       vs += projVec(x, h.wv, h.bv, d, h.inDim)
       val biasM = h.bias.orNull
       require(biasM == null || pos < h.biasRows,

@@ -303,6 +303,41 @@ class TorchGenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("KV-cache decode with RoPE: the rotated-k cache is bit-identical to recompute") {
+    // Llama-shape check: rotations depend only on the absolute
+    // position, so caching the ROTATED k is sound — pin it bit-exactly
+    // against the full-prefix recompute on a last-pooled variant of
+    // the q169 RoPE model
+    val base = graft.SparkEntry.ropeModel
+    val at = base.ops.collectFirst { case a: SelfAttentionOp => a }.get
+    val m = new TorchScriptModel(IndexedSeq(
+      base.ops.head, at, SeqLastPoolOp, base.ops.last))
+    assert(m.cacheable, "causal RoPE + last pool must be cacheable")
+    val vocab = base.ops.head.asInstanceOf[EmbeddingSeqOp].vocab
+    val cap = at.ropeLen - 3 // leave room for 3 generated tokens
+    val toks = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).take(cap).toArray)
+    assert(toks.nonEmpty)
+    for ((id, prompt) <- toks) {
+      val sess = m.decodeSession(prompt)
+      var cur = prompt
+      for (t <- 1 to 3) {
+        val cached = sess.logits()
+        val full = m.forwardTokens(cur)
+        assert(cached.toSeq == full.toSeq,
+          s"doc $id step $t: cached ${cached.toSeq} != recompute ${full.toSeq}")
+        var tid = 0
+        for (j <- 1 until cached.length) if (cached(j) > cached(tid)) tid = j
+        sess.append(tid)
+        cur = cur :+ tid
+      }
+    }
+    // past-the-table append still fails loudly from the session
+    val sess = m.decodeSession(Array.tabulate(at.ropeLen)(i => i % vocab))
+    val err = intercept[Exception] { sess.append(1); sess.logits() }
+    assert(err.getMessage.contains("RoPE tables"), err.getMessage)
+  }
+
   test("sampled decoding: topP -> 0 keeps only the top-1 nucleus and reduces to greedy") {
     val m = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(m)
