@@ -988,6 +988,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ENCODER-DECODER GENERATION (q206): the T5/BART decode loop —
+    // the doc's 12-token source sequence encodes once, a 2-token
+    // decoder prompt grows by 2 greedy steps through causal
+    // self-attention + cross-attention over that fixed encoding.
+    // Scale shape: per-row cross-aware KV sessions inside ONE
+    // mapPartitions (encoder + cross k/v projected once per row); the
+    // oracle restates both steps with the source-side CTEs computed
+    // once outside the step chain (crossGenOracle).
+    "q206_torch_cross_gen" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.generateGreedyPair(toks, "d_ids", "s_ids", "gen", bc,
+          steps = 2, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"), col("gen")(1).as("gen2"))
+        .orderBy("doc_id")
+    },
+
     // SAMPLED decoding (q203, VERDICT r13 gap #2): temperature 0.5 +
     // top-p 0.9 nucleus sampling over the q194 LM — the default
     // generation mode in practice, determinized by the q94/q187
@@ -4992,6 +5022,50 @@ object SparkEntry {
         qvals(2 * 4, 3319, 0.5), qvals(3 * 2, 3323, 1.0), rank = 2, alpha = 2.0)))
   }
 
+  /** q206's ENCODER-DECODER GENERATION model — the T5/BART decode
+    * shape: decoder tokens (vocab 8) -> embedding + learned positions
+    * -> CAUSAL 2-head self-attention (+res) -> LN -> 2-head
+    * CROSS-attention over the fixed source encoding (+res) -> LN ->
+    * FFN (+res) -> LN -> last-position pool -> LM head onto the whole
+    * vocab (argmax IS the next token). The encoder leg embeds the
+    * source side (vocab 32) once per row
+    * ([[graft.torch.TorchScriptModel.encOps]]); generation runs
+    * through the cross-aware KV session (encoder + cross k/v computed
+    * once, causal cache per step). Dyadic 1/16-grid weights; the
+    * per-step argmax gap is pinned by TorchCrossSpec. */
+  private[graft] lazy val crossGenModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    def head(seed: Int, causal: Boolean) = SelfAttentionOp(
+      qvals(8, seed, 1.0), qvals(2, seed + 2, 0.25),
+      qvals(8, seed + 4, 1.0), qvals(2, seed + 6, 0.25),
+      qvals(8, seed + 8, 1.5), qvals(2, seed + 10, 0.5),
+      dim = 2, inDim = 4, scale = 0.5, causal = causal)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(8 * 4, 3401, 2.0), vocab = 8, embDim = 4),
+      PosEmbedOp(qvals((EncMaxLen + 4) * 4, 3407, 0.5),
+        maxLen = EncMaxLen + 4, embDim = 4),
+      EncoderAttnOp(IndexedSeq(head(3413, causal = true), head(3433, causal = true)),
+        proj = Some(LinearLayer(qvals(16, 3449, 1.0), qvals(4, 3457, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 3461, 0.25).map(v => 1f + v), qvals(4, 3463, 0.25), 1e-5),
+      CrossAttnOp(IndexedSeq(head(3467, causal = false), head(3469, causal = false)),
+        proj = Some(LinearLayer(qvals(16, 3491, 1.0), qvals(4, 3499, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 3511, 0.25).map(v => 1f + v), qvals(4, 3517, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 3527, 1.0), qvals(8, 3529, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 3533, 1.0), qvals(4, 3539, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 3541, 0.25).map(v => 1f + v), qvals(4, 3547, 0.25), 1e-5),
+      SeqLastPoolOp,
+      LinearLayer(qvals(32, 3557, 4.0), qvals(8, 3559, 0.25), 8, 4)),
+      encOps = IndexedSeq(
+        EmbeddingSeqOp(qvals(32 * 4, 3571, 2.0), vocab = 32, embDim = 4)))
+  }
+
   /** q151's pinned blocklist: multi-word phrases over the fixture
     * vocabulary plus one bare token; all BORDERLESS (no proper prefix
     * == suffix), so automaton all-occurrence counts equal the
@@ -8922,6 +8996,11 @@ object SparkEntry {
     "q203_torch_gen_sampled" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 0.9),
 
+    // Encoder-decoder generation: the source encoding + cross k/v
+    // restated once, each step a nested-WITH decoder forward
+    // (crossGenOracle).
+    "q206_torch_cross_gen" -> crossGenOracle(steps = 2),
+
     // The identical chain with the banned ids omitted from every
     // step's argmax CASE.
     "q195_torch_gen_banned" -> generateOracle(banned = Seq(1, 4)),
@@ -10138,6 +10217,214 @@ object SparkEntry {
        |$stepCtes
        |SELECT g1.doc_id, $outs
        |FROM samp1 g1
+       |$joins
+       |ORDER BY g1.doc_id""".stripMargin
+  }
+
+  /** The q206 encoder-decoder generation oracle: the source-side
+    * encoding and its cross k/v affines compute ONCE in the outer
+    * scope; each decode step is one nested-WITH decoder forward over
+    * the grown token CTE — embedding + positions, CAUSAL self-attn
+    * score join (`b.pos <= a.pos`), LN, CROSS score join against the
+    * fixed source CTE, LN, FFN + residual, LN, last-position read-out,
+    * LM-head argmax — then the chosen token appends at `max(pos) + 1`.
+    * Nested WITH keeps every internal name scoped per step. */
+  private def crossGenOracle(steps: Int): String = {
+    import graft.torch._
+    val m = crossGenModel
+    val e = m.seqHead.get
+    val enc = m.encHead.get
+    val pe = m.ops.collectFirst { case p: PosEmbedOp => p }.get
+    val sa = m.ops.collectFirst { case a: EncoderAttnOp => a }.get
+    val ca = m.ops.collectFirst { case c: CrossAttnOp => c }.get
+    val lns = m.ops.collect { case l: SeqLayerNormOp => l }
+    val ff = m.ops.collectFirst { case f: PosFfnOp => f }.get
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val d = sa.inDim
+    val hd = sa.heads.head.dim
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def fmtD(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def embRows(emb: EmbeddingSeqOp): String = (0 until emb.vocab).map { t =>
+      (0 until emb.embDim).map(j => fmtF(emb.weight(t * emb.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val posRows = (0 until pe.maxLen).map { t =>
+      (0 until pe.embDim).map(j => fmtF(pe.weight(t * pe.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until d).map(j => s"w$j").mkString(", ")
+    def affine(w: Array[Float], b: Array[Float], outN: Int, p: String,
+        in: String): String =
+      (0 until outN).map { o =>
+        val terms = fmtF(b(o)) +:
+          (0 until d).map(j => s"${fmtF(w(o * d + j))}*$in$j")
+        s"${terms.mkString("(", "+", ")")} AS $p$o"
+      }.mkString(",\n   ")
+    def lnSel(ln: SeqLayerNormOp, in: String, out: String, from: String): String = {
+      val mean = (0 until d).map(j => s"$in$j").mkString("(", "+", s")/${d}.0")
+      val varE = (0 until d).map(j => s"($in$j-mu)*($in$j-mu)").mkString("(", "+", s")/${d}.0")
+      s"""SELECT doc_id, pos, ${(0 until d).map(j =>
+        s"(($in$j-mu)/sqrt(va+${fmtD(ln.eps)}))*${fmtF(ln.gamma(j))}+${fmtF(ln.beta(j))} AS $out$j")
+        .mkString(", ")}
+         |FROM (SELECT *, $varE AS va FROM (SELECT *, $mean AS mu FROM $from))""".stripMargin
+    }
+    // --- causal self-attention pieces (input cols w*, residual w*) ---
+    val sqSel = sa.heads.zipWithIndex.map { case (h, i) =>
+      s"""${affine(h.wq, h.bq, hd, s"q$i", "w")},
+         |   ${affine(h.wk, h.bk, hd, s"k$i", "w")},
+         |   ${affine(h.wv, h.bv, hd, s"v$i", "w")}""".stripMargin
+    }.mkString(",\n   ")
+    val sScore = sa.heads.indices.map { i =>
+      (0 until hd).map(j => s"a.q$i$j*b.k$i$j").mkString("(", "+", ")") +
+        s"*${fmtD(sa.heads(i).scale)} AS sc$i"
+    }.mkString(", ")
+    val sVCarry = sa.heads.indices.flatMap(i =>
+      (0 until hd).map(j => s"b.v$i$j AS v$i$j")).mkString(", ")
+    val sMx = sa.heads.indices.map(i => s"max(sc$i) AS m$i").mkString(", ")
+    val sEx = sa.heads.indices.map(i => s"exp(s.sc$i - mx.m$i) AS es$i").mkString(", ")
+    val sExV = sa.heads.indices.flatMap(i => (0 until hd).map(j => s"s.v$i$j")).mkString(", ")
+    val sAtt = sa.heads.indices.flatMap { i =>
+      (0 until hd).map(j => s"sum(es$i*v$i$j)/sum(es$i) AS c${i * hd + j}")
+    }.mkString(", ")
+    val sp = sa.proj.get
+    val sProj = (0 until d).map { o =>
+      val terms = fmtF(sp.bias(o)) +: (0 until d).map(j => s"${fmtF(sp.weight(o * d + j))}*c$j")
+      s"${terms.mkString("(", "+", ")")} + w$o AS r$o"
+    }.mkString(",\n   ")
+    // --- cross-attention pieces (q from n*, k/v from the source) ---
+    val cqSel = ca.heads.zipWithIndex.map { case (h, i) =>
+      affine(h.wq, h.bq, hd, s"cq$i", "n")
+    }.mkString(",\n   ")
+    val khSel = ca.heads.zipWithIndex.map { case (h, i) =>
+      s"""${affine(h.wk, h.bk, hd, s"ck$i", "w")},
+         |   ${affine(h.wv, h.bv, hd, s"cv$i", "w")}""".stripMargin
+    }.mkString(",\n   ")
+    val cScore = ca.heads.indices.map { i =>
+      (0 until hd).map(j => s"a.cq$i$j*b.ck$i$j").mkString("(", "+", ")") +
+        s"*${fmtD(ca.heads(i).scale)} AS sc$i"
+    }.mkString(", ")
+    val cVCarry = ca.heads.indices.flatMap(i =>
+      (0 until hd).map(j => s"b.cv$i$j AS cv$i$j")).mkString(", ")
+    val cEx = ca.heads.indices.map(i => s"exp(s.sc$i - mx.m$i) AS es$i").mkString(", ")
+    val cExV = ca.heads.indices.flatMap(i => (0 until hd).map(j => s"s.cv$i$j")).mkString(", ")
+    val cAtt = ca.heads.indices.flatMap { i =>
+      (0 until hd).map(j => s"sum(es$i*cv$i$j)/sum(es$i) AS d${i * hd + j}")
+    }.mkString(", ")
+    val cp = ca.proj.get
+    val cProj = (0 until d).map { o =>
+      val terms = fmtF(cp.bias(o)) +: (0 until d).map(j => s"${fmtF(cp.weight(o * d + j))}*d$j")
+      s"${terms.mkString("(", "+", ")")} + n$o AS u$o"
+    }.mkString(",\n   ")
+    val hidN = ff.l1.outDim
+    val midSel = (0 until hidN).map { h =>
+      val terms = fmtF(ff.l1.bias(h)) +: (0 until d).map(j =>
+        s"${fmtF(ff.l1.weight(h * d + j))}*e$j")
+      s"GREATEST(0, ${terms.mkString("+")}) AS h$h"
+    }.mkString(",\n   ")
+    val ffnSel = (0 until d).map { o =>
+      val terms = fmtF(ff.l2.bias(o)) +: (0 until hidN).map(h =>
+        s"${fmtF(ff.l2.weight(o * hidN + h))}*h$h")
+      s"${terms.mkString("(", "+", ")")} + e$o AS y$o"
+    }.mkString(",\n   ")
+    /** One decoder forward over `dtoks` -> `SELECT doc_id, p0..p{d-1}`
+      * (the last position's block output, pre-LM-head). */
+    def stepBody(dtoks: String): String =
+      s"""WITH xq AS (SELECT $dtoks.doc_id, $dtoks.pos,
+         |        ${(0 until d).map(j =>
+                    s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS w$j").mkString(", ")}
+         |      FROM $dtoks JOIN embd USING (tid)
+         |      JOIN posw ON posw.pos = $dtoks.pos - 1),
+         |sq AS (SELECT doc_id, pos,
+         |   $sqSel
+         | FROM xq),
+         |ss AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $sScore, $sVCarry
+         | FROM sq a JOIN sq b ON a.doc_id = b.doc_id AND b.pos <= a.pos),
+         |smx AS (SELECT doc_id, pa, $sMx FROM ss GROUP BY doc_id, pa),
+         |sex AS (SELECT s.doc_id, s.pa, $sEx, $sExV
+         |        FROM ss s JOIN smx mx ON s.doc_id = mx.doc_id AND s.pa = mx.pa),
+         |satt AS (SELECT doc_id, pa AS pos, $sAtt FROM sex GROUP BY doc_id, pa),
+         |r1 AS (SELECT satt.doc_id, satt.pos,
+         |   $sProj
+         | FROM satt JOIN xq ON satt.doc_id = xq.doc_id AND satt.pos = xq.pos),
+         |n1 AS (${lnSel(lns(0), "r", "n", "r1")}),
+         |cq AS (SELECT doc_id, pos,
+         |   $cqSel
+         | FROM n1),
+         |cs AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $cScore, $cVCarry
+         | FROM cq a JOIN kh b ON a.doc_id = b.doc_id),
+         |cmx AS (SELECT doc_id, pa, $sMx FROM cs GROUP BY doc_id, pa),
+         |cex AS (SELECT s.doc_id, s.pa, $cEx, $cExV
+         |        FROM cs s JOIN cmx mx ON s.doc_id = mx.doc_id AND s.pa = mx.pa),
+         |catt AS (SELECT doc_id, pa AS pos, $cAtt FROM cex GROUP BY doc_id, pa),
+         |r2 AS (SELECT catt.doc_id, catt.pos,
+         |   $cProj
+         | FROM catt JOIN n1 ON catt.doc_id = n1.doc_id AND catt.pos = n1.pos),
+         |n2 AS (${lnSel(lns(1), "u", "e", "r2")}),
+         |ffn AS (SELECT doc_id, pos, ${(0 until d).map(j => s"e$j").mkString(", ")},
+         |   $midSel
+         | FROM n2),
+         |r3 AS (SELECT doc_id, pos,
+         |   $ffnSel
+         | FROM ffn),
+         |n3 AS (${lnSel(lns(2), "y", "z", "r3")}),
+         |lens AS (SELECT doc_id, max(pos) AS mp FROM $dtoks GROUP BY doc_id)
+         |SELECT n3.doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}
+         |FROM n3 JOIN lens ON n3.doc_id = lens.doc_id AND n3.pos = lens.mp""".stripMargin
+    val amax = TorchOracle.armArgmax(fc, "p")
+    val stepCtes = (1 to steps).map { t =>
+      val stepSql = TorchOracle.mlpArgmaxSql(fc, stepBody(s"dtoks${t - 1}"),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $amax AS tid " +
+          s"FROM ${TorchOracle.lastCte(fc)}")
+      s"""step$t AS MATERIALIZED (
+         |$stepSql
+         |),
+         |dtoks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM dtoks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM step$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM dtoks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN step$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)),
+       |words AS (SELECT doc_id, h % ${enc.vocab} AS tid, pos FROM src
+       |          WHERE pos <= $EncMaxLen),
+       |dtoks0 AS MATERIALIZED (
+       |  SELECT doc_id, h % ${e.vocab} AS tid, pos FROM src WHERE pos <= 2),
+       |embd(tid, $wCols) AS (VALUES
+       |    ${embRows(e)}),
+       |embk(tid, $wCols) AS (VALUES
+       |    ${embRows(enc)}),
+       |posw(pos, ${(0 until d).map(j => s"pp$j").mkString(", ")}) AS (VALUES
+       |    $posRows),
+       |xk AS (SELECT doc_id, pos, ${(0 until d).map(j =>
+                s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
+       |       FROM words JOIN embk USING (tid)),
+       |kh AS MATERIALIZED (SELECT doc_id, pos,
+       |   $khSel
+       | FROM xk),
+       |$stepCtes
+       |SELECT g1.doc_id, $outs
+       |FROM step1 g1
        |$joins
        |ORDER BY g1.doc_id""".stripMargin
   }

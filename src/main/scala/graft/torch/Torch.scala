@@ -512,6 +512,93 @@ object Torch {
    *         generated token ids (null input → null output)
    */
   /**
+   * ENCODER-DECODER greedy generation (the T5/BART decode loop):
+   * `keyCol` is the fixed source-side sequence, `queryCol` the decoder
+   * prompt; each of the `steps` rounds appends the argmax next token
+   * (first max wins, NaN never wins — the repo rule). Scale shape:
+   * per-row incremental [[TorchScriptModel.DecodeSession]]s inside ONE
+   * `mapPartitions` — the encoder leg and the cross k/v projections
+   * run ONCE per row at session open, causal self-attention reads its
+   * per-position cache, so step t costs O(L·d + Lk·d), not a full
+   * O(L²) re-encode+recompute; logits are bit-identical to the
+   * recompute path (spec-pinned).
+   *
+   * @return input columns + `outCol` = array<int> generated tokens
+   *         (null/empty either side → null)
+   */
+  def generateGreedyPair(
+      df: DataFrame,
+      queryCol: String,
+      keyCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.isCross && model.value.cacheable,
+      "generateGreedyPair needs a cacheable cross-attention model " +
+        "(causal decoder self-attention + last-position pool)")
+    val withInts = df
+      .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
+      .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val qIdx = withInts.schema.fieldIndex(queryCol)
+    val kIdx = withInts.schema.fieldIndex(keyCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def argmaxFirst(l: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          if (!l(j).isNaN && (best < 0 || l(j) > bv)) { best = j; bv = l(j) }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      it.grouped(bs).flatMap { rows =>
+        def tokens(r: Row, idx: Int): Array[Int] = {
+          if (r.isNullAt(idx)) return null
+          val xs = r.getSeq[Any](idx)
+          if (xs.isEmpty) return null
+          val a = new Array[Int](xs.length)
+          var j = 0
+          while (j < a.length) {
+            xs(j) match {
+              case null => return null
+              case f: java.lang.Number => a(j) = f.intValue()
+            }
+            j += 1
+          }
+          a
+        }
+        rows.iterator.map { r =>
+          val q0 = tokens(r, qIdx)
+          val k0 = tokens(r, kIdx)
+          if (q0 == null || k0 == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            val sess = m.decodeSession(q0, k0)
+            val gen = new Array[Int](steps)
+            var t = 0
+            while (t < steps) {
+              val tid = argmaxFirst(sess.logits())
+              gen(t) = tid
+              sess.append(tid)
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ gen.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * SAMPLED autoregressive decoding — temperature + top-p (nucleus)
    * sampling, the default generation mode in practice (Holtzman et
    * al. 2020), made exactly reproducible across engines with this
@@ -558,6 +645,8 @@ object Torch {
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateSampled needs a token-input model")
+    require(!model.value.isCross,
+      "cross-attention model: use generateGreedyPair")
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -671,6 +760,8 @@ object Torch {
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateGreedy needs a token-input model")
+    require(!model.value.isCross,
+      "cross-attention model: use generateGreedyPair")
     require(banned.size < model.value.outDim,
       "banned set covers the whole vocabulary")
     val withInts = df.withColumn(inputCol,

@@ -2348,11 +2348,15 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     * the Llama-style decode shape). Non-causal attention, padded
     * heads, and conv/pool layouts fall back to the recompute path. */
   lazy val cacheable: Boolean =
-    seqHead.isDefined && !isCross && seqHead.get.padIdx < 0 &&
+    seqHead.isDefined && seqHead.get.padIdx < 0 &&
       poolIdx >= 1 && ops(poolIdx) == SeqLastPoolOp &&
       ops.slice(1, poolIdx).forall {
         case ea: EncoderAttnOp => ea.heads.forall(h => h.causal)
         case a: SelfAttentionOp => a.causal
+        // a cross op attends over the FIXED per-row encoder output —
+        // position-local w.r.t. the growing decoder sequence, so its
+        // enc-side k/v project ONCE at session open
+        case _: CrossAttnOp => true
         case _: SeqLayerNormOp | _: SeqRmsNormOp | SeqGluOp | _: PosFfnOp |
             _: PosEmbedOp | _: ActOp | _: ParamActOp => true
         case _ => false
@@ -2365,14 +2369,22 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     * formulas of [[seqPhase]]/[[attnHeadF64]] in the same accumulation
     * order, and causal attention reads cached k/v projections whose
     * values never change as the sequence grows (spec-pinned per-step
-    * logit equality on every sf0.001 doc, TorchGenerateSpec). */
-  def decodeSession(prompt: Array[Int]): DecodeSession = {
+    * logit equality on every sf0.001 doc, TorchGenerateSpec). A CROSS
+    * model (encoder-decoder) additionally takes the fixed source-side
+    * `encToks`: the encoder leg runs once, cross k/v project once, and
+    * every appended decoder position attends over them. */
+  def decodeSession(prompt: Array[Int],
+      encToks: Array[Int] = null): DecodeSession = {
     require(cacheable, "model is not incrementally decodable (see cacheable)")
     require(prompt.nonEmpty, "empty prompt")
-    new DecodeSession(prompt)
+    require((encToks != null) == isCross,
+      if (isCross) "cross-attention decode needs the source-side tokens"
+      else "encoder tokens passed to a single-sequence model")
+    new DecodeSession(prompt, encToks)
   }
 
-  final class DecodeSession private[TorchScriptModel] (prompt: Array[Int]) {
+  final class DecodeSession private[TorchScriptModel] (prompt: Array[Int],
+      encToks: Array[Int]) {
     private val e = seqHead.get
     /** Per causal-attention op (keyed by op index), per head: cached
       * k/v projections, one `(dim)` f64 vector per position. */
@@ -2380,6 +2392,39 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
       Int, Array[scala.collection.mutable.ArrayBuffer[Array[Double]]]]
     private val vCache = scala.collection.mutable.Map.empty[
       Int, Array[scala.collection.mutable.ArrayBuffer[Array[Double]]]]
+    /** Per cross op: the FIXED per-head enc-side k/v projections,
+      * computed once from the encoder output at session open — the
+      * exact attnHeadF64 projections over the same f32 enc buffer. */
+    private val encK = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+    private val encV = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+    private var encLen = 0
+    if (encToks != null) {
+      val (encData, lk) = runEncRow(encToks)
+      encLen = lk
+      def projAll(w: Array[Float], b: Array[Float], d: Int, in: Int): Array[Double] = {
+        val out = new Array[Double](lk * d)
+        var p = 0
+        while (p < lk) {
+          var o = 0
+          while (o < d) {
+            var acc: Double = b(o)
+            val wOff = o * in
+            var j = 0
+            while (j < in) { acc += encData(p * in + j).toDouble * w(wOff + j); j += 1 }
+            out(p * d + o) = acc
+            o += 1
+          }
+          p += 1
+        }
+        out
+      }
+      for ((op, oi) <- ops.zipWithIndex.slice(1, poolIdx)) op match {
+        case ca: CrossAttnOp =>
+          encK(oi) = ca.heads.map(h => projAll(h.wk, h.bk, h.dim, h.inDim)).toArray
+          encV(oi) = ca.heads.map(h => projAll(h.wv, h.bv, h.dim, h.inDim)).toArray
+        case _ =>
+      }
+    }
     for ((op, oi) <- ops.zipWithIndex.slice(1, poolIdx)) op match {
       case ea: EncoderAttnOp =>
         kCache(oi) = Array.fill(ea.heads.length)(
@@ -2488,6 +2533,40 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
       out
     }
 
+    /** One cross-attention head's output at the current decoder
+      * position: q from `x`, k/v the PRE-PROJECTED encoder rows —
+      * the attnHeadF64 cross math (same accumulation order). */
+    private def crossHeadRow(h: SelfAttentionOp, x: Array[Float],
+        km: Array[Double], vm: Array[Double]): Array[Double] = {
+      val d = h.dim
+      val qm = projVec(x, h.wq, h.bq, d, h.inDim)
+      val scores = new Array[Double](encLen)
+      var mx = Double.NegativeInfinity
+      var b0 = 0
+      while (b0 < encLen) {
+        var s0 = 0.0
+        var j = 0
+        while (j < d) { s0 += qm(j) * km(b0 * d + j); j += 1 }
+        s0 *= h.scale
+        scores(b0) = s0
+        if (s0 > mx) mx = s0
+        b0 += 1
+      }
+      var z = 0.0
+      b0 = 0
+      while (b0 < encLen) { scores(b0) = math.exp(scores(b0) - mx); z += scores(b0); b0 += 1 }
+      val out = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        b0 = 0
+        while (b0 < encLen) { acc += scores(b0) * vm(b0 * d + j); b0 += 1 }
+        out(j) = acc / z
+        j += 1
+      }
+      out
+    }
+
     /** Append one token: run the NEW position through the sequence
       * phase (position-local ops + causal attention over the caches). */
     def append(tid: Int): Unit = {
@@ -2543,6 +2622,39 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
             val out = new Array[Float](o64.length)
             var i0 = 0
             while (i0 < o64.length) { out(i0) = o64(i0).toFloat; i0 += 1 }
+            x = out
+          case ca: CrossAttnOp =>
+            val headOuts = ca.heads.zipWithIndex.map { case (h, hi) =>
+              crossHeadRow(h, x, encK(oi)(hi), encV(oi)(hi))
+            }
+            val cat = new Array[Double](ca.catDim)
+            var off = 0
+            for ((h, ho) <- ca.heads.zip(headOuts)) {
+              var j = 0
+              while (j < h.dim) { cat(off + j) = ho(j); j += 1 }
+              off += h.dim
+            }
+            val projed = ca.proj match {
+              case None => cat
+              case Some(l) =>
+                val o = new Array[Double](l.outDim)
+                var t = 0
+                while (t < l.outDim) {
+                  var acc: Double = l.bias(t)
+                  var j = 0
+                  while (j < l.inDim) { acc += cat(j) * l.weight(t * l.inDim + j); j += 1 }
+                  o(t) = acc
+                  t += 1
+                }
+                o
+            }
+            val out = new Array[Float](ca.outDim)
+            var i1 = 0
+            while (i1 < out.length) {
+              val r0 = if (ca.residual) x(i1).toDouble else 0.0
+              out(i1) = (projed(i1) + r0).toFloat
+              i1 += 1
+            }
             x = out
           case SeqLayerNormOp(gamma, beta, eps) =>
             val cols = x.length
