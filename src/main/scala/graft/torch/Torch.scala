@@ -448,12 +448,43 @@ object Torch {
             if (ok && a.nonEmpty) a else null
           }
         }.toArray
-        // per row: ranked beams as (generated tokens, score)
-        var beams: Array[Seq[(Vector[Int], Double)]] = prompts.map { p =>
-          if (p == null) null else Seq((Vector.empty[Int], 0.0))
-        }
-        var t = 0
-        while (t < steps) {
+        if (m.cacheable && !m.isCross) {
+          // KV-cache beams: each beam owns a decode session; expansion
+          // FORKS the parent (O(L) pointer copy, no prompt replay).
+          // Logits are bit-identical to the recompute path, so beam
+          // identity and ranking are unchanged (TorchGenerateSpec).
+          rows.iterator.zip(prompts.iterator).map { case (r, p) =>
+            if (p == null) Row.fromSeq(r.toSeq :+ null)
+            else {
+              var beams: Seq[(Vector[Int], Double, m.DecodeSession)] =
+                Seq((Vector.empty[Int], 0.0, m.decodeSession(p)))
+              var t = 0
+              while (t < steps) {
+                val cands = beams.zipWithIndex.flatMap { case ((g, s, sess), bi) =>
+                  val lp = logProbs(sess.logits(), 0)
+                  (0 until vocab).map(tok => (s + lp(tok), bi, tok, g, sess))
+                }
+                beams = cands.sortBy { case (sc, bi, tok, _, _) => (-sc, bi, tok) }
+                  .take(width)
+                  .map { case (sc, _, tok, g, sess) =>
+                    val child = sess.fork()
+                    child.append(tok)
+                    (g :+ tok, sc, child)
+                  }
+                t += 1
+              }
+              Row.fromSeq(r.toSeq :+ beams.map(_._1.toSeq))
+            }
+          }
+        } else {
+          // no-cache batch path: every live beam of every row rides
+          // ONE forwardTokensBatch per step
+          // per row: ranked beams as (generated tokens, score)
+          var beams: Array[Seq[(Vector[Int], Double)]] = prompts.map { p =>
+            if (p == null) null else Seq((Vector.empty[Int], 0.0))
+          }
+          var t = 0
+          while (t < steps) {
           // flatten (row, beamRank) -> sequence for ONE batch forward
           val idx = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
           val seqs = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
@@ -482,11 +513,12 @@ object Torch {
               }
             }
           }
-          t += 1
-        }
-        rows.iterator.zipWithIndex.map { case (r, ri) =>
-          if (beams(ri) == null) Row.fromSeq(r.toSeq :+ null)
-          else Row.fromSeq(r.toSeq :+ beams(ri).map(_._1.toSeq))
+            t += 1
+          }
+          rows.iterator.zipWithIndex.map { case (r, ri) =>
+            if (beams(ri) == null) Row.fromSeq(r.toSeq :+ null)
+            else Row.fromSeq(r.toSeq :+ beams(ri).map(_._1.toSeq))
+          }
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -2380,11 +2380,11 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     require((encToks != null) == isCross,
       if (isCross) "cross-attention decode needs the source-side tokens"
       else "encoder tokens passed to a single-sequence model")
-    new DecodeSession(prompt, encToks)
+    new DecodeSession(prompt, encToks, null)
   }
 
   final class DecodeSession private[TorchScriptModel] (prompt: Array[Int],
-      encToks: Array[Int]) {
+      encToks: Array[Int], parent: DecodeSession) {
     private val e = seqHead.get
     /** Per causal-attention op (keyed by op index), per head: cached
       * k/v projections, one `(dim)` f64 vector per position. */
@@ -2393,12 +2393,16 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     private val vCache = scala.collection.mutable.Map.empty[
       Int, Array[scala.collection.mutable.ArrayBuffer[Array[Double]]]]
     /** Per cross op: the FIXED per-head enc-side k/v projections,
-      * computed once from the encoder output at session open — the
-      * exact attnHeadF64 projections over the same f32 enc buffer. */
-    private val encK = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
-    private val encV = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
-    private var encLen = 0
-    if (encToks != null) {
+      * computed once from the encoder output at session open (SHARED
+      * by forked children — they are immutable). */
+    private val encK: scala.collection.mutable.Map[Int, Array[Array[Double]]] =
+      if (parent != null) parent.encK
+      else scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+    private val encV: scala.collection.mutable.Map[Int, Array[Array[Double]]] =
+      if (parent != null) parent.encV
+      else scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+    private var encLen: Int = if (parent != null) parent.encLen else 0
+    if (encToks != null && parent == null) {
       val (encData, lk) = runEncRow(encToks)
       encLen = lk
       def projAll(w: Array[Float], b: Array[Float], d: Int, in: Int): Array[Double] = {
@@ -2442,7 +2446,17 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     private var lastX: Array[Float] = null
     /** Current sequence length. */
     def length: Int = pos + 1
-    prompt.foreach(append)
+    if (parent == null) prompt.foreach(append)
+    else {
+      // FORK: O(L) pointer copies of the immutable per-position rows —
+      // appends after this diverge from the parent
+      pos = parent.pos
+      lastX = parent.lastX
+      for ((oi, arr) <- parent.kCache; hi <- arr.indices)
+        kCache(oi)(hi) ++= arr(hi)
+      for ((oi, arr) <- parent.vCache; hi <- arr.indices)
+        vCache(oi)(hi) ++= arr(hi)
+    }
 
     /** f64 projection of the position's f32 features — the exact
       * attnHeadF64 inner loop. */
@@ -2728,6 +2742,16 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     /** Vocab logits for the CURRENT sequence — the last position's
       * state through the flat tail (exactly forwardTokens' read-out). */
     def logits(): Array[Float] = runOps(poolIdx + 1, lastX.clone(), 1, pooledDim)
+
+    /** Fork this session for BEAM SEARCH: the child copies the cache
+      * BUFFERS (per-position rows are immutable and shared — an O(L)
+      * pointer copy) and shares the once-computed encoder projections;
+      * appends after the fork diverge. The cheap branching point a
+      * beam expansion needs — no re-encode, no prompt replay. */
+    def fork(): DecodeSession = {
+      val child = new DecodeSession(prompt, encToks, this)
+      child
+    }
   }
 
   /** In-place elementwise activation on a buffer the caller owns. */
