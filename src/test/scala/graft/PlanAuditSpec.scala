@@ -352,6 +352,24 @@ class PlanAuditSpec extends AnyFunSuite {
       !rn.contains("CartesianProduct"), s"q193 plan:\n$rn")
   }
 
+  test("round-14 decode/cross family: scan-side mapPartitions, the output sort the only exchange") {
+    // cross-attention inference (q202), sampled decoding (q203), LoRA
+    // classifier (q204), encoder-decoder generation (q206): one
+    // broadcast-weights mapPartitions over the documents scan; the
+    // ONLY exchange is the final orderBy's range partitioning — any
+    // other shuffle (or a second scan / rescan boundary) is a
+    // regression of the batched-inference shape
+    for (q <- Seq("q202_torch_crossattn", "q203_torch_gen_sampled",
+        "q204_torch_lora", "q206_torch_cross_gen")) {
+      val p = plan(q)
+      val ex = "Exchange".r.findAllIn(p).length
+      assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert("Scan parquet".r.findAllIn(p).length <= 1,
+        s"$q: expected at most one parquet scan:\n$p")
+    }
+  }
+
   test("round-13 PCA family: the Gram pass is one partial/final aggregate, nothing row-shaped exchanged") {
     import org.apache.spark.sql.functions.col
     // the fit itself runs eagerly inside the query builder, so audit
