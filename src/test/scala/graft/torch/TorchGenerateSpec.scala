@@ -303,6 +303,33 @@ class TorchGenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("KV-cache decode through a TWO-BLOCK decoder: per-op caches stay independent") {
+    // layer 2 consumes layer 1's causal output at the same position —
+    // append-only composes, so a stacked decoder sessions too; pin it
+    // bit-exactly (the caches are keyed per op index)
+    val base = graft.SparkEntry.genModel
+    val blk = base.ops.slice(2, 6) // attn + LN + FFN + LN
+    val m = new TorchScriptModel(
+      (base.ops.take(2) ++ blk ++ blk ++ base.ops.drop(6)).toIndexedSeq)
+    assert(m.cacheable)
+    val toks = fixturePrompts(base.ops.head.asInstanceOf[EmbeddingSeqOp].vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+      .take(100)
+    for ((id, prompt) <- toks) {
+      val sess = m.decodeSession(prompt)
+      var cur = prompt
+      for (t <- 1 to 3) {
+        val cached = sess.logits()
+        val full = m.forwardTokens(cur)
+        assert(cached.toSeq == full.toSeq, s"doc $id step $t (2-block)")
+        var tid = 0
+        for (j <- 1 until cached.length) if (cached(j) > cached(tid)) tid = j
+        sess.append(tid)
+        cur = cur :+ tid
+      }
+    }
+  }
+
   test("KV-cache decode with RoPE: the rotated-k cache is bit-identical to recompute") {
     // Llama-shape check: rotations depend only on the absolute
     // position, so caching the ROTATED k is sound — pin it bit-exactly
