@@ -1018,6 +1018,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SAMPLED encoder-decoder decoding (q207): q206's cross decode
+    // loop with q203's deterministic temperature/top-p kernel — the
+    // two new facilities composing with no new numerics (shared
+    // Sampling code path, shared sampledStepChain oracle).
+    "q207_torch_cross_sampled" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.generateSampledPair(toks, "doc_id", "d_ids", "s_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
     // SAMPLED decoding (q203, VERDICT r13 gap #2): temperature 0.5 +
     // top-p 0.9 nucleus sampling over the q194 LM — the default
     // generation mode in practice, determinized by the q94/q187
@@ -9001,6 +9027,11 @@ object SparkEntry {
     // (crossGenOracle).
     "q206_torch_cross_gen" -> crossGenOracle(steps = 2),
 
+    // Sampled cross decode: the q206 step forward with the q203
+    // sampled chain over each step's LM-head logits.
+    "q207_torch_cross_sampled" -> crossGenOracle(steps = 2,
+      sampled = Some((0.5, 0.9))),
+
     // The identical chain with the banned ids omitted from every
     // step's argmax CASE.
     "q195_torch_gen_banned" -> generateOracle(banned = Seq(1, 4)),
@@ -10141,6 +10172,51 @@ object SparkEntry {
     * seeded md5 draw. DECIMAL pitfalls: every literal in double
     * arithmetic is CAST AS DOUBLE (bare decimals are DECIMAL in
     * DuckDB). */
+  /** The sampled-decode per-step CTE chain (cand/prob/nuc/samp) over
+    * an existing `logit<t>(doc_id, p0..p{V-1})` CTE — the exact engine
+    * chain (temperature-scaled max-shifted softmax, 6-dp rounding,
+    * nucleus prefix, order-defined running renormalized cumulative,
+    * seeded md5 draw). Shared by q203 and q207. */
+  private def sampledStepChain(t: Int, vocab: Int,
+      temperature: Double, topP: Double): String = {
+    val tLit = s"CAST($temperature AS DOUBLE)"
+    val pLit = s"CAST($topP AS DOUBLE)"
+    val unpivot = (0 until vocab).map(j =>
+      s"SELECT doc_id, $j AS tid, p$j / $tLit AS lp FROM logit$t")
+      .mkString("\n  UNION ALL ")
+    s"""cand$t AS MATERIALIZED (
+       |  $unpivot),
+       |prob$t AS MATERIALIZED (
+       |  SELECT doc_id, tid, round(e / z, 6) AS p6
+       |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+       |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+       |        FROM (SELECT doc_id, tid, lp,
+       |                     max(lp) OVER (PARTITION BY doc_id) AS m
+       |              FROM cand$t))),
+       |nuc$t AS MATERIALIZED (
+       |  SELECT doc_id, tid, rk, cs, max(cs) OVER (PARTITION BY doc_id) AS total
+       |  FROM (SELECT doc_id, tid, rk,
+       |               sum(p6) OVER (PARTITION BY doc_id ORDER BY rk) AS cs
+       |        FROM (SELECT doc_id, tid, p6,
+       |                     row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY p6 DESC, tid) AS rk,
+       |                     coalesce(sum(p6) OVER (PARTITION BY doc_id
+       |                       ORDER BY p6 DESC, tid ROWS BETWEEN UNBOUNDED
+       |                       PRECEDING AND 1 PRECEDING), CAST(0 AS DOUBLE))
+       |                       AS cumprev
+       |              FROM prob$t)
+       |        WHERE cumprev < $pLit)),
+       |samp$t AS MATERIALIZED (
+       |  SELECT doc_id, tid FROM (
+       |    SELECT doc_id, tid,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+       |    FROM nuc$t
+       |    WHERE round(cs / total, 6) >
+       |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':$t'), 1, 8)
+       |        AS BIGINT) % 1000000 / CAST(1000000 AS DOUBLE))
+       |  WHERE prk = 1)""".stripMargin
+  }
+
   private def sampledOracle(steps: Int, temperature: Double, topP: Double): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
@@ -10152,46 +10228,11 @@ object SparkEntry {
         encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
-    val tLit = s"CAST($temperature AS DOUBLE)"
-    val pLit = s"CAST($topP AS DOUBLE)"
     val stepCtes = (1 to steps).map { t =>
-      val unpivot = (0 until vocab).map(j =>
-        s"SELECT doc_id, $j AS tid, p$j / $tLit AS lp FROM logit$t")
-        .mkString("\n  UNION ALL ")
       s"""logit$t AS MATERIALIZED (
          |${fwd(s"toks${t - 1}")}
          |),
-         |cand$t AS MATERIALIZED (
-         |  $unpivot),
-         |prob$t AS MATERIALIZED (
-         |  SELECT doc_id, tid, round(e / z, 6) AS p6
-         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
-         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
-         |        FROM (SELECT doc_id, tid, lp,
-         |                     max(lp) OVER (PARTITION BY doc_id) AS m
-         |              FROM cand$t))),
-         |nuc$t AS MATERIALIZED (
-         |  SELECT doc_id, tid, rk, cs, max(cs) OVER (PARTITION BY doc_id) AS total
-         |  FROM (SELECT doc_id, tid, rk,
-         |               sum(p6) OVER (PARTITION BY doc_id ORDER BY rk) AS cs
-         |        FROM (SELECT doc_id, tid, p6,
-         |                     row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY p6 DESC, tid) AS rk,
-         |                     coalesce(sum(p6) OVER (PARTITION BY doc_id
-         |                       ORDER BY p6 DESC, tid ROWS BETWEEN UNBOUNDED
-         |                       PRECEDING AND 1 PRECEDING), CAST(0 AS DOUBLE))
-         |                       AS cumprev
-         |              FROM prob$t)
-         |        WHERE cumprev < $pLit)),
-         |samp$t AS MATERIALIZED (
-         |  SELECT doc_id, tid FROM (
-         |    SELECT doc_id, tid,
-         |           row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
-         |    FROM nuc$t
-         |    WHERE round(cs / total, 6) >
-         |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':$t'), 1, 8)
-         |        AS BIGINT) % 1000000 / CAST(1000000 AS DOUBLE))
-         |  WHERE prk = 1),
+         |${sampledStepChain(t, vocab, temperature, topP)},
          |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL
@@ -10229,7 +10270,12 @@ object SparkEntry {
     * fixed source CTE, LN, FFN + residual, LN, last-position read-out,
     * LM-head argmax — then the chosen token appends at `max(pos) + 1`.
     * Nested WITH keeps every internal name scoped per step. */
-  private def crossGenOracle(steps: Int): String = {
+  /** `sampled = Some((temperature, topP))` swaps each step's greedy
+    * argmax for the q203 sampled chain over the step's full LM-head
+    * logits (the per-step forward is unchanged; output cols become
+    * sm<t>). */
+  private def crossGenOracle(steps: Int,
+      sampled: Option[(Double, Double)] = None): String = {
     import graft.torch._
     val m = crossGenModel
     val e = m.seqHead.get
@@ -10378,26 +10424,46 @@ object SparkEntry {
          |SELECT n3.doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}
          |FROM n3 JOIN lens ON n3.doc_id = lens.doc_id AND n3.pos = lens.mp""".stripMargin
     val amax = TorchOracle.armArgmax(fc, "p")
+    val vocabOut = fc.outDim
+    val pAll = (0 until vocabOut).map(j => s"p$j").mkString(", ")
+    // greedy: each step CTE yields the argmax tid directly; sampled:
+    // the step yields the FULL LM-head logits and the q203 chain
+    // (sampledStepChain) picks the token
+    val stepName = if (sampled.isDefined) "samp" else "step"
     val stepCtes = (1 to steps).map { t =>
-      val stepSql = TorchOracle.mlpArgmaxSql(fc, stepBody(s"dtoks${t - 1}"),
-        arms = Seq("p"), carry = Seq("doc_id"),
-        finalSelect = s"SELECT doc_id, $amax AS tid " +
-          s"FROM ${TorchOracle.lastCte(fc)}")
-      s"""step$t AS MATERIALIZED (
-         |$stepSql
-         |),
+      val pick = sampled match {
+        case None =>
+          val stepSql = TorchOracle.mlpArgmaxSql(fc, stepBody(s"dtoks${t - 1}"),
+            arms = Seq("p"), carry = Seq("doc_id"),
+            finalSelect = s"SELECT doc_id, $amax AS tid " +
+              s"FROM ${TorchOracle.lastCte(fc)}")
+          s"""step$t AS MATERIALIZED (
+             |$stepSql
+             |)""".stripMargin
+        case Some((temp, tp)) =>
+          val logitSql = TorchOracle.mlpArgmaxSql(fc, stepBody(s"dtoks${t - 1}"),
+            arms = Seq("p"), carry = Seq("doc_id"),
+            finalSelect = s"SELECT doc_id, $pAll " +
+              s"FROM ${TorchOracle.lastCte(fc)}")
+          s"""logit$t AS MATERIALIZED (
+             |$logitSql
+             |),
+             |${sampledStepChain(t, vocabOut, temp, tp)}""".stripMargin
+      }
+      s"""$pick,
          |dtoks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM dtoks${t - 1}
          |  UNION ALL
          |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
-         |  FROM step$t s
+         |  FROM $stepName$t s
          |  JOIN (SELECT doc_id, max(pos) AS mp FROM dtoks${t - 1}
          |        GROUP BY doc_id) l
          |    ON l.doc_id = s.doc_id)""".stripMargin
     }.mkString(",\n")
-    val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
+    val outPrefix = if (sampled.isDefined) "sm" else "gen"
+    val outs = (1 to steps).map(t => s"g$t.tid AS $outPrefix$t").mkString(", ")
     val joins = (2 to steps).map(t =>
-      s"JOIN step$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+      s"JOIN $stepName$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
     s"""WITH src AS (
        |  SELECT doc_id,
        |         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h, pos
@@ -10424,7 +10490,7 @@ object SparkEntry {
        | FROM xk),
        |$stepCtes
        |SELECT g1.doc_id, $outs
-       |FROM step1 g1
+       |FROM ${stepName}1 g1
        |$joins
        |ORDER BY g1.doc_id""".stripMargin
   }

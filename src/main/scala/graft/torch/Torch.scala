@@ -17,6 +17,43 @@ import org.apache.spark.sql.types._
  */
 object Torch {
 
+  /** The deterministic sampling kernel shared by [[generateSampled]]
+    * and [[generateSampledPair]] — see generateSampled's scaladoc for
+    * the full cross-engine contract (seeded md5 draws, 6-dp HALF_UP
+    * quantization, order-defined running sums). */
+  private object Sampling {
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def draw(id: Long, step: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$step".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+    }
+    def sampleNext(out: Array[Float], off: Int, vocab: Int,
+        temperature: Double, topP: Double, u: Double): Int = {
+      val lp = Array.tabulate(vocab)(j => out(off + j).toDouble / temperature)
+      val mx = lp.max
+      val es = lp.map(v => math.exp(v - mx))
+      val z = es.sum
+      val p6 = es.map(e => q6(e / z))
+      val order = (0 until vocab).sortBy(j => (-p6(j), j))
+      // nucleus: a candidate joins while the mass BEFORE it is < topP
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var cum = 0.0
+      for (j <- order if cum < topP) { kept += j; cum += p6(j) }
+      // total == the last running sum (ORDER-DEFINED on both engines)
+      var run = 0.0
+      val sums = kept.map { j => run += p6(j); run }
+      val total = run
+      var pick = kept.last
+      var done = false
+      for ((j, cs) <- kept.zip(sums) if !done)
+        if (q6(cs / total) > u) { pick = j; done = true }
+      pick
+    }
+  }
+
   /**
    * Programmatic equivalent of
    * `CREATE FUNCTION name(IN[]) RETURNS OUT[] LANGUAGE TORCH AS 'url'`
@@ -631,6 +668,82 @@ object Torch {
   }
 
   /**
+   * SAMPLED encoder-decoder decoding — [[generateGreedyPair]]'s
+   * cross-aware KV sessions with [[generateSampled]]'s deterministic
+   * temperature + top-p kernel (seeded md5 draws, 6-dp quantized
+   * cutoffs — the identical `Sampling` code path, so the two compose
+   * with no new numerics).
+   */
+  def generateSampledPair(
+      df: DataFrame,
+      idCol: String,
+      queryCol: String,
+      keyCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      temperature: Double,
+      topP: Double,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(temperature > 0.0, "temperature must be > 0")
+    require(topP > 0.0 && topP <= 1.0, "topP must be in (0, 1]")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.isCross && model.value.cacheable,
+      "generateSampledPair needs a cacheable cross-attention model")
+    val withInts = df
+      .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
+      .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val qIdx = withInts.schema.fieldIndex(queryCol)
+    val kIdx = withInts.schema.fieldIndex(keyCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      it.grouped(bs).flatMap { rows =>
+        def tokens(r: Row, idx: Int): Array[Int] = {
+          if (r.isNullAt(idx)) return null
+          val xs = r.getSeq[Any](idx)
+          if (xs.isEmpty) return null
+          val a = new Array[Int](xs.length)
+          var j = 0
+          while (j < a.length) {
+            xs(j) match {
+              case null => return null
+              case f: java.lang.Number => a(j) = f.intValue()
+            }
+            j += 1
+          }
+          a
+        }
+        rows.iterator.map { r =>
+          val q0 = tokens(r, qIdx)
+          val k0 = tokens(r, kIdx)
+          if (q0 == null || k0 == null || r.isNullAt(idIdx))
+            Row.fromSeq(r.toSeq :+ null)
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val sess = m.decodeSession(q0, k0)
+            val gen = new Array[Int](steps)
+            var t = 1
+            while (t <= steps) {
+              val tid = Sampling.sampleNext(sess.logits(), 0, vocab,
+                temperature, topP, Sampling.draw(id, t))
+              gen(t - 1) = tid
+              sess.append(tid)
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ gen.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * SAMPLED autoregressive decoding — temperature + top-p (nucleus)
    * sampling, the default generation mode in practice (Holtzman et
    * al. 2020), made exactly reproducible across engines with this
@@ -688,37 +801,9 @@ object Torch {
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
-      def q6(x: Double): Double =
-        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-      def draw(id: Long, step: Int): Double = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$id:$step".getBytes("UTF-8"))
-        val hex = md.take(4).map(b => f"$b%02x").mkString
-        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
-      }
-      def sampleNext(out: Array[Float], off: Int, u: Double): Int = {
-        val lp = Array.tabulate(vocab)(j => out(off + j).toDouble / temperature)
-        val mx = lp.max
-        val es = lp.map(v => math.exp(v - mx))
-        val z = es.sum
-        val p6 = es.map(e => q6(e / z))
-        val order = (0 until vocab).sortBy(j => (-p6(j), j))
-        // nucleus: a candidate joins while the mass BEFORE it is < topP
-        val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var cum = 0.0
-        for (j <- order if cum < topP) { kept += j; cum += p6(j) }
-        // total == the last running sum (ORDER-DEFINED on both engines:
-        // the oracle takes max over the running window, not a bare
-        // partition sum, so the f64 addition order is identical)
-        var run = 0.0
-        val sums = kept.map { j => run += p6(j); run }
-        val total = run
-        var pick = kept.last
-        var done = false
-        for ((j, cs) <- kept.zip(sums) if !done)
-          if (q6(cs / total) > u) { pick = j; done = true }
-        pick
-      }
+      def draw(id: Long, step: Int): Double = Sampling.draw(id, step)
+      def sampleNext(out: Array[Float], off: Int, u: Double): Int =
+        Sampling.sampleNext(out, off, vocab, temperature, topP, u)
       it.grouped(bs).flatMap { rows =>
         val seqs: Array[Array[Int]] = rows.map { r =>
           if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null

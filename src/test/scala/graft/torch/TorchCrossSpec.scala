@@ -351,6 +351,38 @@ class TorchCrossSpec extends AnyFunSuite {
     assert(minGap > 1e-4, s"cross-decode argmax gap floor violated: $minGap")
   }
 
+  test("sampled cross decode: topP -> 0 reduces to greedy pair decode; top-p 0.9 diverges") {
+    import org.apache.spark.sql.functions.{col => c}
+    val m = graft.SparkEntry.crossGenModel
+    val bc = spark.sparkContext.broadcast(m)
+    val dvocab = m.seqHead.get.vocab
+    val kvocab = m.encHead.get.vocab
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(c("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", c("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+          1, 2).as("d_ids"),
+        slice(transform(
+          call_function("regexp_extract_all", c("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+          1, 12).as("s_ids"))
+      .filter(size(c("d_ids")) >= 1)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val greedy = collectGen(Torch.generateGreedyPair(df, "d_ids", "s_ids", "gen",
+      bc, steps = 2))
+    val reduced = collectGen(Torch.generateSampledPair(df, "doc_id", "d_ids",
+      "s_ids", "gen", bc, steps = 2, temperature = 0.5, topP = 1e-6))
+    assert(reduced == greedy, "topP -> 0 must equal greedy cross decode")
+    val sampled = collectGen(Torch.generateSampledPair(df, "doc_id", "d_ids",
+      "s_ids", "gen", bc, steps = 2, temperature = 0.5, topP = 0.9))
+    val moved = sampled.count { case (k, v) => greedy(k) != v }
+    assert(moved > sampled.size / 10,
+      s"only $moved/${sampled.size} rows left the greedy trajectory")
+  }
+
   test("loud failure: distinct key/value sequences") {
     val (model, code) = {
       val (m0, c0) = crossNet("    _0 = (attn).forward(e, k0, k1, )")
