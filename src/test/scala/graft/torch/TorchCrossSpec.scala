@@ -351,6 +351,33 @@ class TorchCrossSpec extends AnyFunSuite {
     assert(minGap > 1e-4, s"cross-decode argmax gap floor violated: $minGap")
   }
 
+  test("TWO-BLOCK cross decoder sessions: per-op caches and shared enc projections compose") {
+    // a second (self-attn + LN + cross-attn + LN + FFN + LN) block —
+    // every block's cross ops share the ONE per-row encoder output;
+    // pinned bit-exactly against the pair recompute
+    val base = graft.SparkEntry.crossGenModel
+    val blk = base.ops.slice(2, 8) // self + LN + cross + LN + FFN + LN
+    val m = new TorchScriptModel(
+      (base.ops.take(2) ++ blk ++ blk ++ base.ops.drop(8)).toIndexedSeq,
+      encOps = base.encOps)
+    assert(m.isCross && m.cacheable)
+    val qs = Array(Array(3, 0), Array(7), Array(1, 2, 3))
+    val ks = Array(Array(5, 1, 8, 2, 0, 4), Array(2, 2, 7), Array(6, 30, 12))
+    for (i <- qs.indices) {
+      val sess = m.decodeSession(qs(i), ks(i))
+      var cur = qs(i)
+      for (t <- 1 to 3) {
+        val cached = sess.logits()
+        val full = m.forwardTokensPair(cur, ks(i))
+        assert(cached.toSeq == full.toSeq, s"row $i step $t (2-block cross)")
+        var tid = 0
+        for (j <- 1 until cached.length) if (cached(j) > cached(tid)) tid = j
+        sess.append(tid)
+        cur = cur :+ tid
+      }
+    }
+  }
+
   test("sampled cross decode: topP -> 0 reduces to greedy pair decode; top-p 0.9 diverges") {
     import org.apache.spark.sql.functions.{col => c}
     val m = graft.SparkEntry.crossGenModel
