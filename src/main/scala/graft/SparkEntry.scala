@@ -1018,6 +1018,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Encoder-decoder BEAM SEARCH (q208): width 2 x 2 steps over the
+    // q206 decoder — the T5 inference default. Per-row cross-aware KV
+    // sessions; a kept beam FORKS its parent session (O(L) pointer
+    // copies, the shared encoder projections never recompute). Oracle:
+    // the q197 synthetic-doc-id recipe with the cross k/v table
+    // duplicated under both beam ids (crossGenOracle beam mode).
+    "q208_torch_cross_beam" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.beamSearchPair(toks, "d_ids", "s_ids", "beams", bc,
+          steps = 2, width = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("b1t1"), col("beams")(0)(1).as("b1t2"),
+          col("beams")(1)(0).as("b2t1"), col("beams")(1)(1).as("b2t2"))
+        .orderBy("doc_id")
+    },
+
     // SAMPLED encoder-decoder decoding (q207): q206's cross decode
     // loop with q203's deterministic temperature/top-p kernel — the
     // two new facilities composing with no new numerics (shared
@@ -9032,6 +9062,10 @@ object SparkEntry {
     "q207_torch_cross_sampled" -> crossGenOracle(steps = 2,
       sampled = Some((0.5, 0.9))),
 
+    // Cross beam search: the q197 synthetic-doc-id recipe through the
+    // q206 decoder forward, cross k/v duplicated per beam id.
+    "q208_torch_cross_beam" -> crossGenOracle(steps = 2, beam = true),
+
     // The identical chain with the banned ids omitted from every
     // step's argmax CASE.
     "q195_torch_gen_banned" -> generateOracle(banned = Seq(1, 4)),
@@ -10275,7 +10309,8 @@ object SparkEntry {
     * logits (the per-step forward is unchanged; output cols become
     * sm<t>). */
   private def crossGenOracle(steps: Int,
-      sampled: Option[(Double, Double)] = None): String = {
+      sampled: Option[(Double, Double)] = None,
+      beam: Boolean = false): String = {
     import graft.torch._
     val m = crossGenModel
     val e = m.seqHead.get
@@ -10381,7 +10416,7 @@ object SparkEntry {
     }.mkString(",\n   ")
     /** One decoder forward over `dtoks` -> `SELECT doc_id, p0..p{d-1}`
       * (the last position's block output, pre-LM-head). */
-    def stepBody(dtoks: String): String =
+    def stepBody(dtoks: String, khName: String = "kh"): String =
       s"""WITH xq AS (SELECT $dtoks.doc_id, $dtoks.pos,
          |        ${(0 until d).map(j =>
                     s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS w$j").mkString(", ")}
@@ -10404,7 +10439,7 @@ object SparkEntry {
          |   $cqSel
          | FROM n1),
          |cs AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $cScore, $cVCarry
-         | FROM cq a JOIN kh b ON a.doc_id = b.doc_id),
+         | FROM cq a JOIN $khName b ON a.doc_id = b.doc_id),
          |cmx AS (SELECT doc_id, pa, $sMx FROM cs GROUP BY doc_id, pa),
          |cex AS (SELECT s.doc_id, s.pa, $cEx, $cExV
          |        FROM cs s JOIN cmx mx ON s.doc_id = mx.doc_id AND s.pa = mx.pa),
@@ -10464,35 +10499,108 @@ object SparkEntry {
     val outs = (1 to steps).map(t => s"g$t.tid AS $outPrefix$t").mkString(", ")
     val joins = (2 to steps).map(t =>
       s"JOIN $stepName$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
-    s"""WITH src AS (
-       |  SELECT doc_id,
-       |         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h, pos
-       |  FROM (SELECT doc_id,
-       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-       |          generate_subscripts(regexp_extract_all(text,
-       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-       |        FROM documents)),
-       |words AS (SELECT doc_id, h % ${enc.vocab} AS tid, pos FROM src
-       |          WHERE pos <= $EncMaxLen),
-       |dtoks0 AS MATERIALIZED (
-       |  SELECT doc_id, h % ${e.vocab} AS tid, pos FROM src WHERE pos <= 2),
-       |embd(tid, $wCols) AS (VALUES
-       |    ${embRows(e)}),
-       |embk(tid, $wCols) AS (VALUES
-       |    ${embRows(enc)}),
-       |posw(pos, ${(0 until d).map(j => s"pp$j").mkString(", ")}) AS (VALUES
-       |    $posRows),
-       |xk AS (SELECT doc_id, pos, ${(0 until d).map(j =>
-                s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
-       |       FROM words JOIN embk USING (tid)),
-       |kh AS MATERIALIZED (SELECT doc_id, pos,
-       |   $khSel
-       | FROM xk),
-       |$stepCtes
-       |SELECT g1.doc_id, $outs
-       |FROM ${stepName}1 g1
-       |$joins
-       |ORDER BY g1.doc_id""".stripMargin
+    val prelude =
+      s"""src AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)),
+         |words AS (SELECT doc_id, h % ${enc.vocab} AS tid, pos FROM src
+         |          WHERE pos <= $EncMaxLen),
+         |dtoks0 AS MATERIALIZED (
+         |  SELECT doc_id, h % ${e.vocab} AS tid, pos FROM src WHERE pos <= 2),
+         |embd(tid, $wCols) AS (VALUES
+         |    ${embRows(e)}),
+         |embk(tid, $wCols) AS (VALUES
+         |    ${embRows(enc)}),
+         |posw(pos, ${(0 until d).map(j => s"pp$j").mkString(", ")}) AS (VALUES
+         |    $posRows),
+         |xk AS (SELECT doc_id, pos, ${(0 until d).map(j =>
+                  s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
+         |       FROM words JOIN embk USING (tid)),
+         |kh AS MATERIALIZED (SELECT doc_id, pos,
+         |   $khSel
+         | FROM xk)""".stripMargin
+    if (beam) {
+      // the q197 recipe over the cross decoder: step-1 logits ->
+      // log-softmax -> top-2 beams; the two beams ride as SYNTHETIC
+      // doc ids (doc_id*2 + rank) through the second forward, whose
+      // cross k/v table is kh DUPLICATED under both synthetic ids
+      require(steps == 2 && sampled.isEmpty,
+        "the cross beam oracle covers 2 greedy steps x width 2")
+      def fwdFull(dtoks: String, khName: String): String =
+        TorchOracle.mlpArgmaxSql(fc, stepBody(dtoks, khName),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pAll FROM ${TorchOracle.lastCte(fc)}")
+      val mxE = (0 until vocabOut).map(j => s"p$j").mkString("greatest(", ", ", ")")
+      val sumExp = (0 until vocabOut).map(j => s"exp(p$j - m)").mkString(" + ")
+      def candRows(src: String): String =
+        (0 until vocabOut).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+      val khCols = ca.heads.indices.flatMap(i =>
+        (0 until hd).flatMap(j => Seq(s"ck$i$j", s"cv$i$j"))).mkString(", ")
+      s"""WITH $prelude,
+         |lens0 AS MATERIALIZED (
+         |  SELECT doc_id, max(pos) AS mp FROM dtoks0 GROUP BY doc_id),
+         |logit1 AS MATERIALIZED (
+         |${fwdFull("dtoks0", "kh")}
+         |),
+         |lp1 AS MATERIALIZED (
+         |  SELECT doc_id, $pAll, ln($sumExp) + m AS lse
+         |  FROM (SELECT doc_id, $pAll, $mxE AS m FROM logit1)),
+         |cand1 AS MATERIALIZED (
+         |  ${candRows("lp1")}),
+         |beams1 AS MATERIALIZED (
+         |  SELECT doc_id, tid, lp AS score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+         |  FROM cand1 QUALIFY b <= 2),
+         |dtoks1 AS MATERIALIZED (
+         |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+         |  FROM dtoks0 t JOIN beams1 b ON b.doc_id = t.doc_id
+         |  UNION ALL
+         |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+         |  FROM beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+         |khb AS MATERIALIZED (
+         |  SELECT doc_id * 2 AS doc_id, pos, $khCols FROM kh
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS doc_id, pos, $khCols FROM kh),
+         |logit2 AS MATERIALIZED (
+         |${fwdFull("dtoks1", "khb")}
+         |),
+         |lp2 AS MATERIALIZED (
+         |  SELECT doc_id, $pAll, ln($sumExp) + m AS lse
+         |  FROM (SELECT doc_id, $pAll, $mxE AS m FROM logit2)),
+         |cand2raw AS MATERIALIZED (
+         |  ${candRows("lp2")}),
+         |cand2 AS MATERIALIZED (
+         |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, lp
+         |  FROM cand2raw),
+         |joined AS MATERIALIZED (
+         |  SELECT c.doc_id, c.pb, c.tid, b.score + c.lp AS joint,
+         |    CAST(b.tid AS INT) AS t1
+         |  FROM cand2 c JOIN beams1 b
+         |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1),
+         |kept AS (
+         |  SELECT doc_id, t1, tid, joint,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+         |  FROM joined QUALIFY rk <= 2)
+         |SELECT k1.doc_id, k1.t1 AS b1t1, CAST(k1.tid AS INT) AS b1t2,
+         |  k2.t1 AS b2t1, CAST(k2.tid AS INT) AS b2t2
+         |FROM kept k1 JOIN kept k2
+         |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
+         |ORDER BY k1.doc_id""".stripMargin
+    } else
+      s"""WITH $prelude,
+         |$stepCtes
+         |SELECT g1.doc_id, $outs
+         |FROM ${stepName}1 g1
+         |$joins
+         |ORDER BY g1.doc_id""".stripMargin
   }
 
   /** The q197 beam-search oracle: step-1 logits → log-softmax → top-2

@@ -445,6 +445,7 @@ object Torch {
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "beamSearch needs a token-input model")
+    require(!model.value.isCross, "cross-attention model: use beamSearchPair")
     require(width <= model.value.outDim, "width exceeds the vocabulary")
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
@@ -661,6 +662,100 @@ object Torch {
               t += 1
             }
             Row.fromSeq(r.toSeq :+ gen.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * ENCODER-DECODER beam search — [[beamSearch]]'s candidate algebra
+   * (f64 log-softmax joint scores; total order joint DESC, parent
+   * rank ASC, token ASC) over [[generateGreedyPair]]'s cross-aware KV
+   * sessions: the encoder runs once per row, beams FORK their parent
+   * session in O(L) pointer copies. The T5 inference default.
+   *
+   * @return input columns + `outCol` = array<array<int>>: kept beams'
+   *         generated tokens in rank order (null/empty input → null)
+   */
+  def beamSearchPair(
+      df: DataFrame,
+      queryCol: String,
+      keyCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      width: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1 && width >= 1, "steps and width must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.isCross && model.value.cacheable,
+      "beamSearchPair needs a cacheable cross-attention model")
+    require(width <= model.value.outDim, "width exceeds the vocabulary")
+    val withInts = df
+      .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
+      .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
+    val qIdx = withInts.schema.fieldIndex(queryCol)
+    val kIdx = withInts.schema.fieldIndex(keyCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def logProbs(out: Array[Float]): Array[Double] = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = out(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(out(j).toDouble - mx); j += 1 }
+        val lse = math.log(z) + mx
+        Array.tabulate(vocab)(k => out(k).toDouble - lse)
+      }
+      it.grouped(bs).flatMap { rows =>
+        def tokens(r: Row, idx: Int): Array[Int] = {
+          if (r.isNullAt(idx)) return null
+          val xs = r.getSeq[Any](idx)
+          if (xs.isEmpty) return null
+          val a = new Array[Int](xs.length)
+          var j = 0
+          while (j < a.length) {
+            xs(j) match {
+              case null => return null
+              case f: java.lang.Number => a(j) = f.intValue()
+            }
+            j += 1
+          }
+          a
+        }
+        rows.iterator.map { r =>
+          val q0 = tokens(r, qIdx)
+          val k0 = tokens(r, kIdx)
+          if (q0 == null || k0 == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            var beams: Seq[(Vector[Int], Double, m.DecodeSession)] =
+              Seq((Vector.empty[Int], 0.0, m.decodeSession(q0, k0)))
+            var t = 0
+            while (t < steps) {
+              val cands = beams.zipWithIndex.flatMap { case ((g, s, sess), bi) =>
+                val lp = logProbs(sess.logits())
+                (0 until vocab).map(tok => (s + lp(tok), bi, tok, g, sess))
+              }
+              beams = cands.sortBy { case (sc, bi, tok, _, _) => (-sc, bi, tok) }
+                .take(width)
+                .map { case (sc, _, tok, g, sess) =>
+                  val child = sess.fork()
+                  child.append(tok)
+                  (g :+ tok, sc, child)
+                }
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ beams.map(_._1.toSeq))
           }
         }
       }

@@ -378,6 +378,67 @@ class TorchCrossSpec extends AnyFunSuite {
     }
   }
 
+  test("cross beam search: step-1 top log-prob == greedy; joint reranking is real; margins floor") {
+    import org.apache.spark.sql.functions.{col => c}
+    val m = graft.SparkEntry.crossGenModel
+    val bc = spark.sparkContext.broadcast(m)
+    val dvocab = m.seqHead.get.vocab
+    val kvocab = m.encHead.get.vocab
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(c("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", c("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+          1, 2).as("d_ids"),
+        slice(transform(
+          call_function("regexp_extract_all", c("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+          1, 12).as("s_ids"))
+      .filter(size(c("d_ids")) >= 1)
+    val beams = Torch.beamSearchPair(df, "d_ids", "s_ids", "beams", bc,
+        steps = 2, width = 2)
+      .select("doc_id", "beams").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Seq[Int]](1)).toMap
+    val greedy = Torch.generateGreedyPair(df, "d_ids", "s_ids", "gen", bc, steps = 2)
+      .select("doc_id", "gen").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(beams.nonEmpty && beams.keySet == greedy.keySet)
+    // kept-vs-dropped joint margin: recompute the 2-step expansion from
+    // the (bit-identical, spec-pinned) session logits and check the
+    // rank-2/rank-3 joint gap clears cross-libm exp/log ulps (~1e-15)
+    val rows = df.collect().map(r => (r.getLong(0),
+      r.getSeq[Long](1).map(_.toInt).toArray, r.getSeq[Long](2).map(_.toInt).toArray))
+    var minMargin = Double.MaxValue
+    def lps(l: Array[Float]): Array[Double] = {
+      val mx = l.map(_.toDouble).max
+      val z = l.map(v => math.exp(v.toDouble - mx)).sum
+      l.map(v => v.toDouble - (math.log(z) + mx))
+    }
+    var reranked = 0
+    for ((id, dIds, sIds) <- rows) {
+      val s0 = m.decodeSession(dIds, sIds)
+      val lp1 = lps(s0.logits())
+      val b1 = (0 until lp1.length).sortBy(j => (-lp1(j), j)).take(2)
+      // the step-1 TOP log-prob IS the greedy first token (first max
+      // wins on ties both ways since lp is a monotone map of logits)
+      assert(b1.head == greedy(id).head,
+        s"doc $id: step-1 top log-prob ${b1.head} != greedy ${greedy(id).head}")
+      // the FINAL beam-1 may legitimately start with the step-1
+      // runner-up when its best continuation wins the joint — count it
+      if (beams(id).head.head != greedy(id).head) reranked += 1
+      val joints = b1.zipWithIndex.flatMap { case (tok, bi) =>
+        val sc = s0.fork()
+        sc.append(tok)
+        val lp2 = lps(sc.logits())
+        lp2.indices.map(t2 => (lp1(tok) + lp2(t2), bi, t2))
+      }.sortBy { case (j, bi, t2) => (-j, bi, t2) }
+      minMargin = math.min(minMargin, joints(1)._1 - joints(2)._1)
+    }
+    info(s"q208 docs where the joint reranked past greedy: $reranked/${rows.length}")
+    info(s"q208 min kept-vs-dropped joint margin: $minMargin")
+    assert(minMargin > 1e-9, s"beam joint margin floor violated: $minMargin")
+  }
+
   test("sampled cross decode: topP -> 0 reduces to greedy pair decode; top-p 0.9 diverges") {
     import org.apache.spark.sql.functions.{col => c}
     val m = graft.SparkEntry.crossGenModel
