@@ -132,7 +132,30 @@ object Torch {
         val in = toF32(xs)
         if (in == null) null else bc.value.forward(in)
       }
-    if (f64Return)
+    // a TWO-INPUT (encoder-decoder cross-attention) archive registers
+    // as a 2-ARG scalar function: f(decoder_tokens, source_tokens) —
+    // null either side (or any null element) -> null output
+    def run2(qs: scala.collection.Seq[java.lang.Double],
+        ks: scala.collection.Seq[java.lang.Double]): Array[Float] = {
+      val q = toTokens(qs)
+      val k = toTokens(ks)
+      if (q == null || k == null || q.isEmpty || k.isEmpty) null
+      else bc.value.forwardTokensPair(q, k)
+    }
+    if (model.isCross) {
+      if (f64Return)
+        spark.udf.register(name, (qs: scala.collection.Seq[java.lang.Double],
+            ks: scala.collection.Seq[java.lang.Double]) => {
+          val out = run2(qs, ks)
+          if (out == null) null else out.map(_.toDouble).toSeq
+        })
+      else
+        spark.udf.register(name, (qs: scala.collection.Seq[java.lang.Double],
+            ks: scala.collection.Seq[java.lang.Double]) => {
+          val out = run2(qs, ks)
+          if (out == null) null else out.toSeq
+        })
+    } else if (f64Return)
       spark.udf.register(name, (xs: scala.collection.Seq[java.lang.Double]) => {
         val out = run(xs)
         if (out == null) null else out.map(_.toDouble).toSeq

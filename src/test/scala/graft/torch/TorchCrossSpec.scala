@@ -471,6 +471,22 @@ class TorchCrossSpec extends AnyFunSuite {
       s"only $moved/${sampled.size} rows left the greedy trajectory")
   }
 
+  test("SQL surface: a two-input archive registers as a 2-arg scalar function") {
+    val (model, code) = crossNet("    _0 = (attn).forward(e, k0, k0, )")
+    val path = writeTemp("crossudf", "crossudf", model, code)
+    val m = Torch.createFunction(spark, "crossf", path)
+    assert(m.isCross)
+    val got = spark.sql(
+      "SELECT crossf(array(3, 0, 6), array(5, 1, 8, 2)) AS o").collect()(0)
+      .getSeq[Float](0)
+    val want = m.forwardTokensPair(Array(3, 0, 6), Array(5, 1, 8, 2)).toSeq
+    assert(got == want, s"SQL $got != direct $want")
+    // null contract: either side null -> null
+    val n = spark.sql(
+      "SELECT crossf(CAST(NULL AS ARRAY<DOUBLE>), array(1)) AS o").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("loud failure: distinct key/value sequences") {
     val (model, code) = {
       val (m0, c0) = crossNet("    _0 = (attn).forward(e, k0, k1, )")
