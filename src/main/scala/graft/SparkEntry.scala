@@ -1097,6 +1097,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Constrained SAMPLED decoding (q209): q203's nucleus sampler with
+    // q195's banned vocabulary {1, 4} — the safety-decoding combo in
+    // its default generation mode. Banned ids are masked BEFORE the
+    // softmax (the distribution renormalizes over the allowed set);
+    // the oracle simply omits them from the candidate unpivot.
+    "q209_torch_sampled_banned" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
+          banned = Set(1, 4))
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
     // Corpus version diff (q192): the release audit — v2 derived
     // deterministically from the fixture (every 7th doc edited, every
     // 11th dropped, a shifted id range added), then ONE full outer
@@ -9052,6 +9074,11 @@ object SparkEntry {
     "q203_torch_gen_sampled" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 0.9),
 
+    // Constrained sampling: banned ids omitted from the candidate
+    // unpivot — the allowed-set renormalization on both engines.
+    "q209_torch_sampled_banned" -> sampledOracle(steps = 2,
+      temperature = 0.5, topP = 0.9, banned = Seq(1, 4)),
+
     // Encoder-decoder generation: the source encoding + cross k/v
     // restated once, each step a nested-WITH decoder forward
     // (crossGenOracle).
@@ -10212,10 +10239,14 @@ object SparkEntry {
     * nucleus prefix, order-defined running renormalized cumulative,
     * seeded md5 draw). Shared by q203 and q207. */
   private def sampledStepChain(t: Int, vocab: Int,
-      temperature: Double, topP: Double): String = {
+      temperature: Double, topP: Double,
+      banned: Seq[Int] = Nil): String = {
     val tLit = s"CAST($temperature AS DOUBLE)"
     val pLit = s"CAST($topP AS DOUBLE)"
-    val unpivot = (0 until vocab).map(j =>
+    // constrained decoding: banned ids simply never become candidate
+    // rows — the softmax renormalizes over the allowed vocabulary on
+    // both engines (the engine's pre-softmax mask)
+    val unpivot = (0 until vocab).filterNot(banned.contains).map(j =>
       s"SELECT doc_id, $j AS tid, p$j / $tLit AS lp FROM logit$t")
       .mkString("\n  UNION ALL ")
     s"""cand$t AS MATERIALIZED (
@@ -10251,7 +10282,8 @@ object SparkEntry {
        |  WHERE prk = 1)""".stripMargin
   }
 
-  private def sampledOracle(steps: Int, temperature: Double, topP: Double): String = {
+  private def sampledOracle(steps: Int, temperature: Double, topP: Double,
+      banned: Seq[Int] = Nil): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
@@ -10266,7 +10298,7 @@ object SparkEntry {
       s"""logit$t AS MATERIALIZED (
          |${fwd(s"toks${t - 1}")}
          |),
-         |${sampledStepChain(t, vocab, temperature, topP)},
+         |${sampledStepChain(t, vocab, temperature, topP, banned)},
          |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL

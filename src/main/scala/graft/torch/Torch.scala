@@ -31,26 +31,33 @@ object Torch {
       (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
     }
     def sampleNext(out: Array[Float], off: Int, vocab: Int,
-        temperature: Double, topP: Double, u: Double): Int = {
-      val lp = Array.tabulate(vocab)(j => out(off + j).toDouble / temperature)
+        temperature: Double, topP: Double, u: Double,
+        banned: Set[Int] = Set.empty): Int = {
+      // constrained decoding: banned ids are removed BEFORE the
+      // softmax (the -inf-mask semantics: the distribution renorms
+      // over the allowed vocabulary; the oracle simply omits them
+      // from the unpivot). ids stay ascending, so the full-vocab f64
+      // accumulation order is unchanged when nothing is banned.
+      val ids = (0 until vocab).filterNot(banned).toArray
+      val lp = ids.map(j => out(off + j).toDouble / temperature)
       val mx = lp.max
       val es = lp.map(v => math.exp(v - mx))
       val z = es.sum
       val p6 = es.map(e => q6(e / z))
-      val order = (0 until vocab).sortBy(j => (-p6(j), j))
+      val order = ids.indices.sortBy(i => (-p6(i), ids(i)))
       // nucleus: a candidate joins while the mass BEFORE it is < topP
       val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
       var cum = 0.0
-      for (j <- order if cum < topP) { kept += j; cum += p6(j) }
+      for (i <- order if cum < topP) { kept += i; cum += p6(i) }
       // total == the last running sum (ORDER-DEFINED on both engines)
       var run = 0.0
-      val sums = kept.map { j => run += p6(j); run }
+      val sums = kept.map { i => run += p6(i); run }
       val total = run
       var pick = kept.last
       var done = false
-      for ((j, cs) <- kept.zip(sums) if !done)
-        if (q6(cs / total) > u) { pick = j; done = true }
-      pick
+      for ((i, cs) <- kept.zip(sums) if !done)
+        if (q6(cs / total) > u) { pick = i; done = true }
+      ids(pick)
     }
   }
 
@@ -901,8 +908,11 @@ object Torch {
       steps: Int,
       temperature: Double,
       topP: Double,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      banned: Set[Int] = Set.empty): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
+    require(banned.size < model.value.outDim,
+      "banned set covers the whole vocabulary")
     require(temperature > 0.0, "temperature must be > 0 (greedy is generateGreedy)")
     require(topP > 0.0 && topP <= 1.0, "topP must be in (0, 1]")
     val spark = df.sparkSession
@@ -921,7 +931,7 @@ object Torch {
       val vocab = m.outDim
       def draw(id: Long, step: Int): Double = Sampling.draw(id, step)
       def sampleNext(out: Array[Float], off: Int, u: Double): Int =
-        Sampling.sampleNext(out, off, vocab, temperature, topP, u)
+        Sampling.sampleNext(out, off, vocab, temperature, topP, u, banned)
       it.grouped(bs).flatMap { rows =>
         val seqs: Array[Array[Int]] = rows.map { r =>
           if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
