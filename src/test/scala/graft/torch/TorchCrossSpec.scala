@@ -504,6 +504,31 @@ class TorchCrossSpec extends AnyFunSuite {
       err.getMessage)
   }
 
+  test("loud failure: an encoder-leg op EMITTED after cross-attention consumed it") {
+    // re-embedding is held (no emission) and allowed post-consumption;
+    // a LayerNorm module on the enc sequence EMITS SeqLayerNormOp ->
+    // the frozen-builder poison must fire (the leg is computed once
+    // and shared; mutating it afterwards would be silently wrong)
+    val (m0, c0) = crossNet("    _0 = (attn).forward(e, k0, k0, )")
+    val attrs = m0.attrs ++ Seq("ln" -> Module(
+      "__torch__.torch.nn.modules.normalization.LayerNorm", Seq(
+        "weight" -> Tensor(Seq(emb), Array.fill(emb)(1f)),
+        "bias" -> Tensor(Seq(emb), new Array[Float](emb)),
+        "eps" -> F(1e-5),
+        "elementwise_affine" -> B(true),
+        "training" -> B(false))))
+    val code = c0.map { case (p, t) =>
+      p -> t.replace("    r = torch.add(e, a)",
+        "    ln = self.ln\n    k2 = (ln).forward(k0, )\n    r = torch.add(e, a)")
+    }
+    val err = intercept[Exception] {
+      TorchScriptModel.load(writeTemp("crossfrozen", "crossfrozen",
+        Module("__torch__.XNet", attrs), code))
+    }
+    assert(err.getMessage.contains("encoder-leg op emitted AFTER"),
+      err.getMessage)
+  }
+
   test("loud failure: cross op widths must match the encoder leg") {
     val err = intercept[IllegalArgumentException] {
       new TorchScriptModel(
