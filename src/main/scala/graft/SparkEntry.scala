@@ -1048,6 +1048,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Seq2seq QUALITY FILTER (q210): teacher-forced mean next-token
+    // NLL of the decoder prefix GIVEN the source encoding — the
+    // parallel-corpus noisy-pair filter (mine-then-filter by
+    // translation loss). One causal decoder forward scores all
+    // positions; gated as the DISCRETE keep decision against a
+    // dyadic threshold (margin-pinned by TorchCrossSpec — the raw
+    // value carries the per-op f32 roundings the f64 oracle lacks).
+    "q210_seq2seq_filter" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 6).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+        .filter(size(col("d_ids")) >= 2)
+      Torch.scoreSeq2SeqBatched(toks, "d_ids", "s_ids", "nll", bc)
+        .select(col("doc_id"),
+          (size(col("d_ids")) - 1).cast("long").as("n_scored"),
+          (col("nll") < lit(Seq2SeqKeepBelow)).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // SAMPLED encoder-decoder decoding (q207): q206's cross decode
     // loop with q203's deterministic temperature/top-p kernel — the
     // two new facilities composing with no new numerics (shared
@@ -5080,6 +5110,11 @@ object SparkEntry {
     * [[EncMaxLen]]); Lq != Lk keeps the two-sequence shape honest. */
   private val CrossQLen = 4
 
+  /** q210's dyadic keep threshold (1/16 grid) — chosen near the
+    * measured sf0.001/sf0.01 NLL median so the keep split is mixed;
+    * TorchCrossSpec pins the |nll - threshold| margin floor. */
+  private val Seq2SeqKeepBelow: Double = 6.4375
+
   /** q204's LoRA-MERGED model (VERDICT r13 gap #4): [[encModel]] with
     * two rank-2 adapters folded at load — `W + (α/r)·B·A` on the
     * attention Q projection (the classic LoRA target, per-head B row
@@ -9093,6 +9128,11 @@ object SparkEntry {
     // q206 decoder forward, cross k/v duplicated per beam id.
     "q208_torch_cross_beam" -> crossGenOracle(steps = 2, beam = true),
 
+    // Seq2seq NLL filter: one all-positions decoder forward, the NLL
+    // join against the next token, keep vs the dyadic threshold.
+    "q210_seq2seq_filter" -> crossGenOracle(steps = 1,
+      nllKeepBelow = Some(6.4375), promptCap = 6),
+
     // The identical chain with the banned ids omitted from every
     // step's argmax CASE.
     "q195_torch_gen_banned" -> generateOracle(banned = Seq(1, 4)),
@@ -10342,7 +10382,9 @@ object SparkEntry {
     * sm<t>). */
   private def crossGenOracle(steps: Int,
       sampled: Option[(Double, Double)] = None,
-      beam: Boolean = false): String = {
+      beam: Boolean = false,
+      nllKeepBelow: Option[Double] = None,
+      promptCap: Int = 2): String = {
     import graft.torch._
     val m = crossGenModel
     val e = m.seqHead.get
@@ -10448,7 +10490,8 @@ object SparkEntry {
     }.mkString(",\n   ")
     /** One decoder forward over `dtoks` -> `SELECT doc_id, p0..p{d-1}`
       * (the last position's block output, pre-LM-head). */
-    def stepBody(dtoks: String, khName: String = "kh"): String =
+    def stepBody(dtoks: String, khName: String = "kh",
+        allPositions: Boolean = false): String =
       s"""WITH xq AS (SELECT $dtoks.doc_id, $dtoks.pos,
          |        ${(0 until d).map(j =>
                     s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS w$j").mkString(", ")}
@@ -10488,8 +10531,10 @@ object SparkEntry {
          | FROM ffn),
          |n3 AS (${lnSel(lns(2), "y", "z", "r3")}),
          |lens AS (SELECT doc_id, max(pos) AS mp FROM $dtoks GROUP BY doc_id)
-         |SELECT n3.doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}
-         |FROM n3 JOIN lens ON n3.doc_id = lens.doc_id AND n3.pos = lens.mp""".stripMargin
+         |${if (allPositions)
+             s"SELECT n3.doc_id, n3.pos, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")} FROM n3"
+           else
+             s"SELECT n3.doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}\nFROM n3 JOIN lens ON n3.doc_id = lens.doc_id AND n3.pos = lens.mp"}""".stripMargin
     val amax = TorchOracle.armArgmax(fc, "p")
     val vocabOut = fc.outDim
     val pAll = (0 until vocabOut).map(j => s"p$j").mkString(", ")
@@ -10543,7 +10588,8 @@ object SparkEntry {
          |words AS (SELECT doc_id, h % ${enc.vocab} AS tid, pos FROM src
          |          WHERE pos <= $EncMaxLen),
          |dtoks0 AS MATERIALIZED (
-         |  SELECT doc_id, h % ${e.vocab} AS tid, pos FROM src WHERE pos <= 2),
+         |  SELECT doc_id, h % ${e.vocab} AS tid, pos FROM src
+         |  WHERE pos <= $promptCap),
          |embd(tid, $wCols) AS (VALUES
          |    ${embRows(e)}),
          |embk(tid, $wCols) AS (VALUES
@@ -10556,7 +10602,38 @@ object SparkEntry {
          |kh AS MATERIALIZED (SELECT doc_id, pos,
          |   $khSel
          | FROM xk)""".stripMargin
-    if (beam) {
+    if (nllKeepBelow.isDefined) {
+      // seq2seq NLL quality scoring: ONE decoder forward over ALL
+      // positions, the LM head per position, NLL of the NEXT token
+      // under each position's log-softmax, averaged — gated as the
+      // DISCRETE keep decision against a margin-pinned threshold (the
+      // per-op f32 roundings make the raw value un-hashable, exactly
+      // the q127 argmax-gap situation applied to a threshold)
+      val thresh = nllKeepBelow.get
+      val logitSql = TorchOracle.mlpArgmaxSql(fc,
+        stepBody("dtoks0", "kh", allPositions = true),
+        arms = Seq("p"), carry = Seq("doc_id", "pos"),
+        finalSelect = s"SELECT doc_id, pos, $pAll " +
+          s"FROM ${TorchOracle.lastCte(fc)}")
+      val mxE = (0 until vocabOut).map(j => s"p$j").mkString("greatest(", ", ", ")")
+      val sumExp = (0 until vocabOut).map(j => s"exp(p$j - m)").mkString(" + ")
+      val pick = (0 until vocabOut).map(j => s"WHEN $j THEN p$j")
+        .mkString("CASE n.tid ", " ", " END")
+      s"""WITH $prelude,
+         |lg AS MATERIALIZED (
+         |$logitSql
+         |),
+         |nl AS (
+         |  SELECT l.doc_id, (ln($sumExp) + m) - $pick AS nll_p
+         |  FROM (SELECT doc_id, pos, $pAll, $mxE AS m FROM lg) l
+         |  JOIN dtoks0 n ON n.doc_id = l.doc_id AND n.pos = l.pos + 1),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+         |               avg(nll_p) AS nll
+         |        FROM nl GROUP BY doc_id)
+         |SELECT doc_id, n_scored,
+         |  (nll < CAST($thresh AS DOUBLE)) AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin
+    } else if (beam) {
       // the q197 recipe over the cross decoder: step-1 logits ->
       // log-softmax -> top-2 beams; the two beams ride as SYNTHETIC
       // doc ids (doc_id*2 + rank) through the second forward, whose

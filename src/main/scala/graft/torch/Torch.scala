@@ -447,6 +447,54 @@ object Torch {
   }
 
   /**
+   * Batched seq2seq quality scoring — appends `outputCol: double` =
+   * [[TorchScriptModel.seq2seqMeanNll]] (teacher-forced mean
+   * next-token NLL of the decoder tokens given the source), the
+   * parallel-corpus noisy-pair filter. Rows with a null input, a null
+   * element, or fewer than 2 decoder tokens yield null. Stateless
+   * scan-side `mapPartitions` over broadcast weights — the
+   * [[scoreLmBatched]] shape, shuffle-free at any corpus size.
+   */
+  def scoreSeq2SeqBatched(
+      df: DataFrame,
+      queryCol: String,
+      keyCol: String,
+      outputCol: String,
+      model: Broadcast[TorchScriptModel]): DataFrame = {
+    val withInts = df
+      .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
+      .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outputCol, DoubleType, nullable = true))
+    val qIdx = withInts.schema.fieldIndex(queryCol)
+    val kIdx = withInts.schema.fieldIndex(keyCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      def toks(r: Row, idx: Int): Array[Int] = {
+        if (r.isNullAt(idx)) return null
+        val xs = r.getSeq[Any](idx)
+        val a = new Array[Int](xs.length)
+        var j = 0
+        while (j < a.length) {
+          xs(j) match {
+            case null => return null
+            case f: java.lang.Number => a(j) = f.intValue()
+          }
+          j += 1
+        }
+        a
+      }
+      it.map { r =>
+        val d = toks(r, qIdx)
+        val k = toks(r, kIdx)
+        if (d == null || k == null || d.length < 2 || k.isEmpty)
+          Row.fromSeq(r.toSeq :+ null)
+        else Row.fromSeq(r.toSeq :+ m.seq2seqMeanNll(d, k))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * Beam-search decoding — `steps` rounds of (forward pass on every
    * live beam → per-beam log-softmax → joint-score expansion → keep
    * the top `width`). Scores are f64 log-probs accumulated from the

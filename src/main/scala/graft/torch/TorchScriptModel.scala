@@ -2338,6 +2338,67 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     cur
   }
 
+  /** Teacher-forced mean next-token NLL of the decoder sequence GIVEN
+    * the source — the parallel-corpus quality score (filtering noisy
+    * translation/summary pairs by seq2seq loss, the standard
+    * mine-then-filter recipe). The decoder runs ONCE over all
+    * positions (causal attention: position p's state never sees
+    * p+1..), the LM head applies per position in f64, and the NLL of
+    * `dToks(p+1)` under position p's log-softmax averages over the
+    * L-1 predictions. The per-op f32 roundings of the sequence phase
+    * are the engine-vs-f64-oracle drift (~1e-6) — so the ORACLE-GATED
+    * output is the discrete keep decision against a margin-pinned
+    * threshold, not the raw value (TorchCrossSpec pins the margin
+    * floor; the q96/q127 argmax-gap argument applied to a threshold). */
+  def seq2seqMeanNll(dToks: Array[Int], kToks: Array[Int]): Double = {
+    require(isCross, "seq2seq scoring needs a cross-attention model")
+    require(ops(poolIdx) == SeqLastPoolOp,
+      "seq2seq scoring needs a causal last-pooled decoder")
+    require(ops.slice(1, poolIdx).forall {
+      case ea: EncoderAttnOp => ea.heads.forall(_.causal)
+      case a: SelfAttentionOp => a.causal
+      case _ => true
+    }, "seq2seq scoring is causal: position p must never see p+1..")
+    val fc = ops.drop(poolIdx + 1) match {
+      case IndexedSeq(l: LinearLayer) => l
+      case other => sys.error(s"seq2seq scoring needs a single Linear LM head, " +
+        s"got ${other.map(_.getClass.getSimpleName)}")
+    }
+    val e = seqHead.get
+    require(fc.outDim == e.vocab,
+      s"LM head emits ${fc.outDim} logits over a ${e.vocab}-token vocabulary")
+    val L = dToks.length
+    require(L >= 2, s"seq2seq scoring needs >= 2 decoder tokens (got $L)")
+    val (enc, encL) = runEncRow(kToks)
+    val (data, rows, cols) = seqPhase(ops, 1, poolIdx,
+      embedLookup(e, dToks), L, e.embDim, L, enc, encL)
+    require(rows == L && cols == fc.inDim, s"seq2seq state shape ($rows, $cols)")
+    val logits = new Array[Double](fc.outDim)
+    var nllSum = 0.0
+    var p = 0
+    while (p < L - 1) {
+      var o = 0
+      while (o < fc.outDim) {
+        var acc: Double = fc.bias(o)
+        var j = 0
+        while (j < cols) { acc += data(p * cols + j).toDouble * fc.weight(o * cols + j); j += 1 }
+        logits(o) = acc
+        o += 1
+      }
+      var mx = Double.NegativeInfinity
+      o = 0
+      while (o < fc.outDim) { if (logits(o) > mx) mx = logits(o); o += 1 }
+      var z = 0.0
+      o = 0
+      while (o < fc.outDim) { z += math.exp(logits(o) - mx); o += 1 }
+      val next = dToks(p + 1)
+      require(next >= 0 && next < fc.outDim, s"token id $next out of range")
+      nllSum += (math.log(z) + mx) - logits(next)
+      p += 1
+    }
+    nllSum / (L - 1)
+  }
+
   /** True when [[decodeSession]] can decode this model INCREMENTALLY:
     * a token-sequence model pooled by the last position whose sequence
     * phase is position-local except for CAUSAL attention — then a

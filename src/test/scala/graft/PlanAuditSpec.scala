@@ -360,7 +360,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // other shuffle (or a second scan / rescan boundary) is a
     // regression of the batched-inference shape
     for (q <- Seq("q202_torch_crossattn", "q203_torch_gen_sampled",
-        "q204_torch_lora", "q206_torch_cross_gen")) {
+        "q204_torch_lora", "q206_torch_cross_gen", "q210_seq2seq_filter")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

@@ -487,6 +487,50 @@ class TorchCrossSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("q210 seq2seq NLL: causal consistency, distribution, and keep-margin floor") {
+    val m = graft.SparkEntry.crossGenModel
+    val dvocab = m.seqHead.get.vocab
+    val kvocab = m.encHead.get.vocab
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+          1, 6).as("d_ids"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+          1, 12).as("s_ids"))
+      .filter(size(col("d_ids")) >= 2)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](1).map(_.toInt).toArray,
+        r.getSeq[Long](2).map(_.toInt).toArray))
+    assert(docs.nonEmpty)
+    val thresh = 6.4375
+    val nlls = docs.map { case (_, d, k) => m.seq2seqMeanNll(d, k) }
+    val sorted = nlls.sorted
+    info(s"q210 nll p10/p50/p90: ${sorted((nlls.length * 0.1).toInt)} / " +
+      s"${sorted(nlls.length / 2)} / ${sorted((nlls.length * 0.9).toInt)}")
+    val minMargin = nlls.map(v => math.abs(v - thresh)).min
+    info(s"q210 min |nll - threshold| margin: $minMargin")
+    // the engine-vs-f64-oracle drift is the per-op f32 rounding
+    // (~1e-6/logit); the margin floor must clear it by orders of
+    // magnitude for the keep decision to hash-match
+    assert(minMargin > 1e-4, s"keep-margin floor violated: $minMargin")
+    // causal consistency: scoring a PREFIX equals the prefix of the
+    // same computation (position states never see later tokens)
+    val (_, d0, k0) = docs.head
+    if (d0.length >= 3) {
+      val full = m.seq2seqMeanNll(d0, k0)
+      val pre = m.seq2seqMeanNll(d0.take(d0.length - 1), k0)
+      // means over different counts: compare via sums
+      val sumFull = full * (d0.length - 1)
+      val sumPre = pre * (d0.length - 2)
+      assert(sumFull > sumPre - 1e-12, "prefix NLL sum exceeds the full sum")
+    }
+  }
+
   test("loud failure: distinct key/value sequences") {
     val (model, code) = {
       val (m0, c0) = crossNet("    _0 = (attn).forward(e, k0, k1, )")
