@@ -965,6 +965,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ALiBi / causal-window KV-SESSION decoding (q215, VERDICT r14
+    // item 1): q194's greedy loop over a causal LM whose causality
+    // lives ENTIRELY in causal-banded additive bias tables — head 0
+    // the ALiBi recency prior (slope 1/4), head 1 a width-2 causal
+    // sliding window: the Llama/Mistral serving shapes.
+    // biasCausalBanded admits these heads to the KV session, so each
+    // step costs O(L·d) instead of the O(L²·d) recompute VERDICT r14
+    // measured; the oracle restates every step with both masks in
+    // closed form (generateOracle's headBias score join).
+    "q215_torch_alibi_decode" -> { (s, dir) =>
+      val m = alibiLmModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // Greedy autoregressive decoding (q194): the causal LM head fed
     // back into itself for 3 steps — the forward pass the reference
     // runs via libtorch (udf.rs:127), looped. The k-step loop runs
@@ -5501,6 +5526,69 @@ object SparkEntry {
       LinearLayer(qvals(32, 1697, 4.0), qvals(8, 1699, 0.25), 8, 4)))
   }
 
+  /** q215's BIAS-MASKED causal LM: [[genModel]]'s architecture with
+    * the heads' causality carried ENTIRELY by causal-banded additive
+    * bias tables instead of the hard flag — head 0 the ALiBi recency
+    * prior (Press et al. 2022: `-slope·(a-b)` at `b <= a`, `-inf`
+    * above; slope 1/4), head 1 a CAUSAL sliding window (the Mistral
+    * serving shape: 0 for `0 <= a-b <= 2`, `-inf` outside). These are
+    * the exact shapes VERDICT r14 flagged as decoding O(L²) per
+    * token: [[graft.torch.SelfAttentionOp.biasCausalBanded]] now
+    * admits them to the KV session (`-inf` entries contribute
+    * `exp(-inf) = 0` exactly, so the session's restricted key loop is
+    * bit-identical to recompute — TorchGenerateSpec pins it per
+    * step). Numerically everything stays on the dyadic grid: slope
+    * 1/4 makes every finite ALiBi entry an exact f32 (multiples of
+    * 1/4 down to -15/4 over the 16-position table), the window
+    * entries are 0, so the oracle restates both masks in CLOSED FORM
+    * (`-0.25·(a.pos-b.pos)` / the band condition) with no drift
+    * beyond the usual exp/sum ulps + one f32 rounding per op,
+    * absorbed by the argmax gap (TorchGenerateSpec's sf0.001 floor).
+    * Reference anchor: libtorch runs any such traced mask buffer
+    * (/root/reference/src/udf.rs:127). */
+  private[graft] lazy val alibiLmModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val rows = EncMaxLen + 4
+    val alibi = Array.tabulate(rows * rows) { idx =>
+      val (i, j) = (idx / rows, idx % rows)
+      if (j <= i) -0.25f * (i - j) else Float.NegativeInfinity
+    }
+    val window = Array.tabulate(rows * rows) { idx =>
+      val (i, j) = (idx / rows, idx % rows)
+      if (j <= i && i - j <= 2) 0f else Float.NegativeInfinity
+    }
+    def head(seed: Int, bias: Array[Float]) = SelfAttentionOp(
+      qvals(8, seed, 1.0), qvals(2, seed + 2, 0.25),
+      qvals(8, seed + 4, 1.0), qvals(2, seed + 6, 0.25),
+      qvals(8, seed + 8, 1.5), qvals(2, seed + 10, 0.5),
+      dim = 2, inDim = 4, scale = 0.5, bias = Some(bias), biasRows = rows)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(8 * 4, 1701, 2.0), vocab = 8, embDim = 4),
+      PosEmbedOp(qvals(rows * 4, 1703, 0.5), maxLen = rows, embDim = 4),
+      EncoderAttnOp(IndexedSeq(head(1707, alibi), head(1711, window)),
+        proj = Some(LinearLayer(qvals(16, 1723, 1.0), qvals(4, 1731, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1743, 0.25).map(v => 1f + v), qvals(4, 1749, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 1753, 1.0), qvals(8, 1759, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 1767, 1.0), qvals(4, 1771, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1779, 0.25).map(v => 1f + v), qvals(4, 1783, 0.25), 1e-5),
+      SeqLastPoolOp,
+      LinearLayer(qvals(32, 1797, 4.0), qvals(8, 1799, 0.25), 8, 4)))
+  }
+
+  /** The q215 oracle's per-head (finiteCond, biasTerm) fragments —
+    * the closed forms of [[alibiLmModel]]'s mask tables (exact: every
+    * stored f32 is a dyadic the DOUBLE expression reproduces
+    * bit-identically). */
+  private def alibiLmHeadBias: Seq[(String, String)] = Seq(
+    ("", "(-0.25)*CAST(a.pos - b.pos AS DOUBLE)"),
+    ("a.pos - b.pos <= 2", ""))
+
   /** q139's sinusoidal-positional-encoding head: token embeddings +
     * the PRECOMPUTED "Attention is All You Need" position signal
     * `pe[p, 2i] = sin(p / base^(2i/d))`, `pe[p, 2i+1] = cos(...)`
@@ -5599,9 +5687,21 @@ object SparkEntry {
     *        `source` — the greedy-decode oracle feeds each step's
     *        grown sequence this way. The nested WITH keeps every
     *        internal name scoped, so steps never collide. */
+  /** @param headBias per-head CAUSAL-BANDED additive bias (the q215
+    *        ALiBi / causal-window shapes): `(finiteCond, biasTerm)`
+    *        SQL fragments over `a.pos`/`b.pos` (1-based token
+    *        positions — subtract 1 for the 0-based mask index, though
+    *        differences cancel). The score join gains the global
+    *        `b.pos <= a.pos` causal restriction (every head's mask is
+    *        `-inf` above the diagonal); a non-empty `finiteCond`
+    *        NULLs the head's score outside its band (DuckDB's
+    *        aggregates skip NULLs — exactly the engine's
+    *        `exp(-inf) = 0` terms), and `biasTerm` adds AFTER the
+    *        scale, torch's `softmax(q·kᵀ·scale + mask)`. */
   private def encBlockSql(m0: graft.torch.TorchScriptModel, pool: String,
       source: String = "documents", extraCtes: String = "",
-      hashMod: Int = -1, tokensCte: Option[String] = None): String = {
+      hashMod: Int = -1, tokensCte: Option[String] = None,
+      headBias: Option[Seq[(String, String)]] = None): String = {
     val withCls = pool == "cls"
     import graft.torch._
     val m = m0
@@ -5636,9 +5736,18 @@ object SparkEntry {
          |   ${affine(h.wk, h.bk, hd, s"k$i")},
          |   ${affine(h.wv, h.bv, hd, s"v$i")}""".stripMargin
     }.mkString(",\n   ")
+    headBias.foreach(hb => require(hb.length == ea.heads.length,
+      "headBias must carry one (finiteCond, biasTerm) per head"))
     val scoreSel = ea.heads.indices.map { i =>
-      (0 until hd).map(j => s"a.q$i$j*b.k$i$j").mkString("(", "+", ")") +
-        s"*${fmtD(ea.heads(i).scale)} AS sc$i"
+      val base = (0 until hd).map(j => s"a.q$i$j*b.k$i$j")
+        .mkString("(", "+", ")") + s"*${fmtD(ea.heads(i).scale)}"
+      headBias.map(_(i)) match {
+        case None => s"$base AS sc$i"
+        case Some((cond, term)) =>
+          val biased = if (term.isEmpty) base else s"$base + $term"
+          if (cond.isEmpty) s"$biased AS sc$i"
+          else s"CASE WHEN $cond THEN $biased END AS sc$i"
+      }
     }.mkString(", ")
     val vCarry = ea.heads.indices.flatMap(i =>
       (0 until hd).map(j => s"b.v$i$j AS v$i$j")).mkString(", ")
@@ -5724,7 +5833,8 @@ object SparkEntry {
            |      FROM toks JOIN embw USING (tid) JOIN posw ON $joinCond)"""
     }
     val causalCond =
-      if (ea.heads.head.causal) " AND b.pos <= a.pos" else ""
+      if (ea.heads.head.causal || headBias.isDefined) " AND b.pos <= a.pos"
+      else ""
     val poolCte = pool match {
       case "cls" =>
         s"""pool AS (SELECT doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}
@@ -9103,6 +9213,12 @@ object SparkEntry {
     // doc.
     "q194_torch_generate" -> generateOracle(banned = Nil),
 
+    // The q194 step chain over the bias-masked LM: the ALiBi slope and
+    // the causal window restate in closed form inside the score join
+    // (exact dyadics on both engines).
+    "q215_torch_alibi_decode" -> generateOracle(banned = Nil,
+      m = alibiLmModel, headBias = Some(alibiLmHeadBias)),
+
     // Temperature + top-p sampling with seeded md5 draws and 6-dp
     // quantized cutoffs — the full per-step chain restated
     // (sampledOracle).
@@ -10216,8 +10332,9 @@ object SparkEntry {
     * forward pass (nested WITH scoped inside its step CTE) over the
     * previous step's grown token rows; `banned` ids are omitted from
     * every step's argmax CASE (constrained decoding). */
-  private def generateOracle(banned: Seq[Int]): String = {
-    val m = genModel
+  private def generateOracle(banned: Seq[Int],
+      m: graft.torch.TorchScriptModel = genModel,
+      headBias: Option[Seq[(String, String)]] = None): String = {
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
       m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
@@ -10227,7 +10344,8 @@ object SparkEntry {
       else TorchOracle.armArgmaxRestricted("p", allowed)
     val stepCtes = (1 to 3).map { t =>
       val stepSql = TorchOracle.mlpArgmaxSql(fc,
-        encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}")),
+        encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}"),
+          headBias = headBias),
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, $amax AS tid " +
           s"FROM ${TorchOracle.lastCte(fc)}")

@@ -340,6 +340,33 @@ final case class SelfAttentionOp(
       s"RoPE tables (${c.length}, ${ropeSin.get.length} values) != " +
         s"$ropeLen x $dim")
   }
+
+  /** True when the bias table is CAUSAL-BANDED: every ABOVE-diagonal
+    * entry (query a attending a FUTURE key b > a) is `-inf`. Such a
+    * mask is causal in structure — ALiBi's `-slope·(a-b)` prior and a
+    * causal sliding window are the serving shapes — so a grown
+    * sequence never changes already-computed positions: row `a` reads
+    * only keys `<= a` and its bias entries depend only on the absolute
+    * pair (a, b), exactly like the hard `causal` flag. That makes the
+    * head KV-CACHEABLE ([[TorchScriptModel.cacheable]]): `-inf`
+    * entries contribute `exp(-inf) = 0` exactly to the batch path's
+    * softmax, so skipping them (the session's `keys 0..pos` loop) is
+    * bit-identical. A SYMMETRIC window (Longformer-style, finite
+    * entries at b > a) is genuinely NOT causal — appending a token
+    * would change earlier outputs — and correctly fails this test. */
+  lazy val biasCausalBanded: Boolean = bias.exists { m =>
+    var a = 0
+    var ok = true
+    while (ok && a < biasRows) {
+      var b = a + 1
+      while (ok && b < biasRows) {
+        if (m(a * biasRows + b) != Float.NegativeInfinity) ok = false
+        b += 1
+      }
+      a += 1
+    }
+    ok
+  }
 }
 
 /** `nn.MultiheadAttention`'s packed-projection layout split into the
@@ -2406,14 +2433,23 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     * per-position k/v projections cache and each step costs O(L·d)
     * instead of the O(L²·d) full recompute. RoPE heads cache the
     * ROTATED k (the rotation depends only on the absolute position —
-    * the Llama-style decode shape). Non-causal attention, padded
-    * heads, and conv/pool layouts fall back to the recompute path. */
+    * the Llama-style decode shape). A head carrying an additive bias
+    * table qualifies when the table is CAUSAL-BANDED
+    * ([[SelfAttentionOp.biasCausalBanded]]: `-inf` above the diagonal
+    * — ALiBi, causal sliding windows): bias entries depend only on
+    * the absolute pair (a, b) and masked keys contribute exactly 0 to
+    * the softmax, so cached k/v stay valid and the session's
+    * restricted key loop is bit-identical to the batch recompute.
+    * Genuinely non-causal attention (including symmetric windows),
+    * padded heads, and conv/pool layouts fall back to the recompute
+    * path. */
   lazy val cacheable: Boolean =
     seqHead.isDefined && seqHead.get.padIdx < 0 &&
       poolIdx >= 1 && ops(poolIdx) == SeqLastPoolOp &&
       ops.slice(1, poolIdx).forall {
-        case ea: EncoderAttnOp => ea.heads.forall(h => h.causal)
-        case a: SelfAttentionOp => a.causal
+        case ea: EncoderAttnOp =>
+          ea.heads.forall(h => h.causal || h.biasCausalBanded)
+        case a: SelfAttentionOp => a.causal || a.biasCausalBanded
         // a cross op attends over the FIXED per-row encoder output —
         // position-local w.r.t. the growing decoder sequence, so its
         // enc-side k/v project ONCE at session open

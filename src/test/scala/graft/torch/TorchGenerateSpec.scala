@@ -365,6 +365,49 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(err.getMessage.contains("RoPE tables"), err.getMessage)
   }
 
+  test("KV-cache decode with CAUSAL-BANDED bias (ALiBi + causal window): bit-identical, gapped, mixed") {
+    val m = graft.SparkEntry.alibiLmModel
+    assert(m.cacheable,
+      "causal-banded bias heads (Llama/Mistral serving shapes) must session")
+    // soundness boundaries: the q166 ALiBi mask IS causal-banded (its
+    // mean pool still blocks the session); the q173 SYMMETRIC window
+    // attends FORWARD — appending a token would change earlier
+    // outputs, so it must NOT read as banded
+    assert(graft.SparkEntry.alibiModel.ops.collectFirst {
+      case a: SelfAttentionOp => a }.get.biasCausalBanded)
+    assert(!graft.SparkEntry.alibiModel.cacheable)
+    assert(!graft.SparkEntry.localAttnModel.ops.collectFirst {
+      case a: SelfAttentionOp => a }.get.biasCausalBanded,
+      "a symmetric window is NOT causal — caching it would be wrong")
+    val toks = fixturePrompts(m.seqHead.get.vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    assert(toks.nonEmpty)
+    var minGap = Double.MaxValue
+    val seen = scala.collection.mutable.Set.empty[Int]
+    for ((id, prompt) <- toks) {
+      val sess = m.decodeSession(prompt)
+      var cur = prompt
+      for (t <- 1 to 3) {
+        val cached = sess.logits()
+        val full = m.forwardTokens(cur)
+        assert(cached.toSeq == full.toSeq,
+          s"doc $id step $t: cached ${cached.toSeq} != recompute ${full.toSeq}")
+        var tid = 0
+        for (j <- 1 until cached.length) if (cached(j) > cached(tid)) tid = j
+        val runnerUp = cached.zipWithIndex.filter(_._2 != tid).map(_._1).max
+        minGap = math.min(minGap, cached(tid).toDouble - runnerUp.toDouble)
+        seen += tid
+        sess.append(tid)
+        cur = cur :+ tid
+      }
+    }
+    info(s"q215 sf0.001: ${seen.size} distinct tokens, min argmax gap $minGap")
+    assert(seen.size >= 3, s"degenerate decode: only $seen generated")
+    // the argmax gap floor the f64 oracle's drift must clear (exp/sum
+    // ulps + one f32 rounding per op ~ 1e-6)
+    assert(minGap > 1e-4, s"argmax gap $minGap too thin for the oracle gate")
+  }
+
   test("sampled decoding: topP -> 0 keeps only the top-1 nucleus and reduces to greedy") {
     val m = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(m)
