@@ -1152,6 +1152,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // TOP-K sampling (q211, VERDICT r14 item 2): q203's nucleus
+    // sampler with the rank cutoff composed in — the OTHER standard
+    // generation knob (HF's top_k + top_p default combo). Both
+    // cutoffs are prefix filters on the (p6 DESC, tid ASC) candidate
+    // order, so the kept set is ranks 1..min(k_p, 3); the oracle adds
+    // `rk <= 3` to the same nucleus CTE. topK = vocab reduces
+    // bit-exactly to q203 (TorchGenerateSpec).
+    "q211_torch_gen_topk" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
+          topK = 3)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
     // Constrained SAMPLED decoding (q209): q203's nucleus sampler with
     // q195's banned vocabulary {1, 4} — the safety-decoding combo in
     // its default generation mode. Banned ids are masked BEFORE the
@@ -9230,6 +9254,11 @@ object SparkEntry {
     "q209_torch_sampled_banned" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 0.9, banned = Seq(1, 4)),
 
+    // Top-k + top-p composition: the rank cutoff joins the nucleus
+    // CTE's WHERE — both prefix filters on the same candidate order.
+    "q211_torch_gen_topk" -> sampledOracle(steps = 2,
+      temperature = 0.5, topP = 0.9, topK = 3),
+
     // Encoder-decoder generation: the source encoding + cross k/v
     // restated once, each step a nested-WITH decoder forward
     // (crossGenOracle).
@@ -10398,7 +10427,12 @@ object SparkEntry {
     * seeded md5 draw). Shared by q203 and q207. */
   private def sampledStepChain(t: Int, vocab: Int,
       temperature: Double, topP: Double,
-      banned: Seq[Int] = Nil): String = {
+      banned: Seq[Int] = Nil, topK: Int = Int.MaxValue): String = {
+    // top-k composes as a second prefix filter on the same
+    // (p6 DESC, tid ASC) order — the engine's rank cutoff restated;
+    // the running renormalized cumulative then runs over the kept
+    // prefix only, exactly like the engine's kept-set sums
+    val kCut = if (topK < vocab) s" AND rk <= $topK" else ""
     val tLit = s"CAST($temperature AS DOUBLE)"
     val pLit = s"CAST($topP AS DOUBLE)"
     // constrained decoding: banned ids simply never become candidate
@@ -10428,7 +10462,7 @@ object SparkEntry {
        |                       PRECEDING AND 1 PRECEDING), CAST(0 AS DOUBLE))
        |                       AS cumprev
        |              FROM prob$t)
-       |        WHERE cumprev < $pLit)),
+       |        WHERE cumprev < $pLit$kCut)),
        |samp$t AS MATERIALIZED (
        |  SELECT doc_id, tid FROM (
        |    SELECT doc_id, tid,
@@ -10441,7 +10475,7 @@ object SparkEntry {
   }
 
   private def sampledOracle(steps: Int, temperature: Double, topP: Double,
-      banned: Seq[Int] = Nil): String = {
+      banned: Seq[Int] = Nil, topK: Int = Int.MaxValue): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
@@ -10456,7 +10490,7 @@ object SparkEntry {
       s"""logit$t AS MATERIALIZED (
          |${fwd(s"toks${t - 1}")}
          |),
-         |${sampledStepChain(t, vocab, temperature, topP, banned)},
+         |${sampledStepChain(t, vocab, temperature, topP, banned, topK)},
          |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL

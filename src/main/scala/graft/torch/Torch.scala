@@ -32,7 +32,7 @@ object Torch {
     }
     def sampleNext(out: Array[Float], off: Int, vocab: Int,
         temperature: Double, topP: Double, u: Double,
-        banned: Set[Int] = Set.empty): Int = {
+        banned: Set[Int] = Set.empty, topK: Int = Int.MaxValue): Int = {
       // constrained decoding: banned ids are removed BEFORE the
       // softmax (the -inf-mask semantics: the distribution renorms
       // over the allowed vocabulary; the oracle simply omits them
@@ -46,9 +46,16 @@ object Torch {
       val p6 = es.map(e => q6(e / z))
       val order = ids.indices.sortBy(i => (-p6(i), ids(i)))
       // nucleus: a candidate joins while the mass BEFORE it is < topP
+      // AND its rank is within topK (both are prefix filters on the
+      // same (p6 DESC, tid ASC) order, so the kept set stays a prefix
+      // and topK >= |ids| reduces BIT-EXACTLY to the pure-top-p path
+      // — the f64 running sums see identical terms in identical
+      // order; spec-pinned)
       val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
       var cum = 0.0
-      for (i <- order if cum < topP) { kept += i; cum += p6(i) }
+      for ((i, rk) <- order.zipWithIndex if cum < topP && rk < topK) {
+        kept += i; cum += p6(i)
+      }
       // total == the last running sum (ORDER-DEFINED on both engines)
       var run = 0.0
       val sums = kept.map { i => run += p6(i); run }
@@ -940,7 +947,12 @@ object Torch {
    *    pick always exists.
    *
    * `topP -> 0` keeps exactly the top-1 candidate, reducing to greedy
-   * decoding (spec-pinned). Scale shape: identical to
+   * decoding (spec-pinned). `topK` composes as the OTHER standard
+   * nucleus knob (every mainstream generation API ships both): the
+   * candidate order is (p6 DESC, tid ASC) and both cutoffs are prefix
+   * filters on it, so the kept set is `ranks 1..min(k_p, topK)` —
+   * `topK >= vocab` reduces bit-exactly to pure top-p, `topK = 1` to
+   * the top-1 pick (both spec-pinned). Scale shape: identical to
    * [[generateGreedy]] — the k-step loop runs INSIDE one
    * `mapPartitions` over GEMM batches, no per-step plan growth.
    *
@@ -957,12 +969,14 @@ object Torch {
       temperature: Double,
       topP: Double,
       batchSize: Int = -1,
-      banned: Set[Int] = Set.empty): DataFrame = {
+      banned: Set[Int] = Set.empty,
+      topK: Int = Int.MaxValue): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(banned.size < model.value.outDim,
       "banned set covers the whole vocabulary")
     require(temperature > 0.0, "temperature must be > 0 (greedy is generateGreedy)")
     require(topP > 0.0 && topP <= 1.0, "topP must be in (0, 1]")
+    require(topK >= 1, "topK must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateSampled needs a token-input model")
@@ -979,7 +993,7 @@ object Torch {
       val vocab = m.outDim
       def draw(id: Long, step: Int): Double = Sampling.draw(id, step)
       def sampleNext(out: Array[Float], off: Int, u: Double): Int =
-        Sampling.sampleNext(out, off, vocab, temperature, topP, u, banned)
+        Sampling.sampleNext(out, off, vocab, temperature, topP, u, banned, topK)
       it.grouped(bs).flatMap { rows =>
         val seqs: Array[Array[Int]] = rows.map { r =>
           if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null

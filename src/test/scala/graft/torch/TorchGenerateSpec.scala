@@ -408,6 +408,31 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(minGap > 1e-4, s"argmax gap $minGap too thin for the oracle gate")
   }
 
+  test("top-k sampling: topK >= vocab reduces bit-exactly to top-p; topK = 1 is the top-1 pick") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def run(topK: Int, topP: Double = 0.9) =
+      Torch.generateSampled(df, "doc_id", "tok_ids", "gen", bc,
+          steps = 3, temperature = 0.5, topP = topP, topK = topK)
+        .select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // topK >= vocab: the rank filter never trips — the kept set, the
+    // f64 running sums, and every pick are IDENTICAL to the pure
+    // top-p path (the q203 configuration)
+    assert(run(topK = vocab) == run(topK = Int.MaxValue),
+      "topK = vocab must reduce bit-exactly to the q203 sampler")
+    // topK = 1 keeps exactly the head of the (p6 DESC, tid ASC)
+    // order — the same single candidate topP -> 0 keeps
+    assert(run(topK = 1) == run(topK = Int.MaxValue, topP = 1e-6),
+      "topK = 1 must equal the topP -> 0 top-1 pick")
+    // the real cutoff (topK = 3 of 8) must actually bite: some docs
+    // leave the pure-top-p trajectory
+    val moved = run(topK = 3).count { case (k, v) => run(topK = vocab)(k) != v }
+    assert(moved > 0, "topK = 3 never changed a pick — the cutoff is vacuous")
+  }
+
   test("sampled decoding: topP -> 0 keeps only the top-1 nucleus and reduces to greedy") {
     val m = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(m)
