@@ -943,6 +943,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Repetition penalty + no-repeat-bigram decoding (q213, VERDICT
+    // r14 item 5): the standard anti-degeneration generation controls
+    // (CTRL's logit rescale for seen tokens; banning candidates that
+    // would complete an already-seen bigram) over q194's greedy loop.
+    // The penalty is f64 arithmetic both engines restate from the
+    // same logit (1.25 — IEEE division is exact-rounded); the n-gram
+    // ban is integer-decidable. If the ban would empty the vocab it
+    // lifts for the step (deterministic; the oracle's n_ok = 0 arm).
+    "q213_torch_gen_norepeat" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
+          batchSize = 256, repetitionPenalty = 1.25, noRepeatNgram = 2)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // Constrained (blocklist) decoding (q195): q194's greedy loop
     // with banned vocabulary ids {1, 4} masked out of every step's
     // argmax — the safety-decoding shape (bad-words lists). The
@@ -9259,6 +9284,12 @@ object SparkEntry {
     "q211_torch_gen_topk" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 0.9, topK = 3),
 
+    // Repetition penalty + no-repeat-bigram: per step, seen tokens
+    // rescale in f64 and bigram completions are banned (fallback:
+    // n_ok = 0 lifts the ban), then first-max-wins argmax.
+    "q213_torch_gen_norepeat" -> repPenaltyOracle(steps = 3,
+      penalty = 1.25),
+
     // Encoder-decoder generation: the source encoding + cross k/v
     // restated once, each step a nested-WITH decoder forward
     // (crossGenOracle).
@@ -10516,6 +10547,98 @@ object SparkEntry {
        |$stepCtes
        |SELECT g1.doc_id, $outs
        |FROM samp1 g1
+       |$joins
+       |ORDER BY g1.doc_id""".stripMargin
+  }
+
+  /** The q213 repetition-penalty / no-repeat-bigram oracle: each step
+    * is one full-logit forward (the sampledOracle generator), then the
+    * engine's pick restated — candidates unpivot, SEEN tokens (a
+    * DISTINCT over the grown token CTE) rescale `lp > 0 → lp/penalty
+    * else lp·penalty` in f64, candidates completing an already-seen
+    * bigram (adjacent-pair join anchored on the LAST token) are
+    * banned unless that bans everything (`n_ok = 0` lifts the ban —
+    * the engine's fallback), and the argmax is the usual
+    * first-max-wins `row_number() ORDER BY al DESC, tid`. */
+  private def repPenaltyOracle(steps: Int, penalty: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    val pen = s"CAST($penalty AS DOUBLE)"
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val unpivot = (t: Int) => (0 until vocab).map(j =>
+      s"SELECT doc_id, $j AS tid, p$j AS lp FROM logit$t")
+      .mkString("\n  UNION ALL ")
+    val stepCtes = (1 to steps).map { t =>
+      s"""logit$t AS MATERIALIZED (
+         |${fwd(s"toks${t - 1}")}
+         |),
+         |cand$t AS MATERIALIZED (
+         |  ${unpivot(t)}),
+         |seen$t AS (SELECT DISTINCT doc_id, tid FROM toks${t - 1}),
+         |last$t AS (
+         |  SELECT t0.doc_id, t0.tid AS lt
+         |  FROM toks${t - 1} t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+         |ng$t AS (
+         |  SELECT DISTINCT a.doc_id, b.tid
+         |  FROM toks${t - 1} a
+         |  JOIN toks${t - 1} b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  JOIN last$t l ON l.doc_id = a.doc_id AND a.tid = l.lt),
+         |adj$t AS MATERIALIZED (
+         |  SELECT c.doc_id, c.tid,
+         |    CASE WHEN s.tid IS NOT NULL THEN
+         |      CASE WHEN c.lp > CAST(0 AS DOUBLE) THEN c.lp / $pen
+         |           ELSE c.lp * $pen END
+         |    ELSE c.lp END AS al,
+         |    (g.tid IS NOT NULL) AS is_ng
+         |  FROM cand$t c
+         |  LEFT JOIN seen$t s ON s.doc_id = c.doc_id AND s.tid = c.tid
+         |  LEFT JOIN ng$t g ON g.doc_id = c.doc_id AND g.tid = c.tid),
+         |ok$t AS (SELECT doc_id, count(*) FILTER (WHERE NOT is_ng) AS n_ok
+         |         FROM adj$t GROUP BY doc_id),
+         |step$t AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT a.doc_id, a.tid,
+         |      row_number() OVER (PARTITION BY a.doc_id
+         |                         ORDER BY a.al DESC, a.tid) AS rk
+         |    FROM adj$t a JOIN ok$t o ON o.doc_id = a.doc_id
+         |    WHERE o.n_ok = 0 OR NOT a.is_ng)
+         |  WHERE rk = 1),
+         |toks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM step$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN step$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |$stepCtes
+       |SELECT g1.doc_id, $outs
+       |FROM step1 g1
        |$joins
        |ORDER BY g1.doc_id""".stripMargin
   }

@@ -1055,6 +1055,23 @@ object Torch {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Anti-degeneration decoding controls (Keskar et al. 2019's CTRL
+    * penalty; Paulus et al. 2017's no-repeat n-grams — the standard
+    * `repetition_penalty` / `no_repeat_ngram_size` generation knobs):
+    *
+    *  - `repetitionPenalty` rescales the logit of every token already
+    *    PRESENT in the sequence (prompt + generated) before the
+    *    argmax: `x > 0 → x/penalty, else x·penalty`, computed in f64
+    *    from the f32 logit (IEEE division/multiplication — both
+    *    engines restate it bit-identically from the same logit);
+    *  - `noRepeatNgram = n` bans any candidate that would complete an
+    *    n-gram already present in the sequence. INTEGER-decidable (a
+    *    set-membership test, no numerics). If the ban would empty the
+    *    allowed vocabulary, it LIFTS for that step (deterministic,
+    *    restated by the oracle) — a fail-loud there would let one
+    *    pathological doc kill a 100 TB pipeline.
+    *
+    * Both default off; the default path is byte-identical to before. */
   def generateGreedy(
       df: DataFrame,
       inputCol: String,
@@ -1062,7 +1079,9 @@ object Torch {
       model: Broadcast[TorchScriptModel],
       steps: Int,
       batchSize: Int = -1,
-      banned: Set[Int] = Set.empty): DataFrame = {
+      banned: Set[Int] = Set.empty,
+      repetitionPenalty: Double = 1.0,
+      noRepeatNgram: Int = 0): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
@@ -1071,11 +1090,15 @@ object Torch {
       "cross-attention model: use generateGreedyPair")
     require(banned.size < model.value.outDim,
       "banned set covers the whole vocabulary")
+    require(repetitionPenalty > 0.0, "repetitionPenalty must be > 0")
+    require(noRepeatNgram == 0 || noRepeatNgram >= 2,
+      "noRepeatNgram must be 0 (off) or >= 2")
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(IntegerType), nullable = true))
     val inIdx = withInts.schema.fieldIndex(inputCol)
+    val plain = repetitionPenalty == 1.0 && noRepeatNgram == 0
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
@@ -1089,6 +1112,43 @@ object Torch {
           // are simply never candidates (constrained decoding)
           if (!banned.contains(j) && !v.isNaN && (best < 0 || v > bv)) {
             best = j; bv = v
+          }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      // the knobbed pick: seen-token logits rescale in f64, n-gram
+      // completions of the CURRENT (prompt + generated) sequence are
+      // banned unless that would empty the vocabulary (then the ban
+      // lifts for the step — the penalty still applies)
+      def argmaxAdjusted(out: Array[Float], off: Int,
+          full: scala.collection.IndexedSeq[Int]): Int = {
+        val ngBanned: Set[Int] =
+          if (noRepeatNgram >= 2 && full.length >= noRepeatNgram - 1) {
+            val n1 = noRepeatNgram - 1
+            val suffix = full.takeRight(n1)
+            (0 to full.length - noRepeatNgram).iterator.collect {
+              case i if (0 until n1).forall(k => full(i + k) == suffix(k)) =>
+                full(i + n1)
+            }.toSet
+          } else Set.empty
+        val seen: Set[Int] =
+          if (repetitionPenalty != 1.0) full.toSet else Set.empty
+        val ngLive =
+          (0 until vocab).exists(j => !banned.contains(j) && !ngBanned(j))
+        var best = -1
+        var bv = Double.NaN
+        var j = 0
+        while (j < vocab) {
+          if (!banned.contains(j) && !(ngLive && ngBanned(j))) {
+            val x0 = out(off + j).toDouble
+            val x =
+              if (seen(j)) {
+                if (x0 > 0.0) x0 / repetitionPenalty
+                else x0 * repetitionPenalty
+              } else x0
+            if (!x.isNaN && (best < 0 || x > bv)) { best = j; bv = x }
           }
           j += 1
         }
@@ -1123,11 +1183,15 @@ object Torch {
           seqs.zipWithIndex.foreach { case (s0, ri) =>
             if (s0 != null) {
               val sess = m.decodeSession(s0)
+              val full = scala.collection.mutable.ArrayBuffer.from(s0)
               var t = 0
               while (t < steps) {
-                val tid = argmaxFirst(sess.logits(), 0)
+                val lg = sess.logits()
+                val tid =
+                  if (plain) argmaxFirst(lg, 0) else argmaxAdjusted(lg, 0, full)
                 gen(ri) += tid
                 sess.append(tid)
+                if (!plain) full += tid
                 t += 1
               }
             }
@@ -1141,7 +1205,10 @@ object Torch {
               val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
               val next = cur.clone()
               liveIdx.zipWithIndex.foreach { case (ri, k) =>
-                val tid = argmaxFirst(out, k * vocab)
+                val tid =
+                  if (plain) argmaxFirst(out, k * vocab)
+                  else argmaxAdjusted(out, k * vocab,
+                    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur(ri)))
                 gen(ri) += tid
                 next(ri) = cur(ri) :+ tid
               }

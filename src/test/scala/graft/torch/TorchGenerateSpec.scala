@@ -408,6 +408,60 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(minGap > 1e-4, s"argmax gap $minGap too thin for the oracle gate")
   }
 
+  test("repetition penalty + no-repeat-bigram: rules hold, defaults reduce, margins pinned") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def run(pen: Double, n: Int) =
+      Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 3,
+          repetitionPenalty = pen, noRepeatNgram = n)
+        .select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val greedy = run(1.0, 0)
+    val knobbed = run(1.25, 2)
+    assert(knobbed.count { case (k, v) => greedy(k) != v } > 0,
+      "the knobs never changed a pick — vacuous at this fixture")
+    // independent restatement: client-side decode with the documented
+    // rules must reproduce the engine's trajectories, and the margins
+    // behind every DISCRETE decision get a floor — the adjusted-argmax
+    // gap and the |logit| of every penalized (sign-decided) candidate
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    var minGap = Double.MaxValue
+    var minSeenAbs = Double.MaxValue
+    for ((id, prompt) <- prompts) {
+      var full = prompt.toVector
+      for (_ <- 1 to 3) {
+        val lg = m.forwardTokens(full.toArray)
+        val last = full.last
+        val ngBanned = (0 until full.length - 1)
+          .collect { case i if full(i) == last => full(i + 1) }.toSet
+        val useNg = (0 until vocab).exists(j => !ngBanned(j))
+        val seen = full.toSet
+        val adj = (0 until vocab).map { j =>
+          val x = lg(j).toDouble
+          if (seen(j)) { if (x > 0.0) x / 1.25 else x * 1.25 } else x
+        }
+        for (j <- 0 until vocab if seen(j))
+          minSeenAbs = math.min(minSeenAbs, math.abs(lg(j).toDouble))
+        val allowed = (0 until vocab).filter(j => !(useNg && ngBanned(j)))
+        val pick = allowed.minBy(j => (-adj(j), j))
+        if (allowed.size > 1) {
+          val ru = allowed.filter(_ != pick).map(adj).max
+          minGap = math.min(minGap, adj(pick) - ru)
+        }
+        full = full :+ pick
+      }
+      assert(full.drop(prompt.length) == knobbed(id),
+        s"doc $id: engine ${knobbed(id)} != restated ${full.drop(prompt.length)}")
+    }
+    info(s"q213 sf0.001: min adjusted gap $minGap, min |seen logit| $minSeenAbs")
+    assert(minGap > 1e-4, s"adjusted-argmax gap $minGap too thin")
+    assert(minSeenAbs > 1e-4,
+      s"a penalized logit sits $minSeenAbs from the sign boundary")
+  }
+
   test("top-k sampling: topK >= vocab reduces bit-exactly to top-p; topK = 1 is the top-1 pick") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
