@@ -1098,6 +1098,62 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CROSS speculative decoding (q212, VERDICT r14 item 3): the one
+    // empty cell in the decode matrix — q199's compressed-draft
+    // acceptance rule over the encoder-decoder stack. The DRAFT is
+    // the target pushed onto the int4 grid; it proposes 2 tokens
+    // through cross-aware KV sessions (generateGreedyPair), then the
+    // target verifies each prefix with ITS argmax via three chained
+    // inferPairBatched passes in ONE plan — accepted = longest
+    // agreeing prefix, plus the target's token at the first mismatch
+    // (or its bonus token when all accepted). All-integer outputs, no
+    // probability-ratio knife-edges; TorchCrossSpec pins the
+    // greedy-equivalence property (the output prefix IS the target's
+    // own greedy trajectory).
+    "q212_torch_cross_spec" -> { (s, dir) =>
+      ArgMax.register(s)
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      val drafted = Torch.generateGreedyPair(toks, "d_ids", "s_ids", "draft",
+        bcD, steps = 2, batchSize = 256)
+      val withSeqs = drafted
+        .withColumn("seq1",
+          concat(col("d_ids"), slice(col("draft").cast("array<bigint>"), 1, 1)))
+        .withColumn("seq2",
+          concat(col("d_ids"), col("draft").cast("array<bigint>")))
+      val v1 = Torch.inferPairBatched(withSeqs, "d_ids", "s_ids", "l1", bcT,
+          batchSize = 256)
+        .withColumn("t1", call_function("argmax", col("l1"))).drop("l1")
+      val v2 = Torch.inferPairBatched(v1, "seq1", "s_ids", "l2", bcT,
+          batchSize = 256)
+        .withColumn("t2", call_function("argmax", col("l2"))).drop("l2")
+      val v3 = Torch.inferPairBatched(v2, "seq2", "s_ids", "l3", bcT,
+          batchSize = 256)
+        .withColumn("t3", call_function("argmax", col("l3"))).drop("l3")
+      val a1 = col("t1") === col("draft")(0)
+      val a2 = a1 && (col("t2") === col("draft")(1))
+      v3.select(col("doc_id"),
+          col("draft")(0).as("d1"), col("draft")(1).as("d2"),
+          when(!a1, lit(0)).when(!a2, lit(1)).otherwise(lit(2)).as("n_accepted"),
+          when(!a1, col("t1")).when(!a2, col("t2")).otherwise(col("t3"))
+            .as("next_token"))
+        .orderBy("doc_id")
+    },
+
     // Seq2seq QUALITY FILTER (q210): teacher-forced mean next-token
     // NLL of the decoder prefix GIVEN the source encoding — the
     // parallel-corpus noisy-pair filter (mine-then-filter by
@@ -9536,6 +9592,63 @@ object SparkEntry {
          |ORDER BY d1.doc_id""".stripMargin
     },
 
+    // Cross speculative decode: the q199 acceptance CASE over the
+    // encoder-decoder forwards — the target CrossOracleGen's prelude
+    // (shared token/embedding/position CTEs; quantization leaves them
+    // fp32) plus the draft's own cross k/v CTE `khd`, then draft
+    // steps d1/d2 and target verifications t1/t2/t3 as scoped
+    // nested-WITH forwards.
+    "q212_torch_cross_spec" -> {
+      val gt = new CrossOracleGen(crossGenModel)
+      val gd = new CrossOracleGen(
+        graft.torch.TorchQuant.quantize(crossGenModel, 7))
+      def fwd(g: CrossOracleGen, dtoks: String, kh: String): String =
+        TorchOracle.mlpArgmaxSql(g.fc, g.stepBody(dtoks, kh),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, ${TorchOracle.armArgmax(g.fc, "p")} " +
+            s"AS tid FROM ${TorchOracle.lastCte(g.fc)}")
+      s"""WITH ${gt.prelude(2)},
+         |${gd.khCte("khd")},
+         |lens0 AS MATERIALIZED (
+         |  SELECT doc_id, max(pos) AS mp FROM dtoks0 GROUP BY doc_id),
+         |d1 AS MATERIALIZED (
+         |${fwd(gd, "dtoks0", "khd")}
+         |),
+         |dtoks1 AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM dtoks0
+         |  UNION ALL
+         |  SELECT d.doc_id, CAST(d.tid AS BIGINT), l.mp + 1
+         |  FROM d1 d JOIN lens0 l ON l.doc_id = d.doc_id),
+         |d2 AS MATERIALIZED (
+         |${fwd(gd, "dtoks1", "khd")}
+         |),
+         |dtoks2 AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM dtoks1
+         |  UNION ALL
+         |  SELECT d.doc_id, CAST(d.tid AS BIGINT), l.mp + 2
+         |  FROM d2 d JOIN lens0 l ON l.doc_id = d.doc_id),
+         |t1 AS MATERIALIZED (
+         |${fwd(gt, "dtoks0", "kh")}
+         |),
+         |t2 AS MATERIALIZED (
+         |${fwd(gt, "dtoks1", "kh")}
+         |),
+         |t3 AS MATERIALIZED (
+         |${fwd(gt, "dtoks2", "kh")}
+         |)
+         |SELECT d1.doc_id, d1.tid AS d1, d2.tid AS d2,
+         |  CASE WHEN t1.tid != d1.tid THEN 0
+         |       WHEN t2.tid != d2.tid THEN 1 ELSE 2 END AS n_accepted,
+         |  CASE WHEN t1.tid != d1.tid THEN t1.tid
+         |       WHEN t2.tid != d2.tid THEN t2.tid ELSE t3.tid END AS next_token
+         |FROM d1
+         |JOIN d2 ON d2.doc_id = d1.doc_id
+         |JOIN t1 ON t1.doc_id = d1.doc_id
+         |JOIN t2 ON t2.doc_id = d1.doc_id
+         |JOIN t3 ON t3.doc_id = d1.doc_id
+         |ORDER BY d1.doc_id""".stripMargin
+    },
+
     // Two scoped forward chains — fp32 weights and the dequantized
     // int8 grid — joined per doc.
     "q198_torch_ptq" -> {
@@ -10641,6 +10754,7 @@ object SparkEntry {
        |FROM step1 g1
        |$joins
        |ORDER BY g1.doc_id""".stripMargin
+
   }
 
   /** The q206 encoder-decoder generation oracle: the source-side
@@ -10655,13 +10769,16 @@ object SparkEntry {
     * argmax for the q203 sampled chain over the step's full LM-head
     * logits (the per-step forward is unchanged; output cols become
     * sm<t>). */
-  private def crossGenOracle(steps: Int,
-      sampled: Option[(Double, Double)] = None,
-      beam: Boolean = false,
-      nllKeepBelow: Option[Double] = None,
-      promptCap: Int = 2): String = {
+  /** SQL piece-builder for one cross (encoder-decoder) model's
+    * decoder forward — every fragment crossGenOracle previously built
+    * inline, extracted so the q212 speculative oracle can run TWO
+    * models (the target and its int4 draft) against the SAME token /
+    * embedding / position CTEs (quantization leaves embeddings and
+    * position tables fp32, so `embd`/`embk`/`posw`/`xk` are shared;
+    * only the projection weights inside [[stepBody]] and the cross
+    * k/v affines [[khSel]] differ per model). */
+  private final class CrossOracleGen(m: graft.torch.TorchScriptModel) {
     import graft.torch._
-    val m = crossGenModel
     val e = m.seqHead.get
     val enc = m.encHead.get
     val pe = m.ops.collectFirst { case p: PosEmbedOp => p }.get
@@ -10810,6 +10927,56 @@ object SparkEntry {
              s"SELECT n3.doc_id, n3.pos, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")} FROM n3"
            else
              s"SELECT n3.doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}\nFROM n3 JOIN lens ON n3.doc_id = lens.doc_id AND n3.pos = lens.mp"}""".stripMargin
+
+
+    /** Shared outer CTEs: source tokens, decoder prompt, embedding /
+      * position VALUES tables, the encoded source rows `xk`, and THIS
+      * model's cross k/v projections `kh`. The token and embedding
+      * CTEs are model-independent across a model and its quantized
+      * draft (quantization leaves embeddings / position tables fp32),
+      * so q212 layers the draft's [[khCte]] on the same prelude. */
+    def prelude(promptCap: Int): String =
+      s"""src AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)),
+         |words AS (SELECT doc_id, h % ${enc.vocab} AS tid, pos FROM src
+         |          WHERE pos <= $EncMaxLen),
+         |dtoks0 AS MATERIALIZED (
+         |  SELECT doc_id, h % ${e.vocab} AS tid, pos FROM src
+         |  WHERE pos <= $promptCap),
+         |embd(tid, $wCols) AS (VALUES
+         |    ${embRows(e)}),
+         |embk(tid, $wCols) AS (VALUES
+         |    ${embRows(enc)}),
+         |posw(pos, ${(0 until d).map(j => s"pp$j").mkString(", ")}) AS (VALUES
+         |    $posRows),
+         |xk AS (SELECT doc_id, pos, ${(0 until d).map(j =>
+                  s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
+         |       FROM words JOIN embk USING (tid)),
+         |${khCte("kh")}""".stripMargin
+
+    /** THIS model's cross k/v projections over the shared `xk` rows,
+      * as a named CTE (q212 emits the target's as `kh` via [[prelude]]
+      * and the draft's as `khd`). */
+    def khCte(name: String): String =
+      s"""$name AS MATERIALIZED (SELECT doc_id, pos,
+         |   $khSel
+         | FROM xk)""".stripMargin
+  }
+
+  private def crossGenOracle(steps: Int,
+      sampled: Option[(Double, Double)] = None,
+      beam: Boolean = false,
+      nllKeepBelow: Option[Double] = None,
+      promptCap: Int = 2): String = {
+    import graft.torch._
+    val g = new CrossOracleGen(crossGenModel)
+    import g._
     val amax = TorchOracle.armArgmax(fc, "p")
     val vocabOut = fc.outDim
     val pAll = (0 until vocabOut).map(j => s"p$j").mkString(", ")
@@ -10851,32 +11018,7 @@ object SparkEntry {
     val outs = (1 to steps).map(t => s"g$t.tid AS $outPrefix$t").mkString(", ")
     val joins = (2 to steps).map(t =>
       s"JOIN $stepName$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
-    val prelude =
-      s"""src AS (
-         |  SELECT doc_id,
-         |         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h, pos
-         |  FROM (SELECT doc_id,
-         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-         |          generate_subscripts(regexp_extract_all(text,
-         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-         |        FROM documents)),
-         |words AS (SELECT doc_id, h % ${enc.vocab} AS tid, pos FROM src
-         |          WHERE pos <= $EncMaxLen),
-         |dtoks0 AS MATERIALIZED (
-         |  SELECT doc_id, h % ${e.vocab} AS tid, pos FROM src
-         |  WHERE pos <= $promptCap),
-         |embd(tid, $wCols) AS (VALUES
-         |    ${embRows(e)}),
-         |embk(tid, $wCols) AS (VALUES
-         |    ${embRows(enc)}),
-         |posw(pos, ${(0 until d).map(j => s"pp$j").mkString(", ")}) AS (VALUES
-         |    $posRows),
-         |xk AS (SELECT doc_id, pos, ${(0 until d).map(j =>
-                  s"CAST(w$j AS DOUBLE) AS w$j").mkString(", ")}
-         |       FROM words JOIN embk USING (tid)),
-         |kh AS MATERIALIZED (SELECT doc_id, pos,
-         |   $khSel
-         | FROM xk)""".stripMargin
+    val prelude = g.prelude(promptCap)
     if (nllKeepBelow.isDefined) {
       // seq2seq NLL quality scoring: ONE decoder forward over ALL
       // positions, the LM head per position, NLL of the NEXT token

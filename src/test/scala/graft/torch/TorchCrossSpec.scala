@@ -351,6 +351,69 @@ class TorchCrossSpec extends AnyFunSuite {
     assert(minGap > 1e-4, s"cross-decode argmax gap floor violated: $minGap")
   }
 
+  test("cross speculative decode (q212): greedy-equivalence holds; acceptance mix is real") {
+    // the defining property of greedy speculative decoding: the
+    // accepted prefix + the target's correction IS the target's own
+    // greedy trajectory — verify it per doc against an independent
+    // target-only decode, and pin that the int4 draft both agrees
+    // (some acceptance) and disagrees (some rejection) at sf0.001
+    val m = graft.SparkEntry.crossGenModel
+    val draft = TorchQuant.quantize(m, 7)
+    assert(draft.isCross && draft.cacheable,
+      "the int4 draft must keep the cross KV-session shape")
+    val dvocab = m.seqHead.get.vocab
+    val kvocab = m.encHead.get.vocab
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+          1, 2).as("d_ids"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+          1, 12).as("s_ids"))
+      .filter(size(col("d_ids")) >= 1)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](1).map(_.toInt).toArray,
+        r.getSeq[Long](2).map(_.toInt).toArray))
+    assert(docs.nonEmpty)
+    def greedy3(net: TorchScriptModel, dIds: Array[Int],
+        sIds: Array[Int], steps: Int): Seq[Int] = {
+      val sess = net.decodeSession(dIds, sIds)
+      (1 to steps).map { _ =>
+        val lg = sess.logits()
+        var tid = 0
+        for (j <- 1 until lg.length) if (lg(j) > lg(tid)) tid = j
+        sess.append(tid)
+        tid
+      }
+    }
+    val accCounts = scala.collection.mutable.Map(0 -> 0, 1 -> 0, 2 -> 0)
+    for ((id, dIds, sIds) <- docs) {
+      val Seq(d1, d2) = greedy3(draft, dIds, sIds, 2)
+      val g = greedy3(m, dIds, sIds, 3)
+      // the engine's acceptance rule (q212's when-chain)
+      val (nAcc, next) =
+        if (g(0) != d1) (0, g(0))
+        else if (g(1) != d2) (1, g(1))
+        else (2, g(2))
+      accCounts(nAcc) += 1
+      // greedy-equivalence: by construction of the rule, the emitted
+      // (accepted prefix :+ next) must be a prefix of the target's
+      // greedy trajectory
+      val emitted = (if (nAcc >= 1) Seq(d1) else Nil) ++
+        (if (nAcc >= 2) Seq(d2) else Nil) :+ next
+      assert(emitted == g.take(nAcc + 1),
+        s"doc $id: emitted $emitted != target greedy ${g.take(nAcc + 1)}")
+    }
+    info(s"q212 sf0.001 acceptance counts: $accCounts")
+    assert(accCounts(2) > 0, "the int4 draft never fully agreed — draft useless")
+    assert(accCounts(0) + accCounts(1) > 0,
+      "the draft never diverged — the verification arm is untested")
+  }
+
   test("TWO-BLOCK cross decoder sessions: per-op caches and shared enc projections compose") {
     // a second (self-attn + LN + cross-attn + LN + FFN + LN) block —
     // every block's cross ops share the ONE per-row encoder output;
