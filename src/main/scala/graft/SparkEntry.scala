@@ -895,6 +895,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Length-normalized beam search with EOS (q214, VERDICT r14 item
+    // 4): the GNMT/T5 inference defaults over q197's beam — a beam
+    // that generates the eos token (id 1) is COMPLETE and competes
+    // for width slots as its own frozen candidate, and every
+    // candidate ranks by raw/len^0.5 — the length penalty that
+    // decides which hypothesis wins once lengths diverge. The oracle
+    // restates step 2's mixed frontier: live expansions (synthetic
+    // doc ids) normalized by sqrt(2) UNION the completed step-1 beams
+    // at their own length; margins spec-pinned (TorchGenerateSpec).
+    "q214_torch_beam_lennorm" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.beamSearch(toks, "tok_ids", "beams", bc,
+          steps = 2, width = 2, batchSize = 256,
+          lengthPenalty = 0.5, eosId = 1)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("b1t1"),
+          try_element_at(col("beams")(0), lit(2)).as("b1t2"),
+          col("beams")(1)(0).as("b2t1"),
+          try_element_at(col("beams")(1), lit(2)).as("b2t2"))
+        .orderBy("doc_id")
+    },
+
     // Beam-search decoding (q197): width 2 × 2 steps over the q194
     // LM — per-beam log-softmax scores accumulate in f64, candidates
     // order by (joint DESC, parent rank ASC, token ASC). Every beam
@@ -9373,6 +9403,11 @@ object SparkEntry {
     // log-prob ranking (see beamOracle).
     "q197_torch_beam" -> beamOracle,
 
+    // Length-normalized beam with EOS: the step-2 frontier is live
+    // expansions / sqrt(2) UNION the completed step-1 beams at their
+    // own length (beamLenNormOracle).
+    "q214_torch_beam_lennorm" -> beamLenNormOracle(eos = 1, alpha = 0.5),
+
     // q181's corruption chain rebuilds the candidate; the clipped
     // counts divide by the REFERENCE totals.
     "q201_rouge_corrupt" ->
@@ -11202,6 +11237,100 @@ object SparkEntry {
        |  FROM joined QUALIFY rk <= 2)
        |SELECT k1.doc_id, k1.t1 AS b1t1, CAST(k1.tid AS INT) AS b1t2,
        |  k2.t1 AS b2t1, CAST(k2.tid AS INT) AS b2t2
+       |FROM kept k1 JOIN kept k2
+       |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
+       |ORDER BY k1.doc_id""".stripMargin
+  }
+
+  /** The q214 length-normalized-beam oracle: beamOracle's two-step
+    * synthetic-doc-id recipe with the variable-length rules — beams1
+    * carries a `done` flag (`tid = eos`), only LIVE beams ride into
+    * the step-2 forward, and the step-2 frontier is the UNION of live
+    * expansions normalized by `pow(2, α)` and the completed beams at
+    * their own length (`pow(1, α)` — exactly 1), ranked
+    * (norm DESC, parent ASC, token ASC) with the completed candidate
+    * carrying token −1, the engine's tie-break. α = 0.5 divides by
+    * sqrt(2) on both engines (fdlibm pow's exact sqrt arm == libm's
+    * correctly-rounded pow). */
+  private def beamLenNormOracle(eos: Int, alpha: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    val pen2 = s"pow(CAST(2 AS DOUBLE), CAST($alpha AS DOUBLE))"
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |lp1 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit1)),
+       |cand1 AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |beams1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score, (tid = $eos) AS done,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM cand1 QUALIFY b <= 2),
+       |toks1 AS MATERIALIZED (
+       |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+       |  FROM toks0 t JOIN beams1 b ON b.doc_id = t.doc_id AND NOT b.done
+       |  UNION ALL
+       |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+       |  FROM beams1 b JOIN lens0 l ON l.doc_id = b.doc_id
+       |  WHERE NOT b.done),
+       |logit2 AS MATERIALIZED (
+       |${fwd("toks1")}
+       |),
+       |lp2 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2)),
+       |cand2raw AS MATERIALIZED (
+       |  ${candRows("lp2")}),
+       |cand2 AS MATERIALIZED (
+       |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, lp
+       |  FROM cand2raw),
+       |joined AS MATERIALIZED (
+       |  SELECT c.doc_id, c.pb, c.tid, (b.score + c.lp) / $pen2 AS norm,
+       |    CAST(b.tid AS INT) AS t1
+       |  FROM cand2 c JOIN beams1 b
+       |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1
+       |  UNION ALL
+       |  SELECT doc_id, CAST(b - 1 AS INT) AS pb, -1 AS tid,
+       |    score / pow(CAST(1 AS DOUBLE), CAST($alpha AS DOUBLE)) AS norm,
+       |    CAST(tid AS INT) AS t1
+       |  FROM beams1 WHERE done),
+       |kept AS (
+       |  SELECT doc_id, t1, tid, norm,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY norm DESC, pb ASC, tid ASC) AS rk
+       |  FROM joined QUALIFY rk <= 2)
+       |SELECT k1.doc_id,
+       |  k1.t1 AS b1t1,
+       |  CASE WHEN k1.tid >= 0 THEN CAST(k1.tid AS INT) END AS b1t2,
+       |  k2.t1 AS b2t1,
+       |  CASE WHEN k2.tid >= 0 THEN CAST(k2.tid AS INT) END AS b2t2
        |FROM kept k1 JOIN kept k2
        |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
        |ORDER BY k1.doc_id""".stripMargin

@@ -515,8 +515,20 @@ object Torch {
    * ONE `forwardTokensBatch` per step inside one `mapPartitions` —
    * rows×width sequences per call, no per-step plan growth.
    *
+   * `eosId`/`lengthPenalty` add the VARIABLE-LENGTH hypothesis rules
+   * (the GNMT/T5 inference defaults): a beam whose kept token is
+   * `eosId` is COMPLETE — it stops expanding and competes for width
+   * slots as its own single candidate (tie-break token −1) — and every
+   * candidate ranks by `raw / len^α` (`StrictMath.pow`; α = 0.5 hits
+   * fdlibm's exact `sqrt` arm), the length normalization that decides
+   * which beam wins once lengths diverge. Defaults (α = 0, eos −1)
+   * reduce BIT-EXACTLY to raw joint ranking: `pow(len, 0) = 1` and
+   * `raw / 1.0 == raw` (spec-pinned). The knobs require the KV-session
+   * path (cacheable non-cross models — the serving shapes).
+   *
    * @return input columns + `outCol` = array<array<int>>: the kept
-   *         beams' generated tokens in rank order (null input → null)
+   *         beams' generated tokens in rank order (a completed beam's
+   *         array ends at its eos; null input → null)
    */
   def beamSearch(
       df: DataFrame,
@@ -525,13 +537,19 @@ object Torch {
       model: Broadcast[TorchScriptModel],
       steps: Int,
       width: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      lengthPenalty: Double = 0.0,
+      eosId: Int = -1): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "beamSearch needs a token-input model")
     require(!model.value.isCross, "cross-attention model: use beamSearchPair")
     require(width <= model.value.outDim, "width exceeds the vocabulary")
+    require(lengthPenalty >= 0.0, "lengthPenalty must be >= 0")
+    require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
+    require((lengthPenalty == 0.0 && eosId < 0) || model.value.cacheable,
+      "lengthPenalty/eosId need the KV-session path (cacheable model)")
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -576,23 +594,46 @@ object Torch {
           // FORKS the parent (O(L) pointer copy, no prompt replay).
           // Logits are bit-identical to the recompute path, so beam
           // identity and ranking are unchanged (TorchGenerateSpec).
+          // Beam state: (generated, RAW joint log-prob, session, done).
           rows.iterator.zip(prompts.iterator).map { case (r, p) =>
             if (p == null) Row.fromSeq(r.toSeq :+ null)
             else {
-              var beams: Seq[(Vector[Int], Double, m.DecodeSession)] =
-                Seq((Vector.empty[Int], 0.0, m.decodeSession(p)))
+              var beams: Seq[(Vector[Int], Double, m.DecodeSession, Boolean)] =
+                Seq((Vector.empty[Int], 0.0, m.decodeSession(p), false))
               var t = 0
-              while (t < steps) {
-                val cands = beams.zipWithIndex.flatMap { case ((g, s, sess), bi) =>
-                  val lp = logProbs(sess.logits(), 0)
-                  (0 until vocab).map(tok => (s + lp(tok), bi, tok, g, sess))
+              while (t < steps && beams.exists(!_._4)) {
+                // candidates = (norm, parent rank, token, raw, parent):
+                // live beams expand over the vocab at length+1; a
+                // COMPLETED beam is its own single candidate (token −1,
+                // its frozen raw score over its own length) competing
+                // for a width slot — the GNMT completed-hypothesis rule
+                val cands = beams.zipWithIndex.flatMap {
+                  case ((g, s0, sess, true), bi) =>
+                    Seq((s0 / StrictMath.pow(g.length.toDouble, lengthPenalty),
+                      bi, -1, s0, (g, s0, sess, true)))
+                  case ((g, s0, sess, false), bi) =>
+                    val lp = logProbs(sess.logits(), 0)
+                    val pen =
+                      StrictMath.pow((g.length + 1).toDouble, lengthPenalty)
+                    (0 until vocab).map { tok =>
+                      val raw = s0 + lp(tok)
+                      (raw / pen, bi, tok, raw, (g, s0, sess, false))
+                    }
                 }
-                beams = cands.sortBy { case (sc, bi, tok, _, _) => (-sc, bi, tok) }
+                beams = cands.sortBy { case (n, bi, tok, _, _) => (-n, bi, tok) }
                   .take(width)
-                  .map { case (sc, _, tok, g, sess) =>
-                    val child = sess.fork()
-                    child.append(tok)
-                    (g :+ tok, sc, child)
+                  .map {
+                    case (_, _, -1, _, b) => b // a kept completed beam
+                    case (_, _, tok, raw, (g, _, sess, _)) =>
+                      if (tok == eosId)
+                        // complete: the session is never read again —
+                        // skip the fork, keep the frozen raw score
+                        (g :+ tok, raw, sess, true)
+                      else {
+                        val child = sess.fork()
+                        child.append(tok)
+                        (g :+ tok, raw, child, false)
+                      }
                   }
                 t += 1
               }
@@ -771,13 +812,17 @@ object Torch {
       model: Broadcast[TorchScriptModel],
       steps: Int,
       width: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      lengthPenalty: Double = 0.0,
+      eosId: Int = -1): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.isCross && model.value.cacheable,
       "beamSearchPair needs a cacheable cross-attention model")
     require(width <= model.value.outDim, "width exceeds the vocabulary")
+    require(lengthPenalty >= 0.0, "lengthPenalty must be >= 0")
+    require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
     val withInts = df
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
@@ -823,20 +868,36 @@ object Torch {
           val k0 = tokens(r, kIdx)
           if (q0 == null || k0 == null) Row.fromSeq(r.toSeq :+ null)
           else {
-            var beams: Seq[(Vector[Int], Double, m.DecodeSession)] =
-              Seq((Vector.empty[Int], 0.0, m.decodeSession(q0, k0)))
+            // (generated, RAW joint log-prob, session, done) — the
+            // beamSearch variable-length rules over cross sessions
+            var beams: Seq[(Vector[Int], Double, m.DecodeSession, Boolean)] =
+              Seq((Vector.empty[Int], 0.0, m.decodeSession(q0, k0), false))
             var t = 0
-            while (t < steps) {
-              val cands = beams.zipWithIndex.flatMap { case ((g, s, sess), bi) =>
-                val lp = logProbs(sess.logits())
-                (0 until vocab).map(tok => (s + lp(tok), bi, tok, g, sess))
+            while (t < steps && beams.exists(!_._4)) {
+              val cands = beams.zipWithIndex.flatMap {
+                case ((g, s0, sess, true), bi) =>
+                  Seq((s0 / StrictMath.pow(g.length.toDouble, lengthPenalty),
+                    bi, -1, s0, (g, s0, sess, true)))
+                case ((g, s0, sess, false), bi) =>
+                  val lp = logProbs(sess.logits())
+                  val pen =
+                    StrictMath.pow((g.length + 1).toDouble, lengthPenalty)
+                  (0 until vocab).map { tok =>
+                    val raw = s0 + lp(tok)
+                    (raw / pen, bi, tok, raw, (g, s0, sess, false))
+                  }
               }
-              beams = cands.sortBy { case (sc, bi, tok, _, _) => (-sc, bi, tok) }
+              beams = cands.sortBy { case (n, bi, tok, _, _) => (-n, bi, tok) }
                 .take(width)
-                .map { case (sc, _, tok, g, sess) =>
-                  val child = sess.fork()
-                  child.append(tok)
-                  (g :+ tok, sc, child)
+                .map {
+                  case (_, _, -1, _, b) => b
+                  case (_, _, tok, raw, (g, _, sess, _)) =>
+                    if (tok == eosId) (g :+ tok, raw, sess, true)
+                    else {
+                      val child = sess.fork()
+                      child.append(tok)
+                      (g :+ tok, raw, child, false)
+                    }
                 }
               t += 1
             }

@@ -462,6 +462,70 @@ class TorchGenerateSpec extends AnyFunSuite {
       s"a penalized logit sits $minSeenAbs from the sign boundary")
   }
 
+  test("length-normalized beam with EOS: defaults reduce bit-exactly; alpha bites; margins floor") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def run(alpha: Double, eos: Int) =
+      Torch.beamSearch(df, "tok_ids", "beams", bc, steps = 2, width = 2,
+          lengthPenalty = alpha, eosId = eos)
+        .select("doc_id", "beams")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    // defaults = the old raw-joint ranking, bit-exactly (pow(len,0)=1,
+    // raw/1.0 == raw — same sort keys, same stable order)
+    val plain = Torch.beamSearch(df, "tok_ids", "beams", bc, steps = 2, width = 2)
+      .select("doc_id", "beams")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    assert(run(0.0, -1) == plain, "defaults must reduce bit-exactly")
+    // EOS semantics: a completed beam stops at its eos token
+    val withEos = run(0.0, 1)
+    val finished = withEos.values.flatten.count(b => b == Seq(1))
+    assert(finished > 0, "eos never completed a beam — vacuous fixture")
+    assert(withEos.values.flatten.forall(b =>
+      !b.dropRight(1).contains(1)), "a beam expanded past its eos")
+    // the length penalty changes which hypothesis wins somewhere
+    val normed = run(0.5, 1)
+    val moved = normed.count { case (k, v) => withEos(k) != v }
+    info(s"q214 sf0.001: $finished completed beams; alpha moved $moved docs")
+    assert(moved > 0, "alpha = 0.5 never changed a ranking — vacuous")
+    // margin floors on the DISCRETE keeps: per doc, the gap between
+    // the kept frontier and the first dropped candidate at both steps
+    // (engine-score restatement via sessions — the argmax-gap recipe)
+    val toks = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    def logProbs(lg: Array[Float]): Array[Double] = {
+      val mx = lg.map(_.toDouble).max
+      val z = lg.map(v => math.exp(v.toDouble - mx)).sum
+      val lse = math.log(z) + mx
+      lg.map(_.toDouble - lse)
+    }
+    var minCut = Double.MaxValue
+    for ((_, prompt) <- toks) {
+      val sess = m.decodeSession(prompt)
+      val lp1 = logProbs(sess.logits())
+      val order1 = (0 until vocab).sortBy(j => (-lp1(j), j))
+      minCut = math.min(minCut, lp1(order1(1)) - lp1(order1(2)))
+      val beams1 = order1.take(2).map(t => (t, lp1(t)))
+      val cands = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (((t1, s1), bi) <- beams1.zipWithIndex) {
+        if (t1 == 1) cands += s1 // completed: norm = s/1
+        else {
+          val child = sess.fork(); child.append(t1)
+          val lp2 = logProbs(child.logits())
+          for (t2 <- 0 until vocab)
+            cands += (s1 + lp2(t2)) / StrictMath.pow(2.0, 0.5)
+        }
+      }
+      val sorted = cands.sorted(Ordering[Double].reverse)
+      minCut = math.min(minCut, sorted(1) - sorted(2))
+    }
+    info(s"q214 sf0.001 min frontier-cut margin: $minCut")
+    assert(minCut > 1e-4, s"frontier margin $minCut too thin for the oracle")
+  }
+
   test("top-k sampling: topK >= vocab reduces bit-exactly to top-p; topK = 1 is the top-1 pick") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
