@@ -936,6 +936,13 @@ object Similarity {
       books: PqCodebooks): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(books)
+    // asNondeterministic: the value IS deterministic — the marker stops
+    // Catalyst from inlining this expensive UDF into every consumer
+    // (isnotnull/size/explode/field extractions) and from pushing it
+    // into the parquet scan's DataFilters, which re-ran it 3x per
+    // CORPUS row (measured: 2020 probe calls for 20 query rows at
+    // sf0.1 — a scan-side O(corpus) cost that would be catastrophic at
+    // 100 TB). Marked, it evaluates exactly once per input row.
     val enc = udf { unit: Seq[Double] =>
       val b = bc.value
       if (unit == null) null
@@ -953,7 +960,7 @@ object Similarity {
         }
         best
       }
-    }
+    }.asNondeterministic()
     // null embeddings carry no codes and are excluded from the index —
     // the same silent-drop semantics as the LSH path (banding of a
     // null signature emits no rows)
@@ -980,6 +987,7 @@ object Similarity {
       k: Int): DataFrame = {
     val spark = codes.sparkSession
     val bc = spark.sparkContext.broadcast(books)
+    // asNondeterministic: evaluate once per query row (see pqEncode)
     val lut = udf { qUnit: Seq[Double] =>
       val b = bc.value
       if (qUnit == null) null
@@ -993,7 +1001,7 @@ object Similarity {
           d
         }
       }
-    }
+    }.asNondeterministic()
     val adc = udf { (table: Seq[Seq[Double]], cs: Seq[Int]) =>
       var d = 0.0; var s = 0
       while (s < cs.length) { d += table(s)(cs(s)); s += 1 }
@@ -1200,7 +1208,7 @@ object Similarity {
         }
         (best, codes)
       }
-    }
+    }.asNondeterministic() // once per row — see pqEncode's note
     // null embeddings carry no codes — excluded like pqEncode/LSH
     normalized(corpus, embCol)
       .select(col(idCol).as("vec_id"), enc(col("__unit")).as("__e"))
@@ -1248,7 +1256,7 @@ object Similarity {
           (c, d)
         }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
       }
-    }
+    }.asNondeterministic() // once per query row — see pqEncode's note
     normalized(queries, embCol)
       .select(col(idCol).as("q_id"), cellsOf(col("__unit")).as("__cells"))
       .filter(col("__cells").isNotNull)
@@ -1295,7 +1303,7 @@ object Similarity {
           (cell, lut)
         }
       }
-    }
+    }.asNondeterministic() // once per query row — see pqEncode's note
     val adc = udf { (table: Seq[Seq[Double]], cs: Seq[Int]) =>
       var d = 0.0; var s = 0
       while (s < cs.length) { d += table(s)(cs(s)); s += 1 }
@@ -1477,7 +1485,7 @@ object Similarity {
           (c, d)
         }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
       }
-    }
+    }.asNondeterministic() // once per query row — see pqEncode's note
     val groupsAcc = spark.sparkContext.longAccumulator("graft.ivfPqBatch.groups")
     lastBatchGroups = groupsAcc
     val probes0 = normalized(queries, embCol)
