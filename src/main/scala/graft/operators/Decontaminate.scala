@@ -155,7 +155,12 @@ object Decontaminate {
         while (i < hs.length) { if (bloomBc.value.mightContainLong(hs(i))) c += 1; i += 1 }
         c
       }
-    }
+    }.asNondeterministic()
+    // ^ value is deterministic — the marker stops predicate pushdown
+    // from inlining the ShingleHashes projection into the filter (and
+    // the scan), which re-shingled every corpus row a second time for
+    // the explode below; marked, __sh computes once per row and both
+    // consumers read the attribute (the Similarity.pqEncode finding)
     // the prefilter is scan-side: gram hashes are computed in the
     // projection, counted against the broadcast sketch, and only
     // candidate docs (a superset of the true positives) are kept

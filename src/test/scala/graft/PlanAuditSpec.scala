@@ -370,6 +370,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-15 decode knobs: same scan-side shape — output sort the only exchange") {
+    // top-k sampling (q211), cross speculative (q212 — THREE chained
+    // pair inferences still one mapPartitions pipeline, no mid-plan
+    // shuffle), norepeat greedy (q213), length-normalized EOS beams
+    // (q214), banded-bias KV-session decode (q215): the k-step loops
+    // and chained verifications live inside scan-side mapPartitions;
+    // the only exchange is the final orderBy's range partitioning
+    for (q <- Seq("q211_torch_gen_topk", "q212_torch_cross_spec",
+        "q213_torch_gen_norepeat", "q214_torch_beam_lennorm",
+        "q215_torch_alibi_decode")) {
+      val p = plan(q)
+      val ex = "Exchange".r.findAllIn(p).length
+      assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert("Scan parquet".r.findAllIn(p).length <= 1,
+        s"$q: expected at most one parquet scan:\n$p")
+    }
+  }
+
   test("round-13 PCA family: the Gram pass is one partial/final aggregate, nothing row-shaped exchanged") {
     import org.apache.spark.sql.functions.col
     // the fit itself runs eagerly inside the query builder, so audit
