@@ -1263,6 +1263,101 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Repetition penalty + no-repeat-bigram under SAMPLING (q216):
+    // q213's anti-degeneration controls composed with q203's nucleus
+    // sampler — HF's default composition (penalties rescale logits
+    // BEFORE temperature/softmax; banned completions leave the
+    // candidate set pre-softmax, lifting when that empties it). The
+    // oracle's candidate unpivot gains the seen-join rescale and the
+    // bigram anti-join (sampledStepChain penaltyNgram arm).
+    "q216_torch_sampled_norepeat" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
+          repetitionPenalty = 1.25, noRepeatNgram = 2)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
+    // EOS early stopping (q217): q194's greedy loop with eos id 1 —
+    // a row that emits eos STOPS (shorter output array; stopped rows
+    // leave the GEMM batch, the real serving win at scale). The
+    // oracle computes every step and NULLs the post-eos columns —
+    // exactly the engine's short array read through try_element_at.
+    "q217_torch_gen_eos" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
+          batchSize = 256, eosId = 1)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          try_element_at(col("gen"), lit(2)).as("gen2"),
+          try_element_at(col("gen"), lit(3)).as("gen3"))
+        .orderBy("doc_id")
+    },
+
+    // MIN-P sampling (q218): the newest mainstream nucleus knob
+    // (Nguyen et al. 2024, llama.cpp/HF `min_p`) — keep candidates
+    // whose mass clears `minP * max(p)`, renormalize, sample. A third
+    // prefix filter on the same (p6 DESC, tid ASC) order (dyadic 1/4
+    // makes the floor product exact on the 1e-6 grid); topP = 1
+    // isolates it. Oracle: `p6 >= 0.25 * max(p6) OVER doc` joins the
+    // nucleus WHERE.
+    "q218_torch_gen_minp" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 1.0, batchSize = 256,
+          minP = 0.25)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
+    // GRAMMAR-CONSTRAINED decoding (q219): the structured-output /
+    // Outlines serving shape — a DFA transition table gates each
+    // step's candidates (state 0 allows {0..3}, state 1 {4..7},
+    // state 2 the even tokens; emitting a token advances the state by
+    // its parity). A HARD constraint (never lifted — every state
+    // keeps >= 1 token). Integer-decidable; the oracle carries a
+    // per-doc state column and dispatches the argmax CASE on it.
+    "q219_torch_gen_dfa" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
+          batchSize = 256, dfaTrans = decodeDfaTrans)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // TOP-K sampling (q211, VERDICT r14 item 2): q203's nucleus
     // sampler with the rank cutoff composed in — the OTHER standard
     // generation knob (HF's top_k + top_p default combo). Both
@@ -5716,6 +5811,20 @@ object SparkEntry {
       LinearLayer(qvals(32, 1797, 4.0), qvals(8, 1799, 0.25), 8, 4)))
   }
 
+  /** q219's toy decode grammar (3 states over the vocab-8 LM): state
+    * 0 allows tokens {0..3}, state 1 {4..7}, state 2 the even tokens;
+    * emitting token t from state s moves to `(s + 1 + t%2) % 3`.
+    * Small enough for the oracle's per-state CASE dispatch, rich
+    * enough that transitions depend on the EMITTED token — the
+    * structured-output (Outlines/JSON-schema) decoding shape. */
+  private[graft] val DecodeDfaAllowed: Seq[Seq[Int]] =
+    Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7), Seq(0, 2, 4, 6))
+  private[graft] def decodeDfaNext(st: Int, tok: Int): Int =
+    (st + 1 + tok % 2) % 3
+  private[graft] lazy val decodeDfaTrans: Array[Array[Int]] =
+    Array.tabulate(3, 8)((st, tok) =>
+      if (DecodeDfaAllowed(st).contains(tok)) decodeDfaNext(st, tok) else -1)
+
   /** The q215 oracle's per-head (finiteCond, biasTerm) fragments —
     * the closed forms of [[alibiLmModel]]'s mask tables (exact: every
     * stored f32 is a dyadic the DOUBLE expression reproduces
@@ -9376,6 +9485,28 @@ object SparkEntry {
     "q213_torch_gen_norepeat" -> repPenaltyOracle(steps = 3,
       penalty = 1.25),
 
+    // The same controls composed under the nucleus sampler: the
+    // candidate unpivot gains the seen-join rescale (before the
+    // temperature) and the bigram anti-join with the n_ok = 0 lift.
+    "q216_torch_sampled_norepeat" -> sampledOracle(steps = 2,
+      temperature = 0.5, topP = 0.9, penalty = Some((1.25, 2))),
+
+    // EOS early stop: every step still computed; the final select
+    // NULLs the post-eos columns (the engine's short arrays through
+    // try_element_at).
+    "q217_torch_gen_eos" -> generateOracle(banned = Nil, eos = Some(1)),
+
+    // Min-p: the `p6 >= minP * max(p6)` floor joins the nucleus cut
+    // (third prefix filter on the same candidate order); topP = 1
+    // isolates it.
+    "q218_torch_gen_minp" -> sampledOracle(steps = 2,
+      temperature = 0.5, topP = 1.0, minP = 0.25),
+
+    // Grammar-constrained decoding: per-doc DFA state column, argmax
+    // CASE dispatched per state, transitions via a VALUES join.
+    "q219_torch_gen_dfa" -> generateOracle(banned = Nil,
+      dfa = Some((DecodeDfaAllowed, decodeDfaNext))),
+
     // Encoder-decoder generation: the source encoding + cross k/v
     // restated once, each step a nested-WITH decoder forward
     // (crossGenOracle).
@@ -10540,9 +10671,21 @@ object SparkEntry {
     * forward pass (nested WITH scoped inside its step CTE) over the
     * previous step's grown token rows; `banned` ids are omitted from
     * every step's argmax CASE (constrained decoding). */
+  /** `eos = Some(id)` restates EARLY STOPPING: the step chain still
+    * computes every step (a stopped doc's later values are computed
+    * but unused — nested scoping keeps them harmless), and the final
+    * select NULLs gen{t} once an earlier step emitted eos — exactly
+    * the engine's shorter output array read through try_element_at.
+    * `dfa = Some((allowedPerState, next(state, tok)))` restates
+    * GRAMMAR-CONSTRAINED decoding: a per-doc state column starts at 0,
+    * each step's argmax CASE dispatches on the state (one restricted
+    * CASE per state), and the state advances through a transition
+    * VALUES join. */
   private def generateOracle(banned: Seq[Int],
       m: graft.torch.TorchScriptModel = genModel,
-      headBias: Option[Seq[(String, String)]] = None): String = {
+      headBias: Option[Seq[(String, String)]] = None,
+      eos: Option[Int] = None,
+      dfa: Option[(Seq[Seq[Int]], (Int, Int) => Int)] = None): String = {
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
       m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
@@ -10550,16 +10693,46 @@ object SparkEntry {
     val amax =
       if (banned.isEmpty) TorchOracle.armArgmax(fc, "p")
       else TorchOracle.armArgmaxRestricted("p", allowed)
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
     val stepCtes = (1 to 3).map { t =>
-      val stepSql = TorchOracle.mlpArgmaxSql(fc,
-        encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}"),
-          headBias = headBias),
-        arms = Seq("p"), carry = Seq("doc_id"),
-        finalSelect = s"SELECT doc_id, $amax AS tid " +
-          s"FROM ${TorchOracle.lastCte(fc)}")
-      s"""step$t AS MATERIALIZED (
-         |$stepSql
-         |),
+      val pick = dfa match {
+        case None =>
+          val stepSql = TorchOracle.mlpArgmaxSql(fc,
+            encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}"),
+              headBias = headBias),
+            arms = Seq("p"), carry = Seq("doc_id"),
+            finalSelect = s"SELECT doc_id, $amax AS tid " +
+              s"FROM ${TorchOracle.lastCte(fc)}")
+          s"""step$t AS MATERIALIZED (
+             |$stepSql
+             |)""".stripMargin
+        case Some((states, next)) =>
+          // full logits per doc, then the argmax CASE dispatched on
+          // the doc's DFA state; the state advances via the
+          // transition VALUES table trans(st, tid, nxt)
+          val logitSql = TorchOracle.mlpArgmaxSql(fc,
+            encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}"),
+              headBias = headBias),
+            arms = Seq("p"), carry = Seq("doc_id"),
+            finalSelect = s"SELECT doc_id, $pCols " +
+              s"FROM ${TorchOracle.lastCte(fc)}")
+          val statePick = states.zipWithIndex.map { case (al, st) =>
+            s"WHEN $st THEN ${TorchOracle.armArgmaxRestricted("p",
+              al.filterNot(banned.contains))}"
+          }.mkString("CASE st.s ", " ", " END")
+          s"""logit$t AS MATERIALIZED (
+             |$logitSql
+             |),
+             |step$t AS MATERIALIZED (
+             |  SELECT f.doc_id, $statePick AS tid
+             |  FROM logit$t f JOIN state${t - 1} st ON st.doc_id = f.doc_id),
+             |state$t AS MATERIALIZED (
+             |  SELECT s.doc_id, tr.nxt AS s
+             |  FROM step$t s
+             |  JOIN state${t - 1} st ON st.doc_id = s.doc_id
+             |  JOIN trans tr ON tr.st = st.s AND tr.tid = s.tid)""".stripMargin
+      }
+      s"""$pick,
          |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL
@@ -10569,6 +10742,27 @@ object SparkEntry {
          |        GROUP BY doc_id) l
          |    ON l.doc_id = s.doc_id)""".stripMargin
     }.mkString(",\n")
+    val transCte = dfa match {
+      case None => ""
+      case Some((states, next)) =>
+        val rows = (for {
+          (al, st) <- states.zipWithIndex
+          tok <- al
+        } yield s"($st, $tok, ${next(st, tok)})").mkString(",\n    ")
+        s"""trans(st, tid, nxt) AS (VALUES
+           |    $rows),
+           |state0 AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, 0 AS s FROM toks0),
+           |""".stripMargin
+    }
+    val outs = eos match {
+      case None => "s1.tid AS gen1, s2.tid AS gen2, s3.tid AS gen3"
+      case Some(e) =>
+        s"""s1.tid AS gen1,
+           |  CASE WHEN s1.tid = $e THEN NULL ELSE s2.tid END AS gen2,
+           |  CASE WHEN s1.tid = $e OR s2.tid = $e THEN NULL
+           |       ELSE s3.tid END AS gen3""".stripMargin
+    }
     s"""WITH words AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
        |           % $vocab AS tid, pos
@@ -10579,8 +10773,8 @@ object SparkEntry {
        |        FROM documents)
        |  WHERE pos <= $EncMaxLen),
        |toks0 AS MATERIALIZED (SELECT * FROM words),
-       |$stepCtes
-       |SELECT s1.doc_id, s1.tid AS gen1, s2.tid AS gen2, s3.tid AS gen3
+       |$transCte$stepCtes
+       |SELECT s1.doc_id, $outs
        |FROM step1 s1
        |JOIN step2 s2 ON s2.doc_id = s1.doc_id
        |JOIN step3 s3 ON s3.doc_id = s1.doc_id
@@ -10604,14 +10798,30 @@ object SparkEntry {
     * chain (temperature-scaled max-shifted softmax, 6-dp rounding,
     * nucleus prefix, order-defined running renormalized cumulative,
     * seeded md5 draw). Shared by q203 and q207. */
+  /** `penaltyNgram = Some((penalty, n, toksCte))` composes the CTRL
+    * repetition penalty and the no-repeat-n-gram ban into the chain:
+    * candidates rescale `lp > 0 → lp/penalty else lp·penalty` when
+    * SEEN in the grown token CTE (before the temperature — the
+    * engine's order), and candidates completing an already-seen
+    * n-gram are removed pre-softmax, lifting when that empties the
+    * vocabulary (the engine's rule). `minP` adds the min-p floor
+    * `p6 >= minP·max(p6)` to the nucleus cut (a third prefix filter
+    * on the same order). */
   private def sampledStepChain(t: Int, vocab: Int,
       temperature: Double, topP: Double,
-      banned: Seq[Int] = Nil, topK: Int = Int.MaxValue): String = {
+      banned: Seq[Int] = Nil, topK: Int = Int.MaxValue,
+      penaltyNgram: Option[(Double, Int, String)] = None,
+      minP: Double = 0.0): String = {
     // top-k composes as a second prefix filter on the same
     // (p6 DESC, tid ASC) order — the engine's rank cutoff restated;
     // the running renormalized cumulative then runs over the kept
     // prefix only, exactly like the engine's kept-set sums
     val kCut = if (topK < vocab) s" AND rk <= $topK" else ""
+    val mCut =
+      if (minP > 0.0) s" AND p6 >= CAST($minP AS DOUBLE) * mp" else ""
+    val mpSel =
+      if (minP > 0.0) ",\n                     max(p6) OVER (PARTITION BY doc_id) AS mp"
+      else ""
     val tLit = s"CAST($temperature AS DOUBLE)"
     val pLit = s"CAST($topP AS DOUBLE)"
     // constrained decoding: banned ids simply never become candidate
@@ -10620,8 +10830,48 @@ object SparkEntry {
     val unpivot = (0 until vocab).filterNot(banned.contains).map(j =>
       s"SELECT doc_id, $j AS tid, p$j / $tLit AS lp FROM logit$t")
       .mkString("\n  UNION ALL ")
-    s"""cand$t AS MATERIALIZED (
-       |  $unpivot),
+    val candCte = penaltyNgram match {
+      case None =>
+        s"""cand$t AS MATERIALIZED (
+           |  $unpivot),"""
+      case Some((pen, n, toks)) =>
+        require(n == 2, "the oracle restates bigram bans only")
+        val penL = s"CAST($pen AS DOUBLE)"
+        val raw = (0 until vocab).filterNot(banned.contains).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp0 FROM logit$t")
+          .mkString("\n  UNION ALL ")
+        s"""rawc$t AS (
+           |  $raw),
+           |seen$t AS (SELECT DISTINCT doc_id, tid FROM $toks),
+           |last$t AS (
+           |  SELECT t0.doc_id, t0.tid AS lt
+           |  FROM $toks t0
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toks
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+           |ng$t AS (
+           |  SELECT DISTINCT a.doc_id, b.tid
+           |  FROM $toks a
+           |  JOIN $toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           |  JOIN last$t l ON l.doc_id = a.doc_id AND a.tid = l.lt),
+           |adj$t AS (
+           |  SELECT c.doc_id, c.tid,
+           |    (CASE WHEN s.tid IS NOT NULL THEN
+           |      CASE WHEN c.lp0 > CAST(0 AS DOUBLE) THEN c.lp0 / $penL
+           |           ELSE c.lp0 * $penL END
+           |    ELSE c.lp0 END) / $tLit AS lp,
+           |    (g.tid IS NOT NULL) AS is_ng
+           |  FROM rawc$t c
+           |  LEFT JOIN seen$t s ON s.doc_id = c.doc_id AND s.tid = c.tid
+           |  LEFT JOIN ng$t g ON g.doc_id = c.doc_id AND g.tid = c.tid),
+           |ok$t AS (SELECT doc_id, count(*) FILTER (WHERE NOT is_ng) AS n_ok
+           |         FROM adj$t GROUP BY doc_id),
+           |cand$t AS MATERIALIZED (
+           |  SELECT a.doc_id, a.tid, a.lp
+           |  FROM adj$t a JOIN ok$t o ON o.doc_id = a.doc_id
+           |  WHERE o.n_ok = 0 OR NOT a.is_ng),"""
+    }
+    s"""$candCte
        |prob$t AS MATERIALIZED (
        |  SELECT doc_id, tid, round(e / z, 6) AS p6
        |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
@@ -10639,9 +10889,9 @@ object SparkEntry {
        |                     coalesce(sum(p6) OVER (PARTITION BY doc_id
        |                       ORDER BY p6 DESC, tid ROWS BETWEEN UNBOUNDED
        |                       PRECEDING AND 1 PRECEDING), CAST(0 AS DOUBLE))
-       |                       AS cumprev
+       |                       AS cumprev$mpSel
        |              FROM prob$t)
-       |        WHERE cumprev < $pLit$kCut)),
+       |        WHERE cumprev < $pLit$kCut$mCut)),
        |samp$t AS MATERIALIZED (
        |  SELECT doc_id, tid FROM (
        |    SELECT doc_id, tid,
@@ -10654,7 +10904,8 @@ object SparkEntry {
   }
 
   private def sampledOracle(steps: Int, temperature: Double, topP: Double,
-      banned: Seq[Int] = Nil, topK: Int = Int.MaxValue): String = {
+      banned: Seq[Int] = Nil, topK: Int = Int.MaxValue,
+      penalty: Option[(Double, Int)] = None, minP: Double = 0.0): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
@@ -10669,7 +10920,8 @@ object SparkEntry {
       s"""logit$t AS MATERIALIZED (
          |${fwd(s"toks${t - 1}")}
          |),
-         |${sampledStepChain(t, vocab, temperature, topP, banned, topK)},
+         |${sampledStepChain(t, vocab, temperature, topP, banned, topK,
+             penalty.map { case (pn, n) => (pn, n, s"toks${t - 1}") }, minP)},
          |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL

@@ -32,28 +32,45 @@ object Torch {
     }
     def sampleNext(out: Array[Float], off: Int, vocab: Int,
         temperature: Double, topP: Double, u: Double,
-        banned: Set[Int] = Set.empty, topK: Int = Int.MaxValue): Int = {
+        banned: Set[Int] = Set.empty, topK: Int = Int.MaxValue,
+        seen: Set[Int] = Set.empty, repPenalty: Double = 1.0,
+        minP: Double = 0.0): Int = {
       // constrained decoding: banned ids are removed BEFORE the
       // softmax (the -inf-mask semantics: the distribution renorms
       // over the allowed vocabulary; the oracle simply omits them
       // from the unpivot). ids stay ascending, so the full-vocab f64
       // accumulation order is unchanged when nothing is banned.
+      // repetition penalty (CTRL): SEEN-token logits rescale in f64
+      // BEFORE the temperature — `x > 0 → x/p else x·p` — exactly the
+      // greedy path's adjustment, so the same oracle CASE restates it.
       val ids = (0 until vocab).filterNot(banned).toArray
-      val lp = ids.map(j => out(off + j).toDouble / temperature)
+      val lp = ids.map { j =>
+        val x0 = out(off + j).toDouble
+        val x =
+          if (seen(j)) { if (x0 > 0.0) x0 / repPenalty else x0 * repPenalty }
+          else x0
+        x / temperature
+      }
       val mx = lp.max
       val es = lp.map(v => math.exp(v - mx))
       val z = es.sum
       val p6 = es.map(e => q6(e / z))
       val order = ids.indices.sortBy(i => (-p6(i), ids(i)))
       // nucleus: a candidate joins while the mass BEFORE it is < topP
-      // AND its rank is within topK (both are prefix filters on the
-      // same (p6 DESC, tid ASC) order, so the kept set stays a prefix
-      // and topK >= |ids| reduces BIT-EXACTLY to the pure-top-p path
-      // — the f64 running sums see identical terms in identical
-      // order; spec-pinned)
+      // AND its rank is within topK AND its own mass clears the min-p
+      // floor `p6 >= minP·p6max` (Nguyen et al. 2024 — minP dyadic, so
+      // the product is exact and the comparison lives on the 1e-6
+      // grid). All three are prefix filters on the same
+      // (p6 DESC, tid ASC) order — ties share a p6 value, so the
+      // min-p cut never splits a tie — and each knob at its neutral
+      // value (topP 1, topK >= |ids|, minP 0) reduces BIT-EXACTLY to
+      // the others' path: the f64 running sums see identical terms in
+      // identical order (spec-pinned).
+      val pMax = p6(order.head)
       val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
       var cum = 0.0
-      for ((i, rk) <- order.zipWithIndex if cum < topP && rk < topK) {
+      for ((i, rk) <- order.zipWithIndex
+           if cum < topP && rk < topK && p6(i) >= minP * pMax) {
         kept += i; cum += p6(i)
       }
       // total == the last running sum (ORDER-DEFINED on both engines)
@@ -1031,13 +1048,20 @@ object Torch {
       topP: Double,
       batchSize: Int = -1,
       banned: Set[Int] = Set.empty,
-      topK: Int = Int.MaxValue): DataFrame = {
+      topK: Int = Int.MaxValue,
+      repetitionPenalty: Double = 1.0,
+      noRepeatNgram: Int = 0,
+      minP: Double = 0.0): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(banned.size < model.value.outDim,
       "banned set covers the whole vocabulary")
     require(temperature > 0.0, "temperature must be > 0 (greedy is generateGreedy)")
     require(topP > 0.0 && topP <= 1.0, "topP must be in (0, 1]")
     require(topK >= 1, "topK must be >= 1")
+    require(repetitionPenalty > 0.0, "repetitionPenalty must be > 0")
+    require(noRepeatNgram == 0 || noRepeatNgram >= 2,
+      "noRepeatNgram must be 0 (off) or >= 2")
+    require(minP >= 0.0 && minP <= 1.0, "minP must be in [0, 1]")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateSampled needs a token-input model")
@@ -1049,12 +1073,36 @@ object Torch {
       StructField(outCol, ArrayType(IntegerType), nullable = true))
     val inIdx = withInts.schema.fieldIndex(inputCol)
     val idIdx = withInts.schema.fieldIndex(idCol)
+    val plain = repetitionPenalty == 1.0 && noRepeatNgram == 0
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
       def draw(id: Long, step: Int): Double = Sampling.draw(id, step)
-      def sampleNext(out: Array[Float], off: Int, u: Double): Int =
-        Sampling.sampleNext(out, off, vocab, temperature, topP, u, banned, topK)
+      // per-step banned set: static bans plus n-gram completions of
+      // the CURRENT sequence, LIFTING the n-gram arm when it would
+      // empty the allowed vocabulary (generateGreedy's rule); the
+      // seen set feeds the CTRL pre-softmax rescale
+      def sampleNext(out: Array[Float], off: Int, u: Double,
+          full: scala.collection.IndexedSeq[Int]): Int = {
+        val stepBanned: Set[Int] =
+          if (plain || noRepeatNgram < 2 || full.length < noRepeatNgram - 1)
+            banned
+          else {
+            val n1 = noRepeatNgram - 1
+            val suffix = full.takeRight(n1)
+            val ng = (0 to full.length - noRepeatNgram).iterator.collect {
+              case i if (0 until n1).forall(k => full(i + k) == suffix(k)) =>
+                full(i + n1)
+            }.toSet
+            if ((0 until vocab).exists(j => !banned.contains(j) && !ng(j)))
+              banned ++ ng
+            else banned
+          }
+        val seen: Set[Int] =
+          if (repetitionPenalty != 1.0) full.toSet else Set.empty
+        Sampling.sampleNext(out, off, vocab, temperature, topP, u,
+          stepBanned, topK, seen, repetitionPenalty, minP)
+      }
       it.grouped(bs).flatMap { rows =>
         val seqs: Array[Array[Int]] = rows.map { r =>
           if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
@@ -1081,11 +1129,13 @@ object Torch {
           seqs.zipWithIndex.foreach { case (s0, ri) =>
             if (s0 != null) {
               val sess = m.decodeSession(s0)
+              val full = scala.collection.mutable.ArrayBuffer.from(s0)
               var t = 1
               while (t <= steps) {
-                val tid = sampleNext(sess.logits(), 0, draw(ids(ri), t))
+                val tid = sampleNext(sess.logits(), 0, draw(ids(ri), t), full)
                 gen(ri) += tid
                 sess.append(tid)
+                full += tid
                 t += 1
               }
             }
@@ -1099,7 +1149,8 @@ object Torch {
               val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
               val next = cur.clone()
               liveIdx.zipWithIndex.foreach { case (ri, k) =>
-                val tid = sampleNext(out, k * vocab, draw(ids(ri), t))
+                val tid = sampleNext(out, k * vocab, draw(ids(ri), t),
+                  scala.collection.immutable.ArraySeq.unsafeWrapArray(cur(ri)))
                 gen(ri) += tid
                 next(ri) = cur(ri) :+ tid
               }
@@ -1133,6 +1184,19 @@ object Torch {
     *    pathological doc kill a 100 TB pipeline.
     *
     * Both default off; the default path is byte-identical to before. */
+  /** `eosId >= 0` adds EARLY STOPPING: a row that emits eos stops
+    * decoding (the eos itself is emitted; the output array is shorter
+    * than `steps`) — stopped rows leave the GEMM batch, so a corpus
+    * whose rows finish early costs proportionally less. `dfaTrans`
+    * adds GRAMMAR-CONSTRAINED decoding (the structured-output /
+    * Outlines serving shape): a `(nStates, vocab)` transition table
+    * where entry `(s, t)` is the next state or −1 = forbidden; rows
+    * start in state 0, each emitted token advances the state, and
+    * forbidden tokens never become argmax candidates. The grammar is
+    * a HARD constraint (never lifted — every state must keep at least
+    * one token reachable, checked up front); it composes with the
+    * static banned set, the repetition penalty, and the n-gram ban
+    * (which still lifts rather than contradict the grammar). */
   def generateGreedy(
       df: DataFrame,
       inputCol: String,
@@ -1142,7 +1206,9 @@ object Torch {
       batchSize: Int = -1,
       banned: Set[Int] = Set.empty,
       repetitionPenalty: Double = 1.0,
-      noRepeatNgram: Int = 0): DataFrame = {
+      noRepeatNgram: Int = 0,
+      eosId: Int = -1,
+      dfaTrans: Array[Array[Int]] = null): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
@@ -1154,12 +1220,25 @@ object Torch {
     require(repetitionPenalty > 0.0, "repetitionPenalty must be > 0")
     require(noRepeatNgram == 0 || noRepeatNgram >= 2,
       "noRepeatNgram must be 0 (off) or >= 2")
+    require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
+    if (dfaTrans != null) {
+      val vocab = model.value.outDim
+      require(dfaTrans.nonEmpty && dfaTrans.forall(_.length == vocab),
+        s"dfaTrans must be (nStates, vocab=$vocab)")
+      dfaTrans.zipWithIndex.foreach { case (row, st) =>
+        require(row.forall(n => n >= -1 && n < dfaTrans.length),
+          s"DFA state $st: next states must be -1 (forbidden) or " +
+            s"< ${dfaTrans.length}")
+        require(row.exists(_ != -1), s"DFA state $st allows no token")
+      }
+    }
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(IntegerType), nullable = true))
     val inIdx = withInts.schema.fieldIndex(inputCol)
-    val plain = repetitionPenalty == 1.0 && noRepeatNgram == 0
+    val plain = repetitionPenalty == 1.0 && noRepeatNgram == 0 &&
+      eosId < 0 && dfaTrans == null
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
@@ -1184,7 +1263,12 @@ object Torch {
       // banned unless that would empty the vocabulary (then the ban
       // lifts for the step — the penalty still applies)
       def argmaxAdjusted(out: Array[Float], off: Int,
-          full: scala.collection.IndexedSeq[Int]): Int = {
+          full: scala.collection.IndexedSeq[Int], state: Int): Int = {
+        // grammar bans are HARD (checked non-empty per state up front);
+        // the n-gram ban lifts rather than contradict them
+        def hardBanned(j: Int): Boolean =
+          banned.contains(j) ||
+            (dfaTrans != null && dfaTrans(state)(j) == -1)
         val ngBanned: Set[Int] =
           if (noRepeatNgram >= 2 && full.length >= noRepeatNgram - 1) {
             val n1 = noRepeatNgram - 1
@@ -1197,12 +1281,12 @@ object Torch {
         val seen: Set[Int] =
           if (repetitionPenalty != 1.0) full.toSet else Set.empty
         val ngLive =
-          (0 until vocab).exists(j => !banned.contains(j) && !ngBanned(j))
+          (0 until vocab).exists(j => !hardBanned(j) && !ngBanned(j))
         var best = -1
         var bv = Double.NaN
         var j = 0
         while (j < vocab) {
-          if (!banned.contains(j) && !(ngLive && ngBanned(j))) {
+          if (!hardBanned(j) && !(ngLive && ngBanned(j))) {
             val x0 = out(off + j).toDouble
             val x =
               if (seen(j)) {
@@ -1245,14 +1329,21 @@ object Torch {
             if (s0 != null) {
               val sess = m.decodeSession(s0)
               val full = scala.collection.mutable.ArrayBuffer.from(s0)
+              var state = 0
               var t = 0
-              while (t < steps) {
+              var stopped = false
+              while (t < steps && !stopped) {
                 val lg = sess.logits()
                 val tid =
-                  if (plain) argmaxFirst(lg, 0) else argmaxAdjusted(lg, 0, full)
+                  if (plain) argmaxFirst(lg, 0)
+                  else argmaxAdjusted(lg, 0, full, state)
                 gen(ri) += tid
-                sess.append(tid)
-                if (!plain) full += tid
+                if (tid == eosId) stopped = true
+                else {
+                  sess.append(tid)
+                  if (!plain) full += tid
+                  if (dfaTrans != null) state = dfaTrans(state)(tid)
+                }
                 t += 1
               }
             }
@@ -1260,8 +1351,10 @@ object Torch {
         } else {
           var t = 0
           var cur = seqs
+          val states = new Array[Int](seqs.length)
+          val done = new Array[Boolean](seqs.length)
           while (t < steps) {
-            val liveIdx = cur.indices.filter(cur(_) != null)
+            val liveIdx = cur.indices.filter(i => cur(i) != null && !done(i))
             if (liveIdx.nonEmpty) {
               val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
               val next = cur.clone()
@@ -1269,9 +1362,14 @@ object Torch {
                 val tid =
                   if (plain) argmaxFirst(out, k * vocab)
                   else argmaxAdjusted(out, k * vocab,
-                    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur(ri)))
+                    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur(ri)),
+                    states(ri))
                 gen(ri) += tid
-                next(ri) = cur(ri) :+ tid
+                if (tid == eosId) done(ri) = true
+                else {
+                  next(ri) = cur(ri) :+ tid
+                  if (dfaTrans != null) states(ri) = dfaTrans(states(ri))(tid)
+                }
               }
               cur = next
             }

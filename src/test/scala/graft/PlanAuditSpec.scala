@@ -379,7 +379,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the only exchange is the final orderBy's range partitioning
     for (q <- Seq("q211_torch_gen_topk", "q212_torch_cross_spec",
         "q213_torch_gen_norepeat", "q214_torch_beam_lennorm",
-        "q215_torch_alibi_decode")) {
+        "q215_torch_alibi_decode", "q216_torch_sampled_norepeat",
+        "q217_torch_gen_eos", "q218_torch_gen_minp",
+        "q219_torch_gen_dfa")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

@@ -462,6 +462,97 @@ class TorchGenerateSpec extends AnyFunSuite {
       s"a penalized logit sits $minSeenAbs from the sign boundary")
   }
 
+  test("round-15 knob wave: eos stop, min-p, sampled norepeat, DFA grammar — rules hold") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+
+    // q217 EOS: greedy-with-eos == plain greedy truncated at the
+    // first eos inclusive (the trajectory is unchanged up to the stop)
+    val plain = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 3))
+    val eosed = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 3, eosId = 1))
+    for ((id, g) <- plain) {
+      val cut = g.indexOf(1)
+      val expect = if (cut < 0) g else g.take(cut + 1)
+      assert(eosed(id) == expect, s"doc $id: eos ${eosed(id)} != $expect")
+    }
+    assert(eosed.values.exists(_.length < 3), "eos never stopped a row")
+
+    // q218 min-p: minP = 0 reduces bit-exactly; minP = 0.25 bites
+    def sample(minP: Double) = collectGen(Torch.generateSampled(df,
+      "doc_id", "tok_ids", "gen", bc, steps = 2, temperature = 0.5,
+      topP = 1.0, minP = minP))
+    assert(sample(0.0) == collectGen(Torch.generateSampled(df, "doc_id",
+      "tok_ids", "gen", bc, steps = 2, temperature = 0.5, topP = 1.0)),
+      "minP = 0 must reduce bit-exactly")
+    assert(sample(0.25).exists { case (k, v) => sample(0.0)(k) != v },
+      "minP = 0.25 never changed a pick — vacuous")
+
+    // q216 sampled norepeat: defaults reduce; the controls bite; no
+    // emitted token completes a seen bigram unless the ban lifted
+    def sampled(pen: Double, n: Int) = collectGen(Torch.generateSampled(df,
+      "doc_id", "tok_ids", "gen", bc, steps = 2, temperature = 0.5,
+      topP = 0.9, repetitionPenalty = pen, noRepeatNgram = n))
+    assert(sampled(1.0, 0) == collectGen(Torch.generateSampled(df, "doc_id",
+      "tok_ids", "gen", bc, steps = 2, temperature = 0.5, topP = 0.9)),
+      "sampled defaults must reduce bit-exactly")
+    val knobbed = sampled(1.25, 2)
+    assert(knobbed.count { case (k, v) => sampled(1.0, 0)(k) != v } > 0,
+      "the sampled controls never changed a pick")
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toVector).toMap
+    for ((id, g) <- knobbed) {
+      var full = prompts(id)
+      for (tok <- g) {
+        val last = full.last
+        val ng = (0 until full.length - 1)
+          .collect { case i if full(i) == last => full(i + 1) }.toSet
+        val lifted = (0 until vocab).forall(ng)
+        assert(lifted || !ng(tok),
+          s"doc $id emitted $tok completing a seen bigram (banned $ng)")
+        full = full :+ tok
+      }
+    }
+
+    // q219 DFA: every output satisfies the grammar (state walk), and
+    // the constraint bites vs plain greedy
+    val dfa = graft.SparkEntry.decodeDfaTrans
+    val gram = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 3, dfaTrans = dfa))
+    for ((id, g) <- gram) {
+      var st = 0
+      for (tok <- g) {
+        assert(dfa(st)(tok) != -1, s"doc $id emitted forbidden $tok in state $st")
+        st = dfa(st)(tok)
+      }
+    }
+    assert(gram.count { case (k, v) => plain(k) != v } > 0,
+      "the grammar never constrained a pick — vacuous DFA")
+
+    // q216 sign margins: along the EMITTED trajectories, every seen
+    // token's raw logit clears the sign boundary the penalty decision
+    // reads (teacher-forced session replay — no sampler needed)
+    var minSeenAbs = Double.MaxValue
+    for ((id, g) <- knobbed) {
+      val sess = m.decodeSession(prompts(id).toArray)
+      var full = prompts(id)
+      for (tok <- g) {
+        val lg = sess.logits()
+        for (j <- 0 until vocab if full.contains(j))
+          minSeenAbs = math.min(minSeenAbs, math.abs(lg(j).toDouble))
+        sess.append(tok)
+        full = full :+ tok
+      }
+    }
+    info(s"q216 sf0.001 min |seen logit| along emitted trajectories: $minSeenAbs")
+    assert(minSeenAbs > 1e-4, s"a penalized logit sits $minSeenAbs from zero")
+  }
+
   test("length-normalized beam with EOS: defaults reduce bit-exactly; alpha bites; margins floor") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
