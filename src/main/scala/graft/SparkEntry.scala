@@ -1451,7 +1451,10 @@ object SparkEntry {
     // boilerplate-detection pass, with ZERO state on a stream (the
     // frozen-artifact discipline; streaming==batch by construction).
     "q190_cms_boiler" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      // one-file fixture: repartition + checkpoint once for the THREE
+      // passes (sketch agg, count, per-doc stats) — the q185/q154 note
+      val d = graft.operators.Checkpoints.cp(t(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")))
       val grams = TextOps.shingles(col("text"), 2)
       val (depth, width) = (4, 1024)
       val counters = d.agg(graft.operators.Profile.Cms
@@ -1552,7 +1555,14 @@ object SparkEntry {
     // rule. Grams = per-doc DISTINCT bigram shingles (boilerplate
     // doc-frequency semantics).
     "q185_cms_heavy" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      // the fixture ships documents as ONE parquet file, so the sketch
+      // aggregate's map side and the exact-count explode each ran as a
+      // single-task stage (2.7s each at sf0.1) — the q154 finding. One
+      // up-front hash repartition + lazy checkpoint parallelizes both
+      // consumers; a real multi-file corpus scans parallel to begin
+      // with, and the CMS counter merge is exact under any split.
+      val d = graft.operators.Checkpoints.cp(t(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")))
       val grams = TextOps.shingles(col("text"), 2)
       val (depth, width) = (4, 1024)
       val skRow = d.agg(graft.operators.Profile.Cms
