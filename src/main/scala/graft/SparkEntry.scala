@@ -2982,7 +2982,14 @@ object SparkEntry {
     // counts are distinct-count aggregations over the same occurrence
     // stream; the one-row type total broadcasts.
     "q170_kn_bigram" -> { (s, dir) =>
-      graft.operators.LmScore.knBigramScore(t(s, dir, "documents"), "doc_id", "text")
+      // one-file fixture: the bigram explode fed both the count build
+      // and the per-doc score join as single-task scans (2.5s at
+      // sf0.1) — repartition + checkpoint once (the q154/q185 note)
+      graft.operators.LmScore.knBigramScore(
+          graft.operators.Checkpoints.cp(t(s, dir, "documents")
+            .repartition(s.sessionState.conf.numShufflePartitions,
+              col("doc_id"))),
+          "doc_id", "text")
         .orderBy("doc_id")
     },
 
