@@ -322,6 +322,56 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming seq2seq NLL filter at ingest == batch q210, bit-for-bit, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch comparator: the full q210 keep decisions
+    val batch = graft.SparkEntry.queries("q210_seq2seq_filter")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+
+    // the same parallel pairs arrive as a stream: scoreSeq2SeqBatched
+    // is a stateless scan-side mapPartitions over broadcast weights —
+    // the frozen-artifact ingest discipline, so it runs unchanged on
+    // the streaming frame with ZERO state
+    val m = graft.SparkEntry.crossGenModel
+    val dvocab = m.seqHead.get.vocab
+    val kvocab = m.encHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val toks = mem.toDF().toDF("doc_id", "text").select(col("doc_id"),
+      call_function("regexp_extract_all", col("text"),
+        lit(graft.Tok.Pattern), lit(0)).as("words"))
+      .select(col("doc_id"),
+        slice(transform(col("words"),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+          1, 6).as("d_ids"),
+        slice(transform(col("words"),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+          1, 12).as("s_ids"))
+      .filter(size(col("d_ids")) >= 2)
+    val q = graft.torch.Torch
+      .scoreSeq2SeqBatched(toks, "d_ids", "s_ids", "nll", bc)
+      .select(col("doc_id"),
+        (size(col("d_ids")) - 1).cast("long").as("n_scored"),
+        (col("nll") < lit(6.4375d)).as("keep"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("s2s_stream_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("s2s_stream_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+      assert(streamed == batch,
+        s"diff: ${streamed.toSet.diff(batch.toSet).take(3)}")
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming audio features at ingest == batch decode on the same payloads") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
