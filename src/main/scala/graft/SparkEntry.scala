@@ -1240,6 +1240,62 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Cross-decoder KNOB PARITY, sampled side (q220): q207's
+    // encoder-decoder nucleus sampler with q211's top-k AND q216's
+    // repetition penalty + no-repeat-bigram composed — every knob
+    // rides the ONE shared Sampling kernel and the ONE shared
+    // sampledStepChain oracle builder (seen/bigram CTEs over the
+    // grown DECODER token CTE).
+    "q220_torch_cross_knobs" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.generateSampledPair(toks, "doc_id", "d_ids", "s_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
+          topK = 3, repetitionPenalty = 1.25, noRepeatNgram = 2)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-decoder EOS early stopping (q221): q206's greedy loop
+    // stops a row at eos (id 5) — the translation-serving shape where
+    // most rows finish before max_new_tokens; stopped rows do no more
+    // session work. Oracle: crossGenOracle's post-eos NULL trimming.
+    "q221_torch_cross_eos" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.generateGreedyPair(toks, "d_ids", "s_ids", "gen", bc,
+          steps = 2, batchSize = 256, eosId = 5)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          try_element_at(col("gen"), lit(2)).as("gen2"))
+        .orderBy("doc_id")
+    },
+
     // SAMPLED decoding (q203, VERDICT r13 gap #2): temperature 0.5 +
     // top-p 0.9 nucleus sampling over the q194 LM — the default
     // generation mode in practice, determinized by the q94/q187
@@ -9529,6 +9585,14 @@ object SparkEntry {
     // (crossGenOracle).
     "q206_torch_cross_gen" -> crossGenOracle(steps = 2),
 
+    // Cross knob parity: top-k + repetition penalty + bigram ban
+    // threaded into the cross sampled chain (same shared builder).
+    "q220_torch_cross_knobs" -> crossGenOracle(steps = 2,
+      sampled = Some((0.5, 0.9)), topK = 3, penalty = Some((1.25, 2))),
+
+    // Cross eos: the greedy chain with post-eos columns NULLed.
+    "q221_torch_cross_eos" -> crossGenOracle(steps = 2, eos = Some(5)),
+
     // Sampled cross decode: the q206 step forward with the q203
     // sampled chain over each step's LM-head logits.
     "q207_torch_cross_sampled" -> crossGenOracle(steps = 2,
@@ -11273,11 +11337,19 @@ object SparkEntry {
          | FROM xk)""".stripMargin
   }
 
+  /** `topK`/`penalty` thread the sampled arm's knobs into the shared
+    * [[sampledStepChain]] (seen/n-gram CTEs over the grown decoder
+    * token CTE); `eos = Some(id)` NULLs the post-eos output columns
+    * like [[generateOracle]] — the engine's early-stopped short
+    * arrays read through try_element_at. */
   private def crossGenOracle(steps: Int,
       sampled: Option[(Double, Double)] = None,
       beam: Boolean = false,
       nllKeepBelow: Option[Double] = None,
-      promptCap: Int = 2): String = {
+      promptCap: Int = 2,
+      topK: Int = Int.MaxValue,
+      penalty: Option[(Double, Int)] = None,
+      eos: Option[Int] = None): String = {
     import graft.torch._
     val g = new CrossOracleGen(crossGenModel)
     import g._
@@ -11306,7 +11378,9 @@ object SparkEntry {
           s"""logit$t AS MATERIALIZED (
              |$logitSql
              |),
-             |${sampledStepChain(t, vocabOut, temp, tp)}""".stripMargin
+             |${sampledStepChain(t, vocabOut, temp, tp, Nil, topK,
+                 penalty.map { case (pn, n) => (pn, n, s"dtoks${t - 1}") })}"""
+            .stripMargin
       }
       s"""$pick,
          |dtoks$t AS MATERIALIZED (
@@ -11319,7 +11393,14 @@ object SparkEntry {
          |    ON l.doc_id = s.doc_id)""".stripMargin
     }.mkString(",\n")
     val outPrefix = if (sampled.isDefined) "sm" else "gen"
-    val outs = (1 to steps).map(t => s"g$t.tid AS $outPrefix$t").mkString(", ")
+    val outs = (1 to steps).map { t =>
+      eos match {
+        case Some(e) if t > 1 =>
+          val stoppedBy = (1 until t).map(u => s"g$u.tid = $e").mkString(" OR ")
+          s"CASE WHEN $stoppedBy THEN NULL ELSE g$t.tid END AS $outPrefix$t"
+        case _ => s"g$t.tid AS $outPrefix$t"
+      }
+    }.mkString(", ")
     val joins = (2 to steps).map(t =>
       s"JOIN $stepName$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
     val prelude = g.prelude(promptCap)

@@ -746,13 +746,15 @@ object Torch {
       outCol: String,
       model: Broadcast[TorchScriptModel],
       steps: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      eosId: Int = -1): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.isCross && model.value.cacheable,
       "generateGreedyPair needs a cacheable cross-attention model " +
         "(causal decoder self-attention + last-position pool)")
+    require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
     val withInts = df
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
@@ -796,12 +798,15 @@ object Torch {
           if (q0 == null || k0 == null) Row.fromSeq(r.toSeq :+ null)
           else {
             val sess = m.decodeSession(q0, k0)
-            val gen = new Array[Int](steps)
+            val gen = scala.collection.mutable.ArrayBuffer.empty[Int]
             var t = 0
-            while (t < steps) {
+            var stopped = false
+            while (t < steps && !stopped) {
               val tid = argmaxFirst(sess.logits())
-              gen(t) = tid
-              sess.append(tid)
+              gen += tid
+              // eos stops the row (the eos itself is emitted; no
+              // further session work — the serving early-exit)
+              if (tid == eosId) stopped = true else sess.append(tid)
               t += 1
             }
             Row.fromSeq(r.toSeq :+ gen.toSeq)
@@ -932,6 +937,12 @@ object Torch {
    * cutoffs — the identical `Sampling` code path, so the two compose
    * with no new numerics).
    */
+  /** Knob parity with [[generateSampled]]: the static banned set,
+    * top-k, the CTRL repetition penalty + no-repeat-n-gram (over the
+    * DECODER-side sequence — the generated text), and min-p all
+    * compose through the same [[Sampling]] kernel; neutral values
+    * reduce bit-exactly (spec-pinned via the single-stream specs —
+    * one shared code path). */
   def generateSampledPair(
       df: DataFrame,
       idCol: String,
@@ -942,10 +953,22 @@ object Torch {
       steps: Int,
       temperature: Double,
       topP: Double,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      banned: Set[Int] = Set.empty,
+      topK: Int = Int.MaxValue,
+      repetitionPenalty: Double = 1.0,
+      noRepeatNgram: Int = 0,
+      minP: Double = 0.0): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(temperature > 0.0, "temperature must be > 0")
     require(topP > 0.0 && topP <= 1.0, "topP must be in (0, 1]")
+    require(banned.size < model.value.outDim,
+      "banned set covers the whole vocabulary")
+    require(topK >= 1, "topK must be >= 1")
+    require(repetitionPenalty > 0.0, "repetitionPenalty must be > 0")
+    require(noRepeatNgram == 0 || noRepeatNgram >= 2,
+      "noRepeatNgram must be 0 (off) or >= 2")
+    require(minP >= 0.0 && minP <= 1.0, "minP must be in [0, 1]")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.isCross && model.value.cacheable,
@@ -985,13 +1008,32 @@ object Torch {
           else {
             val id = r.getAs[Number](idIdx).longValue()
             val sess = m.decodeSession(q0, k0)
+            val full = scala.collection.mutable.ArrayBuffer.from(q0)
             val gen = new Array[Int](steps)
             var t = 1
             while (t <= steps) {
+              val stepBanned: Set[Int] =
+                if (noRepeatNgram < 2 || full.length < noRepeatNgram - 1)
+                  banned
+                else {
+                  val n1 = noRepeatNgram - 1
+                  val suffix = full.takeRight(n1)
+                  val ng = (0 to full.length - noRepeatNgram).iterator.collect {
+                    case i if (0 until n1).forall(k => full(i + k) == suffix(k)) =>
+                      full(i + n1)
+                  }.toSet
+                  if ((0 until vocab).exists(j => !banned.contains(j) && !ng(j)))
+                    banned ++ ng
+                  else banned
+                }
+              val seen: Set[Int] =
+                if (repetitionPenalty != 1.0) full.toSet else Set.empty
               val tid = Sampling.sampleNext(sess.logits(), 0, vocab,
-                temperature, topP, Sampling.draw(id, t))
+                temperature, topP, Sampling.draw(id, t),
+                stepBanned, topK, seen, repetitionPenalty, minP)
               gen(t - 1) = tid
               sess.append(tid)
+              full += tid
               t += 1
             }
             Row.fromSeq(r.toSeq :+ gen.toSeq)

@@ -381,7 +381,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "q213_torch_gen_norepeat", "q214_torch_beam_lennorm",
         "q215_torch_alibi_decode", "q216_torch_sampled_norepeat",
         "q217_torch_gen_eos", "q218_torch_gen_minp",
-        "q219_torch_gen_dfa")) {
+        "q219_torch_gen_dfa", "q220_torch_cross_knobs",
+        "q221_torch_cross_eos")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

@@ -414,6 +414,52 @@ class TorchCrossSpec extends AnyFunSuite {
       "the draft never diverged — the verification arm is untested")
   }
 
+  test("cross knob parity: neutral knobs reduce bit-exactly; knobs bite; eos truncates") {
+    val m = graft.SparkEntry.crossGenModel
+    val dvocab = m.seqHead.get.vocab
+    val kvocab = m.encHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+          1, 2).as("d_ids"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+          1, 12).as("s_ids"))
+      .filter(size(col("d_ids")) >= 1)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // sampled: neutral knob values must be BIT-IDENTICAL to the bare
+    // q207 path (one shared kernel, identical f64 term order)
+    val bare = collectGen(Torch.generateSampledPair(df, "doc_id", "d_ids",
+      "s_ids", "gen", bc, steps = 2, temperature = 0.5, topP = 0.9))
+    val neutral = collectGen(Torch.generateSampledPair(df, "doc_id", "d_ids",
+      "s_ids", "gen", bc, steps = 2, temperature = 0.5, topP = 0.9,
+      topK = dvocab, repetitionPenalty = 1.0, noRepeatNgram = 0, minP = 0.0))
+    assert(neutral == bare, "neutral cross knobs must reduce bit-exactly")
+    // the q220 combination must actually move picks
+    val knobbed = collectGen(Torch.generateSampledPair(df, "doc_id", "d_ids",
+      "s_ids", "gen", bc, steps = 2, temperature = 0.5, topP = 0.9,
+      topK = 3, repetitionPenalty = 1.25, noRepeatNgram = 2))
+    assert(knobbed.count { case (k, v) => bare(k) != v } > 0,
+      "the cross knob combination never changed a pick")
+    // greedy eos: greedy-with-eos == plain greedy truncated at eos
+    val plain = collectGen(Torch.generateGreedyPair(df, "d_ids", "s_ids",
+      "gen", bc, steps = 2))
+    val eosed = collectGen(Torch.generateGreedyPair(df, "d_ids", "s_ids",
+      "gen", bc, steps = 2, eosId = 5))
+    for ((id, g) <- plain) {
+      val cut = g.indexOf(5)
+      val expect = if (cut < 0) g else g.take(cut + 1)
+      assert(eosed(id) == expect, s"doc $id: eos ${eosed(id)} != $expect")
+    }
+    assert(eosed.values.exists(_.length < 2), "cross eos never stopped a row")
+  }
+
   test("TWO-BLOCK cross decoder sessions: per-op caches and shared enc projections compose") {
     // a second (self-attn + LN + cross-attn + LN + FFN + LN) block —
     // every block's cross ops share the ONE per-row encoder output;
