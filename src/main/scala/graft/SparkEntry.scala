@@ -1586,6 +1586,18 @@ object SparkEntry {
         .orderBy("q_id", "mmr_rank")
     },
 
+    // RAG token-window chunking (q222): the retrieval-ingestion
+    // splitter — window-16 chunks advancing by stride 12 (4-token
+    // overlap so boundary context survives the cut), the final
+    // shorter chunk kept (dropping tails silently loses up to 15
+    // tokens/doc at corpus scale). One scan-side HOF pass + ONE
+    // posexplode, no shuffle; chunk text crosses the gate as md5.
+    "q222_chunk_windows" -> { (s, dir) =>
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          window = 16, stride = 12)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Character entropy (q186): the repetitive-garbage quality signal
     // (near-zero bits for boilerplate runs, ~4+ for natural language)
     // as one scan-side sorted-runs aggregate HOF — no explode, no
@@ -3737,6 +3749,50 @@ object SparkEntry {
         .select(col("doc_id"),
           call_function("argmax", col("logits")).as("conv_class"))
         .orderBy("doc_id")
+    },
+
+    // NEAR-DUP IMAGE detection via perceptual dHash (q223): the
+    // multimodal complement of SimHash text dedup — 9x8 grayscale
+    // PGMs (through the real codec), the 64-bit horizontal-gradient
+    // difference hash per image, then the SAME hamming-banded join
+    // (Dedup.hammingPairs64 — pigeonhole chunks, popcount verify,
+    // never all-pairs). Planted near-dups: docs < 50 re-appear with
+    // ONE pixel shifted (+17 mod 256), flipping <= 2 gradient signs —
+    // every planted pair lands within hamming 3, no organic pair can
+    // (random 64-bit hashes collide within 3 bits with p ~ 2^-49;
+    // simulated: exactly the 50 planted pairs at sf0.01's 550
+    // images). The oracle restates the md5 pixels, the 64 gradient
+    // bits, and brute-force hamming over split 32-bit halves.
+    "q223_image_dhash_dedup" -> { (s, dir) =>
+      // md5-avalanched pixels (the seeded-draw recipe both engines
+      // restate bit-exactly): random-looking gradients, so the ONLY
+      // hamming<=3 pairs are the planted ones (simulated: 50/50
+      // planted, 0 organic at 550 images; the q128 linear formula
+      // gave 900+ organic collisions from low-bit correlation)
+      val synth = udf((id: Long, pert: Int) => {
+        val header = "P5\n9 8\n255\n".getBytes("US-ASCII")
+        val src = if (pert == 1) id - 10000L else id
+        val px = Array.tabulate(72) { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$src:$i".getBytes("UTF-8"))
+          val hex = md.take(4).map(b => f"$b%02x").mkString
+          val base = (java.lang.Long.parseLong(hex, 16) % 256).toByte
+          if (pert == 1 && i == 40) ((base & 0xff) + 17).toByte else base
+        }
+        header ++ px
+      })
+      val docs = t(s, dir, "documents").select("doc_id")
+      val all = docs.select(col("doc_id").as("img_id"), lit(0).as("pert"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000L).as("img_id"), lit(1).as("pert")))
+      val imgs = Multimodal.resizeImage(
+        all.select(col("img_id"), synth(col("img_id"), col("pert")).as("img")),
+        "img", "px", 9, 8)
+      val fp = Multimodal.dHash64(
+        imgs.select(col("img_id"), col("px.pixels").as("pixels")),
+        "pixels", "fp")
+      graft.operators.Dedup.hammingPairs64(fp, "img_id", "fp", maxHamming = 3)
+        .orderBy("a", "b")
     },
 
     // Video modality THROUGH the real ISO-BMFF container codec: a
@@ -9551,6 +9607,72 @@ object SparkEntry {
     // CTE's WHERE — both prefix filters on the same candidate order.
     "q211_torch_gen_topk" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 0.9, topK = 3),
+
+    // Image dHash near-dup: closed-form pixels (the q128 formula at
+    // 9x8 + the planted +17 perturbation at cell (4,4)), 64 gradient
+    // bits packed as two 32-bit halves (DuckDB sum(BIGINT) promotes
+    // to HUGEINT and bit 63 overflows signed — halves avoid both),
+    // brute-force hamming <= 3 pairs (the oracle may all-pairs; the
+    // engine must not).
+    "q223_image_dhash_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS id, doc_id AS src, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS id, doc_id AS src, 1 AS pert
+        |  FROM documents WHERE doc_id < 50),
+        |cells AS (
+        |  SELECT id, src, pert, rr.r, cc.c
+        |  FROM imgs,
+        |    (SELECT unnest(range(0, 8)) AS r) rr,
+        |    (SELECT unnest(range(0, 8)) AS c) cc),
+        |bits AS (
+        |  SELECT id, r, c,
+        |    CASE WHEN
+        |      (CAST('0x' || substring(md5(CAST(src AS VARCHAR) || ':' ||
+        |         CAST(r * 9 + c AS VARCHAR)), 1, 8) AS BIGINT) % 256
+        |       + CASE WHEN pert = 1 AND r = 4 AND c = 4 THEN 17 ELSE 0 END) % 256
+        |      >
+        |      (CAST('0x' || substring(md5(CAST(src AS VARCHAR) || ':' ||
+        |         CAST(r * 9 + c + 1 AS VARCHAR)), 1, 8) AS BIGINT) % 256
+        |       + CASE WHEN pert = 1 AND r = 4 AND c + 1 = 4 THEN 17 ELSE 0 END) % 256
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM cells),
+        |fp AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN r * 8 + c < 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INT))
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN r * 8 + c >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(r * 8 + c - 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY id)
+        |SELECT fa.id AS a, fb.id AS b,
+        |  CAST(bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi))
+        |    AS INT) AS hamming
+        |FROM fp fa JOIN fp fb ON fa.id < fb.id
+        |WHERE bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // Token-window chunking: per doc, ceil((L-16)/12)+1 windows at
+    // stride 12 (DuckDB list slicing clamps at L exactly like Spark's
+    // slice-with-length); chunk text compared as md5 fingerprints.
+    "q222_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    CASE WHEN len(ws) <= 16 THEN 1
+        |         ELSE (len(ws) - 16 + 11) // 12 + 1 END AS nc
+        |  FROM toks WHERE len(ws) >= 1),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_idx, ws[i*12 + 1 : i*12 + 16] AS chunk
+        |  FROM (SELECT doc_id, ws, n, unnest(range(0, nc)) AS i FROM base))
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+        |FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Repetition penalty + no-repeat-bigram: per step, seen tokens
     // rescale in f64 and bigram completions are banned (fallback:

@@ -390,15 +390,36 @@ object Dedup {
       textCol: String,
       n: Int,
       maxHamming: Int): DataFrame = {
-    require(maxHamming <= 15, "chunked banding assumes maxHamming <= 15")
     graft.functions.SimHash64.register(df.sparkSession)
-    val chunks = maxHamming + 1 // hamming<=k => some chunk of k+1 equal chunks matches
-    val width = 64 / chunks
-    val fp = df.select(col(idCol),
+    hammingPairs64(df.select(col(idCol),
       graft.functions.SimHash64.simhash64(
         graft.functions.ShingleHashes.shingle_hashes(df.sparkSession, col(textCol), n))
-        .as("fp"))
-    val banded = fp.select(col(idCol), col("fp"),
+        .as("fp")), idCol, "fp", maxHamming)
+  }
+
+  /** The banded near-dup join over ANY 64-bit fingerprint column —
+    * [[simHashPairs]]'s machinery factored out so other perceptual
+    * hashes ride it (q223's image dHash): candidates via the
+    * pigeonhole principle (hamming <= k over 64 bits implies one of
+    * k+1 equal-width chunks matches), popcount-verified. NEVER
+    * all-pairs: candidate volume is bounded by per-chunk-value bucket
+    * sizes, the same scale shape as MinHash banding.
+    * Output: (a, b, hamming), a < b, hamming <= maxHamming (<= 15). */
+  def hammingPairs64(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int): DataFrame = {
+    val df = fp
+    require(maxHamming <= 15, "chunked banding assumes maxHamming <= 15")
+    val chunks = maxHamming + 1 // hamming<=k => some chunk of k+1 equal chunks matches
+    val width = 64 / chunks
+    // normalize the fingerprint column name in its OWN projection —
+    // aliasing and chunk-exploding it in one select makes Spark 4
+    // resolve the chunk expression as a lateral column alias (internal
+    // analyzer error under Generate)
+    val fpNorm = fp.select(col(idCol), col(fpCol).as("fp"))
+    val banded = fpNorm.select(col(idCol), col("fp"),
       posexplode(transform(
         sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftrightunsigned", col("fp"), c * lit(width))

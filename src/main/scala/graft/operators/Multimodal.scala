@@ -845,4 +845,38 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** 64-bit DIFFERENCE HASH (dHash) of a grayscale pixel payload —
+    * the perceptual image fingerprint for NEAR-DUP IMAGE detection
+    * (the multimodal complement of SimHash): over the classic
+    * `w x h = 9 x 8` layout, bit `r*(w-1)+c` is set iff
+    * `px[r,c] > px[r,c+1]` (horizontal gradient sign), so the hash is
+    * invariant to global brightness/contrast shifts and small pixel
+    * perturbations flip few bits — exactly what a hamming-banded join
+    * ([[Dedup.hammingPairs64]]) needs to bucket re-encoded or
+    * slightly-edited copies WITHOUT all-pairs work. Scan-side UDF, no
+    * shuffle; null/wrong-size payloads hash to null (decode-failure
+    * rows survive, like every codec path here). */
+  def dHash64(df: DataFrame, pixelsCol: String, outCol: String,
+      w: Int = 9, h: Int = 8): DataFrame = {
+    require((w - 1) * h == 64, s"dHash needs (w-1)*h == 64, got ${(w - 1) * h}")
+    val f = udf { px: Array[Byte] =>
+      if (px == null || px.length != w * h) null
+      else {
+        var fp = 0L
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w - 1) {
+            if ((px(r * w + c) & 0xff) > (px(r * w + c + 1) & 0xff))
+              fp |= 1L << (r * (w - 1) + c)
+            c += 1
+          }
+          r += 1
+        }
+        java.lang.Long.valueOf(fp)
+      }
+    }
+    df.withColumn(outCol, f(col(pixelsCol)))
+  }
 }

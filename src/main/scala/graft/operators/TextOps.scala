@@ -245,4 +245,41 @@ object TextOps {
     concat(auth, path,
       when(length(cleanQ) > 0, concat(lit("?"), cleanQ)).otherwise(lit("")))
   }
+
+  /** RAG-ingestion token-window CHUNKING: split each document's token
+    * stream into `window`-token chunks advancing by `stride` (overlap
+    * = window − stride — the retrieval-ingestion default so no
+    * boundary sentence is lost to a hard cut). Chunk count is the
+    * standard `1 + ceil((L − window)/stride)` for L > window, else 1;
+    * the final chunk may be shorter (it is never dropped — dropping
+    * the tail silently loses up to window−1 tokens per doc at corpus
+    * scale). One scan-side HOF pass + ONE posexplode — no shuffle at
+    * any corpus size; chunk text crosses the oracle gate as an md5
+    * fingerprint (the pandas comparator cannot hash long strings
+    * cheaply and list cells not at all).
+    *
+    * Output: (idCol, chunk_idx, n_chunk_tokens, chunk_fp). Empty docs
+    * (no tokens) emit nothing, like the explode-of-empty convention
+    * everywhere else in this repo. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(stride >= 1 && stride <= window,
+      "stride must be in [1, window] (stride > window would drop tokens)")
+    val toks = call_function("regexp_extract_all", col(textCol),
+      lit(Tok.Pattern), lit(0))
+    val nTok = size(toks)
+    // ceil((L - window)/stride) + 1 — Spark's `/` is fractional, so
+    // floor() it back; doubles are exact at any realistic L
+    val nChunks = when(nTok <= window, lit(1))
+      .otherwise(floor((nTok - window + stride - 1) / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(window)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        size(col("col")).as("n_chunk_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_fp"))
+  }
 }
