@@ -163,6 +163,51 @@ object StressR18 {
     require(done > 0, "eos never completed a beam at scale")
     beams.unpersist()
 
+    // ---- 3b. ingestion ops at 500k rows -----------------------------
+    // chunking: 500k synthetic ~40-token docs -> windows; coverage is
+    // exact by construction (chunk counts restated client-side)
+    val texts = spark.range(500000L).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), pmod(col("id"), lit(50)) + 4),
+        i => concat(lit("t"), pmod(col("id") * 31L + i, lit(977)))), " ")
+        .as("text"))
+    val chunks = graft.operators.TextOps
+      .chunkTokens(texts, "doc_id", "text", window = 16, stride = 12)
+    val nCh = timed("token chunking, 500k docs")(chunks.count())
+    val expCh = spark.range(500000L).select(
+      (pmod(col("id"), lit(50)) + 5).as("L"))
+      .select(when(col("L") <= 16, 1L)
+        .otherwise(floor((col("L") - 16 + 11) / 12).cast("long") + 1).as("nc"))
+      .agg(sum("nc")).head().getLong(0)
+    require(nCh == expCh, s"chunk count $nCh != expected $expCh")
+
+    // dHash dedup: 500k random md5-pixel images + 5k planted one-pixel
+    // copies -> the banded join must find EXACTLY the planted pairs
+    val synth = udf((id: Long, pert: Int) => {
+      val src = if (pert == 1) id - 10000000L else id
+      val px = Array.tabulate(72) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$src:$i".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        val base = (java.lang.Long.parseLong(hex, 16) % 256).toByte
+        if (pert == 1 && i == 40) ((base & 0xff) + 17).toByte else base
+      }
+      px
+    })
+    val ids = spark.range(500000L).select(col("id").as("img_id"), lit(0).as("pert"))
+      .unionByName(spark.range(5000L)
+        .select((col("id") + 10000000L).as("img_id"), lit(1).as("pert")))
+    val fps = graft.operators.Multimodal.dHash64(
+      ids.select(col("img_id"), synth(col("img_id"), col("pert")).as("pixels")),
+      "pixels", "fp")
+    val dpairs = graft.operators.Dedup
+      .hammingPairs64(fps, "img_id", "fp", maxHamming = 3).cache()
+    val nP = timed("dHash banded near-dup join, 505k images")(dpairs.count())
+    val planted = dpairs.filter(col("b") - col("a") === 10000000L).count()
+    println(s"[stress] dHash pairs: $nP total, $planted planted of 5000")
+    require(planted == 5000L, s"missed planted image pairs: $planted")
+    require(nP - planted <= 5L, s"organic dHash collisions exploded: ${nP - planted}")
+    dpairs.unpersist()
+
     // ---- 4. ALiBi/causal-window KV-session A/B (driver) ------------
     val am = SparkEntry.alibiLmModel
     require(am.cacheable, "banded-bias LM must session")
