@@ -1598,6 +1598,35 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Chunk-level quality gate (q224): the RAG-ingestion composition
+    // of q222 + q186 — chunk every doc (16/12 with overlap), score
+    // each chunk's char entropy, drop low-entropy chunks (boilerplate
+    // windows inside otherwise-good docs — DOC-level filtering can't
+    // see them), and keep each doc's BEST chunk (entropy quantized to
+    // 6dp before the pick + chunk_idx tiebreak — the discrete-decision
+    // rule). One chunk explode, one doc-keyed window + agg.
+    "q224_chunk_quality_gate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ch = TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        window = 16, stride = 12, withText = true)
+      val kept = ch.select(col("doc_id"), col("chunk_idx"),
+          round(TextOps.charEntropy(col("chunk_text")), 6).as("ent"))
+        // 3.9 drops 27% of sf0.1's chunks (6249/23155) with a 2e-5
+        // min distance from the quantized values to the boundary
+        .filter(col("ent") >= 3.9D)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("ent").desc, col("chunk_idx"))
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_kept"))
+      val best = kept.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("chunk_idx").as("best_idx"),
+          col("ent").as("best_entropy"))
+      agg.join(best, "doc_id")
+        .select("doc_id", "n_kept", "best_idx", "best_entropy")
+        .orderBy("doc_id")
+    },
+
     // Character entropy (q186): the repetitive-garbage quality signal
     // (near-zero bits for boilerplate runs, ~4+ for natural language)
     // as one scan-side sorted-runs aggregate HOF — no explode, no
@@ -9652,6 +9681,46 @@ object SparkEntry {
         |FROM fp fa JOIN fp fb ON fa.id < fb.id
         |WHERE bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi)) <= 3
         |ORDER BY a, b""".stripMargin,
+
+    // Chunk quality gate: the q222 chunk CTEs + the q186 entropy
+    // formula per chunk, 6dp-quantized before the keep threshold and
+    // the best-chunk pick (idx tiebreak).
+    "q224_chunk_quality_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    CASE WHEN len(ws) <= 16 THEN 1
+        |         ELSE (len(ws) - 16 + 11) // 12 + 1 END AS nc
+        |  FROM toks WHERE len(ws) >= 1),
+        |chk AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(ws[i*12 + 1 : i*12 + 16], ' ') AS ct
+        |  FROM (SELECT doc_id, ws, n, unnest(range(0, nc)) AS i FROM base)),
+        |cch AS (
+        |  SELECT doc_id, chunk_idx, unnest(regexp_extract_all(ct, '[\s\S]')) AS c
+        |  FROM chk),
+        |rc AS (SELECT doc_id, chunk_idx, c, CAST(count(*) AS DOUBLE) AS k
+        |       FROM cch GROUP BY 1, 2, 3),
+        |ag AS (SELECT doc_id, chunk_idx, sum(k) AS n, sum(k * ln(k)) AS acc
+        |       FROM rc GROUP BY 1, 2),
+        |ent AS (SELECT doc_id, chunk_idx,
+        |          round((ln(n) - acc / n) / ln(CAST(2.0 AS DOUBLE)), 6) AS ent
+        |        FROM ag),
+        |kept AS (SELECT * FROM ent WHERE ent >= CAST(3.9 AS DOUBLE)),
+        |nk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+        |       FROM kept GROUP BY doc_id),
+        |best AS (
+        |  SELECT doc_id, chunk_idx, ent,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY ent DESC, chunk_idx) AS rk
+        |  FROM kept)
+        |SELECT b.doc_id, nk.n_kept, CAST(b.chunk_idx AS INT) AS best_idx,
+        |  b.ent AS best_entropy
+        |FROM best b JOIN nk ON nk.doc_id = b.doc_id
+        |WHERE b.rk = 1
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Token-window chunking: per doc, ceil((L-16)/12)+1 windows at
     // stride 12 (DuckDB list slicing clamps at L exactly like Spark's

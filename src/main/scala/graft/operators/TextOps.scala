@@ -258,11 +258,14 @@ object TextOps {
     * fingerprint (the pandas comparator cannot hash long strings
     * cheaply and list cells not at all).
     *
-    * Output: (idCol, chunk_idx, n_chunk_tokens, chunk_fp). Empty docs
-    * (no tokens) emit nothing, like the explode-of-empty convention
-    * everywhere else in this repo. */
+    * Output: (idCol, chunk_idx, n_chunk_tokens, chunk_fp [, chunk_text
+    * when `withText` — for downstream per-chunk scoring; fingerprints
+    * otherwise, since the oracle gate can't hash long strings
+    * cheaply]). Empty docs (no tokens) emit nothing, like the
+    * explode-of-empty convention everywhere else in this repo. */
   def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, window: Int, stride: Int,
+      withText: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(stride >= 1 && stride <= window,
       "stride must be in [1, window] (stride > window would drop tokens)")
@@ -273,13 +276,15 @@ object TextOps {
     // floor() it back; doubles are exact at any realistic L
     val nChunks = when(nTok <= window, lit(1))
       .otherwise(floor((nTok - window + stride - 1) / stride).cast("int") + 1)
-    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+    val base = df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
       .filter(size(col("__toks")) >= 1)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), col("__nc") - 1),
           i => slice(col("__toks"), i * stride + 1, lit(window)))))
-      .select(col(idCol), col("pos").as("chunk_idx"),
-        size(col("col")).as("n_chunk_tokens"),
-        md5(array_join(col("col"), " ")).as("chunk_fp"))
+    val out = base.select(col(idCol), col("pos").as("chunk_idx"),
+      size(col("col")).as("n_chunk_tokens"),
+      md5(array_join(col("col"), " ")).as("chunk_fp"),
+      array_join(col("col"), " ").as("chunk_text"))
+    if (withText) out else out.drop("chunk_text")
   }
 }
