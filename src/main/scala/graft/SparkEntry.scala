@@ -1607,13 +1607,20 @@ object SparkEntry {
     // rule). One chunk explode, one doc-keyed window + agg.
     "q224_chunk_quality_gate" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ch = TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+      // one-file fixture + two consumers (count agg, best window):
+      // repartition before the chunk explode so the entropy compute
+      // parallelizes, checkpoint after it so it runs ONCE (the
+      // q154/q185 note; 9.2s -> parallel single pass at sf0.1)
+      val docs = t(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      val ch = TextOps.chunkTokens(docs, "doc_id", "text",
         window = 16, stride = 12, withText = true)
-      val kept = ch.select(col("doc_id"), col("chunk_idx"),
-          round(TextOps.charEntropy(col("chunk_text")), 6).as("ent"))
-        // 3.9 drops 27% of sf0.1's chunks (6249/23155) with a 2e-5
-        // min distance from the quantized values to the boundary
-        .filter(col("ent") >= 3.9D)
+      val kept = graft.operators.Checkpoints.cp(
+        ch.select(col("doc_id"), col("chunk_idx"),
+            round(TextOps.charEntropy(col("chunk_text")), 6).as("ent"))
+          // 3.9 drops 27% of sf0.1's chunks (6249/23155) with a 2e-5
+          // min distance from the quantized values to the boundary
+          .filter(col("ent") >= 3.9D))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("ent").desc, col("chunk_idx"))
       val agg = kept.groupBy("doc_id")

@@ -392,6 +392,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-15 ingestion ops: chunking is scan-side; the dHash join is banded, never a product") {
+    // q222: tokenize + ONE posexplode + the output sort — any other
+    // exchange means the chunker started shuffling text
+    val p222 = plan("q222_chunk_windows")
+    assert("Exchange".r.findAllIn(p222).length <= 1,
+      s"q222 chunker shuffled beyond the output sort:\n$p222")
+    assert("Generate".r.findAllIn(p222).length == 1,
+      s"q222: expected exactly one explode:\n$p222")
+    // q223: the hamming-banded self-join — keyed exchanges are the
+    // design; a CartesianProduct (all-pairs) is the regression
+    val p223 = plan("q223_image_dhash_dedup")
+    assert(!p223.contains("CartesianProduct") &&
+      !p223.contains("BroadcastNestedLoopJoin"),
+      s"q223 dHash join degenerated to all-pairs:\n$p223")
+    // q224: chunk + entropy + a doc-keyed ranking window; no product
+    // plans (the window node renders multiple "Window" tokens under
+    // AQE, so pin presence + keying rather than a token count)
+    val p224 = plan("q224_chunk_quality_gate")
+    assert(!p224.contains("CartesianProduct"), s"q224 cartesian:\n$p224")
+    assert(p224.contains("Window") && p224.contains("row_number"),
+      s"q224 lost its ranking window:\n$p224")
+  }
+
   test("round-13 PCA family: the Gram pass is one partial/final aggregate, nothing row-shaped exchanged") {
     import org.apache.spark.sql.functions.col
     // the fit itself runs eagerly inside the query builder, so audit
