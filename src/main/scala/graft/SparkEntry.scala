@@ -305,6 +305,22 @@ object SparkEntry {
     },
 
     // ---------------- embeddings: similarity search -----------------
+    // Margin-based BITEXT MINING (q225): the LASER/CCMatrix
+    // parallel-corpus miner — pairs score by cosine RELATIVE to each
+    // side's neighborhood density (the ratio margin that suppresses
+    // hub vectors), each even-id vector keeping its best odd-id mate
+    // above margin 1.0. Quantize-before-arithmetic discipline: 6dp
+    // cosines, rank-pivoted explicit-order neighbor sums, 6dp margin
+    // before the threshold and the pick (Similarity.marginMine).
+    "q225_bitext_margin" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val xs = emb.filter(col("vec_id") % 2 === 0)
+      val ys = emb.filter(col("vec_id") % 2 === 1)
+      graft.operators.Similarity.marginMine(xs, ys, "vec_id", "embedding",
+          k = 4, threshold = 1.0)
+        .orderBy("x_id")
+    },
+
     "q24_knn_brute" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
@@ -9120,6 +9136,56 @@ object SparkEntry {
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
         | TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Bitext margin: all cross pairs' raw cosine for the ranks (the
+    // q24 contract), 6dp values for every arithmetic input, the
+    // rank-pivoted neighbor sums in explicit c1+..+c4 order, margin
+    // re-quantized before threshold and pick.
+    "q225_bitext_margin" ->
+      """WITH xe AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |ye AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+        |       FROM embeddings WHERE vec_id % 2 = 1),
+        |p AS MATERIALIZED (
+        |  SELECT x.id AS x_id, y.id AS y_id,
+        |    list_cosine_similarity(x.e, y.e) AS cos,
+        |    round(list_cosine_similarity(x.e, y.e), 6) AS cos6
+        |  FROM xe x, ye y),
+        |fr AS MATERIALIZED (
+        |  SELECT x_id, y_id, cos6,
+        |    row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rk
+        |  FROM p QUALIFY rk <= 4),
+        |br AS MATERIALIZED (
+        |  SELECT y_id, cos6,
+        |    row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rk
+        |  FROM p QUALIFY rk <= 4),
+        |fs AS (SELECT x_id,
+        |         max(CASE WHEN rk = 1 THEN cos6 END)
+        |         + max(CASE WHEN rk = 2 THEN cos6 END)
+        |         + max(CASE WHEN rk = 3 THEN cos6 END)
+        |         + max(CASE WHEN rk = 4 THEN cos6 END) AS x_sum
+        |       FROM fr GROUP BY x_id),
+        |bs AS (SELECT y_id,
+        |         max(CASE WHEN rk = 1 THEN cos6 END)
+        |         + max(CASE WHEN rk = 2 THEN cos6 END)
+        |         + max(CASE WHEN rk = 3 THEN cos6 END)
+        |         + max(CASE WHEN rk = 4 THEN cos6 END) AS y_sum
+        |       FROM br GROUP BY y_id),
+        |cand AS (
+        |  SELECT fr.x_id, fr.y_id,
+        |    round(fr.cos6 / ((fs.x_sum / CAST(4 AS DOUBLE)
+        |      + bs.y_sum / CAST(4 AS DOUBLE)) / CAST(2 AS DOUBLE)), 6) AS margin
+        |  FROM fr
+        |  JOIN fs ON fs.x_id = fr.x_id
+        |  JOIN bs ON bs.y_id = fr.y_id),
+        |kept AS (SELECT * FROM cand WHERE margin >= CAST(1.0 AS DOUBLE)),
+        |best AS (
+        |  SELECT x_id, y_id, margin,
+        |    row_number() OVER (PARTITION BY x_id
+        |                       ORDER BY margin DESC, y_id) AS rk
+        |  FROM kept)
+        |SELECT x_id, y_id, margin FROM best WHERE rk = 1
+        |ORDER BY x_id""".stripMargin,
 
     "q24_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),

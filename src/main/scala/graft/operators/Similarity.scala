@@ -79,6 +79,60 @@ object Similarity {
    * IVFADC shortlist ([[ivfPqTopKFilteredReranked]] with a
    * label-mismatch predicate) — the ranking contract stays identical.
    */
+  /**
+   * MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019 — the
+   * LASER/CCMatrix parallel-corpus miner): a cross-side pair (x, y)
+   * scores by its cosine RELATIVE to each side's neighborhood
+   * density, `margin = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)` —
+   * the ratio margin that suppresses hub vectors plain cosine
+   * thresholds mis-mine. Candidates are x's forward top-k; each x
+   * keeps its best-margin y above `threshold`.
+   *
+   * Determinism discipline: neighbor ranks use raw cosine (id
+   * tiebreak, the q24 contract); every value ENTERING arithmetic is
+   * first quantized to 6 dp, the k neighbor terms sum in EXPLICIT
+   * rank order (a rank-pivoted c1+c2+...+ck, not an orderless avg()
+   * — f64 addition is order-sensitive), and the margin re-quantizes
+   * to 6 dp before the keep threshold and the best-pair pick.
+   *
+   * Scale shape: the brute-force comparator (broadcast queries, keyed
+   * window top-k) — at corpus scale swap the candidate generator for
+   * the IVFADC shortlist ([[ivfPqTopKReranked]]), the ranking and
+   * margin contract unchanged (the [[hardNegatives]] note).
+   *
+   * @return (x_id, y_id, margin) — x's best mined mate, margin 6 dp
+   */
+  def marginMine(
+      xs: DataFrame,
+      ys: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val fwd = bruteForceTopK(ys, xs, idCol, embCol, k)
+      .select(col("q_id").as("x_id"), col("rank"),
+        col("vec_id").as("y_id"), round(col("cos"), 6).as("cos6"))
+    val bwd = bruteForceTopK(xs, ys, idCol, embCol, k)
+      .select(col("q_id").as("y_id"), col("rank"), round(col("cos"), 6).as("cos6"))
+    def rankSum(df: DataFrame, key: String, out: String): DataFrame =
+      df.groupBy(key).agg(
+        (1 to k).map(r => max(when(col("rank") === r, col("cos6"))))
+          .reduce(_ + _).as(out))
+    val ax = rankSum(fwd, "x_id", "x_sum")
+    val ay = rankSum(bwd, "y_id", "y_sum")
+    val kD = lit(k.toDouble)
+    val cand = fwd.join(ax, "x_id").join(ay, "y_id")
+      .withColumn("margin", round(
+        col("cos6") / ((col("x_sum") / kD + col("y_sum") / kD) / lit(2.0)), 6))
+      .filter(col("margin") >= threshold)
+    val w = Window.partitionBy("x_id")
+      .orderBy(col("margin").desc, col("y_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("x_id"), col("y_id"), col("margin"))
+  }
+
   def hardNegatives(
       corpus: DataFrame,
       queries: DataFrame,

@@ -372,6 +372,37 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token chunking at ingest == batch q222, bit-for-bit, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q222_chunk_windows")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    // chunking is a stateless scan-side HOF + explode — it runs
+    // unchanged on a streaming frame (the RAG ingest-time splitter)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.chunkTokens(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        window = 16, stride = 12)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("chunk_stream_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+        .toMap
+      assert(streamed == batch,
+        s"diff: ${streamed.toSet.diff(batch.toSet).take(3)}")
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming audio features at ingest == batch decode on the same payloads") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
