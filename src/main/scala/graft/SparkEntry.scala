@@ -305,6 +305,24 @@ object SparkEntry {
     },
 
     // ---------------- embeddings: similarity search -----------------
+    // ColBERT-style MaxSim retrieval (q226): late interaction — per
+    // query token, the MAX cosine over the doc's token embeddings,
+    // summed; the per-token matching a single pooled vector can't
+    // express. Scan-side scoring over a broadcast dyadic table (every
+    // cosine bit-identical cross-engine), top-10 via orderBy+limit
+    // (TakeOrderedAndProject).
+    "q226_maxsim_colbert" -> { (s, dir) =>
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => (conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % 32)
+            .cast("int"))
+          .as("tok_ids"))
+      graft.operators.Retrieval.maxSimTopK(toks, "doc_id", "tok_ids",
+          maxSimEmb, maxSimQueryIds, k = 10)
+        .orderBy(col("maxsim").desc, col("doc_id"))
+    },
+
     // Margin-based BITEXT MINING (q225): the LASER/CCMatrix
     // parallel-corpus miner — pairs score by cosine RELATIVE to each
     // side's neighborhood density (the ratio margin that suppresses
@@ -5992,6 +6010,25 @@ object SparkEntry {
       LinearLayer(qvals(32, 1797, 4.0), qvals(8, 1799, 0.25), 8, 4)))
   }
 
+  /** q226's token-embedding table (vocab 32, dim 4, 1/16-grid dyadic
+    * — dots/norms are then EXACT f64 and every cosine bit-identical
+    * cross-engine) and the three query-term ids (the q125 search
+    * terms tokenized by the same md5 rule as doc tokens). */
+  private[graft] lazy val maxSimEmb: Array[Array[Float]] = {
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    Array.tabulate(32)(t => qvals(4, 2101 + t, 2.0))
+  }
+
+  private[graft] lazy val maxSimQueryIds: Seq[Int] =
+    Seq("spark", "join", "dup").map { term =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 32).toInt
+    }
+
   /** q219's toy decode grammar (3 states over the vocab-8 LM): state
     * 0 allows tokens {0..3}, state 1 {4..7}, state 2 the even tokens;
     * emitting token t from state s moves to `(s + 1 + t%2) % 3`.
@@ -9137,6 +9174,11 @@ object SparkEntry {
         | TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // MaxSim: per (doc token, query term) cosine from the dyadic
+    // VALUES table (exact f64 dots/norms, the engine's exact
+    // dot/(sqrt*sqrt) op shape), per-term max, term-order sum, 6dp.
+    "q226_maxsim_colbert" -> maxSimOracle,
+
     // Bitext margin: all cross pairs' raw cosine for the ranks (the
     // q24 contract), 6dp values for every arithmetic input, the
     // rank-pivoted neighbor sums in explicit c1+..+c4 order, margin
@@ -11948,6 +11990,54 @@ object SparkEntry {
        |FROM kept k1 JOIN kept k2
        |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
        |ORDER BY k1.doc_id""".stripMargin
+  }
+
+  /** The q226 MaxSim oracle: per (doc token, query term) cosine from
+    * the dyadic embedding VALUES table — dots and norms are EXACT f64
+    * (1/16-grid weights), sqrt/divide correctly rounded, and the
+    * expression shape matches the engine's `dot / (sqrt(na) *
+    * sqrt(nb))` exactly, so cosines are bit-identical and only the
+    * final per-doc score rounds (6 dp) for the gate. Per-term max,
+    * term-order sum, top-10 by (score DESC, doc_id). */
+  private def maxSimOracle: String = {
+    val emb = maxSimEmb
+    val qids = maxSimQueryIds
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    def fmtD(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val rows = emb.zipWithIndex.map { case (e, t) =>
+      (0 until 4).map(j => fmtF(e(j))).mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val cosSel = qids.zipWithIndex.map { case (q, i) =>
+      val qe = emb(q).map(_.toDouble)
+      val nq = qe.map(x => x * x).sum
+      val dot = (0 until 4).map(j => s"w$j*${fmtD(qe(j))}").mkString(" + ")
+      s"($dot) / (sqrt(w0*w0 + w1*w1 + w2*w2 + w3*w3) * sqrt(${fmtD(nq)})) AS c$i"
+    }.mkString(",\n   ")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 32 AS tid
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w
+       |        FROM documents)),
+       |embw(tid, r0, r1, r2, r3) AS (VALUES
+       |    $rows),
+       |ew AS (SELECT tid, CAST(r0 AS DOUBLE) AS w0, CAST(r1 AS DOUBLE) AS w1,
+       |              CAST(r2 AS DOUBLE) AS w2, CAST(r3 AS DOUBLE) AS w3
+       |       FROM embw),
+       |sc AS (SELECT doc_id,
+       |   $cosSel
+       | FROM words JOIN ew USING (tid)),
+       |mx AS (SELECT doc_id, max(c0) AS m0, max(c1) AS m1, max(c2) AS m2
+       |       FROM sc GROUP BY doc_id)
+       |SELECT doc_id, round(m0 + m1 + m2, 6) AS maxsim
+       |FROM mx
+       |ORDER BY maxsim DESC, doc_id
+       |LIMIT 10""".stripMargin
   }
 
   /** The q182/q189 PCA chain: population covariance from per-pair

@@ -155,4 +155,60 @@ object Retrieval {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }
+
+  /** ColBERT-style MaxSim LATE-INTERACTION retrieval (Khattab &
+    * Zaharia 2020): score(doc) = Σ over query tokens of the MAX over
+    * doc tokens of cos(E[q], E[t]) — per-token matching that a single
+    * pooled vector cannot express (a doc mentioning every query term
+    * once beats a doc repeating one term). Scan-side: the token
+    * embedding table and the query-term ids ride ONE broadcast, each
+    * doc scores in O(|doc| · |query| · dim) with no shuffle, and the
+    * top-k short-circuits through orderBy+limit
+    * (TakeOrderedAndProject) — the 100 TB shape. With a DYADIC
+    * embedding table every cosine is bit-identical cross-engine
+    * (exact f64 dots/norms, correctly-rounded sqrt/divide), so only
+    * the final score quantizes (6 dp) for the gate.
+    *
+    * @return top-k (idCol, maxsim) by (score DESC, id) */
+  def maxSimTopK(df: DataFrame, idCol: String, tokCol: String,
+      emb: Array[Array[Float]], queryIds: Seq[Int], k: Int): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.forall(q => q >= 0 && q < emb.length),
+      "query ids must index the embedding table")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      (emb.map(_.map(_.toDouble)), queryIds.toArray))
+    val score = udf { toks: Seq[Int] =>
+      val (tab, qs) = bc.value
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < a.length) {
+          dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+        }
+        // dot / (sqrt(na) * sqrt(nb)) — the exact op shape the oracle
+        // restates (NOT sqrt(na*nb): different rounding)
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      var s = 0.0
+      var qi = 0
+      while (qi < qs.length) {
+        val qe = tab(qs(qi))
+        var best = Double.NegativeInfinity
+        var ti = 0
+        while (ti < toks.length) {
+          val c = cos(tab(toks(ti)), qe)
+          if (c > best) best = c
+          ti += 1
+        }
+        s += best // query-term order — the oracle's m1 + m2 + ... sum
+        qi += 1
+      }
+      BigDecimal(s).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    df.filter(size(col(tokCol)) > 0)
+      .select(col(idCol), score(col(tokCol)).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -72,4 +72,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("maxSimTopK: per-token coverage beats single-term repetition; table sane") {
+    import spark.implicits._
+    // the defining late-interaction property: a doc containing EVERY
+    // query term once outscores a doc repeating ONE term many times —
+    // a pooled single vector cannot express this
+    val emb = graft.SparkEntry.maxSimEmb
+    val qids = graft.SparkEntry.maxSimQueryIds
+    assert(qids.distinct.size == qids.size)
+    assert(emb.forall(r => r.exists(_ != 0f)),
+      "a zero embedding row would make cosine NaN")
+    val other = (0 until 32).filterNot(qids.contains).head
+    val docs = Seq(
+      (1L, qids),                       // covers all three terms
+      (2L, Seq.fill(12)(qids.head)),    // repeats one term
+      (3L, Seq.fill(8)(other))          // matches nothing well
+    ).toDF("doc_id", "tok_ids")
+    val out = Retrieval.maxSimTopK(docs, "doc_id", "tok_ids", emb, qids, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L),
+      s"coverage ${out(1L)} must beat repetition ${out(2L)}")
+    // exact self-match: each term's max cosine vs itself is 1.0, so
+    // the full-coverage doc scores the term count exactly
+    assert(math.abs(out(1L) - qids.size.toDouble) < 1e-6, s"got ${out(1L)}")
+  }
 }
