@@ -1032,6 +1032,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Banned-PHRASE decoding (q227): multi-token bad-words (the HF
+    // bad_words_ids contract q195's single tokens can't express) — a
+    // candidate completing any banned phrase against the current
+    // prompt+generated suffix is HARD-banned for that step, so the
+    // phrase can never decode while its prefix tokens individually
+    // can. Phrases {[4,4], [0,4], [1,1,1]} hit the fixture's dominant
+    // transitions (219/88/154 docs at sf0.01). Integer-decidable; the
+    // oracle pivots the last two tokens per step and restates each
+    // phrase as a NOT(tid = last AND suffix-match) filter.
+    "q227_torch_gen_badwords" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
+          batchSize = 256,
+          bannedPhrases = Seq(Seq(4, 4), Seq(0, 4), Seq(1, 1, 1)))
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // Constrained (blocklist) decoding (q195): q194's greedy loop
     // with banned vocabulary ids {1, 4} masked out of every step's
     // argmax — the safety-decoding shape (bad-words lists). The
@@ -9864,6 +9891,12 @@ object SparkEntry {
     "q213_torch_gen_norepeat" -> repPenaltyOracle(steps = 3,
       penalty = 1.25),
 
+    // Banned phrases: last-two-token pivot per step, each phrase a
+    // NOT(tid = last AND suffix-match) candidate filter, then
+    // first-max-wins (bannedPhraseOracle).
+    "q227_torch_gen_badwords" -> bannedPhraseOracle(steps = 3,
+      phrases = Seq(Seq(4, 4), Seq(0, 4), Seq(1, 1, 1))),
+
     // The same controls composed under the nucleus sampler: the
     // candidate unpivot gains the seen-join rescale (before the
     // temperature) and the bigram anti-join with the n_ok = 0 lift.
@@ -11990,6 +12023,87 @@ object SparkEntry {
        |FROM kept k1 JOIN kept k2
        |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
        |ORDER BY k1.doc_id""".stripMargin
+  }
+
+  /** The q227 banned-phrase oracle: each step is one full-logit
+    * forward; the last `maxLen−1` tokens pivot into `l1..lK` columns
+    * (l1 = the most recent), each phrase restates as a
+    * `NOT (tid = last AND l_{m-1} = p0 AND ... AND l1 = p_{m-2})`
+    * filter over the candidate unpivot (COALESCE(-1) keeps short
+    * prefixes from NULLing the predicate), then the usual
+    * first-max-wins pick. */
+  private def bannedPhraseOracle(steps: Int, phrases: Seq[Seq[Int]]): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val maxBack = phrases.map(_.length - 1).max
+    val lCols = (1 to maxBack).map(k =>
+      s"max(CASE WHEN l.mp - t0.pos = ${k - 1} THEN t0.tid END) AS l$k")
+      .mkString(",\n         ")
+    val phraseFilter = phrases.map { ph =>
+      val mm = ph.length
+      val conds = (0 until mm - 1).map(i =>
+        s"coalesce(la.l${mm - 1 - i}, -1) = ${ph(i)}").mkString(" AND ")
+      if (mm == 1) s"NOT (c.tid = ${ph.last})"
+      else s"NOT (c.tid = ${ph.last} AND $conds)"
+    }.mkString("\n          AND ")
+    val stepCtes = (1 to steps).map { t =>
+      s"""logit$t AS MATERIALIZED (
+         |${fwd(s"toks${t - 1}")}
+         |),
+         |cand$t AS MATERIALIZED (
+         |  ${(0 until vocab).map(j =>
+              s"SELECT doc_id, $j AS tid, p$j AS lp FROM logit$t")
+              .mkString("\n  UNION ALL ")}),
+         |last$t AS (
+         |  SELECT t0.doc_id,
+         |         $lCols
+         |  FROM toks${t - 1} t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l ON l.doc_id = t0.doc_id
+         |  GROUP BY t0.doc_id),
+         |step$t AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT c.doc_id, c.tid,
+         |      row_number() OVER (PARTITION BY c.doc_id
+         |                         ORDER BY c.lp DESC, c.tid) AS rk
+         |    FROM cand$t c JOIN last$t la ON la.doc_id = c.doc_id
+         |    WHERE $phraseFilter)
+         |  WHERE rk = 1),
+         |toks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM step$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN step$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |$stepCtes
+       |SELECT g1.doc_id, $outs
+       |FROM step1 g1
+       |$joins
+       |ORDER BY g1.doc_id""".stripMargin
   }
 
   /** The q226 MaxSim oracle: per (doc token, query term) cosine from

@@ -1238,7 +1238,13 @@ object Torch {
     * a HARD constraint (never lifted — every state must keep at least
     * one token reachable, checked up front); it composes with the
     * static banned set, the repetition penalty, and the n-gram ban
-    * (which still lifts rather than contradict the grammar). */
+    * (which still lifts rather than contradict the grammar).
+    * `bannedPhrases` are multi-token bad-words sequences (the HF
+    * `bad_words_ids` contract): a candidate that would COMPLETE any
+    * phrase against the current generated+prompt suffix is hard-banned
+    * for that step — single-token phrases behave exactly like the
+    * static banned set. Integer-decidable; the oracle restates the
+    * suffix matches over the grown token CTE. */
   def generateGreedy(
       df: DataFrame,
       inputCol: String,
@@ -1250,8 +1256,10 @@ object Torch {
       repetitionPenalty: Double = 1.0,
       noRepeatNgram: Int = 0,
       eosId: Int = -1,
-      dfaTrans: Array[Array[Int]] = null): DataFrame = {
+      dfaTrans: Array[Array[Int]] = null,
+      bannedPhrases: Seq[Seq[Int]] = Nil): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
+    require(bannedPhrases.forall(_.nonEmpty), "empty banned phrase")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateGreedy needs a token-input model")
@@ -1280,7 +1288,7 @@ object Torch {
       StructField(outCol, ArrayType(IntegerType), nullable = true))
     val inIdx = withInts.schema.fieldIndex(inputCol)
     val plain = repetitionPenalty == 1.0 && noRepeatNgram == 0 &&
-      eosId < 0 && dfaTrans == null
+      eosId < 0 && dfaTrans == null && bannedPhrases.isEmpty
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
@@ -1306,11 +1314,19 @@ object Torch {
       // lifts for the step — the penalty still applies)
       def argmaxAdjusted(out: Array[Float], off: Int,
           full: scala.collection.IndexedSeq[Int], state: Int): Int = {
-        // grammar bans are HARD (checked non-empty per state up front);
+        // grammar and banned-phrase bans are HARD (safety semantics —
+        // the bad_words_ids contract: a candidate completing any
+        // banned phrase against the current suffix never decodes);
         // the n-gram ban lifts rather than contradict them
+        def completesPhrase(j: Int): Boolean =
+          bannedPhrases.exists { ph =>
+            ph.last == j && ph.length - 1 <= full.length &&
+              full.takeRight(ph.length - 1) == ph.init
+          }
         def hardBanned(j: Int): Boolean =
           banned.contains(j) ||
-            (dfaTrans != null && dfaTrans(state)(j) == -1)
+            (dfaTrans != null && dfaTrans(state)(j) == -1) ||
+            completesPhrase(j)
         val ngBanned: Set[Int] =
           if (noRepeatNgram >= 2 && full.length >= noRepeatNgram - 1) {
             val n1 = noRepeatNgram - 1

@@ -382,7 +382,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q215_torch_alibi_decode", "q216_torch_sampled_norepeat",
         "q217_torch_gen_eos", "q218_torch_gen_minp",
         "q219_torch_gen_dfa", "q220_torch_cross_knobs",
-        "q221_torch_cross_eos")) {
+        "q221_torch_cross_eos", "q227_torch_gen_badwords")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

@@ -462,6 +462,38 @@ class TorchGenerateSpec extends AnyFunSuite {
       s"a penalized logit sits $minSeenAbs from the sign boundary")
   }
 
+  test("banned phrases: no phrase ever decodes, bans bite, single-token == static ban") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    val phrases = Seq(Seq(4, 4), Seq(0, 4), Seq(1, 1, 1))
+    def run(bp: Seq[Seq[Int]], banned: Set[Int] = Set.empty) =
+      Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 3,
+          banned = banned, bannedPhrases = bp)
+        .select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val plain = run(Nil)
+    val gated = run(phrases)
+    assert(gated.count { case (k, v) => plain(k) != v } > 0,
+      "the phrase bans never changed a pick — vacuous fixture")
+    // the HARD invariant: no banned phrase occurs anywhere in
+    // (prompt ++ generated) that was not already in the prompt —
+    // i.e. no occurrence ENDS at a generated position
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toVector).toMap
+    for ((id, g) <- gated) {
+      val full = prompts(id) ++ g
+      for (ph <- phrases; end <- prompts(id).length until full.length)
+        assert(end + 1 < ph.length ||
+          full.slice(end + 1 - ph.length, end + 1) != ph,
+          s"doc $id decoded banned phrase $ph at $end: $full")
+    }
+    // a single-token phrase is exactly the static ban
+    assert(run(Seq(Seq(1), Seq(4))) == run(Nil, banned = Set(1, 4)),
+      "single-token phrases must equal the static banned set")
+  }
+
   test("round-15 knob wave: eos stop, min-p, sampled norepeat, DFA grammar — rules hold") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
