@@ -339,6 +339,43 @@ object SparkEntry {
         .orderBy("x_id")
     },
 
+    // ANN-backed bitext mining (q228, VERDICT r15 item 1): q225's
+    // margin contract over BATCH-IVFADC candidate legs
+    // (Similarity.marginMineAnn) — one shared index, both sides
+    // encoded once, nothing per-query broadcast, candidate volume
+    // probe-bounded (the CCMatrix deployment shape; the brute
+    // comparator broadcasts a whole side). The in-query gate mines
+    // both ways and pins pair agreement: the seeded index makes
+    // n_brute/n_ann/n_agree exact per-SF constants. n_margin_eq
+    // counts agreed pairs whose margin is BIT-EQUAL — exactly the
+    // pairs where both endpoints' top-4 candidate legs matched
+    // brute's (exact-cosine rerank + the shared marginFromTopK
+    // arithmetic make those identical by construction; a missed
+    // neighbor shifts only that query's rank sum).
+    "q228_bitext_margin_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val xs = emb.filter(col("vec_id") % 2 === 0)
+      val ys = emb.filter(col("vec_id") % 2 === 1)
+      val brute = graft.operators.Similarity.marginMine(xs, ys, "vec_id",
+          "embedding", k = 4, threshold = 1.0)
+        .select(col("x_id"), col("y_id"), col("margin").as("bm"))
+      val ann = graft.operators.Similarity.marginMineAnn(xs, ys, "vec_id",
+          "embedding", k = 4, threshold = 1.0,
+          dim = 64, nlist = 16, m = 8, ksub = 32, nprobe = 14, shortlist = 100)
+        .select(col("x_id"), col("y_id"), col("margin").as("am"))
+      val annN = ann.agg(count(lit(1)).cast("long").as("n_ann"))
+      brute.join(ann, Seq("x_id", "y_id"), "left")
+        .agg(
+          count(lit(1)).cast("long").as("n_brute"),
+          sum(when(col("am").isNotNull, 1).otherwise(0)).cast("long").as("n_agree"),
+          sum(when(col("am") === col("bm"), 1).otherwise(0)).cast("long")
+            .as("n_margin_eq"))
+        .crossJoin(broadcast(annN))
+        .select(lit("bitext_margin_ann_vs_brute").as("metric"),
+          col("n_brute"), col("n_ann"), col("n_agree"), col("n_margin_eq"),
+          (col("n_agree") * lit(10L) >= col("n_brute") * lit(9L)).as("pass"))
+    },
+
     "q24_knn_brute" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
@@ -9255,6 +9292,27 @@ object SparkEntry {
         |  FROM kept)
         |SELECT x_id, y_id, margin FROM best WHERE rk = 1
         |ORDER BY x_id""".stripMargin,
+
+    // ANN bitext mining: seeded quantizers + exact rerank + the shared
+    // margin arithmetic make every count an exact per-SF constant
+    // (sf0.001/sf0.01 share the 500-row embeddings fixture; sf0.1 has
+    // 2000). At 500 vectors nprobe 14/16 recovers the brute answer
+    // pair-for-pair (228/228); at 2000 agreement is 835/907 = 92%
+    // (above the 90% gate), with 367 pairs margin-BIT-EQUAL — a pair
+    // is bit-equal exactly when both endpoints' top-4 neighbor sets
+    // (forward AND backward) matched brute's, the marginFromTopK
+    // shared-arithmetic contract.
+    "q228_bitext_margin_ann" ->
+      """SELECT 'bitext_margin_ann_vs_brute' AS metric,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 228 WHEN 2000 THEN 907 ELSE -2 END AS BIGINT) AS n_brute,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 228 WHEN 2000 THEN 917 ELSE -2 END AS BIGINT) AS n_ann,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 228 WHEN 2000 THEN 835 ELSE -2 END AS BIGINT) AS n_agree,
+        | CAST(CASE (SELECT count(*) FROM embeddings)
+        |   WHEN 500 THEN 195 WHEN 2000 THEN 367 ELSE -2 END AS BIGINT) AS n_margin_eq,
+        | true AS pass""".stripMargin,
 
     "q24_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),

@@ -411,7 +411,13 @@ object Dedup {
       fpCol: String,
       maxHamming: Int): DataFrame = {
     val df = fp
-    require(maxHamming <= 15, "chunked banding assumes maxHamming <= 15")
+    // lower bound matters too: maxHamming = 0 would make chunks = 1 /
+    // width = 64, and (1L << 64) wraps to 1 in Scala (shift mod 64),
+    // collapsing every fingerprint to one bucket — a full all-pairs
+    // join. Exact equality wants a plain groupBy on fp, not banding.
+    require(maxHamming >= 1 && maxHamming <= 15,
+      "chunked banding needs 1 <= maxHamming <= 15 (use an exact " +
+        "groupBy on the fingerprint for hamming = 0)")
     val chunks = maxHamming + 1 // hamming<=k => some chunk of k+1 equal chunks matches
     val width = 64 / chunks
     // normalize the fingerprint column name in its OWN projection —

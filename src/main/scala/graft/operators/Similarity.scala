@@ -96,9 +96,10 @@ object Similarity {
    * to 6 dp before the keep threshold and the best-pair pick.
    *
    * Scale shape: the brute-force comparator (broadcast queries, keyed
-   * window top-k) — at corpus scale swap the candidate generator for
-   * the IVFADC shortlist ([[ivfPqTopKReranked]]), the ranking and
-   * margin contract unchanged (the [[hardNegatives]] note).
+   * window top-k) — the CORRECTNESS BASELINE. At corpus scale use
+   * [[marginMineAnn]]: the same margin contract ([[marginFromTopK]])
+   * over batch-IVFADC candidate legs, probe-bounded and
+   * broadcast-free.
    *
    * @return (x_id, y_id, margin) — x's best mined mate, margin 6 dp
    */
@@ -110,10 +111,76 @@ object Similarity {
       k: Int,
       threshold: Double): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val fwd = bruteForceTopK(ys, xs, idCol, embCol, k)
+    marginFromTopK(
+      bruteForceTopK(ys, xs, idCol, embCol, k),
+      bruteForceTopK(xs, ys, idCol, embCol, k),
+      k, threshold)
+  }
+
+  /**
+   * ANN-BACKED bitext mining — [[marginMine]] with the candidate
+   * generator swapped from the brute-force comparator (which
+   * broadcasts one whole side and scores |X|·|Y| pairs — the corpus
+   * IS the broadcast at mining scale) to the BATCH IVFADC shortlist:
+   * one shared coarse+PQ index trained on both sides, each side
+   * encoded once, and both neighbor legs ride [[ivfPqTopKBatchReranked]]
+   * — nothing per-query is broadcast (queries ≈ corpus is exactly the
+   * mining shape), candidate volume is probe-bounded
+   * (~N·nprobe/nlist per query, never N²), and the exact-cosine
+   * rerank means every SURVIVING pair's cosine is bit-equal to the
+   * brute path's. The margin arithmetic, quantization discipline and
+   * best-mate pick are [[marginFromTopK]] — IDENTICAL to the brute
+   * path by construction, so the only divergence is shortlist recall
+   * (a missed true neighbor shifts that query's rank sum). Queries
+   * whose probed cells yield fewer than k neighbors drop out (a null
+   * rank-sum term — deterministic; raise nprobe/shortlist to close).
+   *
+   * This is the CCMatrix deployment shape (Artetxe & Schwenk 2019
+   * mine billions of sentences): index once, mine per batch.
+   */
+  def marginMineAnn(
+      xs: DataFrame,
+      ys: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      threshold: Double,
+      dim: Int,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      nprobe: Int,
+      shortlist: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(shortlist >= k, "shortlist must be >= k")
+    val union = xs.select(col(idCol), col(embCol))
+      .unionByName(ys.select(col(idCol), col(embCol)))
+    val ix = ivfPqTrain(union, embCol, dim, nlist, m, ksub, seed)
+    val codesX = ivfPqEncode(xs, idCol, embCol, ix)
+    val codesY = ivfPqEncode(ys, idCol, embCol, ix)
+    marginFromTopK(
+      ivfPqTopKBatchReranked(ys, codesY, xs, idCol, embCol, ix, k, shortlist, nprobe),
+      ivfPqTopKBatchReranked(xs, codesX, ys, idCol, embCol, ix, k, shortlist, nprobe),
+      k, threshold)
+  }
+
+  /** The margin arithmetic shared by [[marginMine]] (brute candidate
+    * legs) and [[marginMineAnn]] (IVFADC legs): both legs arrive as
+    * (q_id, rank, vec_id, cos) top-k tables; cosines quantize to 6 dp,
+    * the k neighbor terms sum in EXPLICIT rank order, the margin
+    * re-quantizes to 6 dp before the keep threshold and the
+    * best-mate pick — bit-identical across candidate generators for
+    * any pair both generators surface. */
+  private def marginFromTopK(
+      fwdTopK: DataFrame,
+      bwdTopK: DataFrame,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val fwd = fwdTopK
       .select(col("q_id").as("x_id"), col("rank"),
         col("vec_id").as("y_id"), round(col("cos"), 6).as("cos6"))
-    val bwd = bruteForceTopK(xs, ys, idCol, embCol, k)
+    val bwd = bwdTopK
       .select(col("q_id").as("y_id"), col("rank"), round(col("cos"), 6).as("cos6"))
     def rankSum(df: DataFrame, key: String, out: String): DataFrame =
       df.groupBy(key).agg(

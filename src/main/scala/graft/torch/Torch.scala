@@ -1355,7 +1355,12 @@ object Torch {
           }
           j += 1
         }
-        require(best >= 0, "all-NaN logits")
+        // the up-front DFA validation checks each state in ISOLATION;
+        // a pathological static-ban/phrase/DFA COMPOSITION can still
+        // empty the candidate set — say so, not just "NaN"
+        require(best >= 0, "no decodable token: hard bans (banned set" +
+          " + DFA state + banned phrases) emptied the vocabulary, or" +
+          " all remaining logits are NaN")
         best
       }
       it.grouped(bs).flatMap { rows =>

@@ -415,6 +415,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q224 lost its ranking window:\n$p224")
   }
 
+  test("marginMineAnn: no broadcast-NLJ / cartesian anywhere in the mining plan") {
+    import org.apache.spark.sql.functions.col
+    // the q228 GATE query deliberately also runs the brute comparator
+    // (that's what it gates against), so audit the ANN miner's OWN
+    // plan: batch-IVFADC legs — cell-keyed cogroups and keyed rerank
+    // joins only. Any BroadcastNestedLoopJoin or CartesianProduct
+    // means a candidate generator regressed to pair-everything.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val mined = graft.operators.Similarity.marginMineAnn(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, threshold = 1.0,
+      dim = 64, nlist = 16, m = 8, ksub = 32, nprobe = 14, shortlist = 100)
+    val p = mined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"marginMineAnn has a broadcast nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"marginMineAnn has a cartesian:\n$p")
+  }
+
   test("round-13 PCA family: the Gram pass is one partial/final aggregate, nothing row-shaped exchanged") {
     import org.apache.spark.sql.functions.col
     // the fit itself runs eagerly inside the query builder, so audit

@@ -57,4 +57,36 @@ class MarginMineSpec extends AnyFunSuite {
     assert(orphanMined.isEmpty,
       s"the orphan mined a false pair: ${orphanMined.mkString(",")}")
   }
+
+  test("marginMineAnn recovers every planted mate with a bit-equal margin") {
+    val dim = 32
+    def vec(parts: (Int, Double)*): Array[Float] = {
+      val v = new Array[Float](dim)
+      for ((i, x) <- parts) v(i % dim) = (v(i % dim) + x).toFloat
+      v
+    }
+    val xs = (0 until 20).map(i =>
+      (i.toLong * 2, vec((i, 1.0), (i + 1, 0.1))))
+    val mates = (0 until 20).map(i =>
+      (i.toLong * 2 + 1, vec((i, 1.0), (i + 1, 0.1), (i + 2, 0.05))))
+    val hubs = (0 until 5).map(h =>
+      (1001L + h * 2, Array.tabulate(dim)(j => (1.0 + 0.01 * ((h + j) % 3)).toFloat)))
+    val xdf = xs.toDF("vec_id", "embedding")
+    val ydf = (mates ++ hubs).toDF("vec_id", "embedding")
+    val brute = Similarity.marginMine(xdf, ydf, "vec_id", "embedding",
+        k = 3, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // full-probe ANN (nprobe = nlist, generous shortlist) must agree
+    // with brute PAIR-FOR-PAIR with BIT-EQUAL margins: every true
+    // neighbor is in some probed cell, the exact-cosine rerank
+    // recovers the true top-k, and marginFromTopK is shared code
+    val ann = Similarity.marginMineAnn(xdf, ydf, "vec_id", "embedding",
+        k = 3, threshold = 1.0,
+        dim = dim, nlist = 4, m = 4, ksub = 8, nprobe = 4, shortlist = 25)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ann == brute,
+      s"full-probe ANN mining diverged from brute: ann=$ann brute=$brute")
+    for ((xid, _) <- xs)
+      assert(ann(xid)._1 == xid + 1, s"source $xid mined ${ann(xid)._1}")
+  }
 }
