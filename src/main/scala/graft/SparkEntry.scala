@@ -1464,6 +1464,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // MIN_NEW_TOKENS (q230, VERDICT r15 item 3): the HF summarization
+    // floor — eos (id 1) is HARD-BANNED from the candidate set while
+    // fewer than 2 tokens are generated, so no row can stop inside
+    // the floor; at steps 3-4 eos is decodable again and stops the
+    // row (q217's early-exit). Integer-decidable: the oracle's first
+    // two picks simply omit the eos column from the argmax CASE.
+    "q230_torch_gen_min_new" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 4,
+          batchSize = 256, eosId = 1, minNewTokens = 2)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"),
+          try_element_at(col("gen"), lit(3)).as("gen3"),
+          try_element_at(col("gen"), lit(4)).as("gen4"))
+        .orderBy("doc_id")
+    },
+
     // MIN-P sampling (q218): the newest mainstream nucleus knob
     // (Nguyen et al. 2024, llama.cpp/HF `min_p`) — keep candidates
     // whose mass clears `minP * max(p)`, renormalize, sample. A third
@@ -9966,6 +9991,12 @@ object SparkEntry {
     // try_element_at).
     "q217_torch_gen_eos" -> generateOracle(banned = Nil, eos = Some(1)),
 
+    // min_new_tokens: steps 1-2 argmax over vocab-minus-eos (the hard
+    // floor ban), steps 3-4 the plain eos-stop chain — gen4 NULLs only
+    // on an eos at step 3, the first step past the floor.
+    "q230_torch_gen_min_new" -> generateOracle(banned = Nil,
+      eos = Some(1), steps = 4, minNew = 2),
+
     // Min-p: the `p6 >= minP * max(p6)` floor joins the nucleus cut
     // (third prefix filter on the same candidate order); topP = 1
     // isolates it.
@@ -11159,11 +11190,20 @@ object SparkEntry {
     * each step's argmax CASE dispatches on the state (one restricted
     * CASE per state), and the state advances through a transition
     * VALUES join. */
+  /** `steps`/`minNew` generalize the 3-step chain: while t <= minNew
+    * the argmax CASE simply omits the eos token (the engine's
+    * min_new_tokens hard ban — integer-decidable), and the eos-stop
+    * NULLing of later columns only considers steps PAST the floor
+    * (eos cannot decode inside it). */
   private def generateOracle(banned: Seq[Int],
       m: graft.torch.TorchScriptModel = genModel,
       headBias: Option[Seq[(String, String)]] = None,
       eos: Option[Int] = None,
-      dfa: Option[(Seq[Seq[Int]], (Int, Int) => Int)] = None): String = {
+      dfa: Option[(Seq[Seq[Int]], (Int, Int) => Int)] = None,
+      steps: Int = 3,
+      minNew: Int = 0): String = {
+    require(minNew == 0 || (eos.isDefined && dfa.isEmpty),
+      "minNew needs eos and no dfa in this oracle generator")
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
       m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
@@ -11172,14 +11212,21 @@ object SparkEntry {
       if (banned.isEmpty) TorchOracle.armArgmax(fc, "p")
       else TorchOracle.armArgmaxRestricted("p", allowed)
     val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
-    val stepCtes = (1 to 3).map { t =>
+    val stepCtes = (1 to steps).map { t =>
+      // inside the min-new-tokens floor the eos id is hard-banned:
+      // the pick CASE runs over allowed-minus-eos
+      val stepAmax =
+        if (t <= minNew)
+          TorchOracle.armArgmaxRestricted("p",
+            allowed.filterNot(a => eos.contains(a)))
+        else amax
       val pick = dfa match {
         case None =>
           val stepSql = TorchOracle.mlpArgmaxSql(fc,
             encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}"),
               headBias = headBias),
             arms = Seq("p"), carry = Seq("doc_id"),
-            finalSelect = s"SELECT doc_id, $amax AS tid " +
+            finalSelect = s"SELECT doc_id, $stepAmax AS tid " +
               s"FROM ${TorchOracle.lastCte(fc)}")
           s"""step$t AS MATERIALIZED (
              |$stepSql
@@ -11234,13 +11281,21 @@ object SparkEntry {
            |""".stripMargin
     }
     val outs = eos match {
-      case None => "s1.tid AS gen1, s2.tid AS gen2, s3.tid AS gen3"
+      case None => (1 to steps).map(t => s"s$t.tid AS gen$t").mkString(", ")
       case Some(e) =>
-        s"""s1.tid AS gen1,
-           |  CASE WHEN s1.tid = $e THEN NULL ELSE s2.tid END AS gen2,
-           |  CASE WHEN s1.tid = $e OR s2.tid = $e THEN NULL
-           |       ELSE s3.tid END AS gen3""".stripMargin
+        (1 to steps).map { t =>
+          // a step NULLs when any earlier step PAST the floor emitted
+          // eos (inside the floor eos is banned, so never tested)
+          val earlier = (minNew + 1) until t
+          if (earlier.isEmpty) s"s$t.tid AS gen$t"
+          else {
+            val conds = earlier.map(u => s"s$u.tid = $e").mkString(" OR ")
+            s"CASE WHEN $conds THEN NULL ELSE s$t.tid END AS gen$t"
+          }
+        }.mkString(",\n  ")
     }
+    val joins = (2 to steps).map(t =>
+      s"JOIN step$t s$t ON s$t.doc_id = s1.doc_id").mkString("\n")
     s"""WITH words AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
        |           % $vocab AS tid, pos
@@ -11254,8 +11309,7 @@ object SparkEntry {
        |$transCte$stepCtes
        |SELECT s1.doc_id, $outs
        |FROM step1 s1
-       |JOIN step2 s2 ON s2.doc_id = s1.doc_id
-       |JOIN step3 s3 ON s3.doc_id = s1.doc_id
+       |$joins
        |ORDER BY s1.doc_id""".stripMargin
   }
 

@@ -85,6 +85,61 @@ object Torch {
     }
   }
 
+  /** The constrained beam-candidate expansion shared by [[beamSearch]]
+    * and [[beamSearchPair]] — one live beam's candidate rows under the
+    * full logit-constraint set, applied in the HF beam-search order:
+    * constraints act on the per-beam LOG-SOFTMAX scores `lp` (the
+    * full-vocab logsumexp is computed BEFORE any constraint, so the
+    * neutral-knob scores are bit-identical to the unconstrained path);
+    * SEEN tokens (anywhere in `full` = prompt/decoder-prefix +
+    * generated) rescale `lp > 0 → lp/penalty else lp·penalty` (lp is a
+    * log-prob, so the multiply arm always fires — the CASE keeps the
+    * generateGreedy shape the oracle restates); static bans, banned-
+    * phrase completions against `full`'s suffix, and eos-below-
+    * `minNewTokens` are HARD (never candidates, never compete for
+    * width slots); the no-repeat-n-gram ban LIFTS when it would empty
+    * this beam's allowed set (q213's rule, evaluated PER BEAM). */
+  private object Beams {
+    def expand[B](lp: Array[Double], full: scala.collection.IndexedSeq[Int],
+        genLen: Int, s0: Double, penLen: Double, bi: Int, ref: B,
+        banned: Set[Int], repetitionPenalty: Double, noRepeatNgram: Int,
+        bannedPhrases: Seq[Seq[Int]], eosId: Int, minNewTokens: Int)
+        : scala.collection.immutable.IndexedSeq[(Double, Int, Int, Double, B)] = {
+      val vocab = lp.length
+      def completesPhrase(j: Int): Boolean =
+        bannedPhrases.exists { ph =>
+          ph.last == j && ph.length - 1 <= full.length &&
+            full.takeRight(ph.length - 1) == ph.init
+        }
+      def hardBanned(j: Int): Boolean =
+        banned.contains(j) || completesPhrase(j) ||
+          (eosId >= 0 && j == eosId && genLen < minNewTokens)
+      val ngBanned: Set[Int] =
+        if (noRepeatNgram >= 2 && full.length >= noRepeatNgram - 1) {
+          val n1 = noRepeatNgram - 1
+          val suffix = full.takeRight(n1)
+          (0 to full.length - noRepeatNgram).iterator.collect {
+            case i if (0 until n1).forall(k => full(i + k) == suffix(k)) =>
+              full(i + n1)
+          }.toSet
+        } else Set.empty
+      val seen: Set[Int] =
+        if (repetitionPenalty != 1.0) full.toSet else Set.empty
+      val ngLive = (0 until vocab).exists(j => !hardBanned(j) && !ngBanned(j))
+      (0 until vocab).collect {
+        case tok if !hardBanned(tok) && !(ngLive && ngBanned(tok)) =>
+          val l0 = lp(tok)
+          val l =
+            if (seen(tok)) {
+              if (l0 > 0.0) l0 / repetitionPenalty
+              else l0 * repetitionPenalty
+            } else l0
+          val raw = s0 + l
+          (raw / penLen, bi, tok, raw, ref)
+      }
+    }
+  }
+
   /**
    * Programmatic equivalent of
    * `CREATE FUNCTION name(IN[]) RETURNS OUT[] LANGUAGE TORCH AS 'url'`
@@ -556,7 +611,12 @@ object Torch {
       width: Int,
       batchSize: Int = -1,
       lengthPenalty: Double = 0.0,
-      eosId: Int = -1): DataFrame = {
+      eosId: Int = -1,
+      banned: Set[Int] = Set.empty,
+      repetitionPenalty: Double = 1.0,
+      noRepeatNgram: Int = 0,
+      bannedPhrases: Seq[Seq[Int]] = Nil,
+      minNewTokens: Int = 0): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
@@ -565,8 +625,21 @@ object Torch {
     require(width <= model.value.outDim, "width exceeds the vocabulary")
     require(lengthPenalty >= 0.0, "lengthPenalty must be >= 0")
     require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
-    require((lengthPenalty == 0.0 && eosId < 0) || model.value.cacheable,
-      "lengthPenalty/eosId need the KV-session path (cacheable model)")
+    require(banned.size < model.value.outDim,
+      "banned set covers the whole vocabulary")
+    require(repetitionPenalty > 0.0, "repetitionPenalty must be > 0")
+    require(noRepeatNgram == 0 || noRepeatNgram >= 2,
+      "noRepeatNgram must be 0 (off) or >= 2")
+    require(bannedPhrases.forall(_.nonEmpty), "empty banned phrase")
+    require(minNewTokens >= 0, "minNewTokens must be >= 0")
+    require(minNewTokens == 0 || eosId >= 0,
+      "minNewTokens needs an eosId to suppress")
+    val plainKnobs = banned.isEmpty && repetitionPenalty == 1.0 &&
+      noRepeatNgram == 0 && bannedPhrases.isEmpty && minNewTokens == 0
+    require((plainKnobs && lengthPenalty == 0.0 && eosId < 0) ||
+      model.value.cacheable,
+      "lengthPenalty/eosId/constraint knobs need the KV-session path " +
+        "(cacheable model)")
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -632,11 +705,29 @@ object Torch {
                     val lp = logProbs(sess.logits(), 0)
                     val pen =
                       StrictMath.pow((g.length + 1).toDouble, lengthPenalty)
-                    (0 until vocab).map { tok =>
-                      val raw = s0 + lp(tok)
-                      (raw / pen, bi, tok, raw, (g, s0, sess, false))
+                    if (plainKnobs)
+                      (0 until vocab).map { tok =>
+                        val raw = s0 + lp(tok)
+                        (raw / pen, bi, tok, raw, (g, s0, sess, false))
+                      }
+                    else {
+                      // the HF beam processor order: constraints apply
+                      // to the per-beam LOG-SOFTMAX scores (the full-
+                      // vocab lse above is untouched — bit-identical
+                      // to the unconstrained path); hard-banned
+                      // candidates never compete for width slots, the
+                      // n-gram ban LIFTS when it would empty this
+                      // beam's allowed set (q213's rule, per beam)
+                      val full = scala.collection.immutable.ArraySeq
+                        .unsafeWrapArray(p) ++ g
+                      Beams.expand(lp, full, g.length, s0, pen, bi,
+                        (g, s0, sess, false), banned, repetitionPenalty,
+                        noRepeatNgram, bannedPhrases, eosId, minNewTokens)
                     }
                 }
+                require(cands.nonEmpty,
+                  "no decodable candidate: hard bans emptied every live " +
+                    "beam's vocabulary")
                 beams = cands.sortBy { case (n, bi, tok, _, _) => (-n, bi, tok) }
                   .take(width)
                   .map {
@@ -747,7 +838,8 @@ object Torch {
       model: Broadcast[TorchScriptModel],
       steps: Int,
       batchSize: Int = -1,
-      eosId: Int = -1): DataFrame = {
+      eosId: Int = -1,
+      minNewTokens: Int = 0): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
@@ -755,6 +847,9 @@ object Torch {
       "generateGreedyPair needs a cacheable cross-attention model " +
         "(causal decoder self-attention + last-position pool)")
     require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
+    require(minNewTokens >= 0, "minNewTokens must be >= 0")
+    require(minNewTokens == 0 || eosId >= 0,
+      "minNewTokens needs an eosId to suppress")
     val withInts = df
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
@@ -765,12 +860,17 @@ object Torch {
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
-      def argmaxFirst(l: Array[Float]): Int = {
+      // genLen gates the min-new-tokens eos suppression: while fewer
+      // than minNewTokens tokens are generated, eos never becomes a
+      // candidate (minNewTokens = 0 makes the guard dead code — the
+      // un-floored path is byte-identical)
+      def argmaxFirst(l: Array[Float], genLen: Int): Int = {
         var best = -1
         var bv = Float.NaN
         var j = 0
         while (j < vocab) {
-          if (!l(j).isNaN && (best < 0 || l(j) > bv)) { best = j; bv = l(j) }
+          if (!(eosId >= 0 && j == eosId && genLen < minNewTokens) &&
+              !l(j).isNaN && (best < 0 || l(j) > bv)) { best = j; bv = l(j) }
           j += 1
         }
         require(best >= 0, "all-NaN logits")
@@ -802,7 +902,7 @@ object Torch {
             var t = 0
             var stopped = false
             while (t < steps && !stopped) {
-              val tid = argmaxFirst(sess.logits())
+              val tid = argmaxFirst(sess.logits(), gen.length)
               gen += tid
               // eos stops the row (the eos itself is emitted; no
               // further session work — the serving early-exit)
@@ -836,7 +936,12 @@ object Torch {
       width: Int,
       batchSize: Int = -1,
       lengthPenalty: Double = 0.0,
-      eosId: Int = -1): DataFrame = {
+      eosId: Int = -1,
+      banned: Set[Int] = Set.empty,
+      repetitionPenalty: Double = 1.0,
+      noRepeatNgram: Int = 0,
+      bannedPhrases: Seq[Seq[Int]] = Nil,
+      minNewTokens: Int = 0): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
@@ -845,6 +950,17 @@ object Torch {
     require(width <= model.value.outDim, "width exceeds the vocabulary")
     require(lengthPenalty >= 0.0, "lengthPenalty must be >= 0")
     require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
+    require(banned.size < model.value.outDim,
+      "banned set covers the whole vocabulary")
+    require(repetitionPenalty > 0.0, "repetitionPenalty must be > 0")
+    require(noRepeatNgram == 0 || noRepeatNgram >= 2,
+      "noRepeatNgram must be 0 (off) or >= 2")
+    require(bannedPhrases.forall(_.nonEmpty), "empty banned phrase")
+    require(minNewTokens >= 0, "minNewTokens must be >= 0")
+    require(minNewTokens == 0 || eosId >= 0,
+      "minNewTokens needs an eosId to suppress")
+    val plainKnobs = banned.isEmpty && repetitionPenalty == 1.0 &&
+      noRepeatNgram == 0 && bannedPhrases.isEmpty && minNewTokens == 0
     val withInts = df
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
@@ -904,11 +1020,25 @@ object Torch {
                   val lp = logProbs(sess.logits())
                   val pen =
                     StrictMath.pow((g.length + 1).toDouble, lengthPenalty)
-                  (0 until vocab).map { tok =>
-                    val raw = s0 + lp(tok)
-                    (raw / pen, bi, tok, raw, (g, s0, sess, false))
+                  if (plainKnobs)
+                    (0 until vocab).map { tok =>
+                      val raw = s0 + lp(tok)
+                      (raw / pen, bi, tok, raw, (g, s0, sess, false))
+                    }
+                  else {
+                    // constraints run over the DECODER-side sequence
+                    // (prompt + generated) — the generateSampledPair
+                    // convention; the encoder side never bans
+                    val full = scala.collection.immutable.ArraySeq
+                      .unsafeWrapArray(q0) ++ g
+                    Beams.expand(lp, full, g.length, s0, pen, bi,
+                      (g, s0, sess, false), banned, repetitionPenalty,
+                      noRepeatNgram, bannedPhrases, eosId, minNewTokens)
                   }
               }
+              require(cands.nonEmpty,
+                "no decodable candidate: hard bans emptied every live " +
+                  "beam's vocabulary")
               beams = cands.sortBy { case (n, bi, tok, _, _) => (-n, bi, tok) }
                 .take(width)
                 .map {
@@ -1244,7 +1374,13 @@ object Torch {
     * phrase against the current generated+prompt suffix is hard-banned
     * for that step — single-token phrases behave exactly like the
     * static banned set. Integer-decidable; the oracle restates the
-    * suffix matches over the grown token CTE. */
+    * suffix matches over the grown token CTE.
+    * `minNewTokens` (HF `min_new_tokens`, the summarization floor):
+    * while FEWER than that many tokens have been generated, `eosId`
+    * is hard-banned from the candidate set — the row cannot stop
+    * early, and eos first becomes decodable at generated position
+    * minNewTokens + 1. Integer-decidable; 0 (the default) reduces
+    * bit-exactly to the un-floored path (same code, empty ban). */
   def generateGreedy(
       df: DataFrame,
       inputCol: String,
@@ -1257,9 +1393,13 @@ object Torch {
       noRepeatNgram: Int = 0,
       eosId: Int = -1,
       dfaTrans: Array[Array[Int]] = null,
-      bannedPhrases: Seq[Seq[Int]] = Nil): DataFrame = {
+      bannedPhrases: Seq[Seq[Int]] = Nil,
+      minNewTokens: Int = 0): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(bannedPhrases.forall(_.nonEmpty), "empty banned phrase")
+    require(minNewTokens >= 0, "minNewTokens must be >= 0")
+    require(minNewTokens == 0 || eosId >= 0,
+      "minNewTokens needs an eosId to suppress")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateGreedy needs a token-input model")
@@ -1288,7 +1428,8 @@ object Torch {
       StructField(outCol, ArrayType(IntegerType), nullable = true))
     val inIdx = withInts.schema.fieldIndex(inputCol)
     val plain = repetitionPenalty == 1.0 && noRepeatNgram == 0 &&
-      eosId < 0 && dfaTrans == null && bannedPhrases.isEmpty
+      eosId < 0 && dfaTrans == null && bannedPhrases.isEmpty &&
+      minNewTokens == 0
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
@@ -1313,7 +1454,8 @@ object Torch {
       // banned unless that would empty the vocabulary (then the ban
       // lifts for the step — the penalty still applies)
       def argmaxAdjusted(out: Array[Float], off: Int,
-          full: scala.collection.IndexedSeq[Int], state: Int): Int = {
+          full: scala.collection.IndexedSeq[Int], state: Int,
+          genLen: Int): Int = {
         // grammar and banned-phrase bans are HARD (safety semantics —
         // the bad_words_ids contract: a candidate completing any
         // banned phrase against the current suffix never decodes);
@@ -1326,7 +1468,8 @@ object Torch {
         def hardBanned(j: Int): Boolean =
           banned.contains(j) ||
             (dfaTrans != null && dfaTrans(state)(j) == -1) ||
-            completesPhrase(j)
+            completesPhrase(j) ||
+            (eosId >= 0 && j == eosId && genLen < minNewTokens)
         val ngBanned: Set[Int] =
           if (noRepeatNgram >= 2 && full.length >= noRepeatNgram - 1) {
             val n1 = noRepeatNgram - 1
@@ -1399,7 +1542,7 @@ object Torch {
                 val lg = sess.logits()
                 val tid =
                   if (plain) argmaxFirst(lg, 0)
-                  else argmaxAdjusted(lg, 0, full, state)
+                  else argmaxAdjusted(lg, 0, full, state, gen(ri).length)
                 gen(ri) += tid
                 if (tid == eosId) stopped = true
                 else {
@@ -1426,7 +1569,7 @@ object Torch {
                   if (plain) argmaxFirst(out, k * vocab)
                   else argmaxAdjusted(out, k * vocab,
                     scala.collection.immutable.ArraySeq.unsafeWrapArray(cur(ri)),
-                    states(ri))
+                    states(ri), gen(ri).length)
                 gen(ri) += tid
                 if (tid == eosId) done(ri) = true
                 else {

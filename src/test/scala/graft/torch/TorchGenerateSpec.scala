@@ -755,4 +755,147 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(minDist > 1e-7,
       s"a quantized decision sits $minDist x 1e-6 from its rounding boundary")
   }
+
+  test("constrained beam search: never-kept bans reduce exactly; knobs bite; recompute agrees") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectBeams(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "beams").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    val base = collectBeams(Torch.beamSearch(df, "tok_ids", "beams", bc,
+      steps = 2, width = 2, lengthPenalty = 0.5, eosId = 1))
+    // 1. reduction: banning a token a doc's frontiers never kept (any
+    //    step-1 slot or final beam) cannot change THAT doc's output —
+    //    constraints act post-softmax (the full-vocab lse is
+    //    untouched), so removing a never-kept candidate moves no pick.
+    //    Per doc at most 6 distinct tokens occupy slots, so with vocab
+    //    8 every doc is checked by some banned-token run.
+    val s1 = collectBeams(Torch.beamSearch(df, "tok_ids", "beams", bc,
+      steps = 1, width = 2, lengthPenalty = 0.5, eosId = 1))
+    var reductionChecked = 0
+    for (t <- 0 until vocab if t != 1) {
+      val safeDocs = base.keySet.filter { d =>
+        !base(d).exists(_.contains(t)) && !s1(d).exists(_.contains(t))
+      }
+      if (safeDocs.nonEmpty) {
+        val bannedRun = collectBeams(Torch.beamSearch(df, "tok_ids", "beams",
+          bc, steps = 2, width = 2, lengthPenalty = 0.5, eosId = 1,
+          banned = Set(t)))
+        for (d <- safeDocs)
+          assert(bannedRun(d) == base(d),
+            s"doc $d: banning never-kept token $t changed the beams")
+        reductionChecked += safeDocs.size
+      }
+    }
+    assert(reductionChecked >= base.size,
+      s"reduction covered only $reductionChecked doc-checks")
+    // 2. the full knob set: CTRL penalty + no-repeat-bigram + a banned
+    //    phrase + a 2-token eos floor — engine vs an independent
+    //    session-level recompute of the DOCUMENTED contract
+    val knobbed = collectBeams(Torch.beamSearch(df, "tok_ids", "beams", bc,
+      steps = 2, width = 2, lengthPenalty = 0.5, eosId = 1,
+      repetitionPenalty = 1.5, noRepeatNgram = 2,
+      bannedPhrases = Seq(Seq(4, 4)), minNewTokens = 2))
+    assert(knobbed.exists { case (k, v) => base(k) != v },
+      "the knob set never changed a ranking - vacuous")
+    def logProbs(lg: Array[Float]): Array[Double] = {
+      val mx = lg.map(_.toDouble).max
+      val z = lg.map(v => math.exp(v.toDouble - mx)).sum
+      val lse = math.log(z) + mx
+      lg.map(_.toDouble - lse)
+    }
+    val toks = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    for ((docId, prompt) <- toks) {
+      var beams: Seq[(Vector[Int], Double, m.DecodeSession, Boolean)] =
+        Seq((Vector.empty[Int], 0.0, m.decodeSession(prompt), false))
+      for (_ <- 0 until 2) {
+        val cands = beams.zipWithIndex.flatMap {
+          case ((g, s0, sess, true), bi) =>
+            Seq((s0 / StrictMath.pow(g.length.toDouble, 0.5),
+              bi, -1, s0, (g, s0, sess, true)))
+          case ((g, s0, sess, false), bi) =>
+            val lp = logProbs(sess.logits())
+            val pen = StrictMath.pow((g.length + 1).toDouble, 0.5)
+            val full = prompt.toVector ++ g
+            val seen = full.toSet
+            val ng: Set[Int] =
+              (0 until full.length - 1).collect {
+                case i if full(i) == full.last => full(i + 1)
+              }.toSet
+            def hard(j: Int) =
+              (j == 4 && full.lastOption.contains(4)) ||
+                (j == 1 && g.length < 2)
+            val ngLive = (0 until vocab).exists(j => !hard(j) && !ng(j))
+            (0 until vocab)
+              .filter(j => !hard(j) && !(ngLive && ng(j))).map { tok =>
+                val l0 = lp(tok)
+                val l =
+                  if (seen(tok)) { if (l0 > 0.0) l0 / 1.5 else l0 * 1.5 }
+                  else l0
+                val raw = s0 + l
+                (raw / pen, bi, tok, raw, (g, s0, sess, false))
+              }
+        }
+        beams = cands.sortBy { case (n, bi, tok, _, _) => (-n, bi, tok) }
+          .take(2)
+          .map {
+            case (_, _, -1, _, b) => b
+            case (_, _, tok, raw, (g, _, sess, _)) =>
+              if (tok == 1) (g :+ tok, raw, sess, true)
+              else {
+                val child = sess.fork(); child.append(tok)
+                (g :+ tok, raw, child, false)
+              }
+          }
+      }
+      assert(knobbed(docId) == beams.map(_._1.toSeq),
+        s"doc $docId: engine ${knobbed(docId)} != recompute ${beams.map(_._1)}")
+      // hard invariants on every kept beam
+      for (b <- knobbed(docId)) {
+        assert(!b.contains(1), s"doc $docId: eos decoded below the floor")
+        // the bad_words contract bans COMPLETING the phrase: no (4,4)
+        // window may END at a generated position (the prompt may
+        // already contain one — that's history, not decoding)
+        val full = prompt.toSeq ++ b
+        val genStart = prompt.length
+        val violation = (1 until full.length).exists(e =>
+          e >= genStart && full(e) == 4 && full(e - 1) == 4)
+        assert(!violation, s"doc $docId: banned phrase completed in $b")
+      }
+    }
+  }
+
+  test("min_new_tokens: eos never decodes inside the floor; non-binding docs are untouched") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def run(minNew: Int) =
+      Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 4,
+          eosId = 1, minNewTokens = minNew)
+        .select("doc_id", "gen").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val plain = run(0)
+    val floored = run(2)
+    // floor invariants: eos cannot appear among the first 2 generated
+    // tokens, so every row decodes at least 3 (it may stop at step 3)
+    for ((d, g) <- floored) {
+      assert(!g.take(2).contains(1), s"doc $d: eos inside the floor: $g")
+      assert(g.length >= 3, s"doc $d: stopped inside the floor: $g")
+    }
+    // the knob binds somewhere: a doc that stopped early un-floored
+    val bound = plain.filter { case (_, g) => g.take(2).contains(1) }
+    assert(bound.nonEmpty, "no doc hit eos inside the floor - vacuous fixture")
+    assert(bound.keys.exists(d => floored(d) != plain(d)),
+      "the floor never changed a bound doc")
+    // docs where the ban never binds (no eos argmax inside the floor)
+    // are BIT-IDENTICAL: the guard only removes eos, and eos was not
+    // the pick
+    for ((d, g) <- plain if !g.take(2).contains(1))
+      assert(floored(d) == g, s"doc $d: unbound trajectory moved")
+  }
 }
