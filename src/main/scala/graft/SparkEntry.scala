@@ -1489,6 +1489,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CONSTRAINED BEAM SEARCH (q229, VERDICT r15 item 2): the full HF
+    // logit-processor chain threaded through beam expansion — CTRL
+    // repetition penalty 1.5 (rescales per-beam LOG-SOFTMAX scores of
+    // seen tokens; the full-vocab lse is computed first, so neutral
+    // knobs reduce bit-exactly — spec-pinned), no-repeat-bigram with
+    // the per-beam lift rule, banned phrase (4,4), and a 2-token eos
+    // floor (eos id 1 never a candidate at either step — no completed
+    // beams, so every kept beam is exactly 2 tokens). Candidates rank
+    // (adjusted joint DESC, parent ASC, token ASC) — the q197 total
+    // order over constrained scores.
+    "q229_torch_beam_constrained" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.beamSearch(toks, "tok_ids", "beams", bc,
+          steps = 2, width = 2, batchSize = 256, eosId = 1,
+          repetitionPenalty = 1.5, noRepeatNgram = 2,
+          bannedPhrases = Seq(Seq(4, 4)), minNewTokens = 2)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("b1t1"), col("beams")(0)(1).as("b1t2"),
+          col("beams")(1)(0).as("b2t1"), col("beams")(1)(1).as("b2t2"))
+        .orderBy("doc_id")
+    },
+
     // MIN-P sampling (q218): the newest mainstream nucleus knob
     // (Nguyen et al. 2024, llama.cpp/HF `min_p`) — keep candidates
     // whose mass clears `minP * max(p)`, renormalize, sample. A third
@@ -10048,6 +10078,10 @@ object SparkEntry {
     // own length (beamLenNormOracle).
     "q214_torch_beam_lennorm" -> beamLenNormOracle(eos = 1, alpha = 0.5),
 
+    // Constrained beams: per-beam seen-rescale after the full-vocab
+    // lse, hard bans filtered, bigram ban with the n_ok = 0 lift.
+    "q229_torch_beam_constrained" -> constrainedBeamOracle,
+
     // q181's corruption chain rebuilds the candidate; the clipped
     // counts divide by the REFERENCE totals.
     "q201_rouge_corrupt" ->
@@ -12030,6 +12064,129 @@ object SparkEntry {
        |  SELECT c.doc_id, c.pb, c.tid, b.score + c.lp AS joint,
        |    CAST(b.tid AS INT) AS t1
        |  FROM cand2 c JOIN beams1 b
+       |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1),
+       |kept AS (
+       |  SELECT doc_id, t1, tid, joint,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+       |  FROM joined QUALIFY rk <= 2)
+       |SELECT k1.doc_id, k1.t1 AS b1t1, CAST(k1.tid AS INT) AS b1t2,
+       |  k2.t1 AS b2t1, CAST(k2.tid AS INT) AS b2t2
+       |FROM kept k1 JOIN kept k2
+       |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
+       |ORDER BY k1.doc_id""".stripMargin
+  }
+
+  /** The q229 constrained-beam oracle: beamOracle's two-step
+    * synthetic-doc-id recipe with the logit-processor chain restated
+    * per step — per-(beam)doc SEEN set (DISTINCT over the grown token
+    * CTE) rescales `lp > 0 → lp/1.5 else lp·1.5` AFTER the full-vocab
+    * lse (the engine computes log-softmax first, HF beam order); hard
+    * bans (eos inside the 2-token floor; a candidate completing the
+    * (4,4) phrase against the last token) are filtered out; the
+    * bigram ban anti-joins followers of the last token with the
+    * `n_ok = 0` lift (sampledStepChain's rule, per beam). Ranking is
+    * the usual total order (adjusted joint DESC, parent ASC, token
+    * ASC); no completed beams can exist (eos banned both steps), so
+    * the output is always 2 beams × 2 tokens. */
+  private def constrainedBeamOracle: String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    // the per-step constraint block over a token CTE: seen-set
+    // rescale, hard bans (eos floor + phrase completion), bigram ban
+    // with the n_ok = 0 lift — yields cand<t>(doc_id, tid, lp)
+    def constrain(t: Int, toks: String): String =
+      s"""seen$t AS (SELECT DISTINCT doc_id, tid FROM $toks),
+         |last$t AS (
+         |  SELECT t0.doc_id, t0.tid AS lt
+         |  FROM $toks t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toks
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+         |ng$t AS (
+         |  SELECT DISTINCT a.doc_id, b.tid
+         |  FROM $toks a
+         |  JOIN $toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  JOIN last$t l ON l.doc_id = a.doc_id AND a.tid = l.lt),
+         |adj$t AS (
+         |  SELECT c.doc_id, c.tid,
+         |    CASE WHEN s.tid IS NOT NULL THEN
+         |      CASE WHEN c.lp > CAST(0 AS DOUBLE) THEN c.lp / CAST(1.5 AS DOUBLE)
+         |           ELSE c.lp * CAST(1.5 AS DOUBLE) END
+         |    ELSE c.lp END AS lp,
+         |    (c.tid = 1 OR (c.tid = 4 AND l.lt = 4)) AS is_hard,
+         |    (g.tid IS NOT NULL) AS is_ng
+         |  FROM cand${t}raw c
+         |  JOIN last$t l ON l.doc_id = c.doc_id
+         |  LEFT JOIN seen$t s ON s.doc_id = c.doc_id AND s.tid = c.tid
+         |  LEFT JOIN ng$t g ON g.doc_id = c.doc_id AND g.tid = c.tid),
+         |ok$t AS (SELECT doc_id,
+         |           count(*) FILTER (WHERE NOT is_hard AND NOT is_ng) AS n_ok
+         |         FROM adj$t GROUP BY doc_id),
+         |cand$t AS MATERIALIZED (
+         |  SELECT a.doc_id, a.tid, a.lp
+         |  FROM adj$t a JOIN ok$t o ON o.doc_id = a.doc_id
+         |  WHERE NOT a.is_hard AND (o.n_ok = 0 OR NOT a.is_ng))""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |lp1 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit1)),
+       |cand1raw AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |${constrain(1, "toks0")},
+       |beams1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM cand1 QUALIFY b <= 2),
+       |toks1 AS MATERIALIZED (
+       |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+       |  FROM toks0 t JOIN beams1 b ON b.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+       |  FROM beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+       |logit2 AS MATERIALIZED (
+       |${fwd("toks1")}
+       |),
+       |lp2 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2)),
+       |cand2raw AS MATERIALIZED (
+       |  ${candRows("lp2")}),
+       |${constrain(2, "toks1")},
+       |cand2m AS MATERIALIZED (
+       |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, lp
+       |  FROM cand2),
+       |joined AS MATERIALIZED (
+       |  SELECT c.doc_id, c.pb, c.tid, b.score + c.lp AS joint,
+       |    CAST(b.tid AS INT) AS t1
+       |  FROM cand2m c JOIN beams1 b
        |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1),
        |kept AS (
        |  SELECT doc_id, t1, tid, joint,
