@@ -1417,6 +1417,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // MULTI-RETURN sampling (q232, VERDICT r15 item 5): HF
+    // num_return_sequences — THREE independent seeded trajectories per
+    // doc through q203's sampler, forked off ONE shared prompt
+    // KV-session (prefix computed once per row). Sequence 0 draws from
+    // "<id>:<step>" (bit-identical to q203 — adding sequences never
+    // moves it; spec-pinned), sequences 1-2 from "<id>:<seq>:<step>".
+    // The oracle replicates each doc across synthetic (doc·3 + seq)
+    // ids and reruns the exact sampled chain with the salted key.
+    "q232_torch_gen_multireturn" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampledK(toks, "doc_id", "tok_ids", "gens", bc,
+          steps = 2, temperature = 0.5, topP = 0.9,
+          numReturnSequences = 3, batchSize = 256)
+        .select(col("doc_id"), posexplode(col("gens")).as(Seq("seq", "toks")))
+        .select(col("doc_id"), col("seq"),
+          col("toks")(0).as("sm1"), col("toks")(1).as("sm2"))
+        .orderBy("doc_id", "seq")
+    },
+
     // Repetition penalty + no-repeat-bigram under SAMPLING (q216):
     // q213's anti-degeneration controls composed with q203's nucleus
     // sampler — HF's default composition (penalties rescale logits
@@ -9879,6 +9906,11 @@ object SparkEntry {
     // Temperature + top-p sampling with seeded md5 draws and 6-dp
     // quantized cutoffs — the full per-step chain restated
     // (sampledOracle).
+    // Multi-return: the q203 chain over (doc, sequence) synthetic ids
+    // with the salted seed key; sequence 0 IS q203.
+    "q232_torch_gen_multireturn" -> sampledKOracle(steps = 2,
+      temperature = 0.5, topP = 0.9, k = 3),
+
     "q203_torch_gen_sampled" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 0.9),
 
@@ -11377,7 +11409,12 @@ object SparkEntry {
       temperature: Double, topP: Double,
       banned: Seq[Int] = Nil, topK: Int = Int.MaxValue,
       penaltyNgram: Option[(Double, Int, String)] = None,
-      minP: Double = 0.0): String = {
+      minP: Double = 0.0,
+      seedArg: String = null): String = {
+    // the md5 key the seeded draw hashes — q232's synthetic
+    // (doc, sequence) ids restate the "<id>:<seq>:<step>" discipline
+    val seedSql = Option(seedArg)
+      .getOrElse(s"CAST(doc_id AS VARCHAR) || ':$t'")
     // top-k composes as a second prefix filter on the same
     // (p6 DESC, tid ASC) order — the engine's rank cutoff restated;
     // the running renormalized cumulative then runs over the kept
@@ -11464,7 +11501,7 @@ object SparkEntry {
        |           row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
        |    FROM nuc$t
        |    WHERE round(cs / total, 6) >
-       |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':$t'), 1, 8)
+       |      CAST('0x' || substring(md5($seedSql), 1, 8)
        |        AS BIGINT) % 1000000 / CAST(1000000 AS DOUBLE))
        |  WHERE prk = 1)""".stripMargin
   }
@@ -11515,6 +11552,66 @@ object SparkEntry {
        |FROM samp1 g1
        |$joins
        |ORDER BY g1.doc_id""".stripMargin
+  }
+
+  /** The q232 multi-return oracle: toks0 replicates every doc across
+    * k synthetic ids (doc·k + seq), then the EXACT sampled chain runs
+    * over them with the salted seed key — seq 0 hashes
+    * "<doc>:<step>" (the q203 key, so sequence 0 equals q203
+    * row-for-row), seq > 0 hashes "<doc>:<seq>:<step>". */
+  private def sampledKOracle(steps: Int, temperature: Double, topP: Double,
+      k: Int): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    def seedArg(t: Int): String =
+      s"""CASE WHEN doc_id % $k = 0
+         |        THEN CAST(doc_id // $k AS VARCHAR) || ':$t'
+         |        ELSE CAST(doc_id // $k AS VARCHAR) || ':' ||
+         |             CAST(doc_id % $k AS VARCHAR) || ':$t' END""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      s"""logit$t AS MATERIALIZED (
+         |${fwd(s"toks${t - 1}")}
+         |),
+         |${sampledStepChain(t, vocab, temperature, topP,
+             seedArg = seedArg(t))},
+         |toks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM samp$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS sm$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN samp$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (
+       |  SELECT w.doc_id * $k + r.seq AS doc_id, w.tid, w.pos
+       |  FROM words w, (SELECT unnest(range(0, $k)) AS seq) r),
+       |$stepCtes
+       |SELECT g1.doc_id // $k AS doc_id,
+       |  CAST(g1.doc_id % $k AS INT) AS seq, $outs
+       |FROM samp1 g1
+       |$joins
+       |ORDER BY doc_id, seq""".stripMargin
   }
 
   /** The q213 repetition-penalty / no-repeat-bigram oracle: each step

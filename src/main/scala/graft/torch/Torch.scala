@@ -30,6 +30,19 @@ object Torch {
       val hex = md.take(4).map(b => f"$b%02x").mkString
       (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
     }
+    /** The multi-return draw (`num_return_sequences`): sequence 0
+      * keeps the single-return key `"<id>:<step>"` — so k = 1 and the
+      * first of k sequences are bit-identical to [[generateSampled]]
+      * — and every extra sequence salts the key with its index,
+      * `"<id>:<seq>:<step>"`. */
+    def draw(id: Long, seq: Int, step: Int): Double =
+      if (seq == 0) draw(id, step)
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$seq:$step".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+      }
     def sampleNext(out: Array[Float], off: Int, vocab: Int,
         temperature: Double, topP: Double, u: Double,
         banned: Set[Int] = Set.empty, topK: Int = Int.MaxValue,
@@ -1334,6 +1347,130 @@ object Torch {
         rows.iterator.zipWithIndex.map { case (r, ri) =>
           if (seqs(ri) == null) Row.fromSeq(r.toSeq :+ null)
           else Row.fromSeq(r.toSeq :+ gen(ri).toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * MULTI-RETURN sampled decoding — HF `num_return_sequences`: k
+   * independent seeded trajectories PER ROW through the identical
+   * [[Sampling]] kernel (temperature + nucleus), the data-augmentation
+   * serving shape (k paraphrases / k candidate continuations per
+   * source). Seed discipline: sequence 0 draws from `"<id>:<step>"` —
+   * BIT-IDENTICAL to [[generateSampled]]'s trajectory, so k = 1
+   * reduces exactly and adding sequences never changes sequence 0 —
+   * and sequence s > 0 draws from `"<id>:<s>:<step>"` (both engines
+   * restate the md5).
+   *
+   * Scale shape: one `mapPartitions`, no per-step plan growth. On the
+   * KV path the k trajectories FORK one shared prompt session (the
+   * prefix-sharing serving trick — the prompt's O(L·d) attention state
+   * is computed once per row, each sequence pays only its own O(d)
+   * decode steps); without a cacheable model all rows × sequences ride
+   * one `forwardTokensBatch` per step.
+   *
+   * @return input columns + `outCol` = array<array<int>>: the k
+   *         generated-token arrays in sequence order (null input →
+   *         null)
+   */
+  def generateSampledK(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      temperature: Double,
+      topP: Double,
+      numReturnSequences: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(numReturnSequences >= 1, "numReturnSequences must be >= 1")
+    require(temperature > 0.0, "temperature must be > 0 (greedy is generateGreedy)")
+    require(topP > 0.0 && topP <= 1.0, "topP must be in (0, 1]")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1, "generateSampledK needs a token-input model")
+    require(!model.value.isCross,
+      "cross-attention model: use generateSampledPair")
+    val k = numReturnSequences
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      it.grouped(bs).flatMap { rows =>
+        val seqs: Array[Array[Int]] = rows.map { r =>
+          if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+          else {
+            val xs = r.getSeq[Any](inIdx)
+            val a = new Array[Int](xs.length)
+            var j = 0
+            var ok = true
+            while (ok && j < a.length) {
+              xs(j) match {
+                case null => ok = false
+                case f: java.lang.Number => a(j) = f.intValue(); j += 1
+              }
+            }
+            if (ok && a.nonEmpty) a else null
+          }
+        }.toArray
+        val ids: Array[Long] = rows.map(r =>
+          if (r.isNullAt(idIdx)) 0L else r.getAs[Number](idIdx).longValue()).toArray
+        val gen = Array.fill(seqs.length, k)(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        if (m.cacheable) {
+          seqs.zipWithIndex.foreach { case (s0, ri) =>
+            if (s0 != null) {
+              // ONE prompt session per row; every sequence forks it —
+              // the shared prefix is attended once, per-sequence work
+              // is only that sequence's own appended tokens
+              val base = m.decodeSession(s0)
+              var sq = 0
+              while (sq < k) {
+                val sess = base.fork()
+                var t = 1
+                while (t <= steps) {
+                  val tid = Sampling.sampleNext(sess.logits(), 0, vocab,
+                    temperature, topP, Sampling.draw(ids(ri), sq, t))
+                  gen(ri)(sq) += tid
+                  sess.append(tid)
+                  t += 1
+                }
+                sq += 1
+              }
+            }
+          }
+        } else {
+          // flatten (row, sequence) trajectories: all live entries of
+          // every sequence ride ONE forwardTokensBatch per step
+          val cur: Array[Array[Int]] =
+            Array.tabulate(seqs.length * k)(i => seqs(i / k))
+          var t = 1
+          while (t <= steps) {
+            val liveIdx = cur.indices.filter(cur(_) != null)
+            if (liveIdx.nonEmpty) {
+              val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
+              liveIdx.zipWithIndex.foreach { case (fi, bi) =>
+                val (ri, sq) = (fi / k, fi % k)
+                val tid = Sampling.sampleNext(out, bi * vocab, vocab,
+                  temperature, topP, Sampling.draw(ids(ri), sq, t))
+                gen(ri)(sq) += tid
+                cur(fi) = cur(fi) :+ tid
+              }
+            }
+            t += 1
+          }
+        }
+        rows.iterator.zipWithIndex.map { case (r, ri) =>
+          if (seqs(ri) == null) Row.fromSeq(r.toSeq :+ null)
+          else Row.fromSeq(r.toSeq :+ gen(ri).toSeq.map(_.toSeq))
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -898,4 +898,33 @@ class TorchGenerateSpec extends AnyFunSuite {
     for ((d, g) <- plain if !g.take(2).contains(1))
       assert(floored(d) == g, s"doc $d: unbound trajectory moved")
   }
+
+  test("multi-return sampling: k=1 reduces bit-exactly; sequence 0 is k-invariant; extras diverge") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    val single = Torch.generateSampled(df, "doc_id", "tok_ids", "gen", bc,
+        steps = 3, temperature = 0.5, topP = 0.9)
+      .select("doc_id", "gen").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    def runK(k: Int) =
+      Torch.generateSampledK(df, "doc_id", "tok_ids", "gens", bc,
+          steps = 3, temperature = 0.5, topP = 0.9, numReturnSequences = k)
+        .select("doc_id", "gens").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    val k1 = runK(1)
+    assert(k1.forall { case (d, g) => g == Seq(single(d)) },
+      "k = 1 must reduce bit-exactly to generateSampled")
+    val k3 = runK(3)
+    // sequence 0 never moves when k grows (the "<id>:<step>" key)
+    assert(k3.forall { case (d, g) => g.head == single(d) },
+      "sequence 0 moved when k grew")
+    // the salted keys produce real diversity somewhere
+    assert(k3.exists { case (_, g) => g.distinct.length > 1 },
+      "all sequences identical everywhere - vacuous salt")
+    // every sequence has exactly `steps` tokens (no early exit path)
+    assert(k3.values.flatten.forall(_.length == 3))
+  }
 }
