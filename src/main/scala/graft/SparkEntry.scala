@@ -4011,6 +4011,50 @@ object SparkEntry {
         .orderBy("a", "b")
     },
 
+    // PERSISTED / INCREMENTAL image-dedup index (q231, VERDICT r15
+    // item 4): q223's dHash corpus written ONCE as a parquet hash
+    // index (fps + pigeonhole band keys + meta — Dedup.saveHashIndex,
+    // the perceptual-hash sibling of the text index), then REOPENED
+    // and probed with the 50-image perturbed batch
+    // (incrementalHammingAgainst): banded candidates on (chunk, key),
+    // popcount-verified against the STORED fingerprints — the
+    // standing corpus is never rehashed. Exactly the 50 planted
+    // cross pairs survive (q223's avalanche argument: organic 64-bit
+    // hashes can't land within hamming 3).
+    "q231_image_index_incremental" -> { (s, dir) =>
+      val synth = udf((id: Long, pert: Int) => {
+        val header = "P5\n9 8\n255\n".getBytes("US-ASCII")
+        val src = if (pert == 1) id - 10000L else id
+        val px = Array.tabulate(72) { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$src:$i".getBytes("UTF-8"))
+          val hex = md.take(4).map(b => f"$b%02x").mkString
+          val base = (java.lang.Long.parseLong(hex, 16) % 256).toByte
+          if (pert == 1 && i == 40) ((base & 0xff) + 17).toByte else base
+        }
+        header ++ px
+      })
+      def fpOf(df: org.apache.spark.sql.DataFrame, pert: Int) =
+        Multimodal.dHash64(
+          Multimodal.resizeImage(
+            df.select(col("img_id"), synth(col("img_id"), lit(pert)).as("img")),
+            "img", "px", 9, 8)
+            .select(col("img_id"), col("px.pixels").as("pixels")),
+          "pixels", "fp")
+      val docs = t(s, dir, "documents").select("doc_id")
+      val baseFp = fpOf(docs.select(col("doc_id").as("img_id")), 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_imgidx_").toString
+      graft.operators.Dedup.saveHashIndex(baseFp, "img_id", "fp",
+        maxHamming = 3, path = path)
+      val ix = graft.operators.Dedup.loadHashIndex(s, path)
+      val freshFp = fpOf(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("img_id")), 1)
+      graft.operators.Dedup.incrementalHammingAgainst(ix, freshFp,
+          "img_id", "fp")
+        .orderBy("corpus_id", "new_id")
+    },
+
     // Video modality THROUGH the real ISO-BMFF container codec: a
     // deterministic MP4 (ftyp/moov/mvhd/trak/tkhd/mdat) per doc, the
     // box-walking parser extracts brand/duration/tracks/dims, and the
@@ -9968,6 +10012,49 @@ object SparkEntry {
         |FROM fp fa JOIN fp fb ON fa.id < fb.id
         |WHERE bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi)) <= 3
         |ORDER BY a, b""".stripMargin,
+
+    // Incremental image index: the q223 pixel/gradient/fp chain, but
+    // only CROSS pairs (standing corpus id < 10000, new batch id >=
+    // 10000) — the oracle may brute-force the cross product; the
+    // engine must ride the banded index probe.
+    "q231_image_index_incremental" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS id, doc_id AS src, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS id, doc_id AS src, 1 AS pert
+        |  FROM documents WHERE doc_id < 50),
+        |cells AS (
+        |  SELECT id, src, pert, rr.r, cc.c
+        |  FROM imgs,
+        |    (SELECT unnest(range(0, 8)) AS r) rr,
+        |    (SELECT unnest(range(0, 8)) AS c) cc),
+        |bits AS (
+        |  SELECT id, r, c,
+        |    CASE WHEN
+        |      (CAST('0x' || substring(md5(CAST(src AS VARCHAR) || ':' ||
+        |         CAST(r * 9 + c AS VARCHAR)), 1, 8) AS BIGINT) % 256
+        |       + CASE WHEN pert = 1 AND r = 4 AND c = 4 THEN 17 ELSE 0 END) % 256
+        |      >
+        |      (CAST('0x' || substring(md5(CAST(src AS VARCHAR) || ':' ||
+        |         CAST(r * 9 + c + 1 AS VARCHAR)), 1, 8) AS BIGINT) % 256
+        |       + CASE WHEN pert = 1 AND r = 4 AND c + 1 = 4 THEN 17 ELSE 0 END) % 256
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM cells),
+        |fp AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN r * 8 + c < 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INT))
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN r * 8 + c >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(r * 8 + c - 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY id)
+        |SELECT fa.id AS corpus_id, fb.id AS new_id,
+        |  CAST(bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi))
+        |    AS INT) AS hamming
+        |FROM fp fa JOIN fp fb ON fa.id < 10000 AND fb.id >= 10000
+        |WHERE bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi)) <= 3
+        |ORDER BY corpus_id, new_id""".stripMargin,
 
     // Chunk quality gate: the q222 chunk CTEs + the q186 entropy
     // formula per chunk, 6dp-quantized before the keep threshold and

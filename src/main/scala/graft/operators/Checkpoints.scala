@@ -26,8 +26,13 @@ object Checkpoints {
   // guard must compare against what WE last set, not what Spark reports.
   private val lastSet = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Lazy checkpoint under the session's policy (see object doc). */
-  def cp(df: DataFrame): DataFrame = {
+  /** Lazy checkpoint under the session's policy (see object doc).
+    * Streaming frames pass through untouched: checkpoint() is illegal
+    * on them, and the multi-consumer reuse it buys is a batch-plan
+    * concern — each micro-batch is small by construction. This is
+    * what lets batch operators (incremental dedup probes, chunkers)
+    * run unchanged inside `writeStream` pipelines. */
+  def cp(df: DataFrame): DataFrame = if (df.isStreaming) df else {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>

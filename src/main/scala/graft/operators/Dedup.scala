@@ -377,6 +377,117 @@ object Dedup {
       .select(col("corpus_id"), col("new_id"), col("jaccard"))
   }
 
+  /** A persisted 64-bit-fingerprint dedup index — the perceptual-hash
+    * sibling of [[TextIndex]] (q231): the standing corpus's
+    * fingerprints plus their pigeonhole band keys as parquet
+    * artifacts, so IMAGE ingest can dedup incrementally exactly like
+    * text ([[incrementalPairsAgainst]]) — build once, reopen per
+    * batch, never rehash the standing corpus. `maxHamming` is the
+    * index's contract (it fixes the chunk count); a batch must band
+    * identically. */
+  final case class HashIndex(fps: DataFrame, bandsDf: DataFrame,
+      maxHamming: Int)
+
+  /** The (chunk, key) band rows of [[hammingPairs64]]'s pigeonhole
+    * scheme for one fingerprint table — shared by the in-query join,
+    * the index writer and the incremental prober so all three bucket
+    * BIT-IDENTICALLY. */
+  private def bandKeys64(fp: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1 // hamming<=k => some chunk of k+1 equal chunks matches
+    val width = 64 / chunks
+    // normalize the fingerprint column name in its OWN projection —
+    // aliasing and chunk-exploding it in one select makes Spark 4
+    // resolve the chunk expression as a lateral column alias (internal
+    // analyzer error under Generate)
+    fp.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .select(col("id"), col("fp"),
+        posexplode(transform(
+          sequence(lit(0), lit(chunks - 1)),
+          c => call_function("shiftrightunsigned", col("fp"), c * lit(width))
+            .bitwiseAND(lit((1L << width) - 1)))))
+      .toDF("id", "fp", "chunk", "key")
+  }
+
+  /** Write a fingerprint index: `fps` (id, fp), `bands` (id, chunk,
+    * key), `meta` (max_hamming). Append mode folds a new batch INTO
+    * the standing index (same maxHamming enforced at append — a
+    * different value would band incompatibly under a meta claiming
+    * otherwise). Null fingerprints (decode failures) are excluded,
+    * like every hashing path here. */
+  def saveHashIndex(fp: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int, path: String, append: Boolean = false): Unit = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      "chunked banding needs 1 <= maxHamming <= 15")
+    val spark = fp.sparkSession
+    import spark.implicits._
+    val mode = if (append) "append" else "overwrite"
+    if (append) {
+      val existing =
+        try spark.read.parquet(s"$path/meta").collect()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+            throw new IllegalArgumentException(
+              s"no hash index at $path — build one with append=false first", e)
+        }
+      require(existing.length == 1, s"bad hash-index meta at $path")
+      val eh = existing(0).getAs[Int]("max_hamming")
+      require(eh == maxHamming,
+        s"hash-index parameter mismatch at $path: stored maxHamming=$eh " +
+          s"vs append maxHamming=$maxHamming")
+    }
+    val clean = fp.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .filter(col("fp").isNotNull)
+      .transform(Checkpoints.cp) // read by both artifact writes
+    clean.write.mode(mode).parquet(s"$path/fps")
+    bandKeys64(clean, "id", "fp", maxHamming)
+      .select("id", "chunk", "key")
+      .write.mode(mode).parquet(s"$path/bands")
+    Seq(maxHamming).toDF("max_hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reopen a persisted fingerprint index. */
+  def loadHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): HashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"bad hash-index meta at $path")
+    HashIndex(
+      spark.read.parquet(s"$path/fps"),
+      spark.read.parquet(s"$path/bands"),
+      meta(0).getAs[Int]("max_hamming"))
+  }
+
+  /** New-batch near-dup pairs against a REOPENED fingerprint index —
+    * [[hammingPairs64]]'s pigeonhole semantics with the corpus side
+    * read from parquet instead of rehashed: banded candidates on
+    * (chunk, key), popcount-verified against the stored fingerprints.
+    * Returns (corpus_id, new_id, hamming), hamming <= the index's
+    * maxHamming. Never all-pairs: candidate volume is bounded by
+    * per-chunk-value bucket sizes on BOTH sides. */
+  def incrementalHammingAgainst(index: HashIndex, fresh: DataFrame,
+      idCol: String, fpCol: String): DataFrame = {
+    val spark = fresh.sparkSession
+    val fFp = fresh.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .filter(col("fp").isNotNull)
+      .transform(Checkpoints.cp) // read by the banding AND the verify join
+    val fBands = bandKeys64(fFp, "id", "fp", index.maxHamming)
+      .select(col("id").as("new_id"), col("chunk"), col("key"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val cand = index.bandsDf.toDF("corpus_id", "chunk", "key")
+      .repartition(p, col("chunk"), col("key"))
+      .join(fBands, Seq("chunk", "key"))
+      .select("corpus_id", "new_id")
+      .dropDuplicates("corpus_id", "new_id")
+    cand
+      .join(index.fps.toDF("corpus_id", "fpa"), Seq("corpus_id"))
+      .join(fFp.toDF("new_id", "fpb"), Seq("new_id"))
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= index.maxHamming)
+      .select(col("corpus_id"), col("new_id"), col("hamming"))
+  }
+
   /**
    * SimHash near-dup pairs: 64-bit fingerprint per doc
    * ([[graft.functions.SimHash64]]), candidates via the pigeonhole
@@ -418,19 +529,9 @@ object Dedup {
     require(maxHamming >= 1 && maxHamming <= 15,
       "chunked banding needs 1 <= maxHamming <= 15 (use an exact " +
         "groupBy on the fingerprint for hamming = 0)")
-    val chunks = maxHamming + 1 // hamming<=k => some chunk of k+1 equal chunks matches
-    val width = 64 / chunks
-    // normalize the fingerprint column name in its OWN projection —
-    // aliasing and chunk-exploding it in one select makes Spark 4
-    // resolve the chunk expression as a lateral column alias (internal
-    // analyzer error under Generate)
-    val fpNorm = fp.select(col(idCol), col(fpCol).as("fp"))
-    val banded = fpNorm.select(col(idCol), col("fp"),
-      posexplode(transform(
-        sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftrightunsigned", col("fp"), c * lit(width))
-          .bitwiseAND(lit((1L << width) - 1)))))
-      .toDF(idCol, "fp", "chunk", "key")
+    // band keys via the shared bandKeys64 (the index writer and the
+    // incremental prober bucket bit-identically by construction)
+    val banded = bandKeys64(fp, idCol, fpCol, maxHamming)
       // pin the chunk-join shuffle width — see jaccardPairs
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("chunk"), col("key"))

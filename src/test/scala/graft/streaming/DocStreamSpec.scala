@@ -805,4 +805,45 @@ class DocStreamSpec extends AnyFunSuite {
       assert(batch.values.exists(_._2 > 0), "fixture has no heavy grams — weak test")
     } finally q.stop()
   }
+
+  test("streaming image-fingerprint dedup against a REOPENED index == batch probe, exact planted pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus: md5-avalanched 64-bit fingerprints, persisted
+    // ONCE (the q231 artifact); arriving images probe it — the frozen
+    // standing corpus is never rehashed (the frozen-artifact ingest
+    // discipline, perceptual-hash form)
+    def fp(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sx:$id".getBytes("UTF-8"))
+      md.take(8).zipWithIndex.map { case (b, i) => (b.toLong & 0xff) << (8 * i) }.sum
+    }
+    val path = java.nio.file.Files.createTempDirectory("simgidx").toString
+    val corpus = (0L until 200L).map(i => (i, fp(i))).toDF("img_id", "f")
+    graft.operators.Dedup.saveHashIndex(corpus, "img_id", "f", 3, path)
+    val ix = graft.operators.Dedup.loadHashIndex(spark, path)
+    // fresh: 30 planted 2-bit perturbations + 30 novel fingerprints
+    val fresh = ((0L until 30L).map(i => (i + 10000L, fp(i) ^ 9L)) ++
+      (700L until 730L).map(i => (i + 10000L, fp(i)))).toSeq
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.operators.Dedup.incrementalHammingAgainst(
+        ix, mem.toDF().toDF("img_id", "f"), "img_id", "f")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("imgdedup_out").start()
+    try {
+      for (chunk <- fresh.grouped((fresh.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("imgdedup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val batch = graft.operators.Dedup.incrementalHammingAgainst(
+          ix, fresh.toDF("img_id", "f"), "img_id", "f")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(streamed == batch, s"streaming diverged: $streamed vs $batch")
+      assert(streamed.size == 30, s"expected exactly the planted pairs: $streamed")
+      for (i <- 0L until 30L)
+        assert(streamed.contains((i, i + 10000L, 2)), s"planted pair $i missing")
+    } finally q.stop()
+  }
 }
