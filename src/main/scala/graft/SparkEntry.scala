@@ -323,6 +323,29 @@ object SparkEntry {
         .orderBy(col("maxsim").desc, col("doc_id"))
     },
 
+    // MaxSim over an ANN SHORTLIST (q233, VERDICT r15 item 6): the
+    // ColBERT deployment — TOKEN-space IVFADC candidate generation
+    // (each query term retrieves its r nearest token embeddings from
+    // the indexed table; docs containing any retrieved token are the
+    // shortlist — a scan-side arrays_overlap, no shuffle), then the
+    // late-interaction MaxSim reranks ONLY the shortlist
+    // (Retrieval.maxSimTopKAnn). r/nprobe are sized so the true
+    // top-10 survives stage 1 at both SFs (measured), making the
+    // result row-identical to q226's full scan — the oracle IS q226's
+    // exact MaxSim chain; pruning a true winner hash-mismatches.
+    "q233_maxsim_ann" -> { (s, dir) =>
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => (conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % 32)
+            .cast("int"))
+          .as("tok_ids"))
+      graft.operators.Retrieval.maxSimTopKAnn(toks, "doc_id", "tok_ids",
+          maxSimEmb, maxSimQueryIds, k = 10,
+          r = 8, nlist = 8, m = 2, ksub = 16, nprobe = 6)
+        .orderBy(col("maxsim").desc, col("doc_id"))
+    },
+
     // Margin-based BITEXT MINING (q225): the LASER/CCMatrix
     // parallel-corpus miner — pairs score by cosine RELATIVE to each
     // side's neighborhood density (the ratio margin that suppresses
@@ -9368,6 +9391,12 @@ object SparkEntry {
     // VALUES table (exact f64 dots/norms, the engine's exact
     // dot/(sqrt*sqrt) op shape), per-term max, term-order sum, 6dp.
     "q226_maxsim_colbert" -> maxSimOracle,
+
+    // ANN-shortlisted MaxSim: fetch/nprobe sized so the true top-10
+    // survives candidate generation (measured at both SFs), so the
+    // EXACT full-scan oracle applies — stage-1 overreach would
+    // hash-mismatch, not silently degrade.
+    "q233_maxsim_ann" -> maxSimOracle,
 
     // Bitext margin: all cross pairs' raw cosine for the ranks (the
     // q24 contract), 6dp values for every arithmetic input, the

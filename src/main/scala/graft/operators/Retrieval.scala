@@ -211,4 +211,55 @@ object Retrieval {
       .orderBy(col("maxsim").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * MaxSim over an ANN SHORTLIST (q233) — the way ColBERT actually
+   * deploys (Khattab & Zaharia 2020 §3.6): candidate generation runs
+   * in TOKEN space, not pooled-doc space — for each query term, the
+   * IVFADC index over the token-embedding table retrieves the `r`
+   * nearest token embeddings; docs containing ANY retrieved token are
+   * the shortlist, and the late-interaction [[maxSimTopK]] arithmetic
+   * reranks ONLY those (identical scores, so whenever the true top-k
+   * survives stage 1 the result equals the full scan row-for-row — a
+   * pooled single-vector proxy does NOT have that property: measured
+   * here, maxsim-3.0 winners ranked 67-489 of 500 by pooled cosine).
+   *
+   * Scale shape: the token-space search touches the VOCABULARY-sized
+   * index (ColBERT's billion-token centroid index — here the table
+   * itself), never the corpus; the retrieved token ids are bounded by
+   * construction (<= |queryIds|·r <= vocab), travel as a literal
+   * in-filter on the scan (`arrays_overlap` — scan-side, no shuffle,
+   * no explode), and only shortlist docs pay the O(|doc|·|q|·d)
+   * MaxSim. Every stage is seeded/deterministic.
+   */
+  def maxSimTopKAnn(df: DataFrame, idCol: String, tokCol: String,
+      emb: Array[Array[Float]], queryIds: Seq[Int], k: Int,
+      r: Int, nlist: Int, m: Int, ksub: Int, nprobe: Int): DataFrame = {
+    require(r >= 1 && r <= emb.length, "r must be in [1, vocab]")
+    val spark = df.sparkSession
+    val dim = emb.head.length
+    import spark.implicits._
+    val tokVecs = emb.indices
+      .map(t => (t.toLong, emb(t).map(_.toDouble).toSeq))
+      .toDF("tok_id", "embedding")
+    val ix = Similarity.ivfPqTrain(tokVecs, "embedding", dim, nlist, m, ksub)
+    val codes = Similarity.ivfPqEncode(tokVecs, "tok_id", "embedding", ix)
+    // query-term vectors under DISJOINT synthetic ids (the search
+    // excludes vec_id == q_id self-pairs; terms must keep their own
+    // token as a candidate — its cosine is exactly 1)
+    val qDf = queryIds.zipWithIndex
+      .map { case (q, i) => (emb.length.toLong + i,
+        emb(q).map(_.toDouble).toSeq) }
+      .toDF("tok_id", "embedding")
+    val near = Similarity.ivfPqTopKReranked(tokVecs, codes, qDf,
+      "tok_id", "embedding", ix, k = r, shortlist = r, nprobe = nprobe)
+    // bounded by construction: <= |queryIds| * r <= vocab ids
+    val candToks = near.select(col("vec_id").cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    maxSimTopK(
+      df.filter(size(col(tokCol)) > 0)
+        .filter(arrays_overlap(col(tokCol),
+          array(candToks.map(lit(_)).toIndexedSeq: _*))),
+      idCol, tokCol, emb, queryIds, k)
+  }
 }

@@ -435,6 +435,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"marginMineAnn has a cartesian:\n$p")
   }
 
+  test("q233 shortlisted MaxSim: scan-side candidate filter, top-k short-circuits, no products") {
+    val p = plan("q233_maxsim_ann")
+    // the shortlist lands as a literal arrays_overlap filter on the
+    // documents scan (stage 2 touches only shortlist rows); the final
+    // top-10 short-circuits; nothing data-sized is pair-joined
+    assert(p.contains("arrays_overlap"),
+      s"q233 lost its scan-side shortlist filter:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q233 top-k is not a TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q233 cartesian:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"q233: the rerank must read the corpus exactly once:\n$p")
+  }
+
   test("round-13 PCA family: the Gram pass is one partial/final aggregate, nothing row-shaped exchanged") {
     import org.apache.spark.sql.functions.col
     // the fit itself runs eagerly inside the query builder, so audit

@@ -97,4 +97,36 @@ class RetrievalSpec extends AnyFunSuite {
     // the full-coverage doc scores the term count exactly
     assert(math.abs(out(1L) - qids.size.toDouble) < 1e-6, s"got ${out(1L)}")
   }
+
+  test("maxSimTopKAnn: shortlist genuinely prunes, yet the top-k equals the full scan") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.SparkEntry.maxSimEmb
+    val qids = graft.SparkEntry.maxSimQueryIds
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        transform(
+          call_function("regexp_extract_all", col("text"),
+            lit(graft.Tok.Pattern), lit(0)),
+          tk => (conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % 32)
+            .cast("int")).as("tok_ids"))
+    val full = Retrieval.maxSimTopK(docs, "doc_id", "tok_ids", emb, qids, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ann = Retrieval.maxSimTopKAnn(docs, "doc_id", "tok_ids", emb, qids,
+        k = 10, r = 8, nlist = 8, m = 2, ksub = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ann == full, s"shortlisted top-10 diverged:\n$ann\nvs\n$full")
+    // the stage-1 filter genuinely prunes where pruning is possible:
+    // SHORT docs (the real ColBERT passage shape — a long random doc
+    // over a 32-token vocab contains some near token almost surely).
+    // Build single-token docs, one per vocab id: exactly the docs
+    // whose token was retrieved for some query term survive.
+    val singles = (0 until 32).map(t => (t.toLong, Seq(t)))
+      .toDF("doc_id", "tok_ids")
+    val kept = Retrieval.maxSimTopKAnn(singles, "doc_id", "tok_ids", emb,
+        qids, k = 32, r = 4, nlist = 8, m = 2, ksub = 16, nprobe = 6)
+      .count()
+    assert(kept < 32, s"shortlist kept all 32 single-token docs - vacuous")
+    assert(kept >= qids.size, "the query terms' own tokens must survive")
+    info(s"shortlist kept $kept of 32 single-token docs")
+  }
 }
