@@ -1189,6 +1189,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // FORCED + BEGIN-SUPPRESSED decoding (q235): HF's
+    // `forced_decoder_ids` / `begin_suppress_tokens` — the Whisper
+    // serving shape (language/task tokens forced at fixed steps,
+    // eos/timestamps banned at the first step). Step 0 decodes with
+    // {1,2} hard-banned (begin-suppress), step 1 EMITS token 5
+    // without reading logits (forcing overrides every constraint),
+    // step 2 is plain greedy over the grown sequence — the forced
+    // token's k/v feeds it like any decoded one. Oracle: step 1's
+    // argmax CASE restricts to the non-suppressed vocabulary, step 2
+    // is a constant CTE (no forward pass), step 3 the full chain.
+    "q235_torch_gen_forced" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
+          batchSize = 256, forcedTokens = Map(1 -> 5),
+          beginSuppress = Set(1, 2))
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // ENCODER-DECODER GENERATION (q206): the T5/BART decode loop —
     // the doc's 12-token source sequence encodes once, a 2-token
     // decoder prompt grows by 2 greedy steps through causal
@@ -1467,6 +1495,36 @@ object SparkEntry {
         .orderBy("doc_id", "seq")
     },
 
+    // SELF-DIVERSITY gate over multi-return samples (q237): the
+    // Distinct-n metric (Li et al. 2016) a data-augmentation pipeline
+    // applies to its k generated continuations — d1 = distinct tokens
+    // across the k×2 generations, d2 = distinct 2-token sequences;
+    // keep docs whose k draws aren't collapsed (d2 >= 2 of k = 3).
+    // Pure INTEGER arithmetic end to end (counts of token ids) — no
+    // cross-engine float luck anywhere; the generation chain is
+    // q232's bit-pinned sampledK. Sequences encode as sm1·vocab + sm2
+    // for the distinct count on both engines.
+    "q237_gen_self_diversity" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampledK(toks, "doc_id", "tok_ids", "gens", bc,
+          steps = 2, temperature = 0.5, topP = 0.9,
+          numReturnSequences = 3, batchSize = 256)
+        .select(col("doc_id"),
+          size(array_distinct(flatten(col("gens")))).cast("long").as("d1"),
+          size(array_distinct(transform(col("gens"),
+            a => a(0) * lit(vocab) + a(1)))).cast("long").as("d2"))
+        .withColumn("keep", col("d2") >= 2L)
+        .orderBy("doc_id")
+    },
+
     // Repetition penalty + no-repeat-bigram under SAMPLING (q216):
     // q213's anti-degeneration controls composed with q203's nucleus
     // sampler — HF's default composition (penalties rescale logits
@@ -1569,6 +1627,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // DIVERSE BEAM SEARCH (q236): Vijayakumar et al. 2018 / HF
+    // `num_beam_groups = 2, diversity_penalty = 0.5` over 2x2 beams —
+    // group 0 is plain beam search; group 1's candidate log-softmax
+    // scores subtract 0.5 x (count of that token among group 0's
+    // SAME-STEP picks) before ranking, and the penalized score
+    // accumulates (the HF scorer's semantics). Dyadic penalty x
+    // integer count keeps the adjustment exact across engines. The
+    // oracle runs two beamOracle chains: group B's cand rows join
+    // group A's per-step (doc, tid) pick counts.
+    "q236_torch_beam_diverse" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.beamSearchDiverse(toks, "tok_ids", "beams", bc,
+          steps = 2, width = 2, groups = 2, diversityPenalty = 0.5,
+          batchSize = 256)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("g1b1t1"), col("beams")(0)(1).as("g1b1t2"),
+          col("beams")(1)(0).as("g1b2t1"), col("beams")(1)(1).as("g1b2t2"),
+          col("beams")(2)(0).as("g2b1t1"), col("beams")(2)(1).as("g2b1t2"),
+          col("beams")(3)(0).as("g2b2t1"), col("beams")(3)(1).as("g2b2t2"))
+        .orderBy("doc_id")
+    },
+
     // MIN-P sampling (q218): the newest mainstream nucleus knob
     // (Nguyen et al. 2024, llama.cpp/HF `min_p`) — keep candidates
     // whose mass clears `minP * max(p)`, renormalize, sample. A third
@@ -1589,6 +1677,33 @@ object SparkEntry {
       Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 1.0, batchSize = 256,
           minP = 0.25)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
+    // TYPICAL sampling (q234): Meister et al. 2022 / HF `typical_p` —
+    // keep the candidates whose surprise −ln p sits closest to the
+    // step's entropy H (deviation order, 6dp grid, tid tiebreak)
+    // until the kept mass reaches 0.8, renormalize over the kept set
+    // in the usual (p6 DESC, tid) order, draw. The anti-degeneration
+    // sampler that trims BOTH the over-confident head and the flat
+    // tail. topP = 1 isolates it; typicalP >= 1 reduces bit-exactly
+    // to q203's path (spec-pinned). Oracle: a typ CTE picks the
+    // deviation-ordered keep-set from the same prob rows, the nucleus
+    // chain joins it.
+    "q234_torch_gen_typical" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 1.0, batchSize = 256,
+          typicalP = 0.8)
         .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
         .orderBy("doc_id")
     },
@@ -2454,6 +2569,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("kept_docs"),
           sum(TextOps.strictTokenCount(col("text")).cast("long")).as("kept_tokens"))
         .orderBy("lang")
+    },
+
+    // WEIGHTED sampling without replacement (q238): Efraimidis &
+    // Spiliotis A-ES priorities — key = -ln(md5-uniform)/weight, keep
+    // the n smallest. The per-row complement of q91's stratum budget:
+    // "keep 40 docs, token-count-weighted". Key quantizes to 6dp (ln
+    // drift dies on the grid), ties break by id; the plan is a
+    // TakeOrderedAndProject (per-partition top-n), never a full sort.
+    "q238_weighted_sample" -> { (s, dir) =>
+      val w = size(call_function("regexp_extract_all",
+        col("text"), lit(graft.Tok.Pattern), lit(0))) + lit(1)
+      graft.operators.Mix.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", w, n = 40)
+        .select(col("doc_id"), w.cast("long").as("w"), col("skey"))
+        .orderBy("skey", "doc_id")
     },
 
     // Canonical text normalization (NFC + control strip + whitespace
@@ -7541,6 +7672,23 @@ object SparkEntry {
         |FROM r WHERE tokens_before < 5000
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // A-ES weighted sampling: same md5 uniform on the 1e6 grid, same
+    // -ln(u)/w key rounded to 6dp, same (skey, doc_id) order + LIMIT.
+    "q238_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) + 1
+        |      AS BIGINT) AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, w,
+        |    round(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |        AS BIGINT) % 1000000 + 1) / CAST(1000000 AS DOUBLE))
+        |      / CAST(w AS DOUBLE), 6) AS skey
+        |  FROM d)
+        |SELECT doc_id, w, skey FROM k
+        |ORDER BY skey, doc_id LIMIT 40""".stripMargin,
+
     // Same decomposed suffix as the Spark side (chr(769) = U+0301
     // combining acute; chr(1)/chr(11) control debris), same 3-step
     // normalization — DuckDB's nfc_normalize is the independent NFC.
@@ -9970,6 +10118,11 @@ object SparkEntry {
     // doc.
     "q194_torch_generate" -> generateOracle(banned = Nil),
 
+    // Forced decoder ids + begin-suppress: step 1 restricted to the
+    // non-suppressed vocabulary, step 2 a constant CTE, step 3 plain.
+    "q235_torch_gen_forced" -> generateOracle(banned = Nil,
+      forced = Map(1 -> 5), beginSuppress = Seq(1, 2)),
+
     // The q194 step chain over the bias-masked LM: the ALiBi slope and
     // the causal window restate in closed form inside the score join
     // (exact dyadics on both engines).
@@ -9983,6 +10136,25 @@ object SparkEntry {
     // with the salted seed key; sequence 0 IS q203.
     "q232_torch_gen_multireturn" -> sampledKOracle(steps = 2,
       temperature = 0.5, topP = 0.9, k = 3),
+
+    // Self-diversity gate: q232's bit-pinned generation chain wrapped
+    // as a CTE, then pure-integer Distinct-n aggregation.
+    "q237_gen_self_diversity" -> {
+      val vocab = genModel.seqHead.get.vocab
+      s"""WITH gens AS MATERIALIZED (
+         |${sampledKOracle(steps = 2, temperature = 0.5, topP = 0.9, k = 3)}
+         |),
+         |u AS (SELECT doc_id, sm1 AS tid FROM gens
+         |      UNION ALL SELECT doc_id, sm2 AS tid FROM gens),
+         |d1t AS (SELECT doc_id, CAST(count(DISTINCT tid) AS BIGINT) AS d1
+         |        FROM u GROUP BY doc_id),
+         |d2t AS (SELECT doc_id,
+         |          CAST(count(DISTINCT sm1 * $vocab + sm2) AS BIGINT) AS d2
+         |        FROM gens GROUP BY doc_id)
+         |SELECT d1t.doc_id, d1, d2, (d2 >= 2) AS keep
+         |FROM d1t JOIN d2t ON d2t.doc_id = d1t.doc_id
+         |ORDER BY d1t.doc_id""".stripMargin
+    },
 
     "q203_torch_gen_sampled" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 0.9),
@@ -10181,6 +10353,11 @@ object SparkEntry {
     "q218_torch_gen_minp" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 1.0, minP = 0.25),
 
+    // Typical sampling: the deviation-ordered keep-set CTE joins the
+    // nucleus chain (same shared builder).
+    "q234_torch_gen_typical" -> sampledOracle(steps = 2,
+      temperature = 0.5, topP = 1.0, typicalP = 0.8),
+
     // Grammar-constrained decoding: per-doc DFA state column, argmax
     // CASE dispatched per state, transitions via a VALUES join.
     "q219_torch_gen_dfa" -> generateOracle(banned = Nil,
@@ -10229,6 +10406,10 @@ object SparkEntry {
     // Constrained beams: per-beam seen-rescale after the full-vocab
     // lse, hard bans filtered, bigram ban with the n_ok = 0 lift.
     "q229_torch_beam_constrained" -> constrainedBeamOracle,
+
+    // Diverse beam groups: two beamOracle chains, group B's cand rows
+    // joined to group A's per-step pick counts (dyadic 0.5 penalty).
+    "q236_torch_beam_diverse" -> diverseBeamOracle,
 
     // q181's corruption chain rebuilds the candidate; the clipped
     // counts divide by the REFERENCE totals.
@@ -11383,26 +11564,40 @@ object SparkEntry {
       eos: Option[Int] = None,
       dfa: Option[(Seq[Seq[Int]], (Int, Int) => Int)] = None,
       steps: Int = 3,
-      minNew: Int = 0): String = {
+      minNew: Int = 0,
+      forced: Map[Int, Int] = Map.empty,
+      beginSuppress: Seq[Int] = Nil): String = {
     require(minNew == 0 || (eos.isDefined && dfa.isEmpty),
       "minNew needs eos and no dfa in this oracle generator")
+    require(forced.isEmpty || (eos.isEmpty && dfa.isEmpty && minNew == 0),
+      "forced steps restate with the plain-greedy chain only")
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
       m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
     val allowed = (0 until vocab).filterNot(banned.contains)
-    val amax =
-      if (banned.isEmpty) TorchOracle.armArgmax(fc, "p")
-      else TorchOracle.armArgmaxRestricted("p", allowed)
     val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
     val stepCtes = (1 to steps).map { t =>
       // inside the min-new-tokens floor the eos id is hard-banned:
-      // the pick CASE runs over allowed-minus-eos
+      // the pick CASE runs over allowed-minus-eos; at step 1 the
+      // begin-suppress set is hard-banned too (q235)
+      val stepAllowed = {
+        val a0 = if (t <= minNew) allowed.filterNot(a => eos.contains(a))
+                 else allowed
+        if (t == 1) a0.filterNot(beginSuppress.contains) else a0
+      }
       val stepAmax =
-        if (t <= minNew)
-          TorchOracle.armArgmaxRestricted("p",
-            allowed.filterNot(a => eos.contains(a)))
-        else amax
-      val pick = dfa match {
+        if (stepAllowed == allowed && banned.isEmpty)
+          TorchOracle.armArgmax(fc, "p")
+        else TorchOracle.armArgmaxRestricted("p", stepAllowed)
+      // a FORCED step is a constant — no forward pass at all (the
+      // engine emits without reading logits; the next step's toks
+      // CTE carries the forced token like any decoded one). forced
+      // keys are 0-based generation steps; CTE steps are 1-based.
+      val pick = if (forced.contains(t - 1)) {
+        s"""step$t AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, ${forced(t - 1)} AS tid
+           |  FROM toks${t - 1})""".stripMargin
+      } else dfa match {
         case None =>
           val stepSql = TorchOracle.mlpArgmaxSql(fc,
             encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}"),
@@ -11526,7 +11721,8 @@ object SparkEntry {
       banned: Seq[Int] = Nil, topK: Int = Int.MaxValue,
       penaltyNgram: Option[(Double, Int, String)] = None,
       minP: Double = 0.0,
-      seedArg: String = null): String = {
+      seedArg: String = null,
+      typicalP: Double = 1.0): String = {
     // the md5 key the seeded draw hashes — q232's synthetic
     // (doc, sequence) ids restate the "<id>:<seq>:<step>" discipline
     val seedSql = Option(seedArg)
@@ -11543,6 +11739,35 @@ object SparkEntry {
       else ""
     val tLit = s"CAST($temperature AS DOUBLE)"
     val pLit = s"CAST($topP AS DOUBLE)"
+    // typical-p (q234): the keep-set is chosen in DEVIATION order
+    // (|surprise - entropy|, 6dp grid, tid tiebreak) until its mass
+    // reaches typicalP; the nucleus chain then runs over the kept
+    // rows only — identical rows, identical (p6 DESC, tid) running
+    // sums as the engine's filtered loop. Zero-mass candidates
+    // contribute the 0·ln 0 = 0 limit to the entropy and are never
+    // typical (infinite surprise).
+    val typCte =
+      if (typicalP >= 1.0) ""
+      else s"""
+        |typ$t AS MATERIALIZED (
+        |  SELECT doc_id, tid
+        |  FROM (SELECT doc_id, tid, p6,
+        |               coalesce(sum(p6) OVER (PARTITION BY doc_id
+        |                 ORDER BY dev6, tid ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND 1 PRECEDING), CAST(0 AS DOUBLE)) AS dcum
+        |        FROM (SELECT doc_id, tid, p6,
+        |                     round(abs(-ln(p6) - h), 6) AS dev6
+        |              FROM (SELECT doc_id, tid, p6,
+        |                           -sum(CASE WHEN p6 = CAST(0 AS DOUBLE)
+        |                                     THEN CAST(0 AS DOUBLE)
+        |                                     ELSE p6 * ln(p6) END)
+        |                             OVER (PARTITION BY doc_id) AS h
+        |                    FROM prob$t)
+        |              WHERE p6 > CAST(0 AS DOUBLE)))
+        |  WHERE dcum < CAST($typicalP AS DOUBLE)),""".stripMargin
+    val probSrc =
+      if (typicalP >= 1.0) s"prob$t"
+      else s"prob$t JOIN typ$t USING (doc_id, tid)"
     // constrained decoding: banned ids simply never become candidate
     // rows — the softmax renormalizes over the allowed vocabulary on
     // both engines (the engine's pre-softmax mask)
@@ -11597,7 +11822,7 @@ object SparkEntry {
        |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
        |        FROM (SELECT doc_id, tid, lp,
        |                     max(lp) OVER (PARTITION BY doc_id) AS m
-       |              FROM cand$t))),
+       |              FROM cand$t))),$typCte
        |nuc$t AS MATERIALIZED (
        |  SELECT doc_id, tid, rk, cs, max(cs) OVER (PARTITION BY doc_id) AS total
        |  FROM (SELECT doc_id, tid, rk,
@@ -11609,7 +11834,7 @@ object SparkEntry {
        |                       ORDER BY p6 DESC, tid ROWS BETWEEN UNBOUNDED
        |                       PRECEDING AND 1 PRECEDING), CAST(0 AS DOUBLE))
        |                       AS cumprev$mpSel
-       |              FROM prob$t)
+       |              FROM $probSrc)
        |        WHERE cumprev < $pLit$kCut$mCut)),
        |samp$t AS MATERIALIZED (
        |  SELECT doc_id, tid FROM (
@@ -11624,7 +11849,8 @@ object SparkEntry {
 
   private def sampledOracle(steps: Int, temperature: Double, topP: Double,
       banned: Seq[Int] = Nil, topK: Int = Int.MaxValue,
-      penalty: Option[(Double, Int)] = None, minP: Double = 0.0): String = {
+      penalty: Option[(Double, Int)] = None, minP: Double = 0.0,
+      typicalP: Double = 1.0): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
@@ -11640,7 +11866,8 @@ object SparkEntry {
          |${fwd(s"toks${t - 1}")}
          |),
          |${sampledStepChain(t, vocab, temperature, topP, banned, topK,
-             penalty.map { case (pn, n) => (pn, n, s"toks${t - 1}") }, minP)},
+             penalty.map { case (pn, n) => (pn, n, s"toks${t - 1}") }, minP,
+             typicalP = typicalP)},
          |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL
@@ -12288,6 +12515,123 @@ object SparkEntry {
        |FROM kept k1 JOIN kept k2
        |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
        |ORDER BY k1.doc_id""".stripMargin
+  }
+
+  /** The q236 diverse-beam oracle: TWO beamOracle chains over the
+    * SHARED step-1 forward — group A is the exact plain recipe;
+    * group B's candidate rows subtract `0.5 × count(tid among group
+    * A's SAME-STEP picks)` (a per-(doc, tid) pick-count join) before
+    * ranking, and the penalized lp accumulates into B's running
+    * scores. Group B's step-2 frontier rides its own synthetic
+    * doc ids (doc·2 + rank), exactly like A's. */
+  private def diverseBeamOracle: String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    val lam = "CAST(0.5 AS DOUBLE)"
+    // one group's step-2 block: synthetic-id expansion of its step-1
+    // beams, optionally penalized by the other group's pick counts
+    def step2(sfx: String, beams1: String,
+        penaltyCnt: Option[String]): String = {
+      val pen = penaltyCnt match {
+        case None => ""
+        case Some(cnt) =>
+          s" - $lam * CAST(coalesce(a.c, 0) AS DOUBLE)"
+      }
+      val penJoin = penaltyCnt match {
+        case None => ""
+        case Some(cnt) =>
+          s"\n  LEFT JOIN $cnt a ON a.doc_id = c.doc_id AND a.tid = c.tid"
+      }
+      s"""toks1$sfx AS MATERIALIZED (
+         |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+         |  FROM toks0 t JOIN $beams1 b ON b.doc_id = t.doc_id
+         |  UNION ALL
+         |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+         |  FROM $beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+         |logit2$sfx AS MATERIALIZED (
+         |${fwd(s"toks1$sfx")}
+         |),
+         |lp2$sfx AS MATERIALIZED (
+         |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+         |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2$sfx)),
+         |cand2raw$sfx AS MATERIALIZED (
+         |  ${candRows(s"lp2$sfx")}),
+         |cand2$sfx AS MATERIALIZED (
+         |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, lp
+         |  FROM cand2raw$sfx),
+         |joined$sfx AS MATERIALIZED (
+         |  SELECT c.doc_id, c.pb, c.tid,
+         |    b.score + c.lp$pen AS joint,
+         |    CAST(b.tid AS INT) AS t1
+         |  FROM cand2$sfx c JOIN $beams1 b
+         |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1$penJoin),
+         |kept$sfx AS MATERIALIZED (
+         |  SELECT doc_id, t1, tid, joint,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+         |  FROM joined$sfx QUALIFY rk <= 2)""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |lp1 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit1)),
+       |cand1 AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |beams1a AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM cand1 QUALIFY b <= 2),
+       |cntA1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, count(*) AS c FROM beams1a GROUP BY doc_id, tid),
+       |beams1b AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM (SELECT c.doc_id, c.tid,
+       |          c.lp - $lam * CAST(coalesce(a.c, 0) AS DOUBLE) AS lp
+       |        FROM cand1 c
+       |        LEFT JOIN cntA1 a ON a.doc_id = c.doc_id AND a.tid = c.tid)
+       |  QUALIFY b <= 2),
+       |${step2("a", "beams1a", None)},
+       |cntA2 AS MATERIALIZED (
+       |  SELECT doc_id, tid, count(*) AS c FROM kepta GROUP BY doc_id, tid),
+       |${step2("b", "beams1b", Some("cntA2"))}
+       |SELECT a1.doc_id,
+       |  a1.t1 AS g1b1t1, CAST(a1.tid AS INT) AS g1b1t2,
+       |  a2.t1 AS g1b2t1, CAST(a2.tid AS INT) AS g1b2t2,
+       |  b1.t1 AS g2b1t1, CAST(b1.tid AS INT) AS g2b1t2,
+       |  b2.t1 AS g2b2t1, CAST(b2.tid AS INT) AS g2b2t2
+       |FROM kepta a1
+       |JOIN kepta a2 ON a2.doc_id = a1.doc_id AND a1.rk = 1 AND a2.rk = 2
+       |JOIN keptb b1 ON b1.doc_id = a1.doc_id AND b1.rk = 1
+       |JOIN keptb b2 ON b2.doc_id = a1.doc_id AND b2.rk = 2
+       |ORDER BY a1.doc_id""".stripMargin
   }
 
   /** The q229 constrained-beam oracle: beamOracle's two-step

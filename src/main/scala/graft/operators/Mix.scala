@@ -217,4 +217,42 @@ object Mix {
       .filter(col("tokens_before") < budgetPerStratum)
       .drop("__tok", "__key", "__blk", "__so", "__bo", "__boff")
   }
+
+  /**
+   * WEIGHTED sampling without replacement (Efraimidis & Spiliotis
+   * 2006, the A-ES priority scheme): each row draws a deterministic
+   * md5 uniform `u ∈ [1e-6, 1]` and takes priority key `-ln(u) / w`;
+   * the n SMALLEST keys are the sample — distributed across rows
+   * exactly as sampling-without-replacement proportional to `w`
+   * (quality scores, token counts, dedup-cluster sizes). The
+   * per-row knob [[rebalance]]'s stratum rates can't express:
+   * "keep 100k docs, quality-weighted".
+   *
+   * Determinism discipline: `u` lives on the 1e6 grid (md5 of the id,
+   * never RNG state), the key QUANTIZES to 6 dp before the pick
+   * (cross-libm ln drift dies on the grid), ties break by id. Plan
+   * shape: scan-side key computation + `orderBy(key).limit(n)` — a
+   * TakeOrderedAndProject (per-partition top-n, one tiny driver
+   * merge), never a full sort. Rows with NULL or non-positive weight
+   * cannot be prioritized and are excluded (the conservative reading,
+   * like [[tokenBudgetSample]]'s null rule).
+   *
+   * @return the sampled rows + `skey` (the 6dp priority key)
+   */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: org.apache.spark.sql.Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L + 1L).cast("double") / 1000000.0
+    val w = weightCol.cast("double")
+    df.withColumn("__w", w)
+      .filter(col("__w").isNotNull && col("__w") > 0.0)
+      .withColumn("skey", round(-log(u) / col("__w"), 6))
+      .orderBy(col("skey"), col(idCol))
+      .limit(n)
+      .drop("__w")
+  }
 }

@@ -151,12 +151,13 @@ object Similarity {
       ksub: Int,
       nprobe: Int,
       shortlist: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      trainSample: Int = 1 << 16): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(shortlist >= k, "shortlist must be >= k")
     val union = xs.select(col(idCol), col(embCol))
       .unionByName(ys.select(col(idCol), col(embCol)))
-    val ix = ivfPqTrain(union, embCol, dim, nlist, m, ksub, seed)
+    val ix = ivfPqTrain(union, embCol, dim, nlist, m, ksub, seed, trainSample)
     val codesX = ivfPqEncode(xs, idCol, embCol, ix)
     val codesY = ivfPqEncode(ys, idCol, embCol, ix)
     marginFromTopK(

@@ -47,7 +47,7 @@ object Torch {
         temperature: Double, topP: Double, u: Double,
         banned: Set[Int] = Set.empty, topK: Int = Int.MaxValue,
         seen: Set[Int] = Set.empty, repPenalty: Double = 1.0,
-        minP: Double = 0.0): Int = {
+        minP: Double = 0.0, typicalP: Double = 1.0): Int = {
       // constrained decoding: banned ids are removed BEFORE the
       // softmax (the -inf-mask semantics: the distribution renorms
       // over the allowed vocabulary; the oracle simply omits them
@@ -80,10 +80,39 @@ object Torch {
       // the others' path: the f64 running sums see identical terms in
       // identical order (spec-pinned).
       val pMax = p6(order.head)
+      // TYPICAL sampling (Meister et al. 2022, HF `typical_p`): keep
+      // the candidates whose surprise `-ln p` sits closest to the
+      // step's entropy `H = -Σ p·ln p`, in deviation order, until the
+      // kept mass reaches typicalP — locally-typical text, the
+      // anti-"always the head OR the flat tail" filter. Deviations
+      // quantize to the 6dp grid (tid tiebreak) so the keep boundary
+      // never hinges on cross-engine last-ulp luck; the entropy sums
+      // q6'd masses in ascending-tid order (zero-mass candidates
+      // contribute the 0·ln 0 = 0 limit and are never kept — their
+      // surprise is infinite). typicalP >= 1 is OFF (not a prefix of
+      // the mass order, so "keep everything" is the only bit-exact
+      // neutral) — the other knobs' paths are untouched.
+      val typKeep: java.util.BitSet =
+        if (typicalP >= 1.0) null
+        else {
+          var h = 0.0
+          var i = 0
+          while (i < p6.length) {
+            if (p6(i) > 0.0) h -= p6(i) * StrictMath.log(p6(i))
+            i += 1
+          }
+          val devOrder = ids.indices.filter(p6(_) > 0.0)
+            .sortBy(i => (q6(math.abs(-StrictMath.log(p6(i)) - h)), ids(i)))
+          val bs = new java.util.BitSet(p6.length)
+          var dcum = 0.0
+          for (i <- devOrder if dcum < typicalP) { bs.set(i); dcum += p6(i) }
+          bs
+        }
       val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
       var cum = 0.0
       for ((i, rk) <- order.zipWithIndex
-           if cum < topP && rk < topK && p6(i) >= minP * pMax) {
+           if cum < topP && rk < topK && p6(i) >= minP * pMax &&
+             (typKeep == null || typKeep.get(i))) {
         kept += i; cum += p6(i)
       }
       // total == the last running sum (ORDER-DEFINED on both engines)
@@ -810,6 +839,135 @@ object Torch {
   }
 
   /**
+   * DIVERSE BEAM SEARCH (Vijayakumar et al. 2018 — HF
+   * `num_beam_groups` + `diversity_penalty`, the
+   * HammingDiversityLogitsProcessor): `groups` beam frontiers of
+   * `width` each decode SEQUENTIALLY within a step; group g's
+   * candidate log-softmax scores subtract `diversityPenalty ×
+   * count(token among the tokens groups 0..g-1 SELECTED at this
+   * step)` BEFORE ranking, and the penalized value accumulates into
+   * the kept beam's running score (HF semantics — the processor
+   * rewrites the scores the scorer accumulates, so a diverse pick
+   * carries its penalty forever). Groups never see each other's
+   * scores, only each other's CHOSEN tokens, so group 0 is
+   * bit-identical to plain [[beamSearch]](width) at ANY penalty
+   * (spec-pinned), and `diversityPenalty = 0` makes every group
+   * identical to it.
+   *
+   * Determinism: the penalty is `dyadic λ × integer count` (exact
+   * f64), ranking is the repo beam order (adjusted joint DESC,
+   * parent rank ASC, token ASC).
+   *
+   * Scale shape: per-row KV sessions with `fork()` inside ONE
+   * `mapPartitions` — groups×width sessions per row, O(L·d) per
+   * step, no per-step plan growth.
+   *
+   * @return input columns + `outCol` = array of groups×width beams
+   *         (group-major: g0's beams ranked, then g1's, ...), each an
+   *         array<int> of generated tokens
+   */
+  def beamSearchDiverse(
+      df: DataFrame,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      width: Int,
+      groups: Int,
+      diversityPenalty: Double,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1 && width >= 1, "steps and width must be >= 1")
+    require(groups >= 1, "groups must be >= 1")
+    require(diversityPenalty >= 0.0, "diversityPenalty must be >= 0")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1, "beamSearchDiverse needs a token-input model")
+    require(!model.value.isCross, "cross-attention model: use beamSearchPair")
+    require(width <= model.value.outDim, "width exceeds the vocabulary")
+    require(model.value.cacheable,
+      "diverse beam search needs the KV-session path (cacheable model)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def logProbs(out: Array[Float]): Array[Double] = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = out(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(out(j).toDouble - mx); j += 1 }
+        val lse = math.log(z) + mx
+        Array.tabulate(vocab)(k => out(k).toDouble - lse)
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            // per group: ranked beams (generated, running score, session)
+            val frontiers = Array.fill(groups)(
+              Seq((Vector.empty[Int], 0.0, m.decodeSession(p))))
+            var t = 0
+            while (t < steps) {
+              // tokens selected at THIS step by earlier groups
+              val stepCounts = new Array[Int](vocab)
+              var g = 0
+              while (g < groups) {
+                val cands = frontiers(g).zipWithIndex.flatMap {
+                  case ((gen, s0, sess), bi) =>
+                    val lp = logProbs(sess.logits())
+                    (0 until vocab).map { tok =>
+                      val adj = lp(tok) - diversityPenalty * stepCounts(tok)
+                      (s0 + adj, bi, tok, (gen, sess))
+                    }
+                }
+                frontiers(g) = cands
+                  .sortBy { case (joint, bi, tok, _) => (-joint, bi, tok) }
+                  .take(width)
+                  .map { case (joint, _, tok, (gen, sess)) =>
+                    val child = sess.fork()
+                    child.append(tok)
+                    (gen :+ tok, joint, child)
+                  }
+                frontiers(g).foreach { case (gen, _, _) =>
+                  stepCounts(gen.last) += 1
+                }
+                g += 1
+              }
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+
+              frontiers.toSeq.flatMap(_.map(_._1.toSeq)))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * Greedy autoregressive decoding — `steps` rounds of (forward pass
    * on the whole sequence → argmax over the vocab logits → append).
    * The model must be a token-input net whose output width IS the
@@ -1236,7 +1394,8 @@ object Torch {
       topK: Int = Int.MaxValue,
       repetitionPenalty: Double = 1.0,
       noRepeatNgram: Int = 0,
-      minP: Double = 0.0): DataFrame = {
+      minP: Double = 0.0,
+      typicalP: Double = 1.0): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(banned.size < model.value.outDim,
       "banned set covers the whole vocabulary")
@@ -1247,6 +1406,14 @@ object Torch {
     require(noRepeatNgram == 0 || noRepeatNgram >= 2,
       "noRepeatNgram must be 0 (off) or >= 2")
     require(minP >= 0.0 && minP <= 1.0, "minP must be in [0, 1]")
+    require(typicalP > 0.0, "typicalP must be > 0 (>= 1 is off)")
+    // typical-p keeps by DEVIATION order, not the (p6 DESC, tid)
+    // order the rank/floor cuts prefix — composing all three could
+    // empty the kept set (the max-prob candidate is not necessarily
+    // typical). Mass (topP) composes safely; the rank/floor knobs
+    // belong to the other warper chain.
+    require(typicalP >= 1.0 || (topK == Int.MaxValue && minP == 0.0),
+      "typicalP composes with topP only (not topK/minP)")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateSampled needs a token-input model")
@@ -1286,7 +1453,7 @@ object Torch {
         val seen: Set[Int] =
           if (repetitionPenalty != 1.0) full.toSet else Set.empty
         Sampling.sampleNext(out, off, vocab, temperature, topP, u,
-          stepBanned, topK, seen, repetitionPenalty, minP)
+          stepBanned, topK, seen, repetitionPenalty, minP, typicalP)
       }
       it.grouped(bs).flatMap { rows =>
         val seqs: Array[Array[Int]] = rows.map { r =>
@@ -1531,12 +1698,31 @@ object Torch {
       eosId: Int = -1,
       dfaTrans: Array[Array[Int]] = null,
       bannedPhrases: Seq[Seq[Int]] = Nil,
-      minNewTokens: Int = 0): DataFrame = {
+      minNewTokens: Int = 0,
+      forcedTokens: Map[Int, Int] = Map.empty,
+      beginSuppress: Set[Int] = Set.empty): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(bannedPhrases.forall(_.nonEmpty), "empty banned phrase")
     require(minNewTokens >= 0, "minNewTokens must be >= 0")
     require(minNewTokens == 0 || eosId >= 0,
       "minNewTokens needs an eosId to suppress")
+    // forced decoder ids (HF `forced_decoder_ids` / `forced_bos` —
+    // the Whisper language/task-token shape): at generation step i
+    // (0-based) the token is EMITTED, not decoded — forcing overrides
+    // every soft and hard constraint at its step (HF masks all other
+    // logits to -inf), so it must not contradict a DFA walk
+    require(forcedTokens.isEmpty || dfaTrans == null,
+      "forcedTokens cannot compose with a DFA grammar")
+    require(forcedTokens.forall { case (i, tok) =>
+      i >= 0 && i < steps && tok >= 0 && tok < model.value.outDim },
+      "forcedTokens: steps must be in [0, steps), tokens in the vocabulary")
+    // begin-suppress (HF `begin_suppress_tokens`): hard-banned at the
+    // FIRST generation step only — Whisper bans eos/timestamps there
+    require(beginSuppress.forall(t => t >= 0 && t < model.value.outDim),
+      "beginSuppress tokens must be in the vocabulary")
+    require(forcedTokens.contains(0) ||
+      (banned ++ beginSuppress).size < model.value.outDim,
+      "beginSuppress + banned cover the whole vocabulary at step 0")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "generateGreedy needs a token-input model")
@@ -1566,7 +1752,7 @@ object Torch {
     val inIdx = withInts.schema.fieldIndex(inputCol)
     val plain = repetitionPenalty == 1.0 && noRepeatNgram == 0 &&
       eosId < 0 && dfaTrans == null && bannedPhrases.isEmpty &&
-      minNewTokens == 0
+      minNewTokens == 0 && forcedTokens.isEmpty && beginSuppress.isEmpty
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
@@ -1606,7 +1792,8 @@ object Torch {
           banned.contains(j) ||
             (dfaTrans != null && dfaTrans(state)(j) == -1) ||
             completesPhrase(j) ||
-            (eosId >= 0 && j == eosId && genLen < minNewTokens)
+            (eosId >= 0 && j == eosId && genLen < minNewTokens) ||
+            (genLen == 0 && beginSuppress.contains(j))
         val ngBanned: Set[Int] =
           if (noRepeatNgram >= 2 && full.length >= noRepeatNgram - 1) {
             val n1 = noRepeatNgram - 1
@@ -1676,10 +1863,16 @@ object Torch {
               var t = 0
               var stopped = false
               while (t < steps && !stopped) {
-                val lg = sess.logits()
-                val tid =
-                  if (plain) argmaxFirst(lg, 0)
-                  else argmaxAdjusted(lg, 0, full, state, gen(ri).length)
+                // a forced step emits without reading logits at all —
+                // the session still appends (the NEXT step's state
+                // needs the forced token's k/v like any other)
+                val tid = forcedTokens.get(gen(ri).length) match {
+                  case Some(f) => f
+                  case None =>
+                    val lg = sess.logits()
+                    if (plain) argmaxFirst(lg, 0)
+                    else argmaxAdjusted(lg, 0, full, state, gen(ri).length)
+                }
                 gen(ri) += tid
                 if (tid == eosId) stopped = true
                 else {
@@ -1702,11 +1895,14 @@ object Torch {
               val out = m.forwardTokensBatch(liveIdx.map(cur(_)).toArray)
               val next = cur.clone()
               liveIdx.zipWithIndex.foreach { case (ri, k) =>
-                val tid =
-                  if (plain) argmaxFirst(out, k * vocab)
-                  else argmaxAdjusted(out, k * vocab,
-                    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur(ri)),
-                    states(ri), gen(ri).length)
+                val tid = forcedTokens.get(gen(ri).length) match {
+                  case Some(f) => f
+                  case None =>
+                    if (plain) argmaxFirst(out, k * vocab)
+                    else argmaxAdjusted(out, k * vocab,
+                      scala.collection.immutable.ArraySeq.unsafeWrapArray(cur(ri)),
+                      states(ri), gen(ri).length)
+                }
                 gen(ri) += tid
                 if (tid == eosId) done(ri) = true
                 else {

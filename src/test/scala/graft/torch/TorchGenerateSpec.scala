@@ -585,6 +585,162 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(minSeenAbs > 1e-4, s"a penalized logit sits $minSeenAbs from zero")
   }
 
+  test("q234 typical sampling: neutral reduces bit-exactly; the rule holds on every emitted token") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def sample(tp: Double) = collectGen(Torch.generateSampled(df,
+      "doc_id", "tok_ids", "gen", bc, steps = 2, temperature = 0.5,
+      topP = 1.0, typicalP = tp))
+    // typicalP >= 1 is OFF — bit-exact reduction to the plain path
+    assert(sample(1.0) == collectGen(Torch.generateSampled(df, "doc_id",
+      "tok_ids", "gen", bc, steps = 2, temperature = 0.5, topP = 1.0)),
+      "typicalP = 1 must reduce bit-exactly")
+    val typical = sample(0.8)
+    assert(typical.exists { case (k, v) => sample(1.0)(k) != v },
+      "typicalP = 0.8 never changed a pick — vacuous")
+    // the rule, restated independently: teacher-forced session replay;
+    // at every step the emitted token must be in the deviation-ordered
+    // keep-set whose mass first reaches 0.8
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toVector).toMap
+    var minBoundaryGap = Double.MaxValue
+    for ((id, g) <- typical) {
+      val sess = m.decodeSession(prompts(id).toArray)
+      for (tok <- g) {
+        val lg = sess.logits()
+        val lp = (0 until vocab).map(j => lg(j).toDouble / 0.5)
+        val mx = lp.max
+        val es = lp.map(v => math.exp(v - mx))
+        val z = es.sum
+        val p6 = es.map(e => q6(e / z))
+        var h = 0.0
+        for (p <- p6 if p > 0.0) h -= p * StrictMath.log(p)
+        val dev = (0 until vocab).map(j =>
+          if (p6(j) == 0.0) Double.PositiveInfinity
+          else q6(math.abs(-StrictMath.log(p6(j)) - h)))
+        val devOrder = (0 until vocab).filter(p6(_) > 0.0)
+          .sortBy(j => (dev(j), j))
+        val keep = scala.collection.mutable.Set.empty[Int]
+        var cum = 0.0
+        for (j <- devOrder if cum < 0.8) {
+          keep += j
+          // the keep boundary must not hinge on last-ulp luck: pin
+          // the distance of each running mass from the 0.8 cut
+          minBoundaryGap = math.min(minBoundaryGap, math.abs(cum - 0.8))
+          cum += p6(j)
+        }
+        assert(keep(tok), s"doc $id emitted atypical token $tok (keep $keep)")
+        sess.append(tok)
+      }
+    }
+    info(s"q234 sf0.001 min |kept-mass - 0.8| at the boundary: $minBoundaryGap")
+    assert(minBoundaryGap > 1e-4,
+      s"a typical keep decision sits $minBoundaryGap from the mass cut")
+    // typical-p composes with mass only — the rank/floor knobs refuse
+    intercept[IllegalArgumentException] {
+      Torch.generateSampled(df, "doc_id", "tok_ids", "gen", bc, steps = 1,
+        temperature = 0.5, topP = 1.0, typicalP = 0.8, topK = 3)
+    }
+  }
+
+  test("q235 forced + begin-suppress: forcing wins, suppression is first-step-only, k/v feeds on") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val plain = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 3))
+    val forced = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 3, forcedTokens = Map(1 -> 5), beginSuppress = Set(1, 2)))
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toVector).toMap
+    assert(forced.values.forall(_(1) == 5), "step 1 must emit the forced token")
+    assert(forced.values.forall(g => g(0) != 1 && g(0) != 2),
+      "a begin-suppressed token decoded at step 0")
+    // suppression must BITE somewhere (a plain step-0 pick was 1 or 2)
+    assert(plain.values.exists(g => g(0) == 1 || g(0) == 2),
+      "begin-suppress never constrained a pick — vacuous fixture")
+    // step 0 equals plain greedy restricted to the allowed set; step 2
+    // equals a fresh session greedy over prompt ++ [g0, 5] — the
+    // forced token's k/v entered the state like a decoded one
+    for ((id, g) <- forced) {
+      val sess = m.decodeSession((prompts(id) ++ Vector(g(0), 5)).toArray)
+      val lg = sess.logits()
+      val best = (0 until vocab).filterNot(j => lg(j).isNaN)
+        .maxBy(j => (lg(j), -j))
+      assert(g(2) == best, s"doc $id step 2 ${g(2)} != recompute $best")
+    }
+    // suppression applies at the FIRST step only: where plain's later
+    // trajectory revisits {1,2} it must stay reachable SOMEWHERE
+    assert(forced.values.exists(g => g(2) == 1 || g(2) == 2) ||
+      plain.values.forall(g => g(2) != 1 && g(2) != 2),
+      "tokens 1/2 vanished from later steps — suppression leaked past step 0")
+    // forcing overrides even a static ban on the same token
+    val over = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 1, banned = Set(5), forcedTokens = Map(0 -> 5)))
+    assert(over.values.forall(_ == Seq(5)), "forcing must override the ban")
+  }
+
+  test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectBeams(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "beams")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    val plain = collectBeams(Torch.beamSearch(df, "tok_ids", "beams", bc,
+      steps = 2, width = 2))
+    val div = collectBeams(Torch.beamSearchDiverse(df, "tok_ids", "beams", bc,
+      steps = 2, width = 2, groups = 2, diversityPenalty = 0.5))
+    // group 0 never sees a penalty — bit-identical to plain beams
+    for ((id, bs) <- div)
+      assert(bs.take(2) == plain(id),
+        s"doc $id group 0 ${bs.take(2)} != plain ${plain(id)}")
+    // zero penalty makes every group the plain frontier
+    val zero = collectBeams(Torch.beamSearchDiverse(df, "tok_ids", "beams", bc,
+      steps = 2, width = 2, groups = 2, diversityPenalty = 0.0))
+    for ((id, bs) <- zero) {
+      assert(bs.take(2) == plain(id) && bs.drop(2) == plain(id),
+        s"doc $id lambda=0 groups differ from plain")
+    }
+    // the penalty must actually diversify somewhere
+    assert(div.exists { case (_, bs) => bs.drop(2) != bs.take(2) },
+      "diversity penalty never moved group 1 — vacuous")
+    // the rule, restated independently per doc on a ONE-step run
+    // (step 2 re-ranks the frontier, so only steps=1 exposes the raw
+    // step-1 picks in rank order): group 1's picks equal top-2 of
+    // (lp - 0.5*countA) under the (adj DESC, tid) order
+    val div1 = collectBeams(Torch.beamSearchDiverse(df, "tok_ids", "beams", bc,
+      steps = 1, width = 2, groups = 2, diversityPenalty = 0.5))
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toVector).toMap
+    for ((id, bs) <- div1) {
+      val sess = m.decodeSession(prompts(id).toArray)
+      val lg = sess.logits()
+      val mx = (0 until vocab).map(j => lg(j).toDouble).max
+      val z = (0 until vocab).map(j => math.exp(lg(j).toDouble - mx)).sum
+      val lse = math.log(z) + mx
+      val lp = (0 until vocab).map(j => lg(j).toDouble - lse)
+      val aPicks = Seq(bs(0)(0), bs(1)(0))
+      val adj = (0 until vocab).map(j =>
+        lp(j) - 0.5 * aPicks.count(_ == j))
+      val expB = (0 until vocab).sortBy(j => (-adj(j), j)).take(2)
+      assert(Seq(bs(2)(0), bs(3)(0)) == expB,
+        s"doc $id group-1 step-1 picks ${Seq(bs(2)(0), bs(3)(0))} != $expB")
+    }
+  }
+
   test("length-normalized beam with EOS: defaults reduce bit-exactly; alpha bites; margins floor") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
