@@ -1217,6 +1217,52 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // WATERMARKED decoding (q239): Kirchenbauer et al. 2023's soft
+    // watermark — the GREEN half of the vocabulary (md5 parity of
+    // "<prev token>:<candidate>", gamma = 1/2) gains +2 on its logit
+    // before each greedy pick, tilting generation toward a detectable
+    // statistical signature while leaving confident picks alone.
+    // Dyadic delta + exact parity: bit-identical across engines.
+    // q240 is the matching corpus-side detector.
+    "q239_torch_gen_watermark" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
+          batchSize = 256, watermarkDelta = 2.0)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
+    // WATERMARK DETECTION (q240): the training-data filter for q239's
+    // signature — per doc, the green fraction of adjacent token pairs
+    // z-scores as (2·greens − T)/sqrt(T); natural text sits near 0.
+    // greens/T are exact md5-parity INTEGER counts, the flag is
+    // integer-only ((2g−T) > 0 and (2g−T)² > 4T ⟺ z > 2), and the
+    // walk is ONE scan-side zip_with — no self-join, no explode.
+    "q240_watermark_detect" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      graft.operators.Watermark.greenFractionZ(
+          t(s, dir, "documents").select(col("doc_id"),
+            transform(
+              call_function("regexp_extract_all", col("text"),
+                lit(graft.Tok.Pattern), lit(0)),
+              tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
+              .as("tok_ids")),
+          "doc_id", col("tok_ids"))
+        .select(col("doc_id"), col("t_pairs"), col("greens"),
+          col("z6"), col("wm_flag"))
+        .orderBy("doc_id")
+    },
+
     // ENCODER-DECODER GENERATION (q206): the T5/BART decode loop —
     // the doc's 12-token source sequence encodes once, a 2-token
     // decoder prompt grows by 2 greedy steps through causal
@@ -10123,6 +10169,42 @@ object SparkEntry {
     "q235_torch_gen_forced" -> generateOracle(banned = Nil,
       forced = Map(1 -> 5), beginSuppress = Seq(1, 2)),
 
+    // Watermarked decode: per-step full logits, +delta on the md5-
+    // parity green list, first-max-wins argmax.
+    "q239_torch_gen_watermark" -> watermarkOracle(steps = 3, delta = 2.0),
+
+    // Watermark detection: adjacent-pair green parity counts and the
+    // integer-exact z > 2 flag.
+    "q240_watermark_detect" -> {
+      val vocab = genModel.seqHead.get.vocab
+      s"""WITH words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id, a.tid AS p, b.tid AS c
+         |  FROM words a
+         |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS t_pairs,
+         |    CAST(sum(CASE WHEN
+         |      (CAST('0x' || substring(md5(CAST(p AS VARCHAR) || ':' ||
+         |         CAST(c AS VARCHAR)), 1, 8) AS BIGINT) % 2) = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS greens
+         |  FROM pairs GROUP BY doc_id)
+         |SELECT doc_id, t_pairs, greens,
+         |  round((2 * greens - t_pairs) /
+         |    sqrt(CAST(t_pairs AS DOUBLE)), 6) AS z6,
+         |  ((2 * greens - t_pairs) > 0 AND
+         |   (2 * greens - t_pairs) * (2 * greens - t_pairs) > 4 * t_pairs)
+         |    AS wm_flag
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
     // The q194 step chain over the bias-masked LM: the ALiBi slope and
     // the causal window restate in closed form inside the score join
     // (exact dyadics on both engines).
@@ -12048,6 +12130,82 @@ object SparkEntry {
        |$joins
        |ORDER BY g1.doc_id""".stripMargin
 
+  }
+
+  /** The q239 watermarked-decode oracle: each step is one full-logit
+    * forward (the repPenaltyOracle generator), then the soft-watermark
+    * pick restated — candidates unpivot, the GREEN ones (md5 parity of
+    * "<last token>:<tid>", the generator's exact membership function)
+    * gain +delta, and the argmax is the usual first-max-wins
+    * `row_number() ORDER BY al DESC, tid`. */
+  private def watermarkOracle(steps: Int, delta: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    val dLit = s"CAST($delta AS DOUBLE)"
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val unpivot = (t: Int) => (0 until vocab).map(j =>
+      s"SELECT doc_id, $j AS tid, p$j AS lp FROM logit$t")
+      .mkString("\n  UNION ALL ")
+    val stepCtes = (1 to steps).map { t =>
+      s"""logit$t AS MATERIALIZED (
+         |${fwd(s"toks${t - 1}")}
+         |),
+         |cand$t AS MATERIALIZED (
+         |  ${unpivot(t)}),
+         |last$t AS (
+         |  SELECT t0.doc_id, t0.tid AS lt
+         |  FROM toks${t - 1} t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+         |adj$t AS MATERIALIZED (
+         |  SELECT c.doc_id, c.tid,
+         |    c.lp + CASE WHEN
+         |      (CAST('0x' || substring(md5(CAST(l.lt AS VARCHAR) || ':' ||
+         |         CAST(c.tid AS VARCHAR)), 1, 8) AS BIGINT) % 2) = 0
+         |      THEN $dLit ELSE CAST(0 AS DOUBLE) END AS al
+         |  FROM cand$t c JOIN last$t l ON l.doc_id = c.doc_id),
+         |step$t AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT doc_id, tid,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY al DESC, tid) AS rk
+         |    FROM adj$t)
+         |  WHERE rk = 1),
+         |toks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM step$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN step$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |$stepCtes
+       |SELECT g1.doc_id, $outs
+       |FROM step1 g1
+       |$joins
+       |ORDER BY g1.doc_id""".stripMargin
   }
 
   /** The q206 encoder-decoder generation oracle: the source-side

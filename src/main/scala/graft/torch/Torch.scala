@@ -30,6 +30,18 @@ object Torch {
       val hex = md.take(4).map(b => f"$b%02x").mkString
       (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
     }
+    /** The watermark green-list membership (Kirchenbauer et al. 2023,
+      * gamma = 1/2): token `j` is GREEN after `prev` iff
+      * md5("<prev>:<j>")'s leading 32 bits are even — the exact
+      * parity a SQL engine recomputes from the same strings, so
+      * generation-side biasing and corpus-side detection share one
+      * function. */
+    def greenToken(prev: Int, j: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prev:$j".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2L == 0L
+    }
     /** The multi-return draw (`num_return_sequences`): sequence 0
       * keeps the single-return key `"<id>:<step>"` — so k = 1 and the
       * first of k sequences are bit-identical to [[generateSampled]]
@@ -1700,8 +1712,10 @@ object Torch {
       bannedPhrases: Seq[Seq[Int]] = Nil,
       minNewTokens: Int = 0,
       forcedTokens: Map[Int, Int] = Map.empty,
-      beginSuppress: Set[Int] = Set.empty): DataFrame = {
+      beginSuppress: Set[Int] = Set.empty,
+      watermarkDelta: Double = 0.0): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
+    require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
     require(bannedPhrases.forall(_.nonEmpty), "empty banned phrase")
     require(minNewTokens >= 0, "minNewTokens must be >= 0")
     require(minNewTokens == 0 || eosId >= 0,
@@ -1752,7 +1766,8 @@ object Torch {
     val inIdx = withInts.schema.fieldIndex(inputCol)
     val plain = repetitionPenalty == 1.0 && noRepeatNgram == 0 &&
       eosId < 0 && dfaTrans == null && bannedPhrases.isEmpty &&
-      minNewTokens == 0 && forcedTokens.isEmpty && beginSuppress.isEmpty
+      minNewTokens == 0 && forcedTokens.isEmpty && beginSuppress.isEmpty &&
+      watermarkDelta == 0.0
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
@@ -1813,11 +1828,20 @@ object Torch {
         while (j < vocab) {
           if (!hardBanned(j) && !(ngLive && ngBanned(j))) {
             val x0 = out(off + j).toDouble
-            val x =
+            val xp =
               if (seen(j)) {
                 if (x0 > 0.0) x0 / repetitionPenalty
                 else x0 * repetitionPenalty
               } else x0
+            // soft watermark (Kirchenbauer et al. 2023): the GREEN
+            // half of the vocabulary — md5("<prev>:<j>") parity, the
+            // repo's cross-engine hash discipline — gets +delta on
+            // its logit before the pick; dyadic delta + exact parity
+            // keeps the bias bit-identical to the oracle's CASE
+            val x =
+              if (watermarkDelta != 0.0 &&
+                  Sampling.greenToken(full.last, j)) xp + watermarkDelta
+              else xp
             if (!x.isNaN && (best < 0 || x > bv)) { best = j; bv = x }
           }
           j += 1

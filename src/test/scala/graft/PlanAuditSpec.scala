@@ -392,6 +392,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-16 decode knobs + diversity gate: scan-side, output sort the only exchange") {
+    // typical sampling (q234), forced/begin-suppress (q235), diverse
+    // beam groups (q236 — groups×width KV sessions still ONE
+    // mapPartitions, groups exchange nothing), the Distinct-n
+    // self-diversity gate (q237 — the aggregation is per-row over the
+    // k generations, no keyed shuffle): same ≤1-exchange contract as
+    // the round-15 knob wave
+    // q239 watermarked decode and q240 detection share the contract:
+    // q240's pair walk is a scan-side zip_with (no self-join — the
+    // oracle's pos+1 join is the RESTATEMENT, not the plan)
+    for (q <- Seq("q234_torch_gen_typical", "q235_torch_gen_forced",
+        "q236_torch_beam_diverse", "q237_gen_self_diversity",
+        "q239_torch_gen_watermark", "q240_watermark_detect")) {
+      val p = plan(q)
+      val ex = "Exchange".r.findAllIn(p).length
+      assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert("Scan parquet".r.findAllIn(p).length <= 1,
+        s"$q: expected at most one parquet scan:\n$p")
+    }
+    // q238 A-ES weighted sampling: the pick must be a per-partition
+    // top-n (TakeOrderedAndProject), never a full global sort of the
+    // corpus by key
+    val p238 = plan("q238_weighted_sample")
+    assert(p238.contains("TakeOrderedAndProject"),
+      s"q238 weighted sample is not a TakeOrderedAndProject:\n$p238")
+    assert(!p238.contains("CartesianProduct"), s"q238 cartesian:\n$p238")
+  }
+
   test("round-15 ingestion ops: chunking is scan-side; the dHash join is banded, never a product") {
     // q222: tokenize + ONE posexplode + the output sort — any other
     // exchange means the chunker started shuffling text

@@ -690,6 +690,76 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(over.values.forall(_ == Seq(5)), "forcing must override the ban")
   }
 
+  test("q239/q240 watermark: delta=0 reduces bit-exactly; bias is green-only; detection separates") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val plain = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 3))
+    val zeroD = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 3, watermarkDelta = 0.0))
+    assert(zeroD == plain, "watermarkDelta = 0 must reduce bit-exactly")
+    val wm = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 3, watermarkDelta = 2.0))
+    assert(wm.exists { case (k, v) => plain(k) != v },
+      "delta = 2 never changed a pick — vacuous watermark")
+    // rule restated per emitted token: session replay, the pick must
+    // be the adjusted argmax, and the adjusted-gap floors (q213's
+    // discipline — no pick may hinge on last-ulp luck)
+    def green(prev: Int, j: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prev:$j".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % 2 == 0
+    }
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toVector).toMap
+    var minGap = Double.MaxValue
+    for ((id, g) <- wm) {
+      val sess = m.decodeSession(prompts(id).toArray)
+      var full = prompts(id)
+      for (tok <- g) {
+        val lg = sess.logits()
+        val adj = (0 until vocab).map(j =>
+          lg(j).toDouble + (if (green(full.last, j)) 2.0 else 0.0))
+        val best = (0 until vocab).maxBy(j => (adj(j), -j))
+        assert(tok == best, s"doc $id watermarked pick $tok != restated $best")
+        val sorted = adj.sorted(Ordering[Double].reverse)
+        minGap = math.min(minGap, sorted(0) - sorted(1))
+        sess.append(tok)
+        full = full :+ tok
+      }
+    }
+    info(s"q239 sf0.001 min adjusted argmax gap: $minGap")
+    assert(minGap > 1e-4, s"a watermarked pick sits $minGap from a tie")
+    // detection: the generated region's green-transition count under
+    // the watermark dominates plain greedy's in aggregate
+    def greens(id: Long, g: scala.collection.Seq[Int]): Int = {
+      val seq = prompts(id).last +: g
+      seq.sliding(2).count(p => green(p(0), p(1)))
+    }
+    val gWm = wm.map { case (id, g) => greens(id, g) }.sum
+    val gPl = plain.map { case (id, g) => greens(id, g) }.sum
+    info(s"q239 green transitions: watermarked $gWm vs plain $gPl " +
+      s"of ${3 * wm.size}")
+    assert(gWm > gPl, "watermark did not raise the green fraction")
+    // the operator's z agrees with a brute recount on full sequences
+    import spark.implicits._
+    val full = wm.toSeq.map { case (id, g) =>
+      (id, (prompts(id) ++ g).map(_.toLong)) }.toDF("doc_id", "tok_ids")
+    val det = graft.operators.Watermark.greenFractionZ(full, "doc_id",
+        org.apache.spark.sql.functions.col("tok_ids"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((id, g) <- wm) {
+      val seq = prompts(id) ++ g
+      val exp = seq.sliding(2).count(p => green(p(0), p(1)))
+      assert(det(id) == ((seq.length - 1).toLong, exp.toLong),
+        s"doc $id detector counts ${det(id)} != brute (${seq.length - 1}, $exp)")
+    }
+  }
+
   test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
