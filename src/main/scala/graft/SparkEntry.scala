@@ -1263,6 +1263,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CONTRASTIVE SEARCH (q241): Su et al. 2022 / HF penalty_alpha —
+    // each step's top-3 candidates re-rank by (1−α)·p − α·max cosine
+    // between the candidate's would-be hidden state and every previous
+    // position's (the degeneration penalty; α = 0.5 dyadic). The
+    // repetition-killing deterministic decoder. Probabilities and
+    // cosines quantize to 6dp before the score; spec pins the
+    // score-gap floor. Oracle: candidate-expanded per-position n2
+    // read-out + a cosine self-join per step.
+    "q241_torch_gen_contrastive" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateContrastive(toks, "tok_ids", "gen", bc, steps = 2,
+          topK = 3, alpha = 0.5, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"))
+        .orderBy("doc_id")
+    },
+
     // ENCODER-DECODER GENERATION (q206): the T5/BART decode loop —
     // the doc's 12-token source sequence encodes once, a 2-token
     // decoder prompt grows by 2 greedy steps through causal
@@ -6550,10 +6575,15 @@ object SparkEntry {
     *        aggregates skip NULLs — exactly the engine's
     *        `exp(-inf) = 0` terms), and `biasTerm` adds AFTER the
     *        scale, torch's `softmax(q·kᵀ·scale + mask)`. */
+  /** `emitPositions = true` swaps the pooled read-out for the raw
+    * per-position hidden states — `SELECT doc_id, pos, z0..z{d-1}
+    * FROM n2` — the representation table contrastive search's
+    * degeneration penalty (q241) compares. */
   private def encBlockSql(m0: graft.torch.TorchScriptModel, pool: String,
       source: String = "documents", extraCtes: String = "",
       hashMod: Int = -1, tokensCte: Option[String] = None,
-      headBias: Option[Seq[(String, String)]] = None): String = {
+      headBias: Option[Seq[(String, String)]] = None,
+      emitPositions: Boolean = false): String = {
     val withCls = pool == "cls"
     import graft.torch._
     val m = m0
@@ -6723,7 +6753,10 @@ object SparkEntry {
        | FROM ffn),
        |n2 AS (${lnSel(lns(1), "y", "z", "r2")}),
        |$poolCte
-       |SELECT doc_id, ${(0 until d).map(j => s"p$j").mkString(", ")} FROM pool""".stripMargin
+       |${if (emitPositions)
+          s"SELECT doc_id, pos, ${(0 until d).map(j => s"z$j").mkString(", ")} FROM n2"
+        else
+          s"SELECT doc_id, ${(0 until d).map(j => s"p$j").mkString(", ")} FROM pool"}""".stripMargin
   }
 
   /** q202 oracle: the [[encBlockSql]] chain with the score join's
@@ -10173,6 +10206,11 @@ object SparkEntry {
     // parity green list, first-max-wins argmax.
     "q239_torch_gen_watermark" -> watermarkOracle(steps = 3, delta = 2.0),
 
+    // Contrastive search: top-3 candidate expansion, per-position
+    // hidden read-out, cosine degeneration penalty, (score DESC, tid).
+    "q241_torch_gen_contrastive" -> contrastiveOracle(steps = 2,
+      topK = 3, alpha = 0.5),
+
     // Watermark detection: adjacent-pair green parity counts and the
     // integer-exact z > 2 flag.
     "q240_watermark_detect" -> {
@@ -12187,6 +12225,112 @@ object SparkEntry {
          |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
          |        GROUP BY doc_id) l
          |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN step$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |$stepCtes
+       |SELECT g1.doc_id, $outs
+       |FROM step1 g1
+       |$joins
+       |ORDER BY g1.doc_id""".stripMargin
+  }
+
+  /** The q241 contrastive-search oracle (Su et al. 2022): each step is
+    * (1) one base forward for the full-vocab softmax, quantized 6dp;
+    * (2) the top-K candidate rows by (p6 DESC, tid); (3) ONE
+    * per-position forward over the candidate-expanded token CTE
+    * (synthetic ids doc·K + rank, the beam recipe) read out at `n2` —
+    * the raw per-position hidden states; (4) the degeneration penalty
+    * as a last-position-vs-earlier cosine self-join, each cosine
+    * quantized 6dp before the max; (5) the pick by
+    * `(1−α)·p6 − α·maxcos` (α dyadic — exact on the grid), ranked
+    * (score DESC, tid). */
+  private def contrastiveOracle(steps: Int, topK: Int,
+      alpha: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    val aLit = s"CAST($alpha AS DOUBLE)"
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val unpivot = (t: Int) => (0 until vocab).map(j =>
+      s"SELECT doc_id, $j AS tid, p$j AS lp FROM logit$t")
+      .mkString("\n  UNION ALL ")
+    val d = 4 // block width (the enc chain's z0..z3)
+    def dot(a: String, b: String) =
+      (0 until d).map(j => s"$a.z$j*$b.z$j").mkString(" + ")
+    def nrm(a: String) =
+      s"sqrt(${(0 until d).map(j => s"$a.z$j*$a.z$j").mkString(" + ")})"
+    val stepCtes = (1 to steps).map { t =>
+      s"""logit$t AS MATERIALIZED (
+         |${fwd(s"toks${t - 1}")}
+         |),
+         |prob$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, round(e / z, 6) AS p6
+         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM (${unpivot(t)})))),
+         |cnd$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, p6,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY p6 DESC, tid) - 1 AS rk
+         |  FROM prob$t QUALIFY rk < $topK),
+         |clen$t AS (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |           GROUP BY doc_id),
+         |ctoks$t AS MATERIALIZED (
+         |  SELECT t0.doc_id * $topK + c.rk AS doc_id, t0.tid, t0.pos
+         |  FROM toks${t - 1} t0 JOIN cnd$t c ON c.doc_id = t0.doc_id
+         |  UNION ALL
+         |  SELECT c.doc_id * $topK + c.rk, CAST(c.tid AS BIGINT), l.mp + 1
+         |  FROM cnd$t c JOIN clen$t l ON l.doc_id = c.doc_id),
+         |hid$t AS MATERIALIZED (
+         |${encBlockSql(m, pool = "last", tokensCte = Some(s"ctoks$t"),
+             emitPositions = true)}
+         |),
+         |hlen$t AS (SELECT doc_id, max(pos) AS mp FROM hid$t GROUP BY doc_id),
+         |pen$t AS MATERIALIZED (
+         |  SELECT a.doc_id,
+         |    max(round((${dot("a", "b")}) / (${nrm("a")} * ${nrm("b")}), 6))
+         |      AS maxc
+         |  FROM hid$t a
+         |  JOIN hlen$t l ON l.doc_id = a.doc_id AND a.pos = l.mp
+         |  JOIN hid$t b ON b.doc_id = a.doc_id AND b.pos < a.pos
+         |  GROUP BY a.doc_id),
+         |score$t AS MATERIALIZED (
+         |  SELECT c.doc_id, c.tid,
+         |    (CAST(1 AS DOUBLE) - $aLit) * c.p6 - $aLit * p.maxc AS sc
+         |  FROM cnd$t c
+         |  JOIN pen$t p ON p.doc_id = c.doc_id * $topK + c.rk),
+         |step$t AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT doc_id, tid,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY sc DESC, tid) AS rk2
+         |    FROM score$t)
+         |  WHERE rk2 = 1),
+         |toks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM step$t s JOIN clen$t l ON l.doc_id = s.doc_id)""".stripMargin
     }.mkString(",\n")
     val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
     val joins = (2 to steps).map(t =>

@@ -980,6 +980,137 @@ object Torch {
   }
 
   /**
+   * CONTRASTIVE SEARCH (Su et al. 2022 "A Contrastive Framework for
+   * Neural Text Generation" — HF `penalty_alpha` + `top_k`): at each
+   * step the top-k most probable candidates re-rank by
+   * `(1−α)·p(v) − α·max_i cos(h_v, h_i)` — the candidate's model
+   * confidence minus its DEGENERATION PENALTY, the maximum cosine
+   * between the hidden state the model would produce for it and
+   * every previous position's hidden state. The look-ahead that kills
+   * repetition loops greedy decoding falls into without sacrificing
+   * coherence the way sampling does.
+   *
+   * Determinism discipline: probabilities AND cosines quantize to the
+   * 6dp grid before the score (α dyadic, so the combination is exact
+   * on the grid); candidates rank (p6 DESC, tid), the final pick
+   * ranks (score DESC, tid) — a spec pins the score-gap floor at
+   * sf0.001 so no pick hinges on last-ulp luck.
+   *
+   * Scale shape: per-row KV sessions; each step is k `fork()`s (the
+   * candidate look-ahead — O(L·d) each, the chosen child BECOMES the
+   * session so its forward is never recomputed), all inside ONE
+   * `mapPartitions` — no per-step plan growth.
+   *
+   * @return input columns + `outCol` = array<int> generated tokens
+   */
+  def generateContrastive(
+      df: DataFrame,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      topK: Int,
+      alpha: Double,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1, "generateContrastive needs a token-input model")
+    require(!model.value.isCross, "cross-attention model not supported here")
+    require(model.value.cacheable,
+      "contrastive search needs the KV-session path (cacheable model)")
+    require(topK <= model.value.outDim, "topK exceeds the vocabulary")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos6(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < a.length) {
+          val x = a(j).toDouble; val y = b(j).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        q6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            // token-at-a-time prompt ingest records EVERY position's
+            // hidden state (the penalty compares against all of them)
+            var sess = m.decodeSession(Array(p(0)))
+            val hiddens = scala.collection.mutable.ArrayBuffer(sess.hidden())
+            p.drop(1).foreach { tok =>
+              sess.append(tok); hiddens += sess.hidden()
+            }
+            val gen = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var t = 0
+            while (t < steps) {
+              val lg = sess.logits()
+              var mx = Double.NegativeInfinity
+              var j = 0
+              while (j < vocab) {
+                val v = lg(j).toDouble
+                if (v > mx) mx = v
+                j += 1
+              }
+              var z = 0.0
+              j = 0
+              while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+              val p6 = Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
+              val cands = (0 until vocab).sortBy(k => (-p6(k), k)).take(topK)
+              val scored = cands.map { v =>
+                val child = sess.fork()
+                child.append(v)
+                val hv = child.hidden()
+                var maxc = Double.NegativeInfinity
+                hiddens.foreach { h =>
+                  val c = cos6(hv, h)
+                  if (c > maxc) maxc = c
+                }
+                val score = (1.0 - alpha) * p6(v) - alpha * maxc
+                (score, v, child, hv)
+              }
+              val (_, tok, child, hv) =
+                scored.sortBy { case (s0, v, _, _) => (-s0, v) }.head
+              gen += tok
+              sess = child // the winner's forward is never recomputed
+              hiddens += hv
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ gen.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * Greedy autoregressive decoding — `steps` rounds of (forward pass
    * on the whole sequence → argmax over the vocab logits → append).
    * The model must be a token-input net whose output width IS the

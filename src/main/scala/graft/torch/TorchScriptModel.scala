@@ -2840,6 +2840,12 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
       * state through the flat tail (exactly forwardTokens' read-out). */
     def logits(): Array[Float] = runOps(poolIdx + 1, lastX.clone(), 1, pooledDim)
 
+    /** The LAST position's hidden state (post-block, pre-pool/head) —
+      * the per-position representation contrastive search's
+      * degeneration penalty compares (Su et al. 2022). A copy: the
+      * session keeps mutating its own buffer on append. */
+    def hidden(): Array[Float] = lastX.clone()
+
     /** Fork this session for BEAM SEARCH: the child copies the cache
       * BUFFERS (per-position rows are immutable and shared — an O(L)
       * pointer copy) and shares the once-computed encoder projections;

@@ -402,9 +402,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q239 watermarked decode and q240 detection share the contract:
     // q240's pair walk is a scan-side zip_with (no self-join — the
     // oracle's pos+1 join is the RESTATEMENT, not the plan)
+    // q241 contrastive search: the k-fork look-ahead per step is still
+    // session work inside the one mapPartitions — nothing exchanges
     for (q <- Seq("q234_torch_gen_typical", "q235_torch_gen_forced",
         "q236_torch_beam_diverse", "q237_gen_self_diversity",
-        "q239_torch_gen_watermark", "q240_watermark_detect")) {
+        "q239_torch_gen_watermark", "q240_watermark_detect",
+        "q241_torch_gen_contrastive")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

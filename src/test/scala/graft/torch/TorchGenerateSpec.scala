@@ -760,6 +760,65 @@ class TorchGenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("q241 contrastive search: alpha=0 is the greedy pick; penalty bites; rule + gap floor") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val greedy = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 2))
+    // alpha = 0 scores by quantized probability alone — same pick as
+    // the raw-logit argmax (softmax is monotone; the pinned argmax gap
+    // floor keeps 6dp rounding from manufacturing ties)
+    val a0 = collectGen(Torch.generateContrastive(df, "tok_ids", "gen", bc,
+      steps = 2, topK = 3, alpha = 0.0))
+    assert(a0 == greedy, "alpha = 0 must reproduce the greedy trajectory")
+    val con = collectGen(Torch.generateContrastive(df, "tok_ids", "gen", bc,
+      steps = 2, topK = 3, alpha = 0.5))
+    assert(con.exists { case (k, v) => greedy(k) != v },
+      "the degeneration penalty never changed a pick — vacuous")
+    // rule restated per doc: token-at-a-time session replay
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(j => a(j).toDouble * b(j).toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      q6(dot / (na * nb))
+    }
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toVector).toMap
+    var minScoreGap = Double.MaxValue
+    for ((id, g) <- con) {
+      var sess = m.decodeSession(Array(prompts(id).head))
+      val hiddens = scala.collection.mutable.ArrayBuffer(sess.hidden())
+      prompts(id).drop(1).foreach { tok => sess.append(tok); hiddens += sess.hidden() }
+      for (tok <- g) {
+        val lg = sess.logits()
+        val mx = (0 until vocab).map(j => lg(j).toDouble).max
+        val z = (0 until vocab).map(j => math.exp(lg(j).toDouble - mx)).sum
+        val p6 = (0 until vocab).map(j => q6(math.exp(lg(j).toDouble - mx) / z))
+        val cands = (0 until vocab).sortBy(j => (-p6(j), j)).take(3)
+        val scored = cands.map { v =>
+          val child = sess.fork(); child.append(v)
+          val hv = child.hidden()
+          val pen = hiddens.map(h => cos6(hv, h)).max
+          (0.5 * p6(v) - 0.5 * pen, v, child, hv)
+        }.sortBy { case (s0, v, _, _) => (-s0, v) }
+        assert(scored.head._2 == tok,
+          s"doc $id contrastive pick $tok != restated ${scored.head._2}")
+        minScoreGap = math.min(minScoreGap, scored(0)._1 - scored(1)._1)
+        sess = scored.head._3
+        hiddens += scored.head._4
+      }
+    }
+    info(s"q241 sf0.001 min contrastive score gap (top1 - top2): $minScoreGap")
+    assert(minScoreGap > 1e-4,
+      s"a contrastive pick sits $minScoreGap from flipping")
+  }
+
   test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
