@@ -1263,6 +1263,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SHARED-PREFIX decoding (q242): the prefix-caching serving shape
+    // (vLLM prefix cache / SGLang RadixAttention) — rows sharing a
+    // system-prompt prefix (here: 3 lang-derived tokens, 5 distinct
+    // prefixes) decode against ONE KV session per distinct prefix per
+    // batch, forked per row. Bit-identical to greedy over
+    // prefix ++ suffix (spec-pinned + A/B-timed in StressR19), so the
+    // oracle is the plain greedy chain over a prefix-prepended toks0.
+    "q242_torch_gen_prefix_shared" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        transform(sequence(lit(0), lit(2)),
+          i => conv(substring(md5(concat(col("lang"), i.cast("string"))), 1, 8),
+            16, 10).cast("long") % vocab).as("pfx_ids"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen - 3).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedySharedPrefix(toks, "pfx_ids", "tok_ids", "gen", bc,
+          steps = 2, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"))
+        .orderBy("doc_id")
+    },
+
     // CONTRASTIVE SEARCH (q241): Su et al. 2022 / HF penalty_alpha —
     // each step's top-3 candidates re-rank by (1−α)·p − α·max cosine
     // between the candidate's would-be hidden state and every previous
@@ -10211,6 +10238,33 @@ object SparkEntry {
     "q241_torch_gen_contrastive" -> contrastiveOracle(steps = 2,
       topK = 3, alpha = 0.5),
 
+    // Shared-prefix decode: the plain greedy chain over toks0 =
+    // 3 lang-derived prefix tokens + the doc's first 9 tokens.
+    "q242_torch_gen_prefix_shared" -> {
+      val vocab = genModel.seqHead.get.vocab
+      generateOracle(banned = Nil, steps = 2, toks0Sql = Some(
+        s"""words AS (
+           |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+           |           % $vocab AS tid, pos
+           |  FROM (SELECT doc_id,
+           |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+           |          generate_subscripts(regexp_extract_all(text,
+           |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+           |        FROM documents)
+           |  WHERE pos <= ${EncMaxLen - 3}),
+           |pfx AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substring(md5(lang || CAST(i AS VARCHAR)), 1, 8)
+           |      AS BIGINT) % $vocab AS tid,
+           |    CAST(i + 1 AS BIGINT) AS pos
+           |  FROM documents, (SELECT unnest(range(0, 3)) AS i)
+           |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM words)),
+           |toks0 AS MATERIALIZED (
+           |  SELECT doc_id, tid, pos FROM pfx
+           |  UNION ALL
+           |  SELECT doc_id, tid, pos + 3 FROM words)""".stripMargin))
+    },
+
     // Watermark detection: adjacent-pair green parity counts and the
     // integer-exact z > 2 flag.
     "q240_watermark_detect" -> {
@@ -11686,7 +11740,8 @@ object SparkEntry {
       steps: Int = 3,
       minNew: Int = 0,
       forced: Map[Int, Int] = Map.empty,
-      beginSuppress: Seq[Int] = Nil): String = {
+      beginSuppress: Seq[Int] = Nil,
+      toks0Sql: Option[String] = None): String = {
     require(minNew == 0 || (eos.isDefined && dfa.isEmpty),
       "minNew needs eos and no dfa in this oracle generator")
     require(forced.isEmpty || (eos.isEmpty && dfa.isEmpty && minNew == 0),
@@ -11793,16 +11848,21 @@ object SparkEntry {
     }
     val joins = (2 to steps).map(t =>
       s"JOIN step$t s$t ON s$t.doc_id = s1.doc_id").mkString("\n")
-    s"""WITH words AS (
-       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
-       |           % $vocab AS tid, pos
-       |  FROM (SELECT doc_id,
-       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-       |          generate_subscripts(regexp_extract_all(text,
-       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-       |        FROM documents)
-       |  WHERE pos <= $EncMaxLen),
-       |toks0 AS MATERIALIZED (SELECT * FROM words),
+    // toks0Sql (q242): a caller-supplied replacement for the default
+    // words/toks0 block — e.g. a shared prefix prepended before the
+    // document tokens — ending in a `toks0(doc_id, tid, pos)` CTE
+    val toksBlock = toks0Sql.getOrElse(
+      s"""words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |toks0 AS MATERIALIZED (SELECT * FROM words)""".stripMargin)
+    s"""WITH $toksBlock,
        |$transCte$stepCtes
        |SELECT s1.doc_id, $outs
        |FROM step1 s1

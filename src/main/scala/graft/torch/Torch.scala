@@ -980,6 +980,113 @@ object Torch {
   }
 
   /**
+   * SHARED-PREFIX greedy decoding — the prefix-caching serving shape
+   * (vLLM's automatic prefix cache, SGLang's RadixAttention): rows
+   * whose prompts share a common PREFIX (the system prompt, the
+   * few-shot block, the task header) decode against ONE KV session
+   * for that prefix, opened once per distinct prefix per batch and
+   * `fork()`ed per row — the per-row cost drops from O(P²·d) prefix
+   * ingest to an O(P) pointer copy plus the row's own suffix and
+   * decode steps. Trajectories are BIT-IDENTICAL to
+   * [[generateGreedy]] over `prefix ++ suffix` (sessions equal the
+   * recompute path — spec-pinned), so the same oracle restates both.
+   *
+   * @param prefixCol array<int> shared-prefix column (grouping is BY
+   *        VALUE — any number of distinct prefixes per batch, each
+   *        opened once)
+   * @param inputCol  array<int> per-row suffix (may be empty)
+   * @return input columns + `outCol` = array<int> generated tokens
+   *         (null prefix AND empty suffix → null)
+   */
+  def generateGreedySharedPrefix(
+      df: DataFrame,
+      prefixCol: String,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1,
+      "generateGreedySharedPrefix needs a token-input model")
+    require(!model.value.isCross, "cross-attention model not supported here")
+    require(model.value.cacheable,
+      "prefix sharing needs the KV-session path (cacheable model)")
+    val withInts = df
+      .withColumn(prefixCol, col(prefixCol).cast(ArrayType(IntegerType)))
+      .withColumn(inputCol, col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val pIdx = withInts.schema.fieldIndex(prefixCol)
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def ints(r: Row, idx: Int): Array[Int] =
+        if (r.isNullAt(idx)) null
+        else {
+          val xs = r.getSeq[Any](idx)
+          val a = new Array[Int](xs.length)
+          var j = 0
+          var ok = true
+          while (ok && j < a.length) {
+            xs(j) match {
+              case null => ok = false
+              case f: java.lang.Number => a(j) = f.intValue(); j += 1
+            }
+          }
+          if (ok) a else null
+        }
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      it.grouped(bs).flatMap { rows =>
+        // one session per DISTINCT prefix in this batch; immutable
+        // after open — every row forks it
+        val cache = scala.collection.mutable.Map.empty[Vector[Int], m.DecodeSession]
+        rows.iterator.map { r =>
+          val p = ints(r, pIdx)
+          val s = ints(r, inIdx)
+          if (p == null || s == null || p.length + s.length == 0)
+            Row.fromSeq(r.toSeq :+ null)
+          else {
+            val sess =
+              if (p.isEmpty) null
+              else cache.getOrElseUpdate(p.toVector, m.decodeSession(p))
+            val child =
+              if (sess == null) m.decodeSession(s)
+              else {
+                val c = sess.fork()
+                s.foreach(c.append)
+                c
+              }
+            val gen = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var t = 0
+            while (t < steps) {
+              val tid = argmaxFirst(child.logits())
+              gen += tid
+              child.append(tid)
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ gen.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * CONTRASTIVE SEARCH (Su et al. 2022 "A Contrastive Framework for
    * Neural Text Generation" — HF `penalty_alpha` + `top_k`): at each
    * step the top-k most probable candidates re-rank by

@@ -175,6 +175,34 @@ object StressR19 {
       .count() == 0, "multi-return sampling not reproducible under repartitioning")
     gens.unpersist()
 
+    // ---- 5. shared-prefix decode A/B at 200k rows --------------------
+    // one 12-token system prompt shared by ALL rows + a 2-token
+    // per-row suffix, 2 greedy steps: the prefix session opens ~once
+    // per batch and forks per row (O(P) pointer copy) vs the per-row
+    // full-prompt session (O(P²·d) ingest per row). Trajectories must
+    // be BIT-identical; the wall-clock ratio is the prefix-cache win.
+    val pfxToks = toks1.filter(col("doc_id") < 200000L).select(col("doc_id"),
+      transform(sequence(lit(0), lit(11)),
+        i => pmod(i * 37L + 5L, lit(gvocab.toLong))).as("pfx_ids"),
+      transform(sequence(lit(0), lit(1)),
+        i => pmod(col("doc_id") * 17L + i * 5L, lit(gvocab.toLong))).as("sfx_ids"))
+    val sharedG = graft.torch.Torch.generateGreedySharedPrefix(pfxToks,
+        "pfx_ids", "sfx_ids", "gen", bcG, steps = 2, batchSize = 512)
+      .select(col("doc_id"), col("gen")).cache()
+    require(timed("shared-prefix decode, 200k rows x (12+2)")(sharedG.count())
+      == 200000L, "shared-prefix decode dropped rows")
+    val fullG = graft.torch.Torch.generateGreedy(
+        pfxToks.select(col("doc_id"),
+          concat(col("pfx_ids"), col("sfx_ids")).as("tok_ids")),
+        "tok_ids", "gen", bcG, steps = 2, batchSize = 512)
+      .select(col("doc_id"), col("gen").as("gen2"))
+    val t0f = System.nanoTime()
+    val diverged = sharedG.join(fullG, "doc_id")
+      .filter(col("gen") =!= col("gen2")).count()
+    println(f"[stress] full-prompt baseline + equality join: ${(System.nanoTime() - t0f) / 1e9}%.1f s")
+    require(diverged == 0, s"$diverged rows diverged from the full-prompt greedy")
+    sharedG.unpersist()
+
     println("[stress] StressR19 PASS")
     spark.stop()
   }

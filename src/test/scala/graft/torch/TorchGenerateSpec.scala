@@ -819,6 +819,42 @@ class TorchGenerateSpec extends AnyFunSuite {
       s"a contrastive pick sits $minScoreGap from flipping")
   }
 
+  test("q242 shared-prefix decode: bit-identical to greedy over prefix ++ suffix") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    import org.apache.spark.sql.functions._
+    // 5 distinct 3-token prefixes over the fixture prompts (doc_id % 5
+    // keyed), suffixes capped so prefix + suffix + steps fits the
+    // position table
+    val df = fixturePrompts(vocab).select(col("doc_id"),
+      transform(sequence(lit(0), lit(2)),
+        i => pmod(col("doc_id") % 5 * 7 + i * 3, lit(vocab.toLong))).as("pfx_ids"),
+      slice(col("tok_ids"), 1, 9).as("tok_ids"))
+    val shared = Torch.generateGreedySharedPrefix(df, "pfx_ids", "tok_ids",
+        "gen", bc, steps = 3)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val full = Torch.generateGreedy(
+        df.select(col("doc_id"), concat(col("pfx_ids"), col("tok_ids")).as("tok_ids")),
+        "tok_ids", "gen", bc, steps = 3)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(shared == full,
+      "shared-prefix decode diverged from the concatenated-prompt greedy")
+    // an EMPTY prefix degrades to the plain per-row session
+    val noPfx = Torch.generateGreedySharedPrefix(
+        df.select(col("doc_id"), array().cast("array<int>").as("pfx_ids"),
+          col("tok_ids")),
+        "pfx_ids", "tok_ids", "gen", bc, steps = 3)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val plain = Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 3)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(noPfx == plain, "empty prefix must reduce to the plain session")
+  }
+
   test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
