@@ -1263,6 +1263,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // WATERMARKED nucleus sampling (q243): q239's green-list bias
+    // under the paper's actual deployment mode — +2 on green logits
+    // BEFORE the temperature, then the q203 top-p chain. delta = 0
+    // reduces bit-exactly (spec). Oracle: the sampled chain's
+    // candidate unpivot gains the green CASE via a last-token join.
+    "q243_torch_sampled_watermark" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
+          watermarkDelta = 2.0)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
     // SHARED-PREFIX decoding (q242): the prefix-caching serving shape
     // (vLLM prefix cache / SGLang RadixAttention) — rows sharing a
     // system-prompt prefix (here: 3 lang-derived tokens, 5 distinct
@@ -10532,6 +10554,11 @@ object SparkEntry {
     "q234_torch_gen_typical" -> sampledOracle(steps = 2,
       temperature = 0.5, topP = 1.0, typicalP = 0.8),
 
+    // Watermarked nucleus sampling: the green CASE joins the
+    // candidate unpivot before the temperature (same shared builder).
+    "q243_torch_sampled_watermark" -> sampledOracle(steps = 2,
+      temperature = 0.5, topP = 0.9, watermark = 2.0),
+
     // Grammar-constrained decoding: per-doc DFA state column, argmax
     // CASE dispatched per state, transitions via a VALUES join.
     "q219_torch_gen_dfa" -> generateOracle(banned = Nil,
@@ -11902,7 +11929,10 @@ object SparkEntry {
       penaltyNgram: Option[(Double, Int, String)] = None,
       minP: Double = 0.0,
       seedArg: String = null,
-      typicalP: Double = 1.0): String = {
+      typicalP: Double = 1.0,
+      watermark: Option[(Double, String)] = None): String = {
+    require(watermark.isEmpty || penaltyNgram.isEmpty,
+      "the oracle restates watermark and penalty composition separately")
     // the md5 key the seeded draw hashes — q232's synthetic
     // (doc, sequence) ids restate the "<id>:<seq>:<step>" discipline
     val seedSql = Option(seedArg)
@@ -11955,6 +11985,29 @@ object SparkEntry {
       s"SELECT doc_id, $j AS tid, p$j / $tLit AS lp FROM logit$t")
       .mkString("\n  UNION ALL ")
     val candCte = penaltyNgram match {
+      case None if watermark.isDefined =>
+        // watermarked sampling (q243): the green logits gain +delta
+        // BEFORE the temperature — the unpivot carries raw lp0, the
+        // last-token join supplies the green-membership hash input
+        val (wd, toks) = watermark.get
+        val wLit = s"CAST($wd AS DOUBLE)"
+        val raw = (0 until vocab).filterNot(banned.contains).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp0 FROM logit$t")
+          .mkString("\n  UNION ALL ")
+        s"""lastw$t AS (
+           |  SELECT t0.doc_id, t0.tid AS lt
+           |  FROM $toks t0
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toks
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+           |cand$t AS MATERIALIZED (
+           |  SELECT c.doc_id, c.tid,
+           |    (c.lp0 + CASE WHEN
+           |      (CAST('0x' || substring(md5(CAST(l.lt AS VARCHAR) || ':' ||
+           |         CAST(c.tid AS VARCHAR)), 1, 8) AS BIGINT) % 2) = 0
+           |      THEN $wLit ELSE CAST(0 AS DOUBLE) END) / $tLit AS lp
+           |  FROM ($raw) c
+           |  JOIN lastw$t l ON l.doc_id = c.doc_id),"""
       case None =>
         s"""cand$t AS MATERIALIZED (
            |  $unpivot),"""
@@ -12030,7 +12083,7 @@ object SparkEntry {
   private def sampledOracle(steps: Int, temperature: Double, topP: Double,
       banned: Seq[Int] = Nil, topK: Int = Int.MaxValue,
       penalty: Option[(Double, Int)] = None, minP: Double = 0.0,
-      typicalP: Double = 1.0): String = {
+      typicalP: Double = 1.0, watermark: Double = 0.0): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
@@ -12047,7 +12100,9 @@ object SparkEntry {
          |),
          |${sampledStepChain(t, vocab, temperature, topP, banned, topK,
              penalty.map { case (pn, n) => (pn, n, s"toks${t - 1}") }, minP,
-             typicalP = typicalP)},
+             typicalP = typicalP,
+             watermark = if (watermark > 0.0)
+               Some((watermark, s"toks${t - 1}")) else None)},
          |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL

@@ -59,7 +59,8 @@ object Torch {
         temperature: Double, topP: Double, u: Double,
         banned: Set[Int] = Set.empty, topK: Int = Int.MaxValue,
         seen: Set[Int] = Set.empty, repPenalty: Double = 1.0,
-        minP: Double = 0.0, typicalP: Double = 1.0): Int = {
+        minP: Double = 0.0, typicalP: Double = 1.0,
+        greenPrev: Int = -1, greenDelta: Double = 0.0): Int = {
       // constrained decoding: banned ids are removed BEFORE the
       // softmax (the -inf-mask semantics: the distribution renorms
       // over the allowed vocabulary; the oracle simply omits them
@@ -71,9 +72,17 @@ object Torch {
       val ids = (0 until vocab).filterNot(banned).toArray
       val lp = ids.map { j =>
         val x0 = out(off + j).toDouble
-        val x =
+        val xp =
           if (seen(j)) { if (x0 > 0.0) x0 / repPenalty else x0 * repPenalty }
           else x0
+        // soft watermark under sampling (Kirchenbauer et al. 2023's
+        // deployment mode): the green logits gain +delta BEFORE the
+        // temperature — the guarded branch keeps delta = 0
+        // bit-identical to the unwatermarked path
+        val x =
+          if (greenDelta != 0.0 && greenPrev >= 0 && greenToken(greenPrev, j))
+            xp + greenDelta
+          else xp
         x / temperature
       }
       val mx = lp.max
@@ -1645,8 +1654,10 @@ object Torch {
       repetitionPenalty: Double = 1.0,
       noRepeatNgram: Int = 0,
       minP: Double = 0.0,
-      typicalP: Double = 1.0): DataFrame = {
+      typicalP: Double = 1.0,
+      watermarkDelta: Double = 0.0): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
+    require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
     require(banned.size < model.value.outDim,
       "banned set covers the whole vocabulary")
     require(temperature > 0.0, "temperature must be > 0 (greedy is generateGreedy)")
@@ -1703,7 +1714,9 @@ object Torch {
         val seen: Set[Int] =
           if (repetitionPenalty != 1.0) full.toSet else Set.empty
         Sampling.sampleNext(out, off, vocab, temperature, topP, u,
-          stepBanned, topK, seen, repetitionPenalty, minP, typicalP)
+          stepBanned, topK, seen, repetitionPenalty, minP, typicalP,
+          greenPrev = if (watermarkDelta != 0.0) full.last else -1,
+          greenDelta = watermarkDelta)
       }
       it.grouped(bs).flatMap { rows =>
         val seqs: Array[Array[Int]] = rows.map { r =>

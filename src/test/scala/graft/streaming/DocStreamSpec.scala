@@ -806,6 +806,45 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming watermark detection: streaming == batch, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // q240's detector is a stateless per-row zip_with scan — the
+    // frozen-artifact ingest discipline's trivial case (no artifact
+    // at all): arriving docs score identically to the batch pass,
+    // micro-batch boundaries invisible
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = 8
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Watermark.greenFractionZ(
+        df.select(col("doc_id"),
+          org.apache.spark.sql.functions.transform(
+            call_function("regexp_extract_all", col("text"),
+              lit(graft.Tok.Pattern), lit(0)),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10)
+              .cast("long") % vocab).as("tok_ids")),
+        "doc_id", col("tok_ids"))
+    val docs = raw.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = score(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("wm_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4)))).toMap
+      val batch = score(raw).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4)))).toMap
+      assert(streamed == batch, "streaming watermark scores diverged from batch")
+      assert(batch.nonEmpty && batch.values.forall(_._1 >= 1))
+    } finally q.stop()
+  }
+
   test("streaming image-fingerprint dedup against a REOPENED index == batch probe, exact planted pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

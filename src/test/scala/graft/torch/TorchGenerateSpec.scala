@@ -745,6 +745,20 @@ class TorchGenerateSpec extends AnyFunSuite {
     info(s"q239 green transitions: watermarked $gWm vs plain $gPl " +
       s"of ${3 * wm.size}")
     assert(gWm > gPl, "watermark did not raise the green fraction")
+    // q243: the same watermark under nucleus sampling — delta = 0
+    // reduces bit-exactly, delta = 2 raises green transitions there too
+    def sampleWm(d0: Double) = collectGen(Torch.generateSampled(df,
+      "doc_id", "tok_ids", "gen", bc, steps = 3, temperature = 0.5,
+      topP = 0.9, watermarkDelta = d0))
+    assert(sampleWm(0.0) == collectGen(Torch.generateSampled(df, "doc_id",
+      "tok_ids", "gen", bc, steps = 3, temperature = 0.5, topP = 0.9)),
+      "sampled watermarkDelta = 0 must reduce bit-exactly")
+    val sWm = sampleWm(2.0)
+    val gSw = sWm.map { case (id, g) => greens(id, g) }.sum
+    val gS0 = sampleWm(0.0).map { case (id, g) => greens(id, g) }.sum
+    info(s"q243 sampled green transitions: watermarked $gSw vs plain $gS0")
+    assert(gSw > gS0, "sampled watermark did not raise the green fraction")
+
     // the operator's z agrees with a brute recount on full sequences
     import spark.implicits._
     val full = wm.toSeq.map { case (id, g) =>
