@@ -989,6 +989,93 @@ object Torch {
   }
 
   /**
+   * Teacher-forced CONTINUATION scoring under the causal LM — the
+   * single-stream sibling of [[scoreSeq2SeqBatched]]: mean next-token
+   * NLL of `contCol`'s tokens given `inputCol` as the prefix,
+   * `-(Σ_t log softmax(logits_t)[tok_t]) / len`, each step's
+   * log-softmax in f64 over the model's f32 logits. The reranking
+   * half of best-of-n sampling (q244) and the generic "how likely is
+   * THIS continuation" scorer (distillation filtering, candidate
+   * reranking, self-consistency weighting).
+   *
+   * Scale shape: per-row KV sessions inside ONE `mapPartitions` —
+   * the prefix ingests once, each continuation token is an O(L·d)
+   * append; no shuffle at any corpus size.
+   *
+   * @return input columns + `outCol` double (null/empty continuation
+   *         or null prefix → null)
+   */
+  def scoreContinuationBatched(
+      df: DataFrame,
+      inputCol: String,
+      contCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      batchSize: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1,
+      "scoreContinuationBatched needs a token-input model")
+    require(!model.value.isCross, "cross model: use scoreSeq2SeqBatched")
+    require(model.value.cacheable,
+      "continuation scoring needs the KV-session path (cacheable model)")
+    val withInts = df
+      .withColumn(inputCol, col(inputCol).cast(ArrayType(IntegerType)))
+      .withColumn(contCol, col(contCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, DoubleType, nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val cIdx = withInts.schema.fieldIndex(contCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def ints(r: Row, idx: Int): Array[Int] =
+        if (r.isNullAt(idx)) null
+        else {
+          val xs = r.getSeq[Any](idx)
+          val a = new Array[Int](xs.length)
+          var j = 0
+          var ok = true
+          while (ok && j < a.length) {
+            xs(j) match {
+              case null => ok = false
+              case f: java.lang.Number => a(j) = f.intValue(); j += 1
+            }
+          }
+          if (ok) a else null
+        }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p = ints(r, inIdx)
+          val c = ints(r, cIdx)
+          if (p == null || p.isEmpty || c == null || c.isEmpty)
+            Row.fromSeq(r.toSeq :+ null)
+          else {
+            val sess = m.decodeSession(p)
+            var sum = 0.0
+            c.foreach { tok =>
+              val lg = sess.logits()
+              var mx = Double.NegativeInfinity
+              var j = 0
+              while (j < vocab) {
+                val v = lg(j).toDouble
+                if (v > mx) mx = v
+                j += 1
+              }
+              var z = 0.0
+              j = 0
+              while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+              sum += lg(tok).toDouble - (math.log(z) + mx)
+              sess.append(tok)
+            }
+            Row.fromSeq(r.toSeq :+ (-sum / c.length))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * SHARED-PREFIX greedy decoding — the prefix-caching serving shape
    * (vLLM's automatic prefix cache, SGLang's RadixAttention): rows
    * whose prompts share a common PREFIX (the system prompt, the

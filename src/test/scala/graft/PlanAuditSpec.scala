@@ -416,6 +416,17 @@ class PlanAuditSpec extends AnyFunSuite {
       assert("Scan parquet".r.findAllIn(p).length <= 1,
         s"$q: expected at most one parquet scan:\n$p")
     }
+    // q244 best-of-n: generation + rescoring are scan-side; the ONLY
+    // data-shaped exchange is the per-doc ranking window (plus the
+    // output sort) — never a cartesian, one parquet scan
+    val p244 = plan("q244_torch_best_of_n")
+    assert(!p244.contains("CartesianProduct"), s"q244 cartesian:\n$p244")
+    assert(p244.contains("Window") && p244.contains("row_number"),
+      s"q244 lost its ranking window:\n$p244")
+    assert("Scan parquet".r.findAllIn(p244).length <= 1,
+      s"q244: expected at most one parquet scan:\n$p244")
+    assert("Exchange".r.findAllIn(p244).length <= 3,
+      s"q244 shuffled beyond window + sort:\n$p244")
     // q238 A-ES weighted sampling: the pick must be a per-partition
     // top-n (TakeOrderedAndProject), never a full global sort of the
     // corpus by key

@@ -869,6 +869,62 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(noPfx == plain, "empty prefix must reduce to the plain session")
   }
 
+  test("q244 best-of-n: scorer == session replay; the pick is the min; boundary gaps floor") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    import org.apache.spark.sql.functions._
+    val df = fixturePrompts(vocab)
+    val gens = Torch.generateSampledK(df, "doc_id", "tok_ids", "gens", bc,
+        steps = 2, temperature = 0.5, topP = 0.9, numReturnSequences = 3)
+      .select(col("doc_id"), col("tok_ids"),
+        posexplode(col("gens")).as(Seq("seq", "cont")))
+    val scored = Torch.scoreContinuationBatched(gens, "tok_ids", "cont",
+        "nll", bc)
+      .select("doc_id", "seq", "cont", "nll")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toVector, r.getDouble(3)))
+    // the scorer must equal an independent teacher-forced replay
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toVector).toMap
+    for ((id, _, cont, nll) <- scored.take(300)) {
+      val sess = m.decodeSession(prompts(id).toArray)
+      var sum = 0.0
+      cont.foreach { tok =>
+        val lg = sess.logits()
+        val mx = (0 until vocab).map(j => lg(j).toDouble).max
+        val z = (0 until vocab).map(j => math.exp(lg(j).toDouble - mx)).sum
+        sum += lg(tok).toDouble - (math.log(z) + mx)
+        sess.append(tok)
+      }
+      assert(math.abs(nll - (-sum / cont.length)) < 1e-12,
+        s"doc $id scorer $nll != replay ${-sum / cont.length}")
+    }
+    // the q244 pick: per doc, min (round 6dp, seq tiebreak); best-of-3
+    // can only improve on the first draw, and the winner's quantized
+    // margins over DIFFERENT continuations floor away from ties
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDoc = scored.groupBy(_._1)
+    var minGap = Double.MaxValue
+    var improved = 0
+    for ((id, rows) <- byDoc) {
+      val ranked = rows.sortBy(r => (q6(r._4), r._2))
+      val win = ranked.head
+      val seq0 = rows.find(_._2 == 0).get
+      assert(q6(win._4) <= q6(seq0._4), s"doc $id winner worse than draw 0")
+      if (q6(win._4) < q6(seq0._4)) improved += 1
+      for (r <- ranked.tail if r._3 != win._3)
+        minGap = math.min(minGap, q6(r._4) - q6(win._4))
+    }
+    info(s"q244 sf0.001: best-of-3 improved ${improved}/${byDoc.size} docs; " +
+      s"min distinct-continuation gap $minGap")
+    assert(improved > 0, "best-of-3 never improved on the first draw — vacuous")
+    assert(minGap > 1e-4 || minGap == Double.MaxValue,
+      s"a best-of-n pick sits $minGap from flipping")
+  }
+
   test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
