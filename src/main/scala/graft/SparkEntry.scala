@@ -1263,6 +1263,38 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SELF-CONSISTENCY voting (q245): Wang et al. 2022 — draw k = 5
+    // sampled single-step answers per doc (the q232 salted-seed
+    // chain), take the MAJORITY answer (count argmax, first-max-wins
+    // == smallest token on ties — graft.functions.ArgMax's rule).
+    // Pure integer counts scan-side: the per-token tallies are a
+    // filter-size HOF over the answers array, no explode, no shuffle.
+    "q245_torch_self_consistency" -> { (s, dir) =>
+      graft.functions.ArgMax.register(s)
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateSampledK(toks, "doc_id", "tok_ids", "gens", bc,
+          steps = 1, temperature = 0.8, topP = 0.9,
+          numReturnSequences = 5, batchSize = 256)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(vocab - 1)),
+            v => size(filter(transform(col("gens"), a => a(0)),
+              a => a === v))).as("counts"))
+        .select(col("doc_id"),
+          call_function("argmax", col("counts")).as("answer"),
+          col("counts"))
+        .select(col("doc_id"), col("answer"),
+          element_at(col("counts"), col("answer") + 1).cast("long").as("votes"))
+        .orderBy("doc_id")
+    },
+
     // BEST-OF-N sample-and-rerank (q244): the standard synthetic-data
     // recipe — draw k = 3 nucleus continuations per doc (q232's
     // multi-return), teacher-force each back through the SAME model
@@ -10603,6 +10635,24 @@ object SparkEntry {
     // Best-of-n: the multi-return chain + raw-log-softmax rerank.
     "q244_torch_best_of_n" -> bestOfNOracle(steps = 2,
       temperature = 0.5, topP = 0.9, k = 3),
+
+    // Self-consistency: the k=5 single-step multi-return chain +
+    // integer majority (count DESC, tid ASC).
+    "q245_torch_self_consistency" ->
+      s"""WITH gens AS MATERIALIZED (
+         |${sampledKOracle(steps = 1, temperature = 0.8, topP = 0.9, k = 5)}
+         |),
+         |counts AS (
+         |  SELECT doc_id, sm1 AS tid, count(*) AS c
+         |  FROM gens GROUP BY doc_id, sm1),
+         |pick AS (
+         |  SELECT doc_id, tid, c,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY c DESC, tid) AS rk
+         |  FROM counts)
+         |SELECT doc_id, CAST(tid AS INT) AS answer, CAST(c AS BIGINT) AS votes
+         |FROM pick WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin,
 
     // Grammar-constrained decoding: per-doc DFA state column, argmax
     // CASE dispatched per state, transitions via a VALUES join.

@@ -925,6 +925,34 @@ class TorchGenerateSpec extends AnyFunSuite {
       s"a best-of-n pick sits $minGap from flipping")
   }
 
+  test("q245 self-consistency: the emitted answer is the exact majority of the k draws") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    val draws = Torch.generateSampledK(df, "doc_id", "tok_ids", "gens", bc,
+        steps = 1, temperature = 0.8, topP = 0.9, numReturnSequences = 5)
+      .select("doc_id", "gens")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Int]](1).map(_.head)).toMap
+    val out = graft.SparkEntry
+      .queries("q245_torch_self_consistency")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // fixturePrompts IS the sf0.001 tokenization, so the draws align
+    assert(out.keySet == draws.keySet)
+    var split = 0
+    for ((id, answers) <- draws) {
+      val counts = answers.groupBy(identity).view.mapValues(_.size).toMap
+      val best = counts.toSeq.minBy { case (tid, c) => (-c, tid) }
+      assert(out(id) == ((best._1, best._2.toLong)),
+        s"doc $id majority ${out(id)} != recount $best")
+      if (best._2 < 5) split += 1
+    }
+    info(s"q245 sf0.001: ${split}/${draws.size} docs with a split vote")
+    assert(split > 0, "every doc voted unanimously — vacuous fixture")
+  }
+
   test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
