@@ -203,6 +203,57 @@ object StressR19 {
     require(diverged == 0, s"$diverged rows diverged from the full-prompt greedy")
     sharedG.unpersist()
 
+    // ---- 6. contrastive search at 100k rows --------------------------
+    // 2 steps x top-3 fork look-ahead per row over VARIABLE-length
+    // prompts (4-12 tokens — the ragged-batch shape); every row emits
+    // exactly 2 tokens, and a penalty-dominant alpha must move SOME
+    // picks off the greedy trajectory (the synthetic prompts are far
+    // more confident than natural text: alpha = 0.5 moved 0/100k
+    // here while moving picks on the sf0.001 fixture — measured, so
+    // the volume leg pins the penalty arm with alpha = 0.7)
+    val toksC = spark.range(100000L).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), pmod(col("id"), lit(9)) + 3),
+        i => pmod(col("id") * 131L + i * 37L, lit(gvocab.toLong))).as("tok_ids"))
+    val conG = graft.torch.Torch.generateContrastive(toksC, "tok_ids", "gen",
+        bcG, steps = 2, topK = 3, alpha = 0.7, batchSize = 512)
+      .select(col("doc_id"), col("gen")).cache()
+    require(timed("contrastive search 100k ragged rows, 2 steps x top-3")(
+      conG.count()) == 100000L, "contrastive search dropped rows")
+    require(conG.filter(size(col("gen")) =!= 2).count() == 0,
+      "a contrastive row emitted != 2 tokens")
+    val greedyC = graft.torch.Torch.generateGreedy(toksC, "tok_ids", "gen",
+        bcG, steps = 2, batchSize = 512)
+      .select(col("doc_id"), col("gen").as("gen2"))
+    val moved = conG.join(greedyC, "doc_id")
+      .filter(col("gen") =!= col("gen2")).count()
+    println(s"[stress] contrastive penalty moved $moved/100000 trajectories")
+    require(moved > 0, "the degeneration penalty never moved a pick")
+    conG.unpersist()
+
+    // ---- 7. best-of-n rerank at 100k rows ----------------------------
+    // k = 3 sampled continuations per row + a teacher-forced rescoring
+    // pass; the winner's quantized NLL can never exceed draw 0's
+    val gensB = graft.torch.Torch.generateSampledK(toksC, "doc_id",
+        "tok_ids", "gens", bcG, steps = 2, temperature = 0.5, topP = 0.9,
+        numReturnSequences = 3, batchSize = 512)
+      .select(col("doc_id"), col("tok_ids"),
+        posexplode(col("gens")).as(Seq("seq", "cont")))
+    val scoredB = graft.torch.Torch.scoreContinuationBatched(gensB,
+        "tok_ids", "cont", "nll", bcG, batchSize = 512)
+      .select(col("doc_id"), col("seq"), round(col("nll"), 6).as("nll6"))
+      .cache()
+    require(timed("best-of-3 sample + rescore, 100k rows")(scoredB.count())
+      == 300000L, "best-of-n scoring dropped rows")
+    val winB = scoredB.groupBy("doc_id")
+      .agg(min("nll6").as("best"),
+        min(when(col("seq") === 0, col("nll6"))).as("first"))
+    val worse = winB.filter(col("best") > col("first")).count()
+    require(worse == 0, s"$worse rows where the best-of-3 winner beats nothing")
+    val improvedN = winB.filter(col("best") < col("first")).count()
+    println(s"[stress] best-of-3 improved $improvedN/100000 rows")
+    require(improvedN > 0, "best-of-3 never improved — degenerate sampling")
+    scoredB.unpersist()
+
     println("[stress] StressR19 PASS")
     spark.stop()
   }

@@ -806,6 +806,48 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming greedy decode: streaming == batch, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // generation is deterministic stateless scan-side (per-row KV
+    // sessions inside mapPartitions), so it runs unchanged on a
+    // stream — LLM scoring/augmentation AT INGEST, the frozen-model
+    // discipline's generation form
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    def gen(df: org.apache.spark.sql.DataFrame) =
+      graft.torch.Torch.generateGreedy(
+        df.select(col("doc_id"),
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.transform(
+              call_function("regexp_extract_all", col("text"),
+                lit(graft.Tok.Pattern), lit(0)),
+              tk => conv(substring(md5(tk), 1, 8), 16, 10)
+                .cast("long") % vocab), 1, 12).as("tok_ids"))
+          .filter(org.apache.spark.sql.functions.size(col("tok_ids")) >= 1),
+        "tok_ids", "gen", bc, steps = 2)
+        .select(col("doc_id"), col("gen"))
+    val docs = raw.select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = gen(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gen_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("gen_out").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val batch = gen(raw).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(streamed == batch, "streaming decode diverged from batch")
+      assert(batch.nonEmpty && batch.values.forall(_.length == 2))
+    } finally q.stop()
+  }
+
   test("streaming watermark detection: streaming == batch, zero state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
