@@ -1263,6 +1263,49 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // RAG GENERATE capstone (q246): retrieval feeding decode — for
+    // each query doc, the exact-cosine top-1 neighbor (6dp-quantized
+    // rank, id tiebreak — the q24 comparator with the pick hardened),
+    // then the prompt = retrieved doc's first 6 tokens ++ the query
+    // doc's own first 6, greedy-decoded 2 steps. The end-to-end RAG
+    // shape: a WRONG retrieval changes the prompt and therefore the
+    // generated tokens, so the oracle gates the whole composition.
+    // Scale shape: the 20-query side broadcasts (queries are small by
+    // construction; the corpus-scale swap is the IVFADC shortlist),
+    // generation is scan-side sessions.
+    "q246_rag_generate" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
+      val nb = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos6", round(graft.functions.CosineSim
+          .cosine_sim(s, col("qe").cast("array<double>"),
+            col("embedding").cast("array<double>")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("r_id"))
+      val toks6 = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 6).as("t6"))
+      val prompts = nb
+        .join(toks6.select(col("doc_id").as("r_id"), col("t6").as("rt")), "r_id")
+        .join(toks6.select(col("doc_id").as("q_id"), col("t6").as("qt")), "q_id")
+        .select(col("q_id").as("doc_id"), concat(col("rt"), col("qt")).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(prompts, "tok_ids", "gen", bc, steps = 2,
+          batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"))
+        .orderBy("doc_id")
+    },
+
     // SELF-CONSISTENCY voting (q245): Wang et al. 2022 — draw k = 5
     // sampled single-step answers per doc (the q232 salted-seed
     // chain), take the MAJORITY answer (count argmax, first-max-wins
@@ -10635,6 +10678,42 @@ object SparkEntry {
     // Best-of-n: the multi-return chain + raw-log-softmax rerank.
     "q244_torch_best_of_n" -> bestOfNOracle(steps = 2,
       temperature = 0.5, topP = 0.9, k = 3),
+
+    // RAG generate: the quantized top-1 cosine retrieval CTE feeds a
+    // prefix-assembled toks0 into the plain greedy chain.
+    "q246_rag_generate" -> {
+      val vocab = genModel.seqHead.get.vocab
+      generateOracle(banned = Nil, steps = 2, toks0Sql = Some(
+        s"""nb AS (
+           |  SELECT q_id, vec_id AS r_id FROM (
+           |    SELECT q.vec_id AS q_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY round(list_cosine_similarity(
+           |          CAST(q.embedding AS DOUBLE[]),
+           |          CAST(e.embedding AS DOUBLE[])), 6) DESC,
+           |          e.vec_id) AS rk
+           |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 20)
+           |  WHERE rk = 1),
+           |words AS (
+           |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+           |           % $vocab AS tid, pos
+           |  FROM (SELECT doc_id,
+           |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+           |          generate_subscripts(regexp_extract_all(text,
+           |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+           |        FROM documents)
+           |  WHERE pos <= 6),
+           |rlen AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+           |toks0 AS MATERIALIZED (
+           |  SELECT n.q_id AS doc_id, w.tid, w.pos
+           |  FROM nb n JOIN words w ON w.doc_id = n.r_id
+           |  UNION ALL
+           |  SELECT n.q_id, w.tid, w.pos + l.n
+           |  FROM nb n
+           |  JOIN words w ON w.doc_id = n.q_id
+           |  JOIN rlen l ON l.doc_id = n.r_id)""".stripMargin))
+    },
 
     // Self-consistency: the k=5 single-step multi-return chain +
     // integer majority (count DESC, tid ASC).
