@@ -1263,6 +1263,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // STOCHASTIC speculative sampling (q247): the actual
+    // Leviathan/Chen 2023 rule — the int8 draft SAMPLES x ~ q, the
+    // target accepts with probability min(1, p(x)/q(x)) (seeded md5
+    // draw vs the 6dp-quantized ratio), and a rejection resamples
+    // from the normalized residual max(0, p − q). q212/q199 verify
+    // greedy equivalence; this is the distribution-preserving sampled
+    // form. Two sessions per row, one step, scan-side.
+    "q247_torch_spec_sampled" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampled(toks, "doc_id", "tok_ids", bcT, bcD,
+          batchSize = 256)
+        .select(col("doc_id"), col("draft_tok"), col("accepted"),
+          col("final_tok"))
+        .orderBy("doc_id")
+    },
+
     // RAG GENERATE capstone (q246): retrieval feeding decode — for
     // each query doc, the exact-cosine top-1 neighbor (6dp-quantized
     // rank, id tiebreak — the q24 comparator with the pick hardened),
@@ -10678,6 +10703,94 @@ object SparkEntry {
     // Best-of-n: the multi-return chain + raw-log-softmax rerank.
     "q244_torch_best_of_n" -> bestOfNOracle(steps = 2,
       temperature = 0.5, topP = 0.9, k = 3),
+
+    // Stochastic speculative sampling: both models' softmaxes on the
+    // 6dp grid, the three seeded draws restated, the residual walk in
+    // (mass DESC, tid) order with the engine's renormalized running
+    // cumulative; an all-zero residual keeps the draft token.
+    "q247_torch_spec_sampled" -> {
+      def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+        val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+          model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+        val pCols = (0 until model.seqHead.get.vocab)
+          .map(j => s"p$j").mkString(", ")
+        TorchOracle.mlpArgmaxSql(fc,
+          encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+      }
+      val vocab = genModel.seqHead.get.vocab
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      def u(salt: String, docRef: String = "doc_id"): String =
+        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+      // the order-defined renormalized-cumulative pick over positive
+      // masses — the engine's pick() walk
+      def pickCte(src: String, massCol: String, salt: String,
+          out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid FROM (
+           |    SELECT doc_id, tid,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+           |    FROM (SELECT doc_id, tid, rk, cs,
+           |                 max(cs) OVER (PARTITION BY doc_id) AS total
+           |          FROM (SELECT doc_id, tid,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS rk,
+           |                  sum($massCol) OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS cs
+           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+           |    WHERE round(cs / total, 6) > ${u(salt)})
+           |  WHERE prk = 1)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |toks0 AS MATERIALIZED (SELECT * FROM words),
+         |logitD AS MATERIALIZED (
+         |${fwdP(graft.torch.TorchQuant.quantize(genModel, 7), "toks0")}
+         |),
+         |logitT AS MATERIALIZED (
+         |${fwdP(genModel, "toks0")}
+         |),
+         |${softmax6("logitD", "qprob")},
+         |${softmax6("logitT", "pprob")},
+         |${pickCte("qprob", "p6", "d1", "dpick")},
+         |acc AS MATERIALIZED (
+         |  SELECT d.doc_id, d.tid AS dx,
+         |    (${u("a1", "d.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp.p6 / qp.p6), 6)) AS accepted
+         |  FROM dpick d
+         |  JOIN pprob pp ON pp.doc_id = d.doc_id AND pp.tid = d.tid
+         |  JOIN qprob qp ON qp.doc_id = d.doc_id AND qp.tid = d.tid),
+         |resid AS MATERIALIZED (
+         |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
+         |  FROM pprob p JOIN qprob q
+         |    ON q.doc_id = p.doc_id AND q.tid = p.tid),
+         |${pickCte("resid", "rmass", "r1", "rpick")}
+         |SELECT a.doc_id, CAST(a.dx AS INT) AS draft_tok, a.accepted,
+         |  CAST(CASE WHEN a.accepted THEN a.dx
+         |       ELSE coalesce(r.tid, a.dx) END AS INT) AS final_tok
+         |FROM acc a
+         |LEFT JOIN rpick r ON r.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
 
     // RAG generate: the quantized top-1 cosine retrieval CTE feeds a
     // prefix-assembled toks0 into the plain greedy chain.

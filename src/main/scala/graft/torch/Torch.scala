@@ -989,6 +989,135 @@ object Torch {
   }
 
   /**
+   * STOCHASTIC speculative sampling — the actual
+   * Leviathan/Chen 2023 acceptance rule (q212's greedy speculative
+   * decode verifies argmax equivalence; THIS is the
+   * distribution-preserving sampled form): the draft model SAMPLES a
+   * token `x ~ q`, the target accepts it with probability
+   * `min(1, p(x)/q(x))`, and on rejection resamples from the
+   * normalized residual `max(0, p − q)` — the composition provably
+   * equal in distribution to sampling from the target alone.
+   *
+   * Determinism discipline: p and q are full-vocab softmaxes
+   * quantized to the 6dp grid; the three random choices are
+   * independent md5 draws (`"<id>:spec:d1"` the draft pick,
+   * `":spec:a1"` the acceptance, `":spec:r1"` the residual pick) on
+   * the 1e-6 grid; the acceptance ratio re-quantizes to 6dp before
+   * the strict `u < r` compare; residual masses are exact grid
+   * differences and the resample walks (r DESC, tid) with the
+   * engine's order-defined renormalized cumulative. An all-zero
+   * residual (p == q on the grid) keeps the draft token.
+   *
+   * Scale shape: two KV sessions per row (draft + target prefix),
+   * one step each, inside ONE `mapPartitions`.
+   *
+   * @return input columns + `draft_tok` int, `accepted` boolean,
+   *         `final_tok` int (null prompt → all null)
+   */
+  def speculativeSampled(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      batchSize: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "speculativeSampled needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross models: use the pair speculative path")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("draft_tok", IntegerType, nullable = true),
+      StructField("accepted", BooleanType, nullable = true),
+      StructField("final_tok", IntegerType, nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def draw(id: Long, salt: String): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+      }
+      def probs6(lg: Array[Float]): Array[Double] = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = lg(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
+      }
+      // the engine's order-defined renormalized-cumulative pick over
+      // (mass DESC, tid ASC) — exactly the q203 nucleus walk at
+      // topP = 1 (so every positive-mass candidate is kept)
+      def pick(mass: Array[Double], u: Double): Int = {
+        val order = (0 until vocab).filter(mass(_) > 0.0)
+          .sortBy(j => (-mass(j), j))
+        var run = 0.0
+        val sums = order.map { j => run += mass(j); run }
+        val total = run
+        var chosen = order.last
+        var done = false
+        for ((j, cs) <- order.zip(sums) if !done)
+          if (q6(cs / total) > u) { chosen = j; done = true }
+        chosen
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val qp = probs6(dm.decodeSession(p).logits())
+            val pp = probs6(tm.decodeSession(p).logits())
+            val dx = pick(qp, draw(id, "d1"))
+            val r6 = q6(math.min(1.0, pp(dx) / qp(dx)))
+            val accepted = draw(id, "a1") < r6
+            val fx =
+              if (accepted) dx
+              else {
+                val resid = Array.tabulate(vocab)(j =>
+                  math.max(0.0, pp(j) - qp(j))) // exact grid differences
+                if (resid.forall(_ == 0.0)) dx // p == q on the grid
+                else pick(resid, draw(id, "r1"))
+              }
+            Row.fromSeq(r.toSeq ++ Seq(dx, accepted, fx))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * Teacher-forced CONTINUATION scoring under the causal LM — the
    * single-stream sibling of [[scoreSeq2SeqBatched]]: mean next-token
    * NLL of `contCol`'s tokens given `inputCol` as the prefix,

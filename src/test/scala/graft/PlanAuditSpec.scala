@@ -408,7 +408,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "q236_torch_beam_diverse", "q237_gen_self_diversity",
         "q239_torch_gen_watermark", "q240_watermark_detect",
         "q241_torch_gen_contrastive", "q242_torch_gen_prefix_shared",
-        "q243_torch_sampled_watermark", "q245_torch_self_consistency")) {
+        "q243_torch_sampled_watermark", "q245_torch_self_consistency",
+        "q247_torch_spec_sampled")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

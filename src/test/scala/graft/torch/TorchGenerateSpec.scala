@@ -953,6 +953,76 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(split > 0, "every doc voted unanimously — vacuous fixture")
   }
 
+  test("q247 stochastic speculative sampling: rule replays; identity draft always accepts") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bcT = spark.sparkContext.broadcast(m)
+    val bcD = spark.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+    val df = fixturePrompts(vocab)
+    val out = Torch.speculativeSampled(df, "doc_id", "tok_ids", bcT, bcD)
+      .select("doc_id", "draft_tok", "accepted", "final_tok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(3)))).toMap
+    val nAcc = out.values.count(_._2)
+    info(s"q247 sf0.001 acceptance: $nAcc/${out.size}")
+    assert(nAcc > 0 && nAcc < out.size,
+      "degenerate acceptance — the int8 draft always/never agrees")
+    // accepted rows keep the draft token; rejected rows must differ
+    // from nothing in particular but must come from the residual —
+    // replay the whole rule per doc
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def draw(id: Long, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:spec:$salt".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16) % 1000000L) / 1e6
+    }
+    def probs6(mm: graft.torch.TorchScriptModel, p: Array[Int]): IndexedSeq[Double] = {
+      val lg = mm.decodeSession(p).logits()
+      val mx = (0 until vocab).map(j => lg(j).toDouble).max
+      val z = (0 until vocab).map(j => math.exp(lg(j).toDouble - mx)).sum
+      (0 until vocab).map(j => q6(math.exp(lg(j).toDouble - mx) / z))
+    }
+    def pick(mass: IndexedSeq[Double], u: Double): Int = {
+      val order = (0 until vocab).filter(mass(_) > 0.0)
+        .sortBy(j => (-mass(j), j))
+      var run = 0.0
+      var chosen = order.last
+      var done = false
+      val total = order.map(mass).sum
+      for (j <- order if !done) {
+        run += mass(j)
+        if (q6(run / total) > u) { chosen = j; done = true }
+      }
+      chosen
+    }
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray).toMap
+    val dm = graft.torch.TorchQuant.quantize(m, 7)
+    for ((id, (dx, acc, fx)) <- out) {
+      val qp = probs6(dm, prompts(id))
+      val pp = probs6(m, prompts(id))
+      val expDx = pick(qp, draw(id, "d1"))
+      assert(dx == expDx, s"doc $id draft pick $dx != replay $expDx")
+      val expAcc = draw(id, "a1") < q6(math.min(1.0, pp(dx) / qp(dx)))
+      assert(acc == expAcc, s"doc $id acceptance $acc != replay $expAcc")
+      val expFx =
+        if (expAcc) dx
+        else {
+          val resid = (0 until vocab).map(j => math.max(0.0, pp(j) - qp(j)))
+          if (resid.forall(_ == 0.0)) dx else pick(resid, draw(id, "r1"))
+        }
+      assert(fx == expFx, s"doc $id final $fx != replay $expFx")
+    }
+    // the paper's sanity case: with the target as its own draft the
+    // ratio is exactly 1 and EVERY row accepts its draft token
+    val self = Torch.speculativeSampled(df, "doc_id", "tok_ids", bcT, bcT)
+      .select("doc_id", "draft_tok", "accepted", "final_tok").collect()
+    assert(self.forall(r => r.getBoolean(2) && r.getInt(1) == r.getInt(3)),
+      "identity draft must always accept")
+  }
+
   test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
