@@ -1263,6 +1263,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CONTRASTIVE DECODING (q248): Li et al. 2023 — distinct from
+    // q241's contrastive SEARCH: among the expert's plausible head
+    // (p_e >= 1/8 · max p_e, the adaptive plausibility cut — dyadic ×
+    // grid, the min-p compare), pick the token maximizing
+    // log p_expert − log p_amateur (both 6dp-quantized); the int8-
+    // quantized expert plays the amateur. The factual-decoding
+    // recipe; the pick appends to BOTH sessions.
+    "q248_torch_contrastive_decoding" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcE = s.sparkContext.broadcast(m)
+      val bcA = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateContrastiveDecoding(toks, "tok_ids", "gen", bcE, bcA,
+          steps = 2, plausibilityAlpha = 0.125, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"))
+        .orderBy("doc_id")
+    },
+
     // STOCHASTIC speculative sampling (q247): the actual
     // Leviathan/Chen 2023 rule — the int8 draft SAMPLES x ~ q, the
     // target accepts with probability min(1, p(x)/q(x)) (seeded md5
@@ -10704,6 +10729,11 @@ object SparkEntry {
     "q244_torch_best_of_n" -> bestOfNOracle(steps = 2,
       temperature = 0.5, topP = 0.9, k = 3),
 
+    // Contrastive decoding: two forward chains per step, the
+    // plausibility head, the (le6 - la6 DESC, tid) pick.
+    "q248_torch_contrastive_decoding" -> contrastiveDecodingOracle(
+      steps = 2, alpha = 0.125),
+
     // Stochastic speculative sampling: both models' softmaxes on the
     // 6dp grid, the three seeded draws restated, the residual walk in
     // (mass DESC, tid) order with the engine's renormalized running
@@ -12477,6 +12507,87 @@ object SparkEntry {
        |FROM samp1 g1
        |$joins
        |ORDER BY doc_id, seq""".stripMargin
+  }
+
+  /** The q248 contrastive-decoding oracle: per step, TWO forward
+    * chains (expert + int8 amateur) over the grown token CTE, both
+    * log-softmaxes and the expert's masses quantized to 6dp, the
+    * adaptive-plausibility head (`p6 >= alpha · max p6` — dyadic ×
+    * grid, exact), and the pick by (le6 − la6 DESC, tid). */
+  private def contrastiveDecodingOracle(steps: Int, alpha: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val aLit = s"CAST($alpha AS DOUBLE)"
+    def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    }
+    def dist(src: String, out: String, withMass: Boolean): String = {
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+      val mass = if (withMass) ",\n         round(e / z, 6) AS p6" else ""
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid,
+         |         round(lp - (ln(z) + m), 6) AS ls6$mass
+         |  FROM (SELECT doc_id, tid, lp, m, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM ($unpivot))))""".stripMargin
+    }
+    val stepCtes = (1 to steps).map { t =>
+      s"""logitE$t AS MATERIALIZED (
+         |${fwdP(m, s"toks${t - 1}")}
+         |),
+         |logitA$t AS MATERIALIZED (
+         |${fwdP(graft.torch.TorchQuant.quantize(m, 7), s"toks${t - 1}")}
+         |),
+         |${dist(s"logitE$t", s"de$t", withMass = true)},
+         |${dist(s"logitA$t", s"da$t", withMass = false)},
+         |step$t AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT e.doc_id, e.tid,
+         |      row_number() OVER (PARTITION BY e.doc_id
+         |                         ORDER BY (e.ls6 - a.ls6) DESC, e.tid) AS rk
+         |    FROM de$t e
+         |    JOIN da$t a ON a.doc_id = e.doc_id AND a.tid = e.tid
+         |    JOIN (SELECT doc_id, max(p6) AS mp FROM de$t GROUP BY doc_id) mx
+         |      ON mx.doc_id = e.doc_id
+         |    WHERE e.p6 >= $aLit * mx.mp)
+         |  WHERE rk = 1),
+         |toks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM step$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN step$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |$stepCtes
+       |SELECT g1.doc_id, $outs
+       |FROM step1 g1
+       |$joins
+       |ORDER BY g1.doc_id""".stripMargin
   }
 
   /** The q244 best-of-n oracle: the q232 multi-return chain (toks0

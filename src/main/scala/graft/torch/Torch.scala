@@ -1118,6 +1118,116 @@ object Torch {
   }
 
   /**
+   * CONTRASTIVE DECODING (Li et al. 2023 — distinct from contrastive
+   * SEARCH): each step picks, among the EXPERT's plausible candidates
+   * (`p_e(j) >= alpha · max p_e` — the adaptive plausibility head),
+   * the token maximizing `log p_expert − log p_amateur` — amplifying
+   * what the strong model knows and the weak one doesn't, the
+   * factual-decoding recipe. The amateur here is typically the int8/
+   * int4-quantized expert (the same weak-model role it plays in
+   * speculative decoding).
+   *
+   * Determinism discipline: the head floor is `dyadic alpha × 6dp
+   * mass` (exact on the grid — the min-p compare); both log-softmaxes
+   * quantize to 6dp before the difference, the pick ranks
+   * (score DESC, tid) with a spec-pinned gap floor. The chosen token
+   * appends to BOTH models' sessions.
+   *
+   * @return input columns + `outCol` = array<int> generated tokens
+   */
+  def generateContrastiveDecoding(
+      df: DataFrame,
+      inputCol: String,
+      outCol: String,
+      expert: Broadcast[TorchScriptModel],
+      amateur: Broadcast[TorchScriptModel],
+      steps: Int,
+      plausibilityAlpha: Double,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(plausibilityAlpha > 0.0 && plausibilityAlpha <= 1.0,
+      "plausibilityAlpha must be in (0, 1]")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(expert.value.inDim == -1 && amateur.value.inDim == -1,
+      "contrastive decoding needs token-input models")
+    require(!expert.value.isCross && !amateur.value.isCross,
+      "cross models not supported here")
+    require(expert.value.outDim == amateur.value.outDim,
+      "expert and amateur must share the vocabulary")
+    require(expert.value.cacheable && amateur.value.cacheable,
+      "contrastive decoding needs the KV-session path")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val em = expert.value
+      val am = amateur.value
+      val vocab = em.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      // (p6 masses, 6dp log-probs) from one logits read
+      def dists(lg: Array[Float]): (Array[Double], Array[Double]) = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = lg(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+        val lse = math.log(z) + mx
+        (Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z)),
+          Array.tabulate(vocab)(k => q6(lg(k).toDouble - lse)))
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            val se = em.decodeSession(p)
+            val sa = am.decodeSession(p)
+            val gen = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var t = 0
+            while (t < steps) {
+              val (pe, le) = dists(se.logits())
+              val (_, la) = dists(sa.logits())
+              val floor = plausibilityAlpha * pe.max // dyadic × grid: exact
+              val head = (0 until vocab).filter(pe(_) >= floor)
+              val tok = head
+                .map(j => (le(j) - la(j), j))
+                .minBy { case (s0, j) => (-s0, j) }._2
+              gen += tok
+              se.append(tok)
+              sa.append(tok)
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ gen.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * Teacher-forced CONTINUATION scoring under the causal LM — the
    * single-stream sibling of [[scoreSeq2SeqBatched]]: mean next-token
    * NLL of `contCol`'s tokens given `inputCol` as the prefix,

@@ -409,7 +409,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q239_torch_gen_watermark", "q240_watermark_detect",
         "q241_torch_gen_contrastive", "q242_torch_gen_prefix_shared",
         "q243_torch_sampled_watermark", "q245_torch_self_consistency",
-        "q247_torch_spec_sampled")) {
+        "q247_torch_spec_sampled", "q248_torch_contrastive_decoding")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

@@ -1023,6 +1023,79 @@ class TorchGenerateSpec extends AnyFunSuite {
       "identity draft must always accept")
   }
 
+  test("q248 contrastive decoding: alpha=1 is greedy; the amateur bites; rule + gap floor") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bcE = spark.sparkContext.broadcast(m)
+    val dm = graft.torch.TorchQuant.quantize(m, 7)
+    val bcA = spark.sparkContext.broadcast(dm)
+    val df = fixturePrompts(vocab)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val greedy = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bcE, steps = 2))
+    // alpha = 1: the head is exactly the expert's argmax set — the
+    // contrast has nothing to arbitrate, greedy trajectory recovered
+    val a1 = collectGen(Torch.generateContrastiveDecoding(df, "tok_ids", "gen",
+      bcE, bcA, steps = 2, plausibilityAlpha = 1.0))
+    assert(a1 == greedy, "alpha = 1 must reproduce the greedy trajectory")
+    val cd = collectGen(Torch.generateContrastiveDecoding(df, "tok_ids", "gen",
+      bcE, bcA, steps = 2, plausibilityAlpha = 0.125))
+    assert(cd.exists { case (k, v) => greedy(k) != v },
+      "the amateur contrast never changed a pick — vacuous")
+    // rule replay per doc with a score-gap floor
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dists(lg: Array[Float]): (IndexedSeq[Double], IndexedSeq[Double], IndexedSeq[Double]) = {
+      val mx = (0 until vocab).map(j => lg(j).toDouble).max
+      val z = (0 until vocab).map(j => math.exp(lg(j).toDouble - mx)).sum
+      val lse = math.log(z) + mx
+      val raw = (0 until vocab).map(j => lg(j).toDouble - lse)
+      ((0 until vocab).map(j => q6(math.exp(lg(j).toDouble - mx) / z)),
+        raw.map(q6), raw)
+    }
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray).toMap
+    // the score lives ON the 1e-6 grid (a difference of two 6dp
+    // values), so 1e-6 gaps between head candidates are routine and
+    // deterministically tie-broken — the cross-engine protection is
+    // the UNQUANTIZED log-softmax values sitting away from their own
+    // 6dp rounding boundaries (the q203 boundary-distance discipline)
+    def boundaryDist(v: Double): Double = {
+      // distance of the scaled value's fractional part from the .5
+      // rounding boundary, in 1e-6 grid units
+      val s = v * 1e6
+      math.abs((s - math.floor(s)) - 0.5)
+    }
+    var minBoundary = Double.MaxValue
+    for ((id, g) <- cd) {
+      val se = m.decodeSession(prompts(id))
+      val sa = dm.decodeSession(prompts(id))
+      for (tok <- g) {
+        val (pe, le, rawE) = dists(se.logits())
+        val (_, la, rawA) = dists(sa.logits())
+        val floor = 0.125 * pe.max
+        val head = (0 until vocab).filter(pe(_) >= floor)
+        val ranked = head.map(j => (le(j) - la(j), j))
+          .sortBy { case (s0, j) => (-s0, j) }
+        assert(ranked.head._2 == tok,
+          s"doc $id contrastive-decoding pick $tok != replay ${ranked.head._2}")
+        for (j <- head) {
+          minBoundary = math.min(minBoundary, boundaryDist(rawE(j)))
+          minBoundary = math.min(minBoundary, boundaryDist(rawA(j)))
+        }
+        se.append(tok); sa.append(tok)
+      }
+    }
+    info(s"q248 sf0.001 min 6dp-boundary distance of head log-probs " +
+      s"(1e-6 units): $minBoundary")
+    // measured 2.2e-4 grid-fractions (= 2.2e-10 absolute) — the same
+    // scale as q203's pinned 2.9e-5; the engines agree to ~1e-12, so
+    // anything above 1e-5 grid-fractions is orders clear of a flip
+    assert(minBoundary > 1e-5,
+      s"a head log-prob sits $minBoundary grid-fractions from its rounding boundary")
+  }
+
   test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
