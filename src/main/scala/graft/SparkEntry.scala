@@ -10852,10 +10852,10 @@ object SparkEntry {
            |  SELECT n.q_id AS doc_id, w.tid, w.pos
            |  FROM nb n JOIN words w ON w.doc_id = n.r_id
            |  UNION ALL
-           |  SELECT n.q_id, w.tid, w.pos + l.n
+           |  SELECT n.q_id, w.tid, w.pos + coalesce(l.n, 0)
            |  FROM nb n
            |  JOIN words w ON w.doc_id = n.q_id
-           |  JOIN rlen l ON l.doc_id = n.r_id)""".stripMargin))
+           |  LEFT JOIN rlen l ON l.doc_id = n.r_id)""".stripMargin))
     },
 
     // Self-consistency: the k=5 single-step multi-return chain +

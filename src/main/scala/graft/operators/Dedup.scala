@@ -414,14 +414,33 @@ object Dedup {
     * the standing index (same maxHamming enforced at append — a
     * different value would band incompatibly under a meta claiming
     * otherwise). Null fingerprints (decode failures) are excluded,
-    * like every hashing path here. */
+    * like every hashing path here.
+    *
+    * Crash discipline (the two data artifacts cannot be written in one
+    * transaction on a plain filesystem, so the ORDER carries the
+    * guarantee — HashIndexAtomicitySpec pins both arms):
+    *  - APPEND writes bands BEFORE fps: every probe path
+    *    ([[incrementalHammingAgainst]]) inner-joins band candidates to
+    *    their stored fingerprints, so a crash between the two writes
+    *    leaves the new batch's band rows DANGLING (no fingerprint to
+    *    verify against) and probes see exactly the old index — fully
+    *    old, never a skewed mix. (fps-first would instead leave
+    *    fingerprints no band row can reach: also old-looking, but a
+    *    later identical append would duplicate them.) The meta file is
+    *    NOT rewritten on append — its content is unchanged by
+    *    construction (the maxHamming equality require above), so the
+    *    append path has no meta failure window at all.
+    *  - OVERWRITE of a standing index first INVALIDATES meta (a
+    *    zero-row marker), then rewrites fps and bands, then writes the
+    *    real meta LAST — a crash anywhere between leaves an index
+    *    [[loadHashIndex]] rejects loudly ("bad hash-index meta")
+    *    instead of silently mixing old fps with new bands. */
   def saveHashIndex(fp: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int, path: String, append: Boolean = false): Unit = {
     require(maxHamming >= 1 && maxHamming <= 15,
       "chunked banding needs 1 <= maxHamming <= 15")
     val spark = fp.sparkSession
     import spark.implicits._
-    val mode = if (append) "append" else "overwrite"
     if (append) {
       val existing =
         try spark.read.parquet(s"$path/meta").collect()
@@ -440,13 +459,32 @@ object Dedup {
     val clean = fp.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .filter(col("fp").isNotNull)
       .transform(Checkpoints.cp) // read by both artifact writes
+    if (append) {
+      writeHashIndexBands(clean, maxHamming, path, "append")
+      writeHashIndexFps(clean, path, "append")
+    } else {
+      spark.emptyDataset[Int].toDF("max_hamming")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeHashIndexFps(clean, path, "overwrite")
+      writeHashIndexBands(clean, maxHamming, path, "overwrite")
+      Seq(maxHamming).toDF("max_hamming")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** The fps half of [[saveHashIndex]] — private[graft] so the
+    * atomicity spec can reproduce a crash BETWEEN the two data
+    * writes. */
+  private[graft] def writeHashIndexFps(clean: DataFrame, path: String,
+      mode: String): Unit =
     clean.write.mode(mode).parquet(s"$path/fps")
+
+  /** The bands half of [[saveHashIndex]] — see [[writeHashIndexFps]]. */
+  private[graft] def writeHashIndexBands(clean: DataFrame, maxHamming: Int,
+      path: String, mode: String): Unit =
     bandKeys64(clean, "id", "fp", maxHamming)
       .select("id", "chunk", "key")
       .write.mode(mode).parquet(s"$path/bands")
-    Seq(maxHamming).toDF("max_hamming")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-  }
 
   /** Reopen a persisted fingerprint index. */
   def loadHashIndex(spark: org.apache.spark.sql.SparkSession,

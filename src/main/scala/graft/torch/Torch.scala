@@ -1029,6 +1029,8 @@ object Torch {
       "cross models: use the pair speculative path")
     require(target.value.outDim == draft.value.outDim,
       "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "speculative sampling needs the KV-session path (cacheable models)")
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
@@ -1331,7 +1333,10 @@ object Torch {
    *        opened once)
    * @param inputCol  array<int> per-row suffix (may be empty)
    * @return input columns + `outCol` = array<int> generated tokens
-   *         (null prefix AND empty suffix → null)
+   *         (a NULL in EITHER column → null, as does an
+   *         empty-prefix + empty-suffix row — there is nothing to
+   *         decode from; an empty ARRAY in one column with tokens in
+   *         the other is fine)
    */
   def generateGreedySharedPrefix(
       df: DataFrame,

@@ -72,4 +72,48 @@ class HashIndexSpec extends AnyFunSuite {
     }
     assert(missing.getMessage.contains("no hash index"))
   }
+
+  test("append crash between the two artifact writes leaves the index fully old") {
+    val path = tmpDir()
+    val corpus = (0L until 100L).map(i => (i, fp(i))).toDF("img_id", "f")
+    Dedup.saveHashIndex(corpus, "img_id", "f", 3, path)
+    val before = Dedup.loadHashIndex(spark, path)
+    val probe = Seq((9500L, fp(7L) ^ 1L), (9501L, fp(7000L) ^ 1L))
+      .toDF("img_id", "f")
+    val oldHits = Dedup.incrementalHammingAgainst(before, probe, "img_id", "f")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // simulate the crash: the append's FIRST write (bands) lands, the
+    // second (fps) never does — saveHashIndex's append order
+    val batch = Seq((9000L, fp(7000L))).toDF("img_id", "f")
+      .select(col("img_id").as("id"), col("f").as("fp"))
+    Dedup.writeHashIndexBands(batch, 3, path, "append")
+    val crashed = Dedup.loadHashIndex(spark, path)
+    val crashedHits = Dedup.incrementalHammingAgainst(crashed, probe, "img_id", "f")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(crashedHits == oldHits,
+      s"dangling band rows changed probe results: $crashedHits vs $oldHits")
+    // the retried append completes the batch; probes now see it
+    Dedup.writeHashIndexFps(batch, path, "append")
+    val after = Dedup.loadHashIndex(spark, path)
+    val newHits = Dedup.incrementalHammingAgainst(after, probe, "img_id", "f")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(newHits.contains((9000L, 9501L)), s"completed append invisible: $newHits")
+  }
+
+  test("overwrite crash mid-rewrite is loud (invalidated meta), never a silent mix") {
+    val path = tmpDir()
+    val corpus = (0L until 50L).map(i => (i, fp(i))).toDF("img_id", "f")
+    Dedup.saveHashIndex(corpus, "img_id", "f", 3, path)
+    // simulate the crash: overwrite invalidates meta FIRST, then dies
+    // before the data writes — exactly saveHashIndex's overwrite order
+    spark.emptyDataset[Int].toDF("max_hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val broken = intercept[IllegalArgumentException] {
+      Dedup.loadHashIndex(spark, path)
+    }
+    assert(broken.getMessage.contains("bad hash-index meta"))
+    // a completed rewrite restores a loadable, correct index
+    Dedup.saveHashIndex(corpus, "img_id", "f", 3, path)
+    assert(Dedup.loadHashIndex(spark, path).maxHamming == 3)
+  }
 }
