@@ -160,6 +160,31 @@ object Similarity {
     val ix = ivfPqTrain(union, embCol, dim, nlist, m, ksub, seed, trainSample)
     val codesX = ivfPqEncode(xs, idCol, embCol, ix)
     val codesY = ivfPqEncode(ys, idCol, embCol, ix)
+    marginMineAnnIndexed(xs, ys, idCol, embCol, ix, codesX, codesY,
+      k, threshold, nprobe, shortlist)
+  }
+
+  /** [[marginMineAnn]] against a PRE-TRAINED index and pre-encoded
+    * code tables — the steady-state mining shape (CCMatrix: index
+    * once, mine per batch): a cluster reopens the persisted index
+    * ([[saveIndex]]/[[loadIndex]] — spec-pinned bit-identical) and
+    * the codes parquet, paying only the probe-bounded candidate legs
+    * and the margin join per batch. Bit-identical to [[marginMineAnn]]
+    * when given the same index/codes (it IS marginMineAnn's tail). */
+  def marginMineAnnIndexed(
+      xs: DataFrame,
+      ys: DataFrame,
+      idCol: String,
+      embCol: String,
+      ix: IvfPqIndex,
+      codesX: DataFrame,
+      codesY: DataFrame,
+      k: Int,
+      threshold: Double,
+      nprobe: Int,
+      shortlist: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(shortlist >= k, "shortlist must be >= k")
     marginFromTopK(
       ivfPqTopKBatchReranked(ys, codesY, xs, idCol, embCol, ix, k, shortlist, nprobe),
       ivfPqTopKBatchReranked(xs, codesX, ys, idCol, embCol, ix, k, shortlist, nprobe),
