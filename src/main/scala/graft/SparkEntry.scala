@@ -1325,25 +1325,48 @@ object SparkEntry {
     },
 
     // RAG GENERATE capstone (q246): retrieval feeding decode — for
-    // each query doc, the exact-cosine top-1 neighbor (6dp-quantized
-    // rank, id tiebreak — the q24 comparator with the pick hardened),
-    // then the prompt = retrieved doc's first 6 tokens ++ the query
-    // doc's own first 6, greedy-decoded 2 steps. The end-to-end RAG
-    // shape: a WRONG retrieval changes the prompt and therefore the
-    // generated tokens, so the oracle gates the whole composition.
-    // Scale shape: the 20-query side broadcasts (queries are small by
-    // construction; the corpus-scale swap is the IVFADC shortlist),
-    // generation is scan-side sessions.
+    // each query doc, the top-1 neighbor via the IVFADC SHORTLIST +
+    // exact-cosine rerank (6dp-quantized rank, id tiebreak — the q24
+    // comparator's hardened pick over the ADC top-100 instead of the
+    // whole corpus), then the prompt = retrieved doc's first 6 tokens
+    // ++ the query doc's own first 6, greedy-decoded 2 steps. The
+    // end-to-end RAG shape: a WRONG retrieval changes the prompt and
+    // therefore the generated tokens, so the oracle (exact brute
+    // top-1) gates the whole composition — the shortlist's recall@1
+    // must be PERFECT at both SFs for this to stay green, and
+    // RagRetrievalSpec pins the ANN-vs-brute pick A/B at sf0.001
+    // while StressR20 drives the same leg at 200k corpus / 2k
+    // queries. Scale shape: candidate volume is probe-bounded
+    // (nprobe/nlist of the cells, ≤ shortlist rows per query into
+    // the rerank) — no corpus-vs-queries broadcast NLJ anywhere
+    // (PlanAuditSpec pins the plan); generation is scan-side
+    // KV sessions.
     "q246_rag_generate" -> { (s, dir) =>
       val m = genModel
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val q = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val qs = emb.filter(col("vec_id") < 20)
+      val q = qs.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val ix = graft.operators.Similarity.ivfPqTrain(emb, "embedding",
+        dim = 64, nlist = 16, m = 8, ksub = 32)
+      val codes = graft.operators.Similarity.ivfPqEncode(
+        emb, "vec_id", "embedding", ix)
+      // nprobe = nlist here: the oracle is EXACT brute top-1, so a
+      // single dark cell is a correctness break, and the fixture has
+      // only 16 cells to begin with (RagRetrievalSpec measured query
+      // 0's true neighbor landing in an unprobed cell at 14/16). The
+      // scale knob is nlist growth (65k cells / nprobe 64 at 100 TB),
+      // not the probe fraction; the exact-cosine work stays bounded
+      // at shortlist rows per query either way.
+      val short = graft.operators.Similarity.ivfPqTopK(codes, qs,
+          "vec_id", "embedding", ix, k = 100, nprobe = 16)
+        .select(col("q_id"), col("vec_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
-      val nb = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      val nb = short.filter(col("vec_id") =!= col("q_id"))
+        .join(emb, "vec_id")
+        .join(broadcast(q), "q_id")
         .withColumn("cos6", round(graft.functions.CosineSim
           .cosine_sim(s, col("qe").cast("array<double>"),
             col("embedding").cast("array<double>")), 6))

@@ -460,6 +460,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q224 lost its ranking window:\n$p224")
   }
 
+  test("q246 RAG retrieval leg is the IVFADC shortlist — no corpus-vs-queries NLJ") {
+    // round-17 (VERDICT r16 item 1): the capstone's top-1 retrieval
+    // must ride the probe-bounded shortlist + keyed rerank joins. A
+    // BroadcastNestedLoopJoin or CartesianProduct means the brute
+    // comparator crept back into the flagship composition.
+    val p = plan("q246_rag_generate")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q246 retrieval regressed to the brute comparator:\n$p")
+  }
+
   test("marginMineAnn: no broadcast-NLJ / cartesian anywhere in the mining plan") {
     import org.apache.spark.sql.functions.col
     // the q228 GATE query deliberately also runs the brute comparator
