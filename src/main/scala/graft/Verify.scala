@@ -9,7 +9,16 @@ object Verify {
     // the driver always passes exactly two args = full suite)
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case Array(s, o, f) =>
+        // tolerate the [q1,q2] spelling; a subset naming NO real query
+        // must fail loudly — a vacuous verify looks exactly like a
+        // passing one (measured: bracketed names silently matched
+        // nothing and oracle_check reported FAILURES: 0 over nothing)
+        val names = f.stripPrefix("[").stripSuffix("]").split(',').toSet
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown queries in subset: ${unknown.mkString(", ")}")
+        (s, o, Some(names))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

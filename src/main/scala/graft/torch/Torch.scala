@@ -1120,6 +1120,176 @@ object Torch {
   }
 
   /**
+   * MULTI-TOKEN stochastic speculative sampling (the full
+   * Leviathan 2023 / Chen et al. 2023 serving recipe, gamma >= 1 —
+   * [[speculativeSampled]] is its gamma = 1 head): per cycle the
+   * draft model autoregressively SAMPLES `gamma` tokens
+   * `x_1..x_g ~ q`, the target evaluates all `gamma + 1` prefix
+   * distributions (one KV-session append per draft token — the
+   * batched-verification position walk), and the prefix-acceptance
+   * rule walks the drafts in order: accept `x_i` with probability
+   * `min(1, p_i(x_i)/q_i(x_i))`; at the FIRST rejection resample
+   * from the normalized residual `max(0, p_i − q_i)` and STOP; if
+   * every draft is accepted, emit ONE bonus token sampled from the
+   * target's distribution at the fully-drafted prefix. The emitted
+   * `n_accepted (+1)` tokens are provably distributed exactly as
+   * `n_accepted + 1` tokens sampled from the target alone — the
+   * speedup is `n_accepted + 1` target-distributed tokens for one
+   * drafting pass + one (sessionized) verification pass.
+   *
+   * Determinism discipline is [[speculativeSampled]]'s verbatim: all
+   * distributions are 6dp-quantized full-vocab softmaxes; draws are
+   * independent md5 draws on the 1e-6 grid with POSITION-INDEXED
+   * salts — draft pick i = `"d<i>"`, acceptance i = `"a<i>"`,
+   * residual i = `"r<i>"`, bonus = `"b1"` — so `gamma = 1` replays
+   * q247's exact draws (spec-pinned: same draft token, same
+   * acceptance, same correction). An all-zero residual (p == q on
+   * the grid) keeps the rejected draft token. An identity draft
+   * (draft eq target) accepts every position by construction
+   * (ratio quantizes to 1, draws are < 1) — spec-pinned.
+   *
+   * Scale shape: two KV sessions per row (draft + target), gamma
+   * appends each, inside ONE `mapPartitions` — O(gamma·L·d) per row,
+   * no shuffle at any corpus size.
+   *
+   * @return input columns + `draft_toks` array<int> (the gamma
+   *         drafts), `n_accepted` int, `out_toks` array<int> (the
+   *         accepted prefix + correction-or-bonus; length
+   *         `n_accepted + 1`); null prompt/id → all null
+   */
+  def speculativeSampledGamma(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      gamma: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(gamma >= 1, "gamma must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "speculativeSampledGamma needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross models: use the pair speculative path")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "speculative sampling needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("draft_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_accepted", IntegerType, nullable = true),
+      StructField("out_toks", ArrayType(IntegerType), nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def draw(id: Long, salt: String): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+      }
+      def probs6(lg: Array[Float]): Array[Double] = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = lg(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
+      }
+      def pick(mass: Array[Double], u: Double): Int = {
+        val order = (0 until vocab).filter(mass(_) > 0.0)
+          .sortBy(j => (-mass(j), j))
+        var run = 0.0
+        val sums = order.map { j => run += mass(j); run }
+        val total = run
+        var chosen = order.last
+        var done = false
+        for ((j, cs) <- order.zip(sums) if !done)
+          if (q6(cs / total) > u) { chosen = j; done = true }
+        chosen
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val sd = dm.decodeSession(p)
+            val st = tm.decodeSession(p)
+            val drafts = new Array[Int](gamma)
+            val qm = new Array[Array[Double]](gamma)
+            var i = 0
+            while (i < gamma) {
+              qm(i) = probs6(sd.logits())
+              drafts(i) = pick(qm(i), draw(id, s"d${i + 1}"))
+              sd.append(drafts(i))
+              i += 1
+            }
+            // target prefix distributions p_1..p_{gamma+1}: one
+            // session, one append per draft token
+            val pm = new Array[Array[Double]](gamma + 1)
+            pm(0) = probs6(st.logits())
+            i = 0
+            while (i < gamma) {
+              st.append(drafts(i))
+              pm(i + 1) = probs6(st.logits())
+              i += 1
+            }
+            var n = 0
+            var rejectedAt = -1
+            while (n < gamma && rejectedAt < 0) {
+              val x = drafts(n)
+              val r6 = q6(math.min(1.0, pm(n)(x) / qm(n)(x)))
+              if (draw(id, s"a${n + 1}") < r6) n += 1
+              else rejectedAt = n
+            }
+            val out: Seq[Int] =
+              if (rejectedAt < 0)
+                drafts.toSeq :+ pick(pm(gamma), draw(id, "b1"))
+              else {
+                val k = rejectedAt
+                val resid = Array.tabulate(vocab)(j =>
+                  math.max(0.0, pm(k)(j) - qm(k)(j))) // exact grid differences
+                val corr =
+                  if (resid.forall(_ == 0.0)) drafts(k) // p == q on the grid
+                  else pick(resid, draw(id, s"r${k + 1}"))
+                drafts.take(k).toSeq :+ corr
+              }
+            Row.fromSeq(r.toSeq ++ Seq(drafts.toSeq, n, out))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * CONTRASTIVE DECODING (Li et al. 2023 — distinct from contrastive
    * SEARCH): each step picks, among the EXPERT's plausible candidates
    * (`p_e(j) >= alpha · max p_e` — the adaptive plausibility head),

@@ -1023,6 +1023,54 @@ class TorchGenerateSpec extends AnyFunSuite {
       "identity draft must always accept")
   }
 
+  test("q249 gamma speculative sampling: gamma=1 replays q247; identity accepts all; arms live") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bcT = spark.sparkContext.broadcast(m)
+    val bcD = spark.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+    val df = fixturePrompts(vocab)
+    // gamma = 1 uses the SAME salts (d1/a1/r1), so the first draft,
+    // the acceptance and the rejection correction replay q247's
+    // exact draws — bit-exact on the shared semantics; the only
+    // addition is the all-accepted bonus token
+    val g1 = Torch.speculativeSampledGamma(df, "doc_id", "tok_ids", bcT, bcD,
+        gamma = 1)
+      .select("doc_id", "draft_toks", "n_accepted", "out_toks")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getInt(2), r.getSeq[Int](3)))).toMap
+    val q247 = Torch.speculativeSampled(df, "doc_id", "tok_ids", bcT, bcD)
+      .select("doc_id", "draft_tok", "accepted", "final_tok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(3)))).toMap
+    assert(g1.keySet == q247.keySet)
+    for ((id, (dts, n, out)) <- g1) {
+      val (dx, acc, fx) = q247(id)
+      assert(dts == Seq(dx), s"doc $id gamma=1 draft $dts != q247 $dx")
+      assert((n == 1) == acc, s"doc $id gamma=1 n_accepted=$n vs q247 $acc")
+      assert(out.length == n + 1, s"doc $id out length ${out.length} != n+1")
+      if (acc) assert(out.head == dx, s"doc $id accepted but out ${out.head} != $dx")
+      else assert(out == Seq(fx), s"doc $id rejected: out $out != q247 correction $fx")
+    }
+    // identity draft at gamma = 3: ratio quantizes to exactly 1 at
+    // every position, so every row accepts all three drafts and emits
+    // the bonus — out = drafts :+ bonus, length 4
+    val self = Torch.speculativeSampledGamma(df, "doc_id", "tok_ids", bcT, bcT,
+        gamma = 3)
+      .select("doc_id", "draft_toks", "n_accepted", "out_toks").collect()
+    assert(self.forall(r => r.getInt(2) == 3 &&
+      r.getSeq[Int](3).length == 4 &&
+      r.getSeq[Int](3).take(3) == r.getSeq[Int](1)),
+      "identity draft must accept every drafted position")
+    // the int8 draft at gamma = 2 must exercise accept AND reject arms
+    val g2 = Torch.speculativeSampledGamma(df, "doc_id", "tok_ids", bcT, bcD,
+        gamma = 2)
+      .select("doc_id", "n_accepted").collect().map(_.getInt(1))
+    info(s"q249 sf0.001 n_accepted histogram: " +
+      (0 to 2).map(k => s"$k:${g2.count(_ == k)}").mkString(" "))
+    assert(g2.exists(_ < 2) && g2.exists(_ == 2),
+      "degenerate gamma=2 acceptance mix on the fixture")
+  }
+
   test("q248 contrastive decoding: alpha=1 is greedy; the amateur bites; rule + gap floor") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
