@@ -1357,6 +1357,37 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // DIVERSE beam groups × eos + length penalty (q250, VERDICT r16
+    // item 3): q236's two Hamming-diversity groups composed with
+    // q214's completed-beam machinery — a beam picking eos = 1
+    // freezes and competes at raw/len^0.5 over its own length;
+    // frozen keeps select no token, so they add nothing to later
+    // groups' same-step diversity counts. Group 0 stays bit-identical
+    // to plain beamSearch(eos, alpha) at any penalty (spec), and
+    // lambda = 0 with alpha = 0 reduces to the pre-knob diverse path.
+    "q250_torch_beam_diverse_eos" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val b = Torch.beamSearchDiverse(toks, "tok_ids", "beams", bc,
+        steps = 2, width = 2, groups = 2, diversityPenalty = 0.5,
+        batchSize = 256, lengthPenalty = 0.5, eosId = 1)
+      def tcol(beam: Int, pos: Int): org.apache.spark.sql.Column =
+        when(size(col("beams")(beam)) >= pos + 1, col("beams")(beam)(pos))
+      b.select(col("doc_id"),
+          tcol(0, 0).as("g1b1t1"), tcol(0, 1).as("g1b1t2"),
+          tcol(1, 0).as("g1b2t1"), tcol(1, 1).as("g1b2t2"),
+          tcol(2, 0).as("g2b1t1"), tcol(2, 1).as("g2b1t2"),
+          tcol(3, 0).as("g2b2t1"), tcol(3, 1).as("g2b2t2"))
+        .orderBy("doc_id")
+    },
+
     // RAG GENERATE capstone (q246): retrieval feeding decode — for
     // each query doc, the top-1 neighbor via the IVFADC SHORTLIST +
     // exact-cosine rerank (6dp-quantized rank, id tiebreak — the q24
@@ -11176,6 +11207,11 @@ object SparkEntry {
     // joined to group A's per-step pick counts (dyadic 0.5 penalty).
     "q236_torch_beam_diverse" -> diverseBeamOracle,
 
+    // Diverse beams × eos + length penalty: the q236 two-group recipe
+    // with q214's completed-beam arm per group; group B's penalty
+    // counts only group A's newly-appended tokens.
+    "q250_torch_beam_diverse_eos" -> diverseBeamEosOracle(eos = 1, alpha = 0.5),
+
     // q181's corruption chain rebuilds the candidate; the clipped
     // counts divide by the REFERENCE totals.
     "q201_rouge_corrupt" ->
@@ -13777,6 +13813,134 @@ object SparkEntry {
        |  a2.t1 AS g1b2t1, CAST(a2.tid AS INT) AS g1b2t2,
        |  b1.t1 AS g2b1t1, CAST(b1.tid AS INT) AS g2b1t2,
        |  b2.t1 AS g2b2t1, CAST(b2.tid AS INT) AS g2b2t2
+       |FROM kepta a1
+       |JOIN kepta a2 ON a2.doc_id = a1.doc_id AND a1.rk = 1 AND a2.rk = 2
+       |JOIN keptb b1 ON b1.doc_id = a1.doc_id AND b1.rk = 1
+       |JOIN keptb b2 ON b2.doc_id = a1.doc_id AND b2.rk = 2
+       |ORDER BY a1.doc_id""".stripMargin
+  }
+
+  /** The q250 oracle: [[diverseBeamOracle]]'s two-group recipe
+    * composed with [[beamLenNormOracle]]'s completed-beam arm —
+    * group A is exactly the q214 chain (eos freezes at step 1, live
+    * expansions rank at (score + lp)/2^α, frozen at score/1^α with
+    * tid −1); group B's LIVE candidate rows subtract λ × (group A's
+    * same-step pick counts over NEWLY-APPENDED tokens only — frozen
+    * keeps select nothing, so kepta's tid = −1 rows are excluded)
+    * inside the parens the engine accumulates,
+    * `score + (lp − λ·cnt)`, before the length division. */
+  private def diverseBeamEosOracle(eos: Int, alpha: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    val lam = "CAST(0.5 AS DOUBLE)"
+    val pen2 = s"pow(CAST(2 AS DOUBLE), CAST($alpha AS DOUBLE))"
+    val pen1 = s"pow(CAST(1 AS DOUBLE), CAST($alpha AS DOUBLE))"
+    def step2(sfx: String, beams1: String,
+        penaltyCnt: Option[String]): String = {
+      val lpExpr = penaltyCnt match {
+        case None => "c.lp"
+        case Some(_) => s"(c.lp - $lam * CAST(coalesce(a.c, 0) AS DOUBLE))"
+      }
+      val penJoin = penaltyCnt match {
+        case None => ""
+        case Some(cnt) =>
+          s"\n  LEFT JOIN $cnt a ON a.doc_id = c.doc_id AND a.tid = c.tid"
+      }
+      s"""toks1$sfx AS MATERIALIZED (
+         |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+         |  FROM toks0 t JOIN $beams1 b ON b.doc_id = t.doc_id AND NOT b.done
+         |  UNION ALL
+         |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+         |  FROM $beams1 b JOIN lens0 l ON l.doc_id = b.doc_id
+         |  WHERE NOT b.done),
+         |logit2$sfx AS MATERIALIZED (
+         |${fwd(s"toks1$sfx")}
+         |),
+         |lp2$sfx AS MATERIALIZED (
+         |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+         |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2$sfx)),
+         |cand2raw$sfx AS MATERIALIZED (
+         |  ${candRows(s"lp2$sfx")}),
+         |cand2$sfx AS MATERIALIZED (
+         |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, lp
+         |  FROM cand2raw$sfx),
+         |joined$sfx AS MATERIALIZED (
+         |  SELECT c.doc_id, c.pb, c.tid,
+         |    (b.score + $lpExpr) / $pen2 AS norm,
+         |    CAST(b.tid AS INT) AS t1
+         |  FROM cand2$sfx c JOIN $beams1 b
+         |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1$penJoin
+         |  UNION ALL
+         |  SELECT doc_id, CAST(b - 1 AS INT) AS pb, -1 AS tid,
+         |    score / $pen1 AS norm, CAST(tid AS INT) AS t1
+         |  FROM $beams1 WHERE done),
+         |kept$sfx AS MATERIALIZED (
+         |  SELECT doc_id, t1, tid, norm,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY norm DESC, pb ASC, tid ASC) AS rk
+         |  FROM joined$sfx QUALIFY rk <= 2)""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |lp1 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit1)),
+       |cand1 AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |beams1a AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score, (tid = $eos) AS done,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM cand1 QUALIFY b <= 2),
+       |cntA1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, count(*) AS c FROM beams1a GROUP BY doc_id, tid),
+       |beams1b AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score, (tid = $eos) AS done,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM (SELECT c.doc_id, c.tid,
+       |          c.lp - $lam * CAST(coalesce(a.c, 0) AS DOUBLE) AS lp
+       |        FROM cand1 c
+       |        LEFT JOIN cntA1 a ON a.doc_id = c.doc_id AND a.tid = c.tid)
+       |  QUALIFY b <= 2),
+       |${step2("a", "beams1a", None)},
+       |cntA2 AS MATERIALIZED (
+       |  SELECT doc_id, tid, count(*) AS c FROM kepta
+       |  WHERE tid >= 0 GROUP BY doc_id, tid),
+       |${step2("b", "beams1b", Some("cntA2"))}
+       |SELECT a1.doc_id,
+       |  a1.t1 AS g1b1t1,
+       |  CASE WHEN a1.tid >= 0 THEN CAST(a1.tid AS INT) END AS g1b1t2,
+       |  a2.t1 AS g1b2t1,
+       |  CASE WHEN a2.tid >= 0 THEN CAST(a2.tid AS INT) END AS g1b2t2,
+       |  b1.t1 AS g2b1t1,
+       |  CASE WHEN b1.tid >= 0 THEN CAST(b1.tid AS INT) END AS g2b1t2,
+       |  b2.t1 AS g2b2t1,
+       |  CASE WHEN b2.tid >= 0 THEN CAST(b2.tid AS INT) END AS g2b2t2
        |FROM kepta a1
        |JOIN kepta a2 ON a2.doc_id = a1.doc_id AND a1.rk = 1 AND a2.rk = 2
        |JOIN keptb b1 ON b1.doc_id = a1.doc_id AND b1.rk = 1

@@ -879,13 +879,30 @@ object Torch {
    * f64), ranking is the repo beam order (adjusted joint DESC,
    * parent rank ASC, token ASC).
    *
+   * COMPOSES with [[beamSearch]]'s completed-beam machinery (round
+   * 17, VERDICT r16 item 3 — HF ships group beam search with eos +
+   * length penalty by default): within each group, a beam that picks
+   * `eosId` FREEZES (its session is never read again, its penalized
+   * running score is frozen) and thereafter competes for its group's
+   * width slots as its own single candidate at `raw / len^alpha`
+   * over its OWN length, while live expansions rank at
+   * `(raw + adj) / (len+1)^alpha` — the GNMT rule q214 pins, group-
+   * local. Frozen beams select no token, so they contribute NOTHING
+   * to later groups' same-step diversity counts; a beam completing
+   * THIS step counts its eos selection like any other pick. With
+   * `lengthPenalty = 0 ∧ eosId = -1` every norm is the raw joint and
+   * nothing freezes — bit-exact to the pre-knob behavior
+   * (spec-pinned), and group 0 stays bit-identical to plain
+   * [[beamSearch]] under the SAME knobs at any penalty.
+   *
    * Scale shape: per-row KV sessions with `fork()` inside ONE
    * `mapPartitions` — groups×width sessions per row, O(L·d) per
    * step, no per-step plan growth.
    *
    * @return input columns + `outCol` = array of groups×width beams
    *         (group-major: g0's beams ranked, then g1's, ...), each an
-   *         array<int> of generated tokens
+   *         array<int> of generated tokens (a completed beam's array
+   *         ends at its eos)
    */
   def beamSearchDiverse(
       df: DataFrame,
@@ -896,10 +913,14 @@ object Torch {
       width: Int,
       groups: Int,
       diversityPenalty: Double,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      lengthPenalty: Double = 0.0,
+      eosId: Int = -1): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
     require(groups >= 1, "groups must be >= 1")
     require(diversityPenalty >= 0.0, "diversityPenalty must be >= 0")
+    require(lengthPenalty >= 0.0, "lengthPenalty must be >= 0")
+    require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "beamSearchDiverse needs a token-input model")
@@ -948,34 +969,55 @@ object Torch {
             }
           if (p == null) Row.fromSeq(r.toSeq :+ null)
           else {
-            // per group: ranked beams (generated, running score, session)
+            // per group: ranked beams (generated, running score,
+            // session, done) — done beams' sessions are never read
             val frontiers = Array.fill(groups)(
-              Seq((Vector.empty[Int], 0.0, m.decodeSession(p))))
+              Seq((Vector.empty[Int], 0.0, m.decodeSession(p), false)))
             var t = 0
             while (t < steps) {
               // tokens selected at THIS step by earlier groups
+              // (frozen keeps select nothing)
               val stepCounts = new Array[Int](vocab)
               var g = 0
               while (g < groups) {
+                // candidates = (norm, parent rank, token, raw, parent):
+                // the beamSearch candidate shape — a completed beam is
+                // its own single candidate (token -1, frozen raw over
+                // its OWN length) competing for a width slot
                 val cands = frontiers(g).zipWithIndex.flatMap {
-                  case ((gen, s0, sess), bi) =>
+                  case ((gen, s0, sess, true), bi) =>
+                    Seq((s0 / StrictMath.pow(gen.length.toDouble, lengthPenalty),
+                      bi, -1, s0, (gen, s0, sess, true)))
+                  case ((gen, s0, sess, false), bi) =>
                     val lp = logProbs(sess.logits())
+                    val pen =
+                      StrictMath.pow((gen.length + 1).toDouble, lengthPenalty)
                     (0 until vocab).map { tok =>
+                      // f64 order pinned: s0 + (lp − λ·cnt) — the
+                      // pre-knob accumulation, so q236 stays bit-exact
                       val adj = lp(tok) - diversityPenalty * stepCounts(tok)
-                      (s0 + adj, bi, tok, (gen, sess))
+                      val raw = s0 + adj
+                      (raw / pen, bi, tok, raw, (gen, s0, sess, false))
                     }
                 }
                 frontiers(g) = cands
-                  .sortBy { case (joint, bi, tok, _) => (-joint, bi, tok) }
+                  .sortBy { case (norm, bi, tok, _, _) => (-norm, bi, tok) }
                   .take(width)
-                  .map { case (joint, _, tok, (gen, sess)) =>
-                    val child = sess.fork()
-                    child.append(tok)
-                    (gen :+ tok, joint, child)
+                  .map {
+                    case (_, _, -1, _, b) => b // a kept completed beam
+                    case (_, _, tok, raw, (gen, _, sess, _)) =>
+                      if (tok == eosId) {
+                        // complete: freeze the penalized raw, count
+                        // the eos selection below, never fork
+                        stepCounts(tok) += 1
+                        (gen :+ tok, raw, sess, true)
+                      } else {
+                        stepCounts(tok) += 1
+                        val child = sess.fork()
+                        child.append(tok)
+                        (gen :+ tok, raw, child, false)
+                      }
                   }
-                frontiers(g).foreach { case (gen, _, _) =>
-                  stepCounts(gen.last) += 1
-                }
                 g += 1
               }
               t += 1
