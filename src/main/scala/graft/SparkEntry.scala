@@ -1274,6 +1274,51 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // WATERMARK at gamma = 1/4 (q251, VERDICT r16 item 4): q239's
+    // greedy green-list bias with the green fraction parameterized —
+    // membership is md5("<prev>:<tok>") mod 4 < 1, a quarter of the
+    // vocabulary, so the SAME delta biases a different (smaller)
+    // green set and the trajectories diverge from q239 wherever a
+    // half-green token is quarter-red. gamma = (1,2) reduces
+    // bit-exactly to q239 (spec).
+    "q251_torch_gen_watermark_g4" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
+          batchSize = 256, watermarkDelta = 2.0, watermarkGamma = (1, 4))
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
+    // WATERMARK DETECTION at gamma = 1/4 (q252): the general-gamma
+    // z-statistic (g − γT)/sqrt(Tγ(1−γ)) in its all-integer core —
+    // D = 4·greens − t_pairs, z = D/sqrt(3T), flag ⟺ D > 0 ∧
+    // D² > 12T — so the filter stays exact-integer at any rational
+    // gamma. Natural text greens ~T/4 here, not ~T/2.
+    "q252_watermark_detect_g4" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      graft.operators.Watermark.greenFractionZ(
+          t(s, dir, "documents").select(col("doc_id"),
+            transform(
+              call_function("regexp_extract_all", col("text"),
+                lit(graft.Tok.Pattern), lit(0)),
+              tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab)
+              .as("tok_ids")),
+          "doc_id", col("tok_ids"), gamma = (1, 4))
+        .select(col("doc_id"), col("t_pairs"), col("greens"),
+          col("z6"), col("wm_flag"))
+        .orderBy("doc_id")
+    },
+
     // CONTRASTIVE DECODING (q248): Li et al. 2023 — distinct from
     // q241's contrastive SEARCH: among the expert's plausible head
     // (p_e >= 1/8 · max p_e, the adaptive plausibility cut — dyadic ×
@@ -10566,6 +10611,43 @@ object SparkEntry {
     // parity green list, first-max-wins argmax.
     "q239_torch_gen_watermark" -> watermarkOracle(steps = 3, delta = 2.0),
 
+    // gamma = 1/4 watermarked decode: the same chain with the green
+    // CASE at mod 4 < 1.
+    "q251_torch_gen_watermark_g4" ->
+      watermarkOracle(steps = 3, delta = 2.0, num = 1, den = 4),
+
+    // gamma = 1/4 detection: D = 4g − T, z = D/sqrt(3T), flag
+    // D > 0 ∧ D² > 12T — integer-only at rational gamma.
+    "q252_watermark_detect_g4" -> {
+      val vocab = genModel.seqHead.get.vocab
+      s"""WITH words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id, a.tid AS p, b.tid AS c
+         |  FROM words a
+         |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS t_pairs,
+         |    CAST(sum(CASE WHEN
+         |      (CAST('0x' || substring(md5(CAST(p AS VARCHAR) || ':' ||
+         |         CAST(c AS VARCHAR)), 1, 8) AS BIGINT) % 4) < 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS greens
+         |  FROM pairs GROUP BY doc_id)
+         |SELECT doc_id, t_pairs, greens,
+         |  round((4 * greens - t_pairs) /
+         |    sqrt(CAST(t_pairs * 3 AS DOUBLE)), 6) AS z6,
+         |  ((4 * greens - t_pairs) > 0 AND
+         |   (4 * greens - t_pairs) * (4 * greens - t_pairs) > 12 * t_pairs)
+         |    AS wm_flag
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
     // Contrastive search: top-3 candidate expansion, per-position
     // hidden read-out, cosine degeneration penalty, (score DESC, tid).
     "q241_torch_gen_contrastive" -> contrastiveOracle(steps = 2,
@@ -13060,7 +13142,8 @@ object SparkEntry {
     * "<last token>:<tid>", the generator's exact membership function)
     * gain +delta, and the argmax is the usual first-max-wins
     * `row_number() ORDER BY al DESC, tid`. */
-  private def watermarkOracle(steps: Int, delta: Double): String = {
+  private def watermarkOracle(steps: Int, delta: Double,
+      num: Int = 1, den: Int = 2): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
@@ -13091,7 +13174,7 @@ object SparkEntry {
          |  SELECT c.doc_id, c.tid,
          |    c.lp + CASE WHEN
          |      (CAST('0x' || substring(md5(CAST(l.lt AS VARCHAR) || ':' ||
-         |         CAST(c.tid AS VARCHAR)), 1, 8) AS BIGINT) % 2) = 0
+         |         CAST(c.tid AS VARCHAR)), 1, 8) AS BIGINT) % $den) < $num
          |      THEN $dLit ELSE CAST(0 AS DOUBLE) END AS al
          |  FROM cand$t c JOIN last$t l ON l.doc_id = c.doc_id),
          |step$t AS MATERIALIZED (

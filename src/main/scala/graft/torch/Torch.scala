@@ -31,17 +31,20 @@ object Torch {
       (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
     }
     /** The watermark green-list membership (Kirchenbauer et al. 2023,
-      * gamma = 1/2): token `j` is GREEN after `prev` iff
-      * md5("<prev>:<j>")'s leading 32 bits are even — the exact
-      * parity a SQL engine recomputes from the same strings, so
-      * generation-side biasing and corpus-side detection share one
-      * function. */
-    def greenToken(prev: Int, j: Int): Boolean = {
+      * general gamma = num/den): token `j` is GREEN after `prev` iff
+      * md5("<prev>:<j>")'s leading 32 bits mod `den` fall below `num`
+      * — an exact integer predicate a SQL engine recomputes from the
+      * same strings, so generation-side biasing and corpus-side
+      * detection share one function at ANY rational green fraction.
+      * (num, den) = (1, 2) is the original parity rule: `% 2 < 1`
+      * ⟺ `% 2 == 0`, bit-for-bit the pre-gamma behavior. */
+    def greenToken(prev: Int, j: Int, num: Int, den: Int): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$prev:$j".getBytes("UTF-8"))
       val hex = md.take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16) % 2L == 0L
+      java.lang.Long.parseLong(hex, 16) % den < num
     }
+    def greenToken(prev: Int, j: Int): Boolean = greenToken(prev, j, 1, 2)
     /** The multi-return draw (`num_return_sequences`): sequence 0
       * keeps the single-return key `"<id>:<step>"` — so k = 1 and the
       * first of k sequences are bit-identical to [[generateSampled]]
@@ -60,7 +63,8 @@ object Torch {
         banned: Set[Int] = Set.empty, topK: Int = Int.MaxValue,
         seen: Set[Int] = Set.empty, repPenalty: Double = 1.0,
         minP: Double = 0.0, typicalP: Double = 1.0,
-        greenPrev: Int = -1, greenDelta: Double = 0.0): Int = {
+        greenPrev: Int = -1, greenDelta: Double = 0.0,
+        greenNum: Int = 1, greenDen: Int = 2): Int = {
       // constrained decoding: banned ids are removed BEFORE the
       // softmax (the -inf-mask semantics: the distribution renorms
       // over the allowed vocabulary; the oracle simply omits them
@@ -80,7 +84,8 @@ object Torch {
         // temperature — the guarded branch keeps delta = 0
         // bit-identical to the unwatermarked path
         val x =
-          if (greenDelta != 0.0 && greenPrev >= 0 && greenToken(greenPrev, j))
+          if (greenDelta != 0.0 && greenPrev >= 0 &&
+              greenToken(greenPrev, j, greenNum, greenDen))
             xp + greenDelta
           else xp
         x / temperature
@@ -2198,9 +2203,12 @@ object Torch {
       noRepeatNgram: Int = 0,
       minP: Double = 0.0,
       typicalP: Double = 1.0,
-      watermarkDelta: Double = 0.0): DataFrame = {
+      watermarkDelta: Double = 0.0,
+      watermarkGamma: (Int, Int) = (1, 2)): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
+    require(watermarkGamma._1 >= 1 && watermarkGamma._1 < watermarkGamma._2,
+      "watermarkGamma must be a fraction num/den with 0 < num < den")
     require(banned.size < model.value.outDim,
       "banned set covers the whole vocabulary")
     require(temperature > 0.0, "temperature must be > 0 (greedy is generateGreedy)")
@@ -2259,7 +2267,8 @@ object Torch {
         Sampling.sampleNext(out, off, vocab, temperature, topP, u,
           stepBanned, topK, seen, repetitionPenalty, minP, typicalP,
           greenPrev = if (watermarkDelta != 0.0) full.last else -1,
-          greenDelta = watermarkDelta)
+          greenDelta = watermarkDelta,
+          greenNum = watermarkGamma._1, greenDen = watermarkGamma._2)
       }
       it.grouped(bs).flatMap { rows =>
         val seqs: Array[Array[Int]] = rows.map { r =>
@@ -2507,9 +2516,12 @@ object Torch {
       minNewTokens: Int = 0,
       forcedTokens: Map[Int, Int] = Map.empty,
       beginSuppress: Set[Int] = Set.empty,
-      watermarkDelta: Double = 0.0): DataFrame = {
+      watermarkDelta: Double = 0.0,
+      watermarkGamma: (Int, Int) = (1, 2)): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
+    require(watermarkGamma._1 >= 1 && watermarkGamma._1 < watermarkGamma._2,
+      "watermarkGamma must be a fraction num/den with 0 < num < den")
     require(bannedPhrases.forall(_.nonEmpty), "empty banned phrase")
     require(minNewTokens >= 0, "minNewTokens must be >= 0")
     require(minNewTokens == 0 || eosId >= 0,
@@ -2628,13 +2640,16 @@ object Torch {
                 else x0 * repetitionPenalty
               } else x0
             // soft watermark (Kirchenbauer et al. 2023): the GREEN
-            // half of the vocabulary — md5("<prev>:<j>") parity, the
-            // repo's cross-engine hash discipline — gets +delta on
-            // its logit before the pick; dyadic delta + exact parity
-            // keeps the bias bit-identical to the oracle's CASE
+            // num/den of the vocabulary — md5("<prev>:<j>") mod den
+            // < num, the repo's cross-engine hash discipline — gets
+            // +delta on its logit before the pick; dyadic delta + the
+            // exact integer predicate keeps the bias bit-identical to
+            // the oracle's CASE at any rational green fraction
             val x =
               if (watermarkDelta != 0.0 &&
-                  Sampling.greenToken(full.last, j)) xp + watermarkDelta
+                  Sampling.greenToken(full.last, j,
+                    watermarkGamma._1, watermarkGamma._2))
+                xp + watermarkDelta
               else xp
             if (!x.isNaN && (best < 0 || x > bv)) { best = j; bv = x }
           }

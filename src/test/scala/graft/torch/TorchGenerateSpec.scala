@@ -690,6 +690,63 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(over.values.forall(_ == Seq(5)), "forcing must override the ban")
   }
 
+  test("q251/q252 watermark gamma: (1,2) reduces bit-exactly; 1/4 bites; flag == z > 2") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectGen(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // gamma = (1, 2): % 2 < 1 ⟺ % 2 == 0 — the generator must be
+    // bit-identical to the pre-gamma path
+    val half = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 3, watermarkDelta = 2.0))
+    val halfExplicit = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 3, watermarkDelta = 2.0, watermarkGamma = (1, 2)))
+    assert(half == halfExplicit, "gamma=(1,2) must reduce bit-exactly")
+    // gamma = 1/4 must change some trajectory (a half-green token
+    // that is quarter-red loses its bias)
+    val quarter = collectGen(Torch.generateGreedy(df, "tok_ids", "gen", bc,
+      steps = 3, watermarkDelta = 2.0, watermarkGamma = (1, 4)))
+    assert(half.exists { case (id, g) => quarter(id) != g },
+      "gamma=1/4 never diverged from gamma=1/2 — vacuous")
+    // detector: (1,2) bit-exact to the pre-gamma detector; at (1,4)
+    // the greens count drops (smaller green set is a subset — each
+    // %4<1 pair is also %2<1... NOT true: 32-bit residues mod 4 in
+    // {0} vs mod 2 in {0,2} — {0,1,2,3}→mod4<1 = {0} ⊂ {0,2} = mod2
+    // even; so quarter-greens <= half-greens per doc, strictly less
+    // somewhere) and the integer flag must equal the z > 2 rule
+    import org.apache.spark.sql.functions.col
+    val toks = df.select(col("doc_id"), col("tok_ids"))
+    def det(g: (Int, Int)) = graft.operators.Watermark
+      .greenFractionZ(toks, "doc_id", col("tok_ids"), gamma = g)
+      .select("doc_id", "t_pairs", "greens", "z6", "wm_flag")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val dHalfDefault = graft.operators.Watermark
+      .greenFractionZ(toks, "doc_id", col("tok_ids"))
+      .select("doc_id", "t_pairs", "greens", "z6", "wm_flag")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val dHalf = det((1, 2))
+    val dQuarter = det((1, 4))
+    assert(dHalf == dHalfDefault, "detector gamma=(1,2) must reduce bit-exactly")
+    assert(dHalf.forall { case (id, (_, g, _, _)) => dQuarter(id)._2 <= g },
+      "quarter green set is a subset of the half green set")
+    assert(dHalf.exists { case (id, (_, g, _, _)) => dQuarter(id)._2 < g },
+      "gamma=1/4 green counts never differed — vacuous")
+    for ((id, (t, g, z6, flag)) <- dQuarter) {
+      val d = 4L * g - t
+      val z = d.toDouble / math.sqrt((t * 3L).toDouble)
+      assert(math.abs(z6 - BigDecimal(z).setScale(6,
+        scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0,
+        s"doc $id z6 $z6 != replay")
+      assert(flag == (z > 2.0 && d > 0),
+        s"doc $id integer flag $flag disagrees with z = $z")
+    }
+  }
+
   test("q239/q240 watermark: delta=0 reduces bit-exactly; bias is green-only; detection separates") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
