@@ -1344,6 +1344,37 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CONTRASTIVE DECODING under BEAMS (q253, VERDICT r16 item 5):
+    // Li et al. 2023 evaluate CD with beam search — 2 beams over the
+    // expert-minus-amateur objective, candidates restricted to each
+    // beam's own plausibility head (p_e >= 1/8 · max p_e per beam).
+    // width = 1 reduces bit-exactly to q248's greedy CD (spec). The
+    // oracle is the two-model CTE chain under the q197 synthetic-
+    // beam-id recipe.
+    "q253_torch_cd_beam" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcE = s.sparkContext.broadcast(m)
+      val bcA = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      // a doc whose step-1 plausibility head is a SINGLE token keeps
+      // one beam (the head IS the candidate set — CD never fabricates
+      // a second hypothesis); beam-2 columns go null, like the
+      // oracle's LEFT JOIN on rank 2
+      Torch.beamSearchContrastiveDecoding(toks, "tok_ids", "beams", bcE, bcA,
+          steps = 2, width = 2, plausibilityAlpha = 0.125, batchSize = 256)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("b1t1"), col("beams")(0)(1).as("b1t2"),
+          when(size(col("beams")) >= 2, col("beams")(1)(0)).as("b2t1"),
+          when(size(col("beams")) >= 2, col("beams")(1)(1)).as("b2t2"))
+        .orderBy("doc_id")
+    },
+
     // STOCHASTIC speculative sampling (q247): the actual
     // Leviathan/Chen 2023 rule — the int8 draft SAMPLES x ~ q, the
     // target accepts with probability min(1, p(x)/q(x)) (seeded md5
@@ -10958,6 +10989,10 @@ object SparkEntry {
 
     // Contrastive decoding: two forward chains per step, the
     // plausibility head, the (le6 - la6 DESC, tid) pick.
+    // Contrastive decoding under beams: the q248 two-model chain on
+    // the q197 synthetic-beam-id recipe, per-beam plausibility heads.
+    "q253_torch_cd_beam" -> cdBeamOracle(alpha = 0.125),
+
     "q248_torch_contrastive_decoding" -> contrastiveDecodingOracle(
       steps = 2, alpha = 0.125),
 
@@ -12953,6 +12988,112 @@ object SparkEntry {
        |FROM step1 g1
        |$joins
        |ORDER BY g1.doc_id""".stripMargin
+  }
+
+  /** The q253 contrastive-BEAM oracle: the q248 two-model chain
+    * under beamOracle's synthetic-beam-id recipe — step 1 scores the
+    * root's plausibility head by (ls6_e − ls6_a) and keeps the top 2
+    * as (score DESC, tid); step 2 forwards BOTH models over the
+    * grown toks (synthetic ids doc·2 + rank), head-filters PER BEAM
+    * (each synthetic doc's own max p6), and ranks
+    * `b.score + (ls6_e − ls6_a)` — the engine's pinned f64 order —
+    * by (joint DESC, parent ASC, tid ASC). */
+  private def cdBeamOracle(alpha: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val aLit = s"CAST($alpha AS DOUBLE)"
+    def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+        model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    }
+    def dist(src: String, out: String, withMass: Boolean): String = {
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+      val mass = if (withMass) ",\n         round(e / z, 6) AS p6" else ""
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid,
+         |         round(lp - (ln(z) + m), 6) AS ls6$mass
+         |  FROM (SELECT doc_id, tid, lp, m, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM ($unpivot))))""".stripMargin
+    }
+    val amq = graft.torch.TorchQuant.quantize(m, 7)
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logitE1 AS MATERIALIZED (
+       |${fwdP(m, "toks0")}
+       |),
+       |logitA1 AS MATERIALIZED (
+       |${fwdP(amq, "toks0")}
+       |),
+       |${dist("logitE1", "de1", withMass = true)},
+       |${dist("logitA1", "da1", withMass = false)},
+       |cand1 AS MATERIALIZED (
+       |  SELECT e.doc_id, e.tid, (e.ls6 - a.ls6) AS sc
+       |  FROM de1 e
+       |  JOIN da1 a ON a.doc_id = e.doc_id AND a.tid = e.tid
+       |  JOIN (SELECT doc_id, max(p6) AS mp FROM de1 GROUP BY doc_id) mx
+       |    ON mx.doc_id = e.doc_id
+       |  WHERE e.p6 >= $aLit * mx.mp),
+       |beams1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, sc AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, tid) AS b
+       |  FROM cand1 QUALIFY b <= 2),
+       |toks1 AS MATERIALIZED (
+       |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+       |  FROM toks0 t JOIN beams1 b ON b.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+       |  FROM beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+       |logitE2 AS MATERIALIZED (
+       |${fwdP(m, "toks1")}
+       |),
+       |logitA2 AS MATERIALIZED (
+       |${fwdP(amq, "toks1")}
+       |),
+       |${dist("logitE2", "de2", withMass = true)},
+       |${dist("logitA2", "da2", withMass = false)},
+       |cand2 AS MATERIALIZED (
+       |  SELECT e.doc_id // 2 AS doc_id, CAST(e.doc_id % 2 AS INT) AS pb,
+       |    e.tid, (e.ls6 - a.ls6) AS sc
+       |  FROM de2 e
+       |  JOIN da2 a ON a.doc_id = e.doc_id AND a.tid = e.tid
+       |  JOIN (SELECT doc_id, max(p6) AS mp FROM de2 GROUP BY doc_id) mx
+       |    ON mx.doc_id = e.doc_id
+       |  WHERE e.p6 >= $aLit * mx.mp),
+       |joined AS MATERIALIZED (
+       |  SELECT c.doc_id, c.pb, c.tid, b.score + c.sc AS joint,
+       |    CAST(b.tid AS INT) AS t1
+       |  FROM cand2 c JOIN beams1 b
+       |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1),
+       |kept AS (
+       |  SELECT doc_id, t1, tid, joint,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+       |  FROM joined QUALIFY rk <= 2)
+       |SELECT k1.doc_id, k1.t1 AS b1t1, CAST(k1.tid AS INT) AS b1t2,
+       |  k2.t1 AS b2t1, CAST(k2.tid AS INT) AS b2t2
+       |FROM kept k1
+       |LEFT JOIN kept k2 ON k2.doc_id = k1.doc_id AND k2.rk = 2
+       |WHERE k1.rk = 1
+       |ORDER BY k1.doc_id""".stripMargin
   }
 
   /** The q244 best-of-n oracle: the q232 multi-return chain (toks0

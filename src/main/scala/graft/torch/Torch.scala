@@ -1447,6 +1447,140 @@ object Torch {
   }
 
   /**
+   * CONTRASTIVE DECODING under BEAMS (Li et al. 2023 §5 evaluate
+   * with beam search over the CD objective; round 17, VERDICT r16
+   * item 5): beam search whose per-step candidate set is each live
+   * beam's EXPERT plausibility head (`p_e(j) >= alpha · max p_e`,
+   * per beam over its own prefix) and whose scores accumulate the CD
+   * objective `log p_expert − log p_amateur` instead of the expert
+   * log-prob — tokens outside a beam's head are HARD-masked (never
+   * compete for width slots), exactly the paper's formulation of the
+   * search problem. The chosen token appends to BOTH models'
+   * sessions (forked per kept beam).
+   *
+   * Determinism discipline is [[generateContrastiveDecoding]]'s:
+   * 6dp-quantized log-softmaxes, dyadic alpha × grid mass for the
+   * head floor, f64 accumulation pinned as `s0 + (le − la)`, ranking
+   * (joint DESC, parent rank ASC, token ASC). `width = 1` reduces
+   * BIT-EXACTLY to greedy contrastive decoding — per step the single
+   * parent's argmax of `s0 + d(j)` is the argmax of `d(j)` under the
+   * same tie order, so trajectories coincide (spec-pinned).
+   *
+   * Scale shape: 2×width KV sessions per row inside ONE
+   * `mapPartitions`; each step is width expert+amateur logit reads
+   * and at most width forks per model — no shuffle at any corpus
+   * size.
+   *
+   * @return input columns + `outCol` = array of width beams in rank
+   *         order, each an array<int> of generated tokens (fewer
+   *         than width beams survive only if a head is smaller than
+   *         the width at step 1)
+   */
+  def beamSearchContrastiveDecoding(
+      df: DataFrame,
+      inputCol: String,
+      outCol: String,
+      expert: Broadcast[TorchScriptModel],
+      amateur: Broadcast[TorchScriptModel],
+      steps: Int,
+      width: Int,
+      plausibilityAlpha: Double,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1 && width >= 1, "steps and width must be >= 1")
+    require(plausibilityAlpha > 0.0 && plausibilityAlpha <= 1.0,
+      "plausibilityAlpha must be in (0, 1]")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(expert.value.inDim == -1 && amateur.value.inDim == -1,
+      "contrastive beam decoding needs token-input models")
+    require(!expert.value.isCross && !amateur.value.isCross,
+      "cross models not supported here")
+    require(expert.value.outDim == amateur.value.outDim,
+      "expert and amateur must share the vocabulary")
+    require(width <= expert.value.outDim, "width exceeds the vocabulary")
+    require(expert.value.cacheable && amateur.value.cacheable,
+      "contrastive beam decoding needs the KV-session path")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val em = expert.value
+      val am = amateur.value
+      val vocab = em.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def dists(lg: Array[Float]): (Array[Double], Array[Double]) = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = lg(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+        val lse = math.log(z) + mx
+        (Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z)),
+          Array.tabulate(vocab)(k => q6(lg(k).toDouble - lse)))
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            // beam state: (generated, CD running score, expert
+            // session, amateur session)
+            var beams: Seq[(Vector[Int], Double, em.DecodeSession, am.DecodeSession)] =
+              Seq((Vector.empty[Int], 0.0, em.decodeSession(p), am.decodeSession(p)))
+            var t = 0
+            while (t < steps) {
+              val cands = beams.zipWithIndex.flatMap {
+                case ((gen, s0, se, sa), bi) =>
+                  val (pe, le) = dists(se.logits())
+                  val (_, la) = dists(sa.logits())
+                  val floor = plausibilityAlpha * pe.max // dyadic × grid: exact
+                  (0 until vocab).filter(pe(_) >= floor).map { j =>
+                    // f64 order pinned: s0 + (le − la), the greedy
+                    // CD accumulation — the width=1 reduction is
+                    // bit-exact because of it
+                    (s0 + (le(j) - la(j)), bi, j, (gen, se, sa))
+                  }
+              }
+              beams = cands
+                .sortBy { case (joint, bi, tok, _) => (-joint, bi, tok) }
+                .take(width)
+                .map { case (joint, _, tok, (gen, se, sa)) =>
+                  val ce = se.fork(); ce.append(tok)
+                  val ca = sa.fork(); ca.append(tok)
+                  (gen :+ tok, joint, ce, ca)
+                }
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ beams.map(_._1.toSeq))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * Teacher-forced CONTINUATION scoring under the causal LM — the
    * single-stream sibling of [[scoreSeq2SeqBatched]]: mean next-token
    * NLL of `contCol`'s tokens given `inputCol` as the prefix,

@@ -1201,6 +1201,52 @@ class TorchGenerateSpec extends AnyFunSuite {
       s"a head log-prob sits $minBoundary grid-fractions from its rounding boundary")
   }
 
+  test("q253 contrastive beams: width=1 == greedy CD bit-exact; reranking bites; 1-beam docs are 1-token heads") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bcE = spark.sparkContext.broadcast(m)
+    val dm = graft.torch.TorchQuant.quantize(m, 7)
+    val bcA = spark.sparkContext.broadcast(dm)
+    val df = fixturePrompts(vocab)
+    def collectBeams(width: Int) =
+      Torch.beamSearchContrastiveDecoding(df, "tok_ids", "beams", bcE, bcA,
+          steps = 2, width = width, plausibilityAlpha = 0.125)
+        .select("doc_id", "beams")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    val w1 = collectBeams(1)
+    val greedy = Torch.generateContrastiveDecoding(df, "tok_ids", "gen",
+        bcE, bcA, steps = 2, plausibilityAlpha = 0.125)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    for ((id, bs) <- w1)
+      assert(bs == Seq(greedy(id)),
+        s"doc $id width=1 beam ${bs} != greedy CD ${greedy(id)}")
+    // width = 2: the joint-score rerank must move some doc's top beam
+    // away from the greedy trajectory (otherwise beams are vacuous)
+    val w2 = collectBeams(2)
+    assert(w2.exists { case (id, bs) => bs.head != greedy(id) },
+      "beam rerank never changed the top hypothesis — vacuous")
+    // a doc keeping ONE beam must have a single-token step-1 head —
+    // restate the head per doc
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray).toMap
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    var oneBeam = 0
+    for ((id, bs) <- w2 if bs.length == 1) {
+      oneBeam += 1
+      val lg = m.decodeSession(prompts(id)).logits()
+      val mx = (0 until vocab).map(j => lg(j).toDouble).max
+      val z = (0 until vocab).map(j => math.exp(lg(j).toDouble - mx)).sum
+      val pe = (0 until vocab).map(j => q6(math.exp(lg(j).toDouble - mx) / z))
+      val head = (0 until vocab).filter(pe(_) >= 0.125 * pe.max)
+      assert(head.size == 1,
+        s"doc $id kept 1 beam but its step-1 head is $head")
+    }
+    info(s"q253 sf0.001 single-beam docs: $oneBeam / ${w2.size}")
+  }
+
   test("q236 diverse beams: group 0 == plain beam search; penalty diversifies; rule restated") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
