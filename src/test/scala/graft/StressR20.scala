@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
  *     self-distance ranks first at dsub = 2 — the StressR19 geometry
  *     lessons) and the cos6 rerank must pick it. No corpus-vs-query
  *     broadcast NLJ anywhere.
+ *  2. gamma = 2 stochastic speculative sampling (q249) at 100k rows:
+ *     per-row invariants (|draft_toks| = gamma, |out_toks| =
+ *     n_accepted + 1, accepted prefixes match the drafts), all three
+ *     acceptance arms live, and bit-reproducibility under
+ *     repartitioning (the md5 salt discipline — partition layout
+ *     cannot move a draw).
+ *  3. diverse beams × eos + length penalty (q250) at 100k rows:
+ *     group 0 bit-identical to plain beamSearch under the same knobs
+ *     on EVERY row, completed beams end at eos exactly once, live
+ *     beams run the full step budget.
+ *  4. contrastive decoding under beams (q253) at 100k rows: width=1
+ *     bit-identical to greedy CD on every row; width=2 keeps 1 or 2
+ *     beams of exactly `steps` tokens.
  *
  * Timings printed here are QUIET-WINDOW figures (SURVEY §8i); on a
  * loaded host judges have measured 4-40x these — the CORRECTNESS
@@ -88,6 +101,102 @@ object StressR20 {
     // the floor tolerates a handful of ADC edge cases, never a break
     require(mateHits >= 1995L,
       s"planted mates missed: $mateHits/2000 — shortlist lost exact copies")
+
+    // ---- 2-4 shared fixture: 100k synthetic prompts ----------------
+    val gm = SparkEntry.genModel
+    val gvocab = gm.seqHead.get.vocab
+    val bcT = spark.sparkContext.broadcast(gm)
+    val bcD = spark.sparkContext.broadcast(graft.torch.TorchQuant.quantize(gm, 7))
+    val nRows = 100000L
+    val prompts = spark.range(nRows).select(col("id").as("doc_id"),
+        transform(sequence(lit(0), pmod(xxhash64(col("id")), lit(9L)).cast("int") + 1),
+          j => pmod(xxhash64(col("id"), j, lit(17L)), lit(gvocab.toLong)).cast("int"))
+          .as("tok_ids"))
+      .transform(graft.operators.Checkpoints.cp)
+
+    // ---- 2. gamma = 2 speculative sampling at 100k ------------------
+    val spec = timed("speculativeSampledGamma(2) 100k rows") {
+      graft.torch.Torch.speculativeSampledGamma(prompts, "doc_id", "tok_ids",
+          bcT, bcD, gamma = 2, batchSize = 1024)
+        .select(col("doc_id"), col("draft_toks"), col("n_accepted"),
+          col("out_toks")).cache()
+        .transform { d => d.count(); d } // force — the timing is the decode
+    }
+    val bad = spec.filter(
+      size(col("draft_toks")) =!= 2 ||
+      size(col("out_toks")) =!= col("n_accepted") + 1 ||
+      (col("n_accepted") >= 1 && col("out_toks")(0) =!= col("draft_toks")(0)) ||
+      (col("n_accepted") === 2 && col("out_toks")(1) =!= col("draft_toks")(1))).count()
+    require(bad == 0L, s"$bad rows violate the prefix-acceptance invariants")
+    val hist = spec.groupBy("n_accepted").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    println(s"[stress] spec-gamma n_accepted histogram: $hist")
+    require((0 to 2).forall(hist.getOrElse(_, 0L) > 0L),
+      s"an acceptance arm never fired at 100k rows: $hist")
+    val once = spec.select("doc_id", "n_accepted", "out_toks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    val reparted = graft.torch.Torch.speculativeSampledGamma(
+        prompts.repartition(7, col("doc_id")), "doc_id", "tok_ids",
+        bcT, bcD, gamma = 2, batchSize = 333)
+      .select("doc_id", "n_accepted", "out_toks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    require(once.sameElements(reparted),
+      "speculative draws moved under repartitioning — salt discipline broken")
+    spec.unpersist()
+
+    // ---- 3. diverse beams × eos + lennorm at 100k -------------------
+    val divEos = timed("beamSearchDiverse(eos=1, alpha=0.5) 100k rows") {
+      graft.torch.Torch.beamSearchDiverse(prompts, "tok_ids", "beams", bcT,
+          steps = 2, width = 2, groups = 2, diversityPenalty = 0.5,
+          batchSize = 1024, lengthPenalty = 0.5, eosId = 1)
+        .select(col("doc_id"), col("beams")).cache()
+        .transform { d => d.count(); d }
+    }
+    val plainEos = graft.torch.Torch.beamSearch(prompts, "tok_ids", "beams", bcT,
+        steps = 2, width = 2, batchSize = 1024,
+        lengthPenalty = 0.5, eosId = 1)
+      .select(col("doc_id"), col("beams").as("plain"))
+    val g0Diff = divEos.join(plainEos, "doc_id")
+      .filter(slice(col("beams"), 1, 2) =!= col("plain")).count()
+    require(g0Diff == 0L,
+      s"group 0 diverged from plain beamSearch(knobs) on $g0Diff rows")
+    val beamRows = divEos.select(explode(col("beams")).as("b"))
+    val badBeam = beamRows.filter(
+      size(filter(col("b"), t => t === 1)) > 1 ||
+      (size(col("b")) < 2 && col("b")(size(col("b")) - 1) =!= 1)).count()
+    require(badBeam == 0L,
+      s"$badBeam beams are short without eos or carry eos twice")
+    val frozen = beamRows.filter(size(col("b")) === 1).count()
+    val live = beamRows.filter(size(col("b")) === 2 &&
+      col("b")(1) =!= 1 && col("b")(0) =!= 1).count()
+    println(s"[stress] diverse-eos beams: $frozen step-1-frozen, $live full-budget live")
+    require(frozen > 0L && live > 0L, "an eos/live arm never fired at 100k")
+    divEos.unpersist()
+
+    // ---- 4. contrastive decoding under beams at 100k ----------------
+    val cdw2 = timed("beamSearchContrastiveDecoding(width=2) 100k rows") {
+      graft.torch.Torch.beamSearchContrastiveDecoding(prompts, "tok_ids",
+          "beams", bcT, bcD, steps = 2, width = 2,
+          plausibilityAlpha = 0.125, batchSize = 1024)
+        .select(col("doc_id"), col("beams")).cache()
+        .transform { d => d.count(); d }
+    }
+    val badCd = cdw2.filter(
+      size(col("beams")) < 1 || size(col("beams")) > 2 ||
+      exists(col("beams"), b => size(b) =!= 2)).count()
+    require(badCd == 0L, s"$badCd rows break the beam-arity/length contract")
+    val w1 = graft.torch.Torch.beamSearchContrastiveDecoding(prompts, "tok_ids",
+        "beams", bcT, bcD, steps = 2, width = 1,
+        plausibilityAlpha = 0.125, batchSize = 1024)
+      .select(col("doc_id"), col("beams")(0).as("w1"))
+    val greedyCd = graft.torch.Torch.generateContrastiveDecoding(prompts,
+        "tok_ids", "gen", bcT, bcD, steps = 2, plausibilityAlpha = 0.125,
+        batchSize = 1024)
+      .select(col("doc_id"), col("gen"))
+    val w1Diff = w1.join(greedyCd, "doc_id")
+      .filter(col("w1") =!= col("gen")).count()
+    require(w1Diff == 0L, s"width=1 CD beams diverged from greedy CD on $w1Diff rows")
+    cdw2.unpersist()
 
     spark.stop()
     println("[stress] StressR20 PASS")
