@@ -1337,6 +1337,186 @@ object Torch {
   }
 
   /**
+   * The speculative SERVING LOOP — [[speculativeSampledGamma]] cycled
+   * until `maxNewTokens` tokens are emitted (then truncated), the
+   * shape a draft-accelerated inference server actually runs: each
+   * cycle drafts gamma tokens, verifies them against the target's
+   * prefix distributions, emits accepted run + correction-or-bonus,
+   * and ROLLS BACK both KV sessions to the emitted prefix before the
+   * next cycle. Rollback here is the fork discipline — the
+   * accepted-prefix sessions are never polluted by rejected drafts:
+   * each cycle VERIFIES on forks (`st0.fork()` / `sd0.fork()`), and
+   * the new accepted-prefix sessions are fresh forks of the old ones
+   * with only the EMITTED tokens appended (O(L) pointer copy + O(E)
+   * appends — no prompt replay, no un-append needed).
+   *
+   * Draw discipline: salts are GLOBAL position indices — cycle c
+   * draft i uses `"d<(c−1)·gamma + i>"` (likewise a/r), bonus
+   * `"b<c>"` — so cycle 1 replays [[speculativeSampledGamma]]'s
+   * exact draws (spec-pinned: the loop's first cycle IS q249), and
+   * a row's draws are independent of partition layout and of OTHER
+   * rows, like every sampler here. A cycle always runs to
+   * completion (full gamma-draft + walk) even when it overshoots
+   * `maxNewTokens` — the server truncates output, not the cycle —
+   * so emitted prefixes are cycle-deterministic.
+   *
+   * @return input columns + `out_toks` array<int> (exactly
+   *         maxNewTokens tokens), `n_cycles` int, `n_acc_total` int
+   *         (accepted drafts across all cycles — the serving
+   *         acceptance-rate telemetry); null prompt/id → all null
+   */
+  def speculativeSampledLoop(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      gamma: Int,
+      maxNewTokens: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(gamma >= 1, "gamma must be >= 1")
+    require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "speculativeSampledLoop needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross models: use the pair speculative path")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "speculative sampling needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("out_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_cycles", IntegerType, nullable = true),
+      StructField("n_acc_total", IntegerType, nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def draw(id: Long, salt: String): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+      }
+      def probs6(lg: Array[Float]): Array[Double] = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = lg(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
+      }
+      def pick(mass: Array[Double], u: Double): Int = {
+        val order = (0 until vocab).filter(mass(_) > 0.0)
+          .sortBy(j => (-mass(j), j))
+        var run = 0.0
+        val sums = order.map { j => run += mass(j); run }
+        val total = run
+        var chosen = order.last
+        var done = false
+        for ((j, cs) <- order.zip(sums) if !done)
+          if (q6(cs / total) > u) { chosen = j; done = true }
+        chosen
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            var st0 = tm.decodeSession(p) // target @ accepted prefix
+            var sd0 = dm.decodeSession(p) // draft  @ accepted prefix
+            val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var cycles = 0
+            var accTotal = 0
+            while (emitted.length < maxNewTokens) {
+              cycles += 1
+              val base = (cycles - 1) * gamma
+              val sdV = sd0.fork()
+              val drafts = new Array[Int](gamma)
+              val qm = new Array[Array[Double]](gamma)
+              var i = 0
+              while (i < gamma) {
+                qm(i) = probs6(sdV.logits())
+                drafts(i) = pick(qm(i), draw(id, s"d${base + i + 1}"))
+                sdV.append(drafts(i))
+                i += 1
+              }
+              val stV = st0.fork()
+              val pm = new Array[Array[Double]](gamma + 1)
+              pm(0) = probs6(stV.logits())
+              i = 0
+              while (i < gamma) {
+                stV.append(drafts(i))
+                pm(i + 1) = probs6(stV.logits())
+                i += 1
+              }
+              var n = 0
+              var rejectedAt = -1
+              while (n < gamma && rejectedAt < 0) {
+                val x = drafts(n)
+                val r6 = q6(math.min(1.0, pm(n)(x) / qm(n)(x)))
+                if (draw(id, s"a${base + n + 1}") < r6) n += 1
+                else rejectedAt = n
+              }
+              accTotal += n
+              val cycleOut: Seq[Int] =
+                if (rejectedAt < 0)
+                  drafts.toSeq :+ pick(pm(gamma), draw(id, s"b$cycles"))
+                else {
+                  val k = rejectedAt
+                  val resid = Array.tabulate(vocab)(j =>
+                    math.max(0.0, pm(k)(j) - qm(k)(j)))
+                  val corr =
+                    if (resid.forall(_ == 0.0)) drafts(k)
+                    else pick(resid, draw(id, s"r${base + k + 1}"))
+                  drafts.take(k).toSeq :+ corr
+                }
+              emitted ++= cycleOut
+              if (emitted.length < maxNewTokens) {
+                // roll forward the accepted-prefix sessions: fresh
+                // forks + the emitted tokens only (rejected drafts
+                // never touch them)
+                val st1 = st0.fork(); cycleOut.foreach(st1.append); st0 = st1
+                val sd1 = sd0.fork(); cycleOut.foreach(sd1.append); sd0 = sd1
+              }
+            }
+            Row.fromSeq(r.toSeq ++
+              Seq(emitted.take(maxNewTokens).toSeq, cycles, accTotal))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * CONTRASTIVE DECODING (Li et al. 2023 — distinct from contrastive
    * SEARCH): each step picks, among the EXPERT's plausible candidates
    * (`p_e(j) >= alpha · max p_e` — the adaptive plausibility head),
