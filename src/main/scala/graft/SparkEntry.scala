@@ -410,6 +410,59 @@ object SparkEntry {
           (col("n_agree") * lit(10L) >= col("n_brute") * lit(9L)).as("pass"))
     },
 
+    // INCREMENTAL ANN-INDEX INGEST (q255): the standing-corpus
+    // reality of similarity search at 100 TB — the IVFADC index is
+    // trained ONCE on the standing corpus and frozen; a new batch is
+    // encoded with the reopened index and its code rows APPENDED,
+    // never re-encoding (let alone retraining on) the standing data.
+    // The gate proves the contract exactly: per-row encoding under a
+    // frozen index is deterministic, so append-encode == re-encode-
+    // everything BIT-FOR-BIT (code rows and reranked search results
+    // both) — the in-query rebuild comparator exists only here, the
+    // steady state ships the append. Mirrors q231 (the image-hash
+    // incremental index) for the vector side.
+    "q255_ann_index_append" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val standing = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q255").toString
+      val ix0 = graft.operators.Similarity.ivfPqTrain(standing, "embedding",
+        dim = 64, nlist = 16, m = 8, ksub = 32)
+      graft.operators.Similarity.saveIndex(s, ix0, s"$tmp/ix")
+      graft.operators.Similarity.ivfPqEncode(standing, "vec_id", "embedding", ix0)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
+      val standingCodes = s.read.parquet(s"$tmp/codes")
+      val inc = standingCodes.unionByName(
+        graft.operators.Similarity.ivfPqEncode(batch, "vec_id", "embedding", ix))
+      val full = graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix)
+      def norm(c: org.apache.spark.sql.DataFrame) =
+        c.select(col("vec_id"), col("cell"),
+          concat_ws(",", col("codes")).as("cs"))
+      val codeMis = norm(inc).exceptAll(norm(full))
+        .unionByName(norm(full).exceptAll(norm(inc)))
+        .agg(count(lit(1)).cast("long").as("n_code_mismatch"))
+      val q = emb.filter(col("vec_id") < 20)
+      def search(codes: org.apache.spark.sql.DataFrame) =
+        graft.operators.Similarity.ivfPqTopKReranked(emb, codes, q,
+            "vec_id", "embedding", ix, k = 5, shortlist = 50, nprobe = 16)
+          .select(col("q_id"), col("rank"), col("vec_id"),
+            round(col("cos"), 6).as("cos6"))
+      val searchMis = search(inc).exceptAll(search(full))
+        .unionByName(search(full).exceptAll(search(inc)))
+        .agg(count(lit(1)).cast("long").as("n_search_mismatch"))
+      standing.agg(count(lit(1)).cast("long").as("n_standing"))
+        .crossJoin(broadcast(batch.agg(count(lit(1)).cast("long").as("n_batch"))))
+        .crossJoin(broadcast(inc.agg(count(lit(1)).cast("long").as("n_inc"))))
+        .crossJoin(broadcast(codeMis))
+        .crossJoin(broadcast(searchMis))
+        .select(lit("ann_index_append").as("metric"),
+          col("n_standing"), col("n_batch"), col("n_inc"),
+          col("n_code_mismatch"), col("n_search_mismatch"),
+          (col("n_code_mismatch") === 0L && col("n_search_mismatch") === 0L &&
+            col("n_inc") === col("n_standing") + col("n_batch")).as("pass"))
+    },
+
     "q24_knn_brute" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
@@ -10186,6 +10239,21 @@ object SparkEntry {
         |   WHEN 500 THEN 228 WHEN 2000 THEN 835 ELSE -2 END AS BIGINT) AS n_agree,
         | CAST(CASE (SELECT count(*) FROM embeddings)
         |   WHEN 500 THEN 195 WHEN 2000 THEN 367 ELSE -2 END AS BIGINT) AS n_margin_eq,
+        | true AS pass""".stripMargin,
+
+    // Incremental index ingest: per-SF count constants; the
+    // mismatch counts are STRUCTURAL zeros (append-encode is
+    // bit-identical to rebuild under a frozen index — the query
+    // computes both and counts divergences).
+    "q255_ann_index_append" ->
+      """SELECT 'ann_index_append' AS metric,
+        | CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 7)
+        |   AS BIGINT) AS n_standing,
+        | CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 = 7)
+        |   AS BIGINT) AS n_batch,
+        | CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_inc,
+        | CAST(0 AS BIGINT) AS n_code_mismatch,
+        | CAST(0 AS BIGINT) AS n_search_mismatch,
         | true AS pass""".stripMargin,
 
     "q24_knn_brute" ->
