@@ -425,32 +425,49 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val standing = emb.filter(col("vec_id") % 10 =!= 7)
       val batch = emb.filter(col("vec_id") % 10 === 7)
+      // the STANDING index + its codes are the standing-corpus
+      // artifacts (built once per JVM+dataset — the q228/q246
+      // frozen-artifact discipline); what stays in-query is exactly
+      // the per-batch ingest work plus the rebuild COMPARATOR the
+      // gate exists to run
+      val (ixP, codesP) = q255Artifacts(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q255").toString
-      val ix0 = graft.operators.Similarity.ivfPqTrain(standing, "embedding",
-        dim = 64, nlist = 16, m = 8, ksub = 32)
-      graft.operators.Similarity.saveIndex(s, ix0, s"$tmp/ix")
-      graft.operators.Similarity.ivfPqEncode(standing, "vec_id", "embedding", ix0)
-        .write.mode("overwrite").parquet(s"$tmp/codes")
-      val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
-      val standingCodes = s.read.parquet(s"$tmp/codes")
-      val inc = standingCodes.unionByName(
-        graft.operators.Similarity.ivfPqEncode(batch, "vec_id", "embedding", ix))
-      val full = graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix)
+      val ix = graft.operators.Similarity.loadIndex(s, ixP)
+      val standingCodes = s.read.parquet(codesP)
+      // both derived code tables are written once and read back —
+      // they feed two consumers each (the code-level compare and a
+      // search leg), and an unpersisted encode would re-run its UDF
+      // per consumer
+      graft.operators.Similarity.ivfPqEncode(batch, "vec_id", "embedding", ix)
+        .write.mode("overwrite").parquet(s"$tmp/codes_batch")
+      graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix)
+        .write.mode("overwrite").parquet(s"$tmp/codes_full")
+      val inc = standingCodes.unionByName(s.read.parquet(s"$tmp/codes_batch"))
+      val full = s.read.parquet(s"$tmp/codes_full")
+      // divergence counts via ONE full-outer count join per
+      // comparison — a two-sided exceptAll executes each side twice
+      def misCount(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame, keys: Seq[String],
+          out: String) = {
+        def cnt(d: org.apache.spark.sql.DataFrame, n: String) =
+          d.groupBy(keys.map(col): _*).agg(count(lit(1)).as(n))
+        cnt(a, "ca").join(cnt(b, "cb"), keys, "full_outer")
+          .filter(coalesce(col("ca"), lit(0L)) =!= coalesce(col("cb"), lit(0L)))
+          .agg(count(lit(1)).cast("long").as(out))
+      }
       def norm(c: org.apache.spark.sql.DataFrame) =
         c.select(col("vec_id"), col("cell"),
           concat_ws(",", col("codes")).as("cs"))
-      val codeMis = norm(inc).exceptAll(norm(full))
-        .unionByName(norm(full).exceptAll(norm(inc)))
-        .agg(count(lit(1)).cast("long").as("n_code_mismatch"))
+      val codeMis = misCount(norm(inc), norm(full),
+        Seq("vec_id", "cell", "cs"), "n_code_mismatch")
       val q = emb.filter(col("vec_id") < 20)
       def search(codes: org.apache.spark.sql.DataFrame) =
         graft.operators.Similarity.ivfPqTopKReranked(emb, codes, q,
             "vec_id", "embedding", ix, k = 5, shortlist = 50, nprobe = 16)
           .select(col("q_id"), col("rank"), col("vec_id"),
             round(col("cos"), 6).as("cos6"))
-      val searchMis = search(inc).exceptAll(search(full))
-        .unionByName(search(full).exceptAll(search(inc)))
-        .agg(count(lit(1)).cast("long").as("n_search_mismatch"))
+      val searchMis = misCount(search(inc), search(full),
+        Seq("q_id", "rank", "vec_id", "cos6"), "n_search_mismatch")
       standing.agg(count(lit(1)).cast("long").as("n_standing"))
         .crossJoin(broadcast(batch.agg(count(lit(1)).cast("long").as("n_batch"))))
         .crossJoin(broadcast(inc.agg(count(lit(1)).cast("long").as("n_inc"))))
@@ -5381,6 +5398,28 @@ object SparkEntry {
         graft.operators.Similarity.ivfPqEncode(ys, "vec_id", "embedding", ix)
           .write.mode("overwrite").parquet(s"$tmp/cy")
         (s"$tmp/ix", s"$tmp/cx", s"$tmp/cy")
+      })
+    }
+
+  /** q255's standing-corpus artifacts — the IVFADC index trained on
+    * the STANDING slice (vec_id % 10 != 7) plus that slice's code
+    * table, persisted once per (JVM, sf dir). Returns (indexPath,
+    * standingCodesPath). */
+  private val q255Cache =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+  private[graft] def q255Artifacts(s: SparkSession,
+      dir: String): (String, String) =
+    q255Cache.synchronized {
+      q255Cache.getOrElseUpdate(dir, {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val standing = emb.filter(col("vec_id") % 10 =!= 7)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q255_ix").toString
+        val ix = graft.operators.Similarity.ivfPqTrain(standing, "embedding",
+          dim = 64, nlist = 16, m = 8, ksub = 32, trainSample = 8192)
+        graft.operators.Similarity.saveIndex(s, ix, s"$tmp/ix")
+        graft.operators.Similarity.ivfPqEncode(standing, "vec_id", "embedding", ix)
+          .write.mode("overwrite").parquet(s"$tmp/codes")
+        (s"$tmp/ix", s"$tmp/codes")
       })
     }
 
