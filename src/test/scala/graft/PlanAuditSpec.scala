@@ -460,6 +460,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q224 lost its ranking window:\n$p224")
   }
 
+  test("round-17 decode ops: scan-side, output sort the only exchange") {
+    // gamma speculative sampling (q249), diverse beams × eos/lennorm
+    // (q250), watermark gamma=1/4 generate+detect (q251/q252),
+    // contrastive beam decoding (q253), the speculative serving loop
+    // (q254): all KV-session work inside ONE mapPartitions — the
+    // same ≤1-exchange / ≤1-scan / no-cartesian contract as every
+    // decode wave before them
+    for (q <- Seq("q249_torch_spec_gamma", "q250_torch_beam_diverse_eos",
+        "q251_torch_gen_watermark_g4", "q252_watermark_detect_g4",
+        "q253_torch_cd_beam", "q254_torch_spec_loop")) {
+      val p = plan(q)
+      val ex = "Exchange".r.findAllIn(p).length
+      assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert("Scan parquet".r.findAllIn(p).length <= 1,
+        s"$q: expected at most one parquet scan:\n$p")
+    }
+    // q255 incremental-ingest gate: keyed joins + one-row broadcast
+    // combines only — never a cartesian (the one-row crossJoins plan
+    // as broadcast NLJs by design, like q228's agreement gate)
+    val p255 = plan("q255_ann_index_append")
+    assert(!p255.contains("CartesianProduct"), s"q255 cartesian:\n$p255")
+  }
+
   test("q246 RAG retrieval leg is the IVFADC shortlist — no corpus-vs-queries NLJ") {
     // round-17 (VERDICT r16 item 1): the capstone's top-1 retrieval
     // must ride the probe-bounded shortlist + keyed rerank joins. A

@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
  *  4. contrastive decoding under beams (q253) at 100k rows: width=1
  *     bit-identical to greedy CD on every row; width=2 keeps 1 or 2
  *     beams of exactly `steps` tokens.
+ *  5. the speculative serving loop (q254) at 100k rows: exactly
+ *     maxNewTokens emitted per row, cycle counts coherent with the
+ *     single-cycle gamma run on EVERY row (one cycle iff it accepted
+ *     a draft), both cycle arms live.
+ *  6. incremental ANN-index ingest (q255) at 550k vectors: a 50k
+ *     batch encoded against the frozen 500k-standing index and
+ *     appended — code rows bit-identical to re-encoding the full
+ *     550k corpus (zero divergent (id, cell, codes) rows).
  *
  * Timings printed here are QUIET-WINDOW figures (SURVEY §8i); on a
  * loaded host judges have measured 4-40x these — the CORRECTNESS
@@ -197,6 +205,66 @@ object StressR20 {
       .filter(col("w1") =!= col("gen")).count()
     require(w1Diff == 0L, s"width=1 CD beams diverged from greedy CD on $w1Diff rows")
     cdw2.unpersist()
+
+    // ---- 5. speculative serving loop at 100k ------------------------
+    val loop = timed("speculativeSampledLoop(gamma=2, maxNew=2) 100k rows") {
+      graft.torch.Torch.speculativeSampledLoop(prompts, "doc_id", "tok_ids",
+          bcT, bcD, gamma = 2, maxNewTokens = 2, batchSize = 1024)
+        .select(col("doc_id"), col("out_toks"), col("n_cycles")).cache()
+        .transform { d => d.count(); d }
+    }
+    require(loop.filter(size(col("out_toks")) =!= 2).count() == 0L,
+      "a row emitted != maxNewTokens")
+    val oneCycle = graft.torch.Torch.speculativeSampledGamma(prompts,
+        "doc_id", "tok_ids", bcT, bcD, gamma = 2, batchSize = 1024)
+      .select(col("doc_id"), col("n_accepted"), col("out_toks").as("c1"))
+    val incoherent = loop.join(oneCycle, "doc_id")
+      .filter(
+        (col("n_cycles") === 1) =!= (col("n_accepted") >= 1) ||
+        col("out_toks")(0) =!= col("c1")(0)).count()
+    require(incoherent == 0L,
+      s"$incoherent rows: loop cycle count or first emission diverged from the gamma run")
+    val cyc = loop.groupBy("n_cycles").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    println(s"[stress] serving loop cycles: $cyc")
+    require(cyc.getOrElse(1, 0L) > 0L && cyc.getOrElse(2, 0L) > 0L,
+      s"a cycle arm never fired at 100k rows: $cyc")
+    loop.unpersist()
+
+    // ---- 6. incremental ANN-index ingest at 550k --------------------
+    val standing = spark.range(500000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(xxhash64(col("id"), j, lit(6L)), lit(100003L)).cast("double")
+          / 100003.0) - 0.5).as("embedding"))
+      .transform(graft.operators.Checkpoints.cp)
+    val batch = spark.range(50000L).select((col("id") + 2000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(xxhash64(col("id"), j, lit(7L)), lit(100003L)).cast("double")
+          / 100003.0) - 0.5).as("embedding"))
+      .transform(graft.operators.Checkpoints.cp)
+    val nDivergent = timed("incremental index ingest 500k standing + 50k batch") {
+      val ix = graft.operators.Similarity.ivfPqTrain(standing, "embedding",
+        dim = dim, nlist = 256, m = 8, ksub = 16, trainSample = 1 << 14)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s20_ix").toString
+      graft.operators.Similarity.saveIndex(spark, ix, s"$tmp/ix")
+      graft.operators.Similarity.ivfPqEncode(standing, "vec_id", "embedding", ix)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      val reopened = graft.operators.Similarity.loadIndex(spark, s"$tmp/ix")
+      val inc = spark.read.parquet(s"$tmp/codes").unionByName(
+        graft.operators.Similarity.ivfPqEncode(batch, "vec_id", "embedding", reopened))
+      val full = graft.operators.Similarity.ivfPqEncode(
+        standing.unionByName(batch), "vec_id", "embedding", reopened)
+      def cnt(c: org.apache.spark.sql.DataFrame, n: String) =
+        c.select(col("vec_id"), col("cell"), concat_ws(",", col("codes")).as("cs"))
+          .groupBy("vec_id", "cell", "cs").agg(count(lit(1)).as(n))
+      cnt(inc, "ca").join(cnt(full, "cb"),
+          Seq("vec_id", "cell", "cs"), "full_outer")
+        .filter(coalesce(col("ca"), lit(0L)) =!= coalesce(col("cb"), lit(0L)))
+        .count()
+    }
+    println(s"[stress] incremental ingest: $nDivergent divergent code rows")
+    require(nDivergent == 0L,
+      s"append-encode diverged from rebuild on $nDivergent rows")
 
     spark.stop()
     println("[stress] StressR20 PASS")
