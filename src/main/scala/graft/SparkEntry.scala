@@ -1503,6 +1503,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SELF-SPECULATIVE sampling (q256): the LayerSkip / Draft&Verify
+    // shape — the draft is an EARLY EXIT of the target itself
+    // (embedding + positional + head, transformer block skipped;
+    // shared weights, no second model to maintain), verified by the
+    // full target through the q249 gamma = 2 prefix-acceptance rule.
+    // Same kernels, same salts; only the draft distribution changes.
+    "q256_torch_spec_selfdraft" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(earlyExitModel)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids", bcT, bcD,
+          gamma = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("draft_toks")(0).as("d1"), col("draft_toks")(1).as("d2"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
     // SPECULATIVE SERVING LOOP (q254): q249 cycled until 2 tokens are
     // emitted — drafts verify on session FORKS, the accepted-prefix
     // sessions roll forward with only the emitted tokens (the KV
@@ -6927,6 +6955,21 @@ object SparkEntry {
     * TorchGenerateSpec. Reference capability anchor: arbitrary
     * TorchScript nets via libtorch (reference src/udf.rs:127) —
     * generation is that same forward pass in a loop. */
+  /** q256's EARLY-EXIT self-draft: [[genModel]] with its transformer
+    * block removed (embedding + positional encoding + last-pool +
+    * the SAME lm head) — the LayerSkip / Draft&Verify
+    * self-speculative shape, where the draft is a shallow exit of
+    * the target itself and shares its embeddings/head rather than
+    * being a separately-quantized model. Still KV-cacheable (no
+    * attention at all), so it rides the same speculative kernels. */
+  private[graft] lazy val earlyExitModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    new TorchScriptModel(genModel.ops.filterNot {
+      case _: EncoderAttnOp | _: SeqLayerNormOp | _: PosFfnOp => true
+      case _ => false
+    })
+  }
+
   private[graft] lazy val genModel: graft.torch.TorchScriptModel = {
     import graft.torch._
     def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
@@ -11252,133 +11295,12 @@ object SparkEntry {
     // prefix distributions, both acceptance draws, both residual
     // walks and the all-accepted bonus pick — every arm of the
     // prefix-acceptance rule restated as the engine computes it.
-    "q249_torch_spec_gamma" -> {
-      def fwdP(model: graft.torch.TorchScriptModel, toksName: String,
-          sfx: String): String = {
-        val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
-        val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
-        val pCols = (0 until model.seqHead.get.vocab)
-          .map(j => s"p$j").mkString(", ")
-        TorchOracle.mlpArgmaxSql(fc,
-          encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
-          arms = Seq("p"), carry = Seq("doc_id"),
-          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
-      }
-      val vocab = genModel.seqHead.get.vocab
-      def softmax6(src: String, out: String): String = {
-        val unpivot = (0 until vocab).map(j =>
-          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
-          .mkString("\n  UNION ALL ")
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, round(e / z, 6) AS p6
-           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
-           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
-           |        FROM (SELECT doc_id, tid, lp,
-           |                     max(lp) OVER (PARTITION BY doc_id) AS m
-           |              FROM ($unpivot))))""".stripMargin
-      }
-      def u(salt: String, docRef: String = "doc_id"): String =
-        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
-          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
-      def pickCte(src: String, massCol: String, salt: String,
-          out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid FROM (
-           |    SELECT doc_id, tid,
-           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
-           |    FROM (SELECT doc_id, tid, rk, cs,
-           |                 max(cs) OVER (PARTITION BY doc_id) AS total
-           |          FROM (SELECT doc_id, tid,
-           |                  row_number() OVER (PARTITION BY doc_id
-           |                    ORDER BY $massCol DESC, tid) AS rk,
-           |                  sum($massCol) OVER (PARTITION BY doc_id
-           |                    ORDER BY $massCol DESC, tid) AS cs
-           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
-           |    WHERE round(cs / total, 6) > ${u(salt)})
-           |  WHERE prk = 1)""".stripMargin
-      def grow(prev: String, pickSrc: String, out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, pos FROM $prev
-           |  UNION ALL
-           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
-           |  FROM $pickSrc s
-           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
-           |        GROUP BY doc_id) l
-           |    ON l.doc_id = s.doc_id)""".stripMargin
-      def resid(out: String, p: String, q: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
-           |  FROM $p p JOIN $q q
-           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
-      val dmq = graft.torch.TorchQuant.quantize(genModel, 7)
-      s"""WITH words AS (
-         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
-         |           % $vocab AS tid, pos
-         |  FROM (SELECT doc_id,
-         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-         |          generate_subscripts(regexp_extract_all(text,
-         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-         |        FROM documents)
-         |  WHERE pos <= $EncMaxLen),
-         |toks0 AS MATERIALIZED (SELECT * FROM words),
-         |logitD1 AS MATERIALIZED (
-         |${fwdP(dmq, "toks0", "d1")}
-         |),
-         |${softmax6("logitD1", "qprob1")},
-         |${pickCte("qprob1", "p6", "d1", "dpick1")},
-         |${grow("toks0", "dpick1", "toks1")},
-         |logitD2 AS MATERIALIZED (
-         |${fwdP(dmq, "toks1", "d2")}
-         |),
-         |${softmax6("logitD2", "qprob2")},
-         |${pickCte("qprob2", "p6", "d2", "dpick2")},
-         |${grow("toks1", "dpick2", "toks2")},
-         |logitT1 AS MATERIALIZED (
-         |${fwdP(genModel, "toks0", "t1")}
-         |),
-         |${softmax6("logitT1", "pprob1")},
-         |logitT2 AS MATERIALIZED (
-         |${fwdP(genModel, "toks1", "t2")}
-         |),
-         |${softmax6("logitT2", "pprob2")},
-         |logitT3 AS MATERIALIZED (
-         |${fwdP(genModel, "toks2", "t3")}
-         |),
-         |${softmax6("logitT3", "pprob3")},
-         |accx AS MATERIALIZED (
-         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
-         |    (${u("a1", "d1.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
-         |    (${u("a2", "d1.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
-         |  FROM dpick1 d1
-         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
-         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
-         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
-         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
-         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
-         |${resid("resid1", "pprob1", "qprob1")},
-         |${pickCte("resid1", "rmass", "r1", "rpick1")},
-         |${resid("resid2", "pprob2", "qprob2")},
-         |${pickCte("resid2", "rmass", "r2", "rpick2")},
-         |${pickCte("pprob3", "p6", "b1", "bpick")}
-         |SELECT a.doc_id,
-         |  CAST(a.x1 AS INT) AS d1, CAST(a.x2 AS INT) AS d2,
-         |  CAST(CASE WHEN NOT a.acc1 THEN 0
-         |            WHEN NOT a.acc2 THEN 1 ELSE 2 END AS INT) AS n_acc,
-         |  CAST(CASE WHEN NOT a.acc1 THEN coalesce(r1.tid, a.x1)
-         |            ELSE a.x1 END AS INT) AS f1,
-         |  CAST(CASE WHEN NOT a.acc1 THEN NULL
-         |            WHEN NOT a.acc2 THEN coalesce(r2.tid, a.x2)
-         |            ELSE a.x2 END AS INT) AS f2,
-         |  CAST(CASE WHEN a.acc1 AND a.acc2 THEN b.tid
-         |            ELSE NULL END AS INT) AS f3
-         |FROM accx a
-         |LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id
-         |LEFT JOIN rpick2 r2 ON r2.doc_id = a.doc_id
-         |LEFT JOIN bpick b ON b.doc_id = a.doc_id
-         |ORDER BY a.doc_id""".stripMargin
-    },
+    "q249_torch_spec_gamma" ->
+      specGammaOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
+
+    // Self-speculative: the same gamma=2 chain with the draft
+    // forwards generated from the early-exit submodel.
+    "q256_torch_spec_selfdraft" -> specGammaOracle(earlyExitModel),
 
     // Speculative serving loop (gamma 2, maxNewTokens 2): the q249
     // cycle-1 chain (no bonus needed — an all-accepted cycle already
@@ -13307,6 +13229,188 @@ object SparkEntry {
        |FROM step1 g1
        |$joins
        |ORDER BY g1.doc_id""".stripMargin
+  }
+
+  /** The q249/q256 gamma=2 speculative oracle, parameterized by the
+    * DRAFT model (q249: the int8 quantization; q256: the early-exit
+    * self-draft): the q247 chain with a SECOND draft step, the
+    * target's three prefix distributions, both acceptance draws,
+    * both residual walks and the all-accepted bonus pick — every
+    * arm of the prefix-acceptance rule restated as the engine
+    * computes it. */
+  /** The hidden-state block for [[earlyExitModel]]-shaped drafts
+    * (embedding + positional + last-pool, NO attention): the pooled
+    * state is `emb(last token) + pe(last 0-based position)` — both
+    * tables dyadic, so the sum (and the head GEMM downstream) is
+    * EXACT in f32 and f64 alike; no drift discipline needed beyond
+    * the shared softmax/quantization chain. Emits (doc_id, p0..p{d-1})
+    * like encBlockSql's pooled read-out. */
+  private def earlyExitBlockSql(m: graft.torch.TorchScriptModel,
+      toksName: String): String = {
+    import graft.torch._
+    val e = m.ops.collectFirst { case x: EmbeddingSeqOp => x }.get
+    val p = m.ops.collectFirst { case x: PosEmbedOp => x }.get
+    def fmtF(f: Float): String = {
+      val s = f.toString
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val embRows = (0 until e.vocab).map { t =>
+      (0 until e.embDim).map(j => fmtF(e.weight(t * e.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val posRows = (0 until p.maxLen).map { t =>
+      (0 until p.embDim).map(j => fmtF(p.weight(t * p.embDim + j)))
+        .mkString(s"($t, ", ", ", ")")
+    }.mkString(",\n    ")
+    val wCols = (0 until e.embDim).map(j => s"w$j").mkString(", ")
+    val pCols = (0 until p.embDim).map(j => s"pp$j").mkString(", ")
+    s"""WITH embw(tid, $wCols) AS (VALUES
+       |    $embRows),
+       |posw(ppos, $pCols) AS (VALUES
+       |    $posRows),
+       |lastt AS (
+       |  SELECT t.doc_id, t.tid, t.pos
+       |  FROM $toksName t
+       |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toksName
+       |        GROUP BY doc_id) l
+       |    ON l.doc_id = t.doc_id AND t.pos = l.mp)
+       |SELECT lastt.doc_id,
+       |  ${(0 until e.embDim).map(j =>
+            s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS p$j").mkString(", ")}
+       |FROM lastt JOIN embw USING (tid)
+       |JOIN posw ON posw.ppos = lastt.pos - 1""".stripMargin
+  }
+
+  private def specGammaOracle(
+      draftModel: graft.torch.TorchScriptModel): String = {
+      def fwdP(model: graft.torch.TorchScriptModel, toksName: String,
+          sfx: String): String = {
+        val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+        val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+        val pCols = (0 until model.seqHead.get.vocab)
+          .map(j => s"p$j").mkString(", ")
+        val block =
+          if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
+            encBlockSql(model, pool = "last", tokensCte = Some(toksName))
+          else earlyExitBlockSql(model, toksName)
+        TorchOracle.mlpArgmaxSql(fc, block,
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+      }
+      val vocab = genModel.seqHead.get.vocab
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      def u(salt: String, docRef: String = "doc_id"): String =
+        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+      def pickCte(src: String, massCol: String, salt: String,
+          out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid FROM (
+           |    SELECT doc_id, tid,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+           |    FROM (SELECT doc_id, tid, rk, cs,
+           |                 max(cs) OVER (PARTITION BY doc_id) AS total
+           |          FROM (SELECT doc_id, tid,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS rk,
+           |                  sum($massCol) OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS cs
+           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+           |    WHERE round(cs / total, 6) > ${u(salt)})
+           |  WHERE prk = 1)""".stripMargin
+      def grow(prev: String, pickSrc: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, pos FROM $prev
+           |  UNION ALL
+           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+           |  FROM $pickSrc s
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = s.doc_id)""".stripMargin
+      def resid(out: String, p: String, q: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
+           |  FROM $p p JOIN $q q
+           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
+      val dmq = draftModel
+      s"""WITH words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |toks0 AS MATERIALIZED (SELECT * FROM words),
+         |logitD1 AS MATERIALIZED (
+         |${fwdP(dmq, "toks0", "d1")}
+         |),
+         |${softmax6("logitD1", "qprob1")},
+         |${pickCte("qprob1", "p6", "d1", "dpick1")},
+         |${grow("toks0", "dpick1", "toks1")},
+         |logitD2 AS MATERIALIZED (
+         |${fwdP(dmq, "toks1", "d2")}
+         |),
+         |${softmax6("logitD2", "qprob2")},
+         |${pickCte("qprob2", "p6", "d2", "dpick2")},
+         |${grow("toks1", "dpick2", "toks2")},
+         |logitT1 AS MATERIALIZED (
+         |${fwdP(genModel, "toks0", "t1")}
+         |),
+         |${softmax6("logitT1", "pprob1")},
+         |logitT2 AS MATERIALIZED (
+         |${fwdP(genModel, "toks1", "t2")}
+         |),
+         |${softmax6("logitT2", "pprob2")},
+         |logitT3 AS MATERIALIZED (
+         |${fwdP(genModel, "toks2", "t3")}
+         |),
+         |${softmax6("logitT3", "pprob3")},
+         |accx AS MATERIALIZED (
+         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
+         |    (${u("a1", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
+         |    (${u("a2", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
+         |  FROM dpick1 d1
+         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
+         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
+         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
+         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
+         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
+         |${resid("resid1", "pprob1", "qprob1")},
+         |${pickCte("resid1", "rmass", "r1", "rpick1")},
+         |${resid("resid2", "pprob2", "qprob2")},
+         |${pickCte("resid2", "rmass", "r2", "rpick2")},
+         |${pickCte("pprob3", "p6", "b1", "bpick")}
+         |SELECT a.doc_id,
+         |  CAST(a.x1 AS INT) AS d1, CAST(a.x2 AS INT) AS d2,
+         |  CAST(CASE WHEN NOT a.acc1 THEN 0
+         |            WHEN NOT a.acc2 THEN 1 ELSE 2 END AS INT) AS n_acc,
+         |  CAST(CASE WHEN NOT a.acc1 THEN coalesce(r1.tid, a.x1)
+         |            ELSE a.x1 END AS INT) AS f1,
+         |  CAST(CASE WHEN NOT a.acc1 THEN NULL
+         |            WHEN NOT a.acc2 THEN coalesce(r2.tid, a.x2)
+         |            ELSE a.x2 END AS INT) AS f2,
+         |  CAST(CASE WHEN a.acc1 AND a.acc2 THEN b.tid
+         |            ELSE NULL END AS INT) AS f3
+         |FROM accx a
+         |LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id
+         |LEFT JOIN rpick2 r2 ON r2.doc_id = a.doc_id
+         |LEFT JOIN bpick b ON b.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
   }
 
   /** The q253 contrastive-BEAM oracle: the q248 two-model chain

@@ -1128,6 +1128,35 @@ class TorchGenerateSpec extends AnyFunSuite {
       "degenerate gamma=2 acceptance mix on the fixture")
   }
 
+  test("q256 self-speculative: early exit shares weights, is cacheable, and drafts worse than int8") {
+    val m = graft.SparkEntry.genModel
+    val ee = graft.SparkEntry.earlyExitModel
+    val vocab = m.seqHead.get.vocab
+    // the draft IS a shallow exit of the target: same embedding
+    // table, same positional table, same lm head — zero extra weights
+    assert(ee.cacheable, "early-exit draft must be KV-cacheable")
+    assert(ee.ops.forall(m.ops.contains),
+      "every early-exit op must be one of the target's own ops (shared weights)")
+    assert(ee.seqHead.get.vocab == vocab)
+    val bcT = spark.sparkContext.broadcast(m)
+    val bcE = spark.sparkContext.broadcast(ee)
+    val bcQ = spark.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+    val df = fixturePrompts(vocab)
+    def acc(d: org.apache.spark.broadcast.Broadcast[graft.torch.TorchScriptModel]) =
+      Torch.speculativeSampledGamma(df, "doc_id", "tok_ids", bcT, d, gamma = 2)
+        .select("n_accepted").collect().map(_.getInt(0))
+    val eeAcc = acc(bcE)
+    val qAcc = acc(bcQ)
+    info(s"q256 sf0.001 acceptance mean: early-exit " +
+      f"${eeAcc.sum.toDouble / eeAcc.length}%.2f vs int8 ${qAcc.sum.toDouble / qAcc.length}%.2f")
+    // all three arms live under the weak draft, and the weak draft is
+    // measurably weaker (the speculative tradeoff is real, not noise)
+    assert((0 to 2).forall(k => eeAcc.contains(k)),
+      "an acceptance arm never fired under the early-exit draft")
+    assert(eeAcc.sum < qAcc.sum,
+      "the attention-free draft should accept strictly less than the int8 draft")
+  }
+
   test("q254 serving loop: cycle 1 IS q249; rollback prefixes verified; identity cycles exactly") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
