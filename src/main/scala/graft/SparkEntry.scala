@@ -1503,6 +1503,42 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SHALLOW FUSION (q257): Gulcehre et al. 2015 — greedy decoding
+    // whose objective gains a frozen corpus prior,
+    // argmax logits + 0.5·ln p_LM(tok | prev), with p_LM an add-one
+    // token-bigram LM counted over the SAME sliced token stream (a
+    // bounded vocab² integer artifact — 64 cells here — the
+    // frozen-ingest convention's smallest member). The
+    // domain-adaptation shape: bias decoding toward in-domain
+    // continuations without touching the model. lambda = 0 reduces
+    // bit-exactly to plain greedy (spec); the pick's runner-up gap
+    // floor is spec-pinned orders above cross-libm ln ulps.
+    "q257_torch_gen_fused" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+      toks.select(explode(zip_with(
+            slice(col("tok_ids"), lit(1), greatest(size(col("tok_ids")) - 1, lit(0))),
+            slice(col("tok_ids"), lit(2), greatest(size(col("tok_ids")) - 1, lit(0))),
+            (a, b) => struct(a.as("p"), b.as("c")))).as("pc"))
+        .groupBy(col("pc.p").as("p"), col("pc.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+        .collect() // bounded by vocab² = 64 rows
+        .foreach(r => counts(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+      Torch.generateGreedyFused(toks, "tok_ids", "gen", bc, steps = 3,
+          lmWeight = 0.5, lmCounts = counts, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // SELF-SPECULATIVE sampling (q256): the LayerSkip / Draft&Verify
     // shape — the draft is an EARLY EXIT of the target itself
     // (embedding + positional + head, transformer block skipped;
@@ -11302,6 +11338,10 @@ object SparkEntry {
     // forwards generated from the early-exit submodel.
     "q256_torch_spec_selfdraft" -> specGammaOracle(earlyExitModel),
 
+    // Shallow fusion: the watermark step shape with the frozen
+    // bigram-LM term joined on the last token.
+    "q257_torch_gen_fused" -> fusedOracle(steps = 3, lam = 0.5),
+
     // Speculative serving loop (gamma 2, maxNewTokens 2): the q249
     // cycle-1 chain (no bonus needed — an all-accepted cycle already
     // emits 2 tokens and the loop truncates), then for n_acc = 0 docs
@@ -13770,6 +13810,91 @@ object SparkEntry {
        |        FROM documents)
        |  WHERE pos <= $EncMaxLen),
        |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |$stepCtes
+       |SELECT g1.doc_id, $outs
+       |FROM step1 g1
+       |$joins
+       |ORDER BY g1.doc_id""".stripMargin
+  }
+
+  /** The q257 shallow-fusion oracle: the watermarkOracle step shape
+    * with the green CASE swapped for the frozen bigram-LM term —
+    * counts from an adjacent-pair GROUP BY over the same sliced
+    * words, `al = lp + λ·ln((cnt+1)/(rowtot+V))` via LEFT JOINs on
+    * the last token (unseen pairs coalesce to 0 — add-one smoothing
+    * covers them), then the usual first-max-wins pick. */
+  private def fusedOracle(steps: Int, lam: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    val lLit = s"CAST($lam AS DOUBLE)"
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val unpivot = (t: Int) => (0 until vocab).map(j =>
+      s"SELECT doc_id, $j AS tid, p$j AS lp FROM logit$t")
+      .mkString("\n  UNION ALL ")
+    val stepCtes = (1 to steps).map { t =>
+      s"""logit$t AS MATERIALIZED (
+         |${fwd(s"toks${t - 1}")}
+         |),
+         |cand$t AS MATERIALIZED (
+         |  ${unpivot(t)}),
+         |last$t AS (
+         |  SELECT t0.doc_id, t0.tid AS lt
+         |  FROM toks${t - 1} t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+         |adj$t AS MATERIALIZED (
+         |  SELECT c.doc_id, c.tid,
+         |    c.lp + $lLit * ln(
+         |      CAST(coalesce(bi.cnt, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(rs.tot, 0) + $vocab AS DOUBLE)) AS al
+         |  FROM cand$t c
+         |  JOIN last$t l ON l.doc_id = c.doc_id
+         |  LEFT JOIN bi ON bi.p = l.lt AND bi.c = c.tid
+         |  LEFT JOIN rs ON rs.p = l.lt),
+         |step$t AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT doc_id, tid,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY al DESC, tid) AS rk
+         |    FROM adj$t)
+         |  WHERE rk = 1),
+         |toks$t AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks${t - 1}
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM step$t s
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks${t - 1}
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t => s"g$t.tid AS gen$t").mkString(", ")
+    val joins = (2 to steps).map(t =>
+      s"JOIN step$t g$t ON g$t.doc_id = g1.doc_id").mkString("\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |bi AS MATERIALIZED (
+       |  SELECT a.tid AS p, b.tid AS c, count(*) AS cnt
+       |  FROM words a
+       |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.tid, b.tid),
+       |rs AS MATERIALIZED (
+       |  SELECT p, sum(cnt) AS tot FROM bi GROUP BY p),
        |$stepCtes
        |SELECT g1.doc_id, $outs
        |FROM step1 g1

@@ -1958,6 +1958,111 @@ object Torch {
   }
 
   /**
+   * SHALLOW FUSION greedy decoding (Gulcehre et al. 2015 — the
+   * external-LM biasing an ASR/MT/domain-adaptation stack applies at
+   * decode time): each step picks
+   * `argmax_j logits(j) + lambda · ln p_LM(j | prev)` where `p_LM`
+   * is a FROZEN add-one-smoothed token-bigram LM —
+   * `(counts(prev)(j) + 1) / (rowSum(prev) + vocab)` — derived from
+   * the ingest corpus (the frozen-ingest-artifact convention: the
+   * count table is a bounded vocab² integer artifact, broadcast-
+   * trivial). The model stays untouched; only the decode objective
+   * gains the corpus prior.
+   *
+   * Cross-engine determinism: counts are exact integers on both
+   * sides; the fused term is `dyadic lambda × ln(rational)` — ln is
+   * correctly-rounded libm on both engines, and the pick's runner-up
+   * gap is spec-pinned orders above any last-ulp disagreement (the
+   * q96 gap-floor discipline). `lambda = 0` takes the guarded branch
+   * and reduces BIT-EXACTLY to [[generateGreedy]].
+   *
+   * @param lmCounts vocab×vocab bigram counts (row = previous token)
+   * @return input columns + `outCol` = array<int> generated tokens
+   */
+  def generateGreedyFused(
+      df: DataFrame,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      lmWeight: Double,
+      lmCounts: Array[Array[Long]],
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(lmWeight >= 0.0, "lmWeight must be >= 0")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1, "generateGreedyFused needs a token-input model")
+    require(!model.value.isCross, "cross-attention model not supported here")
+    require(model.value.cacheable,
+      "fused decoding needs the KV-session path (cacheable model)")
+    val vocabN = model.value.outDim
+    require(lmCounts.length == vocabN && lmCounts.forall(_.length == vocabN),
+      "lmCounts must be vocab x vocab")
+    val rowSums: Array[Long] = lmCounts.map(_.sum)
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def argmaxFused(out: Array[Float], prev: Int): Int = {
+        var best = -1
+        var bv = Double.NaN
+        var j = 0
+        while (j < vocab) {
+          val x0 = out(j).toDouble
+          val x =
+            if (lmWeight == 0.0) x0 // guarded: bit-exact generateGreedy
+            else x0 + lmWeight * StrictMath.log(
+              (lmCounts(prev)(j) + 1L).toDouble /
+                (rowSums(prev) + vocab.toLong).toDouble)
+          if (!x.isNaN && (best < 0 || x > bv)) { best = j; bv = x }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            val sess = m.decodeSession(p)
+            var prev = p.last
+            val gen = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var t = 0
+            while (t < steps) {
+              val tid = argmaxFused(sess.logits(), prev)
+              gen += tid
+              sess.append(tid)
+              prev = tid
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ gen.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * CONTRASTIVE SEARCH (Su et al. 2022 "A Contrastive Framework for
    * Neural Text Generation" — HF `penalty_alpha` + `top_k`): at each
    * step the top-k most probable candidates re-rank by

@@ -1128,6 +1128,56 @@ class TorchGenerateSpec extends AnyFunSuite {
       "degenerate gamma=2 acceptance mix on the fixture")
   }
 
+  test("q257 shallow fusion: lambda=0 is plain greedy bit-exact; the prior bites; gap floor") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    // counts from the fixture's own adjacent pairs (the q257 recipe)
+    val prompts = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray).toMap
+    val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+    for (p <- prompts.values; i <- 0 until p.length - 1)
+      counts(p(i))(p(i + 1)) += 1L
+    val rowSums = counts.map(_.sum)
+    def collectGen(lam: Double) =
+      Torch.generateGreedyFused(df, "tok_ids", "gen", bc, steps = 3,
+          lmWeight = lam, lmCounts = counts)
+        .select("doc_id", "gen")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val plain = Torch.generateGreedy(df, "tok_ids", "gen", bc, steps = 3)
+      .select("doc_id", "gen")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(collectGen(0.0) == plain, "lambda=0 must reduce bit-exactly")
+    val fused = collectGen(0.5)
+    assert(fused.exists { case (id, g) => plain(id) != g },
+      "the corpus prior never moved a trajectory — vacuous")
+    // rule restated per doc + the runner-up gap floor: the fused
+    // adjusted logits' min winner-vs-runner-up gap must sit orders
+    // above cross-libm ln / f32-forward drift (~1e-12)
+    var minGap = Double.MaxValue
+    for ((id, g) <- fused) {
+      val sess = m.decodeSession(prompts(id))
+      var prev = prompts(id).last
+      for (tok <- g) {
+        val lg = sess.logits()
+        val adj = (0 until vocab).map { j =>
+          lg(j).toDouble + 0.5 * StrictMath.log(
+            (counts(prev)(j) + 1L).toDouble / (rowSums(prev) + vocab.toLong).toDouble)
+        }
+        val order = (0 until vocab).sortBy(j => (-adj(j), j))
+        assert(order.head == tok,
+          s"doc $id fused pick $tok != replay ${order.head}")
+        minGap = math.min(minGap, adj(order(0)) - adj(order(1)))
+        sess.append(tok)
+        prev = tok
+      }
+    }
+    info(f"q257 sf0.001 min fused runner-up gap: $minGap%.3e")
+    assert(minGap > 1e-9,
+      s"a fused pick sits $minGap from its runner-up — cross-engine flip risk")
+  }
+
   test("q256 self-speculative: early exit shares weights, is cacheable, and drafts worse than int8") {
     val m = graft.SparkEntry.genModel
     val ee = graft.SparkEntry.earlyExitModel
