@@ -1961,6 +1961,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CROSS stochastic speculative sampling (q258): the sampled cell
+    // of the cross decode matrix — q212 verifies argmax equivalence;
+    // this runs the Leviathan/Chen distribution-preserving rule with
+    // both sessions opened against the row's source encoding. Same
+    // salts and quantization discipline as q247; only the forward is
+    // cross-attentive.
+    "q258_torch_cross_spec_sampled" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.speculativeSampledPair(toks, "doc_id", "d_ids", "s_ids",
+          bcT, bcD, batchSize = 256)
+        .select(col("doc_id"), col("draft_tok"), col("accepted"),
+          col("final_tok"))
+        .orderBy("doc_id")
+    },
+
     // Seq2seq QUALITY FILTER (q210): teacher-forced mean next-token
     // NLL of the decoder prefix GIVEN the source encoding — the
     // parallel-corpus noisy-pair filter (mine-then-filter by
@@ -11835,6 +11865,82 @@ object SparkEntry {
     // fp32) plus the draft's own cross k/v CTE `khd`, then draft
     // steps d1/d2 and target verifications t1/t2/t3 as scoped
     // nested-WITH forwards.
+    // Cross stochastic speculative: the q247 softmax/pick/acceptance
+    // chain over ONE target + ONE draft cross forward (the
+    // CrossOracleGen prelude shared, the draft's kh layered on it).
+    "q258_torch_cross_spec_sampled" -> {
+      val gt = new CrossOracleGen(crossGenModel)
+      val gd = new CrossOracleGen(
+        graft.torch.TorchQuant.quantize(crossGenModel, 7))
+      val vocab = crossGenModel.seqHead.get.vocab
+      def fwdP(g: CrossOracleGen, kh: String): String = {
+        val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+        TorchOracle.mlpArgmaxSql(g.fc, g.stepBody("dtoks0", kh),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(g.fc)}")
+      }
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      def u(salt: String, docRef: String = "doc_id"): String =
+        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+      def pickCte(src: String, massCol: String, salt: String,
+          out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid FROM (
+           |    SELECT doc_id, tid,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+           |    FROM (SELECT doc_id, tid, rk, cs,
+           |                 max(cs) OVER (PARTITION BY doc_id) AS total
+           |          FROM (SELECT doc_id, tid,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS rk,
+           |                  sum($massCol) OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS cs
+           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+           |    WHERE round(cs / total, 6) > ${u(salt)})
+           |  WHERE prk = 1)""".stripMargin
+      s"""WITH ${gt.prelude(2)},
+         |${gd.khCte("khd")},
+         |logitD AS MATERIALIZED (
+         |${fwdP(gd, "khd")}
+         |),
+         |${softmax6("logitD", "qprob")},
+         |${pickCte("qprob", "p6", "d1", "dpick")},
+         |logitT AS MATERIALIZED (
+         |${fwdP(gt, "kh")}
+         |),
+         |${softmax6("logitT", "pprob")},
+         |acc AS MATERIALIZED (
+         |  SELECT d.doc_id, d.tid AS dx,
+         |    (${u("a1", "d.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp.p6 / qp.p6), 6)) AS accepted
+         |  FROM dpick d
+         |  JOIN pprob pp ON pp.doc_id = d.doc_id AND pp.tid = d.tid
+         |  JOIN qprob qp ON qp.doc_id = d.doc_id AND qp.tid = d.tid),
+         |resid AS MATERIALIZED (
+         |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
+         |  FROM pprob p JOIN qprob q
+         |    ON q.doc_id = p.doc_id AND q.tid = p.tid),
+         |${pickCte("resid", "rmass", "r1", "rpick")}
+         |SELECT a.doc_id, CAST(a.dx AS INT) AS draft_tok, a.accepted,
+         |  CAST(CASE WHEN a.accepted THEN a.dx
+         |       ELSE coalesce(r.tid, a.dx) END AS INT) AS final_tok
+         |FROM acc a
+         |LEFT JOIN rpick r ON r.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
+
     "q212_torch_cross_spec" -> {
       val gt = new CrossOracleGen(crossGenModel)
       val gd = new CrossOracleGen(

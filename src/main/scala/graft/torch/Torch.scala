@@ -1517,6 +1517,130 @@ object Torch {
   }
 
   /**
+   * STOCHASTIC speculative sampling for CROSS (encoder-decoder)
+   * models — [[speculativeSampled]]'s distribution-preserving rule
+   * with both sessions opened against the row's fixed source
+   * encoding (q212 is the greedy/argmax cross cell; this is the
+   * sampled one): the int8 draft SAMPLES `x ~ q(· | dec, src)`, the
+   * target accepts with probability `min(1, p(x)/q(x))`, a rejection
+   * resamples from the normalized residual. Identical salts
+   * (`d1`/`a1`/`r1`), identical 6dp quantization discipline,
+   * identical pick walk — only the forward is cross-attentive (the
+   * encoder leg runs once per session, cross k/v project once).
+   *
+   * @return input columns + `draft_tok` int, `accepted` boolean,
+   *         `final_tok` int (null/empty decoder prompt, source, or
+   *         id → all null)
+   */
+  def speculativeSampledPair(
+      df: DataFrame,
+      idCol: String,
+      decCol: String,
+      encCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      batchSize: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "speculativeSampledPair needs token-input models")
+    require(target.value.isCross && draft.value.isCross,
+      "single-stream models: use speculativeSampled")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "speculative sampling needs the KV-session path (cacheable models)")
+    val withInts = df
+      .withColumn(decCol, col(decCol).cast(ArrayType(IntegerType)))
+      .withColumn(encCol, col(encCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("draft_tok", IntegerType, nullable = true),
+      StructField("accepted", BooleanType, nullable = true),
+      StructField("final_tok", IntegerType, nullable = true)))
+    val dIdx = withInts.schema.fieldIndex(decCol)
+    val eIdx = withInts.schema.fieldIndex(encCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def draw(id: Long, salt: String): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+      }
+      def probs6(lg: Array[Float]): Array[Double] = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = lg(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
+      }
+      def pick(mass: Array[Double], u: Double): Int = {
+        val order = (0 until vocab).filter(mass(_) > 0.0)
+          .sortBy(j => (-mass(j), j))
+        var run = 0.0
+        val sums = order.map { j => run += mass(j); run }
+        val total = run
+        var chosen = order.last
+        var done = false
+        for ((j, cs) <- order.zip(sums) if !done)
+          if (q6(cs / total) > u) { chosen = j; done = true }
+        chosen
+      }
+      def ints(r: Row, idx: Int): Array[Int] =
+        if (r.isNullAt(idx)) null
+        else {
+          val xs = r.getSeq[Any](idx)
+          val a = new Array[Int](xs.length)
+          var j = 0
+          var ok = true
+          while (ok && j < a.length) {
+            xs(j) match {
+              case null => ok = false
+              case f: java.lang.Number => a(j) = f.intValue(); j += 1
+            }
+          }
+          if (ok && a.nonEmpty) a else null
+        }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p = ints(r, dIdx)
+          val src = ints(r, eIdx)
+          if (p == null || src == null || r.isNullAt(idIdx))
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val qp = probs6(dm.decodeSession(p, src).logits())
+            val pp = probs6(tm.decodeSession(p, src).logits())
+            val dx = pick(qp, draw(id, "d1"))
+            val r6 = q6(math.min(1.0, pp(dx) / qp(dx)))
+            val accepted = draw(id, "a1") < r6
+            val fx =
+              if (accepted) dx
+              else {
+                val resid = Array.tabulate(vocab)(j =>
+                  math.max(0.0, pp(j) - qp(j)))
+                if (resid.forall(_ == 0.0)) dx
+                else pick(resid, draw(id, "r1"))
+              }
+            Row.fromSeq(r.toSeq ++ Seq(dx, accepted, fx))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * CONTRASTIVE DECODING (Li et al. 2023 — distinct from contrastive
    * SEARCH): each step picks, among the EXPERT's plausible candidates
    * (`p_e(j) >= alpha · max p_e` — the adaptive plausibility head),

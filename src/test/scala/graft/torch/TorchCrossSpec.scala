@@ -414,6 +414,89 @@ class TorchCrossSpec extends AnyFunSuite {
       "the draft never diverged — the verification arm is untested")
   }
 
+  test("cross stochastic speculative (q258): rule replays; identity draft accepts; arms live") {
+    val m = graft.SparkEntry.crossGenModel
+    val vocab = m.seqHead.get.vocab
+    val kvocab = m.encHead.get.vocab
+    val bcT = spark.sparkContext.broadcast(m)
+    val bcD = spark.sparkContext.broadcast(TorchQuant.quantize(m, 7))
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 2).as("d_ids"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+          1, 12).as("s_ids"))
+      .filter(size(col("d_ids")) >= 1)
+    val out = graft.torch.Torch.speculativeSampledPair(df, "doc_id",
+        "d_ids", "s_ids", bcT, bcD)
+      .select("doc_id", "draft_tok", "accepted", "final_tok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(3)))).toMap
+    val nAcc = out.values.count(_._2)
+    info(s"q258 sf0.001 acceptance: $nAcc/${out.size}")
+    assert(nAcc > 0 && nAcc < out.size,
+      "degenerate acceptance — the int8 cross draft always/never agrees")
+    // replay the whole rule per doc against the session forwards
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def draw(id: Long, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:spec:$salt".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16) % 1000000L) / 1e6
+    }
+    def probs6(mm: TorchScriptModel, p: Array[Int],
+        src: Array[Int]): IndexedSeq[Double] = {
+      val lg = mm.decodeSession(p, src).logits()
+      val mx = (0 until vocab).map(j => lg(j).toDouble).max
+      val z = (0 until vocab).map(j => math.exp(lg(j).toDouble - mx)).sum
+      (0 until vocab).map(j => q6(math.exp(lg(j).toDouble - mx) / z))
+    }
+    def pick(mass: IndexedSeq[Double], u: Double): Int = {
+      val order = (0 until vocab).filter(mass(_) > 0.0)
+        .sortBy(j => (-mass(j), j))
+      var run = 0.0
+      var chosen = order.last
+      var done = false
+      val total = order.map(mass).sum
+      for (j <- order if !done) {
+        run += mass(j)
+        if (q6(run / total) > u) { chosen = j; done = true }
+      }
+      chosen
+    }
+    val dm = TorchQuant.quantize(m, 7)
+    val fixtures = df.collect().map(r => (r.getLong(0),
+      r.getSeq[Long](1).map(_.toInt).toArray,
+      r.getSeq[Long](2).map(_.toInt).toArray))
+    for ((id, dIds, sIds) <- fixtures) {
+      val (dx, acc, fx) = out(id)
+      val qp = probs6(dm, dIds, sIds)
+      val pp = probs6(m, dIds, sIds)
+      val expDx = pick(qp, draw(id, "d1"))
+      assert(dx == expDx, s"doc $id cross draft pick $dx != replay $expDx")
+      val expAcc = draw(id, "a1") < q6(math.min(1.0, pp(dx) / qp(dx)))
+      assert(acc == expAcc, s"doc $id cross acceptance $acc != replay $expAcc")
+      val expFx =
+        if (expAcc) dx
+        else {
+          val resid = (0 until vocab).map(j => math.max(0.0, pp(j) - qp(j)))
+          if (resid.forall(_ == 0.0)) dx else pick(resid, draw(id, "r1"))
+        }
+      assert(fx == expFx, s"doc $id cross final $fx != replay $expFx")
+    }
+    // identity draft: ratio quantizes to exactly 1 — always accepts
+    val self = graft.torch.Torch.speculativeSampledPair(df, "doc_id",
+        "d_ids", "s_ids", bcT, bcT)
+      .select("doc_id", "draft_tok", "accepted", "final_tok").collect()
+    assert(self.forall(r => r.getBoolean(2) && r.getInt(1) == r.getInt(3)),
+      "identity cross draft must always accept")
+  }
+
   test("cross knob parity: neutral knobs reduce bit-exactly; knobs bite; eos truncates") {
     val m = graft.SparkEntry.crossGenModel
     val dvocab = m.seqHead.get.vocab
