@@ -1539,6 +1539,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SPECULATIVE ACCEPTANCE TELEMETRY (q259): the serving dashboard
+    // that sizes gamma — the per-corpus acceptance-arm histogram of
+    // the q249 cycle, with each arm's emitted-token yield
+    // (n_acc + 1: accepted run + correction-or-bonus). An integer
+    // aggregate OVER a decode operator — the pipeline-telemetry
+    // composition; the oracle wraps the full q249 chain in a GROUP
+    // BY. Falling acceptance on a new corpus slice is the signal to
+    // re-tune gamma or retrain the draft.
+    "q259_torch_spec_telemetry" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids", bcT, bcD,
+          gamma = 2, batchSize = 256)
+        .groupBy(col("n_accepted").as("n_acc"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(col("n_acc"), col("n_docs"),
+          (col("n_docs") * (col("n_acc") + 1).cast("long")).as("toks_emitted"))
+        .orderBy("n_acc")
+    },
+
     // SELF-SPECULATIVE sampling (q256): the LayerSkip / Draft&Verify
     // shape — the draft is an EARLY EXIT of the target itself
     // (embedding + positional + head, transformer block skipped;
@@ -11367,6 +11395,17 @@ object SparkEntry {
     // Self-speculative: the same gamma=2 chain with the draft
     // forwards generated from the early-exit submodel.
     "q256_torch_spec_selfdraft" -> specGammaOracle(earlyExitModel),
+
+    // Acceptance telemetry: the full q249 chain wrapped in a GROUP BY
+    // over the acceptance arm.
+    "q259_torch_spec_telemetry" ->
+      s"""WITH base AS MATERIALIZED (
+         |${specGammaOracle(graft.torch.TorchQuant.quantize(genModel, 7))}
+         |)
+         |SELECT CAST(n_acc AS INT) AS n_acc,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) * (n_acc + 1) AS BIGINT) AS toks_emitted
+         |FROM base GROUP BY n_acc ORDER BY n_acc""".stripMargin,
 
     // Shallow fusion: the watermark step shape with the frozen
     // bigram-LM term joined on the last token.
