@@ -1539,6 +1539,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // WATERMARKED BEAM SEARCH (q260): the Kirchenbauer green-list
+    // bias under beams — each live beam's raw logits gain +delta on
+    // the green set keyed by ITS OWN last token BEFORE the per-beam
+    // log-softmax (the lse shifts with the bias — the deployment
+    // order, lifted from q239's greedy to beam distributions). delta
+    // = 0 reduces bit-exactly to plain beamSearch (spec); the
+    // watermark steers both ranking and the kept hypotheses.
+    "q260_torch_beam_watermark" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.beamSearch(toks, "tok_ids", "beams", bc, steps = 2, width = 2,
+          batchSize = 256, watermarkDelta = 2.0)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("b1t1"), col("beams")(0)(1).as("b1t2"),
+          col("beams")(1)(0).as("b2t1"), col("beams")(1)(1).as("b2t2"))
+        .orderBy("doc_id")
+    },
+
     // SPECULATIVE ACCEPTANCE TELEMETRY (q259): the serving dashboard
     // that sizes gamma — the per-corpus acceptance-arm histogram of
     // the q249 cycle, with each arm's emitted-token yield
@@ -11661,6 +11686,12 @@ object SparkEntry {
     // log-prob ranking (see beamOracle).
     "q197_torch_beam" -> beamOracle,
 
+    // Watermarked beams: the beamOracle recipe over BIASED logits
+    // (green CASE keyed on each beam's last token, applied before
+    // the per-beam lse).
+    "q260_torch_beam_watermark" ->
+      watermarkBeamOracle(delta = 2.0, num = 1, den = 2),
+
     // Length-normalized beam with EOS: the step-2 frontier is live
     // expansions / sqrt(2) UNION the completed step-1 beams at their
     // own length (beamLenNormOracle).
@@ -14598,6 +14629,113 @@ object SparkEntry {
        |lp2 AS MATERIALIZED (
        |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
        |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2)),
+       |cand2raw AS MATERIALIZED (
+       |  ${candRows("lp2")}),
+       |cand2 AS MATERIALIZED (
+       |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, lp
+       |  FROM cand2raw),
+       |joined AS MATERIALIZED (
+       |  SELECT c.doc_id, c.pb, c.tid, b.score + c.lp AS joint,
+       |    CAST(b.tid AS INT) AS t1
+       |  FROM cand2 c JOIN beams1 b
+       |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1),
+       |kept AS (
+       |  SELECT doc_id, t1, tid, joint,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+       |  FROM joined QUALIFY rk <= 2)
+       |SELECT k1.doc_id, k1.t1 AS b1t1, CAST(k1.tid AS INT) AS b1t2,
+       |  k2.t1 AS b2t1, CAST(k2.tid AS INT) AS b2t2
+       |FROM kept k1 JOIN kept k2
+       |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
+       |ORDER BY k1.doc_id""".stripMargin
+  }
+
+  /** The q260 watermarked-beam oracle: [[beamOracle]]'s two-step
+    * synthetic-id recipe with a `wadj` CTE between each logit CTE and
+    * its lse — every p column gains `+delta` when md5("<last
+    * token>:<column id>") mod den < num (the generator's exact
+    * membership), so the per-beam log-softmax is computed over the
+    * BIASED logits exactly as the engine's logProbsBiased. Step 2's
+    * last token is the beam's own appended token (max pos of the
+    * grown synthetic-id toks). */
+  private def watermarkBeamOracle(delta: Double, num: Int,
+      den: Int): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    val dLit = s"CAST($delta AS DOUBLE)"
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    def wadjCols: String = (0 until vocab).map { j =>
+      s"""g.p$j + CASE WHEN
+         |      (CAST('0x' || substring(md5(CAST(l.lt AS VARCHAR) || ':$j'),
+         |        1, 8) AS BIGINT) % $den) < $num
+         |      THEN $dLit ELSE CAST(0 AS DOUBLE) END AS p$j""".stripMargin
+    }.mkString(",\n    ")
+    def lastCte(toksName: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t0.doc_id, t0.tid AS lt
+         |  FROM $toksName t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toksName
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |${lastCte("toks0", "last1")},
+       |wadj1 AS MATERIALIZED (
+       |  SELECT g.doc_id,
+       |    $wadjCols
+       |  FROM logit1 g JOIN last1 l ON l.doc_id = g.doc_id),
+       |lp1 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM wadj1)),
+       |cand1 AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |beams1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM cand1 QUALIFY b <= 2),
+       |toks1 AS MATERIALIZED (
+       |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+       |  FROM toks0 t JOIN beams1 b ON b.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+       |  FROM beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+       |logit2 AS MATERIALIZED (
+       |${fwd("toks1")}
+       |),
+       |${lastCte("toks1", "last2")},
+       |wadj2 AS MATERIALIZED (
+       |  SELECT g.doc_id,
+       |    $wadjCols
+       |  FROM logit2 g JOIN last2 l ON l.doc_id = g.doc_id),
+       |lp2 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM wadj2)),
        |cand2raw AS MATERIALIZED (
        |  ${candRows("lp2")}),
        |cand2 AS MATERIALIZED (

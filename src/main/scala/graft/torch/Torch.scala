@@ -684,8 +684,13 @@ object Torch {
       repetitionPenalty: Double = 1.0,
       noRepeatNgram: Int = 0,
       bannedPhrases: Seq[Seq[Int]] = Nil,
-      minNewTokens: Int = 0): DataFrame = {
+      minNewTokens: Int = 0,
+      watermarkDelta: Double = 0.0,
+      watermarkGamma: (Int, Int) = (1, 2)): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
+    require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
+    require(watermarkGamma._1 >= 1 && watermarkGamma._1 < watermarkGamma._2,
+      "watermarkGamma must be a fraction num/den with 0 < num < den")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "beamSearch needs a token-input model")
@@ -704,10 +709,17 @@ object Torch {
       "minNewTokens needs an eosId to suppress")
     val plainKnobs = banned.isEmpty && repetitionPenalty == 1.0 &&
       noRepeatNgram == 0 && bannedPhrases.isEmpty && minNewTokens == 0
-    require((plainKnobs && lengthPenalty == 0.0 && eosId < 0) ||
-      model.value.cacheable,
-      "lengthPenalty/eosId/constraint knobs need the KV-session path " +
-        "(cacheable model)")
+    require((plainKnobs && lengthPenalty == 0.0 && eosId < 0 &&
+      watermarkDelta == 0.0) || model.value.cacheable,
+      "lengthPenalty/eosId/constraint/watermark knobs need the KV-session " +
+        "path (cacheable model)")
+    // the watermark BIASES the raw logits before the per-beam
+    // log-softmax (the Kirchenbauer deployment order — the lse itself
+    // shifts), which the logit-processor constraint chain does not
+    // model; composing them is out of scope (length penalty and eos
+    // compose fine — they act on the biased scores downstream)
+    require(watermarkDelta == 0.0 || plainKnobs,
+      "watermarkDelta does not compose with the constraint knobs")
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -729,6 +741,27 @@ object Torch {
         while (j < vocab) { z += math.exp(out(off + j).toDouble - mx); j += 1 }
         val lse = math.log(z) + mx
         Array.tabulate(vocab)(k => out(off + k).toDouble - lse)
+      }
+      // watermarked scores: green logits (membership keyed on the
+      // BEAM's last token) gain +delta BEFORE the log-softmax — the
+      // lse shifts with the bias, exactly the greedy watermark's
+      // deployment order lifted to per-beam distributions. The
+      // guarded delta = 0 call path keeps the unwatermarked beams
+      // bit-exact.
+      def logProbsBiased(out: Array[Float], prev: Int): Array[Double] = {
+        val adj = Array.tabulate(vocab) { j =>
+          if (Sampling.greenToken(prev, j, watermarkGamma._1, watermarkGamma._2))
+            out(j).toDouble + watermarkDelta
+          else out(j).toDouble
+        }
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) { if (adj(j) > mx) mx = adj(j); j += 1 }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(adj(j) - mx); j += 1 }
+        val lse = math.log(z) + mx
+        Array.tabulate(vocab)(k => adj(k) - lse)
       }
       it.grouped(bs).flatMap { rows =>
         val prompts: Array[Array[Int]] = rows.map { r =>
@@ -770,7 +803,10 @@ object Torch {
                     Seq((s0 / StrictMath.pow(g.length.toDouble, lengthPenalty),
                       bi, -1, s0, (g, s0, sess, true)))
                   case ((g, s0, sess, false), bi) =>
-                    val lp = logProbs(sess.logits(), 0)
+                    val lp =
+                      if (watermarkDelta == 0.0) logProbs(sess.logits(), 0)
+                      else logProbsBiased(sess.logits(),
+                        if (g.nonEmpty) g.last else p.last)
                     val pen =
                       StrictMath.pow((g.length + 1).toDouble, lengthPenalty)
                     if (plainKnobs)

@@ -1382,6 +1382,51 @@ class TorchGenerateSpec extends AnyFunSuite {
       s"a head log-prob sits $minBoundary grid-fractions from its rounding boundary")
   }
 
+  test("q260 watermarked beams: delta=0 reduces bit-exactly; bias steers; rule restated") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def collectBeams(delta: Double, steps: Int = 2) =
+      Torch.beamSearch(df, "tok_ids", "beams", bc, steps = steps, width = 2,
+          watermarkDelta = delta)
+        .select("doc_id", "beams")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    val plain = collectBeams(0.0)
+    val plainDirect = Torch.beamSearch(df, "tok_ids", "beams", bc,
+        steps = 2, width = 2)
+      .select("doc_id", "beams")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    assert(plain == plainDirect, "delta=0 must reduce bit-exactly")
+    val marked = collectBeams(2.0)
+    assert(marked.exists { case (id, bs) => plain(id) != bs },
+      "the green bias never moved a beam — vacuous")
+    // rule restated on a ONE-step run: step-1 beams = top-2 of the
+    // log-softmax over logits biased by green(prompt last, j)
+    val w1 = collectBeams(2.0, steps = 1)
+    val prompts = fixturePrompts(vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray).toMap
+    def green(prev: Int, j: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prev:$j".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16) % 2 == 0
+    }
+    for ((id, bs) <- w1) {
+      val lg = m.decodeSession(prompts(id)).logits()
+      val prev = prompts(id).last
+      // the log-softmax is monotone in the biased logits, so the
+      // beam order equals the adjusted-logit order
+      val adj = (0 until vocab).map(j =>
+        lg(j).toDouble + (if (green(prev, j)) 2.0 else 0.0))
+      val expect = (0 until vocab).sortBy(j => (-adj(j), j)).take(2)
+      assert(bs.map(_.head) == expect,
+        s"doc $id watermarked step-1 beams ${bs.map(_.head)} != $expect")
+    }
+  }
+
   test("q253 contrastive beams: width=1 == greedy CD bit-exact; reranking bites; 1-beam docs are 1-token heads") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
