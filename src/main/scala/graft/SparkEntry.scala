@@ -2044,6 +2044,40 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CROSS gamma = 2 speculative sampling (q261): the multi-token
+    // prefix-acceptance cycle over the encoder-decoder stack — the
+    // int8 draft samples two decoder tokens, the target verifies all
+    // three prefix positions through one cross KV session (encoder
+    // leg once), accepted run + residual correction or the bonus.
+    // gamma = 1 replays q258 bit-exactly (shared salts, spec).
+    "q261_torch_cross_spec_gamma" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.speculativeSampledPairGamma(toks, "doc_id", "d_ids", "s_ids",
+          bcT, bcD, gamma = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("draft_toks")(0).as("d1"), col("draft_toks")(1).as("d2"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
     // Seq2seq QUALITY FILTER (q210): teacher-forced mean next-token
     // NLL of the decoder prefix GIVEN the source encoding — the
     // parallel-corpus noisy-pair filter (mine-then-filter by
@@ -11935,6 +11969,128 @@ object SparkEntry {
     // fp32) plus the draft's own cross k/v CTE `khd`, then draft
     // steps d1/d2 and target verifications t1/t2/t3 as scoped
     // nested-WITH forwards.
+    // Cross gamma = 2 speculative: the q249 chain with every forward
+    // generated by CrossOracleGen — two draft steps over the growing
+    // decoder CTE, three target prefix distributions, both residual
+    // walks and the bonus pick, all against the shared source
+    // encoding prelude.
+    "q261_torch_cross_spec_gamma" -> {
+      val gt = new CrossOracleGen(crossGenModel)
+      val gd = new CrossOracleGen(
+        graft.torch.TorchQuant.quantize(crossGenModel, 7))
+      val vocab = crossGenModel.seqHead.get.vocab
+      def fwdP(g: CrossOracleGen, dtoks: String, kh: String): String = {
+        val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+        TorchOracle.mlpArgmaxSql(g.fc, g.stepBody(dtoks, kh),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(g.fc)}")
+      }
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      def u(salt: String, docRef: String = "doc_id"): String =
+        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+      def pickCte(src: String, massCol: String, salt: String,
+          out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid FROM (
+           |    SELECT doc_id, tid,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+           |    FROM (SELECT doc_id, tid, rk, cs,
+           |                 max(cs) OVER (PARTITION BY doc_id) AS total
+           |          FROM (SELECT doc_id, tid,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS rk,
+           |                  sum($massCol) OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS cs
+           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+           |    WHERE round(cs / total, 6) > ${u(salt)})
+           |  WHERE prk = 1)""".stripMargin
+      def grow(prev: String, pickSrc: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, pos FROM $prev
+           |  UNION ALL
+           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+           |  FROM $pickSrc s
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = s.doc_id)""".stripMargin
+      def resid(out: String, p: String, q: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
+           |  FROM $p p JOIN $q q
+           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
+      s"""WITH ${gt.prelude(2)},
+         |${gd.khCte("khd")},
+         |logitD1 AS MATERIALIZED (
+         |${fwdP(gd, "dtoks0", "khd")}
+         |),
+         |${softmax6("logitD1", "qprob1")},
+         |${pickCte("qprob1", "p6", "d1", "dpick1")},
+         |${grow("dtoks0", "dpick1", "dtoks1")},
+         |logitD2 AS MATERIALIZED (
+         |${fwdP(gd, "dtoks1", "khd")}
+         |),
+         |${softmax6("logitD2", "qprob2")},
+         |${pickCte("qprob2", "p6", "d2", "dpick2")},
+         |${grow("dtoks1", "dpick2", "dtoks2")},
+         |logitT1 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks0", "kh")}
+         |),
+         |${softmax6("logitT1", "pprob1")},
+         |logitT2 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks1", "kh")}
+         |),
+         |${softmax6("logitT2", "pprob2")},
+         |logitT3 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks2", "kh")}
+         |),
+         |${softmax6("logitT3", "pprob3")},
+         |accx AS MATERIALIZED (
+         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
+         |    (${u("a1", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
+         |    (${u("a2", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
+         |  FROM dpick1 d1
+         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
+         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
+         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
+         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
+         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
+         |${resid("resid1", "pprob1", "qprob1")},
+         |${pickCte("resid1", "rmass", "r1", "rpick1")},
+         |${resid("resid2", "pprob2", "qprob2")},
+         |${pickCte("resid2", "rmass", "r2", "rpick2")},
+         |${pickCte("pprob3", "p6", "b1", "bpick")}
+         |SELECT a.doc_id,
+         |  CAST(a.x1 AS INT) AS d1, CAST(a.x2 AS INT) AS d2,
+         |  CAST(CASE WHEN NOT a.acc1 THEN 0
+         |            WHEN NOT a.acc2 THEN 1 ELSE 2 END AS INT) AS n_acc,
+         |  CAST(CASE WHEN NOT a.acc1 THEN coalesce(r1.tid, a.x1)
+         |            ELSE a.x1 END AS INT) AS f1,
+         |  CAST(CASE WHEN NOT a.acc1 THEN NULL
+         |            WHEN NOT a.acc2 THEN coalesce(r2.tid, a.x2)
+         |            ELSE a.x2 END AS INT) AS f2,
+         |  CAST(CASE WHEN a.acc1 AND a.acc2 THEN b.tid
+         |            ELSE NULL END AS INT) AS f3
+         |FROM accx a
+         |LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id
+         |LEFT JOIN rpick2 r2 ON r2.doc_id = a.doc_id
+         |LEFT JOIN bpick b ON b.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
+
     // Cross stochastic speculative: the q247 softmax/pick/acceptance
     // chain over ONE target + ONE draft cross forward (the
     // CrossOracleGen prelude shared, the draft's kh layered on it).

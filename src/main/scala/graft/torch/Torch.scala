@@ -1677,6 +1677,158 @@ object Torch {
   }
 
   /**
+   * MULTI-TOKEN stochastic speculative sampling for CROSS models —
+   * [[speculativeSampledGamma]]'s prefix-acceptance cycle with both
+   * sessions opened against the row's fixed source encoding
+   * ([[speculativeSampledPair]] is its gamma = 1 head; same
+   * position-indexed salts, so gamma = 1 replays it bit-exactly —
+   * spec-pinned). The draft autoregressively samples gamma decoder
+   * tokens, the target verifies all gamma + 1 prefix positions
+   * through one cross KV session (encoder leg runs once), and the
+   * Leviathan/Chen rule emits accepted run + residual correction or
+   * the all-accepted bonus.
+   *
+   * @return input columns + `draft_toks` array<int>, `n_accepted`
+   *         int, `out_toks` array<int> (length n_accepted + 1);
+   *         null/empty decoder prompt, source, or id → all null
+   */
+  def speculativeSampledPairGamma(
+      df: DataFrame,
+      idCol: String,
+      decCol: String,
+      encCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      gamma: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(gamma >= 1, "gamma must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "speculativeSampledPairGamma needs token-input models")
+    require(target.value.isCross && draft.value.isCross,
+      "single-stream models: use speculativeSampledGamma")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "speculative sampling needs the KV-session path (cacheable models)")
+    val withInts = df
+      .withColumn(decCol, col(decCol).cast(ArrayType(IntegerType)))
+      .withColumn(encCol, col(encCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("draft_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_accepted", IntegerType, nullable = true),
+      StructField("out_toks", ArrayType(IntegerType), nullable = true)))
+    val dIdx = withInts.schema.fieldIndex(decCol)
+    val eIdx = withInts.schema.fieldIndex(encCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def draw(id: Long, salt: String): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
+        val hex = md.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+      }
+      def probs6(lg: Array[Float]): Array[Double] = {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) {
+          val v = lg(j).toDouble
+          if (v > mx) mx = v
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
+      }
+      def pick(mass: Array[Double], u: Double): Int = {
+        val order = (0 until vocab).filter(mass(_) > 0.0)
+          .sortBy(j => (-mass(j), j))
+        var run = 0.0
+        val sums = order.map { j => run += mass(j); run }
+        val total = run
+        var chosen = order.last
+        var done = false
+        for ((j, cs) <- order.zip(sums) if !done)
+          if (q6(cs / total) > u) { chosen = j; done = true }
+        chosen
+      }
+      def ints(r: Row, idx: Int): Array[Int] =
+        if (r.isNullAt(idx)) null
+        else {
+          val xs = r.getSeq[Any](idx)
+          val a = new Array[Int](xs.length)
+          var j = 0
+          var ok = true
+          while (ok && j < a.length) {
+            xs(j) match {
+              case null => ok = false
+              case f: java.lang.Number => a(j) = f.intValue(); j += 1
+            }
+          }
+          if (ok && a.nonEmpty) a else null
+        }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p = ints(r, dIdx)
+          val src = ints(r, eIdx)
+          if (p == null || src == null || r.isNullAt(idIdx))
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val sd = dm.decodeSession(p, src)
+            val st = tm.decodeSession(p, src)
+            val drafts = new Array[Int](gamma)
+            val qm = new Array[Array[Double]](gamma)
+            var i = 0
+            while (i < gamma) {
+              qm(i) = probs6(sd.logits())
+              drafts(i) = pick(qm(i), draw(id, s"d${i + 1}"))
+              sd.append(drafts(i))
+              i += 1
+            }
+            val pm = new Array[Array[Double]](gamma + 1)
+            pm(0) = probs6(st.logits())
+            i = 0
+            while (i < gamma) {
+              st.append(drafts(i))
+              pm(i + 1) = probs6(st.logits())
+              i += 1
+            }
+            var n = 0
+            var rejectedAt = -1
+            while (n < gamma && rejectedAt < 0) {
+              val x = drafts(n)
+              val r6 = q6(math.min(1.0, pm(n)(x) / qm(n)(x)))
+              if (draw(id, s"a${n + 1}") < r6) n += 1
+              else rejectedAt = n
+            }
+            val out: Seq[Int] =
+              if (rejectedAt < 0)
+                drafts.toSeq :+ pick(pm(gamma), draw(id, "b1"))
+              else {
+                val k = rejectedAt
+                val resid = Array.tabulate(vocab)(j =>
+                  math.max(0.0, pm(k)(j) - qm(k)(j)))
+                val corr =
+                  if (resid.forall(_ == 0.0)) drafts(k)
+                  else pick(resid, draw(id, s"r${k + 1}"))
+                drafts.take(k).toSeq :+ corr
+              }
+            Row.fromSeq(r.toSeq ++ Seq(drafts.toSeq, n, out))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * CONTRASTIVE DECODING (Li et al. 2023 — distinct from contrastive
    * SEARCH): each step picks, among the EXPERT's plausible candidates
    * (`p_e(j) >= alpha · max p_e` — the adaptive plausibility head),

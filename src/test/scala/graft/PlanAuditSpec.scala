@@ -471,7 +471,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q251_torch_gen_watermark_g4", "q252_watermark_detect_g4",
         "q253_torch_cd_beam", "q254_torch_spec_loop",
         "q256_torch_spec_selfdraft", "q258_torch_cross_spec_sampled",
-        "q260_torch_beam_watermark")) {
+        "q260_torch_beam_watermark", "q261_torch_cross_spec_gamma")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

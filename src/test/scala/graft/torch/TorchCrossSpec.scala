@@ -497,6 +497,59 @@ class TorchCrossSpec extends AnyFunSuite {
       "identity cross draft must always accept")
   }
 
+  test("cross gamma speculative (q261): gamma=1 replays q258; identity accepts all; arms live") {
+    val m = graft.SparkEntry.crossGenModel
+    val vocab = m.seqHead.get.vocab
+    val kvocab = m.encHead.get.vocab
+    val bcT = spark.sparkContext.broadcast(m)
+    val bcD = spark.sparkContext.broadcast(TorchQuant.quantize(m, 7))
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 2).as("d_ids"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+          1, 12).as("s_ids"))
+      .filter(size(col("d_ids")) >= 1)
+    val g1 = graft.torch.Torch.speculativeSampledPairGamma(df, "doc_id",
+        "d_ids", "s_ids", bcT, bcD, gamma = 1)
+      .select("doc_id", "draft_toks", "n_accepted", "out_toks")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getInt(2), r.getSeq[Int](3)))).toMap
+    val pair = graft.torch.Torch.speculativeSampledPair(df, "doc_id",
+        "d_ids", "s_ids", bcT, bcD)
+      .select("doc_id", "draft_tok", "accepted", "final_tok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(3)))).toMap
+    assert(g1.keySet == pair.keySet)
+    for ((id, (dts, n, out)) <- g1) {
+      val (dx, acc, fx) = pair(id)
+      assert(dts == Seq(dx), s"doc $id gamma=1 draft $dts != q258 $dx")
+      assert((n == 1) == acc, s"doc $id gamma=1 n=$n vs q258 $acc")
+      if (acc) assert(out.head == dx)
+      else assert(out == Seq(fx), s"doc $id correction $out != q258 $fx")
+    }
+    // identity draft at gamma = 2: every position accepts, bonus emits
+    val self = graft.torch.Torch.speculativeSampledPairGamma(df, "doc_id",
+        "d_ids", "s_ids", bcT, bcT, gamma = 2)
+      .select("doc_id", "draft_toks", "n_accepted", "out_toks").collect()
+    assert(self.forall(r => r.getInt(2) == 2 &&
+      r.getSeq[Int](3).length == 3 &&
+      r.getSeq[Int](3).take(2) == r.getSeq[Int](1)),
+      "identity cross draft must accept every drafted position")
+    // acceptance arms live at gamma = 2 with the int8 draft
+    val g2 = graft.torch.Torch.speculativeSampledPairGamma(df, "doc_id",
+        "d_ids", "s_ids", bcT, bcD, gamma = 2)
+      .select("n_accepted").collect().map(_.getInt(0))
+    info(s"q261 sf0.001 n_accepted histogram: " +
+      (0 to 2).map(k => s"$k:${g2.count(_ == k)}").mkString(" "))
+    assert(g2.exists(_ < 2) && g2.exists(_ == 2),
+      "degenerate cross gamma=2 acceptance mix")
+  }
+
   test("cross knob parity: neutral knobs reduce bit-exactly; knobs bite; eos truncates") {
     val m = graft.SparkEntry.crossGenModel
     val dvocab = m.seqHead.get.vocab
