@@ -153,6 +153,57 @@ object Torch {
     }
   }
 
+  /** The SPECULATIVE-decoding kernel quartet shared by every spec*
+    * method ([[speculativeSampled]], [[speculativeSampledGamma]],
+    * [[speculativeSampledLoop]], [[speculativeSampledPair]],
+    * [[speculativeSampledPairGamma]]) — hoisted so a fix to the pick
+    * walk or the salt format lands in ONE place and the
+    * gamma=1-replays-q247 / cycle-1-replays-q249 spec pins cannot
+    * silently diverge across copies. Contract (see
+    * speculativeSampled's scaladoc): distributions are full-vocab
+    * softmaxes quantized to the 6dp grid; draws are independent md5
+    * draws keyed `"<id>:spec:<salt>"` on the 1e-6 grid; the pick is
+    * the order-defined renormalized-cumulative walk over
+    * (mass DESC, tid ASC). */
+  private object Spec extends Serializable {
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def draw(id: Long, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:spec:$salt".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+    }
+    def probs6(lg: Array[Float], vocab: Int): Array[Double] = {
+      var mx = Double.NegativeInfinity
+      var j = 0
+      while (j < vocab) {
+        val v = lg(j).toDouble
+        if (v > mx) mx = v
+        j += 1
+      }
+      var z = 0.0
+      j = 0
+      while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
+      Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
+    }
+    /** The order-defined renormalized-cumulative pick over
+      * (mass DESC, tid ASC) — exactly the q203 nucleus walk at
+      * topP = 1 (so every positive-mass candidate is kept). */
+    def pick(mass: Array[Double], u: Double): Int = {
+      val order = mass.indices.filter(mass(_) > 0.0)
+        .sortBy(j => (-mass(j), j))
+      var run = 0.0
+      val sums = order.map { j => run += mass(j); run }
+      val total = run
+      var chosen = order.last
+      var done = false
+      for ((j, cs) <- order.zip(sums) if !done)
+        if (q6(cs / total) > u) { chosen = j; done = true }
+      chosen
+    }
+  }
+
   /** The constrained beam-candidate expansion shared by [[beamSearch]]
     * and [[beamSearchPair]] — one live beam's candidate rows under the
     * full logit-constraint set, applied in the HF beam-search order:
@@ -1126,42 +1177,13 @@ object Torch {
       val tm = target.value
       val dm = draft.value
       val vocab = tm.outDim
-      def q6(x: Double): Double =
-        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-      def draw(id: Long, salt: String): Double = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
-        val hex = md.take(4).map(b => f"$b%02x").mkString
-        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
-      }
-      def probs6(lg: Array[Float]): Array[Double] = {
-        var mx = Double.NegativeInfinity
-        var j = 0
-        while (j < vocab) {
-          val v = lg(j).toDouble
-          if (v > mx) mx = v
-          j += 1
-        }
-        var z = 0.0
-        j = 0
-        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
-        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
-      }
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
       // the engine's order-defined renormalized-cumulative pick over
       // (mass DESC, tid ASC) — exactly the q203 nucleus walk at
       // topP = 1 (so every positive-mass candidate is kept)
-      def pick(mass: Array[Double], u: Double): Int = {
-        val order = (0 until vocab).filter(mass(_) > 0.0)
-          .sortBy(j => (-mass(j), j))
-        var run = 0.0
-        val sums = order.map { j => run += mass(j); run }
-        val total = run
-        var chosen = order.last
-        var done = false
-        for ((j, cs) <- order.zip(sums) if !done)
-          if (q6(cs / total) > u) { chosen = j; done = true }
-        chosen
-      }
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
           val p: Array[Int] =
@@ -1271,39 +1293,10 @@ object Torch {
       val tm = target.value
       val dm = draft.value
       val vocab = tm.outDim
-      def q6(x: Double): Double =
-        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-      def draw(id: Long, salt: String): Double = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
-        val hex = md.take(4).map(b => f"$b%02x").mkString
-        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
-      }
-      def probs6(lg: Array[Float]): Array[Double] = {
-        var mx = Double.NegativeInfinity
-        var j = 0
-        while (j < vocab) {
-          val v = lg(j).toDouble
-          if (v > mx) mx = v
-          j += 1
-        }
-        var z = 0.0
-        j = 0
-        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
-        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
-      }
-      def pick(mass: Array[Double], u: Double): Int = {
-        val order = (0 until vocab).filter(mass(_) > 0.0)
-          .sortBy(j => (-mass(j), j))
-        var run = 0.0
-        val sums = order.map { j => run += mass(j); run }
-        val total = run
-        var chosen = order.last
-        var done = false
-        for ((j, cs) <- order.zip(sums) if !done)
-          if (q6(cs / total) > u) { chosen = j; done = true }
-        chosen
-      }
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
           val p: Array[Int] =
@@ -1399,7 +1392,14 @@ object Torch {
    * @return input columns + `out_toks` array<int> (exactly
    *         maxNewTokens tokens), `n_cycles` int, `n_acc_total` int
    *         (accepted drafts across all cycles — the serving
-   *         acceptance-rate telemetry); null prompt/id → all null
+   *         acceptance-rate telemetry; CYCLE-LEVEL, i.e. the final
+   *         cycle's accepted run counts in full even when the emitted
+   *         output truncates to maxNewTokens, so gamma = 2 with
+   *         maxNewTokens = 1 and an all-accepted first cycle reports
+   *         n_acc_total = 2 for 1 emitted token — the dashboard
+   *         metric a server tracks is per-VERIFICATION-PASS yield,
+   *         which truncation does not refund); null prompt/id → all
+   *         null
    */
   def speculativeSampledLoop(
       df: DataFrame,
@@ -1434,39 +1434,10 @@ object Torch {
       val tm = target.value
       val dm = draft.value
       val vocab = tm.outDim
-      def q6(x: Double): Double =
-        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-      def draw(id: Long, salt: String): Double = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
-        val hex = md.take(4).map(b => f"$b%02x").mkString
-        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
-      }
-      def probs6(lg: Array[Float]): Array[Double] = {
-        var mx = Double.NegativeInfinity
-        var j = 0
-        while (j < vocab) {
-          val v = lg(j).toDouble
-          if (v > mx) mx = v
-          j += 1
-        }
-        var z = 0.0
-        j = 0
-        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
-        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
-      }
-      def pick(mass: Array[Double], u: Double): Int = {
-        val order = (0 until vocab).filter(mass(_) > 0.0)
-          .sortBy(j => (-mass(j), j))
-        var run = 0.0
-        val sums = order.map { j => run += mass(j); run }
-        val total = run
-        var chosen = order.last
-        var done = false
-        for ((j, cs) <- order.zip(sums) if !done)
-          if (q6(cs / total) > u) { chosen = j; done = true }
-        chosen
-      }
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
           val p: Array[Int] =
@@ -1600,39 +1571,10 @@ object Torch {
       val tm = target.value
       val dm = draft.value
       val vocab = tm.outDim
-      def q6(x: Double): Double =
-        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-      def draw(id: Long, salt: String): Double = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
-        val hex = md.take(4).map(b => f"$b%02x").mkString
-        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
-      }
-      def probs6(lg: Array[Float]): Array[Double] = {
-        var mx = Double.NegativeInfinity
-        var j = 0
-        while (j < vocab) {
-          val v = lg(j).toDouble
-          if (v > mx) mx = v
-          j += 1
-        }
-        var z = 0.0
-        j = 0
-        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
-        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
-      }
-      def pick(mass: Array[Double], u: Double): Int = {
-        val order = (0 until vocab).filter(mass(_) > 0.0)
-          .sortBy(j => (-mass(j), j))
-        var run = 0.0
-        val sums = order.map { j => run += mass(j); run }
-        val total = run
-        var chosen = order.last
-        var done = false
-        for ((j, cs) <- order.zip(sums) if !done)
-          if (q6(cs / total) > u) { chosen = j; done = true }
-        chosen
-      }
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
       def ints(r: Row, idx: Int): Array[Int] =
         if (r.isNullAt(idx)) null
         else {
@@ -1726,39 +1668,10 @@ object Torch {
       val tm = target.value
       val dm = draft.value
       val vocab = tm.outDim
-      def q6(x: Double): Double =
-        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-      def draw(id: Long, salt: String): Double = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$id:spec:$salt".getBytes("UTF-8"))
-        val hex = md.take(4).map(b => f"$b%02x").mkString
-        (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
-      }
-      def probs6(lg: Array[Float]): Array[Double] = {
-        var mx = Double.NegativeInfinity
-        var j = 0
-        while (j < vocab) {
-          val v = lg(j).toDouble
-          if (v > mx) mx = v
-          j += 1
-        }
-        var z = 0.0
-        j = 0
-        while (j < vocab) { z += math.exp(lg(j).toDouble - mx); j += 1 }
-        Array.tabulate(vocab)(k => q6(math.exp(lg(k).toDouble - mx) / z))
-      }
-      def pick(mass: Array[Double], u: Double): Int = {
-        val order = (0 until vocab).filter(mass(_) > 0.0)
-          .sortBy(j => (-mass(j), j))
-        var run = 0.0
-        val sums = order.map { j => run += mass(j); run }
-        val total = run
-        var chosen = order.last
-        var done = false
-        for ((j, cs) <- order.zip(sums) if !done)
-          if (q6(cs / total) > u) { chosen = j; done = true }
-        chosen
-      }
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
       def ints(r: Row, idx: Int): Array[Int] =
         if (r.isNullAt(idx)) null
         else {
@@ -2311,7 +2224,12 @@ object Torch {
     val vocabN = model.value.outDim
     require(lmCounts.length == vocabN && lmCounts.forall(_.length == vocabN),
       "lmCounts must be vocab x vocab")
-    val rowSums: Array[Long] = lmCounts.map(_.sum)
+    // the frozen-ingest broadcast convention: the vocab² count matrix
+    // (and its row sums) cross the wire once per executor, never per
+    // task — a real LM vocabulary makes the closure-capture footprint
+    // material even though the fixture vocab is 8
+    val bcLm: Broadcast[(Array[Array[Long]], Array[Long])] =
+      spark.sparkContext.broadcast((lmCounts, lmCounts.map(_.sum)))
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -2320,6 +2238,7 @@ object Torch {
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
+      val (cnts, rsums) = bcLm.value
       def argmaxFused(out: Array[Float], prev: Int): Int = {
         var best = -1
         var bv = Double.NaN
@@ -2329,8 +2248,8 @@ object Torch {
           val x =
             if (lmWeight == 0.0) x0 // guarded: bit-exact generateGreedy
             else x0 + lmWeight * StrictMath.log(
-              (lmCounts(prev)(j) + 1L).toDouble /
-                (rowSums(prev) + vocab.toLong).toDouble)
+              (cnts(prev)(j) + 1L).toDouble /
+                (rsums(prev) + vocab.toLong).toDouble)
           if (!x.isNaN && (best < 0 || x > bv)) { best = j; bv = x }
           j += 1
         }
