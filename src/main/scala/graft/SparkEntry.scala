@@ -2071,6 +2071,72 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // PROMPT-LOOKUP decoding (q262, VERDICT r17 gap 4): draft-model-
+    // FREE speculative decode — the draft is the continuation of the
+    // earliest earlier occurrence of the prompt's final bigram inside
+    // the prompt itself (an integer table lookup, no second model),
+    // greedy-verified by the target. Emitted tokens are a prefix of
+    // the plain greedy rollout (spec-pinned); the lookup only decides
+    // how many one verification pass yields. The oracle restates the
+    // match as a words self-join (pure integers) over the SAME sliced
+    // stream and the rollout as the plain greedy chain.
+    "q262_torch_prompt_lookup" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generatePromptLookup(toks, "tok_ids", bc, ngram = 2,
+          maxDraft = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("n_drafted").as("n_drf"),
+          when(size(col("draft_toks")) >= 1, col("draft_toks")(0)).as("d1"),
+          when(size(col("draft_toks")) >= 2, col("draft_toks")(1)).as("d2"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
+    // TREE-DRAFT speculative decoding (q263, VERDICT r17 gap 1 — the
+    // Medusa/SpecInfer shape): the int8 draft proposes a branch=2 ×
+    // depth=2 token TREE (top-2 by 6dp-quantized softmax at the
+    // prompt, then top-2 under each), the target greedy-verifies all
+    // branches — its argmax only has to fall among 2 siblings per
+    // level to descend, the hedge a chain draft lacks. Emitted tokens
+    // are a prefix of the plain greedy rollout (spec-pinned); the
+    // oracle restates the tree via the synthetic-doc-id beam recipe
+    // over the draft's forward chains and the rollout as the plain
+    // greedy chain.
+    "q263_torch_tree_draft" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftGreedy(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("tree")(0)(0).as("d11"), col("tree")(0)(1).as("d12"),
+          col("tree")(1)(0).as("c111"), col("tree")(1)(1).as("c112"),
+          col("tree")(2)(0).as("c121"), col("tree")(2)(1).as("c122"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
     // Seq2seq QUALITY FILTER (q210): teacher-forced mean next-token
     // NLL of the decoder prefix GIVEN the source encoding — the
     // parallel-corpus noisy-pair filter (mine-then-filter by
@@ -11465,6 +11531,17 @@ object SparkEntry {
     // forwards generated from the early-exit submodel.
     "q256_torch_spec_selfdraft" -> specGammaOracle(earlyExitModel),
 
+    // Prompt-lookup: integer bigram-match self-join + the plain
+    // greedy rollout (greedy-equivalence verification emits a
+    // rollout prefix — no new numerics).
+    "q262_torch_prompt_lookup" -> promptLookupOracle,
+
+    // Tree-draft: draft top-2 chains via the synthetic-id beam
+    // recipe, target side = the plain greedy rollout, acceptance as
+    // set-membership CASEs.
+    "q263_torch_tree_draft" ->
+      treeDraftOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
+
     // Acceptance telemetry: the full q249 chain wrapped in a GROUP BY
     // over the acceptance arm.
     "q259_torch_spec_telemetry" ->
@@ -13801,6 +13878,173 @@ object SparkEntry {
          |LEFT JOIN rpick2 r2 ON r2.doc_id = a.doc_id
          |LEFT JOIN bpick b ON b.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** The q262 prompt-lookup oracle: the match is PURE INTEGERS — the
+    * prompt's final bigram (positions mp−1, mp of the sliced stream)
+    * self-joined against every earlier bigram, earliest start wins,
+    * drafts = the 1–2 tokens after the match — and the verification
+    * arms compare those drafts against the plain greedy rollout
+    * (emitted tokens are ALWAYS a greedy-rollout prefix under
+    * greedy-equivalence verification, so the whole decode side is the
+    * existing generateOracle chain; no new numerics anywhere). */
+  private def promptLookupOracle: String = {
+    val vocab = genModel.seqHead.get.vocab
+    s"""WITH greedy AS MATERIALIZED (
+       |${generateOracle(banned = Nil, steps = 3)}
+       |),
+       |words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |lens AS (SELECT doc_id, max(pos) AS mp FROM words GROUP BY doc_id),
+       |pat AS (
+       |  SELECT l.doc_id, w1.tid AS a, w2.tid AS b, l.mp
+       |  FROM lens l
+       |  JOIN words w1 ON w1.doc_id = l.doc_id AND w1.pos = l.mp - 1
+       |  JOIN words w2 ON w2.doc_id = l.doc_id AND w2.pos = l.mp),
+       |mtch AS (
+       |  SELECT p.doc_id, min(w1.pos) AS s
+       |  FROM pat p
+       |  JOIN words w1 ON w1.doc_id = p.doc_id AND w1.tid = p.a
+       |  JOIN words w2 ON w2.doc_id = p.doc_id AND w2.pos = w1.pos + 1
+       |    AND w2.tid = p.b
+       |  WHERE w1.pos + 1 < p.mp
+       |  GROUP BY p.doc_id),
+       |drafts AS (
+       |  SELECT m.doc_id, d1.tid AS d1, d2.tid AS d2
+       |  FROM mtch m
+       |  JOIN words d1 ON d1.doc_id = m.doc_id AND d1.pos = m.s + 2
+       |  LEFT JOIN words d2 ON d2.doc_id = m.doc_id AND d2.pos = m.s + 3)
+       |SELECT g.doc_id,
+       |  CAST(CASE WHEN d.d1 IS NULL THEN 0
+       |            WHEN d.d2 IS NULL THEN 1 ELSE 2 END AS INT) AS n_drf,
+       |  CAST(d.d1 AS INT) AS d1, CAST(d.d2 AS INT) AS d2,
+       |  CAST(CASE WHEN d.d1 = g.gen1 AND d.d2 = g.gen2 THEN 2
+       |            WHEN d.d1 = g.gen1 THEN 1 ELSE 0 END AS INT) AS n_acc,
+       |  CAST(g.gen1 AS INT) AS f1,
+       |  CAST(CASE WHEN d.d1 = g.gen1 THEN g.gen2 END AS INT) AS f2,
+       |  CAST(CASE WHEN d.d1 = g.gen1 AND d.d2 = g.gen2 THEN g.gen3 END
+       |       AS INT) AS f3
+       |FROM greedy g LEFT JOIN drafts d ON d.doc_id = g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
+  /** The q263 tree-draft oracle: the draft's root top-2 (p6 DESC,
+    * tid over its 6dp softmax at toks0), then BOTH children expanded
+    * via the synthetic-doc-id beam recipe (doc·2 + rank) for one more
+    * draft forward → each node's top-2; the target side is the plain
+    * greedy rollout (greedy-equivalence verification emits a rollout
+    * prefix), and the acceptance arms are set-membership CASEs —
+    * level 1 against the root pair, level 2 against the accepted
+    * child's pair. */
+  private def treeDraftOracle(
+      draftModel: graft.torch.TorchScriptModel): String = {
+    val vocab = genModel.seqHead.get.vocab
+    def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+      val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+      val pCols = (0 until model.seqHead.get.vocab)
+        .map(j => s"p$j").mkString(", ")
+      val block =
+        if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
+          encBlockSql(model, pool = "last", tokensCte = Some(toksName))
+        else earlyExitBlockSql(model, toksName)
+      TorchOracle.mlpArgmaxSql(fc, block,
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    }
+    def softmax6(src: String, out: String): String = {
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid, round(e / z, 6) AS p6
+         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM ($unpivot))))""".stripMargin
+    }
+    s"""WITH greedy AS MATERIALIZED (
+       |${generateOracle(banned = Nil, steps = 3)}
+       |),
+       |words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (
+       |  SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logitD1 AS MATERIALIZED (
+       |${fwdP(draftModel, "toks0")}
+       |),
+       |${softmax6("logitD1", "qprob1")},
+       |root2 AS MATERIALIZED (
+       |  SELECT doc_id, tid,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY p6 DESC, tid) AS rk
+       |  FROM qprob1 QUALIFY rk <= 2),
+       |toksC AS MATERIALIZED (
+       |  SELECT t.doc_id * 2 + (b.rk - 1) AS doc_id, t.tid, t.pos
+       |  FROM toks0 t JOIN root2 b ON b.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT b.doc_id * 2 + (b.rk - 1), CAST(b.tid AS BIGINT), l.mp + 1
+       |  FROM root2 b JOIN lens0 l ON l.doc_id = b.doc_id),
+       |logitD2 AS MATERIALIZED (
+       |${fwdP(draftModel, "toksC")}
+       |),
+       |${softmax6("logitD2", "qprob2")},
+       |kids AS MATERIALIZED (
+       |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY p6 DESC, tid) AS rk
+       |  FROM qprob2 QUALIFY rk <= 2),
+       |rootp AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN rk = 1 THEN tid END) AS d11,
+       |    max(CASE WHEN rk = 2 THEN tid END) AS d12
+       |  FROM root2 GROUP BY doc_id),
+       |kidsp AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN pb = 0 AND rk = 1 THEN tid END) AS c111,
+       |    max(CASE WHEN pb = 0 AND rk = 2 THEN tid END) AS c112,
+       |    max(CASE WHEN pb = 1 AND rk = 1 THEN tid END) AS c121,
+       |    max(CASE WHEN pb = 1 AND rk = 2 THEN tid END) AS c122
+       |  FROM kids GROUP BY doc_id),
+       |acc AS (
+       |  SELECT g.doc_id, g.gen1, g.gen2, g.gen3,
+       |    r.d11, r.d12, k.c111, k.c112, k.c121, k.c122,
+       |    (g.gen1 = r.d11 OR g.gen1 = r.d12) AS a1,
+       |    (CASE WHEN g.gen1 = r.d11
+       |            THEN (g.gen2 = k.c111 OR g.gen2 = k.c112)
+       |          WHEN g.gen1 = r.d12
+       |            THEN (g.gen2 = k.c121 OR g.gen2 = k.c122)
+       |          ELSE FALSE END) AS a2
+       |  FROM greedy g
+       |  JOIN rootp r ON r.doc_id = g.doc_id
+       |  JOIN kidsp k ON k.doc_id = g.doc_id)
+       |SELECT doc_id,
+       |  CAST(d11 AS INT) AS d11, CAST(d12 AS INT) AS d12,
+       |  CAST(c111 AS INT) AS c111, CAST(c112 AS INT) AS c112,
+       |  CAST(c121 AS INT) AS c121, CAST(c122 AS INT) AS c122,
+       |  CAST(CASE WHEN a1 AND a2 THEN 2 WHEN a1 THEN 1 ELSE 0 END
+       |       AS INT) AS n_acc,
+       |  CAST(gen1 AS INT) AS f1,
+       |  CAST(CASE WHEN a1 THEN gen2 END AS INT) AS f2,
+       |  CAST(CASE WHEN a1 AND a2 THEN gen3 END AS INT) AS f3
+       |FROM acc
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** The q253 contrastive-BEAM oracle: the q248 two-model chain

@@ -3405,4 +3405,295 @@ object Torch {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /**
+   * PROMPT-LOOKUP decoding (Saxena 2023; HF
+   * `prompt_lookup_num_tokens` — the DRAFT-MODEL-FREE speculative
+   * mode): the draft for the next tokens is the continuation of the
+   * EARLIEST earlier occurrence of the prompt's final `ngram` tokens
+   * inside the prompt itself — the n-gram copy heuristic that wins on
+   * summarization/code/RAG inputs where the output parrots spans of
+   * the input. No second model, no draft forward pass at all: the
+   * draft is a table lookup, the target pays one (sessionized)
+   * verification pass for up to `maxDraft + 1` emitted tokens.
+   *
+   * Verification is the GREEDY-equivalence rule (the q212 shape, not
+   * the stochastic Leviathan rule — with a deterministic point-mass
+   * draft there is nothing to resample): walk the drafts in order,
+   * accept draft i iff it equals the target's argmax at that prefix;
+   * the argmax at the first mismatch IS the correction, and an
+   * all-accepted walk emits the target's bonus argmax at the full
+   * prefix. Emitted tokens are therefore ALWAYS a prefix of the
+   * plain [[generateGreedy]] rollout of length `n_accepted + 1`
+   * (spec-pinned) — the lookup only decides how many greedy tokens
+   * one verification pass yields.
+   *
+   * Match discipline (all integer decisions — nothing numeric):
+   * pattern = the final `ngram` tokens of the (sliced) prompt; a
+   * match is a start position strictly before the pattern's own
+   * start whose `ngram` tokens equal it; the EARLIEST match wins
+   * (HF's scan order); drafts = the `min(maxDraft, available)`
+   * tokens following the match (≥ 1 by construction). A prompt
+   * shorter than `ngram + 1`, or with no match, drafts nothing and
+   * degrades to one plain greedy step (n_drafted = 0, n_accepted
+   * = 0, one emitted token).
+   *
+   * Scale shape: ONE target KV session per row, `n_accepted + 1`
+   * logit reads, inside ONE `mapPartitions` — strictly cheaper than
+   * [[speculativeSampledGamma]] (no draft session) at any corpus
+   * size; the lookup itself is O(L·ngram) integer scan.
+   *
+   * @return input columns + `draft_toks` array<int> (possibly
+   *         empty), `n_drafted` int, `n_accepted` int, `out_toks`
+   *         array<int> (the emitted `n_accepted + 1` greedy tokens);
+   *         null prompt → all null
+   */
+  def generatePromptLookup(
+      df: DataFrame,
+      inputCol: String,
+      model: Broadcast[TorchScriptModel],
+      ngram: Int,
+      maxDraft: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    require(maxDraft >= 1, "maxDraft must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1,
+      "generatePromptLookup needs a token-input model")
+    require(!model.value.isCross, "cross-attention model not supported here")
+    require(model.value.cacheable,
+      "prompt-lookup decoding needs the KV-session path (cacheable model)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("draft_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_drafted", IntegerType, nullable = true),
+      StructField("n_accepted", IntegerType, nullable = true),
+      StructField("out_toks", ArrayType(IntegerType), nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+          else {
+            val L = p.length
+            // earliest earlier occurrence of the final ngram
+            var matchAt = -1
+            if (L > ngram) {
+              val patStart = L - ngram
+              var i = 0
+              while (matchAt < 0 && i < patStart) {
+                var k = 0
+                var eq = true
+                while (eq && k < ngram) {
+                  if (p(i + k) != p(patStart + k)) eq = false else k += 1
+                }
+                if (eq) matchAt = i else i += 1
+              }
+            }
+            val drafts: Array[Int] =
+              if (matchAt < 0) Array.emptyIntArray
+              else p.slice(matchAt + ngram,
+                math.min(matchAt + ngram + maxDraft, L))
+            val sess = m.decodeSession(p)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var n = 0
+            var rejected = false
+            while (n < drafts.length && !rejected) {
+              val t = argmaxFirst(sess.logits())
+              out += t
+              if (t == drafts(n)) { sess.append(t); n += 1 }
+              else rejected = true // the argmax IS the correction
+            }
+            if (!rejected) out += argmaxFirst(sess.logits()) // bonus
+            Row.fromSeq(r.toSeq ++
+              Seq(drafts.toSeq, drafts.length, n, out.toSeq))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * TREE-DRAFT speculative decoding (the Medusa / SpecInfer shape —
+   * Cai et al. 2024, Miao et al. 2023): instead of one draft CHAIN,
+   * the draft model proposes a TOKEN TREE — its top-`branch`
+   * candidates at the prompt, then top-`branch` continuations of
+   * EACH of those, `depth` levels deep — and the target verifies all
+   * branches against one (sessionized) pass. A chain draft wastes
+   * its whole budget when position 1 misses; a tree hedges: the
+   * target's token only has to fall among `branch` siblings at each
+   * level for the walk to descend.
+   *
+   * Verification is the GREEDY-equivalence rule (Medusa's exact-match
+   * mode): t_k = the target's argmax at the accepted prefix; level k
+   * accepts iff t_k is among the current tree node's children, and
+   * the walk descends into that child; the first miss makes t_k the
+   * correction, a full walk earns the bonus argmax. Emitted tokens
+   * are therefore ALWAYS a prefix of the plain [[generateGreedy]]
+   * rollout of length `n_accepted + 1` (spec-pinned) — the tree only
+   * decides how many greedy tokens one verification pass yields. An
+   * identity draft (draft eq target) always accepts every level: the
+   * target's argmax is the draft's p6-rank-1 child by construction.
+   *
+   * Tree discipline: children rank by the draft's 6dp-quantized
+   * softmax (p6 DESC, tid ASC) — the q241 top-k pick, a quantized
+   * decision whose rank-boundary gap gets the spec-pinned floor.
+   * Draft sessions FORK per node (O(L) pointer copy), so building
+   * the `(branch^depth − 1)/(branch − 1)` internal nodes costs one
+   * draft logit read each — the tree-attention batching a GPU server
+   * does in one kernel, restated as KV-shared incremental reads.
+   *
+   * Scale shape: one draft session + forks and one target session
+   * per row, inside ONE `mapPartitions` — no shuffle, no per-step
+   * plan growth, O(branch^depth · L · d) bounded by the knobs.
+   *
+   * @return input columns + `tree` array<array<int>>: the children
+   *         arrays in BFS node order (root's children, then each
+   *         level-1 node's children left-to-right, ...; leaves have
+   *         no entry), `n_accepted` int, `out_toks` array<int> (the
+   *         emitted `n_accepted + 1` greedy tokens); null prompt →
+   *         all null
+   */
+  def treeDraftGreedy(
+      df: DataFrame,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      branch: Int,
+      depth: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(branch >= 1, "branch must be >= 1")
+    require(depth >= 1, "depth must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "treeDraftGreedy needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross-attention models not supported here")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(branch <= target.value.outDim, "branch exceeds the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "tree-draft decoding needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("tree", ArrayType(ArrayType(IntegerType)), nullable = true),
+      StructField("n_accepted", IntegerType, nullable = true),
+      StructField("out_toks", ArrayType(IntegerType), nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      def topBranch(lg: Array[Float]): Array[Int] = {
+        val p6 = Spec.probs6(lg, vocab)
+        (0 until vocab).sortBy(j => (-p6(j), j)).take(branch).toArray
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            // BFS tree build: each internal node costs one draft logit
+            // read on a fork. Children index by PATH (not token —
+            // two same-level nodes under different parents can share
+            // a token without clobbering each other's subtrees).
+            val tree = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+            val childrenOf =
+              scala.collection.mutable.Map.empty[Vector[Int], Array[Int]]
+            var frontier: Seq[(dm.DecodeSession, Vector[Int])] =
+              Seq((dm.decodeSession(p), Vector.empty))
+            while (frontier.nonEmpty) {
+              val next = scala.collection.mutable.ArrayBuffer
+                .empty[(dm.DecodeSession, Vector[Int])]
+              frontier.foreach { case (sess, path) =>
+                val kids = topBranch(sess.logits())
+                tree += kids.toSeq
+                childrenOf(path) = kids
+                if (path.length + 1 < depth) kids.foreach { c =>
+                  val child = sess.fork()
+                  child.append(c)
+                  next += ((child, path :+ c))
+                }
+              }
+              frontier = next.toSeq
+            }
+            // greedy verify along the (unique) target path
+            val st = tm.decodeSession(p)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var path = Vector.empty[Int]
+            var n = 0
+            var rejected = false
+            while (n < depth && !rejected) {
+              val t = argmaxFirst(st.logits())
+              out += t
+              if (childrenOf(path).contains(t)) {
+                st.append(t); path :+= t; n += 1
+              } else rejected = true // the argmax IS the correction
+            }
+            if (!rejected) out += argmaxFirst(st.logits()) // bonus
+            Row.fromSeq(r.toSeq ++ Seq(tree.toSeq, n, out.toSeq))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -486,6 +486,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p255.contains("CartesianProduct"), s"q255 cartesian:\n$p255")
   }
 
+  test("round-18 draft-acceleration ops: scan-side, output sort the only exchange") {
+    // prompt-lookup decoding (q262) and tree-draft speculative
+    // decoding (q263): the lookup is an in-row integer scan and the
+    // tree is session forks — everything inside ONE mapPartitions,
+    // same ≤1-exchange / ≤1-scan / no-cartesian contract
+    for (q <- Seq("q262_torch_prompt_lookup", "q263_torch_tree_draft")) {
+      val p = plan(q)
+      val ex = "Exchange".r.findAllIn(p).length
+      assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert("Scan parquet".r.findAllIn(p).length <= 1,
+        s"$q: expected at most one parquet scan:\n$p")
+    }
+  }
+
   test("q246 RAG retrieval leg is the IVFADC shortlist — no corpus-vs-queries NLJ") {
     // round-17 (VERDICT r16 item 1): the capstone's top-1 retrieval
     // must ride the probe-bounded shortlist + keyed rerank joins. A
