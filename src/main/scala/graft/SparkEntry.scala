@@ -2137,6 +2137,73 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SHALLOW FUSION under BEAMS (q264, VERDICT r17 gap 2 — where
+    // Gulcehre et al. actually deploy LM fusion): q257's frozen
+    // add-one bigram prior rides beamSearch — every live candidate's
+    // log-softmax gains 0.5·ln p_LM(tok | the beam's OWN last token)
+    // and the fused value accumulates into the running joint, so the
+    // corpus prior steers both ranking and which hypotheses survive.
+    // lmWeight = 0 reduces bit-exactly to plain beams and width = 1
+    // emits generateGreedyFused's exact tokens (both spec-pinned);
+    // the kept-vs-dropped joint margins get the q253 gap-floor
+    // treatment.
+    "q264_torch_beam_fused" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+      toks.select(explode(zip_with(
+            slice(col("tok_ids"), lit(1), greatest(size(col("tok_ids")) - 1, lit(0))),
+            slice(col("tok_ids"), lit(2), greatest(size(col("tok_ids")) - 1, lit(0))),
+            (a, b) => struct(a.as("p"), b.as("c")))).as("pc"))
+        .groupBy(col("pc.p").as("p"), col("pc.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+        .collect() // bounded by vocab² = 64 rows
+        .foreach(r => counts(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+      Torch.beamSearch(toks, "tok_ids", "beams", bc, steps = 2, width = 2,
+          batchSize = 256, lmWeight = 0.5, lmCounts = counts)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("b1t1"), col("beams")(0)(1).as("b1t2"),
+          col("beams")(1)(0).as("b2t1"), col("beams")(1)(1).as("b2t2"))
+        .orderBy("doc_id")
+    },
+
+    // WATERMARK × DIVERSE beam groups (q265, VERDICT r17 gap 3 —
+    // deployments watermark whatever decode they run): the
+    // Kirchenbauer green-list bias (delta = 2, gamma = 1/2) threads
+    // into beamSearchDiverse — each live beam's raw logits gain
+    // +delta on the green set keyed by ITS OWN last token BEFORE the
+    // per-beam log-softmax, and the Hamming diversity penalty then
+    // subtracts from the BIASED scores. Group 0 is bit-identical to
+    // q260's watermarked plain beams and delta = 0 reduces to q236's
+    // diverse path (both spec-pinned).
+    "q265_torch_beam_diverse_watermark" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.beamSearchDiverse(toks, "tok_ids", "beams", bc, steps = 2,
+          width = 2, groups = 2, diversityPenalty = 0.5, batchSize = 256,
+          watermarkDelta = 2.0)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("g1b1t1"), col("beams")(0)(1).as("g1b1t2"),
+          col("beams")(1)(0).as("g1b2t1"), col("beams")(1)(1).as("g1b2t2"),
+          col("beams")(2)(0).as("g2b1t1"), col("beams")(2)(1).as("g2b1t2"),
+          col("beams")(3)(0).as("g2b2t1"), col("beams")(3)(1).as("g2b2t2"))
+        .orderBy("doc_id")
+    },
+
     // Seq2seq QUALITY FILTER (q210): teacher-forced mean next-token
     // NLL of the decoder prefix GIVEN the source encoding — the
     // parallel-corpus noisy-pair filter (mine-then-filter by
@@ -11542,6 +11609,16 @@ object SparkEntry {
     "q263_torch_tree_draft" ->
       treeDraftOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
 
+    // Fused beams: the beam recipe with the frozen bigram-prior term
+    // on every candidate, joined on each beam's own last token.
+    "q264_torch_beam_fused" -> fusedBeamOracle(lam = 0.5),
+
+    // Watermarked diverse beams: the two-group recipe over BIASED
+    // per-beam log-softmaxes (wadj before every lse).
+    "q265_torch_beam_diverse_watermark" ->
+      diverseWatermarkBeamOracle(delta = 2.0, num = 1, den = 2,
+        lambda = 0.5),
+
     // Acceptance telemetry: the full q249 chain wrapped in a GROUP BY
     // over the acceptance arm.
     "q259_torch_spec_telemetry" ->
@@ -15174,6 +15251,256 @@ object SparkEntry {
        |FROM kept k1 JOIN kept k2
        |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
        |ORDER BY k1.doc_id""".stripMargin
+  }
+
+  /** The q264 fused-beam oracle: [[beamOracle]]'s two-step
+    * synthetic-id recipe with [[fusedOracle]]'s frozen bigram-prior
+    * term added to every candidate's log-softmax — `lp + λ·ln((cnt +
+    * 1)/(tot + V))` joined on the BEAM's last token (prompt last at
+    * step 1 via last1 over toks0; the beam's own appended token at
+    * step 2 via last2 over the grown synthetic-id toks1). The fused
+    * value IS the accumulated score (the engine's raw), so step 2's
+    * joint is `beams1.score + fl`. */
+  private def fusedBeamOracle(lam: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    val lLit = s"CAST($lam AS DOUBLE)"
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    def lastCte(toksName: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t0.doc_id, t0.tid AS lt
+         |  FROM $toksName t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toksName
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp)""".stripMargin
+    def fuseCte(candSrc: String, lastSrc: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT c.doc_id, c.tid,
+         |    c.lp + $lLit * ln(
+         |      CAST(coalesce(bi.cnt, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(rs.tot, 0) + $vocab AS DOUBLE)) AS fl
+         |  FROM $candSrc c
+         |  JOIN $lastSrc l ON l.doc_id = c.doc_id
+         |  LEFT JOIN bi ON bi.p = l.lt AND bi.c = c.tid
+         |  LEFT JOIN rs ON rs.p = l.lt)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |bi AS MATERIALIZED (
+       |  SELECT a.tid AS p, b.tid AS c, count(*) AS cnt
+       |  FROM words a
+       |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.tid, b.tid),
+       |rs AS MATERIALIZED (
+       |  SELECT p, sum(cnt) AS tot FROM bi GROUP BY p),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |lp1 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit1)),
+       |cand1 AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |${lastCte("toks0", "last1")},
+       |${fuseCte("cand1", "last1", "fcand1")},
+       |beams1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, fl AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY fl DESC, tid) AS b
+       |  FROM fcand1 QUALIFY b <= 2),
+       |toks1 AS MATERIALIZED (
+       |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+       |  FROM toks0 t JOIN beams1 b ON b.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+       |  FROM beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+       |logit2 AS MATERIALIZED (
+       |${fwd("toks1")}
+       |),
+       |lp2 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2)),
+       |cand2raw AS MATERIALIZED (
+       |  ${candRows("lp2")}),
+       |${lastCte("toks1", "last2")},
+       |${fuseCte("cand2raw", "last2", "fcand2raw")},
+       |fcand2 AS MATERIALIZED (
+       |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, fl
+       |  FROM fcand2raw),
+       |joined AS MATERIALIZED (
+       |  SELECT c.doc_id, c.pb, c.tid, b.score + c.fl AS joint,
+       |    CAST(b.tid AS INT) AS t1
+       |  FROM fcand2 c JOIN beams1 b
+       |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1),
+       |kept AS (
+       |  SELECT doc_id, t1, tid, joint,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+       |  FROM joined QUALIFY rk <= 2)
+       |SELECT k1.doc_id, k1.t1 AS b1t1, CAST(k1.tid AS INT) AS b1t2,
+       |  k2.t1 AS b2t1, CAST(k2.tid AS INT) AS b2t2
+       |FROM kept k1 JOIN kept k2
+       |  ON k2.doc_id = k1.doc_id AND k1.rk = 1 AND k2.rk = 2
+       |ORDER BY k1.doc_id""".stripMargin
+  }
+
+  /** The q265 watermarked-DIVERSE-beam oracle:
+    * [[diverseBeamOracle]]'s two-group recipe with
+    * [[watermarkBeamOracle]]'s `wadj` CTE between every logit CTE
+    * and its lse — each beam's p columns gain +delta on the green
+    * set keyed by md5("<its last token>:<column id>") BEFORE the
+    * per-beam log-softmax — and the Hamming penalty (group B minus
+    * λ × group A's same-step pick counts) subtracting from the
+    * BIASED log-softmax downstream, exactly the engine's order.
+    * Group A is watermarkBeamOracle's chain verbatim. */
+  private def diverseWatermarkBeamOracle(delta: Double, num: Int,
+      den: Int, lambda: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    val dLit = s"CAST($delta AS DOUBLE)"
+    val lam = s"CAST($lambda AS DOUBLE)"
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    def wadjCols: String = (0 until vocab).map { j =>
+      s"""g.p$j + CASE WHEN
+         |      (CAST('0x' || substring(md5(CAST(l.lt AS VARCHAR) || ':$j'),
+         |        1, 8) AS BIGINT) % $den) < $num
+         |      THEN $dLit ELSE CAST(0 AS DOUBLE) END AS p$j""".stripMargin
+    }.mkString(",\n    ")
+    def lastCte(toksName: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t0.doc_id, t0.tid AS lt
+         |  FROM $toksName t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toksName
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp)""".stripMargin
+    def biasedLp(logitSrc: String, lastSrc: String, sfx: String): String =
+      s"""wadj$sfx AS MATERIALIZED (
+         |  SELECT g.doc_id,
+         |    $wadjCols
+         |  FROM $logitSrc g JOIN $lastSrc l ON l.doc_id = g.doc_id),
+         |lp$sfx AS MATERIALIZED (
+         |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+         |  FROM (SELECT doc_id, $pCols, $mx AS m FROM wadj$sfx))""".stripMargin
+    // one group's step-2 block over BIASED scores, optionally
+    // penalized by the other group's pick counts
+    def step2(sfx: String, beams1: String,
+        penaltyCnt: Option[String]): String = {
+      val pen = penaltyCnt match {
+        case None => ""
+        case Some(_) => s" - $lam * CAST(coalesce(a.c, 0) AS DOUBLE)"
+      }
+      val penJoin = penaltyCnt match {
+        case None => ""
+        case Some(cnt) =>
+          s"\n  LEFT JOIN $cnt a ON a.doc_id = c.doc_id AND a.tid = c.tid"
+      }
+      s"""toks1$sfx AS MATERIALIZED (
+         |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+         |  FROM toks0 t JOIN $beams1 b ON b.doc_id = t.doc_id
+         |  UNION ALL
+         |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+         |  FROM $beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+         |logit2$sfx AS MATERIALIZED (
+         |${fwd(s"toks1$sfx")}
+         |),
+         |${lastCte(s"toks1$sfx", s"last2$sfx")},
+         |${biasedLp(s"logit2$sfx", s"last2$sfx", s"2$sfx")},
+         |cand2raw$sfx AS MATERIALIZED (
+         |  ${candRows(s"lp2$sfx")}),
+         |cand2$sfx AS MATERIALIZED (
+         |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, lp
+         |  FROM cand2raw$sfx),
+         |joined$sfx AS MATERIALIZED (
+         |  SELECT c.doc_id, c.pb, c.tid,
+         |    b.score + c.lp$pen AS joint,
+         |    CAST(b.tid AS INT) AS t1
+         |  FROM cand2$sfx c JOIN $beams1 b
+         |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1$penJoin),
+         |kept$sfx AS MATERIALIZED (
+         |  SELECT doc_id, t1, tid, joint,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+         |  FROM joined$sfx QUALIFY rk <= 2)""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |${lastCte("toks0", "last1")},
+       |${biasedLp("logit1", "last1", "1")},
+       |cand1 AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |beams1a AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM cand1 QUALIFY b <= 2),
+       |cntA1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, count(*) AS c FROM beams1a GROUP BY doc_id, tid),
+       |beams1b AS MATERIALIZED (
+       |  SELECT doc_id, tid, lp AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, tid) AS b
+       |  FROM (SELECT c.doc_id, c.tid,
+       |          c.lp - $lam * CAST(coalesce(a.c, 0) AS DOUBLE) AS lp
+       |        FROM cand1 c
+       |        LEFT JOIN cntA1 a ON a.doc_id = c.doc_id AND a.tid = c.tid)
+       |  QUALIFY b <= 2),
+       |${step2("a", "beams1a", None)},
+       |cntA2 AS MATERIALIZED (
+       |  SELECT doc_id, tid, count(*) AS c FROM kepta GROUP BY doc_id, tid),
+       |${step2("b", "beams1b", Some("cntA2"))}
+       |SELECT a1.doc_id,
+       |  a1.t1 AS g1b1t1, CAST(a1.tid AS INT) AS g1b1t2,
+       |  a2.t1 AS g1b2t1, CAST(a2.tid AS INT) AS g1b2t2,
+       |  b1.t1 AS g2b1t1, CAST(b1.tid AS INT) AS g2b1t2,
+       |  b2.t1 AS g2b2t1, CAST(b2.tid AS INT) AS g2b2t2
+       |FROM kepta a1
+       |JOIN kepta a2 ON a2.doc_id = a1.doc_id AND a1.rk = 1 AND a2.rk = 2
+       |JOIN keptb b1 ON b1.doc_id = a1.doc_id AND b1.rk = 1
+       |JOIN keptb b2 ON b2.doc_id = a1.doc_id AND b2.rk = 2
+       |ORDER BY a1.doc_id""".stripMargin
   }
 
   /** The q236 diverse-beam oracle: TWO beamOracle chains over the

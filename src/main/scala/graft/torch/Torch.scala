@@ -737,9 +737,12 @@ object Torch {
       bannedPhrases: Seq[Seq[Int]] = Nil,
       minNewTokens: Int = 0,
       watermarkDelta: Double = 0.0,
-      watermarkGamma: (Int, Int) = (1, 2)): DataFrame = {
+      watermarkGamma: (Int, Int) = (1, 2),
+      lmWeight: Double = 0.0,
+      lmCounts: Array[Array[Long]] = null): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
     require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
+    require(lmWeight >= 0.0, "lmWeight must be >= 0")
     require(watermarkGamma._1 >= 1 && watermarkGamma._1 < watermarkGamma._2,
       "watermarkGamma must be a fraction num/den with 0 < num < den")
     val spark = df.sparkSession
@@ -771,6 +774,27 @@ object Torch {
     // compose fine — they act on the biased scores downstream)
     require(watermarkDelta == 0.0 || plainKnobs,
       "watermarkDelta does not compose with the constraint knobs")
+    // SHALLOW FUSION under beams (Gulcehre et al. 2015 — where
+    // production LM fusion actually rides): each live candidate's
+    // log-softmax score gains `lmWeight · ln p_LM(tok | prev)` from
+    // the frozen add-one bigram prior ([[generateGreedyFused]]'s
+    // exact term, prev = the beam's OWN last token), and the fused
+    // value accumulates into the running joint — so the prior steers
+    // both ranking and which hypotheses survive. Composes with
+    // lengthPenalty/eos (downstream normalizations of the fused raw);
+    // the constraint chain and the watermark are out of scope.
+    require(lmWeight == 0.0 ||
+      (plainKnobs && watermarkDelta == 0.0 && model.value.cacheable),
+      "lmWeight needs the KV path and does not compose with the " +
+        "constraint/watermark knobs")
+    val vocabN = model.value.outDim
+    require(lmWeight == 0.0 || (lmCounts != null &&
+      lmCounts.length == vocabN && lmCounts.forall(_.length == vocabN)),
+      "lmCounts must be vocab x vocab when lmWeight > 0")
+    // frozen-ingest broadcast convention (see generateGreedyFused)
+    val bcLm: Broadcast[(Array[Array[Long]], Array[Long])] =
+      if (lmWeight == 0.0) null
+      else spark.sparkContext.broadcast((lmCounts, lmCounts.map(_.sum)))
     val withInts = df.withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -779,6 +803,14 @@ object Torch {
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
+      val lm = if (bcLm == null) null else bcLm.value
+      // the fused prior term: lmWeight · ln((cnt+1)/(rowSum+V)) —
+      // generateGreedyFused's exact f64 expression, 0 when fusion is
+      // off (guarded so the unfused path stays bit-exact)
+      def fused(prev: Int, tok: Int): Double =
+        lmWeight * StrictMath.log(
+          (lm._1(prev)(tok) + 1L).toDouble /
+            (lm._2(prev) + vocab.toLong).toDouble)
       def logProbs(out: Array[Float], off: Int): Array[Double] = {
         var mx = Double.NegativeInfinity
         var j = 0
@@ -862,7 +894,10 @@ object Torch {
                       StrictMath.pow((g.length + 1).toDouble, lengthPenalty)
                     if (plainKnobs)
                       (0 until vocab).map { tok =>
-                        val raw = s0 + lp(tok)
+                        val raw =
+                          if (lmWeight == 0.0) s0 + lp(tok)
+                          else s0 + lp(tok) +
+                            fused(if (g.nonEmpty) g.last else p.last, tok)
                         (raw / pen, bi, tok, raw, (g, s0, sess, false))
                       }
                     else {
@@ -1007,12 +1042,26 @@ object Torch {
       diversityPenalty: Double,
       batchSize: Int = -1,
       lengthPenalty: Double = 0.0,
-      eosId: Int = -1): DataFrame = {
+      eosId: Int = -1,
+      watermarkDelta: Double = 0.0,
+      watermarkGamma: (Int, Int) = (1, 2)): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
     require(groups >= 1, "groups must be >= 1")
     require(diversityPenalty >= 0.0, "diversityPenalty must be >= 0")
     require(lengthPenalty >= 0.0, "lengthPenalty must be >= 0")
     require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
+    // the WATERMARK under diverse groups (round 18 — deployments
+    // watermark whatever decode they run): each live beam's raw
+    // logits gain +delta on the green set keyed by ITS OWN last
+    // token BEFORE the per-group log-softmax (beamSearch's exact
+    // logProbsBiased order); the Hamming diversity penalty then
+    // subtracts from the BIASED log-softmax downstream, so group 0
+    // stays bit-identical to watermarked plain beamSearch and
+    // delta = 0 reduces bit-exactly to the unwatermarked path (the
+    // guarded branch; both spec-pinned).
+    require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
+    require(watermarkGamma._1 >= 1 && watermarkGamma._1 < watermarkGamma._2,
+      "watermarkGamma must be a fraction num/den with 0 < num < den")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1, "beamSearchDiverse needs a token-input model")
@@ -1041,6 +1090,23 @@ object Torch {
         while (j < vocab) { z += math.exp(out(j).toDouble - mx); j += 1 }
         val lse = math.log(z) + mx
         Array.tabulate(vocab)(k => out(k).toDouble - lse)
+      }
+      // beamSearch's logProbsBiased verbatim: green logits (keyed on
+      // the beam's last token) gain +delta BEFORE the log-softmax
+      def logProbsBiased(out: Array[Float], prev: Int): Array[Double] = {
+        val adj = Array.tabulate(vocab) { j =>
+          if (Sampling.greenToken(prev, j, watermarkGamma._1, watermarkGamma._2))
+            out(j).toDouble + watermarkDelta
+          else out(j).toDouble
+        }
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < vocab) { if (adj(j) > mx) mx = adj(j); j += 1 }
+        var z = 0.0
+        j = 0
+        while (j < vocab) { z += math.exp(adj(j) - mx); j += 1 }
+        val lse = math.log(z) + mx
+        Array.tabulate(vocab)(k => adj(k) - lse)
       }
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
@@ -1081,7 +1147,10 @@ object Torch {
                     Seq((s0 / StrictMath.pow(gen.length.toDouble, lengthPenalty),
                       bi, -1, s0, (gen, s0, sess, true)))
                   case ((gen, s0, sess, false), bi) =>
-                    val lp = logProbs(sess.logits())
+                    val lp =
+                      if (watermarkDelta == 0.0) logProbs(sess.logits())
+                      else logProbsBiased(sess.logits(),
+                        if (gen.nonEmpty) gen.last else p.last)
                     val pen =
                       StrictMath.pow((gen.length + 1).toDouble, lengthPenalty)
                     (0 until vocab).map { tok =>

@@ -491,7 +491,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // decoding (q263): the lookup is an in-row integer scan and the
     // tree is session forks — everything inside ONE mapPartitions,
     // same ≤1-exchange / ≤1-scan / no-cartesian contract
-    for (q <- Seq("q262_torch_prompt_lookup", "q263_torch_tree_draft")) {
+    // fused beams (q264) and watermarked diverse beams (q265) join
+    // the same contract: the bigram collect is vocab²-bounded and
+    // the beam work is session forks in one mapPartitions
+    for (q <- Seq("q262_torch_prompt_lookup", "q263_torch_tree_draft",
+        "q264_torch_beam_fused", "q265_torch_beam_diverse_watermark")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

@@ -1943,4 +1943,120 @@ class TorchGenerateSpec extends AnyFunSuite {
     // every sequence has exactly `steps` tokens (no early exit path)
     assert(k3.values.flatten.forall(_.length == 3))
   }
+
+  test("q264 fused beams: == f64 recompute; lambda=0 bit-exact; width=1 == generateGreedyFused; margins floor") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    val toks = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toArray)
+    // the frozen bigram prior, recomputed in pure Scala
+    val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+    toks.foreach { case (_, ids) =>
+      ids.sliding(2).foreach {
+        case Array(a, b) => counts(a)(b) += 1L
+        case _ =>
+      }
+    }
+    val rowSums = counts.map(_.sum)
+    val lam = 0.5
+    def fused(prev: Int, tok: Int): Double =
+      lam * StrictMath.log((counts(prev)(tok) + 1L).toDouble /
+        (rowSums(prev) + vocab.toLong).toDouble)
+    def run(w: Int, l: Double) =
+      Torch.beamSearch(df, "tok_ids", "beams", bc, steps = 2, width = w,
+          lmWeight = l, lmCounts = if (l == 0.0) null else counts)
+        .select("doc_id", "beams").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    val fusedBeams = run(2, lam)
+    val plainBeams = Torch.beamSearch(df, "tok_ids", "beams", bc,
+        steps = 2, width = 2)
+      .select("doc_id", "beams").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    // lambda = 0 takes the guarded branch: bit-exact plain beams
+    assert(run(2, 0.0) == plainBeams,
+      "lmWeight = 0 is not bit-exact plain beamSearch")
+    // the prior actually steers some hypothesis somewhere
+    assert(fusedBeams.exists { case (d, beams) => beams != plainBeams(d) },
+      "lambda = 0.5 changed nothing — vacuous fusion")
+    // width = 1: the per-step pick maximizes lp + fused = logits −
+    // lse + fused — the same argmax generateGreedyFused takes over
+    // logits + fused (lse is constant per step)
+    val g = Torch.generateGreedyFused(df, "tok_ids", "gen", bc, steps = 2,
+        lmWeight = lam, lmCounts = counts)
+      .select("doc_id", "gen").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val w1 = run(1, lam)
+    assert(w1.forall { case (d, beams) => beams == Seq(g(d)) },
+      "width-1 fused beams diverged from generateGreedyFused")
+    // full f64 recompute of the 2x2 fused expansion + margin floors
+    def logProbs(ids: Array[Int]): Array[Double] = {
+      val lg = f64Logits(m, ids)
+      val mx = lg.max
+      val lse = math.log(lg.map(v => math.exp(v - mx)).sum) + mx
+      lg.map(_ - lse)
+    }
+    var minMargin = Double.MaxValue
+    for ((docId, ids) <- toks) {
+      val lp1 = logProbs(ids)
+      val f1 = (0 until vocab).map(t => lp1(t) + fused(ids.last, t))
+      val b1 = (0 until vocab).sortBy(t => (-f1(t), t)).take(2)
+      minMargin = math.min(minMargin,
+        f1(b1(1)) - (0 until vocab).filterNot(b1.contains).map(f1).max)
+      val cands = b1.zipWithIndex.flatMap { case (t1, rank) =>
+        val lp2 = logProbs(ids :+ t1)
+        (0 until vocab).map(t2 =>
+          (f1(t1) + lp2(t2) + fused(t1, t2), rank, t1, t2))
+      }
+      val ranked = cands.sortBy { case (s, r, _, t2) => (-s, r, t2) }
+      val kept = ranked.take(2)
+      minMargin = math.min(minMargin, kept(1)._1 - ranked(2)._1)
+      val exp = Seq(Seq(kept(0)._3, kept(0)._4), Seq(kept(1)._3, kept(1)._4))
+      assert(fusedBeams(docId) == exp,
+        s"doc $docId: engine ${fusedBeams(docId)} vs f64 $exp")
+    }
+    info(s"q264 sf0.001: min fused beam margin $minMargin")
+    assert(minMargin > 1e-4, s"fused beam margin floor violated: $minMargin")
+  }
+
+  test("q265 watermarked diverse beams: group 0 == watermarked plain beams; delta=0 reduces; the bias bites") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    def runDiverse(delta: Double) =
+      Torch.beamSearchDiverse(df, "tok_ids", "beams", bc, steps = 2,
+          width = 2, groups = 2, diversityPenalty = 0.5,
+          watermarkDelta = delta)
+        .select("doc_id", "beams").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    val marked = runDiverse(2.0)
+    // group 0 (beams 0-1) is bit-identical to watermarked PLAIN beams
+    // at any penalty — groups only see earlier groups' picks
+    val plain = Torch.beamSearch(df, "tok_ids", "beams", bc, steps = 2,
+        width = 2, watermarkDelta = 2.0)
+      .select("doc_id", "beams").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    assert(marked.forall { case (d, beams) => beams.take(2) == plain(d) },
+      "group 0 diverged from watermarked plain beamSearch")
+    // delta = 0 takes the guarded branch: bit-exact the pre-knob path
+    val unmarked = runDiverse(0.0)
+    assert(unmarked == Torch.beamSearchDiverse(df, "tok_ids", "beams", bc,
+        steps = 2, width = 2, groups = 2, diversityPenalty = 0.5)
+      .select("doc_id", "beams").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap,
+      "watermarkDelta = 0 is not bit-exact the default path")
+    // the bias actually steers some hypothesis somewhere
+    assert(marked.exists { case (d, beams) => beams != unmarked(d) },
+      "delta = 2 changed nothing — vacuous watermark")
+    // and group 1 still diversifies away from group 0 under the bias
+    assert(marked.exists { case (_, beams) =>
+      beams.take(2) != beams.drop(2) }, "groups identical under bias")
+  }
 }
