@@ -2137,6 +2137,61 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // PROMPT-LOOKUP SERVING LOOP (q266): q262 cycled until 2 tokens
+    // are emitted — each cycle looks the final bigram up over the
+    // FULL current sequence (generated text becomes lookup corpus),
+    // drafts, and greedy-verifies; the one KV session only ever
+    // appends (greedy-equivalence: no forks, no rollback). Emitted
+    // tokens ARE the greedy rollout truncated to 2 (spec-pinned);
+    // the outputs add the serving telemetry — cycles paid and the
+    // cycle-level acceptance count. The oracle replays cycle 1's
+    // lookup over toks0 and cycle 2's over the grown stream, both as
+    // pure-integer self-joins against the greedy chain.
+    "q266_torch_prompt_lookup_loop" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generatePromptLookupLoop(toks, "tok_ids", bc, ngram = 2,
+          maxDraft = 2, maxNewTokens = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("n_cycles").as("n_cyc"),
+          col("n_acc_total").as("n_acc_tot"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"))
+        .orderBy("doc_id")
+    },
+
+    // PROMPT-LOOKUP ACCEPTANCE TELEMETRY (q267): the dashboard that
+    // decides whether PLD pays on a corpus — the (n_drafted,
+    // n_accepted) histogram of the q262 cycle with each arm's
+    // emitted-token yield, the q259 composition shape over the
+    // draft-model-free mode. A corpus whose drafts never verify is
+    // the signal to turn the lookup off (it costs nothing but wins
+    // nothing).
+    "q267_torch_prompt_lookup_telemetry" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generatePromptLookup(toks, "tok_ids", bc, ngram = 2,
+          maxDraft = 2, batchSize = 256)
+        .groupBy(col("n_drafted").as("n_drf"), col("n_accepted").as("n_acc"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(col("n_drf"), col("n_acc"), col("n_docs"),
+          (col("n_docs") * (col("n_acc") + 1).cast("long")).as("toks_emitted"))
+        .orderBy("n_drf", "n_acc")
+    },
+
     // SHALLOW FUSION under BEAMS (q264, VERDICT r17 gap 2 — where
     // Gulcehre et al. actually deploy LM fusion): q257's frozen
     // add-one bigram prior rides beamSearch — every live candidate's
@@ -11609,6 +11664,23 @@ object SparkEntry {
     "q263_torch_tree_draft" ->
       treeDraftOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
 
+    // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
+    // 2's over the grown stream, both pure-integer self-joins; the
+    // emitted tokens are the greedy rollout truncated to 2.
+    "q266_torch_prompt_lookup_loop" -> promptLookupLoopOracle,
+
+    // Prompt-lookup telemetry: the full q262 chain wrapped in a
+    // GROUP BY over (n_drf, n_acc).
+    "q267_torch_prompt_lookup_telemetry" ->
+      s"""WITH base AS MATERIALIZED (
+         |$promptLookupOracle
+         |)
+         |SELECT CAST(n_drf AS INT) AS n_drf, CAST(n_acc AS INT) AS n_acc,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) * (n_acc + 1) AS BIGINT) AS toks_emitted
+         |FROM base GROUP BY n_drf, n_acc
+         |ORDER BY n_drf, n_acc""".stripMargin,
+
     // Fused beams: the beam recipe with the frozen bigram-prior term
     // on every candidate, joined on each beam's own last token.
     "q264_torch_beam_fused" -> fusedBeamOracle(lam = 0.5),
@@ -14010,6 +14082,80 @@ object SparkEntry {
        |       AS INT) AS f3
        |FROM greedy g LEFT JOIN drafts d ON d.doc_id = g.doc_id
        |ORDER BY g.doc_id""".stripMargin
+  }
+
+  /** The q266 prompt-lookup-LOOP oracle: emitted tokens are the
+    * greedy rollout truncated to maxNewTokens = 2 (greedy-equivalence
+    * verification — the lookup never changes WHICH tokens come out),
+    * so the decode side is gen1/gen2 from the plain greedy chain.
+    * The telemetry arms replay the lookups as integer self-joins:
+    * cycle 1 over the prompt stream (q262's match CTEs verbatim);
+    * cycle 2 — run only when cycle 1 emitted a single token, i.e.
+    * its first draft missed or it drafted nothing — over the stream
+    * GROWN by gen1, accepted against gen2/gen3 (cycle-level: the
+    * overshooting second acceptance counts even though the output
+    * truncates, speculativeSampledLoop's documented convention). */
+  private def promptLookupLoopOracle: String = {
+    val vocab = genModel.seqHead.get.vocab
+    // one lookup leg over a (doc_id, tid, pos) stream: the final
+    // bigram, its earliest earlier occurrence, the 1-2 draft tokens
+    def lookupCtes(stream: String, sfx: String): String =
+      s"""lens$sfx AS (SELECT doc_id, max(pos) AS mp FROM $stream GROUP BY doc_id),
+         |pat$sfx AS (
+         |  SELECT l.doc_id, w1.tid AS a, w2.tid AS b, l.mp
+         |  FROM lens$sfx l
+         |  JOIN $stream w1 ON w1.doc_id = l.doc_id AND w1.pos = l.mp - 1
+         |  JOIN $stream w2 ON w2.doc_id = l.doc_id AND w2.pos = l.mp),
+         |mtch$sfx AS (
+         |  SELECT p.doc_id, min(w1.pos) AS s
+         |  FROM pat$sfx p
+         |  JOIN $stream w1 ON w1.doc_id = p.doc_id AND w1.tid = p.a
+         |  JOIN $stream w2 ON w2.doc_id = p.doc_id AND w2.pos = w1.pos + 1
+         |    AND w2.tid = p.b
+         |  WHERE w1.pos + 1 < p.mp
+         |  GROUP BY p.doc_id),
+         |drafts$sfx AS (
+         |  SELECT m.doc_id, d1.tid AS d1, d2.tid AS d2
+         |  FROM mtch$sfx m
+         |  JOIN $stream d1 ON d1.doc_id = m.doc_id AND d1.pos = m.s + 2
+         |  LEFT JOIN $stream d2 ON d2.doc_id = m.doc_id AND d2.pos = m.s + 3)""".stripMargin
+    s"""WITH greedy AS MATERIALIZED (
+       |${generateOracle(banned = Nil, steps = 3)}
+       |),
+       |words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |${lookupCtes("words", "1")},
+       |wordsg AS MATERIALIZED (
+       |  SELECT doc_id, tid, pos FROM words
+       |  UNION ALL
+       |  SELECT g.doc_id, CAST(g.gen1 AS BIGINT), l.mp + 1
+       |  FROM greedy g JOIN lens1 l ON l.doc_id = g.doc_id),
+       |${lookupCtes("wordsg", "2")},
+       |arms AS (
+       |  SELECT g.doc_id, g.gen1, g.gen2,
+       |    (CASE WHEN c1.d1 = g.gen1 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN c1.d1 = g.gen1 AND c1.d2 = g.gen2 THEN 1 ELSE 0 END)
+       |      AS a1,
+       |    (CASE WHEN c1.d1 = g.gen1 THEN 1 ELSE 2 END) AS n_cyc,
+       |    (CASE WHEN c2.d1 = g.gen2 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN c2.d1 = g.gen2 AND c2.d2 = g.gen3 THEN 1 ELSE 0 END)
+       |      AS a2
+       |  FROM greedy g
+       |  LEFT JOIN drafts1 c1 ON c1.doc_id = g.doc_id
+       |  LEFT JOIN drafts2 c2 ON c2.doc_id = g.doc_id)
+       |SELECT doc_id, CAST(n_cyc AS INT) AS n_cyc,
+       |  CAST(a1 + CASE WHEN n_cyc = 2 THEN a2 ELSE 0 END AS INT)
+       |    AS n_acc_tot,
+       |  CAST(gen1 AS INT) AS f1, CAST(gen2 AS INT) AS f2
+       |FROM arms
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** The q263 tree-draft oracle: the draft's root top-2 (p6 DESC,

@@ -3614,6 +3614,141 @@ object Torch {
   }
 
   /**
+   * The PROMPT-LOOKUP SERVING LOOP — [[generatePromptLookup]] cycled
+   * until `maxNewTokens` tokens are emitted (then truncated), the
+   * shape a PLD-accelerated server runs: each cycle looks the final
+   * `ngram` up over the FULL current sequence (prompt + everything
+   * generated so far — generated text becomes lookup corpus, which
+   * is exactly why PLD compounds on repetitive outputs), drafts its
+   * continuation, and greedy-verifies. Because verification is
+   * greedy-equivalence, every emitted token extends the accepted
+   * prefix and the ONE target KV session only ever appends — no
+   * forks, no rollback (rejected drafts never touched the session;
+   * the correction is the argmax already computed). Emitted tokens
+   * are ALWAYS the plain [[generateGreedy]] rollout truncated to
+   * `maxNewTokens` (spec-pinned); the loop's outputs add the serving
+   * telemetry: how many verification cycles that rollout cost, and
+   * the cycle-level acceptance count.
+   *
+   * A cycle always runs to completion (its full accept walk + bonus)
+   * even when it overshoots `maxNewTokens` — the server truncates
+   * output, not the cycle — so `n_acc_total` is CYCLE-LEVEL like
+   * [[speculativeSampledLoop]]'s. Cycle 1 replays
+   * [[generatePromptLookup]] exactly (same lookup, same walk —
+   * spec-pinned).
+   *
+   * @return input columns + `out_toks` array<int> (exactly
+   *         maxNewTokens tokens), `n_cycles` int, `n_acc_total` int;
+   *         null prompt → all null
+   */
+  def generatePromptLookupLoop(
+      df: DataFrame,
+      inputCol: String,
+      model: Broadcast[TorchScriptModel],
+      ngram: Int,
+      maxDraft: Int,
+      maxNewTokens: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    require(maxDraft >= 1, "maxDraft must be >= 1")
+    require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1,
+      "generatePromptLookupLoop needs a token-input model")
+    require(!model.value.isCross, "cross-attention model not supported here")
+    require(model.value.cacheable,
+      "prompt-lookup decoding needs the KV-session path (cacheable model)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("out_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_cycles", IntegerType, nullable = true),
+      StructField("n_acc_total", IntegerType, nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      // generatePromptLookup's exact lookup over an arbitrary buffer
+      def lookup(full: scala.collection.IndexedSeq[Int]): Array[Int] = {
+        val L = full.length
+        if (L <= ngram) return Array.emptyIntArray
+        val patStart = L - ngram
+        var matchAt = -1
+        var i = 0
+        while (matchAt < 0 && i < patStart) {
+          var k = 0
+          var eq = true
+          while (eq && k < ngram) {
+            if (full(i + k) != full(patStart + k)) eq = false else k += 1
+          }
+          if (eq) matchAt = i else i += 1
+        }
+        if (matchAt < 0) Array.emptyIntArray
+        else Array.tabulate(
+          math.min(maxDraft, L - matchAt - ngram))(k => full(matchAt + ngram + k))
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val sess = m.decodeSession(p)
+            val full = scala.collection.mutable.ArrayBuffer.from(p)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var cycles = 0
+            var accTotal = 0
+            while (out.length < maxNewTokens) {
+              cycles += 1
+              val drafts = lookup(full)
+              var n = 0
+              var rejected = false
+              while (n < drafts.length && !rejected) {
+                val t = argmaxFirst(sess.logits())
+                out += t; sess.append(t); full += t
+                if (t == drafts(n)) { n += 1; accTotal += 1 }
+                else rejected = true // the argmax IS the correction
+              }
+              if (!rejected) { // no drafts, or all accepted → bonus
+                val t = argmaxFirst(sess.logits())
+                out += t; sess.append(t); full += t
+              }
+            }
+            Row.fromSeq(r.toSeq ++
+              Seq(out.take(maxNewTokens).toSeq, cycles, accTotal))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * TREE-DRAFT speculative decoding (the Medusa / SpecInfer shape —
    * Cai et al. 2024, Miao et al. 2023): instead of one draft CHAIN,
    * the draft model proposes a TOKEN TREE — its top-`branch`

@@ -181,6 +181,45 @@ class TorchDraftSpec extends AnyFunSuite {
       "tree acceptance is degenerate (all-or-nothing) on the fixture")
   }
 
+  test("q266 loop: emitted == greedy truncated; cycle 1 replays q262; cycle accounting") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val toks = fixturePrompts(vocab)
+    val loop = Torch.generatePromptLookupLoop(toks, "tok_ids", bc,
+        ngram = 2, maxDraft = 2, maxNewTokens = 2)
+      .select("doc_id", "out_toks", "n_cycles", "n_acc_total").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toSeq, r.getInt(2), r.getInt(3)))).toMap
+    val single = Torch.generatePromptLookup(toks, "tok_ids", bc,
+        ngram = 2, maxDraft = 2)
+      .select("doc_id", "n_accepted", "out_toks").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2).toSeq))).toMap
+    val greedy = Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 2)
+      .select("doc_id", "gen").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(loop.nonEmpty && loop.keySet == single.keySet)
+    for ((id, (out, nCyc, accTot)) <- loop) {
+      val (nAcc1, out1) = single(id)
+      assert(out == greedy(id),
+        s"doc $id: loop emitted $out != greedy ${greedy(id)}")
+      // cycle 1 IS q262: its emission is a prefix of the loop's
+      assert(out.startsWith(out1.take(2)),
+        s"doc $id: cycle 1 diverged from q262")
+      // a cycle emits n_acc+1 tokens, so one cycle suffices iff
+      // cycle 1 accepted at least one draft
+      assert(nCyc == (if (nAcc1 >= 1) 1 else 2),
+        s"doc $id: n_cycles $nCyc with cycle-1 n_acc $nAcc1")
+      // cycle-level accounting only ever adds on top of cycle 1
+      assert(accTot >= nAcc1)
+    }
+    val multi = loop.values.count(_._2 == 2)
+    info(s"q266 sf0.001: ${loop.size} docs, $multi needed a second cycle")
+    assert(multi > 0 && multi < loop.size,
+      "cycle count is degenerate on the fixture")
+  }
+
   test("q263: an identity draft (draft eq target) accepts every level on the fixture") {
     val tm = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(tm)
