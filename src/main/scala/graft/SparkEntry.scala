@@ -2137,6 +2137,39 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SHALLOW FUSION under SAMPLING (q268): the frozen bigram prior
+    // rides the q203 temperature/top-p chain — the fused term adds to
+    // the raw logits BEFORE the temperature (the watermark's slot),
+    // reshaping the nucleus itself, not just a final argmax: fusion
+    // now composes with every decode family the engine ships (greedy
+    // q257, beams q264, sampled here). lmWeight = 0 stays bit-exact
+    // generateSampled (spec-pinned).
+    "q268_torch_sampled_fused" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+      toks.select(explode(zip_with(
+            slice(col("tok_ids"), lit(1), greatest(size(col("tok_ids")) - 1, lit(0))),
+            slice(col("tok_ids"), lit(2), greatest(size(col("tok_ids")) - 1, lit(0))),
+            (a, b) => struct(a.as("p"), b.as("c")))).as("pc"))
+        .groupBy(col("pc.p").as("p"), col("pc.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+        .collect() // bounded by vocab² = 64 rows
+        .foreach(r => counts(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+      Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
+          steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
+          lmWeight = 0.5, lmCounts = counts)
+        .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
+        .orderBy("doc_id")
+    },
+
     // PROMPT-LOOKUP SERVING LOOP (q266): q262 cycled until 2 tokens
     // are emitted — each cycle looks the final bigram up over the
     // FULL current sequence (generated text becomes lookup corpus),
@@ -11664,6 +11697,12 @@ object SparkEntry {
     "q263_torch_tree_draft" ->
       treeDraftOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
 
+    // Fused sampling: the q203 chain with the bigram-prior term in
+    // the candidate CTE (the watermark's slot, bi/rs at top level).
+    "q268_torch_sampled_fused" ->
+      sampledOracle(steps = 2, temperature = 0.5, topP = 0.9,
+        fusionLam = 0.5),
+
     // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
     // 2's over the grown stream, both pure-integer self-joins; the
     // emitted tokens are the greedy rollout truncated to 2.
@@ -13504,9 +13543,12 @@ object SparkEntry {
       minP: Double = 0.0,
       seedArg: String = null,
       typicalP: Double = 1.0,
-      watermark: Option[(Double, String)] = None): String = {
+      watermark: Option[(Double, String)] = None,
+      fusion: Option[(Double, String)] = None): String = {
     require(watermark.isEmpty || penaltyNgram.isEmpty,
       "the oracle restates watermark and penalty composition separately")
+    require(fusion.isEmpty || (watermark.isEmpty && penaltyNgram.isEmpty),
+      "the oracle restates the fusion composition separately")
     // the md5 key the seeded draw hashes — q232's synthetic
     // (doc, sequence) ids restate the "<id>:<seq>:<step>" discipline
     val seedSql = Option(seedArg)
@@ -13559,6 +13601,30 @@ object SparkEntry {
       s"SELECT doc_id, $j AS tid, p$j / $tLit AS lp FROM logit$t")
       .mkString("\n  UNION ALL ")
     val candCte = penaltyNgram match {
+      case None if fusion.isDefined =>
+        // fused sampling (q268): the frozen bigram-prior term adds to
+        // the raw logits BEFORE the temperature (the watermark's slot
+        // in the chain) — the bi/rs CTEs live at the oracle top level
+        val (fl, toks) = fusion.get
+        val fLit = s"CAST($fl AS DOUBLE)"
+        val raw = (0 until vocab).filterNot(banned.contains).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp0 FROM logit$t")
+          .mkString("\n  UNION ALL ")
+        s"""lastf$t AS (
+           |  SELECT t0.doc_id, t0.tid AS lt
+           |  FROM $toks t0
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toks
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+           |cand$t AS MATERIALIZED (
+           |  SELECT c.doc_id, c.tid,
+           |    (c.lp0 + $fLit * ln(
+           |      CAST(coalesce(bi.cnt, 0) + 1 AS DOUBLE) /
+           |      CAST(coalesce(rs.tot, 0) + $vocab AS DOUBLE))) / $tLit AS lp
+           |  FROM ($raw) c
+           |  JOIN lastf$t l ON l.doc_id = c.doc_id
+           |  LEFT JOIN bi ON bi.p = l.lt AND bi.c = c.tid
+           |  LEFT JOIN rs ON rs.p = l.lt),"""
       case None if watermark.isDefined =>
         // watermarked sampling (q243): the green logits gain +delta
         // BEFORE the temperature — the unpivot carries raw lp0, the
@@ -13657,7 +13723,8 @@ object SparkEntry {
   private def sampledOracle(steps: Int, temperature: Double, topP: Double,
       banned: Seq[Int] = Nil, topK: Int = Int.MaxValue,
       penalty: Option[(Double, Int)] = None, minP: Double = 0.0,
-      typicalP: Double = 1.0, watermark: Double = 0.0): String = {
+      typicalP: Double = 1.0, watermark: Double = 0.0,
+      fusionLam: Double = 0.0): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
@@ -13676,7 +13743,9 @@ object SparkEntry {
              penalty.map { case (pn, n) => (pn, n, s"toks${t - 1}") }, minP,
              typicalP = typicalP,
              watermark = if (watermark > 0.0)
-               Some((watermark, s"toks${t - 1}")) else None)},
+               Some((watermark, s"toks${t - 1}")) else None,
+             fusion = if (fusionLam > 0.0)
+               Some((fusionLam, s"toks${t - 1}")) else None)},
          |toks$t AS MATERIALIZED (
          |  SELECT doc_id, tid, pos FROM toks${t - 1}
          |  UNION ALL
@@ -13698,7 +13767,17 @@ object SparkEntry {
        |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |        FROM documents)
        |  WHERE pos <= $EncMaxLen),
-       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),${
+         if (fusionLam > 0.0)
+           s"""
+           |bi AS MATERIALIZED (
+           |  SELECT a.tid AS p, b.tid AS c, count(*) AS cnt
+           |  FROM words a
+           |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           |  GROUP BY a.tid, b.tid),
+           |rs AS MATERIALIZED (
+           |  SELECT p, sum(cnt) AS tot FROM bi GROUP BY p),""".stripMargin
+         else ""}
        |$stepCtes
        |SELECT g1.doc_id, $outs
        |FROM samp1 g1

@@ -64,7 +64,10 @@ object Torch {
         seen: Set[Int] = Set.empty, repPenalty: Double = 1.0,
         minP: Double = 0.0, typicalP: Double = 1.0,
         greenPrev: Int = -1, greenDelta: Double = 0.0,
-        greenNum: Int = 1, greenDen: Int = 2): Int = {
+        greenNum: Int = 1, greenDen: Int = 2,
+        fusePrev: Int = -1, fuseWeight: Double = 0.0,
+        fuseCnts: Array[Array[Long]] = null,
+        fuseRows: Array[Long] = null): Int = {
       // constrained decoding: banned ids are removed BEFORE the
       // softmax (the -inf-mask semantics: the distribution renorms
       // over the allowed vocabulary; the oracle simply omits them
@@ -88,7 +91,17 @@ object Torch {
               greenToken(greenPrev, j, greenNum, greenDen))
             xp + greenDelta
           else xp
-        x / temperature
+        // shallow fusion under sampling (the Gulcehre prior lifted
+        // to the sampled chain): the frozen add-one bigram-LM term
+        // adds BEFORE the temperature, like the watermark bias —
+        // guarded so fuseWeight = 0 stays bit-exact
+        val xf =
+          if (fuseWeight != 0.0 && fusePrev >= 0)
+            x + fuseWeight * StrictMath.log(
+              (fuseCnts(fusePrev)(j) + 1L).toDouble /
+                (fuseRows(fusePrev) + vocab.toLong).toDouble)
+          else x
+        xf / temperature
       }
       val mx = lp.max
       val es = lp.map(v => math.exp(v - mx))
@@ -2923,13 +2936,32 @@ object Torch {
       minP: Double = 0.0,
       typicalP: Double = 1.0,
       watermarkDelta: Double = 0.0,
-      watermarkGamma: (Int, Int) = (1, 2)): DataFrame = {
+      watermarkGamma: (Int, Int) = (1, 2),
+      lmWeight: Double = 0.0,
+      lmCounts: Array[Array[Long]] = null): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
     require(watermarkGamma._1 >= 1 && watermarkGamma._1 < watermarkGamma._2,
       "watermarkGamma must be a fraction num/den with 0 < num < den")
     require(banned.size < model.value.outDim,
       "banned set covers the whole vocabulary")
+    // SHALLOW FUSION under sampling: the frozen bigram prior adds to
+    // the raw logits before the temperature (the watermark's slot in
+    // the chain). Scoped to the pure temperature/top-p path — the
+    // warper/penalty/watermark compositions are other oracles' turf.
+    require(lmWeight >= 0.0, "lmWeight must be >= 0")
+    require(lmWeight == 0.0 || (banned.isEmpty && topK == Int.MaxValue &&
+      repetitionPenalty == 1.0 && noRepeatNgram == 0 && minP == 0.0 &&
+      typicalP >= 1.0 && watermarkDelta == 0.0),
+      "lmWeight composes with temperature/topP only")
+    require(lmWeight == 0.0 || (lmCounts != null &&
+      lmCounts.length == model.value.outDim &&
+      lmCounts.forall(_.length == model.value.outDim)),
+      "lmCounts must be vocab x vocab when lmWeight > 0")
+    val bcLm: Broadcast[(Array[Array[Long]], Array[Long])] =
+      if (lmWeight == 0.0) null
+      else df.sparkSession.sparkContext.broadcast(
+        (lmCounts, lmCounts.map(_.sum)))
     require(temperature > 0.0, "temperature must be > 0 (greedy is generateGreedy)")
     require(topP > 0.0 && topP <= 1.0, "topP must be in (0, 1]")
     require(topK >= 1, "topK must be >= 1")
@@ -2987,7 +3019,11 @@ object Torch {
           stepBanned, topK, seen, repetitionPenalty, minP, typicalP,
           greenPrev = if (watermarkDelta != 0.0) full.last else -1,
           greenDelta = watermarkDelta,
-          greenNum = watermarkGamma._1, greenDen = watermarkGamma._2)
+          greenNum = watermarkGamma._1, greenDen = watermarkGamma._2,
+          fusePrev = if (lmWeight != 0.0) full.last else -1,
+          fuseWeight = lmWeight,
+          fuseCnts = if (bcLm == null) null else bcLm.value._1,
+          fuseRows = if (bcLm == null) null else bcLm.value._2)
       }
       it.grouped(bs).flatMap { rows =>
         val seqs: Array[Array[Int]] = rows.map { r =>

@@ -2022,6 +2022,36 @@ class TorchGenerateSpec extends AnyFunSuite {
     assert(minMargin > 1e-4, s"fused beam margin floor violated: $minMargin")
   }
 
+  test("q268 fused sampling: lambda=0 bit-exact generateSampled; the prior reshapes the nucleus somewhere") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+    df.collect().foreach { r =>
+      r.getSeq[Long](1).map(_.toInt).sliding(2).foreach {
+        case Seq(a, b) => counts(a)(b) += 1L
+        case _ =>
+      }
+    }
+    def run(l: Double) =
+      Torch.generateSampled(df, "doc_id", "tok_ids", "gen", bc, steps = 2,
+          temperature = 0.5, topP = 0.9, lmWeight = l,
+          lmCounts = if (l == 0.0) null else counts)
+        .select("doc_id", "gen").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val plain = Torch.generateSampled(df, "doc_id", "tok_ids", "gen", bc,
+        steps = 2, temperature = 0.5, topP = 0.9)
+      .select("doc_id", "gen").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(run(0.0) == plain,
+      "lmWeight = 0 is not bit-exact generateSampled")
+    val fusedRun = run(0.5)
+    val moved = fusedRun.count { case (d, g) => g != plain(d) }
+    info(s"q268 sf0.001: fusion moved $moved/${fusedRun.size} trajectories")
+    assert(moved > 0, "lambda = 0.5 changed nothing — vacuous fusion")
+  }
+
   test("q265 watermarked diverse beams: group 0 == watermarked plain beams; delta=0 reduces; the bias bites") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
