@@ -2137,6 +2137,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // MULTI-DRAFT stochastic speculative verification (q269 — the
+    // SpecInfer cell, Miao et al. 2023): the int8 draft SAMPLES two
+    // independent candidates for one position, the target runs
+    // multi-round rejection — accept x1 w.p. min(1, p(x1)/q(x1)),
+    // else update p to the normalized residual and try x2, else
+    // sample the final residual. The stochastic counterpart of
+    // q263's greedy tree level; numDrafts = 1 replays q247
+    // bit-exactly (spec-pinned).
+    "q269_torch_spec_multidraft" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledMultiDraft(toks, "doc_id", "tok_ids", bcT, bcD,
+          numDrafts = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("draft_toks")(0).as("x1"), col("draft_toks")(1).as("x2"),
+          col("acc_round").as("acc_rnd"), col("final_tok").as("f1"))
+        .orderBy("doc_id")
+    },
+
     // SHALLOW FUSION under SAMPLING (q268): the frozen bigram prior
     // rides the q203 temperature/top-p chain — the fused term adds to
     // the raw logits BEFORE the temperature (the watermark's slot),
@@ -11703,6 +11730,12 @@ object SparkEntry {
       sampledOracle(steps = 2, temperature = 0.5, topP = 0.9,
         fusionLam = 0.5),
 
+    // Multi-draft stochastic verification: one draft + one target
+    // forward, both acceptance rounds, the normalized-residual
+    // bridge and the salt-r2 final walk.
+    "q269_torch_spec_multidraft" ->
+      multiDraftOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
+
     // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
     // 2's over the grown stream, both pure-integer self-joins; the
     // emitted tokens are the greedy rollout truncated to 2.
@@ -14106,6 +14139,122 @@ object SparkEntry {
          |LEFT JOIN rpick2 r2 ON r2.doc_id = a.doc_id
          |LEFT JOIN bpick b ON b.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** The q269 multi-draft oracle (single position, so ONE draft +
+    * ONE target forward): both 6dp softmaxes, the two draft picks
+    * (salts d1/d2), round-1 acceptance `u(a1) < round(least(1,
+    * p/q), 6)` at x1, the grid-normalized residual `n1 = round(
+    * max(0, p − q)/Σ, 6)` (window sum, the softmax6 convention),
+    * round-2 acceptance at x2 against n1/q, the second residual
+    * `max(0, n1 − q)` and its salt-r2 pick walk. Edge conventions
+    * restated: an all-zero residual at either stage keeps the
+    * current draft (rpick LEFT JOIN null → coalesce). */
+  private def multiDraftOracle(
+      draftModel: graft.torch.TorchScriptModel): String = {
+    val vocab = genModel.seqHead.get.vocab
+    def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+      val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+      val pCols = (0 until model.seqHead.get.vocab)
+        .map(j => s"p$j").mkString(", ")
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    }
+    def softmax6(src: String, out: String): String = {
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid, round(e / z, 6) AS p6
+         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM ($unpivot))))""".stripMargin
+    }
+    def u(salt: String, docRef: String = "doc_id"): String =
+      s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+        s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+    def pickCte(src: String, massCol: String, salt: String,
+        out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT doc_id, tid,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+         |    FROM (SELECT doc_id, tid, rk, cs,
+         |                 max(cs) OVER (PARTITION BY doc_id) AS total
+         |          FROM (SELECT doc_id, tid,
+         |                  row_number() OVER (PARTITION BY doc_id
+         |                    ORDER BY $massCol DESC, tid) AS rk,
+         |                  sum($massCol) OVER (PARTITION BY doc_id
+         |                    ORDER BY $massCol DESC, tid) AS cs
+         |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+         |    WHERE round(cs / total, 6) > ${u(salt)})
+         |  WHERE prk = 1)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |logitD AS MATERIALIZED (
+       |${fwdP(draftModel, "toks0")}
+       |),
+       |${softmax6("logitD", "qprob")},
+       |logitT AS MATERIALIZED (
+       |${fwdP(genModel, "toks0")}
+       |),
+       |${softmax6("logitT", "pprob")},
+       |${pickCte("qprob", "p6", "d1", "dpick1")},
+       |${pickCte("qprob", "p6", "d2", "dpick2")},
+       |resid1 AS MATERIALIZED (
+       |  SELECT p.doc_id, p.tid, greatest(p.p6 - q.p6, CAST(0 AS DOUBLE)) AS m,
+       |    sum(greatest(p.p6 - q.p6, CAST(0 AS DOUBLE)))
+       |      OVER (PARTITION BY p.doc_id) AS s1
+       |  FROM pprob p JOIN qprob q
+       |    ON q.doc_id = p.doc_id AND q.tid = p.tid),
+       |n1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, round(m / s1, 6) AS p6
+       |  FROM resid1 WHERE s1 > CAST(0 AS DOUBLE)),
+       |resid2 AS MATERIALIZED (
+       |  SELECT n.doc_id, n.tid,
+       |    greatest(n.p6 - q.p6, CAST(0 AS DOUBLE)) AS rmass
+       |  FROM n1 n JOIN qprob q ON q.doc_id = n.doc_id AND q.tid = n.tid),
+       |${pickCte("resid2", "rmass", "r2", "rpick")},
+       |arms AS (
+       |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2, r.s1,
+       |    (${u("a1", "d1.doc_id")} <
+       |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
+       |    (${u("a2", "d1.doc_id")} <
+       |     round(least(CAST(1 AS DOUBLE),
+       |       coalesce(n2.p6, CAST(0 AS DOUBLE)) / qp2.p6), 6)) AS acc2
+       |  FROM dpick1 d1
+       |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
+       |  JOIN pprob pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
+       |  JOIN qprob qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
+       |  JOIN qprob qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid
+       |  LEFT JOIN n1 n2 ON n2.doc_id = d1.doc_id AND n2.tid = d2.tid
+       |  JOIN (SELECT doc_id, max(s1) AS s1 FROM resid1 GROUP BY doc_id) r
+       |    ON r.doc_id = d1.doc_id)
+       |SELECT a.doc_id,
+       |  CAST(a.x1 AS INT) AS x1, CAST(a.x2 AS INT) AS x2,
+       |  CAST(CASE WHEN a.acc1 THEN 1
+       |            WHEN a.s1 = CAST(0 AS DOUBLE) THEN 0
+       |            WHEN a.acc2 THEN 2 ELSE 0 END AS INT) AS acc_rnd,
+       |  CAST(CASE WHEN a.acc1 THEN a.x1
+       |            WHEN a.s1 = CAST(0 AS DOUBLE) THEN a.x1
+       |            WHEN a.acc2 THEN a.x2
+       |            ELSE coalesce(rp.tid, a.x2) END AS INT) AS f1
+       |FROM arms a
+       |LEFT JOIN rpick rp ON rp.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
   }
 
   /** The q262 prompt-lookup oracle: the match is PURE INTEGERS — the

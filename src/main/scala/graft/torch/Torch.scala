@@ -3650,6 +3650,147 @@ object Torch {
   }
 
   /**
+   * MULTI-DRAFT stochastic speculative verification (the SpecInfer
+   * cell — Miao et al. 2023's multi-round speculative sampling, the
+   * STOCHASTIC counterpart of [[treeDraftGreedy]]'s per-level
+   * accept): the draft proposes `numDrafts` INDEPENDENT token
+   * samples `x_1..x_b ~ q` for ONE position, and the target runs
+   * multi-round rejection: round i accepts `x_i` with probability
+   * `min(1, p_i(x_i)/q(x_i))` where `p_1 = p` and each rejection
+   * updates `p_{i+1} = norm(max(p_i − q, 0))`; if every round
+   * rejects, the final token samples from the last residual. The
+   * composition is provably target-distributed (the multi-draft
+   * generalization of the Leviathan rule) — b tries at one
+   * verification pass instead of one.
+   *
+   * Determinism discipline extends [[speculativeSampled]]'s exactly:
+   * distributions on the 6dp grid; draft picks salt `"d<i>"`,
+   * acceptances `"a<i>"`, the final residual pick `"r<b>"` — so
+   * `numDrafts = 1` replays q247 BIT-EXACTLY (same draft token, same
+   * acceptance draw, same residual walk; spec-pinned). Round-2+
+   * residuals NORMALIZE on the grid (`n_i(j) = q6(m_i(j)/Σm_i)`,
+   * the Σ an ascending-tid f64 sum both engines restate) because the
+   * acceptance RATIO needs a normalized numerator — the final pick
+   * walk itself is scale-invariant. An all-zero residual at any
+   * stage (p == q on the grid) keeps the current draft token, the
+   * q247 convention.
+   *
+   * Scale shape: one draft + one target KV session per row, ONE
+   * logit read each (single position), inside ONE `mapPartitions`.
+   *
+   * @return input columns + `draft_toks` array<int> (the b samples),
+   *         `acc_round` int (1-based accepted round; 0 = all
+   *         rejected), `final_tok` int; null prompt/id → all null
+   */
+  def speculativeSampledMultiDraft(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      numDrafts: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(numDrafts >= 1, "numDrafts must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "speculativeSampledMultiDraft needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross models: use the pair speculative path")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "speculative sampling needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("draft_toks", ArrayType(IntegerType), nullable = true),
+      StructField("acc_round", IntegerType, nullable = true),
+      StructField("final_tok", IntegerType, nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
+      // the raw residual masses m(j) = max(0, cur(j) − q(j)) and the
+      // grid-normalized form n(j) = q6(m(j)/Σm) (the Σ an
+      // ascending-tid f64 sum both engines restate). Normalization
+      // re-rounds onto the grid, so it is applied ONLY where a later
+      // round's acceptance RATIO needs a normalized numerator — the
+      // final pick walks the RAW masses (scale-invariant, and for
+      // numDrafts = 1 bit-exactly q247's resid pick).
+      def residual(cur: Array[Double], q: Array[Double]): Array[Double] =
+        Array.tabulate(vocab)(j => math.max(0.0, cur(j) - q(j)))
+      def normed(m: Array[Double]): Array[Double] = {
+        var s = 0.0
+        var j = 0
+        while (j < vocab) { s += m(j); j += 1 }
+        if (s == 0.0) null else Array.tabulate(vocab)(j => q6(m(j) / s))
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val qp = probs6(dm.decodeSession(p).logits())
+            val pp = probs6(tm.decodeSession(p).logits())
+            val drafts = Array.tabulate(numDrafts)(i =>
+              pick(qp, draw(id, s"d${i + 1}")))
+            var cur = pp // p_1 = p (already on the grid)
+            var accRound = 0
+            var finalTok = -1
+            var i = 0
+            var done = false
+            while (i < numDrafts && !done) {
+              val x = drafts(i)
+              val ratio = q6(math.min(1.0, cur(x) / qp(x)))
+              if (draw(id, s"a${i + 1}") < ratio) {
+                accRound = i + 1; finalTok = x; done = true
+              } else {
+                val m = residual(cur, qp)
+                if (m.forall(_ == 0.0)) {
+                  // p_i == q on the grid: keep this draft (q247's
+                  // convention)
+                  finalTok = x; done = true
+                } else if (i + 1 < numDrafts) {
+                  cur = normed(m) // p_{i+1}, for the next ratio
+                } else {
+                  // the last rejection: final ~ p_{b+1} ∝ m — walk
+                  // the RAW masses (numDrafts = 1 IS q247's pick)
+                  finalTok = pick(m, draw(id, s"r$numDrafts"))
+                  done = true
+                }
+              }
+              i += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq(drafts.toSeq, accRound, finalTok))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * The PROMPT-LOOKUP SERVING LOOP — [[generatePromptLookup]] cycled
    * until `maxNewTokens` tokens are emitted (then truncated), the
    * shape a PLD-accelerated server runs: each cycle looks the final

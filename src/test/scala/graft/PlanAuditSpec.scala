@@ -496,7 +496,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the beam work is session forks in one mapPartitions
     for (q <- Seq("q262_torch_prompt_lookup", "q263_torch_tree_draft",
         "q264_torch_beam_fused", "q265_torch_beam_diverse_watermark",
-        "q266_torch_prompt_lookup_loop", "q268_torch_sampled_fused")) {
+        "q266_torch_prompt_lookup_loop", "q268_torch_sampled_fused",
+        "q269_torch_spec_multidraft")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

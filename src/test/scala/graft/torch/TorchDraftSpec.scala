@@ -220,6 +220,45 @@ class TorchDraftSpec extends AnyFunSuite {
       "cycle count is degenerate on the fixture")
   }
 
+  test("q269 multi-draft: numDrafts=1 replays q247 bit-exactly; all three arms live at b=2") {
+    val tm = graft.SparkEntry.genModel
+    val dm = TorchQuant.quantize(tm, 7)
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcD = spark.sparkContext.broadcast(dm)
+    val toks = fixturePrompts(tm.outDim)
+    // b = 1 shares every salt (d1, a1, r1) and every arm with q247's
+    // single-draft kernel — same draft token, same acceptance, same
+    // residual walk over the RAW masses
+    val b1 = Torch.speculativeSampledMultiDraft(toks, "doc_id", "tok_ids",
+        bcT, bcD, numDrafts = 1)
+      .select("doc_id", "draft_toks", "acc_round", "final_tok").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).head, r.getInt(2) == 1, r.getInt(3)))).toMap
+    val q247 = Torch.speculativeSampled(toks, "doc_id", "tok_ids", bcT, bcD)
+      .select("doc_id", "draft_tok", "accepted", "final_tok").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(3)))).toMap
+    assert(b1.nonEmpty && b1 == q247,
+      "numDrafts = 1 diverged from speculativeSampled")
+    val b2 = Torch.speculativeSampledMultiDraft(toks, "doc_id", "tok_ids",
+        bcT, bcD, numDrafts = 2)
+      .select("doc_id", "draft_toks", "acc_round", "final_tok").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2), r.getInt(3)))
+    // round-1 decisions never move when a second draft is added (the
+    // multi-round walk only EXTENDS the rejection path)
+    assert(b2.forall { case (d, drafts, rnd, f) =>
+      val (x1, acc1, _) = b1(d)
+      drafts.head == x1 && (!acc1 || (rnd == 1 && f == x1))
+    }, "adding a draft moved a round-1 decision")
+    val hist = b2.groupBy(_._3).map { case (k, v) => k -> v.size }
+    info(s"q269 sf0.001: acc_round histogram $hist")
+    assert(Seq(0, 1, 2).forall(hist.getOrElse(_, 0) > 0),
+      s"an acceptance arm never fired: $hist")
+    // an accepted round emits its own draft
+    assert(b2.forall { case (_, drafts, rnd, f) =>
+      rnd == 0 || f == drafts(rnd - 1) })
+  }
+
   test("q263: an identity draft (draft eq target) accepts every level on the fixture") {
     val tm = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(tm)
