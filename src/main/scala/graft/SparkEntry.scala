@@ -2137,6 +2137,67 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // TREE-DRAFT ACCEPTANCE TELEMETRY (q270): the per-corpus depth
+    // histogram of the q263 tree walk with each arm's emitted-token
+    // yield — completing the telemetry triple across the three draft
+    // modes (chain q259, lookup q267, tree here). Falling tree depth
+    // on a corpus slice is the signal to widen branch or retrain the
+    // draft.
+    "q270_torch_tree_telemetry" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftGreedy(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, batchSize = 256)
+        .groupBy(col("n_accepted").as("n_acc"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(col("n_acc"), col("n_docs"),
+          (col("n_docs") * (col("n_acc") + 1).cast("long")).as("toks_emitted"))
+        .orderBy("n_acc")
+    },
+
+    // WATERMARK × SHALLOW FUSION under beams (q271): the two biases
+    // occupy independent slots — the green-list delta acts PRE-lse
+    // on each beam's raw logits (q260's order), the bigram prior
+    // POST-lse on the scores (q264's order), both keyed on the SAME
+    // per-beam last token — so a watermarked serving stack keeps its
+    // LM fusion. Either knob at zero reduces bit-exactly to the
+    // other's query (spec-pinned).
+    "q271_torch_beam_fused_watermark" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+      toks.select(explode(zip_with(
+            slice(col("tok_ids"), lit(1), greatest(size(col("tok_ids")) - 1, lit(0))),
+            slice(col("tok_ids"), lit(2), greatest(size(col("tok_ids")) - 1, lit(0))),
+            (a, b) => struct(a.as("p"), b.as("c")))).as("pc"))
+        .groupBy(col("pc.p").as("p"), col("pc.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+        .collect() // bounded by vocab² = 64 rows
+        .foreach(r => counts(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+      Torch.beamSearch(toks, "tok_ids", "beams", bc, steps = 2, width = 2,
+          batchSize = 256, watermarkDelta = 2.0,
+          lmWeight = 0.5, lmCounts = counts)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("b1t1"), col("beams")(0)(1).as("b1t2"),
+          col("beams")(1)(0).as("b2t1"), col("beams")(1)(1).as("b2t2"))
+        .orderBy("doc_id")
+    },
+
     // MULTI-DRAFT stochastic speculative verification (q269 — the
     // SpecInfer cell, Miao et al. 2023): the int8 draft SAMPLES two
     // independent candidates for one position, the target runs
@@ -11736,6 +11797,20 @@ object SparkEntry {
     "q269_torch_spec_multidraft" ->
       multiDraftOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
 
+    // Tree telemetry: the full q263 chain wrapped in a GROUP BY.
+    "q270_torch_tree_telemetry" ->
+      s"""WITH base AS MATERIALIZED (
+         |${treeDraftOracle(graft.torch.TorchQuant.quantize(genModel, 7))}
+         |)
+         |SELECT CAST(n_acc AS INT) AS n_acc,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) * (n_acc + 1) AS BIGINT) AS toks_emitted
+         |FROM base GROUP BY n_acc ORDER BY n_acc""".stripMargin,
+
+    // Watermarked fused beams: the fused recipe with wadj pre-lse.
+    "q271_torch_beam_fused_watermark" ->
+      fusedBeamOracle(lam = 0.5, delta = 2.0),
+
     // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
     // 2's over the grown stream, both pure-integer self-joins; the
     // emitted tokens are the greedy rollout truncated to 2.
@@ -15634,14 +15709,37 @@ object SparkEntry {
     * step 1 via last1 over toks0; the beam's own appended token at
     * step 2 via last2 over the grown synthetic-id toks1). The fused
     * value IS the accumulated score (the engine's raw), so step 2's
-    * joint is `beams1.score + fl`. */
-  private def fusedBeamOracle(lam: Double): String = {
+    * joint is `beams1.score + fl`. `delta > 0` additionally threads
+    * [[watermarkBeamOracle]]'s `wadj` CTE between each logit CTE and
+    * its lse (the green bias acts PRE-lse on the logits, the prior
+    * POST-lse on the scores — independent slots, both joined on the
+    * same per-beam last token) — the q271 watermarked-fused stack. */
+  private def fusedBeamOracle(lam: Double, delta: Double = 0.0,
+      num: Int = 1, den: Int = 2): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fc = new graft.torch.TorchScriptModel(IndexedSeq(
       m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
     val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
     val lLit = s"CAST($lam AS DOUBLE)"
+    val dLit = s"CAST($delta AS DOUBLE)"
+    def wadjCols: String = (0 until vocab).map { j =>
+      s"""g.p$j + CASE WHEN
+         |      (CAST('0x' || substring(md5(CAST(l.lt AS VARCHAR) || ':$j'),
+         |        1, 8) AS BIGINT) % $den) < $num
+         |      THEN $dLit ELSE CAST(0 AS DOUBLE) END AS p$j""".stripMargin
+    }.mkString(",\n    ")
+    // with a watermark, the lse reads the biased logits (wadj joins
+    // the SAME last-token CTE the fusion term uses)
+    def lpSrc(logit: String, last: String, sfx: String): String =
+      if (delta == 0.0) ""
+      else s"""wadj$sfx AS MATERIALIZED (
+              |  SELECT g.doc_id,
+              |    $wadjCols
+              |  FROM $logit g JOIN $last l ON l.doc_id = g.doc_id),
+              |""".stripMargin
+    def lpFrom(logit: String, sfx: String): String =
+      if (delta == 0.0) logit else s"wadj$sfx"
     def fwd(toksName: String): String =
       TorchOracle.mlpArgmaxSql(fc,
         encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
@@ -15691,12 +15789,12 @@ object SparkEntry {
        |logit1 AS MATERIALIZED (
        |${fwd("toks0")}
        |),
-       |lp1 AS MATERIALIZED (
+       |${lastCte("toks0", "last1")},
+       |${lpSrc("logit1", "last1", "1")}lp1 AS MATERIALIZED (
        |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
-       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit1)),
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM ${lpFrom("logit1", "1")})),
        |cand1 AS MATERIALIZED (
        |  ${candRows("lp1")}),
-       |${lastCte("toks0", "last1")},
        |${fuseCte("cand1", "last1", "fcand1")},
        |beams1 AS MATERIALIZED (
        |  SELECT doc_id, tid, fl AS score,
@@ -15711,12 +15809,12 @@ object SparkEntry {
        |logit2 AS MATERIALIZED (
        |${fwd("toks1")}
        |),
-       |lp2 AS MATERIALIZED (
+       |${lastCte("toks1", "last2")},
+       |${lpSrc("logit2", "last2", "2")}lp2 AS MATERIALIZED (
        |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
-       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2)),
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM ${lpFrom("logit2", "2")})),
        |cand2raw AS MATERIALIZED (
        |  ${candRows("lp2")}),
-       |${lastCte("toks1", "last2")},
        |${fuseCte("cand2raw", "last2", "fcand2raw")},
        |fcand2 AS MATERIALIZED (
        |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid, fl

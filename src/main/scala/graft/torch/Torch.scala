@@ -794,12 +794,14 @@ object Torch {
     // exact term, prev = the beam's OWN last token), and the fused
     // value accumulates into the running joint — so the prior steers
     // both ranking and which hypotheses survive. Composes with
-    // lengthPenalty/eos (downstream normalizations of the fused raw);
-    // the constraint chain and the watermark are out of scope.
-    require(lmWeight == 0.0 ||
-      (plainKnobs && watermarkDelta == 0.0 && model.value.cacheable),
+    // lengthPenalty/eos (downstream normalizations of the fused raw)
+    // AND with the watermark (the bias acts pre-lse on the logits,
+    // the prior post-lse on the scores — independent slots, the
+    // watermarked-fused serving stack); the constraint chain is out
+    // of scope.
+    require(lmWeight == 0.0 || (plainKnobs && model.value.cacheable),
       "lmWeight needs the KV path and does not compose with the " +
-        "constraint/watermark knobs")
+        "constraint knobs")
     val vocabN = model.value.outDim
     require(lmWeight == 0.0 || (lmCounts != null &&
       lmCounts.length == vocabN && lmCounts.forall(_.length == vocabN)),
