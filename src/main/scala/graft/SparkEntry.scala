@@ -2137,6 +2137,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // TREE-DRAFT SERVING LOOP (q272): q263 cycled until 2 tokens are
+    // emitted — each cycle's branch=2 × depth=2 tree roots at a fork
+    // of the accepted-prefix draft session, the target
+    // greedy-verifies, and emitted tokens extend both sessions (no
+    // rollback: greedy-equivalence means rejected branches never
+    // touched the target). Completes the {cell, loop, telemetry}
+    // triple for the tree mode (chain: q249/q254/q259; lookup:
+    // q262/q266/q267). Emission IS the greedy rollout truncated
+    // (spec-pinned); the oracle replays each cycle's tree via the
+    // synthetic-id recipe.
+    "q272_torch_tree_loop" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftGreedyLoop(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, maxNewTokens = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("n_cycles").as("n_cyc"),
+          col("n_acc_total").as("n_acc_tot"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"))
+        .orderBy("doc_id")
+    },
+
     // TREE-DRAFT ACCEPTANCE TELEMETRY (q270): the per-corpus depth
     // histogram of the q263 tree walk with each arm's emitted-token
     // yield — completing the telemetry triple across the three draft
@@ -11811,6 +11841,12 @@ object SparkEntry {
     "q271_torch_beam_fused_watermark" ->
       fusedBeamOracle(lam = 0.5, delta = 2.0),
 
+    // Tree-draft serving loop: per-cycle tree replays (the q263
+    // synthetic-id recipe at toks0, then at the gen1-grown stream)
+    // against the greedy chain.
+    "q272_torch_tree_loop" ->
+      treeDraftLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
+
     // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
     // 2's over the grown stream, both pure-integer self-joins; the
     // emitted tokens are the greedy rollout truncated to 2.
@@ -14570,6 +14606,134 @@ object SparkEntry {
        |  CAST(CASE WHEN a1 THEN gen2 END AS INT) AS f2,
        |  CAST(CASE WHEN a1 AND a2 THEN gen3 END AS INT) AS f3
        |FROM acc
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q272 tree-draft-LOOP oracle: emitted tokens are the greedy
+    * rollout truncated to maxNewTokens = 2 (greedy-equivalence), so
+    * the decode side is gen1/gen2; the telemetry replays the TREE
+    * expansion per cycle — cycle 1's branch=2 × depth=2 tree over
+    * toks0 (the q263 chain verbatim), and, for rows whose cycle 1
+    * rejected at level 1 (they emitted a single token), cycle 2's
+    * tree over the gen1-grown stream accepted against gen2/gen3
+    * (cycle-level accounting: the overshooting acceptances count
+    * even though the output truncates). */
+  private def treeDraftLoopOracle(
+      draftModel: graft.torch.TorchScriptModel): String = {
+    val vocab = genModel.seqHead.get.vocab
+    def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+      val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+      val pCols = (0 until model.seqHead.get.vocab)
+        .map(j => s"p$j").mkString(", ")
+      val block =
+        if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
+          encBlockSql(model, pool = "last", tokensCte = Some(toksName))
+        else earlyExitBlockSql(model, toksName)
+      TorchOracle.mlpArgmaxSql(fc, block,
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    }
+    def softmax6(src: String, out: String): String = {
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid, round(e / z, 6) AS p6
+         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM ($unpivot))))""".stripMargin
+    }
+    // one full branch=2 × depth=2 tree expansion over `baseToks`,
+    // pivoted to rootp$sfx(d11, d12) / kidsp$sfx(c111..c122)
+    def treeCtes(baseToks: String, sfx: String): String =
+      s"""lensT$sfx AS (
+         |  SELECT doc_id, max(pos) AS mp FROM $baseToks GROUP BY doc_id),
+         |logitA$sfx AS MATERIALIZED (
+         |${fwdP(draftModel, baseToks)}
+         |),
+         |${softmax6(s"logitA$sfx", s"qroot$sfx")},
+         |root2$sfx AS MATERIALIZED (
+         |  SELECT doc_id, tid,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY p6 DESC, tid) AS rk
+         |  FROM qroot$sfx QUALIFY rk <= 2),
+         |toksC$sfx AS MATERIALIZED (
+         |  SELECT t.doc_id * 2 + (b.rk - 1) AS doc_id, t.tid, t.pos
+         |  FROM $baseToks t JOIN root2$sfx b ON b.doc_id = t.doc_id
+         |  UNION ALL
+         |  SELECT b.doc_id * 2 + (b.rk - 1), CAST(b.tid AS BIGINT), l.mp + 1
+         |  FROM root2$sfx b JOIN lensT$sfx l ON l.doc_id = b.doc_id),
+         |logitB$sfx AS MATERIALIZED (
+         |${fwdP(draftModel, s"toksC$sfx")}
+         |),
+         |${softmax6(s"logitB$sfx", s"qkid$sfx")},
+         |kids$sfx AS MATERIALIZED (
+         |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY p6 DESC, tid) AS rk
+         |  FROM qkid$sfx QUALIFY rk <= 2),
+         |rootp$sfx AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN rk = 1 THEN tid END) AS d11,
+         |    max(CASE WHEN rk = 2 THEN tid END) AS d12
+         |  FROM root2$sfx GROUP BY doc_id),
+         |kidsp$sfx AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN pb = 0 AND rk = 1 THEN tid END) AS c111,
+         |    max(CASE WHEN pb = 0 AND rk = 2 THEN tid END) AS c112,
+         |    max(CASE WHEN pb = 1 AND rk = 1 THEN tid END) AS c121,
+         |    max(CASE WHEN pb = 1 AND rk = 2 THEN tid END) AS c122
+         |  FROM kids$sfx GROUP BY doc_id)""".stripMargin
+    // per-cycle acceptance arms against the greedy tokens g1/g2 (the
+    // level-1 and level-2 target argmaxes for that cycle's prefix)
+    def arms(sfx: String, g1: String, g2: String): String =
+      s"""($g1 = r$sfx.d11 OR $g1 = r$sfx.d12) AS a1$sfx,
+         |    (CASE WHEN $g1 = r$sfx.d11
+         |            THEN ($g2 = k$sfx.c111 OR $g2 = k$sfx.c112)
+         |          WHEN $g1 = r$sfx.d12
+         |            THEN ($g2 = k$sfx.c121 OR $g2 = k$sfx.c122)
+         |          ELSE FALSE END) AS a2$sfx""".stripMargin
+    s"""WITH greedy AS MATERIALIZED (
+       |${generateOracle(banned = Nil, steps = 3)}
+       |),
+       |words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |  FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |${treeCtes("toks0", "1")},
+       |toksg AS MATERIALIZED (
+       |  SELECT doc_id, tid, pos FROM toks0
+       |  UNION ALL
+       |  SELECT g.doc_id, CAST(g.gen1 AS BIGINT), l.mp + 1
+       |  FROM greedy g JOIN lensT1 l ON l.doc_id = g.doc_id),
+       |${treeCtes("toksg", "2")},
+       |armsx AS (
+       |  SELECT g.doc_id, g.gen1, g.gen2,
+       |    ${arms("1", "g.gen1", "g.gen2")},
+       |    ${arms("2", "g.gen2", "g.gen3")}
+       |  FROM greedy g
+       |  JOIN rootp1 r1 ON r1.doc_id = g.doc_id
+       |  JOIN kidsp1 k1 ON k1.doc_id = g.doc_id
+       |  JOIN rootp2 r2 ON r2.doc_id = g.doc_id
+       |  JOIN kidsp2 k2 ON k2.doc_id = g.doc_id)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN a11 THEN 1 ELSE 2 END AS INT) AS n_cyc,
+       |  CAST((CASE WHEN a11 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN a11 AND a21 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN NOT a11 AND a12 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN NOT a11 AND a12 AND a22 THEN 1 ELSE 0 END)
+       |    AS INT) AS n_acc_tot,
+       |  CAST(gen1 AS INT) AS f1, CAST(gen2 AS INT) AS f2
+       |FROM armsx
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -3652,6 +3652,152 @@ object Torch {
   }
 
   /**
+   * The TREE-DRAFT SERVING LOOP — [[treeDraftGreedy]] cycled until
+   * `maxNewTokens` tokens are emitted (then truncated), completing
+   * the {cell, loop, telemetry} triple for the tree mode like
+   * [[speculativeSampledLoop]] did for chain drafts and
+   * [[generatePromptLookupLoop]] for prompt lookup: each cycle the
+   * draft proposes a fresh `branch × depth` tree at the CURRENT
+   * accepted prefix, the target greedy-verifies, and the emitted
+   * tokens (accepted path + correction-or-bonus) extend both
+   * sessions. Greedy-equivalence again means the target session only
+   * ever appends (no rollback — rejected branches never touched it)
+   * and the emission IS the plain [[generateGreedy]] rollout
+   * truncated to `maxNewTokens` (spec-pinned); the outputs add the
+   * serving telemetry. Cycles run to completion (cycle-level
+   * `n_acc_total`, the [[speculativeSampledLoop]] convention); cycle
+   * 1 replays [[treeDraftGreedy]] exactly.
+   *
+   * @return input columns + `out_toks` array<int> (exactly
+   *         maxNewTokens tokens), `n_cycles` int, `n_acc_total` int;
+   *         null prompt → all null
+   */
+  def treeDraftGreedyLoop(
+      df: DataFrame,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      branch: Int,
+      depth: Int,
+      maxNewTokens: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(branch >= 1, "branch must be >= 1")
+    require(depth >= 1, "depth must be >= 1")
+    require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "treeDraftGreedyLoop needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross-attention models not supported here")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(branch <= target.value.outDim, "branch exceeds the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "tree-draft decoding needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("out_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_cycles", IntegerType, nullable = true),
+      StructField("n_acc_total", IntegerType, nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      def topBranch(lg: Array[Float]): Array[Int] = {
+        val p6 = Spec.probs6(lg, vocab)
+        (0 until vocab).sortBy(j => (-p6(j), j)).take(branch).toArray
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            // the DRAFT session tracks the accepted prefix too — each
+            // cycle's tree roots at a fork of it (O(L) copy), so
+            // neither model ever replays the prompt
+            val st = tm.decodeSession(p)
+            var sd = dm.decodeSession(p)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var cycles = 0
+            var accTotal = 0
+            while (out.length < maxNewTokens) {
+              cycles += 1
+              // build this cycle's tree on forks of the draft session
+              val childrenOf =
+                scala.collection.mutable.Map.empty[Vector[Int], Array[Int]]
+              var frontier: Seq[(dm.DecodeSession, Vector[Int])] =
+                Seq((sd, Vector.empty))
+              while (frontier.nonEmpty) {
+                val next = scala.collection.mutable.ArrayBuffer
+                  .empty[(dm.DecodeSession, Vector[Int])]
+                frontier.foreach { case (sess, path) =>
+                  val kids = topBranch(sess.logits())
+                  childrenOf(path) = kids
+                  if (path.length + 1 < depth) kids.foreach { c =>
+                    val child = sess.fork()
+                    child.append(c)
+                    next += ((child, path :+ c))
+                  }
+                }
+                frontier = next.toSeq
+              }
+              // greedy verify; every emitted token extends BOTH
+              // accepted-prefix sessions
+              var path = Vector.empty[Int]
+              var n = 0
+              var rejected = false
+              def emit(t: Int): Unit = {
+                out += t
+                st.append(t)
+                val nd = sd.fork(); nd.append(t); sd = nd
+              }
+              while (n < depth && !rejected) {
+                val t = argmaxFirst(st.logits())
+                emit(t)
+                if (childrenOf(path).contains(t)) {
+                  path :+= t; n += 1; accTotal += 1
+                } else rejected = true
+              }
+              if (!rejected) emit(argmaxFirst(st.logits())) // bonus
+            }
+            Row.fromSeq(r.toSeq ++
+              Seq(out.take(maxNewTokens).toSeq, cycles, accTotal))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * MULTI-DRAFT stochastic speculative verification (the SpecInfer
    * cell — Miao et al. 2023's multi-round speculative sampling, the
    * STOCHASTIC counterpart of [[treeDraftGreedy]]'s per-level

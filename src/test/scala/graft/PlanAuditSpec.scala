@@ -497,7 +497,8 @@ class PlanAuditSpec extends AnyFunSuite {
     for (q <- Seq("q262_torch_prompt_lookup", "q263_torch_tree_draft",
         "q264_torch_beam_fused", "q265_torch_beam_diverse_watermark",
         "q266_torch_prompt_lookup_loop", "q268_torch_sampled_fused",
-        "q269_torch_spec_multidraft", "q271_torch_beam_fused_watermark")) {
+        "q269_torch_spec_multidraft", "q271_torch_beam_fused_watermark",
+        "q272_torch_tree_loop")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

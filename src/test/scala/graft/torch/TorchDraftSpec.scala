@@ -220,6 +220,43 @@ class TorchDraftSpec extends AnyFunSuite {
       "cycle count is degenerate on the fixture")
   }
 
+  test("q272 tree loop: emitted == greedy truncated; cycle 1 replays q263; cycle accounting") {
+    val tm = graft.SparkEntry.genModel
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcD = spark.sparkContext.broadcast(TorchQuant.quantize(tm, 7))
+    val toks = fixturePrompts(tm.outDim)
+    val loop = Torch.treeDraftGreedyLoop(toks, "tok_ids", bcT, bcD,
+        branch = 2, depth = 2, maxNewTokens = 2)
+      .select("doc_id", "out_toks", "n_cycles", "n_acc_total").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toSeq, r.getInt(2), r.getInt(3)))).toMap
+    val single = Torch.treeDraftGreedy(toks, "tok_ids", bcT, bcD,
+        branch = 2, depth = 2)
+      .select("doc_id", "n_accepted", "out_toks").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2).toSeq))).toMap
+    val greedy = Torch.generateGreedy(toks, "tok_ids", "gen", bcT, steps = 2)
+      .select("doc_id", "gen").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(loop.nonEmpty && loop.keySet == single.keySet)
+    for ((id, (out, nCyc, accTot)) <- loop) {
+      val (nAcc1, out1) = single(id)
+      assert(out == greedy(id),
+        s"doc $id: loop emitted $out != greedy ${greedy(id)}")
+      assert(out.startsWith(out1.take(2)),
+        s"doc $id: cycle 1 diverged from q263")
+      // a cycle emits n_acc+1 tokens: one cycle suffices iff cycle 1
+      // accepted at least one level
+      assert(nCyc == (if (nAcc1 >= 1) 1 else 2),
+        s"doc $id: n_cycles $nCyc with cycle-1 n_acc $nAcc1")
+      assert(accTot >= nAcc1)
+    }
+    val multi = loop.values.count(_._2 == 2)
+    info(s"q272 sf0.001: ${loop.size} docs, $multi needed a second cycle")
+    assert(multi > 0 && multi < loop.size,
+      "tree-loop cycle count is degenerate on the fixture")
+  }
+
   test("q269 multi-draft: numDrafts=1 replays q247 bit-exactly; all three arms live at b=2") {
     val tm = graft.SparkEntry.genModel
     val dm = TorchQuant.quantize(tm, 7)
