@@ -2167,6 +2167,70 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // STOCHASTIC prompt-lookup decoding (q274 — HF assisted
+    // SAMPLING): q262's n-gram drafts verified by the
+    // distribution-preserving rule — a deterministic lookup is a
+    // point-mass draft, so acceptance is `u < p(x)` and the
+    // rejection residual is p with x zeroed — making the emitted
+    // tokens provably target-distributed (the greedy variant's
+    // rollout is deterministic; this one composes PLD with the
+    // sampled serving stack).
+    "q274_torch_prompt_lookup_sampled" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.promptLookupSampled(toks, "doc_id", "tok_ids", bc, ngram = 2,
+          maxDraft = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("n_drafted").as("n_drf"),
+          when(size(col("draft_toks")) >= 1, col("draft_toks")(0)).as("d1"),
+          when(size(col("draft_toks")) >= 2, col("draft_toks")(1)).as("d2"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
+    // SELF-DRAFT TREE decoding (q273): the Medusa shape proper — the
+    // tree's proposals come from an EARLY EXIT of the target itself
+    // (q256's shared-weight draft: embedding + positional + head,
+    // transformer block skipped), so there is no second model to
+    // maintain and the "heads" are free. Same treeDraftGreedy kernel,
+    // same greedy verification; only the proposal distribution
+    // changes — a weaker draft than q263's int8 quant, so the
+    // acceptance mix shifts toward shallower walks (the telemetry a
+    // server reads before deciding the draft is worth its forwards).
+    "q273_torch_tree_selfdraft" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(earlyExitModel)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftGreedy(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("tree")(0)(0).as("d11"), col("tree")(0)(1).as("d12"),
+          col("tree")(1)(0).as("c111"), col("tree")(1)(1).as("c112"),
+          col("tree")(2)(0).as("c121"), col("tree")(2)(1).as("c122"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
     // TREE-DRAFT ACCEPTANCE TELEMETRY (q270): the per-corpus depth
     // histogram of the q263 tree walk with each arm's emitted-token
     // yield — completing the telemetry triple across the three draft
@@ -11847,6 +11911,14 @@ object SparkEntry {
     "q272_torch_tree_loop" ->
       treeDraftLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
 
+    // Self-draft tree: the same recipe with the draft forwards from
+    // the early-exit submodel (earlyExitBlockSql arm of fwdP).
+    "q273_torch_tree_selfdraft" -> treeDraftOracle(earlyExitModel),
+
+    // Stochastic prompt-lookup: point-mass-draft acceptance u < p(x),
+    // zeroed-token residual walks, per-arm bonus picks.
+    "q274_torch_prompt_lookup_sampled" -> promptLookupSampledOracle,
+
     // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
     // 2's over the grown stream, both pure-integer self-joins; the
     // emitted tokens are the greedy rollout truncated to 2.
@@ -14607,6 +14679,155 @@ object SparkEntry {
        |  CAST(CASE WHEN a1 AND a2 THEN gen3 END AS INT) AS f3
        |FROM acc
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q274 stochastic-prompt-lookup oracle: the q262 integer
+    * match CTEs supply the point-mass drafts; the decode side is the
+    * speculative-family chain — target softmaxes at toks0, at
+    * toks0 + d1, and at toks0 + d1 + d2 (growth happens only along
+    * the accepted-draft path, which IS the drafted path), acceptance
+    * `u(a_i) < p_i(d_i)` (min(1, p/1) = p, already on the grid),
+    * rejection residuals as prob rows with the draft tid filtered
+    * out (max(0, p − δ_x) ∝ p off x — the pick walk is
+    * scale-invariant), and bonus picks at whichever prefix the walk
+    * completed (b1 over prob1/prob2/prob3 by arm). */
+  private def promptLookupSampledOracle: String = {
+    val vocab = genModel.seqHead.get.vocab
+    def fwdP(toksName: String): String = {
+      val fc0 = genModel.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+      val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(genModel, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    }
+    def softmax6(src: String, out: String): String = {
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid, round(e / z, 6) AS p6
+         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM ($unpivot))))""".stripMargin
+    }
+    def u(salt: String, docRef: String = "doc_id"): String =
+      s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+        s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+    def pickCte(src: String, salt: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT doc_id, tid,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+         |    FROM (SELECT doc_id, tid, rk, cs,
+         |                 max(cs) OVER (PARTITION BY doc_id) AS total
+         |          FROM (SELECT doc_id, tid,
+         |                  row_number() OVER (PARTITION BY doc_id
+         |                    ORDER BY p6 DESC, tid) AS rk,
+         |                  sum(p6) OVER (PARTITION BY doc_id
+         |                    ORDER BY p6 DESC, tid) AS cs
+         |                FROM $src WHERE p6 > CAST(0 AS DOUBLE)))
+         |    WHERE round(cs / total, 6) > ${u(salt)})
+         |  WHERE prk = 1)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens AS (SELECT doc_id, max(pos) AS mp FROM words GROUP BY doc_id),
+       |pat AS (
+       |  SELECT l.doc_id, w1.tid AS a, w2.tid AS b, l.mp
+       |  FROM lens l
+       |  JOIN words w1 ON w1.doc_id = l.doc_id AND w1.pos = l.mp - 1
+       |  JOIN words w2 ON w2.doc_id = l.doc_id AND w2.pos = l.mp),
+       |mtch AS (
+       |  SELECT p.doc_id, min(w1.pos) AS s
+       |  FROM pat p
+       |  JOIN words w1 ON w1.doc_id = p.doc_id AND w1.tid = p.a
+       |  JOIN words w2 ON w2.doc_id = p.doc_id AND w2.pos = w1.pos + 1
+       |    AND w2.tid = p.b
+       |  WHERE w1.pos + 1 < p.mp
+       |  GROUP BY p.doc_id),
+       |drafts AS MATERIALIZED (
+       |  SELECT m.doc_id, d1.tid AS d1, d2.tid AS d2
+       |  FROM mtch m
+       |  JOIN words d1 ON d1.doc_id = m.doc_id AND d1.pos = m.s + 2
+       |  LEFT JOIN words d2 ON d2.doc_id = m.doc_id AND d2.pos = m.s + 3),
+       |logit1 AS MATERIALIZED (
+       |${fwdP("toks0")}
+       |),
+       |${softmax6("logit1", "prob1")},
+       |toks1 AS MATERIALIZED (
+       |  SELECT t.doc_id, t.tid, t.pos FROM toks0 t
+       |  JOIN drafts d ON d.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT d.doc_id, CAST(d.d1 AS BIGINT), l.mp + 1
+       |  FROM drafts d JOIN lens l ON l.doc_id = d.doc_id),
+       |logit2 AS MATERIALIZED (
+       |${fwdP("toks1")}
+       |),
+       |${softmax6("logit2", "prob2")},
+       |toks2 AS MATERIALIZED (
+       |  SELECT t.doc_id, t.tid, t.pos FROM toks1 t
+       |  JOIN drafts d ON d.doc_id = t.doc_id AND d.d2 IS NOT NULL
+       |  UNION ALL
+       |  SELECT d.doc_id, CAST(d.d2 AS BIGINT), l.mp + 2
+       |  FROM drafts d JOIN lens l ON l.doc_id = d.doc_id
+       |  WHERE d.d2 IS NOT NULL),
+       |logit3 AS MATERIALIZED (
+       |${fwdP("toks2")}
+       |),
+       |${softmax6("logit3", "prob3")},
+       |resid1 AS (
+       |  SELECT p.doc_id, p.tid, p.p6 FROM prob1 p
+       |  JOIN drafts d ON d.doc_id = p.doc_id AND p.tid <> d.d1),
+       |${pickCte("resid1", "r1", "rpick1")},
+       |resid2 AS (
+       |  SELECT p.doc_id, p.tid, p.p6 FROM prob2 p
+       |  JOIN drafts d ON d.doc_id = p.doc_id
+       |    AND d.d2 IS NOT NULL AND p.tid <> d.d2),
+       |${pickCte("resid2", "r2", "rpick2")},
+       |${pickCte("prob1", "b1", "bpick1")},
+       |${pickCte("prob2", "b1", "bpick2")},
+       |${pickCte("prob3", "b1", "bpick3")},
+       |arms AS (
+       |  SELECT g.doc_id, d.d1, d.d2,
+       |    (d.d1 IS NOT NULL AND ${u("a1", "g.doc_id")} < pp1.p6) AS acc1,
+       |    (d.d2 IS NOT NULL AND ${u("a2", "g.doc_id")} < pp2.p6) AS acc2
+       |  FROM (SELECT DISTINCT doc_id FROM toks0) g
+       |  LEFT JOIN drafts d ON d.doc_id = g.doc_id
+       |  LEFT JOIN prob1 pp1 ON pp1.doc_id = g.doc_id AND pp1.tid = d.d1
+       |  LEFT JOIN prob2 pp2 ON pp2.doc_id = g.doc_id AND pp2.tid = d.d2)
+       |SELECT a.doc_id,
+       |  CAST(CASE WHEN a.d1 IS NULL THEN 0
+       |            WHEN a.d2 IS NULL THEN 1 ELSE 2 END AS INT) AS n_drf,
+       |  CAST(a.d1 AS INT) AS d1, CAST(a.d2 AS INT) AS d2,
+       |  CAST(CASE WHEN a.acc1 AND a.acc2 THEN 2
+       |            WHEN a.acc1 THEN 1 ELSE 0 END AS INT) AS n_acc,
+       |  CAST(CASE WHEN a.d1 IS NULL THEN b1.tid
+       |            WHEN NOT a.acc1 THEN coalesce(r1.tid, a.d1)
+       |            ELSE a.d1 END AS INT) AS f1,
+       |  CAST(CASE WHEN a.d1 IS NULL OR NOT a.acc1 THEN NULL
+       |            WHEN a.d2 IS NULL THEN b2.tid
+       |            WHEN NOT a.acc2 THEN coalesce(r2.tid, a.d2)
+       |            ELSE a.d2 END AS INT) AS f2,
+       |  CAST(CASE WHEN a.acc1 AND a.acc2 THEN b3.tid
+       |            ELSE NULL END AS INT) AS f3
+       |FROM arms a
+       |LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id
+       |LEFT JOIN rpick2 r2 ON r2.doc_id = a.doc_id
+       |LEFT JOIN bpick1 b1 ON b1.doc_id = a.doc_id
+       |LEFT JOIN bpick2 b2 ON b2.doc_id = a.doc_id
+       |LEFT JOIN bpick3 b3 ON b3.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
   }
 
   /** The q272 tree-draft-LOOP oracle: emitted tokens are the greedy

@@ -3652,6 +3652,129 @@ object Torch {
   }
 
   /**
+   * STOCHASTIC prompt-lookup decoding — [[generatePromptLookup]]'s
+   * n-gram drafts verified by the DISTRIBUTION-PRESERVING rule
+   * instead of greedy equivalence (HF's assisted SAMPLING mode): a
+   * deterministic lookup is a point-mass draft `q = δ_x`, so the
+   * Leviathan acceptance specializes to `accept x_i w.p. p_i(x_i)`
+   * and the rejection residual to `p_i` with `x_i` zeroed (max(0,
+   * p − δ_x) ∝ p off x) — the emitted tokens are provably
+   * distributed as target samples, unlike the greedy variant's
+   * deterministic rollout. All-accepted walks emit a bonus sample
+   * from the target at the fully-drafted prefix.
+   *
+   * Determinism discipline is [[speculativeSampled]]'s: 6dp-grid
+   * distributions, md5 draws with position-indexed salts
+   * (acceptance `"a<i>"`, residual `"r<i>"`, bonus `"b1"` — no
+   * draft-pick draws: the lookup IS the draft).
+   *
+   * @return input columns + `draft_toks` array<int>, `n_drafted`
+   *         int, `n_accepted` int, `out_toks` array<int> (length
+   *         n_accepted + 1); null prompt/id → all null
+   */
+  def promptLookupSampled(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      model: Broadcast[TorchScriptModel],
+      ngram: Int,
+      maxDraft: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    require(maxDraft >= 1, "maxDraft must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1,
+      "promptLookupSampled needs a token-input model")
+    require(!model.value.isCross, "cross-attention model not supported here")
+    require(model.value.cacheable,
+      "prompt-lookup decoding needs the KV-session path (cacheable model)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("draft_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_drafted", IntegerType, nullable = true),
+      StructField("n_accepted", IntegerType, nullable = true),
+      StructField("out_toks", ArrayType(IntegerType), nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
+      def lookup(full: Array[Int]): Array[Int] = {
+        val L = full.length
+        if (L <= ngram) return Array.emptyIntArray
+        val patStart = L - ngram
+        var matchAt = -1
+        var i = 0
+        while (matchAt < 0 && i < patStart) {
+          var k = 0
+          var eq = true
+          while (eq && k < ngram) {
+            if (full(i + k) != full(patStart + k)) eq = false else k += 1
+          }
+          if (eq) matchAt = i else i += 1
+        }
+        if (matchAt < 0) Array.emptyIntArray
+        else full.slice(matchAt + ngram,
+          math.min(matchAt + ngram + maxDraft, L))
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val drafts = lookup(p)
+            val sess = m.decodeSession(p)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var n = 0
+            var rejected = false
+            while (n < drafts.length && !rejected) {
+              val x = drafts(n)
+              val pp = probs6(sess.logits())
+              // point-mass draft: min(1, p(x)/1) = p(x), already on
+              // the grid
+              if (draw(id, s"a${n + 1}") < pp(x)) {
+                out += x; sess.append(x); n += 1
+              } else {
+                // residual max(0, p − δ_x) ∝ p with x zeroed
+                val mres = pp.clone()
+                mres(x) = 0.0
+                out += (if (mres.forall(_ == 0.0)) x
+                        else pick(mres, draw(id, s"r${n + 1}")))
+                rejected = true
+              }
+            }
+            if (!rejected) // no drafts, or all accepted → bonus sample
+              out += pick(probs6(sess.logits()), draw(id, "b1"))
+            Row.fromSeq(r.toSeq ++
+              Seq(drafts.toSeq, drafts.length, n, out.toSeq))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * The TREE-DRAFT SERVING LOOP — [[treeDraftGreedy]] cycled until
    * `maxNewTokens` tokens are emitted (then truncated), completing
    * the {cell, loop, telemetry} triple for the tree mode like

@@ -296,6 +296,63 @@ class TorchDraftSpec extends AnyFunSuite {
       rnd == 0 || f == drafts(rnd - 1) })
   }
 
+  test("q273 self-draft tree: emitted == greedy prefix; the weaker draft accepts strictly less") {
+    val tm = graft.SparkEntry.genModel
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcInt8 = spark.sparkContext.broadcast(TorchQuant.quantize(tm, 7))
+    val bcEE = spark.sparkContext.broadcast(graft.SparkEntry.earlyExitModel)
+    val toks = fixturePrompts(tm.outDim)
+    def run(d: org.apache.spark.broadcast.Broadcast[TorchScriptModel]) =
+      Torch.treeDraftGreedy(toks, "tok_ids", bcT, d, branch = 2, depth = 2)
+        .select("doc_id", "n_accepted", "out_toks").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq))
+    val greedy = Torch.generateGreedy(toks, "tok_ids", "gen", bcT, steps = 3)
+      .select("doc_id", "gen").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val ee = run(bcEE)
+    assert(ee.forall { case (d, n, out) =>
+      out.length == n + 1 && out == greedy(d).take(n + 1) },
+      "self-draft emission is not the greedy prefix")
+    // the early-exit draft skips the transformer block, so it tracks
+    // the target WORSE than the int8 quant — total accepted levels
+    // must drop (the telemetry signal q273 exists to surface)
+    val accEE = ee.map(_._2).sum
+    val accInt8 = run(bcInt8).map(_._2).sum
+    info(s"q273 sf0.001: early-exit accepted $accEE levels vs int8 $accInt8")
+    assert(accEE < accInt8, "the early-exit draft out-accepted the int8 quant")
+    assert(ee.map(_._2).distinct.size > 1, "degenerate acceptance mix")
+  }
+
+  test("q274 stochastic prompt-lookup: drafts match the greedy variant; accepted tokens are the drafts") {
+    val tm = graft.SparkEntry.genModel
+    val bc = spark.sparkContext.broadcast(tm)
+    val toks = fixturePrompts(tm.outDim)
+    val sampled = Torch.promptLookupSampled(toks, "doc_id", "tok_ids", bc,
+        ngram = 2, maxDraft = 2)
+      .select("doc_id", "draft_toks", "n_drafted", "n_accepted", "out_toks")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getInt(2),
+        r.getInt(3), r.getSeq[Int](4).toSeq))).toMap
+    val greedyPl = Torch.generatePromptLookup(toks, "tok_ids", bc,
+        ngram = 2, maxDraft = 2)
+      .select("doc_id", "draft_toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(sampled.nonEmpty && sampled.keySet == greedyPl.keySet)
+    var accepted = 0
+    for ((id, (drafts, nDrf, nAcc, out)) <- sampled) {
+      // the lookup is verification-independent: same drafts as q262
+      assert(drafts == greedyPl(id), s"doc $id: lookup diverged")
+      assert(nDrf == drafts.length && out.length == nAcc + 1)
+      // the accepted prefix IS the drafted prefix (acceptance emits
+      // the draft; only the correction/bonus positions sample)
+      assert(out.take(nAcc) == drafts.take(nAcc),
+        s"doc $id: accepted tokens diverged from the drafts")
+      if (nAcc > 0) accepted += 1
+    }
+    info(s"q274 sf0.001: ${sampled.size} docs, $accepted with acceptances")
+    assert(accepted > 0, "no acceptance anywhere — vacuous verification")
+  }
+
   test("q263: an identity draft (draft eq target) accepts every level on the fixture") {
     val tm = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(tm)
