@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
  *     to generateSampled on every row; draws invariant under
  *     repartitioning (salt discipline holds with the fused term in
  *     the chain).
+ *  7. multi-draft stochastic verification (q269) at 100k rows:
+ *     numDrafts = 1 bit-identical to speculativeSampled on every
+ *     row, all three acceptance arms live at b = 2, accepted rounds
+ *     emit their own draft.
+ *  8. the tree-draft serving loop (q272) at 100k rows: exactly
+ *     maxNewTokens emitted == greedy truncated on every row, cycle
+ *     count coherent with the single-cycle tree run.
+ *  9. stochastic prompt-lookup (q274) at 100k rows: the lookup is
+ *     verification-independent (same drafts as the greedy variant on
+ *     every row), accepted prefixes ARE the drafted prefixes, draws
+ *     invariant under repartitioning.
  *
  * Timings printed here are QUIET-WINDOW figures (SURVEY §8i); on a
  * loaded host judges have measured 4-40x these — the CORRECTNESS
@@ -261,6 +272,91 @@ object StressR21 {
     require(once.sameElements(reparted),
       "fused sampled draws moved under repartitioning — salt discipline broken")
     fusedS.unpersist()
+
+    // ---- 7. multi-draft stochastic verification at 100k ---------------
+    val md2 = timed("speculativeSampledMultiDraft(b=2) 100k rows") {
+      graft.torch.Torch.speculativeSampledMultiDraft(prompts, "doc_id",
+          "tok_ids", bcT, bcD, numDrafts = 2, batchSize = 1024)
+        .select(col("doc_id"), col("draft_toks"), col("acc_round"),
+          col("final_tok")).cache()
+        .transform { d => d.count(); d }
+    }
+    val badMd = md2.filter(
+      size(col("draft_toks")) =!= 2 ||
+      (col("acc_round") >= 1 &&
+        col("final_tok") =!= col("draft_toks")(col("acc_round") - 1))).count()
+    require(badMd == 0L, s"$badMd rows: an accepted round emitted a foreign token")
+    val mdHist = md2.groupBy("acc_round").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    println(s"[stress] multi-draft acc_round histogram: $mdHist")
+    require((0 to 2).forall(mdHist.getOrElse(_, 0L) > 0L),
+      s"an acceptance arm never fired at 100k rows: $mdHist")
+    val md1 = graft.torch.Torch.speculativeSampledMultiDraft(prompts,
+        "doc_id", "tok_ids", bcT, bcD, numDrafts = 1, batchSize = 1024)
+      .select(col("doc_id"), col("draft_toks")(0).as("x1"),
+        (col("acc_round") === 1).as("acc"), col("final_tok").as("f"))
+    val q247run = graft.torch.Torch.speculativeSampled(prompts, "doc_id",
+        "tok_ids", bcT, bcD, batchSize = 1024)
+      .select(col("doc_id"), col("draft_tok"), col("accepted"),
+        col("final_tok"))
+    val mdDiff = md1.join(q247run, "doc_id")
+      .filter(col("x1") =!= col("draft_tok") || col("acc") =!= col("accepted") ||
+        col("f") =!= col("final_tok")).count()
+    require(mdDiff == 0L, s"numDrafts=1 diverged from q247 on $mdDiff rows")
+    md2.unpersist()
+
+    // ---- 8. tree-draft serving loop at 100k ----------------------------
+    val tloop = timed("treeDraftGreedyLoop(maxNew=2) 100k rows") {
+      graft.torch.Torch.treeDraftGreedyLoop(prompts, "tok_ids", bcT, bcD,
+          branch = 2, depth = 2, maxNewTokens = 2, batchSize = 1024)
+        .select(col("doc_id"), col("out_toks"), col("n_cycles")).cache()
+        .transform { d => d.count(); d }
+    }
+    val badTl = tloop.join(greedy, "doc_id").filter(
+      size(col("out_toks")) =!= 2 ||
+      col("out_toks") =!= slice(col("gen"), 1, 2)).count()
+    require(badTl == 0L, s"$badTl rows: tree-loop emission is not greedy-truncated")
+    val tSingle = graft.torch.Torch.treeDraftGreedy(prompts, "tok_ids", bcT,
+        bcD, branch = 2, depth = 2, batchSize = 1024)
+      .select(col("doc_id"), col("n_accepted").as("a1"))
+    val badTlc = tloop.join(tSingle, "doc_id").filter(
+      (col("n_cycles") === 1) =!= (col("a1") >= 1)).count()
+    require(badTlc == 0L, s"$badTlc rows: tree-loop cycle count incoherent")
+    val tCyc = tloop.groupBy("n_cycles").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    println(s"[stress] tree-loop cycles: $tCyc")
+    require(tCyc.getOrElse(1, 0L) > 0L && tCyc.getOrElse(2, 0L) > 0L,
+      s"a tree-loop cycle arm never fired at 100k: $tCyc")
+    tloop.unpersist()
+
+    // ---- 9. stochastic prompt-lookup at 100k ---------------------------
+    val pls = timed("promptLookupSampled 100k rows") {
+      graft.torch.Torch.promptLookupSampled(prompts, "doc_id", "tok_ids",
+          bcT, ngram = 2, maxDraft = 2, batchSize = 1024)
+        .select(col("doc_id"), col("draft_toks"), col("n_accepted"),
+          col("out_toks")).cache()
+        .transform { d => d.count(); d }
+    }
+    val plGreedy = graft.torch.Torch.generatePromptLookup(prompts, "tok_ids",
+        bcT, ngram = 2, maxDraft = 2, batchSize = 1024)
+      .select(col("doc_id"), col("draft_toks").as("gd"))
+    val badPls = pls.join(plGreedy, "doc_id").filter(
+      col("draft_toks") =!= col("gd") ||
+      size(col("out_toks")) =!= col("n_accepted") + 1 ||
+      slice(col("out_toks"), lit(1), col("n_accepted")) =!=
+        slice(col("draft_toks"), lit(1), col("n_accepted"))).count()
+    require(badPls == 0L,
+      s"$badPls rows violate lookup-independence or the accepted-prefix law")
+    val plsOnce = pls.select("doc_id", "out_toks").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+    val plsRep = graft.torch.Torch.promptLookupSampled(
+        prompts.repartition(7, col("doc_id")), "doc_id", "tok_ids", bcT,
+        ngram = 2, maxDraft = 2, batchSize = 333)
+      .select("doc_id", "out_toks").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+    require(plsOnce.sameElements(plsRep),
+      "stochastic PLD draws moved under repartitioning")
+    pls.unpersist()
     greedy.unpersist()
 
     println("[stress] StressR21 PASS")
