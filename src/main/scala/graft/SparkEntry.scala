@@ -2167,6 +2167,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // MULTI-DRAFT SERVING LOOP (q275): the q269 cell cycled for two
+    // positions — each cycle's b=2 verification emits exactly one
+    // target-distributed token (accepted draft or residual sample)
+    // that extends both sessions; per-position acc_rounds is the
+    // try-depth telemetry. Cycle 1 replays q269 bit-exactly
+    // (position-offset salts, spec-pinned); the oracle chains two
+    // multiDraftCellCtes through the emitted token.
+    "q275_torch_spec_multidraft_loop" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledMultiDraftLoop(toks, "doc_id", "tok_ids",
+          bcT, bcD, numDrafts = 2, maxNewTokens = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("acc_rounds")(0).as("rnd1"), col("acc_rounds")(1).as("rnd2"))
+        .orderBy("doc_id")
+    },
+
     // STOCHASTIC prompt-lookup decoding (q274 — HF assisted
     // SAMPLING): q262's n-gram drafts verified by the
     // distribution-preserving rule — a deterministic lookup is a
@@ -11919,6 +11945,11 @@ object SparkEntry {
     // zeroed-token residual walks, per-arm bonus picks.
     "q274_torch_prompt_lookup_sampled" -> promptLookupSampledOracle,
 
+    // Multi-draft serving loop: two cells chained through the
+    // emitted token, position-offset salts.
+    "q275_torch_spec_multidraft_loop" ->
+      multiDraftLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
+
     // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
     // 2's over the grown stream, both pure-integer self-joins; the
     // emitted tokens are the greedy rollout truncated to 2.
@@ -14333,10 +14364,16 @@ object SparkEntry {
     * `max(0, n1 − q)` and its salt-r2 pick walk. Edge conventions
     * restated: an all-zero residual at either stage keeps the
     * current draft (rpick LEFT JOIN null → coalesce). */
-  private def multiDraftOracle(
-      draftModel: graft.torch.TorchScriptModel): String = {
+  /** One b=2 multi-draft verification CELL over `toksName` as a CTE
+    * block ending in `em$sfx(doc_id, x1, x2, acc_rnd, f)` — the q269
+    * chain with suffix-disambiguated CTE names and position-offset
+    * salts (cell at offset o uses d{o+1}/d{o+2}/a{o+1}/a{o+2}/
+    * r{o+2}), so the q275 loop's cycle 1 (offset 0) IS q269's cell
+    * verbatim. */
+  private def multiDraftCellCtes(draftModel: graft.torch.TorchScriptModel,
+      toksName: String, sfx: String, saltOff: Int): String = {
     val vocab = genModel.seqHead.get.vocab
-    def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+    def fwdP(model: graft.torch.TorchScriptModel): String = {
       val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
       val pCols = (0 until model.seqHead.get.vocab)
@@ -14377,7 +14414,65 @@ object SparkEntry {
          |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
          |    WHERE round(cs / total, 6) > ${u(salt)})
          |  WHERE prk = 1)""".stripMargin
-    s"""WITH words AS (
+    val (dA, dB) = (s"d${saltOff + 1}", s"d${saltOff + 2}")
+    val (aA, aB) = (s"a${saltOff + 1}", s"a${saltOff + 2}")
+    val rB = s"r${saltOff + 2}"
+    s"""logitD$sfx AS MATERIALIZED (
+       |${fwdP(draftModel)}
+       |),
+       |${softmax6(s"logitD$sfx", s"qprob$sfx")},
+       |logitT$sfx AS MATERIALIZED (
+       |${fwdP(genModel)}
+       |),
+       |${softmax6(s"logitT$sfx", s"pprob$sfx")},
+       |${pickCte(s"qprob$sfx", "p6", dA, s"dpickA$sfx")},
+       |${pickCte(s"qprob$sfx", "p6", dB, s"dpickB$sfx")},
+       |residA$sfx AS MATERIALIZED (
+       |  SELECT p.doc_id, p.tid, greatest(p.p6 - q.p6, CAST(0 AS DOUBLE)) AS m,
+       |    sum(greatest(p.p6 - q.p6, CAST(0 AS DOUBLE)))
+       |      OVER (PARTITION BY p.doc_id) AS s1
+       |  FROM pprob$sfx p JOIN qprob$sfx q
+       |    ON q.doc_id = p.doc_id AND q.tid = p.tid),
+       |nA$sfx AS MATERIALIZED (
+       |  SELECT doc_id, tid, round(m / s1, 6) AS p6
+       |  FROM residA$sfx WHERE s1 > CAST(0 AS DOUBLE)),
+       |residB$sfx AS MATERIALIZED (
+       |  SELECT n.doc_id, n.tid,
+       |    greatest(n.p6 - q.p6, CAST(0 AS DOUBLE)) AS rmass
+       |  FROM nA$sfx n JOIN qprob$sfx q
+       |    ON q.doc_id = n.doc_id AND q.tid = n.tid),
+       |${pickCte(s"residB$sfx", "rmass", rB, s"rpick$sfx")},
+       |arms$sfx AS (
+       |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2, r.s1,
+       |    (${u(aA, "d1.doc_id")} <
+       |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
+       |    (${u(aB, "d1.doc_id")} <
+       |     round(least(CAST(1 AS DOUBLE),
+       |       coalesce(n2.p6, CAST(0 AS DOUBLE)) / qp2.p6), 6)) AS acc2
+       |  FROM dpickA$sfx d1
+       |  JOIN dpickB$sfx d2 ON d2.doc_id = d1.doc_id
+       |  JOIN pprob$sfx pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
+       |  JOIN qprob$sfx qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
+       |  JOIN qprob$sfx qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid
+       |  LEFT JOIN nA$sfx n2 ON n2.doc_id = d1.doc_id AND n2.tid = d2.tid
+       |  JOIN (SELECT doc_id, max(s1) AS s1 FROM residA$sfx GROUP BY doc_id) r
+       |    ON r.doc_id = d1.doc_id),
+       |em$sfx AS MATERIALIZED (
+       |  SELECT a.doc_id, a.x1, a.x2,
+       |    CASE WHEN a.acc1 THEN 1
+       |         WHEN a.s1 = CAST(0 AS DOUBLE) THEN 0
+       |         WHEN a.acc2 THEN 2 ELSE 0 END AS acc_rnd,
+       |    CASE WHEN a.acc1 THEN a.x1
+       |         WHEN a.s1 = CAST(0 AS DOUBLE) THEN a.x1
+       |         WHEN a.acc2 THEN a.x2
+       |         ELSE coalesce(rp.tid, a.x2) END AS f
+       |  FROM arms$sfx a
+       |  LEFT JOIN rpick$sfx rp ON rp.doc_id = a.doc_id)""".stripMargin
+  }
+
+  private def wordsToks0Block: String = {
+    val vocab = genModel.seqHead.get.vocab
+    s"""words AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
        |           % $vocab AS tid, pos
        |  FROM (SELECT doc_id,
@@ -14386,59 +14481,42 @@ object SparkEntry {
        |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |        FROM documents)
        |  WHERE pos <= $EncMaxLen),
-       |toks0 AS MATERIALIZED (SELECT * FROM words),
-       |logitD AS MATERIALIZED (
-       |${fwdP(draftModel, "toks0")}
-       |),
-       |${softmax6("logitD", "qprob")},
-       |logitT AS MATERIALIZED (
-       |${fwdP(genModel, "toks0")}
-       |),
-       |${softmax6("logitT", "pprob")},
-       |${pickCte("qprob", "p6", "d1", "dpick1")},
-       |${pickCte("qprob", "p6", "d2", "dpick2")},
-       |resid1 AS MATERIALIZED (
-       |  SELECT p.doc_id, p.tid, greatest(p.p6 - q.p6, CAST(0 AS DOUBLE)) AS m,
-       |    sum(greatest(p.p6 - q.p6, CAST(0 AS DOUBLE)))
-       |      OVER (PARTITION BY p.doc_id) AS s1
-       |  FROM pprob p JOIN qprob q
-       |    ON q.doc_id = p.doc_id AND q.tid = p.tid),
-       |n1 AS MATERIALIZED (
-       |  SELECT doc_id, tid, round(m / s1, 6) AS p6
-       |  FROM resid1 WHERE s1 > CAST(0 AS DOUBLE)),
-       |resid2 AS MATERIALIZED (
-       |  SELECT n.doc_id, n.tid,
-       |    greatest(n.p6 - q.p6, CAST(0 AS DOUBLE)) AS rmass
-       |  FROM n1 n JOIN qprob q ON q.doc_id = n.doc_id AND q.tid = n.tid),
-       |${pickCte("resid2", "rmass", "r2", "rpick")},
-       |arms AS (
-       |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2, r.s1,
-       |    (${u("a1", "d1.doc_id")} <
-       |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
-       |    (${u("a2", "d1.doc_id")} <
-       |     round(least(CAST(1 AS DOUBLE),
-       |       coalesce(n2.p6, CAST(0 AS DOUBLE)) / qp2.p6), 6)) AS acc2
-       |  FROM dpick1 d1
-       |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
-       |  JOIN pprob pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
-       |  JOIN qprob qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
-       |  JOIN qprob qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid
-       |  LEFT JOIN n1 n2 ON n2.doc_id = d1.doc_id AND n2.tid = d2.tid
-       |  JOIN (SELECT doc_id, max(s1) AS s1 FROM resid1 GROUP BY doc_id) r
-       |    ON r.doc_id = d1.doc_id)
-       |SELECT a.doc_id,
-       |  CAST(a.x1 AS INT) AS x1, CAST(a.x2 AS INT) AS x2,
-       |  CAST(CASE WHEN a.acc1 THEN 1
-       |            WHEN a.s1 = CAST(0 AS DOUBLE) THEN 0
-       |            WHEN a.acc2 THEN 2 ELSE 0 END AS INT) AS acc_rnd,
-       |  CAST(CASE WHEN a.acc1 THEN a.x1
-       |            WHEN a.s1 = CAST(0 AS DOUBLE) THEN a.x1
-       |            WHEN a.acc2 THEN a.x2
-       |            ELSE coalesce(rp.tid, a.x2) END AS INT) AS f1
-       |FROM arms a
-       |LEFT JOIN rpick rp ON rp.doc_id = a.doc_id
-       |ORDER BY a.doc_id""".stripMargin
+       |toks0 AS MATERIALIZED (SELECT * FROM words)""".stripMargin
   }
+
+  private def multiDraftOracle(
+      draftModel: graft.torch.TorchScriptModel): String =
+    s"""WITH $wordsToks0Block,
+       |${multiDraftCellCtes(draftModel, "toks0", "1", 0)}
+       |SELECT doc_id,
+       |  CAST(x1 AS INT) AS x1, CAST(x2 AS INT) AS x2,
+       |  CAST(acc_rnd AS INT) AS acc_rnd,
+       |  CAST(f AS INT) AS f1
+       |FROM em1
+       |ORDER BY doc_id""".stripMargin
+
+  /** The q275 multi-draft serving-LOOP oracle: two [[multiDraftCellCtes]]
+    * cells chained through the emitted token — cell 1 (salt offset 0,
+    * q269's draws verbatim) produces `em1.f`, `toks1` grows by it
+    * (data-dependent growth, the q254 convention), and cell 2 (salt
+    * offset 2: d3/d4/a3/a4/r4) runs over the grown stream. */
+  private def multiDraftLoopOracle(
+      draftModel: graft.torch.TorchScriptModel): String =
+    s"""WITH $wordsToks0Block,
+       |${multiDraftCellCtes(draftModel, "toks0", "1", 0)},
+       |toks1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, pos FROM toks0
+       |  UNION ALL
+       |  SELECT e.doc_id, CAST(e.f AS BIGINT), l.mp + 1
+       |  FROM em1 e
+       |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id) l
+       |    ON l.doc_id = e.doc_id),
+       |${multiDraftCellCtes(draftModel, "toks1", "2", 2)}
+       |SELECT e1.doc_id,
+       |  CAST(e1.f AS INT) AS f1, CAST(e2.f AS INT) AS f2,
+       |  CAST(e1.acc_rnd AS INT) AS rnd1, CAST(e2.acc_rnd AS INT) AS rnd2
+       |FROM em1 e1 JOIN em2 e2 ON e2.doc_id = e1.doc_id
+       |ORDER BY e1.doc_id""".stripMargin
 
   /** The q262 prompt-lookup oracle: the match is PURE INTEGERS — the
     * prompt's final bigram (positions mp−1, mp of the sliced stream)

@@ -3652,6 +3652,131 @@ object Torch {
   }
 
   /**
+   * The MULTI-DRAFT SERVING LOOP — [[speculativeSampledMultiDraft]]
+   * cycled for `maxNewTokens` positions: each cycle runs one b-way
+   * multi-round verification cell at the current prefix and emits
+   * exactly ONE target-distributed token (an accepted draft or the
+   * residual sample), which extends both sessions. Completes the
+   * {cell, loop} pair for the multi-draft mode; per-position
+   * `acc_rounds` is the serving telemetry (which try depth pays).
+   *
+   * Salts are position-offset — cycle c uses
+   * `d/a{(c−1)·b + i}` and `r{c·b}` — so cycle 1 replays
+   * [[speculativeSampledMultiDraft]] bit-exactly (spec-pinned).
+   *
+   * @return input columns + `out_toks` array<int> (exactly
+   *         maxNewTokens tokens), `acc_rounds` array<int> (the
+   *         per-cycle accepted round, 0 = residual-sampled); null
+   *         prompt/id → all null
+   */
+  def speculativeSampledMultiDraftLoop(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      numDrafts: Int,
+      maxNewTokens: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(numDrafts >= 1, "numDrafts must be >= 1")
+    require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "speculativeSampledMultiDraftLoop needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross models: use the pair speculative path")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "speculative sampling needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("out_toks", ArrayType(IntegerType), nullable = true),
+      StructField("acc_rounds", ArrayType(IntegerType), nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val st = tm.decodeSession(p)
+            val sd = dm.decodeSession(p)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var c = 0
+            while (c < maxNewTokens) {
+              val off = c * numDrafts
+              val qp = probs6(sd.logits())
+              val pp = probs6(st.logits())
+              val drafts = Array.tabulate(numDrafts)(i =>
+                pick(qp, draw(id, s"d${off + i + 1}")))
+              var cur = pp
+              var accRound = 0
+              var finalTok = -1
+              var i = 0
+              var done = false
+              while (i < numDrafts && !done) {
+                val x = drafts(i)
+                val ratio = q6(math.min(1.0, cur(x) / qp(x)))
+                if (draw(id, s"a${off + i + 1}") < ratio) {
+                  accRound = i + 1; finalTok = x; done = true
+                } else {
+                  val m = Array.tabulate(vocab)(j =>
+                    math.max(0.0, cur(j) - qp(j)))
+                  if (m.forall(_ == 0.0)) {
+                    finalTok = x; done = true // p_i == q on the grid
+                  } else if (i + 1 < numDrafts) {
+                    var s = 0.0
+                    var j = 0
+                    while (j < vocab) { s += m(j); j += 1 }
+                    cur = Array.tabulate(vocab)(j => q6(m(j) / s))
+                  } else {
+                    finalTok = pick(m, draw(id, s"r${off + numDrafts}"))
+                    done = true
+                  }
+                }
+                i += 1
+              }
+              out += finalTok
+              rounds += accRound
+              st.append(finalTok)
+              sd.append(finalTok)
+              c += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq(out.toSeq, rounds.toSeq))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * STOCHASTIC prompt-lookup decoding — [[generatePromptLookup]]'s
    * n-gram drafts verified by the DISTRIBUTION-PRESERVING rule
    * instead of greedy equivalence (HF's assisted SAMPLING mode): a

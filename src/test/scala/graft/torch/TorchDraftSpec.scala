@@ -353,6 +353,33 @@ class TorchDraftSpec extends AnyFunSuite {
     assert(accepted > 0, "no acceptance anywhere — vacuous verification")
   }
 
+  test("q275 multi-draft loop: cycle 1 replays q269; every token is an accepted draft or a residual sample") {
+    val tm = graft.SparkEntry.genModel
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcD = spark.sparkContext.broadcast(TorchQuant.quantize(tm, 7))
+    val toks = fixturePrompts(tm.outDim)
+    val loop = Torch.speculativeSampledMultiDraftLoop(toks, "doc_id",
+        "tok_ids", bcT, bcD, numDrafts = 2, maxNewTokens = 2)
+      .select("doc_id", "out_toks", "acc_rounds").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toSeq, r.getSeq[Int](2).toSeq))).toMap
+    val cell = Torch.speculativeSampledMultiDraft(toks, "doc_id", "tok_ids",
+        bcT, bcD, numDrafts = 2)
+      .select("doc_id", "acc_round", "final_tok").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(loop.nonEmpty && loop.keySet == cell.keySet)
+    for ((id, (out, rounds)) <- loop) {
+      assert(out.length == 2 && rounds.length == 2)
+      val (rnd1, f1) = cell(id)
+      assert(out.head == f1 && rounds.head == rnd1,
+        s"doc $id: cycle 1 diverged from the q269 cell")
+      assert(rounds.forall(r => r >= 0 && r <= 2))
+    }
+    val rnd2Hist = loop.values.groupBy(_._2(1)).map { case (k, v) => k -> v.size }
+    info(s"q275 sf0.001: position-2 acc_round histogram $rnd2Hist")
+    assert(rnd2Hist.keys.size > 1, "position 2 acceptance is degenerate")
+  }
+
   test("q263: an identity draft (draft eq target) accepts every level on the fixture") {
     val tm = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(tm)
