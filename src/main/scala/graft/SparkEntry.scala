@@ -2167,6 +2167,44 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SHALLOW FUSION × DIVERSE beam groups (q276 — the last cell of
+    // the bias × decode-family matrix): the frozen bigram prior adds
+    // to each live candidate's log-softmax alongside the Hamming
+    // penalty (both post-lse score adjustments), so the corpus prior
+    // steers every group while the groups still diversify against
+    // each other's picks. Group 0 is bit-identical to FUSED plain
+    // beams (q264) and lmWeight = 0 to the unfused diverse path
+    // (both spec-pinned).
+    "q276_torch_beam_diverse_fused" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+      toks.select(explode(zip_with(
+            slice(col("tok_ids"), lit(1), greatest(size(col("tok_ids")) - 1, lit(0))),
+            slice(col("tok_ids"), lit(2), greatest(size(col("tok_ids")) - 1, lit(0))),
+            (a, b) => struct(a.as("p"), b.as("c")))).as("pc"))
+        .groupBy(col("pc.p").as("p"), col("pc.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+        .collect() // bounded by vocab² = 64 rows
+        .foreach(r => counts(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+      Torch.beamSearchDiverse(toks, "tok_ids", "beams", bc, steps = 2,
+          width = 2, groups = 2, diversityPenalty = 0.5, batchSize = 256,
+          lmWeight = 0.5, lmCounts = counts)
+        .select(col("doc_id"),
+          col("beams")(0)(0).as("g1b1t1"), col("beams")(0)(1).as("g1b1t2"),
+          col("beams")(1)(0).as("g1b2t1"), col("beams")(1)(1).as("g1b2t2"),
+          col("beams")(2)(0).as("g2b1t1"), col("beams")(2)(1).as("g2b1t2"),
+          col("beams")(3)(0).as("g2b2t1"), col("beams")(3)(1).as("g2b2t2"))
+        .orderBy("doc_id")
+    },
+
     // MULTI-DRAFT SERVING LOOP (q275): the q269 cell cycled for two
     // positions — each cycle's b=2 verification emits exactly one
     // target-distributed token (accepted draft or residual sample)
@@ -11950,6 +11988,11 @@ object SparkEntry {
     "q275_torch_spec_multidraft_loop" ->
       multiDraftLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
 
+    // Fused diverse beams: the two-group recipe over fused candidate
+    // scores (bigram-prior joins on each beam's last token).
+    "q276_torch_beam_diverse_fused" ->
+      diverseFusedBeamOracle(lamLm = 0.5, lamDiv = 0.5),
+
     // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
     // 2's over the grown stream, both pure-integer self-joins; the
     // emitted tokens are the greedy rollout truncated to 2.
@@ -16420,6 +16463,155 @@ object SparkEntry {
        |  FROM (SELECT c.doc_id, c.tid,
        |          c.lp - $lam * CAST(coalesce(a.c, 0) AS DOUBLE) AS lp
        |        FROM cand1 c
+       |        LEFT JOIN cntA1 a ON a.doc_id = c.doc_id AND a.tid = c.tid)
+       |  QUALIFY b <= 2),
+       |${step2("a", "beams1a", None)},
+       |cntA2 AS MATERIALIZED (
+       |  SELECT doc_id, tid, count(*) AS c FROM kepta GROUP BY doc_id, tid),
+       |${step2("b", "beams1b", Some("cntA2"))}
+       |SELECT a1.doc_id,
+       |  a1.t1 AS g1b1t1, CAST(a1.tid AS INT) AS g1b1t2,
+       |  a2.t1 AS g1b2t1, CAST(a2.tid AS INT) AS g1b2t2,
+       |  b1.t1 AS g2b1t1, CAST(b1.tid AS INT) AS g2b1t2,
+       |  b2.t1 AS g2b2t1, CAST(b2.tid AS INT) AS g2b2t2
+       |FROM kepta a1
+       |JOIN kepta a2 ON a2.doc_id = a1.doc_id AND a1.rk = 1 AND a2.rk = 2
+       |JOIN keptb b1 ON b1.doc_id = a1.doc_id AND b1.rk = 1
+       |JOIN keptb b2 ON b2.doc_id = a1.doc_id AND b2.rk = 2
+       |ORDER BY a1.doc_id""".stripMargin
+  }
+
+  /** The q276 FUSED diverse-beam oracle: [[diverseBeamOracle]]'s
+    * two-group recipe with [[fusedBeamOracle]]'s bigram-prior term on
+    * every candidate (`fl = lp + λlm·ln((cnt+1)/(tot+V))`, joined on
+    * each beam's own last token) — group A ranks by fl, group B by
+    * `fl − λdiv·cnt(A's same-step picks)`, and the running scores
+    * accumulate the fused values. Joint associations differ from the
+    * engine's at the ulp level (score + (lp + fl-term) vs
+    * (score + lp) + fl-term); the spec-pinned beam margins dwarf it,
+    * the q264 precedent. */
+  private def diverseFusedBeamOracle(lamLm: Double,
+      lamDiv: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fc = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+    val lLit = s"CAST($lamLm AS DOUBLE)"
+    val dLit = s"CAST($lamDiv AS DOUBLE)"
+    def fwd(toksName: String): String =
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(m, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    val mx = (0 until vocab).map(j => s"p$j").mkString("greatest(", ", ", ")")
+    val sumExp = (0 until vocab).map(j => s"exp(p$j - m)").mkString(" + ")
+    def candRows(src: String): String =
+      (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j - lse AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+    def lastCte(toksName: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t0.doc_id, t0.tid AS lt
+         |  FROM $toksName t0
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM $toksName
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp)""".stripMargin
+    def fuseCte(candSrc: String, lastSrc: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT c.doc_id, c.tid,
+         |    c.lp + $lLit * ln(
+         |      CAST(coalesce(bi.cnt, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(rs.tot, 0) + $vocab AS DOUBLE)) AS fl
+         |  FROM $candSrc c
+         |  JOIN $lastSrc l ON l.doc_id = c.doc_id
+         |  LEFT JOIN bi ON bi.p = l.lt AND bi.c = c.tid
+         |  LEFT JOIN rs ON rs.p = l.lt)""".stripMargin
+    // one group's step-2 block over FUSED scores, optionally
+    // penalized by the other group's pick counts
+    def step2(sfx: String, beams1: String,
+        penaltyCnt: Option[String]): String = {
+      val pen = penaltyCnt match {
+        case None => ""
+        case Some(_) => s" - $dLit * CAST(coalesce(a.c, 0) AS DOUBLE)"
+      }
+      val penJoin = penaltyCnt match {
+        case None => ""
+        case Some(cnt) =>
+          s"\n  LEFT JOIN $cnt a ON a.doc_id = c.doc_id AND a.tid = c.tid"
+      }
+      s"""toks1$sfx AS MATERIALIZED (
+         |  SELECT t.doc_id * 2 + (b.b - 1) AS doc_id, t.tid, t.pos
+         |  FROM toks0 t JOIN $beams1 b ON b.doc_id = t.doc_id
+         |  UNION ALL
+         |  SELECT b.doc_id * 2 + (b.b - 1), CAST(b.tid AS BIGINT), l.mp + 1
+         |  FROM $beams1 b JOIN lens0 l ON l.doc_id = b.doc_id),
+         |logit2$sfx AS MATERIALIZED (
+         |${fwd(s"toks1$sfx")}
+         |),
+         |lp2$sfx AS MATERIALIZED (
+         |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+         |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit2$sfx)),
+         |cand2raw$sfx AS MATERIALIZED (
+         |  ${candRows(s"lp2$sfx")}),
+         |${lastCte(s"toks1$sfx", s"last2$sfx")},
+         |${fuseCte(s"cand2raw$sfx", s"last2$sfx", s"fcand2raw$sfx")},
+         |fcand2$sfx AS MATERIALIZED (
+         |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb,
+         |    tid, fl
+         |  FROM fcand2raw$sfx),
+         |joined$sfx AS MATERIALIZED (
+         |  SELECT c.doc_id, c.pb, c.tid,
+         |    b.score + c.fl$pen AS joint,
+         |    CAST(b.tid AS INT) AS t1
+         |  FROM fcand2$sfx c JOIN $beams1 b
+         |    ON b.doc_id = c.doc_id AND b.b = c.pb + 1$penJoin),
+         |kept$sfx AS MATERIALIZED (
+         |  SELECT doc_id, t1, tid, joint,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY joint DESC, pb ASC, tid ASC) AS rk
+         |  FROM joined$sfx QUALIFY rk <= 2)""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |bi AS MATERIALIZED (
+       |  SELECT a.tid AS p, b.tid AS c, count(*) AS cnt
+       |  FROM words a
+       |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.tid, b.tid),
+       |rs AS MATERIALIZED (
+       |  SELECT p, sum(cnt) AS tot FROM bi GROUP BY p),
+       |logit1 AS MATERIALIZED (
+       |${fwd("toks0")}
+       |),
+       |lp1 AS MATERIALIZED (
+       |  SELECT doc_id, $pCols, ln($sumExp) + m AS lse
+       |  FROM (SELECT doc_id, $pCols, $mx AS m FROM logit1)),
+       |cand1 AS MATERIALIZED (
+       |  ${candRows("lp1")}),
+       |${lastCte("toks0", "last1")},
+       |${fuseCte("cand1", "last1", "fcand1")},
+       |beams1a AS MATERIALIZED (
+       |  SELECT doc_id, tid, fl AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY fl DESC, tid) AS b
+       |  FROM fcand1 QUALIFY b <= 2),
+       |cntA1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, count(*) AS c FROM beams1a GROUP BY doc_id, tid),
+       |beams1b AS MATERIALIZED (
+       |  SELECT doc_id, tid, fl AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY fl DESC, tid) AS b
+       |  FROM (SELECT c.doc_id, c.tid,
+       |          c.fl - $dLit * CAST(coalesce(a.c, 0) AS DOUBLE) AS fl
+       |        FROM fcand1 c
        |        LEFT JOIN cntA1 a ON a.doc_id = c.doc_id AND a.tid = c.tid)
        |  QUALIFY b <= 2),
        |${step2("a", "beams1a", None)},

@@ -1059,12 +1059,31 @@ object Torch {
       lengthPenalty: Double = 0.0,
       eosId: Int = -1,
       watermarkDelta: Double = 0.0,
-      watermarkGamma: (Int, Int) = (1, 2)): DataFrame = {
+      watermarkGamma: (Int, Int) = (1, 2),
+      lmWeight: Double = 0.0,
+      lmCounts: Array[Array[Long]] = null): DataFrame = {
     require(steps >= 1 && width >= 1, "steps and width must be >= 1")
     require(groups >= 1, "groups must be >= 1")
     require(diversityPenalty >= 0.0, "diversityPenalty must be >= 0")
     require(lengthPenalty >= 0.0, "lengthPenalty must be >= 0")
     require(eosId < model.value.outDim, "eosId exceeds the vocabulary")
+    // SHALLOW FUSION under diverse groups (the last cell of the
+    // bias × decode-family matrix): the frozen bigram prior adds to
+    // each live candidate's log-softmax ALONGSIDE the Hamming
+    // penalty — both post-lse score adjustments on the same
+    // accumulated value, `s0 + (lp − λdiv·cnt + λlm·ln p_LM)` — so
+    // group 0 stays bit-identical to FUSED plain beamSearch and
+    // lmWeight = 0 to the unfused diverse path (guarded; both
+    // spec-pinned).
+    require(lmWeight >= 0.0, "lmWeight must be >= 0")
+    val vocabN = model.value.outDim
+    require(lmWeight == 0.0 || (lmCounts != null &&
+      lmCounts.length == vocabN && lmCounts.forall(_.length == vocabN)),
+      "lmCounts must be vocab x vocab when lmWeight > 0")
+    val bcLm: Broadcast[(Array[Array[Long]], Array[Long])] =
+      if (lmWeight == 0.0) null
+      else df.sparkSession.sparkContext.broadcast(
+        (lmCounts, lmCounts.map(_.sum)))
     // the WATERMARK under diverse groups (round 18 — deployments
     // watermark whatever decode they run): each live beam's raw
     // logits gain +delta on the green set keyed by ITS OWN last
@@ -1092,6 +1111,12 @@ object Torch {
     withInts.mapPartitions { it =>
       val m = model.value
       val vocab = m.outDim
+      val lm = if (bcLm == null) null else bcLm.value
+      // generateGreedyFused's exact f64 prior term (0-guarded)
+      def fused(prev: Int, tok: Int): Double =
+        lmWeight * StrictMath.log(
+          (lm._1(prev)(tok) + 1L).toDouble /
+            (lm._2(prev) + vocab.toLong).toDouble)
       def logProbs(out: Array[Float]): Array[Double] = {
         var mx = Double.NegativeInfinity
         var j = 0
@@ -1169,10 +1194,19 @@ object Torch {
                     val pen =
                       StrictMath.pow((gen.length + 1).toDouble, lengthPenalty)
                     (0 until vocab).map { tok =>
-                      // f64 order pinned: s0 + (lp − λ·cnt) — the
-                      // pre-knob accumulation, so q236 stays bit-exact
+                      // f64 order pinned: (s0 + (lp − λ·cnt)) + fused
+                      // — the pre-knob accumulation plus a TRAILING
+                      // fused term, so q236 stays bit-exact at
+                      // lmWeight = 0 (guarded) AND group 0 (cnt = 0,
+                      // lp − 0.0 ≡ lp) reproduces fused plain
+                      // beamSearch's (s0 + lp) + fused association
+                      // bit-for-bit
                       val adj = lp(tok) - diversityPenalty * stepCounts(tok)
-                      val raw = s0 + adj
+                      val raw0 = s0 + adj
+                      val raw =
+                        if (lmWeight == 0.0) raw0
+                        else raw0 +
+                          fused(if (gen.nonEmpty) gen.last else p.last, tok)
                       (raw / pen, bi, tok, raw, (gen, s0, sess, false))
                     }
                 }

@@ -2058,6 +2058,52 @@ class TorchGenerateSpec extends AnyFunSuite {
       "degenerate fixture: fusion and watermark agree everywhere")
   }
 
+  test("q276 fused diverse beams: group 0 == fused plain beams; lambda=0 reduces; the prior bites under diversity") {
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val df = fixturePrompts(vocab)
+    val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
+    df.collect().foreach { r =>
+      r.getSeq[Long](1).map(_.toInt).sliding(2).foreach {
+        case Seq(a, b) => counts(a)(b) += 1L
+        case _ =>
+      }
+    }
+    def runDiverse(lam: Double) =
+      Torch.beamSearchDiverse(df, "tok_ids", "beams", bc, steps = 2,
+          width = 2, groups = 2, diversityPenalty = 0.5, lmWeight = lam,
+          lmCounts = if (lam == 0.0) null else counts)
+        .select("doc_id", "beams").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    val fusedDiv = runDiverse(0.5)
+    // group 0 never sees another group's picks, so it must reproduce
+    // FUSED plain beamSearch bit-for-bit — the trailing-fused-term
+    // association (s0 + lp) + fused is shared by both kernels
+    val fusedPlain = Torch.beamSearch(df, "tok_ids", "beams", bc,
+        steps = 2, width = 2, lmWeight = 0.5, lmCounts = counts)
+      .select("doc_id", "beams").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    assert(fusedDiv.forall { case (d, beams) =>
+      beams.take(2) == fusedPlain(d) },
+      "group 0 diverged from fused plain beamSearch")
+    // lmWeight = 0 takes the guarded branch: the pre-knob diverse path
+    val unfused = Torch.beamSearchDiverse(df, "tok_ids", "beams", bc,
+        steps = 2, width = 2, groups = 2, diversityPenalty = 0.5)
+      .select("doc_id", "beams").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)).toMap
+    assert(runDiverse(0.0) == unfused,
+      "lmWeight = 0 is not bit-exact the pre-knob diverse path")
+    assert(fusedDiv.exists { case (d, beams) => beams != unfused(d) },
+      "the prior changed nothing under diversity — vacuous fusion")
+    // diversity still separates the groups under the prior
+    assert(fusedDiv.exists { case (_, beams) =>
+      beams.take(2) != beams.drop(2) }, "groups identical under fusion")
+  }
+
   test("q268 fused sampling: lambda=0 bit-exact generateSampled; the prior reshapes the nucleus somewhere") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
