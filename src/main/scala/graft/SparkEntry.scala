@@ -2262,6 +2262,41 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // TYPICAL-ACCEPTANCE tree decoding (q277 — Medusa's actual
+    // acceptance rule): a draft child is accepted when the target
+    // deems it PLAUSIBLE, p(x) ≥ min(ε, δ·exp(−H)) — flat positions
+    // tolerate more, peaked positions nearly require the argmax —
+    // so the emission is NOT a greedy rollout: it is the speed-vs-
+    // fidelity dial Medusa ships. Early-exit self-draft, ε = 1/4,
+    // δ = 1/2 (dyadic; fixture min |p6 − thr6| margin 4.35e-4,
+    // spec-pinned, with a 189/17/294 depth mix). The walk descends
+    // the highest-p6 accepted child per level and finishes with the
+    // target's argmax.
+    "q277_torch_tree_typical" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(earlyExitModel)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftTypical(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, posteriorEps = 0.25, posteriorAlpha = 0.5,
+          batchSize = 256)
+        .select(col("doc_id"),
+          col("tree")(0)(0).as("d11"), col("tree")(0)(1).as("d12"),
+          col("tree")(1)(0).as("c111"), col("tree")(1)(1).as("c112"),
+          col("tree")(2)(0).as("c121"), col("tree")(2)(1).as("c122"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
     // SELF-DRAFT TREE decoding (q273): the Medusa shape proper — the
     // tree's proposals come from an EARLY EXIT of the target itself
     // (q256's shared-weight draft: embedding + positional + head,
@@ -11979,6 +12014,11 @@ object SparkEntry {
     // the early-exit submodel (earlyExitBlockSql arm of fwdP).
     "q273_torch_tree_selfdraft" -> treeDraftOracle(earlyExitModel),
 
+    // Typical-acceptance tree: entropy-scaled thresholds, accepted-
+    // children unpivots, picked-child prefix growth, per-arm argmax.
+    "q277_torch_tree_typical" ->
+      treeDraftTypicalOracle(earlyExitModel, eps = 0.25, alpha = 0.5),
+
     // Stochastic prompt-lookup: point-mass-draft acceptance u < p(x),
     // zeroed-token residual walks, per-arm bonus picks.
     "q274_torch_prompt_lookup_sampled" -> promptLookupSampledOracle,
@@ -15077,6 +15117,189 @@ object SparkEntry {
        |  CAST(gen1 AS INT) AS f1, CAST(gen2 AS INT) AS f2
        |FROM armsx
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q277 TYPICAL-acceptance tree oracle: the draft tree via the
+    * synthetic-id recipe (early-exit fwdP arm); the target side is a
+    * per-level chain of (softmax6, entropy threshold `thr6 =
+    * round(least(ε, δ·exp(−H)), 6)` with H = −Σ p6·ln p6 over the
+    * positive grid masses, accepted-children unpivot, max-p6 pick)
+    * with the prefix growing by the PICKED child (data-dependent
+    * growth), and per-arm argmax continuations (armArgmax over the
+    * target logits at whichever prefix the walk stopped). */
+  private def treeDraftTypicalOracle(
+      draftModel: graft.torch.TorchScriptModel,
+      eps: Double, alpha: Double): String = {
+    val m = genModel
+    val vocab = m.seqHead.get.vocab
+    val fcT = new graft.torch.TorchScriptModel(IndexedSeq(
+      m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+    val eLit = s"CAST($eps AS DOUBLE)"
+    val aLit = s"CAST($alpha AS DOUBLE)"
+    def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+      val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+      val pCols = (0 until model.seqHead.get.vocab)
+        .map(j => s"p$j").mkString(", ")
+      val block =
+        if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
+          encBlockSql(model, pool = "last", tokensCte = Some(toksName))
+        else earlyExitBlockSql(model, toksName)
+      TorchOracle.mlpArgmaxSql(fc, block,
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    }
+    def softmax6(src: String, out: String): String = {
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid, round(e / z, 6) AS p6
+         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM ($unpivot))))""".stripMargin
+    }
+    def thrCte(probSrc: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, round(least($eLit, $aLit * exp(-h)), 6) AS thr
+         |  FROM (SELECT doc_id,
+         |          -sum(CASE WHEN p6 = CAST(0 AS DOUBLE)
+         |                    THEN CAST(0 AS DOUBLE)
+         |                    ELSE p6 * ln(p6) END) AS h
+         |        FROM $probSrc GROUP BY doc_id))""".stripMargin
+    // one target level: accepted children of `candRows` under
+    // `probSrc`/`thrSrc`, picked by (p6 DESC, tid)
+    def pickCte(candRows: String, probSrc: String, thrSrc: String,
+        out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT a.doc_id, a.tid,
+         |      row_number() OVER (PARTITION BY a.doc_id
+         |                         ORDER BY a.p6 DESC, a.tid) AS rk
+         |    FROM (SELECT rr.doc_id, rr.tid, p.p6
+         |          FROM ($candRows) rr
+         |          JOIN $probSrc p
+         |            ON p.doc_id = rr.doc_id AND p.tid = rr.tid
+         |          JOIN $thrSrc t ON t.doc_id = rr.doc_id
+         |          WHERE p.p6 >= t.thr) a)
+         |  WHERE rk = 1)""".stripMargin
+    val amax = TorchOracle.armArgmax(fcT, "p")
+    s"""WITH words AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+       |           % $vocab AS tid, pos
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |          generate_subscripts(regexp_extract_all(text,
+       |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+       |        FROM documents)
+       |  WHERE pos <= $EncMaxLen),
+       |toks0 AS MATERIALIZED (SELECT * FROM words),
+       |lens0 AS MATERIALIZED (
+       |  SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id),
+       |logitD1 AS MATERIALIZED (
+       |${fwdP(draftModel, "toks0")}
+       |),
+       |${softmax6("logitD1", "qroot")},
+       |root2 AS MATERIALIZED (
+       |  SELECT doc_id, tid,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY p6 DESC, tid) AS rk
+       |  FROM qroot QUALIFY rk <= 2),
+       |toksC AS MATERIALIZED (
+       |  SELECT t.doc_id * 2 + (b.rk - 1) AS doc_id, t.tid, t.pos
+       |  FROM toks0 t JOIN root2 b ON b.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT b.doc_id * 2 + (b.rk - 1), CAST(b.tid AS BIGINT), l.mp + 1
+       |  FROM root2 b JOIN lens0 l ON l.doc_id = b.doc_id),
+       |logitD2 AS MATERIALIZED (
+       |${fwdP(draftModel, "toksC")}
+       |),
+       |${softmax6("logitD2", "qkid")},
+       |kids AS MATERIALIZED (
+       |  SELECT doc_id // 2 AS doc_id, CAST(doc_id % 2 AS INT) AS pb, tid,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY p6 DESC, tid) AS rk
+       |  FROM qkid QUALIFY rk <= 2),
+       |rootp AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN rk = 1 THEN tid END) AS d11,
+       |    max(CASE WHEN rk = 2 THEN tid END) AS d12
+       |  FROM root2 GROUP BY doc_id),
+       |kidsp AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN pb = 0 AND rk = 1 THEN tid END) AS c111,
+       |    max(CASE WHEN pb = 0 AND rk = 2 THEN tid END) AS c112,
+       |    max(CASE WHEN pb = 1 AND rk = 1 THEN tid END) AS c121,
+       |    max(CASE WHEN pb = 1 AND rk = 2 THEN tid END) AS c122
+       |  FROM kids GROUP BY doc_id),
+       |logitT0 AS MATERIALIZED (
+       |${fwdP(m, "toks0")}
+       |),
+       |${softmax6("logitT0", "prob1")},
+       |${thrCte("prob1", "thr1")},
+       |${pickCte(
+          "SELECT doc_id, tid FROM root2",
+          "prob1", "thr1", "pick1")},
+       |toksP1 AS MATERIALIZED (
+       |  SELECT t.doc_id, t.tid, t.pos FROM toks0 t
+       |  JOIN pick1 p ON p.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT p.doc_id, CAST(p.tid AS BIGINT), l.mp + 1
+       |  FROM pick1 p JOIN lens0 l ON l.doc_id = p.doc_id),
+       |logitT1 AS MATERIALIZED (
+       |${fwdP(m, "toksP1")}
+       |),
+       |${softmax6("logitT1", "prob2")},
+       |${thrCte("prob2", "thr2")},
+       |${pickCte(
+          """SELECT p1.doc_id,
+            |            CASE WHEN p1.tid = r.d11 THEN k.c111
+            |                 ELSE k.c121 END AS tid
+            |          FROM pick1 p1
+            |          JOIN rootp r ON r.doc_id = p1.doc_id
+            |          JOIN kidsp k ON k.doc_id = p1.doc_id
+            |          UNION ALL
+            |          SELECT p1.doc_id,
+            |            CASE WHEN p1.tid = r.d11 THEN k.c112
+            |                 ELSE k.c122 END AS tid
+            |          FROM pick1 p1
+            |          JOIN rootp r ON r.doc_id = p1.doc_id
+            |          JOIN kidsp k ON k.doc_id = p1.doc_id""".stripMargin,
+          "prob2", "thr2", "pick2")},
+       |toksP2 AS MATERIALIZED (
+       |  SELECT t.doc_id, t.tid, t.pos FROM toksP1 t
+       |  JOIN pick2 p ON p.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT p.doc_id, CAST(p.tid AS BIGINT), l.mp + 2
+       |  FROM pick2 p JOIN lens0 l ON l.doc_id = p.doc_id),
+       |logitT2 AS MATERIALIZED (
+       |${fwdP(m, "toksP2")}
+       |),
+       |bon0 AS (SELECT doc_id, $amax AS tid FROM logitT0),
+       |bon1 AS (SELECT doc_id, $amax AS tid FROM logitT1),
+       |bon2 AS (SELECT doc_id, $amax AS tid FROM logitT2)
+       |SELECT r.doc_id,
+       |  CAST(r.d11 AS INT) AS d11, CAST(r.d12 AS INT) AS d12,
+       |  CAST(k.c111 AS INT) AS c111, CAST(k.c112 AS INT) AS c112,
+       |  CAST(k.c121 AS INT) AS c121, CAST(k.c122 AS INT) AS c122,
+       |  CAST(CASE WHEN p2.tid IS NOT NULL THEN 2
+       |            WHEN p1.tid IS NOT NULL THEN 1 ELSE 0 END AS INT) AS n_acc,
+       |  CAST(coalesce(p1.tid, b0.tid) AS INT) AS f1,
+       |  CAST(CASE WHEN p1.tid IS NULL THEN NULL
+       |            WHEN p2.tid IS NULL THEN b1.tid
+       |            ELSE p2.tid END AS INT) AS f2,
+       |  CAST(CASE WHEN p2.tid IS NOT NULL THEN b2.tid
+       |            ELSE NULL END AS INT) AS f3
+       |FROM rootp r
+       |JOIN kidsp k ON k.doc_id = r.doc_id
+       |LEFT JOIN pick1 p1 ON p1.doc_id = r.doc_id
+       |LEFT JOIN pick2 p2 ON p2.doc_id = r.doc_id
+       |LEFT JOIN bon0 b0 ON b0.doc_id = r.doc_id
+       |LEFT JOIN bon1 b1 ON b1.doc_id = r.doc_id
+       |LEFT JOIN bon2 b2 ON b2.doc_id = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
   }
 
   /** The q253 contrastive-BEAM oracle: the q248 two-model chain

@@ -3934,6 +3934,172 @@ object Torch {
   }
 
   /**
+   * TYPICAL-ACCEPTANCE tree decoding (Medusa's actual acceptance
+   * rule — Cai et al. 2024 §3.2.2, after Meister et al.'s typical
+   * sampling): instead of requiring the draft child to BE the
+   * target's argmax ([[treeDraftGreedy]]'s exact-match mode), a
+   * child x is ACCEPTED when the target deems it plausible enough —
+   * `p(x) ≥ min(ε, δ·exp(−H(p)))` with H the entropy of the
+   * target's distribution at that prefix — so high-entropy (flat)
+   * positions tolerate more, low-entropy (peaked) positions nearly
+   * require the argmax. The walk descends into the HIGHEST-p
+   * accepted child per level; the first level with no accepted
+   * child stops, and the emission is the accepted path + the
+   * target's argmax at the final prefix (Medusa's deterministic
+   * continuation). Unlike greedy equivalence, the emitted tokens
+   * are NOT a greedy rollout — accepted drafts are tokens the
+   * target merely tolerates — which is exactly the speed-vs-
+   * fidelity dial Medusa ships.
+   *
+   * Determinism discipline: the decision compares 6dp-grid values —
+   * p6(x) against `thr6 = q6(min(ε, δ·exp(−H6)))` where H6 =
+   * −Σ p6·ln(p6) over the positive grid masses in ascending-tid f64
+   * order (both engines restate the identical sum from identical
+   * grid inputs; ε, δ dyadic) — and a spec pins the fixture's
+   * min |p6 − thr6| margin above the grid step, so no acceptance
+   * hinges on a cross-libm exp/ln last-ulp.
+   *
+   * @return input columns + `tree` array<array<int>> (BFS children,
+   *         [[treeDraftGreedy]]'s layout), `n_accepted` int,
+   *         `out_toks` array<int> (accepted path + final argmax;
+   *         length n_accepted + 1); null prompt → all null
+   */
+  def treeDraftTypical(
+      df: DataFrame,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      branch: Int,
+      depth: Int,
+      posteriorEps: Double,
+      posteriorAlpha: Double,
+      batchSize: Int = -1): DataFrame = {
+    require(branch >= 1, "branch must be >= 1")
+    require(depth >= 1, "depth must be >= 1")
+    require(posteriorEps > 0.0 && posteriorEps <= 1.0,
+      "posteriorEps must be in (0, 1]")
+    require(posteriorAlpha > 0.0, "posteriorAlpha must be > 0")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "treeDraftTypical needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross-attention models not supported here")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(branch <= target.value.outDim, "branch exceeds the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "tree-draft decoding needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("tree", ArrayType(ArrayType(IntegerType)), nullable = true),
+      StructField("n_accepted", IntegerType, nullable = true),
+      StructField("out_toks", ArrayType(IntegerType), nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double = Spec.q6(x)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      def topBranch(lg: Array[Float]): Array[Int] = {
+        val p6 = probs6(lg)
+        (0 until vocab).sortBy(j => (-p6(j), j)).take(branch).toArray
+      }
+      // the typical threshold at a prefix: q6(min(ε, δ·exp(−H))) with
+      // H = −Σ p6·ln(p6) over positive grid masses, ascending tid
+      def threshold6(pp: Array[Double]): Double = {
+        var h = 0.0
+        var j = 0
+        while (j < vocab) {
+          if (pp(j) > 0.0) h -= pp(j) * StrictMath.log(pp(j))
+          j += 1
+        }
+        q6(math.min(posteriorEps, posteriorAlpha * StrictMath.exp(-h)))
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            // the draft tree: treeDraftGreedy's BFS build verbatim
+            val tree = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+            val childrenOf =
+              scala.collection.mutable.Map.empty[Vector[Int], Array[Int]]
+            var frontier: Seq[(dm.DecodeSession, Vector[Int])] =
+              Seq((dm.decodeSession(p), Vector.empty))
+            while (frontier.nonEmpty) {
+              val next = scala.collection.mutable.ArrayBuffer
+                .empty[(dm.DecodeSession, Vector[Int])]
+              frontier.foreach { case (sess, path) =>
+                val kids = topBranch(sess.logits())
+                tree += kids.toSeq
+                childrenOf(path) = kids
+                if (path.length + 1 < depth) kids.foreach { c =>
+                  val child = sess.fork()
+                  child.append(c)
+                  next += ((child, path :+ c))
+                }
+              }
+              frontier = next.toSeq
+            }
+            // typical walk: accepted = children clearing the
+            // entropy-scaled threshold; descend the max-p6 accepted
+            // (tid tiebreak); stop at the first empty level
+            val st = tm.decodeSession(p)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var path = Vector.empty[Int]
+            var n = 0
+            var stopped = false
+            while (n < depth && !stopped) {
+              val pp = probs6(st.logits())
+              val thr = threshold6(pp)
+              val acc = childrenOf(path).filter(c => pp(c) >= thr)
+              if (acc.isEmpty) stopped = true
+              else {
+                val c = acc.minBy(x => (-pp(x), x))
+                out += c
+                st.append(c)
+                path :+= c
+                n += 1
+              }
+            }
+            out += argmaxFirst(st.logits()) // the deterministic continuation
+            Row.fromSeq(r.toSeq ++ Seq(tree.toSeq, n, out.toSeq))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * The TREE-DRAFT SERVING LOOP — [[treeDraftGreedy]] cycled until
    * `maxNewTokens` tokens are emitted (then truncated), completing
    * the {cell, loop, telemetry} triple for the tree mode like

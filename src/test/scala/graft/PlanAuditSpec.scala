@@ -501,7 +501,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q272_torch_tree_loop", "q273_torch_tree_selfdraft",
         "q274_torch_prompt_lookup_sampled",
         "q275_torch_spec_multidraft_loop",
-        "q276_torch_beam_diverse_fused")) {
+        "q276_torch_beam_diverse_fused", "q277_torch_tree_typical")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

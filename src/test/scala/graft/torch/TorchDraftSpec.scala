@@ -380,6 +380,86 @@ class TorchDraftSpec extends AnyFunSuite {
     assert(rnd2Hist.keys.size > 1, "position 2 acceptance is degenerate")
   }
 
+  test("q277 typical tree: == f64 recompute; threshold margins floor; the plausibility dial bites") {
+    val tm = graft.SparkEntry.genModel
+    val dm0 = graft.SparkEntry.earlyExitModel
+    val vocab = tm.outDim
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcD = spark.sparkContext.broadcast(dm0)
+    val toks = fixturePrompts(vocab)
+    val (eps, alpha) = (0.25, 0.5)
+    val typ = Torch.treeDraftTypical(toks, "tok_ids", bcT, bcD,
+        branch = 2, depth = 2, posteriorEps = eps, posteriorAlpha = alpha)
+      .select("doc_id", "tok_ids", "tree", "n_accepted", "out_toks")
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        r.getSeq[Int](1).toArray,
+        r.getSeq[scala.collection.Seq[Int]](2).map(_.toSeq),
+        r.getInt(3), r.getSeq[Int](4).toSeq)))
+      .toMap
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def probs6(lg: Array[Float]): Array[Double] = {
+      val mx = lg.map(_.toDouble).max
+      val es = lg.map(v => math.exp(v.toDouble - mx))
+      val z = es.sum
+      es.map(e => q6(e / z))
+    }
+    def thr6(pp: Array[Double]): Double = {
+      val h = -pp.filter(_ > 0.0).map(p => p * StrictMath.log(p)).sum
+      q6(math.min(eps, alpha * StrictMath.exp(-h)))
+    }
+    var minMargin = Double.MaxValue
+    for ((id, (prompt, tree, nAcc, out)) <- typ) {
+      // full f64 recompute of the typical walk over the ENGINE's tree
+      var prefix = prompt
+      var node = 0 // tree index of the current node's children
+      var n = 0
+      var stopped = false
+      val expOut = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (n < 2 && !stopped) {
+        val pp = probs6(tm.forwardTokens(prefix))
+        val t = thr6(pp)
+        tree(node).foreach(c =>
+          minMargin = math.min(minMargin, math.abs(pp(c) - t)))
+        val acc = tree(node).filter(c => pp(c) >= t)
+        if (acc.isEmpty) stopped = true
+        else {
+          val c = acc.minBy(x => (-pp(x), x))
+          expOut += c
+          prefix = prefix :+ c
+          node = 1 + tree(0).indexOf(c) // child block of the taken branch
+          n += 1
+        }
+      }
+      // the continuation is the raw-logit argmax (first max wins —
+      // argmaxFirst's exact rule)
+      val bonusLg = tm.forwardTokens(prefix)
+      var best = 0
+      for (j <- 1 until vocab) if (bonusLg(j) > bonusLg(best)) best = j
+      expOut += best
+      assert(nAcc == n && out == expOut.toSeq,
+        s"doc $id: engine (n=$nAcc, $out) vs f64 (n=$n, ${expOut.toSeq})")
+    }
+    info(s"q277 sf0.001: min |p6 - thr6| margin $minMargin")
+    // measured 4.35e-4 on the fixture — pinned with ~2x headroom so a
+    // cross-libm exp/ln last-ulp can never flip an acceptance
+    assert(minMargin >= 2e-4, s"typical threshold margin too thin: $minMargin")
+    // the plausibility dial really differs from exact-match greedy
+    // verification somewhere: typical accepts tolerated non-argmax
+    // children
+    val greedyTree = Torch.treeDraftGreedy(toks, "tok_ids", bcT, bcD,
+        branch = 2, depth = 2)
+      .select("doc_id", "n_accepted").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(typ.exists { case (d, (_, _, n, _)) => n != greedyTree(d) },
+      "typical acceptance never diverged from exact-match — vacuous dial")
+    val hist = typ.values.groupBy(_._3).map { case (k, v) => k -> v.size }
+    info(s"q277 depth histogram: $hist")
+    assert(Seq(0, 1, 2).forall(hist.getOrElse(_, 0) > 0),
+      s"a depth arm never fired: $hist")
+  }
+
   test("q263: an identity draft (draft eq target) accepts every level on the fixture") {
     val tm = graft.SparkEntry.genModel
     val bc = spark.sparkContext.broadcast(tm)
