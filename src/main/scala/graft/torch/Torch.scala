@@ -215,6 +215,83 @@ object Torch {
         if (q6(cs / total) > u) { chosen = j; done = true }
       chosen
     }
+    /** The MULTI-ROUND b-way verification walk (SpecInfer's recursive
+      * rejection at ONE position) shared by
+      * [[speculativeSampledMultiDraft]], its serving loop, and the
+      * stochastic tree's per-level verification — hoisted per the
+      * same rationale as the quartet above: a fix to the walk lands
+      * in ONE place, so the cycle-1/branch-1 replay spec pins cannot
+      * silently diverge. Round i accepts draft `x_i` w.p.
+      * `min(1, p_i(x_i)/q(x_i))` (p_1 = the target's grid
+      * distribution); a rejection updates `p_{i+1} = q6-normalized
+      * max(0, p_i − q)` ONLY when a later round needs the ratio —
+      * the final rejection's pick walks the RAW residual masses
+      * (scale-invariant; b = 1 is bit-exactly q247's resid pick).
+      * An all-zero residual (p_i == q on the grid) keeps the current
+      * draft. Salts: acceptance i = `"a<saltOff+i>"` (1-based),
+      * final residual = `"r<saltOff+b>"`.
+      *
+      * @return (accRound, finalTok): accRound = the 1-based round
+      *         whose draft was accepted, 0 = residual-sampled (or
+      *         the all-zero-residual keep) */
+    def multiRoundWalk(drafts: Array[Int], qp: Array[Double],
+        pp: Array[Double], vocab: Int, id: Long, saltOff: Int): (Int, Int) = {
+      var cur = pp
+      var accRound = 0
+      var finalTok = -1
+      var i = 0
+      var done = false
+      while (i < drafts.length && !done) {
+        val x = drafts(i)
+        val ratio = q6(math.min(1.0, cur(x) / qp(x)))
+        if (draw(id, s"a${saltOff + i + 1}") < ratio) {
+          accRound = i + 1; finalTok = x; done = true
+        } else {
+          val m = Array.tabulate(vocab)(j => math.max(0.0, cur(j) - qp(j)))
+          if (m.forall(_ == 0.0)) {
+            finalTok = x; done = true // p_i == q on the grid
+          } else if (i + 1 < drafts.length) {
+            var s = 0.0
+            var j = 0
+            while (j < vocab) { s += m(j); j += 1 }
+            cur = Array.tabulate(vocab)(j => q6(m(j) / s))
+          } else {
+            finalTok = pick(m, draw(id, s"r${saltOff + drafts.length}"))
+            done = true
+          }
+        }
+        i += 1
+      }
+      (accRound, finalTok)
+    }
+  }
+
+  /** The prompt-lookup draft (Saxena 2023, HF `prompt_lookup_num_
+    * tokens`) shared by [[generatePromptLookup]],
+    * [[promptLookupSampled]], and [[generatePromptLookupLoop]] —
+    * hoisted so the match discipline (EARLIEST earlier occurrence of
+    * the final `ngram` wins, the pattern occurrence itself never
+    * matches — strict `start + ngram − 1 < L − ngram + ...` bound via
+    * `i < patStart` — and the draft slice clamps to `maxDraft`) is
+    * single-sourced across the three decode modes. */
+  private def lookupDraft(full: scala.collection.IndexedSeq[Int],
+      ngram: Int, maxDraft: Int): Array[Int] = {
+    val L = full.length
+    if (L <= ngram) return Array.emptyIntArray
+    val patStart = L - ngram
+    var matchAt = -1
+    var i = 0
+    while (matchAt < 0 && i < patStart) {
+      var k = 0
+      var eq = true
+      while (eq && k < ngram) {
+        if (full(i + k) != full(patStart + k)) eq = false else k += 1
+      }
+      if (eq) matchAt = i else i += 1
+    }
+    if (matchAt < 0) Array.emptyIntArray
+    else Array.tabulate(
+      math.min(maxDraft, L - matchAt - ngram))(k => full(matchAt + ngram + k))
   }
 
   /** The constrained beam-candidate expansion shared by [[beamSearch]]
@@ -3647,25 +3724,9 @@ object Torch {
             }
           if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
           else {
-            val L = p.length
-            // earliest earlier occurrence of the final ngram
-            var matchAt = -1
-            if (L > ngram) {
-              val patStart = L - ngram
-              var i = 0
-              while (matchAt < 0 && i < patStart) {
-                var k = 0
-                var eq = true
-                while (eq && k < ngram) {
-                  if (p(i + k) != p(patStart + k)) eq = false else k += 1
-                }
-                if (eq) matchAt = i else i += 1
-              }
-            }
-            val drafts: Array[Int] =
-              if (matchAt < 0) Array.emptyIntArray
-              else p.slice(matchAt + ngram,
-                math.min(matchAt + ngram + maxDraft, L))
+            val drafts = lookupDraft(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(p),
+              ngram, maxDraft)
             val sess = m.decodeSession(p)
             val out = scala.collection.mutable.ArrayBuffer.empty[Int]
             var n = 0
@@ -3770,33 +3831,8 @@ object Torch {
               val pp = probs6(st.logits())
               val drafts = Array.tabulate(numDrafts)(i =>
                 pick(qp, draw(id, s"d${off + i + 1}")))
-              var cur = pp
-              var accRound = 0
-              var finalTok = -1
-              var i = 0
-              var done = false
-              while (i < numDrafts && !done) {
-                val x = drafts(i)
-                val ratio = q6(math.min(1.0, cur(x) / qp(x)))
-                if (draw(id, s"a${off + i + 1}") < ratio) {
-                  accRound = i + 1; finalTok = x; done = true
-                } else {
-                  val m = Array.tabulate(vocab)(j =>
-                    math.max(0.0, cur(j) - qp(j)))
-                  if (m.forall(_ == 0.0)) {
-                    finalTok = x; done = true // p_i == q on the grid
-                  } else if (i + 1 < numDrafts) {
-                    var s = 0.0
-                    var j = 0
-                    while (j < vocab) { s += m(j); j += 1 }
-                    cur = Array.tabulate(vocab)(j => q6(m(j) / s))
-                  } else {
-                    finalTok = pick(m, draw(id, s"r${off + numDrafts}"))
-                    done = true
-                  }
-                }
-                i += 1
-              }
+              val (accRound, finalTok) =
+                Spec.multiRoundWalk(drafts, qp, pp, vocab, id, off)
               out += finalTok
               rounds += accRound
               st.append(finalTok)
@@ -3864,24 +3900,6 @@ object Torch {
       def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
       def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
       def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
-      def lookup(full: Array[Int]): Array[Int] = {
-        val L = full.length
-        if (L <= ngram) return Array.emptyIntArray
-        val patStart = L - ngram
-        var matchAt = -1
-        var i = 0
-        while (matchAt < 0 && i < patStart) {
-          var k = 0
-          var eq = true
-          while (eq && k < ngram) {
-            if (full(i + k) != full(patStart + k)) eq = false else k += 1
-          }
-          if (eq) matchAt = i else i += 1
-        }
-        if (matchAt < 0) Array.emptyIntArray
-        else full.slice(matchAt + ngram,
-          math.min(matchAt + ngram + maxDraft, L))
-      }
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
           val p: Array[Int] =
@@ -3902,7 +3920,9 @@ object Torch {
           if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
           else {
             val id = r.getAs[Number](idIdx).longValue()
-            val drafts = lookup(p)
+            val drafts = lookupDraft(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(p),
+              ngram, maxDraft)
             val sess = m.decodeSession(p)
             val out = scala.collection.mutable.ArrayBuffer.empty[Int]
             var n = 0
@@ -4309,25 +4329,12 @@ object Torch {
       val tm = target.value
       val dm = draft.value
       val vocab = tm.outDim
-      def q6(x: Double): Double = Spec.q6(x)
       def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
       def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
       def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
-      // the raw residual masses m(j) = max(0, cur(j) − q(j)) and the
-      // grid-normalized form n(j) = q6(m(j)/Σm) (the Σ an
-      // ascending-tid f64 sum both engines restate). Normalization
-      // re-rounds onto the grid, so it is applied ONLY where a later
-      // round's acceptance RATIO needs a normalized numerator — the
-      // final pick walks the RAW masses (scale-invariant, and for
-      // numDrafts = 1 bit-exactly q247's resid pick).
-      def residual(cur: Array[Double], q: Array[Double]): Array[Double] =
-        Array.tabulate(vocab)(j => math.max(0.0, cur(j) - q(j)))
-      def normed(m: Array[Double]): Array[Double] = {
-        var s = 0.0
-        var j = 0
-        while (j < vocab) { s += m(j); j += 1 }
-        if (s == 0.0) null else Array.tabulate(vocab)(j => q6(m(j) / s))
-      }
+      // residual/normalization discipline lives in Spec.multiRoundWalk
+      // (normalize ONLY where a later round's ratio needs it; the
+      // final pick walks the RAW masses — numDrafts = 1 IS q247)
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
           val p: Array[Int] =
@@ -4352,33 +4359,8 @@ object Torch {
             val pp = probs6(tm.decodeSession(p).logits())
             val drafts = Array.tabulate(numDrafts)(i =>
               pick(qp, draw(id, s"d${i + 1}")))
-            var cur = pp // p_1 = p (already on the grid)
-            var accRound = 0
-            var finalTok = -1
-            var i = 0
-            var done = false
-            while (i < numDrafts && !done) {
-              val x = drafts(i)
-              val ratio = q6(math.min(1.0, cur(x) / qp(x)))
-              if (draw(id, s"a${i + 1}") < ratio) {
-                accRound = i + 1; finalTok = x; done = true
-              } else {
-                val m = residual(cur, qp)
-                if (m.forall(_ == 0.0)) {
-                  // p_i == q on the grid: keep this draft (q247's
-                  // convention)
-                  finalTok = x; done = true
-                } else if (i + 1 < numDrafts) {
-                  cur = normed(m) // p_{i+1}, for the next ratio
-                } else {
-                  // the last rejection: final ~ p_{b+1} ∝ m — walk
-                  // the RAW masses (numDrafts = 1 IS q247's pick)
-                  finalTok = pick(m, draw(id, s"r$numDrafts"))
-                  done = true
-                }
-              }
-              i += 1
-            }
+            val (accRound, finalTok) =
+              Spec.multiRoundWalk(drafts, qp, pp, vocab, id, 0)
             Row.fromSeq(r.toSeq ++ Seq(drafts.toSeq, accRound, finalTok))
           }
         }
@@ -4454,25 +4436,6 @@ object Torch {
         require(best >= 0, "all-NaN logits")
         best
       }
-      // generatePromptLookup's exact lookup over an arbitrary buffer
-      def lookup(full: scala.collection.IndexedSeq[Int]): Array[Int] = {
-        val L = full.length
-        if (L <= ngram) return Array.emptyIntArray
-        val patStart = L - ngram
-        var matchAt = -1
-        var i = 0
-        while (matchAt < 0 && i < patStart) {
-          var k = 0
-          var eq = true
-          while (eq && k < ngram) {
-            if (full(i + k) != full(patStart + k)) eq = false else k += 1
-          }
-          if (eq) matchAt = i else i += 1
-        }
-        if (matchAt < 0) Array.emptyIntArray
-        else Array.tabulate(
-          math.min(maxDraft, L - matchAt - ngram))(k => full(matchAt + ngram + k))
-      }
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
           val p: Array[Int] =
@@ -4499,7 +4462,7 @@ object Torch {
             var accTotal = 0
             while (out.length < maxNewTokens) {
               cycles += 1
-              val drafts = lookup(full)
+              val drafts = lookupDraft(full, ngram, maxDraft)
               var n = 0
               var rejected = false
               while (n < drafts.length && !rejected) {

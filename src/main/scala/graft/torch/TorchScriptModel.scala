@@ -2477,11 +2477,52 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     require((encToks != null) == isCross,
       if (isCross) "cross-attention decode needs the source-side tokens"
       else "encoder tokens passed to a single-sequence model")
-    new DecodeSession(prompt, encToks, null)
+    new DecodeSession(prompt, encToks, null, Int.MaxValue, Int.MaxValue)
   }
 
+  /** [[decodeSession]] with a BOUNDED KV cache — the StreamingLLM
+    * shape (Xiao et al. 2024): every causal-attention cache keeps the
+    * first `nSink` positions (the attention sinks) plus a sliding
+    * window of the last `nWindow` positions; everything between is
+    * EVICTED as the sequence grows, so a serving loop's per-session
+    * state is O(nSink + nWindow) instead of O(L). Semantics: query
+    * position P attends over keys {0..nSink−1} ∪ {P−nWindow+1..P},
+    * with cached keys at their ABSOLUTE positions (RoPE rotations and
+    * bias-table entries keyed on the original (query, key) pair — the
+    * "window + sinks over absolute positions" variant; StreamingLLM's
+    * within-cache re-rotation is a different dial and would break the
+    * banded-bias models this path exists for). Because the visible
+    * set of position P depends only on P, a batch windowed recompute
+    * restates the incremental session exactly (the oracle's form),
+    * and `nWindow >= sequence length` never evicts — bit-identical to
+    * [[decodeSession]] by construction: the score loop walks the same
+    * cached rows in the same order (spec-pinned). */
+  def decodeSessionWindowed(prompt: Array[Int], nSink: Int, nWindow: Int,
+      encToks: Array[Int] = null): DecodeSession = {
+    require(cacheable, "model is not incrementally decodable (see cacheable)")
+    require(prompt.nonEmpty, "empty prompt")
+    require(nSink >= 0, "nSink must be >= 0")
+    require(nWindow >= 1, "nWindow must be >= 1 (the query position itself)")
+    require((encToks != null) == isCross,
+      if (isCross) "cross-attention decode needs the source-side tokens"
+      else "encoder tokens passed to a single-sequence model")
+    new DecodeSession(prompt, encToks, null, nSink, nWindow)
+  }
+
+  // NOTE: no default ctor args here — defaults would generate a
+  // synthetic companion module as a (non-serializable) field of the
+  // enclosing model, breaking model broadcast
   final class DecodeSession private[TorchScriptModel] (prompt: Array[Int],
-      encToks: Array[Int], parent: DecodeSession) {
+      encToks: Array[Int], parent: DecodeSession,
+      nSink0: Int, nWindow0: Int) {
+    /** Bounded-KV knobs (attention sinks + sliding window) — inherited
+      * by forks; Int.MaxValue = unbounded (the plain decodeSession). */
+    private val nSink: Int = if (parent != null) parent.nSink else nSink0
+    private val nWindow: Int = if (parent != null) parent.nWindow else nWindow0
+    /** The ABSOLUTE positions currently held by every causal k/v
+      * cache, ascending (all ops' caches append one row per append and
+      * evict in lockstep, so one index list serves them all). */
+    private val keptPos = scala.collection.mutable.ArrayBuffer.empty[Int]
     private val e = seqHead.get
     /** Per causal-attention op (keyed by op index), per head: cached
       * k/v projections, one `(dim)` f64 vector per position. */
@@ -2549,6 +2590,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
       // appends after this diverge from the parent
       pos = parent.pos
       lastX = parent.lastX
+      keptPos ++= parent.keptPos
       for ((oi, arr) <- parent.kCache; hi <- arr.indices)
         kCache(oi)(hi) ++= arr(hi)
       for ((oi, arr) <- parent.vCache; hi <- arr.indices)
@@ -2612,7 +2654,12 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
       require(biasM == null || pos < h.biasRows,
         s"sequence length ${pos + 1} exceeds the attention bias table " +
           s"(${h.biasRows} positions)")
-      val lim = pos + 1 // causal row `pos`: keys 0..pos
+      // causal row `pos`: the RETAINED keys (all of 0..pos unbounded;
+      // sinks + window when evicting) — keptPos(b0) is the key's
+      // absolute position, so bias entries stay keyed on the original
+      // (query, key) pair and the unbounded walk sees keptPos(b0) ==
+      // b0 (identical arithmetic to the pre-window code path)
+      val lim = ks.length
       val scores = new Array[Double](lim)
       var mx = Double.NegativeInfinity
       var b0 = 0
@@ -2622,7 +2669,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
         var j = 0
         while (j < d) { s0 += qm(j) * km(j); j += 1 }
         s0 *= h.scale
-        if (biasM != null) s0 += biasM(pos * h.biasRows + b0).toDouble
+        if (biasM != null) s0 += biasM(pos * h.biasRows + keptPos(b0)).toDouble
         scores(b0) = s0
         if (s0 > mx) mx = s0
         b0 += 1
@@ -2679,9 +2726,27 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     }
 
     /** Append one token: run the NEW position through the sequence
-      * phase (position-local ops + causal attention over the caches). */
+      * phase (position-local ops + causal attention over the caches).
+      * Under a bounded-KV session ([[decodeSessionWindowed]]) the
+      * eviction runs FIRST: cached positions that are neither sinks
+      * (abs < nSink) nor inside the new position's window
+      * (abs > pos − nWindow) leave every cache before this position
+      * attends — so the score loop's visible set is exactly
+      * {0..nSink−1} ∪ {pos−nWindow+1..pos}. */
     def append(tid: Int): Unit = {
       pos += 1
+      if (nWindow != Int.MaxValue || nSink != Int.MaxValue) {
+        // keptPos ascends; evictees are the contiguous run starting at
+        // the first non-sink entry and ending at pos − nWindow
+        var i0 = 0
+        while (i0 < keptPos.length && keptPos(i0) < nSink) i0 += 1
+        while (i0 < keptPos.length && keptPos(i0) <= pos - nWindow) {
+          keptPos.remove(i0)
+          for ((_, arr) <- kCache; hi <- arr.indices) arr(hi).remove(i0)
+          for ((_, arr) <- vCache; hi <- arr.indices) arr(hi).remove(i0)
+        }
+      }
+      keptPos += pos
       require(tid >= 0 && tid < e.vocab, s"token id $tid out of range [0, ${e.vocab})")
       var x = java.util.Arrays.copyOfRange(e.weight, tid * e.embDim, (tid + 1) * e.embDim)
       var oi = 1
@@ -2852,7 +2917,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
       * appends after the fork diverge. The cheap branching point a
       * beam expansion needs — no re-encode, no prompt replay. */
     def fork(): DecodeSession = {
-      val child = new DecodeSession(prompt, encToks, this)
+      val child = new DecodeSession(prompt, encToks, this, nSink, nWindow)
       child
     }
   }
