@@ -2297,6 +2297,183 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // STOCHASTIC TREE verification (q280, VERDICT r18 item 3 —
+    // SpecInfer PROPER): the q263 tree walk composed with the q269
+    // multi-round rejection PER LEVEL — at each level the int8 draft
+    // samples branch=2 i.i.d. children, the target's distribution at
+    // the accepted prefix drives the accept/normalize-residual walk,
+    // an accepted child becomes the descent, a residual sample stops;
+    // a full walk earns the bonus sample. Emitted tokens are provably
+    // TARGET-distributed under the tree draft (the theorem q263's
+    // greedy mode doesn't need and q269's single position doesn't
+    // compose). The oracle chains two q269 cells through the emitted
+    // token (the q275 recipe) + the all-accepted bonus pick; branch=1
+    // ≡ q249 and level 1 ≡ q269 are spec-pinned.
+    "q280_torch_tree_stochastic" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftStochastic(toks, "doc_id", "tok_ids", bcT, bcD,
+          branch = 2, depth = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("tree")(0)(0).as("d1"), col("tree")(0)(1).as("d2"),
+          col("acc_rounds")(0).as("rnd1"),
+          when(size(col("tree")) >= 2, col("tree")(1)(0)).as("c1"),
+          when(size(col("tree")) >= 2, col("tree")(1)(1)).as("c2"),
+          when(size(col("acc_rounds")) >= 2, col("acc_rounds")(1)).as("rnd2"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
+    // WATERMARK × SPECULATIVE decoding (q281, VERDICT r18 item 4):
+    // q239's green-list bias +delta rides the TARGET distribution
+    // inside the q249 acceptance rule — green logits gain +2.0 before
+    // each of the target's prefix softmaxes (keyed on the prefix's
+    // last token), the watermark-oblivious int8 draft stays unbiased,
+    // and the acceptance/residual math preserves whatever target it
+    // is given, so the accelerated emission is provably
+    // watermarked-target distributed — the deployment where a serving
+    // stack watermarks AND draft-accelerates. delta = 0 ≡ q249
+    // bit-exact and detector z-gain parity are spec-pinned.
+    "q281_torch_spec_watermark" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids", bcT, bcD,
+          gamma = 2, batchSize = 256, watermarkDelta = 2.0)
+        .select(col("doc_id"),
+          col("draft_toks")(0).as("d1"), col("draft_toks")(1).as("d2"),
+          col("n_accepted").as("n_acc"),
+          col("out_toks")(0).as("f1"),
+          when(size(col("out_toks")) >= 2, col("out_toks")(1)).as("f2"),
+          when(size(col("out_toks")) >= 3, col("out_toks")(2)).as("f3"))
+        .orderBy("doc_id")
+    },
+
+    // CROSS-PAIR SPECULATIVE SERVING LOOP (q279, VERDICT r18 item 2 —
+    // twice-carried r17 item 6): q261's gamma=2 cycle looped with KV
+    // rollback over the encoder-decoder stack until 2 decoder tokens
+    // are emitted — verification on session forks (the once-computed
+    // encoder k/v SHARED by every fork), accepted-prefix sessions
+    // roll forward by emitted tokens only, global position-indexed
+    // salts so cycle 1 IS q261's draws. The oracle replays cycle 1
+    // and the second cycle's first-position arm over the grown
+    // decoder prefix (the q254 recipe through the cross forward).
+    "q279_torch_cross_spec_loop" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.speculativeSampledPairLoop(toks, "doc_id", "d_ids", "s_ids",
+          bcT, bcD, gamma = 2, maxNewTokens = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
+    // BOUNDED-KV SERVING (q282, VERDICT r18 item 5 — the StreamingLLM
+    // shape): greedy decoding over q215's ALiBi banded-causal model
+    // with the KV cache capped at nSink=1 attention sink + an
+    // nWindow=4 sliding window — the eviction knob the serving loops
+    // lacked (their sessions grow O(L)). Positions past the window
+    // leave every cache, so query position P attends over {0} ∪
+    // {P−3..P} at ABSOLUTE positions; the oracle restates the decode
+    // with exactly that visibility predicate on the attention join.
+    // Eviction FIRES on every doc longer than nSink+nWindow tokens
+    // (most of the corpus), and window ≥ length ≡ plain generateGreedy
+    // is spec-pinned.
+    "q282_torch_kv_window" -> { (s, dir) =>
+      val m = alibiLmModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedyWindowed(toks, "tok_ids", "gen", bc, steps = 3,
+          nSink = 1, nWindow = 4, batchSize = 256)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
+    // AUTO-GAMMA from telemetry (q283, VERDICT r18 item 6): the
+    // operator that CLOSES the telemetry → knob loop — ONE q249 sweep
+    // at maxGamma=2 prices gamma ∈ {1, 2} (position-salted acceptance
+    // draws make a gamma-g cycle's accepted count min(n_acc, g)), the
+    // corpus yield per cycle cost g+1 ranks by EXACT integer scores
+    // yield·(lcm/(g+1)), and the argmax row is the serving pick.
+    // Integer-only end to end (no float luck); the spec pins the pick
+    // on a planted acceptance cliff.
+    "q283_torch_auto_gamma" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.autoGammaYield(toks, "doc_id", "tok_ids", bcT, bcD,
+          maxGamma = 2, batchSize = 256)
+        .orderBy("gamma")
+    },
+
+    // RETRIEVAL CANARY (q278, VERDICT r18 item 1 — twice-carried r17
+    // item 7): sampled recall@k of the LIVE q246 IVFADC index against
+    // exact brute-force cosine over a bounded deterministic query
+    // slice (every 25th vec_id, capped 20) — the q259 telemetry
+    // discipline applied to retrieval serving, and the direct
+    // mitigation for q246's documented recall dependency: falling
+    // hits is the re-train/re-probe alarm a frozen index otherwise
+    // lacks. Integer recall numerators only (set-membership counts);
+    // the oracle pins the per-SF constants (the q106/q112 recall-gate
+    // pattern — the engine is deterministic end to end), and the spec
+    // pins canary == exhaustive A/B on the fixture.
+    "q278_ann_recall_canary" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val (ixP, codesP) = q246AnnArtifacts(s, dir)
+      val ix = graft.operators.Similarity.loadIndex(s, ixP)
+      val codes = s.read.parquet(codesP)
+      graft.operators.Similarity.recallCanary(emb, codes, "vec_id",
+        "embedding", ix, ks = Seq(1, 5), shortlist = 100, nprobe = 16,
+        sampleEvery = 25, maxSample = 20)
+    },
+
     // SELF-DRAFT TREE decoding (q273): the Medusa shape proper — the
     // tree's proposals come from an EARLY EXIT of the target itself
     // (q256's shared-weight draft: embedding + positional + head,
@@ -7875,7 +8052,8 @@ object SparkEntry {
       source: String = "documents", extraCtes: String = "",
       hashMod: Int = -1, tokensCte: Option[String] = None,
       headBias: Option[Seq[(String, String)]] = None,
-      emitPositions: Boolean = false): String = {
+      emitPositions: Boolean = false,
+      kvWindow: Option[(Int, Int)] = None): String = {
     val withCls = pool == "cls"
     import graft.torch._
     val m = m0
@@ -8006,9 +8184,20 @@ object SparkEntry {
                       s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS w$j").mkString(", ")}
            |      FROM toks JOIN embw USING (tid) JOIN posw ON $joinCond)"""
     }
+    // bounded-KV visibility (decodeSessionWindowed): key row b is
+    // visible to query row a iff b is an attention sink (1-based
+    // b.pos <= nSink ⟺ 0-based abs < nSink) or inside the sliding
+    // window (b.pos + nWindow > a.pos ⟺ abs_b >= abs_a − nWindow + 1)
+    // — the per-query-position rule, so this batch restatement equals
+    // the engine's incremental eviction exactly
+    val windowCond = kvWindow match {
+      case None => ""
+      case Some((nSink, nWindow)) =>
+        s" AND (b.pos <= $nSink OR b.pos + $nWindow > a.pos)"
+    }
     val causalCond =
-      if (ea.heads.head.causal || headBias.isDefined) " AND b.pos <= a.pos"
-      else ""
+      (if (ea.heads.head.causal || headBias.isDefined) " AND b.pos <= a.pos"
+       else "") + windowCond
     val poolCte = pool match {
       case "cls" =>
         s"""pool AS (SELECT doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}
@@ -12019,6 +12208,53 @@ object SparkEntry {
     "q277_torch_tree_typical" ->
       treeDraftTypicalOracle(earlyExitModel, eps = 0.25, alpha = 0.5),
 
+    // Stochastic tree (SpecInfer proper): two q269 cells chained
+    // through the emitted token + the all-accepted bonus pick;
+    // level-2 arms NULL below a level-1 stop.
+    "q280_torch_tree_stochastic" ->
+      treeStochasticOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
+
+    // Watermark × speculative: the q249 chain with the three TARGET
+    // softmaxes green-biased (+2.0 pre-lse, keyed on each prefix's
+    // last token); draft softmaxes unbiased.
+    "q281_torch_spec_watermark" ->
+      specGammaOracle(graft.torch.TorchQuant.quantize(genModel, 7),
+        wmDelta = 2.0),
+
+    // Bounded-KV greedy decode: the q215 ALiBi chain with the
+    // sink-or-window visibility predicate on every attention join —
+    // the batch restatement of the engine's incremental eviction.
+    "q282_torch_kv_window" -> generateOracle(banned = Nil,
+      m = alibiLmModel, headBias = Some(alibiLmHeadBias),
+      kvWindow = Some((1, 4))),
+
+    // Auto-gamma: the q249 chain's per-doc n_acc aggregated per
+    // candidate gamma (yield = Σ min(n_acc, g) + 1), ranked by the
+    // exact integer score yield·(6 // (g+1)) — integer-only end to
+    // end.
+    "q283_torch_auto_gamma" -> {
+      val chain = specGammaOracle(graft.torch.TorchQuant.quantize(genModel, 7))
+      s"""WITH sweep AS MATERIALIZED (
+         |$chain
+         |),
+         |g AS (
+         |  SELECT gm.gamma,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(least(CAST(s.n_acc AS BIGINT),
+         |                   CAST(gm.gamma AS BIGINT)) + 1) AS BIGINT)
+         |      AS yield_toks
+         |  FROM sweep s CROSS JOIN (VALUES (1), (2)) gm(gamma)
+         |  GROUP BY gm.gamma),
+         |sc AS (
+         |  SELECT gamma, n_docs, yield_toks,
+         |    CAST(yield_toks * (6 // (gamma + 1)) AS BIGINT) AS score
+         |  FROM g)
+         |SELECT CAST(gamma AS INT) AS gamma, n_docs, yield_toks, score,
+         |  CAST(CASE WHEN row_number() OVER (ORDER BY score DESC, gamma) = 1
+         |       THEN 1 ELSE 0 END AS INT) AS picked
+         |FROM sc ORDER BY gamma""".stripMargin
+    },
+
     // Stochastic prompt-lookup: point-mass-draft acceptance u < p(x),
     // zeroed-token residual walks, per-arm bonus picks.
     "q274_torch_prompt_lookup_sampled" -> promptLookupSampledOracle,
@@ -12703,6 +12939,174 @@ object SparkEntry {
          |LEFT JOIN bpick b ON b.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin
     },
+
+    // Cross-pair speculative serving loop (q279): the q254 loop
+    // recipe through the cross forward — cycle 1 IS the q261 chain
+    // (same salts d1/d2/a1/a2/r1/r2), a first-position rejection
+    // grows the decoder prefix by the correction and replays the
+    // single-position arm (d3/a3/r3) for the second emitted token;
+    // the all-accepted bonus never surfaces at maxNewTokens = 2.
+    "q279_torch_cross_spec_loop" -> {
+      val gt = new CrossOracleGen(crossGenModel)
+      val gd = new CrossOracleGen(
+        graft.torch.TorchQuant.quantize(crossGenModel, 7))
+      val vocab = crossGenModel.seqHead.get.vocab
+      def fwdP(g: CrossOracleGen, dtoks: String, kh: String): String = {
+        val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+        TorchOracle.mlpArgmaxSql(g.fc, g.stepBody(dtoks, kh),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(g.fc)}")
+      }
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      def u(salt: String, docRef: String = "doc_id"): String =
+        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+      def pickCte(src: String, massCol: String, salt: String,
+          out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid FROM (
+           |    SELECT doc_id, tid,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+           |    FROM (SELECT doc_id, tid, rk, cs,
+           |                 max(cs) OVER (PARTITION BY doc_id) AS total
+           |          FROM (SELECT doc_id, tid,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS rk,
+           |                  sum($massCol) OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS cs
+           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+           |    WHERE round(cs / total, 6) > ${u(salt)})
+           |  WHERE prk = 1)""".stripMargin
+      def grow(prev: String, pickSrc: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, pos FROM $prev
+           |  UNION ALL
+           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+           |  FROM $pickSrc s
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = s.doc_id)""".stripMargin
+      def resid(out: String, p: String, q: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
+           |  FROM $p p JOIN $q q
+           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
+      s"""WITH ${gt.prelude(2)},
+         |${gd.khCte("khd")},
+         |logitD1 AS MATERIALIZED (
+         |${fwdP(gd, "dtoks0", "khd")}
+         |),
+         |${softmax6("logitD1", "qprob1")},
+         |${pickCte("qprob1", "p6", "d1", "dpick1")},
+         |${grow("dtoks0", "dpick1", "dtoks1")},
+         |logitD2 AS MATERIALIZED (
+         |${fwdP(gd, "dtoks1", "khd")}
+         |),
+         |${softmax6("logitD2", "qprob2")},
+         |${pickCte("qprob2", "p6", "d2", "dpick2")},
+         |logitT1 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks0", "kh")}
+         |),
+         |${softmax6("logitT1", "pprob1")},
+         |logitT2 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks1", "kh")}
+         |),
+         |${softmax6("logitT2", "pprob2")},
+         |accx AS MATERIALIZED (
+         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
+         |    (${u("a1", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
+         |    (${u("a2", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
+         |  FROM dpick1 d1
+         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
+         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
+         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
+         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
+         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
+         |${resid("resid1", "pprob1", "qprob1")},
+         |${pickCte("resid1", "rmass", "r1", "rpick1")},
+         |${resid("resid2", "pprob2", "qprob2")},
+         |${pickCte("resid2", "rmass", "r2", "rpick2")},
+         |em1 AS MATERIALIZED (
+         |  SELECT a.doc_id, a.x2, a.acc1, a.acc2,
+         |    CASE WHEN a.acc1 THEN a.x1
+         |         ELSE coalesce(r1.tid, a.x1) END AS f1
+         |  FROM accx a
+         |  LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id),
+         |dtoksC2 AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM dtoks0
+         |  UNION ALL
+         |  SELECT e.doc_id, CAST(e.f1 AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM em1 e
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM dtoks0
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = e.doc_id),
+         |logitD3 AS MATERIALIZED (
+         |${fwdP(gd, "dtoksC2", "khd")}
+         |),
+         |${softmax6("logitD3", "qprob3")},
+         |${pickCte("qprob3", "p6", "d3", "dpick3")},
+         |logitT3 AS MATERIALIZED (
+         |${fwdP(gt, "dtoksC2", "kh")}
+         |),
+         |${softmax6("logitT3", "pprob3")},
+         |acc3 AS MATERIALIZED (
+         |  SELECT d3.doc_id, d3.tid AS x3,
+         |    (${u("a3", "d3.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp3.p6 / qp3.p6), 6)) AS ok
+         |  FROM dpick3 d3
+         |  JOIN pprob3 pp3 ON pp3.doc_id = d3.doc_id AND pp3.tid = d3.tid
+         |  JOIN qprob3 qp3 ON qp3.doc_id = d3.doc_id AND qp3.tid = d3.tid),
+         |${resid("resid3", "pprob3", "qprob3")},
+         |${pickCte("resid3", "rmass", "r3", "rpick3")}
+         |SELECT e.doc_id,
+         |  CAST(e.f1 AS INT) AS f1,
+         |  CAST(CASE WHEN NOT e.acc1 THEN
+         |              CASE WHEN a3.ok THEN a3.x3
+         |                   ELSE coalesce(r3.tid, a3.x3) END
+         |            WHEN NOT e.acc2 THEN coalesce(r2.tid, e.x2)
+         |            ELSE e.x2 END AS INT) AS f2,
+         |  CAST(CASE WHEN NOT e.acc1 THEN 2 ELSE 1 END AS INT) AS n_cyc
+         |FROM em1 e
+         |LEFT JOIN acc3 a3 ON a3.doc_id = e.doc_id
+         |LEFT JOIN rpick2 r2 ON r2.doc_id = e.doc_id
+         |LEFT JOIN rpick3 r3 ON r3.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin
+    },
+
+    // Retrieval canary (q278): deterministic end to end (frozen q246
+    // index artifacts + exact rerank + brute-force A/B on a pinned
+    // slice), so the integer recall numerators pin per SF — the
+    // q106/q112 recall-gate pattern; the spec asserts canary ==
+    // exhaustive A/B semantics.
+    "q278_ann_recall_canary" ->
+      """SELECT k, n_sampled, hits, expected FROM (VALUES
+        | (1,
+        |  CAST(20 AS BIGINT),
+        |  CAST(CASE (SELECT count(*) FROM lineitem)
+        |    WHEN 6000 THEN 20 WHEN 60000 THEN 20 WHEN 600000 THEN 18
+        |    ELSE -1 END AS BIGINT),
+        |  CAST(20 AS BIGINT)),
+        | (5,
+        |  CAST(20 AS BIGINT),
+        |  CAST(CASE (SELECT count(*) FROM lineitem)
+        |    WHEN 6000 THEN 97 WHEN 60000 THEN 100 WHEN 600000 THEN 76
+        |    ELSE -1 END AS BIGINT),
+        |  CAST(100 AS BIGINT))
+        |) t(k, n_sampled, hits, expected)
+        |ORDER BY k""".stripMargin,
 
     // Cross stochastic speculative: the q247 softmax/pick/acceptance
     // chain over ONE target + ONE draft cross forward (the
@@ -13711,7 +14115,8 @@ object SparkEntry {
       minNew: Int = 0,
       forced: Map[Int, Int] = Map.empty,
       beginSuppress: Seq[Int] = Nil,
-      toks0Sql: Option[String] = None): String = {
+      toks0Sql: Option[String] = None,
+      kvWindow: Option[(Int, Int)] = None): String = {
     require(minNew == 0 || (eos.isDefined && dfa.isEmpty),
       "minNew needs eos and no dfa in this oracle generator")
     require(forced.isEmpty || (eos.isEmpty && dfa.isEmpty && minNew == 0),
@@ -13746,7 +14151,7 @@ object SparkEntry {
         case None =>
           val stepSql = TorchOracle.mlpArgmaxSql(fc,
             encBlockSql(m, pool = "last", tokensCte = Some(s"toks${t - 1}"),
-              headBias = headBias),
+              headBias = headBias, kvWindow = kvWindow),
             arms = Seq("p"), carry = Seq("doc_id"),
             finalSelect = s"SELECT doc_id, $stepAmax AS tid " +
               s"FROM ${TorchOracle.lastCte(fc)}")
@@ -14306,8 +14711,15 @@ object SparkEntry {
        |JOIN posw ON posw.ppos = lastt.pos - 1""".stripMargin
   }
 
+  /** The q249 gamma = 2 oracle chain. `wmDelta > 0` (q281) biases the
+    * THREE TARGET softmaxes with the Kirchenbauer green CASE keyed on
+    * each prefix's last token (prompt tail → pprob1, dpick1 → pprob2,
+    * dpick2 → pprob3) before the lse — the watermarkOracle adjustment
+    * lifted into the acceptance chain; draft softmaxes stay unbiased
+    * (the deployment's watermark-oblivious draft). */
   private def specGammaOracle(
-      draftModel: graft.torch.TorchScriptModel): String = {
+      draftModel: graft.torch.TorchScriptModel,
+      wmDelta: Double = 0.0, wmNum: Int = 1, wmDen: Int = 2): String = {
       def fwdP(model: graft.torch.TorchScriptModel, toksName: String,
           sfx: String): String = {
         val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
@@ -14323,6 +14735,31 @@ object SparkEntry {
           finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
       }
       val vocab = genModel.seqHead.get.vocab
+      // the TARGET softmax under the green bias: +delta on green
+      // (prev, tid) pairs pre-lse, prev from `prevFrom(doc_id, lt)`
+      // (watermarkOracle's adj CASE); delta = 0 emits the plain form
+      def softmax6T(src: String, out: String, prevFrom: String): String =
+        if (wmDelta == 0.0) softmax6(src, out)
+        else {
+          val unpivot = (0 until vocab).map(j =>
+            s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+            .mkString("\n  UNION ALL ")
+          s"""$out AS MATERIALIZED (
+             |  SELECT doc_id, tid, round(e / z, 6) AS p6
+             |  FROM (SELECT doc_id, tid, exp(al - m) AS e,
+             |               sum(exp(al - m)) OVER (PARTITION BY doc_id) AS z
+             |        FROM (SELECT doc_id, tid, al,
+             |                     max(al) OVER (PARTITION BY doc_id) AS m
+             |              FROM (SELECT c.doc_id, c.tid,
+             |                      c.lp + CASE WHEN
+             |                        (CAST('0x' || substring(md5(CAST(l.lt AS VARCHAR) ||
+             |                           ':' || CAST(c.tid AS VARCHAR)), 1, 8)
+             |                         AS BIGINT) % $wmDen) < $wmNum
+             |                        THEN CAST($wmDelta AS DOUBLE)
+             |                        ELSE CAST(0 AS DOUBLE) END AS al
+             |                    FROM ($unpivot) c
+             |                    JOIN $prevFrom l ON l.doc_id = c.doc_id))))""".stripMargin
+        }
       def softmax6(src: String, out: String): String = {
         val unpivot = (0 until vocab).map(j =>
           s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
@@ -14369,6 +14806,18 @@ object SparkEntry {
            |  FROM $p p JOIN $q q
            |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
       val dmq = draftModel
+      // the green bias keys on each prefix's LAST token: prompt tail
+      // for pprob1, then the draft picks the prefixes grew by
+      val last0Cte =
+        if (wmDelta == 0.0) ""
+        else
+          s"""last0 AS (
+             |  SELECT t0.doc_id, t0.tid AS lt
+             |  FROM toks0 t0
+             |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0
+             |        GROUP BY doc_id) l
+             |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+             |""".stripMargin
       s"""WITH words AS (
          |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
          |           % $vocab AS tid, pos
@@ -14379,7 +14828,7 @@ object SparkEntry {
          |        FROM documents)
          |  WHERE pos <= $EncMaxLen),
          |toks0 AS MATERIALIZED (SELECT * FROM words),
-         |logitD1 AS MATERIALIZED (
+         |${last0Cte}logitD1 AS MATERIALIZED (
          |${fwdP(dmq, "toks0", "d1")}
          |),
          |${softmax6("logitD1", "qprob1")},
@@ -14394,15 +14843,17 @@ object SparkEntry {
          |logitT1 AS MATERIALIZED (
          |${fwdP(genModel, "toks0", "t1")}
          |),
-         |${softmax6("logitT1", "pprob1")},
+         |${softmax6T("logitT1", "pprob1", "last0")},
          |logitT2 AS MATERIALIZED (
          |${fwdP(genModel, "toks1", "t2")}
          |),
-         |${softmax6("logitT2", "pprob2")},
+         |${softmax6T("logitT2", "pprob2",
+            "(SELECT doc_id, tid AS lt FROM dpick1)")},
          |logitT3 AS MATERIALIZED (
          |${fwdP(genModel, "toks2", "t3")}
          |),
-         |${softmax6("logitT3", "pprob3")},
+         |${softmax6T("logitT3", "pprob3",
+            "(SELECT doc_id, tid AS lt FROM dpick2)")},
          |accx AS MATERIALIZED (
          |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
          |    (${u("a1", "d1.doc_id")} <
@@ -14600,6 +15051,101 @@ object SparkEntry {
        |  CAST(e1.acc_rnd AS INT) AS rnd1, CAST(e2.acc_rnd AS INT) AS rnd2
        |FROM em1 e1 JOIN em2 e2 ON e2.doc_id = e1.doc_id
        |ORDER BY e1.doc_id""".stripMargin
+
+  /** The q280 stochastic-tree oracle (SpecInfer proper): TWO
+    * [[multiDraftCellCtes]] cells chained through the emitted token —
+    * cell 1 (salt offset 0, q269's draws verbatim) is level 1's
+    * multi-round walk over the root's two sampled children; when it
+    * ACCEPTS (acc_rnd >= 1) its `f` IS the descended child, so cell 2
+    * (salt offset 2: d3/d4/a3/a4/r4) over `toks1 = toks0 + em1.f` is
+    * level 2's walk; a second acceptance earns the bonus pick (salt
+    * b1) from the target at `toks2 = toks1 + em2.f`. A level-1 stop
+    * (acc_rnd = 0) NULLs every level-2 arm — the walk below a
+    * rejection has no verified prefix (the engine never samples those
+    * children; the oracle computes-then-discards them, which is why
+    * c1/c2/rnd2/f2 gate on rnd1 >= 1). */
+  private def treeStochasticOracle(
+      draftModel: graft.torch.TorchScriptModel): String = {
+    val vocab = genModel.seqHead.get.vocab
+    def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+      val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+      val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+      val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+      TorchOracle.mlpArgmaxSql(fc,
+        encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
+        arms = Seq("p"), carry = Seq("doc_id"),
+        finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+    }
+    def softmax6(src: String, out: String): String = {
+      val unpivot = (0 until vocab).map(j =>
+        s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid, round(e / z, 6) AS p6
+         |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+         |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+         |        FROM (SELECT doc_id, tid, lp,
+         |                     max(lp) OVER (PARTITION BY doc_id) AS m
+         |              FROM ($unpivot))))""".stripMargin
+    }
+    def u(salt: String, docRef: String = "doc_id"): String =
+      s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+        s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+    def pickCte(src: String, massCol: String, salt: String,
+        out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT doc_id, tid,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+         |    FROM (SELECT doc_id, tid, rk, cs,
+         |                 max(cs) OVER (PARTITION BY doc_id) AS total
+         |          FROM (SELECT doc_id, tid,
+         |                  row_number() OVER (PARTITION BY doc_id
+         |                    ORDER BY $massCol DESC, tid) AS rk,
+         |                  sum($massCol) OVER (PARTITION BY doc_id
+         |                    ORDER BY $massCol DESC, tid) AS cs
+         |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+         |    WHERE round(cs / total, 6) > ${u(salt)})
+         |  WHERE prk = 1)""".stripMargin
+    s"""WITH $wordsToks0Block,
+       |${multiDraftCellCtes(draftModel, "toks0", "1", 0)},
+       |toks1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, pos FROM toks0
+       |  UNION ALL
+       |  SELECT e.doc_id, CAST(e.f AS BIGINT), l.mp + 1
+       |  FROM em1 e
+       |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id) l
+       |    ON l.doc_id = e.doc_id),
+       |${multiDraftCellCtes(draftModel, "toks1", "2", 2)},
+       |toks2 AS MATERIALIZED (
+       |  SELECT doc_id, tid, pos FROM toks1
+       |  UNION ALL
+       |  SELECT e.doc_id, CAST(e.f AS BIGINT), l.mp + 1
+       |  FROM em2 e
+       |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks1 GROUP BY doc_id) l
+       |    ON l.doc_id = e.doc_id),
+       |logitB AS MATERIALIZED (
+       |${fwdP(genModel, "toks2")}
+       |),
+       |${softmax6("logitB", "bprob")},
+       |${pickCte("bprob", "p6", "b1", "bpick")}
+       |SELECT e1.doc_id,
+       |  CAST(e1.x1 AS INT) AS d1, CAST(e1.x2 AS INT) AS d2,
+       |  CAST(e1.acc_rnd AS INT) AS rnd1,
+       |  CAST(CASE WHEN e1.acc_rnd >= 1 THEN e2.x1 END AS INT) AS c1,
+       |  CAST(CASE WHEN e1.acc_rnd >= 1 THEN e2.x2 END AS INT) AS c2,
+       |  CAST(CASE WHEN e1.acc_rnd >= 1 THEN e2.acc_rnd END AS INT) AS rnd2,
+       |  CAST(CASE WHEN e1.acc_rnd = 0 THEN 0
+       |            WHEN e2.acc_rnd = 0 THEN 1 ELSE 2 END AS INT) AS n_acc,
+       |  CAST(e1.f AS INT) AS f1,
+       |  CAST(CASE WHEN e1.acc_rnd >= 1 THEN e2.f END AS INT) AS f2,
+       |  CAST(CASE WHEN e1.acc_rnd >= 1 AND e2.acc_rnd >= 1 THEN b.tid
+       |            END AS INT) AS f3
+       |FROM em1 e1
+       |JOIN em2 e2 ON e2.doc_id = e1.doc_id
+       |LEFT JOIN bpick b ON b.doc_id = e1.doc_id
+       |ORDER BY e1.doc_id""".stripMargin
+  }
 
   /** The q262 prompt-lookup oracle: the match is PURE INTEGERS — the
     * prompt's final bigram (positions mp−1, mp of the sliced stream)

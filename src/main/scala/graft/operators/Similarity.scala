@@ -1563,6 +1563,78 @@ object Similarity {
   }
 
   /**
+   * RETRIEVAL CANARY — sampled recall@k telemetry for a STANDING
+   * IVFADC index (VERDICT r17 item 7 / r18 item 1): a serving stack
+   * that froze its index (the q246/q255 artifact discipline) has no
+   * live signal when corpus drift or a re-encode pushes true
+   * neighbors into unprobed cells — greenness at the oracle gate
+   * depends on recall staying perfect, a property a new fixture can
+   * break with no code change. This operator makes it OBSERVABLE in
+   * production: a small deterministic query slice (every
+   * `sampleEvery`-th id, capped at `maxSample` via orderBy+limit —
+   * partition-layout-independent) runs BOTH the live index path
+   * ([[ivfPqTopKReranked]], the exact serving configuration) and the
+   * exact brute-force ranking ([[bruteForceTopK]]), and per requested
+   * cutoff k the canary emits the INTEGER recall numerator
+   * `hits = |ANN@k ∩ exact@k|` against `expected = n_sampled · k` —
+   * pure set-membership counts, no float crosses the gate (the
+   * quantized-decision convention). Falling hits on a live corpus is
+   * the re-train/re-probe alarm.
+   *
+   * Scale shape: the brute leg is bounded by the SLICE (maxSample
+   * queries broadcast against one corpus scan — the per-query cost a
+   * canary budget buys), the ANN leg by nprobe cells + shortlist
+   * rerank; both end in keyed window top-k over ≤ maxSample·k rows.
+   * The final per-k aggregate is one integer GROUP BY (telemetry
+   * exchange, exempt like q259's).
+   *
+   * @return one row per k in `ks`: `k` int, `n_sampled` long,
+   *         `hits` long, `expected` long
+   */
+  def recallCanary(
+      corpus: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      ks: Seq[Int],
+      shortlist: Int,
+      nprobe: Int,
+      sampleEvery: Int,
+      maxSample: Int): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    require(sampleEvery >= 1, "sampleEvery must be >= 1")
+    require(maxSample >= 1, "maxSample must be >= 1")
+    val kMax = ks.max
+    require(shortlist >= kMax, "shortlist must be >= max(ks)")
+    val slice = corpus
+      .filter(col(idCol) % sampleEvery === 0)
+      .orderBy(col(idCol)).limit(maxSample)
+    val ann = ivfPqTopKReranked(corpus, codes, slice, idCol, embCol, index,
+        k = kMax, shortlist = shortlist, nprobe = nprobe)
+      .select(col("q_id"), col("vec_id"), col("rank").as("a_rk"))
+    val exact = bruteForceTopK(corpus, slice, idCol, embCol, k = kMax)
+      .select(col("q_id"), col("vec_id"), col("rank").as("e_rk"))
+    val nQ = slice.count()
+    val hitsPerK = ks.map { k =>
+      sum(when(col("a_rk") <= k && col("e_rk") <= k, 1L).otherwise(0L))
+        .as(s"h$k")
+    }
+    val agg = ann.join(exact, Seq("q_id", "vec_id")).agg(hitsPerK.head,
+      hitsPerK.tail: _*)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val kDf = ks.map(k => (k, nQ, nQ * k)).toDF("k", "n_sampled", "expected")
+    kDf.crossJoin(broadcast(agg)) // one aggregate row — the combine shape
+      .select(col("k"),
+        col("n_sampled"),
+        ks.map(k0 => when(col("k") === k0, col(s"h$k0")))
+          .reduce(_ otherwise _).cast("long").as("hits"),
+        col("expected"))
+      .orderBy("k")
+  }
+
+  /**
    * Batch IVFADC top-k — the query-set-at-corpus-scale variant of
    * [[ivfPqTopK]]. That path ships every query's nprobe LUTs in ONE
    * broadcast (~nprobe*m*ksub doubles per query), which is correct for

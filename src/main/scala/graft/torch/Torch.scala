@@ -1464,8 +1464,25 @@ object Torch {
       target: Broadcast[TorchScriptModel],
       draft: Broadcast[TorchScriptModel],
       gamma: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      watermarkDelta: Double = 0.0,
+      watermarkGamma: (Int, Int) = (1, 2)): DataFrame = {
     require(gamma >= 1, "gamma must be >= 1")
+    // WATERMARK × SPECULATIVE (Kirchenbauer 2023 × Leviathan 2023):
+    // the green-list bias +delta lands on the TARGET's raw logits
+    // before each of its gamma+1 prefix softmaxes (green membership
+    // keyed on the prefix's last token — prompt tail for p_1, draft
+    // i for p_{i+1}; q239's deployment order). The acceptance/
+    // residual rule preserves WHATEVER target distribution it is
+    // given, so the emitted tokens are provably watermarked-target
+    // distributed while the (watermark-oblivious) draft stays
+    // unbiased — exactly the deployment where a serving stack both
+    // watermarks and draft-accelerates. delta = 0 keeps the
+    // unwatermarked code path bit-exactly (guarded branch;
+    // spec-pinned).
+    require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
+    require(watermarkGamma._1 >= 1 && watermarkGamma._1 < watermarkGamma._2,
+      "watermarkGamma must be a fraction num/den with 0 < num < den")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(target.value.inDim == -1 && draft.value.inDim == -1,
@@ -1484,6 +1501,7 @@ object Torch {
       StructField("out_toks", ArrayType(IntegerType), nullable = true)))
     val inIdx = withInts.schema.fieldIndex(inputCol)
     val idIdx = withInts.schema.fieldIndex(idCol)
+    val (wmNum, wmDen) = watermarkGamma
     withInts.mapPartitions { it =>
       val tm = target.value
       val dm = draft.value
@@ -1492,6 +1510,29 @@ object Torch {
       def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
       def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
       def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
+      // the target's grid distribution under the green bias: raw
+      // logits + delta on the green set keyed on `prev`, THEN the
+      // softmax (the lse shifts with the bias — q239's greedy order);
+      // delta = 0 routes through the shared probs6 (bit-identical)
+      def probs6W(lg: Array[Float], prev: Int): Array[Double] =
+        if (watermarkDelta == 0.0) probs6(lg)
+        else {
+          val bl = new Array[Double](vocab)
+          var mx = Double.NegativeInfinity
+          var j = 0
+          while (j < vocab) {
+            val v = lg(j).toDouble +
+              (if (Sampling.greenToken(prev, j, wmNum, wmDen)) watermarkDelta
+               else 0.0)
+            bl(j) = v
+            if (v > mx) mx = v
+            j += 1
+          }
+          var z = 0.0
+          j = 0
+          while (j < vocab) { z += math.exp(bl(j) - mx); j += 1 }
+          Array.tabulate(vocab)(k => q6(math.exp(bl(k) - mx) / z))
+        }
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
           val p: Array[Int] =
@@ -1524,13 +1565,14 @@ object Torch {
               i += 1
             }
             // target prefix distributions p_1..p_{gamma+1}: one
-            // session, one append per draft token
+            // session, one append per draft token; the watermark
+            // bias keys on each prefix's LAST token
             val pm = new Array[Array[Double]](gamma + 1)
-            pm(0) = probs6(st.logits())
+            pm(0) = probs6W(st.logits(), p(p.length - 1))
             i = 0
             while (i < gamma) {
               st.append(drafts(i))
-              pm(i + 1) = probs6(st.logits())
+              pm(i + 1) = probs6W(st.logits(), drafts(i))
               i += 1
             }
             var n = 0
@@ -1930,6 +1972,154 @@ object Torch {
                 drafts.take(k).toSeq :+ corr
               }
             Row.fromSeq(r.toSeq ++ Seq(drafts.toSeq, n, out))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * The CROSS-PAIR speculative SERVING LOOP —
+   * [[speculativeSampledPairGamma]] cycled until `maxNewTokens`
+   * decoder tokens are emitted (then truncated), closing the pair
+   * side of the serving matrix the single-stream side has had since
+   * [[speculativeSampledLoop]] (q254): each cycle drafts gamma
+   * decoder tokens against the row's FIXED source encoding, verifies
+   * them through the target's cross KV session, emits accepted run +
+   * correction-or-bonus, and rolls both sessions forward by the
+   * emitted tokens only. Rollback is the fork discipline verbatim —
+   * verification runs on forks, the accepted-prefix sessions are
+   * fresh forks + emitted appends (O(L) pointer copy; the
+   * once-computed encoder k/v projections are SHARED by every fork,
+   * so no cycle ever re-encodes the source). Draw discipline: global
+   * position-indexed salts (`d/a/r<(c−1)·gamma+i>`, bonus `b<c>`), so
+   * cycle 1 replays [[speculativeSampledPairGamma]] bit-exactly
+   * (spec-pinned), and cycles run to completion (cycle-level
+   * `n_acc_total`, the [[speculativeSampledLoop]] convention).
+   *
+   * @return input columns + `out_toks` array<int> (exactly
+   *         maxNewTokens tokens), `n_cycles` int, `n_acc_total` int;
+   *         null/empty decoder prompt, source, or id → all null
+   */
+  def speculativeSampledPairLoop(
+      df: DataFrame,
+      idCol: String,
+      decCol: String,
+      encCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      gamma: Int,
+      maxNewTokens: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(gamma >= 1, "gamma must be >= 1")
+    require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "speculativeSampledPairLoop needs token-input models")
+    require(target.value.isCross && draft.value.isCross,
+      "single-stream models: use speculativeSampledLoop")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "speculative sampling needs the KV-session path (cacheable models)")
+    val withInts = df
+      .withColumn(decCol, col(decCol).cast(ArrayType(IntegerType)))
+      .withColumn(encCol, col(encCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("out_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_cycles", IntegerType, nullable = true),
+      StructField("n_acc_total", IntegerType, nullable = true)))
+    val dIdx = withInts.schema.fieldIndex(decCol)
+    val eIdx = withInts.schema.fieldIndex(encCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double = Spec.q6(x)
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
+      def ints(r: Row, idx: Int): Array[Int] =
+        if (r.isNullAt(idx)) null
+        else {
+          val xs = r.getSeq[Any](idx)
+          val a = new Array[Int](xs.length)
+          var j = 0
+          var ok = true
+          while (ok && j < a.length) {
+            xs(j) match {
+              case null => ok = false
+              case f: java.lang.Number => a(j) = f.intValue(); j += 1
+            }
+          }
+          if (ok && a.nonEmpty) a else null
+        }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p = ints(r, dIdx)
+          val src = ints(r, eIdx)
+          if (p == null || src == null || r.isNullAt(idIdx))
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            var st0 = tm.decodeSession(p, src) // target @ accepted prefix
+            var sd0 = dm.decodeSession(p, src) // draft  @ accepted prefix
+            val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var cycles = 0
+            var accTotal = 0
+            while (emitted.length < maxNewTokens) {
+              cycles += 1
+              val base = (cycles - 1) * gamma
+              val sdV = sd0.fork()
+              val drafts = new Array[Int](gamma)
+              val qm = new Array[Array[Double]](gamma)
+              var i = 0
+              while (i < gamma) {
+                qm(i) = probs6(sdV.logits())
+                drafts(i) = pick(qm(i), draw(id, s"d${base + i + 1}"))
+                sdV.append(drafts(i))
+                i += 1
+              }
+              val stV = st0.fork()
+              val pm = new Array[Array[Double]](gamma + 1)
+              pm(0) = probs6(stV.logits())
+              i = 0
+              while (i < gamma) {
+                stV.append(drafts(i))
+                pm(i + 1) = probs6(stV.logits())
+                i += 1
+              }
+              var n = 0
+              var rejectedAt = -1
+              while (n < gamma && rejectedAt < 0) {
+                val x = drafts(n)
+                val r6 = q6(math.min(1.0, pm(n)(x) / qm(n)(x)))
+                if (draw(id, s"a${base + n + 1}") < r6) n += 1
+                else rejectedAt = n
+              }
+              accTotal += n
+              val cycleOut: Seq[Int] =
+                if (rejectedAt < 0)
+                  drafts.toSeq :+ pick(pm(gamma), draw(id, s"b$cycles"))
+                else {
+                  val k = rejectedAt
+                  val resid = Array.tabulate(vocab)(j =>
+                    math.max(0.0, pm(k)(j) - qm(k)(j)))
+                  val corr =
+                    if (resid.forall(_ == 0.0)) drafts(k)
+                    else pick(resid, draw(id, s"r${base + k + 1}"))
+                  drafts.take(k).toSeq :+ corr
+                }
+              emitted ++= cycleOut
+              if (emitted.length < maxNewTokens) {
+                val st1 = st0.fork(); cycleOut.foreach(st1.append); st0 = st1
+                val sd1 = sd0.fork(); cycleOut.foreach(sd1.append); sd0 = sd1
+              }
+            }
+            Row.fromSeq(r.toSeq ++
+              Seq(emitted.take(maxNewTokens).toSeq, cycles, accTotal))
           }
         }
       }
@@ -3368,6 +3558,102 @@ object Torch {
     * early, and eos first becomes decodable at generated position
     * minNewTokens + 1. Integer-decidable; 0 (the default) reduces
     * bit-exactly to the un-floored path (same code, empty ban). */
+  /**
+   * Greedy decoding over a BOUNDED-KV session
+   * ([[TorchScriptModel.decodeSessionWindowed]] — the StreamingLLM
+   * serving shape, VERDICT r18 item 5): every causal attention cache
+   * keeps `nSink` attention-sink positions + a sliding window of the
+   * last `nWindow`, so a serving loop's per-session state is
+   * O(nSink + nWindow) instead of O(L) — the eviction knob the
+   * q254/q266/q272/q275 loops lacked. The decode itself is the plain
+   * [[generateGreedy]] chain (first-max-wins argmax, NaN never wins);
+   * only the attention visibility changes: query position P attends
+   * over {0..nSink−1} ∪ {P−nWindow+1..P} at ABSOLUTE positions, so a
+   * batch windowed recompute restates each step exactly (the oracle's
+   * form) and `nWindow >=` the final sequence length reduces
+   * BIT-EXACTLY to [[generateGreedy]] (spec-pinned — the session walks
+   * identical cache rows in identical order when nothing evicts).
+   *
+   * Scale shape: one bounded session per row inside ONE
+   * `mapPartitions` — the per-step cost drops from O(L·d) to
+   * O((nSink + nWindow)·d), the point of the knob at serving scale.
+   *
+   * @return input columns + `outCol` = array<int> of `steps` tokens
+   */
+  def generateGreedyWindowed(
+      df: DataFrame,
+      inputCol: String,
+      outCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      nSink: Int,
+      nWindow: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(nSink >= 0, "nSink must be >= 0")
+    require(nWindow >= 1, "nWindow must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1,
+      "generateGreedyWindowed needs a token-input model")
+    require(!model.value.isCross, "cross-attention model not supported here")
+    require(model.value.cacheable,
+      "windowed decoding needs the KV-session path (cacheable model)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields :+
+      StructField(outCol, ArrayType(IntegerType), nullable = true))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            val sess = m.decodeSessionWindowed(p, nSink, nWindow)
+            val gen = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var t = 0
+            while (t < steps) {
+              val tok = argmaxFirst(sess.logits())
+              gen += tok
+              sess.append(tok)
+              t += 1
+            }
+            Row.fromSeq(r.toSeq :+ gen.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   def generateGreedy(
       df: DataFrame,
       inputCol: String,
@@ -4366,6 +4652,202 @@ object Torch {
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * STOCHASTIC TREE verification — SpecInfer PROPER (Miao et al. 2023
+   * §4.2, multi-step speculative sampling over a token tree):
+   * [[treeDraftGreedy]]'s level-by-level descent composed with
+   * [[speculativeSampledMultiDraft]]'s multi-round rejection applied
+   * PER LEVEL over a node's children, so the emitted tokens are
+   * provably target-distributed even though the draft proposed a
+   * TREE. At each level the draft samples `branch` i.i.d. children
+   * from q(· | prefix) (they may repeat — q269's convention) and the
+   * walk runs [[Spec.multiRoundWalk]] against the target's
+   * distribution at the accepted prefix: an accepted round's child
+   * becomes the descent (both sessions append it); a residual-sampled
+   * round (accRound = 0) emits the correction and STOPS — the
+   * theorem's guarantee is per-position, so the walk below a
+   * rejection has no verified prefix to stand on; a full `depth`-walk
+   * earns the bonus sample from the target at the fully-accepted
+   * prefix (salt `b1`). Because non-walked nodes' children are never
+   * needed sequentially, the tree is LAZY — only the walked node per
+   * level is sampled (a GPU server materializes the full tree to
+   * batch verification in one kernel; the semantics are identical).
+   *
+   * Salt discipline: level ℓ (1-based) uses draft picks
+   * `d<(ℓ−1)·branch+i>`, acceptances `a<(ℓ−1)·branch+i>`, residual
+   * `r<ℓ·branch>`, bonus `b1` — so `branch = 1` replays
+   * [[speculativeSampledGamma]] at gamma = depth EXACTLY (same draws,
+   * same residual walks, same bonus; spec-pinned on out_toks and
+   * n_accepted), and level 1 at any branch IS
+   * [[speculativeSampledMultiDraft]]'s cell (spec-pinned). An
+   * identity draft accepts round 1 at every level (ratio quantizes
+   * to 1, draws < 1).
+   *
+   * Scale shape: one draft + one target KV session per row (appends
+   * only — no forks needed on the lazy walk), O(depth·branch) picks
+   * inside ONE `mapPartitions`; no shuffle at any corpus size.
+   *
+   * @return input columns + `tree` array<array<int>> (the WALKED
+   *         node's children per level, in walk order — levels below
+   *         the stop are absent), `acc_rounds` array<int> (per-level
+   *         accepted round, 0 = residual-stopped), `n_accepted` int
+   *         (levels descended), `out_toks` array<int> (accepted path
+   *         + correction-or-bonus; length n_accepted + 1); null
+   *         prompt/id → all null
+   */
+  def treeDraftStochastic(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      branch: Int,
+      depth: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(branch >= 1, "branch must be >= 1")
+    require(depth >= 1, "depth must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "treeDraftStochastic needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross-attention models not supported here")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "tree-draft decoding needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("tree", ArrayType(ArrayType(IntegerType)), nullable = true),
+      StructField("acc_rounds", ArrayType(IntegerType), nullable = true),
+      StructField("n_accepted", IntegerType, nullable = true),
+      StructField("out_toks", ArrayType(IntegerType), nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val sd = dm.decodeSession(p)
+            val st = tm.decodeSession(p)
+            val tree = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+            val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var level = 1
+            var stopped = false
+            while (level <= depth && !stopped) {
+              val off = (level - 1) * branch
+              val qp = probs6(sd.logits())
+              val pp = probs6(st.logits())
+              val drafts = Array.tabulate(branch)(i =>
+                pick(qp, draw(id, s"d${off + i + 1}")))
+              tree += drafts.toSeq
+              val (accRound, finalTok) =
+                Spec.multiRoundWalk(drafts, qp, pp, vocab, id, off)
+              rounds += accRound
+              out += finalTok
+              if (accRound == 0) stopped = true
+              else { sd.append(finalTok); st.append(finalTok) }
+              level += 1
+            }
+            if (!stopped) out += pick(probs6(st.logits()), draw(id, "b1"))
+            val nAcc = rounds.count(_ > 0)
+            Row.fromSeq(r.toSeq ++
+              Seq(tree.toSeq, rounds.toSeq, nAcc, out.toSeq))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * AUTO-GAMMA from acceptance telemetry — the operator that CLOSES
+   * the telemetry → knob loop the q259/q267/q270 dashboards exist
+   * for: pick the serving gamma for a corpus by integer yield argmax.
+   * ONE [[speculativeSampledGamma]] sweep at `maxGamma` prices every
+   * smaller gamma for free: acceptance draws are position-salted
+   * (`a<i>`), so a gamma-g cycle's accepted count is
+   * `min(n_accepted@maxGamma, g)` — the first-rejection position
+   * doesn't move when the drafting horizon shortens. Per candidate
+   * gamma the corpus yield is `Σ_docs (min(n_acc, g) + 1)` emitted
+   * tokens, and the pick maximizes yield per cycle cost `g + 1`
+   * (g draft evals + 1 bonus/correction slot — the verification pass
+   * is sessionized either way). The fraction argmax is EXACT integer
+   * math: scores are `yield · (L / (g + 1))` with
+   * `L = lcm(2..maxGamma+1)`, ranked (score DESC, gamma ASC) — no
+   * float crosses the decision, per the quantized-decision
+   * convention.
+   *
+   * Scale shape: the sweep is the decode mapPartitions; the histogram
+   * is ONE integer groupBy over (gamma ≤ maxGamma) keys — the q259
+   * telemetry exchange (exempt from the ≤1-exchange audit like every
+   * GROUP-BY-over-decode-output telemetry query).
+   *
+   * @return one row per candidate gamma: `gamma` int, `n_docs` long,
+   *         `yield_toks` long, `score` long, `picked` int (1 on the
+   *         argmax row)
+   */
+  def autoGammaYield(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      maxGamma: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(maxGamma >= 1, "maxGamma must be >= 1")
+    val L = (2 to maxGamma + 1).foldLeft(1L) { (acc, d) =>
+      val g = java.math.BigInteger.valueOf(acc)
+        .gcd(java.math.BigInteger.valueOf(d.toLong)).longValueExact()
+      acc / g * d
+    }
+    val swept = speculativeSampledGamma(df, idCol, inputCol, target, draft,
+        gamma = maxGamma, batchSize = batchSize)
+      .filter(col("n_accepted").isNotNull)
+      .select(col("n_accepted").cast("long").as("n_acc"))
+    import org.apache.spark.sql.functions.{count, explode, least, lit,
+      row_number, sequence, sum, when}
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("gamma"))
+    swept
+      .select(explode(sequence(lit(1), lit(maxGamma))).as("gamma"),
+        col("n_acc"))
+      .groupBy("gamma")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_acc"), col("gamma").cast("long")) + 1L)
+          .as("yield_toks"))
+      .withColumn("score",
+        col("yield_toks") * (lit(L) / (col("gamma") + 1)).cast("long"))
+      .withColumn("picked",
+        when(row_number().over(w) === 1, 1).otherwise(0))
+      .select(col("gamma"), col("n_docs"), col("yield_toks"),
+        col("score"), col("picked"))
   }
 
   /**
