@@ -2453,6 +2453,63 @@ object SparkEntry {
         .orderBy("gamma")
     },
 
+    // BOUNDED-KV SPECULATIVE SERVING (q284): the q254 serving loop at
+    // a fixed KV budget — BOTH models' sessions (and every
+    // verification fork and roll-forward) evict to 1 sink + a
+    // 4-position window, so per-session state is O(5) however long
+    // the serving stream runs. The StreamingLLM deployment composed
+    // with draft acceleration: the two serving techniques a real
+    // stack runs TOGETHER. window >= length ≡ q254 bit-exact is
+    // spec-pinned; the oracle threads the visibility predicate
+    // through every draft AND target forward.
+    "q284_torch_spec_loop_kv" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
+          gamma = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = 1, nWindow = 4)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
+    // WATERMARKED SPECULATIVE SERVING (q285): q281's green-biased
+    // acceptance rule cycled through the q254 serving loop — the
+    // target's prefix softmaxes gain +2.0 on the green set at EVERY
+    // cycle (keyed on the current prefix's last token, including
+    // cycle-1 emissions), the draft stays watermark-oblivious, and
+    // the KV roll-forward discipline is untouched. The full
+    // watermark-AND-draft-accelerate server; delta = 0 ≡ q254
+    // bit-exact and cycle 1 ≡ q281 are spec-pinned.
+    "q285_torch_spec_loop_watermark" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
+          gamma = 2, maxNewTokens = 2, batchSize = 256,
+          watermarkDelta = 2.0)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
     // RETRIEVAL CANARY (q278, VERDICT r18 item 1 — twice-carried r17
     // item 7): sampled recall@k of the LIVE q246 IVFADC index against
     // exact brute-force cosine over a bounded deterministic query
@@ -12317,155 +12374,25 @@ object SparkEntry {
     // a SECOND cycle's first-position arm over toks0 + correction:
     // draft pick d3, acceptance a3 against the target's distribution
     // at the grown prefix, residual walk r3.
-    "q254_torch_spec_loop" -> {
-      def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
-        val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
-        val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
-        val pCols = (0 until model.seqHead.get.vocab)
-          .map(j => s"p$j").mkString(", ")
-        TorchOracle.mlpArgmaxSql(fc,
-          encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
-          arms = Seq("p"), carry = Seq("doc_id"),
-          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
-      }
-      val vocab = genModel.seqHead.get.vocab
-      def softmax6(src: String, out: String): String = {
-        val unpivot = (0 until vocab).map(j =>
-          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
-          .mkString("\n  UNION ALL ")
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, round(e / z, 6) AS p6
-           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
-           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
-           |        FROM (SELECT doc_id, tid, lp,
-           |                     max(lp) OVER (PARTITION BY doc_id) AS m
-           |              FROM ($unpivot))))""".stripMargin
-      }
-      def u(salt: String, docRef: String = "doc_id"): String =
-        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
-          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
-      def pickCte(src: String, massCol: String, salt: String,
-          out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid FROM (
-           |    SELECT doc_id, tid,
-           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
-           |    FROM (SELECT doc_id, tid, rk, cs,
-           |                 max(cs) OVER (PARTITION BY doc_id) AS total
-           |          FROM (SELECT doc_id, tid,
-           |                  row_number() OVER (PARTITION BY doc_id
-           |                    ORDER BY $massCol DESC, tid) AS rk,
-           |                  sum($massCol) OVER (PARTITION BY doc_id
-           |                    ORDER BY $massCol DESC, tid) AS cs
-           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
-           |    WHERE round(cs / total, 6) > ${u(salt)})
-           |  WHERE prk = 1)""".stripMargin
-      def grow(prev: String, pickSrc: String, out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, pos FROM $prev
-           |  UNION ALL
-           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
-           |  FROM $pickSrc s
-           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
-           |        GROUP BY doc_id) l
-           |    ON l.doc_id = s.doc_id)""".stripMargin
-      def resid(out: String, p: String, q: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
-           |  FROM $p p JOIN $q q
-           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
-      val dmq = graft.torch.TorchQuant.quantize(genModel, 7)
-      s"""WITH words AS (
-         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
-         |           % $vocab AS tid, pos
-         |  FROM (SELECT doc_id,
-         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-         |          generate_subscripts(regexp_extract_all(text,
-         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-         |        FROM documents)
-         |  WHERE pos <= $EncMaxLen),
-         |toks0 AS MATERIALIZED (SELECT * FROM words),
-         |logitD1 AS MATERIALIZED (
-         |${fwdP(dmq, "toks0")}
-         |),
-         |${softmax6("logitD1", "qprob1")},
-         |${pickCte("qprob1", "p6", "d1", "dpick1")},
-         |${grow("toks0", "dpick1", "toks1")},
-         |logitD2 AS MATERIALIZED (
-         |${fwdP(dmq, "toks1")}
-         |),
-         |${softmax6("logitD2", "qprob2")},
-         |${pickCte("qprob2", "p6", "d2", "dpick2")},
-         |logitT1 AS MATERIALIZED (
-         |${fwdP(genModel, "toks0")}
-         |),
-         |${softmax6("logitT1", "pprob1")},
-         |logitT2 AS MATERIALIZED (
-         |${fwdP(genModel, "toks1")}
-         |),
-         |${softmax6("logitT2", "pprob2")},
-         |accx AS MATERIALIZED (
-         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
-         |    (${u("a1", "d1.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
-         |    (${u("a2", "d1.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
-         |  FROM dpick1 d1
-         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
-         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
-         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
-         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
-         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
-         |${resid("resid1", "pprob1", "qprob1")},
-         |${pickCte("resid1", "rmass", "r1", "rpick1")},
-         |${resid("resid2", "pprob2", "qprob2")},
-         |${pickCte("resid2", "rmass", "r2", "rpick2")},
-         |em1 AS MATERIALIZED (
-         |  SELECT a.doc_id, a.x2, a.acc1, a.acc2,
-         |    CASE WHEN a.acc1 THEN a.x1
-         |         ELSE coalesce(r1.tid, a.x1) END AS f1
-         |  FROM accx a
-         |  LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id),
-         |toksC2 AS MATERIALIZED (
-         |  SELECT doc_id, tid, pos FROM toks0
-         |  UNION ALL
-         |  SELECT e.doc_id, CAST(e.f1 AS BIGINT) AS tid, l.mp + 1 AS pos
-         |  FROM em1 e
-         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0
-         |        GROUP BY doc_id) l
-         |    ON l.doc_id = e.doc_id),
-         |logitD3 AS MATERIALIZED (
-         |${fwdP(dmq, "toksC2")}
-         |),
-         |${softmax6("logitD3", "qprob3")},
-         |${pickCte("qprob3", "p6", "d3", "dpick3")},
-         |logitT3 AS MATERIALIZED (
-         |${fwdP(genModel, "toksC2")}
-         |),
-         |${softmax6("logitT3", "pprob3")},
-         |acc3 AS MATERIALIZED (
-         |  SELECT d3.doc_id, d3.tid AS x3,
-         |    (${u("a3", "d3.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp3.p6 / qp3.p6), 6)) AS ok
-         |  FROM dpick3 d3
-         |  JOIN pprob3 pp3 ON pp3.doc_id = d3.doc_id AND pp3.tid = d3.tid
-         |  JOIN qprob3 qp3 ON qp3.doc_id = d3.doc_id AND qp3.tid = d3.tid),
-         |${resid("resid3", "pprob3", "qprob3")},
-         |${pickCte("resid3", "rmass", "r3", "rpick3")}
-         |SELECT e.doc_id,
-         |  CAST(e.f1 AS INT) AS f1,
-         |  CAST(CASE WHEN NOT e.acc1 THEN
-         |              CASE WHEN a3.ok THEN a3.x3
-         |                   ELSE coalesce(r3.tid, a3.x3) END
-         |            WHEN NOT e.acc2 THEN coalesce(r2.tid, e.x2)
-         |            ELSE e.x2 END AS INT) AS f2,
-         |  CAST(CASE WHEN NOT e.acc1 THEN 2 ELSE 1 END AS INT) AS n_cyc
-         |FROM em1 e
-         |LEFT JOIN acc3 a3 ON a3.doc_id = e.doc_id
-         |LEFT JOIN rpick2 r2 ON r2.doc_id = e.doc_id
-         |LEFT JOIN rpick3 r3 ON r3.doc_id = e.doc_id
-         |ORDER BY e.doc_id""".stripMargin
-    },
+    "q254_torch_spec_loop" ->
+      specLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
+
+    // Bounded-KV speculative serving (q284): the q254 chain with the
+    // sink-or-window visibility predicate on EVERY forward (draft and
+    // target alike) — the batch restatement of both sessions' (and
+    // their forks') incremental eviction.
+    "q284_torch_spec_loop_kv" ->
+      specLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7),
+        kvWindow = Some((1, 4))),
+
+    // Watermarked speculative serving (q285): the q254 chain with the
+    // three TARGET softmaxes green-biased (prev = prompt tail, draft
+    // 1, then the cycle-1 emission) — q281's bias cycled through the
+    // serving loop.
+    "q285_torch_spec_loop_watermark" ->
+      specLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7),
+        wmDelta = 2.0),
+
 
     // RAG generate: the quantized top-1 cosine retrieval CTE feeds a
     // prefix-assembled toks0 into the plain greedy chain. NOTE the
@@ -14710,6 +14637,201 @@ object SparkEntry {
        |FROM lastt JOIN embw USING (tid)
        |JOIN posw ON posw.ppos = lastt.pos - 1""".stripMargin
   }
+
+  /** The q254 serving-loop oracle chain: cycle 1 (the q249 arms) +
+    * the second cycle's first-position arm over the grown prefix.
+    * `wmDelta > 0` (q285) green-biases the THREE TARGET softmaxes
+    * (prev = prompt tail / draft 1 / the cycle-1 emission — q281's
+    * bias cycled); `kvWindow` (q284) adds the sink-or-window
+    * visibility predicate to EVERY forward, draft and target alike
+    * (both engines' sessions evict). */
+  private def specLoopOracle(draftModel: graft.torch.TorchScriptModel,
+      wmDelta: Double = 0.0, wmNum: Int = 1, wmDen: Int = 2,
+      kvWindow: Option[(Int, Int)] = None): String = {
+      def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+        val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+        val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+        val pCols = (0 until model.seqHead.get.vocab)
+          .map(j => s"p$j").mkString(", ")
+        TorchOracle.mlpArgmaxSql(fc,
+          encBlockSql(model, pool = "last", tokensCte = Some(toksName),
+            kvWindow = kvWindow),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+      }
+      val vocab = genModel.seqHead.get.vocab
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      def u(salt: String, docRef: String = "doc_id"): String =
+        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+      def pickCte(src: String, massCol: String, salt: String,
+          out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid FROM (
+           |    SELECT doc_id, tid,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+           |    FROM (SELECT doc_id, tid, rk, cs,
+           |                 max(cs) OVER (PARTITION BY doc_id) AS total
+           |          FROM (SELECT doc_id, tid,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS rk,
+           |                  sum($massCol) OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS cs
+           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+           |    WHERE round(cs / total, 6) > ${u(salt)})
+           |  WHERE prk = 1)""".stripMargin
+      def grow(prev: String, pickSrc: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, pos FROM $prev
+           |  UNION ALL
+           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+           |  FROM $pickSrc s
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = s.doc_id)""".stripMargin
+      def resid(out: String, p: String, q: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
+           |  FROM $p p JOIN $q q
+           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
+      // the biased TARGET softmax (q281's adj CASE; see specGammaOracle)
+      def softmax6T(src: String, out: String, prevFrom: String): String =
+        if (wmDelta == 0.0) softmax6(src, out)
+        else {
+          val unpivot = (0 until vocab).map(j =>
+            s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+            .mkString("\n  UNION ALL ")
+          s"""$out AS MATERIALIZED (
+             |  SELECT doc_id, tid, round(e / z, 6) AS p6
+             |  FROM (SELECT doc_id, tid, exp(al - m) AS e,
+             |               sum(exp(al - m)) OVER (PARTITION BY doc_id) AS z
+             |        FROM (SELECT doc_id, tid, al,
+             |                     max(al) OVER (PARTITION BY doc_id) AS m
+             |              FROM (SELECT c.doc_id, c.tid,
+             |                      c.lp + CASE WHEN
+             |                        (CAST('0x' || substring(md5(CAST(l.lt AS VARCHAR) ||
+             |                           ':' || CAST(c.tid AS VARCHAR)), 1, 8)
+             |                         AS BIGINT) % $wmDen) < $wmNum
+             |                        THEN CAST($wmDelta AS DOUBLE)
+             |                        ELSE CAST(0 AS DOUBLE) END AS al
+             |                    FROM ($unpivot) c
+             |                    JOIN $prevFrom l ON l.doc_id = c.doc_id))))""".stripMargin
+        }
+      val last0Cte =
+        if (wmDelta == 0.0) ""
+        else
+          s"""last0 AS (
+             |  SELECT t0.doc_id, t0.tid AS lt
+             |  FROM toks0 t0
+             |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0
+             |        GROUP BY doc_id) l
+             |    ON l.doc_id = t0.doc_id AND t0.pos = l.mp),
+             |""".stripMargin
+      val dmq = draftModel
+      s"""WITH words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |toks0 AS MATERIALIZED (SELECT * FROM words),
+         |${last0Cte}logitD1 AS MATERIALIZED (
+         |${fwdP(dmq, "toks0")}
+         |),
+         |${softmax6("logitD1", "qprob1")},
+         |${pickCte("qprob1", "p6", "d1", "dpick1")},
+         |${grow("toks0", "dpick1", "toks1")},
+         |logitD2 AS MATERIALIZED (
+         |${fwdP(dmq, "toks1")}
+         |),
+         |${softmax6("logitD2", "qprob2")},
+         |${pickCte("qprob2", "p6", "d2", "dpick2")},
+         |logitT1 AS MATERIALIZED (
+         |${fwdP(genModel, "toks0")}
+         |),
+         |${softmax6T("logitT1", "pprob1", "last0")},
+         |logitT2 AS MATERIALIZED (
+         |${fwdP(genModel, "toks1")}
+         |),
+         |${softmax6T("logitT2", "pprob2",
+            "(SELECT doc_id, tid AS lt FROM dpick1)")},
+         |accx AS MATERIALIZED (
+         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
+         |    (${u("a1", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
+         |    (${u("a2", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
+         |  FROM dpick1 d1
+         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
+         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
+         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
+         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
+         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
+         |${resid("resid1", "pprob1", "qprob1")},
+         |${pickCte("resid1", "rmass", "r1", "rpick1")},
+         |${resid("resid2", "pprob2", "qprob2")},
+         |${pickCte("resid2", "rmass", "r2", "rpick2")},
+         |em1 AS MATERIALIZED (
+         |  SELECT a.doc_id, a.x2, a.acc1, a.acc2,
+         |    CASE WHEN a.acc1 THEN a.x1
+         |         ELSE coalesce(r1.tid, a.x1) END AS f1
+         |  FROM accx a
+         |  LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id),
+         |toksC2 AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks0
+         |  UNION ALL
+         |  SELECT e.doc_id, CAST(e.f1 AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM em1 e
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = e.doc_id),
+         |logitD3 AS MATERIALIZED (
+         |${fwdP(dmq, "toksC2")}
+         |),
+         |${softmax6("logitD3", "qprob3")},
+         |${pickCte("qprob3", "p6", "d3", "dpick3")},
+         |logitT3 AS MATERIALIZED (
+         |${fwdP(genModel, "toksC2")}
+         |),
+         |${softmax6T("logitT3", "pprob3",
+            "(SELECT doc_id, f1 AS lt FROM em1)")},
+         |acc3 AS MATERIALIZED (
+         |  SELECT d3.doc_id, d3.tid AS x3,
+         |    (${u("a3", "d3.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp3.p6 / qp3.p6), 6)) AS ok
+         |  FROM dpick3 d3
+         |  JOIN pprob3 pp3 ON pp3.doc_id = d3.doc_id AND pp3.tid = d3.tid
+         |  JOIN qprob3 qp3 ON qp3.doc_id = d3.doc_id AND qp3.tid = d3.tid),
+         |${resid("resid3", "pprob3", "qprob3")},
+         |${pickCte("resid3", "rmass", "r3", "rpick3")}
+         |SELECT e.doc_id,
+         |  CAST(e.f1 AS INT) AS f1,
+         |  CAST(CASE WHEN NOT e.acc1 THEN
+         |              CASE WHEN a3.ok THEN a3.x3
+         |                   ELSE coalesce(r3.tid, a3.x3) END
+         |            WHEN NOT e.acc2 THEN coalesce(r2.tid, e.x2)
+         |            ELSE e.x2 END AS INT) AS f2,
+         |  CAST(CASE WHEN NOT e.acc1 THEN 2 ELSE 1 END AS INT) AS n_cyc
+         |FROM em1 e
+         |LEFT JOIN acc3 a3 ON a3.doc_id = e.doc_id
+         |LEFT JOIN rpick2 r2 ON r2.doc_id = e.doc_id
+         |LEFT JOIN rpick3 r3 ON r3.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin
+    }
 
   /** The q249 gamma = 2 oracle chain. `wmDelta > 0` (q281) biases the
     * THREE TARGET softmaxes with the Kirchenbauer green CASE keyed on

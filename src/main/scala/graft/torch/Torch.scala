@@ -1646,9 +1646,31 @@ object Torch {
       draft: Broadcast[TorchScriptModel],
       gamma: Int,
       maxNewTokens: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      watermarkDelta: Double = 0.0,
+      watermarkGamma: (Int, Int) = (1, 2),
+      nSink: Int = -1,
+      nWindow: Int = -1): DataFrame = {
     require(gamma >= 1, "gamma must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    // WATERMARK × SPECULATIVE SERVING (q285): the green bias rides the
+    // TARGET's prefix softmaxes across EVERY cycle — the q281 cell
+    // cycled, so a serving stack watermarks AND draft-accelerates AND
+    // rolls its KV forward. delta = 0 keeps the unwatermarked path
+    // bit-exactly (guarded; spec-pinned), cycle 1 replays the q281
+    // cell's draws.
+    require(watermarkDelta >= 0.0, "watermarkDelta must be >= 0")
+    require(watermarkGamma._1 >= 1 && watermarkGamma._1 < watermarkGamma._2,
+      "watermarkGamma must be a fraction num/den with 0 < num < den")
+    // BOUNDED-KV SERVING (q284, the StreamingLLM deployment): both
+    // models' sessions evict to nSink sinks + an nWindow sliding
+    // window ([[TorchScriptModel.decodeSessionWindowed]]) — forks
+    // inherit the knobs, so verification forks and roll-forwards stay
+    // O(nSink + nWindow) per session. nWindow <= 0 keeps the
+    // unbounded sessions (identical arithmetic; spec-pinned).
+    val windowed = nWindow > 0
+    require(!windowed || nSink >= 0,
+      "a bounded-KV loop needs nSink >= 0 alongside nWindow >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(target.value.inDim == -1 && draft.value.inDim == -1,
@@ -1667,6 +1689,7 @@ object Torch {
       StructField("n_acc_total", IntegerType, nullable = true)))
     val inIdx = withInts.schema.fieldIndex(inputCol)
     val idIdx = withInts.schema.fieldIndex(idCol)
+    val (wmNum, wmDen) = watermarkGamma
     withInts.mapPartitions { it =>
       val tm = target.value
       val dm = draft.value
@@ -1675,6 +1698,26 @@ object Torch {
       def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
       def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
       def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
+      // the q281 biased-target softmax (see speculativeSampledGamma)
+      def probs6W(lg: Array[Float], prev: Int): Array[Double] =
+        if (watermarkDelta == 0.0) probs6(lg)
+        else {
+          val bl = new Array[Double](vocab)
+          var mx = Double.NegativeInfinity
+          var j = 0
+          while (j < vocab) {
+            val v = lg(j).toDouble +
+              (if (Sampling.greenToken(prev, j, wmNum, wmDen)) watermarkDelta
+               else 0.0)
+            bl(j) = v
+            if (v > mx) mx = v
+            j += 1
+          }
+          var z = 0.0
+          j = 0
+          while (j < vocab) { z += math.exp(bl(j) - mx); j += 1 }
+          Array.tabulate(vocab)(k => q6(math.exp(bl(k) - mx) / z))
+        }
       it.grouped(bs).flatMap { rows =>
         rows.iterator.map { r =>
           val p: Array[Int] =
@@ -1695,8 +1738,13 @@ object Torch {
           if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
           else {
             val id = r.getAs[Number](idIdx).longValue()
-            var st0 = tm.decodeSession(p) // target @ accepted prefix
-            var sd0 = dm.decodeSession(p) // draft  @ accepted prefix
+            // target/draft @ accepted prefix (bounded caches when the
+            // serving loop runs at a KV budget)
+            var st0 = if (windowed) tm.decodeSessionWindowed(p, nSink, nWindow)
+                      else tm.decodeSession(p)
+            var sd0 = if (windowed) dm.decodeSessionWindowed(p, nSink, nWindow)
+                      else dm.decodeSession(p)
+            var lastTok = p(p.length - 1) // the green key for p_1
             val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]
             var cycles = 0
             var accTotal = 0
@@ -1715,11 +1763,11 @@ object Torch {
               }
               val stV = st0.fork()
               val pm = new Array[Array[Double]](gamma + 1)
-              pm(0) = probs6(stV.logits())
+              pm(0) = probs6W(stV.logits(), lastTok)
               i = 0
               while (i < gamma) {
                 stV.append(drafts(i))
-                pm(i + 1) = probs6(stV.logits())
+                pm(i + 1) = probs6W(stV.logits(), drafts(i))
                 i += 1
               }
               var n = 0
@@ -1744,6 +1792,7 @@ object Torch {
                   drafts.take(k).toSeq :+ corr
                 }
               emitted ++= cycleOut
+              lastTok = cycleOut.last
               if (emitted.length < maxNewTokens) {
                 // roll forward the accepted-prefix sessions: fresh
                 // forks + the emitted tokens only (rejected drafts
