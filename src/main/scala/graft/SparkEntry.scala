@@ -2510,6 +2510,70 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CROSS-PAIR ACCEPTANCE TELEMETRY (q286): the q259 dashboard for
+    // the encoder-decoder stack — the per-corpus acceptance-arm
+    // histogram of the q261 cycle with each arm's emitted-token
+    // yield. COMPLETES the {cell, loop, telemetry} triple for the
+    // pair mode (cell q261, loop q279, telemetry here), so all four
+    // draft substrates (chain, lookup, tree, pair) now carry the full
+    // serving triple. Integer aggregate over the decode output (the
+    // telemetry-exemption plan shape).
+    "q286_torch_pair_spec_telemetry" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.speculativeSampledPairGamma(toks, "doc_id", "d_ids", "s_ids",
+          bcT, bcD, gamma = 2, batchSize = 256)
+        .groupBy(col("n_accepted").as("n_acc"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(col("n_acc"), col("n_docs"),
+          (col("n_docs") * (col("n_acc") + 1).cast("long")).as("toks_emitted"))
+        .orderBy("n_acc")
+    },
+
+    // STOCHASTIC-TREE SERVING LOOP (q287): q280's per-level
+    // multi-round walk cycled until 2 tokens are emitted — completing
+    // the {cell, loop} pair for the SpecInfer-proper mode (every
+    // other mode already has its loop: chain q254, lookup q266, tree
+    // q272, multi-draft q275, pair q279). No forks, no rollback: the
+    // walk only appends target-distributed tokens. Cycle-offset
+    // salts; cycle 1 IS q280 (spec-pinned). The oracle chains THREE
+    // q269 cells: cycle-1 level 1 at toks0, cycle-1 level 2 AND
+    // cycle-2 level 1 both at the grown toks1 (the same prefix serves
+    // both arms — which one f2 reads depends on rnd1), no bonus CTE
+    // (an all-accepted cycle already overfills maxNewTokens = 2).
+    "q287_torch_tree_stochastic_loop" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftStochasticLoop(toks, "doc_id", "tok_ids", bcT, bcD,
+          branch = 2, depth = 2, maxNewTokens = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
     // RETRIEVAL CANARY (q278, VERDICT r18 item 1 — twice-carried r17
     // item 7): sampled recall@k of the LIVE q246 IVFADC index against
     // exact brute-force cosine over a bounded deterministic query
@@ -12271,6 +12335,32 @@ object SparkEntry {
     "q280_torch_tree_stochastic" ->
       treeStochasticOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
 
+    // Stochastic-tree serving loop: three q269 cells — cycle-1
+    // level 1 (salts 0), then level 2 and cycle-2 level 1 both over
+    // the grown prefix (salts 2 and 4); f2 switches on rnd1.
+    "q287_torch_tree_stochastic_loop" -> {
+      val dmq = graft.torch.TorchQuant.quantize(genModel, 7)
+      s"""WITH $wordsToks0Block,
+         |${multiDraftCellCtes(dmq, "toks0", "1", 0)},
+         |toks1 AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM toks0
+         |  UNION ALL
+         |  SELECT e.doc_id, CAST(e.f AS BIGINT), l.mp + 1
+         |  FROM em1 e
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id) l
+         |    ON l.doc_id = e.doc_id),
+         |${multiDraftCellCtes(dmq, "toks1", "2", 2)},
+         |${multiDraftCellCtes(dmq, "toks1", "3", 4)}
+         |SELECT e1.doc_id,
+         |  CAST(e1.f AS INT) AS f1,
+         |  CAST(CASE WHEN e1.acc_rnd = 0 THEN e3.f ELSE e2.f END AS INT) AS f2,
+         |  CAST(CASE WHEN e1.acc_rnd = 0 THEN 2 ELSE 1 END AS INT) AS n_cyc
+         |FROM em1 e1
+         |JOIN em2 e2 ON e2.doc_id = e1.doc_id
+         |JOIN em3 e3 ON e3.doc_id = e1.doc_id
+         |ORDER BY e1.doc_id""".stripMargin
+    },
+
     // Watermark × speculative: the q249 chain with the three TARGET
     // softmaxes green-biased (+2.0 pre-lse, keyed on each prefix's
     // last token); draft softmaxes unbiased.
@@ -12750,122 +12840,18 @@ object SparkEntry {
     // decoder CTE, three target prefix distributions, both residual
     // walks and the bonus pick, all against the shared source
     // encoding prelude.
-    "q261_torch_cross_spec_gamma" -> {
-      val gt = new CrossOracleGen(crossGenModel)
-      val gd = new CrossOracleGen(
-        graft.torch.TorchQuant.quantize(crossGenModel, 7))
-      val vocab = crossGenModel.seqHead.get.vocab
-      def fwdP(g: CrossOracleGen, dtoks: String, kh: String): String = {
-        val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
-        TorchOracle.mlpArgmaxSql(g.fc, g.stepBody(dtoks, kh),
-          arms = Seq("p"), carry = Seq("doc_id"),
-          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(g.fc)}")
-      }
-      def softmax6(src: String, out: String): String = {
-        val unpivot = (0 until vocab).map(j =>
-          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
-          .mkString("\n  UNION ALL ")
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, round(e / z, 6) AS p6
-           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
-           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
-           |        FROM (SELECT doc_id, tid, lp,
-           |                     max(lp) OVER (PARTITION BY doc_id) AS m
-           |              FROM ($unpivot))))""".stripMargin
-      }
-      def u(salt: String, docRef: String = "doc_id"): String =
-        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
-          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
-      def pickCte(src: String, massCol: String, salt: String,
-          out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid FROM (
-           |    SELECT doc_id, tid,
-           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
-           |    FROM (SELECT doc_id, tid, rk, cs,
-           |                 max(cs) OVER (PARTITION BY doc_id) AS total
-           |          FROM (SELECT doc_id, tid,
-           |                  row_number() OVER (PARTITION BY doc_id
-           |                    ORDER BY $massCol DESC, tid) AS rk,
-           |                  sum($massCol) OVER (PARTITION BY doc_id
-           |                    ORDER BY $massCol DESC, tid) AS cs
-           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
-           |    WHERE round(cs / total, 6) > ${u(salt)})
-           |  WHERE prk = 1)""".stripMargin
-      def grow(prev: String, pickSrc: String, out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, pos FROM $prev
-           |  UNION ALL
-           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
-           |  FROM $pickSrc s
-           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
-           |        GROUP BY doc_id) l
-           |    ON l.doc_id = s.doc_id)""".stripMargin
-      def resid(out: String, p: String, q: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
-           |  FROM $p p JOIN $q q
-           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
-      s"""WITH ${gt.prelude(2)},
-         |${gd.khCte("khd")},
-         |logitD1 AS MATERIALIZED (
-         |${fwdP(gd, "dtoks0", "khd")}
-         |),
-         |${softmax6("logitD1", "qprob1")},
-         |${pickCte("qprob1", "p6", "d1", "dpick1")},
-         |${grow("dtoks0", "dpick1", "dtoks1")},
-         |logitD2 AS MATERIALIZED (
-         |${fwdP(gd, "dtoks1", "khd")}
-         |),
-         |${softmax6("logitD2", "qprob2")},
-         |${pickCte("qprob2", "p6", "d2", "dpick2")},
-         |${grow("dtoks1", "dpick2", "dtoks2")},
-         |logitT1 AS MATERIALIZED (
-         |${fwdP(gt, "dtoks0", "kh")}
-         |),
-         |${softmax6("logitT1", "pprob1")},
-         |logitT2 AS MATERIALIZED (
-         |${fwdP(gt, "dtoks1", "kh")}
-         |),
-         |${softmax6("logitT2", "pprob2")},
-         |logitT3 AS MATERIALIZED (
-         |${fwdP(gt, "dtoks2", "kh")}
-         |),
-         |${softmax6("logitT3", "pprob3")},
-         |accx AS MATERIALIZED (
-         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
-         |    (${u("a1", "d1.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
-         |    (${u("a2", "d1.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
-         |  FROM dpick1 d1
-         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
-         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
-         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
-         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
-         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
-         |${resid("resid1", "pprob1", "qprob1")},
-         |${pickCte("resid1", "rmass", "r1", "rpick1")},
-         |${resid("resid2", "pprob2", "qprob2")},
-         |${pickCte("resid2", "rmass", "r2", "rpick2")},
-         |${pickCte("pprob3", "p6", "b1", "bpick")}
-         |SELECT a.doc_id,
-         |  CAST(a.x1 AS INT) AS d1, CAST(a.x2 AS INT) AS d2,
-         |  CAST(CASE WHEN NOT a.acc1 THEN 0
-         |            WHEN NOT a.acc2 THEN 1 ELSE 2 END AS INT) AS n_acc,
-         |  CAST(CASE WHEN NOT a.acc1 THEN coalesce(r1.tid, a.x1)
-         |            ELSE a.x1 END AS INT) AS f1,
-         |  CAST(CASE WHEN NOT a.acc1 THEN NULL
-         |            WHEN NOT a.acc2 THEN coalesce(r2.tid, a.x2)
-         |            ELSE a.x2 END AS INT) AS f2,
-         |  CAST(CASE WHEN a.acc1 AND a.acc2 THEN b.tid
-         |            ELSE NULL END AS INT) AS f3
-         |FROM accx a
-         |LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id
-         |LEFT JOIN rpick2 r2 ON r2.doc_id = a.doc_id
-         |LEFT JOIN bpick b ON b.doc_id = a.doc_id
-         |ORDER BY a.doc_id""".stripMargin
-    },
+    "q261_torch_cross_spec_gamma" -> crossSpecGammaOracle,
+
+    // Cross-pair acceptance telemetry: the q261 chain wrapped in the
+    // q259 GROUP-BY yield histogram.
+    "q286_torch_pair_spec_telemetry" ->
+      s"""WITH base AS MATERIALIZED (
+         |$crossSpecGammaOracle
+         |)
+         |SELECT CAST(n_acc AS INT) AS n_acc,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) * (n_acc + 1) AS BIGINT) AS toks_emitted
+         |FROM base GROUP BY n_acc ORDER BY n_acc""".stripMargin,
 
     // Cross-pair speculative serving loop (q279): the q254 loop
     // recipe through the cross forward — cycle 1 IS the q261 chain
@@ -14636,6 +14622,125 @@ object SparkEntry {
             s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS p$j").mkString(", ")}
        |FROM lastt JOIN embw USING (tid)
        |JOIN posw ON posw.ppos = lastt.pos - 1""".stripMargin
+  }
+
+  /** The q261 cross-pair gamma = 2 oracle chain (also the base the
+    * q286 pair-telemetry GROUP BY wraps). */
+  private lazy val crossSpecGammaOracle: String = {
+      val gt = new CrossOracleGen(crossGenModel)
+      val gd = new CrossOracleGen(
+        graft.torch.TorchQuant.quantize(crossGenModel, 7))
+      val vocab = crossGenModel.seqHead.get.vocab
+      def fwdP(g: CrossOracleGen, dtoks: String, kh: String): String = {
+        val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+        TorchOracle.mlpArgmaxSql(g.fc, g.stepBody(dtoks, kh),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(g.fc)}")
+      }
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      def u(salt: String, docRef: String = "doc_id"): String =
+        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+      def pickCte(src: String, massCol: String, salt: String,
+          out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid FROM (
+           |    SELECT doc_id, tid,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+           |    FROM (SELECT doc_id, tid, rk, cs,
+           |                 max(cs) OVER (PARTITION BY doc_id) AS total
+           |          FROM (SELECT doc_id, tid,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS rk,
+           |                  sum($massCol) OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS cs
+           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+           |    WHERE round(cs / total, 6) > ${u(salt)})
+           |  WHERE prk = 1)""".stripMargin
+      def grow(prev: String, pickSrc: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, pos FROM $prev
+           |  UNION ALL
+           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+           |  FROM $pickSrc s
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = s.doc_id)""".stripMargin
+      def resid(out: String, p: String, q: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
+           |  FROM $p p JOIN $q q
+           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
+      s"""WITH ${gt.prelude(2)},
+         |${gd.khCte("khd")},
+         |logitD1 AS MATERIALIZED (
+         |${fwdP(gd, "dtoks0", "khd")}
+         |),
+         |${softmax6("logitD1", "qprob1")},
+         |${pickCte("qprob1", "p6", "d1", "dpick1")},
+         |${grow("dtoks0", "dpick1", "dtoks1")},
+         |logitD2 AS MATERIALIZED (
+         |${fwdP(gd, "dtoks1", "khd")}
+         |),
+         |${softmax6("logitD2", "qprob2")},
+         |${pickCte("qprob2", "p6", "d2", "dpick2")},
+         |${grow("dtoks1", "dpick2", "dtoks2")},
+         |logitT1 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks0", "kh")}
+         |),
+         |${softmax6("logitT1", "pprob1")},
+         |logitT2 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks1", "kh")}
+         |),
+         |${softmax6("logitT2", "pprob2")},
+         |logitT3 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks2", "kh")}
+         |),
+         |${softmax6("logitT3", "pprob3")},
+         |accx AS MATERIALIZED (
+         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
+         |    (${u("a1", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
+         |    (${u("a2", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
+         |  FROM dpick1 d1
+         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
+         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
+         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
+         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
+         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
+         |${resid("resid1", "pprob1", "qprob1")},
+         |${pickCte("resid1", "rmass", "r1", "rpick1")},
+         |${resid("resid2", "pprob2", "qprob2")},
+         |${pickCte("resid2", "rmass", "r2", "rpick2")},
+         |${pickCte("pprob3", "p6", "b1", "bpick")}
+         |SELECT a.doc_id,
+         |  CAST(a.x1 AS INT) AS d1, CAST(a.x2 AS INT) AS d2,
+         |  CAST(CASE WHEN NOT a.acc1 THEN 0
+         |            WHEN NOT a.acc2 THEN 1 ELSE 2 END AS INT) AS n_acc,
+         |  CAST(CASE WHEN NOT a.acc1 THEN coalesce(r1.tid, a.x1)
+         |            ELSE a.x1 END AS INT) AS f1,
+         |  CAST(CASE WHEN NOT a.acc1 THEN NULL
+         |            WHEN NOT a.acc2 THEN coalesce(r2.tid, a.x2)
+         |            ELSE a.x2 END AS INT) AS f2,
+         |  CAST(CASE WHEN a.acc1 AND a.acc2 THEN b.tid
+         |            ELSE NULL END AS INT) AS f3
+         |FROM accx a
+         |LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id
+         |LEFT JOIN rpick2 r2 ON r2.doc_id = a.doc_id
+         |LEFT JOIN bpick b ON b.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
   }
 
   /** The q254 serving-loop oracle chain: cycle 1 (the q249 arms) +

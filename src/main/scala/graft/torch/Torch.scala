@@ -4836,6 +4836,125 @@ object Torch {
   }
 
   /**
+   * The STOCHASTIC-TREE SERVING LOOP — [[treeDraftStochastic]] cycled
+   * until `maxNewTokens` tokens are emitted (then truncated),
+   * completing the {cell, loop} pair for the SpecInfer-proper mode
+   * like [[speculativeSampledLoop]] did for chain drafts: each cycle
+   * runs the lazy per-level multi-round walk at the CURRENT prefix
+   * and emits its accepted path + correction-or-bonus. No forks, no
+   * rollback — the walk only ever appends target-distributed tokens
+   * (accepted children during the walk, the final sample after it);
+   * rejected children never touch a session.
+   *
+   * Salt discipline: cycle c level ℓ uses offset
+   * `((c−1)·depth + (ℓ−1))·branch` for d/a (residual at
+   * `offset + branch`), bonus `b<c>` — so cycle 1 replays
+   * [[treeDraftStochastic]] bit-exactly (spec-pinned), and every
+   * cycle's draws stay independent of partition layout. Cycles run
+   * to completion (cycle-level `n_acc_total`, the
+   * [[speculativeSampledLoop]] convention).
+   *
+   * @return input columns + `out_toks` array<int> (exactly
+   *         maxNewTokens tokens), `n_cycles` int, `n_acc_total` int;
+   *         null prompt/id → all null
+   */
+  def treeDraftStochasticLoop(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      branch: Int,
+      depth: Int,
+      maxNewTokens: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(branch >= 1, "branch must be >= 1")
+    require(depth >= 1, "depth must be >= 1")
+    require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "treeDraftStochasticLoop needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross-attention models not supported here")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "tree-draft decoding needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("out_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_cycles", IntegerType, nullable = true),
+      StructField("n_acc_total", IntegerType, nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    val idIdx = withInts.schema.fieldIndex(idCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def draw(id: Long, salt: String): Double = Spec.draw(id, salt)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def pick(mass: Array[Double], u: Double): Int = Spec.pick(mass, u)
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx) || r.isNullAt(idIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val id = r.getAs[Number](idIdx).longValue()
+            val sd = dm.decodeSession(p)
+            val st = tm.decodeSession(p)
+            val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var cycles = 0
+            var accTotal = 0
+            while (emitted.length < maxNewTokens) {
+              cycles += 1
+              var level = 1
+              var stopped = false
+              while (level <= depth && !stopped) {
+                val off = ((cycles - 1) * depth + (level - 1)) * branch
+                val qp = probs6(sd.logits())
+                val pp = probs6(st.logits())
+                val drafts = Array.tabulate(branch)(i =>
+                  pick(qp, draw(id, s"d${off + i + 1}")))
+                val (accRound, finalTok) =
+                  Spec.multiRoundWalk(drafts, qp, pp, vocab, id, off)
+                emitted += finalTok
+                sd.append(finalTok)
+                st.append(finalTok)
+                if (accRound == 0) stopped = true
+                else { accTotal += 1; level += 1 }
+              }
+              if (!stopped) {
+                val bonus = pick(probs6(st.logits()), draw(id, s"b$cycles"))
+                emitted += bonus
+                sd.append(bonus)
+                st.append(bonus)
+              }
+            }
+            Row.fromSeq(r.toSeq ++
+              Seq(emitted.take(maxNewTokens).toSeq, cycles, accTotal))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * AUTO-GAMMA from acceptance telemetry — the operator that CLOSES
    * the telemetry → knob loop the q259/q267/q270 dashboards exist
    * for: pick the serving gamma for a corpus by integer yield argmax.

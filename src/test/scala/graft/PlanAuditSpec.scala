@@ -528,7 +528,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // and the no-cartesian check only.
     for (q <- Seq("q279_torch_cross_spec_loop", "q280_torch_tree_stochastic",
         "q281_torch_spec_watermark", "q282_torch_kv_window",
-        "q284_torch_spec_loop_kv", "q285_torch_spec_loop_watermark")) {
+        "q284_torch_spec_loop_kv", "q285_torch_spec_loop_watermark",
+        "q287_torch_tree_stochastic_loop")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

@@ -318,6 +318,38 @@ class TorchServeSpec extends AnyFunSuite {
       s"identity-draft tie did not fall to gamma 1: ${idRows.toSeq}")
   }
 
+  test("q287 stochastic-tree loop: cycle 1 IS q280; cycle accounting; both arms live") {
+    val tm = graft.SparkEntry.genModel
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcD = spark.sparkContext.broadcast(TorchQuant.quantize(tm, 7))
+    val toks = fixturePrompts(tm.outDim)
+    val loop = Torch.treeDraftStochasticLoop(toks, "doc_id", "tok_ids",
+        bcT, bcD, branch = 2, depth = 2, maxNewTokens = 2)
+      .select("doc_id", "out_toks", "n_cycles", "n_acc_total").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toSeq, r.getInt(2), r.getInt(3)))).toMap
+    val cell = Torch.treeDraftStochastic(toks, "doc_id", "tok_ids", bcT,
+        bcD, branch = 2, depth = 2)
+      .select("doc_id", "n_accepted", "out_toks").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2).toSeq))).toMap
+    assert(loop.nonEmpty && loop.keySet == cell.keySet)
+    var twoCycle = 0
+    for ((id, (out, cyc, acc)) <- loop) {
+      val (n1, cout) = cell(id)
+      assert(out.length == 2)
+      assert(out.head == cout.head,
+        s"doc $id: loop f1 ${out.head} != q280 cell ${cout.head}")
+      if (n1 >= 1) {
+        // a cycle with an accepted level emits >= 2 tokens — one
+        // cycle suffices and the emission is the cell's prefix
+        assert(cyc == 1 && out == cout.take(2) && acc >= n1,
+          s"doc $id one-cycle replay broke: $out vs $cout")
+      } else { twoCycle += 1; assert(cyc == 2) }
+    }
+    info(s"q287 sf0.001 two-cycle docs: $twoCycle / ${loop.size}")
+    assert(twoCycle > 0 && twoCycle < loop.size, "a cycle arm never fired")
+  }
+
   test("q284/q285 serving-loop knobs: neutral values replay q254; each knob bites; cycle 1 of q285 IS q281") {
     val tm = graft.SparkEntry.genModel
     val bcT = spark.sparkContext.broadcast(tm)
