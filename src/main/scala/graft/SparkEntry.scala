@@ -2574,6 +2574,72 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // WATERMARK × BOUNDED-KV SPECULATIVE SERVING (q288): BOTH loop
+    // knobs at once — the green-biased target softmaxes (q285) inside
+    // sessions that evict to 1 sink + a 4-window (q284). The full
+    // production stack: watermarked, draft-accelerated, KV-budgeted.
+    // This is exactly the reachable-but-untested composition pattern
+    // ADVICE r18 flagged on beamSearchDiverse — here it gets its own
+    // oracle (specLoopOracle threads both parameters) instead of a
+    // spec alone.
+    "q288_torch_spec_loop_wm_kv" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
+          gamma = 2, maxNewTokens = 2, batchSize = 256,
+          watermarkDelta = 2.0, nSink = 1, nWindow = 4)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
+    // WATERMARK LIFECYCLE ON THE ACCELERATED PATH (q289): q252's
+    // detector run over the WATERMARKED-speculative serving output
+    // (q285) and the unwatermarked baseline (q254) side by side —
+    // generate → detect end to end, closing the loop the direct
+    // decode families closed in rounds 15/17. Corpus-level INTEGER
+    // telemetry only (doc counts, pair counts, green counts — the
+    // z-gain is greens_wm − greens_plain at equal pairs); detection
+    // pairs span the prompt tail + both emitted tokens, exactly the
+    // (prev, cur) green keys generation biased.
+    "q289_torch_wm_accel_detect" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      def leg(delta: Double, label: String) = {
+        val gen = Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids",
+            bcT, bcD, gamma = 2, maxNewTokens = 2, batchSize = 256,
+            watermarkDelta = delta)
+          .select(col("doc_id"), concat(
+            slice(col("tok_ids"), size(col("tok_ids")), lit(1)),
+            col("out_toks")).as("seq_ids"))
+        graft.operators.Watermark.greenFractionZ(gen, "doc_id",
+            col("seq_ids"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("t_pairs")).as("t_pairs"),
+            sum(col("greens")).as("greens"))
+          .select(lit(label).as("path"), col("n_docs"), col("t_pairs"),
+            col("greens"))
+      }
+      leg(2.0, "watermarked").unionAll(leg(0.0, "plain")).orderBy("path")
+    },
+
     // RETRIEVAL CANARY (q278, VERDICT r18 item 1 — twice-carried r17
     // item 7): sampled recall@k of the LIVE q246 IVFADC index against
     // exact brute-force cosine over a bounded deterministic query
@@ -12482,6 +12548,58 @@ object SparkEntry {
     "q285_torch_spec_loop_watermark" ->
       specLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7),
         wmDelta = 2.0),
+
+    // Watermark × bounded-KV serving (q288): the same chain with BOTH
+    // parameters threaded — biased target softmaxes AND the
+    // sink-or-window predicate on every forward.
+    "q288_torch_spec_loop_wm_kv" ->
+      specLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7),
+        wmDelta = 2.0, kvWindow = Some((1, 4))),
+
+    // Watermark lifecycle on the accelerated path (q289): the q285
+    // and q254 chains as SCOPED nested-WITH CTEs (the q197
+    // convention — their internal CTE names never collide), green
+    // pairs recounted by the shared md5 predicate over (prompt tail,
+    // f1) and (f1, f2), corpus integer totals per path.
+    "q289_torch_wm_accel_detect" -> {
+      val dmq = graft.torch.TorchQuant.quantize(genModel, 7)
+      val vocab = genModel.seqHead.get.vocab
+      def grn(a: String, b: String): String =
+        s"CASE WHEN (CAST('0x' || substring(md5(CAST($a AS VARCHAR) || ':' || " +
+          s"CAST($b AS VARCHAR)), 1, 8) AS BIGINT) % 2) < 1 THEN 1 ELSE 0 END"
+      def legSql(src: String, label: String): String =
+        s"""SELECT '$label' AS path,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(2 * count(*) AS BIGINT) AS t_pairs,
+           |  CAST(sum(${grn("l.lt", "s.f1")} + ${grn("s.f1", "s.f2")})
+           |    AS BIGINT) AS greens
+           |FROM $src s JOIN lastp l ON l.doc_id = s.doc_id""".stripMargin
+      s"""WITH wm AS MATERIALIZED (
+         |${specLoopOracle(dmq, wmDelta = 2.0)}
+         |),
+         |pl AS MATERIALIZED (
+         |${specLoopOracle(dmq)}
+         |),
+         |wordsl AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |lastp AS (
+         |  SELECT w.doc_id, w.tid AS lt
+         |  FROM wordsl w
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM wordsl
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = w.doc_id AND w.pos = l.mp)
+         |${legSql("wm", "watermarked")}
+         |UNION ALL
+         |${legSql("pl", "plain")}
+         |ORDER BY path""".stripMargin
+    },
 
 
     // RAG generate: the quantized top-1 cosine retrieval CTE feeds a

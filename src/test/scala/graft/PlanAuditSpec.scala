@@ -529,7 +529,7 @@ class PlanAuditSpec extends AnyFunSuite {
     for (q <- Seq("q279_torch_cross_spec_loop", "q280_torch_tree_stochastic",
         "q281_torch_spec_watermark", "q282_torch_kv_window",
         "q284_torch_spec_loop_kv", "q285_torch_spec_loop_watermark",
-        "q287_torch_tree_stochastic_loop")) {
+        "q287_torch_tree_stochastic_loop", "q288_torch_spec_loop_wm_kv")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
@@ -541,6 +541,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p283).length <= 3,
       s"q283: telemetry plan grew beyond agg + pick window:\n$p283")
     assert(!p283.contains("CartesianProduct"), s"q283 cartesian:\n$p283")
+    // q286/q289 are telemetry too (GROUP BYs over decode output —
+    // q286 one histogram, q289 two corpus aggregates unioned)
+    for ((q, bound) <- Seq(("q286_torch_pair_spec_telemetry", 2),
+        ("q289_torch_wm_accel_detect", 4))) {
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).length <= bound,
+        s"$q: telemetry plan grew beyond its aggregates:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
     // q278 canary: the ANN leg must stay probe-bounded (keyed joins)
     // and the brute leg broadcast-bounded by the 20-query slice — a
     // CartesianProduct means a leg regressed to pair-everything

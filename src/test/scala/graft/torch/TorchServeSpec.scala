@@ -391,6 +391,14 @@ class TorchServeSpec extends AnyFunSuite {
       if (n1 >= 1) assert(cyc == 1 && out == cout.take(2))
       else assert(cyc == 2)
     }
+    // the q288 composition: BOTH knobs at once, and each still bites
+    // inside the composition (differs from each single-knob run
+    // somewhere — the beamSearchDiverse-triple lesson applied here)
+    val both = runLoop(delta = 2.0, nSink = 1, nWindow = 4)
+    assert(both.exists { case (id, v) => v != wm(id) },
+      "the window never mattered inside the composed run")
+    assert(both.exists { case (id, v) => v != kv(id) },
+      "the watermark never mattered inside the composed run")
   }
 
   test("beamSearchDiverse watermark x fusion x diversity: group 0 IS watermarked-fused plain beams (q271's cell)") {
