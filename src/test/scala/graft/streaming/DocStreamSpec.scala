@@ -322,6 +322,53 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming speculative serving at ingest == batch q254, bit-for-bit, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch comparator: the full q254 serving-loop result — draws are
+    // keyed (doc_id, salt), so micro-batch boundaries and partition
+    // layout cannot move a token (the salt-discipline claim, now
+    // exercised under Structured Streaming: the draft-accelerated
+    // scoring of an INGEST stream, e.g. synthetic-data generation at
+    // arrival time)
+    val batch = graft.SparkEntry.queries("q254_torch_spec_loop")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bcT = spark.sparkContext.broadcast(m)
+    val bcD = spark.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val toks = mem.toDF().toDF("doc_id", "text").select(col("doc_id"),
+      slice(transform(
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+        tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+        1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+    val q = graft.torch.Torch.speculativeSampledLoop(toks, "doc_id",
+        "tok_ids", bcT, bcD, gamma = 2, maxNewTokens = 2, batchSize = 64)
+      .select(col("doc_id"),
+        col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+        col("n_cycles").as("n_cyc"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spec_stream_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("spec_stream_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(streamed == batch,
+        s"diff: ${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming seq2seq NLL filter at ingest == batch q210, bit-for-bit, zero state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
