@@ -1615,6 +1615,8 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank").as("a_rk"))
     val exact = bruteForceTopK(corpus, slice, idCol, embCol, k = kMax)
       .select(col("q_id"), col("vec_id"), col("rank").as("e_rk"))
+    // eager, but bounded by construction: the slice is <= maxSample
+    // rows (the canary budget) — not a driver-side loop over data
     val nQ = slice.count()
     val hitsPerK = ks.map { k =>
       sum(when(col("a_rk") <= k && col("e_rk") <= k, 1L).otherwise(0L))
