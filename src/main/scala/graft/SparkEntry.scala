@@ -2640,6 +2640,63 @@ object SparkEntry {
       leg(2.0, "watermarked").unionAll(leg(0.0, "plain")).orderBy("path")
     },
 
+    // AUTO-BRANCH from tree telemetry (q290): q283's pick applied to
+    // the TREE mode — branch candidates {1, 2} each run their own
+    // stochastic-tree sweep (no salt-prefix trick across branch
+    // widths: different children, different draws), yields rank
+    // against the static cycle budget branch·depth + 1 by EXACT
+    // integer scores yield·(15 // cost). branch = 1 IS the gamma = 2
+    // chain (spec-pinned bit-exact), so its oracle leg reuses the
+    // q249 chain while branch 2 reuses the q280 chain.
+    "q290_torch_auto_branch" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.autoBranchYield(toks, "doc_id", "tok_ids", bcT, bcD,
+          branches = Seq(1, 2), depth = 2, batchSize = 256)
+        .orderBy("branch")
+    },
+
+    // PER-SOURCE ACCEPTANCE DRIFT (q291): the alarm q259's dashboard
+    // exists to feed — per-SOURCE acceptance yield of the q249 cycle,
+    // with an integer below-corpus drift DECISION: a source flags
+    // when its yield-per-doc falls below the corpus's, compared by
+    // exact cross-multiplication (yield_src · docs_all < yield_all ·
+    // docs_src — no float, no ratio luck). A flagged source is where
+    // a serving stack re-tunes gamma or retrains the draft first.
+    "q291_torch_spec_drift" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      val perDoc = Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids",
+          bcT, bcD, gamma = 2, batchSize = 256)
+        .select(col("source"), col("n_accepted").cast("long").as("n_acc"))
+      val perSrc = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_acc") + 1L).as("yield_toks"))
+      val corpus = perDoc.agg(count(lit(1)).as("docs_all"),
+        sum(col("n_acc") + 1L).as("yield_all"))
+      perSrc.crossJoin(broadcast(corpus)) // one-row aggregate combine
+        .select(col("source"), col("n_docs"), col("yield_toks"),
+          (col("yield_toks") * col("docs_all") <
+            col("yield_all") * col("n_docs")).as("below_corpus"))
+        .orderBy("source")
+    },
+
     // RETRIEVAL CANARY (q278, VERDICT r18 item 1 — twice-carried r17
     // item 7): sampled recall@k of the LIVE q246 IVFADC index against
     // exact brute-force cosine over a bounded deterministic query
@@ -12425,6 +12482,61 @@ object SparkEntry {
          |JOIN em2 e2 ON e2.doc_id = e1.doc_id
          |JOIN em3 e3 ON e3.doc_id = e1.doc_id
          |ORDER BY e1.doc_id""".stripMargin
+    },
+
+    // Auto-branch: the q249 chain (branch = 1 — bit-exact by the
+    // spec pin) and the q280 chain (branch = 2) aggregated per
+    // candidate, exact integer scores yield·(15 // (2·branch + 1)).
+    "q290_torch_auto_branch" -> {
+      val dmq = graft.torch.TorchQuant.quantize(genModel, 7)
+      s"""WITH g1 AS MATERIALIZED (
+         |${specGammaOracle(dmq)}
+         |),
+         |t2 AS MATERIALIZED (
+         |${treeStochasticOracle(dmq)}
+         |),
+         |y AS (
+         |  SELECT 1 AS branch, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CAST(n_acc AS BIGINT) + 1) AS BIGINT) AS yield_toks
+         |  FROM g1
+         |  UNION ALL
+         |  SELECT 2, CAST(count(*) AS BIGINT),
+         |    CAST(sum(CAST(n_acc AS BIGINT) + 1) AS BIGINT)
+         |  FROM t2),
+         |sc AS (
+         |  SELECT branch, n_docs, yield_toks,
+         |    CAST(yield_toks * (15 // (2 * branch + 1)) AS BIGINT) AS score
+         |  FROM y)
+         |SELECT CAST(branch AS INT) AS branch, n_docs, yield_toks, score,
+         |  CAST(CASE WHEN row_number() OVER (ORDER BY score DESC, branch) = 1
+         |       THEN 1 ELSE 0 END AS INT) AS picked
+         |FROM sc ORDER BY branch""".stripMargin
+    },
+
+    // Per-source acceptance drift: the q249 chain joined to each
+    // doc's source, per-source yields, and the cross-multiplied
+    // below-corpus flag.
+    "q291_torch_spec_drift" -> {
+      val dmq = graft.torch.TorchQuant.quantize(genModel, 7)
+      s"""WITH base AS MATERIALIZED (
+         |${specGammaOracle(dmq)}
+         |),
+         |j AS (
+         |  SELECT d.source, CAST(b.n_acc AS BIGINT) AS n_acc
+         |  FROM base b JOIN documents d ON d.doc_id = b.doc_id),
+         |s AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_acc + 1) AS BIGINT) AS yield_toks
+         |  FROM j GROUP BY source),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS docs_all,
+         |    CAST(sum(n_acc + 1) AS BIGINT) AS yield_all
+         |  FROM j)
+         |SELECT s.source, s.n_docs, s.yield_toks,
+         |  (s.yield_toks * c.docs_all < c.yield_all * s.n_docs)
+         |    AS below_corpus
+         |FROM s CROSS JOIN c
+         |ORDER BY s.source""".stripMargin
     },
 
     // Watermark × speculative: the q249 chain with the three TARGET

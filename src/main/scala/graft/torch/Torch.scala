@@ -4981,6 +4981,16 @@ object Torch {
    *         `yield_toks` long, `score` long, `picked` int (1 on the
    *         argmax row)
    */
+  /** lcm over positive longs — the exact-integer scaling the
+    * fraction-argmax picks ([[autoGammaYield]], [[autoBranchYield]])
+    * use so no float ever crosses a knob decision. */
+  private def lcmOf(xs: Seq[Long]): Long =
+    xs.foldLeft(1L) { (acc, d) =>
+      val g = java.math.BigInteger.valueOf(acc)
+        .gcd(java.math.BigInteger.valueOf(d)).longValueExact()
+      acc / g * d
+    }
+
   def autoGammaYield(
       df: DataFrame,
       idCol: String,
@@ -4990,11 +5000,7 @@ object Torch {
       maxGamma: Int,
       batchSize: Int = -1): DataFrame = {
     require(maxGamma >= 1, "maxGamma must be >= 1")
-    val L = (2 to maxGamma + 1).foldLeft(1L) { (acc, d) =>
-      val g = java.math.BigInteger.valueOf(acc)
-        .gcd(java.math.BigInteger.valueOf(d.toLong)).longValueExact()
-      acc / g * d
-    }
+    val L = lcmOf((2 to maxGamma + 1).map(_.toLong))
     val swept = speculativeSampledGamma(df, idCol, inputCol, target, draft,
         gamma = maxGamma, batchSize = batchSize)
       .filter(col("n_accepted").isNotNull)
@@ -5015,6 +5021,63 @@ object Torch {
       .withColumn("picked",
         when(row_number().over(w) === 1, 1).otherwise(0))
       .select(col("gamma"), col("n_docs"), col("yield_toks"),
+        col("score"), col("picked"))
+  }
+
+  /**
+   * AUTO-BRANCH from tree-acceptance telemetry — [[autoGammaYield]]'s
+   * pick for the TREE mode (q270's histogram turned into a knob).
+   * Unlike the gamma sweep, branch widths cannot share one run (a
+   * different branch changes the sampled children and every
+   * downstream draw — no salt-prefix trick), so each candidate runs
+   * its own [[treeDraftStochastic]] sweep; branch = 1 is bit-exactly
+   * the gamma = depth chain (spec-pinned), so the cheapest candidate
+   * doubles as the chain-mode comparator. Yield per cycle is
+   * `Σ (n_accepted + 1)` emitted tokens against the STATIC cycle
+   * budget `branch · depth + 1` draft picks (the provisioning number
+   * a server allocates per verification pass — worst-case tree size
+   * plus the bonus slot). The argmax is EXACT integer math: scores
+   * `yield · (lcm / cost)`, ranked (score DESC, branch ASC) — ties
+   * fall to the narrower tree.
+   *
+   * @return one row per candidate branch: `branch` int, `n_docs`
+   *         long, `yield_toks` long, `score` long, `picked` int
+   */
+  def autoBranchYield(
+      df: DataFrame,
+      idCol: String,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      branches: Seq[Int],
+      depth: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(branches.nonEmpty && branches.forall(_ >= 1),
+      "branches must be >= 1")
+    require(branches.distinct.length == branches.length,
+      "duplicate branch candidates")
+    val costs = branches.map(b => b.toLong * depth + 1L)
+    val L = lcmOf(costs)
+    import org.apache.spark.sql.functions.{count, lit, row_number, sum, when}
+    val legs = branches.map { b =>
+      treeDraftStochastic(df, idCol, inputCol, target, draft,
+          branch = b, depth = depth, batchSize = batchSize)
+        .filter(col("n_accepted").isNotNull)
+        .select(lit(b).as("branch"),
+          col("n_accepted").cast("long").as("n_acc"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("branch"))
+    legs.reduce(_ unionAll _)
+      .groupBy("branch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_acc") + 1L).as("yield_toks"))
+      .withColumn("score",
+        col("yield_toks") *
+          (lit(L) / (col("branch").cast("long") * depth + 1L)).cast("long"))
+      .withColumn("picked",
+        when(row_number().over(w) === 1, 1).otherwise(0))
+      .select(col("branch"), col("n_docs"), col("yield_toks"),
         col("score"), col("picked"))
   }
 

@@ -541,10 +541,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p283).length <= 3,
       s"q283: telemetry plan grew beyond agg + pick window:\n$p283")
     assert(!p283.contains("CartesianProduct"), s"q283 cartesian:\n$p283")
-    // q286/q289 are telemetry too (GROUP BYs over decode output —
-    // q286 one histogram, q289 two corpus aggregates unioned)
+    // q286/q289/q290/q291 are telemetry too (GROUP BYs over decode
+    // output — q286 one histogram, q289 two corpus aggregates
+    // unioned, q290 two sweeps + the pick window, q291 per-source +
+    // corpus aggregates with a one-row broadcast combine)
     for ((q, bound) <- Seq(("q286_torch_pair_spec_telemetry", 2),
-        ("q289_torch_wm_accel_detect", 4))) {
+        ("q289_torch_wm_accel_detect", 4),
+        ("q290_torch_auto_branch", 5),
+        ("q291_torch_spec_drift", 5))) {
       val p = plan(q)
       assert("Exchange".r.findAllIn(p).length <= bound,
         s"$q: telemetry plan grew beyond its aggregates:\n$p")

@@ -401,6 +401,77 @@ class TorchServeSpec extends AnyFunSuite {
       "the watermark never mattered inside the composed run")
   }
 
+  test("q290 auto-branch: yields == the per-branch sweeps; exact scores; identity draft picks the narrow tree") {
+    val tm = graft.SparkEntry.genModel
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcD = spark.sparkContext.broadcast(TorchQuant.quantize(tm, 7))
+    val toks = fixturePrompts(tm.outDim)
+    val rows = Torch.autoBranchYield(toks, "doc_id", "tok_ids", bcT, bcD,
+        branches = Seq(1, 2), depth = 2)
+      .orderBy("branch").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    def sweepYield(b: Int): Long =
+      Torch.treeDraftStochastic(toks, "doc_id", "tok_ids", bcT, bcD,
+          branch = b, depth = 2)
+        .select("n_accepted").collect().map(_.getInt(0) + 1L).sum
+    val (y1, y2) = (sweepYield(1), sweepYield(2))
+    assert(rows.map(_._1).toSeq == Seq(1, 2))
+    assert(rows(0)._3 == y1 && rows(1)._3 == y2,
+      s"yields (${rows(0)._3}, ${rows(1)._3}) != sweeps ($y1, $y2)")
+    // lcm(3, 5) = 15 → scores 5·y1 vs 3·y2, branch-ASC tiebreak
+    assert(rows(0)._4 == 5 * y1 && rows(1)._4 == 3 * y2)
+    val expPick = if (5 * y1 >= 3 * y2) 1 else 2
+    assert(rows.filter(_._5 == 1).map(_._1).toSeq == Seq(expPick))
+    info(s"q290 sf0.001: y1=$y1 y2=$y2 picked branch $expPick")
+    // identity draft: every walk full-depth on BOTH widths — yields
+    // equal (depth+1)·n, so the wider tree's budget can't pay and
+    // the pick must be branch 1
+    val n = toks.count()
+    val idRows = Torch.autoBranchYield(toks, "doc_id", "tok_ids", bcT, bcT,
+        branches = Seq(1, 2), depth = 2)
+      .orderBy("branch").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getInt(4)))
+    assert(idRows.toSeq == Seq((1, 3 * n, 1), (2, 3 * n, 0)),
+      s"identity-draft auto-branch broke: ${idRows.toSeq}")
+  }
+
+  test("q291 drift flags: exact cross-multiplication vs per-doc recompute; both arms live") {
+    val tm = graft.SparkEntry.genModel
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcD = spark.sparkContext.broadcast(TorchQuant.quantize(tm, 7))
+    val vocab = tm.outDim
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+    val perDoc = Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids",
+        bcT, bcD, gamma = 2)
+      .select("source", "n_accepted").collect()
+      .map(r => (r.getString(0), r.getInt(1) + 1L))
+    val bySrc = perDoc.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val (docsAll, yieldAll) = (perDoc.length.toLong, perDoc.map(_._2).sum)
+    val got = graft.SparkEntry.queries("q291_torch_spec_drift")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty && got.length == bySrc.size)
+    for ((src, nd, y, flag) <- got) {
+      val (en, ey) = bySrc(src)
+      assert(nd == en && y == ey, s"$src: ($nd, $y) != ($en, $ey)")
+      assert(flag == (y * docsAll < yieldAll * nd),
+        s"$src: drift flag is not the exact cross-multiplication")
+    }
+    val flagged = got.count(_._4)
+    info(s"q291 sf0.001: $flagged / ${got.length} sources below corpus")
+    assert(flagged > 0 && flagged < got.length,
+      "drift flag degenerate on the fixture")
+  }
+
   test("beamSearchDiverse watermark x fusion x diversity: group 0 IS watermarked-fused plain beams (q271's cell)") {
     val m = graft.SparkEntry.genModel
     val vocab = m.seqHead.get.vocab
