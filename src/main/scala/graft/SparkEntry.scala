@@ -2640,6 +2640,35 @@ object SparkEntry {
       leg(2.0, "watermarked").unionAll(leg(0.0, "plain")).orderBy("path")
     },
 
+    // TYPICAL-ACCEPTANCE TREE SERVING LOOP (q292): q277's
+    // speed-vs-fidelity dial cycled until 2 tokens are emitted — the
+    // LAST decode mode to get its serving loop. The mode is DRAW-FREE
+    // (thresholds + argmax — cycles are pure functions of the
+    // prefix), so cycle 1 replays q277 verbatim with no salt
+    // bookkeeping; a cycle always emits ≥ 1 token (the argmax
+    // continuation), so only n_acc = 0 docs take a second cycle,
+    // whose first emitted token the oracle restates with a fresh
+    // half-chain over the grown prefix.
+    "q292_torch_tree_typical_loop" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(earlyExitModel)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftTypicalLoop(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, posteriorEps = 0.25, posteriorAlpha = 0.5,
+          maxNewTokens = 2, batchSize = 256)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
     // AUTO-BRANCH from tree telemetry (q290): q283's pick applied to
     // the TREE mode — branch candidates {1, 2} each run their own
     // stochastic-tree sweep (no salt-prefix trick across branch
@@ -12482,6 +12511,106 @@ object SparkEntry {
          |JOIN em2 e2 ON e2.doc_id = e1.doc_id
          |JOIN em3 e3 ON e3.doc_id = e1.doc_id
          |ORDER BY e1.doc_id""".stripMargin
+    },
+
+    // Typical-tree serving loop (q292): the whole q277 chain as a
+    // scoped nested-WITH CTE (cycle 1, draw-free), then a fresh
+    // half-chain over the grown prefix for the n_acc = 0 docs'
+    // second cycle — early-exit draft top-2, target prob/thr, the
+    // typical pick or the argmax fallback.
+    "q292_torch_tree_typical_loop" -> {
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val fcT = new graft.torch.TorchScriptModel(IndexedSeq(
+        m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+        val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+        val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+        val pCols = (0 until model.seqHead.get.vocab)
+          .map(j => s"p$j").mkString(", ")
+        val block =
+          if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
+            encBlockSql(model, pool = "last", tokensCte = Some(toksName))
+          else earlyExitBlockSql(model, toksName)
+        TorchOracle.mlpArgmaxSql(fc, block,
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+      }
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      val amax = TorchOracle.armArgmax(fcT, "p")
+      s"""WITH c1 AS MATERIALIZED (
+         |${treeDraftTypicalOracle(earlyExitModel, eps = 0.25, alpha = 0.5)}
+         |),
+         |words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |toks0 AS MATERIALIZED (SELECT * FROM words),
+         |toksB AS MATERIALIZED (
+         |  SELECT t.doc_id, t.tid, t.pos FROM toks0 t
+         |  UNION ALL
+         |  SELECT c.doc_id, CAST(c.f1 AS BIGINT), l.mp + 1
+         |  FROM c1 c
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id) l
+         |    ON l.doc_id = c.doc_id),
+         |logitDB AS MATERIALIZED (
+         |${fwdP(earlyExitModel, "toksB")}
+         |),
+         |${softmax6("logitDB", "qrootB")},
+         |rootB AS MATERIALIZED (
+         |  SELECT doc_id, tid,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY p6 DESC, tid) AS rk
+         |  FROM qrootB QUALIFY rk <= 2),
+         |logitTB AS MATERIALIZED (
+         |${fwdP(m, "toksB")}
+         |),
+         |${softmax6("logitTB", "probB")},
+         |thrB AS MATERIALIZED (
+         |  SELECT doc_id, round(least(CAST(0.25 AS DOUBLE),
+         |    CAST(0.5 AS DOUBLE) * exp(-h)), 6) AS thr
+         |  FROM (SELECT doc_id,
+         |          -sum(CASE WHEN p6 = CAST(0 AS DOUBLE)
+         |                    THEN CAST(0 AS DOUBLE)
+         |                    ELSE p6 * ln(p6) END) AS h
+         |        FROM probB GROUP BY doc_id)),
+         |pickB AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT a.doc_id, a.tid,
+         |      row_number() OVER (PARTITION BY a.doc_id
+         |                         ORDER BY a.p6 DESC, a.tid) AS rk
+         |    FROM (SELECT r.doc_id, r.tid, p.p6
+         |          FROM rootB r
+         |          JOIN probB p ON p.doc_id = r.doc_id AND p.tid = r.tid
+         |          JOIN thrB t ON t.doc_id = r.doc_id
+         |          WHERE p.p6 >= t.thr) a)
+         |  WHERE rk = 1),
+         |bonB AS (SELECT doc_id, $amax AS tid FROM logitTB)
+         |SELECT c.doc_id,
+         |  CAST(c.f1 AS INT) AS f1,
+         |  CAST(CASE WHEN c.n_acc = 0 THEN coalesce(p.tid, b.tid)
+         |            ELSE c.f2 END AS INT) AS f2,
+         |  CAST(CASE WHEN c.n_acc = 0 THEN 2 ELSE 1 END AS INT) AS n_cyc
+         |FROM c1 c
+         |LEFT JOIN pickB p ON p.doc_id = c.doc_id
+         |LEFT JOIN bonB b ON b.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
     },
 
     // Auto-branch: the q249 chain (branch = 1 — bit-exact by the

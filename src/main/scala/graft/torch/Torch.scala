@@ -4455,6 +4455,171 @@ object Torch {
   }
 
   /**
+   * The TYPICAL-ACCEPTANCE TREE SERVING LOOP — [[treeDraftTypical]]
+   * cycled until `maxNewTokens` tokens are emitted (then truncated),
+   * giving the LAST decode mode its serving loop (every other mode's
+   * landed in rounds 17–19): each cycle the draft proposes a fresh
+   * `branch × depth` tree at the CURRENT prefix (forks of the
+   * accepted-prefix draft session), the target walks Medusa's typical
+   * rule (`p6(x) ≥ q6(min(ε, δ·e^{−H}))` per level, highest-p6
+   * accepted child descends), and the emitted tokens (accepted path +
+   * the argmax continuation) extend BOTH sessions. The whole mode is
+   * DRAW-FREE — cycles are pure functions of the prefix — so cycle 1
+   * replays [[treeDraftTypical]] verbatim (spec-pinned) with no salt
+   * bookkeeping at all. Cycles run to completion (cycle-level
+   * `n_acc_total`, the [[speculativeSampledLoop]] convention).
+   *
+   * @return input columns + `out_toks` array<int> (exactly
+   *         maxNewTokens tokens), `n_cycles` int, `n_acc_total` int;
+   *         null prompt → all null
+   */
+  def treeDraftTypicalLoop(
+      df: DataFrame,
+      inputCol: String,
+      target: Broadcast[TorchScriptModel],
+      draft: Broadcast[TorchScriptModel],
+      branch: Int,
+      depth: Int,
+      posteriorEps: Double,
+      posteriorAlpha: Double,
+      maxNewTokens: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(branch >= 1, "branch must be >= 1")
+    require(depth >= 1, "depth must be >= 1")
+    require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    require(posteriorEps > 0.0 && posteriorEps <= 1.0,
+      "posteriorEps must be in (0, 1]")
+    require(posteriorAlpha > 0.0, "posteriorAlpha must be > 0")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(target.value.inDim == -1 && draft.value.inDim == -1,
+      "treeDraftTypicalLoop needs token-input models")
+    require(!target.value.isCross && !draft.value.isCross,
+      "cross-attention models not supported here")
+    require(target.value.outDim == draft.value.outDim,
+      "draft and target must share the vocabulary")
+    require(branch <= target.value.outDim, "branch exceeds the vocabulary")
+    require(target.value.cacheable && draft.value.cacheable,
+      "tree-draft decoding needs the KV-session path (cacheable models)")
+    val withInts = df.withColumn(inputCol,
+      col(inputCol).cast(ArrayType(IntegerType)))
+    val schema = StructType(withInts.schema.fields ++ Seq(
+      StructField("out_toks", ArrayType(IntegerType), nullable = true),
+      StructField("n_cycles", IntegerType, nullable = true),
+      StructField("n_acc_total", IntegerType, nullable = true)))
+    val inIdx = withInts.schema.fieldIndex(inputCol)
+    withInts.mapPartitions { it =>
+      val tm = target.value
+      val dm = draft.value
+      val vocab = tm.outDim
+      def q6(x: Double): Double = Spec.q6(x)
+      def probs6(lg: Array[Float]): Array[Double] = Spec.probs6(lg, vocab)
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      def topBranch(lg: Array[Float]): Array[Int] = {
+        val p6 = probs6(lg)
+        (0 until vocab).sortBy(j => (-p6(j), j)).take(branch).toArray
+      }
+      // treeDraftTypical's threshold verbatim (one copy of the rule
+      // would be nicer, but the cell's is a closure over its own
+      // knobs — the spec pins cycle-1 bit-equality instead)
+      def threshold6(pp: Array[Double]): Double = {
+        var h = 0.0
+        var j = 0
+        while (j < vocab) {
+          if (pp(j) > 0.0) h -= pp(j) * StrictMath.log(pp(j))
+          j += 1
+        }
+        q6(math.min(posteriorEps, posteriorAlpha * StrictMath.exp(-h)))
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.map { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(inIdx)) null
+            else {
+              val xs = r.getSeq[Any](inIdx)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          else {
+            val st = tm.decodeSession(p)
+            var sd = dm.decodeSession(p)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var cycles = 0
+            var accTotal = 0
+            while (out.length < maxNewTokens) {
+              cycles += 1
+              // this cycle's tree on forks of the draft session
+              val childrenOf =
+                scala.collection.mutable.Map.empty[Vector[Int], Array[Int]]
+              var frontier: Seq[(dm.DecodeSession, Vector[Int])] =
+                Seq((sd, Vector.empty))
+              while (frontier.nonEmpty) {
+                val next = scala.collection.mutable.ArrayBuffer
+                  .empty[(dm.DecodeSession, Vector[Int])]
+                frontier.foreach { case (sess, path) =>
+                  val kids = topBranch(sess.logits())
+                  childrenOf(path) = kids
+                  if (path.length + 1 < depth) kids.foreach { c =>
+                    val child = sess.fork()
+                    child.append(c)
+                    next += ((child, path :+ c))
+                  }
+                }
+                frontier = next.toSeq
+              }
+              // the typical walk; emitted tokens extend BOTH sessions
+              def emit(t: Int): Unit = {
+                out += t
+                st.append(t)
+                val nd = sd.fork(); nd.append(t); sd = nd
+              }
+              var path = Vector.empty[Int]
+              var n = 0
+              var stopped = false
+              while (n < depth && !stopped) {
+                val pp = probs6(st.logits())
+                val thr = threshold6(pp)
+                val acc = childrenOf(path).filter(c => pp(c) >= thr)
+                if (acc.isEmpty) stopped = true
+                else {
+                  val c = acc.minBy(x => (-pp(x), x))
+                  emit(c)
+                  path :+= c
+                  n += 1
+                  accTotal += 1
+                }
+              }
+              emit(argmaxFirst(st.logits())) // the argmax continuation
+            }
+            Row.fromSeq(r.toSeq ++
+              Seq(out.take(maxNewTokens).toSeq, cycles, accTotal))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
    * The TREE-DRAFT SERVING LOOP — [[treeDraftGreedy]] cycled until
    * `maxNewTokens` tokens are emitted (then truncated), completing
    * the {cell, loop, telemetry} triple for the tree mode like

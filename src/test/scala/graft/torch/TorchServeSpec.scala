@@ -401,6 +401,73 @@ class TorchServeSpec extends AnyFunSuite {
       "the watermark never mattered inside the composed run")
   }
 
+  test("q292 typical-tree loop: cycle 1 IS q277; cycle accounting; cycle-2 threshold margins floor") {
+    val tm = graft.SparkEntry.genModel
+    val dm0 = graft.SparkEntry.earlyExitModel
+    val vocab = tm.outDim
+    val bcT = spark.sparkContext.broadcast(tm)
+    val bcD = spark.sparkContext.broadcast(dm0)
+    val toks = fixturePrompts(vocab)
+    val (eps, alpha) = (0.25, 0.5)
+    val loop = Torch.treeDraftTypicalLoop(toks, "tok_ids", bcT, bcD,
+        branch = 2, depth = 2, posteriorEps = eps, posteriorAlpha = alpha,
+        maxNewTokens = 2)
+      .select("doc_id", "tok_ids", "out_toks", "n_cycles", "n_acc_total")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toArray,
+        r.getSeq[Int](2).toSeq, r.getInt(3), r.getInt(4)))).toMap
+    val cell = Torch.treeDraftTypical(toks, "tok_ids", bcT, bcD,
+        branch = 2, depth = 2, posteriorEps = eps, posteriorAlpha = alpha)
+      .select("doc_id", "n_accepted", "out_toks").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2).toSeq))).toMap
+    assert(loop.nonEmpty && loop.keySet == cell.keySet)
+    var twoCycle = 0
+    for ((id, (_, out, cyc, acc)) <- loop) {
+      val (n1, cout) = cell(id)
+      assert(out.length == 2)
+      assert(out.head == cout.head,
+        s"doc $id: loop f1 ${out.head} != q277 cell ${cout.head}")
+      if (n1 >= 1) assert(cyc == 1 && out == cout.take(2) && acc >= n1,
+        s"doc $id one-cycle replay broke: $out vs $cout")
+      else { twoCycle += 1; assert(cyc == 2) }
+    }
+    info(s"q292 sf0.001 two-cycle docs: $twoCycle / ${loop.size}")
+    assert(twoCycle > 0 && twoCycle < loop.size, "a cycle arm never fired")
+    // cycle-2 threshold decisions are NEW oracle decision points (the
+    // q277 cell's measured margins don't cover grown prefixes) — pin
+    // their |p6 − thr6| floor the same way
+    def thr6(pp: Array[Double]): Double = {
+      val h = -pp.filter(_ > 0.0).map(x => x * StrictMath.log(x)).sum
+      q6(math.min(eps, alpha * StrictMath.exp(-h)))
+    }
+    var minMargin = Double.MaxValue
+    for ((id, (prompt, out, cyc, _)) <- loop if cyc == 2) {
+      val grown = prompt :+ out.head
+      val qp = probs6Of(dm0.forwardTokens(grown)).toArray
+      val kids = (0 until vocab).sortBy(j => (-qp(j), j)).take(2)
+      val pp = probs6Of(tm.forwardTokens(grown)).toArray
+      val t = thr6(pp)
+      kids.foreach(c => minMargin = math.min(minMargin, math.abs(pp(c) - t)))
+      // and the emitted token is the walk's own restatement
+      val acc = kids.filter(c => pp(c) >= t)
+      val exp =
+        if (acc.isEmpty) {
+          val lg = tm.forwardTokens(grown)
+          var best = 0
+          for (j <- 1 until vocab) if (lg(j) > lg(best)) best = j
+          best
+        } else acc.minBy(x => (-pp(x), x))
+      assert(out(1) == exp,
+        s"doc $id: cycle-2 emission ${out(1)} != f64 replay $exp")
+    }
+    info(s"q292 cycle-2 min |p6 - thr6| margin: $minMargin")
+    // measured 0.1195 on the fixture's two-cycle docs (grown prefixes
+    // land far from the threshold) — pinned at the cell's 2e-4
+    // discipline, ~600x below the measurement
+    assert(minMargin >= 2e-4,
+      s"cycle-2 typical threshold margin too thin: $minMargin")
+  }
+
   test("q290 auto-branch: yields == the per-branch sweeps; exact scores; identity draft picks the narrow tree") {
     val tm = graft.SparkEntry.genModel
     val bcT = spark.sparkContext.broadcast(tm)
