@@ -2640,6 +2640,44 @@ object SparkEntry {
       leg(2.0, "watermarked").unionAll(leg(0.0, "plain")).orderBy("path")
     },
 
+    // BOUNDED-KV CROSS-PAIR SERVING (q293): the q279 loop at a fixed
+    // decoder KV budget — both models' decoder-side causal caches
+    // evict to a PURE 2-position sliding window (nSink = 0 — the
+    // StreamingLLM ablation; the encoder k/v never evict, they're the
+    // fixed source encoding), so a translation server's per-session
+    // state stays O(2) decoder positions however long the output
+    // runs. The no-sink window is the config whose eviction lands
+    // INSIDE cycle-1 verification on 2-token decoder prompts
+    // (position 2 drops position 0, changing the second acceptance's
+    // target distribution — a sink+window of the same total budget
+    // only evicts positions that feed truncated-away outputs here);
+    // window >= length ≡ q279 bit-exact is spec-pinned.
+    "q293_torch_pair_loop_kv" -> { (s, dir) =>
+      val m = crossGenModel
+      val dvocab = m.seqHead.get.vocab
+      val kvocab = m.encHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
+          .as("words"))
+        .filter(size(col("words")) >= 1)
+        .select(col("doc_id"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
+            1, 2).as("d_ids"),
+          slice(transform(col("words"),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
+            1, EncMaxLen).as("s_ids"))
+      Torch.speculativeSampledPairLoop(toks, "doc_id", "d_ids", "s_ids",
+          bcT, bcD, gamma = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = 0, nWindow = 2)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
     // TYPICAL-ACCEPTANCE TREE SERVING LOOP (q292): q277's
     // speed-vs-fidelity dial cycled until 2 tokens are emitted — the
     // LAST decode mode to get its serving loop. The mode is DRAW-FREE
@@ -13218,145 +13256,11 @@ object SparkEntry {
     // grows the decoder prefix by the correction and replays the
     // single-position arm (d3/a3/r3) for the second emitted token;
     // the all-accepted bonus never surfaces at maxNewTokens = 2.
-    "q279_torch_cross_spec_loop" -> {
-      val gt = new CrossOracleGen(crossGenModel)
-      val gd = new CrossOracleGen(
-        graft.torch.TorchQuant.quantize(crossGenModel, 7))
-      val vocab = crossGenModel.seqHead.get.vocab
-      def fwdP(g: CrossOracleGen, dtoks: String, kh: String): String = {
-        val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
-        TorchOracle.mlpArgmaxSql(g.fc, g.stepBody(dtoks, kh),
-          arms = Seq("p"), carry = Seq("doc_id"),
-          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(g.fc)}")
-      }
-      def softmax6(src: String, out: String): String = {
-        val unpivot = (0 until vocab).map(j =>
-          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
-          .mkString("\n  UNION ALL ")
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, round(e / z, 6) AS p6
-           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
-           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
-           |        FROM (SELECT doc_id, tid, lp,
-           |                     max(lp) OVER (PARTITION BY doc_id) AS m
-           |              FROM ($unpivot))))""".stripMargin
-      }
-      def u(salt: String, docRef: String = "doc_id"): String =
-        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
-          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
-      def pickCte(src: String, massCol: String, salt: String,
-          out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid FROM (
-           |    SELECT doc_id, tid,
-           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
-           |    FROM (SELECT doc_id, tid, rk, cs,
-           |                 max(cs) OVER (PARTITION BY doc_id) AS total
-           |          FROM (SELECT doc_id, tid,
-           |                  row_number() OVER (PARTITION BY doc_id
-           |                    ORDER BY $massCol DESC, tid) AS rk,
-           |                  sum($massCol) OVER (PARTITION BY doc_id
-           |                    ORDER BY $massCol DESC, tid) AS cs
-           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
-           |    WHERE round(cs / total, 6) > ${u(salt)})
-           |  WHERE prk = 1)""".stripMargin
-      def grow(prev: String, pickSrc: String, out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, pos FROM $prev
-           |  UNION ALL
-           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
-           |  FROM $pickSrc s
-           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
-           |        GROUP BY doc_id) l
-           |    ON l.doc_id = s.doc_id)""".stripMargin
-      def resid(out: String, p: String, q: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
-           |  FROM $p p JOIN $q q
-           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
-      s"""WITH ${gt.prelude(2)},
-         |${gd.khCte("khd")},
-         |logitD1 AS MATERIALIZED (
-         |${fwdP(gd, "dtoks0", "khd")}
-         |),
-         |${softmax6("logitD1", "qprob1")},
-         |${pickCte("qprob1", "p6", "d1", "dpick1")},
-         |${grow("dtoks0", "dpick1", "dtoks1")},
-         |logitD2 AS MATERIALIZED (
-         |${fwdP(gd, "dtoks1", "khd")}
-         |),
-         |${softmax6("logitD2", "qprob2")},
-         |${pickCte("qprob2", "p6", "d2", "dpick2")},
-         |logitT1 AS MATERIALIZED (
-         |${fwdP(gt, "dtoks0", "kh")}
-         |),
-         |${softmax6("logitT1", "pprob1")},
-         |logitT2 AS MATERIALIZED (
-         |${fwdP(gt, "dtoks1", "kh")}
-         |),
-         |${softmax6("logitT2", "pprob2")},
-         |accx AS MATERIALIZED (
-         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
-         |    (${u("a1", "d1.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
-         |    (${u("a2", "d1.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
-         |  FROM dpick1 d1
-         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
-         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
-         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
-         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
-         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
-         |${resid("resid1", "pprob1", "qprob1")},
-         |${pickCte("resid1", "rmass", "r1", "rpick1")},
-         |${resid("resid2", "pprob2", "qprob2")},
-         |${pickCte("resid2", "rmass", "r2", "rpick2")},
-         |em1 AS MATERIALIZED (
-         |  SELECT a.doc_id, a.x2, a.acc1, a.acc2,
-         |    CASE WHEN a.acc1 THEN a.x1
-         |         ELSE coalesce(r1.tid, a.x1) END AS f1
-         |  FROM accx a
-         |  LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id),
-         |dtoksC2 AS MATERIALIZED (
-         |  SELECT doc_id, tid, pos FROM dtoks0
-         |  UNION ALL
-         |  SELECT e.doc_id, CAST(e.f1 AS BIGINT) AS tid, l.mp + 1 AS pos
-         |  FROM em1 e
-         |  JOIN (SELECT doc_id, max(pos) AS mp FROM dtoks0
-         |        GROUP BY doc_id) l
-         |    ON l.doc_id = e.doc_id),
-         |logitD3 AS MATERIALIZED (
-         |${fwdP(gd, "dtoksC2", "khd")}
-         |),
-         |${softmax6("logitD3", "qprob3")},
-         |${pickCte("qprob3", "p6", "d3", "dpick3")},
-         |logitT3 AS MATERIALIZED (
-         |${fwdP(gt, "dtoksC2", "kh")}
-         |),
-         |${softmax6("logitT3", "pprob3")},
-         |acc3 AS MATERIALIZED (
-         |  SELECT d3.doc_id, d3.tid AS x3,
-         |    (${u("a3", "d3.doc_id")} <
-         |     round(least(CAST(1 AS DOUBLE), pp3.p6 / qp3.p6), 6)) AS ok
-         |  FROM dpick3 d3
-         |  JOIN pprob3 pp3 ON pp3.doc_id = d3.doc_id AND pp3.tid = d3.tid
-         |  JOIN qprob3 qp3 ON qp3.doc_id = d3.doc_id AND qp3.tid = d3.tid),
-         |${resid("resid3", "pprob3", "qprob3")},
-         |${pickCte("resid3", "rmass", "r3", "rpick3")}
-         |SELECT e.doc_id,
-         |  CAST(e.f1 AS INT) AS f1,
-         |  CAST(CASE WHEN NOT e.acc1 THEN
-         |              CASE WHEN a3.ok THEN a3.x3
-         |                   ELSE coalesce(r3.tid, a3.x3) END
-         |            WHEN NOT e.acc2 THEN coalesce(r2.tid, e.x2)
-         |            ELSE e.x2 END AS INT) AS f2,
-         |  CAST(CASE WHEN NOT e.acc1 THEN 2 ELSE 1 END AS INT) AS n_cyc
-         |FROM em1 e
-         |LEFT JOIN acc3 a3 ON a3.doc_id = e.doc_id
-         |LEFT JOIN rpick2 r2 ON r2.doc_id = e.doc_id
-         |LEFT JOIN rpick3 r3 ON r3.doc_id = e.doc_id
-         |ORDER BY e.doc_id""".stripMargin
-    },
+    "q279_torch_cross_spec_loop" -> crossSpecLoopOracle(),
+
+    // Bounded-KV pair serving: the q279 chain with the sink-or-window
+    // predicate on every decoder self-attention join.
+    "q293_torch_pair_loop_kv" -> crossSpecLoopOracle(Some((0, 2))),
 
     // Retrieval canary (q278): deterministic end to end (frozen q246
     // index artifacts + exact rerank + brute-force A/B on a pinned
@@ -14981,6 +14885,153 @@ object SparkEntry {
             s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS p$j").mkString(", ")}
        |FROM lastt JOIN embw USING (tid)
        |JOIN posw ON posw.ppos = lastt.pos - 1""".stripMargin
+  }
+
+  /** The q279 cross-pair serving-loop oracle chain (cycle 1 = the
+    * q261 arms, then the n_acc = 0 docs' second-cycle first-position
+    * arm over the grown decoder prefix). `kvWindow` (q293) threads
+    * the bounded-KV visibility predicate through every decoder
+    * self-attention join, draft and target alike. */
+  private def crossSpecLoopOracle(
+      kvWindow: Option[(Int, Int)] = None): String = {
+      val gt = new CrossOracleGen(crossGenModel)
+      val gd = new CrossOracleGen(
+        graft.torch.TorchQuant.quantize(crossGenModel, 7))
+      val vocab = crossGenModel.seqHead.get.vocab
+      def fwdP(g: CrossOracleGen, dtoks: String, kh: String): String = {
+        val pCols = (0 until vocab).map(j => s"p$j").mkString(", ")
+        TorchOracle.mlpArgmaxSql(g.fc,
+          g.stepBody(dtoks, kh, kvWindow = kvWindow),
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(g.fc)}")
+      }
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      def u(salt: String, docRef: String = "doc_id"): String =
+        s"(CAST('0x' || substring(md5(CAST($docRef AS VARCHAR) || " +
+          s"':spec:$salt'), 1, 8) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+      def pickCte(src: String, massCol: String, salt: String,
+          out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid FROM (
+           |    SELECT doc_id, tid,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS prk
+           |    FROM (SELECT doc_id, tid, rk, cs,
+           |                 max(cs) OVER (PARTITION BY doc_id) AS total
+           |          FROM (SELECT doc_id, tid,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS rk,
+           |                  sum($massCol) OVER (PARTITION BY doc_id
+           |                    ORDER BY $massCol DESC, tid) AS cs
+           |                FROM $src WHERE $massCol > CAST(0 AS DOUBLE)))
+           |    WHERE round(cs / total, 6) > ${u(salt)})
+           |  WHERE prk = 1)""".stripMargin
+      def grow(prev: String, pickSrc: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, pos FROM $prev
+           |  UNION ALL
+           |  SELECT s.doc_id, CAST(s.tid AS BIGINT) AS tid, l.mp + 1 AS pos
+           |  FROM $pickSrc s
+           |  JOIN (SELECT doc_id, max(pos) AS mp FROM $prev
+           |        GROUP BY doc_id) l
+           |    ON l.doc_id = s.doc_id)""".stripMargin
+      def resid(out: String, p: String, q: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT p.doc_id, p.tid, p.p6 - q.p6 AS rmass
+           |  FROM $p p JOIN $q q
+           |    ON q.doc_id = p.doc_id AND q.tid = p.tid)""".stripMargin
+      s"""WITH ${gt.prelude(2)},
+         |${gd.khCte("khd")},
+         |logitD1 AS MATERIALIZED (
+         |${fwdP(gd, "dtoks0", "khd")}
+         |),
+         |${softmax6("logitD1", "qprob1")},
+         |${pickCte("qprob1", "p6", "d1", "dpick1")},
+         |${grow("dtoks0", "dpick1", "dtoks1")},
+         |logitD2 AS MATERIALIZED (
+         |${fwdP(gd, "dtoks1", "khd")}
+         |),
+         |${softmax6("logitD2", "qprob2")},
+         |${pickCte("qprob2", "p6", "d2", "dpick2")},
+         |logitT1 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks0", "kh")}
+         |),
+         |${softmax6("logitT1", "pprob1")},
+         |logitT2 AS MATERIALIZED (
+         |${fwdP(gt, "dtoks1", "kh")}
+         |),
+         |${softmax6("logitT2", "pprob2")},
+         |accx AS MATERIALIZED (
+         |  SELECT d1.doc_id, d1.tid AS x1, d2.tid AS x2,
+         |    (${u("a1", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp1.p6 / qp1.p6), 6)) AS acc1,
+         |    (${u("a2", "d1.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp2.p6 / qp2.p6), 6)) AS acc2
+         |  FROM dpick1 d1
+         |  JOIN dpick2 d2 ON d2.doc_id = d1.doc_id
+         |  JOIN pprob1 pp1 ON pp1.doc_id = d1.doc_id AND pp1.tid = d1.tid
+         |  JOIN qprob1 qp1 ON qp1.doc_id = d1.doc_id AND qp1.tid = d1.tid
+         |  JOIN pprob2 pp2 ON pp2.doc_id = d1.doc_id AND pp2.tid = d2.tid
+         |  JOIN qprob2 qp2 ON qp2.doc_id = d1.doc_id AND qp2.tid = d2.tid),
+         |${resid("resid1", "pprob1", "qprob1")},
+         |${pickCte("resid1", "rmass", "r1", "rpick1")},
+         |${resid("resid2", "pprob2", "qprob2")},
+         |${pickCte("resid2", "rmass", "r2", "rpick2")},
+         |em1 AS MATERIALIZED (
+         |  SELECT a.doc_id, a.x2, a.acc1, a.acc2,
+         |    CASE WHEN a.acc1 THEN a.x1
+         |         ELSE coalesce(r1.tid, a.x1) END AS f1
+         |  FROM accx a
+         |  LEFT JOIN rpick1 r1 ON r1.doc_id = a.doc_id),
+         |dtoksC2 AS MATERIALIZED (
+         |  SELECT doc_id, tid, pos FROM dtoks0
+         |  UNION ALL
+         |  SELECT e.doc_id, CAST(e.f1 AS BIGINT) AS tid, l.mp + 1 AS pos
+         |  FROM em1 e
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM dtoks0
+         |        GROUP BY doc_id) l
+         |    ON l.doc_id = e.doc_id),
+         |logitD3 AS MATERIALIZED (
+         |${fwdP(gd, "dtoksC2", "khd")}
+         |),
+         |${softmax6("logitD3", "qprob3")},
+         |${pickCte("qprob3", "p6", "d3", "dpick3")},
+         |logitT3 AS MATERIALIZED (
+         |${fwdP(gt, "dtoksC2", "kh")}
+         |),
+         |${softmax6("logitT3", "pprob3")},
+         |acc3 AS MATERIALIZED (
+         |  SELECT d3.doc_id, d3.tid AS x3,
+         |    (${u("a3", "d3.doc_id")} <
+         |     round(least(CAST(1 AS DOUBLE), pp3.p6 / qp3.p6), 6)) AS ok
+         |  FROM dpick3 d3
+         |  JOIN pprob3 pp3 ON pp3.doc_id = d3.doc_id AND pp3.tid = d3.tid
+         |  JOIN qprob3 qp3 ON qp3.doc_id = d3.doc_id AND qp3.tid = d3.tid),
+         |${resid("resid3", "pprob3", "qprob3")},
+         |${pickCte("resid3", "rmass", "r3", "rpick3")}
+         |SELECT e.doc_id,
+         |  CAST(e.f1 AS INT) AS f1,
+         |  CAST(CASE WHEN NOT e.acc1 THEN
+         |              CASE WHEN a3.ok THEN a3.x3
+         |                   ELSE coalesce(r3.tid, a3.x3) END
+         |            WHEN NOT e.acc2 THEN coalesce(r2.tid, e.x2)
+         |            ELSE e.x2 END AS INT) AS f2,
+         |  CAST(CASE WHEN NOT e.acc1 THEN 2 ELSE 1 END AS INT) AS n_cyc
+         |FROM em1 e
+         |LEFT JOIN acc3 a3 ON a3.doc_id = e.doc_id
+         |LEFT JOIN rpick2 r2 ON r2.doc_id = e.doc_id
+         |LEFT JOIN rpick3 r3 ON r3.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin
   }
 
   /** The q261 cross-pair gamma = 2 oracle chain (also the base the
@@ -17113,9 +17164,19 @@ object SparkEntry {
       s"${terms.mkString("(", "+", ")")} + e$o AS y$o"
     }.mkString(",\n   ")
     /** One decoder forward over `dtoks` -> `SELECT doc_id, p0..p{d-1}`
-      * (the last position's block output, pre-LM-head). */
+      * (the last position's block output, pre-LM-head). `kvWindow`
+      * (q293) adds the bounded-KV sink-or-window visibility predicate
+      * to the decoder SELF-attention join (encBlockSql's kvWindow,
+      * cross-side k/v untouched — the session never evicts the fixed
+      * encoder projections). */
     def stepBody(dtoks: String, khName: String = "kh",
-        allPositions: Boolean = false): String =
+        allPositions: Boolean = false,
+        kvWindow: Option[(Int, Int)] = None): String = {
+      val windowCond = kvWindow match {
+        case None => ""
+        case Some((nSink, nWindow)) =>
+          s" AND (b.pos <= $nSink OR b.pos + $nWindow > a.pos)"
+      }
       s"""WITH xq AS (SELECT $dtoks.doc_id, $dtoks.pos,
          |        ${(0 until d).map(j =>
                     s"CAST(w$j AS DOUBLE) + CAST(pp$j AS DOUBLE) AS w$j").mkString(", ")}
@@ -17125,7 +17186,7 @@ object SparkEntry {
          |   $sqSel
          | FROM xq),
          |ss AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, $sScore, $sVCarry
-         | FROM sq a JOIN sq b ON a.doc_id = b.doc_id AND b.pos <= a.pos),
+         | FROM sq a JOIN sq b ON a.doc_id = b.doc_id AND b.pos <= a.pos$windowCond),
          |smx AS (SELECT doc_id, pa, $sMx FROM ss GROUP BY doc_id, pa),
          |sex AS (SELECT s.doc_id, s.pa, $sEx, $sExV
          |        FROM ss s JOIN smx mx ON s.doc_id = mx.doc_id AND s.pa = mx.pa),
@@ -17159,7 +17220,7 @@ object SparkEntry {
              s"SELECT n3.doc_id, n3.pos, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")} FROM n3"
            else
              s"SELECT n3.doc_id, ${(0 until d).map(j => s"z$j AS p$j").mkString(", ")}\nFROM n3 JOIN lens ON n3.doc_id = lens.doc_id AND n3.pos = lens.mp"}""".stripMargin
-
+    }
 
     /** Shared outer CTEs: source tokens, decoder prompt, embedding /
       * position VALUES tables, the encoded source rows `xk`, and THIS

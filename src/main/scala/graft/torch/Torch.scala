@@ -2059,9 +2059,20 @@ object Torch {
       draft: Broadcast[TorchScriptModel],
       gamma: Int,
       maxNewTokens: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      nSink: Int = -1,
+      nWindow: Int = -1): DataFrame = {
     require(gamma >= 1, "gamma must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    // BOUNDED-KV pair serving (q293): the decoder-side causal caches
+    // of BOTH models evict to nSink sinks + an nWindow window
+    // (decodeSessionWindowed's cross leg — the once-computed encoder
+    // k/v are immutable and never evict); forks inherit the knobs.
+    // nWindow <= 0 keeps the unbounded sessions (identical
+    // arithmetic; spec-pinned).
+    val windowed = nWindow > 0
+    require(!windowed || nSink >= 0,
+      "a bounded-KV loop needs nSink >= 0 alongside nWindow >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(target.value.inDim == -1 && draft.value.inDim == -1,
@@ -2113,8 +2124,14 @@ object Torch {
             Row.fromSeq(r.toSeq ++ Seq(null, null, null))
           else {
             val id = r.getAs[Number](idIdx).longValue()
-            var st0 = tm.decodeSession(p, src) // target @ accepted prefix
-            var sd0 = dm.decodeSession(p, src) // draft  @ accepted prefix
+            // target/draft @ accepted prefix (decoder caches bounded
+            // when the loop runs at a KV budget)
+            var st0 = if (windowed)
+                tm.decodeSessionWindowed(p, nSink, nWindow, src)
+              else tm.decodeSession(p, src)
+            var sd0 = if (windowed)
+                dm.decodeSessionWindowed(p, nSink, nWindow, src)
+              else dm.decodeSession(p, src)
             val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]
             var cycles = 0
             var accTotal = 0

@@ -318,6 +318,35 @@ class TorchServeSpec extends AnyFunSuite {
       s"identity-draft tie did not fall to gamma 1: ${idRows.toSeq}")
   }
 
+  test("q293 bounded-KV pair loop: neutral window replays q279; the sliding window bites in-cycle") {
+    val m = graft.SparkEntry.crossGenModel
+    val bcT = spark.sparkContext.broadcast(m)
+    val bcD = spark.sparkContext.broadcast(TorchQuant.quantize(m, 7))
+    val df = crossPrompts(m)
+    def run(nSink: Int = -1, nWindow: Int = -1) =
+      Torch.speculativeSampledPairLoop(df, "doc_id", "d_ids", "s_ids",
+          bcT, bcD, gamma = 2, maxNewTokens = 2, nSink = nSink,
+          nWindow = nWindow)
+        .select("doc_id", "out_toks", "n_cycles").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getInt(2))))
+        .toMap
+    val plain = run()
+    // decoder prefixes cap at 2 + 2 emitted + 2 drafts = 6 positions:
+    // window 8 never evicts — identical cache walks
+    assert(run(nSink = 0, nWindow = 8) == plain,
+      "a never-evicting window diverged from the unbounded pair loop")
+    // the q293 config (pure 2-window, no sink) must move outcomes —
+    // its eviction lands inside cycle-1 verification. NOTE the
+    // measured config lesson: sink=1 + window=2 at these prompt
+    // lengths only evicts positions feeding truncated-away outputs
+    // (0 rows moved at sf0.1) — a bounded-KV gate must PROVE its
+    // knob bites, not assume it
+    val tight = run(nSink = 0, nWindow = 2)
+    val moved = tight.count { case (id, v) => v != plain(id) }
+    info(s"q293 sf0.001: eviction moved $moved / ${tight.size} loop outputs")
+    assert(moved > 0 && moved < tight.size, "bounded-KV pair loop degenerate")
+  }
+
   test("q287 stochastic-tree loop: cycle 1 IS q280; cycle accounting; both arms live") {
     val tm = graft.SparkEntry.genModel
     val bcT = spark.sparkContext.broadcast(tm)
