@@ -2785,6 +2785,29 @@ object SparkEntry {
         sampleEvery = 25, maxSample = 20)
     },
 
+    // AUTO-NPROBE from canary telemetry (q294): the q283 telemetry →
+    // knob closure applied to retrieval serving — one max-nprobe
+    // probe pass prices the whole {1,2,4,8,16} ladder (each candidate
+    // carries its cell's probe RANK; rank <= n is exactly the
+    // nprobe = n candidate set, and the per-(query, cell) LUT is
+    // nprobe-independent), then the smallest rung whose canary
+    // recall@5 meets 7/10 is PICKED by integer cross-multiplication.
+    // The spec pins every rung bit-identical to the standalone q278
+    // canary at that nprobe and the pick law restated by hand; the
+    // oracle pins the per-SF integer sweep (deterministic end to end,
+    // the q278/q106 pattern). The ladder is discriminating on every
+    // SF — the q293 vacuous-knob lesson applied before shipping.
+    "q294_ann_auto_nprobe" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val (ixP, codesP) = q246AnnArtifacts(s, dir)
+      val ix = graft.operators.Similarity.loadIndex(s, ixP)
+      val codes = s.read.parquet(codesP)
+      graft.operators.Similarity.autoNprobe(emb, codes, "vec_id",
+        "embedding", ix, k = 5, shortlist = 100,
+        nprobes = Seq(1, 2, 4, 8, 16), recallNum = 7, recallDen = 10,
+        sampleEvery = 25, maxSample = 20)
+    },
+
     // SELF-DRAFT TREE decoding (q273): the Medusa shape proper — the
     // tree's proposals come from an EARLY EXIT of the target itself
     // (q256's shared-weight draft: embedding + positional + head,
@@ -13283,6 +13306,44 @@ object SparkEntry {
         |  CAST(100 AS BIGINT))
         |) t(k, n_sampled, hits, expected)
         |ORDER BY k""".stripMargin,
+
+    // Auto-nprobe (q294): deterministic end to end like q278 (frozen
+    // index + exact rerank + brute A/B on the pinned slice), so the
+    // whole integer sweep pins per SF. The meets/picked pattern is
+    // the same at every SF (the 7/10 target lands the pick on
+    // nprobe = 8 everywhere — interior, not forced); only the hits
+    // ladder varies. The spec pins rung == standalone canary and the
+    // hand-restated pick law.
+    "q294_ann_auto_nprobe" ->
+      """SELECT nprobe, n_sampled, hits, expected, meets_target, picked
+        |FROM (VALUES
+        | (1, CAST(20 AS BIGINT),
+        |  CAST(CASE (SELECT count(*) FROM lineitem)
+        |    WHEN 6000 THEN 32 WHEN 60000 THEN 36 WHEN 600000 THEN 29
+        |    ELSE -1 END AS BIGINT),
+        |  CAST(100 AS BIGINT), 0, 0),
+        | (2, CAST(20 AS BIGINT),
+        |  CAST(CASE (SELECT count(*) FROM lineitem)
+        |    WHEN 6000 THEN 47 WHEN 60000 THEN 52 WHEN 600000 THEN 49
+        |    ELSE -1 END AS BIGINT),
+        |  CAST(100 AS BIGINT), 0, 0),
+        | (4, CAST(20 AS BIGINT),
+        |  CAST(CASE (SELECT count(*) FROM lineitem)
+        |    WHEN 6000 THEN 64 WHEN 60000 THEN 65 WHEN 600000 THEN 64
+        |    ELSE -1 END AS BIGINT),
+        |  CAST(100 AS BIGINT), 0, 0),
+        | (8, CAST(20 AS BIGINT),
+        |  CAST(CASE (SELECT count(*) FROM lineitem)
+        |    WHEN 6000 THEN 84 WHEN 60000 THEN 88 WHEN 600000 THEN 71
+        |    ELSE -1 END AS BIGINT),
+        |  CAST(100 AS BIGINT), 1, 1),
+        | (16, CAST(20 AS BIGINT),
+        |  CAST(CASE (SELECT count(*) FROM lineitem)
+        |    WHEN 6000 THEN 97 WHEN 60000 THEN 100 WHEN 600000 THEN 76
+        |    ELSE -1 END AS BIGINT),
+        |  CAST(100 AS BIGINT), 1, 0)
+        |) t(nprobe, n_sampled, hits, expected, meets_target, picked)
+        |ORDER BY nprobe""".stripMargin,
 
     // Cross stochastic speculative: the q247 softmax/pick/acceptance
     // chain over ONE target + ONE draft cross forward (the

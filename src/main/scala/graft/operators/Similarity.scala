@@ -1637,6 +1637,170 @@ object Similarity {
   }
 
   /**
+   * AUTO-NPROBE from canary telemetry — the retrieval edition of the
+   * serving stack's auto-gamma (telemetry → knob closure): given the
+   * [[recallCanary]] query slice and a ladder of candidate `nprobes`,
+   * measure recall@k at EVERY rung and PICK the smallest nprobe whose
+   * canary recall meets the `recallNum/recallDen` target — the probe
+   * budget a serving deployment should actually run, derived from the
+   * live index instead of guessed.
+   *
+   * One probe pass prices the whole ladder (the auto-gamma "one
+   * maxGamma sweep prices all g" trick, retrieval edition): each query
+   * probes its `max(nprobes)` nearest cells ONCE, each candidate row
+   * is annotated with its cell's probe RANK, and the candidate set at
+   * any smaller nprobe n is exactly the rows with rank <= n — the
+   * coarse ranking is a prefix ladder, and the per-(query, cell) LUT
+   * does not depend on nprobe. Per probed cell only the ADC
+   * top-`shortlist` survives (any global-shortlist member is
+   * necessarily in its own cell's top-shortlist under the same
+   * (adc, vec_id) order), so ONE corpus-side codes scan materializes a
+   * canary-bounded frame (<= maxSample * max(nprobes) * shortlist
+   * rows, checkpointed); every rung then re-ranks that small frame —
+   * per-rung cost is independent of corpus size. The exact brute leg
+   * runs once and is shared by all rungs.
+   *
+   * Per rung the emitted `hits` is bit-identical to
+   * [[recallCanary]](ks = Seq(k), nprobe = n) (spec-asserted): same
+   * global shortlist, same exact-cosine re-rank, same set-membership
+   * count. The pick is INTEGER-only (hits * recallDen >=
+   * recallNum * expected — cross-multiplied, no ratio luck); if no
+   * rung meets the target the largest nprobe is picked (best effort,
+   * flagged by meets_target = 0 on every row). The final sweep frame
+   * is <= |nprobes| rows — its single-partition pick window is
+   * telemetry-exempt (the q259 convention).
+   *
+   * @return one row per nprobe, ordered: `nprobe` int, `n_sampled`
+   *         long, `hits` long, `expected` long, `meets_target` int,
+   *         `picked` int (exactly one 1)
+   */
+  def autoNprobe(
+      corpus: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      embCol: String,
+      index: IvfPqIndex,
+      k: Int,
+      shortlist: Int,
+      nprobes: Seq[Int],
+      recallNum: Int,
+      recallDen: Int,
+      sampleEvery: Int,
+      maxSample: Int): DataFrame = {
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    require(nprobes == nprobes.sorted && nprobes.distinct == nprobes,
+      "nprobes must be strictly ascending")
+    require(nprobes.forall(n => n >= 1 && n <= index.coarse.length),
+      "every nprobe must be in [1, nlist]")
+    require(k >= 1 && shortlist >= k, "need k >= 1 and shortlist >= k")
+    require(recallNum >= 0 && recallDen >= 1, "recall target must be a fraction")
+    require(sampleEvery >= 1 && maxSample >= 1, "canary slice params must be >= 1")
+    val spark = corpus.sparkSession
+    val maxN = nprobes.max
+    val slice = corpus
+      .filter(col(idCol) % sampleEvery === 0)
+      .orderBy(col(idCol)).limit(maxSample)
+    val bc = spark.sparkContext.broadcast(index)
+    // per query: the maxN nearest coarse cells with their probe rank
+    // and residual LUT — same coarse (distance, cell) order and LUT
+    // arithmetic as ivfPqTopK, so rank <= n reproduces its nprobe = n
+    // probe set exactly
+    val probe = udf { qUnit: Seq[Double] =>
+      if (qUnit == null) null
+      else {
+        val ix = bc.value
+        val b = ix.books
+        val ds = ix.coarse.indices.map { c =>
+          var d = 0.0; var j = 0
+          while (j < qUnit.length) { val df = qUnit(j) - ix.coarse(c)(j); d += df * df; j += 1 }
+          (c, d)
+        }
+        ds.sortBy { case (c, d) => (d, c) }.take(maxN).zipWithIndex.map {
+          case ((cell, _), i) =>
+            val ct = ix.coarse(cell)
+            val lut = Array.tabulate(b.m) { s =>
+              val cents = b.centroids(s)
+              Array.tabulate(cents.length) { cc =>
+                var d = 0.0; var j = 0
+                while (j < b.dsub) {
+                  val diff = (qUnit(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
+                  d += diff * diff; j += 1
+                }
+                d
+              }
+            }
+            (cell, i + 1, lut)
+        }
+      }
+    }.asNondeterministic() // once per query row — see pqEncode's note
+    val adc = udf { (table: Seq[Seq[Double]], cs: Seq[Int]) =>
+      var d = 0.0; var s = 0
+      while (s < cs.length) { d += table(s)(cs(s)); s += 1 }
+      d
+    }
+    val q = normalized(slice, embCol)
+      .select(col(idCol).as("q_id"), probe(col("__unit")).as("__probes"))
+      .filter(col("__probes").isNotNull)
+      .select(col("q_id"), explode(col("__probes")).as("__p"))
+      .select(col("q_id"), col("__p._1").as("cell"),
+        col("__p._2").as("crank"), col("__p._3").as("__lut"))
+    val wCell = Window.partitionBy("q_id", "cell")
+      .orderBy(col("adc"), col("vec_id"))
+    // ONE codes scan; per-cell ADC top-shortlist keeps the frame
+    // canary-bounded regardless of corpus size
+    val cand = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc(col("__lut"), col("codes")))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= shortlist)
+      .select(col("q_id"), col("crank"), col("vec_id"), col("adc"))
+      .transform(Checkpoints.cp)
+    val exact = bruteForceTopK(corpus, slice, idCol, embCol, k)
+      .select(col("q_id"), col("vec_id"))
+      .transform(Checkpoints.cp)
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
+    val qe = slice.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
+    // eager but bounded by construction (<= maxSample rows) — the
+    // recallCanary convention
+    val nQ = slice.count()
+    val expected = nQ * k
+    val wShort = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    // per rung: global shortlist (prefix filter + re-rank of the
+    // bounded frame), exact-cosine re-rank to top-k, integer hit count
+    val perRung = nprobes.map { n =>
+      val short = cand.filter(col("crank") <= n)
+        .withColumn("srk", row_number().over(wShort))
+        .filter(col("srk") <= shortlist)
+        .select("q_id", "vec_id")
+      val ann = short.join(c, Seq("vec_id")).join(broadcast(qe), Seq("q_id"))
+        .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("qe"), col("ce")))
+        .withColumn("a_rk", row_number().over(wCos))
+        .filter(col("a_rk") <= k)
+        .select("q_id", "vec_id")
+      ann.join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .select(lit(n).as("nprobe"), col("hits"))
+    }
+    val sweep = perRung.reduce(_ unionByName _)
+    val wAll = Window.partitionBy(lit(1))
+    sweep
+      .withColumn("meets_target",
+        when(col("hits") * recallDen >= lit(recallNum.toLong) * expected, 1)
+          .otherwise(0))
+      .withColumn("__minMeet",
+        min(when(col("meets_target") === 1, col("nprobe"))).over(wAll))
+      .select(col("nprobe"),
+        lit(nQ).as("n_sampled"),
+        col("hits"),
+        lit(expected).as("expected"),
+        col("meets_target"),
+        when(col("__minMeet").isNotNull, (col("nprobe") === col("__minMeet")).cast("int"))
+          .otherwise((col("nprobe") === maxN).cast("int")).as("picked"))
+      .orderBy("nprobe")
+  }
+
+  /**
    * Batch IVFADC top-k — the query-set-at-corpus-scale variant of
    * [[ivfPqTopK]]. That path ships every query's nprobe LUTs in ONE
    * broadcast (~nprobe*m*ksub doubles per query), which is correct for

@@ -560,6 +560,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // CartesianProduct means a leg regressed to pair-everything
     val p278 = plan("q278_ann_recall_canary")
     assert(!p278.contains("CartesianProduct"), s"q278 cartesian:\n$p278")
+    // q294 auto-nprobe: the whole sweep rides ONE probe-bounded
+    // candidate pass (per-cell shortlist, checkpoint-backed) plus the
+    // shared brute leg — like q278, telemetry-many exchanges are
+    // inherent (per-rung rerank windows + the pick window) but a
+    // CartesianProduct means a rung regressed to pair-everything
+    val p294 = plan("q294_ann_auto_nprobe")
+    assert(!p294.contains("CartesianProduct"), s"q294 cartesian:\n$p294")
   }
 
   test("q246 RAG retrieval leg is the IVFADC shortlist — no corpus-vs-queries NLJ") {

@@ -642,4 +642,50 @@ class TorchServeSpec extends AnyFunSuite {
     assert(canary.find(_._1 == 5).get._3 < 100,
       "recall@5 is perfect here — the canary fixture lost its signal")
   }
+
+  test("q294 auto-nprobe: rung hits == recallCanary per nprobe; integer pick law") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (ixP, codesP) = graft.SparkEntry.q246AnnArtifacts(s, dir)
+    val ix = graft.operators.Similarity.loadIndex(s, ixP)
+    val codes = s.read.parquet(codesP)
+    val ladder = Seq(1, 2, 4, 8, 16)
+    val sweep = graft.operators.Similarity.autoNprobe(emb, codes,
+        "vec_id", "embedding", ix, k = 5, shortlist = 100,
+        nprobes = ladder, recallNum = 7, recallDen = 10,
+        sampleEvery = 25, maxSample = 20)
+      .orderBy("nprobe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(sweep.map(_._1).toSeq == ladder)
+    // the prefix-ladder law: every rung's hits are bit-identical to
+    // the standalone canary run at that nprobe (one probe pass priced
+    // the whole ladder — nothing approximated)
+    for ((n, nS, hits, expd, _, _) <- sweep) {
+      val one = graft.operators.Similarity.recallCanary(emb, codes,
+          "vec_id", "embedding", ix, ks = Seq(5), shortlist = 100,
+          nprobe = n, sampleEvery = 25, maxSample = 20)
+        .collect().head
+      assert(nS == one.getLong(1) && expd == one.getLong(3))
+      assert(hits == one.getLong(2),
+        s"rung $n hits $hits != standalone canary ${one.getLong(2)}")
+    }
+    // the integer pick law restated by hand: meets iff
+    // hits*den >= num*expected; picked = smallest meeting rung
+    // (fallback: the ladder max), exactly one row picked
+    assert(sweep.forall(r => (r._5 == 1) == (r._3 * 10 >= 7L * r._4)))
+    val meets = sweep.filter(_._5 == 1).map(_._1)
+    val want = if (meets.nonEmpty) meets.min else ladder.max
+    assert(sweep.count(_._6 == 1) == 1, "picked must be exactly one rung")
+    assert(sweep.find(_._6 == 1).get._1 == want,
+      s"picked ${sweep.find(_._6 == 1).get._1} != hand pick $want")
+    // the knob BITES on the fixture (the q293 vacuous-knob lesson):
+    // the ladder's hits are not flat and the pick is not forced
+    assert(sweep.map(_._3).distinct.length > 1,
+      "hits flat across the ladder — no recall cliff to pick against")
+    info("q294 sf0.001 hits by nprobe: " +
+      sweep.map(r => s"${r._1}->${r._3}").mkString(", ") + s", picked $want")
+  }
 }
