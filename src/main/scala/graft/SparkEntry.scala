@@ -2808,6 +2808,36 @@ object SparkEntry {
         sampleEvery = 25, maxSample = 20)
     },
 
+    // RE-ROTATED BOUNDED-KV SERVING (q295 — StreamingLLM's second
+    // dial, the round-19 thin spot): greedy decoding over a
+    // bias-position-only LM whose mask tables have SIX rows — shorter
+    // than most prompts — with the cache re-indexed contiguously on
+    // eviction (nSink=1 + nWindow=4: slots never exceed 5), so the
+    // 6-row tables serve ANY sequence length. The absolute-position
+    // windowed session (q282's dial) THROWS on every doc longer than
+    // 6 tokens here; this one decodes the whole corpus — the lifted
+    // length limit IS the demo, spec-pinned alongside neutrality
+    // (no-eviction ≡ plain session bit-exact) and a measured
+    // sink-distance logit divergence where eviction fires. Oracle:
+    // the q282 windowed-attention restatement with SLOT closed forms
+    // (-0.25·(slotQ−slotK) / slot-band) replacing absolute positions.
+    "q295_torch_kv_relpos" -> { (s, dir) =>
+      val m = alibiRelLmModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generateGreedyWindowed(toks, "tok_ids", "gen", bc, steps = 3,
+          nSink = 1, nWindow = 4, batchSize = 256, relPos = true)
+        .select(col("doc_id"), col("gen")(0).as("gen1"),
+          col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+        .orderBy("doc_id")
+    },
+
     // SELF-DRAFT TREE decoding (q273): the Medusa shape proper — the
     // tree's proposals come from an EARLY EXIT of the target itself
     // (q256's shared-weight draft: embedding + positional + head,
@@ -8228,6 +8258,85 @@ object SparkEntry {
       LinearLayer(qvals(32, 1797, 4.0), qvals(8, 1799, 0.25), 8, 4)))
   }
 
+  /** q295's RE-ROTATION LM: [[alibiLmModel]]'s attention weights with
+    * the position information carried ENTIRELY by the bias tables —
+    * NO PosEmbedOp (a learned absolute embedding bakes position into
+    * cached k/v, which re-rotation cannot re-index) — and the tables
+    * cut to SIX rows, shorter than most documents' token count. The
+    * absolute-position session therefore CANNOT decode most of the
+    * corpus (pos >= biasRows throws); the re-rotated session
+    * ([[graft.torch.TorchScriptModel.decodeSessionRelPos]]) reads the
+    * tables at cache-slot indices bounded by nSink + nWindow = 5, so
+    * the same 6-row tables serve ANY length — the StreamingLLM
+    * infinite-length property, demonstrated on a corpus the bounded
+    * table could not otherwise reach. Same dyadic discipline: slope
+    * 1/4 ALiBi entries and the width-2 window are exact f32s, and the
+    * oracle restates both masks in closed form over the SLOT
+    * arithmetic (`-0.25·(slotQ−slotK)` / slot-band), which is exact
+    * integer-difference math. Reference anchor: libtorch runs any
+    * traced mask buffer (/root/reference/src/udf.rs:127). */
+  private[graft] lazy val alibiRelLmModel: graft.torch.TorchScriptModel = {
+    import graft.torch._
+    def qvals(n: Int, seed: Int, scale: Double): Array[Float] =
+      Array.tabulate(n)(i =>
+        (math.round(math.sin(seed * 97 + i * 13.7) * scale * 16) / 16.0).toFloat)
+    val rows = AlibiRelRows
+    val alibi = Array.tabulate(rows * rows) { idx =>
+      val (i, j) = (idx / rows, idx % rows)
+      if (j <= i) -0.25f * (i - j) else Float.NegativeInfinity
+    }
+    val window = Array.tabulate(rows * rows) { idx =>
+      val (i, j) = (idx / rows, idx % rows)
+      if (j <= i && i - j <= 2) 0f else Float.NegativeInfinity
+    }
+    def head(seed: Int, bias: Array[Float]) = SelfAttentionOp(
+      qvals(8, seed, 1.0), qvals(2, seed + 2, 0.25),
+      qvals(8, seed + 4, 1.0), qvals(2, seed + 6, 0.25),
+      qvals(8, seed + 8, 1.5), qvals(2, seed + 10, 0.5),
+      dim = 2, inDim = 4, scale = 0.5, bias = Some(bias), biasRows = rows)
+    new TorchScriptModel(IndexedSeq(
+      EmbeddingSeqOp(qvals(8 * 4, 1701, 2.0), vocab = 8, embDim = 4),
+      EncoderAttnOp(IndexedSeq(head(1707, alibi), head(1711, window)),
+        proj = Some(LinearLayer(qvals(16, 1723, 1.0), qvals(4, 1731, 0.25), 4, 4)),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1743, 0.25).map(v => 1f + v), qvals(4, 1749, 0.25), 1e-5),
+      PosFfnOp(
+        LinearLayer(qvals(32, 1753, 1.0), qvals(8, 1759, 0.25), 8, 4), "relu",
+        LinearLayer(qvals(32, 1767, 1.0), qvals(4, 1771, 0.25), 4, 8),
+        residual = true),
+      SeqLayerNormOp(qvals(4, 1779, 0.25).map(v => 1f + v), qvals(4, 1783, 0.25), 1e-5),
+      SeqLastPoolOp,
+      LinearLayer(qvals(32, 1797, 4.0), qvals(8, 1799, 0.25), 8, 4)))
+  }
+
+  /** q295's bias-table length — deliberately SHORTER than most
+    * documents (EncMaxLen = 12 prompt cap + 3 decode steps) so the
+    * lifted length limit is exercised corpus-wide, and >= the q295
+    * cache budget nSink + nWindow = 5 (the relPos soundness bound). */
+  private[graft] val AlibiRelRows = 6
+
+  /** The q295 oracle's per-head (finiteCond, biasTerm) fragments —
+    * [[alibiRelLmModel]]'s masks over RE-ROTATED cache slots. With
+    * kept set {abs < nSink} ∪ {abs >= absQ − nWindow + 1}, the slot
+    * of a kept key at 1-based SQL position p (abs = p − 1) under
+    * query a is `p − 1` for sinks, else
+    * `nSink + (p − 1) − greatest(a − nWindow, nSink)` (the contiguous
+    * re-index after the eviction gap); the query's own slot is the
+    * same form at p = a. Exact integer arithmetic — `-0.25·n` stays
+    * dyadic. */
+  private def relPosSlotSql(p: String, a: String, nSink: Int,
+      nWindow: Int): String =
+    s"(CASE WHEN $p <= $nSink THEN $p - 1 " +
+      s"ELSE $nSink + ($p - 1) - greatest($a - $nWindow, $nSink) END)"
+
+  private def alibiRelHeadBias(nSink: Int, nWindow: Int): Seq[(String, String)] = {
+    val sq = relPosSlotSql("a.pos", "a.pos", nSink, nWindow)
+    val sk = relPosSlotSql("b.pos", "a.pos", nSink, nWindow)
+    Seq(
+      ("", s"(-0.25)*CAST($sq - $sk AS DOUBLE)"),
+      (s"$sq - $sk <= 2", ""))
+  }
+
   /** q226's token-embedding table (vocab 32, dim 4, 1/16-grid dyadic
     * — dots/norms are then EXACT f64 and every cosine bit-identical
     * cross-engine) and the three query-term ids (the q125 search
@@ -13344,6 +13453,17 @@ object SparkEntry {
         |  CAST(100 AS BIGINT), 1, 0)
         |) t(nprobe, n_sampled, hits, expected, meets_target, picked)
         |ORDER BY nprobe""".stripMargin,
+
+    // Re-rotated bounded KV (q295): the q282 windowed-attention
+    // restatement over the no-PosEmbedOp 6-row-table model, with the
+    // bias closed forms evaluated at RE-ROTATED slots — per (a, b)
+    // the slot arithmetic is a closed form in the kept-set prefix
+    // count, so the batch restatement equals the incremental eviction
+    // exactly (each position's row used its own kept set and slots at
+    // its own append time).
+    "q295_torch_kv_relpos" -> generateOracle(banned = Nil,
+      m = alibiRelLmModel, headBias = Some(alibiRelHeadBias(1, 4)),
+      kvWindow = Some((1, 4))),
 
     // Cross stochastic speculative: the q247 softmax/pick/acceptance
     // chain over ONE target + ONE draft cross forward (the

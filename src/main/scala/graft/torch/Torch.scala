@@ -3646,6 +3646,12 @@ object Torch {
    *
    * @return input columns + `outCol` = array<int> of `steps` tokens
    */
+  /** `relPos = true` switches the bounded sessions to StreamingLLM's
+    * re-rotation dial ([[TorchScriptModel.decodeSessionRelPos]]):
+    * bias tables read at cache-slot indices, which LIFTS the model's
+    * absolute-position length limit — prompts + generations may run
+    * past `biasRows` with a fixed-size table. Scope-checked at
+    * session open (bias-only position info: no PosEmbedOp, no RoPE). */
   def generateGreedyWindowed(
       df: DataFrame,
       inputCol: String,
@@ -3654,7 +3660,8 @@ object Torch {
       steps: Int,
       nSink: Int,
       nWindow: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      relPos: Boolean = false): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(nSink >= 0, "nSink must be >= 0")
     require(nWindow >= 1, "nWindow must be >= 1")
@@ -3704,7 +3711,8 @@ object Torch {
             }
           if (p == null) Row.fromSeq(r.toSeq :+ null)
           else {
-            val sess = m.decodeSessionWindowed(p, nSink, nWindow)
+            val sess = if (relPos) m.decodeSessionRelPos(p, nSink, nWindow)
+                       else m.decodeSessionWindowed(p, nSink, nWindow)
             val gen = scala.collection.mutable.ArrayBuffer.empty[Int]
             var t = 0
             while (t < steps) {

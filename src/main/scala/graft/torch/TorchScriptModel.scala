@@ -2477,7 +2477,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     require((encToks != null) == isCross,
       if (isCross) "cross-attention decode needs the source-side tokens"
       else "encoder tokens passed to a single-sequence model")
-    new DecodeSession(prompt, encToks, null, Int.MaxValue, Int.MaxValue)
+    new DecodeSession(prompt, encToks, null, Int.MaxValue, Int.MaxValue, false)
   }
 
   /** [[decodeSession]] with a BOUNDED KV cache — the StreamingLLM
@@ -2506,7 +2506,74 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
     require((encToks != null) == isCross,
       if (isCross) "cross-attention decode needs the source-side tokens"
       else "encoder tokens passed to a single-sequence model")
-    new DecodeSession(prompt, encToks, null, nSink, nWindow)
+    new DecodeSession(prompt, encToks, null, nSink, nWindow, false)
+  }
+
+  /** [[decodeSessionWindowed]] with StreamingLLM's RE-ROTATION dial
+    * (Xiao et al. 2024 §3.2, "positions within cache"): the kept
+    * cache slots are re-indexed CONTIGUOUSLY on every eviction, so
+    * attention at query position P reads its bias table at
+    * (slotQ, slotK) = (|kept|−1, cache slot) instead of the absolute
+    * (P, keptPos(slot)) pair. Because slot indices never exceed
+    * nSink + nWindow, THE MODEL'S LENGTH LIMIT IS LIFTED: a session
+    * can decode past `biasRows` positions with a fixed-size bias
+    * table — the StreamingLLM "infinite-length" property the
+    * absolute-position variant cannot offer (its tables stay keyed on
+    * unbounded absolute positions).
+    *
+    * Soundness scope (checked up front): the decoder stack must carry
+    * its position information ENTIRELY in additive attention bias
+    * (ALiBi / banded masks) — no learned absolute position embedding
+    * (PosEmbedOp: its contribution is baked into cached k/v at append
+    * time and cannot be re-indexed without a full window recompute)
+    * and no RoPE (cached keys are stored post-rotation at their
+    * absolute position). Under that scope cached k/v rows are
+    * position-independent, so re-indexing costs NOTHING — only the
+    * bias lookup changes. Hard-causal no-bias heads are position-free
+    * and trivially sound.
+    *
+    * When nothing has evicted, slot == absolute position and this is
+    * bit-identical to [[decodeSession]] (spec-pinned — the same
+    * neutrality-for-free argument as the windowed variant). Once
+    * eviction fires the OUTPUTS genuinely differ from the
+    * absolute-position variant: ALiBi distances compress (a sink's
+    * slot distance stays small however far the stream scrolls) —
+    * that is StreamingLLM's defined semantics, not drift. Batch
+    * restatement stays exact: position b's row used kept(b)/slots(b)
+    * at its own append time, both closed forms in (a, b), so the
+    * oracle is the windowed attention join with slot arithmetic
+    * replacing absolute positions. */
+  def decodeSessionRelPos(prompt: Array[Int], nSink: Int, nWindow: Int,
+      encToks: Array[Int] = null): DecodeSession = {
+    require(cacheable, "model is not incrementally decodable (see cacheable)")
+    require(prompt.nonEmpty, "empty prompt")
+    require(nSink >= 0, "nSink must be >= 0")
+    require(nWindow >= 1, "nWindow must be >= 1 (the query position itself)")
+    require((encToks != null) == isCross,
+      if (isCross) "cross-attention decode needs the source-side tokens"
+      else "encoder tokens passed to a single-sequence model")
+    ops.slice(1, poolIdx).foreach {
+      case _: PosEmbedOp => throw new IllegalArgumentException(
+        "re-rotated bounded KV needs position-in-attention models: a " +
+          "learned absolute position embedding is baked into cached k/v " +
+          "and cannot be re-indexed")
+      case ea: EncoderAttnOp => ea.heads.foreach { h =>
+        require(h.ropeCos.isEmpty,
+          "re-rotated bounded KV does not compose with RoPE caches " +
+            "(keys are stored post-rotation at absolute positions)")
+        require(h.bias.isEmpty || nSink + nWindow <= h.biasRows,
+          s"bias table (${h.biasRows} rows) shorter than the cache " +
+            s"budget nSink + nWindow = ${nSink + nWindow}")
+      }
+      case a: SelfAttentionOp =>
+        require(a.ropeCos.isEmpty,
+          "re-rotated bounded KV does not compose with RoPE caches")
+        require(a.bias.isEmpty || nSink + nWindow <= a.biasRows,
+          s"bias table (${a.biasRows} rows) shorter than the cache " +
+            s"budget nSink + nWindow = ${nSink + nWindow}")
+      case _ =>
+    }
+    new DecodeSession(prompt, encToks, null, nSink, nWindow, true)
   }
 
   // NOTE: no default ctor args here — defaults would generate a
@@ -2514,11 +2581,14 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
   // enclosing model, breaking model broadcast
   final class DecodeSession private[TorchScriptModel] (prompt: Array[Int],
       encToks: Array[Int], parent: DecodeSession,
-      nSink0: Int, nWindow0: Int) {
+      nSink0: Int, nWindow0: Int, relPos0: Boolean) {
     /** Bounded-KV knobs (attention sinks + sliding window) — inherited
       * by forks; Int.MaxValue = unbounded (the plain decodeSession). */
     private val nSink: Int = if (parent != null) parent.nSink else nSink0
     private val nWindow: Int = if (parent != null) parent.nWindow else nWindow0
+    /** Re-rotation dial ([[decodeSessionRelPos]]): bias tables read at
+      * cache-slot indices instead of absolute positions. */
+    private val relPos: Boolean = if (parent != null) parent.relPos else relPos0
     /** The ABSOLUTE positions currently held by every causal k/v
       * cache, ascending (all ops' caches append one row per append and
       * evict in lockstep, so one index list serves them all). */
@@ -2651,7 +2721,10 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
       ks += kNew
       vs += projVec(x, h.wv, h.bv, d, h.inDim)
       val biasM = h.bias.orNull
-      require(biasM == null || pos < h.biasRows,
+      // relPos reads the table at (slotQ, slotK) — slots are bounded
+      // by nSink + nWindow (<= biasRows, checked at open), so the
+      // absolute-position length limit does NOT bind
+      require(biasM == null || relPos || pos < h.biasRows,
         s"sequence length ${pos + 1} exceeds the attention bias table " +
           s"(${h.biasRows} positions)")
       // causal row `pos`: the RETAINED keys (all of 0..pos unbounded;
@@ -2669,7 +2742,15 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
         var j = 0
         while (j < d) { s0 += qm(j) * km(j); j += 1 }
         s0 *= h.scale
-        if (biasM != null) s0 += biasM(pos * h.biasRows + keptPos(b0)).toDouble
+        if (biasM != null) {
+          // absolute: (query pos, key's original pos); relPos: the
+          // re-rotated (slotQ, slotK) = (lim−1, b0) pair. With no
+          // eviction keptPos(b0) == b0 and pos == lim−1, so both
+          // forms index the SAME entry — neutrality for free.
+          val bi = if (relPos) (lim - 1) * h.biasRows + b0
+                   else pos * h.biasRows + keptPos(b0)
+          s0 += biasM(bi).toDouble
+        }
         scores(b0) = s0
         if (s0 > mx) mx = s0
         b0 += 1
@@ -2917,7 +2998,7 @@ final class TorchScriptModel(val ops: IndexedSeq[TorchOp],
       * appends after the fork diverge. The cheap branching point a
       * beam expansion needs — no re-encode, no prompt replay. */
     def fork(): DecodeSession = {
-      val child = new DecodeSession(prompt, encToks, this, nSink, nWindow)
+      val child = new DecodeSession(prompt, encToks, this, nSink, nWindow, relPos)
       child
     }
   }

@@ -688,4 +688,46 @@ class TorchServeSpec extends AnyFunSuite {
     info("q294 sf0.001 hits by nprobe: " +
       sweep.map(r => s"${r._1}->${r._3}").mkString(", ") + s", picked $want")
   }
+
+  test("q295 relPos KV: lifts the bias-table length limit; neutral without eviction; diverges from absolute once eviction fires") {
+    val m = graft.SparkEntry.alibiRelLmModel
+    val rows = graft.SparkEntry.AlibiRelRows
+    // (1) the LIFTED LIMIT: a prompt longer than the bias table
+    // decodes under re-rotation (slots bounded by nSink + nWindow)
+    // and THROWS under the absolute-position windowed session
+    val long = Array.tabulate(rows + 4)(i => (i * 3 + 1) % 8)
+    val rel = m.decodeSessionRelPos(long, 1, 4)
+    val relLogits = rel.logits()
+    assert(relLogits.length == 8 && relLogits.forall(v => !v.isNaN))
+    intercept[IllegalArgumentException] {
+      m.decodeSessionWindowed(long, 1, 4)
+    }
+    // and it keeps decoding arbitrarily far past the table
+    (0 until 6).foreach(t => rel.append(t % 8))
+    assert(rel.length == rows + 10 && rel.logits().forall(v => !v.isNaN))
+    // (2) NEUTRALITY: with no eviction (length <= nSink + nWindow)
+    // slot == absolute position, so relPos ≡ the plain unbounded
+    // session BIT-exactly, prompt + appends
+    val short = Array(3, 5, 1)
+    val a = m.decodeSessionRelPos(short, 0, rows)
+    val b = m.decodeSession(short)
+    for (t <- Seq(2, 6, 4)) {
+      assert(java.util.Arrays.equals(a.logits(), b.logits()),
+        s"relPos diverged from the plain session with nothing evicted")
+      a.append(t); b.append(t)
+    }
+    // (3) the dial BITES: once eviction fires, the sink's slot
+    // distance compresses (-0.25·slotGap vs -0.25·absGap), so the
+    // logits must differ from the ABSOLUTE windowed session on some
+    // prompt short enough that both paths run
+    val biting = (0 until 8).map(s0 => Array(s0, (s0 + 2) % 8, (s0 + 5) % 8,
+      (s0 + 1) % 8, (s0 + 6) % 8, (s0 + 3) % 8)) // length 6 = rows: abs path legal, eviction fires (> 5 kept budget)
+    val anyDiff = biting.exists { p =>
+      val r = m.decodeSessionRelPos(p, 1, 4).logits()
+      val w = m.decodeSessionWindowed(p, 1, 4).logits()
+      !java.util.Arrays.equals(r, w)
+    }
+    assert(anyDiff,
+      "re-rotation never changed a logit vs absolute windowed — the dial is vacuous")
+  }
 }
