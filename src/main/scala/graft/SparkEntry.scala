@@ -2838,6 +2838,37 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // RE-ROTATED SPECULATIVE SERVING (q296): the q284 bounded-KV
+    // serving loop on the relPos dial — target AND int4 draft run
+    // bias-position-only stacks (q295's 6-row tables) whose sessions
+    // re-index slots on eviction, so the whole draft-accelerated
+    // serving loop (gamma drafts, acceptance walk, KV roll-forward,
+    // verification forks) runs PAST the models' table length on most
+    // of the corpus: sequences reach 15 positions over 6-row tables,
+    // where the q284 absolute dial throws. Same q254 salts/rounding
+    // discipline; the oracle is the q284 chain with the slot closed
+    // forms swapped into every forward. Neutrality (no eviction ≡
+    // unbounded loop bit-exact) is spec-pinned on short prompts.
+    "q296_torch_spec_loop_relpos" -> { (s, dir) =>
+      val m = alibiRelLmModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
+          gamma = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = 1, nWindow = 4, relPos = true)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
     // SELF-DRAFT TREE decoding (q273): the Medusa shape proper — the
     // tree's proposals come from an EARLY EXIT of the target itself
     // (q256's shared-weight draft: embedding + positional + head,
@@ -13465,6 +13496,15 @@ object SparkEntry {
       m = alibiRelLmModel, headBias = Some(alibiRelHeadBias(1, 4)),
       kvWindow = Some((1, 4))),
 
+    // Re-rotated speculative serving (q296): the q284/q254 loop chain
+    // with the bias-position target/draft pair and the slot closed
+    // forms in every forward pass — acceptance walk, residuals, and
+    // roll-forward restate unchanged over the windowed+slot attention.
+    "q296_torch_spec_loop_relpos" -> specLoopOracle(
+      graft.torch.TorchQuant.quantize(alibiRelLmModel, 7),
+      kvWindow = Some((1, 4)), targetModel = alibiRelLmModel,
+      headBias = Some(alibiRelHeadBias(1, 4))),
+
     // Cross stochastic speculative: the q247 softmax/pick/acceptance
     // chain over ONE target + ONE draft cross forward (the
     // CrossOracleGen prelude shared, the draft's kh layered on it).
@@ -15343,7 +15383,13 @@ object SparkEntry {
     * (both engines' sessions evict). */
   private def specLoopOracle(draftModel: graft.torch.TorchScriptModel,
       wmDelta: Double = 0.0, wmNum: Int = 1, wmDen: Int = 2,
-      kvWindow: Option[(Int, Int)] = None): String = {
+      kvWindow: Option[(Int, Int)] = None,
+      targetModel: graft.torch.TorchScriptModel = null,
+      headBias: Option[Seq[(String, String)]] = None): String = {
+      // q296: the chain is model-generic — a bias-position target
+      // (with its slot/absolute closed forms in headBias) swaps in
+      // for genModel and the acceptance arithmetic is untouched
+      val tgt = if (targetModel != null) targetModel else genModel
       def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
         val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
         val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
@@ -15351,11 +15397,11 @@ object SparkEntry {
           .map(j => s"p$j").mkString(", ")
         TorchOracle.mlpArgmaxSql(fc,
           encBlockSql(model, pool = "last", tokensCte = Some(toksName),
-            kvWindow = kvWindow),
+            headBias = headBias, kvWindow = kvWindow),
           arms = Seq("p"), carry = Seq("doc_id"),
           finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
       }
-      val vocab = genModel.seqHead.get.vocab
+      val vocab = tgt.seqHead.get.vocab
       def softmax6(src: String, out: String): String = {
         val unpivot = (0 until vocab).map(j =>
           s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
@@ -15457,11 +15503,11 @@ object SparkEntry {
          |${softmax6("logitD2", "qprob2")},
          |${pickCte("qprob2", "p6", "d2", "dpick2")},
          |logitT1 AS MATERIALIZED (
-         |${fwdP(genModel, "toks0")}
+         |${fwdP(tgt, "toks0")}
          |),
          |${softmax6T("logitT1", "pprob1", "last0")},
          |logitT2 AS MATERIALIZED (
-         |${fwdP(genModel, "toks1")}
+         |${fwdP(tgt, "toks1")}
          |),
          |${softmax6T("logitT2", "pprob2",
             "(SELECT doc_id, tid AS lt FROM dpick1)")},
@@ -15501,7 +15547,7 @@ object SparkEntry {
          |${softmax6("logitD3", "qprob3")},
          |${pickCte("qprob3", "p6", "d3", "dpick3")},
          |logitT3 AS MATERIALIZED (
-         |${fwdP(genModel, "toksC2")}
+         |${fwdP(tgt, "toksC2")}
          |),
          |${softmax6T("logitT3", "pprob3",
             "(SELECT doc_id, f1 AS lt FROM em1)")},

@@ -1650,9 +1650,16 @@ object Torch {
       watermarkDelta: Double = 0.0,
       watermarkGamma: (Int, Int) = (1, 2),
       nSink: Int = -1,
-      nWindow: Int = -1): DataFrame = {
+      nWindow: Int = -1,
+      relPos: Boolean = false): DataFrame = {
     require(gamma >= 1, "gamma must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    // relPos (q296): the bounded sessions re-index their cache slots
+    // on eviction ([[TorchScriptModel.decodeSessionRelPos]]) — the
+    // serving loop runs past the models' bias-table length with a
+    // fixed-size table; scope-checked at session open
+    require(!relPos || nWindow > 0,
+      "relPos is a dial on the bounded-KV sessions (needs nWindow >= 1)")
     // WATERMARK × SPECULATIVE SERVING (q285): the green bias rides the
     // TARGET's prefix softmaxes across EVERY cycle — the q281 cell
     // cycled, so a serving stack watermarks AND draft-accelerates AND
@@ -1740,9 +1747,11 @@ object Torch {
             val id = r.getAs[Number](idIdx).longValue()
             // target/draft @ accepted prefix (bounded caches when the
             // serving loop runs at a KV budget)
-            var st0 = if (windowed) tm.decodeSessionWindowed(p, nSink, nWindow)
+            var st0 = if (relPos) tm.decodeSessionRelPos(p, nSink, nWindow)
+                      else if (windowed) tm.decodeSessionWindowed(p, nSink, nWindow)
                       else tm.decodeSession(p)
-            var sd0 = if (windowed) dm.decodeSessionWindowed(p, nSink, nWindow)
+            var sd0 = if (relPos) dm.decodeSessionRelPos(p, nSink, nWindow)
+                      else if (windowed) dm.decodeSessionWindowed(p, nSink, nWindow)
                       else dm.decodeSession(p)
             var lastTok = p(p.length - 1) // the green key for p_1
             val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]

@@ -730,4 +730,38 @@ class TorchServeSpec extends AnyFunSuite {
     assert(anyDiff,
       "re-rotation never changed a logit vs absolute windowed — the dial is vacuous")
   }
+
+  test("q296 relPos spec loop: no eviction == unbounded serving loop bit-exact") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val m = graft.SparkEntry.alibiRelLmModel
+    val rows = graft.SparkEntry.AlibiRelRows
+    val vocab = m.seqHead.get.vocab
+    val bcT = s.sparkContext.broadcast(m)
+    val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+    // single-token prompts: session length peaks at 1 prompt + 3
+    // emitted + 2 verification drafts = 6 = biasRows, so the
+    // UNBOUNDED loop is legal on the short-table model and relPos at
+    // budget (0, 6) never evicts — the two must agree bit-for-bit
+    val toks = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"),
+            lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 1).as("tok_ids"))
+      .filter(size(col("tok_ids")) === 1)
+    def run(rel: Boolean): Map[Long, (Seq[Int], Int, Int)] =
+      graft.torch.Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids",
+          bcT, bcD, gamma = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = if (rel) 0 else -1, nWindow = if (rel) rows else -1,
+          relPos = rel)
+        .select("doc_id", "out_toks", "n_cycles", "n_acc_total").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getInt(2),
+          r.getInt(3)))).toMap
+    val rel = run(true)
+    val unb = run(false)
+    assert(rel.nonEmpty && rel == unb,
+      "relPos serving loop diverged from the unbounded loop with nothing evicted")
+  }
 }
