@@ -2869,6 +2869,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // AUTO-WINDOW from divergence telemetry (q297): the THIRD
+    // telemetry → knob closure (auto-gamma picked the draft depth,
+    // auto-nprobe the probe budget; this picks the per-session KV
+    // budget) — greedy decode over q282's ALiBi model at every rung
+    // of the {2,3,4,8,16} window ladder alongside the unbounded
+    // baseline, ONE corpus scan pricing the whole ladder, then the
+    // smallest nWindow whose output-divergence rate (integer per-row
+    // any-token-differs flag) stays within 7/20 is PICKED by integer
+    // cross-multiplication — an INTERIOR pick (nWindow = 8, ~30%
+    // divergence at every SF; rung 4 fails at ~70%) with rung 16 >=
+    // every sequence length (never evicts, n_diff = 0) anchoring the
+    // ladder. The oracle restates
+    // the unbounded chain + all five windowed chains as scoped
+    // nested-WITH CTEs and computes the same counts/pick in SQL — no
+    // pinned constants, the whole sweep is derived.
+    "q297_torch_auto_window" -> { (s, dir) =>
+      val m = alibiLmModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.autoKvWindow(toks, "tok_ids", bc, steps = 3, nSink = 1,
+        windows = Seq(2, 3, 4, 8, 16), divNum = 7, divDen = 20,
+        batchSize = 256)
+    },
+
     // SELF-DRAFT TREE decoding (q273): the Medusa shape proper — the
     // tree's proposals come from an EARLY EXIT of the target itself
     // (q256's shared-weight draft: embedding + positional + head,
@@ -13504,6 +13534,50 @@ object SparkEntry {
       graft.torch.TorchQuant.quantize(alibiRelLmModel, 7),
       kvWindow = Some((1, 4)), targetModel = alibiRelLmModel,
       headBias = Some(alibiRelHeadBias(1, 4))),
+
+    // Auto-window (q297): the unbounded q215-model greedy chain plus
+    // one windowed chain per ladder rung, each nested as a scoped
+    // MATERIALIZED CTE (the q289 convention — internal CTE names
+    // repeat safely), then the divergence counts, the budget check,
+    // and the integer pick all DERIVED in SQL — nothing pinned.
+    "q297_torch_auto_window" -> {
+      def chain(w: Option[(Int, Int)]): String = generateOracle(
+        banned = Nil, m = alibiLmModel, headBias = Some(alibiLmHeadBias),
+        kvWindow = w)
+      val rungs = Seq(2, 3, 4, 8, 16)
+      val rungCtes = rungs.map(w =>
+        s"cw$w AS MATERIALIZED (\n${chain(Some((1, w)))}\n)").mkString(",\n")
+      val diffs = rungs.map(w =>
+        s"""  SELECT $w AS nwindow,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(CASE WHEN r.gen1 != b.gen1 OR r.gen2 != b.gen2
+           |                    OR r.gen3 != b.gen3 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_diff
+           |  FROM cb b JOIN cw$w r USING (doc_id)""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH cb AS MATERIALIZED (
+         |${chain(None)}
+         |),
+         |$rungCtes,
+         |sweep AS (
+         |$diffs
+         |),
+         |pick AS (
+         |  SELECT nwindow, n_docs, n_diff,
+         |    CASE WHEN n_diff * 20 <= 7 * n_docs THEN 1 ELSE 0 END
+         |      AS meets_budget
+         |  FROM sweep)
+         |SELECT nwindow, n_docs, n_diff, meets_budget,
+         |  CASE WHEN (SELECT min(nwindow) FROM pick WHERE meets_budget = 1)
+         |         IS NOT NULL
+         |       THEN CASE WHEN nwindow =
+         |              (SELECT min(nwindow) FROM pick WHERE meets_budget = 1)
+         |            THEN 1 ELSE 0 END
+         |       ELSE CASE WHEN nwindow = ${rungs.max} THEN 1 ELSE 0 END END
+         |    AS picked
+         |FROM pick
+         |ORDER BY nwindow""".stripMargin
+    },
 
     // Cross stochastic speculative: the q247 softmax/pick/acceptance
     // chain over ONE target + ONE draft cross forward (the

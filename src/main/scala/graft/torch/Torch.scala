@@ -2,7 +2,8 @@ package graft.torch
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /**
@@ -3735,6 +3736,134 @@ object Torch {
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * AUTO-WINDOW from divergence telemetry — the KV-budget edition of
+   * the auto-gamma / auto-nprobe telemetry → knob closures: given a
+   * ladder of candidate `windows`, greedy-decode every row ONCE per
+   * rung alongside the UNBOUNDED baseline (all inside one
+   * mapPartitions pass — one corpus scan prices the whole ladder) and
+   * PICK the smallest nWindow whose output-divergence rate stays
+   * within `divNum/divDen` — the cheapest per-session KV budget that
+   * keeps serving outputs inside the quality tolerance. Divergence is
+   * the INTEGER per-row flag "any emitted token differs from the
+   * unbounded baseline" (token equality, no float crosses the gate),
+   * the budget check is cross-multiplied (`n_diff·divDen <=
+   * divNum·n_docs`), and the fallback when no rung meets it is the
+   * ladder max (best effort, flagged by meets_budget = 0 everywhere).
+   *
+   * Scale shape: per row the rungs cost |windows| bounded sessions of
+   * O(nSink + w) state each — no repeated scan, no join between
+   * rungs; the output is one integer GROUP BY over (nwindow, diff)
+   * pairs plus the |windows|-row pick window (telemetry-exempt, the
+   * q259 convention).
+   *
+   * @return one row per nWindow, ordered: `nwindow` int, `n_docs`
+   *         long, `n_diff` long, `meets_budget` int, `picked` int
+   *         (exactly one 1)
+   */
+  def autoKvWindow(
+      df: DataFrame,
+      inputCol: String,
+      model: Broadcast[TorchScriptModel],
+      steps: Int,
+      nSink: Int,
+      windows: Seq[Int],
+      divNum: Int,
+      divDen: Int,
+      batchSize: Int = -1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(nSink >= 0, "nSink must be >= 0")
+    require(windows.nonEmpty, "windows must be non-empty")
+    require(windows == windows.sorted && windows.distinct == windows,
+      "windows must be strictly ascending")
+    require(windows.forall(_ >= 1), "every nWindow must be >= 1")
+    require(divNum >= 0 && divDen >= 1, "divergence budget must be a fraction")
+    val spark = df.sparkSession
+    val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
+    require(model.value.inDim == -1, "autoKvWindow needs a token-input model")
+    require(!model.value.isCross, "cross-attention model not supported here")
+    require(model.value.cacheable,
+      "windowed decoding needs the KV-session path (cacheable model)")
+    val withInts = df.select(col(inputCol).cast(ArrayType(IntegerType))
+      .as(inputCol))
+    val pairSchema = StructType(Seq(
+      StructField("nwindow", IntegerType, nullable = false),
+      StructField("diff", IntegerType, nullable = false)))
+    val maxW = windows.max
+    val pairs = withInts.mapPartitions { it =>
+      val m = model.value
+      val vocab = m.outDim
+      def argmaxFirst(out: Array[Float]): Int = {
+        var best = -1
+        var bv = Float.NaN
+        var j = 0
+        while (j < vocab) {
+          val v = out(j)
+          if (!v.isNaN && (best < 0 || v > bv)) { best = j; bv = v }
+          j += 1
+        }
+        require(best >= 0, "all-NaN logits")
+        best
+      }
+      def gens(sess: TorchScriptModel#DecodeSession): Array[Int] = {
+        val g = new Array[Int](steps)
+        var t = 0
+        while (t < steps) {
+          val tok = argmaxFirst(sess.logits())
+          g(t) = tok
+          sess.append(tok)
+          t += 1
+        }
+        g
+      }
+      it.grouped(bs).flatMap { rows =>
+        rows.iterator.flatMap { r =>
+          val p: Array[Int] =
+            if (r.isNullAt(0)) null
+            else {
+              val xs = r.getSeq[Any](0)
+              val a = new Array[Int](xs.length)
+              var j = 0
+              var ok = true
+              while (ok && j < a.length) {
+                xs(j) match {
+                  case null => ok = false
+                  case f: java.lang.Number => a(j) = f.intValue(); j += 1
+                }
+              }
+              if (ok && a.nonEmpty) a else null
+            }
+          if (p == null) Iterator.empty
+          else {
+            val base = gens(m.decodeSession(p))
+            windows.iterator.map { w =>
+              val g = gens(m.decodeSessionWindowed(p, nSink, w))
+              Row(w, if (java.util.Arrays.equals(g, base)) 0 else 1)
+            }
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(pairSchema))
+    val sweep = pairs.groupBy("nwindow")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("diff")).cast("long").as("n_diff"))
+    val wAll = Window.partitionBy(lit(1))
+    sweep
+      .withColumn("meets_budget",
+        when(col("n_diff") * divDen <= lit(divNum.toLong) * col("n_docs"), 1)
+          .otherwise(0))
+      .withColumn("__minMeet",
+        min(when(col("meets_budget") === 1, col("nwindow"))).over(wAll))
+      .select(col("nwindow"),
+        col("n_docs"),
+        col("n_diff"),
+        col("meets_budget"),
+        when(col("__minMeet").isNotNull,
+          (col("nwindow") === col("__minMeet")).cast("int"))
+          .otherwise((col("nwindow") === maxW).cast("int")).as("picked"))
+      .orderBy("nwindow")
   }
 
   def generateGreedy(

@@ -550,7 +550,11 @@ class PlanAuditSpec extends AnyFunSuite {
     for ((q, bound) <- Seq(("q286_torch_pair_spec_telemetry", 2),
         ("q289_torch_wm_accel_detect", 4),
         ("q290_torch_auto_branch", 5),
-        ("q291_torch_spec_drift", 5))) {
+        ("q291_torch_spec_drift", 5),
+        // q297 auto-window: ONE scan prices the whole ladder (all
+        // rungs decoded per row inside one mapPartitions); the
+        // exchanges are the telemetry aggregate + pick window + sort
+        ("q297_torch_auto_window", 4))) {
       val p = plan(q)
       assert("Exchange".r.findAllIn(p).length <= bound,
         s"$q: telemetry plan grew beyond its aggregates:\n$p")

@@ -764,4 +764,58 @@ class TorchServeSpec extends AnyFunSuite {
     assert(rel.nonEmpty && rel == unb,
       "relPos serving loop diverged from the unbounded loop with nothing evicted")
   }
+
+  test("q297 auto-window: rung divergence == hand A/B; integer pick law; ladder bites") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val m = graft.SparkEntry.alibiLmModel
+    val vocab = m.seqHead.get.vocab
+    val bc = s.sparkContext.broadcast(m)
+    val toks = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"),
+            lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+    val ladder = Seq(2, 3, 4, 8, 16)
+    val sweep = graft.torch.Torch.autoKvWindow(toks, "tok_ids", bc,
+        steps = 3, nSink = 1, windows = ladder, divNum = 7, divDen = 20,
+        batchSize = 256)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4)))
+    assert(sweep.map(_._1).toSeq == ladder)
+    // every rung's divergence count equals the standalone A/B
+    val base = graft.torch.Torch.generateGreedy(toks, "tok_ids", "g", bc,
+        steps = 3, batchSize = 256)
+      .select("doc_id", "g").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    for ((w, nD, diff, _, _) <- sweep) {
+      val wg = graft.torch.Torch.generateGreedyWindowed(toks, "tok_ids",
+          "g", bc, steps = 3, nSink = 1, nWindow = w, batchSize = 256)
+        .select("doc_id", "g").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      assert(nD == base.size.toLong && wg.size == base.size)
+      val hand = wg.count { case (id, g) => g != base(id) }.toLong
+      assert(diff == hand, s"rung $w n_diff $diff != hand A/B $hand")
+    }
+    // pick law: meets iff n_diff*den <= num*n_docs; picked = smallest
+    // meeting rung (fallback ladder max); exactly one picked
+    assert(sweep.forall(r => (r._4 == 1) == (r._3 * 20 <= 7L * r._2)))
+    val meets = sweep.filter(_._4 == 1).map(_._1)
+    val want = if (meets.nonEmpty) meets.min else ladder.max
+    assert(sweep.count(_._5 == 1) == 1)
+    assert(sweep.find(_._5 == 1).get._1 == want)
+    // the ladder BITES (q293 lesson): divergence spans the range —
+    // small windows diverge, the full window reduces to the baseline
+    assert(sweep.map(_._3).distinct.length > 2,
+      "divergence flat across the ladder")
+    assert(sweep.last._3 == 0L,
+      "the >=max-length rung must be bit-identical to unbounded")
+    assert(sweep.head._3 > 0L, "the tightest rung never diverged")
+    info("q297 sf0.001 n_diff by window: " +
+      sweep.map(r => s"${r._1}->${r._3}").mkString(", ") + s", picked $want")
+  }
 }
