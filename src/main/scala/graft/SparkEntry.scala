@@ -3082,6 +3082,67 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // BOUNDED-KV PROMPT-LOOKUP SERVING (q298): q266 at the q284 KV
+    // budget — the rolling target session evicts to 1 sink + a
+    // 4-window while the LOOKUP keeps drafting over the FULL token
+    // stream (tokens are cheap, k/v is what a server bounds — the
+    // StreamingLLM deployment shape for the draft-model-free mode).
+    // Greedy-equivalence holds per visibility: emissions are the
+    // WINDOWED rollout truncated (spec-pinned against
+    // generateGreedyWindowed), so the oracle nests the q282 chain
+    // under the unchanged integer lookup arms. Completes the KV row
+    // of the serving matrix alongside q284 (chain), q293 (pair),
+    // q299 (tree).
+    "q298_torch_lookup_loop_kv" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generatePromptLookupLoop(toks, "tok_ids", bc, ngram = 2,
+          maxDraft = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = 1, nWindow = 4)
+        .select(col("doc_id"),
+          col("n_cycles").as("n_cyc"),
+          col("n_acc_total").as("n_acc_tot"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"))
+        .orderBy("doc_id")
+    },
+
+    // BOUNDED-KV STOCHASTIC-TREE SERVING (q299): q287 at the q284 KV
+    // budget — the LAST hole in the KV row of the serving matrix
+    // (chain q284, pair q293, lookup q298, tree here). The lazy
+    // SpecInfer walk only ever APPENDS (no forks, no rollback), so
+    // both rolling sessions take the eviction knob directly; every
+    // draft sample, multi-round walk, and bonus pick now reads
+    // windowed distributions. Oracle: the q287 three-cell chain with
+    // the visibility predicate threaded through every cell's draft
+    // and target forward. Neutral window ≡ q287 bit-exact is
+    // spec-pinned alongside the knob biting.
+    "q299_torch_tree_loop_kv" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftStochasticLoop(toks, "doc_id", "tok_ids", bcT, bcD,
+          branch = 2, depth = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = 1, nWindow = 4)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
     // PROMPT-LOOKUP ACCEPTANCE TELEMETRY (q267): the dashboard that
     // decides whether PLD pays on a corpus — the (n_drafted,
     // n_accepted) histogram of the q262 cycle with each arm's
@@ -12721,28 +12782,11 @@ object SparkEntry {
     // Stochastic-tree serving loop: three q269 cells — cycle-1
     // level 1 (salts 0), then level 2 and cycle-2 level 1 both over
     // the grown prefix (salts 2 and 4); f2 switches on rnd1.
-    "q287_torch_tree_stochastic_loop" -> {
-      val dmq = graft.torch.TorchQuant.quantize(genModel, 7)
-      s"""WITH $wordsToks0Block,
-         |${multiDraftCellCtes(dmq, "toks0", "1", 0)},
-         |toks1 AS MATERIALIZED (
-         |  SELECT doc_id, tid, pos FROM toks0
-         |  UNION ALL
-         |  SELECT e.doc_id, CAST(e.f AS BIGINT), l.mp + 1
-         |  FROM em1 e
-         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id) l
-         |    ON l.doc_id = e.doc_id),
-         |${multiDraftCellCtes(dmq, "toks1", "2", 2)},
-         |${multiDraftCellCtes(dmq, "toks1", "3", 4)}
-         |SELECT e1.doc_id,
-         |  CAST(e1.f AS INT) AS f1,
-         |  CAST(CASE WHEN e1.acc_rnd = 0 THEN e3.f ELSE e2.f END AS INT) AS f2,
-         |  CAST(CASE WHEN e1.acc_rnd = 0 THEN 2 ELSE 1 END AS INT) AS n_cyc
-         |FROM em1 e1
-         |JOIN em2 e2 ON e2.doc_id = e1.doc_id
-         |JOIN em3 e3 ON e3.doc_id = e1.doc_id
-         |ORDER BY e1.doc_id""".stripMargin
-    },
+    "q287_torch_tree_stochastic_loop" -> treeStochasticLoopOracle(None),
+
+    // Bounded-KV stochastic-tree serving (q299): the q287 chain with
+    // the windowed visibility threaded through every cell's forwards.
+    "q299_torch_tree_loop_kv" -> treeStochasticLoopOracle(Some((1, 4))),
 
     // Typical-tree serving loop (q292): the whole q277 chain as a
     // scoped nested-WITH CTE (cycle 1, draw-free), then a fresh
@@ -12957,7 +13001,13 @@ object SparkEntry {
     // Prompt-lookup serving loop: cycle 1's lookup over toks0, cycle
     // 2's over the grown stream, both pure-integer self-joins; the
     // emitted tokens are the greedy rollout truncated to 2.
-    "q266_torch_prompt_lookup_loop" -> promptLookupLoopOracle,
+    "q266_torch_prompt_lookup_loop" -> promptLookupLoopOracle(),
+
+    // Bounded-KV lookup serving (q298): the q266 chain with the
+    // windowed q282 rollout nested — emissions follow the windowed
+    // visibility, lookup arms stay full-stream integer self-joins.
+    "q298_torch_lookup_loop_kv" ->
+      promptLookupLoopOracle(kvWindow = Some((1, 4))),
 
     // Prompt-lookup telemetry: the full q262 chain wrapped in a
     // GROUP BY over (n_drf, n_acc).
@@ -15842,8 +15892,40 @@ object SparkEntry {
     * salts (cell at offset o uses d{o+1}/d{o+2}/a{o+1}/a{o+2}/
     * r{o+2}), so the q275 loop's cycle 1 (offset 0) IS q269's cell
     * verbatim. */
+  /** The q287 stochastic-tree serving-loop chain: three q269 cells —
+    * cycle-1 level 1 (salts 0), then level 2 and cycle-2 level 1
+    * both over the grown prefix (salts 2 and 4); f2 switches on
+    * rnd1. `kvWindow` (q299) threads the bounded-KV visibility
+    * predicate through every cell's draft and target forwards — the
+    * walk arithmetic is untouched (the loop only appends; eviction
+    * changes WHAT each forward sees, not how rounds compose). */
+  private def treeStochasticLoopOracle(
+      kvWindow: Option[(Int, Int)]): String = {
+    val dmq = graft.torch.TorchQuant.quantize(genModel, 7)
+    s"""WITH $wordsToks0Block,
+       |${multiDraftCellCtes(dmq, "toks0", "1", 0, kvWindow)},
+       |toks1 AS MATERIALIZED (
+       |  SELECT doc_id, tid, pos FROM toks0
+       |  UNION ALL
+       |  SELECT e.doc_id, CAST(e.f AS BIGINT), l.mp + 1
+       |  FROM em1 e
+       |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id) l
+       |    ON l.doc_id = e.doc_id),
+       |${multiDraftCellCtes(dmq, "toks1", "2", 2, kvWindow)},
+       |${multiDraftCellCtes(dmq, "toks1", "3", 4, kvWindow)}
+       |SELECT e1.doc_id,
+       |  CAST(e1.f AS INT) AS f1,
+       |  CAST(CASE WHEN e1.acc_rnd = 0 THEN e3.f ELSE e2.f END AS INT) AS f2,
+       |  CAST(CASE WHEN e1.acc_rnd = 0 THEN 2 ELSE 1 END AS INT) AS n_cyc
+       |FROM em1 e1
+       |JOIN em2 e2 ON e2.doc_id = e1.doc_id
+       |JOIN em3 e3 ON e3.doc_id = e1.doc_id
+       |ORDER BY e1.doc_id""".stripMargin
+  }
+
   private def multiDraftCellCtes(draftModel: graft.torch.TorchScriptModel,
-      toksName: String, sfx: String, saltOff: Int): String = {
+      toksName: String, sfx: String, saltOff: Int,
+      kvWindow: Option[(Int, Int)] = None): String = {
     val vocab = genModel.seqHead.get.vocab
     def fwdP(model: graft.torch.TorchScriptModel): String = {
       val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
@@ -15851,7 +15933,8 @@ object SparkEntry {
       val pCols = (0 until model.seqHead.get.vocab)
         .map(j => s"p$j").mkString(", ")
       TorchOracle.mlpArgmaxSql(fc,
-        encBlockSql(model, pool = "last", tokensCte = Some(toksName)),
+        encBlockSql(model, pool = "last", tokensCte = Some(toksName),
+          kvWindow = kvWindow),
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
     }
@@ -16151,7 +16234,13 @@ object SparkEntry {
     * GROWN by gen1, accepted against gen2/gen3 (cycle-level: the
     * overshooting second acceptance counts even though the output
     * truncates, speculativeSampledLoop's documented convention). */
-  private def promptLookupLoopOracle: String = {
+  /** `kvWindow` (q298): the greedy-equivalence law holds per
+    * VISIBILITY — a bounded-KV lookup loop's emissions are the
+    * WINDOWED greedy rollout truncated, so the nested chain swaps to
+    * the q282 restatement and the integer lookup arms are untouched
+    * (drafts come from the full token stream on both sides). */
+  private def promptLookupLoopOracle(
+      kvWindow: Option[(Int, Int)] = None): String = {
     val vocab = genModel.seqHead.get.vocab
     // one lookup leg over a (doc_id, tid, pos) stream: the final
     // bigram, its earliest earlier occurrence, the 1-2 draft tokens
@@ -16176,7 +16265,7 @@ object SparkEntry {
          |  JOIN $stream d1 ON d1.doc_id = m.doc_id AND d1.pos = m.s + 2
          |  LEFT JOIN $stream d2 ON d2.doc_id = m.doc_id AND d2.pos = m.s + 3)""".stripMargin
     s"""WITH greedy AS MATERIALIZED (
-       |${generateOracle(banned = Nil, steps = 3)}
+       |${generateOracle(banned = Nil, steps = 3, kvWindow = kvWindow)}
        |),
        |words AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)

@@ -5195,10 +5195,21 @@ object Torch {
       branch: Int,
       depth: Int,
       maxNewTokens: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      nSink: Int = -1,
+      nWindow: Int = -1): DataFrame = {
     require(branch >= 1, "branch must be >= 1")
     require(depth >= 1, "depth must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    // BOUNDED-KV tree serving (q299): both rolling sessions evict to
+    // nSink sinks + an nWindow window — the lazy stochastic walk only
+    // ever APPENDS (no forks, no rollback), so the eviction knob
+    // composes with the tree exactly as with the greedy rollout.
+    // nWindow <= 0 keeps the unbounded sessions (identical
+    // arithmetic; spec-pinned).
+    val windowed = nWindow > 0
+    require(!windowed || nSink >= 0,
+      "a bounded-KV loop needs nSink >= 0 alongside nWindow >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(target.value.inDim == -1 && draft.value.inDim == -1,
@@ -5244,8 +5255,10 @@ object Torch {
           if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
           else {
             val id = r.getAs[Number](idIdx).longValue()
-            val sd = dm.decodeSession(p)
-            val st = tm.decodeSession(p)
+            val sd = if (windowed) dm.decodeSessionWindowed(p, nSink, nWindow)
+                     else dm.decodeSession(p)
+            val st = if (windowed) tm.decodeSessionWindowed(p, nSink, nWindow)
+                     else tm.decodeSession(p)
             val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]
             var cycles = 0
             var accTotal = 0
@@ -5444,10 +5457,23 @@ object Torch {
       ngram: Int,
       maxDraft: Int,
       maxNewTokens: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      nSink: Int = -1,
+      nWindow: Int = -1): DataFrame = {
     require(ngram >= 1, "ngram must be >= 1")
     require(maxDraft >= 1, "maxDraft must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    // BOUNDED-KV lookup serving (q298): the one rolling target
+    // session evicts to nSink sinks + an nWindow window — the
+    // LOOKUP side stays over the FULL token stream (token ids are
+    // cheap; only k/v state is bounded — the StreamingLLM deployment
+    // keeps the text, evicts the cache), so drafts still come from
+    // anywhere in the sequence while verification runs at
+    // O(nSink + nWindow) state. nWindow <= 0 keeps the unbounded
+    // session (identical arithmetic; spec-pinned).
+    val windowed = nWindow > 0
+    require(!windowed || nSink >= 0,
+      "a bounded-KV loop needs nSink >= 0 alongside nWindow >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.inDim == -1,
@@ -5496,7 +5522,8 @@ object Torch {
             }
           if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
           else {
-            val sess = m.decodeSession(p)
+            val sess = if (windowed) m.decodeSessionWindowed(p, nSink, nWindow)
+                       else m.decodeSession(p)
             val full = scala.collection.mutable.ArrayBuffer.from(p)
             val out = scala.collection.mutable.ArrayBuffer.empty[Int]
             var cycles = 0

@@ -818,4 +818,59 @@ class TorchServeSpec extends AnyFunSuite {
     info("q297 sf0.001 n_diff by window: " +
       sweep.map(r => s"${r._1}->${r._3}").mkString(", ") + s", picked $want")
   }
+
+  test("q298/q299 bounded-KV lookup + tree loops: neutral window == unbounded; knob bites; q298 rides the windowed rollout") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bcT = s.sparkContext.broadcast(m)
+    val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+    val toks = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"),
+            lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+    def collectLk(nS: Int, nW: Int): Map[Long, (Seq[Int], Int, Int)] =
+      graft.torch.Torch.generatePromptLookupLoop(toks, "tok_ids", bcT,
+          ngram = 2, maxDraft = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = nS, nWindow = nW)
+        .select("doc_id", "out_toks", "n_cycles", "n_acc_total").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getInt(2),
+          r.getInt(3)))).toMap
+    val lkUnb = collectLk(-1, -1)
+    // neutrality: a window >= every sequence length never evicts
+    assert(collectLk(1, 32) == lkUnb,
+      "q298 neutral window diverged from the unbounded lookup loop")
+    // the knob bites (q293 lesson): the serving budget moves outputs
+    val lkW = collectLk(1, 4)
+    val lkMoved = lkW.count { case (id, v) => v != lkUnb(id) }
+    assert(lkMoved > 0, "q298 KV budget moved nothing — vacuous knob")
+    // greedy-equivalence under visibility: emissions == the WINDOWED
+    // greedy rollout truncated to maxNewTokens, on every row
+    val wg = graft.torch.Torch.generateGreedyWindowed(toks, "tok_ids",
+        "g", bcT, steps = 2, nSink = 1, nWindow = 4, batchSize = 256)
+      .select("doc_id", "g").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(lkW.forall { case (id, v) => v._1 == wg(id) },
+      "q298 emissions are not the windowed rollout prefix")
+    info(s"q298: KV budget moved $lkMoved/${lkUnb.size} rows")
+    def collectTr(nS: Int, nW: Int): Map[Long, (Seq[Int], Int, Int)] =
+      graft.torch.Torch.treeDraftStochasticLoop(toks, "doc_id", "tok_ids",
+          bcT, bcD, branch = 2, depth = 2, maxNewTokens = 2,
+          batchSize = 256, nSink = nS, nWindow = nW)
+        .select("doc_id", "out_toks", "n_cycles", "n_acc_total").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getInt(2),
+          r.getInt(3)))).toMap
+    val trUnb = collectTr(-1, -1)
+    assert(collectTr(1, 32) == trUnb,
+      "q299 neutral window diverged from the unbounded tree loop")
+    val trW = collectTr(1, 4)
+    val trMoved = trW.count { case (id, v) => v != trUnb(id) }
+    assert(trMoved > 0, "q299 KV budget moved nothing — vacuous knob")
+    info(s"q299: KV budget moved $trMoved/${trUnb.size} rows")
+  }
 }
