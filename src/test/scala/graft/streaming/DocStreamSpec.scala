@@ -369,6 +369,51 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming re-rotated bounded-KV decode at ingest == batch q295, bit-for-bit, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch comparator: the q295 re-rotated decode — per-row sessions
+    // are partition-layout-independent and O(sink + window) state, so
+    // an INGEST stream decodes past the model's table length with
+    // bounded memory per arriving row (the StreamingLLM deployment
+    // story under actual Structured Streaming)
+    val batch = graft.SparkEntry.queries("q295_torch_kv_relpos")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val m = graft.SparkEntry.alibiRelLmModel
+    val vocab = m.seqHead.get.vocab
+    val bc = spark.sparkContext.broadcast(m)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val toks = mem.toDF().toDF("doc_id", "text").select(col("doc_id"),
+      slice(transform(
+        call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+        tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+        1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+    val q = graft.torch.Torch.generateGreedyWindowed(toks, "tok_ids",
+        "gen", bc, steps = 3, nSink = 1, nWindow = 4, batchSize = 64,
+        relPos = true)
+      .select(col("doc_id"), col("gen")(0).as("gen1"),
+        col("gen")(1).as("gen2"), col("gen")(2).as("gen3"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("relpos_stream_out").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("relpos_stream_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(streamed == batch,
+        s"diff: ${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming seq2seq NLL filter at ingest == batch q210, bit-for-bit, zero state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
