@@ -3143,6 +3143,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SERVING AUTO-CONFIG DASHBOARD (q300): the three telemetry →
+    // knob closures in ONE result — the row set a serving deployment
+    // reads to configure itself from its own corpus: the draft depth
+    // (q283 auto-gamma), the retrieval probe budget (q294
+    // auto-nprobe), and the per-session KV budget (q297 auto-window),
+    // each the picked row of its integer sweep. Pure composition: the
+    // underlying operators run unchanged (their own oracles/specs pin
+    // the sweeps); this query pins the three PICKS staying mutually
+    // consistent in one plan. Output: (knob, value) ordered by knob.
+    "q300_serving_autoconf" -> { (s, dir) =>
+      val g = queries("q283_torch_auto_gamma")(s, dir)
+        .filter(col("picked") === 1)
+        .select(lit("gamma").as("knob"), col("gamma").cast("int").as("value"))
+      val n = queries("q294_ann_auto_nprobe")(s, dir)
+        .filter(col("picked") === 1)
+        .select(lit("nprobe").as("knob"), col("nprobe").cast("int").as("value"))
+      val w = queries("q297_torch_auto_window")(s, dir)
+        .filter(col("picked") === 1)
+        .select(lit("nwindow").as("knob"), col("nwindow").cast("int").as("value"))
+      g.unionByName(n).unionByName(w).orderBy("knob")
+    },
+
     // PROMPT-LOOKUP ACCEPTANCE TELEMETRY (q267): the dashboard that
     // decides whether PLD pays on a corpus — the (n_drafted,
     // n_accepted) histogram of the q262 cycle with each arm's
@@ -12788,6 +12810,29 @@ object SparkEntry {
     // the windowed visibility threaded through every cell's forwards.
     "q299_torch_tree_loop_kv" -> treeStochasticLoopOracle(Some((1, 4))),
 
+    // Serving auto-config (q300): the three knob oracles nested as
+    // scoped CTEs, each contributing its picked row.
+    "q300_serving_autoconf" ->
+      s"""WITH ag AS MATERIALIZED (
+         |$autoGammaOracle
+         |),
+         |an AS MATERIALIZED (
+         |$autoNprobeOracle
+         |),
+         |aw AS MATERIALIZED (
+         |$autoWindowOracle
+         |)
+         |SELECT knob, value FROM (
+         |  SELECT 'gamma' AS knob, CAST(gamma AS INT) AS value
+         |  FROM ag WHERE picked = 1
+         |  UNION ALL
+         |  SELECT 'nprobe' AS knob, CAST(nprobe AS INT) AS value
+         |  FROM an WHERE picked = 1
+         |  UNION ALL
+         |  SELECT 'nwindow' AS knob, CAST(nwindow AS INT) AS value
+         |  FROM aw WHERE picked = 1)
+         |ORDER BY knob""".stripMargin,
+
     // Typical-tree serving loop (q292): the whole q277 chain as a
     // scoped nested-WITH CTE (cycle 1, draw-free), then a fresh
     // half-chain over the grown prefix for the n_acc = 0 docs'
@@ -12961,28 +13006,7 @@ object SparkEntry {
     // candidate gamma (yield = Σ min(n_acc, g) + 1), ranked by the
     // exact integer score yield·(6 // (g+1)) — integer-only end to
     // end.
-    "q283_torch_auto_gamma" -> {
-      val chain = specGammaOracle(graft.torch.TorchQuant.quantize(genModel, 7))
-      s"""WITH sweep AS MATERIALIZED (
-         |$chain
-         |),
-         |g AS (
-         |  SELECT gm.gamma,
-         |    CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(least(CAST(s.n_acc AS BIGINT),
-         |                   CAST(gm.gamma AS BIGINT)) + 1) AS BIGINT)
-         |      AS yield_toks
-         |  FROM sweep s CROSS JOIN (VALUES (1), (2)) gm(gamma)
-         |  GROUP BY gm.gamma),
-         |sc AS (
-         |  SELECT gamma, n_docs, yield_toks,
-         |    CAST(yield_toks * (6 // (gamma + 1)) AS BIGINT) AS score
-         |  FROM g)
-         |SELECT CAST(gamma AS INT) AS gamma, n_docs, yield_toks, score,
-         |  CAST(CASE WHEN row_number() OVER (ORDER BY score DESC, gamma) = 1
-         |       THEN 1 ELSE 0 END AS INT) AS picked
-         |FROM sc ORDER BY gamma""".stripMargin
-    },
+    "q283_torch_auto_gamma" -> autoGammaOracle,
 
     // Stochastic prompt-lookup: point-mass-draft acceptance u < p(x),
     // zeroed-token residual walks, per-arm bonus picks.
@@ -13534,36 +13558,7 @@ object SparkEntry {
     // nprobe = 8 everywhere — interior, not forced); only the hits
     // ladder varies. The spec pins rung == standalone canary and the
     // hand-restated pick law.
-    "q294_ann_auto_nprobe" ->
-      """SELECT nprobe, n_sampled, hits, expected, meets_target, picked
-        |FROM (VALUES
-        | (1, CAST(20 AS BIGINT),
-        |  CAST(CASE (SELECT count(*) FROM lineitem)
-        |    WHEN 6000 THEN 32 WHEN 60000 THEN 36 WHEN 600000 THEN 29
-        |    ELSE -1 END AS BIGINT),
-        |  CAST(100 AS BIGINT), 0, 0),
-        | (2, CAST(20 AS BIGINT),
-        |  CAST(CASE (SELECT count(*) FROM lineitem)
-        |    WHEN 6000 THEN 47 WHEN 60000 THEN 52 WHEN 600000 THEN 49
-        |    ELSE -1 END AS BIGINT),
-        |  CAST(100 AS BIGINT), 0, 0),
-        | (4, CAST(20 AS BIGINT),
-        |  CAST(CASE (SELECT count(*) FROM lineitem)
-        |    WHEN 6000 THEN 64 WHEN 60000 THEN 65 WHEN 600000 THEN 64
-        |    ELSE -1 END AS BIGINT),
-        |  CAST(100 AS BIGINT), 0, 0),
-        | (8, CAST(20 AS BIGINT),
-        |  CAST(CASE (SELECT count(*) FROM lineitem)
-        |    WHEN 6000 THEN 84 WHEN 60000 THEN 88 WHEN 600000 THEN 71
-        |    ELSE -1 END AS BIGINT),
-        |  CAST(100 AS BIGINT), 1, 1),
-        | (16, CAST(20 AS BIGINT),
-        |  CAST(CASE (SELECT count(*) FROM lineitem)
-        |    WHEN 6000 THEN 97 WHEN 60000 THEN 100 WHEN 600000 THEN 76
-        |    ELSE -1 END AS BIGINT),
-        |  CAST(100 AS BIGINT), 1, 0)
-        |) t(nprobe, n_sampled, hits, expected, meets_target, picked)
-        |ORDER BY nprobe""".stripMargin,
+    "q294_ann_auto_nprobe" -> autoNprobeOracle,
 
     // Re-rotated bounded KV (q295): the q282 windowed-attention
     // restatement over the no-PosEmbedOp 6-row-table model, with the
@@ -13590,44 +13585,7 @@ object SparkEntry {
     // MATERIALIZED CTE (the q289 convention — internal CTE names
     // repeat safely), then the divergence counts, the budget check,
     // and the integer pick all DERIVED in SQL — nothing pinned.
-    "q297_torch_auto_window" -> {
-      def chain(w: Option[(Int, Int)]): String = generateOracle(
-        banned = Nil, m = alibiLmModel, headBias = Some(alibiLmHeadBias),
-        kvWindow = w)
-      val rungs = Seq(2, 3, 4, 8, 16)
-      val rungCtes = rungs.map(w =>
-        s"cw$w AS MATERIALIZED (\n${chain(Some((1, w)))}\n)").mkString(",\n")
-      val diffs = rungs.map(w =>
-        s"""  SELECT $w AS nwindow,
-           |    CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(sum(CASE WHEN r.gen1 != b.gen1 OR r.gen2 != b.gen2
-           |                    OR r.gen3 != b.gen3 THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS n_diff
-           |  FROM cb b JOIN cw$w r USING (doc_id)""".stripMargin)
-        .mkString("\n  UNION ALL\n")
-      s"""WITH cb AS MATERIALIZED (
-         |${chain(None)}
-         |),
-         |$rungCtes,
-         |sweep AS (
-         |$diffs
-         |),
-         |pick AS (
-         |  SELECT nwindow, n_docs, n_diff,
-         |    CASE WHEN n_diff * 20 <= 7 * n_docs THEN 1 ELSE 0 END
-         |      AS meets_budget
-         |  FROM sweep)
-         |SELECT nwindow, n_docs, n_diff, meets_budget,
-         |  CASE WHEN (SELECT min(nwindow) FROM pick WHERE meets_budget = 1)
-         |         IS NOT NULL
-         |       THEN CASE WHEN nwindow =
-         |              (SELECT min(nwindow) FROM pick WHERE meets_budget = 1)
-         |            THEN 1 ELSE 0 END
-         |       ELSE CASE WHEN nwindow = ${rungs.max} THEN 1 ELSE 0 END END
-         |    AS picked
-         |FROM pick
-         |ORDER BY nwindow""".stripMargin
-    },
+    "q297_torch_auto_window" -> autoWindowOracle,
 
     // Cross stochastic speculative: the q247 softmax/pick/acceptance
     // chain over ONE target + ONE draft cross forward (the
@@ -15892,6 +15850,113 @@ object SparkEntry {
     * salts (cell at offset o uses d{o+1}/d{o+2}/a{o+1}/a{o+2}/
     * r{o+2}), so the q275 loop's cycle 1 (offset 0) IS q269's cell
     * verbatim. */
+  /** The q283 auto-gamma oracle: the q249 chain's per-doc n_acc
+    * aggregated per candidate gamma (yield = Σ min(n_acc, g) + 1),
+    * ranked by the exact integer score yield·(6 // (g+1)) —
+    * integer-only end to end. Shared by q283 and the q300 dashboard. */
+  private lazy val autoGammaOracle: String = {
+    val chain = specGammaOracle(graft.torch.TorchQuant.quantize(genModel, 7))
+    s"""WITH sweep AS MATERIALIZED (
+       |$chain
+       |),
+       |g AS (
+       |  SELECT gm.gamma,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(least(CAST(s.n_acc AS BIGINT),
+       |                   CAST(gm.gamma AS BIGINT)) + 1) AS BIGINT)
+       |      AS yield_toks
+       |  FROM sweep s CROSS JOIN (VALUES (1), (2)) gm(gamma)
+       |  GROUP BY gm.gamma),
+       |sc AS (
+       |  SELECT gamma, n_docs, yield_toks,
+       |    CAST(yield_toks * (6 // (gamma + 1)) AS BIGINT) AS score
+       |  FROM g)
+       |SELECT CAST(gamma AS INT) AS gamma, n_docs, yield_toks, score,
+       |  CAST(CASE WHEN row_number() OVER (ORDER BY score DESC, gamma) = 1
+       |       THEN 1 ELSE 0 END AS INT) AS picked
+       |FROM sc ORDER BY gamma""".stripMargin
+  }
+
+  /** The q294 auto-nprobe oracle: deterministic end to end like q278
+    * (frozen index + exact rerank + brute A/B on the pinned slice),
+    * so the whole integer sweep pins per SF — the meets/picked
+    * pattern is the same everywhere (interior pick nprobe = 8), only
+    * the hits ladder varies. Shared by q294 and the q300 dashboard. */
+  private val autoNprobeOracle: String =
+    """SELECT nprobe, n_sampled, hits, expected, meets_target, picked
+      |FROM (VALUES
+      | (1, CAST(20 AS BIGINT),
+      |  CAST(CASE (SELECT count(*) FROM lineitem)
+      |    WHEN 6000 THEN 32 WHEN 60000 THEN 36 WHEN 600000 THEN 29
+      |    ELSE -1 END AS BIGINT),
+      |  CAST(100 AS BIGINT), 0, 0),
+      | (2, CAST(20 AS BIGINT),
+      |  CAST(CASE (SELECT count(*) FROM lineitem)
+      |    WHEN 6000 THEN 47 WHEN 60000 THEN 52 WHEN 600000 THEN 49
+      |    ELSE -1 END AS BIGINT),
+      |  CAST(100 AS BIGINT), 0, 0),
+      | (4, CAST(20 AS BIGINT),
+      |  CAST(CASE (SELECT count(*) FROM lineitem)
+      |    WHEN 6000 THEN 64 WHEN 60000 THEN 65 WHEN 600000 THEN 64
+      |    ELSE -1 END AS BIGINT),
+      |  CAST(100 AS BIGINT), 0, 0),
+      | (8, CAST(20 AS BIGINT),
+      |  CAST(CASE (SELECT count(*) FROM lineitem)
+      |    WHEN 6000 THEN 84 WHEN 60000 THEN 88 WHEN 600000 THEN 71
+      |    ELSE -1 END AS BIGINT),
+      |  CAST(100 AS BIGINT), 1, 1),
+      | (16, CAST(20 AS BIGINT),
+      |  CAST(CASE (SELECT count(*) FROM lineitem)
+      |    WHEN 6000 THEN 97 WHEN 60000 THEN 100 WHEN 600000 THEN 76
+      |    ELSE -1 END AS BIGINT),
+      |  CAST(100 AS BIGINT), 1, 0)
+      |) t(nprobe, n_sampled, hits, expected, meets_target, picked)
+      |ORDER BY nprobe""".stripMargin
+
+  /** The q297 auto-window oracle: the unbounded q215-model greedy
+    * chain plus one windowed chain per ladder rung, each nested as a
+    * scoped MATERIALIZED CTE (the q289 convention), then counts,
+    * budget check, and pick all DERIVED in SQL. Shared by q297 and
+    * the q300 dashboard. */
+  private lazy val autoWindowOracle: String = {
+    def chain(w: Option[(Int, Int)]): String = generateOracle(
+      banned = Nil, m = alibiLmModel, headBias = Some(alibiLmHeadBias),
+      kvWindow = w)
+    val rungs = Seq(2, 3, 4, 8, 16)
+    val rungCtes = rungs.map(w =>
+      s"cw$w AS MATERIALIZED (\n${chain(Some((1, w)))}\n)").mkString(",\n")
+    val diffs = rungs.map(w =>
+      s"""  SELECT $w AS nwindow,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN r.gen1 != b.gen1 OR r.gen2 != b.gen2
+         |                    OR r.gen3 != b.gen3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_diff
+         |  FROM cb b JOIN cw$w r USING (doc_id)""".stripMargin)
+      .mkString("\n  UNION ALL\n")
+    s"""WITH cb AS MATERIALIZED (
+       |${chain(None)}
+       |),
+       |$rungCtes,
+       |sweep AS (
+       |$diffs
+       |),
+       |pick AS (
+       |  SELECT nwindow, n_docs, n_diff,
+       |    CASE WHEN n_diff * 20 <= 7 * n_docs THEN 1 ELSE 0 END
+       |      AS meets_budget
+       |  FROM sweep)
+       |SELECT nwindow, n_docs, n_diff, meets_budget,
+       |  CASE WHEN (SELECT min(nwindow) FROM pick WHERE meets_budget = 1)
+       |         IS NOT NULL
+       |       THEN CASE WHEN nwindow =
+       |              (SELECT min(nwindow) FROM pick WHERE meets_budget = 1)
+       |            THEN 1 ELSE 0 END
+       |       ELSE CASE WHEN nwindow = ${rungs.max} THEN 1 ELSE 0 END END
+       |    AS picked
+       |FROM pick
+       |ORDER BY nwindow""".stripMargin
+  }
+
   /** The q287 stochastic-tree serving-loop chain: three q269 cells —
     * cycle-1 level 1 (salts 0), then level 2 and cycle-2 level 1
     * both over the grown prefix (salts 2 and 4); f2 switches on

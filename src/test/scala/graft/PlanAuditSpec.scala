@@ -573,6 +573,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // CartesianProduct means a rung regressed to pair-everything
     val p294 = plan("q294_ann_auto_nprobe")
     assert(!p294.contains("CartesianProduct"), s"q294 cartesian:\n$p294")
+    // q300 unions the three knob dashboards — telemetry-many
+    // exchanges are inherent; only pair-everything would be a bug
+    val p300 = plan("q300_serving_autoconf")
+    assert(!p300.contains("CartesianProduct"), s"q300 cartesian:\n$p300")
   }
 
   test("q246 RAG retrieval leg is the IVFADC shortlist — no corpus-vs-queries NLJ") {
