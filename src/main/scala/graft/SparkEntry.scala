@@ -3165,6 +3165,65 @@ object SparkEntry {
       g.unionByName(n).unionByName(w).orderBy("knob")
     },
 
+    // BOUNDED-KV GREEDY-TREE SERVING (q301): q272 (the Medusa-shape
+    // loop — greedy-equivalence verification over draft token trees)
+    // at the q284 KV budget — accepted-prefix sessions and every
+    // tree-node fork evict to 1 sink + a 4-window. Emissions stay
+    // the WINDOWED rollout prefix (greedy-equivalence per
+    // visibility), while the tree's acceptance arms read WINDOWED
+    // draft distributions — both sides of the oracle thread the same
+    // predicate. With q298 (lookup) and q299 (stochastic tree) this
+    // puts every serving-loop mode under the eviction knob.
+    "q301_torch_tree_greedy_loop_kv" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftGreedyLoop(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = 1, nWindow = 4)
+        .select(col("doc_id"),
+          col("n_cycles").as("n_cyc"),
+          col("n_acc_total").as("n_acc_tot"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"))
+        .orderBy("doc_id")
+    },
+
+    // BOUNDED-KV TYPICAL-TREE SERVING (q302): q292 (the draw-free
+    // typical-acceptance loop) at the q284 KV budget — the TARGET
+    // sessions and tree forks evict to 1 sink + a 4-window; the
+    // early-exit self-draft is attention-free, so its cache knob is
+    // a no-op by construction (spec-pinned via the oracle: only the
+    // target forwards thread the predicate). The last serving-loop
+    // mode under the eviction knob — every loop (chain, pair,
+    // lookup, greedy tree, stochastic tree, typical tree) now runs
+    // at a KV budget.
+    "q302_torch_tree_typical_loop_kv" -> { (s, dir) =>
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(earlyExitModel)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftTypicalLoop(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, posteriorEps = 0.25, posteriorAlpha = 0.5,
+          maxNewTokens = 2, batchSize = 256, nSink = 1, nWindow = 4)
+        .select(col("doc_id"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"),
+          col("n_cycles").as("n_cyc"))
+        .orderBy("doc_id")
+    },
+
     // PROMPT-LOOKUP ACCEPTANCE TELEMETRY (q267): the dashboard that
     // decides whether PLD pays on a corpus — the (n_drafted,
     // n_accepted) histogram of the q262 cycle with each arm's
@@ -12786,6 +12845,12 @@ object SparkEntry {
     "q272_torch_tree_loop" ->
       treeDraftLoopOracle(graft.torch.TorchQuant.quantize(genModel, 7)),
 
+    // Bounded-KV greedy-tree serving (q301): the q272 chain with the
+    // windowed visibility in the rollout AND the tree expansions.
+    "q301_torch_tree_greedy_loop_kv" -> treeDraftLoopOracle(
+      graft.torch.TorchQuant.quantize(genModel, 7),
+      kvWindow = Some((1, 4))),
+
     // Self-draft tree: the same recipe with the draft forwards from
     // the early-exit submodel (earlyExitBlockSql arm of fwdP).
     "q273_torch_tree_selfdraft" -> treeDraftOracle(earlyExitModel),
@@ -12838,100 +12903,12 @@ object SparkEntry {
     // half-chain over the grown prefix for the n_acc = 0 docs'
     // second cycle — early-exit draft top-2, target prob/thr, the
     // typical pick or the argmax fallback.
-    "q292_torch_tree_typical_loop" -> {
-      val m = genModel
-      val vocab = m.seqHead.get.vocab
-      val fcT = new graft.torch.TorchScriptModel(IndexedSeq(
-        m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
-      def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
-        val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
-        val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
-        val pCols = (0 until model.seqHead.get.vocab)
-          .map(j => s"p$j").mkString(", ")
-        val block =
-          if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
-            encBlockSql(model, pool = "last", tokensCte = Some(toksName))
-          else earlyExitBlockSql(model, toksName)
-        TorchOracle.mlpArgmaxSql(fc, block,
-          arms = Seq("p"), carry = Seq("doc_id"),
-          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
-      }
-      def softmax6(src: String, out: String): String = {
-        val unpivot = (0 until vocab).map(j =>
-          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
-          .mkString("\n  UNION ALL ")
-        s"""$out AS MATERIALIZED (
-           |  SELECT doc_id, tid, round(e / z, 6) AS p6
-           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
-           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
-           |        FROM (SELECT doc_id, tid, lp,
-           |                     max(lp) OVER (PARTITION BY doc_id) AS m
-           |              FROM ($unpivot))))""".stripMargin
-      }
-      val amax = TorchOracle.armArgmax(fcT, "p")
-      s"""WITH c1 AS MATERIALIZED (
-         |${treeDraftTypicalOracle(earlyExitModel, eps = 0.25, alpha = 0.5)}
-         |),
-         |words AS (
-         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
-         |           % $vocab AS tid, pos
-         |  FROM (SELECT doc_id,
-         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
-         |          generate_subscripts(regexp_extract_all(text,
-         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
-         |        FROM documents)
-         |  WHERE pos <= $EncMaxLen),
-         |toks0 AS MATERIALIZED (SELECT * FROM words),
-         |toksB AS MATERIALIZED (
-         |  SELECT t.doc_id, t.tid, t.pos FROM toks0 t
-         |  UNION ALL
-         |  SELECT c.doc_id, CAST(c.f1 AS BIGINT), l.mp + 1
-         |  FROM c1 c
-         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id) l
-         |    ON l.doc_id = c.doc_id),
-         |logitDB AS MATERIALIZED (
-         |${fwdP(earlyExitModel, "toksB")}
-         |),
-         |${softmax6("logitDB", "qrootB")},
-         |rootB AS MATERIALIZED (
-         |  SELECT doc_id, tid,
-         |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY p6 DESC, tid) AS rk
-         |  FROM qrootB QUALIFY rk <= 2),
-         |logitTB AS MATERIALIZED (
-         |${fwdP(m, "toksB")}
-         |),
-         |${softmax6("logitTB", "probB")},
-         |thrB AS MATERIALIZED (
-         |  SELECT doc_id, round(least(CAST(0.25 AS DOUBLE),
-         |    CAST(0.5 AS DOUBLE) * exp(-h)), 6) AS thr
-         |  FROM (SELECT doc_id,
-         |          -sum(CASE WHEN p6 = CAST(0 AS DOUBLE)
-         |                    THEN CAST(0 AS DOUBLE)
-         |                    ELSE p6 * ln(p6) END) AS h
-         |        FROM probB GROUP BY doc_id)),
-         |pickB AS MATERIALIZED (
-         |  SELECT doc_id, tid FROM (
-         |    SELECT a.doc_id, a.tid,
-         |      row_number() OVER (PARTITION BY a.doc_id
-         |                         ORDER BY a.p6 DESC, a.tid) AS rk
-         |    FROM (SELECT r.doc_id, r.tid, p.p6
-         |          FROM rootB r
-         |          JOIN probB p ON p.doc_id = r.doc_id AND p.tid = r.tid
-         |          JOIN thrB t ON t.doc_id = r.doc_id
-         |          WHERE p.p6 >= t.thr) a)
-         |  WHERE rk = 1),
-         |bonB AS (SELECT doc_id, $amax AS tid FROM logitTB)
-         |SELECT c.doc_id,
-         |  CAST(c.f1 AS INT) AS f1,
-         |  CAST(CASE WHEN c.n_acc = 0 THEN coalesce(p.tid, b.tid)
-         |            ELSE c.f2 END AS INT) AS f2,
-         |  CAST(CASE WHEN c.n_acc = 0 THEN 2 ELSE 1 END AS INT) AS n_cyc
-         |FROM c1 c
-         |LEFT JOIN pickB p ON p.doc_id = c.doc_id
-         |LEFT JOIN bonB b ON b.doc_id = c.doc_id
-         |ORDER BY c.doc_id""".stripMargin
-    },
+        "q292_torch_tree_typical_loop" -> treeTypicalLoopOracle(None),
+
+    // Bounded-KV typical-tree serving (q302): the q292 chain with
+    // the windowed visibility in every target forward.
+    "q302_torch_tree_typical_loop_kv" ->
+      treeTypicalLoopOracle(Some((1, 4))),
 
     // Auto-branch: the q249 chain (branch = 1 — bit-exact by the
     // spec pin) and the q280 chain (branch = 2) aggregated per
@@ -16638,18 +16615,132 @@ object SparkEntry {
     * tree over the gen1-grown stream accepted against gen2/gen3
     * (cycle-level accounting: the overshooting acceptances count
     * even though the output truncates). */
+  /** The q292 typical-tree serving-loop chain: the whole q277 cell
+    * as a scoped CTE plus a fresh half-chain over the grown prefix
+    * (draw-free — thresholds + argmax, no salt bookkeeping).
+    * `kvWindow` (q302) threads the bounded-KV visibility through the
+    * TARGET forwards on both legs; the early-exit draft is
+    * attention-free, so its windowed sessions are identical by
+    * construction. */
+  private def treeTypicalLoopOracle(
+      kvWindow: Option[(Int, Int)]): String = {
+      val m = genModel
+      val vocab = m.seqHead.get.vocab
+      val fcT = new graft.torch.TorchScriptModel(IndexedSeq(
+        m.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get))
+      def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
+        val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
+        val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
+        val pCols = (0 until model.seqHead.get.vocab)
+          .map(j => s"p$j").mkString(", ")
+        val block =
+          if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
+            encBlockSql(model, pool = "last", tokensCte = Some(toksName),
+              kvWindow = kvWindow)
+          else earlyExitBlockSql(model, toksName)
+        TorchOracle.mlpArgmaxSql(fc, block,
+          arms = Seq("p"), carry = Seq("doc_id"),
+          finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
+      }
+      def softmax6(src: String, out: String): String = {
+        val unpivot = (0 until vocab).map(j =>
+          s"SELECT doc_id, $j AS tid, p$j AS lp FROM $src")
+          .mkString("\n  UNION ALL ")
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id, tid, round(e / z, 6) AS p6
+           |  FROM (SELECT doc_id, tid, exp(lp - m) AS e,
+           |               sum(exp(lp - m)) OVER (PARTITION BY doc_id) AS z
+           |        FROM (SELECT doc_id, tid, lp,
+           |                     max(lp) OVER (PARTITION BY doc_id) AS m
+           |              FROM ($unpivot))))""".stripMargin
+      }
+      val amax = TorchOracle.armArgmax(fcT, "p")
+      s"""WITH c1 AS MATERIALIZED (
+         |${treeDraftTypicalOracle(earlyExitModel, eps = 0.25, alpha = 0.5,
+  kvWindow = kvWindow)}
+         |),
+         |words AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |           % $vocab AS tid, pos
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS w,
+         |          generate_subscripts(regexp_extract_all(text,
+         |            '[^ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
+         |        FROM documents)
+         |  WHERE pos <= $EncMaxLen),
+         |toks0 AS MATERIALIZED (SELECT * FROM words),
+         |toksB AS MATERIALIZED (
+         |  SELECT t.doc_id, t.tid, t.pos FROM toks0 t
+         |  UNION ALL
+         |  SELECT c.doc_id, CAST(c.f1 AS BIGINT), l.mp + 1
+         |  FROM c1 c
+         |  JOIN (SELECT doc_id, max(pos) AS mp FROM toks0 GROUP BY doc_id) l
+         |    ON l.doc_id = c.doc_id),
+         |logitDB AS MATERIALIZED (
+         |${fwdP(earlyExitModel, "toksB")}
+         |),
+         |${softmax6("logitDB", "qrootB")},
+         |rootB AS MATERIALIZED (
+         |  SELECT doc_id, tid,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY p6 DESC, tid) AS rk
+         |  FROM qrootB QUALIFY rk <= 2),
+         |logitTB AS MATERIALIZED (
+         |${fwdP(m, "toksB")}
+         |),
+         |${softmax6("logitTB", "probB")},
+         |thrB AS MATERIALIZED (
+         |  SELECT doc_id, round(least(CAST(0.25 AS DOUBLE),
+         |    CAST(0.5 AS DOUBLE) * exp(-h)), 6) AS thr
+         |  FROM (SELECT doc_id,
+         |          -sum(CASE WHEN p6 = CAST(0 AS DOUBLE)
+         |                    THEN CAST(0 AS DOUBLE)
+         |                    ELSE p6 * ln(p6) END) AS h
+         |        FROM probB GROUP BY doc_id)),
+         |pickB AS MATERIALIZED (
+         |  SELECT doc_id, tid FROM (
+         |    SELECT a.doc_id, a.tid,
+         |      row_number() OVER (PARTITION BY a.doc_id
+         |                         ORDER BY a.p6 DESC, a.tid) AS rk
+         |    FROM (SELECT r.doc_id, r.tid, p.p6
+         |          FROM rootB r
+         |          JOIN probB p ON p.doc_id = r.doc_id AND p.tid = r.tid
+         |          JOIN thrB t ON t.doc_id = r.doc_id
+         |          WHERE p.p6 >= t.thr) a)
+         |  WHERE rk = 1),
+         |bonB AS (SELECT doc_id, $amax AS tid FROM logitTB)
+         |SELECT c.doc_id,
+         |  CAST(c.f1 AS INT) AS f1,
+         |  CAST(CASE WHEN c.n_acc = 0 THEN coalesce(p.tid, b.tid)
+         |            ELSE c.f2 END AS INT) AS f2,
+         |  CAST(CASE WHEN c.n_acc = 0 THEN 2 ELSE 1 END AS INT) AS n_cyc
+         |FROM c1 c
+         |LEFT JOIN pickB p ON p.doc_id = c.doc_id
+         |LEFT JOIN bonB b ON b.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+  }
+
   private def treeDraftLoopOracle(
-      draftModel: graft.torch.TorchScriptModel): String = {
+      draftModel: graft.torch.TorchScriptModel,
+      kvWindow: Option[(Int, Int)] = None): String = {
     val vocab = genModel.seqHead.get.vocab
     def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
       val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
       val pCols = (0 until model.seqHead.get.vocab)
         .map(j => s"p$j").mkString(", ")
+      // q301: the visibility predicate threads into every attentive
+      // forward; the early-exit arm has NO attention (embedding +
+      // pos + head), so a window is meaningless there — refuse it
       val block =
         if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
-          encBlockSql(model, pool = "last", tokensCte = Some(toksName))
-        else earlyExitBlockSql(model, toksName)
+          encBlockSql(model, pool = "last", tokensCte = Some(toksName),
+            kvWindow = kvWindow)
+        else {
+          require(kvWindow.isEmpty,
+            "kvWindow over an attention-free early-exit draft")
+          earlyExitBlockSql(model, toksName)
+        }
       TorchOracle.mlpArgmaxSql(fc, block,
         arms = Seq("p"), carry = Seq("doc_id"),
         finalSelect = s"SELECT doc_id, $pCols FROM ${TorchOracle.lastCte(fc)}")
@@ -16717,7 +16808,7 @@ object SparkEntry {
          |            THEN ($g2 = k$sfx.c121 OR $g2 = k$sfx.c122)
          |          ELSE FALSE END) AS a2$sfx""".stripMargin
     s"""WITH greedy AS MATERIALIZED (
-       |${generateOracle(banned = Nil, steps = 3)}
+       |${generateOracle(banned = Nil, steps = 3, kvWindow = kvWindow)}
        |),
        |words AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
@@ -16767,7 +16858,8 @@ object SparkEntry {
     * target logits at whichever prefix the walk stopped). */
   private def treeDraftTypicalOracle(
       draftModel: graft.torch.TorchScriptModel,
-      eps: Double, alpha: Double): String = {
+      eps: Double, alpha: Double,
+      kvWindow: Option[(Int, Int)] = None): String = {
     val m = genModel
     val vocab = m.seqHead.get.vocab
     val fcT = new graft.torch.TorchScriptModel(IndexedSeq(
@@ -16779,9 +16871,13 @@ object SparkEntry {
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
       val pCols = (0 until model.seqHead.get.vocab)
         .map(j => s"p$j").mkString(", ")
+      // q302: the window threads into attentive (target) forwards;
+      // the early-exit draft has NO attention, so the windowed
+      // engine session is identical by construction — unthreaded
       val block =
         if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
-          encBlockSql(model, pool = "last", tokensCte = Some(toksName))
+          encBlockSql(model, pool = "last", tokensCte = Some(toksName),
+            kvWindow = kvWindow)
         else earlyExitBlockSql(model, toksName)
       TorchOracle.mlpArgmaxSql(fc, block,
         arms = Seq("p"), carry = Seq("doc_id"),

@@ -4646,13 +4646,22 @@ object Torch {
       posteriorEps: Double,
       posteriorAlpha: Double,
       maxNewTokens: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      nSink: Int = -1,
+      nWindow: Int = -1): DataFrame = {
     require(branch >= 1, "branch must be >= 1")
     require(depth >= 1, "depth must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
     require(posteriorEps > 0.0 && posteriorEps <= 1.0,
       "posteriorEps must be in (0, 1]")
     require(posteriorAlpha > 0.0, "posteriorAlpha must be > 0")
+    // BOUNDED-KV typical-tree serving (q302): the target sessions
+    // (and tree forks) evict; an attention-free early-exit draft has
+    // no k/v state, so its windowed sessions are identical by
+    // construction. nWindow <= 0 keeps the unbounded sessions.
+    val windowed = nWindow > 0
+    require(!windowed || nSink >= 0,
+      "a bounded-KV loop needs nSink >= 0 alongside nWindow >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(target.value.inDim == -1 && draft.value.inDim == -1,
@@ -4724,8 +4733,10 @@ object Torch {
             }
           if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
           else {
-            val st = tm.decodeSession(p)
-            var sd = dm.decodeSession(p)
+            val st = if (windowed) tm.decodeSessionWindowed(p, nSink, nWindow)
+                     else tm.decodeSession(p)
+            var sd = if (windowed) dm.decodeSessionWindowed(p, nSink, nWindow)
+                     else dm.decodeSession(p)
             val out = scala.collection.mutable.ArrayBuffer.empty[Int]
             var cycles = 0
             var accTotal = 0
@@ -4811,10 +4822,19 @@ object Torch {
       branch: Int,
       depth: Int,
       maxNewTokens: Int,
-      batchSize: Int = -1): DataFrame = {
+      batchSize: Int = -1,
+      nSink: Int = -1,
+      nWindow: Int = -1): DataFrame = {
     require(branch >= 1, "branch must be >= 1")
     require(depth >= 1, "depth must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    // BOUNDED-KV tree serving (q301): both accepted-prefix sessions
+    // (and every tree-node fork rooted at them) evict to nSink sinks
+    // + an nWindow window. nWindow <= 0 keeps the unbounded sessions
+    // (identical arithmetic; spec-pinned).
+    val windowed = nWindow > 0
+    require(!windowed || nSink >= 0,
+      "a bounded-KV loop needs nSink >= 0 alongside nWindow >= 1")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(target.value.inDim == -1 && draft.value.inDim == -1,
@@ -4875,8 +4895,10 @@ object Torch {
             // the DRAFT session tracks the accepted prefix too — each
             // cycle's tree roots at a fork of it (O(L) copy), so
             // neither model ever replays the prompt
-            val st = tm.decodeSession(p)
-            var sd = dm.decodeSession(p)
+            val st = if (windowed) tm.decodeSessionWindowed(p, nSink, nWindow)
+                     else tm.decodeSession(p)
+            var sd = if (windowed) dm.decodeSessionWindowed(p, nSink, nWindow)
+                     else dm.decodeSession(p)
             val out = scala.collection.mutable.ArrayBuffer.empty[Int]
             var cycles = 0
             var accTotal = 0

@@ -532,7 +532,9 @@ class PlanAuditSpec extends AnyFunSuite {
         "q287_torch_tree_stochastic_loop", "q288_torch_spec_loop_wm_kv",
         "q292_torch_tree_typical_loop", "q293_torch_pair_loop_kv",
         "q295_torch_kv_relpos", "q296_torch_spec_loop_relpos",
-        "q298_torch_lookup_loop_kv", "q299_torch_tree_loop_kv")) {
+        "q298_torch_lookup_loop_kv", "q299_torch_tree_loop_kv",
+        "q301_torch_tree_greedy_loop_kv",
+        "q302_torch_tree_typical_loop_kv")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

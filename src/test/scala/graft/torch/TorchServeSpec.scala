@@ -873,4 +873,58 @@ class TorchServeSpec extends AnyFunSuite {
     assert(trMoved > 0, "q299 KV budget moved nothing — vacuous knob")
     info(s"q299: KV budget moved $trMoved/${trUnb.size} rows")
   }
+
+  test("q301/q302 bounded-KV greedy-tree + typical-tree loops: neutral window == unbounded; knob bites; q301 rides the windowed rollout") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val m = graft.SparkEntry.genModel
+    val vocab = m.seqHead.get.vocab
+    val bcT = s.sparkContext.broadcast(m)
+    val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+    val bcE = s.sparkContext.broadcast(graft.SparkEntry.earlyExitModel)
+    val toks = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"),
+            lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, 12).as("tok_ids"))
+      .filter(size(col("tok_ids")) >= 1)
+    def collectG(nS: Int, nW: Int): Map[Long, (Seq[Int], Int, Int)] =
+      graft.torch.Torch.treeDraftGreedyLoop(toks, "tok_ids", bcT, bcD,
+          branch = 2, depth = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = nS, nWindow = nW)
+        .select("doc_id", "out_toks", "n_cycles", "n_acc_total").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getInt(2),
+          r.getInt(3)))).toMap
+    val gUnb = collectG(-1, -1)
+    assert(collectG(1, 32) == gUnb,
+      "q301 neutral window diverged from the unbounded greedy-tree loop")
+    val gW = collectG(1, 4)
+    val gMoved = gW.count { case (id, v) => v != gUnb(id) }
+    assert(gMoved > 0, "q301 KV budget moved nothing — vacuous knob")
+    // greedy-equivalence per visibility: emissions == windowed rollout
+    val wg = graft.torch.Torch.generateGreedyWindowed(toks, "tok_ids",
+        "g", bcT, steps = 2, nSink = 1, nWindow = 4, batchSize = 256)
+      .select("doc_id", "g").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(gW.forall { case (id, v) => v._1 == wg(id) },
+      "q301 emissions are not the windowed rollout prefix")
+    info(s"q301: KV budget moved $gMoved/${gUnb.size} rows")
+    def collectTy(nS: Int, nW: Int): Map[Long, (Seq[Int], Int, Int)] =
+      graft.torch.Torch.treeDraftTypicalLoop(toks, "tok_ids", bcT, bcE,
+          branch = 2, depth = 2, posteriorEps = 0.25,
+          posteriorAlpha = 0.5, maxNewTokens = 2, batchSize = 256,
+          nSink = nS, nWindow = nW)
+        .select("doc_id", "out_toks", "n_cycles", "n_acc_total").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getInt(2),
+          r.getInt(3)))).toMap
+    val tyUnb = collectTy(-1, -1)
+    assert(collectTy(1, 32) == tyUnb,
+      "q302 neutral window diverged from the unbounded typical-tree loop")
+    val tyW = collectTy(1, 4)
+    val tyMoved = tyW.count { case (id, v) => v != tyUnb(id) }
+    assert(tyMoved > 0, "q302 KV budget moved nothing — vacuous knob")
+    info(s"q302: KV budget moved $tyMoved/${tyUnb.size} rows")
+  }
 }
