@@ -3224,6 +3224,63 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // RE-ROTATED PROMPT-LOOKUP SERVING (q303): the draft-model-free
+    // loop on the relPos dial — the bias-position target (q295's
+    // 6-row tables) re-indexes its cache slots on eviction while the
+    // LOOKUP drafts over the FULL token stream, so the cheapest
+    // serving mode (no draft model at all) also runs at O(sink +
+    // window) state past the model's table length. Oracle: the q298
+    // chain with the relPos target + slot closed forms in the nested
+    // rollout; the integer lookup arms never read the model.
+    "q303_torch_lookup_loop_relpos" -> { (s, dir) =>
+      val m = alibiRelLmModel
+      val vocab = m.seqHead.get.vocab
+      val bc = s.sparkContext.broadcast(m)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.generatePromptLookupLoop(toks, "tok_ids", bc, ngram = 2,
+          maxDraft = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = 1, nWindow = 4, relPos = true)
+        .select(col("doc_id"),
+          col("n_cycles").as("n_cyc"),
+          col("n_acc_total").as("n_acc_tot"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"))
+        .orderBy("doc_id")
+    },
+
+    // RE-ROTATED GREEDY-TREE SERVING (q304): the Medusa-shape loop
+    // on the relPos dial — target AND int4 draft run the
+    // bias-position stack, every tree-node fork inherits the
+    // re-rotation, and the whole tree-verification loop decodes past
+    // the 6-row tables. One headBias serves both oracle sides
+    // (quantization keeps the mask tables). With q296 (chain) and
+    // q303 (lookup) the re-rotation dial now covers the serving
+    // modes a long-stream deployment actually runs.
+    "q304_torch_tree_loop_relpos" -> { (s, dir) =>
+      val m = alibiRelLmModel
+      val vocab = m.seqHead.get.vocab
+      val bcT = s.sparkContext.broadcast(m)
+      val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(transform(
+          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+          1, EncMaxLen).as("tok_ids"))
+        .filter(size(col("tok_ids")) >= 1)
+      Torch.treeDraftGreedyLoop(toks, "tok_ids", bcT, bcD, branch = 2,
+          depth = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = 1, nWindow = 4, relPos = true)
+        .select(col("doc_id"),
+          col("n_cycles").as("n_cyc"),
+          col("n_acc_total").as("n_acc_tot"),
+          col("out_toks")(0).as("f1"), col("out_toks")(1).as("f2"))
+        .orderBy("doc_id")
+    },
+
     // PROMPT-LOOKUP ACCEPTANCE TELEMETRY (q267): the dashboard that
     // decides whether PLD pays on a corpus — the (n_drafted,
     // n_accepted) histogram of the q262 cycle with each arm's
@@ -12910,6 +12967,19 @@ object SparkEntry {
     "q302_torch_tree_typical_loop_kv" ->
       treeTypicalLoopOracle(Some((1, 4))),
 
+    // Re-rotated prompt-lookup serving (q303): the q298 chain with
+    // the relPos target and slot closed forms in the rollout.
+    "q303_torch_lookup_loop_relpos" -> promptLookupLoopOracle(
+      kvWindow = Some((1, 4)), m = alibiRelLmModel,
+      headBias = Some(alibiRelHeadBias(1, 4))),
+
+    // Re-rotated greedy-tree serving (q304): the q301 chain with the
+    // relPos pair and slot closed forms in every forward.
+    "q304_torch_tree_loop_relpos" -> treeDraftLoopOracle(
+      graft.torch.TorchQuant.quantize(alibiRelLmModel, 7),
+      kvWindow = Some((1, 4)), m = alibiRelLmModel,
+      headBias = Some(alibiRelHeadBias(1, 4))),
+
     // Auto-branch: the q249 chain (branch = 1 — bit-exact by the
     // spec pin) and the q280 chain (branch = 2) aggregated per
     // candidate, exact integer scores yield·(15 // (2·branch + 1)).
@@ -16280,10 +16350,16 @@ object SparkEntry {
     * VISIBILITY — a bounded-KV lookup loop's emissions are the
     * WINDOWED greedy rollout truncated, so the nested chain swaps to
     * the q282 restatement and the integer lookup arms are untouched
-    * (drafts come from the full token stream on both sides). */
+    * (drafts come from the full token stream on both sides).
+    * `m`/`headBias` (q303): the rollout chain is model-generic — the
+    * bias-position relPos target swaps in with its slot closed
+    * forms; the lookup arms never read the model. */
   private def promptLookupLoopOracle(
-      kvWindow: Option[(Int, Int)] = None): String = {
-    val vocab = genModel.seqHead.get.vocab
+      kvWindow: Option[(Int, Int)] = None,
+      m: graft.torch.TorchScriptModel = null,
+      headBias: Option[Seq[(String, String)]] = None): String = {
+    val tgt = if (m != null) m else genModel
+    val vocab = tgt.seqHead.get.vocab
     // one lookup leg over a (doc_id, tid, pos) stream: the final
     // bigram, its earliest earlier occurrence, the 1-2 draft tokens
     def lookupCtes(stream: String, sfx: String): String =
@@ -16307,7 +16383,8 @@ object SparkEntry {
          |  JOIN $stream d1 ON d1.doc_id = m.doc_id AND d1.pos = m.s + 2
          |  LEFT JOIN $stream d2 ON d2.doc_id = m.doc_id AND d2.pos = m.s + 3)""".stripMargin
     s"""WITH greedy AS MATERIALIZED (
-       |${generateOracle(banned = Nil, steps = 3, kvWindow = kvWindow)}
+       |${generateOracle(banned = Nil, steps = 3, kvWindow = kvWindow,
+          m = tgt, headBias = headBias)}
        |),
        |words AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
@@ -16722,8 +16799,15 @@ object SparkEntry {
 
   private def treeDraftLoopOracle(
       draftModel: graft.torch.TorchScriptModel,
-      kvWindow: Option[(Int, Int)] = None): String = {
-    val vocab = genModel.seqHead.get.vocab
+      kvWindow: Option[(Int, Int)] = None,
+      m: graft.torch.TorchScriptModel = null,
+      headBias: Option[Seq[(String, String)]] = None): String = {
+    // q304: model-generic — a bias-position relPos target/draft pair
+    // swaps in with its slot closed forms in every attentive forward
+    // (the quantized draft keeps the target's MASK tables, so one
+    // headBias serves both sides)
+    val tgt = if (m != null) m else genModel
+    val vocab = tgt.seqHead.get.vocab
     def fwdP(model: graft.torch.TorchScriptModel, toksName: String): String = {
       val fc0 = model.ops.collectFirst { case l: graft.torch.LinearLayer => l }.get
       val fc = new graft.torch.TorchScriptModel(IndexedSeq(fc0))
@@ -16735,7 +16819,7 @@ object SparkEntry {
       val block =
         if (model.ops.exists(_.isInstanceOf[graft.torch.EncoderAttnOp]))
           encBlockSql(model, pool = "last", tokensCte = Some(toksName),
-            kvWindow = kvWindow)
+            headBias = headBias, kvWindow = kvWindow)
         else {
           require(kvWindow.isEmpty,
             "kvWindow over an attention-free early-exit draft")
@@ -16808,7 +16892,8 @@ object SparkEntry {
          |            THEN ($g2 = k$sfx.c121 OR $g2 = k$sfx.c122)
          |          ELSE FALSE END) AS a2$sfx""".stripMargin
     s"""WITH greedy AS MATERIALIZED (
-       |${generateOracle(banned = Nil, steps = 3, kvWindow = kvWindow)}
+       |${generateOracle(banned = Nil, steps = 3, kvWindow = kvWindow,
+          m = tgt, headBias = headBias)}
        |),
        |words AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)

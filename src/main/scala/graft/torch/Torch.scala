@@ -4824,17 +4824,22 @@ object Torch {
       maxNewTokens: Int,
       batchSize: Int = -1,
       nSink: Int = -1,
-      nWindow: Int = -1): DataFrame = {
+      nWindow: Int = -1,
+      relPos: Boolean = false): DataFrame = {
     require(branch >= 1, "branch must be >= 1")
     require(depth >= 1, "depth must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
     // BOUNDED-KV tree serving (q301): both accepted-prefix sessions
     // (and every tree-node fork rooted at them) evict to nSink sinks
     // + an nWindow window. nWindow <= 0 keeps the unbounded sessions
-    // (identical arithmetic; spec-pinned).
+    // (identical arithmetic; spec-pinned). relPos (q304) switches
+    // them to the re-rotation dial — the tree loop runs past the
+    // models' bias-table length.
     val windowed = nWindow > 0
     require(!windowed || nSink >= 0,
       "a bounded-KV loop needs nSink >= 0 alongside nWindow >= 1")
+    require(!relPos || windowed,
+      "relPos is a dial on the bounded-KV sessions (needs nWindow >= 1)")
     val spark = df.sparkSession
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(target.value.inDim == -1 && draft.value.inDim == -1,
@@ -4895,9 +4900,11 @@ object Torch {
             // the DRAFT session tracks the accepted prefix too — each
             // cycle's tree roots at a fork of it (O(L) copy), so
             // neither model ever replays the prompt
-            val st = if (windowed) tm.decodeSessionWindowed(p, nSink, nWindow)
+            val st = if (relPos) tm.decodeSessionRelPos(p, nSink, nWindow)
+                     else if (windowed) tm.decodeSessionWindowed(p, nSink, nWindow)
                      else tm.decodeSession(p)
-            var sd = if (windowed) dm.decodeSessionWindowed(p, nSink, nWindow)
+            var sd = if (relPos) dm.decodeSessionRelPos(p, nSink, nWindow)
+                     else if (windowed) dm.decodeSessionWindowed(p, nSink, nWindow)
                      else dm.decodeSession(p)
             val out = scala.collection.mutable.ArrayBuffer.empty[Int]
             var cycles = 0
@@ -5481,10 +5488,13 @@ object Torch {
       maxNewTokens: Int,
       batchSize: Int = -1,
       nSink: Int = -1,
-      nWindow: Int = -1): DataFrame = {
+      nWindow: Int = -1,
+      relPos: Boolean = false): DataFrame = {
     require(ngram >= 1, "ngram must be >= 1")
     require(maxDraft >= 1, "maxDraft must be >= 1")
     require(maxNewTokens >= 1, "maxNewTokens must be >= 1")
+    require(!relPos || nWindow > 0,
+      "relPos is a dial on the bounded-KV session (needs nWindow >= 1)")
     // BOUNDED-KV lookup serving (q298): the one rolling target
     // session evicts to nSink sinks + an nWindow window — the
     // LOOKUP side stays over the FULL token stream (token ids are
@@ -5544,7 +5554,8 @@ object Torch {
             }
           if (p == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
           else {
-            val sess = if (windowed) m.decodeSessionWindowed(p, nSink, nWindow)
+            val sess = if (relPos) m.decodeSessionRelPos(p, nSink, nWindow)
+                       else if (windowed) m.decodeSessionWindowed(p, nSink, nWindow)
                        else m.decodeSession(p)
             val full = scala.collection.mutable.ArrayBuffer.from(p)
             val out = scala.collection.mutable.ArrayBuffer.empty[Int]

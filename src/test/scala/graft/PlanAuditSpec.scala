@@ -534,7 +534,9 @@ class PlanAuditSpec extends AnyFunSuite {
         "q295_torch_kv_relpos", "q296_torch_spec_loop_relpos",
         "q298_torch_lookup_loop_kv", "q299_torch_tree_loop_kv",
         "q301_torch_tree_greedy_loop_kv",
-        "q302_torch_tree_typical_loop_kv")) {
+        "q302_torch_tree_typical_loop_kv",
+        "q303_torch_lookup_loop_relpos",
+        "q304_torch_tree_loop_relpos")) {
       val p = plan(q)
       val ex = "Exchange".r.findAllIn(p).length
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")

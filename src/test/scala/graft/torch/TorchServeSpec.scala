@@ -927,4 +927,66 @@ class TorchServeSpec extends AnyFunSuite {
     assert(tyMoved > 0, "q302 KV budget moved nothing — vacuous knob")
     info(s"q302: KV budget moved $tyMoved/${tyUnb.size} rows")
   }
+
+  test("q303/q304 relPos lookup + tree loops: past-the-table corpus decodes; neutral budget == unbounded; q303 rides the relPos rollout") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val m = graft.SparkEntry.alibiRelLmModel
+    val rows = graft.SparkEntry.AlibiRelRows
+    val vocab = m.seqHead.get.vocab
+    val bcT = s.sparkContext.broadcast(m)
+    val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
+    def tokCol(cap: Int) = slice(transform(
+        call_function("regexp_extract_all", col("text"),
+          lit(graft.Tok.Pattern), lit(0)),
+        tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
+        1, cap).as("tok_ids")
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(col("doc_id"), tokCol(12))
+      .filter(size(col("tok_ids")) >= 1)
+    // the lifted limit is EXERCISED corpus-wide: most prompts exceed
+    // the 6-row table, where the absolute dial cannot even open
+    val past = toks.filter(size(col("tok_ids")) > rows).count()
+    assert(past > 0, "no prompt exceeds the table — the demo is vacuous")
+    val q303 = graft.torch.Torch.generatePromptLookupLoop(toks, "tok_ids",
+        bcT, ngram = 2, maxDraft = 2, maxNewTokens = 2, batchSize = 256,
+        nSink = 1, nWindow = 4, relPos = true)
+      .select("doc_id", "out_toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(q303.size == toks.count())
+    // greedy-equivalence under re-rotation: emissions == the relPos
+    // rollout truncated, on every row
+    val wg = graft.torch.Torch.generateGreedyWindowed(toks, "tok_ids",
+        "g", bcT, steps = 2, nSink = 1, nWindow = 4, batchSize = 256,
+        relPos = true)
+      .select("doc_id", "g").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(q303.forall { case (id, v) => v == wg(id) },
+      "q303 emissions are not the relPos rollout prefix")
+    info(s"q303: ${past} prompts decode past the $rows-row table")
+    // neutrality on single-token prompts at the full-table budget:
+    // session length peaks at 1 + 3 emitted (lookup) / +2 forks
+    // (tree) <= 6, so the unbounded loops are legal and relPos at
+    // (0, 6) never evicts — bit-equality both modes
+    val toks1 = docs.select(col("doc_id"), tokCol(1))
+      .filter(size(col("tok_ids")) === 1)
+    def lk(rel: Boolean): Map[Long, Seq[Any]] =
+      graft.torch.Torch.generatePromptLookupLoop(toks1, "tok_ids", bcT,
+          ngram = 2, maxDraft = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = if (rel) 0 else -1, nWindow = if (rel) rows else -1,
+          relPos = rel)
+        .select("doc_id", "out_toks", "n_cycles", "n_acc_total")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(lk(true) == lk(false) && lk(true).nonEmpty,
+      "q303 neutral budget diverged from the unbounded lookup loop")
+    def tr(rel: Boolean): Map[Long, Seq[Any]] =
+      graft.torch.Torch.treeDraftGreedyLoop(toks1, "tok_ids", bcT, bcD,
+          branch = 2, depth = 2, maxNewTokens = 2, batchSize = 256,
+          nSink = if (rel) 0 else -1, nWindow = if (rel) rows else -1,
+          relPos = rel)
+        .select("doc_id", "out_toks", "n_cycles", "n_acc_total")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(tr(true) == tr(false) && tr(true).nonEmpty,
+      "q304 neutral budget diverged from the unbounded tree loop")
+  }
 }
