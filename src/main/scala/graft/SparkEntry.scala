@@ -1004,10 +1004,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(genModel)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(genModel, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val drafted = Torch.generateGreedy(toks, "tok_ids", "draft", bcD,
         steps = 2, batchSize = 256)
@@ -1046,10 +1045,9 @@ object SparkEntry {
       val bcF = s.sparkContext.broadcast(fp)
       val bcQ = s.sparkContext.broadcast(qz)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val f = Torch.inferBatched(toks, "tok_ids", "fp_logits", bcF, batchSize = 256)
         .select(col("doc_id"),
@@ -1077,10 +1075,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.beamSearch(toks, "tok_ids", "beams", bc,
           steps = 2, width = 2, batchSize = 256,
@@ -1105,10 +1102,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.beamSearch(toks, "tok_ids", "beams", bc,
           steps = 2, width = 2, batchSize = 256)
@@ -1154,10 +1150,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
           batchSize = 256, repetitionPenalty = 1.25, noRepeatNgram = 2)
@@ -1180,10 +1175,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
           batchSize = 256,
@@ -1203,10 +1197,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
           batchSize = 256, banned = Set(1, 4))
@@ -1229,10 +1222,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3, batchSize = 256)
         .select(col("doc_id"), col("gen")(0).as("gen1"),
@@ -1252,10 +1244,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3, batchSize = 256)
         .select(col("doc_id"), col("gen")(0).as("gen1"),
@@ -1278,10 +1269,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
           batchSize = 256, forcedTokens = Map(1 -> 5),
@@ -1303,10 +1293,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
           batchSize = 256, watermarkDelta = 2.0)
@@ -1349,10 +1338,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
           batchSize = 256, watermarkDelta = 2.0, watermarkGamma = (1, 4))
@@ -1395,10 +1383,9 @@ object SparkEntry {
       val bcE = s.sparkContext.broadcast(m)
       val bcA = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateContrastiveDecoding(toks, "tok_ids", "gen", bcE, bcA,
           steps = 2, plausibilityAlpha = 0.125, batchSize = 256)
@@ -1420,10 +1407,9 @@ object SparkEntry {
       val bcE = s.sparkContext.broadcast(m)
       val bcA = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       // a doc whose step-1 plausibility head is a SINGLE token keeps
       // one beam (the head IS the candidate set — CD never fabricates
@@ -1451,10 +1437,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampled(toks, "doc_id", "tok_ids", bcT, bcD,
           batchSize = 256)
@@ -1480,10 +1465,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, batchSize = 256)
@@ -1511,10 +1495,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
       toks.select(explode(zip_with(
@@ -1544,10 +1527,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.beamSearch(toks, "tok_ids", "beams", bc, steps = 2, width = 2,
           batchSize = 256, watermarkDelta = 2.0)
@@ -1571,10 +1553,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, batchSize = 256)
@@ -1597,10 +1578,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(earlyExitModel)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, batchSize = 256)
@@ -1628,10 +1608,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, maxNewTokens = 2, batchSize = 256)
@@ -1654,10 +1633,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val b = Torch.beamSearchDiverse(toks, "tok_ids", "beams", bc,
         steps = 2, width = 2, groups = 2, diversityPenalty = 0.5,
@@ -1728,10 +1706,9 @@ object SparkEntry {
         .filter(col("rk") === 1)
         .select(col("q_id"), col("vec_id").as("r_id"))
       val toks6 = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, 6).as("t6"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, 6),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("t6"))
       val prompts = nb
         .join(toks6.select(col("doc_id").as("r_id"), col("t6").as("rt")), "r_id")
         .join(toks6.select(col("doc_id").as("q_id"), col("t6").as("qt")), "q_id")
@@ -1756,10 +1733,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampledK(toks, "doc_id", "tok_ids", "gens", bc,
           steps = 1, temperature = 0.8, topP = 0.9,
@@ -1789,10 +1765,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val gens = Torch.generateSampledK(toks, "doc_id", "tok_ids", "gens", bc,
           steps = 2, temperature = 0.5, topP = 0.9,
@@ -1827,10 +1802,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
@@ -1854,10 +1828,9 @@ object SparkEntry {
         transform(sequence(lit(0), lit(2)),
           i => conv(substring(md5(concat(col("lang"), i.cast("string"))), 1, 8),
             16, 10).cast("long") % vocab).as("pfx_ids"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen - 3).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen - 3),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedySharedPrefix(toks, "pfx_ids", "tok_ids", "gen", bc,
           steps = 2, batchSize = 256)
@@ -1879,10 +1852,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateContrastive(toks, "tok_ids", "gen", bc, steps = 2,
           topK = 3, alpha = 0.5, batchSize = 256)
@@ -1909,12 +1881,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.generateGreedyPair(toks, "d_ids", "s_ids", "gen", bc,
           steps = 2, batchSize = 256)
         .select(col("doc_id"), col("gen")(0).as("gen1"), col("gen")(1).as("gen2"))
@@ -1937,12 +1907,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.beamSearchPair(toks, "d_ids", "s_ids", "beams", bc,
           steps = 2, width = 2, batchSize = 256)
         .select(col("doc_id"),
@@ -1975,12 +1943,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       val drafted = Torch.generateGreedyPair(toks, "d_ids", "s_ids", "draft",
         bcD, steps = 2, batchSize = 256)
       val withSeqs = drafted
@@ -2024,12 +1990,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.speculativeSampledPair(toks, "doc_id", "d_ids", "s_ids",
           bcT, bcD, batchSize = 256)
         .select(col("doc_id"), col("draft_tok"), col("accepted"),
@@ -2054,12 +2018,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.speculativeSampledPairGamma(toks, "doc_id", "d_ids", "s_ids",
           bcT, bcD, gamma = 2, batchSize = 256)
         .select(col("doc_id"),
@@ -2085,10 +2047,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generatePromptLookup(toks, "tok_ids", bc, ngram = 2,
           maxDraft = 2, batchSize = 256)
@@ -2119,10 +2080,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftGreedy(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, batchSize = 256)
@@ -2153,10 +2113,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftGreedyLoop(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, maxNewTokens = 2, batchSize = 256)
@@ -2180,10 +2139,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
       toks.select(explode(zip_with(
@@ -2218,10 +2176,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledMultiDraftLoop(toks, "doc_id", "tok_ids",
           bcT, bcD, numDrafts = 2, maxNewTokens = 2, batchSize = 256)
@@ -2244,10 +2201,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.promptLookupSampled(toks, "doc_id", "tok_ids", bc, ngram = 2,
           maxDraft = 2, batchSize = 256)
@@ -2278,10 +2234,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(earlyExitModel)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftTypical(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, posteriorEps = 0.25, posteriorAlpha = 0.5,
@@ -2315,10 +2270,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftStochastic(toks, "doc_id", "tok_ids", bcT, bcD,
           branch = 2, depth = 2, batchSize = 256)
@@ -2351,10 +2305,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, batchSize = 256, watermarkDelta = 2.0)
@@ -2387,12 +2340,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.speculativeSampledPairLoop(toks, "doc_id", "d_ids", "s_ids",
           bcT, bcD, gamma = 2, maxNewTokens = 2, batchSize = 256)
         .select(col("doc_id"),
@@ -2417,10 +2368,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedyWindowed(toks, "tok_ids", "gen", bc, steps = 3,
           nSink = 1, nWindow = 4, batchSize = 256)
@@ -2443,10 +2393,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.autoGammaYield(toks, "doc_id", "tok_ids", bcT, bcD,
           maxGamma = 2, batchSize = 256)
@@ -2468,10 +2417,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, maxNewTokens = 2, batchSize = 256,
@@ -2496,10 +2444,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, maxNewTokens = 2, batchSize = 256,
@@ -2529,12 +2476,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.speculativeSampledPairGamma(toks, "doc_id", "d_ids", "s_ids",
           bcT, bcD, gamma = 2, batchSize = 256)
         .groupBy(col("n_accepted").as("n_acc"))
@@ -2561,10 +2506,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftStochasticLoop(toks, "doc_id", "tok_ids", bcT, bcD,
           branch = 2, depth = 2, maxNewTokens = 2, batchSize = 256)
@@ -2588,10 +2532,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, maxNewTokens = 2, batchSize = 256,
@@ -2617,10 +2560,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       def leg(delta: Double, label: String) = {
         val gen = Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids",
@@ -2663,12 +2605,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.speculativeSampledPairLoop(toks, "doc_id", "d_ids", "s_ids",
           bcT, bcD, gamma = 2, maxNewTokens = 2, batchSize = 256,
           nSink = 0, nWindow = 2)
@@ -2693,10 +2633,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(earlyExitModel)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftTypicalLoop(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, posteriorEps = 0.25, posteriorAlpha = 0.5,
@@ -2721,10 +2660,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.autoBranchYield(toks, "doc_id", "tok_ids", bcT, bcD,
           branches = Seq(1, 2), depth = 2, batchSize = 256)
@@ -2744,10 +2682,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val perDoc = Torch.speculativeSampledGamma(toks, "doc_id", "tok_ids",
           bcT, bcD, gamma = 2, batchSize = 256)
@@ -2826,10 +2763,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedyWindowed(toks, "tok_ids", "gen", bc, steps = 3,
           nSink = 1, nWindow = 4, batchSize = 256, relPos = true)
@@ -2855,10 +2791,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledLoop(toks, "doc_id", "tok_ids", bcT, bcD,
           gamma = 2, maxNewTokens = 2, batchSize = 256,
@@ -2889,10 +2824,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.autoKvWindow(toks, "tok_ids", bc, steps = 3, nSink = 1,
         windows = Seq(2, 3, 4, 8, 16), divNum = 7, divDen = 20,
@@ -2914,10 +2848,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(earlyExitModel)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftGreedy(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, batchSize = 256)
@@ -2944,10 +2877,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftGreedy(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, batchSize = 256)
@@ -2970,10 +2902,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
       toks.select(explode(zip_with(
@@ -3007,10 +2938,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.speculativeSampledMultiDraft(toks, "doc_id", "tok_ids", bcT, bcD,
           numDrafts = 2, batchSize = 256)
@@ -3032,10 +2962,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
       toks.select(explode(zip_with(
@@ -3068,10 +2997,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generatePromptLookupLoop(toks, "tok_ids", bc, ngram = 2,
           maxDraft = 2, maxNewTokens = 2, batchSize = 256)
@@ -3098,10 +3026,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generatePromptLookupLoop(toks, "tok_ids", bc, ngram = 2,
           maxDraft = 2, maxNewTokens = 2, batchSize = 256,
@@ -3129,10 +3056,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftStochasticLoop(toks, "doc_id", "tok_ids", bcT, bcD,
           branch = 2, depth = 2, maxNewTokens = 2, batchSize = 256,
@@ -3180,10 +3106,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftGreedyLoop(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, maxNewTokens = 2, batchSize = 256,
@@ -3210,10 +3135,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(earlyExitModel)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftTypicalLoop(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, posteriorEps = 0.25, posteriorAlpha = 0.5,
@@ -3237,10 +3161,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generatePromptLookupLoop(toks, "tok_ids", bc, ngram = 2,
           maxDraft = 2, maxNewTokens = 2, batchSize = 256,
@@ -3266,10 +3189,9 @@ object SparkEntry {
       val bcT = s.sparkContext.broadcast(m)
       val bcD = s.sparkContext.broadcast(graft.torch.TorchQuant.quantize(m, 7))
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.treeDraftGreedyLoop(toks, "tok_ids", bcT, bcD, branch = 2,
           depth = 2, maxNewTokens = 2, batchSize = 256,
@@ -3293,10 +3215,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generatePromptLookup(toks, "tok_ids", bc, ngram = 2,
           maxDraft = 2, batchSize = 256)
@@ -3322,10 +3243,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       val counts = Array.fill(vocab)(Array.fill(vocab)(0L))
       toks.select(explode(zip_with(
@@ -3358,10 +3278,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.beamSearchDiverse(toks, "tok_ids", "beams", bc, steps = 2,
           width = 2, groups = 2, diversityPenalty = 0.5, batchSize = 256,
@@ -3390,12 +3309,10 @@ object SparkEntry {
         call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0))
           .as("words"))
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 6).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 6),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
         .filter(size(col("d_ids")) >= 2)
       Torch.scoreSeq2SeqBatched(toks, "d_ids", "s_ids", "nll", bc)
         .select(col("doc_id"),
@@ -3418,12 +3335,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.generateSampledPair(toks, "doc_id", "d_ids", "s_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256)
         .select(col("doc_id"), col("gen")(0).as("sm1"), col("gen")(1).as("sm2"))
@@ -3446,12 +3361,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.generateSampledPair(toks, "doc_id", "d_ids", "s_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
           topK = 3, repetitionPenalty = 1.25, noRepeatNgram = 2)
@@ -3473,12 +3386,10 @@ object SparkEntry {
           .as("words"))
         .filter(size(col("words")) >= 1)
         .select(col("doc_id"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab),
-            1, 2).as("d_ids"),
-          slice(transform(col("words"),
-            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab),
-            1, EncMaxLen).as("s_ids"))
+          transform(slice(col("words"), 1, 2),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % dvocab).as("d_ids"),
+          transform(slice(col("words"), 1, EncMaxLen),
+            tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % kvocab).as("s_ids"))
       Torch.generateGreedyPair(toks, "d_ids", "s_ids", "gen", bc,
           steps = 2, batchSize = 256, eosId = 5)
         .select(col("doc_id"), col("gen")(0).as("gen1"),
@@ -3498,10 +3409,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256)
@@ -3522,10 +3432,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampledK(toks, "doc_id", "tok_ids", "gens", bc,
           steps = 2, temperature = 0.5, topP = 0.9,
@@ -3550,10 +3459,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampledK(toks, "doc_id", "tok_ids", "gens", bc,
           steps = 2, temperature = 0.5, topP = 0.9,
@@ -3578,10 +3486,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
@@ -3600,10 +3507,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
           batchSize = 256, eosId = 1)
@@ -3624,10 +3530,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 4,
           batchSize = 256, eosId = 1, minNewTokens = 2)
@@ -3653,10 +3558,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.beamSearch(toks, "tok_ids", "beams", bc,
           steps = 2, width = 2, batchSize = 256, eosId = 1,
@@ -3682,10 +3586,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.beamSearchDiverse(toks, "tok_ids", "beams", bc,
           steps = 2, width = 2, groups = 2, diversityPenalty = 0.5,
@@ -3710,10 +3613,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 1.0, batchSize = 256,
@@ -3737,10 +3639,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 1.0, batchSize = 256,
@@ -3761,10 +3662,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateGreedy(toks, "tok_ids", "gen", bc, steps = 3,
           batchSize = 256, dfaTrans = decodeDfaTrans)
@@ -3785,10 +3685,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
@@ -3807,10 +3706,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.generateSampled(toks, "doc_id", "tok_ids", "gen", bc,
           steps = 2, temperature = 0.5, topP = 0.9, batchSize = 256,
@@ -5085,10 +4983,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, AttnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, AttnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5108,10 +5005,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, AttnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, AttnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5129,10 +5025,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, AttnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, AttnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5150,10 +5045,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, AttnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, AttnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5173,10 +5067,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, AttnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, AttnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5194,10 +5087,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, RnnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, RnnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5211,10 +5103,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, RnnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, RnnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5233,10 +5124,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, RnnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, RnnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 2)
       Torch.scoreLmBatched(toks, "tok_ids", "mean_nll", bc)
         .select(col("doc_id"),
@@ -5507,10 +5397,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5527,10 +5416,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5552,10 +5440,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("k_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("k_ids"))
         .filter(size(col("k_ids")) >= 1)
         .select(col("doc_id"), slice(col("k_ids"), 1, CrossQLen).as("q_ids"),
           col("k_ids"))
@@ -5577,10 +5464,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5600,10 +5486,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen - 1).as("word_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen - 1),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("word_ids"))
         .filter(size(col("word_ids")) >= 1)
         .select(col("doc_id"),
           concat(array(lit(0L)), col("word_ids")).as("tok_ids"))
@@ -5625,10 +5510,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5648,10 +5532,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, AttnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, AttnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5751,10 +5634,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, RnnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, RnnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5773,10 +5655,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, RnnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, RnnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5793,10 +5674,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, RnnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, RnnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5814,10 +5694,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, RnnMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, RnnMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),
@@ -5848,10 +5727,9 @@ object SparkEntry {
         .select(col("doc_id"), col("t_rank"),
           concat(lit("spark join dup "), col("text")).as("pair_text"))
       val toks = pairs.select(col("doc_id"), col("t_rank"),
-        slice(transform(
-          call_function("regexp_extract_all", col("pair_text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("pair_text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       // global window is safe: the input is the k=20 candidate set
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
@@ -6066,10 +5944,9 @@ object SparkEntry {
       val hashMod = m.seqHead.get.vocab - 1 // 32: top row is the pad id
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % hashMod),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % hashMod).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
         .select(col("doc_id"),
           concat(col("tok_ids"), array_repeat(lit(hashMod.toLong),
@@ -6091,10 +5968,9 @@ object SparkEntry {
       val vocab = m.seqHead.get.vocab
       val bc = s.sparkContext.broadcast(m)
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        slice(transform(
-          call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)),
-          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab),
-          1, EncMaxLen).as("tok_ids"))
+        transform(
+          slice(call_function("regexp_extract_all", col("text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
+          tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
       Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"),

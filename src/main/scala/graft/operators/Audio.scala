@@ -188,7 +188,7 @@ object Audio {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, featureSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it => // typed, single-plan — see Multimodal.withDecodedMeta
+    graft.Spread(df).mapPartitions { it => // typed, single-plan — see Multimodal.withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val decoded = if (bytes == null) None else WavDecoder.decode(bytes)
@@ -231,7 +231,7 @@ object Audio {
       StructField("rms", DoubleType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it =>
+    graft.Spread(df).mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val decoded = if (bytes == null) None else WavDecoder.decode(bytes)

@@ -107,7 +107,10 @@ object Chunk {
       },
       acc => when(acc("cur") === "", acc("chunks"))
         .otherwise(concat(acc("chunks"), array(acc("cur")))))
-    df.select(col(idCol), chunks.as("__cdc"))
+    // the per-word aggregate HOF above is the most expensive scan-side
+    // expression in the repo (string-building per token) — spread a
+    // below-parallelism input so it does not serialize on one scan task
+    graft.Spread(df).select(col(idCol), chunks.as("__cdc"))
       .select(col(idCol), posexplode(col("__cdc")))
       .toDF(idCol, "chunk_no", "chunk_text")
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))

@@ -688,7 +688,7 @@ object Multimodal {
     // Dataset-typed mapPartitions (NOT df.rdd + createDataFrame): stays
     // one logical plan — no ExistingRDD rescan, no separate job, and
     // upstream filters/projections still optimize around it.
-    df.mapPartitions { it =>
+    graft.Spread(df).mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row.fromSeq(r.toSeq :+ null) // null payload -> null meta
@@ -712,7 +712,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it => // typed, single-plan — see withDecodedMeta
+    graft.Spread(df).mapPartitions { it => // typed, single-plan — see withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null || bytes.isEmpty) Row.fromSeq(r.toSeq :+ null)
@@ -747,7 +747,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, pixSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it => // typed, single-plan — see withDecodedMeta
+    graft.Spread(df).mapPartitions { it => // typed, single-plan — see withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         // Try: one corrupt payload must degrade to null, not fail the job —
@@ -775,7 +775,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, BinaryType, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it => // typed, single-plan — see withDecodedMeta
+    graft.Spread(df).mapPartitions { it => // typed, single-plan — see withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row.fromSeq(r.toSeq :+ null)
@@ -830,7 +830,7 @@ object Multimodal {
       StructField("pixels", BinaryType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it => // typed, single-plan — see withDecodedMeta
+    graft.Spread(df).mapPartitions { it => // typed, single-plan — see withDecodedMeta
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val id = r.get(idIdx)

@@ -48,15 +48,31 @@ object Rank {
     require(d > 0 && d < 1 && iters >= 1, s"bad pagerank params d=$d iters=$iters")
     val e = edges.groupBy("src", "dst").agg(sum("weight").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
-    val trans = e.join(outw, "src")
+    // Iteration-loop partitioning (opt guide §2.4 "two operations keyed
+    // the same way share one exchange"): pre-partition the cached
+    // transition matrix by the join key (src) and the node/rank frames
+    // by node, at a partition count DERIVED FROM THE DATA (~1M keyed
+    // rows per task of pure arithmetic — scale-adaptive, not a local or
+    // cluster constant). Every iteration's join then reuses the cached
+    // layout instead of re-shuffling the edge table, and the one real
+    // exchange per iteration (contributions keyed to dst) runs at the
+    // loop's own width rather than spark.sql.shuffle.partitions — at
+    // fixture scale that is 1 task instead of 32 per stage (measured
+    // 915 tasks/78 jobs for q160's 12 iterations before the change).
+    val trans0 = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
-      .cache()
+    val nEdges = trans0.count() // one pass over the (bounded) edge domain
+    val loopParts = math.max(1L, math.min(nEdges / (1L << 20) + 1L,
+      Int.MaxValue.toLong)).toInt
+    val trans = trans0.repartition(loopParts, col("src")).cache()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(loopParts, col("node")).cache()
     val n = nodes.count() // bounded by the node-domain cardinality
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
       val contrib0 = trans.join(ranks, col("src") === col("node"))
+        .repartition(loopParts, col("dst"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("m"))
         .withColumnRenamed("dst", "cnode")
       ranks =
@@ -73,7 +89,14 @@ object Rank {
           // once at execution, with NO per-iteration materialization
           // job (the previous formulation's eager checkpoint ran 10
           // jobs where this plan runs one).
+          // the lazy checkpoint truncates lineage but FORGETS the
+          // hash layout (LogicalRDD reports UnknownPartitioning, so the
+          // downstream join would re-shuffle BOTH sides at
+          // spark.sql.shuffle.partitions) — re-key the tiny aggregated
+          // frame at the loop's own width so the join stays
+          // co-partitioned with the cached `nodes`
           val contrib = Checkpoints.cp(contrib0)
+            .repartition(loopParts, col("cnode"))
           val dm = contrib.agg(
             coalesce(lit(1.0d) - sum("m"), lit(1.0d)).as("dm"))
           nodes.join(contrib, col("node") === col("cnode"), "left")
@@ -87,9 +110,11 @@ object Rank {
               (lit((1.0 - d) / n) + lit(d) * coalesce(col("m"), lit(0.0))).as("rank"))
         }
       // both variants read `ranks` once; the periodic truncation only
-      // bounds analysis/codegen time on convergence-length runs
+      // bounds analysis/codegen time on convergence-length runs (and,
+      // like the lazy cp above, drops the hash layout — re-key so the
+      // remaining iterations stay co-partitioned)
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.localCheckpoint(true).repartition(loopParts, col("node"))
     }
     ranks
   }

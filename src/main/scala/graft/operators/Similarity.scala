@@ -962,6 +962,28 @@ object Similarity {
     * because assignment prefers the lower index). Empty clusters keep
     * their previous centroid. Deterministic for a fixed seed + point
     * order. */
+  /** Evaluate `f(i)` for every point index on a driver thread pool.
+    * Each index's result is INDEPENDENT and written to its own slot,
+    * so the output array is bit-identical to the serial loop — only
+    * the O(N·k·d) distance scans parallelize; every order-sensitive
+    * fp accumulation stays serial in the callers (round-19 opt: the
+    * driver-side k-means was the measured wall-clock of the ANN
+    * train phase, guide §1.2 step 2 "per-task work"). */
+  private def parForeach(n: Int)(f: Int => Unit): Unit = {
+    val threads = math.min(Runtime.getRuntime.availableProcessors, 16)
+    if (n < 2048 || threads < 2) { var i = 0; while (i < n) { f(i); i += 1 } }
+    else {
+      val chunk = (n + threads - 1) / threads
+      val ts = (0 until threads).map { t =>
+        val lo = t * chunk
+        val hi = math.min(n, lo + chunk)
+        val th = new Thread(() => { var i = lo; while (i < hi) { f(i); i += 1 } })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+    }
+  }
+
   private def kmeansLocal(
       pts: Array[Array[Double]], k: Int, iters: Int,
       rnd: scala.util.Random): Array[Array[Double]] = {
@@ -985,19 +1007,22 @@ object Similarity {
         pick = i
       }
       chosen(ci) = pts(pick).clone()
-      var i = 0
-      while (i < pts.length) {
-        val nd = sqDist(pts(i), chosen(ci), d)
+      val cNew = chosen(ci)
+      // per-point min update: independent slots, parallel-safe,
+      // bit-identical to the serial scan
+      parForeach(pts.length) { i =>
+        val nd = sqDist(pts(i), cNew, d)
         if (nd < d2(i)) d2(i) = nd
-        i += 1
       }
       ci += 1
     }
     val cents = chosen
+    val assign = new Array[Int](pts.length)
     for (_ <- 0 until iters) {
-      val sums = Array.fill(cents.length)(new Array[Double](d))
-      val counts = new Array[Long](cents.length)
-      for (p <- pts) {
+      // phase 1 (parallel): nearest-centroid assignment — a pure
+      // per-point argmin, exact and order-free
+      parForeach(pts.length) { i =>
+        val p = pts(i)
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < cents.length) {
@@ -1006,9 +1031,20 @@ object Similarity {
           if (dist < bestD) { bestD = dist; best = c }
           c += 1
         }
+        assign(i) = best
+      }
+      // phase 2 (serial, in point order): fp sums accumulate in the
+      // EXACT order of the original loop — centroids stay bit-identical
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < pts.length) {
+        val p = pts(i)
+        val best = assign(i)
         var j = 0
         while (j < d) { sums(best)(j) += p(j); j += 1 }
         counts(best) += 1
+        i += 1
       }
       var c = 0
       while (c < cents.length) {
@@ -1041,14 +1077,32 @@ object Similarity {
     * function of the VALUES), which keeps seeded trainers
     * deterministic where a per-partition RNG init is not. */
   private def sampleVectors(
-      df: DataFrame, colName: String, n: Int, seed: Long): Array[Array[Double]] =
-    df.select(col(colName))
-      .filter(col(colName).isNotNull)
-      .withColumn("__h", md5(concat(lit(seed.toString),
-        concat_ws(",", col(colName).cast("array<string>")))))
-      .orderBy("__h")
-      .limit(n)
-      .collect().map(_.getSeq[Double](0).toArray)
+      df: DataFrame, colName: String, n: Int, seed: Long): Array[Array[Double]] = {
+    // round-19 opt (guide §2.4): limits past
+    // spark.sql.execution.topKSortFallbackThreshold (10k) plan as a
+    // GLOBAL sort — a range-sampling pass plus a full shuffle — where a
+    // per-partition top-n + single merge (TakeOrderedAndProject) does
+    // one pass and no range sampling. Identical rows out (the order is
+    // a total one: md5 collisions aside, per-row hashes are unique).
+    // Set-and-restore around the one collect; the trainers run
+    // single-threaded on the driver so the session conf cannot race.
+    val spark = df.sparkSession
+    val key = "spark.sql.execution.topKSortFallbackThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, (n.max(10000) + 1).toString)
+    try {
+      df.select(col(colName))
+        .filter(col(colName).isNotNull)
+        .withColumn("__h", md5(concat(lit(seed.toString),
+          concat_ws(",", col(colName).cast("array<string>")))))
+        .orderBy("__h")
+        .limit(n)
+        .collect().map(_.getSeq[Double](0).toArray)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Nearest-centroid id as a scan-side UDF over broadcast centroids;
     * null vectors map to cell -1 (no pair work, never joined). */

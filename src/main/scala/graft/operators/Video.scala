@@ -307,7 +307,7 @@ object Video {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, aviMetaSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it => // typed, single-plan — see Multimodal.withDecodedMeta
+    graft.Spread(df).mapPartitions { it => // typed, single-plan — see Multimodal.withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val decoded =
@@ -347,7 +347,7 @@ object Video {
       StructField("pixels", BinaryType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it => // typed, single-plan — see Multimodal.withDecodedMeta
+    graft.Spread(df).mapPartitions { it => // typed, single-plan — see Multimodal.withDecodedMeta
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val id = r.get(idIdx)
@@ -372,7 +372,7 @@ object Video {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, metaSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it => // typed, single-plan — see Multimodal.withDecodedMeta
+    graft.Spread(df).mapPartitions { it => // typed, single-plan — see Multimodal.withDecodedMeta
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val decoded =

@@ -490,7 +490,7 @@ object Torch {
     require(model.value.imageHead.isEmpty,
       "pixel-input model: use Torch.inferImageBatched")
     val tokenInput = model.value.inDim == -1
-    val withFloats = df.withColumn(inputCol, col(inputCol).cast(
+    val withFloats = graft.Spread(df).withColumn(inputCol, col(inputCol).cast(
       if (tokenInput) ArrayType(IntegerType) else ArrayType(FloatType)))
     val schema = StructType(withFloats.schema.fields :+
       StructField(outputCol, ArrayType(FloatType), nullable = true))
@@ -594,7 +594,7 @@ object Torch {
       if (batchSize > 0) batchSize
       else TorchConf.get(spark).batchSize
     require(model.value.isCross, "not a cross-attention model: use inferBatched")
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -663,7 +663,7 @@ object Torch {
     val schema = StructType(df.schema.fields :+
       StructField(outputCol, ArrayType(FloatType), nullable = true))
     val inIdx = df.schema.fieldIndex(inputCol)
-    df.mapPartitions { it =>
+    graft.Spread(df).mapPartitions { it =>
       val m = model.value
       val outDim = m.outDim
       it.grouped(bs).flatMap { rows =>
@@ -707,7 +707,7 @@ object Torch {
       inputCol: String,
       outputCol: String,
       model: Broadcast[TorchScriptModel]): DataFrame = {
-    val withInts = df.withColumn(inputCol, col(inputCol).cast(ArrayType(IntegerType)))
+    val withInts = graft.Spread(df).withColumn(inputCol, col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outputCol, DoubleType, nullable = true))
     val inIdx = withInts.schema.fieldIndex(inputCol)
@@ -750,7 +750,7 @@ object Torch {
       keyCol: String,
       outputCol: String,
       model: Broadcast[TorchScriptModel]): DataFrame = {
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -888,7 +888,7 @@ object Torch {
     val bcLm: Broadcast[(Array[Array[Long]], Array[Long])] =
       if (lmWeight == 0.0) null
       else spark.sparkContext.broadcast((lmCounts, lmCounts.map(_.sum)))
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
@@ -1181,7 +1181,7 @@ object Torch {
     require(width <= model.value.outDim, "width exceeds the vocabulary")
     require(model.value.cacheable,
       "diverse beam search needs the KV-session path (cacheable model)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
@@ -1361,7 +1361,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "speculative sampling needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("draft_tok", IntegerType, nullable = true),
@@ -1494,7 +1494,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "speculative sampling needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("draft_toks", ArrayType(IntegerType), nullable = true),
@@ -1689,7 +1689,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "speculative sampling needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("out_toks", ArrayType(IntegerType), nullable = true),
@@ -1853,7 +1853,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "speculative sampling needs the KV-session path (cacheable models)")
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(decCol, col(decCol).cast(ArrayType(IntegerType)))
       .withColumn(encCol, col(encCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
@@ -1950,7 +1950,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "speculative sampling needs the KV-session path (cacheable models)")
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(decCol, col(decCol).cast(ArrayType(IntegerType)))
       .withColumn(encCol, col(encCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
@@ -2093,7 +2093,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "speculative sampling needs the KV-session path (cacheable models)")
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(decCol, col(decCol).cast(ArrayType(IntegerType)))
       .withColumn(encCol, col(encCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
@@ -2242,7 +2242,7 @@ object Torch {
       "expert and amateur must share the vocabulary")
     require(expert.value.cacheable && amateur.value.cacheable,
       "contrastive decoding needs the KV-session path")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(IntegerType), nullable = true))
@@ -2366,7 +2366,7 @@ object Torch {
     require(width <= expert.value.outDim, "width exceeds the vocabulary")
     require(expert.value.cacheable && amateur.value.cacheable,
       "contrastive beam decoding needs the KV-session path")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
@@ -2477,7 +2477,7 @@ object Torch {
     require(!model.value.isCross, "cross model: use scoreSeq2SeqBatched")
     require(model.value.cacheable,
       "continuation scoring needs the KV-session path (cacheable model)")
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(inputCol, col(inputCol).cast(ArrayType(IntegerType)))
       .withColumn(contCol, col(contCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -2571,7 +2571,7 @@ object Torch {
     require(!model.value.isCross, "cross-attention model not supported here")
     require(model.value.cacheable,
       "prefix sharing needs the KV-session path (cacheable model)")
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(prefixCol, col(prefixCol).cast(ArrayType(IntegerType)))
       .withColumn(inputCol, col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -2691,7 +2691,7 @@ object Torch {
     // material even though the fixture vocab is 8
     val bcLm: Broadcast[(Array[Array[Long]], Array[Long])] =
       spark.sparkContext.broadcast((lmCounts, lmCounts.map(_.sum)))
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(IntegerType), nullable = true))
@@ -2797,7 +2797,7 @@ object Torch {
     require(model.value.cacheable,
       "contrastive search needs the KV-session path (cacheable model)")
     require(topK <= model.value.outDim, "topK exceeds the vocabulary")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(IntegerType), nullable = true))
@@ -2939,7 +2939,7 @@ object Torch {
     require(minNewTokens >= 0, "minNewTokens must be >= 0")
     require(minNewTokens == 0 || eosId >= 0,
       "minNewTokens needs an eosId to suppress")
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -3050,7 +3050,7 @@ object Torch {
       "minNewTokens needs an eosId to suppress")
     val plainKnobs = banned.isEmpty && repetitionPenalty == 1.0 &&
       noRepeatNgram == 0 && bannedPhrases.isEmpty && minNewTokens == 0
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -3192,7 +3192,7 @@ object Torch {
     val bs = if (batchSize > 0) batchSize else TorchConf.get(spark).batchSize
     require(model.value.isCross && model.value.cacheable,
       "generateSampledPair needs a cacheable cross-attention model")
-    val withInts = df
+    val withInts = graft.Spread(df)
       .withColumn(queryCol, col(queryCol).cast(ArrayType(IntegerType)))
       .withColumn(keyCol, col(keyCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
@@ -3361,7 +3361,7 @@ object Torch {
     require(model.value.inDim == -1, "generateSampled needs a token-input model")
     require(!model.value.isCross,
       "cross-attention model: use generateGreedyPair")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(IntegerType), nullable = true))
@@ -3511,7 +3511,7 @@ object Torch {
     require(!model.value.isCross,
       "cross-attention model: use generateSampledPair")
     val k = numReturnSequences
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(ArrayType(IntegerType)), nullable = true))
@@ -3682,7 +3682,7 @@ object Torch {
     require(!model.value.isCross, "cross-attention model not supported here")
     require(model.value.cacheable,
       "windowed decoding needs the KV-session path (cacheable model)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(IntegerType), nullable = true))
@@ -3786,7 +3786,7 @@ object Torch {
     require(!model.value.isCross, "cross-attention model not supported here")
     require(model.value.cacheable,
       "windowed decoding needs the KV-session path (cacheable model)")
-    val withInts = df.select(col(inputCol).cast(ArrayType(IntegerType))
+    val withInts = graft.Spread(df).select(col(inputCol).cast(ArrayType(IntegerType))
       .as(inputCol))
     val pairSchema = StructType(Seq(
       StructField("nwindow", IntegerType, nullable = false),
@@ -3931,7 +3931,7 @@ object Torch {
         require(row.exists(_ != -1), s"DFA state $st allows no token")
       }
     }
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields :+
       StructField(outCol, ArrayType(IntegerType), nullable = true))
@@ -4180,7 +4180,7 @@ object Torch {
     require(!model.value.isCross, "cross-attention model not supported here")
     require(model.value.cacheable,
       "prompt-lookup decoding needs the KV-session path (cacheable model)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("draft_toks", ArrayType(IntegerType), nullable = true),
@@ -4283,7 +4283,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "speculative sampling needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("out_toks", ArrayType(IntegerType), nullable = true),
@@ -4382,7 +4382,7 @@ object Torch {
     require(!model.value.isCross, "cross-attention model not supported here")
     require(model.value.cacheable,
       "prompt-lookup decoding needs the KV-session path (cacheable model)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("draft_toks", ArrayType(IntegerType), nullable = true),
@@ -4508,7 +4508,7 @@ object Torch {
     require(branch <= target.value.outDim, "branch exceeds the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "tree-draft decoding needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("tree", ArrayType(ArrayType(IntegerType)), nullable = true),
@@ -4673,7 +4673,7 @@ object Torch {
     require(branch <= target.value.outDim, "branch exceeds the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "tree-draft decoding needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("out_toks", ArrayType(IntegerType), nullable = true),
@@ -4851,7 +4851,7 @@ object Torch {
     require(branch <= target.value.outDim, "branch exceeds the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "tree-draft decoding needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("out_toks", ArrayType(IntegerType), nullable = true),
@@ -5009,7 +5009,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "speculative sampling needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("draft_toks", ArrayType(IntegerType), nullable = true),
@@ -5124,7 +5124,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "tree-draft decoding needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("tree", ArrayType(ArrayType(IntegerType)), nullable = true),
@@ -5249,7 +5249,7 @@ object Torch {
       "draft and target must share the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "tree-draft decoding needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("out_toks", ArrayType(IntegerType), nullable = true),
@@ -5513,7 +5513,7 @@ object Torch {
     require(!model.value.isCross, "cross-attention model not supported here")
     require(model.value.cacheable,
       "prompt-lookup decoding needs the KV-session path (cacheable model)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("out_toks", ArrayType(IntegerType), nullable = true),
@@ -5647,7 +5647,7 @@ object Torch {
     require(branch <= target.value.outDim, "branch exceeds the vocabulary")
     require(target.value.cacheable && draft.value.cacheable,
       "tree-draft decoding needs the KV-session path (cacheable models)")
-    val withInts = df.withColumn(inputCol,
+    val withInts = graft.Spread(df).withColumn(inputCol,
       col(inputCol).cast(ArrayType(IntegerType)))
     val schema = StructType(withInts.schema.fields ++ Seq(
       StructField("tree", ArrayType(ArrayType(IntegerType)), nullable = true),

@@ -15,6 +15,16 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** Exchanges that move DATA for the query's own logic. The round-19
+    * adaptive input spread (graft.Spread) adds one
+    * `Exchange roundrobinpartitioning` when a below-parallelism scan
+    * feeds a single-mapPartitions kernel — a deliberate, scale-guarded
+    * spread that disappears at real scale, not a decode-plan
+    * regression — so it is excluded from the decode-contract counts. */
+  private def dataExchanges(p: String): Int =
+    "Exchange".r.findAllIn(p).length -
+      "(?i)Exchange roundrobinpartitioning".r.findAllIn(p).length
+
   test("q03 LIKE filter is pushed to the parquet scan") {
     val p = plan("q03_filter_like")
     assert(p.contains("PushedFilters: [IsNotNull(p_name), StringContains(p_name,widget)]"),
@@ -336,7 +346,7 @@ class PlanAuditSpec extends AnyFunSuite {
     for (q <- Seq("q184_fim", "q186_char_entropy", "q188_sft_render")) {
       val p = plan(q)
       // the final orderBy is allowed its sort exchange; nothing else
-      val ex = "Exchange".r.findAllIn(p).length
+      val ex = dataExchanges(p)
       assert(ex <= 1, s"$q: map-stage op shuffled beyond the output sort ($ex):\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
     }
@@ -362,7 +372,7 @@ class PlanAuditSpec extends AnyFunSuite {
     for (q <- Seq("q202_torch_crossattn", "q203_torch_gen_sampled",
         "q204_torch_lora", "q206_torch_cross_gen", "q210_seq2seq_filter")) {
       val p = plan(q)
-      val ex = "Exchange".r.findAllIn(p).length
+      val ex = dataExchanges(p)
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
       assert("Scan parquet".r.findAllIn(p).length <= 1,
@@ -384,7 +394,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q219_torch_gen_dfa", "q220_torch_cross_knobs",
         "q221_torch_cross_eos", "q227_torch_gen_badwords")) {
       val p = plan(q)
-      val ex = "Exchange".r.findAllIn(p).length
+      val ex = dataExchanges(p)
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
       assert("Scan parquet".r.findAllIn(p).length <= 1,
@@ -411,7 +421,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q243_torch_sampled_watermark", "q245_torch_self_consistency",
         "q247_torch_spec_sampled", "q248_torch_contrastive_decoding")) {
       val p = plan(q)
-      val ex = "Exchange".r.findAllIn(p).length
+      val ex = dataExchanges(p)
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
       assert("Scan parquet".r.findAllIn(p).length <= 1,
@@ -426,7 +436,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q244 lost its ranking window:\n$p244")
     assert("Scan parquet".r.findAllIn(p244).length <= 1,
       s"q244: expected at most one parquet scan:\n$p244")
-    assert("Exchange".r.findAllIn(p244).length <= 3,
+    assert(dataExchanges(p244) <= 3,
       s"q244 shuffled beyond window + sort:\n$p244")
     // q238 A-ES weighted sampling: the pick must be a per-partition
     // top-n (TakeOrderedAndProject), never a full global sort of the
@@ -441,7 +451,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // q222: tokenize + ONE posexplode + the output sort — any other
     // exchange means the chunker started shuffling text
     val p222 = plan("q222_chunk_windows")
-    assert("Exchange".r.findAllIn(p222).length <= 1,
+    assert(dataExchanges(p222) <= 1,
       s"q222 chunker shuffled beyond the output sort:\n$p222")
     assert("Generate".r.findAllIn(p222).length == 1,
       s"q222: expected exactly one explode:\n$p222")
@@ -473,7 +483,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q256_torch_spec_selfdraft", "q258_torch_cross_spec_sampled",
         "q260_torch_beam_watermark", "q261_torch_cross_spec_gamma")) {
       val p = plan(q)
-      val ex = "Exchange".r.findAllIn(p).length
+      val ex = dataExchanges(p)
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
       assert("Scan parquet".r.findAllIn(p).length <= 1,
@@ -503,7 +513,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "q275_torch_spec_multidraft_loop",
         "q276_torch_beam_diverse_fused", "q277_torch_tree_typical")) {
       val p = plan(q)
-      val ex = "Exchange".r.findAllIn(p).length
+      val ex = dataExchanges(p)
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
       assert("Scan parquet".r.findAllIn(p).length <= 1,
@@ -538,14 +548,14 @@ class PlanAuditSpec extends AnyFunSuite {
         "q303_torch_lookup_loop_relpos",
         "q304_torch_tree_loop_relpos")) {
       val p = plan(q)
-      val ex = "Exchange".r.findAllIn(p).length
+      val ex = dataExchanges(p)
       assert(ex <= 1, s"$q: decode op shuffled beyond the output sort ($ex):\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
       assert("Scan parquet".r.findAllIn(p).length <= 1,
         s"$q: expected at most one parquet scan:\n$p")
     }
     val p283 = plan("q283_torch_auto_gamma")
-    assert("Exchange".r.findAllIn(p283).length <= 3,
+    assert(dataExchanges(p283) <= 3,
       s"q283: telemetry plan grew beyond agg + pick window:\n$p283")
     assert(!p283.contains("CartesianProduct"), s"q283 cartesian:\n$p283")
     // q286/q289/q290/q291 are telemetry too (GROUP BYs over decode
@@ -561,7 +571,7 @@ class PlanAuditSpec extends AnyFunSuite {
         // exchanges are the telemetry aggregate + pick window + sort
         ("q297_torch_auto_window", 4))) {
       val p = plan(q)
-      assert("Exchange".r.findAllIn(p).length <= bound,
+      assert(dataExchanges(p) <= bound,
         s"$q: telemetry plan grew beyond its aggregates:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
     }

@@ -72,12 +72,16 @@ class GoldenIrisSpec extends AnyFunSuite {
     val model = Torch.createFunction(spark, "iris_b", modelPath)
     val bc = spark.sparkContext.broadcast(model)
     val df = spark.read.parquet(irisParquet)
+    // sort by the WHOLE (sl, pred) pair: inferBatched's adaptive input
+    // spread (graft.Spread) round-robins the sub-parallelism scan, so
+    // arrival order among equal-sl rows is not stable — the comparison
+    // is a multiset equality, which the full-tuple sort canonicalizes
     val perRow = df.selectExpr("sl", "argmax(iris_b(features)) AS pred")
-      .collect().map(r => (r.getDouble(0), r.getInt(1))).sortBy(_._1).toSeq
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).sorted.toSeq
     for (bs <- Seq(1, 3, 7, 64, 1000)) {
       val batched = Torch.inferBatched(df, "features", "logits", bc, bs)
         .selectExpr("sl", "argmax(logits) AS pred")
-        .collect().map(r => (r.getDouble(0), r.getInt(1))).sortBy(_._1).toSeq
+        .collect().map(r => (r.getDouble(0), r.getInt(1))).sorted.toSeq
       assert(batched == perRow, s"batch_size=$bs")
     }
   }
