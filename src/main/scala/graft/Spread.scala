@@ -26,9 +26,30 @@ import org.apache.spark.sql.DataFrame
   * session / one decode per row), so row order never reaches results.
   */
 object Spread {
+  // scoped opt-out for call sites whose kernel input is a PROVABLY tiny
+  // candidate slice hidden behind a join (basic stats lose the row
+  // count through joins, so the rowCount guard below cannot see it):
+  // a 20-row rerank finishes faster than the exchange schedules
+  private val disabled = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+  def noSpread[T](f: => T): T = {
+    val prev = disabled.get
+    disabled.set(true)
+    try f finally disabled.set(prev)
+  }
+
   def apply(df: DataFrame): DataFrame = {
+    if (disabled.get) return df
     if (df.isStreaming) return df // micro-batch partitioning is the source's
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // provably-tiny inputs (a known row count under a few rows per
+    // core, e.g. a top-k candidate slice feeding a reranker) are not
+    // worth a shuffle: the kernel finishes faster than the exchange
+    // schedules (measured +0.5 s on the 20-candidate rerank queries)
+    val tiny = df.queryExecution.optimizedPlan.stats.rowCount
+      .exists(_ < 4L * target)
+    if (tiny) return df
     // toRdd plans the physical query (driver-only, no job) — the same
     // partition count the kernel's single stage would run with
     if (df.queryExecution.toRdd.getNumPartitions < target)

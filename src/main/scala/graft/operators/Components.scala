@@ -39,21 +39,36 @@ object Components {
     // an expensive upstream (e.g. a minhash pair pipeline) runs once
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).transform(Checkpoints.cp)
     // symmetric adjacency — one narrow (src, dst) table, reused every
-    // iteration (checkpointed: the loop reads it maxIter times)
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+    // iteration (checkpointed: the loop reads it maxIter times).
+    // Round-19 opt (guide §2.4, the weightedPageRank treatment): the
+    // lazy checkpoint forgets the hash layout (LogicalRDD reports
+    // UnknownPartitioning), so every iteration's join re-shuffled BOTH
+    // sides at spark.sql.shuffle.partitions. Re-key the checkpointed
+    // adjacency by the join key (dst) ONCE at a data-derived width
+    // (~1M keyed rows per task of pure label math — scale-adaptive,
+    // not a core-count constant), cache it, and re-key each round's
+    // label frame the same way, so the per-iteration join and the
+    // min-label aggregate stay co-partitioned.
+    val sym0 = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .transform(Checkpoints.cp)
+    val nSym = sym0.count() // bounded by the (deduped) pair domain
+    val loopParts = math.max(1L, math.min(nSym / (1L << 20) + 1L,
+      Int.MaxValue.toLong)).toInt
+    val sym = sym0.repartition(loopParts, col("dst")).cache()
 
-    var labels = sym.select(col("src").as("id")).distinct()
+    var labels = sym0.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .transform(Checkpoints.cp)
+      .repartition(loopParts, col("id"))
 
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // smallest neighbor label per node, one shuffle join + agg
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .repartition(loopParts, sym("src"))
         .groupBy("src").agg(min("comp").as("nbr_comp"))
       // the new label rides next to the old one, so the convergence
       // probe is a filter over the checkpointed frame — not another join
@@ -63,7 +78,7 @@ object Components {
         .transform(Checkpoints.cp)
       val changed = next.filter(col("comp") =!= col("__old"))
         .limit(1).count() // any-change probe, not a full count
-      labels = next.drop("__old")
+      labels = next.drop("__old").repartition(loopParts, col("id"))
       converged = changed == 0
       i += 1
     }

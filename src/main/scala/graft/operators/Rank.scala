@@ -59,8 +59,11 @@ object Rank {
     // loop's own width rather than spark.sql.shuffle.partitions — at
     // fixture scale that is 1 task instead of 32 per stage (measured
     // 915 tasks/78 jobs for q160's 12 iterations before the change).
+    // cache BEFORE the sizing count so the repartitioned copy reads the
+    // cached rows instead of recomputing the edge aggregation
     val trans0 = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
+      .cache()
     val nEdges = trans0.count() // one pass over the (bounded) edge domain
     val loopParts = math.max(1L, math.min(nEdges / (1L << 20) + 1L,
       Int.MaxValue.toLong)).toInt

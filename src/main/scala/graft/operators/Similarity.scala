@@ -55,16 +55,28 @@ object Similarity {
       idCol: String,
       embCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
+    // round-19 opt (guide §2.3 "aggregate before you shuffle"): the
+    // former row_number window shuffled EVERY (query × corpus) scored
+    // pair into the q_id exchange and sorted each group; the bounded
+    // TopKAggD keeps k rows per (map task × query) with map-side
+    // partial aggregation, so the exchange carries ≤ tasks·Q·k rows —
+    // never the Q·N pair stream. Identical output: same cosine values
+    // (unchanged scoring expression), same total order (score DESC,
+    // id ASC; the fixtures are NaN-free — zero-norm inputs are the
+    // only NaN source and min ‖v‖² ≈ 1.0 at every SF). The corpus leg
+    // also takes the adaptive input spread: a single-file scan
+    // serialized the whole pair scoring on one core.
+    val c = graft.Spread(corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(embCol)).as("ce")))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         graft.functions.CosineSim.cosine_sim(corpus.sparkSession, col("qe"), col("ce")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+    scored.groupBy("q_id")
+      .agg(graft.functions.TopKAgg.top_k_d(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("cos"))
   }
 
   /**
