@@ -57,21 +57,44 @@ object TextOps {
     * any-char class (Java and RE2 agree on the union even where they
     * disagree on `\s` alone — the [[graft.Tok]] note). Empty text
     * maps to 0.0. */
-  def charEntropy(text: Column): Column = {
-    val chars = array_sort(
-      call_function("regexp_extract_all", text, lit("[\\s\\S]"), lit(0)))
-    val n = size(chars)
-    val zero = struct(lit("").as("prev"), lit(0.0D).as("run"), lit(0.0D).as("acc"))
-    val walked = aggregate(chars, zero,
-      (s, c) => when(c === s("prev"),
-          struct(c.as("prev"), (s("run") + 1.0D).as("run"), s("acc").as("acc")))
-        .otherwise(struct(c.as("prev"), lit(1.0D).as("run"),
-          (s("acc") + when(s("run") > 0.0D, s("run") * log(s("run")))
-            .otherwise(0.0D)).as("acc"))),
-      s => s("acc") + when(s("run") > 0.0D, s("run") * log(s("run"))).otherwise(0.0D))
-    when(n === 0, lit(0.0D))
-      .otherwise((log(n.cast("double")) - walked / n.cast("double"))
-        / log(lit(2.0D)))
+  def charEntropy(text: Column): Column = charEntropyUdf(text)
+
+  /** Round-19 opt (guide §1.2 step 2 / §4): the former expression tree
+    * ran a regex match PER CHARACTER, sorted the single-char strings,
+    * then walked them with an interpreted `aggregate` fold (HOFs are
+    * CodegenFallback) — measured 55 s of summed task time on q224's
+    * chunk gate alone. This UDF computes the SAME value bit-for-bit:
+    *  - `[\s\S]` matches one code point, and array_sort on single-char
+    *    strings is UTF8 binary order == code point order, so sorting
+    *    the code-point ints reproduces the run order exactly;
+    *  - each run length accumulates 1.0 at a time in the fold = the
+    *    exact small-integer double, so `run·ln(run)` terms are
+    *    identical, added in the same (sorted) order;
+    *  - Spark's `log` is StrictMath.log (the repo's standing note),
+    *    used here for every term, the N normalizer and the ln 2 base.
+    * Null text → null, empty → 0.0 (the old CaseWhen's exact ends). */
+  private val charEntropyUdf = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Double]
+    else {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      if (n == 0) java.lang.Double.valueOf(0.0)
+      else {
+        java.util.Arrays.sort(cps)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          var j = i
+          while (j < n && cps(j) == cps(i)) j += 1
+          val run = (j - i).toDouble
+          acc += run * StrictMath.log(run)
+          i = j
+        }
+        java.lang.Double.valueOf(
+          (StrictMath.log(n.toDouble) - acc / n.toDouble) /
+            StrictMath.log(2.0))
+      }
+    }
   }
 
   /** Word n-gram shingles (distinct), the unit of near-dup detection:
