@@ -182,16 +182,40 @@ object Bench {
     // top-12 slowest queries, and (capped) failing-query names. The
     // complete per-query map always lives in BENCH_LOCAL.json.
     println(line(_.takeWhile(_ != '_'), v => f"$v%.3f", shortErrors))
-    val slowest = ordered.sortBy(-_._2).take(12)
-      .map { case (k, v) => s"${jstr(k.takeWhile(_ != '_'))}:${f"$v%.3f"}" }
-      .mkString("{", ",", "}")
     val errNames = errors.keys.take(40).map(k => jstr(k.takeWhile(_ != '_')))
     val errJson = (if (errors.size > 40) errNames ++ Seq(jstr(s"+${errors.size - 40}"))
                    else errNames).mkString("[", ",", "]")
-    println(
+    // Round-20 (VERDICT r19 item 2/7): the driver's per-query
+    // round-over-round comparison parses the LAST line's "queries" map,
+    // and r14-r19's compact tail line dropped it entirely (the full map
+    // is ~4kB at 304 queries — it overflowed the 2000-char tail, so
+    // PERF_r19.json came back with per_query empty). The last line now
+    // carries a "queries" map packed SLOWEST-FIRST under a hard budget
+    // that keeps the whole line inside the tail: every query of any
+    // performance weight fits (~120 entries at 3 decimals — the
+    // remainder is the sub-0.3s scheduling-bound tail), and
+    // "n_shown"/"omitted_sec" reconcile the shown subset against the
+    // total. Nothing is removed: the full short-key map still prints
+    // FIRST, and BENCH_LOCAL.json keeps full names and precision.
+    val byTime = ordered.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => s"${jstr(k.takeWhile(_ != '_'))}:${f"$v%.3f"}" }
+    val head =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,""" +
         s""""n":${ordered.size},"failed":${errors.nonEmpty},"n_errors":${errors.size},""" +
-        s""""errors":$errJson,"slowest":$slowest,"sf":"$sfDir"}""")
+        s""""errors":$errJson,"queries":{"""
+    // fixed-size worst-case tail reservation: "},"n_shown":NNN,
+    // "omitted_sec":NNNN.NNN,"sf":"<dir>"}" — budget the whole line to
+    // ~1900 chars so the driver's 2000-char capture can never truncate it
+    val reserve = 48 + sfDir.length
+    val budget = 1900 - head.length - reserve
+    val shown = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    for (e <- byTime if used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
+    val shownTotal = ordered.sortBy { case (k, v) => (-v, k) }
+      .take(shown.size).map(_._2).sum
+    println(head + shown.mkString(",") +
+      s"""},"n_shown":${shown.size},"omitted_sec":${f"${total - shownTotal}%.3f"},""" +
+      s""""sf":"$sfDir"}""")
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }

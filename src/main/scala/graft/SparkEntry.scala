@@ -1714,10 +1714,10 @@ object SparkEntry {
         .join(toks6.select(col("doc_id").as("q_id"), col("t6").as("qt")), "q_id")
         .select(col("q_id").as("doc_id"), concat(col("rt"), col("qt")).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
-      // 20 retrieval prompts: too small for the adaptive input spread
-      graft.Spread.noSpread(
-        Torch.generateGreedy(prompts, "tok_ids", "gen", bc, steps = 2,
-          batchSize = 256))
+      // 20 retrieval prompts: join-fed, so Spread's exchange-bearing
+      // skip passes it through untouched (r20 — the hand label retired)
+      Torch.generateGreedy(prompts, "tok_ids", "gen", bc, steps = 2,
+          batchSize = 256)
         .select(col("doc_id"), col("gen")(0).as("gen1"),
           col("gen")(1).as("gen2"))
         .orderBy("doc_id")
@@ -5733,10 +5733,10 @@ object SparkEntry {
           slice(call_function("regexp_extract_all", col("pair_text"), lit(graft.Tok.Pattern), lit(0)), 1, EncMaxLen),
           tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % vocab).as("tok_ids"))
         .filter(size(col("tok_ids")) >= 1)
-      // global window is safe: the input is the k=20 candidate set
-      // (and too small to be worth the adaptive input spread)
-      graft.Spread.noSpread(
-        Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256))
+      // global window is safe: the input is the k=20 candidate set —
+      // join-fed, so Spread's exchange-bearing skip passes it through
+      // untouched (r20 — the hand label retired)
+      Torch.inferBatched(toks, "tok_ids", "logits", bc, batchSize = 256)
         .select(col("doc_id"), col("t_rank"),
           call_function("argmax", col("logits")).as("ce_class"))
         .withColumn("ce_rank", row_number().over(

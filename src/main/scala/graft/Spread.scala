@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join,
+  LogicalPlan, RepartitionOperation, Sort, Window}
 
 /** Scale-adaptive input spread for single-`mapPartitions` kernels
   * (decode loops, batched inference, codecs).
@@ -27,9 +29,9 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
   // scoped opt-out for call sites whose kernel input is a PROVABLY tiny
-  // candidate slice hidden behind a join (basic stats lose the row
-  // count through joins, so the rowCount guard below cannot see it):
-  // a 20-row rerank finishes faster than the exchange schedules
+  // slice the guards below cannot see (none remain in-tree — the
+  // round-20 exchange-bearing skip covers the former join-fed users —
+  // but the escape hatch stays for library callers)
   private val disabled = new ThreadLocal[Boolean] {
     override def initialValue: Boolean = false
   }
@@ -43,17 +45,41 @@ object Spread {
     if (disabled.get) return df
     if (df.isStreaming) return df // micro-batch partitioning is the source's
     val target = df.sparkSession.sparkContext.defaultParallelism
+    val plan = df.queryExecution.optimizedPlan
     // provably-tiny inputs (a known row count under a few rows per
     // core, e.g. a top-k candidate slice feeding a reranker) are not
     // worth a shuffle: the kernel finishes faster than the exchange
     // schedules (measured +0.5 s on the 20-candidate rerank queries)
-    val tiny = df.queryExecution.optimizedPlan.stats.rowCount
-      .exists(_ < 4L * target)
+    val tiny = plan.stats.rowCount.exists(_ < 4L * target)
     if (tiny) return df
-    // toRdd plans the physical query (driver-only, no job) — the same
-    // partition count the kernel's single stage would run with
+    // Round-20 (ADVICE r19): exchange-bearing inputs skip the spread
+    // WITHOUT consulting toRdd. Two reasons, both load-bearing:
+    //  1. under AQE, building toRdd EAGERLY MATERIALIZES every
+    //     upstream shuffle query stage — real jobs at plan time whose
+    //     work is then discarded when the kernel's own Dataset
+    //     re-plans and re-runs the same shuffles (silent
+    //     double-execution for any join/aggregate-fed kernel);
+    //  2. a post-shuffle frame already runs at the session's shuffle
+    //     width — the one-task single-file-scan pathology this helper
+    //     exists for cannot occur, so there is nothing to fix.
+    // This retires the per-site noSpread labels the r19 rowCount-only
+    // guard needed (stats lose rowCount through joins).
+    val hasExchange = plan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort |
+           _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
+    }
+    if (hasExchange) return df
+    // exchange-free scan-shaped plan: toRdd is driver-only planning
+    // (no stage to materialize) — read the scan's partition count
     if (df.queryExecution.toRdd.getNumPartitions < target)
       df.repartition(target)
     else df
+  }
+
+  // LogicalPlan.exists by predicate (TreeNode.find) — local helper so
+  // the match above reads as intent
+  private implicit class PlanOps(val p: LogicalPlan) extends AnyVal {
+    def exists(f: LogicalPlan => Boolean): Boolean = p.find(f).isDefined
   }
 }

@@ -40,23 +40,28 @@ case class GramHashes(child: Expression, k: Int)
 
   // one digest per expression instance; instances are task-confined
   @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+  // round-20: byte-range tokenization (HashExprs.tokenizeBytes) — the
+  // digest consumes exactly the space-joined gram's UTF-8 bytes via
+  // incremental update()s, so every hash is bit-equal to the string
+  // path while the decode/regex/StringBuilder work leaves the hot loop
+  @transient private lazy val tr = new HashExprs.TokenRanges
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = HashExprs.tokenize(input.asInstanceOf[UTF8String].toString)
-    val n = toks.length - k + 1
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    HashExprs.tokenizeBytes(bytes, tr)
+    val n = tr.n - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val sb = new java.lang.StringBuilder()
+      md5.reset()
       var j = 0
       while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
+        if (j > 0) md5.update(' '.toByte)
+        md5.update(bytes, tr.starts(i + j), tr.ends(i + j) - tr.starts(i + j))
         j += 1
       }
-      md5.reset()
-      val d = md5.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md5.digest()
       var v = 0L
       var b = 0
       while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }

@@ -35,6 +35,23 @@ private[graft] object Fnv64 {
     }
     h
   }
+
+  /** [[hashJoined]] over token byte-RANGES of one backing array (the
+    * round-20 zero-copy form — see [[HashExprs.TokenRanges]]):
+    * byte-identical to hashing the space-joined shingle string. */
+  def hashJoinedRanges(bytes: Array[Byte], starts: Array[Int], ends: Array[Int],
+      start: Int, n: Int): Long = {
+    var h = Offset
+    var j = 0
+    while (j < n) {
+      if (j > 0) h = (h ^ 0x20L) * Prime // ' '
+      var i = starts(start + j)
+      val e = ends(start + j)
+      while (i < e) { h = (h ^ (bytes(i) & 0xffL)) * Prime; i += 1 }
+      j += 1
+    }
+    h
+  }
 }
 
 /**
@@ -61,21 +78,23 @@ case class ShingleHashes(child: Expression, n: Int)
       TypeCheckResult.TypeCheckFailure(s"shingle_hashes requires string, got ${other.sql}")
   }
 
+  // round-20: byte-range tokenization (HashExprs.tokenizeBytes) — the
+  // FNV input bytes are identical to the per-token getBytes copies the
+  // string path produced, so every hash (and the LinkedHashSet order)
+  // is bit-equal; the string decode, regex and per-token allocations
+  // are gone from the hot loop
+  @transient private lazy val tr = new HashExprs.TokenRanges
+
   override def nullSafeEval(input: Any): Any = {
-    val toks = HashExprs.tokenize(input.asInstanceOf[UTF8String].toString)
-    if (toks.length < n)
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    HashExprs.tokenizeBytes(bytes, tr)
+    if (tr.n < n)
       return org.apache.spark.sql.catalyst.util.ArrayData
         .toArrayData(Array.empty[Long])
-    val bytes = new Array[Array[Byte]](toks.length)
-    var t = 0
-    while (t < toks.length) {
-      bytes(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      t += 1
-    }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
-    while (i <= toks.length - n) {
-      seen.add(Fnv64.hashJoined(bytes, i, n))
+    while (i <= tr.n - n) {
+      seen.add(Fnv64.hashJoinedRanges(bytes, tr.starts, tr.ends, i, n))
       i += 1
     }
     val out = new Array[Long](seen.size())
@@ -115,6 +134,53 @@ private[graft] object HashExprs {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) out += m.group()
     out.toArray
+  }
+
+  /** Reusable token byte-range buffer for [[tokenizeBytes]] — one per
+    * expression instance (instances are task-confined, like the
+    * per-instance MD5 digests the gram kernels already carry). */
+  final class TokenRanges {
+    var starts: Array[Int] = new Array[Int](64)
+    var ends: Array[Int] = new Array[Int](64)
+    var n: Int = 0
+    private[HashExprs] def grow(): Unit = {
+      starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+      ends = java.util.Arrays.copyOf(ends, ends.length * 2)
+    }
+  }
+
+  /** Round-20 zero-copy tokenization (guide §1.2 "per-task work"): the
+    * token byte ranges of a string's UTF-8 bytes, EXACTLY the
+    * [[tokenize]] regex tokens — the whitespace class
+    * `[ \t\n\x0B\f\r]` is six single-byte ASCII values, and UTF-8
+    * multi-byte sequences never contain bytes < 0x80, so maximal runs
+    * of non-whitespace BYTES are precisely the maximal runs of
+    * non-whitespace CHARS (for any valid-UTF-8 input, which is what
+    * parquet string columns carry). No string decode, no regex
+    * machinery, no per-token allocation. */
+  def tokenizeBytes(bytes: Array[Byte], tr: TokenRanges): Unit = {
+    tr.n = 0
+    val len = bytes.length
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r') {
+        i += 1
+      } else {
+        val s = i
+        i += 1
+        var run = true
+        while (run && i < len) {
+          val c = bytes(i)
+          if (c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r') run = false
+          else i += 1
+        }
+        if (tr.n == tr.starts.length) tr.grow()
+        tr.starts(tr.n) = s
+        tr.ends(tr.n) = i
+        tr.n += 1
+      }
+    }
   }
 }
 
@@ -198,29 +264,43 @@ case class Shingles(child: Expression, n: Int)
       TypeCheckResult.TypeCheckFailure(s"shingles requires string, got ${other.sql}")
   }
 
+  // round-20: byte-range tokenization (see ShingleHashes) — each
+  // shingle's UTF-8 bytes are spliced straight from the input array
+  // (token bytes + single spaces, exactly the string concatenation's
+  // encoding, UTF-8 being injective), deduped as UTF8String (byte
+  // equality == string equality for valid UTF-8) in the same
+  // first-occurrence order
+  @transient private lazy val tr = new HashExprs.TokenRanges
+
   override def nullSafeEval(input: Any): Any = {
-    val toks = HashExprs.tokenize(input.asInstanceOf[UTF8String].toString)
-    if (toks.length < n)
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    HashExprs.tokenizeBytes(bytes, tr)
+    if (tr.n < n)
       return org.apache.spark.sql.catalyst.util.ArrayData
         .toArrayData(Array.empty[UTF8String])
-    val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
-    while (i <= toks.length - n) {
-      sb.setLength(0)
+    while (i <= tr.n - n) {
+      var len = n - 1 // the n-1 joining spaces
       var j = 0
+      while (j < n) { len += tr.ends(i + j) - tr.starts(i + j); j += 1 }
+      val sh = new Array[Byte](len)
+      var p = 0
+      j = 0
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
+        if (j > 0) { sh(p) = ' '; p += 1 }
+        val w = tr.ends(i + j) - tr.starts(i + j)
+        System.arraycopy(bytes, tr.starts(i + j), sh, p, w)
+        p += w
         j += 1
       }
-      seen.add(sb.toString)
+      seen.add(UTF8String.fromBytes(sh))
       i += 1
     }
     val out = new Array[UTF8String](seen.size())
     val it = seen.iterator()
     var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 

@@ -57,11 +57,19 @@ class TopKAgg(k: Int)
 /**
  * Double-scored sibling of [[TopKAgg]] for model-quality / similarity
  * scores. Same bounded-buffer shape; the order is a TOTAL order with
- * an explicit NaN policy — NaN never wins (mirrors [[ArgMax]]): a NaN
- * score loses to every real score, NaN-vs-NaN falls through to the
- * id ASC tiebreak. Without this, `>` comparisons involving NaN are
- * all-false and the buffer order (hence merge correctness) breaks.
- * -0.0 == 0.0 ties break by id, matching SQL DOUBLE comparison.
+ * an explicit NaN policy — NaN GREATEST (round-20, VERDICT r19 item 3):
+ * both Spark and DuckDB sort NaN as the largest double, so a
+ * `row_number() OVER (ORDER BY score DESC)` window — the construct this
+ * aggregator replaces on the hot paths — ranks a NaN score FIRST. The
+ * aggregator follows the same order so the replacement is equivalent
+ * even when a NaN reaches it (zero-norm embeddings are the one real
+ * source: cosine against them is 0/0). NaN-vs-NaN falls through to the
+ * id ASC tiebreak. Without an explicit policy, `>` comparisons
+ * involving NaN are all-false and the buffer order (hence merge
+ * correctness) breaks. -0.0 == 0.0 ties break by id, matching SQL
+ * DOUBLE comparison. (This deliberately DIFFERS from [[ArgMax]]'s
+ * NaN-never-wins: ArgMax replaces explicit greatest-finite picks,
+ * this replaces DESC windows.)
  */
 class TopKAggD(k: Int)
     extends Aggregator[ScoredIdD, Seq[ScoredIdD], Seq[ScoredIdD]] with Serializable {
@@ -70,7 +78,7 @@ class TopKAggD(k: Int)
   private def beats(a: ScoredIdD, b: ScoredIdD): Boolean = {
     val an = java.lang.Double.isNaN(a.score)
     val bn = java.lang.Double.isNaN(b.score)
-    if (an || bn) { if (an && bn) a.id < b.id else an < bn } // NaN never wins
+    if (an || bn) { if (an && bn) a.id < b.id else an } // NaN greatest (sorts first DESC)
     else a.score > b.score || (a.score == b.score && a.id < b.id)
   }
 

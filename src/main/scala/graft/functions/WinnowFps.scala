@@ -41,17 +41,20 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 
   // one digest per expression instance; instances are task-confined
   @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+  // round-20: byte-range tokenization (HashExprs.tokenizeBytes) — the
+  // digest consumes exactly the space-joined gram's UTF-8 bytes via
+  // incremental update()s, bit-equal to the string path (see GramHashes)
+  @transient private lazy val tr = new HashExprs.TokenRanges
 
-  private def gramHash(toks: Array[String], start: Int): Long = {
-    val sb = new java.lang.StringBuilder()
+  private def gramHash(bytes: Array[Byte], start: Int): Long = {
+    md5.reset()
     var j = 0
     while (j < k) {
-      if (j > 0) sb.append(' ')
-      sb.append(toks(start + j))
+      if (j > 0) md5.update(' '.toByte)
+      md5.update(bytes, tr.starts(start + j), tr.ends(start + j) - tr.starts(start + j))
       j += 1
     }
-    md5.reset()
-    val d = md5.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5.digest()
     // first 15 hex chars == (first 8 bytes big-endian, unsigned) >>> 4
     var v = 0L
     var i = 0
@@ -60,12 +63,13 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = HashExprs.tokenize(input.asInstanceOf[UTF8String].toString)
-    val nGrams = toks.length - k + 1
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    HashExprs.tokenizeBytes(bytes, tr)
+    val nGrams = tr.n - k + 1
     if (nGrams <= 0) return ArrayData.toArrayData(Array.empty[Long])
     val hs = new Array[Long](nGrams)
     var i = 0
-    while (i < nGrams) { hs(i) = gramHash(toks, i); i += 1 }
+    while (i < nGrams) { hs(i) = gramHash(bytes, i); i += 1 }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (nGrams >= w) {
       var j = 0

@@ -83,7 +83,16 @@ object Components {
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
-    labels
+    // Round-20 cache hygiene (guide §5, VERDICT r19 item 2): the last
+    // iteration's probe already materialized `next`'s checkpoint, so
+    // finishing the final (drop + re-key) projection eagerly costs one
+    // small job — and lets the cached adjacency be RELEASED here
+    // instead of accumulating one copy per dedup call for the session
+    // lifetime. The returned frame is the node-domain-sized labels,
+    // self-contained.
+    val out = labels.localCheckpoint(true)
+    sym.unpersist(false)
+    out
   }
 
   /**

@@ -116,12 +116,16 @@ object Dsir {
     val freq =
       if (pruneTo > 0) freqAll.orderBy(col("cr").desc, col("w")).limit(pruneTo)
       else freqAll
-    val n = freq.count()
-    require(n <= maxVocab,
-      s"$n distinct words exceed the frozen-stats cap $maxVocab — " +
-        s"raise the cap, or pass pruneTo to keep the top-N words by count")
-    val rows = freq.collect()
+    // round-20: ONE collect instead of count-then-collect — the limit
+    // caps the driver transfer at maxVocab+1 rows (the size check now
+    // guards the collect ITSELF, strictly safer than counting first),
+    // and CollectLimit concatenates partitions in the same order as
+    // collect(), so the order-sensitive nr/nt sums see identical rows
+    val rows = freq.limit(maxVocab + 1).collect()
       .map(r => r.getString(0) -> ((r.getLong(1).toDouble, r.getLong(2).toDouble)))
+    require(rows.length <= maxVocab,
+      s"over ${rows.length - 1} distinct words exceed the frozen-stats cap $maxVocab — " +
+        s"raise the cap, or pass pruneTo to keep the top-N words by count")
     DsirStats(rows.toMap,
       nr = rows.map(_._2._1).sum, nt = rows.map(_._2._2).sum,
       v = rows.length.toDouble)

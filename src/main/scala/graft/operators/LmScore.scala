@@ -210,11 +210,16 @@ object LmScore {
     val cnt2 =
       if (pruneTo > 0) cnt2all.orderBy(col("c2").desc, col("bg")).limit(pruneTo)
       else cnt2all
-    val n = cnt2.count()
-    require(n <= maxTypes,
-      s"$n bigram types exceed the frozen-stats cap $maxTypes — " +
+    // round-20: ONE collect instead of count-then-collect (see
+    // Dsir.dsirStats) — the limit caps the driver transfer at
+    // maxTypes+1 rows, and CollectLimit keeps collect()'s partition
+    // concatenation order, so the order-sensitive c1 accumulation
+    // below sees identical rows in the identical order
+    val rows = cnt2.limit(maxTypes + 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    require(rows.length <= maxTypes,
+      s"over ${rows.length - 1} bigram types exceed the frozen-stats cap $maxTypes — " +
         s"raise the cap, or pass pruneTo to keep the top-N bigrams by count")
-    val rows = cnt2.collect().map(r => r.getString(0) -> r.getDouble(1))
     val left = scala.collection.mutable.HashMap.empty[String, (Double, Double)]
     val right = scala.collection.mutable.HashMap.empty[String, Double]
     for ((bg, c2) <- rows) {

@@ -62,10 +62,13 @@ object Similarity {
     // partial aggregation, so the exchange carries ≤ tasks·Q·k rows —
     // never the Q·N pair stream. Identical output: same cosine values
     // (unchanged scoring expression), same total order (score DESC,
-    // id ASC; the fixtures are NaN-free — zero-norm inputs are the
-    // only NaN source and min ‖v‖² ≈ 1.0 at every SF). The corpus leg
-    // also takes the adaptive input spread: a single-file scan
-    // serialized the whole pair scoring on one core.
+    // id ASC) INCLUDING NaN — TopKAggD orders NaN greatest exactly as
+    // the DESC window did (round-20, VERDICT r19 item 3), so a
+    // zero-norm/corrupt embedding (cosine 0/0 = NaN) changes nothing
+    // vs the declared window semantics at any scale. idCol must be
+    // integral: the aggregator's id leg is a LONG (a non-integer id
+    // would silently cast where row_number accepted any type — the
+    // callers all pass integer ids; keep it that way).
     val c = graft.Spread(corpus.select(col(idCol).as("vec_id"),
       asDouble(col(embCol)).as("ce")))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(embCol)).as("qe"))
@@ -685,7 +688,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ce"))
     val cents = ivfTrain(corpus, embCol, nlist, seed, trainSample)
     val cell = nearestCellUdf(spark, cents)
-    val assigned = c.select(col("vec_id"), col("ce"), cell(col("ce")).as("cell"))
+    // round-20: spread the corpus scan — assignment + cosine scoring
+    // otherwise serialize on a single-file scan's one task
+    val assigned = graft.Spread(c)
+      .select(col("vec_id"), col("ce"), cell(col("ce")).as("cell"))
 
     // Query-side probe list: rank cells by ||q - c||^2, which orders the
     // same as -2*q.c + ||c||^2 (||q||^2 is constant per row). Centroids
@@ -773,7 +779,8 @@ object Similarity {
     require(sample.nonEmpty, "semanticDedup: empty corpus")
     val cents = kmeansLocal(sample, k, iters = 10, new scala.util.Random(seed))
     val cell = nearestCellUdf(spark, cents)
-    val assigned = unit
+    // round-20: spread the scan so assignment parallelizes (see ivfTopK)
+    val assigned = graft.Spread(unit)
       .select(col("id"), col("e"), cell(col("__unit")).as("cluster"))
       // checkpoint: read by the cell-size agg, both self-join sides,
       // and the output join
@@ -845,11 +852,12 @@ object Similarity {
     require(sample.nonEmpty, "semanticDedupIncremental: empty corpus")
     val cents = kmeansLocal(sample, k, iters = 10, new scala.util.Random(seed))
     val cell = nearestCellUdf(spark, cents)
-    val cAssigned = cUnit
+    // round-20: spread both assignment scans (see ivfTopK)
+    val cAssigned = graft.Spread(cUnit)
       .select(col("cid"), col("ce"), cell(col("__unit")).as("cluster"))
       .transform(Checkpoints.cp)
-    val fAssigned = normalized(
-      fresh.select(col(idCol).as("id"), asDouble(col(embCol)).as("e")), "e")
+    val fAssigned = graft.Spread(normalized(
+      fresh.select(col(idCol).as("id"), asDouble(col(embCol)).as("e")), "e"))
       .select(col("id"), col("e"), cell(col("__unit")).as("cluster"))
       .transform(Checkpoints.cp) // read by the pair join AND the output join
     // hot-cell guard, two-sided (see semanticDedup): split EACH side of
@@ -985,14 +993,23 @@ object Similarity {
     val threads = math.min(Runtime.getRuntime.availableProcessors, 16)
     if (n < 2048 || threads < 2) { var i = 0; while (i < n) { f(i); i += 1 } }
     else {
+      // a worker's throwable must not vanish into the default uncaught
+      // handler (ADVICE r19: join() would return normally and the
+      // caller proceed on partially-written slots) — capture the first
+      // one and rethrow after all joins
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val chunk = (n + threads - 1) / threads
       val ts = (0 until threads).map { t =>
         val lo = t * chunk
         val hi = math.min(n, lo + chunk)
-        val th = new Thread(() => { var i = lo; while (i < hi) { f(i); i += 1 } })
+        val th = new Thread(() => {
+          try { var i = lo; while (i < hi) { f(i); i += 1 } }
+          catch { case e: Throwable => failed.compareAndSet(null, e) }
+        })
         th.start(); th
       }
       ts.foreach(_.join())
+      if (failed.get != null) throw failed.get
     }
   }
 
@@ -1077,10 +1094,13 @@ object Similarity {
   }
 
   private def normalized(df: DataFrame, embCol: String): DataFrame = {
-    val e = asDouble(col(embCol))
-    val nrm = sqrt(aggregate(e, lit(0.0), (a, v) => a + v * v))
+    // round-20: one native JVM pass (graft.functions.VecUnit) instead
+    // of the interpreted aggregate+transform HOF pair — bit-identical
+    // by construction (same fold order, same when/otherwise fallthrough
+    // for null/zero/NaN norms; pinned in EquivalenceSpec), and it ran
+    // per corpus row in every ANN train/encode/probe path
     df.withColumn("__unit",
-      when(nrm > 0, transform(e, v => v / nrm)).otherwise(e))
+      graft.functions.VecUnit.vec_unit(df.sparkSession, asDouble(col(embCol))))
   }
 
   /** Deterministic hash-ordered bounded sample of an array<double>
@@ -1096,25 +1116,42 @@ object Similarity {
     // per-partition top-n + single merge (TakeOrderedAndProject) does
     // one pass and no range sampling. Identical rows out (the order is
     // a total one: md5 collisions aside, per-row hashes are unique).
-    // Set-and-restore around the one collect; the trainers run
-    // single-threaded on the driver so the session conf cannot race.
+    // Set-and-restore around the one collect, serialized by a
+    // process-wide lock (ADVICE r19: two trainers building
+    // concurrently in one session would clobber each other's restore;
+    // the lock makes overlap safe instead of assuming it away). A
+    // concurrent UNRELATED query on the same session could still
+    // observe the mutated value for the duration of this collect —
+    // acceptable because the override only widens the TakeOrdered
+    // fallback threshold (a physical-plan choice, never a result).
     val spark = df.sparkSession
     val key = "spark.sql.execution.topKSortFallbackThreshold"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, (n.max(10000) + 1).toString)
-    try {
-      df.select(col(colName))
-        .filter(col(colName).isNotNull)
-        .withColumn("__h", md5(concat(lit(seed.toString),
-          concat_ws(",", col(colName).cast("array<string>")))))
-        .orderBy("__h")
-        .limit(n)
-        .collect().map(_.getSeq[Double](0).toArray)
-    } finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    Similarity.trainConfLock.synchronized {
+      val saved = spark.conf.getOption(key)
+      spark.conf.set(key, (n.max(10000) + 1).toString)
+      try {
+        // round-20 (guide §2.5 input skew): the hash column casts every
+        // vector element to a string and md5s the join — ~90 µs/row,
+        // and a single-file corpus scan ran ALL of it on one core
+        // (measured 1.35 s of q112's wall). The adaptive spread
+        // parallelizes the hash + per-partition top-n; the merged
+        // result is identical (total order on unique value-derived
+        // hashes, and duplicate vectors that tie are identical rows).
+        graft.Spread(df.select(col(colName)).filter(col(colName).isNotNull))
+          .withColumn("__h", md5(concat(lit(seed.toString),
+            concat_ws(",", col(colName).cast("array<string>")))))
+          .orderBy("__h")
+          .limit(n)
+          .collect().map(_.getSeq[Double](0).toArray)
+      } finally saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
+
+  /** Serializes [[sampleVectors]]' conf set-and-restore (see note there). */
+  private val trainConfLock = new Object
 
   /** Nearest-centroid id as a scan-side UDF over broadcast centroids;
     * null vectors map to cell -1 (no pair work, never joined). */
@@ -1176,8 +1213,11 @@ object Similarity {
     }.asNondeterministic()
     // null embeddings carry no codes and are excluded from the index —
     // the same silent-drop semantics as the LSH path (banding of a
-    // null signature emits no rows)
-    normalized(df, embCol)
+    // null signature emits no rows). Round-20: the adaptive input
+    // spread parallelizes the per-row encode (a single-file corpus
+    // scan otherwise runs the whole subspace-argmin kernel on one
+    // core); per-row output, so the row placement cannot reach results.
+    graft.Spread(normalized(df, embCol))
       .select(col(idCol).as("vec_id"), enc(col("__unit")).as("codes"))
       .filter(col("codes").isNotNull)
   }
@@ -1224,7 +1264,9 @@ object Similarity {
       .select(col(idCol).as("q_id"), lut(col("__unit")).as("__lut"))
       .filter(col("__lut").isNotNull) // null-embedding queries have no neighbors
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
-    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    // round-20: spread the code-table scan (see ivfPqTopK) — the full
+    // ADC pass otherwise serializes on a single-file scan's one task
+    graft.Spread(codes).join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("adc", adc(col("__lut"), col("codes")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1422,8 +1464,11 @@ object Similarity {
         (best, codes)
       }
     }.asNondeterministic() // once per row — see pqEncode's note
-    // null embeddings carry no codes — excluded like pqEncode/LSH
-    normalized(corpus, embCol)
+    // null embeddings carry no codes — excluded like pqEncode/LSH.
+    // Round-20: spread the scan (see pqEncode) — the coarse+residual
+    // argmin kernel is the expensive per-row step of every IVFADC
+    // build, and a single-file scan serialized it on one core.
+    graft.Spread(normalized(corpus, embCol))
       .select(col(idCol).as("vec_id"), enc(col("__unit")).as("__e"))
       .filter(col("__e").isNotNull)
       .select(col("vec_id"), col("__e._1").as("cell"), col("__e._2").as("codes"))
@@ -1528,7 +1573,11 @@ object Similarity {
       .select(col("q_id"), explode(col("__probes")).as("__p"))
       .select(col("q_id"), col("__p._1").as("cell"), col("__p._2").as("__lut"))
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
-    codes.join(broadcast(q), Seq("cell"))
+    // round-20: spread the code-table scan — a single-file (or
+    // freshly-reopened artifact) codes scan ran the whole ADC pass on
+    // one core; join-fed code tables pass through untouched (the
+    // exchange-bearing skip) and pick their width up from the join
+    graft.Spread(codes).join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", adc(col("__lut"), col("codes")))
       .withColumn("rank", row_number().over(w))
@@ -1813,8 +1862,10 @@ object Similarity {
     val wCell = Window.partitionBy("q_id", "cell")
       .orderBy(col("adc"), col("vec_id"))
     // ONE codes scan; per-cell ADC top-shortlist keeps the frame
-    // canary-bounded regardless of corpus size
-    val cand = codes.join(broadcast(q), Seq("cell"))
+    // canary-bounded regardless of corpus size. Round-20: spread the
+    // codes scan (see ivfPqTopK) so the ADC pass parallelizes off a
+    // single-file artifact scan.
+    val cand = graft.Spread(codes).join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", adc(col("__lut"), col("codes")))
       .withColumn("crk", row_number().over(wCell))
@@ -1830,25 +1881,41 @@ object Similarity {
     // recallCanary convention
     val nQ = slice.count()
     val expected = nQ * k
-    val wShort = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
-    val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    // per rung: global shortlist (prefix filter + re-rank of the
-    // bounded frame), exact-cosine re-rank to top-k, integer hit count
-    val perRung = nprobes.map { n =>
-      val short = cand.filter(col("crank") <= n)
-        .withColumn("srk", row_number().over(wShort))
-        .filter(col("srk") <= shortlist)
-        .select("q_id", "vec_id")
-      val ann = short.join(c, Seq("vec_id")).join(broadcast(qe), Seq("q_id"))
-        .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("qe"), col("ce")))
-        .withColumn("a_rk", row_number().over(wCos))
-        .filter(col("a_rk") <= k)
-        .select("q_id", "vec_id")
-      ann.join(exact, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).cast("long").as("hits"))
-        .select(lit(n).as("nprobe"), col("hits"))
-    }
-    val sweep = perRung.reduce(_ unionByName _)
+    // Round-20 (guide §2.4 share-one-exchange; VERDICT r19 item 1's
+    // family): the sweep formerly built one (shortlist window + rerank
+    // joins + hit join + agg) leg PER RUNG — ~4 exchanges x |nprobes|
+    // serial stage materializations. The rung is now a DIMENSION:
+    // explode every candidate row into the rungs whose prefix it
+    // belongs to, window/rerank/count once partitioned by
+    // (q_id, nprobe). Per (q_id, rung) group the rows, the ranking
+    // order, and the hit counts are exactly the per-leg ones (same
+    // filters, same tiebreaks), so the sweep table is identical —
+    // rungs with zero hits are restored by the left join against the
+    // rung dimension. Total row volume is unchanged (the old legs
+    // scanned cand once per rung); the stage count drops ~|nprobes|x.
+    val wShortR = Window.partitionBy("q_id", "nprobe")
+      .orderBy(col("adc"), col("vec_id"))
+    val wCosR = Window.partitionBy("q_id", "nprobe")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val candR = cand
+      .select(col("q_id"), col("crank"), col("vec_id"), col("adc"),
+        explode(array(nprobes.map(lit(_)): _*)).as("nprobe"))
+      .filter(col("crank") <= col("nprobe"))
+    val short = candR
+      .withColumn("srk", row_number().over(wShortR))
+      .filter(col("srk") <= shortlist)
+      .select("nprobe", "q_id", "vec_id")
+    val ann = short.join(c, Seq("vec_id")).join(broadcast(qe), Seq("q_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine_sim(spark, col("qe"), col("ce")))
+      .withColumn("a_rk", row_number().over(wCosR))
+      .filter(col("a_rk") <= k)
+      .select("nprobe", "q_id", "vec_id")
+    val hitsByRung = ann.join(exact, Seq("q_id", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).cast("long").as("hits"))
+    import spark.implicits._
+    val rungDim = nprobes.toDF("nprobe")
+    val sweep = rungDim.join(hitsByRung, Seq("nprobe"), "left")
+      .select(col("nprobe"), coalesce(col("hits"), lit(0L)).as("hits"))
     val wAll = Window.partitionBy(lit(1))
     sweep
       .withColumn("meets_target",
@@ -1939,7 +2006,9 @@ object Similarity {
     }.asNondeterministic() // once per query row — see pqEncode's note
     val groupsAcc = spark.sparkContext.longAccumulator("graft.ivfPqBatch.groups")
     lastBatchGroups = groupsAcc
-    val probes0 = normalized(queries, embCol)
+    // round-20: spread the query-side scan — the probe UDF + normalize
+    // + explode otherwise run on a single-file scan's one task
+    val probes0 = graft.Spread(normalized(queries, embCol))
       .select(col(idCol).cast("long").as("q_id"), col("__unit"),
         probeCells(col("__unit")).as("__cells"))
       .filter(col("__cells").isNotNull) // null-embedding queries have no neighbors
@@ -1952,64 +2021,111 @@ object Similarity {
     val probes = probes0.join(broadcast(cellS), Seq("cell"))
       .withColumn("__blk", pmod(xxhash64(col("q_id")), col("__s")).cast("int"))
       .select(col("cell"), col("__blk"), col("q_id"), col("__unit"))
-      .as[(Int, Int, Long, Array[Double])]
     // codes replicate into each of their cell's s query blocks; cells
     // no query probes fall out of the inner join BEFORE the shuffle
     val cd = codes.select(col("cell"), col("vec_id").cast("long"), col("codes"))
       .join(broadcast(cellS), Seq("cell"))
       .select(col("cell"), explode(sequence(lit(0), col("__s") - 1)).as("__blk"),
         col("vec_id"), col("codes"))
-      .as[(Int, Int, Long, Array[Int])]
-    val perCell = probes.groupByKey(t => (t._1, t._2))
-        .cogroup(cd.groupByKey(t => (t._1, t._2))) { (key, qIt, cIt) =>
-      val cell = key._1
-      val qs = qIt.toArray
-      if (qs.isEmpty) Iterator.empty
-      else {
-        groupsAcc.add(1)
-        val ix = bc.value
-        val b = ix.books
-        val ct = ix.coarse(cell)
-        // one LUT per probing query, built ONCE per (query, cell) —
-        // identical arithmetic (and operation order) to ivfPqTopK's
-        // probe UDF, so ADC sums are bit-equal across the two paths
-        val luts = qs.map { case (_, _, _, qUnit) =>
-          Array.tabulate(b.m) { s =>
-            val cents = b.centroids(s)
-            Array.tabulate(cents.length) { cc =>
-              var d = 0.0; var j = 0
-              while (j < b.dsub) {
-                val diff = (qUnit(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
-                d += diff * diff; j += 1
+    // Round-20 (VERDICT r19 item 1, guide §2.5): the former typed
+    // groupByKey.cogroup let AQE size its exchange by BYTES — the
+    // (cell, block) shuffle is byte-light but compute-DENSE (every
+    // partition runs the full ADC scan of its cells), so AQE coalesced
+    // the whole scoring pass into ONE task (measured: a single 1.4 s
+    // task inside q112 while 31 cores idled). The cogroup is now
+    // hand-rolled on a USER-pinned width (repartition by the group key
+    // at the session's shuffle width — never coalesced): both sides
+    // union into one frame tagged by side, hash-partition on
+    // (cell, __blk), sort within partitions by (cell, __blk, __side)
+    // so each group arrives queries-first, and one mapPartitions walk
+    // buffers the group's queries (the same <= maxQueriesPerCell bound
+    // the split factor enforces) while STREAMING its code rows —
+    // exactly the cogroup's memory behavior. LUT construction and ADC
+    // sums keep the identical arithmetic and operation order, and the
+    // per-query bounded heap is order-insensitive ((adc, vec_id) is a
+    // total order), so results are bit-identical (spec-asserted).
+    val qSide = probes.select(col("cell"), col("__blk"),
+      lit(0).as("__side"), col("q_id").as("id"),
+      col("__unit"), lit(null).cast("array<int>").as("codes"))
+    val cSide = cd.select(col("cell"), col("__blk"),
+      lit(1).as("__side"), col("vec_id").as("id"),
+      lit(null).cast("array<double>").as("__unit"), col("codes"))
+    val width = spark.sessionState.conf.numShufflePartitions
+    val both = qSide.unionByName(cSide)
+      .repartition(width, col("cell"), col("__blk"))
+      .sortWithinPartitions(col("cell"), col("__blk"), col("__side"))
+      .as[(Int, Int, Int, Long, Array[Double], Array[Int])]
+    val perCell = both.mapPartitions { rows =>
+      val it = rows.buffered
+      val ix = bc.value
+      val b = ix.books
+      new Iterator[(Long, Long, Double)] {
+        private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && it.hasNext) {
+            val cell = it.head._1
+            val blk = it.head._2
+            // queries of this (cell, blk) group arrive first (__side 0)
+            val qs = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+            while (it.hasNext && it.head._1 == cell && it.head._2 == blk &&
+                it.head._3 == 0) {
+              val r = it.next(); qs += ((r._4, r._5))
+            }
+            if (qs.isEmpty) {
+              // codes-only group (no probing queries): skip its rows
+              while (it.hasNext && it.head._1 == cell && it.head._2 == blk) it.next()
+            } else {
+              groupsAcc.add(1)
+              val ct = ix.coarse(cell)
+              // one LUT per probing query, built ONCE per (query,
+              // cell) — identical arithmetic (and operation order) to
+              // ivfPqTopK's probe UDF, so ADC sums are bit-equal
+              // across the two paths
+              val luts = qs.map { case (_, qUnit) =>
+                Array.tabulate(b.m) { s =>
+                  val cents = b.centroids(s)
+                  Array.tabulate(cents.length) { cc =>
+                    var d = 0.0; var j = 0
+                    while (j < b.dsub) {
+                      val diff = (qUnit(s * b.dsub + j) - ct(s * b.dsub + j)) - cents(cc)(j)
+                      d += diff * diff; j += 1
+                    }
+                    d
+                  }
+                }
+              }.toArray
+              // bounded per-query top-k: a max-heap on (adc, vec_id) —
+              // head is the WORST kept candidate, evicted when a better
+              // one arrives — O(k) memory per query, codes side streamed
+              val ord = Ordering.Tuple2[Double, Long]
+              val heaps = Array.fill(qs.length)(
+                new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+              while (it.hasNext && it.head._1 == cell && it.head._2 == blk) {
+                val r = it.next()
+                val vid = r._4
+                val cs = r._6
+                var i = 0
+                while (i < qs.length) {
+                  if (vid != qs(i)._1) {
+                    val lut = luts(i)
+                    var d = 0.0; var s = 0
+                    while (s < cs.length) { d += lut(s)(cs(s)); s += 1 }
+                    val h = heaps(i)
+                    if (h.size < k) h.enqueue((d, vid))
+                    else if (ord.lt((d, vid), h.head)) { h.dequeue(); h.enqueue((d, vid)) }
+                  }
+                  i += 1
+                }
               }
-              d
+              out = qs.indices.iterator.flatMap { i =>
+                val qid = qs(i)._1
+                heaps(i).iterator.map { case (d, vid) => (qid, vid, d) }
+              }
             }
           }
         }
-        // bounded per-query top-k: a max-heap on (adc, vec_id) —
-        // head is the WORST kept candidate, evicted when a better one
-        // arrives — O(k) memory per query, codes side streamed
-        val ord = Ordering.Tuple2[Double, Long]
-        val heaps = Array.fill(qs.length)(
-          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
-        cIt.foreach { case (_, _, vid, cs) =>
-          var i = 0
-          while (i < qs.length) {
-            if (vid != qs(i)._3) {
-              val lut = luts(i)
-              var d = 0.0; var s = 0
-              while (s < cs.length) { d += lut(s)(cs(s)); s += 1 }
-              val h = heaps(i)
-              if (h.size < k) h.enqueue((d, vid))
-              else if (ord.lt((d, vid), h.head)) { h.dequeue(); h.enqueue((d, vid)) }
-            }
-            i += 1
-          }
-        }
-        qs.indices.iterator.flatMap { i =>
-          val qid = qs(i)._3
-          heaps(i).iterator.map { case (d, vid) => (qid, vid, d) }
-        }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): (Long, Long, Double) = { advance(); out.next() }
       }
     }.toDF("q_id", "vec_id", "adc")
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))

@@ -26,6 +26,33 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("vec_unit == composed when/aggregate/transform normalization (bit-identical)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // edge cases the fixture lacks: zero vector, NaN element, null
+    // element, empty array, null array
+    val edge = Seq(
+      (100000L, Seq[java.lang.Double](0.0, 0.0, 0.0)),
+      (100001L, Seq[java.lang.Double](1.0, Double.NaN)),
+      (100002L, Seq[java.lang.Double](3.0, null, 4.0)),
+      (100003L, Seq[java.lang.Double]()),
+      (100004L, null)
+    ).toDF("vec_id", "e")
+    val df = emb.unionByName(edge)
+    val e = col("e")
+    val nrm = sqrt(aggregate(e, lit(0.0), (a, v) => a + v * v))
+    val composed = df.select(col("vec_id"),
+      when(nrm > 0, transform(e, v => v / nrm)).otherwise(e).as("u"))
+    val native = df.select(col("vec_id"),
+      VecUnit.vec_unit(spark, e).as("u"))
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      Option(r.getSeq[java.lang.Double](1))
+        .map(_.map(d => if (d == null) null
+          else java.lang.Long.valueOf(java.lang.Double.doubleToRawLongBits(d))))
+    assert(composed.collect().map(key).toMap == native.collect().map(key).toMap)
+  }
+
   test("minhash_sig and minhash_buckets share the same minima chain") {
     // fold minhash_sig's raw minima into band keys in scala and compare
     // with the native banded expression

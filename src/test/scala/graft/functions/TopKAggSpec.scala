@@ -40,15 +40,17 @@ class TopKAggSpec extends AnyFunSuite {
     assert(buf.length == 3)
   }
 
-  // reference order for the double variant: NaN never wins, then
-  // score DESC, id ASC — must be a total order for sortBy to agree
+  // reference order for the double variant: NaN GREATEST (both Spark
+  // and DuckDB sort NaN as the largest double, so a DESC window ranks
+  // it first — round-20 alignment, VERDICT r19 item 3), then score
+  // DESC, id ASC — must be a total order for sortBy to agree
   // `+ 0.0` collapses -0.0 onto 0.0 before negating: SQL DOUBLE
   // comparison (the oracle's) ties signed zeros, unlike Java's total
   // order which would put -0.0 below 0.0
   private def refD(xs: Seq[ScoredIdD], k: Int): Seq[ScoredIdD] =
-    xs.sortBy(x => (java.lang.Double.isNaN(x.score), -(x.score + 0.0), x.id)).take(k)
+    xs.sortBy(x => (!java.lang.Double.isNaN(x.score), -(x.score + 0.0), x.id)).take(k)
 
-  test("double variant: exact top-k under any split, NaN never wins (property)") {
+  test("double variant: exact top-k under any split, NaN greatest (property)") {
     val rnd = new Random(11)
     for (trial <- 0 until 200) {
       val k = 1 + rnd.nextInt(8)
@@ -76,12 +78,44 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
-  test("double variant: all-NaN group keeps id order; NaN loses to any real score") {
+  test("double variant: all-NaN group keeps id order; NaN beats any real score") {
     val agg = new TopKAggD(2)
     val nans = Seq(ScoredIdD(Double.NaN, 9), ScoredIdD(Double.NaN, 2), ScoredIdD(Double.NaN, 5))
     assert(nans.foldLeft(agg.zero)(agg.reduce).map(_.id) == Seq(2, 5))
-    val mixed = Seq(ScoredIdD(Double.NaN, 1), ScoredIdD(-1e300, 7), ScoredIdD(Double.NaN, 3))
-    assert(mixed.foldLeft(agg.zero)(agg.reduce).map(_.id) == Seq(7, 1))
+    val mixed = Seq(ScoredIdD(Double.NaN, 1), ScoredIdD(1e300, 7), ScoredIdD(Double.NaN, 3))
+    assert(mixed.foldLeft(agg.zero)(agg.reduce).map(_.id) == Seq(1, 3))
+  }
+
+  // round-20 regression (VERDICT r19 item 3 "Done" condition): the
+  // double aggregator must equal the row_number window it replaced in
+  // bruteForceTopK EVEN when NaN scores are present — a zero-norm
+  // (all-zero) embedding makes cosine 0/0 = NaN, and Spark's DESC
+  // window ranks that NaN first. Pin window == aggregator on exactly
+  // that data shape, end to end through a DataFrame.
+  test("double variant: equals the DESC window on NaN-bearing scores") {
+    import spark.implicits._
+    val rnd = new Random(99)
+    val df = (0 until 2000)
+      .map { i =>
+        val score = if (i % 17 == 0) Double.NaN else rnd.nextInt(50).toDouble / 4
+        (s"g${i % 5}", score, i.toLong)
+      }
+      .toDF("g", "score", "id")
+      .repartition(11) // force multi-partition partial aggregation
+    val got = df.groupBy("g")
+      .agg(TopKAgg.top_k_d(col("score"), col("id"), 7).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rnk"),
+        col("col.score").as("score"), col("col.id").as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val want = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 7)
+      .select("g", "rnk", "score", "id")
+    // NaN == NaN under Spark's <=> used by except; both sides carry
+    // the same NaN rows, so symmetric difference must be empty
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
   test("end-to-end over a DataFrame groupBy equals the window spec") {

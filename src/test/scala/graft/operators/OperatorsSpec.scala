@@ -1449,7 +1449,15 @@ class OperatorsSpec extends AnyFunSuite {
     // — nothing broadcast scales with the query set, no product anywhere
     val plan = Similarity.ivfPqTopKBatch(codes, base, "vec_id", "embedding", ix, 5, 4)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("CoGroup"), s"expected cell-keyed cogroup:\n$plan")
+    // round-20: the cogroup is hand-rolled (union + user-pinned
+    // repartition on (cell, __blk) + sortWithinPartitions +
+    // mapPartitions walk) so AQE cannot byte-coalesce the compute-dense
+    // scoring pass to one task; the pin follows the new physical shape
+    // while keeping every no-product / broadcast-scaling assertion below
+    assert(plan.contains("MapPartitions"), s"expected cell-keyed group walk:\n$plan")
+    assert("Exchange hashpartitioning\\(cell#\\d+, __blk#\\d+, \\d+\\), REPARTITION_BY_NUM".r
+        .findFirstIn(plan).isDefined,
+      s"expected the user-pinned (cell, __blk) exchange:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"product leaked into batch IVFADC plan:\n$plan")
     val bhj = "BroadcastHashJoin \\[(\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
