@@ -952,7 +952,9 @@ object SparkEntry {
     // chained semantics the oracle restates); the delta is
     // checkpointed once before the two scan-heavy gates.
     "q200_ingest_v4" -> { (s, dir) =>
-      val v1 = t(s, dir, "documents")
+      // r20: spread the raw scan (q154's rationale) — the diff legs'
+      // per-row text hashing otherwise serializes on one scan task
+      val v1 = graft.Spread(t(s, dir, "documents"))
       val edited = v1.filter(col("doc_id") % 11 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
@@ -962,8 +964,12 @@ object SparkEntry {
       val v2 = edited.unionAll(added)
       val delta = graft.operators.Versioning.corpusDiff(v1, v2, "doc_id", "text")
         .filter(col("status").isin("added", "changed")).select("doc_id")
+      // r20: re-key the checkpoint (the q179 fix) — the join output is
+      // byte-light, AQE coalesces it to one partition, and the CMS
+      // sketch / entropy / FIM passes all inherit that serial layout
       val base = graft.operators.Checkpoints.cp(
-        v2.join(delta, "doc_id").select("doc_id", "text"))
+        v2.join(delta, "doc_id").select("doc_id", "text")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")))
       val grams = TextOps.shingles(col("text"), 2)
       val (depth, width) = (4, 1024)
       val counters = base.agg(graft.operators.Profile.Cms
@@ -4068,13 +4074,20 @@ object SparkEntry {
       val dsel = graft.operators.Dsir
         .importanceScore(base, "doc_id", "text", col("lang") === "en")
         .filter(col("selected")).select("doc_id")
-      val base2 = graft.operators.Checkpoints.cp(base.join(dsel, "doc_id"))
+      // r20: re-key each phase's checkpoint like `base` above — the
+      // join outputs are byte-light, so AQE coalesces them to ONE
+      // partition and the checkpointed RDD keeps that layout,
+      // serializing the next phase's bigram/word explodes on one core
+      // (measured: three 1.3 s single-task jobs back to back)
+      val base2 = graft.operators.Checkpoints.cp(base.join(dsel, "doc_id")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")))
       val keep3 = graft.operators.LmScore
         .perplexityBuckets(base2, "doc_id", "text", "lang", buckets = 3)
         .filter(col("ppl_bucket") <= 2).select("doc_id")
       val base3 = base2.join(keep3, "doc_id")
       val base4 = graft.operators.Checkpoints.cp(
-        graft.operators.Mix.temperatureSample(base3, "lang", "doc_id", tau = 0.5))
+        graft.operators.Mix.temperatureSample(base3, "lang", "doc_id", tau = 0.5)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")))
       graft.operators.Pack.packBins(base4, "doc_id",
           TextOps.tokenCount(col("text")), capacity = 2048L)
         .join(base4.select("doc_id", "lang", "source"), "doc_id")
@@ -6386,8 +6399,19 @@ object SparkEntry {
     // bloom decontamination -> curriculum ordering — with ONE exact
     // SQL oracle re-deriving every stage.
     "q100_ingest_pipeline" -> { (s, dir) =>
-      val normed = t(s, dir, "documents").select(col("doc_id"),
-        TextOps.normalizeText(s, col("text")).as("text"))
+      // r20: spread the RAW scan BELOW the normalize projection, then
+      // CHECKPOINT the normalized frame. The plan dump showed why both
+      // matter: without the barrier, alias substitution inlines the
+      // whole nfc_normalize+regex chain into every downstream predicate
+      // (~8 evaluations per term) and pushdown copies those conditions
+      // into FOUR separate single-task parquet scans. Checkpointed, the
+      // normalize runs ONCE per row on the spread layout and all four
+      // consumers read the stored column.
+      val normed = graft.operators.Checkpoints.cp(
+        graft.Spread(t(s, dir, "documents")
+            .select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            TextOps.normalizeText(s, col("text")).as("text")))
       val kept = normed.filter(
         TextOps.strictTokenCount(col("text")).between(10, 100000) &&
           TextOps.meanWordLen(col("text")).between(2.0, 12.0) &&

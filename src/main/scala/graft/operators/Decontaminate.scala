@@ -137,6 +137,12 @@ object Decontaminate {
       .select(explode(graft.functions.ShingleHashes
         .shingle_hashes(spark, col(benchTextCol), n)).as("shingle"))
       .distinct()
+      // r20: re-key before the checkpoint — the distinct's exchange is
+      // byte-light so AQE coalesces it to one partition, and the
+      // checkpointed RDD keeps that layout, serializing the bloom
+      // build's treeAggregate on one core (bloom insertion is a
+      // commutative bitwise OR, so the layout cannot reach the filter)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("shingle"))
       // three consumers (count, bloom build, verify join) — don't
       // re-shingle the benchmark per consumer
       .transform(Checkpoints.cp)

@@ -35,6 +35,16 @@ object ProbeTimeline {
       }
       ()
     }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val i = s.stageInfo
+      val dur = (for (a <- i.submissionTime; b <- i.completionTime) yield b - a).getOrElse(0L)
+      if (dur > 250) {
+        val scopes = i.rddInfos.flatMap(_.scope)
+          .map(_.name).distinct.mkString(">")
+        println(f"    stage ${i.stageId}%4d dur=${dur / 1000.0}%6.3f tasks=${i.numTasks}%4d  ${scopes.take(200)}")
+      }
+      ()
+    }
   }
 
   def main(args: Array[String]): Unit = {
