@@ -41,8 +41,26 @@ import graft.torch.{ActOp, Conv1dOp, EmbeddingMeanOp, EmbeddingSeqOp, LinearLaye
  */
 object SparkEntry {
 
+  // Round-20 (guide §6 "file listing … cached per session"): resolving
+  // a parquet path costs ~120 ms of DRIVER work (file listing + footer
+  // schema inference + relation construction) on this host, and every
+  // query build re-paid it for every table reference — ~134 s across a
+  // 304-query × 3-pass bench, the single largest remaining cost. The
+  // resolved DataFrame (an immutable LogicalRelation leaf — a PLAN, no
+  // data) is memoized per (session, dir, table), exactly what resolving
+  // through a catalog/metastore gives a production app. Every execution
+  // still scans parquet; nothing about results is cached.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** [[t]]'s memoization for absolute parquet paths (frozen-artifact
+    * tables): same plan-level cache, keyed by the full path. */
+  private def pq(spark: SparkSession, path: String): DataFrame =
+    tableCache.computeIfAbsent((spark, path, "__abs__"),
+      _ => spark.read.parquet(path))
 
   /** `events.ts` normalized to TimestampType whatever the fixture
     * generation shipped (nanos-as-long, NTZ micros, or LTZ) — see
@@ -60,7 +78,9 @@ object SparkEntry {
   private val irisParquet = "/root/reference/data/iris.snappy.parquet"
   private val irisModel = "/root/reference/model/iris.spt"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+  // r20: built once — the bench/verify loops look a query up per pass,
+  // and rebuilding the 300-entry map each time was measurable driver time
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ---------------- reference parity surface ----------------------
     "q01_scan_star" -> ((s, dir) =>
@@ -389,12 +409,12 @@ object SparkEntry {
       // again. Results are bit-identical either way (deterministic
       // pipeline; saveIndex/loadIndex is spec-pinned bit-identical,
       // parquet round-trips the exact doubles/ints).
-      val brute = s.read.parquet(bruteMarginPath(s, dir))
+      val brute = pq(s, bruteMarginPath(s, dir))
       val (ixP, cxP, cyP) = q228AnnArtifacts(s, dir)
       val ann = graft.operators.Similarity.marginMineAnnIndexed(xs, ys,
           "vec_id", "embedding",
           graft.operators.Similarity.loadIndex(s, ixP),
-          s.read.parquet(cxP), s.read.parquet(cyP),
+          pq(s, cxP), pq(s, cyP),
           k = 4, threshold = 1.0, nprobe = 14, shortlist = 100)
         .select(col("x_id"), col("y_id"), col("margin").as("am"))
       val annN = ann.agg(count(lit(1)).cast("long").as("n_ann"))
@@ -435,8 +455,8 @@ object SparkEntry {
       // to run
       val (ixP, codesP, batchP, fullP) = q255Artifacts(s, dir)
       val ix = graft.operators.Similarity.loadIndex(s, ixP)
-      val inc = s.read.parquet(codesP).unionByName(s.read.parquet(batchP))
-      val full = s.read.parquet(fullP)
+      val inc = pq(s, codesP).unionByName(pq(s, batchP))
+      val full = pq(s, fullP)
       // divergence counts via ONE full-outer count join per
       // comparison — a two-sided exceptAll executes each side twice
       def misCount(a: org.apache.spark.sql.DataFrame,
@@ -1689,7 +1709,7 @@ object SparkEntry {
       // rerank + decode.
       val (ixP, codesP) = q246AnnArtifacts(s, dir)
       val ix = graft.operators.Similarity.loadIndex(s, ixP)
-      val codes = s.read.parquet(codesP)
+      val codes = pq(s, codesP)
       // nprobe = nlist here: the oracle is EXACT brute top-1, so a
       // single dark cell is a correctness break, and the fixture has
       // only 16 cells to begin with (RagRetrievalSpec measured query
@@ -2724,7 +2744,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val (ixP, codesP) = q246AnnArtifacts(s, dir)
       val ix = graft.operators.Similarity.loadIndex(s, ixP)
-      val codes = s.read.parquet(codesP)
+      val codes = pq(s, codesP)
       graft.operators.Similarity.recallCanary(emb, codes, "vec_id",
         "embedding", ix, ks = Seq(1, 5), shortlist = 100, nprobe = 16,
         sampleEvery = 25, maxSample = 20)
@@ -2746,7 +2766,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val (ixP, codesP) = q246AnnArtifacts(s, dir)
       val ix = graft.operators.Similarity.loadIndex(s, ixP)
-      val codes = s.read.parquet(codesP)
+      val codes = pq(s, codesP)
       graft.operators.Similarity.autoNprobe(emb, codes, "vec_id",
         "embedding", ix, k = 5, shortlist = 100,
         nprobes = Seq(1, 2, 4, 8, 16), recallNum = 7, recallDen = 10,
@@ -4485,7 +4505,7 @@ object SparkEntry {
     "q27_torch_iris" -> { (s, _) =>
       ArgMax.register(s)
       Torch.createFunction(s, "graft_iris", irisModel)
-      s.read.parquet(irisParquet).coalesce(1).createOrReplaceTempView("graft_iris_t")
+      pq(s, irisParquet).coalesce(1).createOrReplaceTempView("graft_iris_t")
       s.sql(
         """SELECT argmax(graft_iris(features)) AS f_inferred,
           |       argmax(graft_iris(array(sl, sw, pl, pw))) AS inferred
@@ -4496,7 +4516,7 @@ object SparkEntry {
       ArgMax.register(s)
       val model = Torch.createFunction(s, "graft_iris_b", irisModel)
       val bc = s.sparkContext.broadcast(model)
-      Torch.inferBatched(s.read.parquet(irisParquet), "features", "logits", bc, batchSize = 64)
+      Torch.inferBatched(pq(s, irisParquet), "features", "logits", bc, batchSize = 64)
         .select(col("sl"), col("sw"), col("pl"), col("pw"),
           call_function("argmax", col("logits")).as("pred"))
         .orderBy("sl", "sw", "pl", "pw")
@@ -6667,7 +6687,7 @@ object SparkEntry {
       graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix0)
         .write.mode("overwrite").parquet(s"$tmp/codes")
       val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
-      val codes = s.read.parquet(s"$tmp/codes")
+      val codes = pq(s, s"$tmp/codes")
       () => {
         val q = emb.filter(col("vec_id") < 20)
         graft.operators.Similarity.ivfPqTopKReranked(emb, codes, q,
@@ -6684,7 +6704,7 @@ object SparkEntry {
       graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix0)
         .write.mode("overwrite").parquet(s"$tmp/codes")
       val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
-      val codes = s.read.parquet(s"$tmp/codes")
+      val codes = pq(s, s"$tmp/codes")
       () => {
         val qs = emb.filter(col("vec_id") % 7 === 0)
         graft.operators.Similarity.ivfPqTopKBatchReranked(emb, codes, qs,
@@ -6701,7 +6721,7 @@ object SparkEntry {
       graft.operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", ix0)
         .write.mode("overwrite").parquet(s"$tmp/codes")
       val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
-      val codes = s.read.parquet(s"$tmp/codes")
+      val codes = pq(s, s"$tmp/codes")
       () => {
         val q = emb.filter(col("vec_id") < 20)
         graft.operators.Similarity.ivfPqTopKReranked(emb, codes, q,
@@ -6724,7 +6744,7 @@ object SparkEntry {
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
         .write.mode("overwrite").parquet(s"$tmp/codes")
       val ix = graft.operators.Similarity.loadIndex(s, s"$tmp/ix")
-      val codesMeta = s.read.parquet(s"$tmp/codes")
+      val codesMeta = pq(s, s"$tmp/codes")
       () => {
         val q = emb.filter(col("vec_id") < 20).select("vec_id", "embedding")
         graft.operators.Similarity.ivfPqTopKFilteredReranked(emb, codesMeta, q,
@@ -9632,7 +9652,8 @@ object SparkEntry {
     * gates instead of SQL oracles; the torch queries are oracled by
     * re-evaluating the network as generated SQL arithmetic
     * ([[graft.torch.TorchOracle]]). */
-  def oracleSql: Map[String, String] = ListMap(
+  // r20: built once (see queries) — oracle text blocks are large
+  lazy val oracleSql: Map[String, String] = ListMap(
     "q01_scan_star" ->
       "SELECT * FROM region ORDER BY r_regionkey",
 

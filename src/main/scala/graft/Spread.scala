@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join,
-  LogicalPlan, RepartitionOperation, Sort, Window}
+  LocalRelation, LogicalPlan, RepartitionOperation, Sort, Window}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Scale-adaptive input spread for single-`mapPartitions` kernels
   * (decode loops, batched inference, codecs).
@@ -70,11 +72,36 @@ object Spread {
       case _ => false
     }
     if (hasExchange) return df
-    // exchange-free scan-shaped plan: toRdd is driver-only planning
-    // (no stage to materialize) — read the scan's partition count
-    if (df.queryExecution.toRdd.getNumPartitions < target)
-      df.repartition(target)
-    else df
+    // Exchange-free scan-shaped plan: estimate the scan's partition
+    // count from the LEAVES, without toRdd (round-20: physically
+    // planning the subtree cost ~50 ms of driver time per kernel
+    // construction — ~20 s across a bench — for a yes/no decision).
+    //  - file scans: Spark's own split math (maxPartitionBytes /
+    //    openCostInBytes / bytesPerCore) over the relation's cached
+    //    file listing;
+    //  - checkpointed RDDs: the RDD's real partition count;
+    //  - anything else: fall back to planning (safe — exchange-free).
+    val conf = df.sparkSession.sessionState.conf
+    val leaves = plan.collectLeaves()
+    val estimated: Option[Long] = leaves.foldLeft(Option(0L)) {
+      case (Some(acc), l: LogicalRelation) => l.relation match {
+        case fs: HadoopFsRelation =>
+          val total = fs.location.sizeInBytes
+          val nFiles = fs.location.inputFiles.length.max(1).toLong
+          val openCost = conf.filesOpenCostInBytes
+          val bytesPerCore = (total + nFiles * openCost) /
+            df.sparkSession.sparkContext.defaultParallelism.max(1)
+          val maxSplit = math.min(conf.filesMaxPartitionBytes,
+            math.max(openCost, bytesPerCore)).max(1L)
+          Some(acc + ((total + nFiles * openCost + maxSplit - 1) / maxSplit))
+        case _ => None
+      }
+      case (Some(acc), r: LogicalRDD) => Some(acc + r.rdd.getNumPartitions)
+      case (Some(acc), _: LocalRelation) => Some(acc + 1L)
+      case _ => None
+    }
+    val parts = estimated.getOrElse(df.queryExecution.toRdd.getNumPartitions.toLong)
+    if (parts < target) df.repartition(target) else df
   }
 
   // LogicalPlan.exists by predicate (TreeNode.find) — local helper so
